@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Flagship word-count pipeline — the reference's showcase re-expressed
+  * Spark-first.
+  *
+  * Reference semantics: FileWordCounter.cpp:87-136 (map = per-file
+  * word→count, shuffle = group word→[counts], reduce = sum) and
+  * README.md:42-53. Here the whole Map→Shuffle→Reduce lifecycle is one
+  * declarative plan: scan → flatMap (explode/split) → hash-aggregate
+  * (partial map-side combine ≡ the reference's per-thread pre-grouping,
+  * MapReduceFramework.cpp:278-287) → shuffle on `word` → final aggregate →
+  * sort (≡ the reference's ordered std::map key order, MapReduceClient.h:61).
+  *
+  * Scale notes: the aggregation is algebraic (count), so Spark performs
+  * map-side partial aggregation before the shuffle — shuffle volume is
+  * O(distinct words per partition), not O(tokens). At 100 TB this is the
+  * right plan: no collect, no skew risk beyond word frequency (AQE handles
+  * stragglers), and the parquet scan prunes to the single `text` column.
+  */
+object TextQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // B1+B2+C2+C4+C5: scan → split/explode → groupBy → count → orderBy.
+    "wordcount" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("word")),
+
+    // B2 quirk parity (FileWordCounter.cpp:149-177): splitting on the single
+    // ' ' char keeps empty tokens (consecutive/leading/trailing spaces) and
+    // does NOT treat \n or \t as delimiters. Spark `split(text, " ", -1)`
+    // has exactly those semantics (minus the reference's O(n²) cost, which
+    // we do not replicate). Aggregated per token-kind so it oracle-checks.
+    "tokenize_quirk" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ", -1)).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("tok")),
+
+    // F: distributed top-k — compiles to TakeOrderedAndProject (a per-
+    // partition heap + single reduce of k rows), not a global sort.
+    "word_topk" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(10)),
+
+    // Per-document token statistics (H scalar funcs over arrays) — stays
+    // entirely in whole-stage codegen, no UDF.
+    "doc_token_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens"),
+          length(col("text")).as("len"),
+          size(array_distinct(split(col("text"), " "))).as("n_distinct"))
+        .orderBy("doc_id"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "wordcount" ->
+      """SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         GROUP BY word ORDER BY word""",
+    "tokenize_quirk" ->
+      """SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         GROUP BY tok ORDER BY tok""",
+    "word_topk" ->
+      """SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         GROUP BY word ORDER BY cnt DESC, word LIMIT 10""",
+    "doc_token_stats" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                CAST(length(text) AS INT) AS len,
+                CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct
+         FROM documents ORDER BY doc_id"""
+  )
+}
