@@ -13,7 +13,8 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     TextQueries,
-    Relational
+    Relational,
+    EventQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,197 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function + event-analytics coverage (SURVEY.md §2 E, H-json).
+  *
+  * The reference has no window functions (§2 E ABSENT) — these are the
+  * Spark builtins over the `events` fixture: ranking, lag/lead, running
+  * aggregates, sessionization (gap > 30 min), tumbling/sliding time
+  * buckets, and `from_json` on the `props` JSON-string column.
+  *
+  * Scale notes (100 TB): every window below is partitioned by `user_id` —
+  * one shuffle on the partition key, then per-partition sorted evaluation;
+  * no global sort, no driver-side state. Sessionization is the classic
+  * gap-flag + running-sum formulation (two window passes over the same
+  * partitioning, so Catalyst reuses one Exchange). Time-bucket aggregation
+  * is algebraic → map-side partial agg before the shuffle. Skewed users
+  * would be handled by AQE skew-split on the Exchange.
+  */
+object EventQueries extends QueryPack {
+  import graft.Portable.round2
+
+  private val byUserTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+  val queries: Map[String, Q] = Map(
+    // E: ranking functions per user.
+    "q_window_rank" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"), col("user_id"),
+          row_number().over(byUserTime).as("rn"),
+          rank().over(Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))).as("value_rank"))
+        .orderBy("event_id")),
+
+    // E: lag/lead — seconds since previous event of the same user.
+    "q_window_lag" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"), col("user_id"),
+          (unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(byUserTime))).as("gap_sec"),
+          lead("event_type", 1).over(byUserTime).as("next_type"))
+        .orderBy("event_id")),
+
+    // E: running aggregate — cumulative value per user over time.
+    "q_window_running" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"), col("user_id"),
+          round2(sum("value").over(byUserTime.rowsBetween(Window.unboundedPreceding, Window.currentRow))).as("running_value"),
+          round2(avg("value").over(byUserTime.rowsBetween(-2, Window.currentRow))).as("avg3"))
+        .orderBy("event_id")),
+
+    // E: sessionization — gap > 30 min starts a new session; per-session
+    // rollup of count/duration. Two window passes + one aggregation, all on
+    // the user_id partitioning.
+    "q_sessionize" -> ((s, d) => {
+      val gapFlag = Tables.events(s, d)
+        .withColumn("prev_ts", lag("ts", 1).over(byUserTime))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+               unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+            .otherwise(0))
+      gapFlag
+        .withColumn("session_id",
+          sum("new_sess").over(byUserTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          (unix_timestamp(max("ts")) - unix_timestamp(min("ts"))).as("duration_sec"),
+          round2(sum("value")).as("session_value"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // E/H: tumbling 1-hour buckets (epoch-aligned) — counts per type.
+    "q_time_bucket" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(
+          (floor(unix_timestamp(col("ts")) / 3600) * 3600).as("bucket_epoch"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round2(sum("value")).as("total_value"))
+        .orderBy("bucket_epoch", "event_type")),
+
+    // E: sliding windows via Spark's window() operator (1 h, slide 30 min)
+    // — each event lands in 2 buckets; output start as epoch seconds.
+    "q_sliding_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"), col("n"))
+        .orderBy("win_start", "event_type")),
+
+    // H: JSON extraction — from_json on the props string column.
+    "q_json" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), from_json(col("props"), lit("k INT")).getField("k").as("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), max("k").as("max_k"))
+        .orderBy("k_mod")),
+
+    // E: first/last per user (min/max by time via window first_value).
+    "q_first_last" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("user_id"),
+          first("event_type").over(byUserTime.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("first_type"),
+          last("event_type").over(byUserTime.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("last_type"))
+        .dropDuplicates("user_id")
+        .orderBy("user_id")),
+
+    // C: cube over (event_type, day) — all 4 grouping sets. Routed via SQL
+    // like q_rollup (same Expand/ambiguity note).
+    "q_cube" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value"))
+        .createOrReplaceTempView("q_cube_base")
+      s.sql("""SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n,
+                      FLOOR(SUM(value)*100 + 0.5)/100 AS total_value
+               FROM q_cube_base GROUP BY CUBE(event_type, day)
+               ORDER BY event_type NULLS FIRST, day NULLS FIRST""")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_window_rank" ->
+      """SELECT event_id, user_id,
+                CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS rn,
+                CAST(RANK() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INT) AS value_rank
+         FROM events ORDER BY event_id""",
+    "q_window_lag" ->
+      """SELECT event_id, user_id,
+                CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(LAG(ts, 1) OVER w)) AS BIGINT) AS gap_sec,
+                LEAD(event_type, 1) OVER w AS next_type
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY event_id""",
+    "q_window_running" ->
+      """SELECT event_id, user_id,
+                FLOOR(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)*100 + 0.5)/100 AS running_value,
+                FLOOR(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)*100 + 0.5)/100 AS avg3
+         FROM events ORDER BY event_id""",
+    "q_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN LAG(ts,1) OVER w IS NULL
+                            OR CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(LAG(ts,1) OVER w)) AS BIGINT) > 1800
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT user_id, ts, value,
+                  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM flagged)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                CAST(COUNT(*) AS BIGINT) AS n_events,
+                CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) - CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_sec,
+                FLOOR(SUM(value)*100 + 0.5)/100 AS session_value
+         FROM sess GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
+    "q_time_bucket" ->
+      """SELECT CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_epoch, event_type,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                FLOOR(SUM(value)*100 + 0.5)/100 AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_sliding_window" ->
+      """WITH expanded AS (
+           SELECT CAST(FLOOR(epoch(ts)/1800)*1800 - k*1800 AS BIGINT) AS win_start, event_type
+           FROM events, (SELECT UNNEST([0,1]) AS k)
+           WHERE epoch(ts) < FLOOR(epoch(ts)/1800)*1800 - k*1800 + 3600)
+         SELECT win_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
+         FROM expanded GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_json" ->
+      """SELECT CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10 AS INT) AS k_mod,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_first_last" ->
+      """WITH ranked AS (
+           SELECT user_id,
+                  FIRST_VALUE(event_type) OVER w AS first_type,
+                  LAST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type,
+                  ROW_NUMBER() OVER w AS rn
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, first_type, last_type FROM ranked WHERE rn = 1
+         ORDER BY user_id""",
+    "q_cube" ->
+      """SELECT event_type, STRFTIME(ts, '%Y-%m-%d') AS day, CAST(COUNT(*) AS BIGINT) AS n,
+                FLOOR(SUM(value)*100 + 0.5)/100 AS total_value
+         FROM events GROUP BY CUBE(event_type, STRFTIME(ts, '%Y-%m-%d'))
+         ORDER BY event_type NULLS FIRST, day NULLS FIRST"""
+  )
+}
