@@ -14,7 +14,11 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     TextQueries,
     Relational,
-    EventQueries
+    EventQueries,
+    DedupQueries,
+    SimilarityQueries,
+    TextAnalysis,
+    MultimodalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import graft.Portable.round6
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (north star, BASELINE.json).
+  *
+  * Two paths:
+  *  - `sim_topk_brute`: exact top-k cosine against a probe vector. Linear
+  *    scan, broadcast probe, TakeOrderedAndProject top-k — at 100 TB this
+  *    is one pass over the vectors with no shuffle of the big side, which
+  *    IS the correct exact algorithm.
+  *  - `sim_ivf`: the ANN scale path — IVF with deterministic "centroids"
+  *    (vec_id < 16 stand in for a k-means codebook, which keeps the query
+  *    oracle-checkable). Vectors are assigned to their nearest centroid
+  *    once (a broadcast join + argmax, i.e. the index build); a query then
+  *    probes only the nprobe=4 closest clusters — at scale this prunes the
+  *    scan to nprobe/nlist of the corpus, and the assignment doubles as a
+  *    partitioning key for locality.
+  *
+  * Dot products use fold-left `aggregate(zip_with(...))` — sequential
+  * order matches DuckDB `list_reduce`, so doubles are bit-identical and
+  * results hash-match.
+  */
+object SimilarityQueries extends QueryPack {
+
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(expr("aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x)")))
+
+  /** cosine(v, w) given precomputed norms — expects columns v,nrm / w,wnrm. */
+  private val cosExpr =
+    expr("aggregate(zip_with(v, w, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+
+  val queries: Map[String, Q] = Map(
+    // Exact brute-force top-k against probe vec_id=0.
+    "sim_topk_brute" -> ((s, d) => {
+      val e = vecs(s, d)
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("v").as("w"), col("nrm").as("wnrm"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .withColumn("cos", cosExpr / (col("nrm") * col("wnrm")))
+        .select(col("vec_id"), round6(col("cos")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // IVF: assign every vector to nearest of 16 deterministic centroids;
+    // probe the 4 clusters nearest the query; exact search within them.
+    "sim_ivf" -> ((s, d) => {
+      val e = vecs(s, d)
+      val cent = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("w"), col("nrm").as("wnrm"))
+      // Index build: argmax over centroids per vector.
+      val byVec = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+      val assigned = e.crossJoin(broadcast(cent))
+        .withColumn("ccos", cosExpr / (col("nrm") * col("wnrm")))
+        .withColumn("rk", row_number().over(byVec))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cluster"))
+      // Query: probe = vec_id 0; its 4 nearest centroids.
+      val probeClusters = e.filter(col("vec_id") === 0)
+        .crossJoin(broadcast(cent))
+        .withColumn("ccos", cosExpr / (col("nrm") * col("wnrm")))
+        .orderBy(col("ccos").desc, col("cid"))
+        .limit(4)
+        .select(col("cid").as("cluster"))
+      val probeVec = e.filter(col("vec_id") === 0)
+        .select(col("v").as("w"), col("nrm").as("wnrm"))
+      assigned
+        .join(broadcast(probeClusters), "cluster")
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probeVec))
+        .withColumn("cos", cosExpr / (col("nrm") * col("wnrm")))
+        .select(col("vec_id"), col("cluster"), round6(col("cos")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // Per-label centroid-free stats: mean norm and count — the "index
+    // statistics" pass a vector pipeline needs (and a pure agg over arrays).
+    "sim_label_stats" -> ((s, d) =>
+      vecs(s, d)
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n"),
+          round6(avg("nrm")).as("avg_norm"),
+          round6(min("nrm")).as("min_norm"),
+          round6(max("nrm")).as("max_norm"))
+        .orderBy("label"))
+  )
+
+  private val vecsSqlCte =
+    """e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+       n AS (SELECT vec_id, label, v,
+                    sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+             FROM e)"""
+
+  private def cosSql(av: String, bv: String) =
+    s"list_reduce(list_transform(range(64), i -> $av[i + 1] * $bv[i + 1]), (x, y) -> x + y)"
+
+  val oracleSql: Map[String, String] = Map(
+    "sim_topk_brute" ->
+      s"""WITH $vecsSqlCte,
+            probe AS (SELECT v, nrm FROM n WHERE vec_id = 0),
+            scored AS (SELECT a.vec_id, ${cosSql("a.v", "p.v")} / (a.nrm * p.nrm) AS cos
+                       FROM n a, probe p WHERE a.vec_id <> 0)
+          SELECT vec_id, FLOOR(cos*1000000 + 0.5)/1000000 AS cos FROM scored
+          ORDER BY cos DESC, vec_id LIMIT 10""",
+    "sim_ivf" ->
+      s"""WITH $vecsSqlCte,
+            cent AS (SELECT vec_id AS cid, v AS w, nrm AS wnrm FROM n WHERE vec_id < 16),
+            asg AS (SELECT vec_id, v, nrm, cid AS cluster FROM (
+                      SELECT a.vec_id, a.v, a.nrm, c.cid,
+                             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                               ORDER BY ${cosSql("a.v", "c.w")} / (a.nrm * c.wnrm) DESC, c.cid) AS rk
+                      FROM n a, cent c) WHERE rk = 1),
+            pc AS (SELECT c.cid AS cluster
+                   FROM n a, cent c WHERE a.vec_id = 0
+                   ORDER BY ${cosSql("a.v", "c.w")} / (a.nrm * c.wnrm) DESC, c.cid LIMIT 4),
+            probe AS (SELECT v AS w, nrm AS wnrm FROM n WHERE vec_id = 0),
+            hits AS (SELECT a.vec_id, a.cluster,
+                            ${cosSql("a.v", "p.w")} / (a.nrm * p.wnrm) AS cos
+                     FROM asg a JOIN pc ON a.cluster = pc.cluster, probe p
+                     WHERE a.vec_id <> 0)
+          SELECT vec_id, cluster, FLOOR(cos*1000000 + 0.5)/1000000 AS cos FROM hits
+          ORDER BY cos DESC, vec_id LIMIT 10""",
+    "sim_label_stats" ->
+      s"""WITH $vecsSqlCte
+          SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+                 FLOOR(AVG(nrm)*1000000 + 0.5)/1000000 AS avg_norm,
+                 FLOOR(MIN(nrm)*1000000 + 0.5)/1000000 AS min_norm,
+                 FLOOR(MAX(nrm)*1000000 + 0.5)/1000000 AS max_norm
+          FROM n GROUP BY label ORDER BY label"""
+  )
+}

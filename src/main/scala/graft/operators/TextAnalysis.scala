@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import graft.Portable.round4
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines (north star):
+  * language-ID heuristic, quality scoring, token counting (whitespace +
+  * regex), document fingerprinting (rolling hash).
+  *
+  * Everything is a codegen'd builtin expression over the `text` column —
+  * no UDFs, so whole-stage codegen spans the full projection and the scan
+  * prunes to the columns used. At 100 TB these are embarrassingly
+  * parallel map-only passes (zero shuffles except the final stats
+  * aggregations).
+  */
+object TextAnalysis extends QueryPack {
+
+  // Tiny per-language stopword inventories for the n-gram/stopword
+  // language-ID heuristic. Deliberately small + deterministic.
+  private val stop = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un"),
+    "es" -> Seq("el", "los", "las", "y", "un", "una"))
+
+  private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
+
+  val queries: Map[String, Q] = Map(
+    // Language ID: stopword-hit ratio per language, argmax (ties → first
+    // alphabetically; all-zero → 'unknown').
+    "text_lang_id" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val scored = Tables.documents(s, d)
+        .withColumn("toks", toks)
+        .withColumn("n_toks", size(col("toks")))
+      val withScores = stop.keys.toSeq.sorted.foldLeft(scored) { (df, lang) =>
+        df.withColumn(s"s_$lang",
+          expr(s"size(filter(toks, t -> t IN (${inList(stop(lang))})))"))
+      }
+      withScores
+        .withColumn("best", greatest(col("s_de"), col("s_en"), col("s_es"), col("s_fr")))
+        .withColumn("lang_guess",
+          when(col("best") === 0, "unknown")
+            .when(col("s_de") === col("best"), "de")
+            .when(col("s_en") === col("best"), "en")
+            .when(col("s_es") === col("best"), "es")
+            .otherwise("fr"))
+        .select(col("doc_id"), col("lang_guess"), col("best").as("hits"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality score: length saturation + lexical diversity + stopword rate.
+    "text_quality" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d)
+        .withColumn("toks", toks)
+        .withColumn("n_toks", size(col("toks")).cast("double"))
+        .withColumn("n_dist", size(array_distinct(col("toks"))).cast("double"))
+        .withColumn("sw",
+          expr(s"size(filter(toks, t -> t IN (${inList(stop("en"))})))").cast("double"))
+        .withColumn("quality",
+          round4(
+            least(col("n_toks") / 100.0, lit(1.0)) * 0.4 +
+            (col("n_dist") / col("n_toks")) * 0.3 +
+            least(col("sw") / col("n_toks") * 5.0, lit(1.0)) * 0.3))
+        .select(col("doc_id"), col("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Token counting three ways: whitespace, alpha-word regex, BPE-ish
+    // fixed-width chunk regex.
+    "text_token_count" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).as("n_ws"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("n_alpha"),
+          size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0))).as("n_bpe"))
+        .orderBy("doc_id")),
+
+    // Document fingerprint: rolling polynomial hash over md5-derived token
+    // hashes — a stable 30-bit content signature (PortableHash).
+    "text_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("""aggregate(
+                    transform(split(text, ' '),
+                      t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % 1000000007),
+                    CAST(0 AS BIGINT),
+                    (acc, h) -> (acc * 1000003 + h) % 1000000007)""").as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // Corpus-level aggregate stats (the reduce side of text analysis).
+    "text_corpus_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("n_toks", size(split(col("text"), " ")))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks").cast("long")).as("total_tokens"),
+          round4(avg("n_toks")).as("avg_tokens"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"))
+        .orderBy("lang"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "text_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            sc AS (SELECT doc_id,
+                     len(list_filter(toks, t -> t IN (${inList(stop("de"))}))) AS s_de,
+                     len(list_filter(toks, t -> t IN (${inList(stop("en"))}))) AS s_en,
+                     len(list_filter(toks, t -> t IN (${inList(stop("es"))}))) AS s_es,
+                     len(list_filter(toks, t -> t IN (${inList(stop("fr"))}))) AS s_fr
+                   FROM t)
+          SELECT doc_id,
+                 CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+                      WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
+                      WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+                      WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+                      ELSE 'fr' END AS lang_guess,
+                 CAST(GREATEST(s_de, s_en, s_es, s_fr) AS INT) AS hits
+          FROM sc ORDER BY doc_id""",
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            m AS (SELECT doc_id,
+                    CAST(len(toks) AS DOUBLE) AS n_toks,
+                    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_dist,
+                    CAST(len(list_filter(toks, t -> t IN (${inList(stop("en"))}))) AS DOUBLE) AS sw
+                  FROM t)
+          SELECT doc_id,
+                 FLOOR((LEAST(n_toks / 100.0, 1.0) * 0.4 +
+                        (n_dist / n_toks) * 0.3 +
+                        LEAST(sw / n_toks * 5.0, 1.0) * 0.3) * 10000 + 0.5) / 10000 AS quality
+          FROM m ORDER BY doc_id""",
+    "text_token_count" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
+                CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_alpha,
+                CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS INT) AS n_bpe
+         FROM documents ORDER BY doc_id""",
+    "text_fingerprint" ->
+      """SELECT doc_id,
+                list_reduce(
+                  list_concat([CAST(0 AS BIGINT)],
+                    list_transform(string_split(text, ' '),
+                      t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 1000000007)),
+                  (acc, h) -> (acc * 1000003 + h) % 1000000007) AS fingerprint
+         FROM documents ORDER BY doc_id""",
+    "text_corpus_stats" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+                FLOOR(AVG(len(string_split(text, ' ')))*10000 + 0.5)/10000 AS avg_tokens,
+                MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+         FROM documents GROUP BY lang ORDER BY lang"""
+  )
+}
