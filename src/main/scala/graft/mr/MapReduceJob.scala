@@ -1,0 +1,175 @@
+package graft.mr
+
+import java.util.UUID
+import java.util.concurrent.atomic.AtomicReference
+import scala.concurrent.{Await, Future, Promise}
+import scala.concurrent.duration.Duration
+
+import org.apache.spark.scheduler._
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+
+/** API-parity facade over the reference's MapReduce contract
+  * (MapReduceClient.h:65-84, MapReduceFramework.h:43-66), implemented
+  * entirely on typed Datasets.
+  *
+  * Mapping (SURVEY.md §2.2 J):
+  *  - `map` + emit2 (MapReduceClient.h:74, MapReduceFramework.cpp:278-287)
+  *    → `MapReduceClient.map: (K1,V1) => IterableOnce[(K2,V2)]` — the
+  *    returned iterator IS the emission; Spark's `flatMap` replaces the
+  *    callback inversion.
+  *  - shuffle (MapReduceFramework.cpp:92-130) → `groupByKey` — Spark's
+  *    hash shuffle with map-side pre-grouping replaces the reference's
+  *    per-thread maps + dedicated shuffler thread. No code.
+  *  - `reduce` + emit3 (MapReduceClient.h:83, MapReduceFramework.cpp:
+  *    296-303) → `flatMapGroups` (0..n emissions per key, sees all values).
+  *  - `startMapReduceJob`/`waitForJob`/`getJobState`/`closeJobHandle`
+  *    (MapReduceFramework.h:43-66) → `startJob` returning a
+  *    [[MapReduceJobHandle]]: the action runs on a daemon thread, a
+  *    SparkListener folds Spark stage progress onto the reference's
+  *    `{stage, percentage}` states (§3.3): pre-shuffle stages → MAP,
+  *    shuffle boundary → SHUFFLE, result stage → REDUCE.
+  *
+  * Scale: unlike the reference (single process, everything heap-resident,
+  * MapReduceClient.h:56-62), this runs on any cluster — the shuffle is
+  * Spark's, so spills, retries and locality come for free. `run` keeps the
+  * result distributed; only `waitForJob` materializes (API parity with the
+  * reference's caller-owned OutputVec).
+  */
+trait MapReduceClient[K1, V1, K2, V2, K3, V3] extends Serializable {
+  /** One input record → 0..n intermediate pairs (≡ map + emit2 calls). */
+  def map(key: K1, value: V1): IterableOnce[(K2, V2)]
+
+  /** One distinct key + all its values → 0..n output pairs (≡ reduce +
+    * emit3 calls). Values arrive as an iterator — at scale the group may
+    * not fit in memory, so clients should stream it. */
+  def reduce(key: K2, values: Iterator[V2]): IterableOnce[(K3, V3)]
+}
+
+/** Reference JobState facade (MapReduceFramework.h:8-15). */
+object Stage extends Enumeration {
+  val UNDEFINED, MAP, SHUFFLE, REDUCE = Value
+}
+final case class JobState(stage: Stage.Value, percentage: Float)
+
+object MapReduceJob {
+
+  /** The core dataflow: flatMap → groupByKey → flatMapGroups.
+    *
+    * `sortedByKey = true` additionally orders the result by key,
+    * reproducing the reference's ascending `std::map` key order
+    * (MapReduceClient.h:61) as an observable property. (The reference's
+    * OUTPUT vector is unordered — multi-threaded appends,
+    * MapReduceFramework.cpp:296-303 — so parity holds either way.)
+    */
+  def run[K1, V1, K2, V2, K3, V3](
+      input: Dataset[(K1, V1)],
+      client: MapReduceClient[K1, V1, K2, V2, K3, V3],
+      sortedByKey: Boolean = false)(
+      implicit e2: Encoder[(K2, V2)], ek2: Encoder[K2],
+      e3: Encoder[(K3, V3)]): Dataset[(K3, V3)] = {
+    val reduced = input
+      .flatMap { case (k, v) => client.map(k, v) }
+      .groupByKey(_._1)
+      .flatMapGroups((k: K2, it: Iterator[(K2, V2)]) => client.reduce(k, it.map(_._2)))
+    if (sortedByKey) reduced.orderBy("_1") else reduced
+  }
+
+  /** Asynchronous start (≡ startMapReduceJob): returns immediately with a
+    * handle exposing progress and join. */
+  def startJob[K1, V1, K2, V2, K3, V3](
+      spark: SparkSession,
+      input: Dataset[(K1, V1)],
+      client: MapReduceClient[K1, V1, K2, V2, K3, V3],
+      sortedByKey: Boolean = false)(
+      implicit e2: Encoder[(K2, V2)], ek2: Encoder[K2],
+      e3: Encoder[(K3, V3)]): MapReduceJobHandle[K3, V3] = {
+    val ds = run(input, client, sortedByKey)
+    new MapReduceJobHandle(spark, ds)
+  }
+}
+
+/** Opaque job handle (≡ JobHandle, MapReduceFramework.h:43-66). */
+final class MapReduceJobHandle[K3, V3](spark: SparkSession, ds: Dataset[(K3, V3)]) {
+
+  private val groupId = s"graft-mr-${UUID.randomUUID()}"
+  private val state = new AtomicReference(JobState(Stage.UNDEFINED, 0f))
+  private val done = Promise[Array[(K3, V3)]]()
+
+  /** Folds Spark stage events for this job group onto MAP/SHUFFLE/REDUCE.
+    * Heuristic per SURVEY.md §3.3: the plan has shuffle-map stages
+    * (MAP: task progress 0..100) and a result stage (REDUCE). The instant
+    * between last map-stage completion and first result-stage task is
+    * surfaced as SHUFFLE (the reference gives shuffle its own stage —
+    * MapReduceFramework.cpp:123-127 — Spark pipelines it into the reads).
+    */
+  private val listener = new SparkListener {
+    @volatile private var trackedStages = Map.empty[Int, (Int, Boolean)] // stageId -> (numTasks, isResult)
+    @volatile private var tasksDone = Map.empty[Int, Int]
+    @volatile private var jobIds = Set.empty[Int]
+    @volatile private var resultStageSeen = false
+
+    override def onJobStart(e: SparkListenerJobStart): Unit = {
+      if (Option(e.properties).exists(_.getProperty("spark.jobGroup.id") == groupId)) {
+        jobIds += e.jobId
+        val infos = e.stageInfos
+        val resultStageId = infos.map(_.stageId).max
+        infos.foreach { si =>
+          trackedStages += si.stageId -> (math.max(si.numTasks, 1), si.stageId == resultStageId)
+        }
+      }
+    }
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      trackedStages.get(e.stageId).foreach { case (numTasks, isResult) =>
+        val doneCount = tasksDone.getOrElse(e.stageId, 0) + 1
+        tasksDone += e.stageId -> doneCount
+        if (isResult) resultStageSeen = true
+        val pct = 100f * doneCount / numTasks
+        state.set(JobState(if (isResult) Stage.REDUCE else Stage.MAP, pct))
+      }
+    }
+    override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+      trackedStages.get(e.stageInfo.stageId).foreach { case (_, isResult) =>
+        if (!isResult && !resultStageSeen) state.set(JobState(Stage.SHUFFLE, 100f))
+      }
+    }
+  }
+
+  spark.sparkContext.addSparkListener(listener)
+  private val runner = new Thread(() => {
+    try {
+      spark.sparkContext.setJobGroup(groupId, "graft MapReduceJob", interruptOnCancel = true)
+      state.compareAndSet(JobState(Stage.UNDEFINED, 0f), JobState(Stage.MAP, 0f))
+      val out = ds.collect()
+      state.set(JobState(Stage.REDUCE, 100f))
+      done.success(out)
+    } catch {
+      case t: Throwable => done.failure(t)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+    }
+  }, groupId)
+  runner.setDaemon(true)
+  runner.start()
+
+  /** ≡ getJobState (MapReduceFramework.cpp:372-380). */
+  def getJobState: JobState = state.get()
+
+  /** ≡ waitForJob: blocks until completion, returns the output "vector".
+    * Unlike the reference (double-join UB, MapReduceFramework.cpp:387),
+    * calling this repeatedly is safe — the result is memoized. */
+  def waitForJob(): Array[(K3, V3)] = Await.result(done.future, Duration.Inf)
+
+  def isDone: Boolean = done.isCompleted
+
+  /** ≡ closeJobHandle: waits, then detaches the listener. */
+  def close(): Unit = {
+    try waitForJob()
+    finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** Cancels the underlying Spark job group. (No reference analogue —
+    * the reference cannot cancel — but a distributed engine must.) */
+  def cancel(): Unit = spark.sparkContext.cancelJobGroup(groupId)
+
+  private def unusedFuture: Future[Array[(K3, V3)]] = done.future
+}

@@ -1,0 +1,70 @@
+package graft.mr
+
+import graft.SparkSpec
+
+class MapReduceJobSpec extends SparkSpec {
+
+
+
+  test("word count client matches README.md:47-53 example semantics") {
+    import spark.implicits._
+    // Two "files" (reference example shape: README.md:42-53).
+    val input = Seq(
+      "f1" -> "the quick fox the",
+      "f2" -> "fox jumps"
+    ).toDS()
+    val out = MapReduceJob.run(input, FileWordCounter.client).collect().toMap
+    assert(out == Map("the" -> 2, "quick" -> 1, "fox" -> 2, "jumps" -> 1))
+  }
+
+  test("sortedByKey reproduces reference ascending key order (MapReduceClient.h:61)") {
+    import spark.implicits._
+    val input = Seq("f" -> "b c a b").toDS()
+    val out = MapReduceJob.run(input, FileWordCounter.client, sortedByKey = true).collect()
+    assert(out.map(_._1).toSeq == Seq("a", "b", "c"))
+  }
+
+  test("map can emit zero pairs (filter-by-omission) and reduce can emit many") {
+    import spark.implicits._
+    val client = new MapReduceClient[String, Int, String, Int, String, Int] {
+      def map(k: String, v: Int) =
+        if (v % 2 == 0) Iterator.single(k -> v) else Iterator.empty
+      def reduce(k: String, vs: Iterator[Int]) = {
+        val total = vs.sum
+        Iterator(k -> total, s"$k!" -> total * 2)
+      }
+    }
+    val out = MapReduceJob.run(Seq("a" -> 1, "a" -> 2, "b" -> 4).toDS(), client).collect().toMap
+    assert(out == Map("a" -> 2, "a!" -> 4, "b" -> 4, "b!" -> 8))
+  }
+
+  test("property: MR word count ≡ sequential fold over randomized docs (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e")
+    for (_ <- 1 to 5) {
+      val docs = Vector.fill(rnd.nextInt(5) + 1)(
+        Vector.fill(rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val input = docs.zipWithIndex.map { case (t, i) => (s"f$i", t) }
+      val expected = input
+        .flatMap { case (_, t) => FileWordCounter.tokenizeQuirk(t) }
+        .groupBy(identity).map { case (w, ws) => w -> ws.size }
+      val got = MapReduceJob.run(input.toDS(), FileWordCounter.client).collect()
+        .groupBy(_._1).map { case (w, ps) => w -> ps.map(_._2).sum }
+      assert(got == expected)
+    }
+  }
+
+  test("async handle: progress reaches REDUCE/100% and result matches MapReduceJob.run()") {
+    import spark.implicits._
+    val input = (1 to 200).map(i => (s"f$i", s"w${i % 7} w${i % 3}")).toDS()
+    val handle = MapReduceJob.startJob(spark, input, FileWordCounter.client)
+    val out = handle.waitForJob()
+    assert(handle.isDone)
+    val st = handle.getJobState
+    assert(st.stage == Stage.REDUCE && st.percentage == 100f)
+    val direct = MapReduceJob.run(input, FileWordCounter.client).collect().toMap
+    assert(out.toMap == direct)
+    handle.close()
+  }
+}
