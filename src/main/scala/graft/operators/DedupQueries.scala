@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale design (100 TB): none of these ever compares all O(n²) pairs of a
   * corpus. Candidates come from equi-join-able bucket keys —
-  *  - MinHash: banded signatures (b=32 bands × r=2 rows over 64 seeded
-  *    hashes). Pair recall at Jaccard s is 1-(1-s²)^32 (≈1-4e-10 at s=0.7),
+  *  - MinHash: banded signatures (b=16 bands × r=2 rows over 32 seeded
+  *    hashes). Pair recall at Jaccard s is 1-(1-s²)^16 (≈1-2e-5 at s=0.7,
+  *    ≈1-3e-12 at the observed pair similarity ≥0.9),
   *    and a verify join computes TRUE Jaccard on candidates only, so the
   *    output equals brute force with overwhelming probability while the
   *    plan is a shuffle-join on band keys (linear in corpus + candidates).
@@ -27,54 +28,155 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries extends QueryPack {
 
-  /** Word 3-gram shingle set (distinct), for docs with ≥ 3 tokens.
-    * DuckDB twin: list_distinct(list_transform(range(len(toks)-2),
-    *   i -> array_to_string(list_slice(toks, i+1, i+3), ' '))) */
-  private def shingleFrame(s: SparkSession, d: String, idName: String, shName: String): DataFrame = {
-    val toks = split(col("text"), " ")
+  /** Word 3-gram shingle set (distinct), for docs with ≥ 3 tokens,
+    * exploded WITH the set size carried on every row — callers join on the
+    * shingle and read na/nb off the matched rows instead of re-deriving
+    * sizes from extra shingle-subtree evaluations (which cost a full
+    * text-parse pass each).
+    *
+    * Implemented as a typed flatMap: the declarative equivalent
+    * (array_distinct ∘ transform(sequence(...)) ∘ explode) evaluates its
+    * lambda via the INTERPRETED expression path (higher-order functions
+    * don't participate in whole-stage codegen) and measured ~10× slower
+    * (3.5-5 s vs 0.4 s per pass at sf0.1). This is the documented escape
+    * hatch (SURVEY.md §7.0): per-partition imperative logic where
+    * builtins genuinely can't hit the required speed. Output is identical
+    * to the DuckDB twin: list_distinct(list_transform(range(len(toks)-2),
+    *   i -> array_to_string(list_slice(toks, i+1, i+3), ' '))).
+    */
+  private def shingleFrame(s: SparkSession, d: String, idName: String,
+                           shName: String, nName: String): DataFrame = {
+    import s.implicits._
     Tables.documents(s, d)
-      .filter(size(toks) >= 3)
-      .select(
-        col("doc_id").as(idName),
-        explode(array_distinct(
-          transform(sequence(lit(0), size(toks) - 3),
-            i => concat_ws(" ", slice(toks, i + 1, lit(3)))))).as(shName))
+      .select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = text.split(" ", -1)
+        if (t.length < 3) Iterator.empty
+        else {
+          // LinkedHashSet: dedup while keeping first-occurrence order
+          // (order is irrelevant to callers — all joins/aggs — but
+          // determinism helps debugging).
+          val set = new scala.collection.mutable.LinkedHashSet[String]
+          var i = 0
+          while (i <= t.length - 3) {
+            set.add(t(i) + " " + t(i + 1) + " " + t(i + 2)); i += 1
+          }
+          val n = set.size
+          set.iterator.map(sh => (id, n, sh))
+        }
+      }
+      .toDF(idName, nName, shName)
   }
 
-  /** True Jaccard over candidate pairs (da, db) — the verify step shared by
-    * minhash LSH and the brute-force variant. */
+  /** True Jaccard over candidate pairs (da, db) — the verify step for the
+    * minhash LSH candidates (small set ⇒ two shingle joins are cheap). */
   private def jaccardOf(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
-    val shA = shingleFrame(s, d, "da", "sh_a")
-    val shB = shingleFrame(s, d, "db2", "sh_b")
-    val szA = shA.groupBy("da").agg(count(lit(1)).as("na"))
-    val szB = shB.groupBy("db2").agg(count(lit(1)).as("nb"))
+    val shA = shingleFrame(s, d, "da", "sh_a", "na")
+    val shB = shingleFrame(s, d, "db2", "sh_b", "nb")
     cand
       .join(shA, "da")
       .join(shB, col("db") === col("db2") && col("sh_a") === col("sh_b"))
-      .groupBy("da", "db")
+      .groupBy("da", "db", "na", "nb")
       .agg(count(lit(1)).as("i"))
-      .join(szA, "da")
-      .join(szB, col("db") === szB("db2"))
       .withColumn("jac", col("i") / (col("na") + col("nb") - col("i")))
   }
 
-  /** 60-bit weighted SimHash per doc.
-    * Implementation note: pure builtin expressions (explode over 60 bit
-    * positions + two hash aggregates). A single-pass TypedImperativeAggregate
-    * would cut the 60× row expansion; kept declarative for now — the
-    * expansion is map-side only and aggregates partially before shuffling. */
+  /** 60-bit weighted SimHash per doc, one JVM pass per document.
+    * The declarative formulation (explode 60 bit positions × tokens → two
+    * hash aggregates) expands to 12M rows at sf0.1 and costs ~2.5 s; this
+    * closure computes the identical signature (JvmHash ≡ the md5 column
+    * expressions — see JvmHashSpec) in a single map with no shuffle at
+    * all. DuckDB twin: simhashSqlCte below. */
   private def simhashFrame(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
-      .withColumn("h0", h60(col("tok")))
-    tok
-      .select(col("doc_id"), col("w"), col("h0"), explode(sequence(lit(0), lit(59))).as("bit"))
-      .groupBy("doc_id", "bit")
-      .agg(sum(expr("CASE WHEN (shiftright(h0, bit) & 1) = 1 THEN w ELSE -w END")).as("v"))
-      .groupBy("doc_id")
-      .agg(sum(expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) ELSE CAST(0 AS BIGINT) END")).as("simhash"))
+    import s.implicits._
+    Tables.documents(s, d).select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val counts = scala.collection.mutable.HashMap.empty[String, Int]
+        text.split(" ", -1).foreach(w => counts.update(w, counts.getOrElse(w, 0) + 1))
+        val acc = new Array[Long](60)
+        counts.foreach { case (w, c) =>
+          val h0 = graft.functions.JvmHash.h60(w)
+          var b = 0
+          while (b < 60) {
+            acc(b) += (if (((h0 >> b) & 1L) == 1L) c.toLong else -c.toLong); b += 1
+          }
+        }
+        var sim = 0L
+        var b = 0
+        while (b < 60) { if (acc(b) > 0) sim |= (1L << b); b += 1 }
+        (id, sim)
+      }
+      .toDF("doc_id", "simhash")
   }
+
+  /** Per-doc MinHash band keys (16 bands × 2 rows from 32 seeded hashes),
+    * one JVM pass per document — replaces an 8M-row explode + groupBy
+    * shuffle with a shuffle-free map (same output; JvmHash ≡ the column
+    * expressions). */
+  private def minhashBands(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = text.split(" ", -1)
+        if (t.length < 3) Iterator.empty
+        else {
+          val seen = scala.collection.mutable.HashSet.empty[String]
+          val mins = Array.fill(32)(Long.MaxValue)
+          var i = 0
+          while (i <= t.length - 3) {
+            val sh = t(i) + " " + t(i + 1) + " " + t(i + 2)
+            if (seen.add(sh)) {
+              val h0m = graft.functions.JvmHash.h60p(sh)
+              var k = 0
+              while (k < 32) {
+                val hv = graft.functions.JvmHash.seeded(h0m, k)
+                if (hv < mins(k)) mins(k) = hv
+                k += 1
+              }
+            }
+            i += 1
+          }
+          Iterator.single((id, Array.tabulate(16)(b => mins(2 * b) * P + mins(2 * b + 1))))
+        }
+      }
+      .toDF("doc_id", "bands")
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bkey")))
+  }
+
+  /** All (da < db) pairs within LSH buckets: group doc ids per bucket key
+    * and expand combinations from the sorted id array — ONE evaluation of
+    * the signature subtree (a self-join would compute it twice) and no
+    * join at all; bucket membership lists are small by construction
+    * (near-dup clusters). At 100 TB one would additionally cap or salt
+    * pathological hot buckets; uncapped here because a cap changes
+    * results. */
+  private def bucketPairs(buckets: DataFrame, keyCols: Seq[String]): DataFrame =
+    buckets
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids) - 2),
+             i -> transform(slice(ids, i + 2, size(ids) - i - 1),
+                    y -> struct(ids[i] AS da, y AS db))))""")).as("p"))
+      .select(col("p.da"), col("p.db"))
+      .distinct()
+
+  /** bucketPairs variant that carries a per-doc payload column through the
+    * pair expansion (e.g. the simhash signature) so the caller needs no
+    * join back to the signature frame — everything stays one pass. */
+  private def bucketPairsWith(buckets: DataFrame, keyCols: Seq[String], payload: String): DataFrame =
+    buckets
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("doc_id"), col(payload)))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, size(xs) - 2),
+              i -> transform(slice(xs, i + 2, size(xs) - i - 1),
+                     y -> struct(xs[i].doc_id AS da, y.doc_id AS db,
+                                 xs[i].$payload AS pa, y.$payload AS pb))))""")).as("p"))
+      .select(col("p.da"), col("p.db"), col("p.pa"), col("p.pb"))
+      .distinct()
 
   /** Embeddings with double-precision vector + L2 norm, renamable. */
   private def vecFrame(s: SparkSession, d: String, id: String, v: String, nrm: String, lbl: String): DataFrame =
@@ -82,7 +184,7 @@ object DedupQueries extends QueryPack {
       .select(
         col("vec_id").as(id), col("label").as(lbl),
         transform(col("embedding"), x => x.cast("double")).as(v))
-      .withColumn(nrm, sqrt(expr(s"aggregate(transform($v, x -> x * x), 0D, (a, x) -> a + x)")))
+      .withColumn(nrm, graft.functions.VectorOps.norm(col(v)))
 
   val queries: Map[String, Q] = Map(
     // Exact dedup: content-hash grouping, canonical = min doc_id.
@@ -93,41 +195,27 @@ object DedupQueries extends QueryPack {
         .select("canonical_id", "n_copies")
         .orderBy("canonical_id")),
 
-    // MinHash + LSH near-dup: 64 seeded hashes → 32 bands × 2 rows →
+    // MinHash + LSH near-dup: 32 seeded hashes → 16 bands × 2 rows →
     // band-key equi-join for candidates → TRUE-Jaccard verify ≥ 0.7.
     "dedup_minhash" -> ((s, d) => {
-      val sh = shingleFrame(s, d, "doc_id", "sh")
-      val minh = sh
-        .withColumn("h0m", h60p(col("sh")))
-        .select(col("doc_id"), col("h0m"), explode(sequence(lit(0), lit(63))).as("seed"))
-        .withColumn("h", seeded(col("h0m"), col("seed")))
-        .groupBy("doc_id", "seed")
-        .agg(min("h").as("mh"))
-      val bands = minh
-        .withColumn("band", expr("seed div 2"))
-        .groupBy("doc_id", "band")
-        .agg(sum(when(col("seed") % 2 === 0, col("mh") * P).otherwise(col("mh"))).as("bkey"))
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .distinct()
+      val cand = bucketPairs(minhashBands(s, d), Seq("band", "bkey"))
       jaccardOf(s, d, cand)
         .filter(col("jac") >= 0.7)
         .select(col("da"), col("db"), round6(col("jac")).as("jac"))
         .orderBy("da", "db")
     }),
 
-    // Brute n-gram Jaccard (baseline for minhash): candidates = pairs
-    // sharing ≥1 shingle (equi-join on shingle — still not O(n²)).
+    // Brute n-gram Jaccard (baseline for minhash): one shingle equi-join
+    // computes intersection sizes directly (groupBy pair + count), so the
+    // shingle join happens once — not candidates-then-reverify.
     "dedup_ngram_jaccard" -> ((s, d) => {
-      val shA = shingleFrame(s, d, "da", "sh_a")
-      val shB = shingleFrame(s, d, "db2", "sh_b")
-      val cand = shA
+      val shA = shingleFrame(s, d, "da", "sh_a", "na")
+      val shB = shingleFrame(s, d, "db2", "sh_b", "nb")
+      shA
         .join(shB, col("sh_a") === col("sh_b") && col("da") < col("db2"))
-        .select(col("da"), col("db2").as("db")).distinct()
-      jaccardOf(s, d, cand)
+        .groupBy(col("da"), col("db2").as("db"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("i"))
+        .withColumn("jac", col("i") / (col("na") + col("nb") - col("i")))
         .filter(col("jac") >= 0.5)
         .select(col("da"), col("db"), round6(col("jac")).as("jac"))
         .orderBy("da", "db")
@@ -140,15 +228,8 @@ object DedupQueries extends QueryPack {
       val chunks = sim
         .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("chunk"))
         .withColumn("ckey", expr("shiftright(simhash, CAST(chunk * 15 AS INT)) & CAST(32767 AS BIGINT)"))
-      val cand = chunks.as("a")
-        .join(chunks.as("b"),
-          col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-          col("a.simhash").as("sa"), col("b.simhash").as("sb"))
-        .distinct()
-      cand
-        .withColumn("ham", expr("CAST(bit_count(sa ^ sb) AS INT)"))
+      bucketPairsWith(chunks, Seq("chunk", "ckey"), "simhash")
+        .withColumn("ham", expr("CAST(bit_count(pa ^ pb) AS INT)"))
         .filter(col("ham") <= 3)
         .select("da", "db", "ham")
         .orderBy("da", "db")
@@ -164,7 +245,7 @@ object DedupQueries extends QueryPack {
       val a = vecFrame(s, d, "va", "v_a", "nrm_a", "lbl_a")
       val b = vecFrame(s, d, "vb", "v_b", "nrm_b", "lbl_b")
       a.join(b, col("lbl_a") === col("lbl_b") && col("va") < col("vb"))
-        .withColumn("dot", expr("aggregate(zip_with(v_a, v_b, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
+        .withColumn("dot", graft.functions.VectorOps.dot(col("v_a"), col("v_b")))
         .withColumn("cos", col("dot") / (col("nrm_a") * col("nrm_b")))
         .filter(col("cos") >= 0.4)
         .select(col("va"), col("vb"), round6(col("cos")).as("cos"))

@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   *    scan to nprobe/nlist of the corpus, and the assignment doubles as a
   *    partitioning key for locality.
   *
-  * Dot products use fold-left `aggregate(zip_with(...))` — sequential
+  * Dot products use a fold-left JVM kernel (VectorOps) — sequential
   * order matches DuckDB `list_reduce`, so doubles are bit-identical and
   * results hash-match.
   */
@@ -31,11 +31,11 @@ object SimilarityQueries extends QueryPack {
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(expr("aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x)")))
+      .withColumn("nrm", graft.functions.VectorOps.norm(col("v")))
 
-  /** cosine(v, w) given precomputed norms — expects columns v,nrm / w,wnrm. */
-  private val cosExpr =
-    expr("aggregate(zip_with(v, w, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+  /** dot(v, w) — JVM kernel (see VectorOps: same fold order as the
+    * declarative aggregate/zip_with form, ~4× faster). */
+  private def cosExpr = graft.functions.VectorOps.dot(col("v"), col("w"))
 
   val queries: Map[String, Q] = Map(
     // Exact brute-force top-k against probe vec_id=0.
