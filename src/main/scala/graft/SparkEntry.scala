@@ -15,6 +15,7 @@ object SparkEntry {
     TextQueries,
     Relational,
     EventQueries,
+    ExtrasQueries,
     DedupQueries,
     SimilarityQueries,
     TextAnalysis,

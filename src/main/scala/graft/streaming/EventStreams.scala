@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.2 I — ABSENT in the
+  * reference, which is strictly batch; the closest analogue is its
+  * progress polling loop, FileWordCounter.cpp:253-261).
+  *
+  * Every transform below is source-agnostic: it takes a streaming (or
+  * batch — same code, Spark's unified model) DataFrame with the `events`
+  * schema and returns the transformed frame; callers bind sources
+  * (`readStream.parquet`, Kafka, MemoryStream in tests) and sinks.
+  *
+  * Scale notes: all stateful operators key their state by user/window —
+  * state lives in the executors' state store partitioned by the groupBy
+  * key, bounded by the watermark (late data beyond 10 min is dropped and
+  * state evicted), so state size is O(active keys × window), independent
+  * of stream length.
+  */
+object EventStreams {
+
+  /** Streaming source over a parquet directory with the events schema
+    * (one-file-per-trigger keeps demo runs bounded). */
+  def fromParquetDir(spark: SparkSession, dir: String): DataFrame = {
+    val schema = graft.Tables.events(spark, dir).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+  }
+
+  /** Tumbling 1-hour windowed counts per event type, 10-minute watermark. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** Session windows (30-minute gap) per user — the streaming twin of the
+    * batch q_sessionize query. */
+  def sessionized(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sess"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("session_value"))
+      .select(col("user_id"), col("sess.start").as("sess_start"),
+        col("sess.end").as("sess_end"), col("n_events"), col("session_value"))
+
+  /** Exactly-once-per-id stream dedup bounded by the watermark. */
+  def dedupedByEventId(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom state machine via flatMapGroupsWithState (≡ §2.2 J's
+    * UDAF-shaped reduce, but incremental): per-user running count +
+    * cumulative value, emitted on every update. */
+  case class UserEvent(user_id: Long, ts: Timestamp, value: Double)
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  def runningPerUser(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("ts"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          batch.foreach { e => n += 1; total += e.value }
+          val next = UserRunning(uid, n, total)
+          state.update(next)
+          Iterator.single(next)
+      }
+      .toDF()
+  }
+}

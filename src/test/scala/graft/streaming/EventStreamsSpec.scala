@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class EventStreamsSpec extends SparkSpec {
+
+  private def ts(minutes: Int): Timestamp =
+    Timestamp.valueOf(s"2024-01-01 ${"%02d".format(minutes / 60)}:${"%02d".format(minutes % 60)}:00")
+
+  private def runToMemory(name: String, df: org.apache.spark.sql.DataFrame,
+                          mode: String = "append"): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("windowedCounts aggregates tumbling windows with watermark (complete mode)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts(5), 1, "click", 1.0), Ev(2, ts(20), 1, "click", 2.0),
+      Ev(3, ts(65), 2, "view", 3.0), Ev(4, ts(70), 2, "click", 4.0))
+    val q = EventStreams.windowedCounts(mem.toDF())
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("wc").orderBy("win_start", "event_type").collect()
+    assert(rows.map(r => (r.getAs[Timestamp]("win_start").toString, r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("2024-01-01 00:00:00.0", "click", 2L), ("2024-01-01 01:00:00.0", "click", 1L),
+          ("2024-01-01 01:00:00.0", "view", 1L)))
+  }
+
+  test("sessionized groups events with <30min gaps into one session") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // user 1: events at 0,10,20 (one session), then 120 (new session)
+    mem.addData(Ev(1, ts(0), 1, "a", 1), Ev(2, ts(10), 1, "a", 1),
+      Ev(3, ts(20), 1, "a", 1), Ev(4, ts(120), 1, "a", 1))
+    val q = EventStreams.sessionized(mem.toDF())
+      .writeStream.format("memory").queryName("sess").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sess").orderBy("sess_start").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n_events") == 3)
+    assert(rows(1).getAs[Long]("n_events") == 1)
+  }
+
+  test("dedupedByEventId drops repeated ids within the watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(Ev(1, ts(0), 1, "a", 1), Ev(1, ts(1), 1, "a", 1), Ev(2, ts(2), 1, "a", 1))
+    runToMemory("dedup", EventStreams.dedupedByEventId(mem.toDF()))
+    assert(spark.table("dedup").select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("runningPerUser keeps per-user state across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.runningPerUser(spark, mem.toDF())
+      .writeStream.format("memory").queryName("running").outputMode("append").start()
+    mem.addData(Ev(1, ts(0), 7, "a", 1.5), Ev(2, ts(1), 7, "a", 2.5))
+    q.processAllAvailable()
+    mem.addData(Ev(3, ts(2), 7, "a", 6.0))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("running").orderBy(col("n_events").desc).head()
+    assert(last.getAs[Long]("n_events") == 3L)
+    assert(last.getAs[Double]("total_value") == 10.0)
+  }
+}
