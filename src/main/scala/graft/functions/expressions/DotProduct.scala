@@ -1,0 +1,103 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** Native codegen dot product over array<float|double> columns.
+  *
+  * Why a custom Expression (SURVEY.md §7.3's "optional custom codegen
+  * Expression only if bench demands" — bench demanded): the builtin
+  * formulation `aggregate(zip_with(a,b,*), 0D, +)` runs interpreted
+  * (higher-order functions are excluded from whole-stage codegen), and a
+  * Scala UDF pays a per-row serialization boundary (ArrayData → Seq).
+  * This expression participates in whole-stage codegen and reads the
+  * columnar ArrayData in place — preference order (b) of the build brief:
+  * native Expression > UDF.
+  *
+  * Semantics: Σ (double)a[i] · (double)b[i], fold-left in index order —
+  * float operands are widened BEFORE the multiply, so results are
+  * bit-identical to the DuckDB oracle (`list_reduce(list_transform(...))`
+  * over CAST(x AS DOUBLE)) and to the previous UDF/HOF forms.
+  * Nulls: null array → null; null elements are treated as 0 contribution
+  * (our fixtures have none).
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  // (No ExpectsInputTypes mixin: AbstractDataType is private[sql];
+  // checkInputDataTypes below does the full validation instead.)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_dot expects array<float|double> inputs, got " +
+          s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = isFloat(left); val rf = isFloat(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val xGet = if (isFloat(left)) s"(double) $x.getFloat(i)" else s"$x.getDouble(i)"
+      val yGet = if (isFloat(right)) s"(double) $y.getFloat(i)" else s"$y.getDouble(i)"
+      s"""
+         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double s = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  s += ($xGet) * ($yGet);
+         |}
+         |${ev.value} = s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration + Column-level helpers. */
+object GraftFunctions {
+  private val dotInfo = new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
+
+  /** Idempotently registers graft_dot in the session's function registry.
+    * (Also injectable globally via `spark.sql.extensions=graft.GraftExtensions`.) */
+  def ensureRegistered(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_dot"), dotInfo,
+      (children: Seq[Expression]) => DotProduct(children.head, children(1)))
+
+  /** dot(a, b) as a Column; requires ensureRegistered on the session. */
+  def dotCol(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_dot", a, b)
+
+  /** L2 norm via dot(v, v) — same fold order as summing squares. */
+  def normCol(v: Column): Column =
+    org.apache.spark.sql.functions.sqrt(dotCol(v, v))
+}

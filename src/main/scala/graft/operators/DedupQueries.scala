@@ -178,13 +178,14 @@ object DedupQueries extends QueryPack {
       .select(col("p.da"), col("p.db"), col("p.pa"), col("p.pb"))
       .distinct()
 
-  /** Embeddings with double-precision vector + L2 norm, renamable. */
-  private def vecFrame(s: SparkSession, d: String, id: String, v: String, nrm: String, lbl: String): DataFrame =
+  /** Embeddings (raw float vectors — graft_dot widens per element, so no
+    * cast pass is needed and shuffled vector bytes stay halved) + L2 norm. */
+  private def vecFrame(s: SparkSession, d: String, id: String, v: String, nrm: String, lbl: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.ensureRegistered(s)
     Tables.embeddings(s, d)
-      .select(
-        col("vec_id").as(id), col("label").as(lbl),
-        transform(col("embedding"), x => x.cast("double")).as(v))
-      .withColumn(nrm, graft.functions.VectorOps.norm(col(v)))
+      .select(col("vec_id").as(id), col("label").as(lbl), col("embedding").as(v))
+      .withColumn(nrm, graft.functions.expressions.GraftFunctions.normCol(col(v)))
+  }
 
   val queries: Map[String, Q] = Map(
     // Exact dedup: content-hash grouping, canonical = min doc_id.
@@ -245,7 +246,7 @@ object DedupQueries extends QueryPack {
       val a = vecFrame(s, d, "va", "v_a", "nrm_a", "lbl_a")
       val b = vecFrame(s, d, "vb", "v_b", "nrm_b", "lbl_b")
       a.join(b, col("lbl_a") === col("lbl_b") && col("va") < col("vb"))
-        .withColumn("dot", graft.functions.VectorOps.dot(col("v_a"), col("v_b")))
+        .withColumn("dot", graft.functions.expressions.GraftFunctions.dotCol(col("v_a"), col("v_b")))
         .withColumn("cos", col("dot") / (col("nrm_a") * col("nrm_b")))
         .filter(col("cos") >= 0.4)
         .select(col("va"), col("vb"), round6(col("cos")).as("cos"))

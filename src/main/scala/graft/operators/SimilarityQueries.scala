@@ -21,21 +21,22 @@ import org.apache.spark.sql.functions._
   *    scan to nprobe/nlist of the corpus, and the assignment doubles as a
   *    partitioning key for locality.
   *
-  * Dot products use a fold-left JVM kernel (VectorOps) — sequential
-  * order matches DuckDB `list_reduce`, so doubles are bit-identical and
-  * results hash-match.
+  * Dot products use the native codegen expression graft_dot (DotProduct)
+  * — fold-left order matches DuckDB `list_reduce` with per-element float→
+  * double widening, so doubles are bit-identical and results hash-match.
   */
 object SimilarityQueries extends QueryPack {
 
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.ensureRegistered(s)
     Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", graft.functions.VectorOps.norm(col("v")))
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("nrm", graft.functions.expressions.GraftFunctions.normCol(col("v")))
+  }
 
-  /** dot(v, w) — JVM kernel (see VectorOps: same fold order as the
-    * declarative aggregate/zip_with form, ~4× faster). */
-  private def cosExpr = graft.functions.VectorOps.dot(col("v"), col("w"))
+  /** dot(v, w) via the native codegen expression graft_dot (same fold
+    * order as the declarative aggregate/zip_with form; see DotProduct). */
+  private def cosExpr = graft.functions.expressions.GraftFunctions.dotCol(col("v"), col("w"))
 
   val queries: Map[String, Q] = Map(
     // Exact brute-force top-k against probe vec_id=0.

@@ -1,0 +1,50 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.expressions.GraftFunctions
+import org.apache.spark.sql.functions._
+
+class DotProductSpec extends SparkSpec {
+
+  test("graft_dot equals the declarative aggregate/zip_with form on doubles") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+                 (Array(0.1, -0.2), Array(0.3, 0.4))).toDF("a", "b")
+    val rows = df.select(
+      GraftFunctions.dotCol(col("a"), col("b")).as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)").as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("graft_dot widens float arrays per element (matches cast-then-multiply)") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val df = Seq((Array(1.5f, 2.25f, 0.1f), Array(3.5f, 0.5f, 0.1f))).toDF("fa", "fb")
+    val r = df.select(
+      GraftFunctions.dotCol(col("fa"), col("fb")).as("native"),
+      expr("""aggregate(zip_with(transform(fa, x -> CAST(x AS DOUBLE)),
+                                 transform(fb, x -> CAST(x AS DOUBLE)),
+                                 (x, y) -> x * y), 0D, (acc, x) -> acc + x)""").as("hof"))
+      .head()
+    assert(r.getDouble(0) == r.getDouble(1))
+  }
+
+  test("graft_dot rejects non-numeric-array inputs at analysis") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val df = Seq((Array("x"), Array("y"))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(GraftFunctions.dotCol(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("graft_dot"))
+  }
+
+  test("graft_dot is usable from SQL via extensions-style registration") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b").createOrReplaceTempView("dots")
+    assert(spark.sql("SELECT graft_dot(a, b) AS d FROM dots").head().getDouble(0) == 11.0)
+  }
+}
