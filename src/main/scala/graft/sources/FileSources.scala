@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File sources/sinks (SURVEY.md §2.2 A).
+  *
+  * A1 (directory scan — parse_input, FileWordCounter.cpp:189-226) and A2
+  * (whole-file read — loadFile, :139-147) map to Spark's FileIndex +
+  * `wholetext` mode: one row per regular file, (path, content). The
+  * reference's S_ISREG filter (:218) is Spark's file-index behavior
+  * (directories are recursed/listed, non-files skipped). A3/A4 (in-memory
+  * source/sink) are `createDataset`/`collect` — exercised by the
+  * MapReduceJob facade tests. CSV/JSON/parquet are builtins surfaced here
+  * for completeness.
+  *
+  * Scale: `wholetext` makes one task per file (a file must fit in one
+  * task's memory — same contract as the reference's loadFile, but
+  * distributed across executors instead of one heap). Line-oriented
+  * `textLines` splits large files by `maxPartitionBytes` instead.
+  */
+object FileSources {
+
+  /** One row per file: (path, content). */
+  def wholeTextDir(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("wholetext", "true").text(dir)
+      .select(input_file_name().as("path"), col("value").as("content"))
+
+  /** One row per line: (path, line) — the scalable variant for big files. */
+  def textLines(spark: SparkSession, dir: String): DataFrame =
+    spark.read.text(dir)
+      .select(input_file_name().as("path"), col("value").as("line"))
+
+  def csv(spark: SparkSession, path: String, header: Boolean = true): DataFrame =
+    spark.read.option("header", header.toString).option("inferSchema", "true").csv(path)
+
+  def json(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** The reference's complete example program (FileWordCounter.cpp main,
+    * :234-286) as one call: scan a directory, word-count every file with
+    * the quirk tokenizer, return (word, total) — here distributed and
+    * sorted by key like the reference's reduce visit order. */
+  def directoryWordCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val input = wholeTextDir(spark, dir).as[(String, String)]
+    graft.mr.MapReduceJob.run(input, graft.mr.FileWordCounter.client, sortedByKey = true)
+      .toDF("word", "count")
+  }
+}
