@@ -90,6 +90,18 @@ object ExtrasQueries extends QueryPack {
         .orderBy("band")
     }),
 
+    // Exact percentiles (sort-based). percentile_approx exists for the
+    // 100 TB path but is estimator-specific like q_hll, so the exact
+    // variant is the oracle-checked one.
+    "q_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("FLOOR(percentile(l_quantity, 0.5)*10000 + 0.5)/10000").as("p50"),
+          expr("FLOOR(percentile(l_quantity, 0.9)*10000 + 0.5)/10000").as("p90"),
+          expr("FLOOR(percentile(l_extendedprice, 0.95)*10000 + 0.5)/10000").as("price_p95"))
+        .orderBy("l_returnflag")),
+
     // Explicit GROUPING SETS via the SQL surface.
     "q_grouping_sets" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("orders_v3")
@@ -134,6 +146,12 @@ object ExtrasQueries extends QueryPack {
                 FLOOR(AVG(p_retailprice)*100 + 0.5)/100 AS avg_price
          FROM part JOIN bands ON p_size >= lo AND p_size <= hi
          GROUP BY band ORDER BY band""",
+    "q_percentile" ->
+      """SELECT l_returnflag,
+                FLOOR(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE)*10000 + 0.5)/10000 AS p50,
+                FLOOR(CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE)*10000 + 0.5)/10000 AS p90,
+                FLOOR(CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE)*10000 + 0.5)/10000 AS price_p95
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
          FROM orders

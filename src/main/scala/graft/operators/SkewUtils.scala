@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities (the manual counterpart to AQE's skew-join
+  * splitting, for when a single key dominates a shuffle).
+  *
+  * Salting is deterministic here — the salt is derived from a hash of a
+  * high-cardinality companion column, not rand() — so results stay
+  * reproducible run-to-run (and oracle-checkable if used in a declared
+  * query).
+  */
+object SkewUtils {
+
+  /** Two-phase aggregation: groupBy(key, salt) partial → groupBy(key)
+    * final. Breaks one hot key's partition into `buckets` pieces; the
+    * second shuffle moves only `buckets` rows per key.
+    * `saltSource` must be non-deterministic-free (a real column). */
+  def saltedCountSum(df: DataFrame, key: Column, saltSource: Column,
+                     sumCol: Column, buckets: Int = 16): DataFrame =
+    df
+      .withColumn("__salt", pmod(hash(saltSource), lit(buckets)))
+      .groupBy(key.as("k"), col("__salt"))
+      .agg(count(lit(1)).as("pc"), sum(sumCol).as("ps"))
+      .groupBy("k")
+      .agg(sum("pc").as("cnt"), sum("ps").as("total"))
+
+  /** Salted broadcast-free join: the big (skewed) side gets a salt from a
+    * companion column; the small side is exploded × buckets so every
+    * (key, salt) pair still matches. Shuffle partitions for the hot key
+    * spread over `buckets` reducers. */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+                 smallKey: String, saltSource: Column, buckets: Int = 16): DataFrame = {
+    val salted = big.withColumn("__salt", pmod(hash(saltSource), lit(buckets)))
+    val expanded = small.withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(expanded,
+      salted(bigKey) === expanded(smallKey) && salted("__salt") === expanded("__salt"))
+      .drop("__salt")
+  }
+}

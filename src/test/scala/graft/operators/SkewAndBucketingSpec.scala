@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scale-machinery demonstrations: salting equivalence and bucketed
+  * (shuffle-free) co-located joins. */
+class SkewAndBucketingSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  test("saltedCountSum equals plain groupBy aggregation") {
+    val li = Tables.lineitem(spark, dir)
+    val plain = li.groupBy(col("l_returnflag").as("k"))
+      .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 100))).toSet
+    val salted = SkewUtils
+      .saltedCountSum(li, col("l_returnflag"), col("l_orderkey"), col("l_quantity"))
+      .collect().map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 100))).toSet
+    assert(salted == plain)
+  }
+
+  test("saltedJoin matches plain join row count") {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_linenumber", "l_quantity")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+    val plain = li.join(o, col("l_orderkey") === col("o_orderkey")).count()
+    val salted = SkewUtils
+      .saltedJoin(li, o, "l_orderkey", "o_orderkey", col("l_linenumber"), 8)
+      .count()
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    // warehouse dir is a temp path set at session creation (SparkSpec).
+    Tables.orders(spark, dir).write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    Tables.lineitem(spark, dir).write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    assert(joined.count() == Tables.lineitem(spark, dir).count())
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+  }
+}
