@@ -102,6 +102,45 @@ object ExtrasQueries extends QueryPack {
           expr("FLOOR(percentile(l_extendedprice, 0.95)*10000 + 0.5)/10000").as("price_p95"))
         .orderBy("l_returnflag")),
 
+    // As-of join: each event matched to the user's most recent order at or
+    // before the event time. Spark has no ASOF JOIN operator — composed
+    // from existing ops (SURVEY.md §D preference (a)): union both sides
+    // tagged, one shuffle+sort per key, forward-fill with last(ignoreNulls).
+    // This is the scale-correct plan: no range-join explosion, one
+    // exchange on the key. Orders are pre-deduped per (custkey, date) so
+    // ties are deterministic on both engines.
+    "q_asof_join" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val od = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("k"), col("o_orderdate").as("t"))
+        .agg(max("o_totalprice").as("op"))
+        .select(col("k"), col("t"), lit(0).as("is_ev"), lit(null).cast("long").as("event_id"), col("op"))
+      val ev = Tables.events(s, d)
+        .select(col("user_id").as("k"), col("ts").as("t"), lit(1).as("is_ev"),
+          col("event_id"), lit(null).cast("double").as("op"))
+      val w = Window.partitionBy("k").orderBy("t", "is_ev")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      od.unionByName(ev)
+        .withColumn("matched", last("op", ignoreNulls = true).over(w))
+        .filter(col("is_ev") === 1)
+        .select(col("event_id"), col("k").as("user_id"),
+          round2(col("matched")).as("last_order_price"))
+        .orderBy("event_id")
+    }),
+
+    // Top-k per group via ranking window (distributed: one exchange on the
+    // group key; the typed Aggregator equivalent is TopKAggregatorSpec).
+    "q_topk_per_group" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("o_orderpriority"), col("rk"), round2(col("o_totalprice")).as("price"))
+        .orderBy("o_orderpriority", "rk")
+    }),
+
     // Explicit GROUPING SETS via the SQL surface.
     "q_grouping_sets" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("orders_v3")
@@ -146,6 +185,21 @@ object ExtrasQueries extends QueryPack {
                 FLOOR(AVG(p_retailprice)*100 + 0.5)/100 AS avg_price
          FROM part JOIN bands ON p_size >= lo AND p_size <= hi
          GROUP BY band ORDER BY band""",
+    "q_asof_join" ->
+      """WITH od AS (SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS price
+                     FROM orders GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, FLOOR(od.price*100 + 0.5)/100 AS last_order_price
+         FROM events e ASOF LEFT JOIN od
+           ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+         ORDER BY e.event_id""",
+    "q_topk_per_group" ->
+      """SELECT o_orderpriority, rk, FLOOR(price*100 + 0.5)/100 AS price FROM (
+           SELECT o_orderpriority,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk,
+                  o_totalprice AS price
+           FROM orders)
+         WHERE rk <= 5 ORDER BY o_orderpriority, rk""",
     "q_percentile" ->
       """SELECT l_returnflag,
                 FLOOR(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE)*10000 + 0.5)/10000 AS p50,
