@@ -141,6 +141,36 @@ object ExtrasQueries extends QueryPack {
         .orderBy("o_orderpriority", "rk")
     }),
 
+    // Ordered string aggregation (listagg). collect_list order is
+    // nondeterministic across partitions — array_sort before joining makes
+    // it deterministic and oracle-matchable (DuckDB string_agg ORDER BY).
+    "q_string_agg" -> ((s, d) =>
+      Tables.nation(s, d)
+        .groupBy("n_regionkey")
+        .agg(concat_ws(",", array_sort(collect_list("n_name"))).as("nations"))
+        .orderBy("n_regionkey")),
+
+    // Map-typed column surface: build a map, access keys.
+    "q_map_funcs" -> ((s, d) =>
+      Tables.part(s, d)
+        .withColumn("m", map_from_arrays(
+          array(lit("brand"), lit("type")),
+          array(col("p_brand"), col("p_type"))))
+        .select(
+          col("p_partkey"),
+          element_at(col("m"), "brand").as("brand"),
+          size(map_keys(col("m"))).as("n_keys"))
+        .orderBy("p_partkey")),
+
+    // Regex extraction + replacement (H).
+    "q_regex" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("p_name"), "([0-9]+)", 1).as("first_num"),
+          regexp_replace(col("p_brand"), "[aeiou]", "_").as("devoweled"))
+        .orderBy("p_partkey")),
+
     // Explicit GROUPING SETS via the SQL surface.
     "q_grouping_sets" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("orders_v3")
@@ -185,6 +215,17 @@ object ExtrasQueries extends QueryPack {
                 FLOOR(AVG(p_retailprice)*100 + 0.5)/100 AS avg_price
          FROM part JOIN bands ON p_size >= lo AND p_size <= hi
          GROUP BY band ORDER BY band""",
+    "q_string_agg" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "q_map_funcs" ->
+      """SELECT p_partkey, p_brand AS brand, CAST(2 AS INT) AS n_keys
+         FROM part ORDER BY p_partkey""",
+    "q_regex" ->
+      """SELECT p_partkey,
+                COALESCE(regexp_extract(p_name, '([0-9]+)', 1), '') AS first_num,
+                regexp_replace(p_brand, '[aeiou]', '_', 'g') AS devoweled
+         FROM part ORDER BY p_partkey""",
     "q_asof_join" ->
       """WITH od AS (SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS price
                      FROM orders GROUP BY 1, 2)
