@@ -45,9 +45,13 @@ object DedupQueries extends QueryPack {
     *   i -> array_to_string(list_slice(toks, i+1, i+3), ' '))).
     */
   private def shingleFrame(s: SparkSession, d: String, idName: String,
-                           shName: String, nName: String): DataFrame = {
+                           shName: String, nName: String): DataFrame =
+    shingleFrameOf(s, Tables.documents(s, d), idName, shName, nName)
+
+  private def shingleFrameOf(s: SparkSession, docs: DataFrame, idName: String,
+                             shName: String, nName: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
+    docs
       .select("doc_id", "text").as[(Long, String)]
       .flatMap { case (id, text) =>
         val t = text.split(" ", -1)
@@ -69,10 +73,21 @@ object DedupQueries extends QueryPack {
   }
 
   /** True Jaccard over candidate pairs (da, db) — the verify step for the
-    * minhash LSH candidates (small set ⇒ two shingle joins are cheap). */
+    * minhash LSH candidates. The corpus is semi-join-filtered to candidate
+    * docs BEFORE shingling, so verify cost scales with candidates, not
+    * corpus size (the property that matters at 100 TB). The candidate
+    * subtree is evaluated three times (pairs + two id sets) — it is a
+    * cheap shuffle-free map over signatures, and re-evaluation beats a
+    * persist() cache boundary here (measured: caching broke AQE plan
+    * reuse and cost more than it saved). AQE broadcasts the semi joins
+    * when the candidate id set is small (the normal case). */
   private def jaccardOf(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
-    val shA = shingleFrame(s, d, "da", "sh_a", "na")
-    val shB = shingleFrame(s, d, "db2", "sh_b", "nb")
+    val candA = cand.select(col("da").as("doc_id")).distinct()
+    val candB = cand.select(col("db").as("doc_id")).distinct()
+    val docsA = Tables.documents(s, d).join(candA, Seq("doc_id"), "left_semi")
+    val docsB = Tables.documents(s, d).join(candB, Seq("doc_id"), "left_semi")
+    val shA = shingleFrameOf(s, docsA, "da", "sh_a", "na")
+    val shB = shingleFrameOf(s, docsB, "db2", "sh_b", "nb")
     cand
       .join(shA, "da")
       .join(shB, col("db") === col("db2") && col("sh_a") === col("sh_b"))
