@@ -16,6 +16,7 @@ object SparkEntry {
     Relational,
     EventQueries,
     ExtrasQueries,
+    StreamingQueries,
     DedupQueries,
     SimilarityQueries,
     TextAnalysis,

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+
+/** The streaming transforms run as batch queries — Spark's unified model
+  * means `EventStreams.windowedCounts`/`sessionized` are the SAME code
+  * whether the source is a stream or a table (watermarks are no-ops in
+  * batch). Declaring them here makes the streaming surface
+  * DuckDB-oracle-checkable; EventStreamsSpec exercises the same functions
+  * against MemoryStream micro-batches.
+  */
+object StreamingQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    "stream_windowed_counts" -> ((s, d) =>
+      EventStreams.windowedCounts(Tables.events(s, d))
+        .select(
+          unix_timestamp(col("win_start")).as("win_start_sec"),
+          col("event_type"), col("n"),
+          graft.Portable.round2(col("total_value")).as("total_value"))
+        .orderBy("win_start_sec", "event_type")),
+
+    "stream_sessionized" -> ((s, d) =>
+      EventStreams.sessionized(Tables.events(s, d))
+        .select(
+          col("user_id"),
+          unix_timestamp(col("sess_start")).as("start_sec"),
+          unix_timestamp(col("sess_end")).as("end_sec"),
+          col("n_events"),
+          graft.Portable.round2(col("session_value")).as("session_value"))
+        .orderBy("user_id", "start_sec"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // Tumbling 1h epoch-aligned windows ≡ floor(epoch/3600).
+    "stream_windowed_counts" ->
+      """SELECT CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS win_start_sec, event_type,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                FLOOR(SUM(value)*100 + 0.5)/100 AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // session_window(gap 30min) ≡ gap-based sessions; end = last ts + gap.
+    "stream_sessionized" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN LAG(ts,1) OVER w IS NULL
+                            OR ts - LAG(ts,1) OVER w >= INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         sess AS (
+           SELECT user_id, ts, value,
+                  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM flagged)
+         SELECT user_id,
+                CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS start_sec,
+                CAST(FLOOR(epoch(MAX(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS end_sec,
+                CAST(COUNT(*) AS BIGINT) AS n_events,
+                FLOOR(SUM(value)*100 + 0.5)/100 AS session_value
+         FROM sess GROUP BY user_id, sid
+         ORDER BY user_id, start_sec"""
+  )
+}
