@@ -28,6 +28,15 @@ object Tables {
     * µs-precision, so `ns div 1000` is lossless; float division would
     * lose low bits at 1e18 magnitudes).
     */
+  /** Registers every fixture table as a temp view so the whole engine is
+    * reachable from pure SQL (`spark.sql("SELECT ... FROM lineitem")`). */
+  def registerViews(s: SparkSession, d: String): Unit = {
+    for (n <- Seq("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "documents", "embeddings"))
+      table(s, d, n).createOrReplaceTempView(n)
+    events(s, d).createOrReplaceTempView("events")
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")

@@ -179,7 +179,9 @@ object DedupQueries extends QueryPack {
 
   /** bucketPairs variant that carries a per-doc payload column through the
     * pair expansion (e.g. the simhash signature) so the caller needs no
-    * join back to the signature frame — everything stays one pass. */
+    * join back to the signature frame — everything stays one pass. NOTE:
+    * unlike bucketPairs this does NOT deduplicate — callers filter first
+    * (cheaper) and dedup the survivors. */
   private def bucketPairsWith(buckets: DataFrame, keyCols: Seq[String], payload: String): DataFrame =
     buckets
       .groupBy(keyCols.map(col): _*)
@@ -191,7 +193,6 @@ object DedupQueries extends QueryPack {
                      y -> struct(xs[i].doc_id AS da, y.doc_id AS db,
                                  xs[i].$payload AS pa, y.$payload AS pb))))""")).as("p"))
       .select(col("p.da"), col("p.db"), col("p.pa"), col("p.pb"))
-      .distinct()
 
   /** Embeddings (raw float vectors — graft_dot widens per element, so no
     * cast pass is needed and shuffled vector bytes stay halved) + L2 norm. */
@@ -244,10 +245,14 @@ object DedupQueries extends QueryPack {
       val chunks = sim
         .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("chunk"))
         .withColumn("ckey", expr("shiftright(simhash, CAST(chunk * 15 AS INT)) & CAST(32767 AS BIGINT)"))
+      // Hamming filter BEFORE dedup: bit_count is cheap per candidate
+      // occurrence (≤4 per pair), so deduplication only touches the tiny
+      // surviving set instead of every bucket co-occurrence.
       bucketPairsWith(chunks, Seq("chunk", "ckey"), "simhash")
         .withColumn("ham", expr("CAST(bit_count(pa ^ pb) AS INT)"))
         .filter(col("ham") <= 3)
         .select("da", "db", "ham")
+        .dropDuplicates("da", "db")
         .orderBy("da", "db")
     }),
 
