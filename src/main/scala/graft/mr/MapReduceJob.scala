@@ -136,8 +136,19 @@ final class MapReduceJobHandle[K3, V3](spark: SparkSession, ds: Dataset[(K3, V3)
 
   spark.sparkContext.addSparkListener(listener)
   private val runner = new Thread(() => {
+    // AQE re-plans each shuffle stage as its own Spark job, which breaks
+    // the stageId-based MAP/REDUCE attribution (every AQE stage looks like
+    // a result stage). The facade models the reference's fixed
+    // Map→Shuffle→Reduce pipeline (MapReduceFramework.cpp:164-202), so the
+    // static plan is the semantically faithful one — disable AQE for this
+    // action and restore afterwards. (Session-wide conf: a caveat for
+    // concurrent queries on the same session, acceptable for the
+    // synchronous reference contract this reproduces.)
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.getOption(aqeKey)
     try {
       spark.sparkContext.setJobGroup(groupId, "graft MapReduceJob", interruptOnCancel = true)
+      spark.conf.set(aqeKey, "false")
       state.compareAndSet(JobState(Stage.UNDEFINED, 0f), JobState(Stage.MAP, 0f))
       val out = ds.collect()
       state.set(JobState(Stage.REDUCE, 100f))
@@ -145,6 +156,10 @@ final class MapReduceJobHandle[K3, V3](spark: SparkSession, ds: Dataset[(K3, V3)
     } catch {
       case t: Throwable => done.failure(t)
     } finally {
+      prevAqe match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None => spark.conf.unset(aqeKey)
+      }
       spark.sparkContext.clearJobGroup()
     }
   }, groupId)

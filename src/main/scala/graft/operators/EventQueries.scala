@@ -101,6 +101,18 @@ object EventQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), max("k").as("max_k"))
         .orderBy("k_mod")),
 
+    // E: distribution window functions — ntile/percent_rank/cume_dist.
+    "q_window_distribution" -> ((s, d) => {
+      val byValue = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      Tables.events(s, d)
+        .select(
+          col("event_id"), col("event_type"),
+          ntile(4).over(byValue).as("quartile"),
+          graft.Portable.round6(percent_rank().over(byValue)).as("pct_rank"),
+          graft.Portable.round6(cume_dist().over(byValue)).as("cume"))
+        .orderBy("event_id")
+    }),
+
     // E: first/last per user (min/max by time via window first_value).
     "q_first_last" -> ((s, d) =>
       Tables.events(s, d)
@@ -178,6 +190,13 @@ object EventQueries extends QueryPack {
                 CAST(COUNT(*) AS BIGINT) AS n,
                 CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q_window_distribution" ->
+      """SELECT event_id, event_type,
+                CAST(NTILE(4) OVER w AS INT) AS quartile,
+                FLOOR(PERCENT_RANK() OVER w * 1000000 + 0.5)/1000000 AS pct_rank,
+                FLOOR(CUME_DIST() OVER w * 1000000 + 0.5)/1000000 AS cume
+         FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+         ORDER BY event_id""",
     "q_first_last" ->
       """WITH ranked AS (
            SELECT user_id,

@@ -55,6 +55,28 @@ class MapReduceJobSpec extends SparkSpec {
     }
   }
 
+  test("async handle: JobState is observable mid-run (MAP/SHUFFLE seen before REDUCE)") {
+    import spark.implicits._
+    // A client slow enough that polling observes intermediate stages.
+    val slow = new MapReduceClient[String, Int, String, Int, String, Int] {
+      def map(k: String, v: Int) = { Thread.sleep(3); Iterator.single(k -> v) }
+      def reduce(k: String, vs: Iterator[Int]) = Iterator.single(k -> vs.sum)
+    }
+    val input = (1 to 300).map(i => (s"k${i % 40}", i)).toDS().repartition(4)
+    val handle = MapReduceJob.startJob(spark, input, slow)
+    val seen = scala.collection.mutable.Set.empty[Stage.Value]
+    while (!handle.isDone) {
+      seen += handle.getJobState.stage
+      Thread.sleep(5)
+    }
+    handle.waitForJob()
+    seen += handle.getJobState.stage
+    assert(seen.contains(Stage.REDUCE), s"stages seen: $seen")
+    // With ~900ms of map work the poller must catch a pre-REDUCE stage too.
+    assert(seen.exists(s => s == Stage.MAP || s == Stage.SHUFFLE), s"stages seen: $seen")
+    handle.close()
+  }
+
   test("async handle: progress reaches REDUCE/100% and result matches MapReduceJob.run()") {
     import spark.implicits._
     val input = (1 to 200).map(i => (s"f$i", s"w${i % 7} w${i % 3}")).toDS()
