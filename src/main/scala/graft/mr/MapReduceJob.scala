@@ -64,10 +64,16 @@ object MapReduceJob {
   def run[K1, V1, K2, V2, K3, V3](
       input: Dataset[(K1, V1)],
       client: MapReduceClient[K1, V1, K2, V2, K3, V3],
-      sortedByKey: Boolean = false)(
+      sortedByKey: Boolean = false,
+      parallelism: Int = 0)(
       implicit e2: Encoder[(K2, V2)], ek2: Encoder[K2],
       e3: Encoder[(K3, V3)]): Dataset[(K3, V3)] = {
-    val reduced = input
+    // parallelism ≡ the reference's multiThreadLevel knob
+    // (MapReduceFramework.h:40,46): >0 repartitions the map side to that
+    // many tasks; 0 keeps the source partitioning (the right default on a
+    // cluster, where the scheduler — not the user — sizes parallelism).
+    val sized = if (parallelism > 0) input.repartition(parallelism) else input
+    val reduced = sized
       .flatMap { case (k, v) => client.map(k, v) }
       .groupByKey(_._1)
       .flatMapGroups((k: K2, it: Iterator[(K2, V2)]) => client.reduce(k, it.map(_._2)))

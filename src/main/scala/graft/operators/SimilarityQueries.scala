@@ -84,6 +84,26 @@ object SimilarityQueries extends QueryPack {
         .limit(10)
     }),
 
+    // kNN self-join: each vector's single nearest neighbor (brute within
+    // the corpus — at 100 TB this would run per IVF cell, same shape with
+    // the cluster id as the join/blocking key).
+    "sim_knn_join" -> ((s, d) => {
+      val a = vecs(s, d).select(col("vec_id").as("qid"), col("v"), col("nrm"))
+      val b = vecs(s, d).select(col("vec_id").as("cid2"), col("v").as("w"), col("nrm").as("wnrm"))
+      // argmax via max(struct(cos, -id)): map-side partial aggregation
+      // ships ONE candidate per vector per partition — a ranking window
+      // here would shuffle every one of the n² scored pairs instead.
+      // (-id ⇒ ties broken toward the smallest neighbor id, matching the
+      // oracle's ORDER BY cos DESC, nn_id.)
+      a.join(b, col("qid") =!= col("cid2"))
+        .withColumn("cos", cosExpr / (col("nrm") * col("wnrm")))
+        .groupBy("qid")
+        .agg(max(struct(col("cos"), (-col("cid2")).as("negid"))).as("m"))
+        .select(col("qid").as("vec_id"), (-col("m.negid")).as("nn_id"),
+          round6(col("m.cos")).as("cos"))
+        .orderBy("vec_id")
+    }),
+
     // Per-label centroid-free stats: mean norm and count — the "index
     // statistics" pass a vector pipeline needs (and a pure agg over arrays).
     "sim_label_stats" -> ((s, d) =>
@@ -133,6 +153,17 @@ object SimilarityQueries extends QueryPack {
                      WHERE a.vec_id <> 0)
           SELECT vec_id, cluster, FLOOR(cos*1000000 + 0.5)/1000000 AS cos FROM hits
           ORDER BY cos DESC, vec_id LIMIT 10""",
+    "sim_knn_join" ->
+      s"""WITH $vecsSqlCte,
+            pairs AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+                             ${cosSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+                      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+            ranked AS (SELECT vec_id, nn_id, cos,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, nn_id) AS rk
+                       FROM pairs)
+          SELECT vec_id, nn_id, FLOOR(cos*1000000 + 0.5)/1000000 AS cos
+          FROM ranked WHERE rk = 1 ORDER BY vec_id""",
     "sim_label_stats" ->
       s"""WITH $vecsSqlCte
           SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
