@@ -3,7 +3,7 @@ package graft.operators
 import graft.{QueryPack, Tables}
 import graft.Portable.round6
 import graft.functions.PortableHash._
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM-data pipelines (north star, BASELINE.json):

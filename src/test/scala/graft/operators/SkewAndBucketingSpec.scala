@@ -45,4 +45,17 @@ class SkewAndBucketingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
+
+  test("hive-style partitioned layout prunes partitions at plan time") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toFile.getAbsolutePath + "/docs"
+    Tables.documents(spark, dir).write.mode("overwrite").partitionBy("lang").parquet(out)
+    val q = spark.read.parquet(out).filter(col("lang") === "en").select("doc_id")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"no partition pruning in plan:\n$plan")
+    // The pruned scan must touch only the lang=en directory.
+    val scanned = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!scanned.contains("lang=de") || scanned.contains("lang=en"))
+    assert(q.count() > 0)
+  }
 }
