@@ -80,6 +80,27 @@ object MapReduceJob {
     if (sortedByKey) reduced.orderBy("_1") else reduced
   }
 
+  /** Algebraic variant: when reduce is a commutative+associative combine
+    * of values (the common case — the example's sum, FileWordCounter.cpp:
+    * 130-132), `reduceGroups` lets Spark partially aggregate on the map
+    * side (≡ the reference's per-thread pre-grouping, C1 in SURVEY.md §2.2,
+    * but across the cluster): the shuffle carries one combined value per
+    * key per partition instead of every emitted pair. Prefer this over
+    * `run` whenever the reduce fits the shape. */
+  def runAlgebraic[K1, V1, K2, V2](
+      input: Dataset[(K1, V1)],
+      mapFn: (K1, V1) => IterableOnce[(K2, V2)],
+      combine: (V2, V2) => V2,
+      sortedByKey: Boolean = false)(
+      implicit e2: Encoder[(K2, V2)], ek2: Encoder[K2]): Dataset[(K2, V2)] = {
+    val reduced = input
+      .flatMap { case (k, v) => mapFn(k, v) }
+      .groupByKey(_._1)
+      .reduceGroups((a: (K2, V2), b: (K2, V2)) => (a._1, combine(a._2, b._2)))
+      .map(_._2)
+    if (sortedByKey) reduced.orderBy("_1") else reduced
+  }
+
   /** Asynchronous start (≡ startMapReduceJob): returns immediately with a
     * handle exposing progress and join. */
   def startJob[K1, V1, K2, V2, K3, V3](

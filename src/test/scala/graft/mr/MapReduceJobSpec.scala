@@ -55,6 +55,19 @@ class MapReduceJobSpec extends SparkSpec {
     }
   }
 
+  test("runAlgebraic (map-side combine) equals run for a sum reduce") {
+    import spark.implicits._
+    val input = (1 to 500).map(i => (s"f$i", s"w${i % 13} w${i % 7} w${i % 13}")).toDS()
+    val viaRun = MapReduceJob.run(input, FileWordCounter.client).collect().toMap
+    val viaAlgebraic = MapReduceJob.runAlgebraic[String, String, String, Int](
+      input,
+      (_: String, text: String) =>
+        FileWordCounter.tokenizeQuirk(text).groupBy(identity).map { case (w, ws) => w -> ws.size },
+      (a: Int, b: Int) => a + b)
+      .collect().toMap
+    assert(viaAlgebraic == viaRun)
+  }
+
   test("async handle: JobState is observable mid-run (MAP/SHUFFLE seen before REDUCE)") {
     import spark.implicits._
     // A client slow enough that polling observes intermediate stages.
