@@ -39,8 +39,15 @@ object Tables {
 
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = table(s, d, "events")
+    // Only the driver fixtures carry TIMESTAMP(NANOS) (surfaced as long by
+    // the conf above); re-materialized events tables have a proper
+    // TimestampType ts and need no conversion.
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => df
+    }
   }
 }

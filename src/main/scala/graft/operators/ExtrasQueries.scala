@@ -141,6 +141,30 @@ object ExtrasQueries extends QueryPack {
         .orderBy("o_orderpriority", "rk")
     }),
 
+    // Correlated scalar subquery (TPC-H Q2 shape): each customer's
+    // cheapest order(s). Catalyst rewrites the correlation into a
+    // left-outer aggregate join — no per-row re-execution.
+    "q_correlated_min" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_cm")
+      s.sql("""SELECT o_custkey, o_orderkey, FLOOR(o_totalprice*100 + 0.5)/100 AS price
+               FROM orders_cm o
+               WHERE o_totalprice = (SELECT MIN(o2.o_totalprice) FROM orders_cm o2
+                                     WHERE o2.o_custkey = o.o_custkey)
+               ORDER BY o_custkey, o_orderkey""")
+    }),
+
+    // EXISTS + NOT EXISTS combination (TPC-H Q21 shape): users who
+    // purchased and never errored.
+    "q_multi_exists" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events_me")
+      s.sql("""SELECT DISTINCT user_id FROM events_me e
+               WHERE EXISTS (SELECT 1 FROM events_me p
+                             WHERE p.user_id = e.user_id AND p.event_type = 'purchase')
+                 AND NOT EXISTS (SELECT 1 FROM events_me x
+                                 WHERE x.user_id = e.user_id AND x.event_type = 'error')
+               ORDER BY user_id""")
+    }),
+
     // Ordered string aggregation (listagg). collect_list order is
     // nondeterministic across partitions — array_sort before joining makes
     // it deterministic and oracle-matchable (DuckDB string_agg ORDER BY).
@@ -215,6 +239,19 @@ object ExtrasQueries extends QueryPack {
                 FLOOR(AVG(p_retailprice)*100 + 0.5)/100 AS avg_price
          FROM part JOIN bands ON p_size >= lo AND p_size <= hi
          GROUP BY band ORDER BY band""",
+    "q_correlated_min" ->
+      """SELECT o_custkey, o_orderkey, FLOOR(o_totalprice*100 + 0.5)/100 AS price
+         FROM orders o
+         WHERE o_totalprice = (SELECT MIN(o2.o_totalprice) FROM orders o2
+                               WHERE o2.o_custkey = o.o_custkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "q_multi_exists" ->
+      """SELECT DISTINCT user_id FROM events e
+         WHERE EXISTS (SELECT 1 FROM events p
+                       WHERE p.user_id = e.user_id AND p.event_type = 'purchase')
+           AND NOT EXISTS (SELECT 1 FROM events x
+                           WHERE x.user_id = e.user_id AND x.event_type = 'error')
+         ORDER BY user_id""",
     "q_string_agg" ->
       """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
          FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
