@@ -17,6 +17,7 @@ object SparkEntry {
     EventQueries,
     ExtrasQueries,
     StreamingQueries,
+    PipelineQueries,
     DedupQueries,
     SimilarityQueries,
     TextAnalysis,

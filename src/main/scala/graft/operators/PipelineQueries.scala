@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import graft.Portable.round2
+import org.apache.spark.sql.functions._
+
+/** Pipeline-operations pack: data-quality profiling and deterministic
+  * sampling — the plumbing every large-scale training-data pipeline runs
+  * before/after the analytic operators.
+  *
+  * Sampling uses the portable md5-derived hash (PortableHash), NOT
+  * rand()/TABLESAMPLE: the sample is a pure function of the row key, so
+  * it is reproducible run-to-run, stable under repartitioning, and
+  * oracle-checkable — exactly the properties corpus subsampling needs.
+  */
+object PipelineQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // Column-level quality profile of lineitem (null counts, ranges).
+    "dq_profile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("l_quantity").isNull, 1).otherwise(0)).as("null_qty"),
+          sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1).otherwise(0)).as("bad_discount"),
+          round2(min("l_extendedprice")).as("min_price"),
+          round2(max("l_extendedprice")).as("max_price"),
+          countDistinct(col("l_returnflag")).as("n_flags"))),
+
+    // Deterministic ~10% Bernoulli sample keyed on doc_id.
+    "sample_hash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long") % 100 < 10)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // Stratified sample: first 5 docs per language by doc_id (ranking
+    // window — one exchange on the stratum key).
+    "sample_stratified" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      Tables.documents(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy("lang", "rk")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dq_profile" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qty,
+                CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount,
+                FLOOR(MIN(l_extendedprice)*100 + 0.5)/100 AS min_price,
+                FLOOR(MAX(l_extendedprice)*100 + 0.5)/100 AS max_price,
+                CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_flags
+         FROM lineitem""",
+    "sample_hash" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 10
+         ORDER BY doc_id""",
+    "sample_stratified" ->
+      """SELECT lang, rk, doc_id FROM (
+           SELECT lang, doc_id,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS INT) AS rk
+           FROM documents)
+         WHERE rk <= 5 ORDER BY lang, rk"""
+  )
+}
