@@ -38,6 +38,28 @@ object MultimodalQueries extends QueryPack {
         .agg(count(lit(1)).as("n_sampled_frames"))
         .orderBy("source")),
 
+    // Full multimodal→vector pipeline: decode (stub) → per-media feature
+    // vector (the place a real model would embed frames; here a
+    // deterministic arithmetic 8-dim signature so it stays
+    // oracle-checkable) → cosine similarity against the doc_id=0 probe via
+    // the native graft_dot expression → exact top-10. Demonstrates the
+    // binary column feeding the similarity-search path end-to-end.
+    "mm_embed_topk" -> ((s, d) => {
+      graft.functions.expressions.GraftFunctions.ensureRegistered(s)
+      val feat = MediaPipeline.decoded(s, d)
+        .withColumn("fv", expr(
+          "transform(sequence(0, 7), j -> CAST((bytes * (j + 3) + width * j + height) % 97 AS DOUBLE) / 97.0)"))
+        .withColumn("nrm", sqrt(call_function("graft_dot", col("fv"), col("fv"))))
+      val probe = feat.filter(col("doc_id") === 0)
+        .select(col("fv").as("pv"), col("nrm").as("pnrm"))
+      feat.filter(col("doc_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .withColumn("cos", call_function("graft_dot", col("fv"), col("pv")) / (col("nrm") * col("pnrm")))
+        .select(col("doc_id"), graft.Portable.round6(col("cos")).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // Resize plan: target bounding box 224×224 preserving aspect ratio —
     // pure metadata arithmetic (the real resize would be a mapInPandas/
     // mapPartitions kernel over the binary column).
@@ -74,6 +96,25 @@ object MultimodalQueries extends QueryPack {
             fr AS (SELECT source, unnest(range(n_frames)) AS frame_idx FROM m)
          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled_frames
          FROM fr WHERE frame_idx % 5 = 0 GROUP BY source ORDER BY source""",
+    "mm_embed_topk" ->
+      """WITH meta AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS bytes,
+                              (strlen(text) % 640) + 16 AS width,
+                              ((strlen(text) * 7) % 480) + 16 AS height
+                       FROM documents),
+            feat AS (SELECT doc_id,
+                            list_transform(range(8),
+                              j -> CAST((bytes * (j + 3) + width * j + height) % 97 AS DOUBLE) / 97.0) AS fv
+                     FROM meta),
+            n AS (SELECT doc_id, fv,
+                         sqrt(list_reduce(list_transform(fv, x -> x * x), (a, b) -> a + b)) AS nrm
+                  FROM feat),
+            probe AS (SELECT fv AS pv, nrm AS pnrm FROM n WHERE doc_id = 0),
+            scored AS (SELECT a.doc_id,
+                              list_reduce(list_transform(range(8), i -> a.fv[i + 1] * p.pv[i + 1]),
+                                          (x, y) -> x + y) / (a.nrm * p.pnrm) AS cos
+                       FROM n a, probe p WHERE a.doc_id <> 0)
+          SELECT doc_id, FLOOR(cos*1000000 + 0.5)/1000000 AS cos FROM scored
+          ORDER BY cos DESC, doc_id LIMIT 10""",
     "mm_resize_plan" ->
       """WITH meta AS (SELECT doc_id,
                               (strlen(text) % 640) + 16 AS width,
