@@ -194,6 +194,13 @@ object DedupQueries extends QueryPack {
                                  xs[i].$payload AS pa, y.$payload AS pb))))""")).as("p"))
       .select(col("p.da"), col("p.db"), col("p.pa"), col("p.pb"))
 
+  /** MinHash LSH pairs with true Jaccard ≥ 0.7 (shared by dedup_minhash
+    * and dedup_components). */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val cand = bucketPairs(minhashBands(s, d), Seq("band", "bkey"))
+    jaccardOf(s, d, cand).filter(col("jac") >= 0.7)
+  }
+
   /** Embeddings (raw float vectors — graft_dot widens per element, so no
     * cast pass is needed and shuffled vector bytes stay halved) + L2 norm. */
   private def vecFrame(s: SparkSession, d: String, id: String, v: String, nrm: String, lbl: String): DataFrame = {
@@ -214,12 +221,42 @@ object DedupQueries extends QueryPack {
 
     // MinHash + LSH near-dup: 32 seeded hashes → 16 bands × 2 rows →
     // band-key equi-join for candidates → TRUE-Jaccard verify ≥ 0.7.
-    "dedup_minhash" -> ((s, d) => {
-      val cand = bucketPairs(minhashBands(s, d), Seq("band", "bkey"))
-      jaccardOf(s, d, cand)
-        .filter(col("jac") >= 0.7)
+    "dedup_minhash" -> ((s, d) =>
+      minhashPairs(s, d)
         .select(col("da"), col("db"), round6(col("jac")).as("jac"))
-        .orderBy("da", "db")
+        .orderBy("da", "db")),
+
+    // Connected components over the near-dup pairs — the cluster-
+    // canonicalization step a real dedup pipeline runs after LSH (keep one
+    // doc per component). Pregel-style min-label propagation: O(diameter)
+    // rounds of join+min, each round localCheckpoint()ed to truncate
+    // lineage (the standard iterative-Spark pattern; at scale this is
+    // exactly large-star/small-star with per-round materialization).
+    // Driver only checks a converged COUNT per round — no data collects.
+    "dedup_components" -> ((s, d) => {
+      val pairs = minhashPairs(s, d).select("da", "db").localCheckpoint()
+      val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+        .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+      var labels = pairs.select(col("da").as("id")).union(pairs.select(col("db").as("id")))
+        .distinct().withColumn("lbl", col("id")).localCheckpoint()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 25) {
+        val prop = edges.join(labels, col("src") === col("id"))
+          .groupBy(col("dst")).agg(min("lbl").as("plbl"))
+        val merged = labels
+          .join(prop, col("id") === col("dst"), "left")
+          .select(col("id"), col("lbl"),
+            least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("nlbl"))
+          .localCheckpoint()
+        changed = merged.filter(col("nlbl") < col("lbl")).count()
+        labels = merged.select(col("id"), col("nlbl").as("lbl")).localCheckpoint()
+        rounds += 1
+      }
+      val sizes = labels.groupBy("lbl").agg(count(lit(1)).cast("int").as("cluster_size"))
+      labels.join(sizes, "lbl")
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
+        .orderBy("doc_id")
     }),
 
     // Brute n-gram Jaccard (baseline for minhash): one shingle equi-join
@@ -298,6 +335,18 @@ object DedupQueries extends QueryPack {
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS canonical_id, CAST(COUNT(*) AS BIGINT) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY canonical_id""",
+    "dedup_components" ->
+      s"""WITH RECURSIVE $shinglesSqlCte,
+            pairs AS (SELECT da, db FROM jac WHERE jac >= 0.7),
+            cedges AS (SELECT da AS a, db AS b FROM pairs
+                       UNION SELECT db, da FROM pairs
+                       UNION SELECT da, da FROM pairs
+                       UNION SELECT db, db FROM pairs),
+            reach(a, b) AS (SELECT a, b FROM cedges
+                            UNION SELECT r.a, e.b FROM reach r JOIN cedges e ON r.b = e.a)
+          SELECT a AS doc_id, MIN(b) AS cluster_id,
+                 CAST(COUNT(DISTINCT b) AS INT) AS cluster_size
+          FROM reach GROUP BY a ORDER BY doc_id""",
     // Oracle = brute force; the Spark side's LSH recall at observed pair
     // similarity (≥0.9) differs from 1 by < 1e-40.
     "dedup_minhash" ->
