@@ -194,6 +194,33 @@ object DedupQueries extends QueryPack {
                                  xs[i].$payload AS pa, y.$payload AS pb))))""")).as("p"))
       .select(col("p.da"), col("p.db"), col("p.pa"), col("p.pb"))
 
+  /** Min-label propagation over the near-dup pair graph → (id, lbl) with
+    * lbl = component minimum. Pregel-style: O(diameter) rounds, each
+    * localCheckpoint()ed to truncate lineage; the driver only inspects a
+    * convergence COUNT per round. */
+  private def componentLabels(s: SparkSession, d: String): DataFrame = {
+      val pairs = minhashPairs(s, d).select("da", "db").localCheckpoint()
+      val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+        .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+      var labels = pairs.select(col("da").as("id")).union(pairs.select(col("db").as("id")))
+        .distinct().withColumn("lbl", col("id")).localCheckpoint()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 25) {
+        val prop = edges.join(labels, col("src") === col("id"))
+          .groupBy(col("dst")).agg(min("lbl").as("plbl"))
+        val merged = labels
+          .join(prop, col("id") === col("dst"), "left")
+          .select(col("id"), col("lbl"),
+            least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("nlbl"))
+          .localCheckpoint()
+        changed = merged.filter(col("nlbl") < col("lbl")).count()
+        labels = merged.select(col("id"), col("nlbl").as("lbl")).localCheckpoint()
+        rounds += 1
+      }
+      labels
+  }
+
   /** MinHash LSH pairs with true Jaccard ≥ 0.7 (shared by dedup_minhash
     * and dedup_components). */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
@@ -234,28 +261,24 @@ object DedupQueries extends QueryPack {
     // exactly large-star/small-star with per-round materialization).
     // Driver only checks a converged COUNT per round — no data collects.
     "dedup_components" -> ((s, d) => {
-      val pairs = minhashPairs(s, d).select("da", "db").localCheckpoint()
-      val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
-        .union(pairs.select(col("db").as("src"), col("da").as("dst")))
-      var labels = pairs.select(col("da").as("id")).union(pairs.select(col("db").as("id")))
-        .distinct().withColumn("lbl", col("id")).localCheckpoint()
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < 25) {
-        val prop = edges.join(labels, col("src") === col("id"))
-          .groupBy(col("dst")).agg(min("lbl").as("plbl"))
-        val merged = labels
-          .join(prop, col("id") === col("dst"), "left")
-          .select(col("id"), col("lbl"),
-            least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("nlbl"))
-          .localCheckpoint()
-        changed = merged.filter(col("nlbl") < col("lbl")).count()
-        labels = merged.select(col("id"), col("nlbl").as("lbl")).localCheckpoint()
-        rounds += 1
-      }
+      val labels = componentLabels(s, d)
       val sizes = labels.groupBy("lbl").agg(count(lit(1)).cast("int").as("cluster_size"))
       labels.join(sizes, "lbl")
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
+        .orderBy("doc_id")
+    }),
+
+    // The deduplicated corpus: every doc except non-canonical cluster
+    // members (keep the min doc_id per near-dup component) — the actual
+    // output a training-data pipeline ships. Anti join against the
+    // clustered non-canonicals; at scale the components frame is tiny
+    // relative to the corpus, so this broadcasts.
+    "dedup_canonical" -> ((s, d) => {
+      val labels = componentLabels(s, d)
+      val dropIds = labels.filter(col("id") =!= col("lbl")).select(col("id").as("doc_id"))
+      Tables.documents(s, d)
+        .join(dropIds, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     }),
 
@@ -347,6 +370,20 @@ object DedupQueries extends QueryPack {
           SELECT a AS doc_id, MIN(b) AS cluster_id,
                  CAST(COUNT(DISTINCT b) AS INT) AS cluster_size
           FROM reach GROUP BY a ORDER BY doc_id""",
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE $shinglesSqlCte,
+            pairs AS (SELECT da, db FROM jac WHERE jac >= 0.7),
+            cedges AS (SELECT da AS a, db AS b FROM pairs
+                       UNION SELECT db, da FROM pairs
+                       UNION SELECT da, da FROM pairs
+                       UNION SELECT db, db FROM pairs),
+            reach(a, b) AS (SELECT a, b FROM cedges
+                            UNION SELECT r.a, e.b FROM reach r JOIN cedges e ON r.b = e.a),
+            comp AS (SELECT a AS cdoc, MIN(b) AS cluster_id FROM reach GROUP BY a)
+          SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+          WHERE NOT EXISTS (SELECT 1 FROM comp c
+                            WHERE c.cdoc = d.doc_id AND c.cdoc <> c.cluster_id)
+          ORDER BY d.doc_id""",
     // Oracle = brute force; the Spark side's LSH recall at observed pair
     // similarity (≥0.9) differs from 1 by < 1e-40.
     "dedup_minhash" ->
