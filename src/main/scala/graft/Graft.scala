@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The user-facing library API — parameterized operators over arbitrary
+  * DataFrames (the fixture-bound `SparkEntry.queries` are thin bindings of
+  * these to the driver's test tables). A reference-library user migrates
+  * by calling these (or the typed `graft.mr.MapReduceJob` facade) on their
+  * own data.
+  *
+  * Conventions: document frames carry (`doc_id`: long, `text`: string);
+  * embedding frames carry (`vec_id`: long, `embedding`: array<float|double>).
+  */
+object Graft {
+
+  /** Word count over any text column — the flagship pipeline. */
+  def wordCount(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+
+  /** Exact dedup: one canonical (min doc_id) row per distinct content. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select("canonical_id", "n_copies")
+
+  /** MinHash+LSH near-duplicate pairs (true Jaccard ≥ threshold). */
+  def nearDupPairs(spark: SparkSession, docs: DataFrame, threshold: Double = 0.7): DataFrame =
+    operators.DedupQueries.minhashPairsOf(spark, docs, threshold)
+
+  /** Near-dup clusters: (doc_id, cluster_id) via connected components. */
+  def nearDupClusters(spark: SparkSession, docs: DataFrame, threshold: Double = 0.7): DataFrame =
+    operators.DedupQueries.componentLabelsOf(spark, docs, threshold)
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+
+  /** The deduplicated corpus: drops non-canonical near-dup cluster members. */
+  def deduplicate(spark: SparkSession, docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val labels = operators.DedupQueries.componentLabelsOf(spark, docs, threshold)
+    docs.join(labels.filter(col("id") =!= col("lbl")).select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** 60-bit SimHash signature per document. */
+  def simhash(spark: SparkSession, docs: DataFrame): DataFrame =
+    operators.DedupQueries.simhashFrameOf(spark, docs)
+
+  /** Exact cosine top-k against a probe vector id. */
+  def cosineTopK(spark: SparkSession, embeddings: DataFrame, probeId: Long, k: Int): DataFrame = {
+    functions.expressions.GraftFunctions.ensureRegistered(spark)
+    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", functions.expressions.GraftFunctions.normCol(col("v")))
+    val probe = e.filter(col("vec_id") === probeId)
+      .select(col("v").as("w"), col("nrm").as("wnrm"))
+    e.filter(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .withColumn("cos",
+        functions.expressions.GraftFunctions.dotCol(col("v"), col("w")) / (col("nrm") * col("wnrm")))
+      .select(col("vec_id"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Per-document token statistics (counts + lexical diversity). */
+  def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col(textCol), " ")).as("n_tokens"),
+      length(col(textCol)).as("len"),
+      size(array_distinct(split(col(textCol), " "))).as("n_distinct"))
+
+  /** Deterministic Bernoulli sample: keep rows whose md5-derived hash of
+    * `keyCol` falls under `percent` — reproducible and repartition-stable
+    * (never rand()). */
+  def hashSample(df: DataFrame, keyCol: String, percent: Int): DataFrame =
+    df.filter(
+      conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100 < percent)
+}

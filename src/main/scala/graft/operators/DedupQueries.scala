@@ -44,7 +44,7 @@ object DedupQueries extends QueryPack {
     * to the DuckDB twin: list_distinct(list_transform(range(len(toks)-2),
     *   i -> array_to_string(list_slice(toks, i+1, i+3), ' '))).
     */
-  private def shingleFrame(s: SparkSession, d: String, idName: String,
+  def shingleFrame(s: SparkSession, d: String, idName: String,
                            shName: String, nName: String): DataFrame =
     shingleFrameOf(s, Tables.documents(s, d), idName, shName, nName)
 
@@ -81,11 +81,14 @@ object DedupQueries extends QueryPack {
     * persist() cache boundary here (measured: caching broke AQE plan
     * reuse and cost more than it saved). AQE broadcasts the semi joins
     * when the candidate id set is small (the normal case). */
-  private def jaccardOf(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
+  private def jaccardOf(s: SparkSession, d: String, cand: DataFrame): DataFrame =
+    jaccardOfDocs(s, Tables.documents(s, d), cand)
+
+  def jaccardOfDocs(s: SparkSession, docs: DataFrame, cand: DataFrame): DataFrame = {
     val candA = cand.select(col("da").as("doc_id")).distinct()
     val candB = cand.select(col("db").as("doc_id")).distinct()
-    val docsA = Tables.documents(s, d).join(candA, Seq("doc_id"), "left_semi")
-    val docsB = Tables.documents(s, d).join(candB, Seq("doc_id"), "left_semi")
+    val docsA = docs.join(candA, Seq("doc_id"), "left_semi")
+    val docsB = docs.join(candB, Seq("doc_id"), "left_semi")
     val shA = shingleFrameOf(s, docsA, "da", "sh_a", "na")
     val shB = shingleFrameOf(s, docsB, "db2", "sh_b", "nb")
     cand
@@ -102,9 +105,12 @@ object DedupQueries extends QueryPack {
     * closure computes the identical signature (JvmHash ≡ the md5 column
     * expressions — see JvmHashSpec) in a single map with no shuffle at
     * all. DuckDB twin: simhashSqlCte below. */
-  private def simhashFrame(s: SparkSession, d: String): DataFrame = {
+  def simhashFrame(s: SparkSession, d: String): DataFrame =
+    simhashFrameOf(s, Tables.documents(s, d))
+
+  def simhashFrameOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d).select("doc_id", "text").as[(Long, String)]
+    docs.select("doc_id", "text").as[(Long, String)]
       .map { case (id, text) =>
         val counts = scala.collection.mutable.HashMap.empty[String, Int]
         text.split(" ", -1).foreach(w => counts.update(w, counts.getOrElse(w, 0) + 1))
@@ -128,9 +134,12 @@ object DedupQueries extends QueryPack {
     * one JVM pass per document — replaces an 8M-row explode + groupBy
     * shuffle with a shuffle-free map (same output; JvmHash ≡ the column
     * expressions). */
-  private def minhashBands(s: SparkSession, d: String): DataFrame = {
+  private def minhashBands(s: SparkSession, d: String): DataFrame =
+    minhashBandsOf(s, Tables.documents(s, d))
+
+  def minhashBandsOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d).select("doc_id", "text").as[(Long, String)]
+    docs.select("doc_id", "text").as[(Long, String)]
       .flatMap { case (id, text) =>
         val t = text.split(" ", -1)
         if (t.length < 3) Iterator.empty
@@ -198,8 +207,12 @@ object DedupQueries extends QueryPack {
     * lbl = component minimum. Pregel-style: O(diameter) rounds, each
     * localCheckpoint()ed to truncate lineage; the driver only inspects a
     * convergence COUNT per round. */
-  private def componentLabels(s: SparkSession, d: String): DataFrame = {
-      val pairs = minhashPairs(s, d).select("da", "db").localCheckpoint()
+  def componentLabels(s: SparkSession, d: String): DataFrame =
+    componentLabelsOf(s, Tables.documents(s, d), 0.7)
+
+  /** Near-dup connected components over ANY (doc_id, text) frame. */
+  def componentLabelsOf(s: SparkSession, docs: DataFrame, threshold: Double): DataFrame = {
+      val pairs = minhashPairsOf(s, docs, threshold).select("da", "db").localCheckpoint()
       val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
         .union(pairs.select(col("db").as("src"), col("da").as("dst")))
       var labels = pairs.select(col("da").as("id")).union(pairs.select(col("db").as("id")))
@@ -223,9 +236,13 @@ object DedupQueries extends QueryPack {
 
   /** MinHash LSH pairs with true Jaccard ≥ 0.7 (shared by dedup_minhash
     * and dedup_components). */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val cand = bucketPairs(minhashBands(s, d), Seq("band", "bkey"))
-    jaccardOf(s, d, cand).filter(col("jac") >= 0.7)
+  def minhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashPairsOf(s, Tables.documents(s, d), 0.7)
+
+  /** MinHash LSH near-dup pairs over ANY (doc_id, text) frame. */
+  def minhashPairsOf(s: SparkSession, docs: DataFrame, threshold: Double): DataFrame = {
+    val cand = bucketPairs(minhashBandsOf(s, docs), Seq("band", "bkey"))
+    jaccardOfDocs(s, docs, cand).filter(col("jac") >= threshold)
   }
 
   /** Embeddings (raw float vectors — graft_dot widens per element, so no
