@@ -93,6 +93,25 @@ object EventQueries extends QueryPack {
           col("event_type"), col("n"))
         .orderBy("win_start", "event_type")),
 
+    // E/H: time-series gap filling — dense hourly axis per event type with
+    // zero-filled missing buckets (sequence+explode cross the full axis,
+    // left join the sparse aggregates; the axis frame is tiny → broadcast).
+    "q_gap_fill" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val sparse = ev
+        .groupBy((floor(unix_timestamp(col("ts")) / 3600) * 3600).as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val axis = ev
+        .agg(
+          (floor(min(unix_timestamp(col("ts"))) / 3600) * 3600).as("lo"),
+          (floor(max(unix_timestamp(col("ts"))) / 3600) * 3600).as("hi"))
+        .select(explode(expr("sequence(lo, hi, 3600)")).as("bucket"))
+        .crossJoin(ev.select("event_type").distinct())
+      axis.join(sparse, Seq("bucket", "event_type"), "left")
+        .select(col("bucket"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("bucket", "event_type")
+    }),
+
     // H: JSON extraction — from_json on the props string column.
     "q_json" -> ((s, d) =>
       Tables.events(s, d)
@@ -185,6 +204,21 @@ object EventQueries extends QueryPack {
            WHERE epoch(ts) < FLOOR(epoch(ts)/1800)*1800 - k*1800 + 3600)
          SELECT win_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
          FROM expanded GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_gap_fill" ->
+      """WITH sparse AS (
+           SELECT CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS bucket, event_type,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         bounds AS (
+           SELECT CAST(FLOOR(MIN(epoch(ts))/3600)*3600 AS BIGINT) AS lo,
+                  CAST(FLOOR(MAX(epoch(ts))/3600)*3600 AS BIGINT) AS hi
+           FROM events),
+         axis AS (
+           SELECT unnest(range(lo, hi + 3600, 3600)) AS bucket, t.event_type
+           FROM bounds, (SELECT DISTINCT event_type FROM events) t)
+         SELECT a.bucket, a.event_type, COALESCE(s.n, 0) AS n
+         FROM axis a LEFT JOIN sparse s ON a.bucket = s.bucket AND a.event_type = s.event_type
+         ORDER BY a.bucket, a.event_type""",
     "q_json" ->
       """SELECT CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10 AS INT) AS k_mod,
                 CAST(COUNT(*) AS BIGINT) AS n,
