@@ -54,7 +54,7 @@ object DedupQueries extends QueryPack {
     docs
       .select("doc_id", "text").as[(Long, String)]
       .flatMap { case (id, text) =>
-        val t = text.split(" ", -1)
+        val t = if (text == null) Array.empty[String] else text.split(" ", -1)
         if (t.length < 3) Iterator.empty
         else {
           // LinkedHashSet: dedup while keeping first-occurrence order
@@ -113,7 +113,8 @@ object DedupQueries extends QueryPack {
     docs.select("doc_id", "text").as[(Long, String)]
       .map { case (id, text) =>
         val counts = scala.collection.mutable.HashMap.empty[String, Int]
-        text.split(" ", -1).foreach(w => counts.update(w, counts.getOrElse(w, 0) + 1))
+        (if (text == null) Array.empty[String] else text.split(" ", -1))
+          .foreach(w => counts.update(w, counts.getOrElse(w, 0) + 1))
         val acc = new Array[Long](60)
         counts.foreach { case (w, c) =>
           val h0 = graft.functions.JvmHash.h60(w)
@@ -141,7 +142,7 @@ object DedupQueries extends QueryPack {
     import s.implicits._
     docs.select("doc_id", "text").as[(Long, String)]
       .flatMap { case (id, text) =>
-        val t = text.split(" ", -1)
+        val t = if (text == null) Array.empty[String] else text.split(" ", -1)
         if (t.length < 3) Iterator.empty
         else {
           val seen = scala.collection.mutable.HashSet.empty[String]

@@ -57,6 +57,15 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming word count — the flagship pipeline on an unbounded text
+    * stream (complete/update-mode aggregation; same plan as the batch
+    * `wordcount` query plus incremental state). */
+  def streamingWordCount(texts: DataFrame, textCol: String = "text"): DataFrame =
+    texts
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+
   /** Custom state machine via flatMapGroupsWithState (≡ §2.2 J's
     * UDAF-shaped reduce, but incremental): per-user running count +
     * cumulative value, emitted on every update. */

@@ -64,6 +64,13 @@ class GraftApiSpec extends SparkSpec {
     assert(top == Seq(1L, 3L))
   }
 
+  test("dedup operators tolerate null text") {
+    import spark.implicits._
+    val withNulls = docs.union(Seq((9L, null: String)).toDF("doc_id", "text"))
+    assert(Graft.nearDupPairs(spark, withNulls, 0.5).count() >= 2)
+    assert(Graft.simhash(spark, withNulls).count() == 6)
+  }
+
   test("hashSample is deterministic and repartition-stable") {
     val big = spark.range(0, 2000).select(col("id").as("doc_id"))
     val a = Graft.hashSample(big, "doc_id", 10).collect().map(_.getLong(0)).toSet

@@ -61,6 +61,21 @@ class EventStreamsSpec extends SparkSpec {
     assert(spark.table("dedup").select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("streamingWordCount accumulates counts across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = EventStreams.streamingWordCount(mem.toDF().toDF("text"))
+      .writeStream.format("memory").queryName("swc").outputMode("complete").start()
+    mem.addData("the quick fox")
+    q.processAllAvailable()
+    mem.addData("the lazy dog")
+    q.processAllAvailable()
+    q.stop()
+    val counts = spark.table("swc").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("the") == 2 && counts("fox") == 1 && counts("dog") == 1)
+  }
+
   test("runningPerUser keeps per-user state across micro-batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
