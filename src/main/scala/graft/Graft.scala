@@ -74,7 +74,5 @@ object Graft {
     * `keyCol` falls under `percent` — reproducible and repartition-stable
     * (never rand()). */
   def hashSample(df: DataFrame, keyCol: String, percent: Int): DataFrame =
-    df.filter(
-      conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
-        .cast("long") % 100 < percent)
+    df.filter(functions.PortableHash.h60(col(keyCol).cast("string")) % 100 < percent)
 }

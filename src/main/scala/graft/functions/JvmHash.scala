@@ -11,8 +11,6 @@ import java.security.MessageDigest
 object JvmHash {
   val P: Long = PortableHash.P
 
-  private val hexDigits = "0123456789abcdef".toCharArray
-
   /** First 15 hex chars of md5(s) parsed as a long (= PortableHash.h60). */
   def h60(s: String): Long = {
     // Thread-local would avoid per-call getInstance; MessageDigest.getInstance
@@ -36,6 +34,4 @@ object JvmHash {
     (a * hModP + b) % P
   }
 
-  /** Silences never-used warning for hexDigits if unused in future edits. */
-  private def unused = hexDigits
 }

@@ -66,15 +66,22 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
-      val xGet = if (isFloat(left)) s"(double) $x.getFloat(i)" else s"$x.getDouble(i)"
-      val yGet = if (isFloat(right)) s"(double) $y.getFloat(i)" else s"$y.getDouble(i)"
+      // freshName: two fused DotProducts in one whole-stage-codegen method
+      // (e.g. norm + cosine in a single projection) must not collide on
+      // local variable names, or Janino fails and Spark silently falls
+      // back to the interpreted path.
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val xGet = if (isFloat(left)) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+      val yGet = if (isFloat(right)) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
       s"""
-         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  s += ($xGet) * ($yGet);
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ($xGet) * ($yGet);
          |}
-         |${ev.value} = s;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

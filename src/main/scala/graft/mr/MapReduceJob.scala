@@ -176,7 +176,9 @@ final class MapReduceJobHandle[K3, V3](spark: SparkSession, ds: Dataset[(K3, V3)
     try {
       spark.sparkContext.setJobGroup(groupId, "graft MapReduceJob", interruptOnCancel = true)
       spark.conf.set(aqeKey, "false")
-      state.compareAndSet(JobState(Stage.UNDEFINED, 0f), JobState(Stage.MAP, 0f))
+      // (Not compareAndSet with a fresh case-class instance — that compares
+      // by reference and never matches; update-if-still-UNDEFINED instead.)
+      state.getAndUpdate(s => if (s.stage == Stage.UNDEFINED) JobState(Stage.MAP, 0f) else s)
       val out = ds.collect()
       state.set(JobState(Stage.REDUCE, 100f))
       done.success(out)
@@ -213,5 +215,6 @@ final class MapReduceJobHandle[K3, V3](spark: SparkSession, ds: Dataset[(K3, V3)
     * the reference cannot cancel — but a distributed engine must.) */
   def cancel(): Unit = spark.sparkContext.cancelJobGroup(groupId)
 
-  private def unusedFuture: Future[Array[(K3, V3)]] = done.future
+  /** The result as a Future — the non-blocking alternative to waitForJob. */
+  def future: Future[Array[(K3, V3)]] = done.future
 }

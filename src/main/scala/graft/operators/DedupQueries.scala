@@ -81,9 +81,6 @@ object DedupQueries extends QueryPack {
     * persist() cache boundary here (measured: caching broke AQE plan
     * reuse and cost more than it saved). AQE broadcasts the semi joins
     * when the candidate id set is small (the normal case). */
-  private def jaccardOf(s: SparkSession, d: String, cand: DataFrame): DataFrame =
-    jaccardOfDocs(s, Tables.documents(s, d), cand)
-
   def jaccardOfDocs(s: SparkSession, docs: DataFrame, cand: DataFrame): DataFrame = {
     val candA = cand.select(col("da").as("doc_id")).distinct()
     val candB = cand.select(col("db").as("doc_id")).distinct()
@@ -111,9 +108,10 @@ object DedupQueries extends QueryPack {
   def simhashFrameOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     docs.select("doc_id", "text").as[(Long, String)]
-      .map { case (id, text) =>
+      .flatMap { case (id, text) =>
+        if (text == null) Iterator.empty else Iterator.single {
         val counts = scala.collection.mutable.HashMap.empty[String, Int]
-        (if (text == null) Array.empty[String] else text.split(" ", -1))
+        text.split(" ", -1)
           .foreach(w => counts.update(w, counts.getOrElse(w, 0) + 1))
         val acc = new Array[Long](60)
         counts.foreach { case (w, c) =>
@@ -127,7 +125,7 @@ object DedupQueries extends QueryPack {
         var b = 0
         while (b < 60) { if (acc(b) > 0) sim |= (1L << b); b += 1 }
         (id, sim)
-      }
+      } }
       .toDF("doc_id", "simhash")
   }
 
@@ -135,9 +133,6 @@ object DedupQueries extends QueryPack {
     * one JVM pass per document — replaces an 8M-row explode + groupBy
     * shuffle with a shuffle-free map (same output; JvmHash ≡ the column
     * expressions). */
-  private def minhashBands(s: SparkSession, d: String): DataFrame =
-    minhashBandsOf(s, Tables.documents(s, d))
-
   def minhashBandsOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     docs.select("doc_id", "text").as[(Long, String)]
@@ -229,9 +224,19 @@ object DedupQueries extends QueryPack {
             least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("nlbl"))
           .localCheckpoint()
         changed = merged.filter(col("nlbl") < col("lbl")).count()
-        labels = merged.select(col("id"), col("nlbl").as("lbl")).localCheckpoint()
+        val propagated = merged.select(col("id"), col("nlbl").as("lbl"))
+        // Pointer jumping (label ← label's label): doubles the effective
+        // reach per round, so convergence is O(log diameter) and the
+        // 25-round cap covers any graph with diameter ≤ 2^25.
+        val lookup = propagated.select(col("id").as("lid"), col("lbl").as("llbl"))
+        labels = propagated
+          .join(lookup, col("lbl") === col("lid"), "left")
+          .select(col("id"), least(col("lbl"), coalesce(col("llbl"), col("lbl"))).as("lbl"))
+          .localCheckpoint()
         rounds += 1
       }
+      require(changed == 0,
+        s"componentLabels did not converge in $rounds rounds — graph diameter > 2^25?")
       labels
   }
 

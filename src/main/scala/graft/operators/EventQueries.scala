@@ -176,14 +176,14 @@ object EventQueries extends QueryPack {
          FROM events ORDER BY event_id""",
     "q_sessionize" ->
       """WITH flagged AS (
-           SELECT user_id, ts, value,
+           SELECT user_id, ts, event_id, value,
                   CASE WHEN LAG(ts,1) OVER w IS NULL
                             OR CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(LAG(ts,1) OVER w)) AS BIGINT) > 1800
                        THEN 1 ELSE 0 END AS new_sess
            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          sess AS (
            SELECT user_id, ts, value,
-                  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
            FROM flagged)
          SELECT user_id, CAST(session_id AS BIGINT) AS session_id,

@@ -29,10 +29,7 @@ object PipelineQueries extends QueryPack {
 
     // Deterministic ~10% Bernoulli sample keyed on doc_id.
     "sample_hash" -> ((s, d) =>
-      Tables.documents(s, d)
-        .filter(
-          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-            .cast("long") % 100 < 10)
+      graft.Graft.hashSample(Tables.documents(s, d), "doc_id", 10)
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 

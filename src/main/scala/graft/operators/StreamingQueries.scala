@@ -43,14 +43,14 @@ object StreamingQueries extends QueryPack {
     // session_window(gap 30min) ≡ gap-based sessions; end = last ts + gap.
     "stream_sessionized" ->
       """WITH flagged AS (
-           SELECT user_id, ts, value,
+           SELECT user_id, ts, event_id, value,
                   CASE WHEN LAG(ts,1) OVER w IS NULL
                             OR ts - LAG(ts,1) OVER w >= INTERVAL 30 MINUTE
                        THEN 1 ELSE 0 END AS new_sess
-           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          sess AS (
            SELECT user_id, ts, value,
-                  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
            FROM flagged)
          SELECT user_id,

@@ -23,14 +23,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
-  /** Streaming source over a parquet directory with the events schema
-    * (one-file-per-trigger keeps demo runs bounded). */
-  def fromParquetDir(spark: SparkSession, dir: String): DataFrame = {
-    val schema = graft.Tables.events(spark, dir).schema
-    spark.readStream
-      .schema(schema)
+  /** Streaming source over a directory of arriving event parquet files
+    * (the standard file-stream layout; Spark's FileStreamSource requires a
+    * directory, so a fixture's single events.parquet FILE must be staged
+    * into one — see EventStreamsSpec). Reads with the RAW schema (ts may
+    * arrive as NANOS-as-long under the legacy conf) and applies the same
+    * lossless µs conversion as Tables.events. One file per trigger keeps
+    * demo runs bounded. */
+  def fromParquetDir(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(eventsDir)
+    val stream = spark.readStream
+      .schema(raw.schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(dir)
+      .parquet(eventsDir)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => stream
+    }
   }
 
   /** Tumbling 1-hour windowed counts per event type, 10-minute watermark. */

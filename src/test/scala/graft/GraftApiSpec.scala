@@ -68,7 +68,7 @@ class GraftApiSpec extends SparkSpec {
     import spark.implicits._
     val withNulls = docs.union(Seq((9L, null: String)).toDF("doc_id", "text"))
     assert(Graft.nearDupPairs(spark, withNulls, 0.5).count() >= 2)
-    assert(Graft.simhash(spark, withNulls).count() == 6)
+    assert(Graft.simhash(spark, withNulls).count() == 5) // null-text doc dropped
   }
 
   test("hashSample is deterministic and repartition-stable") {

@@ -31,6 +31,21 @@ class DotProductSpec extends SparkSpec {
     assert(r.getDouble(0) == r.getDouble(1))
   }
 
+  test("two fused graft_dot calls in one projection produce correct results") {
+    // Regression: fixed local names in doGenCode made two fused instances
+    // collide in one whole-stage-codegen method (silent interpreted
+    // fallback); freshName-based locals keep the fused form compiling.
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val r = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+      .select(
+        GraftFunctions.dotCol(col("a"), col("b")).as("ab"),
+        GraftFunctions.dotCol(col("a"), col("a")).as("aa"),
+        sqrt(GraftFunctions.dotCol(col("b"), col("b"))).as("nb"))
+      .head()
+    assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 5.0 && r.getDouble(2) == 5.0)
+  }
+
   test("graft_dot rejects non-numeric-array inputs at analysis") {
     GraftFunctions.ensureRegistered(spark)
     import spark.implicits._

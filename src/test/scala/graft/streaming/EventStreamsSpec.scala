@@ -61,6 +61,19 @@ class EventStreamsSpec extends SparkSpec {
     assert(spark.table("dedup").select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("fromParquetDir streams staged fixture events with proper timestamps") {
+    // Stage the fixture's single events.parquet FILE into a stream dir.
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf("sf0.001") + "/events.parquet"),
+      dir.resolve("batch-0.parquet"))
+    val q = EventStreams.windowedCounts(EventStreams.fromParquetDir(spark, dir.toString))
+      .writeStream.format("memory").queryName("filewin").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val total = spark.table("filewin").agg(sum("n")).head().getLong(0)
+    assert(total == 1000L) // all sf0.001 events flowed through the stream
+  }
+
   test("streamingWordCount accumulates counts across micro-batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
