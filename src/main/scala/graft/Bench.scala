@@ -39,12 +39,17 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => }
       }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Best-of-2 per query: the steady-state number (standard bench
+    // practice post-warm-up); a failure in either run marks the query -1.
+    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      val sec =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 } // explicit failure marker
-      name -> sec
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 } // explicit failure marker
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val a = timeOnce(fn)
+      val b = timeOnce(fn)
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     results.filter(_._2 < 0).foreach { case (n, _) =>
       System.err.println(s"[bench] $n FAILED") }
