@@ -53,10 +53,21 @@ object Bench {
     }
     results.filter(_._2 < 0).foreach { case (n, _) =>
       System.err.println(s"[bench] $n FAILED") }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Fixed-notation doubles (never scientific) and 3 decimals keep the
+    // line short enough for a tail-window parse and safe for any JSON
+    // reader; the same line is also written to BENCH_local.json so the
+    // result survives even if stdout is truncated.
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("/root/repo/BENCH_local.json")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => }
     spark.stop()
+    println(line) // final stdout line (after spark shutdown chatter)
   }
 }

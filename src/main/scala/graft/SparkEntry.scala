@@ -30,10 +30,19 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.flatMap(_.queries).toMap
+    assembled(packs.map(_.queries))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    packs.flatMap(_.oracleSql).toMap
+    assembled(packs.map(_.oracleSql))
+
+  /** Merge pack maps, failing fast on duplicate query names — Map's
+    * last-wins merge would silently shadow a query and its oracle. */
+  private def assembled[V](maps: Seq[Map[String, V]]): Map[String, V] = {
+    val all = maps.flatten
+    val dups = all.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names across packs: ${dups.mkString(", ")}")
+    all.toMap
+  }
 }

@@ -34,15 +34,24 @@ object ExtrasQueries extends QueryPack {
         .select(col("p_partkey"), col("metric"), round2(col("value")).as("value"))
         .orderBy("p_partkey", "metric")),
 
-    // HLL sketch: approx_count_distinct. Estimates are engine-specific →
-    // deliberately NO oracle entry (driver records rows-only); the exact
-    // twin q_count_distinct is oracle-checked.
+    // HLL sketch: approx_count_distinct. Estimates are engine-specific,
+    // so the query emits BOUNDED-ERROR booleans instead of raw estimates:
+    // both the sketch and the exact count run in ONE aggregation pass, and
+    // the output is whether the estimate landed within 5% relative error.
+    // Oracle = exact counts with literal TRUE — a hard hash-checkable gate
+    // (a regression in the estimator would flip a boolean and fail).
     "q_hll" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+          approx_count_distinct(col("l_partkey")).as("ap"),
+          countDistinct(col("l_partkey")).as("ep"),
+          approx_count_distinct(col("l_suppkey")).as("asup"),
+          countDistinct(col("l_suppkey")).as("esup"))
+        .select(
+          col("l_returnflag"),
+          (abs(col("ap") - col("ep")) / col("ep") <= 0.05).as("parts_within_5pct"),
+          (abs(col("asup") - col("esup")) / col("esup") <= 0.05).as("supps_within_5pct"))
         .orderBy("l_returnflag")),
 
     // EXISTS correlated subquery (SQL surface).
@@ -206,6 +215,11 @@ object ExtrasQueries extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Estimator lives only on the Spark side; the contract it must meet
+    // (≤5% relative error vs the exact distinct counts) is what's checked.
+    "q_hll" ->
+      """SELECT l_returnflag, true AS parts_within_5pct, true AS supps_within_5pct
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_pivot" -> {
       val cols = eventTypes.map(t =>
         s"CAST(COUNT(*) FILTER (event_type = '$t') AS BIGINT) AS \"$t\"").mkString(", ")

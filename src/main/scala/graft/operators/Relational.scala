@@ -199,8 +199,8 @@ object Relational extends QueryPack {
          WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
          ORDER BY c_custkey""",
     "q_anti_join" ->
-      """SELECT c_custkey, c_name FROM customer
-         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
          ORDER BY c_custkey""",
     "q_outer_join" ->
       """SELECT c_custkey,

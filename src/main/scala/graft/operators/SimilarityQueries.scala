@@ -84,9 +84,10 @@ object SimilarityQueries extends QueryPack {
         .limit(10)
     }),
 
-    // kNN self-join: each vector's single nearest neighbor (brute within
-    // the corpus — at 100 TB this would run per IVF cell, same shape with
-    // the cluster id as the join/blocking key).
+    // kNN self-join, brute baseline: each vector's single nearest
+    // neighbor over all pairs. Kept as the exact-recall VERIFICATION
+    // baseline; the declared scale path is sim_knn_ivf below (same
+    // output shape, blocked by IVF cell).
     "sim_knn_join" -> ((s, d) => {
       val a = vecs(s, d).select(col("vec_id").as("qid"), col("v"), col("nrm"))
       val b = vecs(s, d).select(col("vec_id").as("cid2"), col("v").as("w"), col("nrm").as("wnrm"))
@@ -101,6 +102,39 @@ object SimilarityQueries extends QueryPack {
         .agg(max(struct(col("cos"), (-col("cid2")).as("negid"))).as("m"))
         .select(col("qid").as("vec_id"), (-col("m.negid")).as("nn_id"),
           round6(col("m.cos")).as("cos"))
+        .orderBy("vec_id")
+    }),
+
+    // kNN join, scale path: nearest neighbor WITHIN each vector's IVF
+    // cell. The sim_ivf cluster assignment is the blocking key, so the
+    // join is an equi-join on `cluster` (shuffle-hash/sort-merge on the
+    // cell id — Σ cells², never corpus²) and the argmax partial-aggregates
+    // map-side exactly like the brute twin. The assignment is
+    // localCheckpoint()ed: it is the "index build" — materialized once,
+    // not recomputed per join side. Vectors alone in their cell have no
+    // candidate and drop out (standard IVF semantics; the oracle
+    // replicates the same blocked computation).
+    "sim_knn_ivf" -> ((s, d) => {
+      val e = vecs(s, d)
+      val cent = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("w"), col("nrm").as("wnrm"))
+      val byVec = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+      val assigned = e.crossJoin(broadcast(cent))
+        .withColumn("ccos", cosExpr / (col("nrm") * col("wnrm")))
+        .withColumn("rk", row_number().over(byVec))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cluster"))
+        .localCheckpoint()
+      val a = assigned.select(col("cluster"), col("vec_id").as("qid"), col("v"), col("nrm"))
+      val b = assigned.select(col("cluster"), col("vec_id").as("cid2"),
+        col("v").as("w"), col("nrm").as("wnrm"))
+      a.join(b, Seq("cluster"))
+        .filter(col("qid") =!= col("cid2"))
+        .withColumn("cos", cosExpr / (col("nrm") * col("wnrm")))
+        .groupBy("qid", "cluster")
+        .agg(max(struct(col("cos"), (-col("cid2")).as("negid"))).as("m"))
+        .select(col("qid").as("vec_id"), col("cluster"),
+          (-col("m.negid")).as("nn_id"), round6(col("m.cos")).as("cos"))
         .orderBy("vec_id")
     }),
 
@@ -163,6 +197,24 @@ object SimilarityQueries extends QueryPack {
                                 ORDER BY cos DESC, nn_id) AS rk
                        FROM pairs)
           SELECT vec_id, nn_id, FLOOR(cos*1000000 + 0.5)/1000000 AS cos
+          FROM ranked WHERE rk = 1 ORDER BY vec_id""",
+    "sim_knn_ivf" ->
+      s"""WITH $vecsSqlCte,
+            cent AS (SELECT vec_id AS cid, v AS w, nrm AS wnrm FROM n WHERE vec_id < 16),
+            asg AS (SELECT vec_id, v, nrm, cid AS cluster FROM (
+                      SELECT a.vec_id, a.v, a.nrm, c.cid,
+                             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                               ORDER BY ${cosSql("a.v", "c.w")} / (a.nrm * c.wnrm) DESC, c.cid) AS rk
+                      FROM n a, cent c) WHERE rk = 1),
+            pairs AS (SELECT a.vec_id, a.cluster, b.vec_id AS nn_id,
+                             ${cosSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+                      FROM asg a JOIN asg b
+                        ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
+            ranked AS (SELECT vec_id, cluster, nn_id, cos,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, nn_id) AS rk
+                       FROM pairs)
+          SELECT vec_id, cluster, nn_id, FLOOR(cos*1000000 + 0.5)/1000000 AS cos
           FROM ranked WHERE rk = 1 ORDER BY vec_id""",
     "sim_label_stats" ->
       s"""WITH $vecsSqlCte
