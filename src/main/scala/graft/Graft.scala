@@ -26,9 +26,14 @@ object Graft {
       .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
       .select("canonical_id", "n_copies")
 
-  /** MinHash+LSH near-duplicate pairs (true Jaccard ≥ threshold). */
-  def nearDupPairs(spark: SparkSession, docs: DataFrame, threshold: Double = 0.7): DataFrame =
-    operators.DedupQueries.minhashPairsOf(spark, docs, threshold)
+  /** MinHash+LSH near-duplicate pairs (true Jaccard ≥ threshold).
+    * `maxBucket` (opt-in) skips LSH buckets larger than the cap — bounds
+    * worst-case pair expansion on boilerplate-heavy corpora at a small,
+    * documented recall cost (a pair is lost only if every one of its 16
+    * band collisions is over the cap). */
+  def nearDupPairs(spark: SparkSession, docs: DataFrame, threshold: Double = 0.7,
+                   maxBucket: Int = Int.MaxValue): DataFrame =
+    operators.DedupQueries.minhashPairsOf(spark, docs, threshold, maxBucket)
 
   /** Near-dup clusters: (doc_id, cluster_id) via connected components. */
   def nearDupClusters(spark: SparkSession, docs: DataFrame, threshold: Double = 0.7): DataFrame =

@@ -38,7 +38,12 @@ object Tables {
   }
 
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Readers assume this session-level conf (documented in Bench/Verify/
+    // SparkSpec, which set it at session build). Only set it here as a
+    // fallback when absent — a guarded set, not an unconditional per-read
+    // mutation of shared session state.
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!s.conf.getOption(nanosKey).contains("true")) s.conf.set(nanosKey, "true")
     val df = table(s, d, "events")
     // Only the driver fixtures carry TIMESTAMP(NANOS) (surfaced as long by
     // the conf above); re-materialized events tables have a proper

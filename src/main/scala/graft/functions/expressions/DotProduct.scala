@@ -22,8 +22,11 @@ import org.apache.spark.sql.{Column, SparkSession}
   * float operands are widened BEFORE the multiply, so results are
   * bit-identical to the DuckDB oracle (`list_reduce(list_transform(...))`
   * over CAST(x AS DOUBLE)) and to the previous UDF/HOF forms.
-  * Nulls: null array → null; null elements are treated as 0 contribution
-  * (our fixtures have none).
+  * Enforced (the function is SQL-registered, so end users hit these):
+  * length mismatch → error (silent min-length truncation would hide a
+  * data bug); null array → null; a null ELEMENT contributes 0 to the sum
+  * (checked with isNullAt — never read-through) in both the interpreted
+  * and codegen paths.
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -51,14 +54,19 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"graft_dot: array length mismatch (${x.numElements()} vs ${y.numElements()})")
     val lf = isFloat(left); val rf = isFloat(right)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
-      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-      s += xv * yv
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+        s += xv * yv
+      }
       i += 1
     }
     s
@@ -76,10 +84,16 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val xGet = if (isFloat(left)) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
       val yGet = if (isFloat(right)) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |if ($x.numElements() != $y.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: array length mismatch (" + $x.numElements() + " vs " + $y.numElements() + ")");
+         |}
+         |int $n = $x.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ($xGet) * ($yGet);
+         |  if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
+         |    $acc += ($xGet) * ($yGet);
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

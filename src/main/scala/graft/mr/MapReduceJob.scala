@@ -102,16 +102,27 @@ object MapReduceJob {
   }
 
   /** Asynchronous start (≡ startMapReduceJob): returns immediately with a
-    * handle exposing progress and join. */
+    * handle exposing progress and join.
+    *
+    * The job runs in a CHILD SparkSession (same SparkContext, isolated SQL
+    * conf) with AQE off: AQE re-plans each shuffle stage as its own Spark
+    * job, which breaks the stageId-based MAP/SHUFFLE/REDUCE attribution.
+    * Scoping the conf to the child session means the caller's session — and
+    * any concurrent handle — keeps AQE untouched (no save/restore race).
+    * The input dataset is carried across via its RDD lineage (RDDs are
+    * SparkContext-level, session-agnostic); the input subtree itself still
+    * executes under the plan it was built with. */
   def startJob[K1, V1, K2, V2, K3, V3](
       spark: SparkSession,
       input: Dataset[(K1, V1)],
       client: MapReduceClient[K1, V1, K2, V2, K3, V3],
       sortedByKey: Boolean = false)(
-      implicit e2: Encoder[(K2, V2)], ek2: Encoder[K2],
+      implicit e1: Encoder[(K1, V1)], e2: Encoder[(K2, V2)], ek2: Encoder[K2],
       e3: Encoder[(K3, V3)]): MapReduceJobHandle[K3, V3] = {
-    val ds = run(input, client, sortedByKey)
-    new MapReduceJobHandle(spark, ds)
+    val exec = spark.newSession()
+    exec.conf.set("spark.sql.adaptive.enabled", "false")
+    val ds = run(exec.createDataset(input.rdd), client, sortedByKey)
+    new MapReduceJobHandle(exec, ds)
   }
 }
 
@@ -121,27 +132,37 @@ final class MapReduceJobHandle[K3, V3](spark: SparkSession, ds: Dataset[(K3, V3)
   private val groupId = s"graft-mr-${UUID.randomUUID()}"
   private val state = new AtomicReference(JobState(Stage.UNDEFINED, 0f))
   private val done = Promise[Array[(K3, V3)]]()
+  // Every state transition, in order — lets specs assert monotone progress
+  // without having to poll at the right instants.
+  private val history = new java.util.concurrent.ConcurrentLinkedQueue[JobState]()
+  private def setState(s: JobState): Unit = { state.set(s); history.add(s) }
 
   /** Folds Spark stage events for this job group onto MAP/SHUFFLE/REDUCE.
-    * Heuristic per SURVEY.md §3.3: the plan has shuffle-map stages
-    * (MAP: task progress 0..100) and a result stage (REDUCE). The instant
-    * between last map-stage completion and first result-stage task is
-    * surfaced as SHUFFLE (the reference gives shuffle its own stage —
-    * MapReduceFramework.cpp:123-127 — Spark pipelines it into the reads).
+    *
+    * MAP percentage = completed map-stage tasks / total (task progress,
+    * like the reference's processed-pairs counter). SHUFFLE percentage is
+    * REAL data movement, matching the reference's shuffled-pairs /
+    * emit2Counter semantics (MapReduceFramework.cpp:123-127, decode
+    * :372-380): shuffle records READ by the result stage so far over
+    * shuffle records WRITTEN by the map stages — taken from
+    * `SparkListenerTaskEnd.taskMetrics`. Once everything written has been
+    * read (or if the shuffle is empty), the state advances to REDUCE with
+    * result-task completion as its percentage.
     */
   private val listener = new SparkListener {
     @volatile private var trackedStages = Map.empty[Int, (Int, Boolean)] // stageId -> (numTasks, isResult)
     @volatile private var tasksDone = Map.empty[Int, Int]
-    @volatile private var jobIds = Set.empty[Int]
-    @volatile private var resultStageSeen = false
+    @volatile private var mapStagesPending = Set.empty[Int]
+    @volatile private var shuffleWritten = 0L
+    @volatile private var shuffleRead = 0L
 
     override def onJobStart(e: SparkListenerJobStart): Unit = {
       if (Option(e.properties).exists(_.getProperty("spark.jobGroup.id") == groupId)) {
-        jobIds += e.jobId
         val infos = e.stageInfos
         val resultStageId = infos.map(_.stageId).max
         infos.foreach { si =>
           trackedStages += si.stageId -> (math.max(si.numTasks, 1), si.stageId == resultStageId)
+          if (si.stageId != resultStageId) mapStagesPending += si.stageId
         }
       }
     }
@@ -149,46 +170,58 @@ final class MapReduceJobHandle[K3, V3](spark: SparkSession, ds: Dataset[(K3, V3)
       trackedStages.get(e.stageId).foreach { case (numTasks, isResult) =>
         val doneCount = tasksDone.getOrElse(e.stageId, 0) + 1
         tasksDone += e.stageId -> doneCount
-        if (isResult) resultStageSeen = true
-        val pct = 100f * doneCount / numTasks
-        state.set(JobState(if (isResult) Stage.REDUCE else Stage.MAP, pct))
+        val m = Option(e.taskMetrics)
+        if (!isResult) {
+          m.foreach(tm => shuffleWritten += tm.shuffleWriteMetrics.recordsWritten)
+          setState(JobState(Stage.MAP, 100f * doneCount / numTasks))
+        } else {
+          m.foreach(tm => shuffleRead += tm.shuffleReadMetrics.recordsRead)
+          if (shuffleWritten > 0 && shuffleRead < shuffleWritten)
+            setState(JobState(Stage.SHUFFLE, 100f * shuffleRead / shuffleWritten))
+          else
+            setState(JobState(Stage.REDUCE, 100f * doneCount / numTasks))
+        }
       }
     }
     override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
       trackedStages.get(e.stageInfo.stageId).foreach { case (_, isResult) =>
-        if (!isResult && !resultStageSeen) state.set(JobState(Stage.SHUFFLE, 100f))
+        if (!isResult) {
+          mapStagesPending -= e.stageInfo.stageId
+          // All map output written, nothing read yet: the reference's
+          // SHUFFLE stage begins at 0% here (it gives shuffle its own
+          // stage; Spark pipelines the reads into the result tasks, whose
+          // metrics then drive the percentage up).
+          if (mapStagesPending.isEmpty && shuffleRead == 0L && shuffleWritten > 0L)
+            setState(JobState(Stage.SHUFFLE, 0f))
+        }
       }
     }
   }
 
+  /** Ordered progress transitions observed so far (spec support). */
+  private[graft] def stateHistory: Seq[JobState] = {
+    import scala.jdk.CollectionConverters._
+    history.iterator().asScala.toSeq
+  }
+
   spark.sparkContext.addSparkListener(listener)
   private val runner = new Thread(() => {
-    // AQE re-plans each shuffle stage as its own Spark job, which breaks
-    // the stageId-based MAP/REDUCE attribution (every AQE stage looks like
-    // a result stage). The facade models the reference's fixed
-    // Map→Shuffle→Reduce pipeline (MapReduceFramework.cpp:164-202), so the
-    // static plan is the semantically faithful one — disable AQE for this
-    // action and restore afterwards. (Session-wide conf: a caveat for
-    // concurrent queries on the same session, acceptable for the
-    // synchronous reference contract this reproduces.)
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val prevAqe = spark.conf.getOption(aqeKey)
+    // `spark` here is the AQE-off child session startJob created — the
+    // static Map→Shuffle→Reduce plan is the semantically faithful model of
+    // the reference pipeline (MapReduceFramework.cpp:164-202), and the conf
+    // is scoped to this session so callers and concurrent handles are
+    // unaffected.
     try {
       spark.sparkContext.setJobGroup(groupId, "graft MapReduceJob", interruptOnCancel = true)
-      spark.conf.set(aqeKey, "false")
       // (Not compareAndSet with a fresh case-class instance — that compares
       // by reference and never matches; update-if-still-UNDEFINED instead.)
       state.getAndUpdate(s => if (s.stage == Stage.UNDEFINED) JobState(Stage.MAP, 0f) else s)
       val out = ds.collect()
-      state.set(JobState(Stage.REDUCE, 100f))
+      setState(JobState(Stage.REDUCE, 100f))
       done.success(out)
     } catch {
       case t: Throwable => done.failure(t)
     } finally {
-      prevAqe match {
-        case Some(v) => spark.conf.set(aqeKey, v)
-        case None => spark.conf.unset(aqeKey)
-      }
       spark.sparkContext.clearJobGroup()
     }
   }, groupId)

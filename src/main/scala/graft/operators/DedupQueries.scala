@@ -167,14 +167,24 @@ object DedupQueries extends QueryPack {
     * and expand combinations from the sorted id array — ONE evaluation of
     * the signature subtree (a self-join would compute it twice) and no
     * join at all; bucket membership lists are small by construction
-    * (near-dup clusters). At 100 TB one would additionally cap or salt
-    * pathological hot buckets; uncapped here because a cap changes
-    * results. */
-  private def bucketPairs(buckets: DataFrame, keyCols: Seq[String]): DataFrame =
+    * (near-dup clusters).
+    *
+    * `maxBucket` (default: unbounded, which keeps declared-query results
+    * exact) is the 100 TB adversarial-input valve: a bucket with b members
+    * expands to b²/2 pairs, so one boilerplate-heavy key (every page
+    * sharing a footer) can dominate the whole job. With a cap, buckets
+    * larger than `maxBucket` are SKIPPED — bounded work per bucket
+    * (≤ maxBucket²/2 pairs). Recall impact: a pair is lost only if EVERY
+    * band/chunk that collides for it is over the cap; with 16 MinHash
+    * bands (or 4 SimHash chunks) near-dup pairs keep colliding in smaller,
+    * less generic buckets, and genuinely hot buckets are mostly exact
+    * boilerplate better handled by exact dedup upstream. */
+  private def bucketPairs(buckets: DataFrame, keyCols: Seq[String],
+                          maxBucket: Int = Int.MaxValue): DataFrame =
     buckets
       .groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_list("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(explode(expr(
         """flatten(transform(sequence(0, size(ids) - 2),
              i -> transform(slice(ids, i + 2, size(ids) - i - 1),
@@ -186,12 +196,13 @@ object DedupQueries extends QueryPack {
     * pair expansion (e.g. the simhash signature) so the caller needs no
     * join back to the signature frame — everything stays one pass. NOTE:
     * unlike bucketPairs this does NOT deduplicate — callers filter first
-    * (cheaper) and dedup the survivors. */
-  private def bucketPairsWith(buckets: DataFrame, keyCols: Seq[String], payload: String): DataFrame =
+    * (cheaper) and dedup the survivors. Same `maxBucket` valve. */
+  private def bucketPairsWith(buckets: DataFrame, keyCols: Seq[String], payload: String,
+                              maxBucket: Int = Int.MaxValue): DataFrame =
     buckets
       .groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_list(struct(col("doc_id"), col(payload)))).as("xs"))
-      .filter(size(col("xs")) > 1)
+      .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucket)
       .select(explode(expr(
         s"""flatten(transform(sequence(0, size(xs) - 2),
               i -> transform(slice(xs, i + 2, size(xs) - i - 1),
@@ -245,10 +256,31 @@ object DedupQueries extends QueryPack {
   def minhashPairs(s: SparkSession, d: String): DataFrame =
     minhashPairsOf(s, Tables.documents(s, d), 0.7)
 
-  /** MinHash LSH near-dup pairs over ANY (doc_id, text) frame. */
-  def minhashPairsOf(s: SparkSession, docs: DataFrame, threshold: Double): DataFrame = {
-    val cand = bucketPairs(minhashBandsOf(s, docs), Seq("band", "bkey"))
+  /** MinHash LSH near-dup pairs over ANY (doc_id, text) frame.
+    * `maxBucket` (opt-in, default unbounded) skips pathological hot LSH
+    * buckets — see [[bucketPairs]] for the recall trade-off. */
+  def minhashPairsOf(s: SparkSession, docs: DataFrame, threshold: Double,
+                     maxBucket: Int = Int.MaxValue): DataFrame = {
+    val cand = bucketPairs(minhashBandsOf(s, docs), Seq("band", "bkey"), maxBucket)
     jaccardOfDocs(s, docs, cand).filter(col("jac") >= threshold)
+  }
+
+  /** SimHash near-dup pairs (hamming ≤ 3) over ANY (doc_id, text) frame —
+    * the dedup_simhash query body, reusable with the `maxBucket` valve. */
+  def simhashPairsOf(s: SparkSession, docs: DataFrame,
+                     maxBucket: Int = Int.MaxValue): DataFrame = {
+    val sim = simhashFrameOf(s, docs)
+    val chunks = sim
+      .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("chunk"))
+      .withColumn("ckey", expr("shiftright(simhash, CAST(chunk * 15 AS INT)) & CAST(32767 AS BIGINT)"))
+    // Hamming filter BEFORE dedup: bit_count is cheap per candidate
+    // occurrence (≤4 per pair), so deduplication only touches the tiny
+    // surviving set instead of every bucket co-occurrence.
+    bucketPairsWith(chunks, Seq("chunk", "ckey"), "simhash", maxBucket)
+      .withColumn("ham", expr("CAST(bit_count(pa ^ pb) AS INT)"))
+      .filter(col("ham") <= 3)
+      .select("da", "db", "ham")
+      .dropDuplicates("da", "db")
   }
 
   /** Embeddings (raw float vectors — graft_dot widens per element, so no
@@ -322,22 +354,11 @@ object DedupQueries extends QueryPack {
     }),
 
     // SimHash near-dup: 4×15-bit chunk LSH (exact recall for hamming ≤ 3)
-    // + bit_count verify.
-    "dedup_simhash" -> ((s, d) => {
-      val sim = simhashFrame(s, d)
-      val chunks = sim
-        .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("chunk"))
-        .withColumn("ckey", expr("shiftright(simhash, CAST(chunk * 15 AS INT)) & CAST(32767 AS BIGINT)"))
-      // Hamming filter BEFORE dedup: bit_count is cheap per candidate
-      // occurrence (≤4 per pair), so deduplication only touches the tiny
-      // surviving set instead of every bucket co-occurrence.
-      bucketPairsWith(chunks, Seq("chunk", "ckey"), "simhash")
-        .withColumn("ham", expr("CAST(bit_count(pa ^ pb) AS INT)"))
-        .filter(col("ham") <= 3)
-        .select("da", "db", "ham")
-        .dropDuplicates("da", "db")
-        .orderBy("da", "db")
-    }),
+    // + bit_count verify. Declared uncapped (exact results); see
+    // simhashPairsOf for the hot-bucket valve.
+    "dedup_simhash" -> ((s, d) =>
+      simhashPairsOf(s, Tables.documents(s, d))
+        .orderBy("da", "db")),
 
     // Per-doc SimHash signatures themselves (fingerprint surface).
     "doc_simhash" -> ((s, d) =>

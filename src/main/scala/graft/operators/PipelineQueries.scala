@@ -33,6 +33,21 @@ object PipelineQueries extends QueryPack {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // Salted two-phase aggregation over a deliberately hot key:
+    // l_returnflag has 3 values, so a naive groupBy lands ~1/3 of the
+    // table on single reducers at 100 TB. SkewUtils.saltedCountSum splits
+    // each key over 16 salt buckets (partial agg) then combines 16 rows
+    // per key (final agg). The salt is deterministic (hash of l_orderkey)
+    // and the summed column is integral, so salting is INVISIBLE in the
+    // result — the oracle is the plain GROUP BY.
+    "q_skew_agg" -> ((s, d) =>
+      SkewUtils.saltedCountSum(
+          Tables.lineitem(s, d),
+          col("l_returnflag"), col("l_orderkey"),
+          floor(col("l_quantity")).cast("long"))
+        .select(col("k").as("l_returnflag"), col("cnt"), col("total"))
+        .orderBy("l_returnflag")),
+
     // Stratified sample: first 5 docs per language by doc_id (ranking
     // window — one exchange on the stratum key).
     "sample_stratified" -> ((s, d) => {
@@ -55,6 +70,10 @@ object PipelineQueries extends QueryPack {
                 FLOOR(MAX(l_extendedprice)*100 + 0.5)/100 AS max_price,
                 CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_flags
          FROM lineitem""",
+    "q_skew_agg" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt,
+                CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS total
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "sample_hash" ->
       """SELECT doc_id, lang FROM documents
          WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 10

@@ -31,7 +31,10 @@ object EventStreams {
     * lossless µs conversion as Tables.events. One file per trigger keeps
     * demo runs bounded. */
   def fromParquetDir(spark: SparkSession, eventsDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Guarded set (see Tables.events): readers assume this conf; sessions
+    // built by Bench/Verify/SparkSpec already carry it.
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!spark.conf.getOption(nanosKey).contains("true")) spark.conf.set(nanosKey, "true")
     val raw = spark.read.parquet(eventsDir)
     val stream = spark.readStream
       .schema(raw.schema)

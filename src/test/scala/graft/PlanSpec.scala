@@ -61,4 +61,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"probe not broadcast:\n$p")
   }
+
+  test("partitioned lake layout: a day filter prunes the scan to one partition") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lake").toFile.getAbsolutePath
+    val ev = Tables.events(spark, dir).withColumn("day", to_date(col("ts")))
+    graft.sources.FileSources.writeParquet(ev, s"$tmp/events_by_day", Seq("day"))
+    // Fresh session with AQE off so the FileSourceScanExec is reachable in
+    // the plan tree (AdaptiveSparkPlanExec is a leaf node) — conf stays
+    // scoped to this test.
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    val lake = sess.read.parquet(s"$tmp/events_by_day")
+    val days = lake.select("day").distinct().orderBy("day").collect().map(_.getDate(0))
+    assert(days.length > 1, "fixture spans a single day — pruning test would be vacuous")
+    val q = lake.filter(col("day") === days.head).select("event_id", "value")
+    val ps = q.queryExecution.executedPlan.toString
+    assert(ps.contains("PartitionFilters:") && ps.contains("day"),
+      s"no partition filter reached the scan:\n$ps")
+    q.collect()
+    val scan = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val oneDayFiles = sess.read.parquet(s"$tmp/events_by_day/day=${days.head}").inputFiles.length
+    val allFiles = lake.inputFiles.length
+    assert(scan.metrics("numFiles").value == oneDayFiles,
+      s"scan read ${scan.metrics("numFiles").value} files, expected the $oneDayFiles in one partition")
+    assert(oneDayFiles < allFiles, "partitioned layout produced a single directory")
+  }
 }

@@ -13,6 +13,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = SparkSession.builder()
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.warehouse.dir",

@@ -56,10 +56,53 @@ class DotProductSpec extends SparkSpec {
     assert(e.getMessage.contains("graft_dot"))
   }
 
+  test("graft_dot raises on length mismatch in codegen and interpreted paths") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0))).toDF("a", "b")
+    // Codegen path (projection).
+    val e1 = intercept[Exception] {
+      df.select(GraftFunctions.dotCol(col("a"), col("b"))).collect()
+    }
+    assert(e1.getMessage != null, "expected a raised error, got success")
+    // Interpreted path: direct eval on Literal children.
+    val e2 = intercept[Exception] {
+      DotProductSpec.evalDirect(Array(1.0, 2.0, 3.0), Array(4.0, 5.0))
+    }
+    assert(e2.getMessage.contains("length mismatch"))
+  }
+
+  test("graft_dot skips null elements (0 contribution) in both paths") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val df = Seq((Array[java.lang.Double](1.0, null, 3.0),
+                  Array[java.lang.Double](4.0, 5.0, null))).toDF("a", "b")
+    // Codegen path: only index 0 contributes (1*4); indices with a null on
+    // either side contribute 0.
+    val viaCodegen = df.select(GraftFunctions.dotCol(col("a"), col("b")).as("d")).head().getDouble(0)
+    assert(viaCodegen == 4.0)
+    // Interpreted path: same semantics.
+    assert(DotProductSpec.evalDirect(
+      Array[java.lang.Double](1.0, null, 3.0),
+      Array[java.lang.Double](4.0, 5.0, null)) == 4.0)
+  }
+
   test("graft_dot is usable from SQL via extensions-style registration") {
     GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
     Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b").createOrReplaceTempView("dots")
     assert(spark.sql("SELECT graft_dot(a, b) AS d FROM dots").head().getDouble(0) == 11.0)
+  }
+}
+
+/** Drives the INTERPRETED eval path directly (Literal children + eval),
+  * bypassing whole-stage codegen, so both execution paths are pinned. */
+object DotProductSpec {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+  def evalDirect(a: AnyRef, b: AnyRef): Any = {
+    val t = ArrayType(DoubleType)
+    graft.functions.expressions.DotProduct(Literal.create(a, t), Literal.create(b, t)).eval(null)
   }
 }

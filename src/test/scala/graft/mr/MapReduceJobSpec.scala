@@ -90,6 +90,70 @@ class MapReduceJobSpec extends SparkSpec {
     handle.close()
   }
 
+  test("async handle: SHUFFLE percentage is real data movement — monotone between MAP and REDUCE") {
+    import spark.implicits._
+    // 400 records over 40 keys, 4 result tasks: each result-task end adds
+    // its shuffle-read records, so the listener must emit a strictly
+    // increasing run of SHUFFLE percentages (reference semantics: shuffled
+    // pairs / emit2 total, MapReduceFramework.cpp:123-127) instead of an
+    // instant 0→100 flip.
+    val client = new MapReduceClient[String, Int, String, Int, String, Int] {
+      def map(k: String, v: Int) = Iterator.single(k -> v)
+      def reduce(k: String, vs: Iterator[Int]) = Iterator.single(k -> vs.sum)
+    }
+    val input = (1 to 400).map(i => (s"k${i % 40}", i)).toDS().repartition(4)
+    val handle = MapReduceJob.startJob(spark, input, client)
+    handle.waitForJob()
+    // Let the listener bus drain the final task events: wait until the
+    // history stops growing (the bus is async; no public flush API).
+    var h = handle.stateHistory
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var settled = false
+    while (!settled && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+      val h2 = handle.stateHistory
+      settled = h2.size == h.size && h2.lastOption.contains(JobState(Stage.REDUCE, 100f))
+      h = h2
+    }
+    val stages = h.map(_.stage).distinct
+    assert(h.exists(_.stage == Stage.MAP), s"history: $h")
+    val shuffles = h.filter(_.stage == Stage.SHUFFLE).map(_.percentage)
+    assert(shuffles.nonEmpty, s"no SHUFFLE states observed: $h")
+    assert(shuffles == shuffles.sorted, s"SHUFFLE not monotone: $shuffles")
+    assert(shuffles.exists(p => p > 0f && p < 100f),
+      s"no intermediate SHUFFLE percentage: $shuffles")
+    // Phase order: every MAP before every SHUFFLE before every REDUCE.
+    val lastMap = h.lastIndexWhere(_.stage == Stage.MAP)
+    val firstShuffle = h.indexWhere(_.stage == Stage.SHUFFLE)
+    val firstReduce = h.indexWhere(_.stage == Stage.REDUCE)
+    assert(lastMap < firstShuffle && firstShuffle < firstReduce,
+      s"phase order violated (stages: $stages): $h")
+    assert(h.last == JobState(Stage.REDUCE, 100f), s"history: $h")
+    handle.close()
+  }
+
+  test("async handle: AQE stays enabled in the caller's session while a job runs") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val slow = new MapReduceClient[String, Int, String, Int, String, Int] {
+      def map(k: String, v: Int) = { Thread.sleep(2); Iterator.single(k -> v) }
+      def reduce(k: String, vs: Iterator[Int]) = Iterator.single(k -> vs.sum)
+    }
+    val input = (1 to 200).map(i => (s"k${i % 20}", i)).toDS().repartition(4)
+    val handle = MapReduceJob.startJob(spark, input, slow)
+    // While the handle's job is in flight, a concurrent query on the
+    // CALLER's session must still plan adaptively (the AQE-off conf lives
+    // only in the handle's child session).
+    assert(!handle.isDone)
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    val concurrent = Seq(1, 2, 3).toDF("x").groupBy("x").count()
+    assert(concurrent.queryExecution.executedPlan.getClass.getSimpleName
+      .contains("AdaptiveSparkPlan"), "concurrent query lost AQE")
+    handle.waitForJob()
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    handle.close()
+  }
+
   test("async handle: progress reaches REDUCE/100% and result matches MapReduceJob.run()") {
     import spark.implicits._
     val input = (1 to 200).map(i => (s"f$i", s"w${i % 7} w${i % 3}")).toDS()

@@ -46,6 +46,37 @@ class SkewAndBucketingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
 
+  test("maxBucket cap: skips hot LSH buckets, keeps small ones, off by default") {
+    import spark.implicits._
+    // Adversarial corpus: 10 hot clusters of 12 identical docs + 10 small
+    // clusters of 4 — every LSH bucket is exactly one cluster. Cluster
+    // vocabularies are fully DISJOINT (every token carries the cluster id)
+    // so cross-cluster signatures share no shingles and stay far apart in
+    // hamming space; within a cluster docs are identical (hamming 0).
+    val docs = ((0 until 10).flatMap { c =>
+      (0 until 12).map(i => (c * 100L + i,
+        (0 until 10).map(t => s"hot${c}tok$t").mkString(" ")))
+    } ++ (0 until 10).flatMap { c =>
+      (0 until 4).map(i => (1000L + c * 100L + i,
+        (0 until 10).map(t => s"small${c}tok$t").mkString(" ")))
+    }).toDF("doc_id", "text")
+
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val uncapped = pairSet(DedupQueries.simhashPairsOf(spark, docs))
+    val capped = pairSet(DedupQueries.simhashPairsOf(spark, docs, maxBucket = 6))
+    val cappedLoose = pairSet(DedupQueries.simhashPairsOf(spark, docs, maxBucket = 1000))
+    // 12-clone clusters: 66 pairs each; 4-clone: 6 pairs each.
+    assert(uncapped.size == 10 * 66 + 10 * 6, s"uncapped: ${uncapped.size}")
+    assert(capped == uncapped.filter(_._1 >= 1000L), "cap must skip exactly the hot clusters")
+    assert(cappedLoose == uncapped, "a cap above every bucket size must change nothing")
+
+    val mhUncapped = pairSet(graft.Graft.nearDupPairs(spark, docs))
+    val mhCapped = pairSet(graft.Graft.nearDupPairs(spark, docs, maxBucket = 6))
+    assert(mhCapped.subsetOf(mhUncapped) && mhCapped == mhUncapped.filter(_._1 >= 1000L))
+  }
+
   test("hive-style partitioned layout prunes partitions at plan time") {
     val out = java.nio.file.Files.createTempDirectory("graft-part").toFile.getAbsolutePath + "/docs"
     Tables.documents(spark, dir).write.mode("overwrite").partitionBy("lang").parquet(out)
