@@ -10,8 +10,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (column pruning + predicate pushdown reach the parquet scan).
   */
 object Tables {
+  // Resolved-relation cache: `spark.read.parquet` builds a fresh
+  // InMemoryFileIndex (file listing + footer/schema read) on EVERY call,
+  // which at 70+ queries × 10 tables is pure fixed overhead — and on an
+  // object store at 100 TB, repeated LIST calls. The cached value is a
+  // PLAN (schema + file index), not data; correct as long as the fixture
+  // files don't change under a live session, which is the contract here.
+  private val relCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    relCache.computeIfAbsent((System.identityHashCode(spark), dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")

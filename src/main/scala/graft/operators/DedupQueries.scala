@@ -219,11 +219,17 @@ object DedupQueries extends QueryPack {
 
   /** Near-dup connected components over ANY (doc_id, text) frame. */
   def componentLabelsOf(s: SparkSession, docs: DataFrame, threshold: Double): DataFrame = {
-      val pairs = minhashPairsOf(s, docs, threshold).select("da", "db").localCheckpoint()
+      // All checkpoints are LAZY (eager = false): each is materialized by
+      // the round's single convergence count() instead of its own eager
+      // job, so a round costs ONE Spark job, not three. Lineage truncation
+      // is identical — the RDD is cached on first computation, and shared
+      // plan branches reference the same RDD node (computed once).
+      val pairs = minhashPairsOf(s, docs, threshold).select("da", "db")
+        .localCheckpoint(eager = false)
       val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
         .union(pairs.select(col("db").as("src"), col("da").as("dst")))
       var labels = pairs.select(col("da").as("id")).union(pairs.select(col("db").as("id")))
-        .distinct().withColumn("lbl", col("id")).localCheckpoint()
+        .distinct().withColumn("lbl", col("id")).localCheckpoint(eager = false)
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 25) {
@@ -233,17 +239,20 @@ object DedupQueries extends QueryPack {
           .join(prop, col("id") === col("dst"), "left")
           .select(col("id"), col("lbl"),
             least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("nlbl"))
-          .localCheckpoint()
-        changed = merged.filter(col("nlbl") < col("lbl")).count()
+          .localCheckpoint(eager = false)
         val propagated = merged.select(col("id"), col("nlbl").as("lbl"))
         // Pointer jumping (label ← label's label): doubles the effective
         // reach per round, so convergence is O(log diameter) and the
         // 25-round cap covers any graph with diameter ≤ 2^25.
         val lookup = propagated.select(col("id").as("lid"), col("lbl").as("llbl"))
-        labels = propagated
+        val next = propagated
           .join(lookup, col("lbl") === col("lid"), "left")
           .select(col("id"), least(col("lbl"), coalesce(col("llbl"), col("lbl"))).as("lbl"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
+        // One action per round: materializes merged + next and reads the
+        // convergence count off the already-checkpointed `merged`.
+        changed = merged.filter(col("nlbl") < col("lbl")).count()
+        labels = next
         rounds += 1
       }
       require(changed == 0,

@@ -124,7 +124,7 @@ object SimilarityQueries extends QueryPack {
         .withColumn("rk", row_number().over(byVec))
         .filter(col("rk") === 1)
         .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cluster"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false) // both join sides share the cached RDD
       val a = assigned.select(col("cluster"), col("vec_id").as("qid"), col("v"), col("nrm"))
       val b = assigned.select(col("cluster"), col("vec_id").as("cid2"),
         col("v").as("w"), col("nrm").as("wnrm"))
