@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Adversarial-scale stress for the LSH dedup path (SCALE.md §"Empirical
+  * 10× stress") — reproducible via:
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.Stress"
+  *
+  * Corpus: 10× the sf documents table (every doc in a 10-clone near-dup
+  * cluster) PLUS 20 mega-hot exact-dup clusters of 200 copies each — the
+  * pathological input for LSH bucketing (a 200-member bucket expands to
+  * 19,900 pairs in every band). Times simhash/minhash pair generation
+  * uncapped vs maxBucket=50: the cap must skip exactly the mega buckets
+  * (whose members are EXACT dups — the job of dedup_exact upstream, zero
+  * near-dup recall lost) and bound runtime to the genuine near-dup load.
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val tenx = (0 until 10).map { k =>
+      base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"), col("text"))
+    }.reduce(_ union _)
+    val mega = (0 until 20).map { c =>
+      base.filter(col("doc_id") === c)
+        .crossJoin(spark.range(200).select(col("id").as("copy")))
+        .select((lit(900000000L) + lit(c) * 1000L + col("copy")).as("doc_id"), col("text"))
+    }.reduce(_ union _)
+    val corpus = tenx.union(mega).localCheckpoint() // freeze input: time the dedup, not the build
+
+    def time(label: String, f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val n = f; val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[stress] $label%-28s ${sec}%8.2f s   $n%,d pairs")
+      (sec, n)
+    }
+    corpus.count() // materialize the checkpoint outside the timings
+
+    val (su, nu) = time("simhash uncapped", operators.DedupQueries.simhashPairsOf(spark, corpus).count())
+    val (sc, nc) = time("simhash maxBucket=50", operators.DedupQueries.simhashPairsOf(spark, corpus, maxBucket = 50).count())
+    val (mu, nmu) = time("minhash uncapped", Graft.nearDupPairs(spark, corpus).count())
+    val (mc, nmc) = time("minhash maxBucket=50", Graft.nearDupPairs(spark, corpus, maxBucket = 50).count())
+    println(s"""{"stress":"lsh_cap","corpus_docs":${54000},"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc}}""")
+    spark.stop()
+  }
+}
