@@ -48,6 +48,37 @@ object PipelineQueries extends QueryPack {
         .select(col("k").as("l_returnflag"), col("cnt"), col("total"))
         .orderBy("l_returnflag")),
 
+    // Weighted training-mix sampling: per-language keep rates (en 50%,
+    // rest 20%) — the corpus-mixing step before pretraining. Same
+    // md5-keyed deterministic Bernoulli as sample_hash, so the mix is
+    // reproducible, repartition-stable, and auditable; map-only at any
+    // scale (the rate lookup is a CASE on the stratum column).
+    "sample_weighted" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(graft.functions.PortableHash.h60(col("doc_id").cast("string")) % 100
+          < when(col("lang") === "en", 50).otherwise(20))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // Sequence packing (LM pretraining "concat then chop"): per language,
+    // documents in doc_id order fill 2048-token bins; a doc starts a new
+    // bin when the running total crosses the boundary. One window cumsum
+    // partitioned by the pack key + an integer division — no shuffle
+    // beyond the window's, deterministic, and the bin id doubles as the
+    // downstream shard/partition key.
+    "pack_sequences" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      Tables.documents(s, d)
+        .withColumn("tok", size(split(col("text"), " ")))
+        .withColumn("cum", sum("tok").over(w))
+        .withColumn("bin", expr("(cum - tok) div 2048"))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("bin_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("lang", "bin")
+    }),
+
     // Stratified sample: first 5 docs per language by doc_id (ranking
     // window — one exchange on the stratum key).
     "sample_stratified" -> ((s, d) => {
@@ -74,6 +105,24 @@ object PipelineQueries extends QueryPack {
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt,
                 CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS total
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "sample_weighted" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+               < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+         ORDER BY doc_id""",
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id, lang,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+                    FROM documents),
+            c AS (SELECT doc_id, lang, tok,
+                         SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                  FROM t)
+          SELECT lang, CAST((cum - tok) // 2048 AS BIGINT) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(tok) AS BIGINT) AS bin_tokens,
+                 MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+          FROM c GROUP BY 1, 2 ORDER BY lang, bin""",
     "sample_hash" ->
       """SELECT doc_id, lang FROM documents
          WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 10

@@ -138,6 +138,27 @@ object SimilarityQueries extends QueryPack {
         .orderBy("vec_id")
     }),
 
+    // Int8 quantization audit: per-vector symmetric scale (127/max|x|),
+    // round-trip each component, report the worst reconstruction error
+    // per label — the compression-loss check an embedding pipeline runs
+    // before shipping a quantized index. Map-only elementwise math; only
+    // order-independent aggregates (min/max/count) so doubles stay
+    // bit-identical cross-engine.
+    "embed_quantize" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("amax", array_max(expr("transform(v, x -> abs(x))")))
+        .filter(col("amax") > 0)
+        .withColumn("sc", lit(127.0) / col("amax"))
+        .withColumn("err", array_max(expr(
+          "transform(v, x -> abs(floor(x * sc + 0.5) / sc - x))")))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round6(max("err")).as("max_err"),
+          round6(min("err")).as("min_err"))
+        .orderBy("label")),
+
     // Per-label centroid-free stats: mean norm and count — the "index
     // statistics" pass a vector pipeline needs (and a pure agg over arrays).
     "sim_label_stats" -> ((s, d) =>
@@ -216,6 +237,20 @@ object SimilarityQueries extends QueryPack {
                        FROM pairs)
           SELECT vec_id, cluster, nn_id, FLOOR(cos*1000000 + 0.5)/1000000 AS cos
           FROM ranked WHERE rk = 1 ORDER BY vec_id""",
+    "embed_quantize" ->
+      """WITH e AS (SELECT vec_id, label,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+            a AS (SELECT label, v, list_max(list_transform(v, x -> abs(x))) AS amax
+                  FROM e),
+            q AS (SELECT label,
+                         list_max(list_transform(v,
+                           x -> abs(FLOOR(x * (127.0 / amax) + 0.5) / (127.0 / amax) - x))) AS err
+                  FROM a WHERE amax > 0)
+          SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+                 FLOOR(MAX(err)*1000000 + 0.5)/1000000 AS max_err,
+                 FLOOR(MIN(err)*1000000 + 0.5)/1000000 AS min_err
+          FROM q GROUP BY label ORDER BY label""",
     "sim_label_stats" ->
       s"""WITH $vecsSqlCte
           SELECT label, CAST(COUNT(*) AS BIGINT) AS n,

@@ -91,6 +91,23 @@ object TextAnalysis extends QueryPack {
                     (acc, h) -> (acc * 1000003 + h) % 1000000007)""").as("fingerprint"))
         .orderBy("doc_id")),
 
+    // Corpus-wide top-k bigrams — the n-gram frequency pass LM data work
+    // leans on (boilerplate detection, contamination checks). explode +
+    // count + TakeOrderedAndProject: partial aggregation combines
+    // map-side, the top-k never global-sorts, and the bigram key space is
+    // uniform — no hot reducer at any scale.
+    "text_ngram_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("tk", split(col("text"), " "))
+        .filter(size(col("tk")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(tk) - 1),
+               i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))""")).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)),
+
     // Corpus-level aggregate stats (the reduce side of text analysis).
     "text_corpus_stats" -> ((s, d) =>
       Tables.documents(s, d)
@@ -106,6 +123,13 @@ object TextAnalysis extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "text_ngram_stats" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents
+                    WHERE len(string_split(text, ' ')) >= 2),
+            b AS (SELECT unnest(list_transform(range(1, len(tk)),
+                                i -> tk[i] || ' ' || tk[i + 1])) AS bigram FROM t)
+          SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+          FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""",
     "text_lang_id" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
             sc AS (SELECT doc_id,
