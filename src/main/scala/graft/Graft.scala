@@ -80,4 +80,47 @@ object Graft {
     * (never rand()). */
   def hashSample(df: DataFrame, keyCol: String, percent: Int): DataFrame =
     df.filter(functions.PortableHash.h60(col(keyCol).cast("string")) % 100 < percent)
+
+  /** Weighted training-mix sample: per-stratum keep rates (percent) over
+    * `strataCol`, same deterministic md5 Bernoulli as [[hashSample]] —
+    * the corpus-mixing step before pretraining, map-only at any scale. */
+  def weightedSample(df: DataFrame, keyCol: String, strataCol: String,
+                     rates: Map[String, Int], defaultRate: Int): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (stratum, r)) =>
+      when(col(strataCol) === stratum, r).otherwise(acc)
+    }
+    df.filter(functions.PortableHash.h60(col(keyCol).cast("string")) % 100 < rate)
+  }
+
+  /** LM sequence packing ("concat then chop"): within each `packKey`
+    * partition, rows in `orderCol` order fill bins of `tokensPerBin`
+    * whitespace tokens; returns the input plus a `bin` column. One window
+    * cumsum — the bin id doubles as the downstream shard key. */
+  def packSequences(docs: DataFrame, tokensPerBin: Int, packKey: String = "lang",
+                    orderCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(packKey).orderBy(orderCol)
+    docs
+      .withColumn("__tok", size(split(col(textCol), " ")))
+      .withColumn("__cum", sum("__tok").over(w))
+      .withColumn("bin", expr(s"(__cum - __tok) div $tokensPerBin"))
+      .drop("__tok", "__cum")
+  }
+
+  /** Corpus-wide top-k n-grams (n ≥ 1) by frequency, deterministic
+    * tie-break on the gram text. Partial-aggregated count + top-k
+    * (TakeOrderedAndProject) — no global sort. */
+  def topNgrams(docs: DataFrame, n: Int, k: Int, textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    docs
+      .withColumn("__tk", split(col(textCol), " "))
+      .filter(size(col("__tk")) >= n)
+      .select(explode(expr(
+        s"""transform(sequence(1, size(__tk) - ${n - 1}),
+              i -> concat_ws(' ', slice(__tk, i, $n)))""")).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(k)
+  }
 }

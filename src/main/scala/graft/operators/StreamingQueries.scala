@@ -22,6 +22,15 @@ object StreamingQueries extends QueryPack {
           graft.Portable.round2(col("total_value")).as("total_value"))
         .orderBy("win_start_sec", "event_type")),
 
+    // Deterministic stream dedup (earliest per key) — batch twin of the
+    // update-mode aggregation; see EventStreams.firstPerKey.
+    "stream_dedup_first" -> ((s, d) =>
+      EventStreams.firstPerKey(Tables.events(s, d))
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("first_ts")).as("first_sec"),
+          col("first_event_id"))
+        .orderBy("user_id", "event_type")),
+
     "stream_sessionized" -> ((s, d) =>
       EventStreams.sessionized(Tables.events(s, d))
         .select(
@@ -40,6 +49,15 @@ object StreamingQueries extends QueryPack {
                 CAST(COUNT(*) AS BIGINT) AS n,
                 FLOOR(SUM(value)*100 + 0.5)/100 AS total_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "stream_dedup_first" ->
+      """WITH r AS (SELECT user_id, event_type, ts, event_id,
+                           ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS rk
+                    FROM events)
+         SELECT user_id, event_type,
+                CAST(FLOOR(epoch(ts)) AS BIGINT) AS first_sec,
+                event_id AS first_event_id
+         FROM r WHERE rk = 1 ORDER BY user_id, event_type""",
     // session_window(gap 30min) ≡ gap-based sessions; end = last ts + gap.
     "stream_sessionized" ->
       """WITH flagged AS (

@@ -71,6 +71,19 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** DETERMINISTIC stream dedup: the earliest event per (user_id,
+    * event_type), ties broken by event_id. Unlike dropDuplicates (keeps
+    * an arbitrary row — fine for exactly-once delivery, not oracle-able),
+    * the min-struct aggregation has one well-defined answer, so the same
+    * code is a streaming update-mode aggregation AND a hash-checkable
+    * batch query (declared as `stream_dedup_first`). */
+  def firstPerKey(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id", "event_type")
+      .agg(min(struct(col("ts"), col("event_id"))).as("f"))
+      .select(col("user_id"), col("event_type"),
+        col("f.ts").as("first_ts"), col("f.event_id").as("first_event_id"))
+
   /** Streaming word count — the flagship pipeline on an unbounded text
     * stream (complete/update-mode aggregation; same plan as the batch
     * `wordcount` query plus incremental state). */

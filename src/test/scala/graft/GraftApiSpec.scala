@@ -77,4 +77,42 @@ class GraftApiSpec extends SparkSpec {
     val b = Graft.hashSample(big.repartition(13), "doc_id", 10).collect().map(_.getLong(0)).toSet
     assert(a == b && a.nonEmpty && a.size < 400)
   }
+
+  test("weightedSample applies per-stratum rates; rate-100 strata keep everything") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => (i.toLong, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val out = Graft.weightedSample(df, "doc_id", "lang", Map("en" -> 100), defaultRate = 0)
+    val langs = out.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs == Set("en") && out.count() == 500)
+    // Stratum subset property: a stratum's sample is the hashSample of it.
+    val mixed = Graft.weightedSample(df, "doc_id", "lang", Map("en" -> 30), defaultRate = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val enOnly = Graft.hashSample(df.filter(col("lang") === "en"), "doc_id", 30)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(mixed.filter(_._2 == "en") == enOnly)
+  }
+
+  test("packSequences fills bins in order and never overfills mid-bin") {
+    import spark.implicits._
+    // 6 docs of 3 tokens each, one lang: bin size 7 → cum boundaries at
+    // docs 1-3 (tokens 3,6,9→ bins 0,0,1*)... verify exact assignment:
+    // bin = (cum - tok) div 7 with cum = 3,6,9,12,15,18 → (0,3,6,9,12,15)
+    // div 7 = 0,0,0,1,1,2.
+    val df = (1 to 6).map(i => (i.toLong, "x", "a b c")).toDF("doc_id", "lang", "text")
+    val bins = Graft.packSequences(df, tokensPerBin = 7)
+      .orderBy("doc_id").collect().map(r => r.getAs[Long]("bin")).toSeq
+    assert(bins == Seq(0L, 0L, 0L, 1L, 1L, 2L))
+  }
+
+  test("topNgrams counts unigrams and bigrams with deterministic tie-break") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
+    val uni = Graft.topNgrams(df, n = 1, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(uni == Seq(("a", 3L), ("b", 3L))) // tie → lexicographic
+    val bi = Graft.topNgrams(df, n = 2, k = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(bi == Seq(("a b", 3L)))
+  }
 }

@@ -62,6 +62,38 @@ class PlanSpec extends SparkSpec {
       s"probe not broadcast:\n$p")
   }
 
+  test("sim_knn_ivf joins on the cluster key — no nested-loop over all pairs") {
+    val p = plan("sim_knn_ivf")
+    // The pair join must be an equi-join on `cluster` (hash/sort-merge);
+    // only the 16-row centroid assignment may broadcast-nested-loop.
+    val joins = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(joins <= 2, s"unexpected nested-loop joins in blocked kNN:\n$p")
+    assert(p.contains("hashpartitioning(cluster") || p.contains("Join") && p.contains("cluster"),
+      s"pair join not keyed on cluster:\n$p")
+  }
+
+  test("q_skew_agg aggregates twice (salt partial, key final) with integral sums") {
+    val p = plan("q_skew_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 3,
+      s"expected salted partial + final HashAggregate chain:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("pack_sequences shuffles once on the pack key (window + reuse for groupBy)") {
+    val p = plan("pack_sequences")
+    // Window partitions by lang; the following groupBy(lang, bin) may add
+    // at most one more exchange. Never more.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"too many exchanges in pack_sequences:\n$p")
+  }
+
+  test("text_ngram_stats ends in TakeOrderedAndProject with partial aggregation") {
+    val p = plan("text_ngram_stats")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k global-sorts:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no map-side partial aggregation:\n$p")
+  }
+
   test("partitioned lake layout: a day filter prunes the scan to one partition") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft-lake").toFile.getAbsolutePath

@@ -61,6 +61,29 @@ class EventStreamsSpec extends SparkSpec {
     assert(spark.table("dedup").select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("firstPerKey: streaming snapshot equals the deterministic batch twin") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val events = Seq(
+      Ev(3, ts(5), 1, "click", 1.0), Ev(1, ts(5), 1, "click", 2.0), // tie on ts → min event_id wins
+      Ev(2, ts(1), 1, "view", 3.0), Ev(4, ts(9), 2, "click", 4.0),
+      Ev(5, ts(0), 2, "click", 5.0))
+    mem.addData(events: _*)
+    val q = EventStreams.firstPerKey(mem.toDF())
+      .writeStream.format("memory").queryName("first").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("first")
+      .orderBy("user_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getAs[Timestamp](2), r.getLong(3))).toSeq
+    val batch = EventStreams.firstPerKey(events.toDF())
+      .orderBy("user_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getAs[Timestamp](2), r.getLong(3))).toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq(
+      (1L, "click", ts(5), 1L), (1L, "view", ts(1), 2L), (2L, "click", ts(0), 5L)))
+  }
+
   test("fromParquetDir streams staged fixture events with proper timestamps") {
     // Stage the fixture's single events.parquet FILE into a stream dir.
     val dir = java.nio.file.Files.createTempDirectory("graft-stream")
