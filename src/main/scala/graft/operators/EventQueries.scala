@@ -82,6 +82,23 @@ object EventQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), round2(sum("value")).as("total_value"))
         .orderBy("bucket_epoch", "event_type")),
 
+    // E: RANGE-framed window — per user, trailing-1-hour event count and
+    // value sum at every event (a range frame over epoch seconds, the
+    // time-based sibling of the ROWS frames in q_window_running). The sum
+    // is over integer cents (FLOOR(value*100+0.5)) because windowed
+    // double sums are reduction-order-dependent across engines.
+    "q_window_range" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+        .select(col("event_id"), col("user_id"), col("sec"),
+          count(lit(1)).over(w).as("n_trailing_1h"),
+          sum("cents").over(w).as("cents_trailing_1h"))
+        .orderBy("event_id")
+    }),
+
     // E: sliding windows via Spark's window() operator (1 h, slide 30 min)
     // — each event lands in 2 buckets; output start as epoch seconds.
     "q_sliding_window" -> ((s, d) =>
@@ -197,6 +214,18 @@ object EventQueries extends QueryPack {
                 CAST(COUNT(*) AS BIGINT) AS n,
                 FLOOR(SUM(value)*100 + 0.5)/100 AS total_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_window_range" ->
+      """WITH t AS (SELECT event_id, user_id,
+                           CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+                           CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents
+                    FROM events)
+         SELECT event_id, user_id, sec,
+                CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_1h,
+                CAST(SUM(cents) OVER w AS BIGINT) AS cents_trailing_1h
+         FROM t
+         WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
     "q_sliding_window" ->
       """WITH expanded AS (
            SELECT CAST(FLOOR(epoch(ts)/1800)*1800 - k*1800 AS BIGINT) AS win_start, event_type

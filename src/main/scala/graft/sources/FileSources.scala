@@ -42,6 +42,16 @@ object FileSources {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** ORC source/sink — the other columnar lake format Spark ships with;
+    * same pushdown/pruning machinery as parquet (asserted in the spec). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
   /** The reference's complete example program (FileWordCounter.cpp main,
     * :234-286) as one call: scan a directory, word-count every file with
     * the quirk tokenizer, return (word, total) — here distributed and

@@ -3,6 +3,7 @@ package graft.sources
 import java.nio.file.Files
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class FileSourcesSpec extends SparkSpec {
 
@@ -53,5 +54,31 @@ class FileSourcesSpec extends SparkSpec {
     val back = spark.read.parquet(tmp)
     assert(back.count() == 3)
     assert(new java.io.File(tmp).listFiles().exists(_.getName.startsWith("k=")))
+  }
+
+  test("ORC round-trips with predicate pushdown reaching the scan") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-orc").toFile.getAbsolutePath + "/li"
+    val rows = (1 to 100).map(i => (i.toLong, i % 7, s"name$i"))
+    FileSources.writeOrc(rows.toDF("id", "grp", "name"), tmp)
+    val back = FileSources.orc(spark, tmp)
+    assert(back.count() == 100)
+    assert(back.orderBy("id").head().getLong(0) == 1L)
+    val q = back.filter(col("grp") === 3).select("id")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("grp"),
+      s"no ORC pushdown:\n$plan")
+    assert(q.count() == rows.count(_._2 == 3))
+  }
+
+  test("writeOrc partitions by requested columns (partition-pruned reads)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-orc-part").toFile.getAbsolutePath + "/out"
+    val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("v", "k")
+    FileSources.writeOrc(df, tmp, Seq("k"))
+    assert(new java.io.File(tmp).listFiles().exists(_.getName.startsWith("k=")))
+    val pruned = FileSources.orc(spark, tmp).filter(col("k") === "a")
+    assert(pruned.count() == 2)
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
   }
 }
