@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.DotProduct
+import graft.functions.expressions.{DotProduct, MinHashSketch}
 
 /** SparkSessionExtensions entry point — enable with
   * `spark.sql.extensions=graft.GraftExtensions` to make graft's native
@@ -15,5 +15,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSketch].getName, "graft_minhash"),
+      (children: Seq[Expression]) => new MinHashSketch(children.head)))
   }
 }

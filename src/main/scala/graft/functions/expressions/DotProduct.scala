@@ -106,13 +106,23 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 /** Registration + Column-level helpers. */
 object GraftFunctions {
   private val dotInfo = new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
+  private val minhashInfo = new ExpressionInfo(classOf[MinHashSketch].getName, "graft_minhash")
 
-  /** Idempotently registers graft_dot in the session's function registry.
-    * (Also injectable globally via `spark.sql.extensions=graft.GraftExtensions`.) */
-  def ensureRegistered(spark: SparkSession): Unit =
+  /** Idempotently registers graft_dot + graft_minhash in the session's
+    * function registry. (Also injectable globally via
+    * `spark.sql.extensions=graft.GraftExtensions`.) */
+  def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_dot"), dotInfo,
       (children: Seq[Expression]) => DotProduct(children.head, children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_minhash"), minhashInfo,
+      (children: Seq[Expression]) => new MinHashSketch(children.head))
+  }
+
+  /** Grouped MinHash signature (array<long> of 32 component minima). */
+  def minhashSketchCol(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_minhash", c)
 
   /** dot(a, b) as a Column; requires ensureRegistered on the session. */
   def dotCol(a: Column, b: Column): Column =

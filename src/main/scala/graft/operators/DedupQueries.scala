@@ -332,6 +332,44 @@ object DedupQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Corpus-level similarity via the graft_minhash TypedImperativeAggregate
+    // (one-pass grouped sketch, map-side partial buffers of 256 bytes per
+    // group): per-language shingle-set signatures, pairwise Jaccard
+    // ESTIMATE from component matches, gated against the exact Jaccard
+    // (computable here; at 100 TB only the sketch path survives — the
+    // exact path shuffles every distinct shingle). Oracle = exact numbers
+    // + literal TRUE for the bounded-error check (the q_hll pattern).
+    "lang_minhash_sim" -> ((s, d) => {
+      graft.functions.expressions.GraftFunctions.ensureRegistered(s)
+      val sh = Tables.documents(s, d)
+        .withColumn("tk", split(col("text"), " "))
+        .filter(size(col("tk")) >= 3)
+        .select(col("lang"), explode(expr(
+          "transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', slice(tk, i, 3)))")).as("sh"))
+      // MinHash is duplicate-insensitive (min over a set) → sketch straight
+      // off the raw shingle stream, no pre-distinct shuffle.
+      val sig = sh.groupBy("lang")
+        .agg(graft.functions.expressions.GraftFunctions.minhashSketchCol(col("sh")).as("sig"))
+      val dsh = sh.distinct()
+      val sizes = dsh.groupBy("lang").agg(count(lit(1)).as("nsh"))
+      val inter = dsh.as("a")
+        .join(dsh.as("b"), col("a.sh") === col("b.sh") && col("a.lang") < col("b.lang"))
+        .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.select(col("lang").as("lang_a"), col("nsh").as("na")), "lang_a")
+        .join(sizes.select(col("lang").as("lang_b"), col("nsh").as("nb")), "lang_b")
+        .join(broadcast(sig.select(col("lang").as("lang_a"), col("sig").as("sig_a"))), "lang_a")
+        .join(broadcast(sig.select(col("lang").as("lang_b"), col("sig").as("sig_b"))), "lang_b")
+        .withColumn("jac_exact", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
+        .withColumn("est", expr(
+          "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m)) / 32.0"))
+        .select(col("lang_a"), col("lang_b"), col("n_inter"),
+          round6(col("jac_exact")).as("jac"),
+          (abs(col("est") - col("jac_exact")) <= 0.25).as("est_within_tol"))
+        .orderBy("lang_a", "lang_b")
+    }),
+
     // The deduplicated corpus: every doc except non-canonical cluster
     // members (keep the min doc_id per near-dup component) — the actual
     // output a training-data pipeline ships. Anti join against the
@@ -411,6 +449,26 @@ object DedupQueries extends QueryPack {
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS canonical_id, CAST(COUNT(*) AS BIGINT) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY canonical_id""",
+    // Exact cross-language shingle Jaccard; the minhash ESTIMATE lives only
+    // on the Spark side — its ≤0.25 absolute-error contract is the checked
+    // column (q_hll pattern).
+    "lang_minhash_sim" ->
+      """WITH tk AS (SELECT lang, string_split(text, ' ') AS t FROM documents
+                     WHERE len(string_split(text, ' ')) >= 3),
+            sh AS (SELECT DISTINCT lang,
+                          unnest(list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
+                   FROM tk),
+            sz AS (SELECT lang, COUNT(*) AS n FROM sh GROUP BY lang),
+            iv AS (SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS n_inter
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.lang < b.lang
+                   GROUP BY 1, 2)
+          SELECT lang_a, lang_b, CAST(n_inter AS BIGINT) AS n_inter,
+                 FLOOR(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) * 1000000 + 0.5)/1000000 AS jac,
+                 true AS est_within_tol
+          FROM iv JOIN sz sa ON sa.lang = iv.lang_a
+                  JOIN sz sb ON sb.lang = iv.lang_b
+          ORDER BY lang_a, lang_b""",
     "dedup_components" ->
       s"""WITH RECURSIVE $shinglesSqlCte,
             pairs AS (SELECT da, db FROM jac WHERE jac >= 0.7),
