@@ -54,6 +54,35 @@ object ExtrasQueries extends QueryPack {
           (abs(col("asup") - col("esup")) / col("esup") <= 0.05).as("supps_within_5pct"))
         .orderBy("l_returnflag")),
 
+    // Approximate percentile (KLL-style sketch) with a bounded-error gate
+    // against the exact percentile in the same pass — q_hll pattern: the
+    // oracle checks the ≤5% relative-error contract, not the estimate.
+    "q_percentile_approx" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("ap50"),
+          expr("percentile(l_extendedprice, 0.5)").as("ep50"))
+        .select(col("l_returnflag"),
+          (abs(col("ap50") - col("ep50")) / col("ep50") <= 0.05).as("p50_within_5pct"))
+        .orderBy("l_returnflag")),
+
+    // Top-k per group through the typed UDAF (TopKAggregator): bounded
+    // O(k) partial state per group per partition — the Aggregator twin of
+    // the ranking-window q_topk_per_group, here as a DECLARED query so the
+    // UDAF surface has its own oracle row (top-5 VALUES are tie-agnostic,
+    // so both formulations agree exactly).
+    "q_topk_udaf" -> ((s, d) => {
+      val top5 = udaf(new graft.functions.TopKAggregator(5))
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(top5(col("o_totalprice")).as("tops"))
+        .select(col("o_orderpriority"), posexplode(col("tops")).as(Seq("pos", "p")))
+        .select(col("o_orderpriority"), (col("pos") + 1).cast("int").as("rk"),
+          round2(col("p")).as("price"))
+        .orderBy("o_orderpriority", "rk")
+    }),
+
     // EXISTS correlated subquery (SQL surface).
     "q_exists_subquery" -> ((s, d) => {
       Tables.customer(s, d).createOrReplaceTempView("customer_v")
@@ -220,6 +249,17 @@ object ExtrasQueries extends QueryPack {
     "q_hll" ->
       """SELECT l_returnflag, true AS parts_within_5pct, true AS supps_within_5pct
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_percentile_approx" ->
+      """SELECT l_returnflag, true AS p50_within_5pct
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_topk_udaf" ->
+      """SELECT o_orderpriority, rk, FLOOR(price*100 + 0.5)/100 AS price FROM (
+           SELECT o_orderpriority,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk,
+                  o_totalprice AS price
+           FROM orders)
+         WHERE rk <= 5 ORDER BY o_orderpriority, rk""",
     "q_pivot" -> {
       val cols = eventTypes.map(t =>
         s"CAST(COUNT(*) FILTER (event_type = '$t') AS BIGINT) AS \"$t\"").mkString(", ")

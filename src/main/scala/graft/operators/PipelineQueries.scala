@@ -79,6 +79,21 @@ object PipelineQueries extends QueryPack {
         .orderBy("lang", "bin")
     }),
 
+    // Salted fact⋈dim join over the same hot-key concern as q_skew_agg:
+    // SkewUtils.saltedJoin spreads each join key over 16 salt buckets
+    // (the small side is exploded ×16, still tiny), so one hot order key
+    // cannot pin a reducer. Results are identical to the plain join —
+    // the oracle IS the plain join. Sums in integer cents (see q_skew_agg).
+    "q_skew_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      SkewUtils.saltedJoin(li, o, "l_orderkey", "o_orderkey", col("l_linenumber"), 16)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Stratified sample: first 5 docs per language by doc_id (ranking
     // window — one exchange on the stratum key).
     "sample_stratified" -> ((s, d) => {
@@ -101,6 +116,11 @@ object PipelineQueries extends QueryPack {
                 FLOOR(MAX(l_extendedprice)*100 + 0.5)/100 AS max_price,
                 CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_flags
          FROM lineitem""",
+    "q_skew_join" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_skew_agg" ->
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt,
                 CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS total
