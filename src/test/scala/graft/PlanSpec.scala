@@ -94,6 +94,12 @@ class PlanSpec extends SparkSpec {
       s"no map-side partial aggregation:\n$p")
   }
 
+  test("q_skew_join actually joins on the salt (hot keys spread over buckets)") {
+    val p = plan("q_skew_join")
+    assert(p.contains("__salt"), s"salt column missing from join condition:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("partitioned lake layout: a day filter prunes the scan to one partition") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft-lake").toFile.getAbsolutePath
