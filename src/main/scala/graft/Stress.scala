@@ -50,7 +50,31 @@ object Stress {
     val (sc, nc) = time("simhash maxBucket=50", operators.DedupQueries.simhashPairsOf(spark, corpus, maxBucket = 50).count())
     val (mu, nmu) = time("minhash uncapped", Graft.nearDupPairs(spark, corpus).count())
     val (mc, nmc) = time("minhash maxBucket=50", Graft.nearDupPairs(spark, corpus, maxBucket = 50).count())
-    println(s"""{"stress":"lsh_cap","corpus_docs":${54000},"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc}}""")
+
+    // Sketch vs exact cross-group similarity at 10×: per-lang MinHash
+    // signatures via the graft_minhash TypedImperativeAggregate (map-side
+    // 256-byte partial buffers — the sketch streams, never shuffles
+    // shingles) against the exact distinct-shingle self-join the oracle
+    // uses. The gap is the whole argument for sketching at 100 TB.
+    import org.apache.spark.sql.functions._
+    functions.expressions.GraftFunctions.ensureRegistered(spark)
+    val langDocs = Tables.documents(spark, sfDir).select("lang", "text")
+    val tenxLang = (0 until 10).map(_ => langDocs).reduce(_ union _)
+    val sh = tenxLang
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 3)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', slice(tk, i, 3)))")).as("sh"))
+    val (ts1, n1) = time("minhash sketch (5 sigs)",
+      sh.groupBy("lang")
+        .agg(functions.expressions.GraftFunctions.minhashSketchCol(col("sh")))
+        .count())
+    val dsh = sh.distinct()
+    val (ts2, n2) = time("exact pairwise jaccard",
+      dsh.as("a").join(dsh.as("b"), col("a.sh") === col("b.sh") && col("a.lang") < col("b.lang"))
+        .groupBy(col("a.lang"), col("b.lang")).count().count())
+
+    println(s"""{"stress":"lsh_cap","corpus_docs":${54000},"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2}}""")
     spark.stop()
   }
 }
