@@ -60,6 +60,28 @@ object MultimodalQueries extends QueryPack {
         .limit(10)
     }),
 
+    // Windowed byte energy over the raw payload — the audio shape (RMS
+    // per frame window) run on real bytes through the typed mapPartitions
+    // batch loop: each payload splits into 256-byte windows, each window
+    // reports its byte count and integral energy sum (integer math —
+    // order-independent, oracle-exact). A real audio pipeline swaps the
+    // byte stream for PCM samples; the plumbing (iterator-batched decode,
+    // flatMap to per-window rows, no shuffle until the ORDER BY) is what
+    // this pins.
+    "mm_audio_energy" -> ((s, d) => {
+      import s.implicits._
+      MediaPipeline.mediaTable(s, d).as[MediaPipeline.MediaRow]
+        .mapPartitions { rows =>
+          rows.flatMap { r =>
+            r.media.grouped(256).zipWithIndex.map { case (chunk, w) =>
+              (r.doc_id, w, chunk.length, chunk.map(b => (b & 0xff).toLong).sum)
+            }
+          }
+        }
+        .toDF("doc_id", "win", "n_bytes", "sum_bytes")
+        .orderBy("doc_id", "win")
+    }),
+
     // Resize plan: target bounding box 224×224 preserving aspect ratio —
     // pure metadata arithmetic (the real resize would be a mapInPandas/
     // mapPartitions kernel over the binary column).
@@ -78,6 +100,22 @@ object MultimodalQueries extends QueryPack {
   // Oracle mirrors decodeStub arithmetic on strlen(text) (ASCII ⇒
   // byte length == char length).
   val oracleSql: Map[String, String] = Map(
+    // ASCII text ⇒ byte value == codepoint; windows replicated with list
+    // slices over the per-char codes.
+    "mm_audio_energy" ->
+      """WITH c AS (SELECT doc_id,
+                           list_transform(range(1, length(text) + 1),
+                             i -> ascii(text[i])) AS codes
+                    FROM documents),
+            w AS (SELECT doc_id, codes,
+                         unnest(range(0, CAST(ceil(len(codes) / 256.0) AS BIGINT))) AS win
+                  FROM c)
+          SELECT doc_id, CAST(win AS INT) AS win,
+                 CAST(len(list_slice(codes, win*256 + 1,
+                   LEAST((win + 1)*256, len(codes)))) AS INT) AS n_bytes,
+                 CAST(list_sum(list_slice(codes, win*256 + 1,
+                   LEAST((win + 1)*256, len(codes)))) AS BIGINT) AS sum_bytes
+          FROM w ORDER BY doc_id, win""",
     "mm_meta_stats" ->
       """WITH m AS (SELECT doc_id, source, strlen(text) AS b FROM documents),
             meta AS (SELECT doc_id, source, CAST(b AS BIGINT) AS bytes,
