@@ -365,7 +365,9 @@ object DedupQueries extends QueryPack {
       // off the raw shingle stream, no pre-distinct shuffle.
       val sig = sh.groupBy("lang")
         .agg(graft.functions.expressions.GraftFunctions.minhashSketchCol(col("sh")).as("sig"))
-      val dsh = sh.distinct()
+      // dsh feeds three plan branches (sizes + both self-join sides) —
+      // lazy checkpoint computes the distinct once and shares the blocks.
+      val dsh = sh.distinct().localCheckpoint(eager = false)
       val sizes = dsh.groupBy("lang").agg(count(lit(1)).as("nsh"))
       val inter = dsh.as("a")
         .join(dsh.as("b"), col("a.sh") === col("b.sh") && col("a.lang") < col("b.lang"))

@@ -52,3 +52,32 @@ object HashProps extends Properties("JvmHash") {
   property("h60 is deterministic") =
     Prop.forAll { (s: String) => JvmHash.h60(s) == JvmHash.h60(s) }
 }
+
+object PackProps extends Properties("packSequences-binning") {
+  // Pure twin of Graft.packSequences's bin formula: bin = (cum - tok) div B
+  // = tokens-before div B.
+  private def bins(toks: List[Int], b: Int): List[Long] =
+    toks.scanLeft(0L)(_ + _).init.map(_ / b)
+
+  private val toksGen: Gen[List[Int]] = Gen.nonEmptyListOf(Gen.chooseNum(1, 500))
+  private val binGen: Gen[Int] = Gen.chooseNum(1, 300)
+
+  property("equals the greedy concat-then-chop simulation") =
+    Prop.forAll(toksGen, binGen) { (toks, b) =>
+      var p = 0L
+      val sim = toks.map { t => val bin = p / b; p += t; bin }
+      bins(toks, b) == sim
+    }
+
+  property("starts at bin 0 and is monotone non-decreasing") =
+    Prop.forAll(toksGen, binGen) { (toks, b) =>
+      val bs = bins(toks, b)
+      bs.head == 0L && bs.zip(bs.tail).forall { case (x, y) => x <= y }
+    }
+
+  property("bin jump between neighbors is bounded by the doc's own span") =
+    Prop.forAll(toksGen, binGen) { (toks, b) =>
+      val bs = bins(toks, b)
+      bs.zip(bs.tail).zip(toks).forall { case ((x, y), t) => y - x <= t / b + 1 }
+    }
+}
