@@ -74,7 +74,17 @@ object Stress {
       dsh.as("a").join(dsh.as("b"), col("a.sh") === col("b.sh") && col("a.lang") < col("b.lang"))
         .groupBy(col("a.lang"), col("b.lang")).count().count())
 
-    println(s"""{"stress":"lsh_cap","corpus_docs":${54000},"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2}}""")
+    // Broadcast-threshold sensitivity (SF1k preview): with the auto
+    // threshold off, the orders/customer joins fall back to sort-merge —
+    // the plan shape once those dims outgrow executor memory. The nation
+    // join keeps its explicit broadcast() hint (25 rows at ANY scale
+    // factor — that hint is correct forever).
+    val (b1, _) = time("q3_join auto-broadcast", SparkEntry.queries("q3_join")(spark, sfDir).count())
+    val smj = spark.newSession()
+    smj.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (b2, _) = time("q3_join sort-merge only", SparkEntry.queries("q3_join")(smj, sfDir).count())
+
+    println(s"""{"stress":"lsh_cap","corpus_docs":${54000},"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2}}""")
     spark.stop()
   }
 }
