@@ -214,10 +214,21 @@ object DedupQueries extends QueryPack {
     * lbl = component minimum. Pregel-style: O(diameter) rounds, each
     * localCheckpoint()ed to truncate lineage; the driver only inspects a
     * convergence COUNT per round. */
-  def componentLabels(s: SparkSession, d: String): DataFrame =
-    indexCache.computeIfAbsent((System.identityHashCode(s), d, "labels"),
-      _ => componentLabelsFromPairs(
-        minhashPairs(s, d).select("da", "db").localCheckpoint(eager = false)))
+  def componentLabels(s: SparkSession, d: String): DataFrame = {
+    // NOT computeIfAbsent: the computation itself consults the same map
+    // (via minhashPairs), and ConcurrentHashMap forbids recursive updates
+    // when the nested key lands in the same bin. get/putIfAbsent instead;
+    // a racing duplicate computation is benign (same deterministic plan).
+    val key = (System.identityHashCode(s), d, "labels")
+    val cached = indexCache.get(key)
+    if (cached != null) cached
+    else {
+      val labels = componentLabelsFromPairs(
+        minhashPairs(s, d).select("da", "db").localCheckpoint(eager = false))
+      indexCache.putIfAbsent(key, labels)
+      indexCache.get(key)
+    }
+  }
 
   /** Near-dup connected components over ANY (doc_id, text) frame. */
   def componentLabelsOf(s: SparkSession, docs: DataFrame, threshold: Double): DataFrame =

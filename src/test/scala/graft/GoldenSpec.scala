@@ -17,4 +17,18 @@ class GoldenSpec extends SparkSpec {
     assert(rows.length == 31)
     assert(digest == "4761a2431894a82936f63981311fe952")
   }
+
+  test("dedup pipeline end-to-end matches the pinned golden checksum") {
+    // Pins the full LSH → components → canonical-corpus chain (including
+    // the shared index cache): md5 of the (doc_id:lang:n_chars) stream,
+    // independently computed with DuckDB from the oracle SQL.
+    val rows = SparkEntry.queries("dedup_canonical")(spark, sf("sf0.001"))
+      .collect()
+      .map(r => s"${r.getLong(0)}:${r.getString(1)}:${r.getLong(2)}")
+    val digest = MessageDigest.getInstance("MD5")
+      .digest(rows.mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(rows.length == 476)
+    assert(digest == "be0861e4e41f9a9aafe243af8bb40355")
+  }
 }

@@ -84,6 +84,29 @@ class EventStreamsSpec extends SparkSpec {
       (1L, "click", ts(5), 1L), (1L, "view", ts(1), 2L), (2L, "click", ts(0), 5L)))
   }
 
+  test("streaming parquet SINK: append-mode file sink + checkpoint round-trips") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-ssink").toFile.getAbsolutePath
+    val mem = MemoryStream[Ev]
+    mem.addData(Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(1), 2, "b", 2.0))
+    val q = mem.toDF().select(col("event_id"), col("user_id"), col("event_type"))
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    mem.addData(Ev(3, ts(2), 3, "c", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(s"$base/out").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(back == Seq((1L, 1L, "a"), (2L, 2L, "b"), (3L, 3L, "c")))
+    // Exactly-once bookkeeping lives in the checkpoint dir.
+    assert(new java.io.File(s"$base/ckpt").exists())
+  }
+
   test("fromParquetDir streams staged fixture events with proper timestamps") {
     // Stage the fixture's single events.parquet FILE into a stream dir.
     val dir = java.nio.file.Files.createTempDirectory("graft-stream")
