@@ -398,6 +398,26 @@ object DedupQueries extends QueryPack {
         .orderBy("lang_a", "lang_b")
     }),
 
+    // Train/eval contamination: split the corpus with the deterministic
+    // sampling hash (eval = hash % 100 ≥ 90) and flag eval docs that have
+    // a NEAR-DUP partner (minhash Jaccard ≥ 0.7) in the train split — the
+    // decontamination pass every eval-set build runs. Reuses the cached
+    // pair index; the pair set is tiny relative to the corpus, so the
+    // final joins broadcast at any scale.
+    "dedup_contamination" -> ((s, d) => {
+      val split = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          (graft.functions.PortableHash.h60(col("doc_id").cast("string")) % 100).as("h"))
+      val pairs = minhashPairs(s, d).select("da", "db")
+      val sym = pairs.union(pairs.select(col("db").as("da"), col("da").as("db")))
+      val train = split.filter(col("h") < 90).select(col("doc_id").as("tid"))
+      split.filter(col("h") >= 90)
+        .join(sym, col("doc_id") === col("da"))
+        .join(train, col("db") === col("tid"), "left_semi")
+        .select("doc_id", "lang").distinct()
+        .orderBy("doc_id")
+    }),
+
     // The deduplicated corpus: every doc except non-canonical cluster
     // members (keep the min doc_id per near-dup component) — the actual
     // output a training-data pipeline ships. Anti join against the
@@ -477,6 +497,17 @@ object DedupQueries extends QueryPack {
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS canonical_id, CAST(COUNT(*) AS BIGINT) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY canonical_id""",
+    "dedup_contamination" ->
+      s"""WITH $shinglesSqlCte,
+            pairs AS (SELECT da, db FROM jac WHERE jac >= 0.7),
+            sym AS (SELECT da, db FROM pairs UNION ALL SELECT db AS da, da AS db FROM pairs),
+            d AS (SELECT doc_id, lang,
+                         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS h
+                  FROM documents)
+          SELECT DISTINCT e.doc_id, e.lang
+          FROM d e JOIN sym ON sym.da = e.doc_id JOIN d t ON t.doc_id = sym.db
+          WHERE e.h >= 90 AND t.h < 90
+          ORDER BY e.doc_id""",
     // Exact cross-language shingle Jaccard; the minhash ESTIMATE lives only
     // on the Spark side — its ≤0.25 absolute-error contract is the checked
     // column (q_hll pattern).

@@ -91,6 +91,25 @@ object TextAnalysis extends QueryPack {
                     (acc, h) -> (acc * 1000003 + h) % 1000000007)""").as("fingerprint"))
         .orderBy("doc_id")),
 
+    // Per-document repetition score — the LM-quality filter that kills
+    // boilerplate/spam (Gopher-style "fraction of duplicate n-grams"):
+    // 1 - distinct_trigrams/total_trigrams, in basis points (integer
+    // arithmetic → oracle-exact; a float ratio would be fine too, the
+    // division is deterministic, but bps keeps the sort key integral).
+    // Map-only: both counts come from one array expression per row.
+    "text_repetition" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("tk", split(col("text"), " "))
+        .filter(size(col("tk")) >= 3)
+        .withColumn("tg", expr(
+          "transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', slice(tk, i, 3)))"))
+        .select(col("doc_id"),
+          size(col("tg")).as("n_trigrams"),
+          size(array_distinct(col("tg"))).as("n_distinct"),
+          floor((size(col("tg")) - size(array_distinct(col("tg"))))
+            * 10000 / size(col("tg"))).cast("long").as("dup_bps"))
+        .orderBy("doc_id")),
+
     // Corpus-wide top-k bigrams — the n-gram frequency pass LM data work
     // leans on (boilerplate detection, contamination checks). explode +
     // count + TakeOrderedAndProject: partial aggregation combines
@@ -123,6 +142,18 @@ object TextAnalysis extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+                    WHERE len(string_split(text, ' ')) >= 3),
+            g AS (SELECT doc_id,
+                         list_transform(range(1, len(tk) - 1),
+                           i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]) AS tg
+                  FROM t)
+          SELECT doc_id,
+                 CAST(len(tg) AS INT) AS n_trigrams,
+                 CAST(len(list_distinct(tg)) AS INT) AS n_distinct,
+                 CAST(FLOOR((len(tg) - len(list_distinct(tg))) * 10000.0 / len(tg)) AS BIGINT) AS dup_bps
+          FROM g ORDER BY doc_id""",
     "text_ngram_stats" ->
       """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents
                     WHERE len(string_split(text, ' ')) >= 2),
