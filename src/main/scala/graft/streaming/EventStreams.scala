@@ -84,6 +84,29 @@ object EventStreams {
       .select(col("user_id"), col("event_type"),
         col("f.ts").as("first_ts"), col("f.event_id").as("first_event_id"))
 
+  /** Stream-static enrichment: join an unbounded event stream against a
+    * static dimension (the lookup-table pattern; Spark re-plans the
+    * static side per micro-batch, so a broadcastable dim broadcasts). */
+  def enriched(events: DataFrame, users: DataFrame): DataFrame =
+    events.join(users, Seq("user_id"), "left")
+
+  /** Watermarked stream-stream interval join: click events matched to
+    * purchase events of the same user within [0, 10 min] after the click.
+    * Both sides carry watermarks so state is bounded — the canonical
+    * funnel/attribution join. */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+      .select("click_id", "purchase_id", "user_id")
+  }
+
   /** Streaming word count — the flagship pipeline on an unbounded text
     * stream (complete/update-mode aggregation; same plan as the batch
     * `wordcount` query plus incremental state). */

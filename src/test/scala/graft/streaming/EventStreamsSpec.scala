@@ -84,6 +84,35 @@ class EventStreamsSpec extends SparkSpec {
       (1L, "click", ts(5), 1L), (1L, "view", ts(1), 2L), (2L, "click", ts(0), 5L)))
   }
 
+  test("stream-static enrichment joins a dim table into the stream") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val users = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[Ev]
+    mem.addData(Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(1), 3, "view", 2.0))
+    runToMemory("enrich", EventStreams.enriched(mem.toDF(), users))
+    val rows = spark.table("enrich").orderBy("event_id")
+      .select("event_id", "tier")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(rows == Seq((1L, Some("gold")), (2L, None)))
+  }
+
+  test("stream-stream interval join matches purchases within 10 min of a click") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    clicks.addData(Ev(10, ts(0), 1, "click", 0), Ev(11, ts(0), 2, "click", 0))
+    purchases.addData(
+      Ev(20, ts(5), 1, "purchase", 9.99),   // within 10 min of click 10
+      Ev(21, ts(30), 2, "purchase", 5.0))   // too late for click 11
+    runToMemory("funnel",
+      EventStreams.clickToPurchase(clicks.toDF(), purchases.toDF()))
+    val rows = spark.table("funnel").orderBy("click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq((10L, 20L, 1L)))
+  }
+
   test("streaming parquet SINK: append-mode file sink + checkpoint round-trips") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
