@@ -47,6 +47,22 @@ object Graft {
       Seq("doc_id"), "left_anti")
   }
 
+  /** Decontamination check: eval docs that have a near-duplicate partner
+    * (true Jaccard ≥ threshold) in the train corpus. Ids are re-keyed by
+    * parity internally so the two frames may share doc_id spaces; returns
+    * the contaminated eval doc_ids. */
+  def contaminated(spark: SparkSession, train: DataFrame, eval: DataFrame,
+                   threshold: Double = 0.7): DataFrame = {
+    val t = train.select((col("doc_id") * 2).as("doc_id"), col("text"))
+    val e = eval.select((col("doc_id") * 2 + 1).as("doc_id"), col("text"))
+    val pairs = operators.DedupQueries.minhashPairsOf(spark, t.union(e), threshold)
+    val sym = pairs.select(col("da").as("x"), col("db").as("y"))
+      .union(pairs.select(col("db").as("x"), col("da").as("y")))
+    sym.filter(col("x") % 2 === 1 && col("y") % 2 === 0)
+      .select(expr("(x - 1) div 2").as("doc_id"))
+      .distinct()
+  }
+
   /** 60-bit SimHash signature per document. */
   def simhash(spark: SparkSession, docs: DataFrame): DataFrame =
     operators.DedupQueries.simhashFrameOf(spark, docs)

@@ -78,6 +78,21 @@ class GraftApiSpec extends SparkSpec {
     assert(a == b && a.nonEmpty && a.size < 400)
   }
 
+  test("contaminated finds cross-split near-dups, ignores within-split ones") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated training material on other topics")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // near-dup of train 1 (id collision on purpose)
+      (7L, "novel evaluation content sharing nothing with train")
+    ).toDF("doc_id", "text")
+    val hits = Graft.contaminated(spark, train, eval, 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L), s"got $hits")
+  }
+
   test("weightedSample applies per-stratum rates; rate-100 strata keep everything") {
     import spark.implicits._
     val df = (0 until 1000).map(i => (i.toLong, if (i % 2 == 0) "en" else "de"))
