@@ -46,6 +46,30 @@ class SkewAndBucketingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
 
+  test("AQE splits a skewed join partition (skew=true in the final plan)") {
+    // Complement to the manual salting path (q_skew_agg/q_skew_join):
+    // with thresholds scaled to fixture size, AQE's OptimizeSkewedJoin
+    // must split the hot partition of a sort-merge join at runtime.
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    sess.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    sess.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    import org.apache.spark.sql.functions._
+    // One mega-hot key (50k rows) + a uniform tail; tiny dim side.
+    val big = sess.range(0, 60000)
+      .select(when(col("id") < 50000, 0L).otherwise(col("id")).as("k"), col("id").as("v"))
+    val dim = sess.range(0, 1000).select(col("id").as("k2"), (col("id") * 2).as("w"))
+    val j = big.join(dim, col("k") === col("k2"))
+    // Execute THIS dataframe (count() would build a separate plan) so its
+    // AdaptiveSparkPlan finalizes, then look for the skew markers.
+    assert(j.collect().length == 50000) // only key 0 matches the dim (50k hot rows)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true") || plan.contains("skewed"),
+      s"AQE did not split the skewed partition:\n$plan")
+  }
+
   test("maxBucket cap: skips hot LSH buckets, keeps small ones, off by default") {
     import spark.implicits._
     // Adversarial corpus: 10 hot clusters of 12 identical docs + 10 small
