@@ -64,10 +64,16 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Repo-relative (cwd) path, overridable — a hardcoded absolute path
+    // would silently skip the fallback on any other checkout; failures
+    // are reported, not swallowed.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
     try {
-      val w = new java.io.PrintWriter("/root/repo/BENCH_local.json")
+      val w = new java.io.PrintWriter(outPath)
       try w.println(line) finally w.close()
-    } catch { case _: Throwable => }
+    } catch {
+      case t: Throwable => System.err.println(s"[bench] could not write $outPath: $t")
+    }
     spark.stop()
     println(line) // final stdout line (after spark shutdown chatter)
   }

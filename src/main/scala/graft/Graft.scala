@@ -48,17 +48,25 @@ object Graft {
   }
 
   /** Decontamination check: eval docs that have a near-duplicate partner
-    * (true Jaccard ≥ threshold) in the train corpus. Ids are re-keyed by
-    * parity internally so the two frames may share doc_id spaces; returns
-    * the contaminated eval doc_ids. */
+    * (true Jaccard ≥ threshold) in the train corpus. `doc_id` must be
+    * integral (the dedup kernels read it as Long — enforced here rather
+    * than silently null-casting); ids are re-keyed by parity internally
+    * so the two frames may share doc_id spaces, with `pmod` so negative
+    * ids survive the round-trip. Returns the contaminated eval doc_ids. */
   def contaminated(spark: SparkSession, train: DataFrame, eval: DataFrame,
                    threshold: Double = 0.7): DataFrame = {
-    val t = train.select((col("doc_id") * 2).as("doc_id"), col("text"))
-    val e = eval.select((col("doc_id") * 2 + 1).as("doc_id"), col("text"))
+    for (df <- Seq(train, eval)) {
+      val dt = df.schema("doc_id").dataType
+      require(dt == org.apache.spark.sql.types.LongType ||
+              dt == org.apache.spark.sql.types.IntegerType,
+        s"contaminated requires an integral doc_id, got ${dt.catalogString}")
+    }
+    val t = train.select((col("doc_id").cast("long") * 2).as("doc_id"), col("text"))
+    val e = eval.select((col("doc_id").cast("long") * 2 + 1).as("doc_id"), col("text"))
     val pairs = operators.DedupQueries.minhashPairsOf(spark, t.union(e), threshold)
     val sym = pairs.select(col("da").as("x"), col("db").as("y"))
       .union(pairs.select(col("db").as("x"), col("da").as("y")))
-    sym.filter(col("x") % 2 === 1 && col("y") % 2 === 0)
+    sym.filter(pmod(col("x"), lit(2)) === 1 && pmod(col("y"), lit(2)) === 0)
       .select(expr("(x - 1) div 2").as("doc_id"))
       .distinct()
   }

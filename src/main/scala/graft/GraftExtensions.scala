@@ -18,6 +18,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSketch].getName, "graft_minhash"),
-      (children: Seq[Expression]) => new MinHashSketch(children.head)))
+      graft.functions.expressions.GraftFunctions.minhashBuilder))
   }
 }

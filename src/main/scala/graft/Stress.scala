@@ -44,7 +44,7 @@ object Stress {
       println(f"[stress] $label%-28s ${sec}%8.2f s   $n%,d pairs")
       (sec, n)
     }
-    corpus.count() // materialize the checkpoint outside the timings
+    val corpusDocs = corpus.count() // materialize the checkpoint outside the timings
 
     val (su, nu) = time("simhash uncapped", operators.DedupQueries.simhashPairsOf(spark, corpus).count())
     val (sc, nc) = time("simhash maxBucket=50", operators.DedupQueries.simhashPairsOf(spark, corpus, maxBucket = 50).count())
@@ -84,7 +84,7 @@ object Stress {
     smj.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val (b2, _) = time("q3_join sort-merge only", SparkEntry.queries("q3_join")(smj, sfDir).count())
 
-    println(s"""{"stress":"lsh_cap","corpus_docs":${54000},"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2}}""")
+    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2}}""")
     spark.stop()
   }
 }

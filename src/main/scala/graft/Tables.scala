@@ -16,12 +16,25 @@ object Tables {
   // object store at 100 TB, repeated LIST calls. The cached value is a
   // PLAN (schema + file index), not data; correct as long as the fixture
   // files don't change under a live session, which is the contract here.
+  // Keyed by sessionUUID (unique, unlike identityHashCode) and capped so
+  // a session-churning JVM can't grow it without bound.
   private val relCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    relCache.computeIfAbsent((System.identityHashCode(spark), dir, name),
+  /** Collision-free cache key for a session: the implementation's
+    * sessionUUID when reachable (identityHashCode can collide between two
+    * live sessions; sessionUUID is private[sql] at the Scala level but
+    * public in bytecode, so reflection reads it), identity hash as the
+    * fallback. */
+  private[graft] def sessionKey(s: SparkSession): String =
+    try s.getClass.getMethod("sessionUUID").invoke(s).asInstanceOf[String]
+    catch { case _: Throwable => "idhash-" + System.identityHashCode(s) }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (relCache.size > 4096) relCache.clear()
+    relCache.computeIfAbsent((sessionKey(spark), dir, name),
       _ => spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")

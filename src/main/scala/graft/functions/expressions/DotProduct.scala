@@ -116,8 +116,15 @@ object GraftFunctions {
       FunctionIdentifier("graft_dot"), dotInfo,
       (children: Seq[Expression]) => DotProduct(children.head, children(1)))
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_minhash"), minhashInfo,
-      (children: Seq[Expression]) => new MinHashSketch(children.head))
+      FunctionIdentifier("graft_minhash"), minhashInfo, minhashBuilder)
+  }
+
+  /** Strict arity: silently dropping extra args would hand back a
+    * 32-hash sketch to a caller who asked for a different width. */
+  private[graft] val minhashBuilder: Seq[Expression] => Expression = {
+    case Seq(child) => new MinHashSketch(child)
+    case other => throw new IllegalArgumentException(
+      s"graft_minhash expects exactly 1 argument, got ${other.size}")
   }
 
   /** Grouped MinHash signature (array<long> of 32 component minima). */

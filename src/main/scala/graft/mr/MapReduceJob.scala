@@ -135,7 +135,16 @@ final class MapReduceJobHandle[K3, V3](spark: SparkSession, ds: Dataset[(K3, V3)
   // Every state transition, in order — lets specs assert monotone progress
   // without having to poll at the right instants.
   private val history = new java.util.concurrent.ConcurrentLinkedQueue[JobState]()
-  private def setState(s: JobState): Unit = { state.set(s); history.add(s) }
+  // Forward-only ratchet: the reference pipeline is strictly
+  // MAP→SHUFFLE→REDUCE, so a state that would move backwards (e.g. a
+  // RangePartitioner sampling job's stages interleaving with the main
+  // job's under sortedByKey) is dropped rather than surfaced.
+  private def setState(s: JobState): Unit = {
+    val cur = state.get()
+    val forward = s.stage.id > cur.stage.id ||
+      (s.stage == cur.stage && s.percentage >= cur.percentage)
+    if (forward) { state.set(s); history.add(s) }
+  }
 
   /** Folds Spark stage events for this job group onto MAP/SHUFFLE/REDUCE.
     *
@@ -143,18 +152,28 @@ final class MapReduceJobHandle[K3, V3](spark: SparkSession, ds: Dataset[(K3, V3)
     * like the reference's processed-pairs counter). SHUFFLE percentage is
     * REAL data movement, matching the reference's shuffled-pairs /
     * emit2Counter semantics (MapReduceFramework.cpp:123-127, decode
-    * :372-380): shuffle records READ by the result stage so far over
-    * shuffle records WRITTEN by the map stages — taken from
-    * `SparkListenerTaskEnd.taskMetrics`. Once everything written has been
-    * read (or if the shuffle is empty), the state advances to REDUCE with
-    * result-task completion as its percentage.
+    * :372-380): shuffle records READ by a result stage so far over the
+    * records WRITTEN by its DIRECT parent stages (StageInfo.parentIds) —
+    * per-stage attribution, so a multi-shuffle plan (sortedByKey adds a
+    * sort exchange) divides by the right denominator instead of the sum
+    * of every exchange. Once the parent output is fully read (or the
+    * shuffle is empty), the state advances to REDUCE with result-task
+    * completion as its percentage; the setState ratchet keeps the
+    * sequence monotone.
+    *
+    * Precision contract: exact for the canonical single-shuffle
+    * map→shuffle→reduce pipeline (the reference's only shape). Plans that
+    * spawn auxiliary jobs (sortedByKey's RangePartitioner sampling) may
+    * advance the ratchet early; the sequence stays monotone and still
+    * terminates at REDUCE/100.
     */
   private val listener = new SparkListener {
     @volatile private var trackedStages = Map.empty[Int, (Int, Boolean)] // stageId -> (numTasks, isResult)
     @volatile private var tasksDone = Map.empty[Int, Int]
+    @volatile private var stageParents = Map.empty[Int, Seq[Int]]
+    @volatile private var stageWrites = Map.empty[Int, Long]
+    @volatile private var stageReads = Map.empty[Int, Long]
     @volatile private var mapStagesPending = Set.empty[Int]
-    @volatile private var shuffleWritten = 0L
-    @volatile private var shuffleRead = 0L
 
     override def onJobStart(e: SparkListenerJobStart): Unit = {
       if (Option(e.properties).exists(_.getProperty("spark.jobGroup.id") == groupId)) {
@@ -162,6 +181,7 @@ final class MapReduceJobHandle[K3, V3](spark: SparkSession, ds: Dataset[(K3, V3)
         val resultStageId = infos.map(_.stageId).max
         infos.foreach { si =>
           trackedStages += si.stageId -> (math.max(si.numTasks, 1), si.stageId == resultStageId)
+          stageParents += si.stageId -> si.parentIds.map(_.toInt)
           if (si.stageId != resultStageId) mapStagesPending += si.stageId
         }
       }
@@ -172,12 +192,21 @@ final class MapReduceJobHandle[K3, V3](spark: SparkSession, ds: Dataset[(K3, V3)
         tasksDone += e.stageId -> doneCount
         val m = Option(e.taskMetrics)
         if (!isResult) {
-          m.foreach(tm => shuffleWritten += tm.shuffleWriteMetrics.recordsWritten)
+          m.foreach { tm =>
+            stageWrites += e.stageId ->
+              (stageWrites.getOrElse(e.stageId, 0L) + tm.shuffleWriteMetrics.recordsWritten)
+          }
           setState(JobState(Stage.MAP, 100f * doneCount / numTasks))
         } else {
-          m.foreach(tm => shuffleRead += tm.shuffleReadMetrics.recordsRead)
-          if (shuffleWritten > 0 && shuffleRead < shuffleWritten)
-            setState(JobState(Stage.SHUFFLE, 100f * shuffleRead / shuffleWritten))
+          m.foreach { tm =>
+            stageReads += e.stageId ->
+              (stageReads.getOrElse(e.stageId, 0L) + tm.shuffleReadMetrics.recordsRead)
+          }
+          val denom = stageParents.getOrElse(e.stageId, Nil)
+            .map(stageWrites.getOrElse(_, 0L)).sum
+          val read = stageReads.getOrElse(e.stageId, 0L)
+          if (denom > 0 && read < denom)
+            setState(JobState(Stage.SHUFFLE, 100f * read / denom))
           else
             setState(JobState(Stage.REDUCE, 100f * doneCount / numTasks))
         }
@@ -191,7 +220,7 @@ final class MapReduceJobHandle[K3, V3](spark: SparkSession, ds: Dataset[(K3, V3)
           // SHUFFLE stage begins at 0% here (it gives shuffle its own
           // stage; Spark pipelines the reads into the result tasks, whose
           // metrics then drive the percentage up).
-          if (mapStagesPending.isEmpty && shuffleRead == 0L && shuffleWritten > 0L)
+          if (mapStagesPending.isEmpty && stageReads.isEmpty && stageWrites.nonEmpty)
             setState(JobState(Stage.SHUFFLE, 0f))
         }
       }

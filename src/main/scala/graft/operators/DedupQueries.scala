@@ -219,7 +219,7 @@ object DedupQueries extends QueryPack {
     // (via minhashPairs), and ConcurrentHashMap forbids recursive updates
     // when the nested key lands in the same bin. get/putIfAbsent instead;
     // a racing duplicate computation is benign (same deterministic plan).
-    val key = (System.identityHashCode(s), d, "labels")
+    val key = (Tables.sessionKey(s), d, "labels")
     val cached = indexCache.get(key)
     if (cached != null) cached
     else {
@@ -283,13 +283,16 @@ object DedupQueries extends QueryPack {
   // value is a lazily-checkpointed DataFrame: first action computes and
   // caches the RDD blocks; later queries over the same corpus reuse them.
   private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
 
   /** MinHash LSH pairs with true Jaccard ≥ 0.7 (shared by dedup_minhash,
-    * dedup_components and dedup_canonical — computed once per session+dir). */
-  def minhashPairs(s: SparkSession, d: String): DataFrame =
-    indexCache.computeIfAbsent((System.identityHashCode(s), d, "pairs"),
+    * dedup_components and dedup_canonical — computed once per session+dir;
+    * keyed by sessionUUID, size-capped like Tables.relCache). */
+  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    if (indexCache.size > 1024) indexCache.clear()
+    indexCache.computeIfAbsent((Tables.sessionKey(s), d, "pairs"),
       _ => minhashPairsOf(s, Tables.documents(s, d), 0.7))
+  }
 
   /** MinHash LSH near-dup pairs over ANY (doc_id, text) frame.
     * `maxBucket` (opt-in, default unbounded) skips pathological hot LSH

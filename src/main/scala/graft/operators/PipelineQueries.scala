@@ -54,9 +54,8 @@ object PipelineQueries extends QueryPack {
     // reproducible, repartition-stable, and auditable; map-only at any
     // scale (the rate lookup is a CASE on the stratum column).
     "sample_weighted" -> ((s, d) =>
-      Tables.documents(s, d)
-        .filter(graft.functions.PortableHash.h60(col("doc_id").cast("string")) % 100
-          < when(col("lang") === "en", 50).otherwise(20))
+      graft.Graft.weightedSample(Tables.documents(s, d), "doc_id", "lang",
+          Map("en" -> 50), defaultRate = 20)
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
@@ -66,29 +65,28 @@ object PipelineQueries extends QueryPack {
     // partitioned by the pack key + an integer division — no shuffle
     // beyond the window's, deterministic, and the bin id doubles as the
     // downstream shard/partition key.
-    "pack_sequences" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-      Tables.documents(s, d)
+    "pack_sequences" -> ((s, d) =>
+      graft.Graft.packSequences(Tables.documents(s, d), tokensPerBin = 2048)
         .withColumn("tok", size(split(col("text"), " ")))
-        .withColumn("cum", sum("tok").over(w))
-        .withColumn("bin", expr("(cum - tok) div 2048"))
         .groupBy("lang", "bin")
         .agg(count(lit(1)).as("n_docs"), sum("tok").as("bin_tokens"),
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
-        .orderBy("lang", "bin")
-    }),
+        .orderBy("lang", "bin")),
 
     // Salted fact⋈dim join over the same hot-key concern as q_skew_agg:
-    // SkewUtils.saltedJoin spreads each join key over 16 salt buckets
-    // (the small side is exploded ×16, still tiny), so one hot order key
-    // cannot pin a reducer. Results are identical to the plain join —
-    // the oracle IS the plain join. Sums in integer cents (see q_skew_agg).
+    // SkewUtils.saltedJoin spreads each join key over salt buckets (the
+    // small side is exploded × buckets, still tiny), so one hot order key
+    // cannot pin a reducer. The salt source is the companion column that
+    // varies WITHIN a join key — here l_linenumber, which in TPC-H takes
+    // ≤7 values per order, so buckets = 8 (a bigger bucket count would
+    // pay extra dim duplication for no extra spread; real hot keys need a
+    // companion with matching cardinality). Results are identical to the
+    // plain join — the oracle IS the plain join. Integer-cent sums.
     "q_skew_join" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
         floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
       val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
-      SkewUtils.saltedJoin(li, o, "l_orderkey", "o_orderkey", col("l_linenumber"), 16)
+      SkewUtils.saltedJoin(li, o, "l_orderkey", "o_orderkey", col("l_linenumber"), 8)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))
         .orderBy("o_orderpriority")

@@ -106,7 +106,10 @@ object TextAnalysis extends QueryPack {
         .select(col("doc_id"),
           size(col("tg")).as("n_trigrams"),
           size(array_distinct(col("tg"))).as("n_distinct"),
-          floor((size(col("tg")) - size(array_distinct(col("tg"))))
+          // long arithmetic: int (dups × 10000) overflows past ~214k
+          // duplicate trigrams — exactly the mega-boilerplate docs this
+          // filter exists to catch.
+          floor((size(col("tg")).cast("long") - size(array_distinct(col("tg"))).cast("long"))
             * 10000 / size(col("tg"))).cast("long").as("dup_bps"))
         .orderBy("doc_id")),
 
@@ -116,16 +119,8 @@ object TextAnalysis extends QueryPack {
     // map-side, the top-k never global-sorts, and the bigram key space is
     // uniform — no hot reducer at any scale.
     "text_ngram_stats" -> ((s, d) =>
-      Tables.documents(s, d)
-        .withColumn("tk", split(col("text"), " "))
-        .filter(size(col("tk")) >= 2)
-        .select(explode(expr(
-          """transform(sequence(1, size(tk) - 1),
-               i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))""")).as("bigram"))
-        .groupBy("bigram")
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("bigram"))
-        .limit(20)),
+      graft.Graft.topNgrams(Tables.documents(s, d), n = 2, k = 20)
+        .withColumnRenamed("ngram", "bigram")),
 
     // Corpus-level aggregate stats (the reduce side of text analysis).
     "text_corpus_stats" -> ((s, d) =>

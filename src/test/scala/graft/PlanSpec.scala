@@ -68,8 +68,11 @@ class PlanSpec extends SparkSpec {
     // only the 16-row centroid assignment may broadcast-nested-loop.
     val joins = "BroadcastNestedLoopJoin".r.findAllIn(p).size
     assert(joins <= 2, s"unexpected nested-loop joins in blocked kNN:\n$p")
-    assert(p.contains("hashpartitioning(cluster") || p.contains("Join") && p.contains("cluster"),
-      s"pair join not keyed on cluster:\n$p")
+    // The pair join must be an EQUI-join keyed on `cluster` — assert a
+    // join node whose key list starts with the cluster column (a plain
+    // contains("Join") && contains("cluster") would be vacuously true).
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cluster#".r
+      .findFirstIn(p).isDefined, s"pair join not keyed on cluster:\n$p")
   }
 
   test("q_skew_agg aggregates twice (salt partial, key final) with integral sums") {

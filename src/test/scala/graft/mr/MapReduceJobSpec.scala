@@ -132,6 +132,32 @@ class MapReduceJobSpec extends SparkSpec {
     handle.close()
   }
 
+  test("async handle: sortedByKey (multi-shuffle plan) history stays monotone, ends REDUCE/100") {
+    import spark.implicits._
+    val client = new MapReduceClient[String, Int, String, Int, String, Int] {
+      def map(k: String, v: Int) = Iterator.single(k -> v)
+      def reduce(k: String, vs: Iterator[Int]) = Iterator.single(k -> vs.sum)
+    }
+    val input = (1 to 400).map(i => (s"k${i % 40}", i)).toDS().repartition(4)
+    val handle = MapReduceJob.startJob(spark, input, client, sortedByKey = true)
+    handle.waitForJob()
+    var h = handle.stateHistory
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var settled = false
+    while (!settled && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+      val h2 = handle.stateHistory
+      settled = h2.size == h.size && h2.lastOption.contains(JobState(Stage.REDUCE, 100f))
+      h = h2
+    }
+    // Ratchet property: (stage, pct) never moves backwards, even with the
+    // sort's RangePartitioner sampling job interleaving.
+    val keys = h.map(s => (s.stage.id, s.percentage))
+    assert(keys == keys.sorted, s"non-monotone history: $h")
+    assert(h.last == JobState(Stage.REDUCE, 100f), s"history: $h")
+    handle.close()
+  }
+
   test("async handle: AQE stays enabled in the caller's session while a job runs") {
     import spark.implicits._
     spark.conf.set("spark.sql.adaptive.enabled", "true")
