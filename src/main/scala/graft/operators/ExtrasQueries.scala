@@ -54,6 +54,23 @@ object ExtrasQueries extends QueryPack {
           (abs(col("asup") - col("esup")) / col("esup") <= 0.05).as("supps_within_5pct"))
         .orderBy("l_returnflag")),
 
+    // MERGEABLE HLL sketches (DataSketches HllSketch): per-group partial
+    // sketches unioned into one global estimate — the store-sketches,
+    // merge-at-query-time pattern that makes distinct counting
+    // associative at 100 TB (per-day/per-shard sketches union in O(k)
+    // instead of recounting the raw keys). Gated like q_hll: the oracle
+    // checks the ≤5% relative-error contract vs the exact global count.
+    "q_hll_merge" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_hm")
+      s.sql("""
+        WITH parts AS (SELECT l_returnflag, hll_sketch_agg(l_partkey) AS sk
+                       FROM lineitem_hm GROUP BY l_returnflag),
+             merged AS (SELECT hll_sketch_estimate(hll_union_agg(sk)) AS est FROM parts),
+             exact AS (SELECT COUNT(DISTINCT l_partkey) AS n FROM lineitem_hm)
+        SELECT CAST(abs(est - n) / n <= 0.05 AS BOOLEAN) AS merged_within_5pct
+        FROM merged, exact""")
+    }),
+
     // Approximate percentile (KLL-style sketch) with a bounded-error gate
     // against the exact percentile in the same pass — q_hll pattern: the
     // oracle checks the ≤5% relative-error contract, not the estimate.
@@ -252,6 +269,7 @@ object ExtrasQueries extends QueryPack {
     "q_percentile_approx" ->
       """SELECT l_returnflag, true AS p50_within_5pct
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_hll_merge" -> "SELECT true AS merged_within_5pct",
     "q_topk_udaf" ->
       """SELECT o_orderpriority, rk, FLOOR(price*100 + 0.5)/100 AS price FROM (
            SELECT o_orderpriority,
