@@ -92,6 +92,22 @@ object PipelineQueries extends QueryPack {
         .orderBy("o_orderpriority")
     }),
 
+    // EXACT-k uniform sample per stratum: rank docs within each language
+    // by their md5 hash (a deterministic random permutation) and keep the
+    // first 10 — unbiased unlike sample_stratified's first-k-by-id, still
+    // fully reproducible and repartition-stable, exact group sizes unlike
+    // Bernoulli sampling. One ranking window on the stratum key.
+    "sample_exact_k" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang")
+        .orderBy(graft.functions.PortableHash.h60(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy("lang", "rk")
+    }),
+
     // Stratified sample: first 5 docs per language by doc_id (ranking
     // window — one exchange on the stratum key).
     "sample_stratified" -> ((s, d) => {
@@ -114,6 +130,14 @@ object PipelineQueries extends QueryPack {
                 FLOOR(MAX(l_extendedprice)*100 + 0.5)/100 AS max_price,
                 CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_flags
          FROM lineitem""",
+    "sample_exact_k" ->
+      """SELECT lang, rk, doc_id FROM (
+           SELECT lang, doc_id,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+                             doc_id) AS INT) AS rk
+           FROM documents)
+         WHERE rk <= 10 ORDER BY lang, rk""",
     "q_skew_join" ->
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
                 CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents

@@ -56,6 +56,20 @@ class FileSourcesSpec extends SparkSpec {
     assert(new java.io.File(tmp).listFiles().exists(_.getName.startsWith("k=")))
   }
 
+  test("parquet schema evolution: mergeSchema unions columns across file generations") {
+    import spark.implicits._
+    // A lake ingests v1 files, then the producer adds a column — readers
+    // must see the union schema with nulls for old files.
+    val lake = Files.createTempDirectory("graft-evolve").toFile.getAbsolutePath
+    Seq((1L, "a")).toDF("id", "name").write.parquet(s"$lake/gen=1")
+    Seq((2L, "b", 9.5)).toDF("id", "name", "score").write.parquet(s"$lake/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(lake)
+    assert(merged.columns.sorted.toSeq == Seq("gen", "id", "name", "score"))
+    val rows = merged.orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.get(r.fieldIndex("score"))))).toSeq
+    assert(rows == Seq((1L, None), (2L, Some(9.5))))
+  }
+
   test("ORC round-trips with predicate pushdown reaching the scan") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-orc").toFile.getAbsolutePath + "/li"
