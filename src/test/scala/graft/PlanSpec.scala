@@ -39,11 +39,23 @@ class PlanSpec extends SparkSpec {
   }
 
   test("window queries shuffle once on the partition key") {
-    val p = plan("q_window_rank")
-    // one exchange for the window partitioning + possibly one for the
-    // final orderBy; no more.
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
-      s"too many hash exchanges:\n$p")
+    for (q <- Seq("q_window_rank", "q_window_range", "sample_exact_k")) {
+      val p = plan(q)
+      // one exchange for the window partitioning + possibly one for the
+      // final orderBy; no more.
+      assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+        s"$q: too many hash exchanges:\n$p")
+    }
+  }
+
+  test("Tables relation cache is session-isolated (no cross-session plan reuse)") {
+    val a = spark.newSession()
+    val b = spark.newSession()
+    val da = Tables.lineitem(a, dir)
+    val db = Tables.lineitem(b, dir)
+    assert(da.sparkSession eq a, "cached relation bound to the wrong session")
+    assert(db.sparkSession eq b, "cached relation bound to the wrong session")
+    assert(Tables.lineitem(a, dir) eq da, "same session+dir must reuse the cached plan")
   }
 
   test("no query plan contains an unbounded CartesianProduct") {
