@@ -45,6 +45,35 @@ trait MapReduceClient[K1, V1, K2, V2, K3, V3] extends Serializable {
   def reduce(key: K2, values: Iterator[V2]): IterableOnce[(K3, V3)]
 }
 
+/** Drop-in adapter with the reference's EXACT callback signatures:
+  * `void map(k1, v1)` emitting via `emit2(k2, v2)` and
+  * `void reduce(k2, values)` emitting via `emit3(k3, v3)`
+  * (MapReduceClient.h:74,83 + MapReduceFramework.h emit2/emit3). A C++
+  * client ports line-for-line — replace the `emit2(...)` framework call
+  * with the provided function — while the engine still runs the
+  * iterator-based [[MapReduceClient]] contract underneath. */
+trait EmitStyleClient[K1, V1, K2, V2, K3, V3]
+    extends MapReduceClient[K1, V1, K2, V2, K3, V3] {
+
+  /** ≡ MapReduceClient::map(k1, v1) + emit2 calls. */
+  def mapEmit(key: K1, value: V1, emit2: (K2, V2) => Unit): Unit
+
+  /** ≡ MapReduceClient::reduce(k2, values) + emit3 calls. */
+  def reduceEmit(key: K2, values: Iterator[V2], emit3: (K3, V3) => Unit): Unit
+
+  final override def map(key: K1, value: V1): IterableOnce[(K2, V2)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(K2, V2)]
+    mapEmit(key, value, (k, v) => out += ((k, v)))
+    out
+  }
+
+  final override def reduce(key: K2, values: Iterator[V2]): IterableOnce[(K3, V3)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(K3, V3)]
+    reduceEmit(key, values, (k, v) => out += ((k, v)))
+    out
+  }
+}
+
 /** Reference JobState facade (MapReduceFramework.h:8-15). */
 object Stage extends Enumeration {
   val UNDEFINED, MAP, SHUFFLE, REDUCE = Value

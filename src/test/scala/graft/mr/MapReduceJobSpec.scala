@@ -38,6 +38,23 @@ class MapReduceJobSpec extends SparkSpec {
     assert(out == Map("a" -> 2, "a!" -> 4, "b" -> 4, "b!" -> 8))
   }
 
+  test("EmitStyleClient: reference-style emit2/emit3 callbacks produce identical results") {
+    import spark.implicits._
+    // Port shape of the reference example (FileWordCounter.cpp:117-132):
+    // void map + emit2 per token, void reduce + one emit3.
+    val emitClient = new EmitStyleClient[String, String, String, Int, String, Int] {
+      def mapEmit(path: String, text: String, emit2: (String, Int) => Unit): Unit =
+        FileWordCounter.tokenizeQuirk(text).foreach(w => emit2(w, 1))
+      def reduceEmit(word: String, counts: Iterator[Int], emit3: (String, Int) => Unit): Unit =
+        emit3(word, counts.sum)
+    }
+    val input = Seq("f1" -> "the quick fox the", "f2" -> "fox jumps").toDS()
+    val viaEmit = MapReduceJob.run(input, emitClient).collect().toMap
+    val viaIterator = MapReduceJob.run(input, FileWordCounter.client).collect().toMap
+    assert(viaEmit == viaIterator)
+    assert(viaEmit == Map("the" -> 2, "quick" -> 1, "fox" -> 2, "jumps" -> 1))
+  }
+
   test("property: MR word count ≡ sequential fold over randomized docs (seeded)") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
