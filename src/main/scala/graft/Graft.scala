@@ -61,8 +61,20 @@ object Graft {
               dt == org.apache.spark.sql.types.IntegerType,
         s"contaminated requires an integral doc_id, got ${dt.catalogString}")
     }
-    val t = train.select((col("doc_id").cast("long") * 2).as("doc_id"), col("text"))
-    val e = eval.select((col("doc_id").cast("long") * 2 + 1).as("doc_id"), col("text"))
+    // |doc_id| must stay below Long.MaxValue/2 or the ×2 re-keying wraps
+    // and can alias a train id onto an eval id (wrong results, silently).
+    // assert_error raises AT SCAN TIME inside the distributed plan — no
+    // driver-side min/max pre-pass over the corpus.
+    // (Explicit two-sided bound, not abs(): abs(Long.MinValue) wraps
+    // negative and would slip through.)
+    val lim = Long.MaxValue / 2
+    val guard = (c: org.apache.spark.sql.Column) =>
+      when(c >= lim || c <= -lim,
+        raise_error(concat(lit("contaminated: |doc_id| too large to re-key: "),
+          c.cast("string"))).cast("long"))
+        .otherwise(c)
+    val t = train.select((guard(col("doc_id").cast("long")) * 2).as("doc_id"), col("text"))
+    val e = eval.select((guard(col("doc_id").cast("long")) * 2 + 1).as("doc_id"), col("text"))
     val pairs = operators.DedupQueries.minhashPairsOf(spark, t.union(e), threshold)
     val sym = pairs.select(col("da").as("x"), col("db").as("y"))
       .union(pairs.select(col("db").as("x"), col("da").as("y")))

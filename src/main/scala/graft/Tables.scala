@@ -21,17 +21,52 @@ object Tables {
   private val relCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
 
-  /** Collision-free cache key for a session: the implementation's
-    * sessionUUID when reachable (identityHashCode can collide between two
-    * live sessions; sessionUUID is private[sql] at the Scala level but
-    * public in bytecode, so reflection reads it), identity hash as the
-    * fallback. */
-  private[graft] def sessionKey(s: SparkSession): String =
-    try s.getClass.getMethod("sessionUUID").invoke(s).asInstanceOf[String]
-    catch { case _: Throwable => "idhash-" + System.identityHashCode(s) }
+  // Issues a stable per-session UUID with no reflection (sessionUUID is
+  // private[sql] — reading it reflectively was a Spark-upgrade tripwire).
+  // Weak keys: a collected session's id mapping disappears on its own.
+  private val sessionIds = new java.util.WeakHashMap[SparkSession, String]()
+  // Liveness registry for cache eviction: key -> weak ref to its session.
+  private val liveSessions = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.ref.WeakReference[SparkSession]]()
+
+  /** Collision-free cache key for a session (a lazily-issued UUID;
+    * identityHashCode could collide between two live sessions). */
+  private[graft] def sessionKey(s: SparkSession): String = {
+    val id = sessionIds.synchronized {
+      var v = sessionIds.get(s)
+      if (v == null) { v = java.util.UUID.randomUUID().toString; sessionIds.put(s, v) }
+      v
+    }
+    liveSessions.putIfAbsent(id, new java.lang.ref.WeakReference(s))
+    id
+  }
+
+  /** True when the session that issued `key` is GC'd or stopped. */
+  private def sessionDead(key: String): Boolean = {
+    val ref = liveSessions.get(key)
+    ref != null && { val s = ref.get(); s == null || s.sparkContext.isStopped }
+  }
+
+  /** Per-session cache eviction (replaces the old wholesale `clear()` past
+    * a size cap, which retained dead sessions' entries — including
+    * checkpointed RDD blocks — until 4096 keys accumulated and then threw
+    * away every LIVE session's entries too). Scans only once the cache has
+    * real mass; a handful of live sessions never triggers it. */
+  private[graft] def evictDead[V](
+      m: java.util.concurrent.ConcurrentHashMap[(String, String, String), V]): Unit =
+    if (m.size > 256) {
+      val it = m.keySet.iterator()
+      while (it.hasNext) if (sessionDead(it.next()._1)) it.remove()
+      val lit = liveSessions.entrySet.iterator()
+      while (lit.hasNext) {
+        val e = lit.next()
+        val s = e.getValue.get()
+        if (s == null || s.sparkContext.isStopped) lit.remove()
+      }
+    }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (relCache.size > 4096) relCache.clear()
+    evictDead(relCache)
     relCache.computeIfAbsent((sessionKey(spark), dir, name),
       _ => spark.read.parquet(s"$dir/$name.parquet"))
   }

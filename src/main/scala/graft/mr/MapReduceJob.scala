@@ -150,13 +150,18 @@ object MapReduceJob {
       e3: Encoder[(K3, V3)]): MapReduceJobHandle[K3, V3] = {
     val exec = spark.newSession()
     exec.conf.set("spark.sql.adaptive.enabled", "false")
-    val ds = run(exec.createDataset(input.rdd), client, sortedByKey)
-    new MapReduceJobHandle(exec, ds)
+    // The plan is built LAZILY inside the handle's runner thread (after
+    // setJobGroup): input.rdd on the caller's thread would — under the
+    // parent session's AQE — materialize the input's shuffle stages
+    // eagerly and synchronously, violating the returns-immediately
+    // contract and running those jobs outside the handle's job group
+    // (uncancellable, invisible to progress).
+    new MapReduceJobHandle(exec, () => run(exec.createDataset(input.rdd), client, sortedByKey))
   }
 }
 
 /** Opaque job handle (≡ JobHandle, MapReduceFramework.h:43-66). */
-final class MapReduceJobHandle[K3, V3](spark: SparkSession, ds: Dataset[(K3, V3)]) {
+final class MapReduceJobHandle[K3, V3](spark: SparkSession, mkDs: () => Dataset[(K3, V3)]) {
 
   private val groupId = s"graft-mr-${UUID.randomUUID()}"
   private val state = new AtomicReference(JobState(Stage.UNDEFINED, 0f))
@@ -168,11 +173,17 @@ final class MapReduceJobHandle[K3, V3](spark: SparkSession, ds: Dataset[(K3, V3)
   // MAP→SHUFFLE→REDUCE, so a state that would move backwards (e.g. a
   // RangePartitioner sampling job's stages interleaving with the main
   // job's under sortedByKey) is dropped rather than surfaced.
+  // Atomic check-then-act: the listener-bus thread and the runner thread
+  // race here, and a get/set pair could let a stale SHUFFLE event overwrite
+  // the runner's final REDUCE/100 (leaving getJobState below completion and
+  // the history non-monotone). updateAndGet makes the ratchet lock-free.
   private def setState(s: JobState): Unit = {
-    val cur = state.get()
-    val forward = s.stage.id > cur.stage.id ||
-      (s.stage == cur.stage && s.percentage >= cur.percentage)
-    if (forward) { state.set(s); history.add(s) }
+    val updated = state.updateAndGet { cur =>
+      val forward = s.stage.id > cur.stage.id ||
+        (s.stage == cur.stage && s.percentage >= cur.percentage)
+      if (forward) s else cur
+    }
+    if (updated eq s) history.add(s)
   }
 
   /** Folds Spark stage events for this job group onto MAP/SHUFFLE/REDUCE.
@@ -196,6 +207,15 @@ final class MapReduceJobHandle[K3, V3](spark: SparkSession, ds: Dataset[(K3, V3)
     * advance the ratchet early; the sequence stays monotone and still
     * terminates at REDUCE/100.
     */
+  // Progress attribution starts at the MAIN job (the runner's collect):
+  // input-materialization jobs triggered by building the plan run
+  // group-tagged (cancellable) but must not drive MAP/SHUFFLE/REDUCE —
+  // their final stage is a ShuffleMapStage, which the max-stageId
+  // heuristic would misread as a result stage and ratchet straight to
+  // REDUCE. The reference's stages describe the MR pipeline itself, not
+  // input prep (MapReduceFramework.cpp:164-202).
+  @volatile private var mainPhase = false
+
   private val listener = new SparkListener {
     @volatile private var trackedStages = Map.empty[Int, (Int, Boolean)] // stageId -> (numTasks, isResult)
     @volatile private var tasksDone = Map.empty[Int, Int]
@@ -205,7 +225,8 @@ final class MapReduceJobHandle[K3, V3](spark: SparkSession, ds: Dataset[(K3, V3)
     @volatile private var mapStagesPending = Set.empty[Int]
 
     override def onJobStart(e: SparkListenerJobStart): Unit = {
-      if (Option(e.properties).exists(_.getProperty("spark.jobGroup.id") == groupId)) {
+      if (mainPhase &&
+          Option(e.properties).exists(_.getProperty("spark.jobGroup.id") == groupId)) {
         val infos = e.stageInfos
         val resultStageId = infos.map(_.stageId).max
         infos.foreach { si =>
@@ -274,6 +295,10 @@ final class MapReduceJobHandle[K3, V3](spark: SparkSession, ds: Dataset[(K3, V3)
       // (Not compareAndSet with a fresh case-class instance — that compares
       // by reference and never matches; update-if-still-UNDEFINED instead.)
       state.getAndUpdate(s => if (s.stage == Stage.UNDEFINED) JobState(Stage.MAP, 0f) else s)
+      // Plan construction (incl. input.rdd materialization) happens HERE,
+      // async and group-tagged — see startJob.
+      val ds = mkDs()
+      mainPhase = true
       val out = ds.collect()
       setState(JobState(Stage.REDUCE, 100f))
       done.success(out)

@@ -44,9 +44,16 @@ object MediaPipeline {
 
   /** Decode pass: typed Dataset + mapPartitions — the batch shape a real
     * decoder needs (iterator in, iterator out, one partition per task). */
-  def decoded(s: SparkSession, dir: String): DataFrame = {
+  def decoded(s: SparkSession, dir: String): DataFrame =
+    decodedOf(s, mediaTable(s, dir))
+
+  /** Decode pass over ANY (doc_id, source, media) frame. Callers that only
+    * need a few payloads should filter BEFORE this call: the typed
+    * mapPartitions is a pushdown barrier, so a filter above it still
+    * decodes (and scans) the whole corpus. */
+  def decodedOf(s: SparkSession, mediaDf: DataFrame): DataFrame = {
     import s.implicits._
-    mediaTable(s, dir).as[MediaRow]
+    mediaDf.as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
           val (w, h, f) = decodeStub(r.media)

@@ -223,8 +223,9 @@ object DedupQueries extends QueryPack {
     val cached = indexCache.get(key)
     if (cached != null) cached
     else {
-      val labels = componentLabelsFromPairs(
-        minhashPairs(s, d).select("da", "db").localCheckpoint(eager = false))
+      // minhashPairs is already lazily checkpointed — selecting off it
+      // shares the materialized blocks, no second checkpoint needed.
+      val labels = componentLabelsFromPairs(minhashPairs(s, d).select("da", "db"))
       indexCache.putIfAbsent(key, labels)
       indexCache.get(key)
     }
@@ -286,12 +287,17 @@ object DedupQueries extends QueryPack {
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
 
   /** MinHash LSH pairs with true Jaccard ≥ 0.7 (shared by dedup_minhash,
-    * dedup_components and dedup_canonical — computed once per session+dir;
-    * keyed by sessionUUID, size-capped like Tables.relCache). */
+    * dedup_components, dedup_canonical and dedup_contamination — computed
+    * once per session+dir; keyed like Tables.relCache). The cached frame is
+    * lazily CHECKPOINTED: the first action (whichever downstream query runs
+    * first) materializes the pair RDD blocks, and every later consumer
+    * reuses them instead of re-running the full LSH candidate+verify plan
+    * (which cost dedup_contamination an extra ~1.7 s per query at sf0.1). */
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    if (indexCache.size > 1024) indexCache.clear()
+    Tables.evictDead(indexCache)
     indexCache.computeIfAbsent((Tables.sessionKey(s), d, "pairs"),
-      _ => minhashPairsOf(s, Tables.documents(s, d), 0.7))
+      _ => minhashPairsOf(s, Tables.documents(s, d), 0.7)
+        .localCheckpoint(eager = false))
   }
 
   /** MinHash LSH near-dup pairs over ANY (doc_id, text) frame.
@@ -379,13 +385,24 @@ object DedupQueries extends QueryPack {
       // off the raw shingle stream, no pre-distinct shuffle.
       val sig = sh.groupBy("lang")
         .agg(graft.functions.expressions.GraftFunctions.minhashSketchCol(col("sh")).as("sig"))
-      // dsh feeds three plan branches (sizes + both self-join sides) —
-      // lazy checkpoint computes the distinct once and shares the blocks.
-      val dsh = sh.distinct().localCheckpoint(eager = false)
-      val sizes = dsh.groupBy("lang").agg(count(lit(1)).as("nsh"))
-      val inter = dsh.as("a")
-        .join(dsh.as("b"), col("a.sh") === col("b.sh") && col("a.lang") < col("b.lang"))
-        .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+      // Exact gate in ONE shuffle: group the raw shingle stream by shingle
+      // (collect_set dedups langs map-side, set ≤ #languages), then derive
+      // BOTH per-language sizes and pairwise intersections from the tiny
+      // per-shingle language sets — no distinct-shingle self-join, which
+      // shuffled every distinct shingle twice and was the bench's single
+      // heaviest item (6.1 s at sf0.1). Lazy checkpoint shares the grouped
+      // blocks between the two derived aggregates.
+      val grouped = sh.groupBy("sh")
+        .agg(sort_array(collect_set(col("lang"))).as("langs"))
+        .localCheckpoint(eager = false)
+      val sizes = grouped.select(explode(col("langs")).as("lang"))
+        .groupBy("lang").agg(count(lit(1)).as("nsh"))
+      val inter = grouped.filter(size(col("langs")) > 1)
+        .select(explode(expr(
+          """flatten(transform(sequence(0, size(langs) - 2),
+               i -> transform(slice(langs, i + 2, size(langs) - i - 1),
+                      y -> struct(langs[i] AS la, y AS lb))))""")).as("p"))
+        .groupBy(col("p.la").as("lang_a"), col("p.lb").as("lang_b"))
         .agg(count(lit(1)).as("n_inter"))
       inter
         .join(sizes.select(col("lang").as("lang_a"), col("nsh").as("na")), "lang_a")

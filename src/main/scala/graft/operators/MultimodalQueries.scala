@@ -46,13 +46,18 @@ object MultimodalQueries extends QueryPack {
     // binary column feeding the similarity-search path end-to-end.
     "mm_embed_topk" -> ((s, d) => {
       graft.functions.expressions.GraftFunctions.ensureRegistered(s)
-      val feat = MediaPipeline.decoded(s, d)
+      def featOf(decoded: org.apache.spark.sql.DataFrame) = decoded
         .withColumn("fv", expr(
           "transform(sequence(0, 7), j -> CAST((bytes * (j + 3) + width * j + height) % 97 AS DOUBLE) / 97.0)"))
         .withColumn("nrm", sqrt(call_function("graft_dot", col("fv"), col("fv"))))
-      val probe = feat.filter(col("doc_id") === 0)
+      // Probe branch filters BELOW the decode barrier: the doc_id=0
+      // predicate reaches the parquet scan, so building the broadcast
+      // probe costs one pruned row — not a second full-corpus decode pass
+      // (the typed mapPartitions blocks pushdown from above).
+      val probe = featOf(MediaPipeline.decodedOf(s,
+          MediaPipeline.mediaTable(s, d).filter(col("doc_id") === 0)))
         .select(col("fv").as("pv"), col("nrm").as("pnrm"))
-      feat.filter(col("doc_id") =!= 0)
+      featOf(MediaPipeline.decoded(s, d)).filter(col("doc_id") =!= 0)
         .crossJoin(broadcast(probe))
         .withColumn("cos", call_function("graft_dot", col("fv"), col("pv")) / (col("nrm") * col("pnrm")))
         .select(col("doc_id"), graft.Portable.round6(col("cos")).as("cos"))
