@@ -41,17 +41,24 @@ object Tables {
     id
   }
 
-  /** True when the session that issued `key` is GC'd or stopped. */
+  /** True when the session that issued `key` is GC'd or stopped. An ABSENT
+    * registry entry also means dead: `sessionKey` always registers the id
+    * before any cache insert, so a missing key can only mean it was pruned
+    * as dead by an earlier eviction pass (over this or a sibling cache). */
   private def sessionDead(key: String): Boolean = {
     val ref = liveSessions.get(key)
-    ref != null && { val s = ref.get(); s == null || s.sparkContext.isStopped }
+    ref == null || { val s = ref.get(); s == null || s.sparkContext.isStopped }
   }
 
   /** Per-session cache eviction (replaces the old wholesale `clear()` past
     * a size cap, which retained dead sessions' entries — including
     * checkpointed RDD blocks — until 4096 keys accumulated and then threw
     * away every LIVE session's entries too). Scans only once the cache has
-    * real mass; a handful of live sessions never triggers it. */
+    * real mass; a handful of live sessions never triggers it. If the scan
+    * frees nothing (one long-lived session reading thousands of distinct
+    * dirs/tables), a hard cap clears the cache outright — the values are
+    * cheap re-derivable plans, and a bounded re-resolution beats an
+    * unbounded map plus an O(n) scan on every call. */
   private[graft] def evictDead[V](
       m: java.util.concurrent.ConcurrentHashMap[(String, String, String), V]): Unit =
     if (m.size > 256) {
@@ -63,6 +70,7 @@ object Tables {
         val s = e.getValue.get()
         if (s == null || s.sparkContext.isStopped) lit.remove()
       }
+      if (m.size > 4096) m.clear()
     }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -173,11 +173,15 @@ final class MapReduceJobHandle[K3, V3](spark: SparkSession, mkDs: () => Dataset[
   // MAP→SHUFFLE→REDUCE, so a state that would move backwards (e.g. a
   // RangePartitioner sampling job's stages interleaving with the main
   // job's under sortedByKey) is dropped rather than surfaced.
-  // Atomic check-then-act: the listener-bus thread and the runner thread
-  // race here, and a get/set pair could let a stale SHUFFLE event overwrite
-  // the runner's final REDUCE/100 (leaving getJobState below completion and
-  // the history non-monotone). updateAndGet makes the ratchet lock-free.
-  private def setState(s: JobState): Unit = {
+  // The ratchet and the history append are covered by ONE lock: with the
+  // append outside it, two threads that both advance (SHUFFLE then
+  // REDUCE/100) could interleave their add() calls in the opposite order
+  // and the recorded history would show REDUCE before SHUFFLE. The lock is
+  // uncontended in practice (listener-bus events are single-threaded; only
+  // the runner's final REDUCE/100 races them) and readers still get
+  // getJobState lock-free from the AtomicReference.
+  private val stateLock = new Object
+  private def setState(s: JobState): Unit = stateLock.synchronized {
     val updated = state.updateAndGet { cur =>
       val forward = s.stage.id > cur.stage.id ||
         (s.stage == cur.stage && s.percentage >= cur.percentage)
@@ -214,7 +218,13 @@ final class MapReduceJobHandle[K3, V3](spark: SparkSession, mkDs: () => Dataset[
   // heuristic would misread as a result stage and ratchet straight to
   // REDUCE. The reference's stages describe the MR pipeline itself, not
   // input prep (MapReduceFramework.cpp:164-202).
-  @volatile private var mainPhase = false
+  //
+  // The match is POSITIVE, not temporal: the runner sets a thread-local
+  // property just before collect(), and Spark clones each job's properties
+  // at SUBMIT time, so an input job's SparkListenerJobStart can never carry
+  // it — even when the async listener bus delivers that event after the
+  // main job has started (a plain `mainPhase` boolean raced exactly there).
+  private val mainJobProp = "graft.mr.mainJob"
 
   private val listener = new SparkListener {
     @volatile private var trackedStages = Map.empty[Int, (Int, Boolean)] // stageId -> (numTasks, isResult)
@@ -225,8 +235,7 @@ final class MapReduceJobHandle[K3, V3](spark: SparkSession, mkDs: () => Dataset[
     @volatile private var mapStagesPending = Set.empty[Int]
 
     override def onJobStart(e: SparkListenerJobStart): Unit = {
-      if (mainPhase &&
-          Option(e.properties).exists(_.getProperty("spark.jobGroup.id") == groupId)) {
+      if (Option(e.properties).exists(_.getProperty(mainJobProp) == groupId)) {
         val infos = e.stageInfos
         val resultStageId = infos.map(_.stageId).max
         infos.foreach { si =>
@@ -296,15 +305,17 @@ final class MapReduceJobHandle[K3, V3](spark: SparkSession, mkDs: () => Dataset[
       // by reference and never matches; update-if-still-UNDEFINED instead.)
       state.getAndUpdate(s => if (s.stage == Stage.UNDEFINED) JobState(Stage.MAP, 0f) else s)
       // Plan construction (incl. input.rdd materialization) happens HERE,
-      // async and group-tagged — see startJob.
+      // async and group-tagged — see startJob. Jobs submitted during mkDs()
+      // do NOT carry mainJobProp (set after), so the listener ignores them.
       val ds = mkDs()
-      mainPhase = true
+      spark.sparkContext.setLocalProperty(mainJobProp, groupId)
       val out = ds.collect()
       setState(JobState(Stage.REDUCE, 100f))
       done.success(out)
     } catch {
       case t: Throwable => done.failure(t)
     } finally {
+      spark.sparkContext.setLocalProperty(mainJobProp, null)
       spark.sparkContext.clearJobGroup()
     }
   }, groupId)
