@@ -138,6 +138,42 @@ object SimilarityQueries extends QueryPack {
         .orderBy("vec_id")
     }),
 
+    // kNN join, nprobe=2: recall knob over sim_knn_ivf. A vector near a
+    // cell boundary gets a worse-than-brute neighbor when only its own
+    // cell is searched; probing the second-nearest cell too recovers most
+    // of that recall (asserted vs the brute baseline in
+    // SimilarityRecallSpec) at exactly 2× the candidate cost — still
+    // Σ cells², never corpus². One scored-assignment pass (rk ≤ 2,
+    // lazily checkpointed) feeds both the probe side (both cells) and the
+    // candidate side (residents, rk = 1), so the index builds once.
+    "sim_knn_ivf2" -> ((s, d) => {
+      val e = vecs(s, d)
+      val cent = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("w"), col("nrm").as("wnrm"))
+      val byVec = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+      val scored = e.crossJoin(broadcast(cent))
+        .withColumn("ccos", cosExpr / (col("nrm") * col("wnrm")))
+        .withColumn("rk", row_number().over(byVec))
+        .filter(col("rk") <= 2)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cluster"), col("rk"))
+        .localCheckpoint(eager = false)
+      val a = scored.select(col("cluster"), col("vec_id").as("qid"), col("v"), col("nrm"))
+      val b = scored.filter(col("rk") === 1)
+        .select(col("cluster"), col("vec_id").as("cid2"),
+          col("v").as("w"), col("nrm").as("wnrm"))
+      // Pairs are unique (a resident lives in exactly one cell; the two
+      // probe cells are distinct), so a plain argmax over the union of
+      // both cells' candidates is the per-vector answer.
+      a.join(b, Seq("cluster"))
+        .filter(col("qid") =!= col("cid2"))
+        .withColumn("cos", cosExpr / (col("nrm") * col("wnrm")))
+        .groupBy("qid")
+        .agg(max(struct(col("cos"), (-col("cid2")).as("negid"))).as("m"))
+        .select(col("qid").as("vec_id"), (-col("m.negid")).as("nn_id"),
+          round6(col("m.cos")).as("cos"))
+        .orderBy("vec_id")
+    }),
+
     // Int8 quantization audit: per-vector symmetric scale (127/max|x|),
     // round-trip each component, report the worst reconstruction error
     // per label — the compression-loss check an embedding pipeline runs
@@ -236,6 +272,25 @@ object SimilarityQueries extends QueryPack {
                                 ORDER BY cos DESC, nn_id) AS rk
                        FROM pairs)
           SELECT vec_id, cluster, nn_id, FLOOR(cos*1000000 + 0.5)/1000000 AS cos
+          FROM ranked WHERE rk = 1 ORDER BY vec_id""",
+    "sim_knn_ivf2" ->
+      s"""WITH $vecsSqlCte,
+            cent AS (SELECT vec_id AS cid, v AS w, nrm AS wnrm FROM n WHERE vec_id < 16),
+            sc AS (SELECT a.vec_id, a.v, a.nrm, c.cid AS cluster,
+                          ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                            ORDER BY ${cosSql("a.v", "c.w")} / (a.nrm * c.wnrm) DESC, c.cid) AS rk
+                   FROM n a, cent c),
+            probes AS (SELECT vec_id, v, nrm, cluster FROM sc WHERE rk <= 2),
+            asg AS (SELECT vec_id, v, nrm, cluster FROM sc WHERE rk = 1),
+            pairs AS (SELECT a.vec_id, b.vec_id AS nn_id,
+                             ${cosSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+                      FROM probes a JOIN asg b
+                        ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
+            ranked AS (SELECT vec_id, nn_id, cos,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, nn_id) AS rk
+                       FROM pairs)
+          SELECT vec_id, nn_id, FLOOR(cos*1000000 + 0.5)/1000000 AS cos
           FROM ranked WHERE rk = 1 ORDER BY vec_id""",
     "embed_quantize" ->
       """WITH e AS (SELECT vec_id, label,

@@ -53,6 +53,34 @@ object TextQueries extends QueryPack {
         .orderBy(col("cnt").desc, col("word"))
         .limit(10)),
 
+    // A1+A2 end-to-end: the reference's complete PROGRAM (FileWordCounter
+    // .cpp main, :234-286 — scan a directory, whole-file read, MapReduce
+    // word count) oracle-checked, not just spec-tested. The query stages a
+    // deterministic doc-per-file directory from `documents` (doc_id < 40,
+    // bytes verbatim, stale files removed) and runs the directoryWordCount
+    // facade over it; the DuckDB oracle reads the SAME files via
+    // read_text() — so the path under test is the real file-ingest path
+    // (FileIndex + wholetext), not the parquet one. Staging is driver-side
+    // by construction (it CREATES the input); the MR job itself is
+    // distributed. The stage path is fixed so the oracle SQL can name it;
+    // the contract is the driver's verify flow (query, then oracle).
+    "dir_wordcount" -> ((s, d) => {
+      val stage = new java.io.File("/tmp/graft_dir_stage")
+      stage.mkdirs()
+      Option(stage.listFiles()).foreach(_.foreach { f =>
+        if (f.getName.endsWith(".txt")) f.delete()
+      })
+      Tables.documents(s, d).filter(col("doc_id") < 40)
+        .select("doc_id", "text").collect().foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(stage.getPath, f"doc_${r.getLong(0)}%05d.txt"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      graft.sources.FileSources.directoryWordCount(s, stage.getPath)
+        .select(col("word"), col("count").cast("long").as("cnt"))
+        .orderBy("word")
+    }),
+
     // Per-document token statistics (H scalar funcs over arrays) — stays
     // entirely in whole-stage codegen, no UDF.
     "doc_token_stats" -> ((s, d) =>
@@ -78,6 +106,11 @@ object TextQueries extends QueryPack {
       """SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
          GROUP BY word ORDER BY cnt DESC, word LIMIT 10""",
+    "dir_wordcount" ->
+      """SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM (SELECT unnest(string_split(content, ' ')) AS word
+               FROM read_text('/tmp/graft_dir_stage/*.txt'))
+         GROUP BY word ORDER BY word""",
     "doc_token_stats" ->
       """SELECT doc_id,
                 CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
