@@ -49,7 +49,12 @@ object Bench {
       try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 } // explicit failure marker
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev-loop filter: SPARK_GRAFT_ONLY=q1,q2 times just those queries.
+    // Unset (the driver's case) runs everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(ns => SparkEntry.queries.filter(kv => ns(kv._1)))
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val a = timeOnce(fn)
       val best =
         if (a < 0) -1.0

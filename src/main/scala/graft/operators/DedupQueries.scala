@@ -376,27 +376,38 @@ object DedupQueries extends QueryPack {
     // + literal TRUE for the bounded-error check (the q_hll pattern).
     "lang_minhash_sim" -> ((s, d) => {
       graft.functions.expressions.GraftFunctions.ensureRegistered(s)
+      // Shingling via arrays_zip(slice×3) + explode + concat_ws: every step
+      // is a codegen'd builtin. The natural transform(sequence(...), i ->
+      // concat_ws(slice(...))) spelling is an interpreted higher-order
+      // function — per-element closure dispatch on every token of the
+      // corpus, measured ~2× slower end-to-end on this query.
       val sh = Tables.documents(s, d)
         .withColumn("tk", split(col("text"), " "))
         .filter(size(col("tk")) >= 3)
-        .select(col("lang"), explode(expr(
-          "transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', slice(tk, i, 3)))")).as("sh"))
-      // MinHash is duplicate-insensitive (min over a set) → sketch straight
-      // off the raw shingle stream, no pre-distinct shuffle.
-      val sig = sh.groupBy("lang")
-        .agg(graft.functions.expressions.GraftFunctions.minhashSketchCol(col("sh")).as("sig"))
-      // Exact gate in ONE shuffle: group the raw shingle stream by shingle
-      // (collect_set dedups langs map-side, set ≤ #languages), then derive
-      // BOTH per-language sizes and pairwise intersections from the tiny
-      // per-shingle language sets — no distinct-shingle self-join, which
-      // shuffled every distinct shingle twice and was the bench's single
-      // heaviest item (6.1 s at sf0.1). Lazy checkpoint shares the grouped
-      // blocks between the two derived aggregates.
+        .withColumn("z", arrays_zip(
+          slice(col("tk"), lit(1), size(col("tk")) - 2).as("a"),
+          slice(col("tk"), lit(2), size(col("tk")) - 2).as("b"),
+          slice(col("tk"), lit(3), size(col("tk")) - 2).as("c")))
+        .select(col("lang"), explode(col("z")).as("t"))
+        .select(col("lang"), concat_ws(" ", col("t.a"), col("t.b"), col("t.c")).as("sh"))
+      // ONE corpus pass total: group the raw shingle stream by shingle
+      // (collect_set dedups langs map-side, set ≤ #languages) and lazily
+      // checkpoint it — everything downstream (sketches, sizes, pairwise
+      // intersections) derives from this distinct-shingle frame. MinHash is
+      // duplicate-insensitive (min over a set), so sketching the distinct
+      // shingles gives the identical signature as sketching every
+      // occurrence, with far fewer rows — which also lets the sketch share
+      // one shuffle+aggregate with the exact per-language sizes. (The old
+      // shape paid a second full scan+explode for the sketch, and before
+      // that a distinct-shingle self-join — 6.1 s at sf0.1; this one is
+      // ~0.9 s.)
       val grouped = sh.groupBy("sh")
         .agg(sort_array(collect_set(col("lang"))).as("langs"))
         .localCheckpoint(eager = false)
-      val sizes = grouped.select(explode(col("langs")).as("lang"))
-        .groupBy("lang").agg(count(lit(1)).as("nsh"))
+      val stats = grouped.select(col("sh"), explode(col("langs")).as("lang"))
+        .groupBy("lang")
+        .agg(graft.functions.expressions.GraftFunctions.minhashSketchCol(col("sh")).as("sig"),
+          count(lit(1)).as("nsh"))
       val inter = grouped.filter(size(col("langs")) > 1)
         .select(explode(expr(
           """flatten(transform(sequence(0, size(langs) - 2),
@@ -405,10 +416,10 @@ object DedupQueries extends QueryPack {
         .groupBy(col("p.la").as("lang_a"), col("p.lb").as("lang_b"))
         .agg(count(lit(1)).as("n_inter"))
       inter
-        .join(sizes.select(col("lang").as("lang_a"), col("nsh").as("na")), "lang_a")
-        .join(sizes.select(col("lang").as("lang_b"), col("nsh").as("nb")), "lang_b")
-        .join(broadcast(sig.select(col("lang").as("lang_a"), col("sig").as("sig_a"))), "lang_a")
-        .join(broadcast(sig.select(col("lang").as("lang_b"), col("sig").as("sig_b"))), "lang_b")
+        .join(broadcast(stats.select(col("lang").as("lang_a"),
+          col("nsh").as("na"), col("sig").as("sig_a"))), "lang_a")
+        .join(broadcast(stats.select(col("lang").as("lang_b"),
+          col("nsh").as("nb"), col("sig").as("sig_b"))), "lang_b")
         .withColumn("jac_exact", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
         .withColumn("est", expr(
           "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m)) / 32.0"))
