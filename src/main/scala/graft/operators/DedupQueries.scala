@@ -501,6 +501,45 @@ object DedupQueries extends QueryPack {
         .filter(col("cos") >= 0.4)
         .select(col("va"), col("vb"), round6(col("cos")).as("cos"))
         .orderBy("va", "vb")
+    }),
+
+    // Embedding near-dup, IVF-cell blocked — the 100 TB path the
+    // label-blocked twin above promises. Candidates are pairs whose IVF
+    // cells overlap (each vector probes its 2 nearest of 16 deterministic
+    // centroids, residents live in their nearest cell — the sim_knn_ivf2
+    // machinery), then an exact-cosine verify over candidates only. Work is
+    // Σ cells², never corpus², and nprobe is the recall knob: on the
+    // fixture nprobe=2 doubles truth-pair recall vs nprobe=1 at 2× the
+    // candidate cost (pinned in EmbedIvfRecallSpec). Candidate ids are
+    // deduped BEFORE the verify join back to the vectors, so each
+    // surviving pair pays exactly one 64-dim dot product.
+    "dedup_embed_ivf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dot = graft.functions.expressions.GraftFunctions.dotCol _
+      val e = vecFrame(s, d, "vec_id", "v", "nrm", "lbl")
+      val cent = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("w"), col("nrm").as("wnrm"))
+      val byVec = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+      val scored = e.crossJoin(broadcast(cent))
+        .withColumn("ccos", dot(col("v"), col("w")) / (col("nrm") * col("wnrm")))
+        .withColumn("rk", row_number().over(byVec))
+        .filter(col("rk") <= 2)
+        .select(col("vec_id"), col("cid").as("cl"), col("rk"))
+        .localCheckpoint(eager = false) // index build: both pair sides share it
+      val probe = scored.select(col("cl"), col("vec_id").as("qa"))
+      val own = scored.filter(col("rk") === 1).select(col("cl"), col("vec_id").as("qb"))
+      val cand = probe.join(own, "cl")
+        .filter(col("qa") =!= col("qb"))
+        .select(least(col("qa"), col("qb")).as("va"),
+          greatest(col("qa"), col("qb")).as("vb"))
+        .distinct()
+      cand
+        .join(e.select(col("vec_id").as("va"), col("v").as("v_a"), col("nrm").as("nrm_a")), "va")
+        .join(e.select(col("vec_id").as("vb"), col("v").as("v_b"), col("nrm").as("nrm_b")), "vb")
+        .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+        .filter(col("cos") >= 0.4)
+        .select(col("va"), col("vb"), round6(col("cos")).as("cos"))
+        .orderBy("va", "vb")
     })
   )
 
@@ -615,6 +654,29 @@ object DedupQueries extends QueryPack {
                            list_reduce(list_transform(range(64), i -> a.v[i + 1] * b.v[i + 1]),
                                        (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
                     FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+         SELECT va, vb, FLOOR(cos*1000000 + 0.5)/1000000 AS cos FROM p
+         WHERE cos >= 0.4 ORDER BY va, vb""",
+    "dedup_embed_ivf" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              n AS (SELECT vec_id, v,
+                           sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+                    FROM e),
+              cent AS (SELECT vec_id AS cid, v AS w, nrm AS wnrm FROM n WHERE vec_id < 16),
+              sc AS (SELECT a.vec_id, c.cid AS cl,
+                            ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                              ORDER BY list_reduce(list_transform(range(64), i -> a.v[i + 1] * c.w[i + 1]),
+                                                   (x, y) -> x + y) / (a.nrm * c.wnrm) DESC, c.cid) AS rk
+                     FROM n a, cent c),
+              probe AS (SELECT vec_id, cl FROM sc WHERE rk <= 2),
+              own AS (SELECT vec_id, cl FROM sc WHERE rk = 1),
+              cand AS (SELECT DISTINCT least(a.vec_id, b.vec_id) AS va,
+                                       greatest(a.vec_id, b.vec_id) AS vb
+                       FROM probe a JOIN own b ON a.cl = b.cl AND a.vec_id <> b.vec_id),
+              p AS (SELECT c.va, c.vb,
+                           list_reduce(list_transform(range(64), i -> x.v[i + 1] * y.v[i + 1]),
+                                       (u, t) -> u + t) / (x.nrm * y.nrm) AS cos
+                    FROM cand c JOIN n x ON c.va = x.vec_id JOIN n y ON c.vb = y.vec_id)
          SELECT va, vb, FLOOR(cos*1000000 + 0.5)/1000000 AS cos FROM p
          WHERE cos >= 0.4 ORDER BY va, vb"""
   )

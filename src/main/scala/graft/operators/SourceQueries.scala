@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked round-trips through the non-parquet file formats
+  * (SURVEY.md §2.2 A: CSV/JSON sources + sinks). The spec suite covers
+  * these paths with staged fixtures; the queries here put them under the
+  * driver's DuckDB gate too, same staging pattern as `dir_wordcount`:
+  * the query WRITES the format from the documents table, reads it back
+  * through the FileSources facade, and aggregates; the oracle reads the
+  * very same staged files with DuckDB's read_csv/read_json. So the bytes
+  * on disk — written by Spark's sink, parsed by two independent readers —
+  * are what's checked, not just the in-memory frame.
+  *
+  * Stage paths are fixed so the oracle SQL can name them (the driver runs
+  * all Spark queries before any oracle). Staging cost is one column-pruned
+  * pass over documents; the read-back is the real DataSource scan path
+  * (schema inference + per-file tasks), which is the point.
+  */
+object SourceQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // CSV sink → CSV source (header + schema inference) → aggregate.
+    "csv_roundtrip" -> ((s, d) => {
+      val stage = "/tmp/graft_csv_stage"
+      Tables.documents(s, d)
+        .select("doc_id", "lang", "source", "n_chars")
+        .coalesce(1) // single part file: deterministic layout for the oracle glob
+        .write.mode("overwrite").option("header", "true").csv(stage)
+      graft.sources.FileSources.csv(s, stage)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang")
+    }),
+
+    // JSON-lines sink → JSON source (schema inference) → aggregate.
+    "jsonl_roundtrip" -> ((s, d) => {
+      val stage = "/tmp/graft_jsonl_stage"
+      Tables.documents(s, d)
+        .select("doc_id", "lang", "n_chars")
+        .coalesce(1)
+        .write.mode("overwrite").json(stage)
+      graft.sources.FileSources.json(s, stage)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("first_doc"),
+          max("n_chars").as("max_chars"))
+        .orderBy("lang")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "csv_roundtrip" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS chars,
+                CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+         FROM read_csv('/tmp/graft_csv_stage/*.csv', header = true)
+         GROUP BY lang ORDER BY lang""",
+    "jsonl_roundtrip" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+                CAST(MAX(n_chars) AS BIGINT) AS max_chars
+         FROM read_json('/tmp/graft_jsonl_stage/*.json', format = 'newline_delimited')
+         GROUP BY lang ORDER BY lang"""
+  )
+}
