@@ -129,6 +129,36 @@ object TextAnalysis extends QueryPack {
       graft.Graft.topNgrams(Tables.documents(s, d), n = 2, k = 20)
         .withColumnRenamed("ngram", "bigram")),
 
+    // Vocabulary build + token-id encoding — the tokenization step of an
+    // LM data pipeline at its simplest (frequency vocab, greedy whole-word
+    // ids, OOV = -1). Scale shape: the vocab is a partial-aggregated word
+    // count + TakeOrderedAndProject top-k (no global sort of the distinct
+    // words; the only full ordering is a row_number over the k surviving
+    // rows), and the encode is a BROADCAST join of that k-row vocab
+    // against the exploded corpus. Ids are emitted as a CSV string (a
+    // scalar column stays comparable across engines; the per-doc order is
+    // pinned by token position).
+    "text_vocab_encode" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "w")))
+      val topWords = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(20)
+      // row_number over a 20-row frame post-limit: the single-partition
+      // window is deliberate and bounded by k, not the corpus.
+      val vocab = topWords
+        .withColumn("id", row_number().over(Window.orderBy(col("cnt").desc, col("w"))) - 1)
+        .select("w", "id")
+      toks.join(broadcast(vocab), Seq("w"), "left")
+        .withColumn("id", coalesce(col("id"), lit(-1)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("id") === -1, 1).otherwise(0)).cast("long").as("n_oov"),
+          expr("array_join(transform(sort_array(collect_list(struct(p, id)))," +
+            " x -> CAST(x.id AS STRING)), ',')").as("ids_csv"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus-level aggregate stats (the reduce side of text analysis).
     "text_corpus_stats" -> ((s, d) =>
       Tables.documents(s, d)
@@ -156,6 +186,20 @@ object TextAnalysis extends QueryPack {
                  CAST(len(list_distinct(tg)) AS INT) AS n_distinct,
                  CAST(FLOOR((len(tg) - len(list_distinct(tg))) * 10000.0 / len(tg)) AS BIGINT) AS dup_bps
           FROM g ORDER BY doc_id""",
+    "text_vocab_encode" ->
+      """WITH toks AS (SELECT doc_id,
+                              unnest(string_split(text, ' ')) AS w,
+                              unnest(range(len(string_split(text, ' ')))) AS p
+                       FROM documents),
+            vc AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w
+                   ORDER BY cnt DESC, w LIMIT 20),
+            vocab AS (SELECT w, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) - 1 AS id FROM vc),
+            enc AS (SELECT t.doc_id, t.p, COALESCE(v.id, -1) AS id
+                    FROM toks t LEFT JOIN vocab v ON t.w = v.w)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                CAST(COUNT(*) FILTER (WHERE id = -1) AS BIGINT) AS n_oov,
+                string_agg(CAST(id AS VARCHAR), ',' ORDER BY p) AS ids_csv
+         FROM enc GROUP BY doc_id ORDER BY doc_id""",
     "text_ngram_stats" ->
       """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents
                     WHERE len(string_split(text, ' ')) >= 2),

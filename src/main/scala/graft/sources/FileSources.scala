@@ -52,6 +52,21 @@ object FileSources {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
   }
 
+  /** Bucketed parquet table (bucketBy needs a catalog table name, not a
+    * bare path): rows are pre-shuffled into `nBuckets` by hash of
+    * `bucketCols` and sorted within each bucket. Joins and aggregations
+    * on the bucket key then read co-located, pre-sorted data with NO
+    * exchange — the 100 TB answer to a fact table joined on the same key
+    * by every query: pay the shuffle once at write time
+    * (BucketingSpec asserts the exchange-free join plan). */
+  def writeBucketed(df: DataFrame, table: String, nBuckets: Int,
+                    bucketCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** The reference's complete example program (FileWordCounter.cpp main,
     * :234-286) as one call: scan a directory, word-count every file with
     * the quirk tokenizer, return (word, total) — here distributed and
