@@ -71,6 +71,31 @@ object ExtrasQueries extends QueryPack {
         FROM merged, exact""")
     }),
 
+    // MERGEABLE heavy-hitter sketches (approx_top_k_accumulate/_combine/
+    // _estimate): per-language partial sketches combined into one global
+    // top-k — the store-sketches, merge-at-query-time shape of
+    // q_hll_merge, for frequent items (the boilerplate-token screen of an
+    // LM pipeline at 100 TB: fixed-size map-side sketches, O(k) merge, no
+    // raw-token recount). Gate: the fixture's distinct-token count is far
+    // below maxItemsTracked, so the sketch is provably exact — each exact
+    // top-5 token's estimate is looked up BY TOKEN (robust to tie order
+    // inside the sketch) and must equal the exact count.
+    "q_approx_topk" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("docs_atk")
+      s.sql("""
+        WITH toks AS (SELECT lang, explode(split(text, ' ')) AS w FROM docs_atk),
+             parts AS (SELECT approx_top_k_accumulate(w) AS sk FROM toks GROUP BY lang),
+             est AS (SELECT explode(approx_top_k_estimate(approx_top_k_combine(sk), 20)) AS e
+                     FROM parts),
+             estm AS (SELECT e.item AS w, e.count AS est FROM est),
+             exact AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY w
+                       ORDER BY cnt DESC, w LIMIT 5)
+        SELECT exact.w, exact.cnt,
+               (estm.est IS NOT NULL AND estm.est = exact.cnt) AS est_ok
+        FROM exact LEFT JOIN estm ON exact.w = estm.w
+        ORDER BY cnt DESC, w""")
+    }),
+
     // Approximate percentile (KLL-style sketch) with a bounded-error gate
     // against the exact percentile in the same pass — q_hll pattern: the
     // oracle checks the ≤5% relative-error contract, not the estimate.
@@ -270,6 +295,11 @@ object ExtrasQueries extends QueryPack {
       """SELECT l_returnflag, true AS p50_within_5pct
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_hll_merge" -> "SELECT true AS merged_within_5pct",
+    "q_approx_topk" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+            exact AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY w
+                      ORDER BY cnt DESC, w LIMIT 5)
+         SELECT w, cnt, TRUE AS est_ok FROM exact ORDER BY cnt DESC, w""",
     "q_topk_udaf" ->
       """SELECT o_orderpriority, rk, FLOOR(price*100 + 0.5)/100 AS price FROM (
            SELECT o_orderpriority,

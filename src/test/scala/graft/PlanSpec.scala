@@ -48,6 +48,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("text_vocab_encode broadcasts the vocab and never global-sorts the words") {
+    val p = plan("text_vocab_encode")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"vocab join is not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab top-k lacks TakeOrderedAndProject:\n$p")
+  }
+
+  test("dedup_embed_ivf: centroid assignment broadcasts, no cartesian product") {
+    val p = plan("dedup_embed_ivf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"centroid table not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected CartesianProduct:\n$p")
+  }
+
   test("Tables relation cache is session-isolated (no cross-session plan reuse)") {
     val a = spark.newSession()
     val b = spark.newSession()
