@@ -125,6 +125,38 @@ object ExtrasQueries extends QueryPack {
         .orderBy("o_orderpriority", "rk")
     }),
 
+    // VARIANT (Spark 4 semi-structured type): parse the JSON props column
+    // ONCE into a variant value, then extract typed fields with
+    // variant_get — the shredded-JSON path that replaces per-field
+    // from_json re-parsing (q_json keeps the classic schema-on-read twin).
+    "q_variant" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events_var")
+      s.sql("""
+        SELECT CAST(variant_get(v, '$.k', 'int') % 7 AS INT) AS k_mod,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(variant_get(v, '$.k', 'int')) AS BIGINT) AS sum_k
+        FROM (SELECT parse_json(props) AS v FROM events_var)
+        GROUP BY 1 ORDER BY 1""")
+    }),
+
+    // LATERAL correlated subquery with ORDER BY + LIMIT — top-2 orders
+    // per nation written the way an analyst would. Catalyst decorrelates
+    // the lateral into a ranked join (no per-row re-execution); the
+    // oracle runs the IDENTICAL SQL in DuckDB.
+    "q_lateral_join" -> ((s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("nation_lat")
+      Tables.customer(s, d).createOrReplaceTempView("customer_lat")
+      Tables.orders(s, d).createOrReplaceTempView("orders_lat")
+      s.sql("""
+        SELECT n.n_name, t.o_orderkey, t.o_totalprice
+        FROM nation_lat n,
+        LATERAL (SELECT o_orderkey, o_totalprice
+                 FROM orders_lat o JOIN customer_lat c ON o.o_custkey = c.c_custkey
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        ORDER BY n.n_name, t.o_totalprice DESC, t.o_orderkey""")
+    }),
+
     // EXISTS correlated subquery (SQL surface).
     "q_exists_subquery" -> ((s, d) => {
       Tables.customer(s, d).createOrReplaceTempView("customer_v")
@@ -300,6 +332,19 @@ object ExtrasQueries extends QueryPack {
             exact AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY w
                       ORDER BY cnt DESC, w LIMIT 5)
          SELECT w, cnt, TRUE AS est_ok FROM exact ORDER BY cnt DESC, w""",
+    "q_variant" ->
+      """SELECT CAST(CAST(json_extract_string(props, '$.k') AS INT) % 7 AS INT) AS k_mod,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_lateral_join" ->
+      """SELECT n.n_name, t.o_orderkey, t.o_totalprice
+         FROM nation n,
+         LATERAL (SELECT o_orderkey, o_totalprice
+                  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                  WHERE c.c_nationkey = n.n_nationkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+         ORDER BY n.n_name, t.o_totalprice DESC, t.o_orderkey""",
     "q_topk_udaf" ->
       """SELECT o_orderpriority, rk, FLOOR(price*100 + 0.5)/100 AS price FROM (
            SELECT o_orderpriority,
