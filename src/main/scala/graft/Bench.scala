@@ -34,9 +34,15 @@ object Bench {
     // not in codegen sources), so this compiles the exact plans the timed
     // runs execute — standard steady-state benchmarking (cf. JMH warmup).
     // Data at the target SF is NOT touched, let alone cached.
+    // Dev-loop filter: SPARK_GRAFT_ONLY=q1,q2 warms and times just those
+    // queries. Unset (the driver's case) runs everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(ns => SparkEntry.queries.filter(kv => ns(kv._1)))
+
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
-      SparkEntry.queries.values.foreach { fn =>
+      selected.values.foreach { fn =>
         try fn(spark, warmDir).count() catch { case _: Throwable => }
       }
 
@@ -49,11 +55,6 @@ object Bench {
       try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 } // explicit failure marker
     }
-    // Dev-loop filter: SPARK_GRAFT_ONLY=q1,q2 times just those queries.
-    // Unset (the driver's case) runs everything.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only.fold(SparkEntry.queries)(ns => SparkEntry.queries.filter(kv => ns(kv._1)))
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val a = timeOnce(fn)
       val best =

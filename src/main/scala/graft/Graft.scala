@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The user-facing library API — parameterized operators over arbitrary
@@ -146,23 +146,32 @@ object Graft {
   /** Corpus-wide top-k n-grams (n ≥ 1) by frequency, deterministic
     * tie-break on the gram text. Partial-aggregated count + top-k
     * (TakeOrderedAndProject) — no global sort. */
+  /** array<struct> of the length-n sliding windows of a token array —
+    * arrays_zip of n shifted slices, so every step is a codegen'd builtin
+    * (the transform(sequence(...), i -> ...) spelling is an interpreted
+    * higher-order function: per-token closure dispatch, measured ~2×
+    * slower corpus-wide). Struct fields are c0..c{n-1}; struct equality
+    * ≡ n-gram string equality whenever tokens can't contain the join
+    * char. Callers must pre-filter size(tokens) >= n. */
+  def zipNgrams(tokens: Column, n: Int): Column = {
+    require(n >= 2, s"zipNgrams needs n >= 2, got $n")
+    val win = size(tokens) - (n - 1)
+    arrays_zip((0 until n).map(j => slice(tokens, lit(j + 1), win).as(s"c$j")): _*)
+  }
+
+  /** Space-joined n-gram text from one zipNgrams struct. */
+  def ngramText(gram: Column, n: Int): Column =
+    concat_ws(" ", (0 until n).map(j => gram.getField(s"c$j")): _*)
+
   def topNgrams(docs: DataFrame, n: Int, k: Int, textCol: String = "text"): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
     val tk = docs
       .withColumn("__tk", split(col(textCol), " "))
       .filter(size(col("__tk")) >= n)
-    // n-grams as arrays_zip of n shifted slices: every step is a codegen'd
-    // builtin. The transform(sequence(...), i -> concat_ws(...)) spelling
-    // is an interpreted higher-order function — per-token closure dispatch,
-    // measured ~2× slower on the corpus-wide bigram pass.
     val grams =
       if (n == 1) tk.select(explode(col("__tk")).as("ngram"))
-      else {
-        val win = size(col("__tk")) - (n - 1)
-        val slices = (0 until n).map(j => slice(col("__tk"), lit(j + 1), win).as(s"c$j"))
-        tk.select(explode(arrays_zip(slices: _*)).as("t"))
-          .select(concat_ws(" ", (0 until n).map(j => col(s"t.c$j")): _*).as("ngram"))
-      }
+      else tk.select(explode(zipNgrams(col("__tk"), n)).as("t"))
+        .select(ngramText(col("t"), n).as("ngram"))
     grams
       .groupBy("ngram")
       .agg(count(lit(1)).as("n"))

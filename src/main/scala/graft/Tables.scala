@@ -56,9 +56,11 @@ object Tables {
     * away every LIVE session's entries too). Scans only once the cache has
     * real mass; a handful of live sessions never triggers it. If the scan
     * frees nothing (one long-lived session reading thousands of distinct
-    * dirs/tables), a hard cap clears the cache outright — the values are
-    * cheap re-derivable plans, and a bounded re-resolution beats an
-    * unbounded map plus an O(n) scan on every call. */
+    * dirs/tables), a hard cap evicts arbitrary entries down to half the
+    * cap rather than clearing outright — everything here is re-derivable,
+    * but some values (the dedup index cache's checkpointed LSH/label
+    * frames) cost seconds to rebuild, so keeping half bounds both the map
+    * and the worst-case re-derivation. */
   private[graft] def evictDead[V](
       m: java.util.concurrent.ConcurrentHashMap[(String, String, String), V]): Unit =
     if (m.size > 256) {
@@ -70,7 +72,12 @@ object Tables {
         val s = e.getValue.get()
         if (s == null || s.sparkContext.isStopped) lit.remove()
       }
-      if (m.size > 4096) m.clear()
+      if (m.size > 4096) {
+        val drop = m.size - 2048
+        val dit = m.keySet.iterator()
+        var n = 0
+        while (dit.hasNext && n < drop) { dit.next(); dit.remove(); n += 1 }
+      }
     }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {

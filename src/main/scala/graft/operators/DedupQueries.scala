@@ -376,20 +376,13 @@ object DedupQueries extends QueryPack {
     // + literal TRUE for the bounded-error check (the q_hll pattern).
     "lang_minhash_sim" -> ((s, d) => {
       graft.functions.expressions.GraftFunctions.ensureRegistered(s)
-      // Shingling via arrays_zip(slice×3) + explode + concat_ws: every step
-      // is a codegen'd builtin. The natural transform(sequence(...), i ->
-      // concat_ws(slice(...))) spelling is an interpreted higher-order
-      // function — per-element closure dispatch on every token of the
-      // corpus, measured ~2× slower end-to-end on this query.
+      // Codegen'd trigram shingling (Graft.zipNgrams — see its scaladoc
+      // for why this beats the interpreted transform(sequence(...)) HOF).
       val sh = Tables.documents(s, d)
         .withColumn("tk", split(col("text"), " "))
         .filter(size(col("tk")) >= 3)
-        .withColumn("z", arrays_zip(
-          slice(col("tk"), lit(1), size(col("tk")) - 2).as("a"),
-          slice(col("tk"), lit(2), size(col("tk")) - 2).as("b"),
-          slice(col("tk"), lit(3), size(col("tk")) - 2).as("c")))
-        .select(col("lang"), explode(col("z")).as("t"))
-        .select(col("lang"), concat_ws(" ", col("t.a"), col("t.b"), col("t.c")).as("sh"))
+        .select(col("lang"), explode(graft.Graft.zipNgrams(col("tk"), 3)).as("t"))
+        .select(col("lang"), graft.Graft.ngramText(col("t"), 3).as("sh"))
       // ONE corpus pass total: group the raw shingle stream by shingle
       // (collect_set dedups langs map-side, set ≤ #languages) and lazily
       // checkpoint it — everything downstream (sketches, sizes, pairwise
@@ -514,18 +507,12 @@ object DedupQueries extends QueryPack {
     // deduped BEFORE the verify join back to the vectors, so each
     // surviving pair pays exactly one 64-dim dot product.
     "dedup_embed_ivf" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val dot = graft.functions.expressions.GraftFunctions.dotCol _
-      val e = vecFrame(s, d, "vec_id", "v", "nrm", "lbl")
-      val cent = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("v").as("w"), col("nrm").as("wnrm"))
-      val byVec = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
-      val scored = e.crossJoin(broadcast(cent))
-        .withColumn("ccos", dot(col("v"), col("w")) / (col("nrm") * col("wnrm")))
-        .withColumn("rk", row_number().over(byVec))
-        .filter(col("rk") <= 2)
-        .select(col("vec_id"), col("cid").as("cl"), col("rk"))
-        .localCheckpoint(eager = false) // index build: both pair sides share it
+      val e = SimilarityQueries.vecs(s, d)
+      // Index build shared with the kNN queries (one definition of the
+      // centroid rule / tie-break / nprobe semantics — see its scaladoc).
+      val scored = SimilarityQueries.ivfScoredAssignment(s, d, nprobe = 2)
+        .select(col("vec_id"), col("cluster").as("cl"), col("rk"))
       val probe = scored.select(col("cl"), col("vec_id").as("qa"))
       val own = scored.filter(col("rk") === 1).select(col("cl"), col("vec_id").as("qb"))
       val cand = probe.join(own, "cl")

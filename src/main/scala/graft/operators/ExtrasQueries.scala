@@ -85,7 +85,11 @@ object ExtrasQueries extends QueryPack {
       s.sql("""
         WITH toks AS (SELECT lang, explode(split(text, ' ')) AS w FROM docs_atk),
              parts AS (SELECT approx_top_k_accumulate(w) AS sk FROM toks GROUP BY lang),
-             est AS (SELECT explode(approx_top_k_estimate(approx_top_k_combine(sk), 20)) AS e
+             -- k=100 (not 5): the estimate list truncates ties at rank k
+             -- in sketch-internal order, so k must exceed any plausible
+             -- tie plateau at the top-5 boundary for the by-token lookup
+             -- to stay deterministic.
+             est AS (SELECT explode(approx_top_k_estimate(approx_top_k_combine(sk), 100)) AS e
                      FROM parts),
              estm AS (SELECT e.item AS w, e.count AS est FROM est),
              exact AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY w

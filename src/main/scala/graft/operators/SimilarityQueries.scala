@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries extends QueryPack {
 
-  private def vecs(s: SparkSession, d: String): DataFrame = {
+  private[operators] def vecs(s: SparkSession, d: String): DataFrame = {
     graft.functions.expressions.GraftFunctions.ensureRegistered(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
@@ -37,6 +37,28 @@ object SimilarityQueries extends QueryPack {
   /** dot(v, w) via the native codegen expression graft_dot (same fold
     * order as the declarative aggregate/zip_with form; see DotProduct). */
   private def cosExpr = graft.functions.expressions.GraftFunctions.dotCol(col("v"), col("w"))
+
+  /** The IVF index build shared by sim_knn_ivf, sim_knn_ivf2 and
+    * dedup_embed_ivf: score every vector against the 16 deterministic
+    * broadcast centroids (vec_id < 16 stand in for a k-means codebook,
+    * keeping the oracle checkable) and keep its `nprobe` nearest cells.
+    * Returns (vec_id, v, nrm, cluster, rk ≤ nprobe), lazily checkpointed
+    * so every consumer of the assignment shares one materialization.
+    * Centroid rule, tie-break (ccos DESC, cid) and nprobe semantics live
+    * HERE — the three queries' DuckDB oracles replicate this block, so a
+    * change must touch this helper and the oracle CTEs together. */
+  private[operators] def ivfScoredAssignment(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val e = vecs(s, d)
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("w"), col("nrm").as("wnrm"))
+    val byVec = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("ccos", cosExpr / (col("nrm") * col("wnrm")))
+      .withColumn("rk", row_number().over(byVec))
+      .filter(col("rk") <= nprobe)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cluster"), col("rk"))
+      .localCheckpoint(eager = false)
+  }
 
   val queries: Map[String, Q] = Map(
     // Exact brute-force top-k against probe vec_id=0.
@@ -115,16 +137,7 @@ object SimilarityQueries extends QueryPack {
     // candidate and drop out (standard IVF semantics; the oracle
     // replicates the same blocked computation).
     "sim_knn_ivf" -> ((s, d) => {
-      val e = vecs(s, d)
-      val cent = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("v").as("w"), col("nrm").as("wnrm"))
-      val byVec = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
-      val assigned = e.crossJoin(broadcast(cent))
-        .withColumn("ccos", cosExpr / (col("nrm") * col("wnrm")))
-        .withColumn("rk", row_number().over(byVec))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cluster"))
-        .localCheckpoint(eager = false) // both join sides share the cached RDD
+      val assigned = ivfScoredAssignment(s, d, nprobe = 1).drop("rk")
       val a = assigned.select(col("cluster"), col("vec_id").as("qid"), col("v"), col("nrm"))
       val b = assigned.select(col("cluster"), col("vec_id").as("cid2"),
         col("v").as("w"), col("nrm").as("wnrm"))
@@ -147,16 +160,7 @@ object SimilarityQueries extends QueryPack {
     // lazily checkpointed) feeds both the probe side (both cells) and the
     // candidate side (residents, rk = 1), so the index builds once.
     "sim_knn_ivf2" -> ((s, d) => {
-      val e = vecs(s, d)
-      val cent = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("v").as("w"), col("nrm").as("wnrm"))
-      val byVec = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
-      val scored = e.crossJoin(broadcast(cent))
-        .withColumn("ccos", cosExpr / (col("nrm") * col("wnrm")))
-        .withColumn("rk", row_number().over(byVec))
-        .filter(col("rk") <= 2)
-        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cluster"), col("rk"))
-        .localCheckpoint(eager = false)
+      val scored = ivfScoredAssignment(s, d, nprobe = 2)
       val a = scored.select(col("cluster"), col("vec_id").as("qid"), col("v"), col("nrm"))
       val b = scored.filter(col("rk") === 1)
         .select(col("cluster"), col("vec_id").as("cid2"),

@@ -101,15 +101,11 @@ object TextAnalysis extends QueryPack {
       Tables.documents(s, d)
         .withColumn("tk", split(col("text"), " "))
         .filter(size(col("tk")) >= 3)
-        // Trigrams as arrays_zip of three shifted slices (all codegen'd
-        // builtins; transform(sequence(...)) is an interpreted HOF). No
-        // concat needed: tokens can't contain the split char, so struct
-        // (a,b,c) equality ≡ "a b c" string equality and array_distinct
-        // over the structs counts exactly the distinct trigrams.
-        .withColumn("tg", arrays_zip(
-          slice(col("tk"), lit(1), size(col("tk")) - 2).as("a"),
-          slice(col("tk"), lit(2), size(col("tk")) - 2).as("b"),
-          slice(col("tk"), lit(3), size(col("tk")) - 2).as("c")))
+        // Codegen'd trigram windows (Graft.zipNgrams). No concat needed:
+        // struct equality ≡ trigram string equality (tokens can't contain
+        // the split char), so array_distinct over the structs counts
+        // exactly the distinct trigrams.
+        .withColumn("tg", graft.Graft.zipNgrams(col("tk"), 3))
         .select(col("doc_id"),
           size(col("tg")).as("n_trigrams"),
           size(array_distinct(col("tg"))).as("n_distinct"),

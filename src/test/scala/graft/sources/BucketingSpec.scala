@@ -31,8 +31,13 @@ class BucketingSpec extends SparkSpec {
       // Join on the bucket key, then aggregate BY the bucket key: the
       // join's output partitioning already satisfies the agg's
       // requirement, so the whole pipeline runs shuffle-free.
+      // Integer aggregate only: a Double sum would be reduction-order-
+      // dependent between the two plans' scan/fetch orders (the repo's
+      // own cross-engine determinism rule, applied cross-plan here).
+      val aggs = Seq(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice")).cast("long")).as("total_floor"))
       val joined = bo.join(bc, col("o_custkey") === col("c_custkey"))
-        .groupBy("c_custkey").agg(count(lit(1)).as("n"), sum("o_totalprice").as("total"))
+        .groupBy("c_custkey").agg(aggs.head, aggs.tail: _*)
       val exchanges = joined.queryExecution.executedPlan.collect {
         case e: ShuffleExchangeExec => e
       }
@@ -40,11 +45,11 @@ class BucketingSpec extends SparkSpec {
         s"bucketed join/agg still shuffles:\n${joined.queryExecution.executedPlan}")
       // Same answer as the unbucketed plan (bucketing is layout, not semantics).
       val plain = orders.join(cust, col("o_custkey") === col("c_custkey"))
-        .groupBy("c_custkey").agg(count(lit(1)).as("n"), sum("o_totalprice").as("total"))
+        .groupBy("c_custkey").agg(aggs.head, aggs.tail: _*)
       val got = joined.orderBy("c_custkey").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       val want = plain.orderBy("c_custkey").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       assert(got.sameElements(want), "bucketed join result differs from plain join")
     } finally {
       sess.sql("DROP TABLE IF EXISTS b_orders")
