@@ -139,4 +139,42 @@ object EventStreams {
       }
       .toDF()
   }
+
+  /** The same per-user running state through Spark 4's transformWithState
+    * (arbitrary stateful processing v2): typed ValueState handles, TTL
+    * config and timer hooks — the successor API to
+    * flatMapGroupsWithState, kept side by side so both Spark generations
+    * of the custom-state surface are covered. Requires the RocksDB state
+    * store provider (ships in the Spark jars; the caller's session must
+    * set spark.sql.streaming.stateStore.providerClass — see
+    * EventStreamsSpec). */
+  class RunningStateProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserRunning] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[UserRunning] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UserRunning]("running",
+        org.apache.spark.sql.Encoders.product[UserRunning], TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[UserEvent],
+                                 timers: TimerValues): Iterator[UserRunning] = {
+      val prev = if (st.exists()) st.get() else UserRunning(uid, 0L, 0.0)
+      var n = prev.n_events
+      var total = prev.total_value
+      rows.foreach { e => n += 1; total += e.value }
+      val next = UserRunning(uid, n, total)
+      st.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runningPerUserTws(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("ts"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningStateProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+      .toDF()
+  }
 }

@@ -179,4 +179,29 @@ class EventStreamsSpec extends SparkSpec {
     assert(last.getAs[Long]("n_events") == 3L)
     assert(last.getAs[Double]("total_value") == 10.0)
   }
+
+  test("transformWithState (v2 API) accumulates typed ValueState in RocksDB across batches") {
+    // The v2 API requires the RocksDB state store provider; scope the conf
+    // to a child session so the other streaming tests keep the default.
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import sess.implicits._
+    implicit val sc = sess.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.runningPerUserTws(sess, mem.toDF())
+      .writeStream.format("memory").queryName("tws").outputMode("update").start()
+    mem.addData(Ev(1, ts(0), 7, "a", 1.5), Ev(2, ts(1), 7, "a", 2.5), Ev(3, ts(2), 9, "a", 5.0))
+    q.processAllAvailable()
+    mem.addData(Ev(4, ts(3), 7, "a", 6.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = sess.table("tws").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+    // update-mode memory sink appends one row per key per touched batch:
+    // user 7 emits (2, 4.0) then (3, 10.0); user 9 emits (1, 5.0) once.
+    assert(rows.contains((7L, 3L, 10.0)), s"state did not carry across batches: ${rows.toSeq}")
+    assert(rows.contains((7L, 2L, 4.0)), s"first-batch emission missing: ${rows.toSeq}")
+    assert(rows.contains((9L, 1L, 5.0)))
+  }
 }
