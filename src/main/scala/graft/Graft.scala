@@ -163,6 +163,69 @@ object Graft {
   def ngramText(gram: Column, n: Int): Column =
     concat_ws(" ", (0 until n).map(j => gram.getField(s"c$j")): _*)
 
+  /** Frequency-vocab tokenization: build a top-`vocabSize` whole-word
+    * vocab (partial-agg count + TakeOrderedAndProject; the only global
+    * ordering is a row_number over the surviving k rows) and encode every
+    * document to position-ordered token ids via a BROADCAST join of that
+    * tiny vocab; out-of-vocabulary tokens become -1. Returns
+    * (doc_id, n_tokens, n_oov, ids: array<int>). */
+  def vocabEncode(docs: DataFrame, vocabSize: Int, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col(textCol), " ")).as(Seq("p", "w")))
+    val topWords = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(vocabSize)
+    // row_number over a vocabSize-row frame post-limit: the single-
+    // partition window is deliberate and bounded by k, not the corpus.
+    val vocab = topWords
+      .withColumn("id", row_number().over(Window.orderBy(col("cnt").desc, col("w"))) - 1)
+      .select("w", "id")
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .withColumn("id", coalesce(col("id"), lit(-1)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("id") === -1, 1).otherwise(0)).cast("long").as("n_oov"),
+        expr("transform(sort_array(collect_list(struct(p, id))), x -> x.id)").as("ids"))
+  }
+
+  /** Embedding near-dup pairs blocked by IVF cell — candidates are pairs
+    * whose cells overlap (each vector probes its `nprobe` nearest of
+    * `nlist` centroids, residents live in their nearest cell), verified
+    * by exact cosine ≥ `threshold`. Σ cells² candidate work, never
+    * corpus²; candidate ids dedup BEFORE the verify join-back so each
+    * surviving pair pays one dot product. Centroids are the `nlist`
+    * smallest vec_ids — deterministic; swap in a k-means codebook at
+    * scale. Input: (vec_id, embedding: array<float|double>). */
+  def embedNearDupIvf(spark: SparkSession, embeddings: DataFrame, threshold: Double,
+                      nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.expressions.GraftFunctions.ensureRegistered(spark)
+    val dot = graft.functions.expressions.GraftFunctions.dotCol _
+    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", graft.functions.expressions.GraftFunctions.normCol(col("v")))
+    val cent = e.orderBy("vec_id").limit(nlist)
+      .select(col("vec_id").as("cid"), col("v").as("w"), col("nrm").as("wnrm"))
+    val byVec = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    val scored = e.crossJoin(broadcast(cent))
+      .withColumn("ccos", dot(col("v"), col("w")) / (col("nrm") * col("wnrm")))
+      .withColumn("rk", row_number().over(byVec))
+      .filter(col("rk") <= nprobe)
+      .select(col("vec_id"), col("cid").as("cl"), col("rk"))
+      .localCheckpoint(eager = false)
+    val probe = scored.select(col("cl"), col("vec_id").as("qa"))
+    val own = scored.filter(col("rk") === 1).select(col("cl"), col("vec_id").as("qb"))
+    val cand = probe.join(own, "cl")
+      .filter(col("qa") =!= col("qb"))
+      .select(least(col("qa"), col("qb")).as("va"), greatest(col("qa"), col("qb")).as("vb"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("va"), col("v").as("v_a"), col("nrm").as("nrm_a")), "va")
+      .join(e.select(col("vec_id").as("vb"), col("v").as("v_b"), col("nrm").as("nrm_b")), "vb")
+      .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("va"), col("vb"), col("cos"))
+  }
+
   def topNgrams(docs: DataFrame, n: Int, k: Int, textCol: String = "text"): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
     val tk = docs

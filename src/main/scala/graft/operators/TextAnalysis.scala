@@ -134,26 +134,13 @@ object TextAnalysis extends QueryPack {
     // against the exploded corpus. Ids are emitted as a CSV string (a
     // scalar column stays comparable across engines; the per-doc order is
     // pinned by token position).
-    "text_vocab_encode" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "w")))
-      val topWords = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("w")).limit(20)
-      // row_number over a 20-row frame post-limit: the single-partition
-      // window is deliberate and bounded by k, not the corpus.
-      val vocab = topWords
-        .withColumn("id", row_number().over(Window.orderBy(col("cnt").desc, col("w"))) - 1)
-        .select("w", "id")
-      toks.join(broadcast(vocab), Seq("w"), "left")
-        .withColumn("id", coalesce(col("id"), lit(-1)))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(when(col("id") === -1, 1).otherwise(0)).cast("long").as("n_oov"),
-          expr("array_join(transform(sort_array(collect_list(struct(p, id)))," +
-            " x -> CAST(x.id AS STRING)), ',')").as("ids_csv"))
-        .orderBy("doc_id")
-    }),
+    // Declared binding of Graft.vocabEncode; ids emitted as a CSV scalar
+    // (an array column would break the driver's value compare).
+    "text_vocab_encode" -> ((s, d) =>
+      graft.Graft.vocabEncode(Tables.documents(s, d), vocabSize = 20)
+        .withColumn("ids_csv", expr("array_join(transform(ids, x -> CAST(x AS STRING)), ',')"))
+        .drop("ids")
+        .orderBy("doc_id")),
 
     // Corpus-level aggregate stats (the reduce side of text analysis).
     "text_corpus_stats" -> ((s, d) =>

@@ -130,4 +130,33 @@ class GraftApiSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(bi == Seq(("a b", 3L)))
   }
+
+  test("vocabEncode assigns frequency-ranked ids in position order, OOV = -1") {
+    import spark.implicits._
+    // counts: a=3, b=2, x=1, y=1 → vocab(2) = [a→0, b→1]; x,y OOV.
+    val df = Seq((1L, "a b a"), (2L, "x a b y")).toDF("doc_id", "text")
+    val out = Graft.vocabEncode(df, vocabSize = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getSeq[Int](3).toSeq))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 0L, Seq(0, 1, 0)),
+      (2L, 4L, 2L, Seq(-1, 0, 1, -1))))
+  }
+
+  test("embedNearDupIvf finds a planted near-dup pair and only true pairs") {
+    import spark.implicits._
+    // 1 and 2 nearly parallel (cos ≈ 1); 3 orthogonal to both.
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 0.98f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Graft.embedNearDupIvf(spark, df, threshold = 0.9, nlist = 2, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"planted near-dup missed: $pairs")
+    assert(pairs.contains((3L, 4L)), s"second planted pair missed: $pairs")
+    assert(!pairs.exists(p => Set((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))(p)),
+      s"orthogonal pair wrongly emitted: $pairs")
+  }
 }
