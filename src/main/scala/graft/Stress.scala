@@ -74,6 +74,26 @@ object Stress {
       dsh.as("a").join(dsh.as("b"), col("a.sh") === col("b.sh") && col("a.lang") < col("b.lang"))
         .groupBy(col("a.lang"), col("b.lang")).count().count())
 
+    // IVF-blocked embedding near-dup at 10×: replicate the embeddings
+    // table 10× with perturbation-free id shifts (each clone keeps its
+    // vector → every cross-clone pair is an exact near-dup) and compare
+    // the blocked candidate count against the all-pairs bound. The
+    // blocked path's cost tracks Σ cells², which at fixed nlist grows
+    // quadratically PER CELL — the measured gap vs n² is the argument
+    // for nlist ∝ √n at real scale.
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val tenxEmb = (0 until 10).map { k =>
+      emb.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"), col("embedding"))
+    }.reduce(_ union _).localCheckpoint()
+    val embDocs = tenxEmb.count()
+    val (iv, niv) = time("embed IVF 10x nlist=16",
+      Graft.embedNearDupIvf(spark, tenxEmb, threshold = 0.99, nlist = 16, nprobe = 2).count())
+    // nlist ∝ √n: cells shrink 8×, candidate pairs ~64×. Every clone
+    // group shares one vector → identical cell assignment → recall for
+    // the planted pairs is unchanged at ANY nlist.
+    val (iv2, niv2) = time("embed IVF 10x nlist=128",
+      Graft.embedNearDupIvf(spark, tenxEmb, threshold = 0.99, nlist = 128, nprobe = 2).count())
+
     // Broadcast-threshold sensitivity (SF1k preview): with the auto
     // threshold off, the orders/customer joins fall back to sort-merge —
     // the plan shape once those dims outgrow executor memory. The nation
@@ -84,7 +104,7 @@ object Stress {
     smj.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val (b2, _) = time("q3_join sort-merge only", SparkEntry.queries("q3_join")(smj, sfDir).count())
 
-    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2}}""")
+    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"embed_ivf_10x":{"vecs":$embDocs,"nlist16_sec":$iv,"nlist16_pairs":$niv,"nlist128_sec":$iv2,"nlist128_pairs":$niv2},"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2}}""")
     spark.stop()
   }
 }
