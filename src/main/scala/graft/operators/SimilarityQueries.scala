@@ -47,17 +47,30 @@ object SimilarityQueries extends QueryPack {
     * Centroid rule, tie-break (ccos DESC, cid) and nprobe semantics live
     * HERE — the three queries' DuckDB oracles replicate this block, so a
     * change must touch this helper and the oracle CTEs together. */
+  // The checkpointed nprobe=2 assignment, cached per (session, dir) —
+  // the IVF "index" is built once and shared by sim_knn_ivf,
+  // sim_knn_ivf2 and dedup_embed_ivf (same pattern as the dedup pair
+  // index cache; nprobe=1 consumers filter rk = 1 off the shared frame,
+  // which also reuses its materialized blocks).
+  private val assignCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
+
   private[operators] def ivfScoredAssignment(s: SparkSession, d: String, nprobe: Int): DataFrame = {
-    val e = vecs(s, d)
-    val cent = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("v").as("w"), col("nrm").as("wnrm"))
-    val byVec = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
-    e.crossJoin(broadcast(cent))
-      .withColumn("ccos", cosExpr / (col("nrm") * col("wnrm")))
-      .withColumn("rk", row_number().over(byVec))
-      .filter(col("rk") <= nprobe)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cluster"), col("rk"))
-      .localCheckpoint(eager = false)
+    require(nprobe <= 2, s"shared IVF index keeps rk <= 2, asked for nprobe=$nprobe")
+    Tables.evictDead(assignCache)
+    val full = assignCache.computeIfAbsent((Tables.sessionKey(s), d, "ivf2"), _ => {
+      val e = vecs(s, d)
+      val cent = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("w"), col("nrm").as("wnrm"))
+      val byVec = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+      e.crossJoin(broadcast(cent))
+        .withColumn("ccos", cosExpr / (col("nrm") * col("wnrm")))
+        .withColumn("rk", row_number().over(byVec))
+        .filter(col("rk") <= 2)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cluster"), col("rk"))
+        .localCheckpoint(eager = false)
+    })
+    if (nprobe == 2) full else full.filter(col("rk") <= nprobe)
   }
 
   val queries: Map[String, Q] = Map(
