@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.{DotProduct, MinHashSketch}
+import graft.functions.expressions.{BloomContains, BloomSketchAgg, DotProduct, MinHashSketch}
 
 /** SparkSessionExtensions entry point — enable with
   * `spark.sql.extensions=graft.GraftExtensions` to make graft's native
@@ -19,5 +19,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSketch].getName, "graft_minhash"),
       graft.functions.expressions.GraftFunctions.minhashBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomSketchAgg].getName, "graft_bloom_agg"),
+      graft.functions.expressions.GraftFunctions.bloomAggBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
+      graft.functions.expressions.GraftFunctions.bloomProbeBuilder))
   }
 }

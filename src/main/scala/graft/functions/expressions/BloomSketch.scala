@@ -1,0 +1,170 @@
+package graft.functions.expressions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Portable bloom filter as a native Catalyst aggregate + probe pair
+  * (`graft_bloom_agg` / `graft_bloom_contains`) — DIY runtime-filter
+  * semi-join pruning.
+  *
+  * Spark's own BloomFilterAggregate/BloomFilterMightContain exist but are
+  * internal-only (not in the public FunctionRegistry); this pair exposes
+  * the same capability as a first-class library function, with the
+  * md5-derived PortableHash ≡ JvmHash family so the filter's bit pattern
+  * is deterministic cross-run, cross-partitioning, and cross-engine.
+  *
+  * Scale shape (the point of the operator): the BUILD side aggregates
+  * map-side — each partition ships one `numBits/8`-byte partial that
+  * merges by bitwise OR — and the finished filter is a few-KB binary
+  * scalar that BROADCASTS to the probe side, where `graft_bloom_contains`
+  * runs inside whole-stage codegen as a map-only filter. At 100 TB this
+  * prunes the big table BEFORE its shuffle (the InjectRuntimeFilter
+  * pattern), turning a shuffle-both-sides semi-join into a broadcast of
+  * 8 KB plus a pruned scan. No false negatives by construction; the
+  * false-positive rate for n keys in m bits with k hashes is
+  * (1 - e^(-kn/m))^k — sized by the caller, gated in q_bloom_join.
+  *
+  * Artifact layout: [int32 numHashes][bitset longs, big-endian] — the
+  * probe derives k and numBits from the artifact itself, so a stored
+  * filter can't be misread with mismatched parameters.
+  */
+case class BloomSketchAgg(
+    child: Expression,
+    numBits: Int,
+    numHashes: Int,
+    override val mutableAggBufferOffset: Int,
+    override val inputAggBufferOffset: Int)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  def this(child: Expression) = this(child, BloomSketch.DefaultBits, BloomSketch.DefaultHashes, 0, 0)
+
+  require(numBits > 0 && numBits % 64 == 0, s"numBits must be a positive multiple of 64, got $numBits")
+  require(numHashes > 0 && numHashes <= 16, s"numHashes must be in [1,16], got $numHashes")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_agg expects a string input, got ${child.dataType.catalogString}")
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](numBits / 64)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null)
+      BloomSketch.setBits(buf, numBits, numHashes, v.asInstanceOf[UTF8String].toString)
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { b1(i) |= b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.length)
+    bb.putInt(numHashes)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  // The aggregation buffer IS the bitset; shuffle partials reuse the same
+  // artifact layout as eval so serialize/deserialize stay trivially dual.
+  override def serialize(buf: Array[Long]): Array[Byte] = eval(buf).asInstanceOf[Array[Byte]]
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    bb.getInt() // numHashes — fixed per operator instance
+    val out = new Array[Long]((bytes.length - 4) / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong(); i += 1 }
+    out
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_bloom_agg"
+  override def children: Seq[Expression] = Seq(child)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+}
+
+/** Membership probe against a graft_bloom_agg artifact. True ⇒ maybe
+  * present (FPR-bounded); false ⇒ definitely absent. Codegen emits a
+  * static call so the probe stays inside whole-stage codegen with zero
+  * per-row allocation beyond the hash.
+  */
+case class BloomContains(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_contains"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_contains expects (binary, string), got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+
+  override def nullSafeEval(bloom: Any, key: Any): Any =
+    BloomSketch.contains(bloom.asInstanceOf[Array[Byte]], key.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, k) =>
+      s"${ev.value} = graft.functions.expressions.BloomSketch.contains($b, $k.toString());")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object BloomSketch {
+  /** 2^16 bits = 8 KB: FPR < 1e-8 for n=3000 keys at k=6; still < 1% at
+    * n=40k. Callers with bigger build sides size up via the 3-arg form. */
+  val DefaultBits = 1 << 16
+  val DefaultHashes = 6
+
+  /** Bit positions for a key: seeded universal hashes of the md5-derived
+    * h60 (same family as MinHash/SimHash — JvmHashSpec pins portability). */
+  private def bitIndex(h0: Long, j: Int, numBits: Int): Int =
+    (graft.functions.JvmHash.seeded(h0, j) % numBits).toInt
+
+  def setBits(buf: Array[Long], numBits: Int, numHashes: Int, key: String): Unit = {
+    val h0 = graft.functions.JvmHash.h60p(key)
+    var j = 0
+    while (j < numHashes) {
+      val idx = bitIndex(h0, j, numBits)
+      buf(idx >> 6) |= (1L << (idx & 63))
+      j += 1
+    }
+  }
+
+  /** Static probe shared by the interpreted and codegen paths. */
+  def contains(artifact: Array[Byte], key: String): Boolean = {
+    val bb = ByteBuffer.wrap(artifact)
+    val numHashes = bb.getInt()
+    val numBits = (artifact.length - 4) * 8
+    val h0 = graft.functions.JvmHash.h60p(key)
+    var j = 0
+    while (j < numHashes) {
+      val idx = bitIndex(h0, j, numBits)
+      val word = bb.getLong(4 + (idx >> 6) * 8)
+      if ((word & (1L << (idx & 63))) == 0L) return false
+      j += 1
+    }
+    true
+  }
+}

@@ -107,8 +107,10 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 object GraftFunctions {
   private val dotInfo = new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
   private val minhashInfo = new ExpressionInfo(classOf[MinHashSketch].getName, "graft_minhash")
+  private val bloomAggInfo = new ExpressionInfo(classOf[BloomSketchAgg].getName, "graft_bloom_agg")
+  private val bloomProbeInfo = new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains")
 
-  /** Idempotently registers graft_dot + graft_minhash in the session's
+  /** Idempotently registers graft's native expressions in the session's
     * function registry. (Also injectable globally via
     * `spark.sql.extensions=graft.GraftExtensions`.) */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -117,6 +119,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => DotProduct(children.head, children(1)))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_minhash"), minhashInfo, minhashBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_bloom_agg"), bloomAggInfo, bloomAggBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_bloom_contains"), bloomProbeInfo, bloomProbeBuilder)
   }
 
   /** Strict arity: silently dropping extra args would hand back a
@@ -127,9 +133,38 @@ object GraftFunctions {
       s"graft_minhash expects exactly 1 argument, got ${other.size}")
   }
 
+  /** graft_bloom_agg(key) or graft_bloom_agg(key, numBits, numHashes) —
+    * sizing params must be integer literals (they fix the buffer shape). */
+  private[graft] val bloomAggBuilder: Seq[Expression] => Expression = {
+    case Seq(child) => new BloomSketchAgg(child)
+    case Seq(child, bits, hashes) =>
+      def lit(e: Expression, what: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_bloom_agg: $what must be an integer literal, got $other")
+      }
+      BloomSketchAgg(child, lit(bits, "numBits"), lit(hashes, "numHashes"), 0, 0)
+    case other => throw new IllegalArgumentException(
+      s"graft_bloom_agg expects 1 or 3 arguments, got ${other.size}")
+  }
+
+  private[graft] val bloomProbeBuilder: Seq[Expression] => Expression = {
+    case Seq(bloom, key) => BloomContains(bloom, key)
+    case other => throw new IllegalArgumentException(
+      s"graft_bloom_contains expects exactly 2 arguments, got ${other.size}")
+  }
+
   /** Grouped MinHash signature (array<long> of 32 component minima). */
   def minhashSketchCol(c: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_minhash", c)
+
+  /** Bloom-filter build over a string key column (binary artifact). */
+  def bloomAggCol(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_bloom_agg", c)
+
+  /** Membership probe: false ⇒ definitely absent, true ⇒ FPR-bounded maybe. */
+  def bloomContainsCol(bloom: Column, key: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_bloom_contains", bloom, key)
 
   /** dot(a, b) as a Column; requires ensureRegistered on the session. */
   def dotCol(a: Column, b: Column): Column =

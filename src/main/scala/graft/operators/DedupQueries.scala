@@ -367,6 +367,36 @@ object DedupQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Triangle counting over the near-dup pair graph — the cluster-density
+    // audit after LSH: a dup cluster that is a clique (every vertex in
+    // many triangles) is a true duplicate set; a chain (degree ≥ 1,
+    // triangles = 0) is transitive LSH noise that canonicalization would
+    // over-merge. Per vertex: pair-graph degree + triangle count.
+    // Scale shape: the edge list is the SPARSE LSH output (already
+    // bucket-bounded, reused from the cached pair index) and triangles
+    // are two equi-joins on vertex keys — the standard distributed
+    // triangle count (at larger fan-outs, order vertices by degree before
+    // the wedge join to bound the Σ deg² blow-up).
+    "dedup_triangles" -> ((s, d) => {
+      val e = minhashPairs(s, d).select(col("da").as("a"), col("db").as("b"))
+      val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("degree"))
+      // Wedges a<b<c (edges keep da<db, so each triangle appears once).
+      val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      val tri = wedges.join(e.as("e3"),
+          col("x") === col("e3.a") && col("z") === col("e3.b"))
+        .select("x", "y", "z")
+      val perVertex = tri.select(col("x").as("v"))
+        .union(tri.select(col("y").as("v")))
+        .union(tri.select(col("z").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("n_tri"))
+      deg.join(perVertex, Seq("v"), "left")
+        .na.fill(0L, Seq("n_tri"))
+        .select(col("v").as("doc_id"), col("degree"), col("n_tri"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus-level similarity via the graft_minhash TypedImperativeAggregate
     // (one-pass grouped sketch, map-side partial buffers of 256 bytes per
     // group): per-language shingle-set signatures, pairwise Jaccard
@@ -617,6 +647,22 @@ object DedupQueries extends QueryPack {
       s"""WITH $shinglesSqlCte
           SELECT da, db, FLOOR(jac*1000000 + 0.5)/1000000 AS jac FROM jac
           WHERE jac >= 0.7 ORDER BY da, db""",
+    "dedup_triangles" ->
+      s"""WITH $shinglesSqlCte,
+            pairs AS (SELECT da, db FROM jac WHERE jac >= 0.7),
+            deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+                      SELECT da AS v FROM pairs UNION ALL SELECT db FROM pairs)
+                    GROUP BY v),
+            tri AS (SELECT p1.da AS x, p1.db AS y, p2.db AS z
+                    FROM pairs p1
+                    JOIN pairs p2 ON p1.db = p2.da
+                    JOIN pairs p3 ON p3.da = p1.da AND p3.db = p2.db),
+            tv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+                     SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+                     UNION ALL SELECT z FROM tri)
+                   GROUP BY v)
+          SELECT deg.v AS doc_id, deg.degree, COALESCE(tv.n_tri, 0) AS n_tri
+          FROM deg LEFT JOIN tv USING (v) ORDER BY doc_id""",
     "dedup_ngram_jaccard" ->
       s"""WITH $shinglesSqlCte
           SELECT da, db, FLOOR(jac*1000000 + 0.5)/1000000 AS jac FROM jac

@@ -244,6 +244,37 @@ object ExtrasQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // DIY runtime-filter semi-join (Spark's InjectRuntimeFilter pattern as
+    // a library op): build an 8 KB bloom filter over the small side's keys
+    // (map-side OR-merged partials — graft_bloom_agg), broadcast it, and
+    // probe the big side map-only BEFORE any shuffle. At 100 TB this is
+    // the difference between shuffling the full orders table into a
+    // semi-join and shipping 8 KB. The filter itself is engine-specific,
+    // so the declared output is the q_hll-style bounded gate: exact
+    // membership counts plus booleans asserting zero false negatives
+    // (bloom guarantee) and FPR within 1% of the non-member population.
+    "q_bloom_join" -> ((s, d) => {
+      graft.functions.expressions.GraftFunctions.ensureRegistered(s)
+      import graft.functions.expressions.GraftFunctions.{bloomAggCol, bloomContainsCol}
+      val building = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+      val bloom = building
+        .agg(bloomAggCol(col("c_custkey").cast("string")).as("bf"))
+      val members = building.select(col("c_custkey").as("bk"))
+      Tables.orders(s, d)
+        .crossJoin(broadcast(bloom))
+        .withColumn("hit", bloomContainsCol(col("bf"), col("o_custkey").cast("string")))
+        .join(broadcast(members), col("o_custkey") === col("bk"), "left")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          count(col("bk")).as("n_member"),
+          (sum(when(col("bk").isNotNull && !col("hit"), 1L).otherwise(0L)) === 0L)
+            .as("no_false_negatives"),
+          (sum(when(col("hit") && col("bk").isNull, 1L).otherwise(0L))
+            <= (count(lit(1)) - count(col("bk"))).cast("double") * 0.01)
+            .as("fpr_within_1pct"))
+    }),
+
     // Top-k per group via ranking window (distributed: one exchange on the
     // group key; the typed Aggregator equivalent is TopKAggregatorSpec).
     "q_topk_per_group" -> ((s, d) => {
@@ -331,6 +362,16 @@ object ExtrasQueries extends QueryPack {
       """SELECT l_returnflag, true AS p50_within_5pct
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_hll_merge" -> "SELECT true AS merged_within_5pct",
+    // The bloom bit pattern lives only on the Spark side; the oracle pins
+    // the exact membership counts and the filter's hard guarantees.
+    "q_bloom_join" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+                CAST(COUNT(c.c_custkey) AS BIGINT) AS n_member,
+                true AS no_false_negatives,
+                true AS fpr_within_1pct
+         FROM orders o
+         LEFT JOIN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') c
+           ON o.o_custkey = c.c_custkey""",
     "q_approx_topk" ->
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
             exact AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY w

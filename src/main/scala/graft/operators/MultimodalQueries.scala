@@ -99,7 +99,24 @@ object MultimodalQueries extends QueryPack {
           col("width"), col("height"),
           floor(col("width") * col("scale")).cast("int").as("out_w"),
           floor(col("height") * col("scale")).cast("int").as("out_h"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Binary content dedup — exact dedup on the raw payload bytes (md5
+    // over the binary column, BEFORE any decode), reporting the storage a
+    // dedup pass reclaims. Map-only hash + one uniform-key shuffle; at
+    // 100 TB this is the first pass any media lake runs, and the hash key
+    // makes the group-by skew-free regardless of payload size skew.
+    "mm_content_dedup" -> ((s, d) =>
+      MediaPipeline.mediaTable(s, d)
+        .select(col("doc_id"), md5(col("media")).as("content_hash"),
+          length(col("media")).cast("long").as("nbytes"))
+        .groupBy("content_hash")
+        .agg(
+          min("doc_id").as("canonical_id"),
+          count(lit(1)).as("n_copies"),
+          (sum("nbytes") - max("nbytes")).as("bytes_reclaimed"))
+        .select("canonical_id", "n_copies", "bytes_reclaimed")
+        .orderBy("canonical_id"))
   )
 
   // Oracle mirrors decodeStub arithmetic on strlen(text) (ASCII ⇒
@@ -139,6 +156,13 @@ object MultimodalQueries extends QueryPack {
             fr AS (SELECT source, unnest(range(n_frames)) AS frame_idx FROM m)
          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled_frames
          FROM fr WHERE frame_idx % 5 = 0 GROUP BY source ORDER BY source""",
+    // payload = utf-8 bytes of ASCII text ⇒ md5(blob) == md5(text) and
+    // byte length == strlen.
+    "mm_content_dedup" ->
+      """SELECT MIN(doc_id) AS canonical_id,
+                CAST(COUNT(*) AS BIGINT) AS n_copies,
+                CAST(SUM(strlen(text)) - MAX(strlen(text)) AS BIGINT) AS bytes_reclaimed
+         FROM documents GROUP BY md5(text) ORDER BY canonical_id""",
     "mm_embed_topk" ->
       """WITH meta AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS bytes,
                               (strlen(text) % 640) + 16 AS width,

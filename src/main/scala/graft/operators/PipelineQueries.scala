@@ -118,8 +118,42 @@ object PipelineQueries extends QueryPack {
         .filter(col("rk") <= 5)
         .select(col("lang"), col("rk"), col("doc_id"))
         .orderBy("lang", "rk")
-    })
+    }),
+
+    // Z-order (Morton) clustering audit — the multi-dimensional data
+    // layout that makes parquet min/max row-group pruning work on EITHER
+    // predicate dimension. Interleave the low 8 bits of two key dims into
+    // a 16-bit z-value, assign fixed z-ranges to 32 would-be files
+    // (map-only — the real write path is repartitionByRange(z) +
+    // sortWithinPartitions(z) + write), and report each file's per-dim
+    // min/max — the stats a scan would prune on. Pure integer bit math,
+    // so the DuckDB oracle is bit-exact.
+    "q_zorder" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("x", expr("CAST(l_partkey % 256 AS INT)"))
+        .withColumn("y", expr("CAST(l_suppkey % 256 AS INT)"))
+        .withColumn("z", expr(zInterleaveSpark("x", "y")))
+        .withColumn("file_id", expr("CAST(z div 2048 AS INT)"))
+        .groupBy("file_id")
+        .agg(
+          count(lit(1)).as("n"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"))
+        .orderBy("file_id"))
   )
+
+  /** 16-bit Morton interleave of two 8-bit ints, as a Spark SQL
+    * expression (shiftleft/shiftright — Spark's named shift functions). */
+  private def zInterleaveSpark(xe: String, ye: String): String =
+    (0 until 8).map(i =>
+      s"shiftleft(shiftright($xe, $i) & 1, ${2 * i}) + " +
+        s"shiftleft(shiftright($ye, $i) & 1, ${2 * i + 1})").mkString(" + ")
+
+  /** The same interleave in DuckDB's operator syntax (<< >> &). */
+  private def zInterleaveDuck(xe: String, ye: String): String =
+    (0 until 8).map(i =>
+      s"((($xe >> $i) & 1) << ${2 * i}) + ((($ye >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
     "dq_profile" ->
@@ -174,6 +208,16 @@ object PipelineQueries extends QueryPack {
            SELECT lang, doc_id,
                   CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS INT) AS rk
            FROM documents)
-         WHERE rk <= 5 ORDER BY lang, rk"""
+         WHERE rk <= 5 ORDER BY lang, rk""",
+    "q_zorder" ->
+      s"""WITH b AS (SELECT CAST(l_partkey % 256 AS INT) AS x,
+                            CAST(l_suppkey % 256 AS INT) AS y
+                     FROM lineitem),
+            zz AS (SELECT x, y, ${zInterleaveDuck("x", "y")} AS z FROM b)
+          SELECT CAST(z // 2048 AS INT) AS file_id,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 MIN(x) AS min_x, MAX(x) AS max_x,
+                 MIN(y) AS min_y, MAX(y) AS max_y
+          FROM zz GROUP BY 1 ORDER BY file_id"""
   )
 }

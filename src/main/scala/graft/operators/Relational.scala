@@ -166,7 +166,44 @@ object Relational extends QueryPack {
           month(col("o_orderdate")).as("mon"),
           dayofmonth(col("o_orderdate")).as("dom"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("day_str"))
-        .orderBy("o_orderkey"))
+        .orderBy("o_orderkey")),
+
+    // C: conditional aggregation (FILTER-clause semantics) — several
+    // differently-filtered aggregates in ONE pass over the fact table
+    // instead of N filtered scans. All integer accumulators, so partial
+    // aggregation is order-independent and oracle-exact.
+    "q_conditional_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_all"),
+          count(when(col("l_quantity") >= 25, 1)).as("n_heavy"),
+          sum(when(col("l_discount") > 0.05,
+            floor(col("l_quantity")).cast("long")).otherwise(0L)).as("qty_discounted"),
+          countDistinct(when(col("l_linenumber") === 1, col("l_partkey")))
+            .as("parts_first_line"))
+        .orderBy("l_returnflag")),
+
+    // G: schema-evolution union — unionByName with allowMissingColumns
+    // aligns by column NAME (different column order, one side missing a
+    // column → null-filled), the union a pipeline needs when a source adds
+    // a field mid-stream. DuckDB's UNION ALL BY NAME is the exact twin.
+    "q_union_by_name" -> ((s, d) => {
+      val a = Tables.customer(s, d).select(
+        col("c_custkey").as("key"), col("c_name").as("name"),
+        lit("customer").as("src"))
+      val b = Tables.supplier(s, d).select(
+        lit("supplier").as("src"), col("s_name").as("name"),
+        col("s_suppkey").as("key"), col("s_nationkey").as("nationkey"))
+      a.unionByName(b, allowMissingColumns = true)
+        .groupBy("src")
+        .agg(
+          count(lit(1)).as("n"),
+          min("key").as("min_key"),
+          max("key").as("max_key"),
+          count(col("nationkey")).as("n_nation"))
+        .orderBy("src")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -253,6 +290,25 @@ object Relational extends QueryPack {
                 CAST(MONTH(o_orderdate) AS INT) AS mon,
                 CAST(DAY(o_orderdate) AS INT) AS dom,
                 STRFTIME(o_orderdate, '%Y-%m-%d') AS day_str
-         FROM orders ORDER BY o_orderkey"""
+         FROM orders ORDER BY o_orderkey""",
+    "q_conditional_agg" ->
+      """SELECT l_returnflag,
+                CAST(COUNT(*) AS BIGINT) AS n_all,
+                CAST(COUNT(*) FILTER (WHERE l_quantity >= 25) AS BIGINT) AS n_heavy,
+                CAST(COALESCE(SUM(CAST(FLOOR(l_quantity) AS BIGINT))
+                       FILTER (WHERE l_discount > 0.05), 0) AS BIGINT) AS qty_discounted,
+                CAST(COUNT(DISTINCT l_partkey) FILTER (WHERE l_linenumber = 1) AS BIGINT)
+                  AS parts_first_line
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_union_by_name" ->
+      """WITH u AS (
+           SELECT c_custkey AS key, c_name AS name, 'customer' AS src FROM customer
+           UNION ALL BY NAME
+           SELECT 'supplier' AS src, s_name AS name, s_suppkey AS key,
+                  s_nationkey AS nationkey FROM supplier)
+         SELECT src, CAST(COUNT(*) AS BIGINT) AS n,
+                MIN(key) AS min_key, MAX(key) AS max_key,
+                CAST(COUNT(nationkey) AS BIGINT) AS n_nation
+         FROM u GROUP BY src ORDER BY src"""
   )
 }

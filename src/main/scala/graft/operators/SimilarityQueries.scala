@@ -89,17 +89,13 @@ object SimilarityQueries extends QueryPack {
 
     // IVF: assign every vector to nearest of 16 deterministic centroids;
     // probe the 4 clusters nearest the query; exact search within them.
+    // The assignment comes off the shared cached index (one build for
+    // sim_ivf, sim_knn_ivf, sim_knn_ivf2 and dedup_embed_ivf).
     "sim_ivf" -> ((s, d) => {
       val e = vecs(s, d)
       val cent = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cid"), col("v").as("w"), col("nrm").as("wnrm"))
-      // Index build: argmax over centroids per vector.
-      val byVec = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
-      val assigned = e.crossJoin(broadcast(cent))
-        .withColumn("ccos", cosExpr / (col("nrm") * col("wnrm")))
-        .withColumn("rk", row_number().over(byVec))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cluster"))
+      val assigned = ivfScoredAssignment(s, d, nprobe = 1).drop("rk")
       // Query: probe = vec_id 0; its 4 nearest centroids.
       val probeClusters = e.filter(col("vec_id") === 0)
         .crossJoin(broadcast(cent))

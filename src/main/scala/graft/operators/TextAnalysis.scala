@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryPack, Tables}
-import graft.Portable.round4
+import graft.Portable.{round4, round6}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM-data pipelines (north star):
@@ -142,6 +142,36 @@ object TextAnalysis extends QueryPack {
         .drop("ids")
         .orderBy("doc_id")),
 
+    // TF-IDF top terms per document — the canonical salience score a text
+    // pipeline computes for keyword extraction / near-dup feature vectors.
+    // Scale shape: two partial-aggregated shuffles (term counts on
+    // (doc_id, w), document frequency on w — both uniform key spaces), the
+    // corpus size N arrives as a broadcast 1-row frame (never a driver
+    // .count() round trip), and doc lengths come map-only from the same
+    // scan. Scores are rounded to 1e-6 BEFORE ranking so the ranking key
+    // is cross-engine-identical (a raw double sort key could flip ranks on
+    // a last-ulp difference in ln()).
+    "text_tfidf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val tc = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("len"))
+      val dfq = tc.groupBy("w").agg(count(lit(1)).as("df"))
+      val nd = broadcast(docs.agg(count(lit(1)).as("nd")))
+      val byDoc = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("w"))
+      tc.join(dl, "doc_id")
+        .join(dfq, "w")
+        .crossJoin(nd)
+        .withColumn("tfidf", round6(
+          (col("cnt").cast("double") / col("len").cast("double")) *
+            log(col("nd").cast("double") / col("df").cast("double"))))
+        .withColumn("rk", row_number().over(byDoc))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("w").as("term"), col("tfidf"))
+        .orderBy("doc_id", "rk")
+    }),
+
     // Corpus-level aggregate stats (the reduce side of text analysis).
     "text_corpus_stats" -> ((s, d) =>
       Tables.documents(s, d)
@@ -232,6 +262,22 @@ object TextAnalysis extends QueryPack {
                       t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 1000000007)),
                   (acc, h) -> (acc * 1000003 + h) % 1000000007) AS fingerprint
          FROM documents ORDER BY doc_id""",
+    "text_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+            tc AS (SELECT doc_id, w, COUNT(*) AS cnt FROM toks GROUP BY doc_id, w),
+            dl AS (SELECT doc_id, len(string_split(text, ' ')) AS len FROM documents),
+            dfq AS (SELECT w, COUNT(*) AS df FROM tc GROUP BY w),
+            nd AS (SELECT COUNT(*) AS nd FROM documents),
+            sc AS (SELECT tc.doc_id, tc.w,
+                          FLOOR(((CAST(tc.cnt AS DOUBLE) / CAST(dl.len AS DOUBLE)) *
+                                 ln(CAST(nd.nd AS DOUBLE) / CAST(dfq.df AS DOUBLE)))*1000000 + 0.5)/1000000 AS tfidf
+                   FROM tc JOIN dl USING (doc_id) JOIN dfq USING (w) CROSS JOIN nd),
+            rk AS (SELECT doc_id, w, tfidf,
+                          CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, w) AS INT) AS rk
+                   FROM sc)
+         SELECT doc_id, rk, w AS term, tfidf FROM rk WHERE rk <= 3
+         ORDER BY doc_id, rk""",
     "text_corpus_stats" ->
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
                 CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
