@@ -130,6 +130,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_bloom_join: every join broadcasts — the big side never shuffles") {
+    val p = plan("q_bloom_join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"bloom runtime-filter query shuffles a join side:\n$p")
+    assert(p.contains("graft_bloom_contains"), s"probe expression missing:\n$p")
+    // The only exchange is the 1-row partial→final global aggregate.
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"unexpected hash exchange on the probe side:\n$p")
+  }
+
+  test("q_zorder is map-only up to one aggregation exchange") {
+    val p = plan("q_zorder")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"z-order audit should shuffle once (file_id agg):\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("text_tfidf broadcasts the corpus-size scalar, not the term frames") {
+    val p = plan("text_tfidf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"corpus-size frame is not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"N join degenerated:\n$p")
+  }
+
   test("partitioned lake layout: a day filter prunes the scan to one partition") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft-lake").toFile.getAbsolutePath

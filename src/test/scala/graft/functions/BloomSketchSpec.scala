@@ -1,0 +1,77 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.expressions.{BloomSketch, GraftFunctions}
+import org.apache.spark.sql.functions._
+
+class BloomSketchSpec extends SparkSpec {
+
+  test("bloom has zero false negatives under any partitioning") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val keys = (1 to 2000).map(i => s"key-$i")
+    for (parts <- Seq(1, 13)) {
+      val bloom = keys.toDF("k").repartition(parts)
+        .agg(GraftFunctions.bloomAggCol(col("k")).as("bf"))
+        .collect()(0).getAs[Array[Byte]](0)
+      val missed = keys.count(k => !BloomSketch.contains(bloom, k))
+      assert(missed == 0, s"$missed false negatives at $parts partitions")
+    }
+  }
+
+  test("bloom artifact is partitioning-invariant (OR-merge is exact)") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val keys = (1 to 500).map(i => s"key-$i")
+    val artifacts = Seq(1, 7).map { parts =>
+      keys.toDF("k").repartition(parts)
+        .agg(GraftFunctions.bloomAggCol(col("k")).as("bf"))
+        .collect()(0).getAs[Array[Byte]](0)
+    }
+    assert(java.util.Arrays.equals(artifacts(0), artifacts(1)),
+      "bit pattern differs between 1 and 7 partitions")
+  }
+
+  test("false-positive rate stays under 1% at design load") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val members = (1 to 3000).map(i => s"member-$i")
+    val bloom = members.toDF("k")
+      .agg(GraftFunctions.bloomAggCol(col("k")).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val probes = (1 to 20000).map(i => s"absent-$i")
+    val fp = probes.count(k => BloomSketch.contains(bloom, k))
+    assert(fp <= probes.size / 100, s"$fp false positives out of ${probes.size}")
+  }
+
+  test("probe expression matches the static helper and handles sizing args") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val df = (1 to 100).map(i => s"v$i").toDF("k")
+    df.createOrReplaceTempView("bloom_src")
+    // SQL surface with explicit sizing: 128 bits, 2 hashes.
+    val bloom = spark.sql(
+      "SELECT graft_bloom_agg(k, 128, 2) AS bf FROM bloom_src")
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(bloom.length == 4 + 128 / 8)
+    val viaExpr = spark.sql(
+      """SELECT k, graft_bloom_contains((SELECT graft_bloom_agg(k, 128, 2) FROM bloom_src), k) AS hit
+         FROM bloom_src""").collect()
+    assert(viaExpr.forall(_.getBoolean(1)), "member missed via SQL probe")
+    assert((1 to 100).forall(i => BloomSketch.contains(bloom, s"v$i")))
+  }
+
+  test("misuse is rejected: bad arity and non-literal sizing") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    Seq("a").toDF("k").createOrReplaceTempView("bloom_err_src")
+    val wrongArity = intercept[Exception] {
+      spark.sql("SELECT graft_bloom_agg(k, 128) FROM bloom_err_src").collect()
+    }
+    assert(wrongArity.getMessage.contains("1 or 3"))
+    val nonLiteral = intercept[Exception] {
+      spark.sql("SELECT graft_bloom_agg(k, CAST(length(k) AS INT), 2) FROM bloom_err_src").collect()
+    }
+    assert(nonLiteral.getMessage.contains("literal"))
+  }
+}
