@@ -111,6 +111,27 @@ object Graft {
       length(col(textCol)).as("len"),
       size(array_distinct(split(col(textCol), " "))).as("n_distinct"))
 
+  /** Build a bloom filter over a key column (binary artifact, default
+    * 8 KB / 6 hashes — see BloomSketch for sizing). Aggregates map-side
+    * (OR-merged partials); the artifact broadcasts to probe sides. */
+  def bloomBuild(spark: SparkSession, df: DataFrame, keyCol: String): DataFrame = {
+    functions.expressions.GraftFunctions.ensureRegistered(spark)
+    df.agg(functions.expressions.GraftFunctions
+      .bloomAggCol(col(keyCol).cast("string")).as("bloom"))
+  }
+
+  /** Prune `df` to rows whose `keyCol` MAY be in the bloom build — the
+    * runtime-filter semi-join: false ⇒ definitely absent (safe to drop),
+    * true ⇒ verify with the real join. Map-only over the big side. */
+  def bloomProbe(spark: SparkSession, df: DataFrame, keyCol: String,
+                 bloom: DataFrame): DataFrame = {
+    functions.expressions.GraftFunctions.ensureRegistered(spark)
+    df.crossJoin(broadcast(bloom))
+      .filter(functions.expressions.GraftFunctions
+        .bloomContainsCol(col("bloom"), col(keyCol).cast("string")))
+      .drop("bloom")
+  }
+
   /** Deterministic Bernoulli sample: keep rows whose md5-derived hash of
     * `keyCol` falls under `percent` — reproducible and repartition-stable
     * (never rand()). */

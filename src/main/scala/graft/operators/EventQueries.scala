@@ -129,6 +129,29 @@ object EventQueries extends QueryPack {
         .orderBy("bucket", "event_type")
     }),
 
+    // E/H: exponentially weighted moving average (alpha = 0.5) per user —
+    // the online-smoothing statistic window functions CANNOT express
+    // (each step depends on the previous result, not on a frame
+    // aggregate). Shape: one shuffle on the entity key, collect the
+    // per-entity series (bounded per key — an entity's history, not the
+    // corpus), then a deterministic LEFT FOLD in (ts, event_id) order.
+    // alpha = 0.5 halves exactly in binary and the fold order is pinned,
+    // so doubles are bit-identical cross-engine (DuckDB list_reduce seeds
+    // with the first element — the NULL-seeded CASE below matches).
+    // Unbounded streams use the incremental twin: EWMA state in
+    // transformWithState (streaming/EventStreams).
+    "q_ewma" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("value")))).as("series"))
+        .select(col("user_id"),
+          size(col("series")).as("n_events"),
+          graft.Portable.round6(expr(
+            """aggregate(series, CAST(NULL AS DOUBLE),
+                 (acc, x) -> CASE WHEN acc IS NULL THEN x.value
+                                  ELSE acc * 0.5 + x.value * 0.5 END)""")).as("ewma"))
+        .orderBy("user_id")),
+
     // H: JSON extraction — from_json on the props string column.
     "q_json" -> ((s, d) =>
       Tables.events(s, d)
@@ -248,6 +271,15 @@ object EventQueries extends QueryPack {
          SELECT a.bucket, a.event_type, COALESCE(s.n, 0) AS n
          FROM axis a LEFT JOIN sparse s ON a.bucket = s.bucket AND a.event_type = s.event_type
          ORDER BY a.bucket, a.event_type""",
+    // list_reduce seeds with the first element — the Spark side's
+    // NULL-seeded CASE replicates exactly that, and both fold left in
+    // (ts, event_id) order.
+    "q_ewma" ->
+      """WITH s AS (SELECT user_id, list(value ORDER BY ts, event_id) AS series
+                    FROM events GROUP BY user_id)
+         SELECT user_id, CAST(len(series) AS INT) AS n_events,
+                FLOOR(list_reduce(series, (acc, x) -> acc*0.5 + x*0.5)*1000000 + 0.5)/1000000 AS ewma
+         FROM s ORDER BY user_id""",
     "q_json" ->
       """SELECT CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10 AS INT) AS k_mod,
                 CAST(COUNT(*) AS BIGINT) AS n,

@@ -121,6 +121,7 @@ object EventStreams {
     * cumulative value, emitted on every update. */
   case class UserEvent(user_id: Long, ts: Timestamp, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+  case class UserEwma(user_id: Long, n_events: Long, ewma: Double)
 
   def runningPerUser(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
@@ -134,6 +135,33 @@ object EventStreams {
           var total = prev.total_value
           batch.foreach { e => n += 1; total += e.value }
           val next = UserRunning(uid, n, total)
+          state.update(next)
+          Iterator.single(next)
+      }
+      .toDF()
+  }
+
+  /** Incremental EWMA (alpha = 0.5) per user — the streaming twin of the
+    * batch `q_ewma` fold: state is just (n, last ewma), each micro-batch
+    * folds its rows in timestamp order on top of the carried state, so
+    * after the final batch the emitted value equals the batch query's
+    * full-history fold. O(1) state per key — the shape that runs forever. */
+  def ewmaPerUser(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("ts"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserEwma]) =>
+          val ordered = batch.toSeq.sortBy(_.ts.getTime)
+          val prev = state.getOption
+          var n = prev.map(_.n_events).getOrElse(0L)
+          var ewma = prev.map(_.ewma).getOrElse(Double.NaN)
+          ordered.foreach { e =>
+            ewma = if (n == 0L) e.value else ewma * 0.5 + e.value * 0.5
+            n += 1
+          }
+          val next = UserEwma(uid, n, ewma)
           state.update(next)
           Iterator.single(next)
       }

@@ -143,6 +143,20 @@ class GraftApiSpec extends SparkSpec {
       (2L, 4L, 2L, Seq(-1, 0, 1, -1))))
   }
 
+  test("bloomBuild + bloomProbe prune non-members and keep every member") {
+    import spark.implicits._
+    val members = (1 to 50).map(i => (i.toLong, s"keep-$i"))
+    val small = members.toDF("id", "tag")
+    val big = ((1 to 50) ++ (1000 to 1400)).map(i => (i.toLong, i % 7)).toDF("id", "v")
+    val bloom = Graft.bloomBuild(spark, small, "id")
+    val pruned = Graft.bloomProbe(spark, big, "id", bloom).select("id").collect().map(_.getLong(0)).toSet
+    assert((1L to 50L).forall(pruned), "bloom dropped a true member (false negative)")
+    // 8 KB filter over 50 keys: essentially zero false positives expected,
+    // but the contract only promises a bound — allow a few.
+    assert(pruned.count(_ >= 1000L) <= 4, s"too many false positives: $pruned")
+    assert(!pruned.contains(999L))
+  }
+
   test("embedNearDupIvf finds a planted near-dup pair and only true pairs") {
     import spark.implicits._
     // 1 and 2 nearly parallel (cos ≈ 1); 3 orthogonal to both.

@@ -180,6 +180,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(last.getAs[Double]("total_value") == 10.0)
   }
 
+  test("ewmaPerUser incrementally matches the full-history fold") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.ewmaPerUser(spark, mem.toDF())
+      .writeStream.format("memory").queryName("ewma").outputMode("append").start()
+    // Two micro-batches; values fold in ts order across the batch boundary.
+    mem.addData(Ev(1, ts(0), 7, "a", 8.0), Ev(2, ts(1), 7, "a", 4.0))
+    q.processAllAvailable()
+    mem.addData(Ev(3, ts(2), 7, "a", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    // Sequential fold: 8 → 8*.5+4*.5 = 6 → 6*.5+2*.5 = 4.
+    val last = spark.table("ewma").orderBy(col("n_events").desc).head()
+    assert(last.getAs[Long]("n_events") == 3L)
+    assert(last.getAs[Double]("ewma") == 4.0)
+  }
+
   test("transformWithState (v2 API) accumulates typed ValueState in RocksDB across batches") {
     // The v2 API requires the RocksDB state store provider; scope the conf
     // to a child session so the other streaming tests keep the default.
