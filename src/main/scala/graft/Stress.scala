@@ -94,6 +94,32 @@ object Stress {
     val (iv2, niv2) = time("embed IVF 10x nlist=128",
       Graft.embedNearDupIvf(spark, tenxEmb, threshold = 0.99, nlist = 128, nprobe = 2).count())
 
+    // Bloom runtime-filter at 10×: the scenario the bloom pair exists for
+    // is a build side too big to broadcast whole (forced here with a
+    // merge hint) but whose 8 KB FILTER always broadcasts. Three shapes:
+    // the sort-merge semi-join it replaces (shuffles all 10× orders), the
+    // map-only bloom probe (zero shuffle — the upper-bound prune), and
+    // bloom prune + SMJ verify (exact semantics, shuffling only the ~1/5
+    // of rows that survive the prune).
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val tenxOrd = (0 until 10).map { k =>
+      ord.select((col("o_orderkey") + lit(k * 100000000L)).as("o_orderkey"), col("o_custkey"))
+    }.reduce(_ union _).localCheckpoint()
+    val nOrd = tenxOrd.count()
+    val bldKeys = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val (sj, nsj) = time("semi-join SMJ 10x", tenxOrd
+      .join(bldKeys.hint("merge"), col("o_custkey") === col("c_custkey"), "left_semi")
+      .count())
+    val bloomDf = Graft.bloomBuild(spark, bldKeys, "c_custkey")
+    val (bp, nbp) = time("bloom probe map-only", Graft
+      .bloomProbe(spark, tenxOrd, "o_custkey", bloomDf)
+      .count())
+    val (bv, nbv) = time("bloom prune + SMJ verify", Graft
+      .bloomProbe(spark, tenxOrd, "o_custkey", bloomDf)
+      .join(bldKeys.hint("merge"), col("o_custkey") === col("c_custkey"), "left_semi")
+      .count())
+
     // Broadcast-threshold sensitivity (SF1k preview): with the auto
     // threshold off, the orders/customer joins fall back to sort-merge —
     // the plan shape once those dims outgrow executor memory. The nation
@@ -104,7 +130,7 @@ object Stress {
     smj.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val (b2, _) = time("q3_join sort-merge only", SparkEntry.queries("q3_join")(smj, sfDir).count())
 
-    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"embed_ivf_10x":{"vecs":$embDocs,"nlist16_sec":$iv,"nlist16_pairs":$niv,"nlist128_sec":$iv2,"nlist128_pairs":$niv2},"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2}}""")
+    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"embed_ivf_10x":{"vecs":$embDocs,"nlist16_sec":$iv,"nlist16_pairs":$niv,"nlist128_sec":$iv2,"nlist128_pairs":$niv2},"bloom_10x":{"orders":$nOrd,"smj_sec":$sj,"smj_rows":$nsj,"probe_sec":$bp,"probe_rows":$nbp,"verify_sec":$bv,"verify_rows":$nbv},"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2}}""")
     spark.stop()
   }
 }

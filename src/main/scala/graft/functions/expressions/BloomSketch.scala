@@ -132,21 +132,36 @@ case class BloomContains(left: Expression, right: Expression) extends BinaryExpr
 }
 
 object BloomSketch {
-  /** 2^16 bits = 8 KB: FPR < 1e-8 for n=3000 keys at k=6; still < 1% at
-    * n=40k. Callers with bigger build sides size up via the 3-arg form. */
+  /** 2^16 bits = 8 KB: FPR ≈ 2e-4 for n=3000 keys at k=6; still < 1% at
+    * n=12k. Callers with bigger build sides size up via the 3-arg form. */
   val DefaultBits = 1 << 16
   val DefaultHashes = 6
 
-  /** Bit positions for a key: seeded universal hashes of the md5-derived
-    * h60 (same family as MinHash/SimHash — JvmHashSpec pins portability). */
-  private def bitIndex(h0: Long, j: Int, numBits: Int): Int =
-    (graft.functions.JvmHash.seeded(h0, j) % numBits).toInt
+  /** Two independent 64-bit halves of the key's md5 for Kirsch-
+    * Mitzenmacher double hashing (idx_j = h1 + j·h2 mod m). NOT the
+    * `JvmHash.seeded` family: its seeds are linear in j (a_j = A·(j+1)),
+    * and reducing an even-multiplier hash mod a power-of-two bit count
+    * drops low bits — the k probes decorrelate from theory and the
+    * measured FPR inflates ~38× (caught by graft.Stress). h2 is forced
+    * odd so the stride has full period mod 2^t. */
+  private def kmHashes(key: String): (Long, Long) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = md.digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h1 = 0L; var h2 = 0L
+    var i = 0
+    while (i < 8) { h1 = (h1 << 8) | (dig(i) & 0xffL); i += 1 }
+    while (i < 16) { h2 = (h2 << 8) | (dig(i) & 0xffL); i += 1 }
+    (h1, h2 | 1L)
+  }
+
+  private def bitIndex(h1: Long, h2: Long, j: Int, numBits: Int): Int =
+    java.lang.Math.floorMod(h1 + j.toLong * h2, numBits.toLong).toInt
 
   def setBits(buf: Array[Long], numBits: Int, numHashes: Int, key: String): Unit = {
-    val h0 = graft.functions.JvmHash.h60p(key)
+    val (h1, h2) = kmHashes(key)
     var j = 0
     while (j < numHashes) {
-      val idx = bitIndex(h0, j, numBits)
+      val idx = bitIndex(h1, h2, j, numBits)
       buf(idx >> 6) |= (1L << (idx & 63))
       j += 1
     }
@@ -157,10 +172,10 @@ object BloomSketch {
     val bb = ByteBuffer.wrap(artifact)
     val numHashes = bb.getInt()
     val numBits = (artifact.length - 4) * 8
-    val h0 = graft.functions.JvmHash.h60p(key)
+    val (h1, h2) = kmHashes(key)
     var j = 0
     while (j < numHashes) {
-      val idx = bitIndex(h0, j, numBits)
+      val idx = bitIndex(h1, h2, j, numBits)
       val word = bb.getLong(4 + (idx >> 6) * 8)
       if ((word & (1L << (idx & 63))) == 0L) return false
       j += 1
