@@ -536,6 +536,38 @@ object DedupQueries extends QueryPack {
     // candidate cost (pinned in EmbedIvfRecallSpec). Candidate ids are
     // deduped BEFORE the verify join back to the vectors, so each
     // surviving pair pays exactly one 64-dim dot product.
+    // Embedding near-dup via random-hyperplane (cosine) LSH — the
+    // data-INDEPENDENT alternative to the IVF blocking below: no centroid
+    // set to build or keep consistent across corpus shards, signatures
+    // merge trivially, and the bit budget is the only knob. Each vector
+    // gets a 16-bit signature (sign of 16 fixed md5-derived ±1
+    // hyperplanes, via the codegen graft_dot against literal arrays);
+    // banding 4×4 bits buckets candidates, exact cosine verifies.
+    // Recall math (documented, not hidden): P[bit agrees] = 1 - θ/π, so
+    // at cos 0.9 a 4-bit band collides with p≈0.54 and ≥1-of-4 bands
+    // gives ~95% recall; at this fixture's 0.4-0.6 similarity range it is
+    // ~50% — RHP is a HIGH-threshold tool, which is why the declared
+    // scale path for this corpus stays dedup_embed_ivf. The oracle
+    // replicates the same hyperplanes/banding literally, so the output
+    // (candidates ∩ cos ≥ 0.4) is exact and hash-checked.
+    "dedup_embed_rhp" -> ((s, d) => {
+      val dot = graft.functions.expressions.GraftFunctions.dotCol _
+      val e = SimilarityQueries.vecs(s, d)
+      val sig = e.select(col("vec_id").as("doc_id"), rhpSigCol.as("sig"))
+      val banded = sig
+        .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("band"), col("sig"))
+        .withColumn("bkey", expr("shiftright(sig, CAST(band * 4 AS INT)) & 15"))
+      val cand = bucketPairs(banded, Seq("band", "bkey"))
+        .select(col("da").as("va"), col("db").as("vb"))
+      cand
+        .join(e.select(col("vec_id").as("va"), col("v").as("v_a"), col("nrm").as("nrm_a")), "va")
+        .join(e.select(col("vec_id").as("vb"), col("v").as("v_b"), col("nrm").as("nrm_b")), "vb")
+        .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+        .filter(col("cos") >= 0.4)
+        .select(col("va"), col("vb"), round6(col("cos")).as("cos"))
+        .orderBy("va", "vb")
+    }),
+
     "dedup_embed_ivf" -> ((s, d) => {
       val dot = graft.functions.expressions.GraftFunctions.dotCol _
       val e = SimilarityQueries.vecs(s, d)
@@ -559,6 +591,27 @@ object DedupQueries extends QueryPack {
         .orderBy("va", "vb")
     })
   )
+
+  /** 16×64 ±1 hyperplane matrix for the RHP signature — md5-derived so
+    * both engines (and any re-run) see the identical matrix; embedded as
+    * literal arrays in the Spark plan AND the oracle SQL. */
+  private lazy val rhpMat: IndexedSeq[IndexedSeq[Int]] =
+    (0 until 16).map(b => (0 until 64).map(i =>
+      if (graft.functions.JvmHash.h60(s"rhp-$b-$i") % 2 == 0) 1 else -1))
+
+  /** sig = Σ_b [dot(v, r_b) > 0] << b over the literal hyperplanes (the
+    * dot is the codegen graft_dot; CreateArray of literals folds). */
+  private def rhpSigCol: org.apache.spark.sql.Column =
+    (0 until 16).map { b =>
+      val arr = rhpMat(b).map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
+      when(expr(s"graft_dot(v, $arr)") > lit(0.0), lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private lazy val rhpSqlSig: String =
+    (0 until 16).map { b =>
+      val lst = rhpMat(b).map(v => s"$v.0").mkString("[", ", ", "]")
+      s"(CASE WHEN list_reduce(list_transform(range(64), i -> v[i+1] * ($lst)[i+1]), (x, y) -> x + y) > 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
 
   private val shinglesSqlCte =
     """docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -689,6 +742,25 @@ object DedupQueries extends QueryPack {
                     FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
          SELECT va, vb, FLOOR(cos*1000000 + 0.5)/1000000 AS cos FROM p
          WHERE cos >= 0.4 ORDER BY va, vb""",
+    "dedup_embed_rhp" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+            n AS (SELECT vec_id, v,
+                         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+                  FROM e),
+            sg AS (SELECT vec_id, v, nrm, $rhpSqlSig AS sig FROM n),
+            cand AS (SELECT a.vec_id AS va, b.vec_id AS vb
+                     FROM sg a JOIN sg b ON a.vec_id < b.vec_id
+                     WHERE ((a.sig >> 0) & 15) = ((b.sig >> 0) & 15)
+                        OR ((a.sig >> 4) & 15) = ((b.sig >> 4) & 15)
+                        OR ((a.sig >> 8) & 15) = ((b.sig >> 8) & 15)
+                        OR ((a.sig >> 12) & 15) = ((b.sig >> 12) & 15)),
+            p AS (SELECT c.va, c.vb,
+                         list_reduce(list_transform(range(64), i -> x.v[i + 1] * y.v[i + 1]),
+                                     (u, t) -> u + t) / (x.nrm * y.nrm) AS cos
+                  FROM cand c JOIN n x ON c.va = x.vec_id JOIN n y ON c.vb = y.vec_id)
+          SELECT va, vb, FLOOR(cos*1000000 + 0.5)/1000000 AS cos FROM p
+          WHERE cos >= 0.4 ORDER BY va, vb""",
     "dedup_embed_ivf" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                     FROM embeddings),

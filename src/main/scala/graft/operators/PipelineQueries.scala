@@ -120,6 +120,23 @@ object PipelineQueries extends QueryPack {
         .orderBy("lang", "rk")
     }),
 
+    // Equi-width histogram of order totals — the distribution profile a
+    // DQ pass materializes per numeric column. One partial-aggregated
+    // shuffle on a ≤13-value key; identical floor arithmetic on both
+    // engines (DuckDB has no width_bucket — and Spark's computes
+    // (x-min)/step with its own float rounding, so the shared-expression
+    // form is the cross-engine-stable one).
+    "q_histogram" -> ((s, d) =>
+      Tables.orders(s, d)
+        .withColumn("bucket",
+          least(floor(col("o_totalprice") / 50000.0), lit(11.0)).cast("int"))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n"),
+          round2(min("o_totalprice")).as("lo"),
+          round2(max("o_totalprice")).as("hi"))
+        .orderBy("bucket")),
+
     // Z-order (Morton) clustering audit — the multi-dimensional data
     // layout that makes parquet min/max row-group pruning work on EITHER
     // predicate dimension. Interleave the low 8 bits of two key dims into
@@ -209,6 +226,12 @@ object PipelineQueries extends QueryPack {
                   CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS INT) AS rk
            FROM documents)
          WHERE rk <= 5 ORDER BY lang, rk""",
+    "q_histogram" ->
+      """SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 11) AS INT) AS bucket,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                FLOOR(MIN(o_totalprice)*100 + 0.5)/100 AS lo,
+                FLOOR(MAX(o_totalprice)*100 + 0.5)/100 AS hi
+         FROM orders GROUP BY 1 ORDER BY bucket""",
     "q_zorder" ->
       s"""WITH b AS (SELECT CAST(l_partkey % 256 AS INT) AS x,
                             CAST(l_suppkey % 256 AS INT) AS y
