@@ -120,6 +120,36 @@ object PipelineQueries extends QueryPack {
         .orderBy("lang", "rk")
     }),
 
+    // CDC latest-record compaction — the lakehouse upsert/merge read
+    // path: collapse a change log to the newest version per key. The
+    // argmax is max(struct(ts, ...)): map-side partial aggregation ships
+    // ONE candidate row per key per partition, where the window-rank
+    // formulation (the oracle's) shuffles every version. (ts, event_id)
+    // is unique, so the struct max is deterministic.
+    "q_cdc_compact" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          max(struct(col("ts"), col("event_id"), col("event_type"), col("value"))).as("m"),
+          count(lit(1)).as("n_versions"))
+        .select(col("user_id"), col("m.event_id").as("last_event_id"),
+          col("m.event_type").as("last_type"), round2(col("m.value")).as("last_value"),
+          col("n_versions"))
+        .orderBy("user_id")),
+
+    // Deterministic 80/10/10 train/val/test split assignment — the
+    // pipeline's final routing step, keyed on the same md5 hash as the
+    // samplers (repartition-stable, reproducible, leakage-free by
+    // construction: a doc's split is a pure function of its id).
+    "q_split_assign" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("h", graft.functions.PortableHash.h60(col("doc_id").cast("string")) % 100)
+        .withColumn("split",
+          when(col("h") < 80, "train").when(col("h") < 90, "val").otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("first_doc"))
+        .orderBy("lang", "split")),
+
     // Equi-width histogram of order totals — the distribution profile a
     // DQ pass materializes per numeric column. One partial-aggregated
     // shuffle on a ≤13-value key; identical floor arithmetic on both
@@ -226,6 +256,24 @@ object PipelineQueries extends QueryPack {
                   CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS INT) AS rk
            FROM documents)
          WHERE rk <= 5 ORDER BY lang, rk""",
+    "q_cdc_compact" ->
+      """SELECT user_id, last_event_id, last_type,
+                FLOOR(last_value*100 + 0.5)/100 AS last_value, n_versions
+         FROM (SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+                      value AS last_value,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY ts DESC, event_id DESC) AS rk,
+                      CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_versions
+               FROM events)
+         WHERE rk = 1 ORDER BY user_id""",
+    "q_split_assign" ->
+      """WITH h AS (SELECT lang, doc_id,
+                           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS hh
+                    FROM documents)
+         SELECT lang,
+                CASE WHEN hh < 80 THEN 'train' WHEN hh < 90 THEN 'val' ELSE 'test' END AS split,
+                CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS first_doc
+         FROM h GROUP BY 1, 2 ORDER BY lang, split""",
     "q_histogram" ->
       """SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 11) AS INT) AS bucket,
                 CAST(COUNT(*) AS BIGINT) AS n,

@@ -142,6 +142,22 @@ object TextAnalysis extends QueryPack {
         .drop("ids")
         .orderBy("doc_id")),
 
+    // Stopword filtering — the token-scrub pass an indexing/featurization
+    // pipeline runs before vocabulary work. Map-only array ops (filter +
+    // slice + join), no UDFs; reports before/after counts plus the head
+    // of the kept stream so content (not just counts) is hash-checked.
+    "text_stopword_filter" -> ((s, d) => {
+      val keepExpr = s"filter(toks, t -> NOT t IN (${inList(stop("en"))}))"
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          expr(s"size($keepExpr)").as("n_kept"),
+          expr(s"array_join(slice($keepExpr, 1, 5), ' ')").as("head_kept"))
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF top terms per document — the canonical salience score a text
     // pipeline computes for keyword extraction / near-dup feature vectors.
     // Scale shape: two partial-aggregated shuffles (term counts on
@@ -262,6 +278,15 @@ object TextAnalysis extends QueryPack {
                       t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 1000000007)),
                   (acc, h) -> (acc * 1000003 + h) % 1000000007) AS fingerprint
          FROM documents ORDER BY doc_id""",
+    "text_stopword_filter" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            k AS (SELECT doc_id, toks,
+                         list_filter(toks, t -> NOT t IN (${inList(stop("en"))})) AS kept
+                  FROM t)
+          SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+                 CAST(len(kept) AS INT) AS n_kept,
+                 array_to_string(list_slice(kept, 1, 5), ' ') AS head_kept
+          FROM k ORDER BY doc_id""",
     "text_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
             tc AS (SELECT doc_id, w, COUNT(*) AS cnt FROM toks GROUP BY doc_id, w),
