@@ -607,10 +607,14 @@ object DedupQueries extends QueryPack {
       when(expr(s"graft_dot(v, $arr)") > lit(0.0), lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** list_zip form, NOT `range(64)` + literal indexing: DuckDB rebuilds
+    * an indexed literal list per ELEMENT access (~12 ms/row for 16×64 —
+    * 47 s at sf0.1, found by profiling); zipping constructs it once per
+    * row and keeps the same left fold, so doubles stay bit-identical. */
   private lazy val rhpSqlSig: String =
     (0 until 16).map { b =>
       val lst = rhpMat(b).map(v => s"$v.0").mkString("[", ", ", "]")
-      s"(CASE WHEN list_reduce(list_transform(range(64), i -> v[i+1] * ($lst)[i+1]), (x, y) -> x + y) > 0 THEN ${1 << b} ELSE 0 END)"
+      s"(CASE WHEN list_reduce(list_transform(list_zip(v, $lst), z -> z[1] * z[2]), (x, y) -> x + y) > 0 THEN ${1 << b} ELSE 0 END)"
     }.mkString(" + ")
 
   private val shinglesSqlCte =
@@ -748,13 +752,12 @@ object DedupQueries extends QueryPack {
             n AS (SELECT vec_id, v,
                          sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
                   FROM e),
-            sg AS (SELECT vec_id, v, nrm, $rhpSqlSig AS sig FROM n),
-            cand AS (SELECT a.vec_id AS va, b.vec_id AS vb
-                     FROM sg a JOIN sg b ON a.vec_id < b.vec_id
-                     WHERE ((a.sig >> 0) & 15) = ((b.sig >> 0) & 15)
-                        OR ((a.sig >> 4) & 15) = ((b.sig >> 4) & 15)
-                        OR ((a.sig >> 8) & 15) = ((b.sig >> 8) & 15)
-                        OR ((a.sig >> 12) & 15) = ((b.sig >> 12) & 15)),
+            sg AS (SELECT vec_id, $rhpSqlSig AS sig FROM n),
+            keyed AS (SELECT vec_id, band, (sig >> (band * 4)) & 15 AS bkey
+                      FROM (SELECT vec_id, sig, unnest([0, 1, 2, 3]) AS band FROM sg)),
+            cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+                     FROM keyed a JOIN keyed b
+                       ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
             p AS (SELECT c.va, c.vb,
                          list_reduce(list_transform(range(64), i -> x.v[i + 1] * y.v[i + 1]),
                                      (u, t) -> u + t) / (x.nrm * y.nrm) AS cos
