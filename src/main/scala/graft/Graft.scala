@@ -126,10 +126,13 @@ object Graft {
   def bloomProbe(spark: SparkSession, df: DataFrame, keyCol: String,
                  bloom: DataFrame): DataFrame = {
     functions.expressions.GraftFunctions.ensureRegistered(spark)
-    df.crossJoin(broadcast(bloom))
+    // Collision-proof artifact name: the probe frame may legitimately
+    // carry its own "bloom" column (and drop() would silently eat it).
+    val art = bloom.select(col(bloom.columns.head).as("__graft_bloom"))
+    df.crossJoin(broadcast(art))
       .filter(functions.expressions.GraftFunctions
-        .bloomContainsCol(col("bloom"), col(keyCol).cast("string")))
-      .drop("bloom")
+        .bloomContainsCol(col("__graft_bloom"), col(keyCol).cast("string")))
+      .drop("__graft_bloom")
   }
 
   /** Deterministic Bernoulli sample: keep rows whose md5-derived hash of

@@ -28,10 +28,16 @@ object Stress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // 10× replication by key-shifted union (shared by every stress
+    // section; localCheckpoint freezes the input so timings measure the
+    // operator, not the clone build).
+    def tenxShift(df: org.apache.spark.sql.DataFrame, keyCol: String, offset: Long) =
+      (0 until 10).map { k =>
+        df.withColumn(keyCol, col(keyCol) + lit(k * offset))
+      }.reduce(_ union _)
+
     val base = Tables.documents(spark, sfDir).select("doc_id", "text")
-    val tenx = (0 until 10).map { k =>
-      base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"), col("text"))
-    }.reduce(_ union _)
+    val tenx = tenxShift(base, "doc_id", 10000000L)
     val mega = (0 until 20).map { c =>
       base.filter(col("doc_id") === c)
         .crossJoin(spark.range(200).select(col("id").as("copy")))
@@ -82,9 +88,7 @@ object Stress {
     // quadratically PER CELL — the measured gap vs n² is the argument
     // for nlist ∝ √n at real scale.
     val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
-    val tenxEmb = (0 until 10).map { k =>
-      emb.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"), col("embedding"))
-    }.reduce(_ union _).localCheckpoint()
+    val tenxEmb = tenxShift(emb, "vec_id", 10000000L).localCheckpoint()
     val embDocs = tenxEmb.count()
     val (iv, niv) = time("embed IVF 10x nlist=16",
       Graft.embedNearDupIvf(spark, tenxEmb, threshold = 0.99, nlist = 16, nprobe = 2).count())
@@ -102,16 +106,17 @@ object Stress {
     // bloom prune + SMJ verify (exact semantics, shuffling only the ~1/5
     // of rows that survive the prune).
     val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
-    val tenxOrd = (0 until 10).map { k =>
-      ord.select((col("o_orderkey") + lit(k * 100000000L)).as("o_orderkey"), col("o_custkey"))
-    }.reduce(_ union _).localCheckpoint()
+    val tenxOrd = tenxShift(ord, "o_orderkey", 100000000L).localCheckpoint()
     val nOrd = tenxOrd.count()
     val bldKeys = Tables.customer(spark, sfDir)
       .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
     val (sj, nsj) = time("semi-join SMJ 10x", tenxOrd
       .join(bldKeys.hint("merge"), col("o_custkey") === col("c_custkey"), "left_semi")
       .count())
-    val bloomDf = Graft.bloomBuild(spark, bldKeys, "c_custkey")
+    // Materialize the 8 KB artifact BEFORE the timings: bloomDf is lazy,
+    // and an unmaterialized build would re-run the customer aggregate
+    // inside both timed probe actions, overstating probe_sec.
+    val bloomDf = Graft.bloomBuild(spark, bldKeys, "c_custkey").localCheckpoint()
     val (bp, nbp) = time("bloom probe map-only", Graft
       .bloomProbe(spark, tenxOrd, "o_custkey", bloomDf)
       .count())

@@ -144,8 +144,18 @@ object BloomSketch {
     * drops low bits — the k probes decorrelate from theory and the
     * measured FPR inflates ~38× (caught by graft.Stress). h2 is forced
     * odd so the stride has full period mod 2^t. */
+  // graft_bloom_contains runs once per PROBE-SIDE row — per-row
+  // MessageDigest.getInstance would be the hot-path allocation the
+  // scaladoc promises not to make. (JvmHash.h60 keeps the simple form;
+  // it documents driver-side/low-volume use.)
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   private def kmHashes(key: String): (Long, Long) = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5.get()
+    md.reset()
     val dig = md.digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var h1 = 0L; var h2 = 0L
     var i = 0

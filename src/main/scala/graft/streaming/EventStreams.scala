@@ -121,6 +121,7 @@ object EventStreams {
     * cumulative value, emitted on every update. */
   case class UserEvent(user_id: Long, ts: Timestamp, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+  case class UserTimedEvent(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
   case class UserEwma(user_id: Long, n_events: Long, ewma: Double)
 
   def runningPerUser(spark: SparkSession, events: DataFrame): DataFrame = {
@@ -149,11 +150,17 @@ object EventStreams {
   def ewmaPerUser(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     events
-      .select(col("user_id"), col("ts"), col("value")).as[UserEvent]
+      .select(col("user_id"), col("ts"), col("event_id"), col("value")).as[UserTimedEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserEwma]) =>
-          val ordered = batch.toSeq.sortBy(_.ts.getTime)
+        (uid: Long, batch: Iterator[UserTimedEvent], state: GroupState[UserEwma]) =>
+          // (ts, event_id) — the SAME tie-break as batch q_ewma's
+          // sort_array, and Timestamp.compareTo keeps nanos (getTime
+          // would truncate to millis and reorder sub-ms events).
+          val ordered = batch.toSeq.sortWith { (a, b) =>
+            val c = a.ts.compareTo(b.ts)
+            c < 0 || (c == 0 && a.event_id < b.event_id)
+          }
           val prev = state.getOption
           var n = prev.map(_.n_events).getOrElse(0L)
           var ewma = prev.map(_.ewma).getOrElse(Double.NaN)

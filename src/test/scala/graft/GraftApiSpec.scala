@@ -154,7 +154,10 @@ class GraftApiSpec extends SparkSpec {
     // 8 KB filter over 50 keys: essentially zero false positives expected,
     // but the contract only promises a bound — allow a few.
     assert(pruned.count(_ >= 1000L) <= 4, s"too many false positives: $pruned")
-    assert(!pruned.contains(999L))
+    // Non-vacuous absence check: at least one ACTUAL probe key must be
+    // pruned (a probe that passes everything keeps all 401 non-members).
+    assert((1000 to 1400).exists(i => !pruned.contains(i.toLong)),
+      "no non-member was pruned — probe passes everything")
   }
 
   test("embedNearDupIvf finds a planted near-dup pair and only true pairs") {
