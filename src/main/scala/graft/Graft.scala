@@ -135,6 +135,42 @@ object Graft {
       .drop("__graft_bloom")
   }
 
+  /** CDC latest-record compaction over ANY change log: the newest row
+    * per `keyCol` by `orderCol`, via max(struct(...)) so partial
+    * aggregation ships one candidate per key per partition (a ranking
+    * window would shuffle every version). Ties on `orderCol` break by
+    * the remaining columns in their original order — pass a unique
+    * (orderCol) per key, or accept that documented tie-break. */
+  def cdcCompact(log: DataFrame, keyCol: String, orderCol: String): DataFrame = {
+    val others = log.columns.filterNot(c => c == keyCol || c == orderCol).toSeq
+    val ordered = orderCol +: others
+    log.groupBy(keyCol)
+      .agg(max(struct(ordered.map(col): _*)).as("__m"))
+      .select(col(keyCol) +: ordered.map(c => col(s"__m.$c").as(c)): _*)
+  }
+
+  /** Top-k salient terms per document by TF-IDF. Scores are rounded to
+    * 1e-6 BEFORE ranking (cross-engine-stable rank keys); the corpus
+    * size arrives as a broadcast 1-row frame, never a driver count. */
+  def tfidfTopTerms(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), explode(split(col(textCol), " ")).as("w"))
+    val tc = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+    val dl = docs.select(col("doc_id"), size(split(col(textCol), " ")).cast("long").as("len"))
+    val dfq = tc.groupBy("w").agg(count(lit(1)).as("df"))
+    val nd = broadcast(docs.agg(count(lit(1)).as("nd")))
+    val byDoc = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("w"))
+    tc.join(dl, "doc_id")
+      .join(dfq, "w")
+      .crossJoin(nd)
+      .withColumn("tfidf", Portable.round6(
+        (col("cnt").cast("double") / col("len").cast("double")) *
+          log(col("nd").cast("double") / col("df").cast("double"))))
+      .withColumn("rk", row_number().over(byDoc))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("w").as("term"), col("tfidf"))
+  }
+
   /** Deterministic Bernoulli sample: keep rows whose md5-derived hash of
     * `keyCol` falls under `percent` — reproducible and repartition-stable
     * (never rand()). */

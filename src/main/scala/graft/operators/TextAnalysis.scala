@@ -167,26 +167,10 @@ object TextAnalysis extends QueryPack {
     // scan. Scores are rounded to 1e-6 BEFORE ranking so the ranking key
     // is cross-engine-identical (a raw double sort key could flip ranks on
     // a last-ulp difference in ln()).
-    "text_tfidf" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
-      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      val tc = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
-      val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("len"))
-      val dfq = tc.groupBy("w").agg(count(lit(1)).as("df"))
-      val nd = broadcast(docs.agg(count(lit(1)).as("nd")))
-      val byDoc = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("w"))
-      tc.join(dl, "doc_id")
-        .join(dfq, "w")
-        .crossJoin(nd)
-        .withColumn("tfidf", round6(
-          (col("cnt").cast("double") / col("len").cast("double")) *
-            log(col("nd").cast("double") / col("df").cast("double"))))
-        .withColumn("rk", row_number().over(byDoc))
-        .filter(col("rk") <= 3)
-        .select(col("doc_id"), col("rk"), col("w").as("term"), col("tfidf"))
-        .orderBy("doc_id", "rk")
-    }),
+    // Declared binding of Graft.tfidfTopTerms (the parameterized form).
+    "text_tfidf" -> ((s, d) =>
+      graft.Graft.tfidfTopTerms(Tables.documents(s, d), k = 3)
+        .orderBy("doc_id", "rk")),
 
     // Corpus-level aggregate stats (the reduce side of text analysis).
     "text_corpus_stats" -> ((s, d) =>

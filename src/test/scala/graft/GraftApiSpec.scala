@@ -143,6 +143,32 @@ class GraftApiSpec extends SparkSpec {
       (2L, 4L, 2L, Seq(-1, 0, 1, -1))))
   }
 
+  test("cdcCompact keeps the newest row per key with original columns") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 3L, "c", 30.0), (1L, 1L, "a", 10.0), (1L, 2L, "b", 20.0),
+      (2L, 5L, "x", 1.5)
+    ).toDF("id", "version", "state", "amount")
+    val out = Graft.cdcCompact(log, "id", "version").orderBy("id").collect()
+    assert(out.map(_.toSeq).toSeq == Seq(
+      Seq(1L, 3L, "c", 30.0), Seq(2L, 5L, "x", 1.5)))
+    assert(out.head.schema.fieldNames.toSeq == Seq("id", "version", "state", "amount"))
+  }
+
+  test("tfidfTopTerms ranks a doc-specific term above corpus-wide ones") {
+    val out = Graft.tfidfTopTerms(docs, k = 2).collect()
+    // doc 3 is the only one with unique vocabulary; its top term must be
+    // one of its own words, scored positive.
+    val doc3 = out.filter(_.getLong(0) == 3L).sortBy(_.getInt(1))
+    assert(doc3.nonEmpty && doc3.head.getDouble(3) > 0)
+    assert("entirely different words appear in this one here".split(" ")
+      .contains(doc3.head.getString(2)))
+    // exact dups 1 and 4 get identical term rankings.
+    val d1 = out.filter(_.getLong(0) == 1L).map(r => (r.getInt(1), r.getString(2), r.getDouble(3))).toSet
+    val d4 = out.filter(_.getLong(0) == 4L).map(r => (r.getInt(1), r.getString(2), r.getDouble(3))).toSet
+    assert(d1 == d4)
+  }
+
   test("bloomBuild + bloomProbe prune non-members and keep every member") {
     import spark.implicits._
     val members = (1 to 50).map(i => (i.toLong, s"keep-$i"))
