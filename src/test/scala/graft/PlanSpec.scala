@@ -140,6 +140,24 @@ class PlanSpec extends SparkSpec {
       s"unexpected hash exchange on the probe side:\n$p")
   }
 
+  test("q_cdc_compact partially aggregates the argmax before its shuffle") {
+    val p = plan("q_cdc_compact")
+    // max(struct(ts, ...)) must combine map-side BEFORE the shuffle
+    // (struct maxima compile to SortAggregate — struct buffers aren't
+    // hash-aggregable — but the partial/final split is what matters),
+    // and never a Window (the oracle's rank formulation shuffles every
+    // version; ours must not).
+    assert(p.contains("partial_max"),
+      s"no map-side partial aggregation of the argmax:\n$p")
+    assert(!p.contains("Window"), s"CDC compaction fell back to a window:\n$p")
+  }
+
+  test("q_histogram shuffles only its 13-value bucket key") {
+    val p = plan("q_histogram")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"histogram should shuffle once on the bucket key:\n$p")
+  }
+
   test("q_zorder is map-only up to one aggregation exchange") {
     val p = plan("q_zorder")
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
