@@ -149,6 +149,43 @@ object Graft {
       .select(col(keyCol) +: ordered.map(c => col(s"__m.$c").as(c)): _*)
   }
 
+  /** Per-key exponential smoothing (the q_ewma recurrence) over ANY
+    * frame: deterministic left fold in (`orderCol`, `tieCol`) order.
+    * Use alpha = 0.5 when cross-engine bit-exactness matters (exact
+    * binary halving); other alphas are fine within one engine. */
+  def ewma(df: DataFrame, keyCol: String, orderCol: String, tieCol: String,
+           valueCol: String, alpha: Double = 0.5): DataFrame =
+    df.groupBy(keyCol)
+      .agg(sort_array(collect_list(struct(col(orderCol), col(tieCol),
+        col(valueCol).cast("double").as("__v")))).as("__series"))
+      .select(col(keyCol),
+        size(col("__series")).as("n_events"),
+        expr(
+          s"""aggregate(__series, CAST(NULL AS DOUBLE),
+                (acc, x) -> CASE WHEN acc IS NULL THEN x.__v
+                                 ELSE acc * ${1 - alpha} + x.__v * $alpha END)""").as("ewma"))
+
+  /** Ordered funnel over an event stream: how many `groupCols` groups
+    * reach each step of `steps` strictly in order (cumulative-max window
+    * flags — one partitioning, no self-joins). Returns one row per
+    * group with a 0/1 column per step, ready for a roll-up. */
+  def funnel(events: DataFrame, steps: Seq[String], groupCols: Seq[String],
+             typeCol: String = "event_type", orderCols: Seq[String] = Seq("ts", "event_id")): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import org.apache.spark.sql.expressions.Window
+    val cum = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = steps.zipWithIndex.foldLeft((events, lit(1))) {
+      case ((df, prevSeen), (step, i)) =>
+        val hit = when(col(typeCol) === step && prevSeen === 1, 1).otherwise(0)
+        (df.withColumn(s"__s$i", max(hit).over(cum)), col(s"__s$i"))
+    }._1
+    flagged.groupBy(groupCols.map(col): _*)
+      .agg(max(s"__s0").as(s"reached_${steps.head}"),
+        steps.indices.tail.map(i => max(s"__s$i").as(s"reached_${steps(i)}")): _*)
+  }
+
   /** Top-k salient terms per document by TF-IDF. Scores are rounded to
     * 1e-6 BEFORE ranking (cross-engine-stable rank keys); the corpus
     * size arrives as a broadcast 1-row frame, never a driver count. */

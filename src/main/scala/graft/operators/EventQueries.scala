@@ -138,27 +138,17 @@ object EventQueries extends QueryPack {
     // formulation self-joins events twice per funnel step. On the
     // fixture the steps attenuate 4006 → 1617 → 345 → 56 — a real
     // conversion table.
-    "q_funnel" -> ((s, d) => {
-      val cum = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, d)
-        .withColumn("day", to_date(col("ts")))
-        .withColumn("seen_view",
-          max(when(col("event_type") === "view", 1).otherwise(0)).over(cum))
-        .withColumn("cav",
-          when(col("event_type") === "click" && col("seen_view") === 1, 1).otherwise(0))
-        .withColumn("seen_cav", max(col("cav")).over(cum))
-        .withColumn("pac",
-          when(col("event_type") === "purchase" && col("seen_cav") === 1, 1).otherwise(0))
-        .groupBy("user_id", "day")
-        .agg(max("seen_view").as("viewed"), max("seen_cav").as("clicked"),
-          max("pac").as("purchased"))
+    // Declared binding of Graft.funnel (the parameterized form).
+    "q_funnel" -> ((s, d) =>
+      graft.Graft.funnel(
+          Tables.events(s, d).withColumn("day", to_date(col("ts"))),
+          steps = Seq("view", "click", "purchase"),
+          groupCols = Seq("user_id", "day"))
         .agg(
           count(lit(1)).as("n_user_days"),
-          sum("viewed").cast("long").as("n_viewed"),
-          sum("clicked").cast("long").as("n_clicked_after_view"),
-          sum("purchased").cast("long").as("n_purchased_after_click"))
-    }),
+          sum("reached_view").cast("long").as("n_viewed"),
+          sum("reached_click").cast("long").as("n_clicked_after_view"),
+          sum("reached_purchase").cast("long").as("n_purchased_after_click"))),
 
     // E/H: exponentially weighted moving average (alpha = 0.5) per user —
     // the online-smoothing statistic window functions CANNOT express
@@ -172,15 +162,9 @@ object EventQueries extends QueryPack {
     // Unbounded streams use the incremental twin: EWMA state in
     // transformWithState (streaming/EventStreams).
     "q_ewma" -> ((s, d) =>
-      Tables.events(s, d)
-        .groupBy("user_id")
-        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("value")))).as("series"))
-        .select(col("user_id"),
-          size(col("series")).as("n_events"),
-          graft.Portable.round6(expr(
-            """aggregate(series, CAST(NULL AS DOUBLE),
-                 (acc, x) -> CASE WHEN acc IS NULL THEN x.value
-                                  ELSE acc * 0.5 + x.value * 0.5 END)""")).as("ewma"))
+      graft.Graft.ewma(Tables.events(s, d), "user_id", "ts", "event_id", "value")
+        .select(col("user_id"), col("n_events"),
+          graft.Portable.round6(col("ewma")).as("ewma"))
         .orderBy("user_id")),
 
     // H: JSON extraction — from_json on the props string column.

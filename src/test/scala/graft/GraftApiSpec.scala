@@ -143,6 +143,23 @@ class GraftApiSpec extends SparkSpec {
       (2L, 4L, 2L, Seq(-1, 0, 1, -1))))
   }
 
+  test("ewma folds in order across keys; funnel flags strictly-ordered steps") {
+    import spark.implicits._
+    val ev = Seq(
+      (7L, 1L, "view", 8.0), (7L, 2L, "click", 4.0), (7L, 3L, "purchase", 2.0),
+      (9L, 1L, "click", 6.0), (9L, 2L, "view", 2.0) // click BEFORE view: funnel must not count it
+    ).toDF("user_id", "event_id", "event_type", "value")
+      .withColumn("ts", expr("timestamp_micros(event_id * 1000000)"))
+    val e = Graft.ewma(ev, "user_id", "ts", "event_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(e(7L) == 4.0) // 8 -> 6 -> 4
+    assert(e(9L) == 4.0) // 6 -> 4
+    val f = Graft.funnel(ev, Seq("view", "click", "purchase"), Seq("user_id")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(f(7L) == ((1, 1, 1)), s"user 7 completes the funnel: $f")
+    assert(f(9L) == ((1, 0, 0)), s"user 9's click precedes its view: $f")
+  }
+
   test("cdcCompact keeps the newest row per key with original columns") {
     import spark.implicits._
     val log = Seq(
