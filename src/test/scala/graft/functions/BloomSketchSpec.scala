@@ -65,6 +65,24 @@ class BloomSketchSpec extends SparkSpec {
     assert((1 to 100).forall(i => BloomSketch.contains(bloom, s"v$i")))
   }
 
+  test("null keys are skipped in the build; null probe inputs yield null") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val bloomWithNulls = Seq(Some("a"), None, Some("b"), None).toDF("k")
+      .agg(GraftFunctions.bloomAggCol(col("k")).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val bloomClean = Seq("a", "b").toDF("k")
+      .agg(GraftFunctions.bloomAggCol(col("k")).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(bloomWithNulls, bloomClean),
+      "null build keys must not set bits")
+    val probed = Seq(Some("a"), None).toDF("k")
+      .select(GraftFunctions.bloomContainsCol(lit(bloomClean), col("k")).as("hit"))
+      .collect()
+    assert(probed(0).getBoolean(0))
+    assert(probed(1).isNullAt(0), "null probe key must yield null, not false")
+  }
+
   test("misuse is rejected: bad arity and non-literal sizing") {
     GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
