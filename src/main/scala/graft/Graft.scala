@@ -128,7 +128,16 @@ object Graft {
     functions.expressions.GraftFunctions.ensureRegistered(spark)
     // Collision-proof artifact name: the probe frame may legitimately
     // carry its own "bloom" column (and drop() would silently eat it).
-    val art = bloom.select(col(bloom.columns.head).as("__graft_bloom"))
+    // Resolve the artifact by NAME first — a positional head() would
+    // silently probe the wrong column of an augmented artifact frame.
+    val artCol =
+      if (bloom.columns.contains("bloom")) "bloom"
+      else {
+        require(bloom.columns.length == 1,
+          s"bloom frame needs a 'bloom' column or exactly one column, got ${bloom.columns.mkString(", ")}")
+        bloom.columns.head
+      }
+    val art = bloom.select(col(artCol).as("__graft_bloom"))
     df.crossJoin(broadcast(art))
       .filter(functions.expressions.GraftFunctions
         .bloomContainsCol(col("__graft_bloom"), col(keyCol).cast("string")))
@@ -146,7 +155,9 @@ object Graft {
     val ordered = orderCol +: others
     log.groupBy(keyCol)
       .agg(max(struct(ordered.map(col): _*)).as("__m"))
-      .select(col(keyCol) +: ordered.map(c => col(s"__m.$c").as(c)): _*)
+      // getField, not col("__m.name"): a column name containing a dot
+      // would misparse as a nested path.
+      .select(col(keyCol) +: ordered.map(c => col("__m").getField(c).as(c)): _*)
   }
 
   /** Per-key exponential smoothing (the q_ewma recurrence) over ANY
@@ -172,6 +183,10 @@ object Graft {
   def funnel(events: DataFrame, steps: Seq[String], groupCols: Seq[String],
              typeCol: String = "event_type", orderCols: Seq[String] = Seq("ts", "event_id")): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    // A repeated step would both collide on the reached_* output name and
+    // let ONE event satisfy consecutive identical steps (the cumulative
+    // window includes the current row) — reject rather than miscount.
+    require(steps.distinct.size == steps.size, s"duplicate funnel steps: ${steps.mkString(", ")}")
     import org.apache.spark.sql.expressions.Window
     val cum = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
@@ -189,11 +204,12 @@ object Graft {
   /** Top-k salient terms per document by TF-IDF. Scores are rounded to
     * 1e-6 BEFORE ranking (cross-engine-stable rank keys); the corpus
     * size arrives as a broadcast 1-row frame, never a driver count. */
-  def tfidfTopTerms(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+  def tfidfTopTerms(docs: DataFrame, k: Int, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col("doc_id"), explode(split(col(textCol), " ")).as("w"))
+    val toks = docs.select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
     val tc = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
-    val dl = docs.select(col("doc_id"), size(split(col(textCol), " ")).cast("long").as("len"))
+    val dl = docs.select(col(idCol).as("doc_id"), size(split(col(textCol), " ")).cast("long").as("len"))
     val dfq = tc.groupBy("w").agg(count(lit(1)).as("df"))
     val nd = broadcast(docs.agg(count(lit(1)).as("nd")))
     val byDoc = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("w"))

@@ -137,13 +137,6 @@ object BloomSketch {
   val DefaultBits = 1 << 16
   val DefaultHashes = 6
 
-  /** Two independent 64-bit halves of the key's md5 for Kirsch-
-    * Mitzenmacher double hashing (idx_j = h1 + j·h2 mod m). NOT the
-    * `JvmHash.seeded` family: its seeds are linear in j (a_j = A·(j+1)),
-    * and reducing an even-multiplier hash mod a power-of-two bit count
-    * drops low bits — the k probes decorrelate from theory and the
-    * measured FPR inflates ~38× (caught by graft.Stress). h2 is forced
-    * odd so the stride has full period mod 2^t. */
   // graft_bloom_contains runs once per PROBE-SIDE row — per-row
   // MessageDigest.getInstance would be the hot-path allocation the
   // scaladoc promises not to make. (JvmHash.h60 keeps the simple form;
@@ -153,6 +146,13 @@ object BloomSketch {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** Two independent 64-bit halves of the key's md5 for Kirsch-
+    * Mitzenmacher double hashing (idx_j = h1 + j·h2 mod m). NOT the
+    * `JvmHash.seeded` family: its seeds are linear in j (a_j = A·(j+1)),
+    * and reducing an even-multiplier hash mod a power-of-two bit count
+    * drops low bits — the k probes decorrelate from theory and the
+    * measured FPR inflates ~38× (caught by graft.Stress). h2 is forced
+    * odd so the stride has full period mod 2^t. */
   private def kmHashes(key: String): (Long, Long) = {
     val md = md5.get()
     md.reset()

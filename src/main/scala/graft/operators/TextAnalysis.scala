@@ -146,17 +146,16 @@ object TextAnalysis extends QueryPack {
     // pipeline runs before vocabulary work. Map-only array ops (filter +
     // slice + join), no UDFs; reports before/after counts plus the head
     // of the kept stream so content (not just counts) is hash-checked.
-    "text_stopword_filter" -> ((s, d) => {
-      val keepExpr = s"filter(toks, t -> NOT t IN (${inList(stop("en"))}))"
+    "text_stopword_filter" -> ((s, d) =>
       Tables.documents(s, d)
         .withColumn("toks", split(col("text"), " "))
+        .withColumn("kept", expr(s"filter(toks, t -> NOT t IN (${inList(stop("en"))}))"))
         .select(
           col("doc_id"),
           size(col("toks")).as("n_tokens"),
-          expr(s"size($keepExpr)").as("n_kept"),
-          expr(s"array_join(slice($keepExpr, 1, 5), ' ')").as("head_kept"))
-        .orderBy("doc_id")
-    }),
+          size(col("kept")).as("n_kept"),
+          expr("array_join(slice(kept, 1, 5), ' ')").as("head_kept"))
+        .orderBy("doc_id")),
 
     // TF-IDF top terms per document — the canonical salience score a text
     // pipeline computes for keyword extraction / near-dup feature vectors.

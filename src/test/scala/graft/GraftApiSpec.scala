@@ -196,11 +196,9 @@ class GraftApiSpec extends SparkSpec {
     assert((1L to 50L).forall(pruned), "bloom dropped a true member (false negative)")
     // 8 KB filter over 50 keys: essentially zero false positives expected,
     // but the contract only promises a bound — allow a few.
+    // ≤4 of the 401 probed non-members may false-positive — this bound
+    // also fails if the probe regresses to passing everything through.
     assert(pruned.count(_ >= 1000L) <= 4, s"too many false positives: $pruned")
-    // Non-vacuous absence check: at least one ACTUAL probe key must be
-    // pruned (a probe that passes everything keeps all 401 non-members).
-    assert((1000 to 1400).exists(i => !pruned.contains(i.toLong)),
-      "no non-member was pruned — probe passes everything")
   }
 
   test("embedNearDupIvf finds a planted near-dup pair and only true pairs") {
