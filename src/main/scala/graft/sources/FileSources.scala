@@ -67,6 +67,25 @@ object FileSources {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Z-ordered parquet write — the layout step q_zorder audits: Morton-
+    * interleave the low 8 bits of two integer dimensions, range-partition
+    * on the z-value (each output file owns a contiguous z-range) and
+    * sort within partitions, so parquet row-group min/max stats are tight
+    * on BOTH dimensions and a scan with a predicate on EITHER prunes
+    * files. `nFiles` ≈ target file count (one per range partition). */
+  def writeZOrdered(df: DataFrame, path: String, dimA: String, dimB: String,
+                    nFiles: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val z = (0 until 8).map(i =>
+      s"shiftleft(shiftright(CAST($dimA AS INT) % 256, $i) & 1, ${2 * i}) + " +
+        s"shiftleft(shiftright(CAST($dimB AS INT) % 256, $i) & 1, ${2 * i + 1})").mkString(" + ")
+    df.withColumn("__z", expr(z))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** The reference's complete example program (FileWordCounter.cpp main,
     * :234-286) as one call: scan a directory, word-count every file with
     * the quirk tokenizer, return (word, total) — here distributed and
