@@ -177,6 +177,34 @@ object BloomSketch {
     }
   }
 
+  /** Empty artifact in the same layout eval() produces — for callers
+    * (e.g. streaming state) that grow a filter incrementally. */
+  def emptyArtifact(numBits: Int = DefaultBits, numHashes: Int = DefaultHashes): Array[Byte] = {
+    require(numBits > 0 && numBits % 64 == 0, s"numBits must be a positive multiple of 64, got $numBits")
+    val bb = ByteBuffer.allocate(4 + numBits / 8)
+    bb.putInt(numHashes)
+    bb.array()
+  }
+
+  /** Set `key`'s bits directly in an artifact, in place — the streaming-
+    * state mutation path (bounded O(m) state however many keys stream
+    * through). Bit addressing matches eval()'s big-endian long layout,
+    * pinned against the aggregate build in BloomSketchSpec. */
+  def addToArtifact(artifact: Array[Byte], key: String): Unit = {
+    val numHashes = ByteBuffer.wrap(artifact).getInt()
+    val numBits = (artifact.length - 4) * 8
+    val (h1, h2) = kmHashes(key)
+    var j = 0
+    while (j < numHashes) {
+      val idx = bitIndex(h1, h2, j, numBits)
+      val b = idx & 63
+      // big-endian long word: value-bit b lives in byte (7 - b/8) of the word
+      val byteOff = 4 + (idx >> 6) * 8 + (7 - (b >> 3))
+      artifact(byteOff) = (artifact(byteOff) | (1 << (b & 7)).toByte).toByte
+      j += 1
+    }
+  }
+
   /** Static probe shared by the interpreted and codegen paths. */
   def contains(artifact: Array[Byte], key: String): Boolean = {
     val bb = ByteBuffer.wrap(artifact)

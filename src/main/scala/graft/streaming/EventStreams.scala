@@ -142,6 +142,39 @@ object EventStreams {
       .toDF()
   }
 
+  case class IdEvent(event_id: Long, user_id: Long, value: Double)
+
+  /** Approximate streaming dedup with BOUNDED state — the pattern for
+    * never-ending streams where exact dedup state (dropDuplicates keeps
+    * every key inside the watermark; an unbounded-retention exact dedup
+    * keeps every key forever) cannot run indefinitely. Each of `nShards`
+    * key shards keeps one 8 KB bloom artifact in state and drops events
+    * whose id is PROBABLY seen: no duplicate ever passes (bloom has no
+    * false negatives), and the price is an FPR-bounded chance of dropping
+    * a genuinely-new event — the right trade for dedup, where a false
+    * drop loses one record but a false keep corrupts downstream counts.
+    * State is O(nShards × 8 KB) however many keys stream through. */
+  def dedupApproxByBloom(spark: SparkSession, events: DataFrame, nShards: Int = 16): DataFrame = {
+    import spark.implicits._
+    import graft.functions.expressions.BloomSketch
+    events
+      .select(col("event_id"), col("user_id"), col("value")).as[IdEvent]
+      .groupByKey(_.event_id % nShards)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[IdEvent], state: GroupState[Array[Byte]]) =>
+          val art = state.getOption.getOrElse(BloomSketch.emptyArtifact())
+          val fresh = rows.filter { e =>
+            val k = e.event_id.toString
+            val unseen = !BloomSketch.contains(art, k)
+            if (unseen) BloomSketch.addToArtifact(art, k)
+            unseen
+          }.toVector
+          state.update(art)
+          fresh.iterator
+      }
+      .toDF()
+  }
+
   /** Incremental EWMA (alpha = 0.5) per user — the streaming twin of the
     * batch `q_ewma` fold: state is just (n, last ewma), each micro-batch
     * folds its rows in timestamp order on top of the carried state, so

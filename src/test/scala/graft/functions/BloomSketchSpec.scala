@@ -65,6 +65,19 @@ class BloomSketchSpec extends SparkSpec {
     assert((1 to 100).forall(i => BloomSketch.contains(bloom, s"v$i")))
   }
 
+  test("incremental addToArtifact builds the identical bit pattern as the aggregate") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val keys = (1 to 300).map(i => s"inc-$i")
+    val viaAgg = keys.toDF("k")
+      .agg(GraftFunctions.bloomAggCol(col("k")).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val viaAdd = BloomSketch.emptyArtifact()
+    keys.foreach(BloomSketch.addToArtifact(viaAdd, _))
+    assert(java.util.Arrays.equals(viaAgg, viaAdd),
+      "incremental byte-level adds diverge from the aggregate's long-level sets")
+  }
+
   test("null keys are skipped in the build; null probe inputs yield null") {
     import spark.implicits._
     GraftFunctions.ensureRegistered(spark)

@@ -180,6 +180,25 @@ class EventStreamsSpec extends SparkSpec {
     assert(last.getAs[Double]("total_value") == 10.0)
   }
 
+  test("dedupApproxByBloom drops repeats across batches with bounded state") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.dedupApproxByBloom(spark, mem.toDF(), nShards = 4)
+      .writeStream.format("memory").queryName("bloomdedup").outputMode("append").start()
+    mem.addData((1 to 60).map(i => Ev(i.toLong, ts(i), i % 7, "a", 1.0)): _*)
+    q.processAllAvailable()
+    // Second batch repeats 30..60 and adds 61..90: repeats must not re-emit.
+    mem.addData((30 to 90).map(i => Ev(i.toLong, ts(i), i % 7, "a", 1.0)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("bloomdedup").select("event_id").collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length, "a duplicate id was re-emitted")
+    // With 90 keys in 4 shards of 8 KB filters, FP drops are ~impossible:
+    // every distinct id must appear exactly once.
+    assert(ids.sorted.toSeq == (1L to 90L), s"unexpected id set: ${ids.sorted.take(10).toSeq}…")
+  }
+
   test("ewmaPerUser incrementally matches the full-history fold") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
