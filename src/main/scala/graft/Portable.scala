@@ -22,4 +22,18 @@ object Portable {
 
   /** Deterministic 6-decimal rounding; twin: FLOOR(x*1e6+0.5)/1e6. */
   def round6(c: Column): Column = floor(c * 1000000 + lit(0.5)) / 1000000
+
+  /** 16-bit Morton interleave of two 8-bit dimensions as a Spark SQL
+    * expression string — ONE definition shared by the q_zorder audit
+    * query and FileSources.writeZOrdered so the layout and its audit
+    * can't drift. `xe`/`ye` are raw (possibly signed/bigint) integer
+    * expressions; pmod keeps negative values in [0, 256) (a signed `%`
+    * would emit negative remainders and break z-range contiguity). */
+  def mortonInterleaveSql(xe: String, ye: String): String = {
+    val x = s"CAST(pmod($xe, 256) AS INT)"
+    val y = s"CAST(pmod($ye, 256) AS INT)"
+    (0 until 8).map(i =>
+      s"shiftleft(shiftright($x, $i) & 1, ${2 * i}) + " +
+        s"shiftleft(shiftright($y, $i) & 1, ${2 * i + 1})").mkString(" + ")
+  }
 }

@@ -181,6 +181,10 @@ object BloomSketch {
     * (e.g. streaming state) that grow a filter incrementally. */
   def emptyArtifact(numBits: Int = DefaultBits, numHashes: Int = DefaultHashes): Array[Byte] = {
     require(numBits > 0 && numBits % 64 == 0, s"numBits must be a positive multiple of 64, got $numBits")
+    // numHashes <= 0 would make contains() vacuously true for EVERY key —
+    // a consumer like dedupApproxByBloom would silently drop its whole
+    // stream. Same bounds as the aggregate.
+    require(numHashes > 0 && numHashes <= 16, s"numHashes must be in [1,16], got $numHashes")
     val bb = ByteBuffer.allocate(4 + numBits / 8)
     bb.putInt(numHashes)
     bb.array()

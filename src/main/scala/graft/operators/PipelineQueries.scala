@@ -179,7 +179,7 @@ object PipelineQueries extends QueryPack {
       Tables.lineitem(s, d)
         .withColumn("x", expr("CAST(l_partkey % 256 AS INT)"))
         .withColumn("y", expr("CAST(l_suppkey % 256 AS INT)"))
-        .withColumn("z", expr(zInterleaveSpark("x", "y")))
+        .withColumn("z", expr(graft.Portable.mortonInterleaveSql("x", "y")))
         .withColumn("file_id", expr("CAST(z div 2048 AS INT)"))
         .groupBy("file_id")
         .agg(
@@ -189,13 +189,8 @@ object PipelineQueries extends QueryPack {
         .orderBy("file_id"))
   )
 
-  /** 16-bit Morton interleave of two 8-bit ints, as a Spark SQL
-    * expression (shiftleft/shiftright — Spark's named shift functions). */
-  private def zInterleaveSpark(xe: String, ye: String): String =
-    (0 until 8).map(i =>
-      s"shiftleft(shiftright($xe, $i) & 1, ${2 * i}) + " +
-        s"shiftleft(shiftright($ye, $i) & 1, ${2 * i + 1})").mkString(" + ")
-
+  // Spark-side interleave: graft.Portable.mortonInterleaveSql (shared
+  // with FileSources.writeZOrdered so layout and audit can't drift).
   /** The same interleave in DuckDB's operator syntax (<< >> &). */
   private def zInterleaveDuck(xe: String, ye: String): String =
     (0 until 8).map(i =>

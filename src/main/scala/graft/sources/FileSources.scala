@@ -76,13 +76,12 @@ object FileSources {
   def writeZOrdered(df: DataFrame, path: String, dimA: String, dimB: String,
                     nFiles: Int): Unit = {
     import org.apache.spark.sql.functions._
-    val z = (0 until 8).map(i =>
-      s"shiftleft(shiftright(CAST($dimA AS INT) % 256, $i) & 1, ${2 * i}) + " +
-        s"shiftleft(shiftright(CAST($dimB AS INT) % 256, $i) & 1, ${2 * i + 1})").mkString(" + ")
-    df.withColumn("__z", expr(z))
-      .repartitionByRange(nFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
+    require(!df.columns.contains("__graft_z"),
+      "input already has a __graft_z column — rename it before a z-ordered write")
+    df.withColumn("__graft_z", expr(graft.Portable.mortonInterleaveSql(dimA, dimB)))
+      .repartitionByRange(nFiles, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 

@@ -143,33 +143,46 @@ object EventStreams {
   }
 
   case class IdEvent(event_id: Long, user_id: Long, value: Double)
+  case class BloomGen(current: Array[Byte], previous: Array[Byte], nCurrent: Long)
 
   /** Approximate streaming dedup with BOUNDED state — the pattern for
     * never-ending streams where exact dedup state (dropDuplicates keeps
     * every key inside the watermark; an unbounded-retention exact dedup
     * keeps every key forever) cannot run indefinitely. Each of `nShards`
-    * key shards keeps one 8 KB bloom artifact in state and drops events
-    * whose id is PROBABLY seen: no duplicate ever passes (bloom has no
-    * false negatives), and the price is an FPR-bounded chance of dropping
-    * a genuinely-new event — the right trade for dedup, where a false
-    * drop loses one record but a false keep corrupts downstream counts.
-    * State is O(nShards × 8 KB) however many keys stream through. */
+    * key shards keeps TWO generations of an 8 KB bloom artifact: inserts
+    * go to `current`, membership checks probe both, and when `current`
+    * reaches its design load (m·ln2/k ≈ 7.5k keys — past it FPR climbs
+    * toward 1 and a saturated filter would silently drop every new
+    * event) it rotates to `previous` and a fresh `current` starts. So:
+    * a duplicate arriving within the last ~2 generations of its shard
+    * never re-emits (bloom has no false negatives); older repeats may
+    * re-emit (the bounded-state price, same contract as watermarked
+    * dropDuplicates); the FPR-bounded false-DROP chance stays at the
+    * design level forever. State is O(nShards × 16 KB), constant. */
   def dedupApproxByBloom(spark: SparkSession, events: DataFrame, nShards: Int = 16): DataFrame = {
     import spark.implicits._
     import graft.functions.expressions.BloomSketch
+    val genCapacity = (BloomSketch.DefaultBits * 0.693 / BloomSketch.DefaultHashes).toLong
     events
       .select(col("event_id"), col("user_id"), col("value")).as[IdEvent]
       .groupByKey(_.event_id % nShards)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Long, rows: Iterator[IdEvent], state: GroupState[Array[Byte]]) =>
-          val art = state.getOption.getOrElse(BloomSketch.emptyArtifact())
+        (_: Long, rows: Iterator[IdEvent], state: GroupState[BloomGen]) =>
+          var gen = state.getOption.getOrElse(
+            BloomGen(BloomSketch.emptyArtifact(), BloomSketch.emptyArtifact(), 0L))
           val fresh = rows.filter { e =>
             val k = e.event_id.toString
-            val unseen = !BloomSketch.contains(art, k)
-            if (unseen) BloomSketch.addToArtifact(art, k)
+            val unseen = !BloomSketch.contains(gen.current, k) &&
+              !BloomSketch.contains(gen.previous, k)
+            if (unseen) {
+              if (gen.nCurrent >= genCapacity)
+                gen = BloomGen(BloomSketch.emptyArtifact(), gen.current, 0L)
+              BloomSketch.addToArtifact(gen.current, k)
+              gen = gen.copy(nCurrent = gen.nCurrent + 1)
+            }
             unseen
           }.toVector
-          state.update(art)
+          state.update(gen)
           fresh.iterator
       }
       .toDF()
