@@ -342,6 +342,33 @@ object ExtrasQueries extends QueryPack {
           regexp_replace(col("p_brand"), "[aeiou]", "_").as("devoweled"))
         .orderBy("p_partkey")),
 
+    // Pearson correlation — but NOT via corr(): float partial sums merge
+    // in partition order, so builtin corr/covar are reduction-order-
+    // dependent cross-engine (same trap as windowed double sums). The
+    // five sufficient statistics here are INTEGER sums (quantity 1..50,
+    // discount in whole percent 0..10 — products bounded far below
+    // Long.MaxValue at any SF), so partial aggregation is exact and the
+    // final scalar formula runs once on five exact longs. Per returnflag.
+    "q_corr" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          floor(col("l_quantity")).cast("long").as("x"),
+          floor(col("l_discount") * 100 + 0.5).cast("long").as("y"))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          graft.Portable.round6(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+               sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("corr_qty_disc"))
+        .orderBy("l_returnflag")),
+
     // Explicit GROUPING SETS via the SQL surface.
     "q_grouping_sets" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("orders_v3")
@@ -362,6 +389,21 @@ object ExtrasQueries extends QueryPack {
       """SELECT l_returnflag, true AS p50_within_5pct
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_hll_merge" -> "SELECT true AS merged_within_5pct",
+    "q_corr" ->
+      """WITH b AS (SELECT l_returnflag,
+                           CAST(FLOOR(l_quantity) AS BIGINT) AS x,
+                           CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS y
+                    FROM lineitem),
+            s AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+                         SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+                         SUM(x*x) AS sxx, SUM(y*y) AS syy
+                  FROM b GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+                FLOOR((CAST(n*sxy - sx*sy AS DOUBLE) /
+                       (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+                        sqrt(CAST(n*syy - sy*sy AS DOUBLE))))*1000000 + 0.5)/1000000
+                  AS corr_qty_disc
+         FROM s ORDER BY l_returnflag""",
     // The bloom bit pattern lives only on the Spark side; the oracle pins
     // the exact membership counts and the filter's hard guarantees.
     "q_bloom_join" ->
