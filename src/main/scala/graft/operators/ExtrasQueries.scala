@@ -345,10 +345,12 @@ object ExtrasQueries extends QueryPack {
     // Pearson correlation — but NOT via corr(): float partial sums merge
     // in partition order, so builtin corr/covar are reduction-order-
     // dependent cross-engine (same trap as windowed double sums). The
-    // five sufficient statistics here are INTEGER sums (quantity 1..50,
-    // discount in whole percent 0..10 — products bounded far below
-    // Long.MaxValue at any SF), so partial aggregation is exact and the
-    // final scalar formula runs once on five exact longs. Per returnflag.
+    // five sufficient statistics are INTEGER sums (exact, order-free
+    // partial aggregation — per-row products of bounded ints stay far
+    // under Long.MaxValue at any SF); only the FINAL one-row formula
+    // runs in doubles, where cross-products like n·Σxy would overflow
+    // long at extreme SFs but a fixed sequence of IEEE double ops on
+    // identical exact inputs is deterministic cross-engine.
     "q_corr" -> ((s, d) =>
       Tables.lineitem(s, d)
         .select(col("l_returnflag"),
@@ -363,11 +365,46 @@ object ExtrasQueries extends QueryPack {
           sum(col("y") * col("y")).as("syy"))
         .select(col("l_returnflag"), col("n"),
           graft.Portable.round6(
-            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-              (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-               sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            (col("n").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+                 col("sx").cast("double") * col("sx").cast("double")) *
+               sqrt(col("n").cast("double") * col("syy").cast("double") -
+                 col("sy").cast("double") * col("sy").cast("double"))))
             .as("corr_qty_disc"))
         .orderBy("l_returnflag")),
+
+    // OLS regression line per group from the same integer sufficient
+    // statistics as q_corr (builtin regr_slope shares corr's float-
+    // partial-merge nondeterminism): price (cents, exact long sums)
+    // explained by quantity; slope = (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²),
+    // intercept = ȳ − slope·x̄. Cross-products run in doubles — n·Σxy
+    // would overflow long here (cents × 6e5 rows) and the double
+    // sequence on exact inputs is cross-engine-deterministic.
+    "q_regression" -> ((s, d) => {
+      val slope =
+        (col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double"))
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          floor(col("l_quantity")).cast("long").as("x"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("l_returnflag"), col("n"),
+          graft.Portable.round4(slope / 100.0).as("slope_price_per_qty"),
+          graft.Portable.round4(
+            (col("sy").cast("double") / col("n").cast("double") -
+              slope * (col("sx").cast("double") / col("n").cast("double"))) / 100.0)
+            .as("intercept"))
+        .orderBy("l_returnflag")
+    }),
 
     // Explicit GROUPING SETS via the SQL surface.
     "q_grouping_sets" -> ((s, d) => {
@@ -389,21 +426,45 @@ object ExtrasQueries extends QueryPack {
       """SELECT l_returnflag, true AS p50_within_5pct
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_hll_merge" -> "SELECT true AS merged_within_5pct",
+    // SUM(BIGINT) is HUGEINT in DuckDB — cast the five statistics back to
+    // BIGINT (they fit) so the double conversions match Spark's longs.
     "q_corr" ->
       """WITH b AS (SELECT l_returnflag,
                            CAST(FLOOR(l_quantity) AS BIGINT) AS x,
                            CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS y
                     FROM lineitem),
             s AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
-                         SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
-                         SUM(x*x) AS sxx, SUM(y*y) AS syy
+                         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                         CAST(SUM(x*y) AS BIGINT) AS sxy,
+                         CAST(SUM(x*x) AS BIGINT) AS sxx,
+                         CAST(SUM(y*y) AS BIGINT) AS syy
                   FROM b GROUP BY l_returnflag)
          SELECT l_returnflag, n,
-                FLOOR((CAST(n*sxy - sx*sy AS DOUBLE) /
-                       (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
-                        sqrt(CAST(n*syy - sy*sy AS DOUBLE))))*1000000 + 0.5)/1000000
+                FLOOR(((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+                       (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+                        sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))))*1000000 + 0.5)/1000000
                   AS corr_qty_disc
          FROM s ORDER BY l_returnflag""",
+    "q_regression" ->
+      """WITH b AS (SELECT l_returnflag,
+                           CAST(FLOOR(l_quantity) AS BIGINT) AS x,
+                           CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+                    FROM lineitem),
+            s AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                         CAST(SUM(x*y) AS BIGINT) AS sxy,
+                         CAST(SUM(x*x) AS BIGINT) AS sxx
+                  FROM b GROUP BY l_returnflag),
+            k AS (SELECT l_returnflag, n, sx, sy,
+                         (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+                         (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) AS slope
+                  FROM s)
+         SELECT l_returnflag, n,
+                FLOOR((slope / 100.0)*10000 + 0.5)/10000 AS slope_price_per_qty,
+                FLOOR(((CAST(sy AS DOUBLE)/CAST(n AS DOUBLE) -
+                        slope * (CAST(sx AS DOUBLE)/CAST(n AS DOUBLE))) / 100.0)*10000 + 0.5)/10000
+                  AS intercept
+         FROM k ORDER BY l_returnflag""",
     // The bloom bit pattern lives only on the Spark side; the oracle pins
     // the exact membership counts and the filter's hard guarantees.
     "q_bloom_join" ->
