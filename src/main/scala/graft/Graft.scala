@@ -122,7 +122,14 @@ object Graft {
 
   /** Prune `df` to rows whose `keyCol` MAY be in the bloom build — the
     * runtime-filter semi-join: false ⇒ definitely absent (safe to drop),
-    * true ⇒ verify with the real join. Map-only over the big side. */
+    * true ⇒ verify with the real join. Map-only over the big side.
+    *
+    * The artifact frame may carry ANY number of rows (a grouped build
+    * emits one filter per group): they are OR-merged into one union
+    * filter before broadcasting, so the crossJoin is guaranteed
+    * single-row and can never duplicate surviving probe rows. The union
+    * keeps the no-false-negative contract for every constituent filter's
+    * keys; mixed-parameter artifacts fail fast inside the merge. */
   def bloomProbe(spark: SparkSession, df: DataFrame, keyCol: String,
                  bloom: DataFrame): DataFrame = {
     functions.expressions.GraftFunctions.ensureRegistered(spark)
@@ -137,7 +144,8 @@ object Graft {
           s"bloom frame needs a 'bloom' column or exactly one column, got ${bloom.columns.mkString(", ")}")
         bloom.columns.head
       }
-    val art = bloom.select(col(artCol).as("__graft_bloom"))
+    val art = bloom.agg(functions.expressions.GraftFunctions
+      .bloomMergeCol(col(artCol)).as("__graft_bloom"))
     df.crossJoin(broadcast(art))
       .filter(functions.expressions.GraftFunctions
         .bloomContainsCol(col("__graft_bloom"), col(keyCol).cast("string")))

@@ -15,4 +15,11 @@ trait QueryPack {
   type Q = (SparkSession, String) => DataFrame
   def queries: Map[String, Q]
   def oracleSql: Map[String, String]
+
+  /** Oracle SQL rendered for a specific data dir. Only packs whose SQL
+    * must name a derived staging path (see [[Stage]]) override this;
+    * everyone else's oracle is dir-independent (the driver binds table
+    * views itself). `oracleSql` stays the static contract map, rendered
+    * at [[Stage.GateDir]] by the overriding packs. */
+  def oracleSqlFor(dataDir: String): Map[String, String] = oracleSql
 }

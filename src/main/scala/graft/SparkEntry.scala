@@ -34,9 +34,15 @@ object SparkEntry {
     assembled(packs.map(_.queries))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    assembled(packs.map(_.oracleSql))
+    * the same parquet tables. Omit for non-SQL-expressible ops. Rendered
+    * at the driver's gate dir (Stage.GateDir) — the three file round-trip
+    * oracles name staging paths derived from the data dir; Verify dumps
+    * `oracleSqlFor(actual dir)` so the dumped SQL always matches the run. */
+  def oracleSql: Map[String, String] = oracleSqlFor(Stage.GateDir)
+
+  /** Oracle SQL rendered for a specific data dir (see QueryPack). */
+  def oracleSqlFor(dataDir: String): Map[String, String] =
+    assembled(packs.map(_.oracleSqlFor(dataDir)))
 
   /** Merge pack maps, failing fast on duplicate query names — Map's
     * last-wins merge would silently shadow a query and its oracle. */

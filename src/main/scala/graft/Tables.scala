@@ -56,13 +56,19 @@ object Tables {
     * away every LIVE session's entries too). Scans only once the cache has
     * real mass; a handful of live sessions never triggers it. If the scan
     * frees nothing (one long-lived session reading thousands of distinct
-    * dirs/tables), a hard cap evicts arbitrary entries down to half the
-    * cap rather than clearing outright — everything here is re-derivable,
-    * but some values (the dedup index cache's checkpointed LSH/label
-    * frames) cost seconds to rebuild, so keeping half bounds both the map
-    * and the worst-case re-derivation. */
+    * dirs/tables), a hard cap evicts entries down to half the cap rather
+    * than clearing outright — everything here is re-derivable, but some
+    * values (the dedup index cache's checkpointed LSH/label frames) cost
+    * seconds to rebuild, so keeping half bounds both the map and the
+    * worst-case re-derivation. The over-cap pass spares the CALLING
+    * session's entries (`liveKey`) — dropping them in iteration order
+    * could evict the live session's checkpointed index frames
+    * mid-benchmark (round-4 ADVICE), a correct but seconds-long perf
+    * cliff — and touches them only if other sessions' entries alone can't
+    * get under the cap. */
   private[graft] def evictDead[V](
-      m: java.util.concurrent.ConcurrentHashMap[(String, String, String), V]): Unit =
+      m: java.util.concurrent.ConcurrentHashMap[(String, String, String), V],
+      liveKey: String): Unit =
     if (m.size > 256) {
       val it = m.keySet.iterator()
       while (it.hasNext) if (sessionDead(it.next()._1)) it.remove()
@@ -73,16 +79,25 @@ object Tables {
         if (s == null || s.sparkContext.isStopped) lit.remove()
       }
       if (m.size > 4096) {
-        val drop = m.size - 2048
+        var drop = m.size - 2048
         val dit = m.keySet.iterator()
-        var n = 0
-        while (dit.hasNext && n < drop) { dit.next(); dit.remove(); n += 1 }
+        while (dit.hasNext && drop > 0)
+          if (dit.next()._1 != liveKey) { dit.remove(); drop -= 1 }
+        // Only the caller's own entries remain above the cap: the cap
+        // wins over the perf cliff (an unbounded map is a leak), but
+        // this is one session holding > 4096 derived frames — re-derive
+        // cost, not correctness.
+        if (drop > 0) {
+          val sit = m.keySet.iterator()
+          while (sit.hasNext && drop > 0) { sit.next(); sit.remove(); drop -= 1 }
+        }
       }
     }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    evictDead(relCache)
-    relCache.computeIfAbsent((sessionKey(spark), dir, name),
+    val key = sessionKey(spark)
+    evictDead(relCache, key)
+    relCache.computeIfAbsent((key, dir, name),
       _ => spark.read.parquet(s"$dir/$name.parquet"))
   }
 

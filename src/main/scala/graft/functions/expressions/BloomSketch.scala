@@ -103,6 +103,74 @@ case class BloomSketchAgg(
     copy(inputAggBufferOffset = newOffset)
 }
 
+/** Bitwise-OR union of finished bloom artifacts (`graft_bloom_merge`):
+  * collapses ANY number of artifact rows into the single filter accepting
+  * every key inserted into any input — a union bloom has no false
+  * negatives for any constituent's keys, by construction. This is the
+  * one-row guarantee Graft.bloomProbe needs: probing a grouped build
+  * (one artifact per group) must not cross-join N artifact rows into the
+  * probe side and duplicate every surviving row (round-4 ADVICE).
+  * Artifacts with different parameters (bit count or hash count, both
+  * recorded in the layout) cannot be OR-ed meaningfully and fail fast.
+  * Zero input rows yield an all-zero default-shape artifact — a probe
+  * against an empty build correctly rejects every key. */
+case class BloomMergeAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int,
+    override val inputAggBufferOffset: Int)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  def this(child: Expression) = this(child, 0, 0)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_merge expects a binary bloom artifact, got ${child.dataType.catalogString}")
+
+  // Empty marker until the first artifact arrives — the artifact's own
+  // header fixes the shape, so the buffer can't pre-commit to one.
+  override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray
+
+  private def orInto(buf: Array[Byte], art: Array[Byte]): Array[Byte] =
+    if (art.isEmpty) buf
+    else if (buf.isEmpty) art.clone()
+    else {
+      require(buf.length == art.length &&
+          ByteBuffer.wrap(buf).getInt() == ByteBuffer.wrap(art).getInt(),
+        s"graft_bloom_merge: mismatched artifact shapes (${buf.length} B / " +
+          s"${art.length} B) — filters built with different numBits/numHashes cannot merge")
+      var i = 4 // headers equal; OR only the bitset words
+      while (i < buf.length) { buf(i) = (buf(i) | art(i)).toByte; i += 1 }
+      buf
+    }
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v == null) buf else orInto(buf, v.asInstanceOf[Array[Byte]])
+  }
+
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = orInto(b1, b2)
+
+  override def eval(buf: Array[Byte]): Any =
+    if (buf.isEmpty) BloomSketch.emptyArtifact() else buf
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_bloom_merge"
+  override def children: Seq[Expression] = Seq(child)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+}
+
 /** Membership probe against a graft_bloom_agg artifact. True ⇒ maybe
   * present (FPR-bounded); false ⇒ definitely absent. Codegen emits a
   * static call so the probe stays inside whole-stage codegen with zero

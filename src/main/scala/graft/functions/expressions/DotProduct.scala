@@ -109,6 +109,7 @@ object GraftFunctions {
   private val minhashInfo = new ExpressionInfo(classOf[MinHashSketch].getName, "graft_minhash")
   private val bloomAggInfo = new ExpressionInfo(classOf[BloomSketchAgg].getName, "graft_bloom_agg")
   private val bloomProbeInfo = new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains")
+  private val bloomMergeInfo = new ExpressionInfo(classOf[BloomMergeAgg].getName, "graft_bloom_merge")
 
   /** Idempotently registers graft's native expressions in the session's
     * function registry. (Also injectable globally via
@@ -123,6 +124,8 @@ object GraftFunctions {
       FunctionIdentifier("graft_bloom_agg"), bloomAggInfo, bloomAggBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_bloom_contains"), bloomProbeInfo, bloomProbeBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_bloom_merge"), bloomMergeInfo, bloomMergeBuilder)
   }
 
   /** Strict arity: silently dropping extra args would hand back a
@@ -154,6 +157,12 @@ object GraftFunctions {
       s"graft_bloom_contains expects exactly 2 arguments, got ${other.size}")
   }
 
+  private[graft] val bloomMergeBuilder: Seq[Expression] => Expression = {
+    case Seq(child) => new BloomMergeAgg(child)
+    case other => throw new IllegalArgumentException(
+      s"graft_bloom_merge expects exactly 1 argument, got ${other.size}")
+  }
+
   /** Grouped MinHash signature (array<long> of 32 component minima). */
   def minhashSketchCol(c: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_minhash", c)
@@ -165,6 +174,10 @@ object GraftFunctions {
   /** Membership probe: false ⇒ definitely absent, true ⇒ FPR-bounded maybe. */
   def bloomContainsCol(bloom: Column, key: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_bloom_contains", bloom, key)
+
+  /** OR-union of bloom artifacts into one (aggregate; see BloomMergeAgg). */
+  def bloomMergeCol(artifact: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_bloom_merge", artifact)
 
   /** dot(a, b) as a Column; requires ensureRegistered on the session. */
   def dotCol(a: Column, b: Column): Column =

@@ -57,7 +57,7 @@ object SimilarityQueries extends QueryPack {
 
   private[operators] def ivfScoredAssignment(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     require(nprobe <= 2, s"shared IVF index keeps rk <= 2, asked for nprobe=$nprobe")
-    Tables.evictDead(assignCache)
+    Tables.evictDead(assignCache, Tables.sessionKey(s))
     val full = assignCache.computeIfAbsent((Tables.sessionKey(s), d, "ivf2"), _ => {
       val e = vecs(s, d)
       val cent = e.filter(col("vec_id") < 16)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryPack, Tables}
+import graft.{QueryPack, Stage, Tables}
 import org.apache.spark.sql.functions._
 
 /** Oracle-checked round-trips through the non-parquet file formats
@@ -13,17 +13,22 @@ import org.apache.spark.sql.functions._
   * on disk — written by Spark's sink, parsed by two independent readers —
   * are what's checked, not just the in-memory frame.
   *
-  * Stage paths are fixed so the oracle SQL can name them (the driver runs
-  * all Spark queries before any oracle). Staging cost is one column-pruned
+  * Stage paths are a pure function of the data dir ([[Stage]]) so the
+  * oracle SQL can name them (the driver runs all Spark queries before any
+  * oracle) while concurrent sessions over different data dirs can never
+  * clobber each other's staged files. Staging cost is one column-pruned
   * pass over documents; the read-back is the real DataSource scan path
   * (schema inference + per-file tasks), which is the point.
   */
 object SourceQueries extends QueryPack {
 
+  private def csvStage(d: String) = Stage.dir(d, "csv")
+  private def jsonlStage(d: String) = Stage.dir(d, "jsonl")
+
   val queries: Map[String, Q] = Map(
     // CSV sink → CSV source (header + schema inference) → aggregate.
     "csv_roundtrip" -> ((s, d) => {
-      val stage = "/tmp/graft_csv_stage"
+      val stage = csvStage(d)
       Tables.documents(s, d)
         .select("doc_id", "lang", "source", "n_chars")
         .coalesce(1) // single part file: deterministic layout for the oracle glob
@@ -38,7 +43,7 @@ object SourceQueries extends QueryPack {
 
     // JSON-lines sink → JSON source (schema inference) → aggregate.
     "jsonl_roundtrip" -> ((s, d) => {
-      val stage = "/tmp/graft_jsonl_stage"
+      val stage = jsonlStage(d)
       Tables.documents(s, d)
         .select("doc_id", "lang", "n_chars")
         .coalesce(1)
@@ -52,18 +57,20 @@ object SourceQueries extends QueryPack {
     })
   )
 
-  val oracleSql: Map[String, String] = Map(
+  override def oracleSqlFor(dataDir: String): Map[String, String] = Map(
     "csv_roundtrip" ->
-      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
                 CAST(SUM(n_chars) AS BIGINT) AS chars,
                 CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
-         FROM read_csv('/tmp/graft_csv_stage/*.csv', header = true)
+         FROM read_csv('${csvStage(dataDir)}/*.csv', header = true)
          GROUP BY lang ORDER BY lang""",
     "jsonl_roundtrip" ->
-      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
                 CAST(MIN(doc_id) AS BIGINT) AS first_doc,
                 CAST(MAX(n_chars) AS BIGINT) AS max_chars
-         FROM read_json('/tmp/graft_jsonl_stage/*.json', format = 'newline_delimited')
+         FROM read_json('${jsonlStage(dataDir)}/*.json', format = 'newline_delimited')
          GROUP BY lang ORDER BY lang"""
   )
+
+  val oracleSql: Map[String, String] = oracleSqlFor(Stage.GateDir)
 }

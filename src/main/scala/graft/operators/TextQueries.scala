@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryPack, Tables}
+import graft.{QueryPack, Stage, Tables}
 import org.apache.spark.sql.functions._
 
 /** Flagship word-count pipeline — the reference's showcase re-expressed
@@ -62,10 +62,12 @@ object TextQueries extends QueryPack {
     // read_text() — so the path under test is the real file-ingest path
     // (FileIndex + wholetext), not the parquet one. Staging is driver-side
     // by construction (it CREATES the input); the MR job itself is
-    // distributed. The stage path is fixed so the oracle SQL can name it;
-    // the contract is the driver's verify flow (query, then oracle).
+    // distributed. The stage path is derived from the data dir (Stage) so
+    // the oracle SQL can name it without concurrent sessions over other
+    // dirs clobbering it; the contract is the driver's verify flow
+    // (query, then oracle).
     "dir_wordcount" -> ((s, d) => {
-      val stage = new java.io.File("/tmp/graft_dir_stage")
+      val stage = new java.io.File(Stage.dir(d, "dir_wordcount"))
       stage.mkdirs()
       Option(stage.listFiles()).foreach(_.foreach { f =>
         if (f.getName.endsWith(".txt")) f.delete()
@@ -93,7 +95,7 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id"))
   )
 
-  val oracleSql: Map[String, String] = Map(
+  override def oracleSqlFor(dataDir: String): Map[String, String] = Map(
     "wordcount" ->
       """SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -107,9 +109,9 @@ object TextQueries extends QueryPack {
          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
          GROUP BY word ORDER BY cnt DESC, word LIMIT 10""",
     "dir_wordcount" ->
-      """SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      s"""SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
          FROM (SELECT unnest(string_split(content, ' ')) AS word
-               FROM read_text('/tmp/graft_dir_stage/*.txt'))
+               FROM read_text('${Stage.dir(dataDir, "dir_wordcount")}/*.txt'))
          GROUP BY word ORDER BY word""",
     "doc_token_stats" ->
       """SELECT doc_id,
@@ -118,4 +120,6 @@ object TextQueries extends QueryPack {
                 CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct
          FROM documents ORDER BY doc_id"""
   )
+
+  val oracleSql: Map[String, String] = oracleSqlFor(Stage.GateDir)
 }

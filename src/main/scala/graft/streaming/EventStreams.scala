@@ -123,6 +123,11 @@ object EventStreams {
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
   case class UserTimedEvent(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
   case class UserEwma(user_id: Long, n_events: Long, ewma: Double)
+  /** ewmaPerUser state: the fold result plus the max (ts, event_id)
+    * already folded — the watermark against which later batches detect
+    * (and drop) out-of-order arrivals. */
+  case class UserEwmaState(user_id: Long, n_events: Long, ewma: Double,
+                           max_ts: Timestamp, max_eid: Long)
 
   def runningPerUser(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
@@ -189,34 +194,56 @@ object EventStreams {
   }
 
   /** Incremental EWMA (alpha = 0.5) per user — the streaming twin of the
-    * batch `q_ewma` fold: state is just (n, last ewma), each micro-batch
-    * folds its rows in timestamp order on top of the carried state, so
-    * after the final batch the emitted value equals the batch query's
-    * full-history fold. O(1) state per key — the shape that runs forever. */
+    * batch `q_ewma` fold: state is (n, last ewma, max folded (ts,
+    * event_id)), each micro-batch folds its rows in timestamp order on
+    * top of the carried state. O(1) state per key — the shape that runs
+    * forever.
+    *
+    * Late-data contract (round-4 ADVICE pin): an EWMA fold is
+    * order-sensitive, so an event arriving AFTER a later-timestamped
+    * event has already been folded cannot be incorporated without
+    * rewinding state. Such late rows are DROPPED — detected against the
+    * per-key max folded (ts, event_id), same tie-break as the in-batch
+    * sort. The emitted value therefore equals the batch `q_ewma`
+    * full-history fold over exactly the events that arrived in order
+    * across micro-batches; it equals the fold over ALL events iff
+    * arrival is in order (per key) across batches, e.g. a replayed log.
+    * Callers needing late events reflected must re-run the batch query.
+    * (EventStreamsSpec pins the drop behavior with a late-arrival case.) */
   def ewmaPerUser(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     events
       .select(col("user_id"), col("ts"), col("event_id"), col("value")).as[UserTimedEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uid: Long, batch: Iterator[UserTimedEvent], state: GroupState[UserEwma]) =>
+        (uid: Long, batch: Iterator[UserTimedEvent], state: GroupState[UserEwmaState]) =>
           // (ts, event_id) — the SAME tie-break as batch q_ewma's
           // sort_array, and Timestamp.compareTo keeps nanos (getTime
           // would truncate to millis and reorder sub-ms events).
-          val ordered = batch.toSeq.sortWith { (a, b) =>
-            val c = a.ts.compareTo(b.ts)
-            c < 0 || (c == 0 && a.event_id < b.event_id)
+          def before(ats: Timestamp, aeid: Long, bts: Timestamp, beid: Long): Boolean = {
+            val c = ats.compareTo(bts)
+            c < 0 || (c == 0 && aeid < beid)
           }
+          val ordered = batch.toSeq.sortWith((a, b) =>
+            before(a.ts, a.event_id, b.ts, b.event_id))
           val prev = state.getOption
           var n = prev.map(_.n_events).getOrElse(0L)
           var ewma = prev.map(_.ewma).getOrElse(Double.NaN)
+          var maxTs = prev.map(_.max_ts).orNull
+          var maxEid = prev.map(_.max_eid).getOrElse(Long.MinValue)
           ordered.foreach { e =>
-            ewma = if (n == 0L) e.value else ewma * 0.5 + e.value * 0.5
-            n += 1
+            // ≤ max folded (ts, event_id) ⇒ late (or duplicate): folding it
+            // now would diverge from the batch order — drop, per contract.
+            if (maxTs == null || before(maxTs, maxEid, e.ts, e.event_id)) {
+              ewma = if (n == 0L) e.value else ewma * 0.5 + e.value * 0.5
+              n += 1
+              maxTs = e.ts
+              maxEid = e.event_id
+            }
           }
-          val next = UserEwma(uid, n, ewma)
+          val next = UserEwmaState(uid, n, ewma, maxTs, maxEid)
           state.update(next)
-          Iterator.single(next)
+          Iterator.single(UserEwma(uid, n, ewma))
       }
       .toDF()
   }

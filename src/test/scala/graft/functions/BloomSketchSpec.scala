@@ -109,4 +109,45 @@ class BloomSketchSpec extends SparkSpec {
     }
     assert(nonLiteral.getMessage.contains("literal"))
   }
+
+  test("graft_bloom_merge unions artifacts; bloomProbe on a grouped build never duplicates rows") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    // Grouped build: one artifact PER GROUP (the multi-row bloom frame the
+    // round-4 ADVICE flagged — the old crossJoin duplicated every
+    // surviving probe row once per artifact row).
+    val build = Seq(("g1", "a"), ("g1", "b"), ("g2", "c")).toDF("g", "k")
+    val grouped = build.groupBy("g").agg(GraftFunctions.bloomAggCol(col("k")).as("bloom"))
+    assert(grouped.count() == 2L)
+    val probe = Seq("a", "b", "c", "zz-absent-1", "zz-absent-2").toDF("k")
+    val kept = graft.Graft.bloomProbe(spark, probe, "k", grouped)
+      .collect().map(_.getString(0)).toSeq
+    // No duplication: each surviving key exactly once…
+    assert(kept.length == kept.distinct.length, s"duplicated probe rows: $kept")
+    // …and the union keeps no-false-negatives across BOTH groups' keys.
+    assert(Set("a", "b", "c").subsetOf(kept.toSet), s"union lost a member: $kept")
+    // Merged artifact equals the single-shot build over all keys (OR is
+    // exact, so grouping then merging is partitioning-invariant too).
+    val merged = grouped.agg(GraftFunctions.bloomMergeCol(col("bloom")))
+      .collect()(0).getAs[Array[Byte]](0)
+    val oneShot = build.agg(GraftFunctions.bloomAggCol(col("k")))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(merged, oneShot))
+    // Zero-row merge: the empty artifact — probes reject every key.
+    val empty = grouped.filter(col("g") === "nope")
+      .agg(GraftFunctions.bloomMergeCol(col("bloom")))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(!BloomSketch.contains(empty, "a"))
+    // Mixed-parameter artifacts cannot merge meaningfully → fail fast.
+    build.createOrReplaceTempView("bloom_merge_src")
+    val mixed = intercept[Exception] {
+      spark.sql(
+        """SELECT graft_bloom_merge(bf) FROM (
+             SELECT graft_bloom_agg(k) AS bf FROM bloom_merge_src
+             UNION ALL
+             SELECT graft_bloom_agg(k, 128, 2) AS bf FROM bloom_merge_src)""").collect()
+    }
+    assert(mixed.getMessage.contains("mismatched artifact shapes"),
+      s"wrong failure: ${mixed.getMessage}")
+  }
 }

@@ -217,6 +217,27 @@ class EventStreamsSpec extends SparkSpec {
     assert(last.getAs[Double]("ewma") == 4.0)
   }
 
+  test("ewmaPerUser drops cross-batch late arrivals (documented contract)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.ewmaPerUser(spark, mem.toDF())
+      .writeStream.format("memory").queryName("ewma_late").outputMode("append").start()
+    mem.addData(Ev(1, ts(0), 7, "a", 8.0), Ev(3, ts(2), 7, "a", 4.0))
+    q.processAllAvailable()
+    // ts(1) arrives AFTER ts(2) was folded → late → dropped; ts(3) is in
+    // order and folds. A same-batch reorder would have been sorted, so
+    // only the cross-batch case exercises the drop path.
+    mem.addData(Ev(2, ts(1), 7, "a", 100.0), Ev(4, ts(3), 7, "a", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    // Fold over the in-order subsequence 8, 4, 2: 8 → 6 → 4; n counts
+    // only folded events (the late row neither bumps n nor moves ewma).
+    val last = spark.table("ewma_late").orderBy(col("n_events").desc).head()
+    assert(last.getAs[Long]("n_events") == 3L)
+    assert(last.getAs[Double]("ewma") == 4.0)
+  }
+
   test("transformWithState (v2 API) accumulates typed ValueState in RocksDB across batches") {
     // The v2 API requires the RocksDB state store provider; scope the conf
     // to a child session so the other streaming tests keep the default.
