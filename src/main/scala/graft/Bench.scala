@@ -83,10 +83,21 @@ object Bench {
     // oracle SQLs, threads=32 — BASELINE.md round-6 row). Env overrides for
     // re-derived denominators; the fallback keeps `vs_baseline` on the
     // driver's line, which sets no env. Only meaningful at sf0.1.
-    val ratio = sys.env.get("SPARK_GRAFT_BASELINE_SEC")
+    val baselineEnv = sys.env.get("SPARK_GRAFT_BASELINE_SEC")
+    val baselineParsed = baselineEnv
       .flatMap(s => scala.util.Try(s.toDouble).toOption)
       .filter(_ > 0)
-      .orElse(if (sfDir.contains("sf0.1")) Some(30.4) else None)
+    // A present-but-unparsable env var is a config error, not a reason to
+    // silently stamp the sf0.1 denominator on who-knows-what scale: warn
+    // and emit no ratio. The fallback requires the directory BASENAME to
+    // be exactly "sf0.1" — substring matching would also hit sf0.125 etc.
+    if (baselineEnv.isDefined && baselineParsed.isEmpty)
+      System.err.println(
+        s"[bench] SPARK_GRAFT_BASELINE_SEC=${baselineEnv.get} is not a positive number; omitting vs_baseline")
+    val ratio = baselineParsed
+      .orElse(
+        if (baselineEnv.isEmpty && new java.io.File(sfDir).getName == "sf0.1") Some(30.4)
+        else None)
       .map(base => s""","vs_baseline":${fmt(total / base)}""")
       .getOrElse("")
     val short =

@@ -131,10 +131,25 @@ case class BloomMergeAgg(
   // header fixes the shape, so the buffer can't pre-commit to one.
   override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray
 
+  // graft_bloom_merge is SQL-exposed, so `art` can be ANY binary column —
+  // two matching garbage blobs would previously merge silently into an
+  // artifact graft_bloom_contains misreads. Enforce the same header
+  // invariants emptyArtifact establishes before touching a byte.
+  private def requireArtifact(art: Array[Byte]): Unit = {
+    require(art.length >= 4 && (art.length - 4) % 8 == 0,
+      s"graft_bloom_merge: ${art.length} B is not a bloom artifact " +
+        "(expected [int32 numHashes][8-byte bitset words])")
+    val numHashes = ByteBuffer.wrap(art).getInt()
+    require(numHashes > 0 && numHashes <= 16,
+      s"graft_bloom_merge: artifact header numHashes=$numHashes outside [1,16] " +
+        "— not a graft_bloom artifact")
+  }
+
   private def orInto(buf: Array[Byte], art: Array[Byte]): Array[Byte] =
     if (art.isEmpty) buf
-    else if (buf.isEmpty) art.clone()
+    else if (buf.isEmpty) { requireArtifact(art); art.clone() }
     else {
+      requireArtifact(art)
       require(buf.length == art.length &&
           ByteBuffer.wrap(buf).getInt() == ByteBuffer.wrap(art).getInt(),
         s"graft_bloom_merge: mismatched artifact shapes (${buf.length} B / " +

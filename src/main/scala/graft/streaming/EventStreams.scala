@@ -209,7 +209,16 @@ object EventStreams {
     * across micro-batches; it equals the fold over ALL events iff
     * arrival is in order (per key) across batches, e.g. a replayed log.
     * Callers needing late events reflected must re-run the batch query.
-    * (EventStreamsSpec pins the drop behavior with a late-arrival case.) */
+    * (EventStreamsSpec pins the drop behavior with a late-arrival case.)
+    *
+    * Checkpoint compatibility: the round-6 late-data fix widened the
+    * state encoding from UserEwma(user_id, n_events, ewma) to
+    * UserEwmaState(..., max_ts, max_eid). flatMapGroupsWithState state
+    * is stored product-encoded in the checkpoint, so a query restored
+    * from a checkpoint written by the pre-round-6 build will fail to
+    * decode (or misread) its state: discard such checkpoints and restart
+    * from a fresh checkpoint location when upgrading across that
+    * boundary. */
   def ewmaPerUser(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     events

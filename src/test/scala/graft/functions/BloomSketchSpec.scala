@@ -150,4 +150,27 @@ class BloomSketchSpec extends SparkSpec {
     assert(mixed.getMessage.contains("mismatched artifact shapes"),
       s"wrong failure: ${mixed.getMessage}")
   }
+
+  test("graft_bloom_merge rejects non-bloom binaries by header validation") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    // Arbitrary binary whose length is not [int32][8-byte words]: 7 bytes.
+    Seq(Array[Byte](1, 2, 3, 4, 5, 6, 7)).toDF("bf")
+      .createOrReplaceTempView("bloom_garbage_len")
+    val badLen = intercept[Exception] {
+      spark.sql("SELECT graft_bloom_merge(bf) FROM bloom_garbage_len").collect()
+    }
+    assert(badLen.getMessage.contains("not a bloom artifact"),
+      s"wrong failure: ${badLen.getMessage}")
+    // Shape-plausible binary (4 + 8 bytes) whose header says numHashes=0 —
+    // previously two such blobs merged silently; now the header check
+    // fails fast even on the FIRST artifact.
+    val zeroHashes = new Array[Byte](12) // int32 header = 0
+    Seq(zeroHashes).toDF("bf").createOrReplaceTempView("bloom_garbage_hdr")
+    val badHdr = intercept[Exception] {
+      spark.sql("SELECT graft_bloom_merge(bf) FROM bloom_garbage_hdr").collect()
+    }
+    assert(badHdr.getMessage.contains("outside [1,16]"),
+      s"wrong failure: ${badHdr.getMessage}")
+  }
 }
