@@ -292,10 +292,23 @@ object BloomSketch {
     }
   }
 
-  /** Static probe shared by the interpreted and codegen paths. */
+  /** Static probe shared by the interpreted and codegen paths.
+    *
+    * Header-validated like graft_bloom_merge: graft_bloom_contains is
+    * SQL-exposed, and an arbitrary binary whose leading int32 is <= 0
+    * would make the probe loop vacuously TRUE for every key — silently
+    * keeping every probe row — while a 4-byte blob would divide by
+    * numBits = 0. Three int compares per probe, noise next to the two
+    * hashes kmHashes computes anyway. */
   def contains(artifact: Array[Byte], key: String): Boolean = {
     val bb = ByteBuffer.wrap(artifact)
+    require(artifact.length >= 12 && (artifact.length - 4) % 8 == 0,
+      s"graft_bloom_contains: ${artifact.length} B is not a bloom artifact " +
+        "(expected [int32 numHashes][>=1 8-byte bitset words])")
     val numHashes = bb.getInt()
+    require(numHashes > 0 && numHashes <= 16,
+      s"graft_bloom_contains: artifact header numHashes=$numHashes outside [1,16] " +
+        "— not a graft_bloom artifact")
     val numBits = (artifact.length - 4) * 8
     val (h1, h2) = kmHashes(key)
     var j = 0

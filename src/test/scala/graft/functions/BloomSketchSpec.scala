@@ -172,5 +172,18 @@ class BloomSketchSpec extends SparkSpec {
     }
     assert(badHdr.getMessage.contains("outside [1,16]"),
       s"wrong failure: ${badHdr.getMessage}")
+    // The probe has the same hazard in the WORSE direction: numHashes<=0
+    // garbage would make contains() vacuously TRUE for every key (probe
+    // keeps every row, silently). It must throw instead.
+    val probeGarbage = intercept[Exception] {
+      BloomSketch.contains(new Array[Byte](12), "k")
+    }
+    assert(probeGarbage.getMessage.contains("outside [1,16]"),
+      s"wrong failure: ${probeGarbage.getMessage}")
+    val probeShort = intercept[Exception] {
+      BloomSketch.contains(Array[Byte](0, 0, 0, 1), "k")
+    }
+    assert(probeShort.getMessage.contains("not a bloom artifact"),
+      s"wrong failure: ${probeShort.getMessage}")
   }
 }
