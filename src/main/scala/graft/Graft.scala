@@ -173,7 +173,11 @@ object Graft {
     * Use alpha = 0.5 when cross-engine bit-exactness matters (exact
     * binary halving); other alphas are fine within one engine. */
   def ewma(df: DataFrame, keyCol: String, orderCol: String, tieCol: String,
-           valueCol: String, alpha: Double = 0.5): DataFrame =
+           valueCol: String, alpha: Double = 0.5): DataFrame = {
+    // alpha = 0 ignores every observation (and NaN/∞ propagate): outside
+    // (0, 1] the recurrence is not an EWMA — fail rather than emit
+    // plausible-looking nonsense.
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
     df.groupBy(keyCol)
       .agg(sort_array(collect_list(struct(col(orderCol), col(tieCol),
         col(valueCol).cast("double").as("__v")))).as("__series"))
@@ -183,6 +187,7 @@ object Graft {
           s"""aggregate(__series, CAST(NULL AS DOUBLE),
                 (acc, x) -> CASE WHEN acc IS NULL THEN x.__v
                                  ELSE acc * ${1 - alpha} + x.__v * $alpha END)""").as("ewma"))
+  }
 
   /** Ordered funnel over an event stream: how many `groupCols` groups
     * reach each step of `steps` strictly in order (cumulative-max window
@@ -255,6 +260,9 @@ object Graft {
     * cumsum — the bin id doubles as the downstream shard key. */
   def packSequences(docs: DataFrame, tokensPerBin: Int, packKey: String = "lang",
                     orderCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // `div 0` is NULL in Spark SQL, not an error — a non-positive bin size
+    // would silently emit null bins instead of failing.
+    require(tokensPerBin > 0, s"tokensPerBin must be positive, got $tokensPerBin")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(packKey).orderBy(orderCol)
     docs
@@ -291,6 +299,9 @@ object Graft {
     * tiny vocab; out-of-vocabulary tokens become -1. Returns
     * (doc_id, n_tokens, n_oov, ids: array<int>). */
   def vocabEncode(docs: DataFrame, vocabSize: Int, textCol: String = "text"): DataFrame = {
+    // limit(0) is legal, so vocabSize <= 0 would silently encode EVERY
+    // token as OOV (-1) rather than fail.
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
     import org.apache.spark.sql.expressions.Window
     val toks = docs
       .select(col("doc_id"), posexplode(split(col(textCol), " ")).as(Seq("p", "w")))

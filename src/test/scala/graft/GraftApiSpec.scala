@@ -217,4 +217,25 @@ class GraftApiSpec extends SparkSpec {
     assert(!pairs.exists(p => Set((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))(p)),
       s"orthogonal pair wrongly emitted: $pairs")
   }
+
+  test("degenerate parameters fail fast instead of silently corrupting output") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c", "en")).toDF("doc_id", "text", "lang")
+    // tokensPerBin <= 0: `div 0` is NULL in Spark SQL → null bins, silently.
+    val badBin = intercept[IllegalArgumentException] {
+      Graft.packSequences(docs, tokensPerBin = 0)
+    }
+    assert(badBin.getMessage.contains("tokensPerBin"))
+    // vocabSize <= 0: limit(0) is legal → every token OOV (-1), silently.
+    val badVocab = intercept[IllegalArgumentException] {
+      Graft.vocabEncode(docs, vocabSize = 0)
+    }
+    assert(badVocab.getMessage.contains("vocabSize"))
+    // alpha outside (0, 1]: alpha = 0 ignores every observation.
+    val ev = Seq((1L, 1L, 1L, 2.0)).toDF("user_id", "ts", "event_id", "value")
+    val badAlpha = intercept[IllegalArgumentException] {
+      Graft.ewma(ev, "user_id", "ts", "event_id", "value", alpha = 0.0)
+    }
+    assert(badAlpha.getMessage.contains("alpha"))
+  }
 }
