@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.{BloomContains, BloomSketchAgg, DotProduct, MinHashSketch}
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.expressions.{BloomContains, BloomMergeAgg, BloomSketchAgg, DotProduct, MinHashSketch}
 
 /** SparkSessionExtensions entry point — enable with
   * `spark.sql.extensions=graft.GraftExtensions` to make graft's native
@@ -14,7 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+      graft.functions.expressions.GraftFunctions.dotBuilder))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSketch].getName, "graft_minhash"),
@@ -27,5 +27,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
       graft.functions.expressions.GraftFunctions.bloomProbeBuilder))
+    // Added in round 6 to ensureRegistered; the extensions path must stay
+    // at parity or a pure-SQL session can build and probe blooms but not
+    // merge a grouped build.
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_merge"),
+      new ExpressionInfo(classOf[BloomMergeAgg].getName, "graft_bloom_merge"),
+      graft.functions.expressions.GraftFunctions.bloomMergeBuilder))
   }
 }

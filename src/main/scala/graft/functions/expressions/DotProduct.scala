@@ -116,8 +116,7 @@ object GraftFunctions {
     * `spark.sql.extensions=graft.GraftExtensions`.) */
   def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_dot"), dotInfo,
-      (children: Seq[Expression]) => DotProduct(children.head, children(1)))
+      FunctionIdentifier("graft_dot"), dotInfo, dotBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_minhash"), minhashInfo, minhashBuilder)
     spark.sessionState.functionRegistry.registerFunction(
@@ -126,6 +125,14 @@ object GraftFunctions {
       FunctionIdentifier("graft_bloom_contains"), bloomProbeInfo, bloomProbeBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_bloom_merge"), bloomMergeInfo, bloomMergeBuilder)
+  }
+
+  /** Strict arity — `children.head, children(1)` would throw a raw
+    * IndexOutOfBounds on a 1-arg call and silently DROP a third arg. */
+  private[graft] val dotBuilder: Seq[Expression] => Expression = {
+    case Seq(x, y) => DotProduct(x, y)
+    case other => throw new IllegalArgumentException(
+      s"graft_dot expects exactly 2 arguments, got ${other.size}")
   }
 
   /** Strict arity: silently dropping extra args would hand back a

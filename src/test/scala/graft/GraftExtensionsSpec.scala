@@ -34,6 +34,16 @@ class GraftExtensionsSpec extends SparkSpec {
              (SELECT graft_bloom_agg(CAST(id AS STRING)) FROM range(100)),
              '42') AS hit""").head().getBoolean(0)
       assert(hit)
+      // graft_bloom_merge must stay at parity with ensureRegistered: a
+      // pure-SQL session that can build and probe but not merge a grouped
+      // build is a broken deployment mode (round-7 fix).
+      val mergedHit = s2.sql(
+        """SELECT graft_bloom_contains(
+             (SELECT graft_bloom_merge(bf) FROM (
+                SELECT graft_bloom_agg(CAST(id AS STRING)) AS bf
+                FROM range(100) GROUP BY id % 4)),
+             '42') AS hit""").head().getBoolean(0)
+      assert(mergedHit)
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
