@@ -94,6 +94,13 @@ object Bench {
     if (baselineEnv.isDefined && baselineParsed.isEmpty)
       System.err.println(
         s"[bench] SPARK_GRAFT_BASELINE_SEC=${baselineEnv.get} is not a positive number; omitting vs_baseline")
+    // A parsable-but-implausible override ('1e-9', '0.001') is taken
+    // verbatim (BASELINE.md documents this) but flagged: any real workload
+    // denominator on this suite sits well inside [1, 10000] seconds.
+    baselineParsed.filter(b => b < 1.0 || b > 10000.0).foreach { b =>
+      System.err.println(
+        s"[bench] SPARK_GRAFT_BASELINE_SEC=$b is outside the plausible [1, 10000] s band; using it verbatim but the vs_baseline ratio is suspect")
+    }
     val ratio = baselineParsed
       .orElse(
         if (baselineEnv.isEmpty && new java.io.File(sfDir).getName == "sf0.1") Some(30.4)

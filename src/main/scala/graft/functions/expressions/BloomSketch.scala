@@ -136,9 +136,12 @@ case class BloomMergeAgg(
   // artifact graft_bloom_contains misreads. Enforce the same header
   // invariants emptyArtifact establishes before touching a byte.
   private def requireArtifact(art: Array[Byte]): Unit = {
-    require(art.length >= 4 && (art.length - 4) % 8 == 0,
+    // >= 12 (header + at least one bitset word), matching the contains-side
+    // minimum — a 4-byte header-only blob would merge fine here and then be
+    // rejected by every later probe, deferring the failure from its source.
+    require(art.length >= 12 && (art.length - 4) % 8 == 0,
       s"graft_bloom_merge: ${art.length} B is not a bloom artifact " +
-        "(expected [int32 numHashes][8-byte bitset words])")
+        "(expected [int32 numHashes][>=1 8-byte bitset words])")
     val numHashes = ByteBuffer.wrap(art).getInt()
     require(numHashes > 0 && numHashes <= 16,
       s"graft_bloom_merge: artifact header numHashes=$numHashes outside [1,16] " +
@@ -278,7 +281,15 @@ object BloomSketch {
     * through). Bit addressing matches eval()'s big-endian long layout,
     * pinned against the aggregate build in BloomSketchSpec. */
   def addToArtifact(artifact: Array[Byte], key: String): Unit = {
+    // Same header contract merge/contains enforce: a malformed artifact in
+    // the streaming-state path must fail fast here, not scribble bytes or
+    // silently no-op.
+    require(artifact.length >= 12 && (artifact.length - 4) % 8 == 0,
+      s"addToArtifact: ${artifact.length} B is not a bloom artifact " +
+        "(expected [int32 numHashes][>=1 8-byte bitset words])")
     val numHashes = ByteBuffer.wrap(artifact).getInt()
+    require(numHashes > 0 && numHashes <= 16,
+      s"addToArtifact: artifact header numHashes=$numHashes outside [1,16] — not a graft_bloom artifact")
     val numBits = (artifact.length - 4) * 8
     val (h1, h2) = kmHashes(key)
     var j = 0

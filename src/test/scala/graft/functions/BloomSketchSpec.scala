@@ -2,6 +2,7 @@ package graft.functions
 
 import graft.SparkSpec
 import graft.functions.expressions.{BloomSketch, GraftFunctions}
+import java.nio.ByteBuffer
 import org.apache.spark.sql.functions._
 
 class BloomSketchSpec extends SparkSpec {
@@ -185,5 +186,27 @@ class BloomSketchSpec extends SparkSpec {
     }
     assert(probeShort.getMessage.contains("not a bloom artifact"),
       s"wrong failure: ${probeShort.getMessage}")
+    // merge and contains enforce the SAME minimum shape: a 4-byte
+    // header-only blob (valid numHashes, zero bitset words) used to merge
+    // fine and then fail at every probe — the failure must fire at merge.
+    val headerOnly = ByteBuffer.allocate(4).putInt(4).array()
+    Seq(headerOnly).toDF("bf").createOrReplaceTempView("bloom_header_only")
+    val badHeaderOnly = intercept[Exception] {
+      spark.sql("SELECT graft_bloom_merge(bf) FROM bloom_header_only").collect()
+    }
+    assert(badHeaderOnly.getMessage.contains("not a bloom artifact"),
+      s"wrong failure: ${badHeaderOnly.getMessage}")
+    // addToArtifact shares the artifact-format contract: malformed state in
+    // the streaming path must fail fast, not scribble or no-op.
+    val addShort = intercept[Exception] {
+      BloomSketch.addToArtifact(headerOnly.clone(), "k")
+    }
+    assert(addShort.getMessage.contains("not a bloom artifact"),
+      s"wrong failure: ${addShort.getMessage}")
+    val addBadHdr = intercept[Exception] {
+      BloomSketch.addToArtifact(new Array[Byte](12), "k") // numHashes=0
+    }
+    assert(addBadHdr.getMessage.contains("outside [1,16]"),
+      s"wrong failure: ${addBadHdr.getMessage}")
   }
 }
