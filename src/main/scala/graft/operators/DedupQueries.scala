@@ -667,7 +667,7 @@ object DedupQueries extends QueryPack {
        sim AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
                FROM bits GROUP BY 1)"""
 
-  val oracleSql: Map[String, String] = Map(
+  override def oracleSqlFor(dataDir: String): Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS canonical_id, CAST(COUNT(*) AS BIGINT) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY canonical_id""",
@@ -816,12 +816,12 @@ object DedupQueries extends QueryPack {
           SELECT va, vb, FLOOR(cos*1000000 + 0.5)/1000000 AS cos FROM p
           WHERE cos >= 0.4 ORDER BY va, vb""",
     "dedup_embed_ivf" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                     FROM embeddings),
               n AS (SELECT vec_id, v,
                            sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
                     FROM e),
-              cent AS (SELECT vec_id AS cid, v AS w, nrm AS wnrm FROM n WHERE vec_id < 16),
+              ${SimilarityQueries.centSqlCte(dataDir)},
               sc AS (SELECT a.vec_id, c.cid AS cl,
                             ROW_NUMBER() OVER (PARTITION BY a.vec_id
                               ORDER BY list_reduce(list_transform(range(64), i -> a.v[i + 1] * c.w[i + 1]),
@@ -839,4 +839,6 @@ object DedupQueries extends QueryPack {
          SELECT va, vb, FLOOR(cos*1000000 + 0.5)/1000000 AS cos FROM p
          WHERE cos >= 0.4 ORDER BY va, vb"""
   )
+
+  val oracleSql: Map[String, String] = oracleSqlFor(graft.Stage.GateDir)
 }

@@ -13,12 +13,13 @@ import org.apache.spark.sql.functions._
   *    scan, broadcast probe, TakeOrderedAndProject top-k — at 100 TB this
   *    is one pass over the vectors with no shuffle of the big side, which
   *    IS the correct exact algorithm.
-  *  - `sim_ivf`: the ANN scale path — IVF with deterministic "centroids"
-  *    (vec_id < 16 stand in for a k-means codebook, which keeps the query
-  *    oracle-checkable). Vectors are assigned to their nearest centroid
-  *    once (a broadcast join + argmax, i.e. the index build); a query then
-  *    probes only the nprobe=4 closest clusters — at scale this prunes the
-  *    scan to nprobe/nlist of the corpus, and the assignment doubles as a
+  *  - `sim_ivf`: the ANN scale path — IVF over a LEARNED k-means codebook
+  *    ([[IvfCodebook]]: deterministic sampled spherical k-means, staged to
+  *    parquet so the DuckDB oracle reads the identical codebook bytes).
+  *    Vectors are assigned to their nearest centroid once (a broadcast
+  *    join + argmax, i.e. the index build); a query then probes only the
+  *    nprobe=4 closest clusters — at scale this prunes the scan to
+  *    nprobe/nlist of the corpus, and the assignment doubles as a
   *    partitioning key for locality.
   *
   * Dot products use the native codegen expression graft_dot (DotProduct)
@@ -39,14 +40,14 @@ object SimilarityQueries extends QueryPack {
   private def cosExpr = graft.functions.expressions.GraftFunctions.dotCol(col("v"), col("w"))
 
   /** The IVF index build shared by sim_knn_ivf, sim_knn_ivf2 and
-    * dedup_embed_ivf: score every vector against the 16 deterministic
-    * broadcast centroids (vec_id < 16 stand in for a k-means codebook,
-    * keeping the oracle checkable) and keep its `nprobe` nearest cells.
-    * Returns (vec_id, v, nrm, cluster, rk ≤ nprobe), lazily checkpointed
-    * so every consumer of the assignment shares one materialization.
-    * Centroid rule, tie-break (ccos DESC, cid) and nprobe semantics live
-    * HERE — the three queries' DuckDB oracles replicate this block, so a
-    * change must touch this helper and the oracle CTEs together. */
+    * dedup_embed_ivf: score every vector against the 16 learned k-means
+    * centroids ([[IvfCodebook]] — staged to parquet so the DuckDB oracle
+    * reads the identical codebook bytes) and keep its `nprobe` nearest
+    * cells. Returns (vec_id, v, nrm, cluster, rk ≤ nprobe), lazily
+    * checkpointed so every consumer of the assignment shares one
+    * materialization. Tie-break (ccos DESC, cid) and nprobe semantics
+    * live HERE — the three queries' DuckDB oracles replicate this block,
+    * so a change must touch this helper and the oracle CTEs together. */
   // The checkpointed nprobe=2 assignment, cached per (session, dir) —
   // the IVF "index" is built once and shared by sim_knn_ivf,
   // sim_knn_ivf2 and dedup_embed_ivf (same pattern as the dedup pair
@@ -60,8 +61,7 @@ object SimilarityQueries extends QueryPack {
     Tables.evictDead(assignCache, Tables.sessionKey(s))
     val full = assignCache.computeIfAbsent((Tables.sessionKey(s), d, "ivf2"), _ => {
       val e = vecs(s, d)
-      val cent = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("v").as("w"), col("nrm").as("wnrm"))
+      val cent = IvfCodebook.centroids(s, d)
       val byVec = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
       e.crossJoin(broadcast(cent))
         .withColumn("ccos", cosExpr / (col("nrm") * col("wnrm")))
@@ -87,14 +87,13 @@ object SimilarityQueries extends QueryPack {
         .limit(10)
     }),
 
-    // IVF: assign every vector to nearest of 16 deterministic centroids;
-    // probe the 4 clusters nearest the query; exact search within them.
-    // The assignment comes off the shared cached index (one build for
-    // sim_ivf, sim_knn_ivf, sim_knn_ivf2 and dedup_embed_ivf).
+    // IVF: assign every vector to nearest of the 16 learned k-means
+    // centroids; probe the 4 clusters nearest the query; exact search
+    // within them. The assignment comes off the shared cached index (one
+    // build for sim_ivf, sim_knn_ivf, sim_knn_ivf2 and dedup_embed_ivf).
     "sim_ivf" -> ((s, d) => {
       val e = vecs(s, d)
-      val cent = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("v").as("w"), col("nrm").as("wnrm"))
+      val cent = IvfCodebook.centroids(s, d)
       val assigned = ivfScoredAssignment(s, d, nprobe = 1).drop("rk")
       // Query: probe = vec_id 0; its 4 nearest centroids.
       val probeClusters = e.filter(col("vec_id") === 0)
@@ -231,7 +230,13 @@ object SimilarityQueries extends QueryPack {
   private def cosSql(av: String, bv: String) =
     s"list_reduce(list_transform(range(64), i -> $av[i + 1] * $bv[i + 1]), (x, y) -> x + y)"
 
-  val oracleSql: Map[String, String] = Map(
+  /** The learned-codebook CTE: the oracle reads the SAME staged parquet
+    * the Spark plans read ([[IvfCodebook.stagePath]]), so both engines see
+    * identical centroid bytes — the fit itself is not re-derived in SQL. */
+  private[operators] def centSqlCte(dataDir: String) =
+    s"cent AS (SELECT cid, w, wnrm FROM read_parquet('${IvfCodebook.stagePath(dataDir)}/*.parquet'))"
+
+  override def oracleSqlFor(dataDir: String): Map[String, String] = Map(
     "sim_topk_brute" ->
       s"""WITH $vecsSqlCte,
             probe AS (SELECT v, nrm FROM n WHERE vec_id = 0),
@@ -241,7 +246,7 @@ object SimilarityQueries extends QueryPack {
           ORDER BY cos DESC, vec_id LIMIT 10""",
     "sim_ivf" ->
       s"""WITH $vecsSqlCte,
-            cent AS (SELECT vec_id AS cid, v AS w, nrm AS wnrm FROM n WHERE vec_id < 16),
+            ${centSqlCte(dataDir)},
             asg AS (SELECT vec_id, v, nrm, cid AS cluster FROM (
                       SELECT a.vec_id, a.v, a.nrm, c.cid,
                              ROW_NUMBER() OVER (PARTITION BY a.vec_id
@@ -270,7 +275,7 @@ object SimilarityQueries extends QueryPack {
           FROM ranked WHERE rk = 1 ORDER BY vec_id""",
     "sim_knn_ivf" ->
       s"""WITH $vecsSqlCte,
-            cent AS (SELECT vec_id AS cid, v AS w, nrm AS wnrm FROM n WHERE vec_id < 16),
+            ${centSqlCte(dataDir)},
             asg AS (SELECT vec_id, v, nrm, cid AS cluster FROM (
                       SELECT a.vec_id, a.v, a.nrm, c.cid,
                              ROW_NUMBER() OVER (PARTITION BY a.vec_id
@@ -288,7 +293,7 @@ object SimilarityQueries extends QueryPack {
           FROM ranked WHERE rk = 1 ORDER BY vec_id""",
     "sim_knn_ivf2" ->
       s"""WITH $vecsSqlCte,
-            cent AS (SELECT vec_id AS cid, v AS w, nrm AS wnrm FROM n WHERE vec_id < 16),
+            ${centSqlCte(dataDir)},
             sc AS (SELECT a.vec_id, a.v, a.nrm, c.cid AS cluster,
                           ROW_NUMBER() OVER (PARTITION BY a.vec_id
                             ORDER BY ${cosSql("a.v", "c.w")} / (a.nrm * c.wnrm) DESC, c.cid) AS rk
@@ -327,4 +332,6 @@ object SimilarityQueries extends QueryPack {
                  FLOOR(MAX(nrm)*1000000 + 0.5)/1000000 AS max_norm
           FROM n GROUP BY label ORDER BY label"""
   )
+
+  val oracleSql: Map[String, String] = oracleSqlFor(graft.Stage.GateDir)
 }
