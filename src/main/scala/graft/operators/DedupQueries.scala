@@ -352,6 +352,22 @@ object DedupQueries extends QueryPack {
         .select(col("da"), col("db"), round6(col("jac")).as("jac"))
         .orderBy("da", "db")),
 
+    // The 100 TB hot-bucket valve itself, under the hash gate: identical
+    // pipeline to dedup_minhash but LSH buckets over `maxBucket` members
+    // are SKIPPED (bounded pair expansion per bucket — see bucketPairs).
+    // The cap is 2 here, deliberately aggressive: the gate fixture's
+    // largest bucket holds 4 docs, so a production-ish cap (64, the
+    // STRESS-measured setting) would never fire and the gate would prove
+    // nothing about the skip rule. At cap 2 exactly one fixture pair's
+    // every colliding bucket is over cap, so the oracle — which applies
+    // the IDENTICAL rule in SQL — only matches if the skip semantics
+    // (skip, don't truncate; pairs survive via ANY under-cap bucket) are
+    // right on both engines.
+    "dedup_minhash_capped" -> ((s, d) =>
+      minhashPairsOf(s, Tables.documents(s, d), 0.7, maxBucket = 2)
+        .select(col("da"), col("db"), round6(col("jac")).as("jac"))
+        .orderBy("da", "db")),
+
     // Connected components over the near-dup pairs — the cluster-
     // canonicalization step a real dedup pipeline runs after LSH (keep one
     // doc per component). Pregel-style min-label propagation: O(diameter)
@@ -753,6 +769,37 @@ object DedupQueries extends QueryPack {
     // similarity (≥0.9) differs from 1 by < 1e-40.
     "dedup_minhash" ->
       s"""WITH $shinglesSqlCte
+          SELECT da, db, FLOOR(jac*1000000 + 0.5)/1000000 AS jac FROM jac
+          WHERE jac >= 0.7 ORDER BY da, db""",
+    // Full band-key replication (portable seeded-md5 family, same as
+    // lang_minhash_sketch) plus the SAME bucket-size skip rule as
+    // bucketPairs: buckets with more than 2 members contribute no pairs;
+    // a pair survives if ANY of its colliding buckets is under the cap.
+    "dedup_minhash_capped" ->
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 2),
+                     i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))) AS s
+                   FROM docs WHERE len(toks) >= 3),
+            hh AS (SELECT doc_id, ${h60pSql("s")} AS h FROM sh),
+            comp AS (SELECT doc_id, ks.k AS k, MIN(${seededSql("h", "ks.k")}) AS mh
+                     FROM hh, (SELECT unnest(range(32)) AS k) ks GROUP BY 1, 2),
+            bands AS (SELECT a.doc_id, a.k AS band, a.mh * 1000000007 + b.mh AS bkey
+                      FROM comp a JOIN comp b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+                      WHERE a.k % 2 = 0),
+            bsz AS (SELECT band, bkey, COUNT(*) AS n FROM bands GROUP BY 1, 2),
+            cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+                     JOIN bsz ON bsz.band = a.band AND bsz.bkey = a.bkey
+                     WHERE bsz.n <= 2),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (SELECT c.da, c.db, count(*) AS i
+                      FROM cand c JOIN sh a ON a.doc_id = c.da
+                                  JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+                      GROUP BY 1, 2),
+            jac AS (SELECT da, db, i * 1.0 / (sa.n + sb.n - i) AS jac
+                    FROM inter JOIN sizes sa ON sa.doc_id = da
+                               JOIN sizes sb ON sb.doc_id = db)
           SELECT da, db, FLOOR(jac*1000000 + 0.5)/1000000 AS jac FROM jac
           WHERE jac >= 0.7 ORDER BY da, db""",
     "dedup_triangles" ->

@@ -101,6 +101,22 @@ class SkewAndBucketingSpec extends SparkSpec {
     assert(mhCapped.subsetOf(mhUncapped) && mhCapped == mhUncapped.filter(_._1 >= 1000L))
   }
 
+  test("declared dedup_minhash_capped is a subset of dedup_minhash on the fixture") {
+    // The oracle-gated valve query (cap=2, chosen to bite at the gate):
+    // capped results can only LOSE pairs relative to the uncapped query,
+    // never invent or alter one.
+    def pairs(name: String): Map[(Long, Long), Double] =
+      graft.SparkEntry.queries(name)(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val uncapped = pairs("dedup_minhash")
+    val capped = pairs("dedup_minhash_capped")
+    assert(capped.keySet.subsetOf(uncapped.keySet),
+      s"capped invented pairs: ${(capped.keySet -- uncapped.keySet).take(5)}")
+    capped.foreach { case (k, jac) =>
+      assert(uncapped(k) == jac, s"jac changed under cap for $k")
+    }
+  }
+
   test("hive-style partitioned layout prunes partitions at plan time") {
     val out = java.nio.file.Files.createTempDirectory("graft-part").toFile.getAbsolutePath + "/docs"
     Tables.documents(spark, dir).write.mode("overwrite").partitionBy("lang").parquet(out)
