@@ -31,6 +31,18 @@ object StreamingQueries extends QueryPack {
           col("first_event_id"))
         .orderBy("user_id", "event_type")),
 
+    // Batch twin of the watermarked stream-stream interval join
+    // (EventStreams.clickToPurchase): same code path, watermarks are
+    // no-ops in batch; EventStreamsSpec pins snapshot equality between
+    // this and the MemoryStream run on the same fixture rows.
+    "stream_funnel_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      EventStreams.clickToPurchase(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"))
+        .orderBy("click_id", "purchase_id")
+    }),
+
     "stream_sessionized" -> ((s, d) =>
       EventStreams.sessionized(Tables.events(s, d))
         .select(
@@ -58,6 +70,13 @@ object StreamingQueries extends QueryPack {
                 CAST(FLOOR(epoch(ts)) AS BIGINT) AS first_sec,
                 event_id AS first_event_id
          FROM r WHERE rk = 1 ORDER BY user_id, event_type""",
+    // Inner interval join ≡ the plain time-bounded self-join in batch.
+    "stream_funnel_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+         FROM events c JOIN events p ON p.user_id = c.user_id
+         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+         ORDER BY click_id, purchase_id""",
     // session_window(gap 30min) ≡ gap-based sessions; end = last ts + gap.
     "stream_sessionized" ->
       """WITH flagged AS (

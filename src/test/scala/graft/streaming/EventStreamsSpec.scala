@@ -113,6 +113,31 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows == Seq((10L, 20L, 1L)))
   }
 
+  test("stream_funnel_join batch twin equals the streaming interval join on the fixture") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // Same fixture rows through both engines of the unified model: the
+    // MemoryStream run (real watermarked stream-stream join state) and
+    // the declared batch query (oracle-gated) must agree row-for-row.
+    val rows = graft.Tables.events(spark, sf("sf0.001"))
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Ev].collect()
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    clicks.addData(rows.filter(_.event_type == "click").toIndexedSeq)
+    purchases.addData(rows.filter(_.event_type == "purchase").toIndexedSeq)
+    runToMemory("funnel_fixture",
+      EventStreams.clickToPurchase(clicks.toDF(), purchases.toDF()))
+    val streaming = spark.table("funnel_fixture")
+      .select("click_id", "purchase_id", "user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.SparkEntry.queries("stream_funnel_join")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty, "fixture yields no click→purchase matches — test is vacuous")
+    assert(streaming == batch,
+      s"streaming/batch snapshot divergence: only-streaming=${(streaming -- batch).take(5)} " +
+        s"only-batch=${(batch -- streaming).take(5)}")
+  }
+
   test("streaming parquet SINK: append-mode file sink + checkpoint round-trips") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
