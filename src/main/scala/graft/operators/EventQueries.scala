@@ -123,7 +123,10 @@ object EventQueries extends QueryPack {
           (floor(min(unix_timestamp(col("ts"))) / 3600) * 3600).as("lo"),
           (floor(max(unix_timestamp(col("ts"))) / 3600) * 3600).as("hi"))
         .select(explode(expr("sequence(lo, hi, 3600)")).as("bucket"))
-        .crossJoin(ev.select("event_type").distinct())
+        // explicit broadcast: the event-type frame is a handful of rows;
+        // without the hint the plan is scale-proof only because AQE
+        // rescues it — the intent belongs in the plan, not the runtime.
+        .crossJoin(broadcast(ev.select("event_type").distinct()))
       axis.join(sparse, Seq("bucket", "event_type"), "left")
         .select(col("bucket"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
         .orderBy("bucket", "event_type")

@@ -108,6 +108,14 @@ class PlanSpec extends SparkSpec {
       s"probe not broadcast:\n$p")
   }
 
+  test("q_gap_fill broadcasts the event-type axis — scale-proof without AQE") {
+    // The dense-axis cross join must broadcast its tiny event-type frame
+    // by explicit hint, not rely on AQE noticing it at runtime.
+    val p = plan("q_gap_fill")
+    assert(p.contains("BroadcastExchange"), s"axis frame not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"gap-fill axis degenerated:\n$p")
+  }
+
   test("sim_knn_ivf joins on the cluster key — no nested-loop over all pairs") {
     val p = plan("sim_knn_ivf")
     // The pair join must be an equi-join on `cluster` (hash/sort-merge);
