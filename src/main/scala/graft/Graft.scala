@@ -89,6 +89,7 @@ object Graft {
 
   /** Exact cosine top-k against a probe vector id. */
   def cosineTopK(spark: SparkSession, embeddings: DataFrame, probeId: Long, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k") // limit(0) is legal → silently empty
     functions.expressions.GraftFunctions.ensureRegistered(spark)
     val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", functions.expressions.GraftFunctions.normCol(col("v")))
@@ -219,6 +220,7 @@ object Graft {
     * size arrives as a broadcast 1-row frame, never a driver count. */
   def tfidfTopTerms(docs: DataFrame, k: Int, textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k") // rk <= 0 matches no row → silently empty
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
     val tc = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
@@ -240,14 +242,24 @@ object Graft {
   /** Deterministic Bernoulli sample: keep rows whose md5-derived hash of
     * `keyCol` falls under `percent` — reproducible and repartition-stable
     * (never rand()). */
-  def hashSample(df: DataFrame, keyCol: String, percent: Int): DataFrame =
+  def hashSample(df: DataFrame, keyCol: String, percent: Int): DataFrame = {
+    // A rate outside [0, 100] silently degenerates (150 keeps everything,
+    // -5 keeps nothing) — most often a fraction-vs-percent mixup (0.1
+    // truncated to 0). 0 and 100 are legal explicit edges.
+    require(percent >= 0 && percent <= 100,
+      s"percent must be in [0, 100], got $percent")
     df.filter(functions.PortableHash.h60(col(keyCol).cast("string")) % 100 < percent)
+  }
 
   /** Weighted training-mix sample: per-stratum keep rates (percent) over
     * `strataCol`, same deterministic md5 Bernoulli as [[hashSample]] —
     * the corpus-mixing step before pretraining, map-only at any scale. */
   def weightedSample(df: DataFrame, keyCol: String, strataCol: String,
                      rates: Map[String, Int], defaultRate: Int): DataFrame = {
+    (rates + ("<defaultRate>" -> defaultRate)).foreach { case (stratum, r) =>
+      require(r >= 0 && r <= 100,
+        s"rate for $stratum must be in [0, 100], got $r")
+    }
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (stratum, r)) =>
       when(col(strataCol) === stratum, r).otherwise(acc)
     }
@@ -330,6 +342,13 @@ object Graft {
     * scale. Input: (vec_id, embedding: array<float|double>). */
   def embedNearDupIvf(spark: SparkSession, embeddings: DataFrame, threshold: Double,
                       nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+    // Cosine near-dup thresholds live in (0, 1]; nprobe = 0 probes no
+    // cell → zero pairs, silently. Same failure mode as the dedup guards.
+    require(threshold > 0 && threshold <= 1,
+      s"near-dup threshold must be in (0, 1], got $threshold")
+    require(nlist >= 1, s"nlist must be >= 1, got $nlist")
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"nprobe must be in [1, nlist=$nlist], got $nprobe")
     import org.apache.spark.sql.expressions.Window
     graft.functions.expressions.GraftFunctions.ensureRegistered(spark)
     val dot = graft.functions.expressions.GraftFunctions.dotCol _
@@ -360,6 +379,7 @@ object Graft {
 
   def topNgrams(docs: DataFrame, n: Int, k: Int, textCol: String = "text"): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
+    require(k >= 1, s"k must be >= 1, got $k") // limit(0) is legal → silently empty
     val tk = docs
       .withColumn("__tk", split(col(textCol), " "))
       .filter(size(col("__tk")) >= n)

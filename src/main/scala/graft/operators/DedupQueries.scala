@@ -305,6 +305,13 @@ object DedupQueries extends QueryPack {
     * buckets — see [[bucketPairs]] for the recall trade-off. */
   def minhashPairsOf(s: SparkSession, docs: DataFrame, threshold: Double,
                      maxBucket: Int = Int.MaxValue): DataFrame = {
+    // Jaccard lives in [0, 1]: a threshold above 1 (e.g. 7 for 0.7, 70 for
+    // a percentage) would return ZERO pairs — and deduplicate() would then
+    // silently dedup nothing. Fail at the call instead.
+    require(threshold > 0 && threshold <= 1,
+      s"near-dup threshold must be in (0, 1], got $threshold")
+    require(maxBucket >= 2,
+      s"maxBucket below 2 can never emit a pair, got $maxBucket")
     val cand = bucketPairs(minhashBandsOf(s, docs), Seq("band", "bkey"), maxBucket)
     jaccardOfDocs(s, docs, cand).filter(col("jac") >= threshold)
   }
@@ -313,6 +320,8 @@ object DedupQueries extends QueryPack {
     * the dedup_simhash query body, reusable with the `maxBucket` valve. */
   def simhashPairsOf(s: SparkSession, docs: DataFrame,
                      maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxBucket >= 2,
+      s"maxBucket below 2 can never emit a pair, got $maxBucket")
     val sim = simhashFrameOf(s, docs)
     val chunks = sim
       .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("chunk"))

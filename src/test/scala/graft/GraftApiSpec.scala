@@ -237,5 +237,44 @@ class GraftApiSpec extends SparkSpec {
       Graft.ewma(ev, "user_id", "ts", "event_id", "value", alpha = 0.0)
     }
     assert(badAlpha.getMessage.contains("alpha"))
+    // threshold = 7 (meant 0.7): jaccard <= 1 always → zero pairs, and
+    // deduplicate() would then silently dedup nothing.
+    val badThr = intercept[IllegalArgumentException] {
+      Graft.nearDupPairs(spark, docs, threshold = 7)
+    }
+    assert(badThr.getMessage.contains("threshold"))
+    // maxBucket = 1: size > 1 && size <= 1 is never true → zero pairs.
+    val badCap = intercept[IllegalArgumentException] {
+      Graft.nearDupPairs(spark, docs, maxBucket = 1)
+    }
+    assert(badCap.getMessage.contains("maxBucket"))
+    // percent = 500 (meant 5? 50?): keeps every row, silently.
+    val badPct = intercept[IllegalArgumentException] {
+      Graft.hashSample(docs, "doc_id", percent = 500)
+    }
+    assert(badPct.getMessage.contains("percent"))
+    val badRate = intercept[IllegalArgumentException] {
+      Graft.weightedSample(docs, "doc_id", "lang", Map("en" -> 150), defaultRate = 10)
+    }
+    assert(badRate.getMessage.contains("rate"))
+    // k = 0: limit(0) / rk <= 0 are legal → silently empty results.
+    val e = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val badK = intercept[IllegalArgumentException] {
+      Graft.cosineTopK(spark, e, 0L, k = 0)
+    }
+    assert(badK.getMessage.contains("k must be"))
+    val badTfidfK = intercept[IllegalArgumentException] {
+      Graft.tfidfTopTerms(docs, k = 0)
+    }
+    assert(badTfidfK.getMessage.contains("k must be"))
+    val badNgramK = intercept[IllegalArgumentException] {
+      Graft.topNgrams(docs, n = 2, k = 0)
+    }
+    assert(badNgramK.getMessage.contains("k must be"))
+    // nprobe = 0 probes no IVF cell → zero pairs, silently.
+    val badProbe = intercept[IllegalArgumentException] {
+      Graft.embedNearDupIvf(spark, e, threshold = 0.9, nlist = 4, nprobe = 0)
+    }
+    assert(badProbe.getMessage.contains("nprobe"))
   }
 }
