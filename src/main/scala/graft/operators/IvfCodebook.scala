@@ -55,12 +55,19 @@ object IvfCodebook {
     * set, and 6k samples per centroid at k=16. */
   val SampleTarget = 100000L
 
+  /** Bump whenever the fit algorithm changes its output (sampling rule,
+    * init, iteration count, rounding, K): an existing stage is REUSED
+    * (see fitAndStage), so bytes written by an older algorithm must land
+    * under a path the newer code never reads. */
+  private val FitVersion = 1
+
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
 
   /** The staged codebook parquet for `dataDir` — the oracle CTEs name
     * this path (see the packs' oracleSqlFor overrides). */
-  def stagePath(dataDir: String): String = Stage.dir(dataDir, "ivf_centroids")
+  def stagePath(dataDir: String): String =
+    Stage.dir(dataDir, s"ivf_centroids_v$FitVersion")
 
   /** The fitted codebook as a 16-row (cid: long, w: array<double>,
     * wnrm: double) frame read from the staged parquet — fit once per
@@ -73,6 +80,31 @@ object IvfCodebook {
   private def round6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
   private def fitAndStage(s: SparkSession, d: String): DataFrame = {
+    // The fit is deterministic, so an existing stage holds the identical
+    // bytes: REUSE it instead of overwriting. Overwriting has two costs —
+    // it invalidates any cached plan in another session of this JVM that
+    // pins the old part files (FAILED_READ.FILE_NOT_EXIST on next use,
+    // found by IvfCodebookSpec's refit test), and it re-runs the 5-pass
+    // fit once per JVM for output that cannot change. FitVersion in the
+    // path keeps an older algorithm's bytes from being picked up; the
+    // shape check below rejects a torn or foreign directory.
+    val path = stagePath(d)
+    existingStage(s, path).getOrElse(fitInto(s, d, path))
+  }
+
+  private def existingStage(s: SparkSession, path: String): Option[DataFrame] =
+    try {
+      if (!new java.io.File(path, "_SUCCESS").exists()) None
+      else {
+        val df = s.read.parquet(path)
+        val n = df.count()
+        if (df.columns.toSeq == Seq("cid", "w", "wnrm") && n >= 1 && n <= K)
+          Some(df)
+        else None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def fitInto(s: SparkSession, d: String, path: String): DataFrame = {
     val e = SimilarityQueries.vecs(s, d)
       .filter(col("nrm") > 0)
       .select(col("vec_id"), col("v"), col("nrm"))
@@ -134,7 +166,6 @@ object IvfCodebook {
 
     // Stage the fitted codebook; the returned frame READS it back, so the
     // Spark plans and the DuckDB oracle consume identical bytes.
-    val path = stagePath(d)
     cents.toSeq
       .map { case (cid, w) => (cid, w, math.sqrt(w.map(x => x * x).sum)) }
       .toDF("cid", "w", "wnrm")

@@ -42,6 +42,40 @@ class IvfCodebookSpec extends SparkSpec {
       "oracle CTE must name the staged codebook path for this data dir")
   }
 
+  test("refit on a copy of the corpus reproduces the codebook value-for-value") {
+    // The 6 dp rounding test above is necessary but not sufficient for the
+    // determinism contract — this runs a genuinely independent second fit
+    // (the fixture copied to a new dir ⇒ different stage path ⇒ the
+    // existing-stage reuse cannot short-circuit it) and compares every
+    // byte-relevant value. Catches a future regression to order-dependent
+    // sampling/init (e.g. rand()) that rounding alone would not.
+    def asSet(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getSeq[Double](1).toList, r.getDouble(2))).toSet
+    val first = asSet(IvfCodebook.centroids(spark, dir).collect())
+    val copy = java.nio.file.Files.createTempDirectory("ivf_refit_corpus")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "embeddings.parquet"),
+      copy.resolve("embeddings.parquet"))
+    val second = asSet(IvfCodebook.centroids(spark, copy.toString).collect())
+    assert(first == second, "independent refit produced a different codebook")
+  }
+
+  test("an existing stage is reused, not overwritten (cached plans stay valid)") {
+    // Overwriting the stage on every session's first IVF query would
+    // delete part files that cached plans in OTHER sessions of this JVM
+    // still pin (FAILED_READ.FILE_NOT_EXIST on their next use) — the fit
+    // is deterministic, so a second session must adopt the bytes already
+    // staged.
+    IvfCodebook.centroids(spark, dir).collect() // ensure staged
+    def parts = new java.io.File(IvfCodebook.stagePath(dir)).listFiles()
+      .map(f => (f.getName, f.lastModified)).toSet
+    val before = parts
+    val s2 = spark.newSession()
+    graft.functions.expressions.GraftFunctions.ensureRegistered(s2)
+    IvfCodebook.centroids(s2, dir).collect()
+    assert(parts == before, "second session rewrote the staged codebook")
+  }
+
   test("learned codebook spreads the corpus over multiple cells") {
     val cells = SimilarityQueries.ivfScoredAssignment(spark, dir, nprobe = 1)
       .select(countDistinct(col("cluster"))).head().getLong(0)
