@@ -354,8 +354,12 @@ object Graft {
     val dot = graft.functions.expressions.GraftFunctions.dotCol _
     val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", graft.functions.expressions.GraftFunctions.normCol(col("v")))
-    val cent = e.orderBy("vec_id").limit(nlist)
-      .select(col("vec_id").as("cid"), col("v").as("w"), col("nrm").as("wnrm"))
+    // Learned codebook (same deterministic sampled k-means as the staged
+    // query-side fit) — the first nlist vectors used to stand in here,
+    // and a lopsided stand-in wastes the Σ cells² candidate budget.
+    import spark.implicits._
+    val cent = operators.IvfCodebook.fitCodebook(spark, e, nlist)
+      .toDF("cid", "w", "wnrm")
     val byVec = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
     val scored = e.crossJoin(broadcast(cent))
       .withColumn("ccos", dot(col("v"), col("w")) / (col("nrm") * col("wnrm")))

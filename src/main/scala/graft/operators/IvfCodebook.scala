@@ -105,7 +105,28 @@ object IvfCodebook {
     } catch { case scala.util.control.NonFatal(_) => None }
 
   private def fitInto(s: SparkSession, d: String, path: String): DataFrame = {
-    val e = SimilarityQueries.vecs(s, d)
+    val cents = fitCodebook(s, SimilarityQueries.vecs(s, d), K)
+    require(cents.nonEmpty, s"IVF codebook: no sample vectors in $d")
+    // Stage the fitted codebook; the returned frame READS it back, so the
+    // Spark plans and the DuckDB oracle consume identical bytes.
+    import s.implicits._
+    cents.toDF("cid", "w", "wnrm")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
+  /** The deterministic sampled spherical k-means fit over ANY
+    * (vec_id, v, nrm) frame — the reusable kernel behind the staged
+    * query-side codebook AND `Graft.embedNearDupIvf`'s per-call codebook
+    * (arbitrary k there). Zero-norm vectors are excluded (cosine is
+    * undefined for them); an empty input yields an empty codebook —
+    * callers that require data assert themselves. Returns (cid, w, wnrm)
+    * with cid = 0..k'-1, k' = min(k, sample size). */
+  def fitCodebook(s: SparkSession, vecs: DataFrame,
+                  k: Int): Seq[(Long, Array[Double], Double)] = {
+    require(k >= 1, s"codebook size must be >= 1, got $k")
+    val e = vecs
       .filter(col("nrm") > 0)
       .select(col("vec_id"), col("v"), col("nrm"))
 
@@ -125,21 +146,20 @@ object IvfCodebook {
     val dot = graft.functions.expressions.GraftFunctions.dotCol _
     var cents: Array[(Long, Array[Double])] = sample
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(K)
+      .limit(k)
       .select(expr("transform(v, x -> CAST(x AS DOUBLE))").as("w"))
       .collect()
       .zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Double](0).toArray) }
-    require(cents.length > 0, s"IVF codebook: no sample vectors in $d")
 
     import s.implicits._
-    for (_ <- 1 to Iters) {
+    for (_ <- 1 to Iters if cents.nonEmpty) {
       val centDf = cents.toSeq
         .map { case (cid, w) => (cid, w, math.sqrt(w.map(x => x * x).sum)) }
         .toDF("cid", "w", "wnrm")
       // Assign: argmax cosine via max(struct) — partial-aggregates
       // map-side; ties broken toward the smallest cid like the query-side
-      // assignment. Then per-(cell, dim) sums: k×64 rows to the driver.
+      // assignment. Then per-(cell, dim) sums: k×dim rows to the driver.
       val sums = sample.crossJoin(broadcast(centDf))
         .withColumn("ccos", dot(col("v"), col("w")) / (col("nrm") * col("wnrm")))
         .groupBy("vec_id")
@@ -164,13 +184,8 @@ object IvfCodebook {
       }
     }
 
-    // Stage the fitted codebook; the returned frame READS it back, so the
-    // Spark plans and the DuckDB oracle consume identical bytes.
-    cents.toSeq
-      .map { case (cid, w) => (cid, w, math.sqrt(w.map(x => x * x).sum)) }
-      .toDF("cid", "w", "wnrm")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(path)
-    s.read.parquet(path)
+    cents.toSeq.map { case (cid, w) =>
+      (cid, w, math.sqrt(w.map(x => x * x).sum))
+    }
   }
 }
