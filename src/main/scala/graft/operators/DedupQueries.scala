@@ -179,8 +179,8 @@ object DedupQueries extends QueryPack {
     * bands (or 4 SimHash chunks) near-dup pairs keep colliding in smaller,
     * less generic buckets, and genuinely hot buckets are mostly exact
     * boilerplate better handled by exact dedup upstream. */
-  private def bucketPairs(buckets: DataFrame, keyCols: Seq[String],
-                          maxBucket: Int = Int.MaxValue): DataFrame =
+  private[operators] def bucketPairs(buckets: DataFrame, keyCols: Seq[String],
+                                     maxBucket: Int = Int.MaxValue): DataFrame =
     buckets
       .groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_list("doc_id")).as("ids"))

@@ -117,6 +117,37 @@ class SkewAndBucketingSpec extends SparkSpec {
     }
   }
 
+  test("bucketPairs matches a naive pair model on randomized bucket assignments") {
+    // The SQL flatten/transform/slice combination expansion is the
+    // candidate generator under EVERY LSH query (minhash bands, simhash
+    // chunks) — check it against a trivially-correct Scala model on
+    // seeded random assignments, capped and uncapped. Fixed seed: the
+    // trials are deterministic, just not hand-picked.
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813)
+    for (trial <- 1 to 5) {
+      val nDocs = 5 + rnd.nextInt(36)
+      val nBuckets = 1 + rnd.nextInt(6)
+      // Each doc lands in 1..3 distinct buckets, like LSH band keys.
+      val rows = for {
+        d <- 0 until nDocs
+        b <- rnd.shuffle((0 until nBuckets).toList).take(1 + rnd.nextInt(3))
+      } yield (d.toLong, b)
+      val cap = 2 + rnd.nextInt(4)
+      val df = rows.toDF("doc_id", "b")
+      def naive(c: Int): Set[(Long, Long)] = rows.groupBy(_._2).values
+        .map(_.map(_._1).sorted)
+        .filter(ids => ids.size > 1 && ids.size <= c)
+        .flatMap(ids =>
+          for { i <- ids.indices; j <- i + 1 until ids.size } yield (ids(i), ids(j)))
+        .toSet
+      def got(c: Int): Set[(Long, Long)] = DedupQueries.bucketPairs(df, Seq("b"), c)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got(Int.MaxValue) == naive(Int.MaxValue), s"trial $trial uncapped mismatch")
+      assert(got(cap) == naive(cap), s"trial $trial cap=$cap mismatch")
+    }
+  }
+
   test("hive-style partitioned layout prunes partitions at plan time") {
     val out = java.nio.file.Files.createTempDirectory("graft-part").toFile.getAbsolutePath + "/docs"
     Tables.documents(spark, dir).write.mode("overwrite").partitionBy("lang").parquet(out)
