@@ -197,8 +197,8 @@ object DedupQueries extends QueryPack {
     * join back to the signature frame — everything stays one pass. NOTE:
     * unlike bucketPairs this does NOT deduplicate — callers filter first
     * (cheaper) and dedup the survivors. Same `maxBucket` valve. */
-  private def bucketPairsWith(buckets: DataFrame, keyCols: Seq[String], payload: String,
-                              maxBucket: Int = Int.MaxValue): DataFrame =
+  private[operators] def bucketPairsWith(buckets: DataFrame, keyCols: Seq[String], payload: String,
+                                         maxBucket: Int = Int.MaxValue): DataFrame =
     buckets
       .groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_list(struct(col("doc_id"), col(payload)))).as("xs"))
@@ -237,7 +237,7 @@ object DedupQueries extends QueryPack {
       minhashPairsOf(s, docs, threshold).select("da", "db").localCheckpoint(eager = false))
 
   /** Min-label propagation over a precomputed (da, db) pair frame. */
-  private def componentLabelsFromPairs(pairs: DataFrame): DataFrame = {
+  private[operators] def componentLabelsFromPairs(pairs: DataFrame): DataFrame = {
       // All checkpoints are LAZY (eager = false): each is materialized by
       // the round's single convergence count() instead of its own eager
       // job, so a round costs ONE Spark job, not three. Lineage truncation
