@@ -37,6 +37,11 @@ case class MinHashSketch(
 
   def this(child: Expression) = this(child, 32, 0, 0)
 
+  // The SQL builder only exposes the 32-hash form; a Scala-side
+  // MinHashSketch(child, 0, ...) would otherwise produce an EMPTY buffer
+  // and a silently empty sketch (Array.fill tolerates n <= 0).
+  require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == org.apache.spark.sql.types.StringType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess

@@ -46,6 +46,14 @@ class MinHashSketchSpec extends SparkSpec {
     assert(sig(base :+ null.asInstanceOf[String]) == sig(base))
   }
 
+  test("a degenerate sketch width fails fast instead of emitting empty sketches") {
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.expressions.MinHashSketch(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), 0, 0, 0)
+    }
+    assert(e.getMessage.contains("numHashes"))
+  }
+
   test("graft_minhash works from SQL; identical sets estimate Jaccard 1.0") {
     import spark.implicits._
     GraftFunctions.ensureRegistered(spark)
