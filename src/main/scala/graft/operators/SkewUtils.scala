@@ -18,13 +18,18 @@ object SkewUtils {
     * second shuffle moves only `buckets` rows per key.
     * `saltSource` must be non-deterministic-free (a real column). */
   def saltedCountSum(df: DataFrame, key: Column, saltSource: Column,
-                     sumCol: Column, buckets: Int = 16): DataFrame =
+                     sumCol: Column, buckets: Int = 16): DataFrame = {
+    // buckets <= 0 degenerates silently: pmod(x, 0) is NULL in Spark SQL,
+    // collapsing every salt to one group (unsalted but right answers
+    // here; a silently EMPTY join in saltedJoin below). Fail at the call.
+    require(buckets >= 1, s"salt buckets must be >= 1, got $buckets")
     df
       .withColumn("__salt", pmod(hash(saltSource), lit(buckets)))
       .groupBy(key.as("k"), col("__salt"))
       .agg(count(lit(1)).as("pc"), sum(sumCol).as("ps"))
       .groupBy("k")
       .agg(sum("pc").as("cnt"), sum("ps").as("total"))
+  }
 
   /** Salted broadcast-free join: the big (skewed) side gets a salt from a
     * companion column; the small side is exploded × buckets so every
@@ -32,6 +37,11 @@ object SkewUtils {
     * spread over `buckets` reducers. */
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
                  smallKey: String, saltSource: Column, buckets: Int = 16): DataFrame = {
+    // buckets <= 0: the big side's pmod salt is NULL while the small
+    // side's explode(sequence(0, buckets-1)) is the DESCENDING sequence
+    // [0, -1] — the salt equi-join matches nothing and the join is
+    // silently EMPTY.
+    require(buckets >= 1, s"salt buckets must be >= 1, got $buckets")
     val salted = big.withColumn("__salt", pmod(hash(saltSource), lit(buckets)))
     val expanded = small.withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(expanded,

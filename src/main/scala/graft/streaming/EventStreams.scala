@@ -165,6 +165,9 @@ object EventStreams {
     * dropDuplicates); the FPR-bounded false-DROP chance stays at the
     * design level forever. State is O(nShards × 16 KB), constant. */
   def dedupApproxByBloom(spark: SparkSession, events: DataFrame, nShards: Int = 16): DataFrame = {
+    // nShards = 0 dies with a div-by-zero deep in an executor lambda;
+    // fail here with the parameter named instead.
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     import spark.implicits._
     import graft.functions.expressions.BloomSketch
     val genCapacity = (BloomSketch.DefaultBits * 0.693 / BloomSketch.DefaultHashes).toLong

@@ -117,6 +117,19 @@ class SkewAndBucketingSpec extends SparkSpec {
     }
   }
 
+  test("degenerate salt bucket counts fail fast (buckets=0 made saltedJoin empty)") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("k", "s")
+    val e1 = intercept[IllegalArgumentException] {
+      SkewUtils.saltedJoin(df, df, "k", "k", col("s"), buckets = 0)
+    }
+    assert(e1.getMessage.contains("buckets"))
+    val e2 = intercept[IllegalArgumentException] {
+      SkewUtils.saltedCountSum(df, col("k"), col("s"), col("k"), buckets = 0)
+    }
+    assert(e2.getMessage.contains("buckets"))
+  }
+
   test("bucketPairs matches a naive pair model on randomized bucket assignments") {
     // The SQL flatten/transform/slice combination expansion is the
     // candidate generator under EVERY LSH query (minhash bands, simhash
