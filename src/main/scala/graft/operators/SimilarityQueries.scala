@@ -57,7 +57,8 @@ object SimilarityQueries extends QueryPack {
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
 
   private[operators] def ivfScoredAssignment(s: SparkSession, d: String, nprobe: Int): DataFrame = {
-    require(nprobe <= 2, s"shared IVF index keeps rk <= 2, asked for nprobe=$nprobe")
+    require(nprobe >= 1 && nprobe <= 2,
+      s"shared IVF index keeps rk <= 2 (and nprobe=0 probes nothing), asked for nprobe=$nprobe")
     Tables.evictDead(assignCache, Tables.sessionKey(s))
     val full = assignCache.computeIfAbsent((Tables.sessionKey(s), d, "ivf2"), _ => {
       val e = vecs(s, d)
