@@ -42,6 +42,12 @@ object SkewUtils {
     // [0, -1] — the salt equi-join matches nothing and the join is
     // silently EMPTY.
     require(buckets >= 1, s"salt buckets must be >= 1, got $buckets")
+    // Same contract as writeZOrdered's __graft_z: a caller column named
+    // __salt would be silently overwritten and then dropped from BOTH
+    // sides by the final drop.
+    for (side <- Seq(big, small))
+      require(!side.columns.contains("__salt"),
+        "input already has a __salt column — rename it before a salted join")
     val salted = big.withColumn("__salt", pmod(hash(saltSource), lit(buckets)))
     val expanded = small.withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(expanded,
