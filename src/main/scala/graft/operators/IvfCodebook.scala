@@ -64,6 +64,15 @@ object IvfCodebook {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
 
+  // Per-stage-path fit lock: two SESSIONS in one JVM racing their first
+  // IVF query would both miss the per-session cache and write the same
+  // stage path concurrently (overwrite-mode committers clobbering each
+  // other). The loser of the race now adopts the winner's bytes via
+  // existingStage. Cross-PROCESS races remain excluded by the driver's
+  // single-runner-per-dataset contract (see Stage's scaladoc).
+  private val fitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** The staged codebook parquet for `dataDir` — the oracle CTEs name
     * this path (see the packs' oracleSqlFor overrides). */
   def stagePath(dataDir: String): String =
@@ -89,7 +98,9 @@ object IvfCodebook {
     // path keeps an older algorithm's bytes from being picked up; the
     // shape check below rejects a torn or foreign directory.
     val path = stagePath(d)
-    existingStage(s, path).getOrElse(fitInto(s, d, path))
+    fitLocks.computeIfAbsent(path, _ => new Object).synchronized {
+      existingStage(s, path).getOrElse(fitInto(s, d, path))
+    }
   }
 
   private def existingStage(s: SparkSession, path: String): Option[DataFrame] =
