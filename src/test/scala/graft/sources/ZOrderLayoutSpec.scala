@@ -21,6 +21,28 @@ class ZOrderLayoutSpec extends SparkSpec {
     rows.map(_.getAs[Int]("span").toDouble).sum / rows.length
   }
 
+  test("morton interleave matches a JVM bit model, including negative inputs") {
+    // The q_zorder oracle covers fixture values only, which are all
+    // positive — this pins the scaladoc's pmod claim (signed % would emit
+    // negative remainders and break z-range contiguity) on the corners.
+    import spark.implicits._
+    def model(x: Long, y: Long): Long = {
+      val xm = ((x % 256) + 256) % 256
+      val ym = ((y % 256) + 256) % 256
+      (0 until 8).map(i =>
+        (((xm >> i) & 1L) << (2 * i)) | (((ym >> i) & 1L) << (2 * i + 1))).sum
+    }
+    val vals = Seq(-1000L, -300L, -256L, -255L, -1L, 0L, 1L, 127L, 255L, 256L, 1000L)
+    val rows = vals.flatMap(x => vals.map(y => (x, y))).toDF("x", "y")
+      .withColumn("z", expr(graft.Portable.mortonInterleaveSql("x", "y")))
+      .collect()
+    rows.foreach { r =>
+      val (x, y) = (r.getLong(0), r.getLong(1))
+      val z = r.getAs[Number](2).longValue
+      assert(z == model(x, y), s"morton($x, $y) = $z, model says ${model(x, y)}")
+    }
+  }
+
   test("z-ordered layout halves per-file dim ranges vs hash layout") {
     val li = graft.Tables.lineitem(spark, sf("sf0.001"))
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
