@@ -76,6 +76,32 @@ class IvfCodebookSpec extends SparkSpec {
     assert(parts == before, "second session rewrote the staged codebook")
   }
 
+  test("concurrent first fits race safely: loser adopts the winner's stage") {
+    // Two sessions' first IVF queries on a corpus whose stage doesn't
+    // exist yet: the per-path fit lock must serialize the writes, and
+    // both callers must come back with the same codebook (no clobbered
+    // stage, no FILE_NOT_EXIST).
+    val copy = java.nio.file.Files.createTempDirectory("ivf_race_corpus")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "embeddings.parquet"),
+      copy.resolve("embeddings.parquet"))
+    def asSet(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getSeq[Double](1).toList, r.getDouble(2))).toSet
+    val sessions = Seq(spark.newSession(), spark.newSession())
+    sessions.foreach(graft.functions.expressions.GraftFunctions.ensureRegistered)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val fits = sessions.map(s => scala.concurrent.Future(
+        asSet(IvfCodebook.centroids(s, copy.toString).collect())))
+      val Seq(a, b) = fits.map(f =>
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration("120s")))
+      assert(a == b, "racing sessions saw different codebooks")
+      assert(a.nonEmpty)
+    } finally pool.shutdown()
+  }
+
   test("learned codebook spreads the corpus over multiple cells") {
     val cells = SimilarityQueries.ivfScoredAssignment(spark, dir, nprobe = 1)
       .select(countDistinct(col("cluster"))).head().getLong(0)
