@@ -256,10 +256,15 @@ object Graft {
     * the corpus-mixing step before pretraining, map-only at any scale. */
   def weightedSample(df: DataFrame, keyCol: String, strataCol: String,
                      rates: Map[String, Int], defaultRate: Int): DataFrame = {
-    (rates + ("<defaultRate>" -> defaultRate)).foreach { case (stratum, r) =>
+    // Validated separately (not via a merged map with a sentinel key): a
+    // stratum literally named like the sentinel would have its real rate
+    // silently shadowed in the checked map.
+    rates.foreach { case (stratum, r) =>
       require(r >= 0 && r <= 100,
         s"rate for $stratum must be in [0, 100], got $r")
     }
+    require(defaultRate >= 0 && defaultRate <= 100,
+      s"defaultRate must be in [0, 100], got $defaultRate")
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (stratum, r)) =>
       when(col(strataCol) === stratum, r).otherwise(acc)
     }
@@ -337,9 +342,16 @@ object Graft {
     * `nlist` centroids, residents live in their nearest cell), verified
     * by exact cosine ≥ `threshold`. Σ cells² candidate work, never
     * corpus²; candidate ids dedup BEFORE the verify join-back so each
-    * surviving pair pays one dot product. Centroids are the `nlist`
-    * smallest vec_ids — deterministic; swap in a k-means codebook at
-    * scale. Input: (vec_id, embedding: array<float|double>). */
+    * surviving pair pays one dot product. Centroids come from a LEARNED
+    * codebook ([[operators.IvfCodebook.fitCodebook]]: deterministic
+    * sampled spherical k-means over the input).
+    * Input: (vec_id, embedding: array<float|double>).
+    *
+    * NOTE this call is EAGER: the codebook fit runs at call time (a
+    * count + init + [[operators.IvfCodebook.Iters]] Lloyd passes over a
+    * ≤[[operators.IvfCodebook.SampleTarget]]-row sample, persisted inside
+    * the fit so upstream plans execute once — pass a cheap/cached
+    * `embeddings` plan anyway if calling repeatedly). */
   def embedNearDupIvf(spark: SparkSession, embeddings: DataFrame, threshold: Double,
                       nlist: Int = 16, nprobe: Int = 2): DataFrame = {
     // Cosine near-dup thresholds live in (0, 1]; nprobe = 0 probes no

@@ -564,6 +564,18 @@ object DedupQueries extends QueryPack {
       simhashPairsOf(s, Tables.documents(s, d))
         .orderBy("da", "db")),
 
+    // The SimHash twin of dedup_minhash_capped: same `maxBucket` skip rule
+    // through bucketPairsWith, oracle-applied in SQL over the identical
+    // chunk buckets. Cap 2 is deliberately aggressive (the gate fixture's
+    // chunk buckets reach 27 members): at cap 2 the fixture loses exactly
+    // the hamming-≤3 pairs whose EVERY colliding chunk bucket is over cap
+    // (13 → 9 pairs), so the gate only matches if the skip semantics —
+    // skip whole over-cap buckets, keep pairs that also collide in any
+    // under-cap bucket — agree on both engines.
+    "dedup_simhash_capped" -> ((s, d) =>
+      simhashPairsOf(s, Tables.documents(s, d), maxBucket = 2)
+        .orderBy("da", "db")),
+
     // Per-doc SimHash signatures themselves (fingerprint surface).
     "doc_simhash" -> ((s, d) =>
       simhashFrame(s, d).orderBy("doc_id")),
@@ -837,6 +849,25 @@ object DedupQueries extends QueryPack {
                  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS ham
           FROM sim a JOIN sim b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+          ORDER BY da, db""",
+    // Same signatures, but candidates come from the 4×15-bit chunk buckets
+    // with the bucketPairsWith skip rule applied in SQL: buckets with more
+    // than 2 members contribute NO pairs; a pair survives via any
+    // under-cap bucket it also collides in.
+    "dedup_simhash_capped" ->
+      s"""WITH $simhashSqlCte,
+            keyed AS (SELECT doc_id, simhash, c.chunk AS chunk,
+                             (simhash >> (c.chunk * 15)) & 32767 AS ckey
+                      FROM sim, (SELECT unnest(range(4)) AS chunk) c),
+            bsz AS (SELECT chunk, ckey, COUNT(*) AS n FROM keyed GROUP BY 1, 2),
+            cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+                            a.simhash AS sa, b.simhash AS sb
+                     FROM keyed a JOIN keyed b
+                       ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+                     JOIN bsz ON bsz.chunk = a.chunk AND bsz.ckey = a.ckey
+                     WHERE bsz.n <= 2)
+          SELECT da, db, CAST(bit_count(xor(sa, sb)) AS INT) AS ham
+          FROM cand WHERE bit_count(xor(sa, sb)) <= 3
           ORDER BY da, db""",
     "doc_simhash" ->
       s"""WITH $simhashSqlCte

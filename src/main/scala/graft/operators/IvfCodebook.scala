@@ -145,11 +145,19 @@ object IvfCodebook {
     // whose xxhash64 bucket (out of 1e6) falls under the sampling rate.
     // One count() to size the rate — metadata-cheap next to the fit.
     val n = e.count()
-    val sample =
+    // persist(): init + every Lloyd pass re-reads the sample, and without
+    // a cache boundary each of those ~Iters+1 actions would re-execute the
+    // caller's FULL upstream plan (expensive when `vecs` is derived —
+    // round-8 ADVICE). Unpersisted in the finally below; MEMORY_AND_DISK
+    // because the sample is bounded (≤ SampleTarget × dim doubles) but a
+    // small-memory executor should spill, not recompute.
+    val sample = (
       if (n <= SampleTarget) e
       else e.filter(
         pmod(xxhash64(col("vec_id")), lit(1000000L)) <
           lit((SampleTarget * 1000000L) / n))
+      ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
 
     // Seeded init: the k sample vectors with the smallest vec_id hash —
     // a uniform pseudo-random draw that needs no RNG state. k rows
@@ -198,5 +206,6 @@ object IvfCodebook {
     cents.toSeq.map { case (cid, w) =>
       (cid, w, math.sqrt(w.map(x => x * x).sum))
     }
+    } finally sample.unpersist(blocking = false)
   }
 }

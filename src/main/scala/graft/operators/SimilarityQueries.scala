@@ -187,6 +187,28 @@ object SimilarityQueries extends QueryPack {
         .orderBy("vec_id")
     }),
 
+    // IVF QUALITY gate (q_hll's bounded-error pattern): recall@10 of the
+    // ANN path (sim_ivf) against the exact brute top-10 (sim_topk_brute),
+    // driver-checked every round — so a codebook regression that still
+    // produces deterministic-but-lopsided cells fails the gate even though
+    // sim_ivf itself would keep hash-matching its own (degraded) oracle.
+    // Both top-10 sets are independently hash-gated queries, so the
+    // intersection count is deterministic cross-engine. Floor 0.4: the
+    // fixture embeddings are random synthetic vectors — near-uniform
+    // cosine neighborhoods, the documented worst case for IVF (see
+    // SimilarityRecallSpec) — and the learned codebook's 4-of-16-cell
+    // probe measures recall 0.5-0.6 across SFs, while a broken/lopsided
+    // codebook degenerates toward the 4/16 = 0.25 random-scan rate.
+    "sim_ivf_recall" -> ((s, d) => {
+      val brute = queries("sim_topk_brute")(s, d).select("vec_id")
+      val ivf = queries("sim_ivf")(s, d).select("vec_id")
+      ivf.join(brute, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(10).as("k"), col("n_hit"),
+          round6(col("n_hit") / lit(10.0)).as("recall"),
+          (col("n_hit") >= 4).as("recall_ok"))
+    }),
+
     // Int8 quantization audit: per-vector symmetric scale (127/max|x|),
     // round-trip each component, report the worst reconstruction error
     // per label — the compression-loss check an embedding pipeline runs
@@ -311,6 +333,37 @@ object SimilarityQueries extends QueryPack {
                        FROM pairs)
           SELECT vec_id, nn_id, FLOOR(cos*1000000 + 0.5)/1000000 AS cos
           FROM ranked WHERE rk = 1 ORDER BY vec_id""",
+    // The exact top-10 (brute CTE) and the IVF top-10 (sim_ivf's CTEs)
+    // recomputed side by side; the checked value is their intersection
+    // size — DuckDB computes exact top-k over list cosine like the
+    // sim_topk_brute oracle.
+    "sim_ivf_recall" ->
+      s"""WITH $vecsSqlCte,
+            ${centSqlCte(dataDir)},
+            asg AS (SELECT vec_id, v, nrm, cid AS cluster FROM (
+                      SELECT a.vec_id, a.v, a.nrm, c.cid,
+                             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                               ORDER BY ${cosSql("a.v", "c.w")} / (a.nrm * c.wnrm) DESC, c.cid) AS rk
+                      FROM n a, cent c) WHERE rk = 1),
+            pc AS (SELECT c.cid AS cluster
+                   FROM n a, cent c WHERE a.vec_id = 0
+                   ORDER BY ${cosSql("a.v", "c.w")} / (a.nrm * c.wnrm) DESC, c.cid LIMIT 4),
+            probe AS (SELECT v AS w, nrm AS wnrm FROM n WHERE vec_id = 0),
+            ivf AS (SELECT a.vec_id,
+                           ${cosSql("a.v", "p.w")} / (a.nrm * p.wnrm) AS cos
+                    FROM asg a JOIN pc ON a.cluster = pc.cluster, probe p
+                    WHERE a.vec_id <> 0
+                    ORDER BY cos DESC, a.vec_id LIMIT 10),
+            brute AS (SELECT a.vec_id,
+                             ${cosSql("a.v", "p.w")} / (a.nrm * p.wnrm) AS cos
+                      FROM n a, probe p WHERE a.vec_id <> 0
+                      ORDER BY cos DESC, a.vec_id LIMIT 10),
+            hitn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+                     FROM ivf JOIN brute USING (vec_id))
+          SELECT 10 AS k, n_hit,
+                 FLOOR(n_hit / 10.0 * 1000000 + 0.5)/1000000 AS recall,
+                 n_hit >= 4 AS recall_ok
+          FROM hitn""",
     "embed_quantize" ->
       """WITH e AS (SELECT vec_id, label,
                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
