@@ -22,6 +22,19 @@ object StreamingQueries extends QueryPack {
           graft.Portable.round2(col("total_value")).as("total_value"))
         .orderBy("win_start_sec", "event_type")),
 
+    // The SAME transform executed as an ACTUAL Structured Streaming query
+    // (file-stream source → watermark → append-mode parquet sink with a
+    // checkpoint; see EventStreams.runWindowedCountsLive) — this row's
+    // CORRECTNESS entry is computed from a streaming sink, not the batch
+    // twin, and is checked against the identical DuckDB oracle.
+    "stream_windowed_live" -> ((s, d) =>
+      EventStreams.runWindowedCountsLive(s, d)
+        .select(
+          unix_timestamp(col("win_start")).as("win_start_sec"),
+          col("event_type"), col("n"),
+          graft.Portable.round2(col("total_value")).as("total_value"))
+        .orderBy("win_start_sec", "event_type")),
+
     // Deterministic stream dedup (earliest per key) — batch twin of the
     // update-mode aggregation; see EventStreams.firstPerKey.
     "stream_dedup_first" -> ((s, d) =>
@@ -57,6 +70,14 @@ object StreamingQueries extends QueryPack {
   val oracleSql: Map[String, String] = Map(
     // Tumbling 1h epoch-aligned windows ≡ floor(epoch/3600).
     "stream_windowed_counts" ->
+      """SELECT CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS win_start_sec, event_type,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                FLOOR(SUM(value)*100 + 0.5)/100 AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // The streaming execution must converge to the identical answer: the
+    // oracle is the same batch SQL (watermark-complete append output ≡
+    // the full-history aggregate).
+    "stream_windowed_live" ->
       """SELECT CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS win_start_sec, event_type,
                 CAST(COUNT(*) AS BIGINT) AS n,
                 FLOOR(SUM(value)*100 + 0.5)/100 AS total_value

@@ -47,6 +47,86 @@ object EventStreams {
     }
   }
 
+  /** Runs [[windowedCounts]] as an ACTUAL Structured Streaming query over
+    * the `dataDir` events fixture and returns the sink read back as a
+    * batch frame — the execution path behind the `stream_windowed_live`
+    * oracle gate (round-8 VERDICT #2: the other `stream_*` gates run the
+    * batch twin; this one's CORRECTNESS row is computed from a streaming
+    * sink).
+    *
+    * Mechanics (all per-invocation temp dirs — concurrent sessions and
+    * repeated bench runs can never collide):
+    *  1. stage events.parquet as batch 0 of a file-stream source dir;
+    *  2. run readStream → watermark → 1h windowed agg → APPEND-mode
+    *     parquet sink with a checkpoint (the real exactly-once pipeline);
+    *  3. after the data batch commits, append TWO sentinel batches (one
+    *     max(ts)+2h row, then one +4h row, tagged `__sentinel`): append
+    *     mode only emits a window once the watermark passes its end, and
+    *     the second sentinel batch forces a DATA batch whose pre-batch
+    *     watermark (+2h − 10min) already exceeds every real window end —
+    *     deterministic full flush with no reliance on no-data micro-batch
+    *     timing, which `processAllAvailable` does not await;
+    *  4. stop, drop the sentinels' own windows, return the sink.
+    *
+    * Every real window is emitted exactly once with its complete count
+    * (all real events arrive in batch 0, before any watermark movement,
+    * so nothing is late-dropped) — the streamed result equals the batch
+    * twin and is checked against the SAME DuckDB oracle. */
+  def runWindowedCountsLive(spark: SparkSession, dataDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_live_").toFile.getAbsolutePath
+    val srcDir = s"$base/src"
+    new java.io.File(srcDir).mkdirs()
+    Files.copy(Paths.get(s"$dataDir/events.parquet"), Paths.get(s"$srcDir/batch0.parquet"))
+
+    // Sentinels are written in the fixture's RAW schema (ts may be a
+    // nanos-long under the legacy conf — match whatever the file holds).
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!spark.conf.getOption(nanosKey).contains("true")) spark.conf.set(nanosKey, "true")
+    val raw = spark.read.parquet(s"$srcDir/batch0.parquet")
+    val tsIsLong = raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    def addSentinel(i: Int, hours: Int): Unit = {
+      val one = raw.orderBy(col("ts").desc).limit(1)
+      val shifted =
+        if (tsIsLong) one.withColumn("ts", col("ts") + lit(hours * 3600L * 1000000000L))
+        else one.withColumn("ts", col("ts") + expr(s"INTERVAL $hours HOURS"))
+      val tmp = s"$base/sent$i"
+      shifted.withColumn("event_type", lit(SentinelType)).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      Files.move(part.toPath, Paths.get(s"$srcDir/z$i.parquet"))
+    }
+
+    val q = windowedCounts(fromParquetDir(spark, srcDir))
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()        // batch 0: every real event folded into state
+      addSentinel(1, 2)
+      q.processAllAvailable()        // watermark advances to max(ts)+2h − 10min
+      addSentinel(2, 4)
+      q.processAllAvailable()        // data batch emits every real window
+    } finally q.stop()
+    // The source staging and checkpoint are dead once the run stopped;
+    // only the sink outlives this call (the returned frame reads it
+    // lazily). Bounded tmp footprint across repeated bench runs.
+    def rmTree(p: String): Unit = {
+      val f = new java.io.File(p)
+      if (f.isDirectory) f.listFiles().foreach(c => rmTree(c.getAbsolutePath))
+      f.delete(): Unit
+    }
+    Seq(srcDir, s"$base/ckpt", s"$base/sent1", s"$base/sent2").foreach(rmTree)
+    spark.read.parquet(s"$base/out").filter(col("event_type") =!= SentinelType)
+  }
+
+  /** Event type of the watermark-advancing sentinel rows in
+    * [[runWindowedCountsLive]] — never a real fixture event type. */
+  val SentinelType = "__graft_watermark_sentinel"
+
   /** Tumbling 1-hour windowed counts per event type, 10-minute watermark. */
   def windowedCounts(events: DataFrame): DataFrame =
     events

@@ -138,6 +138,20 @@ class EventStreamsSpec extends SparkSpec {
         s"only-batch=${(batch -- streaming).take(5)}")
   }
 
+  test("runWindowedCountsLive: real streaming run over the fixture equals the batch twin") {
+    // The stream_windowed_live gate's execution path: file-stream source →
+    // watermark → append-mode parquet sink, sentinel-flushed. The append
+    // output (each window emitted exactly once, post-watermark) must
+    // equal the batch aggregate over the same fixture, row for row.
+    val live = graft.SparkEntry.queries("stream_windowed_live")(spark, sf("sf0.001"))
+      .collect().map(_.toString).toSeq
+    val batch = graft.SparkEntry.queries("stream_windowed_counts")(spark, sf("sf0.001"))
+      .collect().map(_.toString).toSeq
+    assert(batch.nonEmpty, "fixture yields no windows — test is vacuous")
+    assert(live == batch,
+      s"streaming sink diverges from batch twin: live=${live.size} batch=${batch.size}")
+  }
+
   test("streaming parquet SINK: append-mode file sink + checkpoint round-trips") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
