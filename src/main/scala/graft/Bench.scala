@@ -41,10 +41,20 @@ object Bench {
     val selected = only.fold(SparkEntry.queries)(ns => SparkEntry.queries.filter(kv => ns(kv._1)))
 
     val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
+    val warmed = new java.io.File(warmDir).isDirectory && warmDir != sfDir
+    if (warmed)
       selected.values.foreach { fn =>
         try fn(spark, warmDir).count() catch { case _: Throwable => }
       }
+
+    // Machine-load stamp (round-8 post-mortem: BENCH_r08 recorded 3.13×
+    // from a loaded box while the binaries measured 0.88× quiet — the
+    // artifact now carries the evidence to read such a number correctly).
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadavg()
 
     // Best-of-2 per query for the heavies; a single run suffices when the
     // first run is already < 0.15 s (the JVM fixed floor dominates there
@@ -55,17 +65,34 @@ object Bench {
       try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 } // explicit failure marker
     }
+    // Outlier defense (round-8 verdict #1b): a query whose measurement is
+    // >5× the running median of completed queries gets ONE more timed
+    // execution and reports the minimum — a real measured run, which
+    // removes one-off cache/JIT/load spikes (the r8 artifact's 16.8 s
+    // dedup_simhash kind) without touching steady-state numbers. Genuine
+    // heavies re-time once and still report their honest floor.
+    val completed = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def runningMedian: Double =
+      if (completed.isEmpty) Double.PositiveInfinity
+      else { val s = completed.sorted; s(s.size / 2) }
+    var retimed = 0
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val a = timeOnce(fn)
-      val best =
+      var best =
         if (a < 0) -1.0
         else if (a < 0.15) a // fast query: floor-dominated, skip the re-run
         else {
           val b = timeOnce(fn)
           if (b < 0) -1.0 else math.min(a, b)
         }
+      if (best > 0 && best > 5 * runningMedian) {
+        val c = timeOnce(fn)
+        if (c >= 0) { best = math.min(best, c); retimed += 1 }
+      }
+      if (best >= 0) completed += best
       name -> best
     }
+    val loadEnd = loadavg()
     results.filter(_._2 < 0).foreach { case (n, _) =>
       System.err.println(s"[bench] $n FAILED") }
     // Fixed-notation doubles (never scientific) keep every line safe for
@@ -74,10 +101,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Run-condition stamp carried on BOTH output lines: loadavg at start/
+    // end of the timed section, whether the warm-up pass ran, and how many
+    // queries hit the outlier re-time. A reviewer can now tell a loaded-box
+    // artifact from a code regression without re-running anything.
+    val stamp =
+      s""","loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"warmed":$warmed,"retimed":$retimed"""
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$stamp,"sf":"$sfDir"}"""
     // The per-query map is ~2 kB and can overflow a tail-window parse, so
-    // the FINAL stdout line is a short total-only summary (≤200 bytes);
+    // the FINAL stdout line is a short total-only summary (~250 bytes);
     // the full line goes out just before it and to BENCH_local.json.
     // Denominator: the measured DuckDB oracle workload at sf0.1 (all 113
     // oracle SQLs, threads=32 — BASELINE.md round-6 row). Env overrides for
@@ -108,7 +141,7 @@ object Bench {
       .map(base => s""","vs_baseline":${fmt(total / base)}""")
       .getOrElse("")
     val short =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":${results.count(_._2 < 0)}$ratio,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":${results.count(_._2 < 0)}$ratio$stamp,"sf":"$sfDir"}"""
     // Repo-relative (cwd) path, overridable — a hardcoded absolute path
     // would silently skip the fallback on any other checkout; failures
     // are reported, not swallowed.
