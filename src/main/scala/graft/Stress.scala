@@ -125,6 +125,54 @@ object Stress {
       .join(bldKeys.hint("merge"), col("o_custkey") === col("c_custkey"), "left_semi")
       .count())
 
+    // Adversarial codebook (round-8 verdict #4): duplicate ONE vector
+    // 200× (the mega-cluster pattern above, but aimed at the k-means fit
+    // instead of LSH buckets). The hot vector is ~1% of the corpus yet
+    // 200× any other point's mass — a fit that chased it with many
+    // centroids would collapse the remaining cells and blow the Σ cells²
+    // candidate budget. Assertions: the fitted codebook still spreads the
+    // corpus (≥ half the cells populated, no cell above 40% of vectors),
+    // and embedNearDupIvf — whose per-call fit sees the same hot mass —
+    // still recovers EVERY planted clone pair (identical vectors share a
+    // cell at any sane codebook, so the 201-clone cluster contributes all
+    // 201·200/2 pairs).
+    import graft.functions.expressions.GraftFunctions
+    val hotClones = 200L
+    val hot = emb.filter(col("vec_id") === 0)
+      .crossJoin(spark.range(hotClones).select(col("id").as("copy")))
+      .select((lit(950000000L) + col("copy")).as("vec_id"), col("embedding"))
+    val advCorpus = emb.union(hot).localCheckpoint()
+    val nAdv = advCorpus.count()
+    val eAdv = advCorpus.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", GraftFunctions.normCol(col("v")))
+    val t0adv = System.nanoTime()
+    val centsAdv = operators.IvfCodebook.fitCodebook(spark, eAdv, 16)
+    val fitSec = (System.nanoTime() - t0adv) / 1e9
+    val centAdvDf = {
+      import spark.implicits._
+      centsAdv.toDF("cid", "w", "wnrm")
+    }
+    val cellSizes = eAdv.crossJoin(broadcast(centAdvDf))
+      .withColumn("ccos",
+        GraftFunctions.dotCol(col("v"), col("w")) / (col("nrm") * col("wnrm")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("ccos"), (-col("cid")).as("negid"))).as("m"))
+      .select((-col("m.negid")).as("cid"))
+      .groupBy("cid").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nonEmptyCells = cellSizes.size
+    val maxCellShare = cellSizes.values.max.toDouble / nAdv
+    require(nonEmptyCells >= 8,
+      s"hot-vector fit collapsed to $nonEmptyCells non-empty cells")
+    require(maxCellShare <= 0.40,
+      s"hot-vector fit left a cell with ${maxCellShare * 100}%% of the corpus")
+    val plantedPairs = hotClones * (hotClones + 1) / 2 // 201 identical vectors
+    val (advSec, nAdvPairs) = time("embed IVF hot-vector 200x",
+      Graft.embedNearDupIvf(spark, advCorpus, threshold = 0.99).count())
+    require(nAdvPairs >= plantedPairs,
+      s"hot-vector near-dup recall lost planted pairs: $nAdvPairs < $plantedPairs")
+    println(f"[stress] codebook hot-vector: cells=$nonEmptyCells max_share=$maxCellShare%.3f fit=$fitSec%.2f s")
+
     // Broadcast-threshold sensitivity (SF1k preview): with the auto
     // threshold off, the orders/customer joins fall back to sort-merge —
     // the plan shape once those dims outgrow executor memory. The nation
@@ -135,7 +183,7 @@ object Stress {
     smj.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val (b2, _) = time("q3_join sort-merge only", SparkEntry.queries("q3_join")(smj, sfDir).count())
 
-    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"embed_ivf_10x":{"vecs":$embDocs,"nlist16_sec":$iv,"nlist16_pairs":$niv,"nlist128_sec":$iv2,"nlist128_pairs":$niv2},"bloom_10x":{"orders":$nOrd,"smj_sec":$sj,"smj_rows":$nsj,"probe_sec":$bp,"probe_rows":$nbp,"verify_sec":$bv,"verify_rows":$nbv},"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2}}""")
+    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"embed_ivf_10x":{"vecs":$embDocs,"nlist16_sec":$iv,"nlist16_pairs":$niv,"nlist128_sec":$iv2,"nlist128_pairs":$niv2},"codebook_hot_vector":{"vecs":$nAdv,"clones":$hotClones,"fit_sec":$fitSec,"nonempty_cells":$nonEmptyCells,"max_cell_share":$maxCellShare,"neardup_sec":$advSec,"neardup_pairs":$nAdvPairs,"planted_pairs":$plantedPairs},"bloom_10x":{"orders":$nOrd,"smj_sec":$sj,"smj_rows":$nsj,"probe_sec":$bp,"probe_rows":$nbp,"verify_sec":$bv,"verify_rows":$nbv},"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2}}""")
     spark.stop()
   }
 }

@@ -108,4 +108,46 @@ class IvfCodebookSpec extends SparkSpec {
     assert(cells > IvfCodebook.K / 2,
       s"fit collapsed: only $cells of ${IvfCodebook.K} cells used on the fixture")
   }
+
+  test("adversarial hot vector (200 clones) neither collapses the fit nor loses planted pairs") {
+    // graft.Stress runs this at sf0.1 scale (codebook_hot_vector in
+    // STRESS.json); this is the CI-fast twin at sf0.001. One vector
+    // duplicated 200× is ~1% of the corpus carrying 200× any other
+    // point's mass — the k-means failure mode would chase it with many
+    // centroids and collapse the rest; the near-dup failure mode would
+    // split the clone cluster across cells and lose planted pairs.
+    import graft.functions.expressions.GraftFunctions
+    GraftFunctions.ensureRegistered(spark)
+    val emb = graft.Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val clones = 200L
+    val hot = emb.filter(col("vec_id") === 0)
+      .crossJoin(spark.range(clones).select(col("id").as("copy")))
+      .select((lit(950000000L) + col("copy")).as("vec_id"), col("embedding"))
+    val adv = emb.union(hot).localCheckpoint()
+    val n = adv.count()
+    val e = adv.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", GraftFunctions.normCol(col("v")))
+    val cents = IvfCodebook.fitCodebook(spark, e, IvfCodebook.K)
+    import spark.implicits._
+    val centDf = cents.toDF("cid", "w", "wnrm")
+    val sizes = e.crossJoin(broadcast(centDf))
+      .withColumn("ccos",
+        GraftFunctions.dotCol(col("v"), col("w")) / (col("nrm") * col("wnrm")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("ccos"), (-col("cid")).as("negid"))).as("m"))
+      .select((-col("m.negid")).as("cid"))
+      .groupBy("cid").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.size >= IvfCodebook.K / 2,
+      s"hot-vector fit collapsed to ${sizes.size} non-empty cells")
+    val maxShare = sizes.values.max.toDouble / n
+    assert(maxShare <= 0.40,
+      s"hot-vector fit left one cell with ${maxShare * 100}% of the corpus")
+    // 200 clones + the original = 201 identical vectors; identical vectors
+    // assign identically, so EVERY planted pair must survive cell blocking.
+    val planted = clones * (clones + 1) / 2
+    val pairs = graft.Graft.embedNearDupIvf(spark, adv, threshold = 0.99).count()
+    assert(pairs >= planted,
+      s"planted clone pairs lost to cell blocking: $pairs < $planted")
+  }
 }
