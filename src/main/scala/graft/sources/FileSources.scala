@@ -21,10 +21,36 @@ import org.apache.spark.sql.functions._
   */
 object FileSources {
 
-  /** One row per file: (path, content). */
-  def wholeTextDir(spark: SparkSession, dir: String): DataFrame =
-    spark.read.option("wholetext", "true").text(dir)
+  /** One row per file: (path, content).
+    *
+    * Spark's text source emits NO row for a 0-byte file, but the
+    * reference reads every regular file and `loadFile`
+    * (FileWordCounter.cpp:139-147) yields `""` for an empty one — whose
+    * quirk-tokenization is one empty token, an observable output. The
+    * round-9 randomized-directory property test caught that divergence,
+    * so empty files are restored from the directory listing here. Scale:
+    * the listing is the same driver-side metadata pass Spark's FileIndex
+    * already runs to plan the scan; the unioned frame holds only the
+    * ZERO-LENGTH files. Matches the source's visibility rules (top-level
+    * regular files; `_`/`.`-prefixed names are metadata, not data). */
+  def wholeTextDir(spark: SparkSession, dir: String): DataFrame = {
+    val scanned = spark.read.option("wholetext", "true").text(dir)
       .select(input_file_name().as("path"), col("value").as("content"))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val empties = fs.listStatus(p)
+      .filter { s =>
+        val n = s.getPath.getName
+        s.isFile && s.getLen == 0 && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(_.getPath.toUri.toString)
+    if (empties.isEmpty) scanned
+    else {
+      import spark.implicits._
+      scanned.unionByName(
+        empties.toSeq.toDF("path").select(col("path"), lit("").as("content")))
+    }
+  }
 
   /** One row per line: (path, line) — the scalable variant for big files. */
   def textLines(spark: SparkSession, dir: String): DataFrame =

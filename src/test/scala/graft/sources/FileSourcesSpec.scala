@@ -38,6 +38,48 @@ class FileSourcesSpec extends SparkSpec {
     assert(out == Map("" -> 1, "fox" -> 2, "jumps" -> 1, "quick" -> 1, "the" -> 2))
   }
 
+  test("property: emit-style adapter ≡ quirk-tokenizer fold on randomized directories") {
+    // Round-8 verdict #6: closes the gap between "quirk parity pinned on
+    // fixtures" and "quirk parity proven on arbitrary input". Seeded
+    // randomized directories (random single/double spaces, newlines,
+    // tabs, empty files), three ways through the word count:
+    //  (1) the reference semantics — a sequential fold of tokenizeQuirk
+    //      (FileWordCounter.cpp:149-177) over every file's bytes;
+    //  (2) directoryWordCount — the full ingest path (wholetext scan →
+    //      MR facade with the iterator client);
+    //  (3) the SAME pipeline through EmitStyleClient — the reference's
+    //      exact void-map/emit2 + void-reduce/emit3 callback signatures.
+    // All three must agree exactly, file set by file set.
+    import spark.implicits._
+    val emitClient = new graft.mr.EmitStyleClient[String, String, String, Int, String, Int] {
+      def mapEmit(path: String, text: String, emit2: (String, Int) => Unit): Unit =
+        graft.mr.FileWordCounter.tokenizeQuirk(text).foreach(w => emit2(w, 1))
+      def reduceEmit(word: String, counts: Iterator[Int], emit3: (String, Int) => Unit): Unit =
+        emit3(word, counts.sum)
+    }
+    val rnd = new scala.util.Random(20260813)
+    val alphabet = "ab x\n\t".toVector // two word chars, double-weighted space, newline, tab
+    for (round <- 1 to 4) {
+      val contents = Vector.tabulate(rnd.nextInt(5) + 2) { i =>
+        val body =
+          if (i == 0) "" // always include one EMPTY file (reference: one "" token)
+          else Vector.fill(rnd.nextInt(60))(alphabet(rnd.nextInt(alphabet.size))).mkString
+        s"f$i.txt" -> body
+      }
+      val dir = tempDirWith(contents: _*)
+      val expected = contents
+        .flatMap { case (_, text) => graft.mr.FileWordCounter.tokenizeQuirk(text) }
+        .groupBy(identity).map { case (w, ws) => w -> ws.size }
+      val viaDir = FileSources.directoryWordCount(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(viaDir == expected, s"round $round: directoryWordCount diverged from quirk fold")
+      val viaEmit = graft.mr.MapReduceJob.run(
+          FileSources.wholeTextDir(spark, dir).as[(String, String)], emitClient)
+        .collect().groupBy(_._1).map { case (w, ps) => w -> ps.map(_._2).sum }
+      assert(viaEmit == expected, s"round $round: emit-style adapter diverged from quirk fold")
+    }
+  }
+
   test("csv and json round-trip through builtin sources") {
     val dir = tempDirWith("d.csv" -> "a,b\n1,x\n2,y")
     val df = FileSources.csv(spark, s"$dir/d.csv")
