@@ -79,17 +79,30 @@ object EventStreams {
     new java.io.File(srcDir).mkdirs()
     Files.copy(Paths.get(s"$dataDir/events.parquet"), Paths.get(s"$srcDir/batch0.parquet"))
 
+    // The run gets its OWN session: micro-batch cost scales with the
+    // state-store/sink task count (= shuffle partitions × ≥3 batches),
+    // and 8 partitions are plenty for the per-window state here while the
+    // parent session keeps its cluster-sized setting. Results are
+    // partition-count-independent; the parent session's frames and confs
+    // are untouched (sessions share only the SparkContext).
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", "8")
+    sess.conf.set("spark.sql.session.timeZone",
+      spark.conf.get("spark.sql.session.timeZone", "UTC"))
+
     // Sentinels are written in the fixture's RAW schema (ts may be a
     // nanos-long under the legacy conf — match whatever the file holds).
     val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
-    if (!spark.conf.getOption(nanosKey).contains("true")) spark.conf.set(nanosKey, "true")
-    val raw = spark.read.parquet(s"$srcDir/batch0.parquet")
+    if (!sess.conf.getOption(nanosKey).contains("true")) sess.conf.set(nanosKey, "true")
+    val raw = sess.read.parquet(s"$srcDir/batch0.parquet")
     val tsIsLong = raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    // The max-ts base row is computed ONCE (localCheckpoint pins the
+    // single row); each sentinel derives from it instead of re-scanning.
+    val maxRow = raw.orderBy(col("ts").desc).limit(1).localCheckpoint()
     def addSentinel(i: Int, hours: Int): Unit = {
-      val one = raw.orderBy(col("ts").desc).limit(1)
       val shifted =
-        if (tsIsLong) one.withColumn("ts", col("ts") + lit(hours * 3600L * 1000000000L))
-        else one.withColumn("ts", col("ts") + expr(s"INTERVAL $hours HOURS"))
+        if (tsIsLong) maxRow.withColumn("ts", col("ts") + lit(hours * 3600L * 1000000000L))
+        else maxRow.withColumn("ts", col("ts") + expr(s"INTERVAL $hours HOURS"))
       val tmp = s"$base/sent$i"
       shifted.withColumn("event_type", lit(SentinelType)).coalesce(1).write.parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
@@ -98,7 +111,7 @@ object EventStreams {
       Files.move(part.toPath, Paths.get(s"$srcDir/z$i.parquet"))
     }
 
-    val q = windowedCounts(fromParquetDir(spark, srcDir))
+    val q = windowedCounts(fromParquetDir(sess, srcDir))
       .writeStream.format("parquet")
       .option("path", s"$base/out")
       .option("checkpointLocation", s"$base/ckpt")
