@@ -100,6 +100,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup_simhash_capped generates candidates by bucket grouping — no self-join") {
+    // The capped pipeline must keep the uncapped path's key property: the
+    // signature frame is grouped on (chunk, ckey) and pairs explode from
+    // the bucket arrays — a self-join would evaluate the signature
+    // subtree twice AND shuffle the corpus twice.
+    val p = plan("dedup_simhash_capped")
+    assert(!p.toLowerCase.contains("join"),
+      s"capped simhash candidates should come from bucket grouping, found a join:\n$p")
+  }
+
+  test("sim_ivf_recall: both top-10 sides broadcast into the semi-join") {
+    // The recall gate joins two 10-row top-k results — at ANY corpus size
+    // both sides are k rows, so the intersection must be a broadcast
+    // semi-join, never a shuffle on the big side.
+    val p = plan("sim_ivf_recall")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"top-10 intersection should be a broadcast semi-join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"no hash-partitioned exchange belongs in a k-row intersection:\n$p")
+  }
+
   test("explicit broadcast cross joins stay BroadcastNestedLoop with a tiny build side") {
     // sim_* queries cross-join a 1-row broadcast probe — that's the
     // designed plan; just pin that the broadcast actually happens.
