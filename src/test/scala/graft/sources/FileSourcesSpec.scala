@@ -42,9 +42,11 @@ class FileSourcesSpec extends SparkSpec {
     // Round-8 verdict #6: closes the gap between "quirk parity pinned on
     // fixtures" and "quirk parity proven on arbitrary input". Seeded
     // randomized directories (random single/double spaces, newlines,
-    // tabs, empty files), three ways through the word count:
+    // tabs, NUL bytes, empty and hidden files), three ways through the
+    // word count:
     //  (1) the reference semantics — a sequential fold of tokenizeQuirk
-    //      (FileWordCounter.cpp:149-177) over every file's bytes;
+    //      (FileWordCounter.cpp:149-177) over every regular file's bytes
+    //      up to the first NUL (loadFile's getline delimiter, :143);
     //  (2) directoryWordCount — the full ingest path (wholetext scan →
     //      MR facade with the iterator client);
     //  (3) the SAME pipeline through EmitStyleClient — the reference's
@@ -58,26 +60,65 @@ class FileSourcesSpec extends SparkSpec {
         emit3(word, counts.sum)
     }
     val rnd = new scala.util.Random(20260813)
-    val alphabet = "ab x\n\t".toVector // two word chars, double-weighted space, newline, tab
+    val nul = 0.toChar
+    // two word chars, double-weighted space, newline, tab, rare NUL
+    val alphabet = "ab x\n\t".toVector :+ nul
     for (round <- 1 to 4) {
-      val contents = Vector.tabulate(rnd.nextInt(5) + 2) { i =>
+      val contents = Vector.tabulate(rnd.nextInt(5) + 3) { i =>
         val body =
           if (i == 0) "" // always include one EMPTY file (reference: one "" token)
           else Vector.fill(rnd.nextInt(60))(alphabet(rnd.nextInt(alphabet.size))).mkString
-        s"f$i.txt" -> body
+        // every round scatters HIDDEN regular files (readdir+S_ISREG
+        // reads them; Spark's file index would silently drop them)
+        val name = i % 3 match {
+          case 1 => s".f$i.txt"
+          case 2 => s"_f$i.txt"
+          case _ => s"f$i.txt"
+        }
+        name -> body
       }
       val dir = tempDirWith(contents: _*)
       val expected = contents
-        .flatMap { case (_, text) => graft.mr.FileWordCounter.tokenizeQuirk(text) }
+        .flatMap { case (_, text) =>
+          graft.mr.FileWordCounter.tokenizeQuirk(text.takeWhile(_ != nul))
+        }
         .groupBy(identity).map { case (w, ws) => w -> ws.size }
       val viaDir = FileSources.directoryWordCount(spark, dir)
         .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
       assert(viaDir == expected, s"round $round: directoryWordCount diverged from quirk fold")
       val viaEmit = graft.mr.MapReduceJob.run(
-          FileSources.wholeTextDir(spark, dir).as[(String, String)], emitClient)
+          FileSources.wholeTextDirRef(spark, dir).as[(String, String)], emitClient)
         .collect().groupBy(_._1).map { case (w, ps) => w -> ps.map(_._2).sum }
       assert(viaEmit == expected, s"round $round: emit-style adapter diverged from quirk fold")
     }
+  }
+
+  test("loadFile parity: hidden files counted, content truncated at the first NUL") {
+    // The round-9 siblings of the empty-file divergence, pinned directly:
+    //  - parse_input (FileWordCounter.cpp:218) keeps EVERY regular file —
+    //    `.`/`_`-prefixed names included — where Spark's file index drops
+    //    them even as explicit paths ("All paths were ignored");
+    //  - loadFile (:143) reads `getline(file, content, '\0')`: an
+    //    embedded NUL ends the content, a leading NUL means "".
+    val nul = 0.toChar
+    val dir = tempDirWith(
+      "plain.txt" -> "alpha beta",
+      ".hidden.txt" -> "alpha gamma",
+      "_meta.txt" -> "beta",
+      "nul.txt" -> s"pre post${nul}never never",
+      ".empty" -> "")
+    val out = FileSources.directoryWordCount(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out == Map("" -> 1, "alpha" -> 2, "beta" -> 2, "gamma" -> 1,
+      "pre" -> 1, "post" -> 1))
+    // wholeTextDir default keeps Spark's lake visibility: no hidden rows.
+    val defaultNames = FileSources.wholeTextDir(spark, dir)
+      .collect().map(_.getString(0).split('/').last).toSet
+    assert(defaultNames == Set("plain.txt", "nul.txt"))
+    // readWholeFiles serves explicit hidden paths the builtin refuses.
+    val direct = FileSources.readWholeFiles(spark, Seq(s"$dir/.hidden.txt"))
+      .collect().map(r => r.getString(1))
+    assert(direct.toSeq == Seq("alpha gamma"))
   }
 
   test("csv and json round-trip through builtin sources") {
