@@ -61,8 +61,13 @@ class FileSourcesSpec extends SparkSpec {
     }
     val rnd = new scala.util.Random(20260813)
     val nul = 0.toChar
-    // two word chars, double-weighted space, newline, tab, rare NUL
-    val alphabet = "ab x\n\t".toVector :+ nul
+    // Word chars include MULTIBYTE UTF-8 (é = 2 bytes, 語 = 3): the
+    // reference tokenizes raw bytes, but 0x20 never occurs inside a
+    // valid UTF-8 multibyte sequence, so byte- and char-tokenization
+    // yield identical word sets — pinned here through the whole
+    // distributed ingest (wholetext decode + readWholeFiles decode).
+    // Plus double-weighted space, newline, tab, and a rare NUL.
+    val alphabet = "ab x\n\t".toVector ++ Vector('é', '語', nul)
     for (round <- 1 to 4) {
       val contents = Vector.tabulate(rnd.nextInt(5) + 3) { i =>
         val body =
