@@ -173,6 +173,48 @@ object Stress {
       s"hot-vector near-dup recall lost planted pairs: $nAdvPairs < $plantedPairs")
     println(f"[stress] codebook hot-vector: cells=$nonEmptyCells max_share=$maxCellShare%.3f fit=$fitSec%.2f s")
 
+    // Directory-ingest at file-count scale (round-9 parity sweep): 2,000
+    // generated files — ~1/3 hidden (readdir+S_ISREG parity path through
+    // readWholeFiles), some empty, some NUL-truncated — word-counted by
+    // directoryWordCount and checked EXACTLY against the sequential
+    // quirk-tokenizer fold. `wholetext` costs one task per file, so this
+    // times the small-files regime (the lake answer at real scale is
+    // compaction, SCALE.md; the parity path must still survive it).
+    val ingestDir = java.nio.file.Files.createTempDirectory("graft_stress_ingest_")
+    val ingestRnd = new scala.util.Random(42)
+    val ingestN = 2000
+    val nulCh = 0.toChar
+    val ingestAlphabet = "abc de ".toVector :+ nulCh
+    val ingestContents = Vector.tabulate(ingestN) { i =>
+      val name = i % 3 match {
+        case 1 => f".h$i%05d.txt"
+        case 2 => f"_m$i%05d.txt"
+        case _ => f"f$i%05d.txt"
+      }
+      val body =
+        if (i % 17 == 0) ""
+        else Vector.fill(ingestRnd.nextInt(40))(
+          ingestAlphabet(ingestRnd.nextInt(ingestAlphabet.size))).mkString
+      name -> body
+    }
+    ingestContents.foreach { case (name, body) =>
+      java.nio.file.Files.writeString(ingestDir.resolve(name), body)
+    }
+    val expectedFold = ingestContents
+      .flatMap { case (_, t) => mr.FileWordCounter.tokenizeQuirk(t.takeWhile(_ != nulCh)) }
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val t0ing = System.nanoTime()
+    val ingested = sources.FileSources.directoryWordCount(spark, ingestDir.toString)
+      .collect().map(r => r.getString(0) -> r.getInt(1).toLong).toMap
+    val ingestSec = (System.nanoTime() - t0ing) / 1e9
+    require(ingested == expectedFold,
+      s"many-files ingest diverged from the quirk fold: ${ingested.size} vs ${expectedFold.size} words")
+    println(f"[stress] ingest ${ingestN} files (1/3 hidden) ${ingestSec}%8.2f s   ${ingested.size}%,d words")
+    ingestContents.foreach { case (name, _) =>
+      java.nio.file.Files.deleteIfExists(ingestDir.resolve(name)): Unit
+    }
+    java.nio.file.Files.deleteIfExists(ingestDir): Unit
+
     // Broadcast-threshold sensitivity (SF1k preview): with the auto
     // threshold off, the orders/customer joins fall back to sort-merge —
     // the plan shape once those dims outgrow executor memory. The nation
@@ -183,7 +225,7 @@ object Stress {
     smj.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val (b2, _) = time("q3_join sort-merge only", SparkEntry.queries("q3_join")(smj, sfDir).count())
 
-    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"embed_ivf_10x":{"vecs":$embDocs,"nlist16_sec":$iv,"nlist16_pairs":$niv,"nlist128_sec":$iv2,"nlist128_pairs":$niv2},"codebook_hot_vector":{"vecs":$nAdv,"clones":$hotClones,"fit_sec":$fitSec,"nonempty_cells":$nonEmptyCells,"max_cell_share":$maxCellShare,"neardup_sec":$advSec,"neardup_pairs":$nAdvPairs,"planted_pairs":$plantedPairs},"bloom_10x":{"orders":$nOrd,"smj_sec":$sj,"smj_rows":$nsj,"probe_sec":$bp,"probe_rows":$nbp,"verify_sec":$bv,"verify_rows":$nbv},"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2}}""")
+    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"embed_ivf_10x":{"vecs":$embDocs,"nlist16_sec":$iv,"nlist16_pairs":$niv,"nlist128_sec":$iv2,"nlist128_pairs":$niv2},"codebook_hot_vector":{"vecs":$nAdv,"clones":$hotClones,"fit_sec":$fitSec,"nonempty_cells":$nonEmptyCells,"max_cell_share":$maxCellShare,"neardup_sec":$advSec,"neardup_pairs":$nAdvPairs,"planted_pairs":$plantedPairs},"bloom_10x":{"orders":$nOrd,"smj_sec":$sj,"smj_rows":$nsj,"probe_sec":$bp,"probe_rows":$nbp,"verify_sec":$bv,"verify_rows":$nbv},"ingest_many_files":{"files":$ingestN,"hidden_frac":0.333,"sec":$ingestSec,"words":${ingested.size},"fold_match":true},"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2}}""")
     spark.stop()
   }
 }
