@@ -126,6 +126,28 @@ class FileSourcesSpec extends SparkSpec {
     assert(direct.toSeq == Seq("alpha gamma"))
   }
 
+  test("degenerate directory shapes: empty, all-hidden, all-empty-files") {
+    // Shapes where the builtin scan leg contributes ZERO rows and the
+    // listing-based legs carry the whole result (or nothing at all).
+    // Reference behavior: an empty dir is an empty job (parse_input finds
+    // no regular files); all-hidden and all-empty dirs are ordinary
+    // corpora (S_ISREG keeps hidden files, loadFile yields "" for empty).
+    val emptyDir = tempDirWith()
+    assert(FileSources.wholeTextDir(spark, emptyDir).count() == 0)
+    assert(FileSources.directoryWordCount(spark, emptyDir).count() == 0)
+
+    val allHidden = tempDirWith(".a.txt" -> "x y", "_b.txt" -> "y")
+    assert(FileSources.wholeTextDir(spark, allHidden).count() == 0) // lake default
+    val hiddenCounts = FileSources.directoryWordCount(spark, allHidden)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(hiddenCounts == Map("x" -> 1, "y" -> 2))
+
+    val allEmpty = tempDirWith("a.txt" -> "", "b.txt" -> "")
+    val emptyCounts = FileSources.directoryWordCount(spark, allEmpty)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(emptyCounts == Map("" -> 2)) // one "" token per empty file
+  }
+
   test("csv and json round-trip through builtin sources") {
     val dir = tempDirWith("d.csv" -> "a,b\n1,x\n2,y")
     val df = FileSources.csv(spark, s"$dir/d.csv")
