@@ -11,6 +11,19 @@ import org.apache.spark.sql.functions._
   *
   * Conventions: document frames carry (`doc_id`: long, `text`: string);
   * embedding frames carry (`vec_id`: long, `embedding`: array<float|double>).
+  *
+  * Null contract (real corpora have null text/embeddings; the round-9
+  * sweep pinned every path in NullHandlingSpec — none crash):
+  *  - token/signature paths (`wordCount`, `simhash`, `tfidfTopTerms`,
+  *    `vocabEncode`, `topNgrams`) DROP null-text docs — `split(null)`
+  *    yields no tokens, hence no signature, matching SQL semantics;
+  *  - dedup treats null as un-comparable: null-text docs have no LSH
+  *    signature, so `deduplicate` keeps them all (exact-hash dedup of
+  *    nulls is `dedup_exact`'s job upstream, where they group);
+  *  - per-doc stat paths (`tokenStats`, `packSequences`) PRESERVE the
+  *    row with null stats — the caller sees which docs were skipped;
+  *  - embedding paths treat null vectors as absent ([[cosineTopK]],
+  *    `embedNearDupIvf`).
   */
 object Graft {
 
@@ -87,11 +100,18 @@ object Graft {
   def simhash(spark: SparkSession, docs: DataFrame): DataFrame =
     operators.DedupQueries.simhashFrameOf(spark, docs)
 
-  /** Exact cosine top-k against a probe vector id. */
+  /** Exact cosine top-k against a probe vector id.
+    *
+    * Null embeddings are ABSENT vectors: they can neither rank (a null
+    * cosine used to occupy trailing top-k slots) nor serve as the probe
+    * (a null probe would null every cosine and return k arbitrary rows)
+    * — both now yield the same result as if the row didn't exist
+    * (NullHandlingSpec pins it). */
   def cosineTopK(spark: SparkSession, embeddings: DataFrame, probeId: Long, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k") // limit(0) is legal → silently empty
     functions.expressions.GraftFunctions.ensureRegistered(spark)
-    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
+    val e = embeddings.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", functions.expressions.GraftFunctions.normCol(col("v")))
     val probe = e.filter(col("vec_id") === probeId)
       .select(col("v").as("w"), col("nrm").as("wnrm"))
