@@ -102,11 +102,16 @@ object Graft {
 
   /** Exact cosine top-k against a probe vector id.
     *
-    * Null embeddings are ABSENT vectors: they can neither rank (a null
-    * cosine used to occupy trailing top-k slots) nor serve as the probe
-    * (a null probe would null every cosine and return k arbitrary rows)
-    * — both now yield the same result as if the row didn't exist
-    * (NullHandlingSpec pins it). */
+    * Degenerate vectors are ABSENT: a null embedding can neither rank (a
+    * null cosine used to occupy trailing top-k slots) nor serve as the
+    * probe (a null probe would null every cosine and return k arbitrary
+    * rows), a zero-norm vector used to THROW (ANSI DIVIDE_BY_ZERO on
+    * 0/0 — killing the whole query on one bad row), and a NaN-component
+    * vector's NaN cosine — which Spark orders GREATER than every
+    * double — used to take rank #1. The division is when-guarded and
+    * non-finite cosines are filtered, so all of these now yield the same
+    * result as if the row didn't exist (NullHandlingSpec pins each
+    * case). */
   def cosineTopK(spark: SparkSession, embeddings: DataFrame, probeId: Long, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k") // limit(0) is legal → silently empty
     functions.expressions.GraftFunctions.ensureRegistered(spark)
@@ -118,7 +123,16 @@ object Graft {
     e.filter(col("vec_id") =!= probeId)
       .crossJoin(broadcast(probe))
       .withColumn("cos",
-        functions.expressions.GraftFunctions.dotCol(col("v"), col("w")) / (col("nrm") * col("wnrm")))
+        // The when-guard must wrap the division, not filter after it:
+        // under ANSI (Spark 4 default) a zero norm THROWS DIVIDE_BY_ZERO
+        // and kills the query. The isnan filter below is load-bearing,
+        // not a belt: Spark orders NaN greater than any double, so a NaN
+        // norm PASSES `> 0` and its NaN cosine would rank #1 — only the
+        // explicit isnan drops it (likewise NaN dots from ±Inf).
+        when(col("nrm") > 0 && col("wnrm") > 0,
+          functions.expressions.GraftFunctions.dotCol(col("v"), col("w")) /
+            (col("nrm") * col("wnrm"))))
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
       .select(col("vec_id"), col("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
@@ -386,6 +400,16 @@ object Graft {
     val dot = graft.functions.expressions.GraftFunctions.dotCol _
     val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", graft.functions.expressions.GraftFunctions.normCol(col("v")))
+      // Degenerate vectors (null, zero-norm, NaN component ⇒ NaN norm)
+      // have no cosine direction AND would either throw ANSI
+      // DIVIDE_BY_ZERO in every norm division downstream (zero norm —
+      // one bad row used to kill the whole job) or pass EVERY
+      // `cos >= threshold` verify (Spark orders NaN greater than any
+      // double, so a NaN cosine "matches" all thresholds and the vector
+      // pairs with everything it meets). Drop them at the door
+      // (NullHandlingSpec). The isnan guard is load-bearing: NaN > 0 is
+      // TRUE under Spark's total ordering, unlike Java.
+      .filter(col("nrm") > 0 && !isnan(col("nrm")))
     // Learned codebook (same deterministic sampled k-means as the staged
     // query-side fit) — the first nlist vectors used to stand in here,
     // and a lopsided stand-in wastes the Σ cells² candidate budget.

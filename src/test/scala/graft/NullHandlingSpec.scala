@@ -62,12 +62,35 @@ class NullHandlingSpec extends SparkSpec {
     assert(Graft.cosineTopK(spark, emb, 4L, 3).count() == 0)
   }
 
-  test("embedNearDupIvf survives null vectors and keeps the real pair") {
+  test("cosineTopK: zero-norm and NaN vectors cannot poison the ranking") {
     import spark.implicits._
+    // Spark orders NaN GREATER than any double, so an unguarded 0/0 = NaN
+    // cosine (zero-norm vector) or NaN component would take rank #1.
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 0.0f)),
+      (4L, Array(Float.NaN, 1.0f))).toDF("vec_id", "embedding")
+    val top = Graft.cosineTopK(spark, emb, 1L, 4).collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(2L),
+      s"degenerate vectors leaked into the ranking: ${top.mkString(", ")}")
+    assert(top.forall(r => !r.isNullAt(1) && !r.getDouble(1).isNaN))
+    // A zero-norm PROBE has no defined direction: empty answer.
+    assert(Graft.cosineTopK(spark, emb, 3L, 2).count() == 0)
+  }
+
+  test("embedNearDupIvf survives null, zero-norm, and NaN vectors") {
+    import spark.implicits._
+    // One of each degenerate shape: null (no vector), zero-norm (ANSI
+    // DIVIDE_BY_ZERO in the unguarded cosine), NaN component (NaN norm).
+    // Each used to kill or skew the job; all must drop at the door while
+    // the real pair survives.
     val emb = Seq(
       (1L, Array(1.0f, 0.0f)),
       (2L, Array(1.0f, 0.0f)),
-      (3L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+      (3L, null.asInstanceOf[Array[Float]]),
+      (4L, Array(0.0f, 0.0f)),
+      (5L, Array(Float.NaN, 1.0f))).toDF("vec_id", "embedding")
     val pairs = Graft.embedNearDupIvf(spark, emb, 0.9, nlist = 1, nprobe = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
