@@ -80,7 +80,16 @@ object FileSources {
     spark.createDataset(paths).repartition(slices)
       .mapPartitions { it =>
         it.map { pathStr =>
-          val path = new org.apache.hadoop.fs.Path(new java.net.URI(pathStr))
+          // Accept both spellings a caller can hold: an encoded URI (what
+          // the listing's toUri.toString yields — %20 for a space) and a
+          // raw filesystem path (what a user types — a literal space,
+          // which the URI parser rejects).
+          val path =
+            try new org.apache.hadoop.fs.Path(new java.net.URI(pathStr))
+            catch {
+              case _: java.net.URISyntaxException =>
+                new org.apache.hadoop.fs.Path(pathStr)
+            }
           val fs = path.getFileSystem(confSer.value)
           val len = fs.getFileStatus(path).getLen
           require(len <= Int.MaxValue, s"$pathStr exceeds the one-record limit ($len bytes)")

@@ -120,10 +120,22 @@ class FileSourcesSpec extends SparkSpec {
     val defaultNames = FileSources.wholeTextDir(spark, dir)
       .collect().map(_.getString(0).split('/').last).toSet
     assert(defaultNames == Set("plain.txt", "nul.txt"))
-    // readWholeFiles serves explicit hidden paths the builtin refuses.
+    // readWholeFiles serves explicit hidden paths the builtin refuses —
+    // as RAW paths (what a user types) as well as encoded URIs (what a
+    // listing yields), including names the URI parser alone would reject.
     val direct = FileSources.readWholeFiles(spark, Seq(s"$dir/.hidden.txt"))
       .collect().map(r => r.getString(1))
     assert(direct.toSeq == Seq("alpha gamma"))
+  }
+
+  test("hidden files with URI-hostile names (spaces) read through the parity path") {
+    val dir = tempDirWith("plain.txt" -> "a", ".with space.txt" -> "b c")
+    val out = FileSources.directoryWordCount(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out == Map("a" -> 1, "b" -> 1, "c" -> 1))
+    val raw = FileSources.readWholeFiles(spark, Seq(s"$dir/.with space.txt"))
+      .collect().map(r => r.getString(1))
+    assert(raw.toSeq == Seq("b c"))
   }
 
   test("degenerate directory shapes: empty, all-hidden, all-empty-files") {
