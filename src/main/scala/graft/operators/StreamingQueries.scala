@@ -64,7 +64,34 @@ object StreamingQueries extends QueryPack {
           unix_timestamp(col("sess_end")).as("end_sec"),
           col("n_events"),
           graft.Portable.round2(col("session_value")).as("session_value"))
-        .orderBy("user_id", "start_sec"))
+        .orderBy("user_id", "start_sec")),
+
+    // The SAME session_window transform executed as an ACTUAL Structured
+    // Streaming query (file-stream source → watermark → append-mode
+    // parquet sink + checkpoint; see EventStreams.runSessionizedLive) —
+    // round-9 verdict #1: the hardest stateful path, live-gated against
+    // the identical DuckDB session oracle.
+    "stream_sessionized_live" -> ((s, d) =>
+      EventStreams.runSessionizedLive(s, d)
+        .select(
+          col("user_id"),
+          unix_timestamp(col("sess_start")).as("start_sec"),
+          unix_timestamp(col("sess_end")).as("end_sec"),
+          col("n_events"),
+          graft.Portable.round2(col("session_value")).as("session_value"))
+        .orderBy("user_id", "start_sec")),
+
+    // dropDuplicatesWithinWatermark executed LIVE (state insert + watermark
+    // eviction + an in-watermark doctored duplicate that must be dropped —
+    // see EventStreams.runDedupLive), summarized by the deterministic
+    // min-struct firstPerKey so the streamed sink is hash-checkable against
+    // the same rk=1 oracle as the batch twin (round-9 verdict #4).
+    "stream_dedup_live" -> ((s, d) =>
+      EventStreams.runDedupLive(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("first_ts")).as("first_sec"),
+          col("first_event_id"))
+        .orderBy("user_id", "event_type"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -91,6 +118,18 @@ object StreamingQueries extends QueryPack {
                 CAST(FLOOR(epoch(ts)) AS BIGINT) AS first_sec,
                 event_id AS first_event_id
          FROM r WHERE rk = 1 ORDER BY user_id, event_type""",
+    // The live dropDuplicatesWithinWatermark run must converge to the
+    // identical rk=1 answer (the doctored duplicate is dropped; every
+    // unique event reaches the sink exactly once).
+    "stream_dedup_live" ->
+      """WITH r AS (SELECT user_id, event_type, ts, event_id,
+                           ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS rk
+                    FROM events)
+         SELECT user_id, event_type,
+                CAST(FLOOR(epoch(ts)) AS BIGINT) AS first_sec,
+                event_id AS first_event_id
+         FROM r WHERE rk = 1 ORDER BY user_id, event_type""",
     // Inner interval join ≡ the plain time-bounded self-join in batch.
     "stream_funnel_join" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
@@ -100,6 +139,27 @@ object StreamingQueries extends QueryPack {
          ORDER BY click_id, purchase_id""",
     // session_window(gap 30min) ≡ gap-based sessions; end = last ts + gap.
     "stream_sessionized" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, event_id, value,
+                  CASE WHEN LAG(ts,1) OVER w IS NULL
+                            OR ts - LAG(ts,1) OVER w >= INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT user_id, ts, value,
+                  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM flagged)
+         SELECT user_id,
+                CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS start_sec,
+                CAST(FLOOR(epoch(MAX(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS end_sec,
+                CAST(COUNT(*) AS BIGINT) AS n_events,
+                FLOOR(SUM(value)*100 + 0.5)/100 AS session_value
+         FROM sess GROUP BY user_id, sid
+         ORDER BY user_id, start_sec""",
+    // The live session_window run (watermark-complete append output) must
+    // converge to the identical gap-based session answer.
+    "stream_sessionized_live" ->
       """WITH flagged AS (
            SELECT user_id, ts, event_id, value,
                   CASE WHEN LAG(ts,1) OVER w IS NULL

@@ -47,98 +47,172 @@ object EventStreams {
     }
   }
 
-  /** Runs [[windowedCounts]] as an ACTUAL Structured Streaming query over
-    * the `dataDir` events fixture and returns the sink read back as a
-    * batch frame — the execution path behind the `stream_windowed_live`
-    * oracle gate (round-8 VERDICT #2: the other `stream_*` gates run the
-    * batch twin; this one's CORRECTNESS row is computed from a streaming
-    * sink).
+  /** Event type of the watermark-advancing sentinel rows in the live
+    * gates — never a real fixture event type. */
+  val SentinelType = "__graft_watermark_sentinel"
+
+  /** User id tagging sentinel/doctored rows where the transform's output
+    * has no event_type column (session windows key on user_id). Negative —
+    * the fixture generator only emits non-negative ids. */
+  val SentinelUser = -1L
+
+  private def rmTree(p: String): Unit = {
+    val f = new java.io.File(p)
+    if (f.isDirectory) f.listFiles().foreach(c => rmTree(c.getAbsolutePath))
+    f.delete(): Unit
+  }
+
+  /** Sink base dirs leaked by [[runLive]]: the returned frame reads its
+    * sink lazily, so the dir must outlive the call — but a bench run
+    * invokes each live gate up to ~4 times, so per-invocation leaks
+    * accumulate (round-9 ADVICE). One JVM shutdown hook deletes every
+    * tracked base; the footprint is bounded per-JVM, not per-invocation. */
+  private val leakedBases = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val cleanupHookInstalled = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def trackForCleanup(base: String): Unit = {
+    leakedBases.add(base)
+    if (cleanupHookInstalled.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(
+        () => leakedBases.forEach(p => rmTree(p)),
+        "graft-live-sink-cleanup"))
+  }
+
+  /** Follow-up batch template for [[runLive]]: the fixture's max-ts row
+    * (computed once, localCheckpoint pins it) plus the shift arithmetic in
+    * the file's RAW schema (ts may be a nanos-long under the legacy conf). */
+  private[graft] final class LiveStage(raw: DataFrame) {
+    val schema: org.apache.spark.sql.types.StructType = raw.schema
+    private val tsIsLong = schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val maxRow: DataFrame = raw.orderBy(col("ts").desc).limit(1).localCheckpoint()
+    /** maxRow with ts shifted by `seconds` (negative = earlier). */
+    def shifted(seconds: Long): DataFrame =
+      if (tsIsLong) maxRow.withColumn("ts", col("ts") + lit(seconds * 1000000000L))
+      else maxRow.withColumn("ts", col("ts") + expr(s"INTERVAL $seconds SECONDS"))
+  }
+
+  /** Shared mechanics of the live streaming gates (`stream_*_live`): run
+    * `transform` as an ACTUAL Structured Streaming query over the
+    * `dataDir` events fixture and return the sink read back as a batch
+    * frame — so the gate's CORRECTNESS row is computed from a streaming
+    * sink, not the batch twin (round-8/9 VERDICTs).
     *
     * Mechanics (all per-invocation temp dirs — concurrent sessions and
     * repeated bench runs can never collide):
     *  1. stage events.parquet as batch 0 of a file-stream source dir;
-    *  2. run readStream → watermark → 1h windowed agg → APPEND-mode
-    *     parquet sink with a checkpoint (the real exactly-once pipeline);
-    *  3. after the data batch commits, append TWO sentinel batches (one
-    *     max(ts)+2h row, then one +4h row, tagged `__sentinel`): append
-    *     mode only emits a window once the watermark passes its end, and
-    *     the second sentinel batch forces a DATA batch whose pre-batch
-    *     watermark (+2h − 10min) already exceeds every real window end —
-    *     deterministic full flush with no reliance on no-data micro-batch
-    *     timing, which `processAllAvailable` does not await;
-    *  4. stop, drop the sentinels' own windows, return the sink.
+    *  2. run readStream → `transform` → APPEND-mode parquet sink with a
+    *     checkpoint (the real exactly-once pipeline);
+    *  3. after batch 0 commits, stage every `followups` frame as its own
+    *     source file and drain them with ONE `processAllAvailable`
+    *     (maxFilesPerTrigger=1 keeps each file its own micro-batch, so
+    *     the watermark still advances between them — round-9 verdict #6
+    *     folded the former one-blocking-call-per-sentinel protocol);
+    *  4. stop, return the sink (caller filters its tagged rows).
     *
-    * Every real window is emitted exactly once with its complete count
-    * (all real events arrive in batch 0, before any watermark movement,
-    * so nothing is late-dropped) — the streamed result equals the batch
-    * twin and is checked against the SAME DuckDB oracle. */
-  def runWindowedCountsLive(spark: SparkSession, dataDir: String): DataFrame = {
+    * Deterministic-flush contract for watermark-append transforms: two
+    * sentinels at +2h/+4h make the LAST processed follow-up a data batch
+    * whose pre-batch watermark (≥ max(ts)+2h − 10min) exceeds every real
+    * window/session end (≤ max(ts)+30min), so every real group is emitted
+    * exactly once regardless of the order the source picks the staged
+    * files — no reliance on no-data micro-batch timing, which
+    * `processAllAvailable` does not await. All real events arrive in
+    * batch 0, before any watermark movement, so nothing is late-dropped. */
+  private[graft] def runLive(spark: SparkSession, dataDir: String,
+                             transform: DataFrame => DataFrame,
+                             followups: LiveStage => Seq[DataFrame]): DataFrame = {
     import java.nio.file.{Files, Paths}
     val base = Files.createTempDirectory("graft_live_").toFile.getAbsolutePath
+    trackForCleanup(base)
     val srcDir = s"$base/src"
     new java.io.File(srcDir).mkdirs()
     Files.copy(Paths.get(s"$dataDir/events.parquet"), Paths.get(s"$srcDir/batch0.parquet"))
 
     // The run gets its OWN session: micro-batch cost scales with the
-    // state-store/sink task count (= shuffle partitions × ≥3 batches),
-    // and 8 partitions are plenty for the per-window state here while the
-    // parent session keeps its cluster-sized setting. Results are
+    // state-store/sink task count (= shuffle partitions × #batches), and
+    // 4 partitions are plenty for the per-key state here while the parent
+    // session keeps its cluster-sized setting. Results are
     // partition-count-independent; the parent session's frames and confs
     // are untouched (sessions share only the SparkContext).
     val sess = spark.newSession()
-    sess.conf.set("spark.sql.shuffle.partitions", "8")
+    sess.conf.set("spark.sql.shuffle.partitions", "4")
     sess.conf.set("spark.sql.session.timeZone",
       spark.conf.get("spark.sql.session.timeZone", "UTC"))
-
-    // Sentinels are written in the fixture's RAW schema (ts may be a
-    // nanos-long under the legacy conf — match whatever the file holds).
     val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
     if (!sess.conf.getOption(nanosKey).contains("true")) sess.conf.set(nanosKey, "true")
-    val raw = sess.read.parquet(s"$srcDir/batch0.parquet")
-    val tsIsLong = raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
-    // The max-ts base row is computed ONCE (localCheckpoint pins the
-    // single row); each sentinel derives from it instead of re-scanning.
-    val maxRow = raw.orderBy(col("ts").desc).limit(1).localCheckpoint()
-    def addSentinel(i: Int, hours: Int): Unit = {
-      val shifted =
-        if (tsIsLong) maxRow.withColumn("ts", col("ts") + lit(hours * 3600L * 1000000000L))
-        else maxRow.withColumn("ts", col("ts") + expr(s"INTERVAL $hours HOURS"))
-      val tmp = s"$base/sent$i"
-      shifted.withColumn("event_type", lit(SentinelType)).coalesce(1).write.parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file under $tmp"))
-      Files.move(part.toPath, Paths.get(s"$srcDir/z$i.parquet"))
-    }
+    val stage = new LiveStage(sess.read.parquet(s"$srcDir/batch0.parquet"))
 
-    val q = windowedCounts(fromParquetDir(sess, srcDir))
+    val q = transform(fromParquetDir(sess, srcDir))
       .writeStream.format("parquet")
       .option("path", s"$base/out")
       .option("checkpointLocation", s"$base/ckpt")
       .outputMode("append")
       .start()
+    val fuDirs = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
-      q.processAllAvailable()        // batch 0: every real event folded into state
-      addSentinel(1, 2)
-      q.processAllAvailable()        // watermark advances to max(ts)+2h − 10min
-      addSentinel(2, 4)
-      q.processAllAvailable()        // data batch emits every real window
+      q.processAllAvailable() // batch 0: every real event folded into state
+      followups(stage).zipWithIndex.foreach { case (df, i) =>
+        val tmp = s"$base/fu$i"
+        fuDirs += tmp
+        df.coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file under $tmp"))
+        Files.move(part.toPath, Paths.get(s"$srcDir/z$i.parquet"))
+      }
+      q.processAllAvailable() // one micro-batch per staged file
     } finally q.stop()
     // The source staging and checkpoint are dead once the run stopped;
     // only the sink outlives this call (the returned frame reads it
-    // lazily). Bounded tmp footprint across repeated bench runs.
-    def rmTree(p: String): Unit = {
-      val f = new java.io.File(p)
-      if (f.isDirectory) f.listFiles().foreach(c => rmTree(c.getAbsolutePath))
-      f.delete(): Unit
-    }
-    Seq(srcDir, s"$base/ckpt", s"$base/sent1", s"$base/sent2").foreach(rmTree)
-    spark.read.parquet(s"$base/out").filter(col("event_type") =!= SentinelType)
+    // lazily) — reclaimed by the shutdown hook.
+    (Seq(srcDir, s"$base/ckpt") ++ fuDirs).foreach(rmTree)
+    spark.read.parquet(s"$base/out")
   }
 
-  /** Event type of the watermark-advancing sentinel rows in
-    * [[runWindowedCountsLive]] — never a real fixture event type. */
-  val SentinelType = "__graft_watermark_sentinel"
+  /** [[windowedCounts]] live — the execution behind `stream_windowed_live`:
+    * sentinels are tagged by event_type (the output carries it) and their
+    * own windows dropped after the read-back. */
+  def runWindowedCountsLive(spark: SparkSession, dataDir: String): DataFrame =
+    runLive(spark, dataDir, windowedCounts,
+      st => Seq(2, 4).map(h =>
+        st.shifted(h * 3600L).withColumn("event_type", lit(SentinelType))))
+      .filter(col("event_type") =!= SentinelType)
+
+  /** [[sessionized]] live — the execution behind `stream_sessionized_live`
+    * (round-9 verdict #1: the hardest stateful path, session_window +
+    * watermark + append). The output has no event_type column, so
+    * sentinels are tagged by [[SentinelUser]] instead; each sentinel forms
+    * its own 1-row session (2h/4h past every real event, beyond any 30-min
+    * gap) which the read-back filter drops. Real sessions end by
+    * max(ts)+30min < watermark at the last follow-up batch, so append mode
+    * emits each exactly once with its complete aggregate. */
+  def runSessionizedLive(spark: SparkSession, dataDir: String): DataFrame =
+    runLive(spark, dataDir, sessionized,
+      st => Seq(2, 4).map(h =>
+        st.shifted(h * 3600L).withColumn("user_id",
+          lit(SentinelUser).cast(st.schema("user_id").dataType))))
+      .filter(col("user_id") =!= SentinelUser)
+
+  /** [[dedupedByEventId]] live — the execution behind `stream_dedup_live`
+    * (round-9 verdict #4: the state-eviction path no other gate touches).
+    * dropDuplicatesWithinWatermark emits surviving rows in the batch they
+    * arrive, so no flush sentinels are needed; instead the follow-up batch
+    * is a DOCTORED DUPLICATE of the max-ts event — same event_id, ts −5min
+    * (inside the 10-min watermark, so neither late-dropped nor evicted),
+    * user_id retagged to [[SentinelUser]]. The batch boundary first evicts
+    * all state below max(ts)−10min (the eviction path, exercised for real),
+    * then must drop the duplicate on its retained key: if the dedup ever
+    * leaked it, a phantom SentinelUser group would appear in the summary
+    * and the oracle hash/row gate would fail — the gate is sensitive to
+    * the dedup behavior itself, not just the pass-through.
+    *
+    * The returned frame is the deterministic [[firstPerKey]] summary of
+    * the streamed sink (the sink holds raw rows whose within-batch file
+    * order is not canonical; the min-struct summary is order-free and
+    * hash-checkable against the same rk=1 oracle). */
+  def runDedupLive(spark: SparkSession, dataDir: String): DataFrame =
+    firstPerKey(
+      runLive(spark, dataDir, dedupedByEventId,
+        st => Seq(st.shifted(-300L).withColumn("user_id",
+          lit(SentinelUser).cast(st.schema("user_id").dataType)))))
 
   /** Tumbling 1-hour windowed counts per event type, 10-minute watermark. */
   def windowedCounts(events: DataFrame): DataFrame =

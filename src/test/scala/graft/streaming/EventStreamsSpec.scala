@@ -152,6 +152,38 @@ class EventStreamsSpec extends SparkSpec {
       s"streaming sink diverges from batch twin: live=${live.size} batch=${batch.size}")
   }
 
+  test("runSessionizedLive: real session_window streaming run equals the batch twin") {
+    // stream_sessionized_live's execution path (round-9 verdict #1): the
+    // hardest stateful path — session_window + watermark + append-mode
+    // parquet sink, sentinel-flushed. Each real session must be emitted
+    // exactly once with its complete aggregate, equal to the batch twin.
+    val live = graft.SparkEntry.queries("stream_sessionized_live")(spark, sf("sf0.001"))
+      .collect().map(_.toString).toSeq
+    val batch = graft.SparkEntry.queries("stream_sessionized")(spark, sf("sf0.001"))
+      .collect().map(_.toString).toSeq
+    assert(batch.nonEmpty, "fixture yields no sessions — test is vacuous")
+    assert(live == batch,
+      s"streaming session sink diverges from batch twin: live=${live.size} batch=${batch.size}")
+  }
+
+  test("runDedupLive: live dropDuplicatesWithinWatermark drops the doctored duplicate") {
+    // stream_dedup_live's execution path (round-9 verdict #4). The
+    // follow-up batch injects a doctored duplicate (same event_id, ts
+    // −5min, user retagged to SentinelUser) that the retained state must
+    // drop AFTER the batch boundary evicted everything below the
+    // watermark; the summarized sink then equals the batch twin.
+    val live = graft.SparkEntry.queries("stream_dedup_live")(spark, sf("sf0.001"))
+      .collect().map(_.toString).toSeq
+    val batch = graft.SparkEntry.queries("stream_dedup_first")(spark, sf("sf0.001"))
+      .collect().map(_.toString).toSeq
+    assert(batch.nonEmpty, "fixture yields no dedup groups — test is vacuous")
+    assert(live == batch,
+      s"deduped sink diverges from batch twin: live=${live.size} batch=${batch.size}")
+    // The phantom-group guard really guards: no SentinelUser row leaked.
+    assert(!live.exists(_.startsWith(s"[${EventStreams.SentinelUser},")),
+      "the doctored duplicate leaked through dropDuplicatesWithinWatermark")
+  }
+
   test("streaming parquet SINK: append-mode file sink + checkpoint round-trips") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
