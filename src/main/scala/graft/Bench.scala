@@ -76,6 +76,12 @@ object Bench {
       if (completed.isEmpty) Double.PositiveInfinity
       else { val s = completed.sorted; s(s.size / 2) }
     var retimed = 0
+    // Outlier-evidence ledger (round-9 ADVICE): min-reporting after a
+    // re-time takes the flattering tail, so the DISCARDED value is
+    // preserved per query — the artifact keeps the evidence (a recurring
+    // GC/spill spike shows up as a large retimed_from next to a small
+    // reported floor) instead of just a count.
+    val retimedFrom = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val a = timeOnce(fn)
       var best =
@@ -87,7 +93,10 @@ object Bench {
         }
       if (best > 0 && best > 5 * runningMedian) {
         val c = timeOnce(fn)
-        if (c >= 0) { best = math.min(best, c); retimed += 1 }
+        if (c >= 0) {
+          retimedFrom(name) = math.max(best, c) // the discarded outlier draw
+          best = math.min(best, c); retimed += 1
+        }
       }
       if (best >= 0) completed += best
       name -> best
@@ -105,8 +114,10 @@ object Bench {
     // end of the timed section, whether the warm-up pass ran, and how many
     // queries hit the outlier re-time. A reviewer can now tell a loaded-box
     // artifact from a code regression without re-running anything.
+    val rtf = retimedFrom
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val stamp =
-      s""","loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"warmed":$warmed,"retimed":$retimed"""
+      s""","loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"warmed":$warmed,"retimed":$retimed,"retimed_from":$rtf"""
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$stamp,"sf":"$sfDir"}"""
     // The per-query map is ~2 kB and can overflow a tail-window parse, so

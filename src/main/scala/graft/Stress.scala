@@ -173,6 +173,52 @@ object Stress {
       s"hot-vector near-dup recall lost planted pairs: $nAdvPairs < $plantedPairs")
     println(f"[stress] codebook hot-vector: cells=$nonEmptyCells max_share=$maxCellShare%.3f fit=$fitSec%.2f s")
 
+    // Salted-join hot key (round-9 verdict #5 — the q_skew_join path had
+    // no adversarial case): clone ONE order key's lineitem rows 100× with
+    // a 100-value companion column, so the hot key carries ~100× any
+    // other key's rows. Unsalted, every one of those rows lands on a
+    // single reducer; salted over 8 buckets they must spread (per-bucket
+    // bound asserted below) while the aggregate equals the plain join
+    // bit-for-bit — salting buys distribution, never a different answer.
+    val liBase = Tables.lineitem(spark, sfDir).select(col("l_orderkey"),
+      col("l_linenumber"), floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+    val ordBase = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderpriority"))
+    val hotKey = liBase.agg(min("l_orderkey")).head().getLong(0)
+    val lnType = liBase.schema("l_linenumber").dataType
+    val hotLi = liBase.filter(col("l_orderkey") === hotKey)
+      .crossJoin(spark.range(100).select(col("id").as("copy")))
+      .withColumn("l_linenumber", col("copy").cast(lnType))
+      .drop("copy")
+    val liHot = liBase.union(hotLi).localCheckpoint()
+    val hotRows = liHot.filter(col("l_orderkey") === hotKey).count()
+    val buckets = liHot.filter(col("l_orderkey") === hotKey)
+      .groupBy(pmod(hash(col("l_linenumber")), lit(8)).as("salt")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxBucket = buckets.values.max
+    require(buckets.size == 8,
+      s"hot key spread over only ${buckets.size}/8 salt buckets")
+    require(maxBucket <= hotRows / 4,
+      s"salting left $maxBucket of $hotRows hot rows in one bucket")
+    def prioAgg(joined: org.apache.spark.sql.DataFrame) = joined
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    var saltedRes: Map[String, (Long, Long)] = null
+    var plainRes: Map[String, (Long, Long)] = null
+    val (saltSec, _) = time("salted join hot key 100x", {
+      saltedRes = prioAgg(operators.SkewUtils.saltedJoin(
+        liHot, ordBase, "l_orderkey", "o_orderkey", col("l_linenumber"), 8))
+      saltedRes.size.toLong
+    })
+    val (plainSec, _) = time("plain join hot key 100x", {
+      plainRes = prioAgg(liHot.join(ordBase,
+        liHot("l_orderkey") === ordBase("o_orderkey")))
+      plainRes.size.toLong
+    })
+    require(saltedRes == plainRes,
+      s"salted join diverged from the plain join on the hot corpus")
+    println(f"[stress] skew-join hot key: rows=$hotRows buckets=8 max_bucket=$maxBucket")
+
     // Directory-ingest at file-count scale (round-9 parity sweep): 2,000
     // generated files — ~1/3 hidden (readdir+S_ISREG parity path through
     // readWholeFiles), some empty, some NUL-truncated — word-counted by
@@ -225,7 +271,7 @@ object Stress {
     smj.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val (b2, _) = time("q3_join sort-merge only", SparkEntry.queries("q3_join")(smj, sfDir).count())
 
-    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"embed_ivf_10x":{"vecs":$embDocs,"nlist16_sec":$iv,"nlist16_pairs":$niv,"nlist128_sec":$iv2,"nlist128_pairs":$niv2},"codebook_hot_vector":{"vecs":$nAdv,"clones":$hotClones,"fit_sec":$fitSec,"nonempty_cells":$nonEmptyCells,"max_cell_share":$maxCellShare,"neardup_sec":$advSec,"neardup_pairs":$nAdvPairs,"planted_pairs":$plantedPairs},"bloom_10x":{"orders":$nOrd,"smj_sec":$sj,"smj_rows":$nsj,"probe_sec":$bp,"probe_rows":$nbp,"verify_sec":$bv,"verify_rows":$nbv},"ingest_many_files":{"files":$ingestN,"hidden_frac":0.333,"sec":$ingestSec,"words":${ingested.size},"fold_match":true},"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2}}""")
+    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"embed_ivf_10x":{"vecs":$embDocs,"nlist16_sec":$iv,"nlist16_pairs":$niv,"nlist128_sec":$iv2,"nlist128_pairs":$niv2},"codebook_hot_vector":{"vecs":$nAdv,"clones":$hotClones,"fit_sec":$fitSec,"nonempty_cells":$nonEmptyCells,"max_cell_share":$maxCellShare,"neardup_sec":$advSec,"neardup_pairs":$nAdvPairs,"planted_pairs":$plantedPairs},"bloom_10x":{"orders":$nOrd,"smj_sec":$sj,"smj_rows":$nsj,"probe_sec":$bp,"probe_rows":$nbp,"verify_sec":$bv,"verify_rows":$nbv},"ingest_many_files":{"files":$ingestN,"hidden_frac":0.333,"sec":$ingestSec,"words":${ingested.size},"fold_match":true},"skew_join_hot":{"hot_rows":$hotRows,"buckets_hit":${buckets.size},"max_bucket_rows":$maxBucket,"salted_sec":$saltSec,"plain_sec":$plainSec,"match":true},"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2}}""")
     spark.stop()
   }
 }

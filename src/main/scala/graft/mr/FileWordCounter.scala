@@ -33,6 +33,27 @@ object FileWordCounter {
     out.result()
   }
 
+  /** [[tokenizeQuirk]] on RAW BYTES — the reference actually operates on
+    * std::string BYTES, not decoded characters (FileWordCounter.cpp:
+    * 149-177 compares `char` against ' '), so byte-exact parity over
+    * non-UTF-8 content must split on the 0x20 byte and keep tokens as
+    * byte strings. Same quirk contract: empty tokens kept, one final
+    * (possibly empty) token, and an empty input yields one empty token. */
+  def tokenizeQuirkBytes(b: Array[Byte]): Vector[Array[Byte]] = {
+    val out = Vector.newBuilder[Array[Byte]]
+    var start = 0
+    var i = 0
+    while (i < b.length) {
+      if (b(i) == ' '.toByte) {
+        out += java.util.Arrays.copyOfRange(b, start, i)
+        start = i + 1
+      }
+      i += 1
+    }
+    out += java.util.Arrays.copyOfRange(b, start, b.length)
+    out.result()
+  }
+
   /** The MapReduce client: map = tokenize + local combine
     * (FileWordCounter.cpp:88-106's std::map combiner), reduce = sum
     * (:127-136). */

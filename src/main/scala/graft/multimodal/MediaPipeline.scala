@@ -9,8 +9,12 @@ import org.apache.spark.sql.functions._
   * metadata structs — the standard lakehouse pattern. The Spark-side
   * machinery here is real (schema, typed Dataset, partition-batched
   * processing via mapPartitions — the Scala analogue of a Pandas-UDF
-  * `mapInPandas` batch loop); only the innermost byte decode is a STUB,
-  * because no image/audio codec libraries exist in this container.
+  * `mapInPandas` batch loop), and since round 10 the decode step is real
+  * for one container format too: BMP headers are parsed from actual bytes
+  * (pure JVM — a 54-byte BITMAPINFOHEADER needs no codec library). Only
+  * payloads in formats that DO need a codec (JPEG/PNG/WAV/MP4) fall back
+  * to the deterministic stub, because no codec libraries exist in this
+  * container.
   *
   * Scale notes: decode is a map-only pass — no shuffle; partition sizing
   * is governed by `spark.sql.files.maxPartitionBytes`, and a real decoder
@@ -22,30 +26,114 @@ object MediaPipeline {
   /** A row carrying an opaque media payload. */
   case class MediaRow(doc_id: Long, source: String, media: Array[Byte])
 
-  /** Typed metadata the "decoder" extracts per payload. */
+  /** Typed metadata the decoder extracts per payload. */
   case class MediaMeta(doc_id: Long, source: String, bytes: Long,
                        width: Int, height: Int, n_frames: Int)
 
-  /** STUB decoder — deterministic fake derived from the payload length.
-    * A real implementation would parse the container header (JPEG/PNG/
-    * WAV/MP4) here; the container image has no codec libs, so the fake
-    * keeps every downstream query runnable AND oracle-checkable.
-    */
+  /** STUB decoder — deterministic fake derived from the payload length,
+    * for payloads in no recognized container format. A real implementation
+    * would dispatch on more magic numbers (JPEG/PNG/WAV/MP4) the way
+    * [[decodeBmp]] does; those need codec libraries this container lacks,
+    * so the fake keeps every downstream query runnable AND
+    * oracle-checkable. */
   def decodeStub(media: Array[Byte]): (Int, Int, Int) = {
     val n = media.length
     ((n % 640) + 16, ((n * 7) % 480) + 16, (n % 30) + 1)
   }
 
-  /** Build the media table from documents (payload = utf-8 bytes of text —
-    * a stand-in for real blobs, with realistic size variance). */
+  /** REAL header parse for the BMP container (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER, 54 bytes): little-endian i32 width at offset 18,
+    * height at 22 (|height| — top-down BMPs store it negative), one frame.
+    *
+    * Validation is strict on purpose: beyond the 'BM' magic it requires
+    * pixel-offset 54 (offset 10), infoheader size 40 (offset 14) and
+    * planes 1 (offset 26). Those fields force zero bytes at offsets
+    * 11-13, 15-17 and 27, which no ASCII payload (bytes 0x20-0x7e) can
+    * contain — so a text document that happens to start with "BM" can
+    * never be misparsed as an image (the raw-payload queries rely on
+    * this: their oracles model the stub arithmetic). */
+  def decodeBmp(media: Array[Byte]): Option[(Int, Int, Int)] = {
+    def i32(off: Int): Int =
+      (media(off) & 0xff) | ((media(off + 1) & 0xff) << 8) |
+        ((media(off + 2) & 0xff) << 16) | ((media(off + 3) & 0xff) << 24)
+    def i16(off: Int): Int = (media(off) & 0xff) | ((media(off + 1) & 0xff) << 8)
+    if (media.length >= BmpHeaderLen &&
+        media(0) == 'B'.toByte && media(1) == 'M'.toByte &&
+        i32(10) == BmpHeaderLen && i32(14) == 40 && i16(26) == 1)
+      Some((i32(18), math.abs(i32(22)), 1))
+    else None
+  }
+
+  /** Dispatching decoder: real BMP header parse, stub for everything else. */
+  def decodeMedia(media: Array[Byte]): (Int, Int, Int) =
+    decodeBmp(media).getOrElse(decodeStub(media))
+
+  /** BMP container size: 14-byte file header + 40-byte BITMAPINFOHEADER. */
+  val BmpHeaderLen = 54
+
+  /** A VALID 54-byte BMP header declaring `width`×`height` (24-bit,
+    * uncompressed) over a `payloadLen`-byte body — what the fixture
+    * staging prepends so [[decodeBmp]] has real bytes to parse. */
+  def bmpHeader(width: Int, height: Int, payloadLen: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(BmpHeaderLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+      .putInt(BmpHeaderLen + payloadLen) // file size
+      .putInt(0)                         // reserved
+      .putInt(BmpHeaderLen)              // pixel data offset
+      .putInt(40)                        // BITMAPINFOHEADER size
+      .putInt(width).putInt(height)
+      .putShort(1)                       // planes
+      .putShort(24)                      // bits per pixel
+      .putInt(0)                         // BI_RGB (uncompressed)
+      .putInt(payloadLen)                // image size
+      .putInt(2835).putInt(2835)         // 72 dpi in px/metre
+      .putInt(0).putInt(0)               // palette sizes
+    b.array()
+  }
+
+  /** The staged BMP dimensions for doc `id` — pure doc_id arithmetic so
+    * the DuckDB oracle can replicate what the staging WROTE while Spark
+    * re-derives it by PARSING the header bytes (the gate proves the
+    * parse: a wrong offset or endianness breaks the hash match). */
+  def bmpWidth(id: Long): Int = ((id % 600) + 20).toInt
+  def bmpHeight(id: Long): Int = (((id * 3) % 400) + 20).toInt
+
+  /** Raw media table from documents (payload = utf-8 bytes of text — a
+    * stand-in for real blobs, with realistic size variance). The byte-
+    * level queries (content dedup, audio energy, the feature pipeline)
+    * read THIS table: their oracles model the raw payload. */
   def mediaTable(s: SparkSession, dir: String): DataFrame =
     graft.Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("media"))
 
-  /** Decode pass: typed Dataset + mapPartitions — the batch shape a real
-    * decoder needs (iterator in, iterator out, one partition per task). */
+  /** Container-staged media table: every 4th doc's payload is wrapped in
+    * a REAL BMP header (dimensions from [[bmpWidth]]/[[bmpHeight]]), the
+    * rest stay bare — the mixed-format corpus the metadata queries
+    * (mm_meta_stats / mm_frame_sample / mm_resize_plan) decode, so the
+    * header-parse path and the stub fallback are both exercised by every
+    * gate over it. Typed mapPartitions staging, same batch shape as the
+    * decode pass itself. */
+  def mediaTableStaged(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, src, text) =>
+        val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val media =
+          if (id % 4 == 0) bmpHeader(bmpWidth(id), bmpHeight(id), payload.length) ++ payload
+          else payload
+        MediaRow(id, src, media)
+      })
+      .toDF()
+  }
+
+  /** Decode pass over the mixed-format staged corpus: typed Dataset +
+    * mapPartitions — the batch shape a real decoder needs (iterator in,
+    * iterator out, one partition per task). */
   def decoded(s: SparkSession, dir: String): DataFrame =
-    decodedOf(s, mediaTable(s, dir))
+    decodedOf(s, mediaTableStaged(s, dir))
 
   /** Decode pass over ANY (doc_id, source, media) frame. Callers that only
     * need a few payloads should filter BEFORE this call: the typed
@@ -56,7 +144,7 @@ object MediaPipeline {
     mediaDf.as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val (w, h, f) = decodeStub(r.media)
+          val (w, h, f) = decodeMedia(r.media)
           MediaMeta(r.doc_id, r.source, r.media.length.toLong, w, h, f)
         }
       }

@@ -137,8 +137,13 @@ object IvfCodebook {
   def fitCodebook(s: SparkSession, vecs: DataFrame,
                   k: Int): Seq[(Long, Array[Double], Double)] = {
     require(k >= 1, s"codebook size must be >= 1, got $k")
+    // Degenerate-vector guard, SAME contract as embedNearDupIvf's input
+    // door (round-9): under Spark's total ordering NaN > 0 is TRUE, so a
+    // bare `nrm > 0` lets a NaN-norm vector through to poison every
+    // centroid sum it touches (round-9 ADVICE made the shared kernel
+    // consistent with the callers).
     val e = vecs
-      .filter(col("nrm") > 0)
+      .filter(col("nrm") > 0 && !isnan(col("nrm")))
       .select(col("vec_id"), col("v"), col("nrm"))
 
     // Deterministic Bernoulli sample bounded at SampleTarget: keep rows

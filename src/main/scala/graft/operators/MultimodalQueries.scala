@@ -7,14 +7,22 @@ import org.apache.spark.sql.functions._
 
 /** Queries over the multimodal (binary media) pipeline.
   *
-  * The decode step is a deterministic stub (see MediaPipeline.decodeStub),
-  * so the oracle can replicate its arithmetic from strlen(text) —
-  * documents are ASCII, so utf-8 byte length == n_chars.
+  * Two corpora (see MediaPipeline): the METADATA queries (mm_meta_stats /
+  * mm_frame_sample / mm_resize_plan) decode the container-staged table —
+  * every 4th payload carries a REAL 54-byte BMP header whose
+  * width/height Spark PARSES from the bytes while the oracle replicates
+  * the staging arithmetic from doc_id (a wrong parse offset or
+  * endianness breaks the hash match); the rest fall back to the
+  * deterministic stub, whose arithmetic the oracle models from
+  * strlen(text) — documents are ASCII, so utf-8 byte length == n_chars.
+  * The BYTE-level queries (content dedup, audio energy, the feature
+  * pipeline) read the raw headerless table: payload == text bytes there.
   */
 object MultimodalQueries extends QueryPack {
 
   val queries: Map[String, Q] = Map(
-    // Per-source media statistics after the mapPartitions decode pass.
+    // Per-source media statistics after the mapPartitions decode pass
+    // (mixed-format corpus: real BMP header parse + stub fallback).
     "mm_meta_stats" -> ((s, d) =>
       MediaPipeline.decoded(s, d)
         .groupBy("source")
@@ -57,7 +65,11 @@ object MultimodalQueries extends QueryPack {
       val probe = featOf(MediaPipeline.decodedOf(s,
           MediaPipeline.mediaTable(s, d).filter(col("doc_id") === 0)))
         .select(col("fv").as("pv"), col("nrm").as("pnrm"))
-      featOf(MediaPipeline.decoded(s, d)).filter(col("doc_id") =!= 0)
+      // The feature pipeline reads the RAW (headerless) table on both
+      // sides: its signature is a stand-in for a learned embedding over
+      // payload bytes, so the container staging stays out of it.
+      featOf(MediaPipeline.decodedOf(s, MediaPipeline.mediaTable(s, d)))
+        .filter(col("doc_id") =!= 0)
         .crossJoin(broadcast(probe))
         .withColumn("cos", call_function("graft_dot", col("fv"), col("pv")) / (col("nrm") * col("pnrm")))
         .select(col("doc_id"), graft.Portable.round6(col("cos")).as("cos"))
@@ -138,12 +150,20 @@ object MultimodalQueries extends QueryPack {
                  CAST(list_sum(list_slice(codes, win*256 + 1,
                    LEAST((win + 1)*256, len(codes)))) AS BIGINT) AS sum_bytes
           FROM w ORDER BY doc_id, win""",
+    // Mixed-format corpus: every 4th doc is BMP-staged (bytes grow by the
+    // 54-byte header; width/height are what the staging WROTE — the Spark
+    // side re-derives them by parsing the header bytes — and a BMP is one
+    // frame); the rest model the stub arithmetic on strlen.
     "mm_meta_stats" ->
       """WITH m AS (SELECT doc_id, source, strlen(text) AS b FROM documents),
-            meta AS (SELECT doc_id, source, CAST(b AS BIGINT) AS bytes,
-                            (b % 640) + 16 AS width,
-                            ((b * 7) % 480) + 16 AS height,
-                            (b % 30) + 1 AS n_frames
+            meta AS (SELECT doc_id, source,
+                            CAST(b + CASE WHEN doc_id % 4 = 0 THEN 54 ELSE 0 END AS BIGINT) AS bytes,
+                            CASE WHEN doc_id % 4 = 0 THEN (doc_id % 600) + 20
+                                 ELSE (b % 640) + 16 END AS width,
+                            CASE WHEN doc_id % 4 = 0 THEN ((doc_id * 3) % 400) + 20
+                                 ELSE ((b * 7) % 480) + 16 END AS height,
+                            CASE WHEN doc_id % 4 = 0 THEN 1
+                                 ELSE (b % 30) + 1 END AS n_frames
                      FROM m)
          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_media,
                 CAST(SUM(bytes) AS BIGINT) AS total_bytes,
@@ -152,7 +172,10 @@ object MultimodalQueries extends QueryPack {
                 CAST(MAX(n_frames) AS INT) AS max_frames
          FROM meta GROUP BY source ORDER BY source""",
     "mm_frame_sample" ->
-      """WITH m AS (SELECT doc_id, source, (strlen(text) % 30) + 1 AS n_frames FROM documents),
+      """WITH m AS (SELECT doc_id, source,
+                           CASE WHEN doc_id % 4 = 0 THEN 1
+                                ELSE (strlen(text) % 30) + 1 END AS n_frames
+                    FROM documents),
             fr AS (SELECT source, unnest(range(n_frames)) AS frame_idx FROM m)
          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled_frames
          FROM fr WHERE frame_idx % 5 = 0 GROUP BY source ORDER BY source""",
@@ -184,8 +207,10 @@ object MultimodalQueries extends QueryPack {
           ORDER BY cos DESC, doc_id LIMIT 10""",
     "mm_resize_plan" ->
       """WITH meta AS (SELECT doc_id,
-                              (strlen(text) % 640) + 16 AS width,
-                              ((strlen(text) * 7) % 480) + 16 AS height
+                              CASE WHEN doc_id % 4 = 0 THEN (doc_id % 600) + 20
+                                   ELSE (strlen(text) % 640) + 16 END AS width,
+                              CASE WHEN doc_id % 4 = 0 THEN ((doc_id * 3) % 400) + 20
+                                   ELSE ((strlen(text) * 7) % 480) + 16 END AS height
                        FROM documents)
          SELECT doc_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
                 CAST(FLOOR(width * LEAST(224.0 / width, 224.0 / height)) AS INT) AS out_w,

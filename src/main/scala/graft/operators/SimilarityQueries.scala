@@ -18,9 +18,9 @@ import org.apache.spark.sql.functions._
   *    parquet so the DuckDB oracle reads the identical codebook bytes).
   *    Vectors are assigned to their nearest centroid once (a broadcast
   *    join + argmax, i.e. the index build); a query then probes only the
-  *    nprobe=4 closest clusters — at scale this prunes the scan to
-  *    nprobe/nlist of the corpus, and the assignment doubles as a
-  *    partitioning key for locality.
+  *    [[SimilarityQueries.QueryNprobe]] closest clusters — at scale this
+  *    prunes the scan to nprobe/nlist of the corpus, and the assignment
+  *    doubles as a partitioning key for locality.
   *
   * Dot products use the native codegen expression graft_dot (DotProduct)
   * — fold-left order matches DuckDB `list_reduce` with per-element float→
@@ -38,6 +38,24 @@ object SimilarityQueries extends QueryPack {
   /** dot(v, w) via the native codegen expression graft_dot (same fold
     * order as the declarative aggregate/zip_with form; see DotProduct). */
   private def cosExpr = graft.functions.expressions.GraftFunctions.dotCol(col("v"), col("w"))
+
+  /** Cells probed by the single-probe ANN query (`sim_ivf`) out of the 16
+    * learned cells — the recall/cost knob. Round-9 verdict #2 asked for a
+    * recall floor near 0.8: measured recall@10 across the three SFs is
+    * 5-6/10 at nprobe=4 (the fixture embeddings are random synthetic
+    * vectors — near-uniform cosine neighborhoods, the documented worst
+    * case for IVF, where high recall fundamentally requires scanning a
+    * large corpus fraction), 6-7 at nprobe=6, and 7-9 at nprobe=8. 8 is
+    * the knee on this fixture; real clustered embeddings reach the same
+    * recall at far smaller nprobe/nlist. */
+  val QueryNprobe = 8
+
+  /** sim_ivf_recall's gate: recall@10 ≥ [[RecallFloorHits]]/10. Set to the
+    * measured cross-SF minimum at nprobe=[[QueryNprobe]] (deterministic —
+    * fixed fixture, deterministic codebook — so the floor is exact, not a
+    * noise band): a codebook/probe regression that costs even one hit at
+    * any SF fails the gate. */
+  val RecallFloorHits = 7
 
   /** The IVF index build shared by sim_knn_ivf, sim_knn_ivf2 and
     * dedup_embed_ivf: score every vector against the 16 learned k-means
@@ -89,19 +107,19 @@ object SimilarityQueries extends QueryPack {
     }),
 
     // IVF: assign every vector to nearest of the 16 learned k-means
-    // centroids; probe the 4 clusters nearest the query; exact search
-    // within them. The assignment comes off the shared cached index (one
-    // build for sim_ivf, sim_knn_ivf, sim_knn_ivf2 and dedup_embed_ivf).
+    // centroids; probe the QueryNprobe clusters nearest the query; exact
+    // search within them. The assignment comes off the shared cached index
+    // (one build for sim_ivf, sim_knn_ivf, sim_knn_ivf2 and dedup_embed_ivf).
     "sim_ivf" -> ((s, d) => {
       val e = vecs(s, d)
       val cent = IvfCodebook.centroids(s, d)
       val assigned = ivfScoredAssignment(s, d, nprobe = 1).drop("rk")
-      // Query: probe = vec_id 0; its 4 nearest centroids.
+      // Query: probe = vec_id 0; its QueryNprobe nearest centroids.
       val probeClusters = e.filter(col("vec_id") === 0)
         .crossJoin(broadcast(cent))
         .withColumn("ccos", cosExpr / (col("nrm") * col("wnrm")))
         .orderBy(col("ccos").desc, col("cid"))
-        .limit(4)
+        .limit(QueryNprobe)
         .select(col("cid").as("cluster"))
       val probeVec = e.filter(col("vec_id") === 0)
         .select(col("v").as("w"), col("nrm").as("wnrm"))
@@ -193,12 +211,11 @@ object SimilarityQueries extends QueryPack {
     // produces deterministic-but-lopsided cells fails the gate even though
     // sim_ivf itself would keep hash-matching its own (degraded) oracle.
     // Both top-10 sets are independently hash-gated queries, so the
-    // intersection count is deterministic cross-engine. Floor 0.4: the
-    // fixture embeddings are random synthetic vectors — near-uniform
-    // cosine neighborhoods, the documented worst case for IVF (see
-    // SimilarityRecallSpec) — and the learned codebook's 4-of-16-cell
-    // probe measures recall 0.5-0.6 across SFs, while a broken/lopsided
-    // codebook degenerates toward the 4/16 = 0.25 random-scan rate.
+    // intersection count is deterministic cross-engine. The floor is the
+    // measured cross-SF minimum at nprobe=QueryNprobe (see the constants'
+    // scaladoc for the full measured nprobe→recall curve on this
+    // worst-case random-vector fixture); a broken/lopsided codebook
+    // degenerates toward the QueryNprobe/16 random-scan rate.
     "sim_ivf_recall" -> ((s, d) => {
       val brute = queries("sim_topk_brute")(s, d).select("vec_id")
       val ivf = queries("sim_ivf")(s, d).select("vec_id")
@@ -206,7 +223,7 @@ object SimilarityQueries extends QueryPack {
         .agg(count(lit(1)).as("n_hit"))
         .select(lit(10).as("k"), col("n_hit"),
           round6(col("n_hit") / lit(10.0)).as("recall"),
-          (col("n_hit") >= 4).as("recall_ok"))
+          (col("n_hit") >= RecallFloorHits).as("recall_ok"))
     }),
 
     // Int8 quantization audit: per-vector symmetric scale (127/max|x|),
@@ -277,7 +294,7 @@ object SimilarityQueries extends QueryPack {
                       FROM n a, cent c) WHERE rk = 1),
             pc AS (SELECT c.cid AS cluster
                    FROM n a, cent c WHERE a.vec_id = 0
-                   ORDER BY ${cosSql("a.v", "c.w")} / (a.nrm * c.wnrm) DESC, c.cid LIMIT 4),
+                   ORDER BY ${cosSql("a.v", "c.w")} / (a.nrm * c.wnrm) DESC, c.cid LIMIT $QueryNprobe),
             probe AS (SELECT v AS w, nrm AS wnrm FROM n WHERE vec_id = 0),
             hits AS (SELECT a.vec_id, a.cluster,
                             ${cosSql("a.v", "p.w")} / (a.nrm * p.wnrm) AS cos
@@ -347,7 +364,7 @@ object SimilarityQueries extends QueryPack {
                       FROM n a, cent c) WHERE rk = 1),
             pc AS (SELECT c.cid AS cluster
                    FROM n a, cent c WHERE a.vec_id = 0
-                   ORDER BY ${cosSql("a.v", "c.w")} / (a.nrm * c.wnrm) DESC, c.cid LIMIT 4),
+                   ORDER BY ${cosSql("a.v", "c.w")} / (a.nrm * c.wnrm) DESC, c.cid LIMIT $QueryNprobe),
             probe AS (SELECT v AS w, nrm AS wnrm FROM n WHERE vec_id = 0),
             ivf AS (SELECT a.vec_id,
                            ${cosSql("a.v", "p.w")} / (a.nrm * p.wnrm) AS cos
@@ -362,7 +379,7 @@ object SimilarityQueries extends QueryPack {
                      FROM ivf JOIN brute USING (vec_id))
           SELECT 10 AS k, n_hit,
                  FLOOR(n_hit / 10.0 * 1000000 + 0.5)/1000000 AS recall,
-                 n_hit >= 4 AS recall_ok
+                 n_hit >= $RecallFloorHits AS recall_ok
           FROM hitn""",
     "embed_quantize" ->
       """WITH e AS (SELECT vec_id, label,

@@ -42,8 +42,19 @@ object FileSources {
     * [[readWholeFiles]], never on the driver. */
   def wholeTextDir(spark: SparkSession, dir: String,
                    includeHidden: Boolean = false): DataFrame = {
+    // Canonical path spelling (round-9 ADVICE): local-file URIs have an
+    // EMPTY authority, which different producers spell differently —
+    // input_file_name() and FileStatus.getPath.toUri may disagree
+    // ('file:/p' vs 'file:///p' varies by code path and version) — so
+    // consumers joining/grouping on the path column across legs could
+    // silently mis-group. EVERY leg is normalized through the same rule
+    // (any 'file:/+' prefix → 'file:///'); URIs with a real authority
+    // (hdfs://host/p, s3a://bucket/p) are untouched because the pattern
+    // is anchored to the file scheme.
+    def canon(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "^file:/+", "file:///")
     val scanned = spark.read.option("wholetext", "true").text(dir)
-      .select(input_file_name().as("path"), col("value").as("content"))
+      .select(canon(input_file_name()).as("path"), col("value").as("content"))
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def isHidden(n: String) = n.startsWith("_") || n.startsWith(".")
@@ -59,8 +70,10 @@ object FileSources {
     var out = scanned
     if (empties.nonEmpty)
       out = out.unionByName(
-        empties.toSeq.toDF("path").select(col("path"), lit("").as("content")))
-    if (hidden.nonEmpty) out = out.unionByName(readWholeFiles(spark, hidden.toSeq))
+        empties.toSeq.toDF("path").select(canon(col("path")).as("path"), lit("").as("content")))
+    if (hidden.nonEmpty) out = out.unionByName(
+      readWholeFiles(spark, hidden.toSeq)
+        .select(canon(col("path")).as("path"), col("content")))
     out
   }
 
@@ -68,11 +81,45 @@ object FileSources {
     * built-in source refuses (it drops `_`/`.`-prefixed names even when
     * listed explicitly). Each task opens its paths through the Hadoop
     * FileSystem API — the same IO layer the built-in scan uses, so
-    * s3a/hdfs/local all work — and decodes UTF-8 like `wholetext`.
+    * s3a/hdfs/local all work — and decodes UTF-8 like `wholetext`
+    * (LOSSY: malformed byte sequences become U+FFFD — String's documented
+    * replacement behavior; byte-exact consumers use
+    * [[readWholeFilesBytes]]).
     * Scale: one row per file, `paths.size`-bounded parallelism, content
     * never touches the driver; same per-file-fits-in-a-task contract as
     * `wholetext` itself. */
   def readWholeFiles(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    // new String(_, UTF_8) replaces malformed sequences with U+FFFD (the
+    // lossy contract above); Spark's decode() expression instead THROWS
+    // on malformed bytes in Spark 4, so the decode stays in typed code.
+    readWholeFilesBytes(spark, paths).as[(String, Array[Byte])]
+      .map { case (p, b) => (p, new String(b, java.nio.charset.StandardCharsets.UTF_8)) }
+      .toDF("path", "content")
+  }
+
+  /** [[readWholeFiles]] without the UTF-8 decode: (path, content: binary),
+    * byte-for-byte what the file holds — the reference's `loadFile` is
+    * byte-oblivious (FileWordCounter.cpp:139-147 reads into a std::string
+    * with no charset), so byte-exact parity paths (e.g.
+    * [[directoryWordCountRaw]]) must carry raw bytes.
+    *
+    * Path resolution contract (round-9 ADVICE — the old URI-first rule
+    * silently decoded a file literally named 'a%20b.txt' into 'a b.txt'):
+    * RAW interpretation wins when such a file exists, so
+    * legal-but-URI-significant characters ('%', '#') in a real filename
+    * are never decoded away; the URI parse is the fallback for encoded
+    * spellings — which is safe, because an encoded listing spelling's
+    * literal interpretation never exists on disk (toUri.toString
+    * percent-encodes '%' itself to %25). Costs one extra existence probe
+    * per file, amortized inside the task that reads the file anyway.
+    *
+    * `missingAsEmpty = true` replicates the reference's ignored-open-error
+    * contract (loadFile's unchecked `is_open`, cpp:141: an unreadable file
+    * contributes empty content, silently) — parity callers only; the
+    * default fails the task like any lake source would. */
+  def readWholeFilesBytes(spark: SparkSession, paths: Seq[String],
+                          missingAsEmpty: Boolean = false): DataFrame = {
     import spark.implicits._
     val confSer = new org.apache.spark.SerializableWritable(
       new org.apache.hadoop.conf.Configuration(spark.sparkContext.hadoopConfiguration))
@@ -80,23 +127,34 @@ object FileSources {
     spark.createDataset(paths).repartition(slices)
       .mapPartitions { it =>
         it.map { pathStr =>
-          // Accept both spellings a caller can hold: an encoded URI (what
-          // the listing's toUri.toString yields — %20 for a space) and a
-          // raw filesystem path (what a user types — a literal space,
-          // which the URI parser rejects).
-          val path =
-            try new org.apache.hadoop.fs.Path(new java.net.URI(pathStr))
+          def read(path: org.apache.hadoop.fs.Path): Option[Array[Byte]] = {
+            val fs = path.getFileSystem(confSer.value)
+            val len =
+              try fs.getFileStatus(path).getLen
+              catch { case _: java.io.FileNotFoundException => return None }
+            require(len <= Int.MaxValue,
+              s"$pathStr exceeds the one-record limit ($len bytes)")
+            val buf = new Array[Byte](len.toInt)
+            val in = fs.open(path)
+            try in.readFully(0, buf) finally in.close()
+            Some(buf)
+          }
+          val raw =
+            try read(new org.apache.hadoop.fs.Path(pathStr))
+            catch { case _: IllegalArgumentException => None } // not path-shaped
+          val bytes = raw.orElse {
+            try read(new org.apache.hadoop.fs.Path(new java.net.URI(pathStr)))
             catch {
-              case _: java.net.URISyntaxException =>
-                new org.apache.hadoop.fs.Path(pathStr)
+              case _: java.net.URISyntaxException => None
+              case _: IllegalArgumentException => None
             }
-          val fs = path.getFileSystem(confSer.value)
-          val len = fs.getFileStatus(path).getLen
-          require(len <= Int.MaxValue, s"$pathStr exceeds the one-record limit ($len bytes)")
-          val buf = new Array[Byte](len.toInt)
-          val in = fs.open(path)
-          try in.readFully(0, buf) finally in.close()
-          (pathStr, new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+          }
+          bytes match {
+            case Some(b) => (pathStr, b)
+            case None if missingAsEmpty => (pathStr, Array.emptyByteArray)
+            case None => throw new java.io.FileNotFoundException(
+              s"$pathStr (tried raw path, then URI decode)")
+          }
         }
       }
       .toDF("path", "content")
@@ -183,6 +241,38 @@ object FileSources {
     val input = wholeTextDirRef(spark, dir).as[(String, String)]
     graft.mr.MapReduceJob.run(input, graft.mr.FileWordCounter.client, sortedByKey = true)
       .toDF("word", "count")
+  }
+
+  /** BYTE-EXACT reference parity word count (round-9 verdict #7 — the
+    * last documented `loadFile` divergence): where [[directoryWordCount]]
+    * decodes UTF-8 (lossy on malformed bytes) because its oracle speaks
+    * strings, this variant never decodes at all. It replicates the
+    * reference program on raw bytes end to end:
+    *  - readdir + S_ISREG (cpp:218): ALL regular files, hidden included —
+    *    a driver-side listing (the same metadata pass every FileIndex
+    *    runs), contents read distributed;
+    *  - loadFile (cpp:139-147): whole file as bytes, stopped at the first
+    *    NUL (`getline(file, content, '\0')`), an unreadable file silently
+    *    contributing empty content (the ignored `is_open`, cpp:141);
+    *  - the quirk tokenizer on BYTES (0x20 split, empty tokens kept);
+    *  - reduce visit order = std::map's unsigned-char lexicographic order
+    *    ≡ Spark's binary ordering.
+    * Returns (word: binary, count) — byte-identical to the reference on
+    * ANY byte content, property-tested against a sequential fold over
+    * random byte files (FileSourcesSpec). */
+  def directoryWordCountRaw(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).filter(_.isFile).map(_.getPath.toUri.toString).toSeq
+    readWholeFilesBytes(spark, files, missingAsEmpty = true)
+      .as[(String, Array[Byte])]
+      .flatMap { case (_, content) =>
+        graft.mr.FileWordCounter.tokenizeQuirkBytes(content.takeWhile(_ != 0))
+      }
+      .toDF("word")
+      .groupBy("word").agg(count(lit(1)).cast("int").as("count"))
+      .orderBy("word")
   }
 
   /** (path, content) over a directory with STRICT reference-loadFile

@@ -30,6 +30,31 @@ class SkewAndBucketingSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("saltedJoin on a 100x-hot key: buckets spread, result equals the plain join") {
+    // The adversarial case q_skew_join exists for (round-9 verdict #5):
+    // ONE key carrying ~100x any other key's rows, with a companion
+    // column of matching cardinality. Salting must spread the hot key
+    // over all 8 buckets with a per-bucket bound, and the joined
+    // aggregate must equal the plain join exactly.
+    import spark.implicits._
+    val hot = (0 until 800).map(i => (0L, i.toLong, 10L))
+    val tail = (1L to 100L).map(k => (k, 0L, k))
+    val big = (hot ++ tail).toDF("k", "companion", "v")
+    val dim = (0L to 100L).map(k => (k, s"d$k")).toDF("dk", "label")
+    val buckets = big.filter(col("k") === 0L)
+      .groupBy(pmod(hash(col("companion")), lit(8)).as("salt")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(buckets.size == 8, s"hot key hit only ${buckets.size}/8 buckets")
+    assert(buckets.values.max <= 800 / 4,
+      s"one bucket kept ${buckets.values.max} of 800 hot rows")
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("label").agg(count(lit(1)).as("n"), sum("v").as("t"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val salted = agg(SkewUtils.saltedJoin(big, dim, "k", "dk", col("companion"), 8))
+    val plain = agg(big.join(dim, col("k") === col("dk")))
+    assert(salted == plain, "salted join changed the aggregate")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // warehouse dir is a temp path set at session creation (SparkSpec).
     Tables.orders(spark, dir).write.mode("overwrite")

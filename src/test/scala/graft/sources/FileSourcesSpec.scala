@@ -160,6 +160,110 @@ class FileSourcesSpec extends SparkSpec {
     assert(emptyCounts == Map("" -> 2)) // one "" token per empty file
   }
 
+  test("property: directoryWordCountRaw ≡ byte-level quirk fold on random BYTE files") {
+    // Round-9 verdict #7 — the last documented loadFile divergence
+    // (non-UTF-8 bytes) closed: the raw path never decodes, so it must
+    // match the reference byte-for-byte on ARBITRARY bytes — malformed
+    // UTF-8, embedded NULs, 0x20 inside multibyte garbage, hidden names,
+    // empty files.
+    val rnd = new scala.util.Random(101326)
+    for (round <- 1 to 4) {
+      val dir = Files.createTempDirectory("graft-raw").toFile
+      dir.deleteOnExit()
+      val contents = Vector.tabulate(rnd.nextInt(5) + 3) { i =>
+        val body =
+          if (i == 0) Array.emptyByteArray
+          else {
+            val b = new Array[Byte](rnd.nextInt(120))
+            rnd.nextBytes(b)
+            // re-seed spaces and NULs so both quirk paths trigger often
+            b.indices.foreach { j =>
+              val r = rnd.nextInt(6)
+              if (r == 0) b(j) = ' '.toByte else if (r == 1) b(j) = 0
+            }
+            b
+          }
+        val name = i % 3 match {
+          case 1 => s".f$i.bin"
+          case 2 => s"_f$i.bin"
+          case _ => s"f$i.bin"
+        }
+        Files.write(new java.io.File(dir, name).toPath, body)
+        name -> body
+      }
+      val expected = contents
+        .flatMap { case (_, bytes) =>
+          graft.mr.FileWordCounter.tokenizeQuirkBytes(bytes.takeWhile(_ != 0))
+        }
+        .groupBy(_.toSeq).map { case (w, ws) => w -> ws.size }
+      val got = FileSources.directoryWordCountRaw(spark, dir.getAbsolutePath)
+        .collect().map(r => r.getAs[Array[Byte]](0).toSeq -> r.getInt(1))
+      assert(got.toMap == expected, s"round $round: raw word count diverged from byte fold")
+      // Reduce visit order parity: std::map<std::string> iterates in
+      // unsigned-char lexicographic order ≡ Spark's binary sort order.
+      val keys = got.map(_._1.map(_ & 0xff).toVector).toSeq
+      assert(keys == keys.sorted(math.Ordering.Implicits.seqOrdering[Vector, Int]),
+        s"round $round: output not in unsigned-lex byte order")
+    }
+  }
+
+  test("raw-path-first resolution: a literal 'a%20b.txt' is never URI-decoded away") {
+    // Round-9 ADVICE: URI-first parsing silently read 'a b.txt' when the
+    // caller named 'a%20b.txt'. Both files exist here with different
+    // content — the raw spelling must win; the encoded listing spelling
+    // (whose literal interpretation never exists) must still decode.
+    val dir = tempDirWith("a%20b.txt" -> "LITERAL", "a b.txt" -> "DECODED")
+    val literal = FileSources.readWholeFiles(spark, Seq(s"$dir/a%20b.txt"))
+      .collect().map(_.getString(1)).toSeq
+    assert(literal == Seq("LITERAL"), "percent spelling was URI-decoded away")
+    // With BOTH files present, the encoded spelling of 'a b.txt' is the
+    // raw spelling of 'a%20b.txt' — genuinely ambiguous; raw wins by
+    // contract (and a LISTING never produces this spelling for the
+    // literal file: toUri encodes its '%' to %25, checked below).
+    val encoded = new java.io.File(dir, "a b.txt").toURI.toString // .../a%20b.txt
+    val ambiguous = FileSources.readWholeFiles(spark, Seq(encoded))
+      .collect().map(_.getString(1)).toSeq
+    assert(ambiguous == Seq("LITERAL"), "ambiguous spelling must resolve raw-first")
+    val listedLiteral = new org.apache.hadoop.fs.Path(s"$dir/a%20b.txt").toUri.toString
+    assert(listedLiteral.endsWith("a%2520b.txt"), s"listing spelling: $listedLiteral")
+    val viaListing = FileSources.readWholeFiles(spark, Seq(listedLiteral))
+      .collect().map(_.getString(1)).toSeq
+    assert(viaListing == Seq("LITERAL"))
+    // URI-decode fallback: where no literal percent-file shadows it, the
+    // encoded spelling still resolves to the decoded file.
+    val dir2 = tempDirWith("a b.txt" -> "DECODED")
+    val decoded = FileSources.readWholeFiles(
+        spark, Seq(new java.io.File(dir2, "a b.txt").toURI.toString))
+      .collect().map(_.getString(1)).toSeq
+    assert(decoded == Seq("DECODED"), "encoded URI spelling no longer resolves")
+    // Default: a missing path fails the job; missingAsEmpty (the
+    // reference's ignored-open-error contract) yields empty content.
+    intercept[org.apache.spark.SparkException] {
+      FileSources.readWholeFilesBytes(spark, Seq(s"$dir/nope.txt")).collect()
+    }
+    val lenient = FileSources
+      .readWholeFilesBytes(spark, Seq(s"$dir/nope.txt"), missingAsEmpty = true)
+      .collect().map(r => r.getAs[Array[Byte]]("content").length).toSeq
+    assert(lenient == Seq(0))
+  }
+
+  test("wholeTextDir emits ONE canonical path spelling across all three legs") {
+    // Round-9 ADVICE: empty-authority file URIs get spelled 'file:/p' or
+    // 'file:///p' depending on which code path produced them — grouping
+    // on path across legs mis-grouped. All legs normalize to 'file:///'.
+    val dir = tempDirWith(
+      "plain.txt" -> "a", "empty.txt" -> "", ".hidden.txt" -> "b", ".e2" -> "")
+    val paths = FileSources.wholeTextDir(spark, dir, includeHidden = true)
+      .collect().map(_.getString(0))
+    assert(paths.length == 4 && paths.distinct.length == 4)
+    paths.foreach { p =>
+      assert(p.startsWith("file:///") && !p.startsWith("file:////"),
+        s"non-canonical spelling: $p")
+    }
+    assert(paths.map(_.split('/').last).toSet ==
+      Set("plain.txt", "empty.txt", ".hidden.txt", ".e2"))
+  }
+
   test("csv and json round-trip through builtin sources") {
     val dir = tempDirWith("d.csv" -> "a,b\n1,x\n2,y")
     val df = FileSources.csv(spark, s"$dir/d.csv")
