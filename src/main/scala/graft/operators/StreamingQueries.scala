@@ -91,7 +91,15 @@ object StreamingQueries extends QueryPack {
         .select(col("user_id"), col("event_type"),
           unix_timestamp(col("first_ts")).as("first_sec"),
           col("first_event_id"))
-        .orderBy("user_id", "event_type"))
+        .orderBy("user_id", "event_type")),
+
+    // The watermarked stream-stream interval join executed LIVE with two
+    // independent file-stream sources (see EventStreams.runFunnelLive) —
+    // the join-state runtime path, gated against the same oracle as the
+    // batch twin.
+    "stream_funnel_live" -> ((s, d) =>
+      EventStreams.runFunnelLive(s, d)
+        .orderBy("click_id", "purchase_id"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -132,6 +140,13 @@ object StreamingQueries extends QueryPack {
          FROM r WHERE rk = 1 ORDER BY user_id, event_type""",
     // Inner interval join ≡ the plain time-bounded self-join in batch.
     "stream_funnel_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+         FROM events c JOIN events p ON p.user_id = c.user_id
+         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+         ORDER BY click_id, purchase_id""",
+    // The live two-source join must converge to the identical match set.
+    "stream_funnel_live" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
          FROM events c JOIN events p ON p.user_id = c.user_id
          WHERE c.event_type = 'click' AND p.event_type = 'purchase'

@@ -117,7 +117,7 @@ object EventStreams {
     * `processAllAvailable` does not await. All real events arrive in
     * batch 0, before any watermark movement, so nothing is late-dropped. */
   private[graft] def runLive(spark: SparkSession, dataDir: String,
-                             transform: DataFrame => DataFrame,
+                             transform: (() => DataFrame) => DataFrame,
                              followups: LiveStage => Seq[DataFrame]): DataFrame = {
     import java.nio.file.{Files, Paths}
     val base = Files.createTempDirectory("graft_live_").toFile.getAbsolutePath
@@ -140,7 +140,10 @@ object EventStreams {
     if (!sess.conf.getOption(nanosKey).contains("true")) sess.conf.set(nanosKey, "true")
     val stage = new LiveStage(sess.read.parquet(s"$srcDir/batch0.parquet"))
 
-    val q = transform(fromParquetDir(sess, srcDir))
+    // A FACTORY rather than a frame: a transform that needs several
+    // independent sources (a two-source stream-stream join) calls it once
+    // per side; single-source transforms call it once.
+    val q = transform(() => fromParquetDir(sess, srcDir))
       .writeStream.format("parquet")
       .option("path", s"$base/out")
       .option("checkpointLocation", s"$base/ckpt")
@@ -171,7 +174,7 @@ object EventStreams {
     * sentinels are tagged by event_type (the output carries it) and their
     * own windows dropped after the read-back. */
   def runWindowedCountsLive(spark: SparkSession, dataDir: String): DataFrame =
-    runLive(spark, dataDir, windowedCounts,
+    runLive(spark, dataDir, mk => windowedCounts(mk()),
       st => Seq(2, 4).map(h =>
         st.shifted(h * 3600L).withColumn("event_type", lit(SentinelType))))
       .filter(col("event_type") =!= SentinelType)
@@ -185,7 +188,7 @@ object EventStreams {
     * max(ts)+30min < watermark at the last follow-up batch, so append mode
     * emits each exactly once with its complete aggregate. */
   def runSessionizedLive(spark: SparkSession, dataDir: String): DataFrame =
-    runLive(spark, dataDir, sessionized,
+    runLive(spark, dataDir, mk => sessionized(mk()),
       st => Seq(2, 4).map(h =>
         st.shifted(h * 3600L).withColumn("user_id",
           lit(SentinelUser).cast(st.schema("user_id").dataType))))
@@ -210,9 +213,25 @@ object EventStreams {
     * hash-checkable against the same rk=1 oracle). */
   def runDedupLive(spark: SparkSession, dataDir: String): DataFrame =
     firstPerKey(
-      runLive(spark, dataDir, dedupedByEventId,
+      runLive(spark, dataDir, mk => dedupedByEventId(mk()),
         st => Seq(st.shifted(-300L).withColumn("user_id",
           lit(SentinelUser).cast(st.schema("user_id").dataType)))))
+
+  /** [[clickToPurchase]] live — the execution behind `stream_funnel_live`
+    * (the stream-stream JOIN state path, the last stateful runtime with
+    * no live gate). Each join side is its OWN file-stream reader over the
+    * staged directory, filtered to its event type — a genuine two-source
+    * watermarked interval join, not a self-join rewrite. INNER join
+    * matches are emitted in the micro-batch where both sides have
+    * arrived (watermarks bound state retention, not inner-match
+    * emission), and every event is staged in batch 0, so one drain emits
+    * every match exactly once — no sentinels needed. */
+  def runFunnelLive(spark: SparkSession, dataDir: String): DataFrame =
+    runLive(spark, dataDir,
+      mk => clickToPurchase(
+        mk().filter(col("event_type") === "click"),
+        mk().filter(col("event_type") === "purchase")),
+      _ => Seq.empty)
 
   /** Tumbling 1-hour windowed counts per event type, 10-minute watermark. */
   def windowedCounts(events: DataFrame): DataFrame =

@@ -184,6 +184,20 @@ class EventStreamsSpec extends SparkSpec {
       "the doctored duplicate leaked through dropDuplicatesWithinWatermark")
   }
 
+  test("runFunnelLive: two-source stream-stream interval join equals the batch twin") {
+    // stream_funnel_live's execution path: two independent file-stream
+    // readers over the staged fixture, watermarked interval join, append
+    // parquet sink. Inner matches emit in the batch both sides arrive,
+    // so the one staged batch must yield exactly the batch twin's rows.
+    val live = graft.SparkEntry.queries("stream_funnel_live")(spark, sf("sf0.001"))
+      .collect().map(_.toString).toSeq
+    val batch = graft.SparkEntry.queries("stream_funnel_join")(spark, sf("sf0.001"))
+      .collect().map(_.toString).toSeq
+    assert(batch.nonEmpty, "fixture yields no funnel matches — test is vacuous")
+    assert(live == batch,
+      s"live join sink diverges from batch twin: live=${live.size} batch=${batch.size}")
+  }
+
   test("streaming parquet SINK: append-mode file sink + checkpoint round-trips") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
