@@ -10,11 +10,11 @@ import org.apache.spark.sql.functions._
   * machinery here is real (schema, typed Dataset, partition-batched
   * processing via mapPartitions — the Scala analogue of a Pandas-UDF
   * `mapInPandas` batch loop), and since round 10 the decode step is real
-  * for one container format too: BMP headers are parsed from actual bytes
-  * (pure JVM — a 54-byte BITMAPINFOHEADER needs no codec library). Only
-  * payloads in formats that DO need a codec (JPEG/PNG/WAV/MP4) fall back
-  * to the deterministic stub, because no codec libraries exist in this
-  * container.
+  * for two container formats: BMP headers (54-byte BITMAPINFOHEADER) and
+  * canonical PCM WAV headers (44-byte RIFF/WAVE) are parsed from actual
+  * bytes — pure JVM, no codec library needed. Only payloads in formats
+  * that DO need a codec (JPEG/PNG/MP4) fall back to the deterministic
+  * stub, because no codec libraries exist in this container.
   *
   * Scale notes: decode is a map-only pass — no shuffle; partition sizing
   * is governed by `spark.sql.files.maxPartitionBytes`, and a real decoder
@@ -32,10 +32,10 @@ object MediaPipeline {
 
   /** STUB decoder — deterministic fake derived from the payload length,
     * for payloads in no recognized container format. A real implementation
-    * would dispatch on more magic numbers (JPEG/PNG/WAV/MP4) the way
-    * [[decodeBmp]] does; those need codec libraries this container lacks,
-    * so the fake keeps every downstream query runnable AND
-    * oracle-checkable. */
+    * would dispatch on more magic numbers (JPEG/PNG/MP4) the way
+    * [[decodeBmp]] and [[decodeWav]] do; those need codec libraries this
+    * container lacks, so the fake keeps every downstream query runnable
+    * AND oracle-checkable. */
   def decodeStub(media: Array[Byte]): (Int, Int, Int) = {
     val n = media.length
     ((n % 640) + 16, ((n * 7) % 480) + 16, (n % 30) + 1)
@@ -64,7 +64,9 @@ object MediaPipeline {
     else None
   }
 
-  /** Dispatching decoder: real BMP header parse, stub for everything else. */
+  /** Dispatching decoder: real BMP header parse, stub for everything else.
+    * (WAV payloads go through [[decodeWav]] on the audio decode pass —
+    * audio metadata doesn't fit the image width/height/frames shape.) */
   def decodeMedia(media: Array[Byte]): (Int, Int, Int) =
     decodeBmp(media).getOrElse(decodeStub(media))
 
@@ -98,6 +100,117 @@ object MediaPipeline {
     * parse: a wrong offset or endianness breaks the hash match). */
   def bmpWidth(id: Long): Int = ((id % 600) + 20).toInt
   def bmpHeight(id: Long): Int = (((id * 3) % 400) + 20).toInt
+
+  /** Typed audio metadata [[decodeWav]] extracts per PCM payload. */
+  case class AudioMeta(doc_id: Long, source: String, bytes: Long,
+                       sample_rate: Int, channels: Int, n_samples: Long,
+                       duration_ms: Long)
+
+  /** Canonical PCM WAV container size: 12-byte RIFF chunk descriptor +
+    * 24-byte `fmt ` subchunk + 8-byte `data` subchunk header. */
+  val WavHeaderLen = 44
+
+  /** REAL header parse for the canonical PCM WAV container (RIFF/WAVE):
+    * little-endian u16 channels at offset 22, u32 sample-rate at 24, u16
+    * bits-per-sample at 34, u32 data-chunk byte length at 40; frames =
+    * dataLen / blockAlign (channels × bytes-per-sample).
+    *
+    * Same strict-validation argument as [[decodeBmp]]: beyond the RIFF /
+    * WAVE / 'fmt ' magics it requires subchunk1-size 16 (offset 16) and
+    * PCM format tag 1 (offset 20), which force zero bytes at offsets
+    * 17-19 and 21 — impossible in an ASCII payload, so a text document
+    * that happens to start with "RIFF" can never be misparsed as audio
+    * and the raw-payload oracles stay correct. */
+  def decodeWav(media: Array[Byte]): Option[(Int, Int, Long)] = {
+    def i32(off: Int): Int =
+      (media(off) & 0xff) | ((media(off + 1) & 0xff) << 8) |
+        ((media(off + 2) & 0xff) << 16) | ((media(off + 3) & 0xff) << 24)
+    def i16(off: Int): Int = (media(off) & 0xff) | ((media(off + 1) & 0xff) << 8)
+    def tag(off: Int, t: String): Boolean =
+      t.indices.forall(i => media(off + i) == t.charAt(i).toByte)
+    if (media.length >= WavHeaderLen &&
+        tag(0, "RIFF") && tag(8, "WAVE") && tag(12, "fmt ") &&
+        i32(16) == 16 && i16(20) == 1 && tag(36, "data")) {
+      val channels = i16(22)
+      val rate = i32(24)
+      val block = channels * (i16(34) / 8)
+      if (channels >= 1 && rate > 0 && block > 0)
+        Some((rate, channels, (i32(40) & 0xffffffffL) / block))
+      else None
+    } else None
+  }
+
+  /** A VALID 44-byte canonical PCM WAV header (16-bit samples) declaring
+    * `sampleRate`/`channels` over a `payloadLen`-byte data chunk — what
+    * the audio fixture staging prepends so [[decodeWav]] has real bytes
+    * to parse. */
+  def wavHeader(sampleRate: Int, channels: Int, payloadLen: Int): Array[Byte] = {
+    val bits = 16
+    val block = channels * bits / 8
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val b = java.nio.ByteBuffer.allocate(WavHeaderLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes(ascii))
+      .putInt(36 + payloadLen)            // RIFF chunk size
+      .put("WAVE".getBytes(ascii))
+      .put("fmt ".getBytes(ascii))
+      .putInt(16)                         // PCM subchunk1 size
+      .putShort(1)                        // PCM format tag
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * block)         // byte rate
+      .putShort(block.toShort)            // block align
+      .putShort(bits.toShort)
+      .put("data".getBytes(ascii))
+      .putInt(payloadLen)                 // data chunk size
+    b.array()
+  }
+
+  /** The staged WAV parameters for doc `id` — pure doc_id arithmetic so
+    * the DuckDB oracle can replicate what the staging WROTE while Spark
+    * re-derives them by PARSING the header bytes. */
+  val WavRates: Array[Int] = Array(8000, 16000, 22050, 32000, 44100)
+  def wavRate(id: Long): Int = WavRates(((id % 5) + 5).toInt % 5)
+  def wavChannels(id: Long): Int = ((id % 2) + 1).toInt
+
+  /** Audio-staged media table: every 3rd doc's payload is wrapped in a
+    * REAL canonical PCM WAV header (parameters from [[wavRate]] /
+    * [[wavChannels]]), the rest stay bare ASCII — so the audio decode
+    * pass must dispatch on real magic bytes, not row position. */
+  def audioTableStaged(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, src, text) =>
+        val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val media =
+          if (id % 3 == 0) wavHeader(wavRate(id), wavChannels(id), payload.length) ++ payload
+          else payload
+        MediaRow(id, src, media)
+      })
+      .toDF()
+  }
+
+  /** Audio decode pass over the WAV-staged mixed corpus: rows whose bytes
+    * parse as canonical PCM WAV yield [[AudioMeta]]; non-audio payloads
+    * are dropped by the flatMap (the parse itself is the filter — see the
+    * zero-byte argument on [[decodeWav]]). duration_ms is integer floor
+    * arithmetic so the oracle can replicate it exactly. */
+  def decodedWav(s: SparkSession, dir: String): DataFrame =
+    decodedWavOf(s, audioTableStaged(s, dir))
+
+  def decodedWavOf(s: SparkSession, mediaDf: DataFrame): DataFrame = {
+    import s.implicits._
+    mediaDf.as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        decodeWav(r.media).map { case (rate, ch, nSamples) =>
+          AudioMeta(r.doc_id, r.source, r.media.length.toLong, rate, ch,
+            nSamples, nSamples * 1000L / rate)
+        }
+      })
+      .toDF()
+  }
 
   /** Raw media table from documents (payload = utf-8 bytes of text — a
     * stand-in for real blobs, with realistic size variance). The byte-

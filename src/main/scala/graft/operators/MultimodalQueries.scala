@@ -113,6 +113,24 @@ object MultimodalQueries extends QueryPack {
           floor(col("height") * col("scale")).cast("int").as("out_h"))
         .orderBy("doc_id")),
 
+    // Audio metadata pass: every 3rd doc is staged with a REAL 44-byte
+    // canonical PCM WAV header (sample-rate/channels from doc_id
+    // arithmetic the oracle replicates); Spark PARSES rate, channels and
+    // data-chunk length from the bytes and derives frames + duration via
+    // integer floor math. Non-audio payloads are dropped by the parse
+    // itself (see the zero-byte argument on decodeWav), so the decoder —
+    // not row position — decides what counts as audio.
+    "mm_wav_meta" -> ((s, d) =>
+      MediaPipeline.decodedWav(s, d)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_audio"),
+          sum("bytes").as("total_bytes"),
+          round4(avg("sample_rate")).as("avg_rate"),
+          sum("n_samples").as("total_samples"),
+          max("duration_ms").as("max_duration_ms"))
+        .orderBy("source")),
+
     // Binary content dedup — exact dedup on the raw payload bytes (md5
     // over the binary column, BEFORE any decode), reporting the storage a
     // dedup pass reclaims. Map-only hash + one uniform-key shuffle; at
@@ -205,6 +223,28 @@ object MultimodalQueries extends QueryPack {
                        FROM n a, probe p WHERE a.doc_id <> 0)
           SELECT doc_id, FLOOR(cos*1000000 + 0.5)/1000000 AS cos FROM scored
           ORDER BY cos DESC, doc_id LIMIT 10""",
+    // WAV staging arithmetic replicated from doc_id: rate from the 5-way
+    // case, channels = doc_id%2+1, 16-bit samples ⇒ blockAlign =
+    // channels*2; n_samples and duration_ms are integer floor division,
+    // matching the JVM Long arithmetic exactly.
+    "mm_wav_meta" ->
+      """WITH a AS (SELECT doc_id, source, strlen(text) AS b
+                    FROM documents WHERE doc_id % 3 = 0),
+            meta AS (SELECT source, CAST(b + 44 AS BIGINT) AS bytes,
+                            CASE CAST(doc_id % 5 AS INT)
+                                 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                 WHEN 2 THEN 22050 WHEN 3 THEN 32000
+                                 ELSE 44100 END AS rate,
+                            b // ((doc_id % 2 + 1) * 2) AS ns
+                     FROM a),
+            d AS (SELECT source, bytes, rate, ns, (ns * 1000) // rate AS dur
+                  FROM meta)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_audio,
+                CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+                FLOOR(AVG(rate)*10000 + 0.5)/10000 AS avg_rate,
+                CAST(SUM(ns) AS BIGINT) AS total_samples,
+                CAST(MAX(dur) AS BIGINT) AS max_duration_ms
+         FROM d GROUP BY source ORDER BY source""",
     "mm_resize_plan" ->
       """WITH meta AS (SELECT doc_id,
                               CASE WHEN doc_id % 4 = 0 THEN (doc_id % 600) + 20

@@ -35,6 +35,54 @@ class MediaPipelineSpec extends SparkSpec {
     assert(MediaPipeline.decodeBmp(media).isEmpty)
   }
 
+  test("decodeWav parses a known synthesized canonical PCM header exactly") {
+    // 1000 payload bytes at 22050 Hz stereo 16-bit: blockAlign 4 ⇒ 250
+    // frames, 250*1000/22050 = 11 ms (integer floor).
+    val payload = Array.fill[Byte](1000)(3)
+    val media = MediaPipeline.wavHeader(22050, 2, payload.length) ++ payload
+    assert(MediaPipeline.decodeWav(media).contains((22050, 2, 250L)))
+  }
+
+  test("decodeWav: mono rate and frame math") {
+    val media = MediaPipeline.wavHeader(8000, 1, 333)
+    // 333 bytes / blockAlign 2 = 166 frames (floor).
+    assert(MediaPipeline.decodeWav(media).contains((8000, 1, 166L)))
+  }
+
+  test("an ASCII payload starting with 'RIFF' can never misparse as audio") {
+    // subchunk1-size 16 and PCM tag 1 force zero bytes at offsets 17-19
+    // and 21 — impossible in ASCII, so the raw-payload oracles hold.
+    val media = ("RIFF" + "x" * 100).getBytes("UTF-8")
+    assert(MediaPipeline.decodeWav(media).isEmpty)
+  }
+
+  test("a truncated WAV header does not parse") {
+    val media = MediaPipeline.wavHeader(44100, 2, 0).take(30)
+    assert(MediaPipeline.decodeWav(media).isEmpty)
+  }
+
+  test("audio-staged corpus: exactly the WAV docs survive, metadata matches staging") {
+    val dir = sf("sf0.001")
+    val meta = MediaPipeline.decodedWav(spark, dir)
+      .select("doc_id", "bytes", "sample_rate", "channels", "n_samples", "duration_ms")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5)))).toMap
+    val texts = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // The parse IS the filter: exactly the id%3==0 docs come back.
+    assert(meta.keySet == texts.keySet.filter(_ % 3 == 0))
+    assert(meta.nonEmpty, "fixture has no WAV-staged docs — test is vacuous")
+    meta.foreach { case (id, (bytes, rate, ch, ns, dur)) =>
+      val n = texts(id)
+      assert(bytes == n + MediaPipeline.WavHeaderLen, s"doc $id bytes")
+      assert(rate == MediaPipeline.wavRate(id), s"doc $id rate")
+      assert(ch == MediaPipeline.wavChannels(id), s"doc $id channels")
+      assert(ns == n / (ch * 2), s"doc $id samples")
+      assert(dur == ns * 1000 / rate, s"doc $id duration")
+    }
+  }
+
   test("staged corpus decode: header-derived metadata for BMP docs, stub for the rest") {
     val dir = sf("sf0.001")
     val meta = MediaPipeline.decoded(spark, dir)
