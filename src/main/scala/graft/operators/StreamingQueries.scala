@@ -99,7 +99,18 @@ object StreamingQueries extends QueryPack {
     // batch twin.
     "stream_funnel_live" -> ((s, d) =>
       EventStreams.runFunnelLive(s, d)
-        .orderBy("click_id", "purchase_id"))
+        .orderBy("click_id", "purchase_id")),
+
+    // The incremental per-user EWMA executed LIVE through
+    // flatMapGroupsWithState (typed custom state — the runtime path none
+    // of the other live gates touch; see EventStreams.runEwmaLive). The
+    // streamed fold is bit-identical to the batch q_ewma recurrence, so
+    // the sink hash-checks against the same list_reduce oracle.
+    "stream_ewma_live" -> ((s, d) =>
+      EventStreams.runEwmaLive(s, d)
+        .select(col("user_id"), col("n_events").cast("int").as("n_events"),
+          graft.Portable.round6(col("ewma")).as("ewma"))
+        .orderBy("user_id"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -192,6 +203,14 @@ object StreamingQueries extends QueryPack {
                 CAST(COUNT(*) AS BIGINT) AS n_events,
                 FLOOR(SUM(value)*100 + 0.5)/100 AS session_value
          FROM sess GROUP BY user_id, sid
-         ORDER BY user_id, start_sec"""
+         ORDER BY user_id, start_sec""",
+    // The live custom-state fold must converge to the identical batch
+    // recurrence (same oracle as q_ewma).
+    "stream_ewma_live" ->
+      """WITH s AS (SELECT user_id, list(value ORDER BY ts, event_id) AS series
+                    FROM events GROUP BY user_id)
+         SELECT user_id, CAST(len(series) AS INT) AS n_events,
+                FLOOR(list_reduce(series, (acc, x) -> acc*0.5 + x*0.5)*1000000 + 0.5)/1000000 AS ewma
+         FROM s ORDER BY user_id"""
   )
 }

@@ -233,6 +233,21 @@ object EventStreams {
         mk().filter(col("event_type") === "purchase")),
       _ => Seq.empty)
 
+  /** [[ewmaPerUser]] live — the execution behind `stream_ewma_live` (the
+    * CUSTOM-STATE runtime path: flatMapGroupsWithState with typed state,
+    * the one stateful runtime with no live gate after round 10's other
+    * four). Append-mode fMGWS emits one row per key per micro-batch that
+    * carries rows for it; the whole fixture is staged as batch 0 (one
+    * file, and FileStreamSource never splits a file across micro-batches),
+    * so each user folds its complete in-order history in one batch and
+    * the sink holds EXACTLY the final fold per user — bit-identical to
+    * the batch q_ewma (same (ts, event_id) order, same seeded
+    * `acc*0.5 + v*0.5` IEEE arithmetic), hash-checked against the same
+    * DuckDB list_reduce oracle. No sentinels: emission is per-batch, not
+    * watermark-gated. */
+  def runEwmaLive(spark: SparkSession, dataDir: String): DataFrame =
+    runLive(spark, dataDir, mk => ewmaPerUser(spark, mk()), _ => Seq.empty)
+
   /** Tumbling 1-hour windowed counts per event type, 10-minute watermark. */
   def windowedCounts(events: DataFrame): DataFrame =
     events

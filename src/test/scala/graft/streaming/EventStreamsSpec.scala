@@ -198,6 +198,20 @@ class EventStreamsSpec extends SparkSpec {
       s"live join sink diverges from batch twin: live=${live.size} batch=${batch.size}")
   }
 
+  test("runEwmaLive: custom-state fold through a real streaming run equals batch q_ewma") {
+    // stream_ewma_live's execution path: flatMapGroupsWithState (typed
+    // custom state) over a file-stream source into an append parquet
+    // sink. One staged batch ⇒ one emission per user carrying the
+    // complete fold, bit-identical to the batch recurrence.
+    val live = graft.SparkEntry.queries("stream_ewma_live")(spark, sf("sf0.001"))
+      .collect().map(_.toString).toSeq
+    val batch = graft.SparkEntry.queries("q_ewma")(spark, sf("sf0.001"))
+      .collect().map(_.toString).toSeq
+    assert(batch.nonEmpty, "fixture yields no users — test is vacuous")
+    assert(live == batch,
+      s"streamed custom-state fold diverges from batch twin: live=${live.size} batch=${batch.size}")
+  }
+
   test("streaming parquet SINK: append-mode file sink + checkpoint round-trips") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
