@@ -9,12 +9,16 @@ import org.apache.spark.sql.functions._
   * metadata structs — the standard lakehouse pattern. The Spark-side
   * machinery here is real (schema, typed Dataset, partition-batched
   * processing via mapPartitions — the Scala analogue of a Pandas-UDF
-  * `mapInPandas` batch loop), and since round 10 the decode step is real
-  * for two container formats: BMP headers (54-byte BITMAPINFOHEADER) and
-  * canonical PCM WAV headers (44-byte RIFF/WAVE) are parsed from actual
-  * bytes — pure JVM, no codec library needed. Only payloads in formats
-  * that DO need a codec (JPEG/PNG/MP4) fall back to the deterministic
-  * stub, because no codec libraries exist in this container.
+  * `mapInPandas` batch loop), and the decode step is real for three
+  * container formats: BMP headers (54-byte BITMAPINFOHEADER,
+  * little-endian), canonical PCM WAV headers (44-byte RIFF/WAVE,
+  * little-endian) and PNG signature+IHDR (33 bytes, BIG-endian with a
+  * verified CRC-32) are parsed from actual bytes — pure JVM, no codec
+  * library needed. Only payloads in formats that DO need a codec for
+  * even their metadata (JPEG's SOF marker walk sits behind entropy-coded
+  * segments; MP4 boxes need a full atom walk) fall back to the
+  * deterministic stub, because no codec libraries exist in this
+  * container.
   *
   * Scale notes: decode is a map-only pass — no shuffle; partition sizing
   * is governed by `spark.sql.files.maxPartitionBytes`, and a real decoder
@@ -32,8 +36,8 @@ object MediaPipeline {
 
   /** STUB decoder — deterministic fake derived from the payload length,
     * for payloads in no recognized container format. A real implementation
-    * would dispatch on more magic numbers (JPEG/PNG/MP4) the way
-    * [[decodeBmp]] and [[decodeWav]] do; those need codec libraries this
+    * would dispatch on more magic numbers (JPEG/MP4) the way [[decodeBmp]],
+    * [[decodePng]] and [[decodeWav]] do; those need codec libraries this
     * container lacks, so the fake keeps every downstream query runnable
     * AND oracle-checkable. */
   def decodeStub(media: Array[Byte]): (Int, Int, Int) = {
@@ -59,16 +63,23 @@ object MediaPipeline {
     def i16(off: Int): Int = (media(off) & 0xff) | ((media(off + 1) & 0xff) << 8)
     if (media.length >= BmpHeaderLen &&
         media(0) == 'B'.toByte && media(1) == 'M'.toByte &&
-        i32(10) == BmpHeaderLen && i32(14) == 40 && i16(26) == 1)
+        i32(10) == BmpHeaderLen && i32(14) == 40 && i16(26) == 1 &&
+        // Dimension sanity (round-10 ADVICE): width 0/negative or height 0
+        // passing the magic checks would flow Infinity/negative dims into
+        // mm_resize_plan's 224.0/width — reject like decodeWav does.
+        i32(18) > 0 && i32(22) != 0)
       Some((i32(18), math.abs(i32(22)), 1))
     else None
   }
 
-  /** Dispatching decoder: real BMP header parse, stub for everything else.
-    * (WAV payloads go through [[decodeWav]] on the audio decode pass —
-    * audio metadata doesn't fit the image width/height/frames shape.) */
+  /** Dispatching decoder: real BMP and PNG header parses, stub for
+    * everything else. (WAV payloads go through [[decodeWav]] on the audio
+    * decode pass — audio metadata doesn't fit the image
+    * width/height/frames shape.) */
   def decodeMedia(media: Array[Byte]): (Int, Int, Int) =
-    decodeBmp(media).getOrElse(decodeStub(media))
+    decodeBmp(media)
+      .orElse(decodePng(media).map { case (w, h, _, _) => (w, h, 1) })
+      .getOrElse(decodeStub(media))
 
   /** BMP container size: 14-byte file header + 40-byte BITMAPINFOHEADER. */
   val BmpHeaderLen = 54
@@ -100,6 +111,91 @@ object MediaPipeline {
     * parse: a wrong offset or endianness breaks the hash match). */
   def bmpWidth(id: Long): Int = ((id % 600) + 20).toInt
   def bmpHeight(id: Long): Int = (((id * 3) % 400) + 20).toInt
+
+  /** PNG container prefix: 8-byte signature + IHDR chunk (4-byte
+    * big-endian length, 4-byte "IHDR" type, 13 data bytes, 4-byte CRC). */
+  val PngHeaderLen = 33
+
+  /** REAL header parse for the PNG container — the third format, and the
+    * OPPOSITE endianness of BMP/WAV: width/height are BIG-endian u32 at
+    * offsets 16/20 (after the 8-byte signature and the IHDR chunk's
+    * length+type), bit depth at 24, color type at 25.
+    *
+    * Strict validation: the full 8-byte signature (0x89 'P' 'N' 'G' CR LF
+    * SUB LF — byte 0 is non-ASCII, so no text payload can ever reach the
+    * parse), IHDR length exactly 13 (forcing zero bytes at offsets 8-10),
+    * type "IHDR", compression and filter bytes 0 (offsets 26-27), AND the
+    * IHDR CRC-32 verified over type+data bytes 12..28 — a flipped header
+    * byte fails the checksum, not just the magic. Positive dimensions
+    * required (PNG spec: zero is invalid). */
+  def decodePng(media: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    def u32(off: Int): Long =
+      ((media(off) & 0xffL) << 24) | ((media(off + 1) & 0xffL) << 16) |
+        ((media(off + 2) & 0xffL) << 8) | (media(off + 3) & 0xffL)
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    if (media.length >= PngHeaderLen &&
+        sig.indices.forall(i => media(i) == sig(i)) &&
+        u32(8) == 13L && "IHDR".indices.forall(i => media(12 + i) == "IHDR".charAt(i).toByte) &&
+        media(26) == 0 && media(27) == 0) {
+      val crc = new java.util.zip.CRC32
+      crc.update(media, 12, 17) // type (4) + IHDR data (13)
+      val w = u32(16)
+      val h = u32(20)
+      if (crc.getValue == u32(29) && w > 0 && h > 0 &&
+          w <= Int.MaxValue && h <= Int.MaxValue)
+        Some((w.toInt, h.toInt, media(24) & 0xff, media(25) & 0xff))
+      else None
+    } else None
+  }
+
+  /** A VALID 33-byte PNG signature + IHDR chunk (8-bit RGBA, real CRC-32)
+    * declaring `width`×`height` — what the fixture staging prepends so
+    * [[decodePng]] has real big-endian bytes (and a real checksum) to
+    * parse. The payload that follows is not a valid IDAT stream, but the
+    * metadata path never reads past the IHDR — exactly the contract a
+    * header-only probe (e.g. `file`, image sniffers) uses. */
+  def pngHeader(width: Int, height: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(PngHeaderLen) // big-endian default
+    b.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      .putInt(13)                        // IHDR data length
+      .put("IHDR".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .putInt(width).putInt(height)
+      .put(8.toByte)                     // bit depth
+      .put(6.toByte)                     // color type: truecolor + alpha
+      .put(0.toByte).put(0.toByte)       // compression, filter
+      .put(0.toByte)                     // no interlace
+    val crc = new java.util.zip.CRC32
+    crc.update(b.array(), 12, 17)
+    b.putInt(crc.getValue.toInt)
+    b.array()
+  }
+
+  /** The staged PNG dimensions for doc `id` — pure doc_id arithmetic so
+    * the DuckDB oracle can replicate what the staging WROTE while Spark
+    * re-derives it by PARSING the big-endian header bytes (a wrong offset
+    * or a little-endian read breaks the hash match). */
+  def pngWidth(id: Long): Int = (((id * 5) % 512) + 16).toInt
+  def pngHeight(id: Long): Int = (((id * 11) % 384) + 16).toInt
+
+  /** Typed PNG metadata [[decodePng]] extracts per payload. */
+  case class PngMeta(doc_id: Long, source: String, bytes: Long,
+                     width: Int, height: Int, bit_depth: Int, color_type: Int)
+
+  /** PNG decode pass over the mixed container-staged corpus: rows whose
+    * bytes parse (signature + IHDR + CRC) yield [[PngMeta]]; everything
+    * else — bare payloads AND the BMP-staged rows — is dropped by the
+    * flatMap. The parse itself is the filter, same contract as
+    * [[decodedWav]]. */
+  def decodedPng(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTableStaged(s, dir).as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        decodePng(r.media).map { case (w, h, depth, color) =>
+          PngMeta(r.doc_id, r.source, r.media.length.toLong, w, h, depth, color)
+        }
+      })
+      .toDF()
+  }
 
   /** Typed audio metadata [[decodeWav]] extracts per PCM payload. */
   case class AudioMeta(doc_id: Long, source: String, bytes: Long,
@@ -220,13 +316,15 @@ object MediaPipeline {
     graft.Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("media"))
 
-  /** Container-staged media table: every 4th doc's payload is wrapped in
-    * a REAL BMP header (dimensions from [[bmpWidth]]/[[bmpHeight]]), the
-    * rest stay bare — the mixed-format corpus the metadata queries
-    * (mm_meta_stats / mm_frame_sample / mm_resize_plan) decode, so the
-    * header-parse path and the stub fallback are both exercised by every
-    * gate over it. Typed mapPartitions staging, same batch shape as the
-    * decode pass itself. */
+  /** Container-staged media table: doc_id % 4 == 0 payloads are wrapped
+    * in a REAL BMP header (dimensions from [[bmpWidth]]/[[bmpHeight]]),
+    * doc_id % 4 == 2 in a REAL PNG signature+IHDR (big-endian, real CRC;
+    * dimensions from [[pngWidth]]/[[pngHeight]]), the rest stay bare —
+    * the mixed-format corpus the metadata queries (mm_meta_stats /
+    * mm_frame_sample / mm_resize_plan / mm_png_meta) decode, so BOTH real
+    * parse paths (opposite endianness) and the stub fallback are
+    * exercised by every gate over it. Typed mapPartitions staging, same
+    * batch shape as the decode pass itself. */
   def mediaTableStaged(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.Tables.documents(s, dir)
@@ -236,6 +334,7 @@ object MediaPipeline {
         val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val media =
           if (id % 4 == 0) bmpHeader(bmpWidth(id), bmpHeight(id), payload.length) ++ payload
+          else if (id % 4 == 2) pngHeader(pngWidth(id), pngHeight(id)) ++ payload
           else payload
         MediaRow(id, src, media)
       })

@@ -8,13 +8,15 @@ import org.apache.spark.sql.functions._
 /** Queries over the multimodal (binary media) pipeline.
   *
   * Two corpora (see MediaPipeline): the METADATA queries (mm_meta_stats /
-  * mm_frame_sample / mm_resize_plan) decode the container-staged table —
-  * every 4th payload carries a REAL 54-byte BMP header whose
-  * width/height Spark PARSES from the bytes while the oracle replicates
-  * the staging arithmetic from doc_id (a wrong parse offset or
-  * endianness breaks the hash match); the rest fall back to the
-  * deterministic stub, whose arithmetic the oracle models from
-  * strlen(text) — documents are ASCII, so utf-8 byte length == n_chars.
+  * mm_frame_sample / mm_resize_plan / mm_png_meta) decode the
+  * container-staged table — doc_id % 4 == 0 payloads carry a REAL
+  * 54-byte little-endian BMP header and doc_id % 4 == 2 a REAL 33-byte
+  * BIG-endian PNG signature+IHDR (verified CRC) whose width/height Spark
+  * PARSES from the bytes while the oracle replicates the staging
+  * arithmetic from doc_id (a wrong parse offset or endianness breaks the
+  * hash match); the rest fall back to the deterministic stub, whose
+  * arithmetic the oracle models from strlen(text) — documents are ASCII,
+  * so utf-8 byte length == n_chars.
   * The BYTE-level queries (content dedup, audio energy, the feature
   * pipeline) read the raw headerless table: payload == text bytes there.
   */
@@ -131,6 +133,25 @@ object MultimodalQueries extends QueryPack {
           max("duration_ms").as("max_duration_ms"))
         .orderBy("source")),
 
+    // PNG metadata pass over the SAME mixed corpus the BMP queries read:
+    // every doc_id % 4 == 2 payload is staged with a real big-endian
+    // signature+IHDR (CRC verified); Spark re-derives width/height/
+    // bit-depth/color-type by PARSING the bytes — opposite endianness
+    // from BMP/WAV, so a byte-order bug that BMP can't catch fails this
+    // hash. Non-PNG payloads (bare AND BMP-staged) are dropped by the
+    // parse itself.
+    "mm_png_meta" -> ((s, d) =>
+      MediaPipeline.decodedPng(s, d)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_png"),
+          sum("bytes").as("total_bytes"),
+          round4(avg("width")).as("avg_width"),
+          round4(avg("height")).as("avg_height"),
+          max("bit_depth").as("max_depth"),
+          max("color_type").as("max_color"))
+        .orderBy("source")),
+
     // Binary content dedup — exact dedup on the raw payload bytes (md5
     // over the binary column, BEFORE any decode), reporting the storage a
     // dedup pass reclaims. Map-only hash + one uniform-key shuffle; at
@@ -168,19 +189,25 @@ object MultimodalQueries extends QueryPack {
                  CAST(list_sum(list_slice(codes, win*256 + 1,
                    LEAST((win + 1)*256, len(codes)))) AS BIGINT) AS sum_bytes
           FROM w ORDER BY doc_id, win""",
-    // Mixed-format corpus: every 4th doc is BMP-staged (bytes grow by the
-    // 54-byte header; width/height are what the staging WROTE — the Spark
-    // side re-derives them by parsing the header bytes — and a BMP is one
-    // frame); the rest model the stub arithmetic on strlen.
+    // Mixed-format corpus: doc_id%4=0 is BMP-staged (bytes grow by the
+    // 54-byte header), doc_id%4=2 PNG-staged (+33 bytes); width/height
+    // are what the staging WROTE — the Spark side re-derives them by
+    // parsing the header bytes (LE for BMP, BE for PNG) — and a
+    // single-image container is one frame; the rest model the stub
+    // arithmetic on strlen.
     "mm_meta_stats" ->
       """WITH m AS (SELECT doc_id, source, strlen(text) AS b FROM documents),
             meta AS (SELECT doc_id, source,
-                            CAST(b + CASE WHEN doc_id % 4 = 0 THEN 54 ELSE 0 END AS BIGINT) AS bytes,
+                            CAST(b + CASE WHEN doc_id % 4 = 0 THEN 54
+                                          WHEN doc_id % 4 = 2 THEN 33
+                                          ELSE 0 END AS BIGINT) AS bytes,
                             CASE WHEN doc_id % 4 = 0 THEN (doc_id % 600) + 20
+                                 WHEN doc_id % 4 = 2 THEN ((doc_id * 5) % 512) + 16
                                  ELSE (b % 640) + 16 END AS width,
                             CASE WHEN doc_id % 4 = 0 THEN ((doc_id * 3) % 400) + 20
+                                 WHEN doc_id % 4 = 2 THEN ((doc_id * 11) % 384) + 16
                                  ELSE ((b * 7) % 480) + 16 END AS height,
-                            CASE WHEN doc_id % 4 = 0 THEN 1
+                            CASE WHEN doc_id % 4 IN (0, 2) THEN 1
                                  ELSE (b % 30) + 1 END AS n_frames
                      FROM m)
          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_media,
@@ -191,7 +218,7 @@ object MultimodalQueries extends QueryPack {
          FROM meta GROUP BY source ORDER BY source""",
     "mm_frame_sample" ->
       """WITH m AS (SELECT doc_id, source,
-                           CASE WHEN doc_id % 4 = 0 THEN 1
+                           CASE WHEN doc_id % 4 IN (0, 2) THEN 1
                                 ELSE (strlen(text) % 30) + 1 END AS n_frames
                     FROM documents),
             fr AS (SELECT source, unnest(range(n_frames)) AS frame_idx FROM m)
@@ -223,6 +250,24 @@ object MultimodalQueries extends QueryPack {
                        FROM n a, probe p WHERE a.doc_id <> 0)
           SELECT doc_id, FLOOR(cos*1000000 + 0.5)/1000000 AS cos FROM scored
           ORDER BY cos DESC, doc_id LIMIT 10""",
+    // PNG staging arithmetic replicated from doc_id (width/height the
+    // staging WROTE; bytes = strlen + 33-byte signature+IHDR; bit depth 8
+    // and color type 6 are what the staging writes and the parse must
+    // read back from single bytes at offsets 24/25).
+    "mm_png_meta" ->
+      """WITH p AS (SELECT doc_id, source, strlen(text) AS b
+                    FROM documents WHERE doc_id % 4 = 2),
+            meta AS (SELECT source, CAST(b + 33 AS BIGINT) AS bytes,
+                            ((doc_id * 5) % 512) + 16 AS width,
+                            ((doc_id * 11) % 384) + 16 AS height
+                     FROM p)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_png,
+                CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+                FLOOR(AVG(width)*10000 + 0.5)/10000 AS avg_width,
+                FLOOR(AVG(height)*10000 + 0.5)/10000 AS avg_height,
+                CAST(8 AS INT) AS max_depth,
+                CAST(6 AS INT) AS max_color
+         FROM meta GROUP BY source ORDER BY source""",
     // WAV staging arithmetic replicated from doc_id: rate from the 5-way
     // case, channels = doc_id%2+1, 16-bit samples ⇒ blockAlign =
     // channels*2; n_samples and duration_ms are integer floor division,
@@ -248,8 +293,10 @@ object MultimodalQueries extends QueryPack {
     "mm_resize_plan" ->
       """WITH meta AS (SELECT doc_id,
                               CASE WHEN doc_id % 4 = 0 THEN (doc_id % 600) + 20
+                                   WHEN doc_id % 4 = 2 THEN ((doc_id * 5) % 512) + 16
                                    ELSE (strlen(text) % 640) + 16 END AS width,
                               CASE WHEN doc_id % 4 = 0 THEN ((doc_id * 3) % 400) + 20
+                                   WHEN doc_id % 4 = 2 THEN ((doc_id * 11) % 384) + 16
                                    ELSE ((strlen(text) * 7) % 480) + 16 END AS height
                        FROM documents)
          SELECT doc_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,

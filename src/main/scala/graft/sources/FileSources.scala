@@ -109,10 +109,19 @@ object FileSources {
     * RAW interpretation wins when such a file exists, so
     * legal-but-URI-significant characters ('%', '#') in a real filename
     * are never decoded away; the URI parse is the fallback for encoded
-    * spellings — which is safe, because an encoded listing spelling's
-    * literal interpretation never exists on disk (toUri.toString
-    * percent-encodes '%' itself to %25). Costs one extra existence probe
-    * per file, amortized inside the task that reads the file anyway.
+    * spellings — which is safe for LISTING-produced spellings, because an
+    * encoded listing spelling's literal interpretation never exists on
+    * disk (toUri.toString percent-encodes '%' itself to %25). Costs one
+    * extra existence probe per file, amortized inside the task that reads
+    * the file anyway.
+    *
+    * Caveat for CALLER-CONSTRUCTED encoded URIs (round-10 ADVICE): if a
+    * caller hands in '.../a%20b.txt' MEANING 'a b.txt' while a file
+    * literally named 'a%20b.txt' also exists, raw-first resolution reads
+    * the literal file — the spelling is genuinely ambiguous and raw wins
+    * by contract. Callers holding known-encoded URIs should decode them
+    * to raw paths themselves before calling (listing-derived paths, the
+    * normal case, are unaffected).
     *
     * `missingAsEmpty = true` replicates the reference's ignored-open-error
     * contract (loadFile's unchecked `is_open`, cpp:141: an unreadable file

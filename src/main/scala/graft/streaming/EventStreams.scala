@@ -246,7 +246,12 @@ object EventStreams {
     * DuckDB list_reduce oracle. No sentinels: emission is per-batch, not
     * watermark-gated. */
   def runEwmaLive(spark: SparkSession, dataDir: String): DataFrame =
-    runLive(spark, dataDir, mk => ewmaPerUser(spark, mk()), _ => Seq.empty)
+    // The transform threads the RUN session (df.sparkSession — the tuned
+    // per-run child), not the parent `spark`: ewmaPerUser only uses it for
+    // encoders today, but a conf read would otherwise silently see the
+    // parent's settings (round-10 ADVICE).
+    runLive(spark, dataDir,
+      mk => { val df = mk(); ewmaPerUser(df.sparkSession, df) }, _ => Seq.empty)
 
   /** Tumbling 1-hour windowed counts per event type, 10-minute watermark. */
   def windowedCounts(events: DataFrame): DataFrame =

@@ -83,6 +83,38 @@ class MediaPipelineSpec extends SparkSpec {
     }
   }
 
+  test("decodePng parses a known synthesized big-endian IHDR exactly") {
+    val payload = Array.fill[Byte](10)(7)
+    val media = MediaPipeline.pngHeader(321, 654) ++ payload
+    assert(MediaPipeline.decodePng(media).contains((321, 654, 8, 6)))
+    assert(MediaPipeline.decodeMedia(media) == ((321, 654, 1)))
+  }
+
+  test("decodePng rejects a corrupted header byte via the CRC, not just magic") {
+    val media = MediaPipeline.pngHeader(321, 654)
+    // Flip one dimension byte: signature and chunk framing stay valid, so
+    // only the verified CRC-32 can catch it.
+    media(19) = (media(19) ^ 1).toByte
+    assert(MediaPipeline.decodePng(media).isEmpty)
+  }
+
+  test("no ASCII payload can misparse as PNG (signature byte 0x89)") {
+    val media = ("PNG" + "x" * 100).getBytes("UTF-8")
+    assert(MediaPipeline.decodePng(media).isEmpty)
+    assert(MediaPipeline.decodeMedia(media) == MediaPipeline.decodeStub(media))
+  }
+
+  test("a truncated PNG header does not parse, and zero dims are rejected") {
+    assert(MediaPipeline.decodePng(MediaPipeline.pngHeader(64, 64).take(20)).isEmpty)
+    assert(MediaPipeline.decodePng(MediaPipeline.pngHeader(0, 64)).isEmpty)
+  }
+
+  test("decodeBmp rejects zero/negative width and zero height") {
+    assert(MediaPipeline.decodeBmp(MediaPipeline.bmpHeader(0, 10, 0)).isEmpty)
+    assert(MediaPipeline.decodeBmp(MediaPipeline.bmpHeader(-5, 10, 0)).isEmpty)
+    assert(MediaPipeline.decodeBmp(MediaPipeline.bmpHeader(10, 0, 0)).isEmpty)
+  }
+
   test("staged corpus decode: header-derived metadata for BMP docs, stub for the rest") {
     val dir = sf("sf0.001")
     val meta = MediaPipeline.decoded(spark, dir)
@@ -103,6 +135,12 @@ class MediaPipelineSpec extends SparkSpec {
         assert(w == MediaPipeline.bmpWidth(id), s"doc $id width")
         assert(h == MediaPipeline.bmpHeight(id), s"doc $id height")
         assert(f == 1, s"doc $id frames")
+      } else if (id % 4 == 2) {
+        // PNG-staged: big-endian parse must recover the staged dims.
+        assert(bytes == n + MediaPipeline.PngHeaderLen, s"doc $id bytes")
+        assert(w == MediaPipeline.pngWidth(id), s"doc $id width")
+        assert(h == MediaPipeline.pngHeight(id), s"doc $id height")
+        assert(f == 1, s"doc $id frames")
       } else {
         val (sw, sh, sff) = MediaPipeline.decodeStub(
           Array.fill[Byte](n.toInt)(0))
@@ -110,5 +148,15 @@ class MediaPipelineSpec extends SparkSpec {
         assert((w, h, f) == ((sw, sh, sff)), s"doc $id stub meta")
       }
     }
+  }
+
+  test("PNG-staged corpus: exactly the id%4==2 docs survive decodedPng") {
+    val dir = sf("sf0.001")
+    val ids = MediaPipeline.decodedPng(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = graft.Tables.documents(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == all.filter(_ % 4 == 2))
+    assert(ids.nonEmpty, "fixture has no PNG-staged docs — test is vacuous")
   }
 }
