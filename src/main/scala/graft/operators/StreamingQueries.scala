@@ -101,6 +101,57 @@ object StreamingQueries extends QueryPack {
       EventStreams.runFunnelLive(s, d)
         .orderBy("click_id", "purchase_id")),
 
+    // The stream-static enrichment join executed LIVE (see
+    // EventStreams.runEnrichedLive): events stream left-joined per
+    // micro-batch against the static customer dim — the most-used
+    // streaming join shape in real pipelines; per-event sink rows are
+    // hash-checked against the plain batch LEFT JOIN oracle (a dropped or
+    // duplicated event fails the row/hash gate).
+    "stream_enriched_live" -> ((s, d) =>
+      EventStreams.runEnrichedLive(s, d)
+        .select(col("event_id"), col("user_id"), col("segment"))
+        .orderBy("event_id")),
+
+    // transformWithState (Spark 4's arbitrary-stateful-processing v2 API,
+    // RocksDB state store) executed LIVE: the per-user running count +
+    // value fold through typed ValueState, gated against the plain batch
+    // GROUP BY oracle — proving the v2 state path end-to-end (round-10
+    // verdict #4), not just its MemoryStream spec.
+    "stream_running_tws" -> ((s, d) =>
+      EventStreams.runRunningTwsLive(s, d)
+        .select(col("user_id"), col("n_events"),
+          graft.Portable.round2(col("total_value")).as("total_value"))
+        .orderBy("user_id")),
+
+    // The bounded-state bloom dedup's CONTRACT, oracle-gated the way
+    // q_bloom_join gates FPR (round-10 verdict #6): feed every event
+    // twice (ev ∪ ev); within two 8 KB generations a duplicate must NEVER
+    // re-emit (bloom filters have no false negatives), and the false-DROP
+    // rate must stay under the design bound (two probed generations ×
+    // (1/2)^k at design load ≈ 3.1%, gated at 4%). Shards are sized so
+    // per-shard keys exceed ONE generation (the rotation path is
+    // exercised) but fit within TWO (the no-false-negative guarantee
+    // holds) — the production sizing rule: state is O(nShards × 16 KB),
+    // shard count scales with key cardinality, never with stream length.
+    "stream_bloom_dedup" -> ((s, d) => {
+      import graft.functions.expressions.BloomSketch
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("value"))
+      // One tiny driver-side scalar to size the shard count — the same
+      // cardinality estimate a production job takes from table stats.
+      val nDistinct = ev.agg(count_distinct(col("event_id"))).head().getLong(0)
+      val genCapacity = (BloomSketch.DefaultBits * 0.693 / BloomSketch.DefaultHashes).toLong
+      val nShards = math.max(1, math.ceil(nDistinct / (genCapacity * 1.45)).toInt)
+      val out = EventStreams.dedupApproxByBloom(s, ev.unionByName(ev), nShards)
+      val stats = out.agg(count(lit(1)).as("n_out"),
+        count_distinct(col("event_id")).as("n_out_distinct"))
+      val basis = ev.agg(count_distinct(col("event_id")).as("n_distinct"))
+      stats.crossJoin(basis).select(
+        col("n_distinct"),
+        (col("n_out") === col("n_out_distinct")).as("no_false_negative"),
+        (col("n_distinct") - col("n_out_distinct") <=
+          ceil(col("n_distinct") * lit(0.04))).as("fpr_ok"))
+    }),
+
     // The incremental per-user EWMA executed LIVE through
     // flatMapGroupsWithState (typed custom state — the runtime path none
     // of the other live gates touch; see EventStreams.runEwmaLive). The
@@ -204,6 +255,27 @@ object StreamingQueries extends QueryPack {
                 FLOOR(SUM(value)*100 + 0.5)/100 AS session_value
          FROM sess GROUP BY user_id, sid
          ORDER BY user_id, start_sec""",
+    // The live stream-static join must converge to the plain batch LEFT
+    // JOIN (the static side is re-planned per micro-batch; every event
+    // reaches the sink exactly once with its dim row).
+    "stream_enriched_live" ->
+      """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+         ORDER BY e.event_id""",
+    // The live transformWithState fold must converge to the plain batch
+    // per-user aggregate.
+    "stream_running_tws" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                FLOOR(SUM(value)*100 + 0.5)/100 AS total_value
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    // The bloom dedup contract: both booleans hold by construction
+    // (no-false-negative within two generations; false-drop rate under
+    // the design bound) — the Spark side computes them from the actual
+    // doubled-stream run, the oracle pins what the contract REQUIRES.
+    "stream_bloom_dedup" ->
+      """SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+                true AS no_false_negative, true AS fpr_ok
+         FROM events""",
     // The live custom-state fold must converge to the identical batch
     // recurrence (same oracle as q_ewma).
     "stream_ewma_live" ->

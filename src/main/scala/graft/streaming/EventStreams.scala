@@ -118,7 +118,8 @@ object EventStreams {
     * batch 0, before any watermark movement, so nothing is late-dropped. */
   private[graft] def runLive(spark: SparkSession, dataDir: String,
                              transform: (() => DataFrame) => DataFrame,
-                             followups: LiveStage => Seq[DataFrame]): DataFrame = {
+                             followups: LiveStage => Seq[DataFrame],
+                             sessionConfs: Map[String, String] = Map.empty): DataFrame = {
     import java.nio.file.{Files, Paths}
     val base = Files.createTempDirectory("graft_live_").toFile.getAbsolutePath
     trackForCleanup(base)
@@ -138,6 +139,7 @@ object EventStreams {
       spark.conf.get("spark.sql.session.timeZone", "UTC"))
     val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
     if (!sess.conf.getOption(nanosKey).contains("true")) sess.conf.set(nanosKey, "true")
+    sessionConfs.foreach { case (k, v) => sess.conf.set(k, v) }
     val stage = new LiveStage(sess.read.parquet(s"$srcDir/batch0.parquet"))
 
     // A FACTORY rather than a frame: a transform that needs several
@@ -252,6 +254,39 @@ object EventStreams {
     // parent's settings (round-10 ADVICE).
     runLive(spark, dataDir,
       mk => { val df = mk(); ewmaPerUser(df.sparkSession, df) }, _ => Seq.empty)
+
+  /** [[enriched]] live — the execution behind `stream_enriched_live` (the
+    * most-used streaming join shape in real pipelines: an unbounded event
+    * stream left-joined against a STATIC dimension, which Spark re-plans
+    * per micro-batch and broadcasts when small). Stateless — each event
+    * emits its joined row in the batch it arrives, so no watermark, no
+    * sentinels, one drain. The stream side is projected to (event_id,
+    * user_id) before the join so the sink stays narrow; the dim is the
+    * customer table keyed by c_custkey = user_id. */
+  def runEnrichedLive(spark: SparkSession, dataDir: String): DataFrame =
+    runLive(spark, dataDir, mk => {
+      val ev = mk().select(col("event_id"), col("user_id"))
+      val dim = graft.Tables.customer(ev.sparkSession, dataDir)
+        .select(col("c_custkey").cast("long").as("user_id"),
+          col("c_mktsegment").as("segment"))
+      enriched(ev, dim)
+    }, _ => Seq.empty)
+
+  /** [[runningPerUserTws]] live — the execution behind `stream_running_tws`
+    * (the Spark-4 transformWithState runtime path, requiring the RocksDB
+    * state store provider — threaded to the per-run session via
+    * `sessionConfs`). Same single-batch contract as the ewma live gate:
+    * the whole fixture arrives as batch 0 (FileStreamSource never splits
+    * a file), each user folds its complete history in one
+    * handleInputRows call, and the append sink holds exactly the final
+    * per-user running state — hash-checked against the plain batch
+    * GROUP BY oracle. */
+  def runRunningTwsLive(spark: SparkSession, dataDir: String): DataFrame =
+    runLive(spark, dataDir,
+      mk => { val df = mk(); runningPerUserTws(df.sparkSession, df, OutputMode.Append()) },
+      _ => Seq.empty,
+      sessionConfs = Map("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
 
   /** Tumbling 1-hour windowed counts per event type, 10-minute watermark. */
   def windowedCounts(events: DataFrame): DataFrame =
@@ -493,14 +528,19 @@ object EventStreams {
     }
   }
 
-  def runningPerUserTws(spark: SparkSession, events: DataFrame): DataFrame = {
+  /** `mode` is the OPERATOR output mode transformWithState declares: the
+    * MemoryStream spec runs Update (one row per touched key per batch to
+    * an update sink); the live gate runs Append to match [[runLive]]'s
+    * append parquet sink. */
+  def runningPerUserTws(spark: SparkSession, events: DataFrame,
+                        mode: OutputMode = OutputMode.Update()): DataFrame = {
     import spark.implicits._
     events
       .select(col("user_id"), col("ts"), col("value")).as[UserEvent]
       .groupByKey(_.user_id)
       .transformWithState(new RunningStateProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(),
-        OutputMode.Update())
+        mode)
       .toDF()
   }
 }

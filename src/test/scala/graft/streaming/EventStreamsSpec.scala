@@ -298,6 +298,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(ids.sorted.toSeq == (1L to 90L), s"unexpected id set: ${ids.sorted.take(10).toSeq}…")
   }
 
+  test("dedupApproxByBloom: generation rotation keeps the two-gen no-false-negative contract") {
+    // 12k distinct keys in ONE shard exceed a generation's design load
+    // (~7.5k), forcing at least one rotation, while staying inside two
+    // generations — so even with every key fed twice, no duplicate may
+    // re-emit, and false DROPS stay under the 4% design bound the
+    // stream_bloom_dedup gate uses. Batch-mode fMGWS (single group call)
+    // — the same code path the gate executes.
+    import spark.implicits._
+    val n = 12000
+    val ev = (1 to n).map(i => (i.toLong, (i % 7).toLong, 1.0))
+      .toDF("event_id", "user_id", "value")
+    val out = EventStreams.dedupApproxByBloom(spark, ev.unionByName(ev), nShards = 1)
+      .select("event_id").collect().map(_.getLong(0))
+    assert(out.length == out.distinct.length, "a duplicate id was re-emitted")
+    assert(n - out.distinct.length <= math.ceil(n * 0.04),
+      s"false-drop rate above design bound: ${n - out.distinct.length} of $n")
+  }
+
   test("ewmaPerUser incrementally matches the full-history fold") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
