@@ -45,6 +45,12 @@ object Stress {
     }.reduce(_ union _)
     val corpus = tenx.union(mega).localCheckpoint() // freeze input: time the dedup, not the build
 
+    def rmTree(p: String): Unit = {
+      val f = new java.io.File(p)
+      if (f.isDirectory) f.listFiles().foreach(c => rmTree(c.getAbsolutePath))
+      f.delete(): Unit
+    }
+
     def time(label: String, f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val n = f; val sec = (System.nanoTime() - t0) / 1e9
       println(f"[stress] $label%-28s ${sec}%8.2f s   $n%,d pairs")
@@ -261,6 +267,84 @@ object Stress {
     }
     java.nio.file.Files.deleteIfExists(ingestDir): Unit
 
+    // Streaming state-store stress (round-10 verdict #5): a REAL
+    // session_window streaming run — file-stream source staged slab by
+    // slab (one micro-batch each), watermark 10 min, gap 30 min — at
+    // 1×/10×/100× the fixture's key count. Each hourly slab gives every
+    // user one 2-event session; the next slab's arrival advances the
+    // watermark ~50 min past the previous slab's session ends, so the
+    // state store must EVICT the closed sessions (numRowsRemoved) instead
+    // of accumulating them. The scale claim under test: state rows track
+    // ACTIVE keys (≈ users × open sessions), never total events — the
+    // property that lets the same query run forever at any stream length.
+    case class StreamStateRes(users: Int, rows: Long, batches: Int,
+                              maxStateRows: Long, removedRows: Long,
+                              sinkRows: Long, maxBatchSec: Double, totalSec: Double)
+    def streamStateRun(nUsers: Int): StreamStateRes = {
+      import java.nio.file.{Files, Paths}
+      val base = Files.createTempDirectory("graft_stress_stream_").toFile.getAbsolutePath
+      val srcDir = s"$base/src"
+      new java.io.File(srcDir).mkdirs()
+      val sess = spark.newSession()
+      sess.conf.set("spark.sql.shuffle.partitions", "8")
+      val slabs = 6
+      val perSlab = nUsers.toLong * 2
+      val epoch0 = 1700000000L
+      def stageSlab(k: Int): Unit = {
+        val tmp = s"$base/f$k"
+        // Two events per user per slab, 0 and 90 s apart-ish (< 30-min
+        // gap ⇒ one session per user per slab; slabs 1 h apart ⇒ a NEW
+        // session each slab, the long-tail pattern).
+        sess.range(perSlab).select(
+            (col("id") % nUsers).as("user_id"),
+            timestamp_seconds(lit(epoch0 + k * 3600L) + (col("id") % 2L) * 90L).as("ts"),
+            lit(1.0).as("value"))
+          .coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file under $tmp"))
+        Files.move(part.toPath, Paths.get(s"$srcDir/slab$k.parquet")): Unit
+      }
+      stageSlab(0)
+      val schema = sess.read.parquet(s"$srcDir/slab0.parquet").schema
+      val stream = sess.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = stream.withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sess"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("sess.start").as("s"), col("n"))
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .start()
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      (1 until slabs).foreach { k => stageSlab(k); q.processAllAvailable() }
+      val totalSec = (System.nanoTime() - t0) / 1e9
+      val progs = q.recentProgress
+      val stateOps = progs.flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      val maxStateRows = if (stateOps.isEmpty) 0L else stateOps.map(_.numRowsTotal).max
+      val removedRows = stateOps.map(_.numRowsRemoved).sum
+      val maxBatchSec = progs.map(_.batchDuration).max / 1e3
+      val nBatches = progs.length
+      q.stop()
+      val sinkRows = sess.read.parquet(s"$base/out").count()
+      rmTree(base)
+      // Eviction must be REAL (closed sessions leave the store) and state
+      // must track active keys, not stream length: with 12 sessions/user
+      // over the run, unbounded retention would hold ~12×users rows.
+      require(removedRows > 0, s"no state eviction observed at $nUsers users")
+      require(maxStateRows <= nUsers.toLong * 3,
+        s"state rows $maxStateRows exceed 3x active keys ($nUsers users)")
+      println(f"[stress] stream state $nUsers%7d users: maxState=$maxStateRows%,d removed=$removedRows%,d sink=$sinkRows%,d batches=$nBatches maxBatch=$maxBatchSec%5.2f s total=$totalSec%6.2f s")
+      StreamStateRes(nUsers, perSlab * slabs, nBatches, maxStateRows,
+        removedRows, sinkRows, maxBatchSec, totalSec)
+    }
+    val ssRes = Seq(1500, 15000, 150000).map(streamStateRun)
+    def ssJson(r: StreamStateRes): String =
+      s"""{"users":${r.users},"rows":${r.rows},"batches":${r.batches},"max_state_rows":${r.maxStateRows},"removed_rows":${r.removedRows},"sink_rows":${r.sinkRows},"max_batch_sec":${r.maxBatchSec},"total_sec":${r.totalSec}}"""
+
     // Broadcast-threshold sensitivity (SF1k preview): with the auto
     // threshold off, the orders/customer joins fall back to sort-merge —
     // the plan shape once those dims outgrow executor memory. The nation
@@ -271,7 +355,7 @@ object Stress {
     smj.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val (b2, _) = time("q3_join sort-merge only", SparkEntry.queries("q3_join")(smj, sfDir).count())
 
-    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"embed_ivf_10x":{"vecs":$embDocs,"nlist16_sec":$iv,"nlist16_pairs":$niv,"nlist128_sec":$iv2,"nlist128_pairs":$niv2},"codebook_hot_vector":{"vecs":$nAdv,"clones":$hotClones,"fit_sec":$fitSec,"nonempty_cells":$nonEmptyCells,"max_cell_share":$maxCellShare,"neardup_sec":$advSec,"neardup_pairs":$nAdvPairs,"planted_pairs":$plantedPairs},"bloom_10x":{"orders":$nOrd,"smj_sec":$sj,"smj_rows":$nsj,"probe_sec":$bp,"probe_rows":$nbp,"verify_sec":$bv,"verify_rows":$nbv},"ingest_many_files":{"files":$ingestN,"hidden_frac":0.333,"sec":$ingestSec,"words":${ingested.size},"fold_match":true},"skew_join_hot":{"hot_rows":$hotRows,"buckets_hit":${buckets.size},"max_bucket_rows":$maxBucket,"salted_sec":$saltSec,"plain_sec":$plainSec,"match":true},"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2}}""")
+    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"embed_ivf_10x":{"vecs":$embDocs,"nlist16_sec":$iv,"nlist16_pairs":$niv,"nlist128_sec":$iv2,"nlist128_pairs":$niv2},"codebook_hot_vector":{"vecs":$nAdv,"clones":$hotClones,"fit_sec":$fitSec,"nonempty_cells":$nonEmptyCells,"max_cell_share":$maxCellShare,"neardup_sec":$advSec,"neardup_pairs":$nAdvPairs,"planted_pairs":$plantedPairs},"bloom_10x":{"orders":$nOrd,"smj_sec":$sj,"smj_rows":$nsj,"probe_sec":$bp,"probe_rows":$nbp,"verify_sec":$bv,"verify_rows":$nbv},"ingest_many_files":{"files":$ingestN,"hidden_frac":0.333,"sec":$ingestSec,"words":${ingested.size},"fold_match":true},"skew_join_hot":{"hot_rows":$hotRows,"buckets_hit":${buckets.size},"max_bucket_rows":$maxBucket,"salted_sec":$saltSec,"plain_sec":$plainSec,"match":true},"stream_state":[${ssRes.map(ssJson).mkString(",")}],"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2}}""")
     spark.stop()
   }
 }

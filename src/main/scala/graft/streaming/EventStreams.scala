@@ -83,7 +83,11 @@ object EventStreams {
   private[graft] final class LiveStage(raw: DataFrame) {
     val schema: org.apache.spark.sql.types.StructType = raw.schema
     private val tsIsLong = schema("ts").dataType == org.apache.spark.sql.types.LongType
-    val maxRow: DataFrame = raw.orderBy(col("ts").desc).limit(1).localCheckpoint()
+    // LAZY (round-10 verdict #7): the max-ts scan + eager localCheckpoint
+    // only runs for transforms that actually stage sentinel follow-ups —
+    // the no-sentinel gates (ewma, funnel, enriched, tws) skip a full
+    // fixture sort per run.
+    lazy val maxRow: DataFrame = raw.orderBy(col("ts").desc).limit(1).localCheckpoint()
     /** maxRow with ts shifted by `seconds` (negative = earlier). */
     def shifted(seconds: Long): DataFrame =
       if (tsIsLong) maxRow.withColumn("ts", col("ts") + lit(seconds * 1000000000L))
@@ -108,24 +112,28 @@ object EventStreams {
     *     folded the former one-blocking-call-per-sentinel protocol);
     *  4. stop, return the sink (caller filters its tagged rows).
     *
-    * Deterministic-flush contract for watermark-append transforms: two
-    * sentinels at +2h/+4h make the LAST processed follow-up a data batch
-    * whose pre-batch watermark (≥ max(ts)+2h − 10min) exceeds every real
-    * window/session end (≤ max(ts)+30min), so every real group is emitted
-    * exactly once regardless of the order the source picks the staged
-    * files — no reliance on no-data micro-batch timing, which
-    * `processAllAvailable` does not await. All real events arrive in
-    * batch 0, before any watermark movement, so nothing is late-dropped. */
+    * Deterministic-flush contract for watermark-append transforms
+    * (round-10 verdict #7 trimmed one whole micro-batch off the former
+    * +2h/+4h two-follow-up protocol): the FIRST sentinel (+2h) rides IN
+    * batch 0 via `batch0Extra` — the watermark only advances AFTER a
+    * batch, so it cannot late-drop the real events it shares the file
+    * with — leaving the post-batch-0 watermark at max(ts)+2h−10min; ONE
+    * +4h follow-up batch then has a pre-batch watermark that exceeds
+    * every real window/session end (≤ max(ts)+30min), so every real
+    * group is emitted exactly once in that single follow-up batch. Two
+    * micro-batches total, no reliance on no-data micro-batch timing
+    * (which `processAllAvailable` does not await), and batch 0 is one
+    * file so there is no staged-file-order nondeterminism at all. */
   private[graft] def runLive(spark: SparkSession, dataDir: String,
                              transform: (() => DataFrame) => DataFrame,
                              followups: LiveStage => Seq[DataFrame],
-                             sessionConfs: Map[String, String] = Map.empty): DataFrame = {
+                             sessionConfs: Map[String, String] = Map.empty,
+                             batch0Extra: LiveStage => Option[DataFrame] = _ => None): DataFrame = {
     import java.nio.file.{Files, Paths}
     val base = Files.createTempDirectory("graft_live_").toFile.getAbsolutePath
     trackForCleanup(base)
     val srcDir = s"$base/src"
     new java.io.File(srcDir).mkdirs()
-    Files.copy(Paths.get(s"$dataDir/events.parquet"), Paths.get(s"$srcDir/batch0.parquet"))
 
     // The run gets its OWN session: micro-batch cost scales with the
     // state-store/sink task count (= shuffle partitions × #batches), and
@@ -140,7 +148,24 @@ object EventStreams {
     val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
     if (!sess.conf.getOption(nanosKey).contains("true")) sess.conf.set(nanosKey, "true")
     sessionConfs.foreach { case (k, v) => sess.conf.set(k, v) }
-    val stage = new LiveStage(sess.read.parquet(s"$srcDir/batch0.parquet"))
+    val stage = new LiveStage(sess.read.parquet(s"$dataDir/events.parquet"))
+    // Stage batch 0: the straight fixture copy, or — when the transform
+    // needs a watermark-advancing sentinel — the fixture plus the
+    // sentinel row rewritten as ONE file (FileStreamSource never splits
+    // a file, so they are guaranteed to share the first micro-batch).
+    batch0Extra(stage) match {
+      case None =>
+        Files.copy(Paths.get(s"$dataDir/events.parquet"), Paths.get(s"$srcDir/batch0.parquet")): Unit
+      case Some(extra) =>
+        val tmp = s"$base/b0"
+        sess.read.parquet(s"$dataDir/events.parquet").unionByName(extra)
+          .coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file under $tmp"))
+        Files.move(part.toPath, Paths.get(s"$srcDir/batch0.parquet"))
+        rmTree(tmp)
+    }
 
     // A FACTORY rather than a frame: a transform that needs several
     // independent sources (a two-source stream-stream join) calls it once
@@ -174,12 +199,16 @@ object EventStreams {
 
   /** [[windowedCounts]] live — the execution behind `stream_windowed_live`:
     * sentinels are tagged by event_type (the output carries it) and their
-    * own windows dropped after the read-back. */
-  def runWindowedCountsLive(spark: SparkSession, dataDir: String): DataFrame =
+    * own windows dropped after the read-back. +2h sentinel in batch 0,
+    * +4h follow-up — the two-micro-batch flush protocol on [[runLive]]. */
+  def runWindowedCountsLive(spark: SparkSession, dataDir: String): DataFrame = {
+    def sentinel(st: LiveStage, h: Long) =
+      st.shifted(h * 3600L).withColumn("event_type", lit(SentinelType))
     runLive(spark, dataDir, mk => windowedCounts(mk()),
-      st => Seq(2, 4).map(h =>
-        st.shifted(h * 3600L).withColumn("event_type", lit(SentinelType))))
+      st => Seq(sentinel(st, 4)),
+      batch0Extra = st => Some(sentinel(st, 2)))
       .filter(col("event_type") =!= SentinelType)
+  }
 
   /** [[sessionized]] live — the execution behind `stream_sessionized_live`
     * (round-9 verdict #1: the hardest stateful path, session_window +
@@ -187,14 +216,18 @@ object EventStreams {
     * sentinels are tagged by [[SentinelUser]] instead; each sentinel forms
     * its own 1-row session (2h/4h past every real event, beyond any 30-min
     * gap) which the read-back filter drops. Real sessions end by
-    * max(ts)+30min < watermark at the last follow-up batch, so append mode
-    * emits each exactly once with its complete aggregate. */
-  def runSessionizedLive(spark: SparkSession, dataDir: String): DataFrame =
+    * max(ts)+30min < watermark at the single follow-up batch (+2h
+    * sentinel in batch 0, +4h follow-up), so append mode emits each
+    * exactly once with its complete aggregate. */
+  def runSessionizedLive(spark: SparkSession, dataDir: String): DataFrame = {
+    def sentinel(st: LiveStage, h: Long) =
+      st.shifted(h * 3600L).withColumn("user_id",
+        lit(SentinelUser).cast(st.schema("user_id").dataType))
     runLive(spark, dataDir, mk => sessionized(mk()),
-      st => Seq(2, 4).map(h =>
-        st.shifted(h * 3600L).withColumn("user_id",
-          lit(SentinelUser).cast(st.schema("user_id").dataType))))
+      st => Seq(sentinel(st, 4)),
+      batch0Extra = st => Some(sentinel(st, 2)))
       .filter(col("user_id") =!= SentinelUser)
+  }
 
   /** [[dedupedByEventId]] live — the execution behind `stream_dedup_live`
     * (round-9 verdict #4: the state-eviction path no other gate touches).
