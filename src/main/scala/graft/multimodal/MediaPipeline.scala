@@ -72,13 +72,14 @@ object MediaPipeline {
     else None
   }
 
-  /** Dispatching decoder: real BMP and PNG header parses, stub for
+  /** Dispatching decoder: real BMP, PNG and JPEG header parses, stub for
     * everything else. (WAV payloads go through [[decodeWav]] on the audio
     * decode pass — audio metadata doesn't fit the image
     * width/height/frames shape.) */
   def decodeMedia(media: Array[Byte]): (Int, Int, Int) =
     decodeBmp(media)
       .orElse(decodePng(media).map { case (w, h, _, _) => (w, h, 1) })
+      .orElse(decodeJpeg(media).map { case (w, h, _, _) => (w, h, 1) })
       .getOrElse(decodeStub(media))
 
   /** BMP container size: 14-byte file header + 40-byte BITMAPINFOHEADER. */
@@ -192,6 +193,120 @@ object MediaPipeline {
       .mapPartitions(_.flatMap { r =>
         decodePng(r.media).map { case (w, h, depth, color) =>
           PngMeta(r.doc_id, r.source, r.media.length.toLong, w, h, depth, color)
+        }
+      })
+      .toDF()
+  }
+
+  /** JPEG/JFIF container prefix the fixture staging writes: SOI + APP0
+    * (JFIF, 16-byte length) + COM ("graft", 7-byte length) + SOF0
+    * (baseline, 3 components) = 48 bytes. The COM segment is there on
+    * purpose: [[decodeJpeg]] must WALK past variable segments to find the
+    * SOF, so a fixed-offset "parse" would fail the gate. */
+  val JpegHeaderLen = 48
+
+  /** REAL metadata parse for the JPEG container — the fourth format, and
+    * the first needing a MARKER WALK rather than fixed offsets: a JPEG is
+    * SOI (0xFFD8) followed by variable-length segments (0xFF marker +
+    * big-endian u16 length including the length bytes), and the frame
+    * dimensions live in whichever start-of-frame segment the file carries
+    * (baseline 0xC0, progressive 0xC2, ... — any 0xC0-0xCF except DHT
+    * 0xC4 / JPG 0xC8 / DAC 0xCC), at no fixed offset. The SOF payload is
+    * precision u8, height u16 BE, width u16 BE, component count u8.
+    *
+    * Strict validation, same contract as [[decodeBmp]]/[[decodePng]]:
+    * SOI's leading 0xFF is non-ASCII, so no text payload ever reaches the
+    * walk; every segment must begin 0xFF with declared length ≥ 2 and a
+    * SOF's length must be exactly 8 + 3×components; a standalone marker
+    * (RST/TEM — illegal before the scan), SOS or EOI before any SOF, a
+    * length past the buffer, or zero dimensions/components abort to None
+    * — and the caller falls back to the stub, keeping the raw-payload
+    * oracles exact. */
+  def decodeJpeg(media: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    def u16(off: Int): Int = ((media(off) & 0xff) << 8) | (media(off + 1) & 0xff)
+    def isSof(m: Int): Boolean =
+      m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+    if (media.length < 4 || (media(0) & 0xff) != 0xff || (media(1) & 0xff) != 0xd8)
+      None
+    else {
+      var off = 2
+      var out: Option[(Int, Int, Int, Int)] = None
+      var halted = false
+      while (!halted && off + 4 <= media.length) {
+        val marker = media(off + 1) & 0xff
+        // Standalone markers (TEM 0x01, RST 0xD0-D7), a stray SOI, EOI or
+        // the scan start: no SOF was found first, so there is no frame
+        // header to trust — abort rather than guess.
+        if ((media(off) & 0xff) != 0xff || marker == 0x01 ||
+            (marker >= 0xd0 && marker <= 0xda)) halted = true
+        else {
+          val segLen = u16(off + 2)
+          if (segLen < 2 || off + 2 + segLen > media.length) halted = true
+          else if (isSof(marker)) {
+            if (segLen >= 8) {
+              val precision = media(off + 4) & 0xff
+              val h = u16(off + 5)
+              val w = u16(off + 7)
+              val nComp = media(off + 9) & 0xff
+              if (w > 0 && h > 0 && nComp >= 1 && segLen == 8 + 3 * nComp)
+                out = Some((w, h, precision, nComp))
+            }
+            halted = true
+          } else off += 2 + segLen
+        }
+      }
+      out
+    }
+  }
+
+  /** A VALID 48-byte JPEG prefix (SOI + JFIF APP0 + a COM segment the
+    * marker walk must skip + baseline SOF0, 3 components, 8-bit) declaring
+    * `width`×`height` — what the fixture staging prepends so [[decodeJpeg]]
+    * has a real segment sequence to walk. The payload that follows is not
+    * a valid scan, but the metadata path never reads past the SOF — the
+    * same header-only-probe contract as [[pngHeader]]. */
+  def jpegHeader(width: Int, height: Int): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val b = java.nio.ByteBuffer.allocate(JpegHeaderLen) // big-endian default
+    b.putShort(0xffd8.toShort)                          // SOI
+      .putShort(0xffe0.toShort).putShort(16)            // APP0, len 16
+      .put("JFIF".getBytes(ascii)).put(0.toByte)
+      .put(1.toByte).put(1.toByte)                      // version 1.1
+      .put(0.toByte)                                    // density units
+      .putShort(1).putShort(1)                          // 1:1 aspect
+      .put(0.toByte).put(0.toByte)                      // no thumbnail
+      .putShort(0xfffe.toShort).putShort(7)             // COM, len 7
+      .put("graft".getBytes(ascii))
+      .putShort(0xffc0.toShort).putShort(17)            // SOF0, len 8+3*3
+      .put(8.toByte)                                    // precision
+      .putShort(height.toShort).putShort(width.toShort)
+      .put(3.toByte)                                    // YCbCr
+    for (c <- 1 to 3) b.put(c.toByte).put(0x11.toByte).put(0.toByte)
+    b.array()
+  }
+
+  /** The staged JPEG dimensions for doc `id` — pure doc_id arithmetic so
+    * the DuckDB oracle can replicate what the staging WROTE while Spark
+    * re-derives it by WALKING the marker sequence (a fixed-offset read or
+    * a skipped-segment bug breaks the hash match). */
+  def jpegWidth(id: Long): Int = (((id * 7) % 640) + 16).toInt
+  def jpegHeight(id: Long): Int = (((id * 13) % 360) + 16).toInt
+
+  /** Typed JPEG metadata [[decodeJpeg]] extracts per payload. */
+  case class JpegMeta(doc_id: Long, source: String, bytes: Long,
+                      width: Int, height: Int, precision: Int, n_components: Int)
+
+  /** JPEG decode pass over the mixed container-staged corpus: rows whose
+    * bytes survive the marker walk yield [[JpegMeta]]; everything else —
+    * bare payloads AND the BMP/PNG-staged rows — is dropped by the
+    * flatMap. The parse itself is the filter, same contract as
+    * [[decodedPng]]/[[decodedWav]]. */
+  def decodedJpeg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTableStaged(s, dir).as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        decodeJpeg(r.media).map { case (w, h, prec, comps) =>
+          JpegMeta(r.doc_id, r.source, r.media.length.toLong, w, h, prec, comps)
         }
       })
       .toDF()
@@ -318,13 +433,16 @@ object MediaPipeline {
 
   /** Container-staged media table: doc_id % 4 == 0 payloads are wrapped
     * in a REAL BMP header (dimensions from [[bmpWidth]]/[[bmpHeight]]),
+    * doc_id % 4 == 1 in a REAL JPEG prefix (SOI + APP0 + COM + SOF0 —
+    * the marker-walk format; dimensions from [[jpegWidth]]/[[jpegHeight]]),
     * doc_id % 4 == 2 in a REAL PNG signature+IHDR (big-endian, real CRC;
-    * dimensions from [[pngWidth]]/[[pngHeight]]), the rest stay bare —
-    * the mixed-format corpus the metadata queries (mm_meta_stats /
-    * mm_frame_sample / mm_resize_plan / mm_png_meta) decode, so BOTH real
-    * parse paths (opposite endianness) and the stub fallback are
-    * exercised by every gate over it. Typed mapPartitions staging, same
-    * batch shape as the decode pass itself. */
+    * dimensions from [[pngWidth]]/[[pngHeight]]), and doc_id % 4 == 3
+    * stays bare — the mixed-format corpus the metadata queries
+    * (mm_meta_stats / mm_frame_sample / mm_resize_plan / mm_png_meta /
+    * mm_jpeg_meta) decode, so all three real parse paths (fixed-offset LE,
+    * fixed-offset BE, marker walk) AND the stub fallback are exercised by
+    * every gate over it. Typed mapPartitions staging, same batch shape as
+    * the decode pass itself. */
   def mediaTableStaged(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.Tables.documents(s, dir)
@@ -334,6 +452,7 @@ object MediaPipeline {
         val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val media =
           if (id % 4 == 0) bmpHeader(bmpWidth(id), bmpHeight(id), payload.length) ++ payload
+          else if (id % 4 == 1) jpegHeader(jpegWidth(id), jpegHeight(id)) ++ payload
           else if (id % 4 == 2) pngHeader(pngWidth(id), pngHeight(id)) ++ payload
           else payload
         MediaRow(id, src, media)

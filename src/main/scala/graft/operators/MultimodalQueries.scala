@@ -8,15 +8,17 @@ import org.apache.spark.sql.functions._
 /** Queries over the multimodal (binary media) pipeline.
   *
   * Two corpora (see MediaPipeline): the METADATA queries (mm_meta_stats /
-  * mm_frame_sample / mm_resize_plan / mm_png_meta) decode the
-  * container-staged table — doc_id % 4 == 0 payloads carry a REAL
-  * 54-byte little-endian BMP header and doc_id % 4 == 2 a REAL 33-byte
-  * BIG-endian PNG signature+IHDR (verified CRC) whose width/height Spark
-  * PARSES from the bytes while the oracle replicates the staging
-  * arithmetic from doc_id (a wrong parse offset or endianness breaks the
-  * hash match); the rest fall back to the deterministic stub, whose
-  * arithmetic the oracle models from strlen(text) — documents are ASCII,
-  * so utf-8 byte length == n_chars.
+  * mm_frame_sample / mm_resize_plan / mm_png_meta / mm_jpeg_meta) decode
+  * the container-staged table — doc_id % 4 == 0 payloads carry a REAL
+  * 54-byte little-endian BMP header, doc_id % 4 == 1 a REAL 48-byte JPEG
+  * prefix (SOI + APP0 + COM + SOF0 — found by a marker WALK, not a fixed
+  * offset) and doc_id % 4 == 2 a REAL 33-byte BIG-endian PNG
+  * signature+IHDR (verified CRC), whose width/height Spark PARSES from
+  * the bytes while the oracle replicates the staging arithmetic from
+  * doc_id (a wrong parse offset, endianness, or segment skip breaks the
+  * hash match); doc_id % 4 == 3 falls back to the deterministic stub,
+  * whose arithmetic the oracle models from strlen(text) — documents are
+  * ASCII, so utf-8 byte length == n_chars.
   * The BYTE-level queries (content dedup, audio energy, the feature
   * pipeline) read the raw headerless table: payload == text bytes there.
   */
@@ -152,6 +154,24 @@ object MultimodalQueries extends QueryPack {
           max("color_type").as("max_color"))
         .orderBy("source")),
 
+    // JPEG metadata pass over the SAME mixed corpus: every doc_id % 4 == 1
+    // payload is staged with a real SOI + APP0 + COM + SOF0 prefix; Spark
+    // re-derives width/height/precision/components by WALKING the marker
+    // sequence (the COM segment between APP0 and SOF means a fixed-offset
+    // read lands mid-segment and fails the hash). Non-JPEG payloads (bare
+    // AND BMP/PNG-staged) are dropped by the parse itself.
+    "mm_jpeg_meta" -> ((s, d) =>
+      MediaPipeline.decodedJpeg(s, d)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_jpeg"),
+          sum("bytes").as("total_bytes"),
+          round4(avg("width")).as("avg_width"),
+          round4(avg("height")).as("avg_height"),
+          max("precision").as("max_precision"),
+          max("n_components").as("max_components"))
+        .orderBy("source")),
+
     // Binary content dedup — exact dedup on the raw payload bytes (md5
     // over the binary column, BEFORE any decode), reporting the storage a
     // dedup pass reclaims. Map-only hash + one uniform-key shuffle; at
@@ -190,24 +210,28 @@ object MultimodalQueries extends QueryPack {
                    LEAST((win + 1)*256, len(codes)))) AS BIGINT) AS sum_bytes
           FROM w ORDER BY doc_id, win""",
     // Mixed-format corpus: doc_id%4=0 is BMP-staged (bytes grow by the
-    // 54-byte header), doc_id%4=2 PNG-staged (+33 bytes); width/height
-    // are what the staging WROTE — the Spark side re-derives them by
-    // parsing the header bytes (LE for BMP, BE for PNG) — and a
-    // single-image container is one frame; the rest model the stub
-    // arithmetic on strlen.
+    // 54-byte header), doc_id%4=1 JPEG-staged (+48-byte SOI+APP0+COM+SOF0
+    // prefix), doc_id%4=2 PNG-staged (+33 bytes); width/height are what
+    // the staging WROTE — the Spark side re-derives them by parsing the
+    // header bytes (LE fixed-offset for BMP, BE fixed-offset for PNG, a
+    // marker WALK for JPEG) — and a single-image container is one frame;
+    // doc_id%4=3 models the stub arithmetic on strlen.
     "mm_meta_stats" ->
       """WITH m AS (SELECT doc_id, source, strlen(text) AS b FROM documents),
             meta AS (SELECT doc_id, source,
                             CAST(b + CASE WHEN doc_id % 4 = 0 THEN 54
+                                          WHEN doc_id % 4 = 1 THEN 48
                                           WHEN doc_id % 4 = 2 THEN 33
                                           ELSE 0 END AS BIGINT) AS bytes,
                             CASE WHEN doc_id % 4 = 0 THEN (doc_id % 600) + 20
+                                 WHEN doc_id % 4 = 1 THEN ((doc_id * 7) % 640) + 16
                                  WHEN doc_id % 4 = 2 THEN ((doc_id * 5) % 512) + 16
                                  ELSE (b % 640) + 16 END AS width,
                             CASE WHEN doc_id % 4 = 0 THEN ((doc_id * 3) % 400) + 20
+                                 WHEN doc_id % 4 = 1 THEN ((doc_id * 13) % 360) + 16
                                  WHEN doc_id % 4 = 2 THEN ((doc_id * 11) % 384) + 16
                                  ELSE ((b * 7) % 480) + 16 END AS height,
-                            CASE WHEN doc_id % 4 IN (0, 2) THEN 1
+                            CASE WHEN doc_id % 4 IN (0, 1, 2) THEN 1
                                  ELSE (b % 30) + 1 END AS n_frames
                      FROM m)
          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_media,
@@ -218,7 +242,7 @@ object MultimodalQueries extends QueryPack {
          FROM meta GROUP BY source ORDER BY source""",
     "mm_frame_sample" ->
       """WITH m AS (SELECT doc_id, source,
-                           CASE WHEN doc_id % 4 IN (0, 2) THEN 1
+                           CASE WHEN doc_id % 4 IN (0, 1, 2) THEN 1
                                 ELSE (strlen(text) % 30) + 1 END AS n_frames
                     FROM documents),
             fr AS (SELECT source, unnest(range(n_frames)) AS frame_idx FROM m)
@@ -268,6 +292,25 @@ object MultimodalQueries extends QueryPack {
                 CAST(8 AS INT) AS max_depth,
                 CAST(6 AS INT) AS max_color
          FROM meta GROUP BY source ORDER BY source""",
+    // JPEG staging arithmetic replicated from doc_id (width/height the
+    // staging WROTE into the SOF0 segment; bytes = strlen + the 48-byte
+    // SOI+APP0+COM+SOF0 prefix; precision 8 and 3 components are what the
+    // staging writes and the marker walk must read back from inside the
+    // SOF payload — after skipping the variable APP0 and COM segments).
+    "mm_jpeg_meta" ->
+      """WITH j AS (SELECT doc_id, source, strlen(text) AS b
+                    FROM documents WHERE doc_id % 4 = 1),
+            meta AS (SELECT source, CAST(b + 48 AS BIGINT) AS bytes,
+                            ((doc_id * 7) % 640) + 16 AS width,
+                            ((doc_id * 13) % 360) + 16 AS height
+                     FROM j)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_jpeg,
+                CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+                FLOOR(AVG(width)*10000 + 0.5)/10000 AS avg_width,
+                FLOOR(AVG(height)*10000 + 0.5)/10000 AS avg_height,
+                CAST(8 AS INT) AS max_precision,
+                CAST(3 AS INT) AS max_components
+         FROM meta GROUP BY source ORDER BY source""",
     // WAV staging arithmetic replicated from doc_id: rate from the 5-way
     // case, channels = doc_id%2+1, 16-bit samples ⇒ blockAlign =
     // channels*2; n_samples and duration_ms are integer floor division,
@@ -293,9 +336,11 @@ object MultimodalQueries extends QueryPack {
     "mm_resize_plan" ->
       """WITH meta AS (SELECT doc_id,
                               CASE WHEN doc_id % 4 = 0 THEN (doc_id % 600) + 20
+                                   WHEN doc_id % 4 = 1 THEN ((doc_id * 7) % 640) + 16
                                    WHEN doc_id % 4 = 2 THEN ((doc_id * 5) % 512) + 16
                                    ELSE (strlen(text) % 640) + 16 END AS width,
                               CASE WHEN doc_id % 4 = 0 THEN ((doc_id * 3) % 400) + 20
+                                   WHEN doc_id % 4 = 1 THEN ((doc_id * 13) % 360) + 16
                                    WHEN doc_id % 4 = 2 THEN ((doc_id * 11) % 384) + 16
                                    ELSE ((strlen(text) * 7) % 480) + 16 END AS height
                        FROM documents)

@@ -152,6 +152,15 @@ object StreamingQueries extends QueryPack {
           ceil(col("n_distinct") * lit(0.04))).as("fpr_ok"))
     }),
 
+    // The flagship word count executed LIVE as an unbounded-aggregation
+    // streaming run (complete-mode state snapshot through foreachBatch;
+    // see EventStreams.runWordCountLive): the documents fixture arrives
+    // as three micro-batches, so the word state genuinely accumulates
+    // across batches — gated against the SAME DuckDB oracle as the batch
+    // `wordcount` twin. Closes the last spec-only streaming runtime.
+    "stream_wordcount_live" -> ((s, d) =>
+      EventStreams.runWordCountLive(s, d).orderBy("word")),
+
     // The incremental per-user EWMA executed LIVE through
     // flatMapGroupsWithState (typed custom state — the runtime path none
     // of the other live gates touch; see EventStreams.runEwmaLive). The
@@ -276,6 +285,12 @@ object StreamingQueries extends QueryPack {
       """SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
                 true AS no_false_negative, true AS fpr_ok
          FROM events""",
+    // The live complete-mode aggregation must converge to the identical
+    // full-corpus count (same oracle as the batch `wordcount` twin).
+    "stream_wordcount_live" ->
+      """SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         GROUP BY word ORDER BY word""",
     // The live custom-state fold must converge to the identical batch
     // recurrence (same oracle as q_ewma).
     "stream_ewma_live" ->

@@ -390,6 +390,62 @@ object EventStreams {
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
 
+  /** [[streamingWordCount]] live — the execution behind
+    * `stream_wordcount_live`, closing the last spec-only streaming
+    * runtime: the flagship word count as an ACTUAL unbounded-aggregation
+    * streaming run over the documents fixture.
+    *
+    * A global aggregation with no watermark can never emit in append mode
+    * (its state never finalizes), so this gate uses the production shape
+    * for a bounded-dictionary rollup: COMPLETE output mode through
+    * foreachBatch, each micro-batch overwriting a parquet snapshot of the
+    * full aggregation state — the snapshot standing after the last batch
+    * IS the final count. The fixture is staged as three source files
+    * (maxFilesPerTrigger=1 ⇒ three micro-batches), so the word state
+    * genuinely accumulates across batches: a dropped batch, a
+    * non-incremental rescan, or double-counted state breaks the hash
+    * against the SAME DuckDB oracle as the batch `wordcount` twin.
+    *
+    * Scale: complete-mode state is O(|vocabulary|) — the right contract
+    * when the dictionary fits executor memory (word counts, label
+    * rollups); an unbounded key space would pair update mode with an
+    * idempotent sink merge instead (the dedup gates pin that shape). */
+  def runWordCountLive(spark: SparkSession, dataDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_live_wc_").toFile.getAbsolutePath
+    trackForCleanup(base)
+    val srcDir = s"$base/src"
+    new java.io.File(srcDir).mkdirs()
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", "4")
+    val docs = sess.read.parquet(s"$dataDir/documents.parquet").select("doc_id", "text")
+    // Three deterministic slices → three micro-batches. Any split works —
+    // the aggregate is order-independent — but >1 batch is the point: it
+    // forces real cross-batch state accumulation.
+    for (k <- 0 until 3) {
+      val tmp = s"$base/s$k"
+      docs.filter(col("doc_id") % 3 === k).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      Files.move(part.toPath, Paths.get(s"$srcDir/b$k.parquet"))
+      rmTree(tmp)
+    }
+    val stream = sess.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = streamingWordCount(stream)
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(s"$base/out")
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    Seq(srcDir, s"$base/ckpt").foreach(rmTree)
+    spark.read.parquet(s"$base/out")
+  }
+
   /** Custom state machine via flatMapGroupsWithState (≡ §2.2 J's
     * UDAF-shaped reduce, but incremental): per-user running count +
     * cumulative value, emitted on every update. */

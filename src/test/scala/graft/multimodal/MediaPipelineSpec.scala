@@ -135,6 +135,12 @@ class MediaPipelineSpec extends SparkSpec {
         assert(w == MediaPipeline.bmpWidth(id), s"doc $id width")
         assert(h == MediaPipeline.bmpHeight(id), s"doc $id height")
         assert(f == 1, s"doc $id frames")
+      } else if (id % 4 == 1) {
+        // JPEG-staged: the marker walk must recover the SOF0 dims.
+        assert(bytes == n + MediaPipeline.JpegHeaderLen, s"doc $id bytes")
+        assert(w == MediaPipeline.jpegWidth(id), s"doc $id width")
+        assert(h == MediaPipeline.jpegHeight(id), s"doc $id height")
+        assert(f == 1, s"doc $id frames")
       } else if (id % 4 == 2) {
         // PNG-staged: big-endian parse must recover the staged dims.
         assert(bytes == n + MediaPipeline.PngHeaderLen, s"doc $id bytes")
@@ -148,6 +154,58 @@ class MediaPipelineSpec extends SparkSpec {
         assert((w, h, f) == ((sw, sh, sff)), s"doc $id stub meta")
       }
     }
+  }
+
+  test("decodeJpeg walks past APP0 and COM to find the SOF0 dims") {
+    val payload = Array.fill[Byte](10)(7)
+    val media = MediaPipeline.jpegHeader(640, 360) ++ payload
+    // (width, height, precision, components) — the SOF payload order is
+    // height-first; a swapped read fails here.
+    assert(MediaPipeline.decodeJpeg(media).contains((640, 360, 8, 3)))
+    assert(MediaPipeline.decodeMedia(media) == ((640, 360, 1)))
+  }
+
+  test("decodeJpeg: SOS or a standalone marker before any SOF aborts to None") {
+    val h = MediaPipeline.jpegHeader(64, 64)
+    // The SOF0 marker byte sits at offset 30 (SOI 2 + APP0 18 + COM 9,
+    // then 0xFF at 29). Rewrite it to SOS (0xDA): scan begins, no frame
+    // header.
+    val sos = h.clone(); sos(30) = 0xda.toByte
+    assert(MediaPipeline.decodeJpeg(sos).isEmpty)
+    // Rewrite it to RST0 (0xD0): a standalone marker the walk must not
+    // read a length from.
+    val rst = h.clone(); rst(30) = 0xd0.toByte
+    assert(MediaPipeline.decodeJpeg(rst).isEmpty)
+  }
+
+  test("decodeJpeg rejects truncation, zero dims, and a mis-sized SOF") {
+    val h = MediaPipeline.jpegHeader(64, 64)
+    assert(MediaPipeline.decodeJpeg(h.take(30)).isEmpty, "truncated mid-walk")
+    assert(MediaPipeline.decodeJpeg(MediaPipeline.jpegHeader(0, 64)).isEmpty)
+    assert(MediaPipeline.decodeJpeg(MediaPipeline.jpegHeader(64, 0)).isEmpty)
+    // Corrupt the SOF length (17 -> 18 at the big-endian length's low
+    // byte, offset 32) with payload after it so the bounds check passes:
+    // segLen != 8 + 3*nComp must reject.
+    val bad = (h ++ Array.fill[Byte](10)(7)).clone(); bad(32) = 18.toByte
+    assert(MediaPipeline.decodeJpeg(bad).isEmpty)
+  }
+
+  test("no text payload can misparse as JPEG (leading 0xFF never occurs in UTF-8)") {
+    val media = ("ÿØ" + "x" * 100).getBytes("UTF-8")
+    // UTF-8 encodes U+00FF as 0xC3 0xBF — the raw byte 0xFF cannot appear
+    // in any UTF-8 text, so the SOI magic is unreachable from documents.
+    assert(MediaPipeline.decodeJpeg(media).isEmpty)
+    assert(MediaPipeline.decodeMedia(media) == MediaPipeline.decodeStub(media))
+  }
+
+  test("JPEG-staged corpus: exactly the id%4==1 docs survive decodedJpeg") {
+    val dir = sf("sf0.001")
+    val ids = MediaPipeline.decodedJpeg(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = graft.Tables.documents(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == all.filter(_ % 4 == 1))
+    assert(ids.nonEmpty, "fixture has no JPEG-staged docs — test is vacuous")
   }
 
   test("PNG-staged corpus: exactly the id%4==2 docs survive decodedPng") {

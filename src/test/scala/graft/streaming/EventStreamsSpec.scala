@@ -166,6 +166,21 @@ class EventStreamsSpec extends SparkSpec {
       s"streaming session sink diverges from batch twin: live=${live.size} batch=${batch.size}")
   }
 
+  test("runWordCountLive: complete-mode streaming aggregation equals the batch flagship") {
+    // stream_wordcount_live's execution path: the fixture arrives as
+    // three micro-batches, the complete-mode state accumulates across
+    // them, and foreachBatch snapshots it to parquet — the final snapshot
+    // must equal the batch wordcount row for row (a dropped batch or
+    // double-counted state shows up as wrong counts).
+    val live = graft.SparkEntry.queries("stream_wordcount_live")(spark, sf("sf0.001"))
+      .collect().map(_.toString).toSeq
+    val batch = graft.SparkEntry.queries("wordcount")(spark, sf("sf0.001"))
+      .collect().map(_.toString).toSeq
+    assert(batch.nonEmpty, "fixture yields no words — test is vacuous")
+    assert(live == batch,
+      s"streaming wordcount sink diverges from batch twin: live=${live.size} batch=${batch.size}")
+  }
+
   test("runDedupLive: live dropDuplicatesWithinWatermark drops the doctored duplicate") {
     // stream_dedup_live's execution path (round-9 verdict #4). The
     // follow-up batch injects a doctored duplicate (same event_id, ts
