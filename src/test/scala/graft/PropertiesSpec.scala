@@ -53,6 +53,60 @@ object HashProps extends Properties("JvmHash") {
     Prop.forAll { (s: String) => JvmHash.h60(s) == JvmHash.h60(s) }
 }
 
+object MediaParseProps extends Properties("mediaParse") {
+  import graft.multimodal.MediaPipeline
+
+  // A random SKIPPABLE JPEG segment: marker + big-endian length + body.
+  // Deliberately includes DHT 0xC4, JPG 0xC8 and DAC 0xCC — the three
+  // markers INSIDE the 0xC0-0xCF range that are NOT start-of-frame: a
+  // walk that treats "0xC0-0xCF" as SOF without the exclusions misreads
+  // one of these as the frame header and fails the dims check below.
+  private val segment: Gen[Array[Byte]] = for {
+    marker <- Gen.oneOf((0xe0 to 0xef) ++ Seq(0xfe, 0xdb, 0xc4, 0xc8, 0xcc))
+    n <- Gen.chooseNum(0, 40)
+    body <- Gen.listOfN(n, Gen.chooseNum(0, 255))
+  } yield Array(0xff.toByte, marker.toByte,
+    (((body.size + 2) >> 8) & 0xff).toByte,
+    ((body.size + 2) & 0xff).toByte) ++ body.map(_.toByte)
+
+  private def sof0(w: Int, h: Int): Array[Byte] =
+    Array(0xff, 0xc0, 0x00, 0x11, 0x08,
+      (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff,
+      0x03, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0).map(_.toByte)
+
+  property("the marker walk recovers SOF dims through any skippable segment sequence") =
+    Prop.forAll(
+      Gen.chooseNum(0, 6).flatMap(n => Gen.listOfN(n, segment)),
+      Gen.chooseNum(1, 65535), Gen.chooseNum(1, 65535)) { (segs, w, h) =>
+      val media = Array(0xff.toByte, 0xd8.toByte) ++
+        segs.toArray.flatten ++ sof0(w, h)
+      MediaPipeline.decodeJpeg(media).contains((w, h, 8, 3))
+    }
+
+  // Arbitrary bytes, biased toward each container's magic prefix so the
+  // deep-validation branches (not just the first magic check) are fuzzed.
+  private val rawBytes: Gen[Array[Byte]] =
+    Gen.listOf(Gen.chooseNum(0, 255).map(_.toByte)).map(_.toArray)
+  private val fuzz: Gen[Array[Byte]] = Gen.oneOf(
+    rawBytes,
+    rawBytes.map(b => Array(0xff.toByte, 0xd8.toByte) ++ b),
+    rawBytes.map(b => "RIFF".getBytes("US-ASCII") ++ b),
+    rawBytes.map(b =>
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++ b),
+    rawBytes.map(b => "BM".getBytes("US-ASCII") ++ b))
+
+  property("every decoder is total on arbitrary bytes (parse or None, never throw)") =
+    Prop.forAll(fuzz) { media =>
+      MediaPipeline.decodeBmp(media)
+      MediaPipeline.decodePng(media)
+      MediaPipeline.decodeJpeg(media)
+      MediaPipeline.decodeWav(media)
+      val (w0, h0, f0) = MediaPipeline.decodeMedia(media)
+      // Whatever path fired, the dispatched metadata is sane.
+      w0 > 0 && h0 > 0 && f0 > 0
+    }
+}
+
 object PackProps extends Properties("packSequences-binning") {
   // Pure twin of Graft.packSequences's bin formula: bin = (cum - tok) div B
   // = tokens-before div B.
