@@ -421,16 +421,29 @@ object EventStreams {
     val docs = sess.read.parquet(s"$dataDir/documents.parquet").select("doc_id", "text")
     // Three deterministic slices → three micro-batches. Any split works —
     // the aggregate is order-independent — but >1 batch is the point: it
-    // forces real cross-batch state accumulation.
+    // forces real cross-batch state accumulation. ONE pass stages all
+    // three (partitionBy writes slice subdirs; repartition by the slice
+    // key makes each subdir a single part file), instead of three full
+    // fixture scans.
+    val tmp = s"$base/staged"
+    docs.withColumn("b", (col("doc_id") % 3).cast("int"))
+      .repartition(3, col("b"))
+      .write.partitionBy("b").parquet(tmp)
     for (k <- 0 until 3) {
-      val tmp = s"$base/s$k"
-      docs.filter(col("doc_id") % 3 === k).coalesce(1).write.parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file under $tmp"))
-      Files.move(part.toPath, Paths.get(s"$srcDir/b$k.parquet"))
-      rmTree(tmp)
+      val dir = new java.io.File(s"$tmp/b=$k")
+      // A slice with no rows writes no subdir — fine, the remaining
+      // slices still give >1 micro-batch on every fixture.
+      if (dir.isDirectory) {
+        val parts = dir.listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        // repartition(3, b) co-locates each b in ONE task, so exactly one
+        // part file per subdir; more would mean the move below drops rows.
+        if (parts.length != 1)
+          sys.error(s"expected exactly one part file under $tmp/b=$k, found ${parts.length}")
+        Files.move(parts.head.toPath, Paths.get(s"$srcDir/b$k.parquet"))
+      }
     }
+    rmTree(tmp)
     val stream = sess.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
     val q = streamingWordCount(stream)
