@@ -354,6 +354,36 @@ object DedupQueries extends QueryPack {
         .select("canonical_id", "n_copies")
         .orderBy("canonical_id")),
 
+    // Span-level dedup — the pass AFTER doc-level dedup in a training
+    // pipeline: ordered token 8-grams shared across ≥2 DISTINCT docs,
+    // reported as how many of each doc's sliding windows are
+    // corpus-shared (the signal exact-substring dedup uses to cut
+    // repeated boilerplate spans out of otherwise-unique documents).
+    // Shape: one typed flatMap (sliding windows — the measured shingle
+    // justification applies), ONE computation of the gram stream, then
+    // (gram, doc) pre-aggregation → per-gram window count → per-doc sum.
+    // No semi-join back to the exploded grams and no O(n²) pair path;
+    // a hot gram contributes ≤ n_docs rows after the pre-agg, so the
+    // window partition is bounded by corpus size, not window count.
+    "dedup_span_ngrams" -> ((s, d) => {
+      import s.implicits._
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .as[(Long, Seq[String])]
+        .flatMap { case (id, toks) =>
+          if (toks.length < 8) Iterator.empty
+          else toks.sliding(8).map(w => (id, w.mkString(" ")))
+        }
+        .toDF("doc_id", "gram")
+      grams.groupBy("gram", "doc_id").agg(count(lit(1)).as("nw"))
+        .withColumn("nd", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("gram")))
+        .filter(col("nd") >= 2)
+        .groupBy("doc_id")
+        .agg(sum("nw").as("n_shared_windows"))
+        .orderBy("doc_id")
+    }),
+
     // MinHash + LSH near-dup: 32 seeded hashes → 16 bands × 2 rows →
     // band-key equi-join for candidates → TRUE-Jaccard verify ≥ 0.7.
     "dedup_minhash" -> ((s, d) =>
@@ -708,6 +738,22 @@ object DedupQueries extends QueryPack {
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS canonical_id, CAST(COUNT(*) AS BIGINT) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY canonical_id""",
+    // Ordered 8-gram windows (1-based inclusive list_slice: i+1..i+8 for
+    // i in 0..len-8 ≡ Spark's sliding(8)); a gram is "shared" when ≥2
+    // DISTINCT docs carry it, and each doc counts every shared window
+    // occurrence (duplicates within one doc included).
+    "dedup_span_ngrams" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+                    WHERE len(string_split(text, ' ')) >= 8),
+            g AS (SELECT doc_id,
+                         unnest(list_transform(range(len(toks) - 7),
+                           i -> array_to_string(list_slice(toks, i + 1, i + 8), ' '))) AS gram
+                  FROM t),
+            gd AS (SELECT gram, doc_id, COUNT(*) AS nw FROM g GROUP BY 1, 2),
+            h AS (SELECT gram, doc_id, nw,
+                         COUNT(*) OVER (PARTITION BY gram) AS nd FROM gd)
+         SELECT doc_id, CAST(SUM(nw) AS BIGINT) AS n_shared_windows
+         FROM h WHERE nd >= 2 GROUP BY doc_id ORDER BY doc_id""",
     "dedup_contamination" ->
       s"""WITH $shinglesSqlCte,
             pairs AS (SELECT da, db FROM jac WHERE jac >= 0.7),
