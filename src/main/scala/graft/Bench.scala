@@ -139,9 +139,9 @@ object Bench {
     // The per-query map is ~2 kB and can overflow a tail-window parse, so
     // the FINAL stdout line is a short total-only summary (~250 bytes);
     // the full line goes out just before it and to BENCH_local.json.
-    // Denominator: the measured DuckDB oracle workload at sf0.1 (all 127
-    // oracle SQLs, threads=32 — BASELINE.md round-11 row, same-session warm
-    // minimum; scripts/baseline.py re-derives it). Env overrides for
+    // Denominator: the measured DuckDB oracle workload at sf0.1 (all 130
+    // oracle SQLs, threads=32 — BASELINE.md round-11 rows, same-session
+    // warm minimum; scripts/baseline.py re-derives it). Env overrides for
     // re-derived denominators; the fallback keeps `vs_baseline` on the
     // driver's line, which sets no env. Only meaningful at sf0.1.
     val baselineEnv = sys.env.get("SPARK_GRAFT_BASELINE_SEC")
@@ -164,7 +164,7 @@ object Bench {
     }
     val ratio = baselineParsed
       .orElse(
-        if (baselineEnv.isEmpty && new java.io.File(sfDir).getName == "sf0.1") Some(41.6)
+        if (baselineEnv.isEmpty && new java.io.File(sfDir).getName == "sf0.1") Some(40.0)
         else None)
       .map(base => s""","vs_baseline":${fmt(total / base)}""")
       .getOrElse("")

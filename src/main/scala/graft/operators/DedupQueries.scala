@@ -359,15 +359,23 @@ object DedupQueries extends QueryPack {
     // reported as how many of each doc's sliding windows are
     // corpus-shared (the signal exact-substring dedup uses to cut
     // repeated boilerplate spans out of otherwise-unique documents).
-    // Shape: one typed flatMap (sliding windows — the measured shingle
-    // justification applies), ONE computation of the gram stream, then
-    // (gram, doc) pre-aggregation → per-gram window count → per-doc sum.
-    // No semi-join back to the exploded grams and no O(n²) pair path;
-    // a hot gram contributes ≤ n_docs rows after the pre-agg, so the
-    // window partition is bounded by corpus size, not window count.
+    // Shape: a typed flatMap (sliding windows — the measured shingle
+    // justification applies), (gram, doc) pre-aggregation, a per-gram
+    // doc count, and an equi-join of the two — NOT a per-gram Window:
+    // a window puts every row of one gram in one UNSPLITTABLE sort
+    // partition, so a corpus-wide boilerplate gram (1B docs sharing a
+    // header) OOMs a task; the groupBy gets map-side partial
+    // aggregation and the join gets AQE skew-split. The diamond does
+    // NOT reuse the (gram, doc) exchange (verified on the executed
+    // plan: the self-join re-alias gives the branches distinct expr
+    // ids and typed MapPartitions doesn't canonicalize across them),
+    // so the gram stream computes twice — an O(tokens) map-side pass,
+    // the declared cost here; a production run over 100 TB persists
+    // the pre-agg instead. No join back to the exploded grams and no
+    // O(n²) pair path.
     "dedup_span_ngrams" -> ((s, d) => {
       import s.implicits._
-      val grams = Tables.documents(s, d)
+      val gd = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .as[(Long, Seq[String])]
         .flatMap { case (id, toks) =>
@@ -375,10 +383,12 @@ object DedupQueries extends QueryPack {
           else toks.sliding(8).map(w => (id, w.mkString(" ")))
         }
         .toDF("doc_id", "gram")
-      grams.groupBy("gram", "doc_id").agg(count(lit(1)).as("nw"))
-        .withColumn("nd", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("gram")))
+        .groupBy("gram", "doc_id").agg(count(lit(1)).as("nw"))
+      val shared = gd.groupBy("gram")
+        .agg(count(lit(1)).as("nd"))
         .filter(col("nd") >= 2)
+        .select("gram")
+      gd.join(shared, "gram")
         .groupBy("doc_id")
         .agg(sum("nw").as("n_shared_windows"))
         .orderBy("doc_id")
