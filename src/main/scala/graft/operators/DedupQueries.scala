@@ -354,6 +354,43 @@ object DedupQueries extends QueryPack {
         .select("canonical_id", "n_copies")
         .orderBy("canonical_id")),
 
+    // Incremental ingest dedup — the dedup MODE the other dedup_* queries
+    // don't cover: an arriving batch checked against the EXISTING corpus
+    // rather than whole-corpus-at-once. The fixture has no second batch,
+    // so one is constructed deterministically on both engines: re-keyed
+    // EXACT COPIES of corpus docs (doc_id%10==3 → +2_000_000 — every one
+    // must be dropped) unioned with genuinely-new variants (doc_id%10==0,
+    // text + ' v2 fresh' → +1_000_000 — every one must survive), which
+    // makes the gate sensitive in both directions (the fixture corpus has
+    // zero exact duplicates at sf≤0.01, so a naive whole-corpus dedup
+    // restated as "incremental" would pass vacuously without this).
+    // Two passes: (1) within-batch exact dedup — partial-aggregated
+    // groupBy on the uniform md5 key; (2) against-corpus LEFT ANTI join
+    // on the same key. Scale shape at 100 TB: the corpus side is the big
+    // one and shuffles ONCE on a uniform 128-bit key (no skew by
+    // construction; Spark can only broadcast the right/build side of a
+    // LEFT ANTI, and the corpus is never broadcast-sized). Production
+    // accelerators, not needed for correctness: keep the corpus hash
+    // index BUCKETED by content_hash so only the (small) batch side
+    // shuffles per ingest, and/or a bloom prefilter (q_bloom_join's
+    // sketch) — rows the bloom rejects are definitely-new and skip the
+    // join entirely; only maybe-dup rows pay the probe.
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val fresh = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+                concat(col("text"), lit(" v2 fresh")).as("text"))
+      val copies = docs.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      val corpusHashes = docs.select(md5(col("text")).as("content_hash")).distinct()
+      fresh.unionByName(copies)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_batch_copies"))
+        .join(corpusHashes, Seq("content_hash"), "left_anti")
+        .select("doc_id", "n_batch_copies")
+        .orderBy("doc_id")
+    }),
+
     // Span-level dedup — the pass AFTER doc-level dedup in a training
     // pipeline: ordered token 8-grams shared across ≥2 DISTINCT docs,
     // reported as how many of each doc's sliding windows are
@@ -748,6 +785,23 @@ object DedupQueries extends QueryPack {
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS canonical_id, CAST(COUNT(*) AS BIGINT) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY canonical_id""",
+    // Same constructed batch (re-keyed exact copies + ' v2 fresh'
+    // variants); ANTI JOIN rather than NOT IN so the no-NULL assumption
+    // never matters cross-engine.
+    "dedup_incremental" ->
+      """WITH batch AS (
+             SELECT doc_id + 1000000 AS doc_id, text || ' v2 fresh' AS text
+             FROM documents WHERE doc_id % 10 = 0
+             UNION ALL
+             SELECT doc_id + 2000000 AS doc_id, text
+             FROM documents WHERE doc_id % 10 = 3),
+            b AS (SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id,
+                         CAST(COUNT(*) AS BIGINT) AS n_batch_copies
+                  FROM batch GROUP BY 1),
+            c AS (SELECT DISTINCT md5(text) AS content_hash FROM documents)
+         SELECT b.doc_id, b.n_batch_copies
+         FROM b ANTI JOIN c ON b.content_hash = c.content_hash
+         ORDER BY doc_id""",
     // Ordered 8-gram windows (1-based inclusive list_slice: i+1..i+8 for
     // i in 0..len-8 ≡ Spark's sliding(8)); a gram is "shared" when ≥2
     // DISTINCT docs carry it, and each doc counts every shared window

@@ -182,8 +182,52 @@ object TextAnalysis extends QueryPack {
           round4(avg("n_toks")).as("avg_tokens"),
           min("n_chars").as("min_chars"),
           max("n_chars").as("max_chars"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // PII redaction — the scrub pass a training pipeline runs before any
+    // text leaves the lake: emails / NANP-style phones / IPv4 literals
+    // replaced by typed placeholders, with per-doc match counts and an
+    // md5 over the scrubbed text so the gate checks the REDACTED CONTENT
+    // itself, not just the counts. The fixture corpus carries no PII, so
+    // each doc is first augmented with deterministic synthetic PII
+    // derived from doc_id — identically on both engines — which makes
+    // every regex branch provably fire on every row (two emails, one
+    // exercising dots in the local part; one phone; one IP). Map-only
+    // codegen'd regexp builtins over one projection: zero shuffles, the
+    // scan prunes to (doc_id, text), and at 100 TB this is the
+    // embarrassingly-parallel pass it should be. Patterns stay inside
+    // the RE2/Java common subset (char classes + bounded repetition, no
+    // backrefs/lookaround) so both engines match identically.
+    "text_pii_scrub" -> ((s, d) => {
+      val aug = concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or "), col("doc_id").cast("string"),
+        lit(".admin@mail-host.org call +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0.7"))
+      val scrubbed =
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("aug"), PiiEmailRe, "<EMAIL>"),
+            PiiPhoneRe, "<PHONE>"),
+          PiiIpRe, "<IP>")
+      Tables.documents(s, d)
+        .withColumn("aug", aug)
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("aug"), lit(PiiEmailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("aug"), lit(PiiPhoneRe), lit(0))).as("n_phones"),
+          size(regexp_extract_all(col("aug"), lit(PiiIpRe), lit(0))).as("n_ips"),
+          md5(scrubbed).as("scrub_hash"))
+        .orderBy("doc_id")
+    })
   )
+
+  // RE2-and-Java-compatible PII patterns (shared by the Spark query and
+  // its DuckDB oracle below; DuckDB's regexp engine is RE2).
+  private val PiiEmailRe = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PiiPhoneRe = "\\+1-[0-9]{3}-[0-9]{4}"
+  private val PiiIpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
   val oracleSql: Map[String, String] = Map(
     "text_repetition" ->
@@ -291,6 +335,26 @@ object TextAnalysis extends QueryPack {
                 CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
                 FLOOR(AVG(len(string_split(text, ' ')))*10000 + 0.5)/10000 AS avg_tokens,
                 MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
-         FROM documents GROUP BY lang ORDER BY lang"""
+         FROM documents GROUP BY lang ORDER BY lang""",
+    // Same deterministic PII augmentation, same RE2-subset patterns;
+    // DuckDB regexp_replace needs the explicit 'g' flag to match Spark's
+    // replace-all semantics.
+    "text_pii_scrub" ->
+      s"""WITH a AS (SELECT doc_id,
+                            text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                            '@example.com or ' || CAST(doc_id AS VARCHAR) ||
+                            '.admin@mail-host.org call +1-555-' ||
+                            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                            ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.7' AS aug
+                     FROM documents)
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(aug, '$PiiEmailRe')) AS INT) AS n_emails,
+                 CAST(len(regexp_extract_all(aug, '$PiiPhoneRe')) AS INT) AS n_phones,
+                 CAST(len(regexp_extract_all(aug, '$PiiIpRe')) AS INT) AS n_ips,
+                 md5(regexp_replace(regexp_replace(regexp_replace(aug,
+                       '$PiiEmailRe', '<EMAIL>', 'g'),
+                       '$PiiPhoneRe', '<PHONE>', 'g'),
+                       '$PiiIpRe', '<IP>', 'g')) AS scrub_hash
+          FROM a ORDER BY doc_id"""
   )
 }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Value-level sensitivity pins for the round-11 ingest ops:
+  * `text_pii_scrub` (PII redaction) and `dedup_incremental` (arriving
+  * batch vs existing corpus). The oracle compare (scripts/check.py /
+  * driver t2) hash-checks them on the fixtures; these tests pin the
+  * SEMANTICS on crafted corpora the fixtures cannot express — exact
+  * scrubbed bytes, and an incremental batch where both drop-branches and
+  * both keep-branches fire, including a constructed fresh-text collision
+  * with the corpus.
+  */
+class IngestOpsSpec extends SparkSpec {
+
+  /** Write a crafted documents.parquet under a temp dir, return the dir. */
+  private def stageDocs(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_spec_")
+      .toFile.getAbsolutePath
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("text_pii_scrub redacts the exact injected bytes (hash pinned in-test)") {
+    val dir = stageDocs(Seq((7L, "plain words here"), (42L, "more text")))
+    val out = TextAnalysis.queries("text_pii_scrub")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+
+    // Recompute the augmentation + scrub by hand for doc 7: both injected
+    // emails, the phone, and the IP must be gone, nothing else touched.
+    def expected(id: Long, text: String): String = md5Hex(
+      s"$text contact <EMAIL> or <EMAIL> call <PHONE> from <IP>")
+    assert(out.toSeq == Seq(
+      (7L, 2, 1, 1, expected(7L, "plain words here")),
+      (42L, 2, 1, 1, expected(42L, "more text"))))
+  }
+
+  test("text_pii_scrub leaves PII-free text intact modulo the injected tail") {
+    val dir = stageDocs(Seq((1L, "no pii at all")))
+    val row = TextAnalysis.queries("text_pii_scrub")(spark, dir).collect().head
+    // Counts come from the injected PII only (the text itself has none).
+    assert((row.getInt(1), row.getInt(2), row.getInt(3)) == ((2, 1, 1)))
+    assert(row.getString(4) == md5Hex(
+      "no pii at all contact <EMAIL> or <EMAIL> call <PHONE> from <IP>"))
+  }
+
+  test("dedup_incremental drops exact copies, keeps fresh, catches collisions") {
+    // %10==0 rows spawn fresh variants, %10==3 rows spawn re-keyed exact
+    // copies. Docs 0 and 10 share a text, so their fresh variants
+    // collapse within-batch to one row with n_batch_copies = 2 — and doc
+    // 20's text is crafted to EQUAL that variant ("alpha v2 fresh"), so
+    // the collapsed row then collides with the corpus and is dropped,
+    // exercising within-batch dedup AND the anti-join on the same row.
+    val dir = stageDocs(Seq(
+      (0L, "alpha"), (3L, "beta"), (10L, "alpha"), (13L, "delta"),
+      (20L, "alpha v2 fresh"), (23L, "epsilon"), (30L, "gamma")))
+    val out = DedupQueries.queries("dedup_incremental")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    // Batch: fresh = {0,10 -> "alpha v2 fresh" (collides with doc 20!),
+    //                 20 -> "alpha v2 fresh v2 fresh", 30 -> "gamma v2 fresh"},
+    //        copies = {3 -> "beta", 13 -> "delta", 23 -> "epsilon"} (all dropped).
+    assert(out == Seq((1000020L, 1L), (1000030L, 1L)))
+  }
+}
