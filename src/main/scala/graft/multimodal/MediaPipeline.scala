@@ -14,11 +14,14 @@ import org.apache.spark.sql.functions._
   * little-endian), canonical PCM WAV headers (44-byte RIFF/WAVE,
   * little-endian) and PNG signature+IHDR (33 bytes, BIG-endian with a
   * verified CRC-32) are parsed from actual bytes — pure JVM, no codec
-  * library needed. Only payloads in formats that DO need a codec for
-  * even their metadata (JPEG's SOF marker walk sits behind entropy-coded
-  * segments; MP4 boxes need a full atom walk) fall back to the
-  * deterministic stub, because no codec libraries exist in this
-  * container.
+  * library needed. JPEG dims come from a real SOF MARKER WALK past
+  * variable-length segments, and MP4/ISO-BMFF movie metadata from a real
+  * recursive BOX WALK (ftyp brand + moov/mvhd timescale+duration,
+  * including the version-1 64-bit and largesize forms) — both still pure
+  * JVM, because container METADATA never needs a codec. Only pixel/
+  * sample DECODE (entropy-coded scans, IDAT inflate, mdat codecs) falls
+  * back to the deterministic stub, because no codec libraries exist in
+  * this container.
   *
   * Scale notes: decode is a map-only pass — no shuffle; partition sizing
   * is governed by `spark.sql.files.maxPartitionBytes`, and a real decoder
@@ -35,10 +38,11 @@ object MediaPipeline {
                        width: Int, height: Int, n_frames: Int)
 
   /** STUB decoder — deterministic fake derived from the payload length,
-    * for payloads in no recognized container format. A real implementation
-    * would dispatch on more magic numbers (JPEG/MP4) the way [[decodeBmp]],
-    * [[decodePng]] and [[decodeWav]] do; those need codec libraries this
-    * container lacks, so the fake keeps every downstream query runnable
+    * for payloads in no recognized container format. All five container
+    * formats the corpus stages (BMP, PNG, JPEG, WAV, MP4) now have REAL
+    * metadata parses; the stub remains for bare payloads and for the
+    * pixel/sample DECODE step, which needs codec libraries this
+    * container lacks — the fake keeps every downstream query runnable
     * AND oracle-checkable. */
   def decodeStub(media: Array[Byte]): (Int, Int, Int) = {
     val n = media.length
@@ -418,6 +422,172 @@ object MediaPipeline {
         decodeWav(r.media).map { case (rate, ch, nSamples) =>
           AudioMeta(r.doc_id, r.source, r.media.length.toLong, rate, ch,
             nSamples, nSamples * 1000L / rate)
+        }
+      })
+      .toDF()
+  }
+
+  /** Typed movie metadata [[decodeMp4]] extracts per ISO-BMFF payload. */
+  case class Mp4Meta(doc_id: Long, source: String, bytes: Long,
+                     brand: String, timescale: Long, duration: Long,
+                     duration_ms: Long)
+
+  /** REAL metadata parse for the MP4 / ISO-BMFF container (ISO 14496-12)
+    * — the fifth format, and the first needing a RECURSIVE box walk: a
+    * file is a sequence of boxes (big-endian u32 size + 4-byte type,
+    * where size==1 switches to a u64 "largesize" at offset 8), `moov` is
+    * a pure container whose CHILDREN are boxes again, and the movie
+    * header `mvhd` is a FullBox whose layout depends on its version byte
+    * (v0: u32 timescale@12/duration@16 after 2×u32 timestamps; v1: u32
+    * timescale@20/u64 duration@24 after 2×u64 timestamps). Returns
+    * (major brand, timescale, duration in timescale units).
+    *
+    * Strict validation, same contract as the other four decoders: the
+    * first box must be `ftyp` — and since every box's leading u32 size
+    * must FIT THE BUFFER, an ASCII payload (first byte ≥ 0x20 ⇒ declared
+    * size ≥ 0x20202020, half a gigabyte) can never walk at all, so no
+    * text document misparses as video and the raw-payload oracles stay
+    * exact. Sibling boxes between ftyp and moov (free/skip/meta...) are
+    * skipped by size per the spec — including the largesize form — but a
+    * size smaller than its own header, a box past the buffer, an mvhd
+    * whose length doesn't match its version (108/120), non-zero flags,
+    * an unknown version, or a non-positive timescale all abort to None. */
+  def decodeMp4(media: Array[Byte]): Option[(String, Long, Long)] = {
+    def u32(off: Int): Long =
+      ((media(off) & 0xffL) << 24) | ((media(off + 1) & 0xffL) << 16) |
+        ((media(off + 2) & 0xffL) << 8) | (media(off + 3) & 0xffL)
+    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
+    def tag(off: Int): String =
+      new String(media, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // First box of the first `name` box in [from, to): payload bounds
+    // (after the size+type header), or None on any malformed size.
+    def findBox(name: String, from: Int, to: Int): Option[(Int, Int)] = {
+      var off = from
+      while (off + 8 <= to) {
+        val sz32 = u32(off)
+        val (hdr, size): (Int, Long) =
+          if (sz32 == 1L) { if (off + 16 > to) return None; (16, u64(off + 8)) }
+          else (8, sz32)
+        if (size < hdr || size > (to - off).toLong) return None
+        if (tag(off + 4) == name) return Some((off + hdr, off + size.toInt))
+        off += size.toInt
+      }
+      None
+    }
+    if (media.length < 16 || u32(0) < 16 || u32(0) > media.length ||
+        tag(4) != "ftyp") None
+    else {
+      val brand = tag(8)
+      if (!brand.forall(c => c >= ' ' && c <= '~')) None
+      else
+        for {
+          (ms, me) <- findBox("moov", u32(0).toInt, media.length)
+          (ps, pe) <- findBox("mvhd", ms, me)
+          version = media(ps) & 0xff
+          if media(ps + 1) == 0 && media(ps + 2) == 0 && media(ps + 3) == 0
+          meta <- version match {
+            case 0 if pe - ps == 100 => Some((u32(ps + 12), u32(ps + 16)))
+            case 1 if pe - ps == 112 => Some((u32(ps + 20), u64(ps + 24)))
+            case _ => None
+          }
+          if meta._1 > 0 && meta._2 >= 0
+        } yield (brand, meta._1, meta._2)
+    }
+  }
+
+  /** A VALID ISO-BMFF prefix declaring a movie of `duration` units at
+    * `timescale` — what the video fixture staging prepends so
+    * [[decodeMp4]] has a real box tree to walk: ftyp(major `brand`) →
+    * a skippable top-level `free` box (in the u64 LARGESIZE form when
+    * `largeFree` — the walk must handle size==1) → moov containing a
+    * child `free` box BEFORE the mvhd (so a fixed-offset read into moov
+    * lands in padding and fails the gate) → an mvhd in version 1 (64-bit
+    * duration) when `v1`, else version 0 → the mdat header for the
+    * payload. The payload that follows is not a real codec stream, but
+    * the metadata path never reads into mdat — the same header-only-probe
+    * contract as [[pngHeader]]/[[jpegHeader]]. */
+  def mp4Header(brand: String, timescale: Long, duration: Long,
+                v1: Boolean, largeFree: Boolean, payloadLen: Int): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val mvhdSize = if (v1) 120 else 108
+    val freeSize = if (largeFree) 24 else 16
+    val moovSize = 8 + 12 + mvhdSize
+    val b = java.nio.ByteBuffer.allocate(20 + freeSize + moovSize + 8) // BE
+    b.putInt(20).put("ftyp".getBytes(ascii))            // ftyp
+      .put(brand.getBytes(ascii)).putInt(0)             // major brand + minor
+      .put("isom".getBytes(ascii))                      // one compatible brand
+    if (largeFree)                                      // top-level skippable
+      b.putInt(1).put("free".getBytes(ascii)).putLong(24L).putLong(0L)
+    else b.putInt(16).put("free".getBytes(ascii)).putLong(0L)
+    b.putInt(moovSize).put("moov".getBytes(ascii))      // moov container
+      .putInt(12).put("free".getBytes(ascii)).putInt(0) // child padding box
+      .putInt(mvhdSize).put("mvhd".getBytes(ascii))     // movie header
+    if (v1) b.putInt(0x01000000)                        // version 1, flags 0
+      .putLong(0L).putLong(0L)                          // creation/modification
+      .putInt(timescale.toInt).putLong(duration)
+    else b.putInt(0)                                    // version 0, flags 0
+      .putInt(0).putInt(0)
+      .putInt(timescale.toInt).putInt(duration.toInt)
+    b.putInt(0x00010000).putShort(0x0100.toShort)       // rate 1.0, volume 1.0
+      .putShort(0).putInt(0).putInt(0)                  // reserved
+      .putInt(0x00010000).putInt(0).putInt(0)           // identity matrix
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+      .putInt(0).putInt(0).putInt(0)                    // pre_defined ×6
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(2)                                        // next track id
+      .putInt(8 + payloadLen).put("mdat".getBytes(ascii))
+    b.array()
+  }
+
+  /** The staged MP4 parameters for doc `id` — pure doc_id arithmetic so
+    * the DuckDB oracle can replicate what the staging WROTE while Spark
+    * re-derives them by WALKING the box tree. Version-1 rows (id%6==0)
+    * get durations ABOVE u32 range, so only a real 64-bit read can match
+    * the oracle; id%9==0 rows stage the top-level free box in largesize
+    * form. */
+  val Mp4Brands: Array[String] = Array("isom", "mp42", "avc1")
+  val Mp4Timescales: Array[Int] = Array(600, 1000, 90000, 44100, 24)
+  def mp4Brand(id: Long): String = Mp4Brands(((id / 3) % 3).toInt)
+  def mp4Timescale(id: Long): Int = Mp4Timescales((id % 5).toInt)
+  def mp4Duration(id: Long): Long =
+    if (id % 6 == 0) 4294967296L + (id * 37) % 1000000
+    else (id * 37) % 100000 + 1
+
+  /** Video-staged media table: every 3rd doc's payload is wrapped in a
+    * REAL ISO-BMFF box tree (parameters from [[mp4Brand]] /
+    * [[mp4Timescale]] / [[mp4Duration]]), the rest stay bare — so the
+    * video decode pass must dispatch on a real box walk, not row
+    * position. */
+  def videoTableStaged(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, src, text) =>
+        val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val media =
+          if (id % 3 == 0)
+            mp4Header(mp4Brand(id), mp4Timescale(id), mp4Duration(id),
+              v1 = id % 6 == 0, largeFree = id % 9 == 0, payload.length) ++ payload
+          else payload
+        MediaRow(id, src, media)
+      })
+      .toDF()
+  }
+
+  /** Movie-metadata pass over the MP4-staged mixed corpus: rows whose
+    * bytes survive the box walk yield [[Mp4Meta]]; bare payloads are
+    * dropped by the parse itself (see the buffer-bound size argument on
+    * [[decodeMp4]]). duration_ms is integer floor arithmetic so the
+    * oracle can replicate it exactly. */
+  def decodedMp4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    videoTableStaged(s, dir).as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        decodeMp4(r.media).map { case (brand, ts, dur) =>
+          Mp4Meta(r.doc_id, r.source, r.media.length.toLong, brand, ts, dur,
+            dur * 1000L / ts)
         }
       })
       .toDF()

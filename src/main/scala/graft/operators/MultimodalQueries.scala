@@ -172,6 +172,25 @@ object MultimodalQueries extends QueryPack {
           max("n_components").as("max_components"))
         .orderBy("source")),
 
+    // Movie-metadata pass: every 3rd doc is staged with a REAL ISO-BMFF
+    // box tree (ftyp + skippable free boxes + moov/mvhd; brand/timescale/
+    // duration from doc_id arithmetic the oracle replicates); Spark
+    // re-derives them by WALKING the boxes — recursive (moov's children
+    // are boxes), version-dependent (mvhd v1 rows carry durations above
+    // u32 range, so only a real 64-bit read matches), and size-form-
+    // dependent (id%9==0 rows use the u64 largesize). Grouping by the
+    // PARSED brand makes the gate sensitive to the ftyp read too.
+    "mm_mp4_meta" -> ((s, d) =>
+      MediaPipeline.decodedMp4(s, d)
+        .groupBy("source", "brand")
+        .agg(
+          count(lit(1)).as("n_video"),
+          sum("bytes").as("total_bytes"),
+          round4(avg("timescale")).as("avg_timescale"),
+          max("duration").as("max_duration"),
+          max("duration_ms").as("max_duration_ms"))
+        .orderBy("source", "brand")),
+
     // Binary content dedup — exact dedup on the raw payload bytes (md5
     // over the binary column, BEFORE any decode), reporting the storage a
     // dedup pass reclaims. Map-only hash + one uniform-key shuffle; at
@@ -333,6 +352,36 @@ object MultimodalQueries extends QueryPack {
                 CAST(SUM(ns) AS BIGINT) AS total_samples,
                 CAST(MAX(dur) AS BIGINT) AS max_duration_ms
          FROM d GROUP BY source ORDER BY source""",
+    // MP4 staging arithmetic replicated from doc_id: brand from the
+    // (id/3)%3 case, timescale from the id%5 case, duration u64-range for
+    // v1 rows (id%6==0); bytes = strlen + ftyp(20) + top-level free
+    // (24 when id%9==0 — largesize form — else 16) + moov header+child
+    // free (8+12=20) + mvhd (120 for v1, else 108) + mdat header (8);
+    // duration_ms is integer floor division, matching the JVM Long
+    // arithmetic exactly.
+    "mm_mp4_meta" ->
+      """WITH v AS (SELECT doc_id, source, strlen(text) AS b
+                    FROM documents WHERE doc_id % 3 = 0),
+            m AS (SELECT source,
+                         CAST(b + 20 + CASE WHEN doc_id % 9 = 0 THEN 24 ELSE 16 END
+                                + 20 + CASE WHEN doc_id % 6 = 0 THEN 120 ELSE 108 END
+                                + 8 AS BIGINT) AS bytes,
+                         CASE CAST((doc_id // 3) % 3 AS INT)
+                              WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+                              ELSE 'avc1' END AS brand,
+                         CASE CAST(doc_id % 5 AS INT)
+                              WHEN 0 THEN 600 WHEN 1 THEN 1000 WHEN 2 THEN 90000
+                              WHEN 3 THEN 44100 ELSE 24 END AS ts,
+                         CASE WHEN doc_id % 6 = 0
+                              THEN 4294967296 + (doc_id * 37) % 1000000
+                              ELSE (doc_id * 37) % 100000 + 1 END AS dur
+                  FROM v)
+         SELECT source, brand, CAST(COUNT(*) AS BIGINT) AS n_video,
+                CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+                FLOOR(AVG(ts)*10000 + 0.5)/10000 AS avg_timescale,
+                CAST(MAX(dur) AS BIGINT) AS max_duration,
+                CAST(MAX((dur * 1000) // ts) AS BIGINT) AS max_duration_ms
+         FROM m GROUP BY source, brand ORDER BY source, brand""",
     "mm_resize_plan" ->
       """WITH meta AS (SELECT doc_id,
                               CASE WHEN doc_id % 4 = 0 THEN (doc_id % 600) + 20

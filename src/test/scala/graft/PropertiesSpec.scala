@@ -101,9 +101,52 @@ object MediaParseProps extends Properties("mediaParse") {
       MediaPipeline.decodePng(media)
       MediaPipeline.decodeJpeg(media)
       MediaPipeline.decodeWav(media)
+      MediaPipeline.decodeMp4(media)
       val (w0, h0, f0) = MediaPipeline.decodeMedia(media)
       // Whatever path fired, the dispatched metadata is sane.
       w0 > 0 && h0 > 0 && f0 > 0
+    }
+
+  // A skippable ISO-BMFF box with a well-known passive type, in either
+  // size form — the walk must step over any number of these, at top level
+  // AND inside moov, to reach mvhd.
+  private val skipBox: Gen[Array[Byte]] = for {
+    tpe <- Gen.oneOf("free", "skip", "udta", "meta")
+    n <- Gen.chooseNum(0, 32)
+    body <- Gen.listOfN(n, Gen.chooseNum(0, 255))
+    large <- Gen.oneOf(true, false)
+  } yield {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    if (large)
+      java.nio.ByteBuffer.allocate(16 + n).putInt(1)
+        .put(tpe.getBytes(ascii)).putLong(16L + n)
+        .put(body.map(_.toByte).toArray).array()
+    else
+      java.nio.ByteBuffer.allocate(8 + n).putInt(8 + n)
+        .put(tpe.getBytes(ascii)).put(body.map(_.toByte).toArray).array()
+  }
+
+  property("the box walk recovers mvhd through any skippable box sequence, both size forms") =
+    Prop.forAll(
+      Gen.chooseNum(0, 4).flatMap(n => Gen.listOfN(n, skipBox)),
+      Gen.chooseNum(0, 4).flatMap(n => Gen.listOfN(n, skipBox)),
+      Gen.chooseNum(1, 1000000), Gen.chooseNum(0L, 5000000000L),
+      Gen.oneOf(true, false)) { (top, inMoov, ts, dur, v1) =>
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      // Version 0 stores duration as u32 — clamp the generated value into
+      // range there; version 1 keeps the full 64-bit draw.
+      val d = if (v1) dur else dur % 4294967296L
+      // Reuse the staged builder's ftyp + mvhd bytes but interpose the
+      // RANDOM sibling/child boxes, so a walk that only handles the
+      // staged fixed layout fails here.
+      val canned = MediaPipeline.mp4Header("mp42", ts, d, v1, largeFree = false, 0)
+      val ftyp = canned.slice(0, 20)
+      val mvhd = canned.slice(20 + 16 + 8 + 12, canned.length - 8)
+      val moovPayload = inMoov.toArray.flatten ++ mvhd
+      val moov = java.nio.ByteBuffer.allocate(8)
+        .putInt(8 + moovPayload.length).put("moov".getBytes(ascii)).array() ++ moovPayload
+      val media = ftyp ++ top.toArray.flatten ++ moov
+      MediaPipeline.decodeMp4(media).contains(("mp42", ts.toLong, d))
     }
 }
 

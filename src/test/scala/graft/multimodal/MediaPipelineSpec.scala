@@ -217,4 +217,62 @@ class MediaPipelineSpec extends SparkSpec {
     assert(ids == all.filter(_ % 4 == 2))
     assert(ids.nonEmpty, "fixture has no PNG-staged docs — test is vacuous")
   }
+
+  test("decodeMp4 walks ftyp → free → moov → free → mvhd (version 0)") {
+    val media = MediaPipeline.mp4Header("isom", 90000, 123456L,
+      v1 = false, largeFree = false, 10) ++ Array.fill(10)(0x61.toByte)
+    assert(MediaPipeline.decodeMp4(media).contains(("isom", 90000L, 123456L)))
+  }
+
+  test("decodeMp4 reads version-1 durations above u32 range (real 64-bit read)") {
+    val dur = 4294967296L + 777L // > u32 max: a 32-bit read can't produce this
+    val media = MediaPipeline.mp4Header("mp42", 24, dur,
+      v1 = true, largeFree = false, 0)
+    assert(MediaPipeline.decodeMp4(media).contains(("mp42", 24L, dur)))
+  }
+
+  test("decodeMp4 handles the u64 largesize box form on the walk") {
+    val media = MediaPipeline.mp4Header("avc1", 600, 42L,
+      v1 = false, largeFree = true, 5) ++ Array.fill(5)(0x62.toByte)
+    assert(MediaPipeline.decodeMp4(media).contains(("avc1", 600L, 42L)))
+  }
+
+  test("no ASCII payload can walk as MP4 (declared box size exceeds the buffer)") {
+    // Any ASCII first byte is >= 0x20, so the leading u32 box size is at
+    // least 0x20202020 (half a GiB) — which can never fit the buffer, and
+    // the walk rejects before even looking at the type bytes. 'ftyp' at
+    // offset 4 makes this the adversarial best case.
+    val media = "  0 ftypisom rest of a plain text document".getBytes("US-ASCII")
+    assert(MediaPipeline.decodeMp4(media).isEmpty)
+  }
+
+  test("decodeMp4 rejects truncation, flags, bad mvhd length and zero timescale") {
+    val good = MediaPipeline.mp4Header("isom", 1000, 99L, v1 = false, largeFree = false, 0)
+    assert(MediaPipeline.decodeMp4(good.take(60)).isEmpty, "truncated mid-walk")
+    // mvhd starts after ftyp(20) + free(16) + moov hdr(8) + child free(12).
+    val mvhdOff = 20 + 16 + 8 + 12
+    val flags = good.clone; flags(mvhdOff + 11) = 1 // non-zero flags byte
+    assert(MediaPipeline.decodeMp4(flags).isEmpty, "non-zero mvhd flags")
+    val badVer = good.clone; badVer(mvhdOff + 8) = 2 // unknown version
+    assert(MediaPipeline.decodeMp4(badVer).isEmpty, "unknown mvhd version")
+    assert(MediaPipeline.decodeMp4(
+      MediaPipeline.mp4Header("isom", 0, 99L, v1 = false, largeFree = false, 0)).isEmpty,
+      "zero timescale")
+  }
+
+  test("MP4-staged corpus: exactly the id%3==0 docs survive, metadata matches staging") {
+    val dir = sf("sf0.001")
+    val rows = MediaPipeline.decodedMp4(spark, dir)
+      .select("doc_id", "brand", "timescale", "duration").collect()
+    val all = graft.Tables.documents(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet == all.filter(_ % 3 == 0))
+    assert(rows.nonEmpty, "fixture has no MP4-staged docs — test is vacuous")
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == MediaPipeline.mp4Brand(id), s"doc $id brand")
+      assert(r.getLong(2) == MediaPipeline.mp4Timescale(id).toLong, s"doc $id timescale")
+      assert(r.getLong(3) == MediaPipeline.mp4Duration(id), s"doc $id duration")
+    }
+  }
 }
