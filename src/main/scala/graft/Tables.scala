@@ -133,13 +133,20 @@ object Tables {
     val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
     if (!s.conf.getOption(nanosKey).contains("true")) s.conf.set(nanosKey, "true")
     val df = table(s, d, "events")
-    // Only the driver fixtures carry TIMESTAMP(NANOS) (surfaced as long by
-    // the conf above); re-materialized events tables have a proper
-    // TimestampType ts and need no conversion.
+    // The driver fixtures have shipped two physical ts encodings across
+    // rounds: TIMESTAMP(NANOS) (surfaced as long by the conf above, µs
+    // division is lossless) and TIMESTAMP(MICROS) isAdjustedToUTC=false
+    // (surfaced as TIMESTAMP_NTZ). Normalize both to TimestampType so
+    // every downstream query sees one type; sessions run in UTC, where
+    // the NTZ→LTZ cast preserves the microsecond value exactly.
+    // Re-materialized events tables already carry TimestampType.
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }

@@ -43,6 +43,11 @@ object EventStreams {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // TIMESTAMP(MICROS) isAdjustedToUTC=false fixtures — same
+        // normalization as Tables.events (UTC session ⇒ lossless cast).
+        stream.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => stream
     }
   }
