@@ -125,6 +125,28 @@ object Tables {
     events(s, d).createOrReplaceTempView("events")
   }
 
+  /** Fails loudly when the session timezone is not UTC at a site about to
+    * cast TIMESTAMP_NTZ → TIMESTAMP: that cast interprets the stored wall
+    * clock in the SESSION timezone, so a non-UTC session would silently
+    * shift every ts value (round-11 ADVICE — the nanosAsLong conf gets a
+    * guarded fallback set, but the timezone assumption was unenforced).
+    * Unlike nanosAsLong, the timezone is NOT force-set here: it changes
+    * the meaning of every timestamp the caller's other queries touch, so
+    * an explicit error beats a silent session-wide mutation. Any zone id
+    * that normalizes to UTC (UTC, Etc/UTC, GMT, +00:00) is accepted. */
+  private[graft] def requireUtcSession(s: SparkSession, what: String): Unit = {
+    val tz = s.conf.get("spark.sql.session.timeZone")
+    val isUtc =
+      try java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+      catch { case _: java.time.DateTimeException => false }
+    require(isUtc,
+      s"$what stores TIMESTAMP_NTZ (wall-clock) values that are normalized " +
+      s"assuming a UTC session, but spark.sql.session.timeZone='$tz': the " +
+      "NTZ cast would silently shift every ts by the zone offset. Build the " +
+      "session with .config(\"spark.sql.session.timeZone\", \"UTC\") (all " +
+      "in-repo session builders do).")
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
     // Readers assume this session-level conf (documented in Bench/Verify/
     // SparkSpec, which set it at session build). Only set it here as a
@@ -145,6 +167,7 @@ object Tables {
         df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        requireUtcSession(s, s"$d/events.parquet ts")
         df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
           .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df

@@ -402,14 +402,16 @@ object DedupQueries extends QueryPack {
     // a window puts every row of one gram in one UNSPLITTABLE sort
     // partition, so a corpus-wide boilerplate gram (1B docs sharing a
     // header) OOMs a task; the groupBy gets map-side partial
-    // aggregation and the join gets AQE skew-split. The diamond does
-    // NOT reuse the (gram, doc) exchange (verified on the executed
-    // plan: the self-join re-alias gives the branches distinct expr
-    // ids and typed MapPartitions doesn't canonicalize across them),
-    // so the gram stream computes twice — an O(tokens) map-side pass,
-    // the declared cost here; a production run over 100 TB persists
-    // the pre-agg instead. No join back to the exploded grams and no
-    // O(n²) pair path.
+    // aggregation and the join gets AQE skew-split. The (gram, doc)
+    // pre-agg is lazily CHECKPOINTED (the componentLabels pattern):
+    // without it the self-join diamond re-computes the O(tokens) gram
+    // flatMap on both branches (the re-alias gives the branches
+    // distinct expr ids and typed MapPartitions doesn't canonicalize
+    // across them — verified on the executed plan, and measured at
+    // ~2× the query's cost in round 11); with it the first action
+    // materializes the pre-agg blocks once and both the per-gram doc
+    // count and the join probe read them. No join back to the
+    // exploded grams and no O(n²) pair path.
     "dedup_span_ngrams" -> ((s, d) => {
       import s.implicits._
       val gd = Tables.documents(s, d)
@@ -421,6 +423,7 @@ object DedupQueries extends QueryPack {
         }
         .toDF("doc_id", "gram")
         .groupBy("gram", "doc_id").agg(count(lit(1)).as("nw"))
+        .localCheckpoint(eager = false)
       val shared = gd.groupBy("gram")
         .agg(count(lit(1)).as("nd"))
         .filter(col("nd") >= 2)

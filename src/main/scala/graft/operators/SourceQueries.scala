@@ -24,6 +24,8 @@ object SourceQueries extends QueryPack {
 
   private def csvStage(d: String) = Stage.dir(d, "csv")
   private def jsonlStage(d: String) = Stage.dir(d, "jsonl")
+  private def csvGzStage(d: String) = Stage.dir(d, "csv_gz")
+  private def jsonlGzStage(d: String) = Stage.dir(d, "jsonl_gz")
 
   val queries: Map[String, Q] = Map(
     // CSV sink → CSV source (header + schema inference) → aggregate.
@@ -54,6 +56,47 @@ object SourceQueries extends QueryPack {
           min("doc_id").as("first_doc"),
           max("n_chars").as("max_chars"))
         .orderBy("lang")
+    }),
+
+    // GZIP-compressed CSV round-trip — the shape real LLM corpora arrive
+    // in (Common-Crawl-style compressed shards). Spark's text sources
+    // decompress by file extension natively; the SCALE caveat is that
+    // gzip is NOT splittable, so one .gz file = one task regardless of
+    // size — a 100 TB corpus must arrive as many shard files (the
+    // standard layout), each a task, never one giant archive. The oracle
+    // reads the same .csv.gz bytes (DuckDB auto-detects gzip by
+    // extension), so codec + parse are checked across two independent
+    // readers.
+    "csv_gz_roundtrip" -> ((s, d) => {
+      val stage = csvGzStage(d)
+      Tables.documents(s, d)
+        .select("doc_id", "lang", "source", "n_chars")
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true")
+        .option("compression", "gzip").csv(stage)
+      graft.sources.FileSources.csv(s, stage)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang")
+    }),
+
+    // GZIP-compressed JSON-lines round-trip (same non-splittable-codec
+    // caveat as csv_gz_roundtrip; .jsonl.gz shards are THE interchange
+    // format for web-scale text corpora).
+    "jsonl_gz_roundtrip" -> ((s, d) => {
+      val stage = jsonlGzStage(d)
+      Tables.documents(s, d)
+        .select("doc_id", "lang", "n_chars")
+        .coalesce(1)
+        .write.mode("overwrite").option("compression", "gzip").json(stage)
+      graft.sources.FileSources.json(s, stage)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("first_doc"),
+          max("n_chars").as("max_chars"))
+        .orderBy("lang")
     })
   )
 
@@ -69,6 +112,18 @@ object SourceQueries extends QueryPack {
                 CAST(MIN(doc_id) AS BIGINT) AS first_doc,
                 CAST(MAX(n_chars) AS BIGINT) AS max_chars
          FROM read_json('${jsonlStage(dataDir)}/*.json', format = 'newline_delimited')
+         GROUP BY lang ORDER BY lang""",
+    "csv_gz_roundtrip" ->
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS chars,
+                CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+         FROM read_csv('${csvGzStage(dataDir)}/*.csv.gz', header = true)
+         GROUP BY lang ORDER BY lang""",
+    "jsonl_gz_roundtrip" ->
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+                CAST(MAX(n_chars) AS BIGINT) AS max_chars
+         FROM read_json('${jsonlGzStage(dataDir)}/*.json.gz', format = 'newline_delimited')
          GROUP BY lang ORDER BY lang"""
   )
 

@@ -45,7 +45,9 @@ object EventStreams {
         stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         // TIMESTAMP(MICROS) isAdjustedToUTC=false fixtures — same
-        // normalization as Tables.events (UTC session ⇒ lossless cast).
+        // normalization as Tables.events (UTC session ⇒ lossless cast;
+        // guarded, a non-UTC session would silently shift values).
+        graft.Tables.requireUtcSession(spark, s"$eventsDir ts")
         stream.withColumn("ts",
           col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => stream
