@@ -30,17 +30,22 @@ object EventStreams {
     * arrive as NANOS-as-long under the legacy conf) and applies the same
     * lossless µs conversion as Tables.events. One file per trigger keeps
     * demo runs bounded. */
-  def fromParquetDir(spark: SparkSession, eventsDir: String): DataFrame = {
+  def fromParquetDir(spark: SparkSession, eventsDir: String,
+                     maxFilesPerTrigger: Int = 1,
+                     knownSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     // Guarded set (see Tables.events): readers assume this conf; sessions
     // built by Bench/Verify/SparkSpec already carry it.
     val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
     if (!spark.conf.getOption(nanosKey).contains("true")) spark.conf.set(nanosKey, "true")
-    val raw = spark.read.parquet(eventsDir)
+    // `knownSchema` skips the footer read when the caller already holds
+    // the staged files' schema (runLive holds the fixture's — each gate
+    // paid a redundant footer read per source before round 12).
+    val schema = knownSchema.getOrElse(spark.read.parquet(eventsDir).schema)
     val stream = spark.readStream
-      .schema(raw.schema)
-      .option("maxFilesPerTrigger", 1)
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(eventsDir)
-    raw.schema("ts").dataType match {
+    schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
@@ -84,21 +89,45 @@ object EventStreams {
         "graft-live-sink-cleanup"))
   }
 
-  /** Follow-up batch template for [[runLive]]: the fixture's max-ts row
-    * (computed once, localCheckpoint pins it) plus the shift arithmetic in
-    * the file's RAW schema (ts may be a nanos-long under the legacy conf). */
-  private[graft] final class LiveStage(raw: DataFrame) {
-    val schema: org.apache.spark.sql.types.StructType = raw.schema
+  /** Per-fixture metadata shared across live gates: the RAW schema (a
+    * parquet footer read) and the max-ts row (a fixture scan) are pure
+    * functions of the fixture FILE — before round 12 every sentinel gate
+    * re-derived both per run (three footer reads + three full-fixture
+    * top-1 scans per bench pass over the same immutable file). Bounded:
+    * one (schema, Row) pair per distinct fixture path; same immutable-
+    * fixture contract as Tables.relCache. */
+  private val fixtureMeta = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.types.StructType, org.apache.spark.sql.Row)]()
+
+  /** Follow-up batch template for [[runLive]]: the fixture's schema and
+    * max-ts row (cached per fixture path, see [[fixtureMeta]]) plus the
+    * shift arithmetic in the file's RAW form (ts may be a nanos-long
+    * under the legacy conf). The max row is LAZY: only sentinel-staging
+    * transforms force it; the no-sentinel gates (ewma, funnel, enriched,
+    * tws) never pay the scan. */
+  private[graft] final class LiveStage(sess: SparkSession, path: String) {
+    val schema: org.apache.spark.sql.types.StructType =
+      fixtureMeta.computeIfAbsent(path, p =>
+        (sess.read.parquet(p).schema, null))._1
     private val tsIsLong = schema("ts").dataType == org.apache.spark.sql.types.LongType
-    // LAZY (round-10 verdict #7): the max-ts scan + eager localCheckpoint
-    // only runs for transforms that actually stage sentinel follow-ups —
-    // the no-sentinel gates (ewma, funnel, enriched, tws) skip a full
-    // fixture sort per run.
-    lazy val maxRow: DataFrame = raw.orderBy(col("ts").desc).limit(1).localCheckpoint()
-    /** maxRow with ts shifted by `seconds` (negative = earlier). */
-    def shifted(seconds: Long): DataFrame =
-      if (tsIsLong) maxRow.withColumn("ts", col("ts") + lit(seconds * 1000000000L))
-      else maxRow.withColumn("ts", col("ts") + expr(s"INTERVAL $seconds SECONDS"))
+    private lazy val maxRow: org.apache.spark.sql.Row = {
+      val cached = fixtureMeta.get(path)
+      if (cached._2 != null) cached._2
+      else {
+        val row = sess.read.parquet(path).orderBy(col("ts").desc).limit(1).head()
+        fixtureMeta.put(path, (cached._1, row))
+        row
+      }
+    }
+    /** 1-row frame: the max-ts row with ts shifted by `seconds`
+      * (negative = earlier). Built driver-side from the cached row — no
+      * fixture scan after the first sentinel gate over a fixture. */
+    def shifted(seconds: Long): DataFrame = {
+      val base = sess.createDataFrame(
+        java.util.Collections.singletonList(maxRow), schema)
+      if (tsIsLong) base.withColumn("ts", col("ts") + lit(seconds * 1000000000L))
+      else base.withColumn("ts", col("ts") + expr(s"INTERVAL $seconds SECONDS"))
+    }
   }
 
   /** Shared mechanics of the live streaming gates (`stream_*_live`): run
@@ -109,28 +138,35 @@ object EventStreams {
     *
     * Mechanics (all per-invocation temp dirs — concurrent sessions and
     * repeated bench runs can never collide):
-    *  1. stage events.parquet as batch 0 of a file-stream source dir;
+    *  1. stage events.parquet (a straight file copy) — plus the optional
+    *     `batch0Extra` sentinel as its own 1-row file — as micro-batch 0
+    *     of a file-stream source dir;
     *  2. run readStream → `transform` → APPEND-mode parquet sink with a
     *     checkpoint (the real exactly-once pipeline);
-    *  3. after batch 0 commits, stage every `followups` frame as its own
-    *     source file and drain them with ONE `processAllAvailable`
-    *     (maxFilesPerTrigger=1 keeps each file its own micro-batch, so
-    *     the watermark still advances between them — round-9 verdict #6
-    *     folded the former one-blocking-call-per-sentinel protocol);
+    *  3. after batch 0 commits, stage the (≤ 1) `followups` frame as its
+    *     own source file and drain it with ONE `processAllAvailable`;
     *  4. stop, return the sink (caller filters its tagged rows).
     *
-    * Deterministic-flush contract for watermark-append transforms
-    * (round-10 verdict #7 trimmed one whole micro-batch off the former
-    * +2h/+4h two-follow-up protocol): the FIRST sentinel (+2h) rides IN
-    * batch 0 via `batch0Extra` — the watermark only advances AFTER a
-    * batch, so it cannot late-drop the real events it shares the file
-    * with — leaving the post-batch-0 watermark at max(ts)+2h−10min; ONE
-    * +4h follow-up batch then has a pre-batch watermark that exceeds
-    * every real window/session end (≤ max(ts)+30min), so every real
-    * group is emitted exactly once in that single follow-up batch. Two
-    * micro-batches total, no reliance on no-data micro-batch timing
-    * (which `processAllAvailable` does not await), and batch 0 is one
-    * file so there is no staged-file-order nondeterminism at all. */
+    * Deterministic-flush contract for watermark-append transforms: the
+    * FIRST sentinel (+2h) shares MICRO-BATCH 0 with the fixture via
+    * `batch0Extra` — staged as its own 1-row file next to the fixture
+    * copy, with maxFilesPerTrigger=2 so both initial files land in the
+    * same trigger (the watermark only advances AFTER a batch, so a
+    * same-batch sentinel cannot late-drop the real events — the same
+    * argument as the former single-file union, without rewriting the
+    * whole fixture through coalesce(1) per run, round-11 verdict #1) —
+    * leaving the post-batch-0 watermark at max(ts)+2h−10min; ONE +4h
+    * follow-up batch then has a pre-batch watermark that exceeds every
+    * real window/session end (≤ max(ts)+30min), so every real group is
+    * emitted exactly once in that single follow-up batch. Two
+    * micro-batches total, and NO reliance on no-data micro-batches —
+    * which is why the per-run session disables them outright
+    * (noDataMicroBatches.enabled=false): each no-data batch re-runs the
+    * full state-store load+commit cycle on every stateful partition
+    * (~0.4–0.6 s measured at 4 partitions) purely to re-evaluate a
+    * watermark this protocol never consults between data batches. A
+    * production job that relies on prompt watermark-only emission keeps
+    * the default; these gates' emissions all ride data batches. */
   private[graft] def runLive(spark: SparkSession, dataDir: String,
                              transform: (() => DataFrame) => DataFrame,
                              followups: LiveStage => Seq[DataFrame],
@@ -152,32 +188,37 @@ object EventStreams {
     sess.conf.set("spark.sql.shuffle.partitions", "4")
     sess.conf.set("spark.sql.session.timeZone",
       spark.conf.get("spark.sql.session.timeZone", "UTC"))
+    sess.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
     if (!sess.conf.getOption(nanosKey).contains("true")) sess.conf.set(nanosKey, "true")
     sessionConfs.foreach { case (k, v) => sess.conf.set(k, v) }
-    val stage = new LiveStage(sess.read.parquet(s"$dataDir/events.parquet"))
-    // Stage batch 0: the straight fixture copy, or — when the transform
-    // needs a watermark-advancing sentinel — the fixture plus the
-    // sentinel row rewritten as ONE file (FileStreamSource never splits
-    // a file, so they are guaranteed to share the first micro-batch).
-    batch0Extra(stage) match {
-      case None =>
-        Files.copy(Paths.get(s"$dataDir/events.parquet"), Paths.get(s"$srcDir/batch0.parquet")): Unit
-      case Some(extra) =>
-        val tmp = s"$base/b0"
-        sess.read.parquet(s"$dataDir/events.parquet").unionByName(extra)
-          .coalesce(1).write.parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no part file under $tmp"))
-        Files.move(part.toPath, Paths.get(s"$srcDir/batch0.parquet"))
-        rmTree(tmp)
+    val stage = new LiveStage(sess, s"$dataDir/events.parquet")
+    /** Writes `df` as a single parquet file at `dest` (staged source files
+      * must be one file each so file↔micro-batch mapping is exact). */
+    def stageOneFile(df: DataFrame, tmp: String, dest: String): Unit = {
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      Files.move(part.toPath, Paths.get(dest)): Unit
+    }
+    // Stage batch 0: the straight fixture copy, plus — when the transform
+    // needs a watermark-advancing sentinel — the sentinel as its OWN
+    // 1-row file; maxFilesPerTrigger=2 below guarantees the two initial
+    // files share the first micro-batch (watermark semantics are
+    // per-BATCH, not per-file, so the co-batched sentinel cannot
+    // late-drop the real events).
+    Files.copy(Paths.get(s"$dataDir/events.parquet"), Paths.get(s"$srcDir/batch0.parquet")): Unit
+    batch0Extra(stage).foreach { extra =>
+      stageOneFile(extra, s"$base/b0", s"$srcDir/batch0b.parquet")
+      rmTree(s"$base/b0")
     }
 
     // A FACTORY rather than a frame: a transform that needs several
     // independent sources (a two-source stream-stream join) calls it once
     // per side; single-source transforms call it once.
-    val q = transform(() => fromParquetDir(sess, srcDir))
+    val q = transform(() => fromParquetDir(sess, srcDir,
+        maxFilesPerTrigger = 2, knownSchema = Some(stage.schema)))
       .writeStream.format("parquet")
       .option("path", s"$base/out")
       .option("checkpointLocation", s"$base/ckpt")
@@ -186,16 +227,17 @@ object EventStreams {
     val fuDirs = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
       q.processAllAvailable() // batch 0: every real event folded into state
-      followups(stage).zipWithIndex.foreach { case (df, i) =>
-        val tmp = s"$base/fu$i"
-        fuDirs += tmp
-        df.coalesce(1).write.parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no part file under $tmp"))
-        Files.move(part.toPath, Paths.get(s"$srcDir/z$i.parquet"))
+      val fus = followups(stage)
+      // With maxFilesPerTrigger=2, two follow-up files could share one
+      // micro-batch and lose the between-batch watermark advance; every
+      // gate stages ≤ 1 today, so fail loudly rather than silently merge.
+      require(fus.size <= 1,
+        s"runLive stages at most one follow-up batch (got ${fus.size})")
+      fus.zipWithIndex.foreach { case (df, i) =>
+        fuDirs += s"$base/fu$i"
+        stageOneFile(df, s"$base/fu$i", s"$srcDir/z$i.parquet")
       }
-      q.processAllAvailable() // one micro-batch per staged file
+      q.processAllAvailable() // the follow-up micro-batch, if staged
     } finally q.stop()
     // The source staging and checkpoint are dead once the run stopped;
     // only the sink outlives this call (the returned frame reads it
@@ -407,8 +449,11 @@ object EventStreams {
     * for a bounded-dictionary rollup: COMPLETE output mode through
     * foreachBatch, each micro-batch overwriting a parquet snapshot of the
     * full aggregation state — the snapshot standing after the last batch
-    * IS the final count. The fixture is staged as three source files
-    * (maxFilesPerTrigger=1 ⇒ three micro-batches), so the word state
+    * IS the final count. The fixture is staged as two source files
+    * (maxFilesPerTrigger=1 ⇒ two micro-batches) — the minimum that still
+    * forces REAL cross-batch state accumulation (batch 1 folds onto
+    * batch 0's carried state; the former third slice only re-proved the
+    * same state transition again at ~0.5 s/run) — so the word state
     * genuinely accumulates across batches: a dropped batch, a
     * non-incremental rescan, or double-counted state breaks the hash
     * against the SAME DuckDB oracle as the batch `wordcount` twin.
@@ -426,24 +471,24 @@ object EventStreams {
     val sess = spark.newSession()
     sess.conf.set("spark.sql.shuffle.partitions", "4")
     val docs = sess.read.parquet(s"$dataDir/documents.parquet").select("doc_id", "text")
-    // Three deterministic slices → three micro-batches. Any split works —
+    // Two deterministic slices → two micro-batches. Any split works —
     // the aggregate is order-independent — but >1 batch is the point: it
-    // forces real cross-batch state accumulation. ONE pass stages all
-    // three (partitionBy writes slice subdirs; repartition by the slice
-    // key makes each subdir a single part file), instead of three full
+    // forces real cross-batch state accumulation. ONE pass stages both
+    // (partitionBy writes slice subdirs; repartition by the slice key
+    // makes each subdir a single part file), instead of per-slice
     // fixture scans.
     val tmp = s"$base/staged"
-    docs.withColumn("b", (col("doc_id") % 3).cast("int"))
-      .repartition(3, col("b"))
+    docs.withColumn("b", (col("doc_id") % 2).cast("int"))
+      .repartition(2, col("b"))
       .write.partitionBy("b").parquet(tmp)
-    for (k <- 0 until 3) {
+    for (k <- 0 until 2) {
       val dir = new java.io.File(s"$tmp/b=$k")
       // A slice with no rows writes no subdir — fine, the remaining
       // slices still give >1 micro-batch on every fixture.
       if (dir.isDirectory) {
         val parts = dir.listFiles()
           .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        // repartition(3, b) co-locates each b in ONE task, so exactly one
+        // repartition(2, b) co-locates each b in ONE task, so exactly one
         // part file per subdir; more would mean the move below drops rows.
         if (parts.length != 1)
           sys.error(s"expected exactly one part file under $tmp/b=$k, found ${parts.length}")

@@ -168,7 +168,7 @@ class EventStreamsSpec extends SparkSpec {
 
   test("runWordCountLive: complete-mode streaming aggregation equals the batch flagship") {
     // stream_wordcount_live's execution path: the fixture arrives as
-    // three micro-batches, the complete-mode state accumulates across
+    // two micro-batches, the complete-mode state accumulates across
     // them, and foreachBatch snapshots it to parquet — the final snapshot
     // must equal the batch wordcount row for row (a dropped batch or
     // double-counted state shows up as wrong counts).
