@@ -225,6 +225,57 @@ object Stress {
       s"salted join diverged from the plain join on the hot corpus")
     println(f"[stress] skew-join hot key: rows=$hotRows buckets=8 max_bucket=$maxBucket")
 
+    // Span-dedup hot gram (round-11 verdict #6): prepend ONE 9-token
+    // boilerplate header to EVERY doc of the 10× corpus, so the two
+    // fully-boilerplate 8-grams land in ALL ~10×-base docs — the
+    // corpus-wide repeated span the groupBy+join shape exists for (a
+    // per-gram Window would put every (hot gram, doc) row in ONE
+    // unsplittable sort partition; the pre-agg takes map-side partials
+    // and the join AQE-skew-splits). Latency must stay on the plain
+    // curve and the result must be exact: every doc reports at least
+    // the two universal boilerplate windows as shared.
+    val tenxDocs = tenx.count()
+    val boiler = "terms of service all rights reserved do not redistribute"
+    val spanHotDocs = tenx
+      .select(col("doc_id"), concat(lit(boiler + " "), col("text")).as("text"))
+      .localCheckpoint()
+    val (spSec, spRows) = time("span 10x plain",
+      operators.DedupQueries.spanSharedWindowsOf(spark, tenx).count())
+    val spanHotRes = operators.DedupQueries.spanSharedWindowsOf(spark, spanHotDocs)
+    val (shSec, shRows) = time("span 10x hot gram", spanHotRes.count())
+    val minShared = spanHotRes.agg(min("n_shared_windows")).head().getLong(0)
+    require(shRows == tenxDocs,
+      s"hot-gram span dedup lost docs: $shRows of $tenxDocs reported")
+    require(minShared >= 2L,
+      s"a doc missed the universal boilerplate windows (min=$minShared)")
+    println(f"[stress] span hot gram: docs=$tenxDocs plain=$spSec%.2f s hot=$shSec%.2f s min_shared=$minShared")
+
+    // Incremental ingest dedup (round-11 verdict #6): a 100× batch
+    // against the 10× corpus — each base doc arrives 100 times, half as
+    // EXACT copies of corpus text (all 50 collapse within-batch, then
+    // the anti-join must drop the survivor), half as genuinely-new
+    // unique variants (all 50 must survive). The shape under test: the
+    // within-batch groupBy and the LEFT ANTI both shuffle on the
+    // uniform md5 key, so the hot arrival pattern (50 copies of one
+    // text) dies in map-side partial aggregation, never on a reducer.
+    val batchClones = 100
+    val nBase = base.count()
+    val incBatch = base
+      .crossJoin(spark.range(batchClones).select(col("id").as("copy")))
+      .select(
+        (lit(700000000L) + col("doc_id") * 1000L + col("copy")).as("doc_id"),
+        when(col("copy") % 2 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" fresh "), col("copy").cast("string")))
+          .as("text"))
+      .localCheckpoint()
+    val nBatch = incBatch.count()
+    val (incSec, incNew) = time("incremental 100x vs 10x",
+      operators.DedupQueries.incrementalDedupOf(spark, incBatch, tenx).count())
+    val expectedNew = nBase * (batchClones / 2)
+    require(incNew == expectedNew,
+      s"incremental dedup emitted $incNew new docs, expected $expectedNew")
+    println(f"[stress] incremental ingest: batch=$nBatch%,d corpus=$tenxDocs%,d new=$incNew%,d $incSec%.2f s")
+
     // Directory-ingest at file-count scale (round-9 parity sweep): 2,000
     // generated files — ~1/3 hidden (readdir+S_ISREG parity path through
     // readWholeFiles), some empty, some NUL-truncated — word-counted by
@@ -355,7 +406,7 @@ object Stress {
     smj.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val (b2, _) = time("q3_join sort-merge only", SparkEntry.queries("q3_join")(smj, sfDir).count())
 
-    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"embed_ivf_10x":{"vecs":$embDocs,"nlist16_sec":$iv,"nlist16_pairs":$niv,"nlist128_sec":$iv2,"nlist128_pairs":$niv2},"codebook_hot_vector":{"vecs":$nAdv,"clones":$hotClones,"fit_sec":$fitSec,"nonempty_cells":$nonEmptyCells,"max_cell_share":$maxCellShare,"neardup_sec":$advSec,"neardup_pairs":$nAdvPairs,"planted_pairs":$plantedPairs},"bloom_10x":{"orders":$nOrd,"smj_sec":$sj,"smj_rows":$nsj,"probe_sec":$bp,"probe_rows":$nbp,"verify_sec":$bv,"verify_rows":$nbv},"ingest_many_files":{"files":$ingestN,"hidden_frac":0.333,"sec":$ingestSec,"words":${ingested.size},"fold_match":true},"skew_join_hot":{"hot_rows":$hotRows,"buckets_hit":${buckets.size},"max_bucket_rows":$maxBucket,"salted_sec":$saltSec,"plain_sec":$plainSec,"match":true},"stream_state":[${ssRes.map(ssJson).mkString(",")}],"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2}}""")
+    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"embed_ivf_10x":{"vecs":$embDocs,"nlist16_sec":$iv,"nlist16_pairs":$niv,"nlist128_sec":$iv2,"nlist128_pairs":$niv2},"codebook_hot_vector":{"vecs":$nAdv,"clones":$hotClones,"fit_sec":$fitSec,"nonempty_cells":$nonEmptyCells,"max_cell_share":$maxCellShare,"neardup_sec":$advSec,"neardup_pairs":$nAdvPairs,"planted_pairs":$plantedPairs},"bloom_10x":{"orders":$nOrd,"smj_sec":$sj,"smj_rows":$nsj,"probe_sec":$bp,"probe_rows":$nbp,"verify_sec":$bv,"verify_rows":$nbv},"ingest_many_files":{"files":$ingestN,"hidden_frac":0.333,"sec":$ingestSec,"words":${ingested.size},"fold_match":true},"skew_join_hot":{"hot_rows":$hotRows,"buckets_hit":${buckets.size},"max_bucket_rows":$maxBucket,"salted_sec":$saltSec,"plain_sec":$plainSec,"match":true},"span_hot_gram":{"docs":$tenxDocs,"plain_sec":$spSec,"plain_rows":$spRows,"hot_sec":$shSec,"hot_rows":$shRows,"min_shared_windows":$minShared},"incremental_ingest":{"batch_rows":$nBatch,"corpus_docs":$tenxDocs,"new_docs":$incNew,"expected_new":$expectedNew,"sec":$incSec,"match":true},"stream_state":[${ssRes.map(ssJson).mkString(",")}],"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2}}""")
     spark.stop()
   }
 }

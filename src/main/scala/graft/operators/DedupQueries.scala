@@ -336,6 +336,51 @@ object DedupQueries extends QueryPack {
       .dropDuplicates("da", "db")
   }
 
+  /** Span-level shared-8-gram windows over ANY (doc_id, text) frame — the
+    * dedup_span_ngrams query body, reusable for adversarial corpora (the
+    * STRESS `span_hot_gram` run). Shape notes live on the query entry:
+    * typed flatMap → (gram, doc) pre-agg (lazily checkpointed so the
+    * self-join diamond scans the gram stream once) → per-gram doc count →
+    * equi-join; never a per-gram Window, so a corpus-wide boilerplate
+    * gram skew-splits instead of landing in one unsplittable partition. */
+  def spanSharedWindowsOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val gd = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .as[(Long, Seq[String])]
+      .flatMap { case (id, toks) =>
+        if (toks.length < 8) Iterator.empty
+        else toks.sliding(8).map(w => (id, w.mkString(" ")))
+      }
+      .toDF("doc_id", "gram")
+      .groupBy("gram", "doc_id").agg(count(lit(1)).as("nw"))
+      .localCheckpoint(eager = false)
+    val shared = gd.groupBy("gram")
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("gram")
+    gd.join(shared, "gram")
+      .groupBy("doc_id")
+      .agg(sum("nw").as("n_shared_windows"))
+      .orderBy("doc_id")
+  }
+
+  /** Incremental ingest dedup over ANY batch/corpus pair — the
+    * dedup_incremental query body, reusable for adversarial loads (the
+    * STRESS `incremental_ingest` run): within-batch exact dedup (partial-
+    * aggregated groupBy on the uniform md5 key), then LEFT ANTI against
+    * the corpus's distinct content hashes. The corpus side shuffles ONCE
+    * on the uniform 128-bit key; accelerators documented on the query. */
+  def incrementalDedupOf(s: SparkSession, batch: DataFrame, corpus: DataFrame): DataFrame = {
+    val corpusHashes = corpus.select(md5(col("text")).as("content_hash")).distinct()
+    batch
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_batch_copies"))
+      .join(corpusHashes, Seq("content_hash"), "left_anti")
+      .select("doc_id", "n_batch_copies")
+      .orderBy("doc_id")
+  }
+
   /** Embeddings (raw float vectors — graft_dot widens per element, so no
     * cast pass is needed and shuffled vector bytes stay halved) + L2 norm. */
   private def vecFrame(s: SparkSession, d: String, id: String, v: String, nrm: String, lbl: String): DataFrame = {
@@ -382,13 +427,7 @@ object DedupQueries extends QueryPack {
                 concat(col("text"), lit(" v2 fresh")).as("text"))
       val copies = docs.filter(col("doc_id") % 10 === 3)
         .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
-      val corpusHashes = docs.select(md5(col("text")).as("content_hash")).distinct()
-      fresh.unionByName(copies)
-        .groupBy(md5(col("text")).as("content_hash"))
-        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_batch_copies"))
-        .join(corpusHashes, Seq("content_hash"), "left_anti")
-        .select("doc_id", "n_batch_copies")
-        .orderBy("doc_id")
+      incrementalDedupOf(s, fresh.unionByName(copies), docs)
     }),
 
     // Span-level dedup — the pass AFTER doc-level dedup in a training
@@ -412,27 +451,8 @@ object DedupQueries extends QueryPack {
     // materializes the pre-agg blocks once and both the per-gram doc
     // count and the join probe read them. No join back to the
     // exploded grams and no O(n²) pair path.
-    "dedup_span_ngrams" -> ((s, d) => {
-      import s.implicits._
-      val gd = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .as[(Long, Seq[String])]
-        .flatMap { case (id, toks) =>
-          if (toks.length < 8) Iterator.empty
-          else toks.sliding(8).map(w => (id, w.mkString(" ")))
-        }
-        .toDF("doc_id", "gram")
-        .groupBy("gram", "doc_id").agg(count(lit(1)).as("nw"))
-        .localCheckpoint(eager = false)
-      val shared = gd.groupBy("gram")
-        .agg(count(lit(1)).as("nd"))
-        .filter(col("nd") >= 2)
-        .select("gram")
-      gd.join(shared, "gram")
-        .groupBy("doc_id")
-        .agg(sum("nw").as("n_shared_windows"))
-        .orderBy("doc_id")
-    }),
+    "dedup_span_ngrams" -> ((s, d) =>
+      spanSharedWindowsOf(s, Tables.documents(s, d))),
 
     // MinHash + LSH near-dup: 32 seeded hashes → 16 bands × 2 rows →
     // band-key equi-join for candidates → TRUE-Jaccard verify ≥ 0.7.

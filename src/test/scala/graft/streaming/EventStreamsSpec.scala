@@ -394,4 +394,50 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows.contains((7L, 2L, 4.0)), s"first-batch emission missing: ${rows.toSeq}")
     assert(rows.contains((9L, 1L, 5.0)))
   }
+
+  test("runLive sink is exactly-once: metadata-log commits map 1:1 to on-disk files") {
+    // Round-11 verdict #7: the live gates return spark.read.parquet(out)
+    // after q.stop(). That read resolves files through the FileStreamSink
+    // commit log (_spark_metadata), so a crashed-then-retried micro-batch
+    // CANNOT surface duplicate rows to a gate — but nothing asserted it.
+    // This pins the contract so a future flaky gate fails loudly here as a
+    // harness bug instead of silently as a correctness mystery:
+    //  (a) commit-log batch ids are exactly 0..n-1, no gap, no repeat;
+    //  (b) no file is committed by two batches;
+    //  (c) the on-disk part files are EXACTLY the committed set (a retried
+    //      batch's orphan write would appear on disk but not in the log);
+    //  (d) the frame the gate hashes reads only committed files.
+    val live = graft.SparkEntry.queries("stream_windowed_live")(spark, sf("sf0.001"))
+    val inputFiles = live.inputFiles
+    assert(inputFiles.nonEmpty, "live sink read resolves no files — vacuous")
+    val sinkDir = new java.io.File(new java.net.URI(inputFiles.head)).getParentFile
+    val metaDir = new java.io.File(sinkDir, "_spark_metadata")
+    assert(metaDir.isDirectory,
+      s"no _spark_metadata at $sinkDir — the gate read is not commit-log-protected")
+    val batchFiles = metaDir.listFiles().filter(_.getName.forall(_.isDigit))
+    val ids = batchFiles.map(_.getName.toLong).sorted.toSeq
+    assert(ids == (0L until ids.size).toSeq,
+      s"commit-log batch ids not consecutive from 0: $ids")
+    assert(ids.size == 2, // the two-micro-batch flush protocol, pinned
+      s"windowed-live protocol stages exactly 2 micro-batches, log has ${ids.size}")
+    val pathRe = """"path":"([^"]+)"""".r
+    val committedPerBatch = batchFiles.toSeq.map { f =>
+      val src = scala.io.Source.fromFile(f)
+      try pathRe.findAllMatchIn(src.mkString).map(m =>
+        new java.io.File(new java.net.URI(m.group(1))).getName).toSet
+      finally src.close()
+    }
+    val committed = committedPerBatch.flatten
+    assert(committed.size == committed.toSet.size,
+      "a sink file is committed by more than one batch")
+    val onDisk = sinkDir.listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(_.getName).toSet
+    assert(onDisk == committed.toSet,
+      s"disk/commit-log divergence — orphans=${(onDisk -- committed).take(3)} " +
+        s"missing=${(committed.toSet -- onDisk).take(3)}")
+    val readBasenames = inputFiles.map(u => new java.io.File(new java.net.URI(u)).getName).toSet
+    assert(readBasenames.subsetOf(committed.toSet),
+      s"gate read resolves uncommitted files: ${(readBasenames -- committed).take(3)}")
+  }
 }
