@@ -259,7 +259,12 @@ object Stress {
     // uniform md5 key, so the hot arrival pattern (50 copies of one
     // text) dies in map-side partial aggregation, never on a reducer.
     val batchClones = 100
-    val nBase = base.count()
+    // Survivors count per DISTINCT base text, not per base doc: the sf0.1
+    // corpus has a handful of exact-duplicate texts, and two base docs
+    // sharing a text produce IDENTICAL fresh variants (text + " fresh k")
+    // that correctly collapse in the within-batch groupBy — that collapse
+    // is the operator working, so the expectation must price it in.
+    val nBaseTexts = base.select("text").distinct().count()
     val incBatch = base
       .crossJoin(spark.range(batchClones).select(col("id").as("copy")))
       .select(
@@ -271,7 +276,7 @@ object Stress {
     val nBatch = incBatch.count()
     val (incSec, incNew) = time("incremental 100x vs 10x",
       operators.DedupQueries.incrementalDedupOf(spark, incBatch, tenx).count())
-    val expectedNew = nBase * (batchClones / 2)
+    val expectedNew = nBaseTexts * (batchClones / 2)
     require(incNew == expectedNew,
       s"incremental dedup emitted $incNew new docs, expected $expectedNew")
     println(f"[stress] incremental ingest: batch=$nBatch%,d corpus=$tenxDocs%,d new=$incNew%,d $incSec%.2f s")

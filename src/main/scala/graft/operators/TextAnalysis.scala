@@ -79,6 +79,31 @@ object TextAnalysis extends QueryPack {
           size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0))).as("n_bpe"))
         .orderBy("doc_id")),
 
+    // Document chunking with overlap — the RAG/pretraining chunking pass:
+    // fixed 64-token windows every 48 tokens (16-token overlap), emitted
+    // as (doc_id, chunk_idx, tok_start, n_tokens, chunk_hash). Map-only:
+    // the explode amplifies each doc by ceil(n/48) rows (bounded, no
+    // shuffle), slice+array_join+md5 are codegen'd builtins, and the
+    // md5 chunk_hash is exactly what a downstream chunk-level exact
+    // dedup (dedup_exact's shape) or chunk→embedding join keys on. At
+    // 100 TB this is an embarrassingly parallel pass whose output is
+    // ~2% of input bytes (hashes, not text) unless the chunk text is
+    // carried — a caller who needs the text adds the slice column and
+    // pays the 1.33x overlap amplification in the sink, not a shuffle.
+    "text_chunks" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .select(col("doc_id"), col("toks"), col("n"),
+          posexplode(expr("sequence(0, n - 1, 48)")).as(Seq("chunk_idx", "tok_start")))
+        .select(
+          col("doc_id"),
+          col("chunk_idx").cast("long").as("chunk_idx"),
+          col("tok_start").cast("long").as("tok_start"),
+          least(lit(64), col("n") - col("tok_start")).cast("long").as("n_tokens"),
+          md5(array_join(expr("slice(toks, tok_start + 1, 64)"), " ")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")),
+
     // Document fingerprint: rolling polynomial hash over md5-derived token
     // hashes — a stable 30-bit content signature (PortableHash).
     "text_fingerprint" -> ((s, d) =>
@@ -297,6 +322,16 @@ object TextAnalysis extends QueryPack {
                 CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_alpha,
                 CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS INT) AS n_bpe
          FROM documents ORDER BY doc_id""",
+    "text_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                           len(string_split(text, ' ')) AS n FROM documents),
+              e AS (SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS tok_start FROM t)
+         SELECT doc_id,
+                CAST(tok_start // 48 AS BIGINT) AS chunk_idx,
+                CAST(tok_start AS BIGINT) AS tok_start,
+                CAST(LEAST(64, n - tok_start) AS BIGINT) AS n_tokens,
+                md5(array_to_string(list_slice(toks, tok_start + 1, tok_start + 64), ' ')) AS chunk_hash
+         FROM e ORDER BY doc_id, chunk_idx""",
     "text_fingerprint" ->
       """SELECT doc_id,
                 list_reduce(

@@ -72,4 +72,30 @@ class IngestOpsSpec extends SparkSpec {
     //        copies = {3 -> "beta", 13 -> "delta", 23 -> "epsilon"} (all dropped).
     assert(out == Seq((1000020L, 1L), (1000030L, 1L)))
   }
+
+  test("text_chunks: window/stride boundary math and overlap hashes are exact") {
+    // 100 tokens → starts at 0, 48, 96: chunks of 64, 52, 4 tokens. A
+    // 64-token doc → ONE start (0..63 < 64? starts 0 and 48: 48 < 64 so
+    // TWO chunks: 64 and 16 tokens). A 1-token doc → one 1-token chunk.
+    val toks100 = (0 until 100).map(i => s"t$i")
+    val dir = stageDocs(Seq(
+      (1L, toks100.mkString(" ")),
+      (2L, (0 until 64).map(i => s"u$i").mkString(" ")),
+      (3L, "solo")))
+    val out = TextAnalysis.queries("text_chunks")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val expected = Seq(
+      (1L, 0L, 0L, 64L, md5Hex(toks100.slice(0, 64).mkString(" "))),
+      (1L, 1L, 48L, 52L, md5Hex(toks100.slice(48, 100).mkString(" "))),
+      (1L, 2L, 96L, 4L, md5Hex(toks100.slice(96, 100).mkString(" "))),
+      (2L, 0L, 0L, 64L, md5Hex((0 until 64).map(i => s"u$i").mkString(" "))),
+      (2L, 1L, 48L, 16L, md5Hex((48 until 64).map(i => s"u$i").mkString(" "))),
+      (3L, 0L, 0L, 1L, md5Hex("solo")))
+    assert(out.toSeq == expected)
+    // Overlap property: consecutive chunks of doc 1 share 16 tokens —
+    // tok_start deltas are the stride, n_tokens the window (tail-capped).
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.sliding(2).forall { case Array(a, b) => b._3 - a._3 == 48L })
+  }
 }
