@@ -430,6 +430,42 @@ object DedupQueries extends QueryPack {
       incrementalDedupOf(s, fresh.unionByName(copies), docs)
     }),
 
+    // Incremental NEAR-dup ingest — the LSH mode of dedup_incremental:
+    // an arriving batch checked for near-duplicates of the EXISTING
+    // corpus (the production ingest gate that catches lightly-edited
+    // re-submissions exact hashing misses). Constructed batch, same
+    // both-directions discipline as dedup_incremental: doc_id%10==7 →
+    // one appended token (3-shingle Jaccard (n-2)/(n-1) ≈ 1 — every one
+    // must be FLAGGED), doc_id%10==4 → token-reversed text (shingles
+    // disjoint up to palindromic trigrams — every one must PASS).
+    // Shape: per-doc 16×2 MinHash band keys on BOTH frames (map-only,
+    // the shared JvmHash family), a bands-equi-join CORPUS × BATCH for
+    // candidates (never within-frame — corpus-corpus pairs are the
+    // offline dedup_minhash job, not ingest), then exact-Jaccard verify
+    // on the candidates only. At 100 TB the corpus band index is
+    // precomputed and bucketed by (band, bkey), so each ingest shuffles
+    // only the batch's bands; the bucketPairs maxBucket valve applies
+    // to a boilerplate-hot band key the same way as in dedup_minhash.
+    "dedup_incremental_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val near = docs.filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+                concat(col("text"), lit(" appendix")).as("text"))
+      val fresh = docs.filter(col("doc_id") % 10 === 4)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+                array_join(reverse(split(col("text"), " ")), " ").as("text"))
+      val batch = near.unionByName(fresh)
+      val cand = minhashBandsOf(s, docs).as("c")
+        .join(minhashBandsOf(s, batch).as("b"), Seq("band", "bkey"))
+        .select(col("c.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      jaccardOfDocs(s, docs.unionByName(batch), cand)
+        .filter(col("jac") >= 0.7)
+        .select(col("db").as("batch_id"), col("da").as("corpus_id"),
+                round6(col("jac")).as("jac"))
+        .orderBy("batch_id", "corpus_id")
+    }),
+
     // Span-level dedup — the pass AFTER doc-level dedup in a training
     // pipeline: ordered token 8-grams shared across ≥2 DISTINCT docs,
     // reported as how many of each doc's sliding windows are
@@ -825,6 +861,35 @@ object DedupQueries extends QueryPack {
          SELECT b.doc_id, b.n_batch_copies
          FROM b ANTI JOIN c ON b.content_hash = c.content_hash
          ORDER BY doc_id""",
+    // Same constructed batch; exact cross-frame 3-shingle Jaccard over
+    // corpus × batch (the LSH on the Spark side is candidates-only —
+    // exact verify makes the declared result the true near-dup set, the
+    // dedup_minhash pattern).
+    "dedup_incremental_neardup" ->
+      """WITH batch AS (
+             SELECT doc_id + 3000000 AS doc_id, text || ' appendix' AS text
+             FROM documents WHERE doc_id % 10 = 7
+             UNION ALL
+             SELECT doc_id + 4000000 AS doc_id,
+                    array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+             FROM documents WHERE doc_id % 10 = 4),
+            cd AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            csh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 2),
+                      i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))) AS s
+                    FROM cd WHERE len(toks) >= 3),
+            bd AS (SELECT doc_id, string_split(text, ' ') AS toks FROM batch),
+            bsh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 2),
+                      i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))) AS s
+                    FROM bd WHERE len(toks) >= 3),
+            cs AS (SELECT doc_id, COUNT(*) AS n FROM csh GROUP BY 1),
+            bs AS (SELECT doc_id, COUNT(*) AS n FROM bsh GROUP BY 1),
+            inter AS (SELECT c.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+                      FROM csh c JOIN bsh b ON c.s = b.s GROUP BY 1, 2),
+            jac AS (SELECT da, db, i * 1.0 / (cs.n + bs.n - i) AS jac
+                    FROM inter JOIN cs ON cs.doc_id = da JOIN bs ON bs.doc_id = db)
+         SELECT db AS batch_id, da AS corpus_id,
+                FLOOR(jac * 1000000 + 0.5) / 1000000 AS jac
+         FROM jac WHERE jac >= 0.7 ORDER BY batch_id, corpus_id""",
     // Ordered 8-gram windows (1-based inclusive list_slice: i+1..i+8 for
     // i in 0..len-8 ≡ Spark's sliding(8)); a gram is "shared" when ≥2
     // DISTINCT docs carry it, and each doc counts every shared window
