@@ -39,11 +39,13 @@ object MediaPipeline {
 
   /** STUB decoder — deterministic fake derived from the payload length,
     * for payloads in no recognized container format. All five container
-    * formats the corpus stages (BMP, PNG, JPEG, WAV, MP4) now have REAL
-    * metadata parses; the stub remains for bare payloads and for the
-    * pixel/sample DECODE step, which needs codec libraries this
-    * container lacks — the fake keeps every downstream query runnable
-    * AND oracle-checkable. */
+    * formats the corpus stages (BMP, PNG, JPEG, WAV, MP4) have REAL
+    * metadata parses, and the uncompressed formats (24-bit BMP, PPM P6,
+    * 16-bit PCM WAV) have REAL pixel/sample decodes too (the round-12
+    * section below). The stub remains only for bare payloads and for
+    * COMPRESSED pixel/sample data (PNG IDAT, JPEG entropy coding, MP4
+    * codecs), which needs codec libraries this container lacks — the
+    * fake keeps every downstream query runnable AND oracle-checkable. */
   def decodeStub(media: Array[Byte]): (Int, Int, Int) = {
     val n = media.length
     ((n % 640) + 16, ((n * 7) % 480) + 16, (n % 30) + 1)
@@ -649,6 +651,310 @@ object MediaPipeline {
           MediaMeta(r.doc_id, r.source, r.media.length.toLong, w, h, f)
         }
       }
+      .toDF()
+  }
+
+  // ──────────────────── pixel / sample DECODE (round 12) ────────────────────
+  // The decode STEP itself — not just container metadata — for the formats
+  // that need no codec library: uncompressed 24-bit BMP pixel arrays,
+  // binary PPM (P6), and 16-bit PCM WAV samples. Compressed formats (PNG
+  // IDAT filtering aside, JPEG entropy coding, MP4 codecs) still fall to
+  // [[decodeStub]]: their decoders need libs this container lacks.
+
+  /** Deterministic pixel-value model the pixel staging WRITES and the
+    * DuckDB oracle replicates from doc_id arithmetic: channel `c`
+    * (0=R, 1=G, 2=B) of pixel (x, y) of doc `id`. Mod 251 (a prime below
+    * 256) so every value is an unambiguous byte. Spark never evaluates
+    * this at query time — it re-derives the values by PARSING the staged
+    * bytes, so a wrong stride, row order, or channel order breaks the
+    * hash match. */
+  def pxByte(id: Long, x: Int, y: Int, c: Int): Int =
+    ((id * 31 + x * 7L + y * 13L + c * 101L) % 251).toInt
+
+  /** Staged pixel-image dims — small on purpose (≤ 16×12): the gates are
+    * about decode CORRECTNESS (stride, row order, channel order), not
+    * payload volume. */
+  def bmpPxWidth(id: Long): Int = ((id % 13) + 3).toInt
+  def bmpPxHeight(id: Long): Int = (((id * 3) % 11) + 2).toInt
+  def ppmPxWidth(id: Long): Int = (((id * 5) % 14) + 3).toInt
+  def ppmPxHeight(id: Long): Int = (((id * 7) % 12) + 2).toInt
+
+  /** A COMPLETE uncompressed 24-bit BMP for doc `id`: the 54-byte header
+    * (same builder the metadata fixtures use) plus a REAL pixel array in
+    * the format's own layout — rows BOTTOM-UP, bytes B,G,R per pixel,
+    * each row padded to a 4-byte boundary with 0xAA garbage. A decoder
+    * that sums the padding, reads rows top-down, or keeps file byte
+    * order as R,G,B fails the oracle hash. */
+  def pixelBmp(id: Long): Array[Byte] = {
+    val w = bmpPxWidth(id); val h = bmpPxHeight(id)
+    val stride = ((w * 3 + 3) / 4) * 4
+    val px = new Array[Byte](stride * h)
+    java.util.Arrays.fill(px, 0xAA.toByte)
+    var y = 0
+    while (y < h) {
+      val base = (h - 1 - y) * stride // bottom-up: image row 0 is the LAST file row
+      var x = 0
+      while (x < w) {
+        px(base + x * 3) = pxByte(id, x, y, 2).toByte     // B
+        px(base + x * 3 + 1) = pxByte(id, x, y, 1).toByte // G
+        px(base + x * 3 + 2) = pxByte(id, x, y, 0).toByte // R
+        x += 1
+      }
+      y += 1
+    }
+    bmpHeader(w, h, px.length) ++ px
+  }
+
+  /** A COMPLETE binary PPM (P6, the Netpbm format) for doc `id`: an ASCII
+    * header — magic, a `#` comment line (so a parser that doesn't handle
+    * comments dies here), decimal width/height/maxval separated by
+    * whitespace runs — then RGB triplets TOP-DOWN with no row padding:
+    * the opposite of BMP on every layout axis (text vs binary header,
+    * row order, channel order, padding). */
+  def pixelPpm(id: Long): Array[Byte] = {
+    val w = ppmPxWidth(id); val h = ppmPxHeight(id)
+    val header = s"P6\n# graft pixel fixture $id\n$w $h\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = (y * w + x) * 3
+        px(base) = pxByte(id, x, y, 0).toByte     // R
+        px(base + 1) = pxByte(id, x, y, 1).toByte // G
+        px(base + 2) = pxByte(id, x, y, 2).toByte // B
+        x += 1
+      }
+      y += 1
+    }
+    header ++ px
+  }
+
+  /** Integer pixel statistics one decoded image reduces to — exact Long
+    * arithmetic so the DuckDB oracle can replicate them bit-for-bit.
+    * `rMoment` weights each R value by its raster position (y·w + x), so
+    * ANY coordinate mistake — stride, row order, channel offset — shifts
+    * it; `tlLuma` is integer Rec.601 luma of the TOP-LEFT pixel, which in
+    * a bottom-up BMP lives at the start of the LAST file row (a top-down
+    * read returns the wrong pixel's luma). */
+  final case class DecodedPixels(width: Int, height: Int, rSum: Long,
+                                 gSum: Long, bSum: Long, rMoment: Long,
+                                 tlLuma: Long)
+
+  private def sumPixels(w: Int, h: Int, at: (Int, Int, Int) => Int): DecodedPixels = {
+    var r = 0L; var g = 0L; var b = 0L; var m = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rv = at(x, y, 0)
+        r += rv; g += at(x, y, 1); b += at(x, y, 2)
+        m += (y.toLong * w + x) * rv
+        x += 1
+      }
+      y += 1
+    }
+    val luma = (299L * at(0, 0, 0) + 587L * at(0, 0, 1) + 114L * at(0, 0, 2)) / 1000L
+    DecodedPixels(w, h, r, g, b, m, luma)
+  }
+
+  /** REAL pixel decode for uncompressed 24-bit BMP: header validation via
+    * [[decodeBmp]] plus bpp == 24 and compression == BI_RGB, then the
+    * pixel array read with the format's 4-byte row stride, bottom-up row
+    * order, and B,G,R byte order. None for anything else — including a
+    * valid header over a truncated pixel array. */
+  def decodeBmpPixels(media: Array[Byte]): Option[DecodedPixels] =
+    decodeBmp(media).flatMap { case (w, h, _) =>
+      def i32(off: Int): Int =
+        (media(off) & 0xff) | ((media(off + 1) & 0xff) << 8) |
+          ((media(off + 2) & 0xff) << 16) | ((media(off + 3) & 0xff) << 24)
+      def i16(off: Int): Int = (media(off) & 0xff) | ((media(off + 1) & 0xff) << 8)
+      val stride = ((w * 3 + 3) / 4) * 4
+      if (i16(28) == 24 && i32(30) == 0 && w <= (1 << 20) && h <= (1 << 20) &&
+          media.length.toLong >= BmpHeaderLen + stride.toLong * h)
+        Some(sumPixels(w, h, (x, y, c) =>
+          // image row y sits at file row h-1-y; file bytes are B,G,R so
+          // semantic channel c (0=R,1=G,2=B) reads offset 2-c
+          media(BmpHeaderLen + (h - 1 - y) * stride + x * 3 + (2 - c)) & 0xff))
+      else None
+    }
+
+  /** REAL pixel decode for binary PPM (P6): a tokenizing ASCII header
+    * parse — magic, whitespace runs, `#` comments through end-of-line,
+    * three decimal fields, maxval must be 255 (single-byte samples),
+    * exactly ONE whitespace byte before the raster per the spec — then
+    * the sample array top-down R,G,B. None on any malformation,
+    * including a truncated raster. */
+  def decodePpmPixels(media: Array[Byte]): Option[DecodedPixels] = {
+    if (media.length < 2 || media(0) != 'P'.toByte || media(1) != '6'.toByte)
+      return None
+    var i = 2
+    def isWs(b: Byte): Boolean =
+      b == ' '.toByte || b == '\t'.toByte || b == '\r'.toByte || b == '\n'.toByte
+    // Whitespace runs and '#' comments (to end-of-line); true iff any
+    // separator was consumed — PPM requires ≥1 between header fields.
+    def skipSep(): Boolean = {
+      var progressed = false
+      var cont = true
+      while (cont && i < media.length) {
+        if (media(i) == '#'.toByte) {
+          while (i < media.length && media(i) != '\n'.toByte) i += 1
+          progressed = true
+        } else if (isWs(media(i))) { i += 1; progressed = true }
+        else cont = false
+      }
+      progressed
+    }
+    def decimal(): Int = { // -1 on no digits or overflow
+      var v = 0L; var any = false
+      while (i < media.length && media(i) >= '0'.toByte && media(i) <= '9'.toByte &&
+             v <= Int.MaxValue) {
+        v = v * 10 + (media(i) - '0'.toByte); any = true; i += 1
+      }
+      if (any && v <= Int.MaxValue) v.toInt else -1
+    }
+    if (!skipSep()) return None
+    val w = decimal(); if (w <= 0 || w > (1 << 20)) return None
+    if (!skipSep()) return None
+    val h = decimal(); if (h <= 0 || h > (1 << 20)) return None
+    if (!skipSep()) return None
+    if (decimal() != 255) return None
+    if (i >= media.length || !isWs(media(i))) return None
+    i += 1 // exactly one whitespace byte, then the raster
+    val base = i
+    if (media.length.toLong - base < w.toLong * h * 3) return None
+    Some(sumPixels(w, h, (x, y, c) => media(base + (y * w + x) * 3 + c) & 0xff))
+  }
+
+  /** Staged PCM parameters for doc `id` — sample count and the 16-bit
+    * signed LE sample model, full amplitude range (65521 is prime, so the
+    * values sweep the range without byte-aligned periodicity: a decoder
+    * that reads big-endian or unsigned fails immediately). */
+  def pcmLen(id: Long): Int = ((id % 50) + 10).toInt
+  def pcmSample(id: Long, i: Int): Int = (((id * 7 + i * 31L) % 65521) - 32760).toInt
+
+  /** A COMPLETE mono 16-bit PCM WAV for doc `id`: the 44-byte canonical
+    * header (same builder the metadata fixtures use) over REAL samples
+    * from [[pcmSample]], little-endian two's-complement. */
+  def pcmWav(id: Long): Array[Byte] = {
+    val n = pcmLen(id)
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val smp = pcmSample(id, i)
+      data(i * 2) = (smp & 0xff).toByte
+      data(i * 2 + 1) = ((smp >> 8) & 0xff).toByte
+      i += 1
+    }
+    wavHeader(wavRate(id), 1, data.length) ++ data
+  }
+
+  /** Integer sample statistics one decoded PCM stream reduces to — all
+    * exact Long/Int arithmetic for the oracle. */
+  final case class DecodedPcm(nSamples: Long, sumAbs: Long, sumSq: Long,
+                              maxS: Int, minS: Int)
+
+  /** REAL sample decode for mono 16-bit PCM WAV: header validation via
+    * [[decodeWav]], then each sample read as little-endian SIGNED 16-bit
+    * (sign extension is the decode step a naive byte-pair read gets
+    * wrong). Mono only — the staged table writes mono; stereo would need
+    * per-channel stats. None for anything else, including a data chunk
+    * size the buffer can't back. */
+  def decodeWavPcm(media: Array[Byte]): Option[DecodedPcm] =
+    decodeWav(media).flatMap { case (_, channels, _) =>
+      def i32(off: Int): Int =
+        (media(off) & 0xff) | ((media(off + 1) & 0xff) << 8) |
+          ((media(off + 2) & 0xff) << 16) | ((media(off + 3) & 0xff) << 24)
+      val dataLen = i32(40)
+      val n = dataLen / 2
+      if (channels == 1 && dataLen >= 2 && dataLen % 2 == 0 &&
+          media.length.toLong >= WavHeaderLen.toLong + dataLen) {
+        var sumAbs = 0L; var sumSq = 0L
+        var maxS = Int.MinValue; var minS = Int.MaxValue
+        var i = 0
+        while (i < n) {
+          val off = WavHeaderLen + i * 2
+          val smp = ((media(off) & 0xff) | (media(off + 1) << 8)).toShort.toInt
+          sumAbs += math.abs(smp); sumSq += smp.toLong * smp
+          if (smp > maxS) maxS = smp
+          if (smp < minS) minS = smp
+          i += 1
+        }
+        Some(DecodedPcm(n.toLong, sumAbs, sumSq, maxS, minS))
+      } else None
+    }
+
+  /** Pixel/sample-staged media table: doc_id % 4 == 0 payloads are a
+    * COMPLETE 24-bit BMP (real pixel array from [[pixelBmp]]),
+    * % 4 == 2 a COMPLETE binary PPM ([[pixelPpm]]), % 4 == 1 a COMPLETE
+    * mono PCM WAV with real samples ([[pcmWav]]), and % 4 == 3 stays
+    * bare text — so every pixel/sample gate must dispatch on real magic
+    * bytes and the three decode layouts never collide. Unlike the
+    * metadata staging, the payloads here are FULLY synthetic from doc_id
+    * (the oracle needs closed-form pixel values); the text column only
+    * contributes the row set. */
+  def pixelTableStaged(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        val media =
+          if (id % 4 == 0) pixelBmp(id)
+          else if (id % 4 == 2) pixelPpm(id)
+          else if (id % 4 == 1) pcmWav(id)
+          else s"doc $id".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        MediaRow(id, src, media)
+      })
+      .toDF()
+  }
+
+  /** Per-image pixel statistics row the pixel decode passes emit. */
+  case class PixelStats(doc_id: Long, source: String, width: Int, height: Int,
+                        r_sum: Long, g_sum: Long, b_sum: Long,
+                        r_moment: Long, tl_luma: Long)
+
+  /** BMP pixel-decode pass: rows whose bytes fully decode as uncompressed
+    * 24-bit BMP yield [[PixelStats]]; everything else (PPM, WAV, bare) is
+    * dropped by the flatMap — the decode itself is the filter. */
+  def decodedBmpPixels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pixelTableStaged(s, dir).as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        decodeBmpPixels(r.media).map(p =>
+          PixelStats(r.doc_id, r.source, p.width, p.height, p.rSum, p.gSum,
+            p.bSum, p.rMoment, p.tlLuma))
+      })
+      .toDF()
+  }
+
+  /** PPM pixel-decode pass, same contract as [[decodedBmpPixels]]. */
+  def decodedPpmPixels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pixelTableStaged(s, dir).as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        decodePpmPixels(r.media).map(p =>
+          PixelStats(r.doc_id, r.source, p.width, p.height, p.rSum, p.gSum,
+            p.bSum, p.rMoment, p.tlLuma))
+      })
+      .toDF()
+  }
+
+  /** Per-stream PCM sample statistics row the sample decode pass emits. */
+  case class PcmStats(doc_id: Long, source: String, n_samples: Long,
+                      sum_abs: Long, sum_sq: Long, max_s: Int, min_s: Int)
+
+  /** PCM sample-decode pass over the pixel-staged corpus: rows whose
+    * bytes decode as mono 16-bit PCM WAV yield [[PcmStats]]. */
+  def decodedWavPcm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pixelTableStaged(s, dir).as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        decodeWavPcm(r.media).map(p =>
+          PcmStats(r.doc_id, r.source, p.nSamples, p.sumAbs, p.sumSq,
+            p.maxS, p.minS))
+      })
       .toDF()
   }
 }

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQueries extends QueryPack {
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = Map[String, Q](
     // Per-source media statistics after the mapPartitions decode pass
     // (mixed-format corpus: real BMP header parse + stub fallback).
     "mm_meta_stats" -> ((s, d) =>
@@ -207,6 +207,56 @@ object MultimodalQueries extends QueryPack {
           (sum("nbytes") - max("nbytes")).as("bytes_reclaimed"))
         .select("canonical_id", "n_copies", "bytes_reclaimed")
         .orderBy("canonical_id"))
+  ) ++ pixelQueries
+
+  // Pixel/sample DECODE gates (round 12): the staged payloads are COMPLETE
+  // files whose pixel/sample bytes come from closed-form doc_id arithmetic
+  // (MediaPipeline.pxByte / pcmSample); Spark re-derives every statistic by
+  // PARSING the bytes — stride padding, bottom-up rows and B,G,R order for
+  // BMP; a tokenizing ASCII header (with a comment line) and top-down RGB
+  // for PPM; little-endian SIGNED 16-bit samples for PCM — while the oracle
+  // recomputes the same sums from the value model via lateral range().
+  // r_moment (position-weighted) makes ANY coordinate mistake fatal;
+  // tl_luma pins the top-left pixel, which in a bottom-up BMP lives at the
+  // start of the LAST file row. All-integer outputs: the hashes are exact.
+  private def pixelQueries: Map[String, Q] = Map(
+    "mm_bmp_pixels" -> ((s, d) =>
+      MediaPipeline.decodedBmpPixels(s, d)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_img"),
+          sum(col("width") * col("height")).as("n_px"),
+          sum("r_sum").as("r_total"),
+          sum("g_sum").as("g_total"),
+          sum("b_sum").as("b_total"),
+          sum("r_moment").as("moment_total"),
+          sum("tl_luma").as("tl_luma_total"))
+        .orderBy("source")),
+
+    "mm_ppm_pixels" -> ((s, d) =>
+      MediaPipeline.decodedPpmPixels(s, d)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_img"),
+          sum(col("width") * col("height")).as("n_px"),
+          sum("r_sum").as("r_total"),
+          sum("g_sum").as("g_total"),
+          sum("b_sum").as("b_total"),
+          sum("r_moment").as("moment_total"),
+          sum("tl_luma").as("tl_luma_total"))
+        .orderBy("source")),
+
+    "mm_wav_pcm" -> ((s, d) =>
+      MediaPipeline.decodedWavPcm(s, d)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_audio"),
+          sum("n_samples").as("total_samples"),
+          sum("sum_abs").as("sum_abs"),
+          sum("sum_sq").as("sum_sq"),
+          max("max_s").as("max_s"),
+          min("min_s").as("min_s"))
+        .orderBy("source"))
   )
 
   // Oracle mirrors decodeStub arithmetic on strlen(text) (ASCII ⇒
@@ -397,5 +447,88 @@ object MultimodalQueries extends QueryPack {
                 CAST(FLOOR(width * LEAST(224.0 / width, 224.0 / height)) AS INT) AS out_w,
                 CAST(FLOOR(height * LEAST(224.0 / width, 224.0 / height)) AS INT) AS out_h
          FROM meta ORDER BY doc_id"""
+  ) ++ pixelOracles
+
+  // The pixel/sample oracles recompute every statistic from the SAME
+  // closed-form value model the staging wrote (pxByte / pcmSample), via a
+  // lateral range() cross join — ~200 cells per image, ~60 samples per
+  // stream, trivial at oracle scale. Spark, by contrast, only ever sees
+  // the BYTES: the match proves the decode.
+  private def pixelOracles: Map[String, String] = Map(
+    "mm_bmp_pixels" ->
+      """WITH img AS (SELECT doc_id, source,
+                             CAST((doc_id % 13) + 3 AS BIGINT) AS w,
+                             CAST(((doc_id * 3) % 11) + 2 AS BIGINT) AS h
+                      FROM documents WHERE doc_id % 4 = 0),
+            px AS (SELECT i.doc_id, i.source, i.w, i.h, xs.x, ys.y,
+                          (i.doc_id*31 + xs.x*7 + ys.y*13) % 251 AS r,
+                          (i.doc_id*31 + xs.x*7 + ys.y*13 + 101) % 251 AS g,
+                          (i.doc_id*31 + xs.x*7 + ys.y*13 + 202) % 251 AS b
+                   FROM img i,
+                        LATERAL (SELECT unnest(range(i.w)) AS x) xs,
+                        LATERAL (SELECT unnest(range(i.h)) AS y) ys),
+            per_doc AS (SELECT doc_id, source, MAX(w*h) AS n_px,
+                               SUM(r) AS r_sum, SUM(g) AS g_sum, SUM(b) AS b_sum,
+                               SUM((y*w + x) * r) AS r_moment
+                        FROM px GROUP BY doc_id, source),
+            tl AS (SELECT doc_id,
+                          (299*((doc_id*31) % 251) + 587*((doc_id*31 + 101) % 251)
+                           + 114*((doc_id*31 + 202) % 251)) // 1000 AS tl_luma
+                   FROM img)
+         SELECT p.source, CAST(COUNT(*) AS BIGINT) AS n_img,
+                CAST(SUM(p.n_px) AS BIGINT) AS n_px,
+                CAST(SUM(p.r_sum) AS BIGINT) AS r_total,
+                CAST(SUM(p.g_sum) AS BIGINT) AS g_total,
+                CAST(SUM(p.b_sum) AS BIGINT) AS b_total,
+                CAST(SUM(p.r_moment) AS BIGINT) AS moment_total,
+                CAST(SUM(t.tl_luma) AS BIGINT) AS tl_luma_total
+         FROM per_doc p JOIN tl t USING (doc_id)
+         GROUP BY p.source ORDER BY p.source""",
+    "mm_ppm_pixels" ->
+      """WITH img AS (SELECT doc_id, source,
+                             CAST(((doc_id * 5) % 14) + 3 AS BIGINT) AS w,
+                             CAST(((doc_id * 7) % 12) + 2 AS BIGINT) AS h
+                      FROM documents WHERE doc_id % 4 = 2),
+            px AS (SELECT i.doc_id, i.source, i.w, i.h, xs.x, ys.y,
+                          (i.doc_id*31 + xs.x*7 + ys.y*13) % 251 AS r,
+                          (i.doc_id*31 + xs.x*7 + ys.y*13 + 101) % 251 AS g,
+                          (i.doc_id*31 + xs.x*7 + ys.y*13 + 202) % 251 AS b
+                   FROM img i,
+                        LATERAL (SELECT unnest(range(i.w)) AS x) xs,
+                        LATERAL (SELECT unnest(range(i.h)) AS y) ys),
+            per_doc AS (SELECT doc_id, source, MAX(w*h) AS n_px,
+                               SUM(r) AS r_sum, SUM(g) AS g_sum, SUM(b) AS b_sum,
+                               SUM((y*w + x) * r) AS r_moment
+                        FROM px GROUP BY doc_id, source),
+            tl AS (SELECT doc_id,
+                          (299*((doc_id*31) % 251) + 587*((doc_id*31 + 101) % 251)
+                           + 114*((doc_id*31 + 202) % 251)) // 1000 AS tl_luma
+                   FROM img)
+         SELECT p.source, CAST(COUNT(*) AS BIGINT) AS n_img,
+                CAST(SUM(p.n_px) AS BIGINT) AS n_px,
+                CAST(SUM(p.r_sum) AS BIGINT) AS r_total,
+                CAST(SUM(p.g_sum) AS BIGINT) AS g_total,
+                CAST(SUM(p.b_sum) AS BIGINT) AS b_total,
+                CAST(SUM(p.r_moment) AS BIGINT) AS moment_total,
+                CAST(SUM(t.tl_luma) AS BIGINT) AS tl_luma_total
+         FROM per_doc p JOIN tl t USING (doc_id)
+         GROUP BY p.source ORDER BY p.source""",
+    "mm_wav_pcm" ->
+      """WITH a AS (SELECT doc_id, source, CAST((doc_id % 50) + 10 AS BIGINT) AS n
+                    FROM documents WHERE doc_id % 4 = 1),
+            s AS (SELECT a.doc_id, a.source,
+                         ((a.doc_id*7 + i.i*31) % 65521) - 32760 AS smp
+                  FROM a, LATERAL (SELECT unnest(range(a.n)) AS i) i),
+            per AS (SELECT doc_id, source, COUNT(*) AS n_samples,
+                           SUM(ABS(smp)) AS sum_abs, SUM(smp*smp) AS sum_sq,
+                           MAX(smp) AS max_s, MIN(smp) AS min_s
+                    FROM s GROUP BY doc_id, source)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_audio,
+                CAST(SUM(n_samples) AS BIGINT) AS total_samples,
+                CAST(SUM(sum_abs) AS BIGINT) AS sum_abs,
+                CAST(SUM(sum_sq) AS BIGINT) AS sum_sq,
+                CAST(MAX(max_s) AS INT) AS max_s,
+                CAST(MIN(min_s) AS INT) AS min_s
+         FROM per GROUP BY source ORDER BY source"""
   )
 }

@@ -1,0 +1,179 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** The round-12 pixel/sample DECODE step (vs the header-metadata parses):
+  * uncompressed 24-bit BMP pixel arrays, binary PPM (P6), and mono 16-bit
+  * PCM WAV samples — the three formats decodable pure-JVM with no codec
+  * library. Each test recomputes the expected statistics from the value
+  * model INDEPENDENTLY of MediaPipeline.sumPixels, so a shared bug in the
+  * production reducer can't self-certify. */
+class PixelDecodeSpec extends SparkSpec {
+
+  import MediaPipeline._
+
+  /** Independent reference: fold the value model directly. */
+  private def expected(id: Long, w: Int, h: Int): DecodedPixels = {
+    var r = 0L; var g = 0L; var b = 0L; var m = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      r += pxByte(id, x, y, 0); g += pxByte(id, x, y, 1); b += pxByte(id, x, y, 2)
+      m += (y.toLong * w + x) * pxByte(id, x, y, 0)
+    }
+    DecodedPixels(w, h, r, g, b, m,
+      (299L * pxByte(id, 0, 0, 0) + 587L * pxByte(id, 0, 0, 1) +
+        114L * pxByte(id, 0, 0, 2)) / 1000L)
+  }
+
+  test("BMP pixel decode round-trips the staged array for a sweep of ids") {
+    for (id <- 0L to 200L) {
+      val got = decodeBmpPixels(pixelBmp(id))
+      assert(got.contains(expected(id, bmpPxWidth(id), bmpPxHeight(id))),
+        s"id=$id got=$got")
+    }
+  }
+
+  test("PPM pixel decode round-trips the staged raster for a sweep of ids") {
+    for (id <- 0L to 200L) {
+      val got = decodePpmPixels(pixelPpm(id))
+      assert(got.contains(expected(id, ppmPxWidth(id), ppmPxHeight(id))),
+        s"id=$id got=$got")
+    }
+  }
+
+  test("BMP stride padding is skipped, not summed") {
+    // id=2 → w=5, stride=((15+3)/4)*4=16, one pad byte of garbage per row.
+    val id = 2L
+    val media = pixelBmp(id)
+    assert(bmpPxWidth(id) % 4 != 0) // the case with real padding
+    val before = decodeBmpPixels(media).get
+    // Flip every pad byte: stats must not move.
+    val w = bmpPxWidth(id); val h = bmpPxHeight(id)
+    val stride = ((w * 3 + 3) / 4) * 4
+    for (row <- 0 until h; p <- w * 3 until stride)
+      media(BmpHeaderLen + row * stride + p) = 0x55.toByte
+    assert(decodeBmpPixels(media).contains(before))
+    // Flip one PIXEL byte: stats must move.
+    media(BmpHeaderLen) = (media(BmpHeaderLen) ^ 0x7f).toByte
+    assert(!decodeBmpPixels(media).contains(before))
+  }
+
+  test("BMP rows are bottom-up: the top-left pixel is in the LAST file row") {
+    // A decoder that reads top-down computes tl_luma from image row h-1.
+    // Overwrite the FIRST file row (image row h-1) with zeros: tl_luma
+    // must be unchanged; overwrite the LAST file row: it must change
+    // (the id is chosen so the true top-left luma is non-zero).
+    val id = 7L
+    val w = bmpPxWidth(id); val h = bmpPxHeight(id)
+    val stride = ((w * 3 + 3) / 4) * 4
+    val tl = decodeBmpPixels(pixelBmp(id)).get.tlLuma
+    assert(tl > 0)
+    val topRowZeroed = pixelBmp(id)
+    for (p <- 0 until w * 3) topRowZeroed(BmpHeaderLen + p) = 0
+    assert(decodeBmpPixels(topRowZeroed).get.tlLuma == tl)
+    val lastRowZeroed = pixelBmp(id)
+    for (p <- 0 until w * 3)
+      lastRowZeroed(BmpHeaderLen + (h - 1) * stride + p) = 0
+    assert(decodeBmpPixels(lastRowZeroed).get.tlLuma == 0)
+  }
+
+  test("BMP vs PPM channel order: the same logical image decodes identically") {
+    // Staging writes B,G,R bottom-up for BMP and R,G,B top-down for PPM
+    // from the SAME value model — if either decoder kept its file byte
+    // order, the per-channel sums would swap and differ.
+    for (id <- Seq(3L, 10L, 57L)) {
+      val bmp = decodeBmpPixels(pixelBmp(id)).get
+      // Rebuild a PPM with BMP's dims so the stats are comparable.
+      val w = bmpPxWidth(id); val h = bmpPxHeight(id)
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val px = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 to 2)
+        px((y * w + x) * 3 + c) = pxByte(id, x, y, c).toByte
+      val ppm = decodePpmPixels(header ++ px).get
+      assert(bmp == ppm)
+    }
+  }
+
+  test("PPM header tokenizing: comments and whitespace runs are handled") {
+    val px = Array[Byte](10, 20, 30, 40, 50, 60) // 2×1 RGB
+    val ok = "P6\n# c1\n# c2\n 2\t1 \n#last\n255\n".getBytes("US-ASCII") ++ px
+    val got = decodePpmPixels(ok).get
+    assert(got.width == 2 && got.height == 1)
+    assert(got.rSum == 10 + 40 && got.gSum == 20 + 50 && got.bSum == 30 + 60)
+    // maxval ≠ 255 (two-byte samples) is not supported → None, not garbage.
+    assert(decodePpmPixels("P6\n2 1\n65535\n".getBytes("US-ASCII") ++ px).isEmpty)
+    // Truncated raster → None.
+    assert(decodePpmPixels("P6\n2 1\n255\n".getBytes("US-ASCII") ++ px.take(5)).isEmpty)
+    // Zero dimension → None.
+    assert(decodePpmPixels("P6\n0 1\n255\n".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("PCM decode round-trips the sample model with sign extension") {
+    for (id <- 0L to 200L) {
+      val n = pcmLen(id)
+      val samples = (0 until n).map(i => pcmSample(id, i))
+      val want = DecodedPcm(n.toLong, samples.map(s => math.abs(s).toLong).sum,
+        samples.map(s => s.toLong * s).sum, samples.max, samples.min)
+      assert(decodeWavPcm(pcmWav(id)).contains(want), s"id=$id")
+      // The model must actually exercise negative territory for the
+      // sign-extension claim to be tested.
+      if (samples.exists(_ < 0)) assert(want.minS < 0)
+    }
+    assert((0L to 200L).exists(id => (0 until pcmLen(id)).exists(i => pcmSample(id, i) < 0)))
+  }
+
+  test("PCM: a stereo or truncated stream does not sample-decode") {
+    val stereo = wavHeader(8000, 2, 8) ++ Array.fill[Byte](8)(1)
+    assert(decodeWav(stereo).isDefined && decodeWavPcm(stereo).isEmpty)
+    val truncated = pcmWav(5L).dropRight(3)
+    assert(decodeWavPcm(truncated).isEmpty)
+  }
+
+  test("the pixel-staged corpus dispatches by magic, not row position") {
+    // id%4==0 → BMP only; 2 → PPM only; 1 → WAV only; 3 → none.
+    for (id <- 0L to 11L) {
+      val media = id % 4 match {
+        case 0 => pixelBmp(id)
+        case 2 => pixelPpm(id)
+        case 1 => pcmWav(id)
+        case _ => s"doc $id".getBytes("UTF-8")
+      }
+      assert(decodeBmpPixels(media).isDefined == (id % 4 == 0))
+      assert(decodePpmPixels(media).isDefined == (id % 4 == 2))
+      assert(decodeWavPcm(media).isDefined == (id % 4 == 1))
+    }
+  }
+}
+
+/** Fuzz totality for the three pixel/sample decoders, same discipline as
+  * MediaParseProps: arbitrary bytes biased toward each magic prefix must
+  * never throw — return None or a well-formed stat. */
+object PixelDecodeProps extends Properties("pixelDecode") {
+  import MediaPipeline._
+
+  private val rawBytes: Gen[Array[Byte]] =
+    Gen.listOf(Gen.chooseNum(0, 255).map(_.toByte)).map(_.toArray)
+  private val fuzz: Gen[Array[Byte]] = Gen.oneOf(
+    rawBytes,
+    rawBytes.map(b => "BM".getBytes("US-ASCII") ++ b),
+    rawBytes.map(b => "P6\n".getBytes("US-ASCII") ++ b),
+    rawBytes.map(b => "RIFF".getBytes("US-ASCII") ++ b),
+    Gen.chooseNum(0L, 10000L).flatMap(id => Gen.chooseNum(0, 60).map(k =>
+      pixelBmp(id).dropRight(k))),
+    Gen.chooseNum(0L, 10000L).flatMap(id => Gen.chooseNum(0, 60).map(k =>
+      pixelPpm(id).dropRight(k))))
+
+  property("decoders are total on arbitrary magic-prefixed bytes") =
+    Prop.forAll(fuzz) { bytes =>
+      decodeBmpPixels(bytes)
+      decodePpmPixels(bytes)
+      decodeWavPcm(bytes)
+      true
+    }
+
+  property("BMP pixel round-trip holds for arbitrary ids") =
+    Prop.forAll(Gen.chooseNum(0L, 1000000L)) { id =>
+      decodeBmpPixels(pixelBmp(id)).exists(p =>
+        p.width == bmpPxWidth(id) && p.height == bmpPxHeight(id))
+    }
+}
