@@ -885,6 +885,164 @@ object MediaPipeline {
       } else None
     }
 
+  /** Staged full-PNG dims — distinct arithmetic from the BMP/PPM models
+    * so a query reading the wrong staged family fails its oracle. */
+  def pngPxWidth(id: Long): Int = (((id * 3) % 15) + 3).toInt
+  def pngPxHeight(id: Long): Int = (((id * 13) % 10) + 2).toInt
+
+  /** The Paeth predictor (PNG spec §9.4) — shared by the encoder below
+    * and [[decodePngPixels]]. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(12 + data.length) // BE default
+    b.putInt(data.length)
+      .put(typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .put(data)
+    val crc = new java.util.zip.CRC32
+    crc.update(b.array(), 4, 4 + data.length)
+    b.putInt(crc.getValue.toInt)
+    b.array()
+  }
+
+  /** A COMPLETE, spec-conformant RGB PNG for doc `id` — signature, IHDR
+    * (8-bit truecolor), IDAT holding the zlib-DEFLATED filtered
+    * scanlines, IEND, every chunk CRC'd. Scanline `y` uses filter type
+    * `y % 5`, so all five filters (None/Sub/Up/Average/Paeth) appear in
+    * every image and a decoder with any one predictor wrong fails the
+    * oracle. The IDAT stream is split into TWO chunks mid-stream —
+    * valid per the spec (IDAT boundaries are arbitrary), fatal to a
+    * decoder that inflates only the first chunk. */
+  def pixelPng(id: Long): Array[Byte] = {
+    val w = pngPxWidth(id); val h = pngPxHeight(id)
+    val bpp = 3
+    val raw = new Array[Byte](h * (1 + w * bpp)) // filter byte + RGB per line
+    var y = 0
+    while (y < h) {
+      val lineBase = y * (1 + w * bpp)
+      val filter = y % 5
+      raw(lineBase) = filter.toByte
+      var i = 0 // byte index within the scanline's pixel bytes
+      while (i < w * bpp) {
+        val x = i / bpp; val c = i % bpp
+        val v = pxByte(id, x, y, c)
+        val a = if (i >= bpp) pxByte(id, (i - bpp) / bpp, y, (i - bpp) % bpp) else 0
+        val b = if (y > 0) pxByte(id, x, y - 1, c) else 0
+        val cc = if (i >= bpp && y > 0) pxByte(id, (i - bpp) / bpp, y - 1, (i - bpp) % bpp) else 0
+        val f = filter match {
+          case 0 => v
+          case 1 => v - a
+          case 2 => v - b
+          case 3 => v - (a + b) / 2
+          case 4 => v - paeth(a, b, cc)
+        }
+        raw(lineBase + 1 + i) = (f & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    var zLen = 0
+    while (!deflater.finished()) zLen += deflater.deflate(buf, zLen, buf.length - zLen)
+    deflater.end()
+    val z = java.util.Arrays.copyOf(buf, zLen)
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte) // 8-bit truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val split = z.length / 2 // two IDATs: concat across chunks is mandatory
+    sig ++ pngChunk("IHDR", ihdr.array()) ++
+      pngChunk("IDAT", java.util.Arrays.copyOfRange(z, 0, split)) ++
+      pngChunk("IDAT", java.util.Arrays.copyOfRange(z, split, z.length)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** REAL full-pixel decode for 8-bit truecolor RGB PNG, pure JVM: a
+    * chunk walk (every CRC verified) concatenating ALL IDAT payloads,
+    * zlib inflation via java.util.zip.Inflater, then scanline
+    * UNFILTERING — the inverse of all five PNG filter types, where Sub /
+    * Average / Paeth predict from already-reconstructed neighbor bytes,
+    * so a single wrong predictor corrupts every later scanline and the
+    * position-weighted oracle moment catches it. None for anything that
+    * isn't exactly this profile (interlace, palette, alpha, 16-bit) or
+    * that fails a CRC, the inflate, or the expected raw length. */
+  def decodePngPixels(media: Array[Byte]): Option[DecodedPixels] = {
+    val hdr = decodePng(media) // signature + IHDR + CRC validation
+    hdr match {
+      case Some((w, h, 8, 2)) if w <= 4096 && h <= 4096 =>
+        def u32(off: Int): Long =
+          ((media(off) & 0xffL) << 24) | ((media(off + 1) & 0xffL) << 16) |
+            ((media(off + 2) & 0xffL) << 8) | (media(off + 3) & 0xffL)
+        // interlace must be 0 (decodePng doesn't pin it; Adam7 reorders rows)
+        if (media(28) != 0) return None
+        // Walk chunks from after IHDR (offset 33), collecting IDAT data.
+        val idat = new java.io.ByteArrayOutputStream()
+        var off = 33
+        var ended = false
+        while (!ended) {
+          if (off + 8 > media.length) return None
+          val len = u32(off)
+          if (len > Int.MaxValue - 12 || off + 12 + len > media.length) return None
+          val typ = new String(media, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          val crc = new java.util.zip.CRC32
+          crc.update(media, off + 4, 4 + len.toInt)
+          if (crc.getValue != u32(off + 8 + len.toInt)) return None
+          if (typ == "IDAT") idat.write(media, off + 8, len.toInt)
+          if (typ == "IEND") ended = true
+          off += 12 + len.toInt
+        }
+        val bpp = 3
+        val expect = h * (1 + w * bpp)
+        val raw = new Array[Byte](expect)
+        val inflater = new java.util.zip.Inflater()
+        inflater.setInput(idat.toByteArray)
+        try {
+          var got = 0
+          while (got < expect && !inflater.finished()) {
+            val n = inflater.inflate(raw, got, expect - got)
+            if (n == 0 && inflater.needsInput()) return None // truncated stream
+            got += n
+          }
+          if (got != expect) return None
+        } catch {
+          case _: java.util.zip.DataFormatException => return None
+        } finally inflater.end()
+        // Unfilter in place into a reconstructed-pixel view.
+        val px = new Array[Int](h * w * bpp)
+        var y = 0
+        while (y < h) {
+          val lineBase = y * (1 + w * bpp)
+          val filter = raw(lineBase) & 0xff
+          if (filter > 4) return None
+          var i = 0
+          while (i < w * bpp) {
+            val f = raw(lineBase + 1 + i) & 0xff
+            val a = if (i >= bpp) px(y * w * bpp + i - bpp) else 0
+            val b = if (y > 0) px((y - 1) * w * bpp + i) else 0
+            val c = if (i >= bpp && y > 0) px((y - 1) * w * bpp + i - bpp) else 0
+            val v = filter match {
+              case 0 => f
+              case 1 => f + a
+              case 2 => f + b
+              case 3 => f + (a + b) / 2
+              case 4 => f + paeth(a, b, c)
+            }
+            px(y * w * bpp + i) = v & 0xff
+            i += 1
+          }
+          y += 1
+        }
+        Some(sumPixels(w, h, (x, y2, c) => px(y2 * w * bpp + x * bpp + c)))
+      case _ => None
+    }
+  }
+
   /** Pixel/sample-staged media table: doc_id % 4 == 0 payloads are a
     * COMPLETE 24-bit BMP (real pixel array from [[pixelBmp]]),
     * % 4 == 2 a COMPLETE binary PPM ([[pixelPpm]]), % 4 == 1 a COMPLETE
@@ -910,6 +1068,25 @@ object MediaPipeline {
       .toDF()
   }
 
+  /** PNG-pixel-staged media table: every 3rd doc's payload is a COMPLETE
+    * spec-conformant RGB PNG (deflated IDAT, all five filters, two IDAT
+    * chunks), the rest stay bare text — its own table (not part of
+    * [[pixelTableStaged]]'s mod-4 scheme) so the full-PNG corpus can
+    * grow independently, mirroring [[audioTableStaged]]. */
+  def pngPixelTableStaged(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        val media =
+          if (id % 3 == 0) pixelPng(id)
+          else s"doc $id".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        MediaRow(id, src, media)
+      })
+      .toDF()
+  }
+
   /** Per-image pixel statistics row the pixel decode passes emit. */
   case class PixelStats(doc_id: Long, source: String, width: Int, height: Int,
                         r_sum: Long, g_sum: Long, b_sum: Long,
@@ -923,6 +1100,19 @@ object MediaPipeline {
     pixelTableStaged(s, dir).as[MediaRow]
       .mapPartitions(_.flatMap { r =>
         decodeBmpPixels(r.media).map(p =>
+          PixelStats(r.doc_id, r.source, p.width, p.height, p.rSum, p.gSum,
+            p.bSum, p.rMoment, p.tlLuma))
+      })
+      .toDF()
+  }
+
+  /** Full-PNG pixel-decode pass over the PNG-staged corpus, same
+    * contract as [[decodedBmpPixels]]: the decode is the filter. */
+  def decodedPngPixels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pngPixelTableStaged(s, dir).as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        decodePngPixels(r.media).map(p =>
           PixelStats(r.doc_id, r.source, p.width, p.height, p.rSum, p.gSum,
             p.bSum, p.rMoment, p.tlLuma))
       })

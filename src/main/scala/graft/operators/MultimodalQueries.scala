@@ -246,6 +246,26 @@ object MultimodalQueries extends QueryPack {
           sum("tl_luma").as("tl_luma_total"))
         .orderBy("source")),
 
+    // The COMPRESSED-format pixel decode: a complete RGB PNG per staged
+    // doc — chunk walk over verified CRCs, BOTH IDAT chunks concatenated,
+    // zlib inflation (java.util.zip.Inflater — in the JVM, no codec lib
+    // needed), and scanline unfiltering where each image cycles all five
+    // PNG filter types. Sub/Average/Paeth predict from RECONSTRUCTED
+    // neighbors, so one wrong predictor corrupts every later scanline and
+    // the moment column catches it.
+    "mm_png_pixels" -> ((s, d) =>
+      MediaPipeline.decodedPngPixels(s, d)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_img"),
+          sum(col("width") * col("height")).as("n_px"),
+          sum("r_sum").as("r_total"),
+          sum("g_sum").as("g_total"),
+          sum("b_sum").as("b_total"),
+          sum("r_moment").as("moment_total"),
+          sum("tl_luma").as("tl_luma_total"))
+        .orderBy("source")),
+
     "mm_wav_pcm" -> ((s, d) =>
       MediaPipeline.decodedWavPcm(s, d)
         .groupBy("source")
@@ -489,6 +509,35 @@ object MultimodalQueries extends QueryPack {
                              CAST(((doc_id * 5) % 14) + 3 AS BIGINT) AS w,
                              CAST(((doc_id * 7) % 12) + 2 AS BIGINT) AS h
                       FROM documents WHERE doc_id % 4 = 2),
+            px AS (SELECT i.doc_id, i.source, i.w, i.h, xs.x, ys.y,
+                          (i.doc_id*31 + xs.x*7 + ys.y*13) % 251 AS r,
+                          (i.doc_id*31 + xs.x*7 + ys.y*13 + 101) % 251 AS g,
+                          (i.doc_id*31 + xs.x*7 + ys.y*13 + 202) % 251 AS b
+                   FROM img i,
+                        LATERAL (SELECT unnest(range(i.w)) AS x) xs,
+                        LATERAL (SELECT unnest(range(i.h)) AS y) ys),
+            per_doc AS (SELECT doc_id, source, MAX(w*h) AS n_px,
+                               SUM(r) AS r_sum, SUM(g) AS g_sum, SUM(b) AS b_sum,
+                               SUM((y*w + x) * r) AS r_moment
+                        FROM px GROUP BY doc_id, source),
+            tl AS (SELECT doc_id,
+                          (299*((doc_id*31) % 251) + 587*((doc_id*31 + 101) % 251)
+                           + 114*((doc_id*31 + 202) % 251)) // 1000 AS tl_luma
+                   FROM img)
+         SELECT p.source, CAST(COUNT(*) AS BIGINT) AS n_img,
+                CAST(SUM(p.n_px) AS BIGINT) AS n_px,
+                CAST(SUM(p.r_sum) AS BIGINT) AS r_total,
+                CAST(SUM(p.g_sum) AS BIGINT) AS g_total,
+                CAST(SUM(p.b_sum) AS BIGINT) AS b_total,
+                CAST(SUM(p.r_moment) AS BIGINT) AS moment_total,
+                CAST(SUM(t.tl_luma) AS BIGINT) AS tl_luma_total
+         FROM per_doc p JOIN tl t USING (doc_id)
+         GROUP BY p.source ORDER BY p.source""",
+    "mm_png_pixels" ->
+      """WITH img AS (SELECT doc_id, source,
+                             CAST(((doc_id * 3) % 15) + 3 AS BIGINT) AS w,
+                             CAST(((doc_id * 13) % 10) + 2 AS BIGINT) AS h
+                      FROM documents WHERE doc_id % 3 = 0),
             px AS (SELECT i.doc_id, i.source, i.w, i.h, xs.x, ys.y,
                           (i.doc_id*31 + xs.x*7 + ys.y*13) % 251 AS r,
                           (i.doc_id*31 + xs.x*7 + ys.y*13 + 101) % 251 AS g,

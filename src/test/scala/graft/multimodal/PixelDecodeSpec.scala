@@ -108,6 +108,67 @@ class PixelDecodeSpec extends SparkSpec {
     assert(decodePpmPixels("P6\n0 1\n255\n".getBytes("US-ASCII")).isEmpty)
   }
 
+  test("PNG full-pixel decode round-trips through deflate + all five filters") {
+    // h cycles filters y % 5, so any id with h ≥ 5 exercises every
+    // filter type; the sweep guarantees many such images.
+    var allFilters = false
+    for (id <- 0L to 200L) {
+      val got = decodePngPixels(pixelPng(id))
+      assert(got.contains(expected(id, pngPxWidth(id), pngPxHeight(id))),
+        s"id=$id got=$got")
+      if (pngPxHeight(id) >= 5) allFilters = true
+    }
+    assert(allFilters)
+  }
+
+  test("PNG decode concatenates ALL IDAT chunks, not just the first") {
+    // pixelPng always splits the zlib stream across two IDATs; a decoder
+    // reading only the first sees a truncated stream. Prove the staged
+    // file really has two by counting chunk types, then prove decode
+    // works — and that a file truncated after the first IDAT fails.
+    val media = pixelPng(9L)
+    def chunkTypes(m: Array[Byte]): Seq[String] = {
+      var off = 8; val out = Seq.newBuilder[String]
+      while (off + 8 <= m.length) {
+        val len = ((m(off) & 0xff) << 24) | ((m(off + 1) & 0xff) << 16) |
+          ((m(off + 2) & 0xff) << 8) | (m(off + 3) & 0xff)
+        out += new String(m, off + 4, 4, "US-ASCII")
+        off += 12 + len
+      }
+      out.result()
+    }
+    assert(chunkTypes(media) == Seq("IHDR", "IDAT", "IDAT", "IEND"))
+    assert(decodePngPixels(media).isDefined)
+    // Keep only sig+IHDR+first IDAT (+IEND): inflate can't finish → None.
+    val sigIhdr = media.take(33)
+    val firstIdatLen = ((media(33) & 0xff) << 24) | ((media(34) & 0xff) << 16) |
+      ((media(35) & 0xff) << 8) | (media(36) & 0xff)
+    val firstIdat = media.slice(33, 33 + 12 + firstIdatLen)
+    val iend = media.takeRight(12)
+    assert(decodePngPixels(sigIhdr ++ firstIdat ++ iend).isEmpty)
+  }
+
+  test("PNG decode verifies every chunk CRC and rejects interlace") {
+    val media = pixelPng(4L)
+    // Flip one byte inside the first IDAT payload: chunk CRC must fail.
+    val corrupted = media.clone()
+    corrupted(33 + 8) = (corrupted(33 + 8) ^ 0x01).toByte
+    assert(decodePngPixels(corrupted).isEmpty)
+    // Set the IHDR interlace byte to Adam7 (and fix the IHDR CRC so only
+    // the interlace check can reject): decode must refuse.
+    val interlaced = media.clone()
+    interlaced(28) = 1
+    val crc = new java.util.zip.CRC32
+    crc.update(interlaced, 12, 17)
+    val v = crc.getValue
+    interlaced(29) = ((v >> 24) & 0xff).toByte
+    interlaced(30) = ((v >> 16) & 0xff).toByte
+    interlaced(31) = ((v >> 8) & 0xff).toByte
+    interlaced(32) = (v & 0xff).toByte
+    assert(decodePng(interlaced).isDefined) // metadata parse still fine
+    assert(decodePngPixels(interlaced).isEmpty)
+  }
+
   test("PCM decode round-trips the sample model with sign extension") {
     for (id <- 0L to 200L) {
       val n = pcmLen(id)
@@ -161,14 +222,23 @@ object PixelDecodeProps extends Properties("pixelDecode") {
     Gen.chooseNum(0L, 10000L).flatMap(id => Gen.chooseNum(0, 60).map(k =>
       pixelBmp(id).dropRight(k))),
     Gen.chooseNum(0L, 10000L).flatMap(id => Gen.chooseNum(0, 60).map(k =>
-      pixelPpm(id).dropRight(k))))
+      pixelPpm(id).dropRight(k))),
+    Gen.chooseNum(0L, 10000L).flatMap(id => Gen.chooseNum(0, 60).map(k =>
+      pixelPng(id).dropRight(k))))
 
   property("decoders are total on arbitrary magic-prefixed bytes") =
     Prop.forAll(fuzz) { bytes =>
       decodeBmpPixels(bytes)
       decodePpmPixels(bytes)
       decodeWavPcm(bytes)
+      decodePngPixels(bytes)
       true
+    }
+
+  property("PNG pixel round-trip holds for arbitrary ids") =
+    Prop.forAll(Gen.chooseNum(0L, 1000000L)) { id =>
+      decodePngPixels(pixelPng(id)).exists(p =>
+        p.width == pngPxWidth(id) && p.height == pngPxHeight(id))
     }
 
   property("BMP pixel round-trip holds for arbitrary ids") =
