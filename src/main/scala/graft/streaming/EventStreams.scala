@@ -185,10 +185,19 @@ object EventStreams {
     // partition-count-independent; the parent session's frames and confs
     // are untouched (sessions share only the SparkContext).
     val sess = spark.newSession()
-    sess.conf.set("spark.sql.shuffle.partitions", "4")
+    // 2 partitions, not 4: every micro-batch pays a state-store
+    // load+commit per stateful partition, and the fixtures' per-key state
+    // fits one partition with room to spare — halving the partition count
+    // halves the dominant fixed cost of each of the two batches. Results
+    // are partition-count-independent (asserted by the gates themselves);
+    // a production job sizes this to its key cardinality instead.
+    sess.conf.set("spark.sql.shuffle.partitions", "2")
     sess.conf.set("spark.sql.session.timeZone",
       spark.conf.get("spark.sql.session.timeZone", "UTC"))
     sess.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // These runs are two-batch and throwaway: retaining the default 100
+    // checkpoint generations only adds commit-log IO per batch.
+    sess.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
     val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
     if (!sess.conf.getOption(nanosKey).contains("true")) sess.conf.set(nanosKey, "true")
     sessionConfs.foreach { case (k, v) => sess.conf.set(k, v) }
