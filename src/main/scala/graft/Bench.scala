@@ -143,14 +143,13 @@ object Bench {
     // below is the one number; BASELINE.md documents the same measurement
     // and the emitted "baseline_sec" field makes every artifact
     // self-describe the denominator it used. Measured 2026-08-13 via
-    // scripts/baseline.py over ALL 136 current oracle SQLs (threads=32,
-    // sf0.1), two same-session bands: 35.6/34.0/33.2 then 29.9/30.5/30.9
-    // after the box quieted — the session MINIMUM is taken, the
-    // conservative end (a smaller denominator can only overstate, never
-    // flatter, Spark's relative cost). Env overrides for re-derived
-    // denominators; the fallback keeps `vs_baseline` on the driver's
-    // line, which sets no env. Only meaningful at sf0.1.
-    val FallbackBaselineSec = 29.9
+    // scripts/baseline.py over ALL 141 current oracle SQLs (threads=32,
+    // sf0.1), one band: 29.6/30.5/31.6 — the session MINIMUM is taken,
+    // the conservative end (a smaller denominator can only overstate,
+    // never flatter, Spark's relative cost). Env overrides for
+    // re-derived denominators; the fallback keeps `vs_baseline` on the
+    // driver's line, which sets no env. Only meaningful at sf0.1.
+    val FallbackBaselineSec = 29.6
     val baselineEnv = sys.env.get("SPARK_GRAFT_BASELINE_SEC")
     val baselineParsed = baselineEnv
       .flatMap(s => scala.util.Try(s.toDouble).toOption)
