@@ -759,12 +759,13 @@ object MediaPipeline {
     DecodedPixels(w, h, r, g, b, m, luma)
   }
 
-  /** REAL pixel decode for uncompressed 24-bit BMP: header validation via
-    * [[decodeBmp]] plus bpp == 24 and compression == BI_RGB, then the
-    * pixel array read with the format's 4-byte row stride, bottom-up row
-    * order, and B,G,R byte order. None for anything else — including a
-    * valid header over a truncated pixel array. */
-  def decodeBmpPixels(media: Array[Byte]): Option[DecodedPixels] =
+  /** Validated random access into an uncompressed 24-bit BMP's pixel
+    * array: (width, height, accessor) where accessor(x, y, c) returns
+    * semantic channel c (0=R,1=G,2=B) of IMAGE coordinates (x, y) —
+    * hiding the format's stride padding, bottom-up row order, and B,G,R
+    * byte order from callers. Shared by the stats decode and the
+    * executed resize. */
+  def bmpPixelAccessor(media: Array[Byte]): Option[(Int, Int, (Int, Int, Int) => Int)] =
     decodeBmp(media).flatMap { case (w, h, _) =>
       def i32(off: Int): Int =
         (media(off) & 0xff) | ((media(off + 1) & 0xff) << 8) |
@@ -773,12 +774,19 @@ object MediaPipeline {
       val stride = ((w * 3 + 3) / 4) * 4
       if (i16(28) == 24 && i32(30) == 0 && w <= (1 << 20) && h <= (1 << 20) &&
           media.length.toLong >= BmpHeaderLen + stride.toLong * h)
-        Some(sumPixels(w, h, (x, y, c) =>
+        Some((w, h, (x: Int, y: Int, c: Int) =>
           // image row y sits at file row h-1-y; file bytes are B,G,R so
           // semantic channel c (0=R,1=G,2=B) reads offset 2-c
           media(BmpHeaderLen + (h - 1 - y) * stride + x * 3 + (2 - c)) & 0xff))
       else None
     }
+
+  /** REAL pixel decode for uncompressed 24-bit BMP: header validation via
+    * [[decodeBmp]] plus bpp == 24 and compression == BI_RGB, then the
+    * pixel array read through [[bmpPixelAccessor]]. None for anything
+    * else — including a valid header over a truncated pixel array. */
+  def decodeBmpPixels(media: Array[Byte]): Option[DecodedPixels] =
+    bmpPixelAccessor(media).map { case (w, h, at) => sumPixels(w, h, at) }
 
   /** REAL pixel decode for binary PPM (P6): a tokenizing ASCII header
     * parse — magic, whitespace runs, `#` comments through end-of-line,
@@ -1127,6 +1135,44 @@ object MediaPipeline {
         decodePpmPixels(r.media).map(p =>
           PixelStats(r.doc_id, r.source, p.width, p.height, p.rSum, p.gSum,
             p.bSum, p.rMoment, p.tlLuma))
+      })
+      .toDF()
+  }
+
+  /** Per-thumbnail statistics row the EXECUTED resize emits (vs
+    * mm_resize_plan, which only computes target dims). */
+  case class ThumbStats(doc_id: Long, source: String, width: Int, height: Int,
+                        t_r: Long, t_g: Long, t_b: Long, t_moment: Long)
+
+  /** EXECUTED nearest-neighbor resize to a t×t thumbnail over the
+    * decoded BMP pixel array: output pixel (ox, oy) samples source
+    * pixel (ox·w/t, oy·h/t) — integer floor, the top-left convention —
+    * which both DOWNscales (w,h > t) and UPscales (some staged widths
+    * are 3 < t = 4, duplicating source columns) in one rule the oracle
+    * replicates with integer division. The moment column weighs each
+    * sampled R by its thumbnail raster position, so a wrong sample
+    * coordinate (center convention, transposed axes, clamped edges)
+    * breaks the hash even when the sums collide. */
+  def resizedBmpThumbs(s: SparkSession, dir: String, t: Int = 4): DataFrame = {
+    import s.implicits._
+    pixelTableStaged(s, dir).as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        bmpPixelAccessor(r.media).map { case (w, h, at) =>
+          var tr = 0L; var tg = 0L; var tb = 0L; var tm = 0L
+          var oy = 0
+          while (oy < t) {
+            var ox = 0
+            while (ox < t) {
+              val sx = ox * w / t; val sy = oy * h / t
+              val rv = at(sx, sy, 0)
+              tr += rv; tg += at(sx, sy, 1); tb += at(sx, sy, 2)
+              tm += (oy.toLong * t + ox) * rv
+              ox += 1
+            }
+            oy += 1
+          }
+          ThumbStats(r.doc_id, r.source, w, h, tr, tg, tb, tm)
+        }
       })
       .toDF()
   }

@@ -266,6 +266,22 @@ object MultimodalQueries extends QueryPack {
           sum("tl_luma").as("tl_luma_total"))
         .orderBy("source")),
 
+    // The EXECUTED resize (mm_resize_plan only plans dims): decode the
+    // staged BMP pixel arrays and nearest-neighbor-sample each to a 4×4
+    // thumbnail — downscale and upscale in the same integer-floor rule —
+    // then aggregate thumbnail channel sums + a position-weighted moment
+    // per source. Map-only over the staged corpus, one uniform shuffle.
+    "mm_resize_exec" -> ((s, d) =>
+      MediaPipeline.resizedBmpThumbs(s, d)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_img"),
+          sum("t_r").as("thumb_r"),
+          sum("t_g").as("thumb_g"),
+          sum("t_b").as("thumb_b"),
+          sum("t_moment").as("thumb_moment"))
+        .orderBy("source")),
+
     "mm_wav_pcm" -> ((s, d) =>
       MediaPipeline.decodedWavPcm(s, d)
         .groupBy("source")
@@ -533,6 +549,31 @@ object MultimodalQueries extends QueryPack {
                 CAST(SUM(t.tl_luma) AS BIGINT) AS tl_luma_total
          FROM per_doc p JOIN tl t USING (doc_id)
          GROUP BY p.source ORDER BY p.source""",
+    "mm_resize_exec" ->
+      """WITH img AS (SELECT doc_id, source,
+                             CAST((doc_id % 13) + 3 AS BIGINT) AS w,
+                             CAST(((doc_id * 3) % 11) + 2 AS BIGINT) AS h
+                      FROM documents WHERE doc_id % 4 = 0),
+            th AS (SELECT i.doc_id, i.source,
+                          (i.doc_id*31 + ((xs.x * i.w) // 4)*7
+                           + ((ys.y * i.h) // 4)*13) % 251 AS r,
+                          (i.doc_id*31 + ((xs.x * i.w) // 4)*7
+                           + ((ys.y * i.h) // 4)*13 + 101) % 251 AS g,
+                          (i.doc_id*31 + ((xs.x * i.w) // 4)*7
+                           + ((ys.y * i.h) // 4)*13 + 202) % 251 AS b,
+                          ys.y*4 + xs.x AS pos
+                   FROM img i,
+                        LATERAL (SELECT unnest(range(4)) AS x) xs,
+                        LATERAL (SELECT unnest(range(4)) AS y) ys),
+            per AS (SELECT doc_id, source, SUM(r) AS r_s, SUM(g) AS g_s,
+                           SUM(b) AS b_s, SUM(pos * r) AS m_s
+                    FROM th GROUP BY doc_id, source)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_img,
+                CAST(SUM(r_s) AS BIGINT) AS thumb_r,
+                CAST(SUM(g_s) AS BIGINT) AS thumb_g,
+                CAST(SUM(b_s) AS BIGINT) AS thumb_b,
+                CAST(SUM(m_s) AS BIGINT) AS thumb_moment
+         FROM per GROUP BY source ORDER BY source""",
     "mm_png_pixels" ->
       """WITH img AS (SELECT doc_id, source,
                              CAST(((doc_id * 3) % 15) + 3 AS BIGINT) AS w,
