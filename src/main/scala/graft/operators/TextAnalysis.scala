@@ -27,6 +27,57 @@ object TextAnalysis extends QueryPack {
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
 
   val queries: Map[String, Q] = Map(
+    // The composed end-to-end corpus-cleaning pass — what a user actually
+    // runs before training: exact dedup (canonical doc per content hash)
+    // → boilerplate filter (duplicate-trigram rate < 30%) → quality floor
+    // (the text_quality score ≥ 0.3) → English-only — emitting a per-
+    // source FUNNEL (survivors after each stage) plus the clean token
+    // count, so the drop cost of every stage is auditable in one result.
+    // Each stage reuses the exact arithmetic of its standalone gate
+    // (dedup_exact, text_repetition, text_quality, text_lang_id), so this
+    // gate pins the COMPOSITION, not new math. One scan, one uniform
+    // md5-key window shuffle, one aggregate: at 100 TB the cleaning pass
+    // is two exchanges total, and every filter is a flag on the same
+    // cached row — no per-stage rescans.
+    "pipeline_clean_corpus" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val en = inList(stop("en")); val de = inList(stop("de"))
+      val es = inList(stop("es")); val fr = inList(stop("fr"))
+      val flagged = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_toks", size(col("toks")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
+        .withColumn("is_canon", col("rk") === 1)
+        .withColumn("tg", graft.Graft.zipNgrams(col("toks"), 3))
+        .withColumn("pass_rep", col("is_canon") && col("n_toks") >= 3 &&
+          floor((size(col("tg")).cast("long") - size(array_distinct(col("tg"))).cast("long"))
+            * 10000 / size(col("tg"))) < 3000)
+        .withColumn("n_dist", size(array_distinct(col("toks"))).cast("double"))
+        .withColumn("sw",
+          expr(s"size(filter(toks, t -> t IN ($en)))").cast("double"))
+        .withColumn("quality", round4(
+          least(col("n_toks").cast("double") / 100.0, lit(1.0)) * 0.4 +
+          (col("n_dist") / col("n_toks")) * 0.3 +
+          least(col("sw") / col("n_toks") * 5.0, lit(1.0)) * 0.3))
+        .withColumn("pass_q", col("pass_rep") && col("quality") >= 0.3)
+        .withColumn("s_de", expr(s"size(filter(toks, t -> t IN ($de)))"))
+        .withColumn("s_en", expr(s"size(filter(toks, t -> t IN ($en)))"))
+        .withColumn("s_es", expr(s"size(filter(toks, t -> t IN ($es)))"))
+        .withColumn("s_fr", expr(s"size(filter(toks, t -> t IN ($fr)))"))
+        .withColumn("best", greatest(col("s_de"), col("s_en"), col("s_es"), col("s_fr")))
+        .withColumn("is_clean", col("pass_q") && col("best") > 0 &&
+          col("s_de") < col("best") && col("s_en") === col("best"))
+      flagged.groupBy("source").agg(
+        count(lit(1)).as("n_raw"),
+        sum(when(col("is_canon"), 1L).otherwise(0L)).as("n_canon"),
+        sum(when(col("pass_rep"), 1L).otherwise(0L)).as("n_dedup_rep"),
+        sum(when(col("pass_q"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("is_clean"), 1L).otherwise(0L)).as("n_clean"),
+        sum(when(col("is_clean"), col("n_toks").cast("long")).otherwise(0L)).as("clean_tokens"))
+        .orderBy("source")
+    }),
+
     // Language ID: stopword-hit ratio per language, argmax (ties → first
     // alphabetically; all-zero → 'unknown').
     "text_lang_id" -> ((s, d) => {
@@ -255,6 +306,51 @@ object TextAnalysis extends QueryPack {
   private val PiiIpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
   val oracleSql: Map[String, String] = Map(
+    // The funnel composes the EXACT per-stage arithmetic of dedup_exact
+    // (md5 canonical), text_repetition (trigram dup rate), text_quality
+    // (round4'd score), text_lang_id ('en' = best>0 ∧ s_de<best ∧
+    // s_en=best — the standalone gate's tie-break order).
+    "pipeline_clean_corpus" ->
+      s"""WITH base AS (SELECT doc_id, source, string_split(text, ' ') AS toks,
+                               md5(text) AS h
+                        FROM documents),
+            c AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rk
+                  FROM base),
+            m AS (SELECT doc_id, source, toks, len(toks) AS n_toks,
+                         (rk = 1) AS is_canon,
+                         CASE WHEN len(toks) >= 3 THEN
+                           list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+                         END AS tg
+                  FROM c),
+            f AS (SELECT *,
+                         is_canon AND n_toks >= 3 AND
+                           FLOOR((len(tg) - len(list_distinct(tg))) * 10000.0 / len(tg)) < 3000 AS pass_rep,
+                         CAST(len(list_distinct(toks)) AS DOUBLE) AS n_dist,
+                         CAST(len(list_filter(toks, t -> t IN (${inList(stop("en"))}))) AS DOUBLE) AS sw,
+                         len(list_filter(toks, t -> t IN (${inList(stop("de"))}))) AS s_de,
+                         len(list_filter(toks, t -> t IN (${inList(stop("en"))}))) AS s_en,
+                         len(list_filter(toks, t -> t IN (${inList(stop("es"))}))) AS s_es,
+                         len(list_filter(toks, t -> t IN (${inList(stop("fr"))}))) AS s_fr
+                  FROM m),
+            q AS (SELECT *,
+                         FLOOR((LEAST(n_toks / 100.0, 1.0) * 0.4 +
+                                (n_dist / n_toks) * 0.3 +
+                                LEAST(sw / n_toks * 5.0, 1.0) * 0.3) * 10000 + 0.5) / 10000 AS quality,
+                         GREATEST(s_de, s_en, s_es, s_fr) AS best
+                  FROM f),
+            fl AS (SELECT *,
+                          pass_rep AND quality >= 0.3 AS pass_q,
+                          pass_rep AND quality >= 0.3 AND best > 0
+                            AND s_de < best AND s_en = best AS is_clean
+                   FROM q)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw,
+                CAST(SUM(CASE WHEN is_canon THEN 1 ELSE 0 END) AS BIGINT) AS n_canon,
+                CAST(SUM(CASE WHEN pass_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup_rep,
+                CAST(SUM(CASE WHEN pass_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+                CAST(SUM(CASE WHEN is_clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+                CAST(SUM(CASE WHEN is_clean THEN n_toks ELSE 0 END) AS BIGINT) AS clean_tokens
+         FROM fl GROUP BY source ORDER BY source""",
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
                     WHERE len(string_split(text, ' ')) >= 3),
