@@ -401,6 +401,29 @@ object Stress {
     def ssJson(r: StreamStateRes): String =
       s"""{"users":${r.users},"rows":${r.rows},"batches":${r.batches},"max_state_rows":${r.maxStateRows},"removed_rows":${r.removedRows},"sink_rows":${r.sinkRows},"max_batch_sec":${r.maxBatchSec},"total_sec":${r.totalSec}}"""
 
+    // Pixel-decode throughput at 10×: the decode paths are map-only, so
+    // wall-clock should scale ~linearly with images and per-image cost
+    // should be flat. The staged MediaRow frames are localCheckpointed so
+    // the timings measure the DECODE (parse + inflate + unfilter +
+    // reduce), not the staging encode. PNG is the expensive path
+    // (Inflater + per-byte unfiltering); BMP is the raw-array floor.
+    val pxIds1 = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), lit("s").as("source"))
+    val pxIds10 = tenxShift(pxIds1, "doc_id", 10000000L)
+    val bmpMedia1 = graft.multimodal.MediaPipeline.pixelMediaOf(spark, pxIds1).localCheckpoint()
+    val bmpMedia10 = graft.multimodal.MediaPipeline.pixelMediaOf(spark, pxIds10).localCheckpoint()
+    val pngMedia1 = graft.multimodal.MediaPipeline.pngPixelMediaOf(spark, pxIds1).localCheckpoint()
+    val pngMedia10 = graft.multimodal.MediaPipeline.pngPixelMediaOf(spark, pxIds10).localCheckpoint()
+    val pngBytes10 = pngMedia10.agg(sum(length(col("media")))).head().getLong(0)
+    val (pd1, npd1) = time("bmp pixel decode 1x",
+      graft.multimodal.MediaPipeline.decodedBmpPixelsOf(spark, bmpMedia1).count())
+    val (pd10, npd10) = time("bmp pixel decode 10x",
+      graft.multimodal.MediaPipeline.decodedBmpPixelsOf(spark, bmpMedia10).count())
+    val (pg1, npg1) = time("png pixel decode 1x",
+      graft.multimodal.MediaPipeline.decodedPngPixelsOf(spark, pngMedia1).count())
+    val (pg10, npg10) = time("png pixel decode 10x",
+      graft.multimodal.MediaPipeline.decodedPngPixelsOf(spark, pngMedia10).count())
+
     // Broadcast-threshold sensitivity (SF1k preview): with the auto
     // threshold off, the orders/customer joins fall back to sort-merge —
     // the plan shape once those dims outgrow executor memory. The nation
@@ -411,7 +434,7 @@ object Stress {
     smj.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val (b2, _) = time("q3_join sort-merge only", SparkEntry.queries("q3_join")(smj, sfDir).count())
 
-    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"embed_ivf_10x":{"vecs":$embDocs,"nlist16_sec":$iv,"nlist16_pairs":$niv,"nlist128_sec":$iv2,"nlist128_pairs":$niv2},"codebook_hot_vector":{"vecs":$nAdv,"clones":$hotClones,"fit_sec":$fitSec,"nonempty_cells":$nonEmptyCells,"max_cell_share":$maxCellShare,"neardup_sec":$advSec,"neardup_pairs":$nAdvPairs,"planted_pairs":$plantedPairs},"bloom_10x":{"orders":$nOrd,"smj_sec":$sj,"smj_rows":$nsj,"probe_sec":$bp,"probe_rows":$nbp,"verify_sec":$bv,"verify_rows":$nbv},"ingest_many_files":{"files":$ingestN,"hidden_frac":0.333,"sec":$ingestSec,"words":${ingested.size},"fold_match":true},"skew_join_hot":{"hot_rows":$hotRows,"buckets_hit":${buckets.size},"max_bucket_rows":$maxBucket,"salted_sec":$saltSec,"plain_sec":$plainSec,"match":true},"span_hot_gram":{"docs":$tenxDocs,"plain_sec":$spSec,"plain_rows":$spRows,"hot_sec":$shSec,"hot_rows":$shRows,"min_shared_windows":$minShared},"incremental_ingest":{"batch_rows":$nBatch,"corpus_docs":$tenxDocs,"new_docs":$incNew,"expected_new":$expectedNew,"sec":$incSec,"match":true},"stream_state":[${ssRes.map(ssJson).mkString(",")}],"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2}}""")
+    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"embed_ivf_10x":{"vecs":$embDocs,"nlist16_sec":$iv,"nlist16_pairs":$niv,"nlist128_sec":$iv2,"nlist128_pairs":$niv2},"codebook_hot_vector":{"vecs":$nAdv,"clones":$hotClones,"fit_sec":$fitSec,"nonempty_cells":$nonEmptyCells,"max_cell_share":$maxCellShare,"neardup_sec":$advSec,"neardup_pairs":$nAdvPairs,"planted_pairs":$plantedPairs},"bloom_10x":{"orders":$nOrd,"smj_sec":$sj,"smj_rows":$nsj,"probe_sec":$bp,"probe_rows":$nbp,"verify_sec":$bv,"verify_rows":$nbv},"ingest_many_files":{"files":$ingestN,"hidden_frac":0.333,"sec":$ingestSec,"words":${ingested.size},"fold_match":true},"skew_join_hot":{"hot_rows":$hotRows,"buckets_hit":${buckets.size},"max_bucket_rows":$maxBucket,"salted_sec":$saltSec,"plain_sec":$plainSec,"match":true},"span_hot_gram":{"docs":$tenxDocs,"plain_sec":$spSec,"plain_rows":$spRows,"hot_sec":$shSec,"hot_rows":$shRows,"min_shared_windows":$minShared},"incremental_ingest":{"batch_rows":$nBatch,"corpus_docs":$tenxDocs,"new_docs":$incNew,"expected_new":$expectedNew,"sec":$incSec,"match":true},"stream_state":[${ssRes.map(ssJson).mkString(",")}],"pixel_decode":{"bmp_1x":{"imgs":$npd1,"sec":$pd1},"bmp_10x":{"imgs":$npd10,"sec":$pd10},"png_1x":{"imgs":$npg1,"sec":$pg1},"png_10x":{"imgs":$npg10,"sec":$pg10,"staged_bytes":$pngBytes10}},"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2}}""")
     spark.stop()
   }
 }

@@ -1060,11 +1060,14 @@ object MediaPipeline {
     * metadata staging, the payloads here are FULLY synthetic from doc_id
     * (the oracle needs closed-form pixel values); the text column only
     * contributes the row set. */
-  def pixelTableStaged(s: SparkSession, dir: String): DataFrame = {
+  def pixelTableStaged(s: SparkSession, dir: String): DataFrame =
+    pixelMediaOf(s, graft.Tables.documents(s, dir).select(col("doc_id"), col("source")))
+
+  /** The pixel staging over ANY (doc_id, source) frame — lets the stress
+    * harness stage replicated corpora through the same code path. */
+  def pixelMediaOf(s: SparkSession, ids: DataFrame): DataFrame = {
     import s.implicits._
-    graft.Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"))
-      .as[(Long, String)]
+    ids.as[(Long, String)]
       .mapPartitions(_.map { case (id, src) =>
         val media =
           if (id % 4 == 0) pixelBmp(id)
@@ -1081,19 +1084,8 @@ object MediaPipeline {
     * chunks), the rest stay bare text — its own table (not part of
     * [[pixelTableStaged]]'s mod-4 scheme) so the full-PNG corpus can
     * grow independently, mirroring [[audioTableStaged]]. */
-  def pngPixelTableStaged(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    graft.Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"))
-      .as[(Long, String)]
-      .mapPartitions(_.map { case (id, src) =>
-        val media =
-          if (id % 3 == 0) pixelPng(id)
-          else s"doc $id".getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        MediaRow(id, src, media)
-      })
-      .toDF()
-  }
+  def pngPixelTableStaged(s: SparkSession, dir: String): DataFrame =
+    pngPixelMediaOf(s, graft.Tables.documents(s, dir).select(col("doc_id"), col("source")))
 
   /** Per-image pixel statistics row the pixel decode passes emit. */
   case class PixelStats(doc_id: Long, source: String, width: Int, height: Int,
@@ -1103,9 +1095,12 @@ object MediaPipeline {
   /** BMP pixel-decode pass: rows whose bytes fully decode as uncompressed
     * 24-bit BMP yield [[PixelStats]]; everything else (PPM, WAV, bare) is
     * dropped by the flatMap — the decode itself is the filter. */
-  def decodedBmpPixels(s: SparkSession, dir: String): DataFrame = {
+  def decodedBmpPixels(s: SparkSession, dir: String): DataFrame =
+    decodedBmpPixelsOf(s, pixelTableStaged(s, dir))
+
+  def decodedBmpPixelsOf(s: SparkSession, mediaDf: DataFrame): DataFrame = {
     import s.implicits._
-    pixelTableStaged(s, dir).as[MediaRow]
+    mediaDf.as[MediaRow]
       .mapPartitions(_.flatMap { r =>
         decodeBmpPixels(r.media).map(p =>
           PixelStats(r.doc_id, r.source, p.width, p.height, p.rSum, p.gSum,
@@ -1116,13 +1111,29 @@ object MediaPipeline {
 
   /** Full-PNG pixel-decode pass over the PNG-staged corpus, same
     * contract as [[decodedBmpPixels]]: the decode is the filter. */
-  def decodedPngPixels(s: SparkSession, dir: String): DataFrame = {
+  def decodedPngPixels(s: SparkSession, dir: String): DataFrame =
+    decodedPngPixelsOf(s, pngPixelTableStaged(s, dir))
+
+  def decodedPngPixelsOf(s: SparkSession, mediaDf: DataFrame): DataFrame = {
     import s.implicits._
-    pngPixelTableStaged(s, dir).as[MediaRow]
+    mediaDf.as[MediaRow]
       .mapPartitions(_.flatMap { r =>
         decodePngPixels(r.media).map(p =>
           PixelStats(r.doc_id, r.source, p.width, p.height, p.rSum, p.gSum,
             p.bSum, p.rMoment, p.tlLuma))
+      })
+      .toDF()
+  }
+
+  /** The PNG staging over ANY (doc_id, source) frame (stress harness). */
+  def pngPixelMediaOf(s: SparkSession, ids: DataFrame): DataFrame = {
+    import s.implicits._
+    ids.as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        val media =
+          if (id % 3 == 0) pixelPng(id)
+          else s"doc $id".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        MediaRow(id, src, media)
       })
       .toDF()
   }
