@@ -26,6 +26,7 @@ object SourceQueries extends QueryPack {
   private def jsonlStage(d: String) = Stage.dir(d, "jsonl")
   private def csvGzStage(d: String) = Stage.dir(d, "csv_gz")
   private def jsonlGzStage(d: String) = Stage.dir(d, "jsonl_gz")
+  private def jsonlBadStage(d: String) = Stage.dir(d, "jsonl_bad")
 
   val queries: Map[String, Q] = Map(
     // CSV sink → CSV source (header + schema inference) → aggregate.
@@ -97,6 +98,49 @@ object SourceQueries extends QueryPack {
           min("doc_id").as("first_doc"),
           max("n_chars").as("max_chars"))
         .orderBy("lang")
+    }),
+
+    // Corrupt-tolerant JSONL ingest — the robustness contract a real
+    // corpus feed needs: every 7th staged line is deterministically
+    // broken (three malformation shapes: unclosed object, non-JSON text,
+    // missing value), the read-back uses PERMISSIVE mode with an
+    // explicit schema + _corrupt_record, and the audit reports, per
+    // bucket, line/good counts and good-row char sums — so a feed whose
+    // corruption rate spikes is visible in one result instead of
+    // crashing the job (FAILFAST) or silently dropping rows (DROPMALFORMED).
+    // The oracle classifies the SAME staged bytes with DuckDB's
+    // json_valid and must land on identical buckets — pinning that
+    // Spark's corrupt-row semantics match an independent JSON parser's
+    // notion of malformed.
+    "jsonl_corrupt_audit" -> ((s, d) => {
+      val stage = jsonlBadStage(d)
+      val good = to_json(struct(col("doc_id"), col("lang"), col("n_chars")))
+      val broken =
+        when(col("doc_id") % 3 === 0,
+          concat(lit("{\"doc_id\": "), col("doc_id"), lit(", \"lang\": \"en\"")))
+          .when(col("doc_id") % 3 === 1, lit("definitely not json"))
+          .otherwise(lit("{\"doc_id\": }"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("value", when(col("doc_id") % 7 === 0, broken).otherwise(good))
+        .select("value")
+        .coalesce(1)
+        .write.mode("overwrite").text(stage)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_corrupt_record", org.apache.spark.sql.types.StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(stage)
+        .withColumn("bucket", coalesce(col("lang"), lit("__corrupt")))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
+          sum(coalesce(col("n_chars"), lit(0L))).as("chars"))
+        .orderBy("bucket")
     })
   )
 
@@ -124,7 +168,17 @@ object SourceQueries extends QueryPack {
                 CAST(MIN(doc_id) AS BIGINT) AS first_doc,
                 CAST(MAX(n_chars) AS BIGINT) AS max_chars
          FROM read_json('${jsonlGzStage(dataDir)}/*.json.gz', format = 'newline_delimited')
-         GROUP BY lang ORDER BY lang"""
+         GROUP BY lang ORDER BY lang""",
+    "jsonl_corrupt_audit" ->
+      s"""WITH lines AS (SELECT unnest(string_split(content, chr(10))) AS line
+                         FROM read_text('${jsonlBadStage(dataDir)}/*.txt')),
+            nn AS (SELECT line FROM lines WHERE line <> ''),
+            cls AS (SELECT line, json_valid(line) AS ok FROM nn)
+         SELECT CASE WHEN ok THEN line->>'$$.lang' ELSE '__corrupt' END AS bucket,
+                CAST(COUNT(*) AS BIGINT) AS n_lines,
+                CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+                CAST(SUM(CASE WHEN ok THEN CAST(line->>'$$.n_chars' AS BIGINT) ELSE 0 END) AS BIGINT) AS chars
+         FROM cls GROUP BY 1 ORDER BY 1"""
   )
 
   val oracleSql: Map[String, String] = oracleSqlFor(Stage.GateDir)
