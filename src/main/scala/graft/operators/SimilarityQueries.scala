@@ -178,6 +178,35 @@ object SimilarityQueries extends QueryPack {
         .orderBy("vec_id")
     }),
 
+    // The PERSISTED-index deployment path for IVF kNN: the scored
+    // assignment is written ONCE as a parquet table bucketed on
+    // `cluster` (FileSources.writeBucketed — build offline, amortized
+    // across probes), and the probe is a self-join of two reads of that
+    // table: both sides arrive pre-partitioned AND pre-sorted on the
+    // join key, so with broadcast off the join plans as a zero-exchange
+    // sort-merge (the BucketingSpec shape) — at 100 TB the index build
+    // pays the one shuffle and every subsequent probe pays none.
+    // Semantics are IDENTICAL to sim_knn_ivf (same oracle SQL): this
+    // gate pins that the layout round-trip changes nothing.
+    "sim_knn_bucketed" -> ((s, d) => {
+      val tbl = "graft_ivf_idx_" + java.lang.Integer.toHexString(d.hashCode)
+      val assigned = ivfScoredAssignment(s, d, nprobe = 1).drop("rk")
+        .select(col("cluster"), col("vec_id"), col("v"), col("nrm"))
+      graft.sources.FileSources.writeBucketed(assigned, tbl, 8, Seq("cluster"))
+      val idx = s.table(tbl)
+      val a = idx.select(col("cluster"), col("vec_id").as("qid"), col("v"), col("nrm"))
+      val b = idx.select(col("cluster"), col("vec_id").as("cid2"),
+        col("v").as("w"), col("nrm").as("wnrm"))
+      a.join(b, Seq("cluster"))
+        .filter(col("qid") =!= col("cid2"))
+        .withColumn("cos", cosExpr / (col("nrm") * col("wnrm")))
+        .groupBy("qid", "cluster")
+        .agg(max(struct(col("cos"), (-col("cid2")).as("negid"))).as("m"))
+        .select(col("qid").as("vec_id"), col("cluster"),
+          (-col("m.negid")).as("nn_id"), round6(col("m.cos")).as("cos"))
+        .orderBy("vec_id")
+    }),
+
     // kNN join, nprobe=2: recall knob over sim_knn_ivf. A vector near a
     // cell boundary gets a worse-than-brute neighbor when only its own
     // cell is searched; probing the second-nearest cell too recovers most
@@ -276,6 +305,25 @@ object SimilarityQueries extends QueryPack {
   private[operators] def centSqlCte(dataDir: String) =
     s"cent AS (SELECT cid, w, wnrm FROM read_parquet('${IvfCodebook.stagePath(dataDir)}/*.parquet'))"
 
+  private def knnIvfSql(dataDir: String): String =
+    s"""WITH $vecsSqlCte,
+            ${centSqlCte(dataDir)},
+            asg AS (SELECT vec_id, v, nrm, cid AS cluster FROM (
+                      SELECT a.vec_id, a.v, a.nrm, c.cid,
+                             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                               ORDER BY ${cosSql("a.v", "c.w")} / (a.nrm * c.wnrm) DESC, c.cid) AS rk
+                      FROM n a, cent c) WHERE rk = 1),
+            pairs AS (SELECT a.vec_id, a.cluster, b.vec_id AS nn_id,
+                             ${cosSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+                      FROM asg a JOIN asg b
+                        ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
+            ranked AS (SELECT vec_id, cluster, nn_id, cos,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, nn_id) AS rk
+                       FROM pairs)
+          SELECT vec_id, cluster, nn_id, FLOOR(cos*1000000 + 0.5)/1000000 AS cos
+          FROM ranked WHERE rk = 1 ORDER BY vec_id"""
+
   override def oracleSqlFor(dataDir: String): Map[String, String] = Map(
     "sim_topk_brute" ->
       s"""WITH $vecsSqlCte,
@@ -313,24 +361,11 @@ object SimilarityQueries extends QueryPack {
                        FROM pairs)
           SELECT vec_id, nn_id, FLOOR(cos*1000000 + 0.5)/1000000 AS cos
           FROM ranked WHERE rk = 1 ORDER BY vec_id""",
-    "sim_knn_ivf" ->
-      s"""WITH $vecsSqlCte,
-            ${centSqlCte(dataDir)},
-            asg AS (SELECT vec_id, v, nrm, cid AS cluster FROM (
-                      SELECT a.vec_id, a.v, a.nrm, c.cid,
-                             ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                               ORDER BY ${cosSql("a.v", "c.w")} / (a.nrm * c.wnrm) DESC, c.cid) AS rk
-                      FROM n a, cent c) WHERE rk = 1),
-            pairs AS (SELECT a.vec_id, a.cluster, b.vec_id AS nn_id,
-                             ${cosSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
-                      FROM asg a JOIN asg b
-                        ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
-            ranked AS (SELECT vec_id, cluster, nn_id, cos,
-                              ROW_NUMBER() OVER (PARTITION BY vec_id
-                                ORDER BY cos DESC, nn_id) AS rk
-                       FROM pairs)
-          SELECT vec_id, cluster, nn_id, FLOOR(cos*1000000 + 0.5)/1000000 AS cos
-          FROM ranked WHERE rk = 1 ORDER BY vec_id""",
+    "sim_knn_ivf" -> knnIvfSql(dataDir),
+    // Identical SQL on purpose: the bucketed-table round-trip must be
+    // result-invariant — only the physical layout (and the probe plan's
+    // exchange count) differs.
+    "sim_knn_bucketed" -> knnIvfSql(dataDir),
     "sim_knn_ivf2" ->
       s"""WITH $vecsSqlCte,
             ${centSqlCte(dataDir)},

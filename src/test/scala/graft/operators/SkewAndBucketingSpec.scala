@@ -71,6 +71,28 @@ class SkewAndBucketingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
 
+  test("the persisted IVF index probes without a shuffle exchange") {
+    // sim_knn_bucketed's deployment claim: after writeBucketed(cluster),
+    // the probe self-join reads both sides pre-partitioned AND pre-sorted
+    // on the join key — zero exchanges with broadcast off (broadcast
+    // would also avoid the shuffle, but only while the index fits in
+    // memory; the bucketed plan holds at any index size).
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val assigned = SimilarityQueries.ivfScoredAssignment(sess, dir, nprobe = 1)
+      .drop("rk").select(col("cluster"), col("vec_id"), col("v"), col("nrm"))
+    graft.sources.FileSources.writeBucketed(assigned, "b_ivf_idx", 8, Seq("cluster"))
+    val idx = sess.table("b_ivf_idx")
+    val j = idx.select(col("cluster"), col("vec_id").as("qid"))
+      .join(idx.select(col("cluster"), col("vec_id").as("cid2")), Seq("cluster"))
+      .filter(col("qid") =!= col("cid2"))
+    assert(j.count() > 0)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed IVF probe still shuffles:\n$plan")
+    sess.sql("DROP TABLE IF EXISTS b_ivf_idx")
+  }
+
   test("AQE splits a skewed join partition (skew=true in the final plan)") {
     // Complement to the manual salting path (q_skew_agg/q_skew_join):
     // with thresholds scaled to fixture size, AQE's OptimizeSkewedJoin
