@@ -142,14 +142,14 @@ object Bench {
     // Denominator (round-11 verdict #3 — SINGLE-SOURCED): the constant
     // below is the one number; BASELINE.md documents the same measurement
     // and the emitted "baseline_sec" field makes every artifact
-    // self-describe the denominator it used. Measured 2026-08-13 via
-    // scripts/baseline.py over ALL 141 current oracle SQLs (threads=32,
-    // sf0.1), one band: 29.6/30.5/31.6 — the session MINIMUM is taken,
+    // self-describe the denominator it used. Measured 2026-08-14 via
+    // scripts/baseline.py over ALL 145 current oracle SQLs (threads=32,
+    // sf0.1), one band: 31.5/33.0/33.7 — the session MINIMUM is taken,
     // the conservative end (a smaller denominator can only overstate,
     // never flatter, Spark's relative cost). Env overrides for
     // re-derived denominators; the fallback keeps `vs_baseline` on the
     // driver's line, which sets no env. Only meaningful at sf0.1.
-    val FallbackBaselineSec = 29.6
+    val FallbackBaselineSec = 31.5
     val baselineEnv = sys.env.get("SPARK_GRAFT_BASELINE_SEC")
     val baselineParsed = baselineEnv
       .flatMap(s => scala.util.Try(s.toDouble).toOption)

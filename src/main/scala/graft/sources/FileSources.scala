@@ -203,12 +203,30 @@ object FileSources {
     * by every query: pay the shuffle once at write time
     * (BucketingSpec asserts the exchange-free join plan). */
   def writeBucketed(df: DataFrame, table: String, nBuckets: Int,
-                    bucketCols: Seq[String]): Unit =
+                    bucketCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    // Overwrite must be idempotent ACROSS processes: the in-memory
+    // catalog forgets the table when the JVM exits but its warehouse
+    // directory survives, and saveAsTable refuses to claim an existing
+    // location (LOCATION_ALREADY_EXISTS). Drop whatever the catalog
+    // knows, then clear any orphaned location a previous process left.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+    val whPath = Option(wh.getPath).getOrElse(wh.toString)
+    val loc = new java.io.File(whPath, table.toLowerCase(java.util.Locale.ROOT))
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(loc)
+    }
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Z-ordered parquet write — the layout step q_zorder audits: Morton-
     * interleave the low 8 bits of two integer dimensions, range-partition

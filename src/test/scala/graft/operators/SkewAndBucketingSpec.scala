@@ -71,6 +71,22 @@ class SkewAndBucketingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
 
+  test("writeBucketed reclaims an orphaned warehouse location") {
+    // A previous PROCESS can leave the table's directory behind while
+    // the fresh in-memory catalog knows nothing of the table — in that
+    // state saveAsTable fails with LOCATION_ALREADY_EXISTS unless the
+    // write path clears the orphan first (the Bench/Verify re-run shape).
+    import spark.implicits._
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+    val orphan = new java.io.File(wh.getPath, "b_orphan_test")
+    orphan.mkdirs()
+    assert(new java.io.File(orphan, "leftover").createNewFile())
+    val df = (1L to 10L).map(k => (k, k * 2)).toDF("k", "v")
+    graft.sources.FileSources.writeBucketed(df, "b_orphan_test", 4, Seq("k"))
+    assert(spark.table("b_orphan_test").count() == 10)
+    spark.sql("DROP TABLE IF EXISTS b_orphan_test")
+  }
+
   test("the persisted IVF index probes without a shuffle exchange") {
     // sim_knn_bucketed's deployment claim: after writeBucketed(cluster),
     // the probe self-join reads both sides pre-partitioned AND pre-sorted
