@@ -26,6 +26,50 @@ object TextAnalysis extends QueryPack {
 
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
 
+  /** The composed cleaning funnel over ANY (doc_id, source, text) frame —
+    * extracted from the `pipeline_clean_corpus` closure so the spec can
+    * drive it over a crafted corpus with KNOWN exact duplicates and
+    * boilerplate (the parquet fixtures contain only near-dups, which the
+    * exact-dedup stage correctly passes through). */
+  private[operators] def cleanCorpusFunnel(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val en = inList(stop("en")); val de = inList(stop("de"))
+    val es = inList(stop("es")); val fr = inList(stop("fr"))
+    val flagged = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
+      .withColumn("is_canon", col("rk") === 1)
+      .withColumn("tg", graft.Graft.zipNgrams(col("toks"), 3))
+      .withColumn("pass_rep", col("is_canon") && col("n_toks") >= 3 &&
+        floor((size(col("tg")).cast("long") - size(array_distinct(col("tg"))).cast("long"))
+          * 10000 / size(col("tg"))) < 3000)
+      .withColumn("n_dist", size(array_distinct(col("toks"))).cast("double"))
+      .withColumn("sw",
+        expr(s"size(filter(toks, t -> t IN ($en)))").cast("double"))
+      .withColumn("quality", round4(
+        least(col("n_toks").cast("double") / 100.0, lit(1.0)) * 0.4 +
+        (col("n_dist") / col("n_toks")) * 0.3 +
+        least(col("sw") / col("n_toks") * 5.0, lit(1.0)) * 0.3))
+      .withColumn("pass_q", col("pass_rep") && col("quality") >= 0.3)
+      .withColumn("s_de", expr(s"size(filter(toks, t -> t IN ($de)))"))
+      .withColumn("s_en", expr(s"size(filter(toks, t -> t IN ($en)))"))
+      .withColumn("s_es", expr(s"size(filter(toks, t -> t IN ($es)))"))
+      .withColumn("s_fr", expr(s"size(filter(toks, t -> t IN ($fr)))"))
+      .withColumn("best", greatest(col("s_de"), col("s_en"), col("s_es"), col("s_fr")))
+      .withColumn("is_clean", col("pass_q") && col("best") > 0 &&
+        col("s_de") < col("best") && col("s_en") === col("best"))
+    flagged.groupBy("source").agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(col("is_canon"), 1L).otherwise(0L)).as("n_canon"),
+      sum(when(col("pass_rep"), 1L).otherwise(0L)).as("n_dedup_rep"),
+      sum(when(col("pass_q"), 1L).otherwise(0L)).as("n_quality"),
+      sum(when(col("is_clean"), 1L).otherwise(0L)).as("n_clean"),
+      sum(when(col("is_clean"), col("n_toks").cast("long")).otherwise(0L)).as("clean_tokens"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     // The composed end-to-end corpus-cleaning pass — what a user actually
     // runs before training: exact dedup (canonical doc per content hash)
@@ -39,44 +83,8 @@ object TextAnalysis extends QueryPack {
     // md5-key window shuffle, one aggregate: at 100 TB the cleaning pass
     // is two exchanges total, and every filter is a flag on the same
     // cached row — no per-stage rescans.
-    "pipeline_clean_corpus" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val en = inList(stop("en")); val de = inList(stop("de"))
-      val es = inList(stop("es")); val fr = inList(stop("fr"))
-      val flagged = Tables.documents(s, d)
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("n_toks", size(col("toks")))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
-        .withColumn("is_canon", col("rk") === 1)
-        .withColumn("tg", graft.Graft.zipNgrams(col("toks"), 3))
-        .withColumn("pass_rep", col("is_canon") && col("n_toks") >= 3 &&
-          floor((size(col("tg")).cast("long") - size(array_distinct(col("tg"))).cast("long"))
-            * 10000 / size(col("tg"))) < 3000)
-        .withColumn("n_dist", size(array_distinct(col("toks"))).cast("double"))
-        .withColumn("sw",
-          expr(s"size(filter(toks, t -> t IN ($en)))").cast("double"))
-        .withColumn("quality", round4(
-          least(col("n_toks").cast("double") / 100.0, lit(1.0)) * 0.4 +
-          (col("n_dist") / col("n_toks")) * 0.3 +
-          least(col("sw") / col("n_toks") * 5.0, lit(1.0)) * 0.3))
-        .withColumn("pass_q", col("pass_rep") && col("quality") >= 0.3)
-        .withColumn("s_de", expr(s"size(filter(toks, t -> t IN ($de)))"))
-        .withColumn("s_en", expr(s"size(filter(toks, t -> t IN ($en)))"))
-        .withColumn("s_es", expr(s"size(filter(toks, t -> t IN ($es)))"))
-        .withColumn("s_fr", expr(s"size(filter(toks, t -> t IN ($fr)))"))
-        .withColumn("best", greatest(col("s_de"), col("s_en"), col("s_es"), col("s_fr")))
-        .withColumn("is_clean", col("pass_q") && col("best") > 0 &&
-          col("s_de") < col("best") && col("s_en") === col("best"))
-      flagged.groupBy("source").agg(
-        count(lit(1)).as("n_raw"),
-        sum(when(col("is_canon"), 1L).otherwise(0L)).as("n_canon"),
-        sum(when(col("pass_rep"), 1L).otherwise(0L)).as("n_dedup_rep"),
-        sum(when(col("pass_q"), 1L).otherwise(0L)).as("n_quality"),
-        sum(when(col("is_clean"), 1L).otherwise(0L)).as("n_clean"),
-        sum(when(col("is_clean"), col("n_toks").cast("long")).otherwise(0L)).as("clean_tokens"))
-        .orderBy("source")
-    }),
+    "pipeline_clean_corpus" -> ((s, d) =>
+      cleanCorpusFunnel(Tables.documents(s, d))),
 
     // Language ID: stopword-hit ratio per language, argmax (ties → first
     // alphabetically; all-zero → 'unknown').

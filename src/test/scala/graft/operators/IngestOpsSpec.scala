@@ -98,4 +98,31 @@ class IngestOpsSpec extends SparkSpec {
     val d1 = out.filter(_._1 == 1L).sortBy(_._2)
     assert(d1.sliding(2).forall { case Array(a, b) => b._3 - a._3 == 48L })
   }
+
+  test("cleaning funnel: each stage drops exactly its crafted victim") {
+    // The parquet fixtures contain only NEAR-dups, so the gated query
+    // can't show the exact-dedup stage biting; this crafted corpus makes
+    // every stage drop exactly one known doc:
+    //   d0 good English        → survives all four stages
+    //   d1 EXACT copy of d0    → dropped at dedup (not canonical)
+    //   d2 boilerplate         → dropped at repetition (dup trigrams 80%)
+    //   d3 good German         → dropped at language (s_de = best, no en)
+    //   d4 two tokens          → dropped at repetition (n_toks < 3)
+    import spark.implicits._
+    val good = "the cat sat on the mat and it is a good day to code in the sun"
+    val german = "der hund und die katze ist ein freund im garten unter dem " +
+      "baum bei nacht mit mond und stern am himmel ueber der stadt"
+    val docs = Seq(
+      (0L, good), (11L, good),
+      (2L, "the cat the cat the cat the cat the cat the cat"),
+      (3L, german), (4L, "zz yy"))
+      .toDF("doc_id", "text").withColumn("source", lit("spec"))
+    val row = TextAnalysis.cleanCorpusFunnel(docs).head()
+    assert(row.getAs[Long]("n_raw") == 5)
+    assert(row.getAs[Long]("n_canon") == 4)     // d1 deduped
+    assert(row.getAs[Long]("n_dedup_rep") == 2) // d2 (boilerplate) + d4 (short) out
+    assert(row.getAs[Long]("n_quality") == 2)   // both survivors clear 0.3
+    assert(row.getAs[Long]("n_clean") == 1)     // d3 fails the en filter
+    assert(row.getAs[Long]("clean_tokens") == good.split(" ").length.toLong)
+  }
 }
