@@ -18,6 +18,7 @@ object SparkEntry {
     ExtrasQueries,
     StreamingQueries,
     PipelineQueries,
+    MaintenanceQueries,
     DedupQueries,
     SimilarityQueries,
     TextAnalysis,

@@ -1,0 +1,228 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import graft.functions.PortableHash
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table-maintenance / change-data pack: the lakehouse WRITE-side ops a
+  * 100 TB pipeline runs between analytic passes — MERGE (upsert/delete
+  * apply), SCD2 history build, snapshot diffing, and content checksums
+  * for copy validation. The reference engine (a batch MapReduce skeleton,
+  * FileWordCounter.cpp:87-136) has no mutation story at all; these are
+  * the operations its users would need the moment the corpus stops being
+  * append-only.
+  *
+  * Scale shapes:
+  *   - MERGE and diff are ONE shuffle each: a full-outer hash join on the
+  *     primary key (uniform 64-bit), then a partial-aggregated audit. On
+  *     a bucketed snapshot (FileSources.writeBucketed) the join needs no
+  *     exchange at all on the snapshot side; AQE handles a skewed change
+  *     batch.
+  *   - SCD2 is one window exchange on user_id (the natural history key).
+  *   - The checksum is a pure map + partial agg on a 3-value key: each
+  *     row contributes h60p(canonical repr) mod P (< 2^30), so a 10^12-row
+  *     segment sum stays < 2^70... actually < 2^30 * 10^12 < 2^70 — still
+  *     inside BIGINT, and associativity-safe (integer sum), so map-side
+  *     combine is exact. Comparing two copies of a table costs two scans
+  *     and exchanges 3 rows.
+  *
+  * The change batch is DERIVED deterministically from the snapshot itself
+  * (key mod 10 selects update/delete/insert victims), so both engines
+  * construct identical inputs with zero staged state.
+  */
+object MaintenanceQueries extends QueryPack {
+
+  /** Deterministic change batch over orders: key%10==0 → update (price
+    * +500.0), ==1 → delete, ==2 → insert under a fresh key range. */
+  private def changeBatch(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val upd = o.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey").as("k"), lit("U").as("op"),
+        (col("o_totalprice") + lit(500.0)).as("price"),
+        lit(null).cast("string").as("priority"))
+    val del = o.filter(col("o_orderkey") % 10 === 1)
+      .select(col("o_orderkey").as("k"), lit("D").as("op"),
+        lit(null).cast("double").as("price"),
+        lit(null).cast("string").as("priority"))
+    val ins = o.filter(col("o_orderkey") % 10 === 2)
+      .select((col("o_orderkey") + 10000000L).as("k"), lit("I").as("op"),
+        col("o_totalprice").as("price"), col("o_orderpriority").as("priority"))
+    upd.unionAll(del).unionAll(ins)
+  }
+
+  /** MERGE the change batch into the snapshot: one full-outer join on the
+    * key resolves keep / update / delete / insert per row. */
+  private def mergedOrders(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val ch = changeBatch(s, d)
+    o.join(ch, col("o_orderkey") === col("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(
+        coalesce(col("k"), col("o_orderkey")).as("key"),
+        when(col("op") === "I", col("priority"))
+          .otherwise(col("o_orderpriority")).as("pri"),
+        when(col("op") === "U" || col("op") === "I", col("price"))
+          .otherwise(col("o_totalprice")).as("price"),
+        when(col("op") === "I", 1L).otherwise(0L).as("ins"),
+        when(col("op") === "U", 1L).otherwise(0L).as("upd"))
+  }
+
+  /** The same change batch + merge, as a DuckDB CTE prefix ending in
+    * `merged(key, pri, price, ins, upd)`. */
+  private val mergedSqlCte =
+    """ch AS (
+         SELECT o_orderkey AS k, 'U' AS op, o_totalprice + 500.0 AS price,
+                CAST(NULL AS VARCHAR) AS priority
+         FROM orders WHERE o_orderkey % 10 = 0
+         UNION ALL
+         SELECT o_orderkey, 'D', CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+         FROM orders WHERE o_orderkey % 10 = 1
+         UNION ALL
+         SELECT o_orderkey + 10000000, 'I', o_totalprice, o_orderpriority
+         FROM orders WHERE o_orderkey % 10 = 2),
+       merged AS (
+         SELECT COALESCE(ch.k, o.o_orderkey) AS key,
+                CASE WHEN ch.op = 'I' THEN ch.priority
+                     ELSE o.o_orderpriority END AS pri,
+                CASE WHEN ch.op IN ('U', 'I') THEN ch.price
+                     ELSE o.o_totalprice END AS price,
+                CASE WHEN ch.op = 'I' THEN 1 ELSE 0 END AS ins,
+                CASE WHEN ch.op = 'U' THEN 1 ELSE 0 END AS upd
+         FROM orders o FULL JOIN ch ON ch.k = o.o_orderkey
+         WHERE ch.op IS NULL OR ch.op <> 'D')"""
+
+  val queries: Map[String, Q] = Map(
+    // MERGE/upsert apply — audit of the merged table per priority class:
+    // row count, integer-cent total, and how many rows each op produced.
+    // Sums are over exact cents (floor(price*100+0.5) — the Portable
+    // rounding contract), so the gate pins every CASE branch of the merge.
+    "q_merge_upsert" -> ((s, d) =>
+      mergedOrders(s, d)
+        .groupBy(col("pri").as("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("price") * 100 + 0.5).cast("long")).as("total_cents"),
+          sum("ins").as("n_inserted"),
+          sum("upd").as("n_updated"))
+        .orderBy("o_orderpriority")),
+
+    // Snapshot diff — compare the post-merge table against the original
+    // snapshot BY KEY and classify every key: added / removed / changed /
+    // unchanged. One full-outer join on the key; the per-class key-hash
+    // sum (h60p, order-independent) means two 100 TB copies can be
+    // compared with confidence the classes hold the SAME keys, not just
+    // the same counts.
+    "q_snapshot_diff" -> ((s, d) => {
+      val before = Tables.orders(s, d)
+        .select(col("o_orderkey").as("bk"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("bcents"))
+      val after = mergedOrders(s, d)
+        .select(col("key").as("ak"),
+          floor(col("price") * 100 + 0.5).cast("long").as("acents"))
+      before.join(after, col("bk") === col("ak"), "full_outer")
+        .select(
+          when(col("bk").isNull, "added")
+            .when(col("ak").isNull, "removed")
+            .when(col("bcents") =!= col("acents"), "changed")
+            .otherwise("unchanged").as("change_class"),
+          coalesce(col("bk"), col("ak")).as("key"))
+        .groupBy("change_class")
+        .agg(count(lit(1)).as("n_keys"),
+          sum(PortableHash.h60p(col("key").cast("string"))).as("key_hash_sum"))
+        .orderBy("change_class")
+    }),
+
+    // SCD2 history build from the events change log: per user, each run
+    // of consecutive equal event_type values becomes one validity
+    // interval [valid_from, valid_to). One window exchange on user_id.
+    // The audit aggregates per type: interval count, open (current)
+    // intervals, and the summed closed-interval duration in micros — so
+    // the lag-based change detection AND the lead-based interval close
+    // are both pinned by exact integer arithmetic.
+    "q_scd2_intervals" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val ev = Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_type", lag("event_type", 1).over(byUser))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .withColumn("valid_to_us", lead("us", 1).over(byUser))
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(when(col("valid_to_us").isNull, 1L).otherwise(0L)).as("n_open"),
+          sum(when(col("valid_to_us").isNotNull, col("valid_to_us") - col("us"))
+            .otherwise(0L)).as("closed_dur_us"))
+        .orderBy("event_type")
+    }),
+
+    // Order-independent content checksum of lineitem per l_returnflag
+    // segment: each row contributes h60p of a canonical integer-string
+    // repr (key cols + exact integer measures). Validating a 100 TB copy
+    // = two map-only scans + a 3-row exchange; any dropped, duplicated,
+    // or bit-flipped row moves the sum.
+    "q_table_checksum" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          PortableHash.h60p(concat_ws("|",
+            col("l_orderkey").cast("string"),
+            col("l_linenumber").cast("string"),
+            floor(col("l_quantity")).cast("long").cast("string"),
+            floor(col("l_extendedprice") * 100 + 0.5).cast("long").cast("string")))
+            .as("h"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"), sum("h").as("content_sum"))
+        .orderBy("l_returnflag"))
+  )
+
+  private val h60pKey = PortableHash.h60pSql("CAST(key AS VARCHAR)")
+  private val h60pRow = PortableHash.h60pSql(
+    "(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' || " +
+      "CAST(CAST(FLOOR(l_quantity) AS BIGINT) AS VARCHAR) || '|' || " +
+      "CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS VARCHAR))")
+
+  val oracleSql: Map[String, String] = Map(
+    "q_merge_upsert" ->
+      s"""WITH $mergedSqlCte
+          SELECT pri AS o_orderpriority,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(CAST(FLOOR(price * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+                 CAST(SUM(ins) AS BIGINT) AS n_inserted,
+                 CAST(SUM(upd) AS BIGINT) AS n_updated
+          FROM merged GROUP BY 1 ORDER BY o_orderpriority""",
+    "q_snapshot_diff" ->
+      s"""WITH $mergedSqlCte,
+            b AS (SELECT o_orderkey AS bk,
+                         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS bcents
+                  FROM orders),
+            a AS (SELECT key AS ak,
+                         CAST(FLOOR(price * 100 + 0.5) AS BIGINT) AS acents
+                  FROM merged),
+            cls AS (SELECT CASE WHEN bk IS NULL THEN 'added'
+                                WHEN ak IS NULL THEN 'removed'
+                                WHEN bcents <> acents THEN 'changed'
+                                ELSE 'unchanged' END AS change_class,
+                           COALESCE(bk, ak) AS key
+                    FROM b FULL JOIN a ON bk = ak)
+          SELECT change_class, CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(SUM($h60pKey) AS BIGINT) AS key_hash_sum
+          FROM cls GROUP BY 1 ORDER BY change_class""",
+    "q_scd2_intervals" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+                           LAG(event_type) OVER
+                             (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+                    FROM events),
+            ch AS (SELECT user_id, event_type, us,
+                          LEAD(us) OVER
+                            (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us
+                   FROM e WHERE prev_type IS NULL OR prev_type <> event_type)
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+                CAST(SUM(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+                CAST(SUM(CASE WHEN valid_to_us IS NOT NULL
+                              THEN valid_to_us - us ELSE 0 END) AS BIGINT) AS closed_dur_us
+         FROM ch GROUP BY 1 ORDER BY event_type""",
+    "q_table_checksum" ->
+      s"""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM($h60pRow) AS BIGINT) AS content_sum
+          FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""
+  )
+}
