@@ -27,6 +27,8 @@ object SourceQueries extends QueryPack {
   private def csvGzStage(d: String) = Stage.dir(d, "csv_gz")
   private def jsonlGzStage(d: String) = Stage.dir(d, "jsonl_gz")
   private def jsonlBadStage(d: String) = Stage.dir(d, "jsonl_bad")
+  private def pqZstdStage(d: String) = Stage.dir(d, "parquet_zstd")
+  private def pqHiveStage(d: String) = Stage.dir(d, "parquet_hive")
 
   val queries: Map[String, Q] = Map(
     // CSV sink → CSV source (header + schema inference) → aggregate.
@@ -100,6 +102,49 @@ object SourceQueries extends QueryPack {
         .orderBy("lang")
     }),
 
+    // ZSTD-compressed parquet round-trip — the archival codec a 100 TB
+    // lake actually uses (2-3× smaller than snappy at similar scan cost,
+    // and SPLITTABLE unlike .gz text: parquet compresses per column
+    // chunk, so row-group parallelism survives any codec). Spark writes
+    // via parquet-java's zstd path; the oracle decodes the very same
+    // bytes with DuckDB's independent zstd+parquet implementation.
+    "parquet_zstd_roundtrip" -> ((s, d) => {
+      val stage = pqZstdStage(d)
+      Tables.documents(s, d)
+        .select("doc_id", "lang", "source", "n_chars")
+        .coalesce(1)
+        .write.mode("overwrite").option("compression", "zstd").parquet(stage)
+      s.read.parquet(stage)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang")
+    }),
+
+    // Hive-partitioned layout round-trip — THE physical layout that makes
+    // partition pruning work at 100 TB: the write shuffles once on the
+    // partition key (repartition(lang) → one file per directory, not one
+    // per task×key), the read-back's lang filter prunes directories
+    // BEFORE any IO (only matching lang=... paths are listed/scanned),
+    // and the partition column itself is directory-encoded, not stored.
+    // The oracle re-derives lang from the same directory names via
+    // DuckDB's hive_partitioning reader.
+    "parquet_hive_roundtrip" -> ((s, d) => {
+      val stage = pqHiveStage(d)
+      Tables.documents(s, d)
+        .select("doc_id", "lang", "source", "n_chars")
+        .repartition(col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(stage)
+      s.read.parquet(stage)
+        .filter(col("lang") =!= "en") // directory-pruned: lang=en never scanned
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("chars"),
+          min("doc_id").as("first_doc"))
+        .orderBy("lang", "source")
+    }),
+
     // Corrupt-tolerant JSONL ingest — the robustness contract a real
     // corpus feed needs: every 7th staged line is deterministically
     // broken (three malformation shapes: unclosed object, non-JSON text,
@@ -169,6 +214,19 @@ object SourceQueries extends QueryPack {
                 CAST(MAX(n_chars) AS BIGINT) AS max_chars
          FROM read_json('${jsonlGzStage(dataDir)}/*.json.gz', format = 'newline_delimited')
          GROUP BY lang ORDER BY lang""",
+    "parquet_zstd_roundtrip" ->
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS chars,
+                CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+         FROM read_parquet('${pqZstdStage(dataDir)}/*.parquet')
+         GROUP BY lang ORDER BY lang""",
+    "parquet_hive_roundtrip" ->
+      s"""SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS chars,
+                CAST(MIN(doc_id) AS BIGINT) AS first_doc
+         FROM read_parquet('${pqHiveStage(dataDir)}/*/*.parquet', hive_partitioning = true)
+         WHERE lang <> 'en'
+         GROUP BY lang, source ORDER BY lang, source""",
     "jsonl_corrupt_audit" ->
       s"""WITH lines AS (SELECT unnest(string_split(content, chr(10))) AS line
                          FROM read_text('${jsonlBadStage(dataDir)}/*.txt')),

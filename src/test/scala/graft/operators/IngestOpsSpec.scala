@@ -125,4 +125,46 @@ class IngestOpsSpec extends SparkSpec {
     assert(row.getAs[Long]("n_clean") == 1)     // d3 fails the en filter
     assert(row.getAs[Long]("clean_tokens") == good.split(" ").length.toLong)
   }
+
+  test("parquet_zstd_roundtrip really writes ZSTD column chunks") {
+    val d = sf("sf0.001")
+    SourceQueries.queries("parquet_zstd_roundtrip")(spark, d).collect()
+    val stage = graft.Stage.dir(d, "parquet_zstd")
+    val f = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+      spark.sessionState.newHadoopConf())
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val codecs = reader.getFooter.getBlocks.get(0).getColumns
+        .toArray.map(_.asInstanceOf[
+          org.apache.parquet.hadoop.metadata.ColumnChunkMetaData].getCodec.name()).toSet
+      assert(codecs == Set("ZSTD"), s"expected all-ZSTD chunks, got $codecs")
+    } finally reader.close()
+  }
+
+  test("parquet_hive_roundtrip: the lang filter prunes directories at the scan") {
+    val d = sf("sf0.001")
+    // Stage the layout once via the query itself, then re-read with AQE
+    // off so the FileSourceScanExec is reachable for the pruning check.
+    SourceQueries.queries("parquet_hive_roundtrip")(spark, d).collect()
+    val stage = graft.Stage.dir(d, "parquet_hive")
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    val q = sess.read.parquet(stage).filter(col("lang") =!= "en")
+      .groupBy("lang").count()
+    q.collect()
+    val scan = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val allDirs = new java.io.File(stage).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("lang=")).map(_.getName).toSet
+    assert(allDirs.contains("lang=en"), "fixture must contain an en partition")
+    val expectFiles = sess.read.parquet(stage).inputFiles
+      .count(p => !p.contains("lang=en"))
+    assert(scan.metrics("numFiles").value == expectFiles,
+      s"scan read ${scan.metrics("numFiles").value} files; " +
+        s"directory pruning should leave $expectFiles (all non-en)")
+  }
 }
