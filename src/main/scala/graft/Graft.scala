@@ -273,6 +273,51 @@ object Graft {
       .select(col("doc_id"), col("rk"), col("w").as("term"), col("tfidf"))
   }
 
+  /** BM25 top-k document retrieval for a fixed bag-of-words query
+    * (Robertson/Sparck-Jones, the classic probabilistic ranking; k1=1.2,
+    * b=0.75). Scale shape: the token stream is FILTERED to the query
+    * terms before any aggregation (map-side — the shuffled tf frame is
+    * ≤ |terms| rows per doc), df is a |terms|-row broadcast, and the
+    * corpus stats (N, avgdl) travel as a broadcast 1-row frame. Per-term
+    * contributions are summed via per-term conditional aggregates added
+    * in a FIXED left-to-right order, so the double sum is evaluation-
+    * order-deterministic and cross-engine-stable; scores round to 1e-6
+    * before the top-k cut (TakeOrderedAndProject, no global sort). */
+  def bm25TopDocs(docs: DataFrame, terms: Seq[String], k: Int,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = docs.select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w").isin(terms: _*))
+    val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dl = docs.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("dl"))
+    val dfq = broadcast(tf.groupBy("w").agg(count(lit(1)).as("df")))
+    val stats = broadcast(docs.agg(count(lit(1)).as("n"),
+      (sum(size(split(col(textCol), " ")).cast("long")) * lit(1.0) /
+        count(lit(1))).as("avgdl")))
+    val contrib =
+      log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+        (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))
+    // One conditional sum per query term, combined left-to-right: each
+    // sum has at most one non-zero addend (exact), and the final + chain
+    // has a pinned evaluation order — no order-dependent float drift.
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("w") === t, col("contrib")).otherwise(lit(0.0))).as(s"s$i")
+    }
+    val scored = tf.join(dl, "doc_id")
+      .join(dfq, "w")
+      .crossJoin(stats)
+      .withColumn("contrib", contrib)
+      .groupBy("doc_id")
+      .agg(perTerm.head, perTerm.tail: _*)
+    val total = terms.indices.map(i => col(s"s$i")).reduceLeft(_ + _)
+    scored.select(col("doc_id"), Portable.round6(total).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Deterministic Bernoulli sample: keep rows whose md5-derived hash of
     * `keyCol` falls under `percent` — reproducible and repartition-stable
     * (never rand()). */

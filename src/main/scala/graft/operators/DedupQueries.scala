@@ -693,6 +693,27 @@ object DedupQueries extends QueryPack {
         .orderBy("da", "db")
     }),
 
+    // Character-level confirm pass over the LSH candidates: shingle
+    // Jaccard is blind to WHERE two near-dups differ (a one-word edit and
+    // a rewritten sentence can score the same), so production dedup runs
+    // an edit-distance confirm on the candidate pairs before dropping
+    // documents. Levenshtein is O(|a|·|b|) — quadratic, unusable as a
+    // corpus-wide pass — but here it runs only on the LSH-bounded pair
+    // set (each pair one row), which is exactly how the quadratic cost
+    // stays out of the scale path. Emits the distance AND the confirm
+    // verdict (≤5 edits) so the gate pins the DP arithmetic, not just
+    // the boundary.
+    "dedup_fuzzy_edit" -> ((s, d) => {
+      val t = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      minhashPairs(s, d).select("da", "db")
+        .join(t.select(col("doc_id").as("da"), col("text").as("ta")), "da")
+        .join(t.select(col("doc_id").as("db"), col("text").as("tb")), "db")
+        .withColumn("dist", levenshtein(col("ta"), col("tb")))
+        .select(col("da"), col("db"), col("dist"),
+          (col("dist") <= 5).as("confirmed"))
+        .orderBy("da", "db")
+    }),
+
     // SimHash near-dup: 4×15-bit chunk LSH (exact recall for hamming ≤ 3)
     // + bit_count verify. Declared uncapped (exact results); see
     // simhashPairsOf for the hot-bucket valve.
@@ -990,6 +1011,19 @@ object DedupQueries extends QueryPack {
       s"""WITH $shinglesSqlCte
           SELECT da, db, FLOOR(jac*1000000 + 0.5)/1000000 AS jac FROM jac
           WHERE jac >= 0.7 ORDER BY da, db""",
+    // Exact-pair twin (jac >= 0.7, the proven dedup_minhash set) + the
+    // same Levenshtein DP on the same texts through DuckDB's independent
+    // implementation.
+    "dedup_fuzzy_edit" ->
+      s"""WITH $shinglesSqlCte,
+            pairs AS (SELECT da, db FROM jac WHERE jac >= 0.7),
+            tx AS (SELECT p.da, p.db,
+                          CAST(levenshtein(a.text, b.text) AS INT) AS dist
+                   FROM pairs p
+                   JOIN documents a ON a.doc_id = p.da
+                   JOIN documents b ON b.doc_id = p.db)
+          SELECT da, db, dist, dist <= 5 AS confirmed
+          FROM tx ORDER BY da, db""",
     // Full band-key replication (portable seeded-md5 family, same as
     // lang_minhash_sketch) plus the SAME bucket-size skip rule as
     // bucketPairs: buckets with more than 2 members contribute no pairs;

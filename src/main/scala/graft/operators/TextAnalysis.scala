@@ -255,6 +255,15 @@ object TextAnalysis extends QueryPack {
       graft.Graft.tfidfTopTerms(Tables.documents(s, d), k = 3)
         .orderBy("doc_id", "rk")),
 
+    // BM25 top-20 retrieval for a fixed 3-term query (mixed document
+    // frequencies: common / mid / rare) — the search-side twin of
+    // text_tfidf. See Graft.bm25TopDocs for the scale shape (map-side
+    // term filter, broadcast df + corpus stats, order-pinned double sum,
+    // top-k cut instead of a global sort).
+    "text_bm25" -> ((s, d) =>
+      graft.Graft.bm25TopDocs(Tables.documents(s, d),
+        Seq("spark", "vector", "dup"), k = 20)),
+
     // Corpus-level aggregate stats (the reduce side of text analysis).
     "text_corpus_stats" -> ((s, d) =>
       Tables.documents(s, d)
@@ -453,6 +462,30 @@ object TextAnalysis extends QueryPack {
                  CAST(len(kept) AS INT) AS n_kept,
                  array_to_string(list_slice(kept, 1, 5), ' ') AS head_kept
           FROM k ORDER BY doc_id""",
+    // Identical expression tree as Graft.bm25TopDocs, term contributions
+    // combined in the same pinned left-to-right order.
+    "text_bm25" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+            tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+                   WHERE w IN ('spark', 'vector', 'dup') GROUP BY 1, 2),
+            dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+                   FROM documents),
+            dfq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+            st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          SUM(len(string_split(text, ' '))) * 1.0 / COUNT(*) AS avgdl
+                   FROM documents),
+            c AS (SELECT tf.doc_id, tf.w,
+                         ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+                           (tf.tf * 2.2) /
+                           (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS contrib
+                  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (w) CROSS JOIN st),
+            sc AS (SELECT doc_id,
+                          SUM(CASE WHEN w = 'spark' THEN contrib ELSE 0.0 END) AS s0,
+                          SUM(CASE WHEN w = 'vector' THEN contrib ELSE 0.0 END) AS s1,
+                          SUM(CASE WHEN w = 'dup' THEN contrib ELSE 0.0 END) AS s2
+                   FROM c GROUP BY 1)
+         SELECT doc_id, FLOOR((s0 + s1 + s2) * 1000000 + 0.5) / 1000000 AS score
+         FROM sc ORDER BY score DESC, doc_id LIMIT 20""",
     "text_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
             tc AS (SELECT doc_id, w, COUNT(*) AS cnt FROM toks GROUP BY doc_id, w),

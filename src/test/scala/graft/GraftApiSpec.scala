@@ -277,4 +277,36 @@ class GraftApiSpec extends SparkSpec {
     }
     assert(badProbe.getMessage.contains("nprobe"))
   }
+
+  test("bm25TopDocs matches a hand-computed reference model on a crafted corpus") {
+    import spark.implicits._
+    // d1 carries the query term twice in a short doc, d2 once in a long
+    // doc, d3 not at all — BM25 must rank d1 > d2 and omit d3.
+    val docs = Seq(
+      (1L, "apple apple pie"),
+      (2L, "apple tart with a very long list of other words here now"),
+      (3L, "banana split")
+    ).toDF("doc_id", "text")
+    val got = Graft.bm25TopDocs(docs, Seq("apple"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    def ref(tf: Double, dl: Double): Double = {
+      val n = 3.0; val df = 2.0
+      val avgdl = (3.0 + 12.0 + 2.0) / 3.0
+      val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+      val raw = idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      math.floor(raw * 1000000 + 0.5) / 1000000
+    }
+    assert(got.map(_._1).toSeq == Seq(1L, 2L), s"ranking wrong: ${got.toSeq}")
+    assert(got(0)._2 == ref(2.0, 3.0))
+    assert(got(1)._2 == ref(1.0, 12.0))
+  }
+
+  test("bm25TopDocs rejects an empty query") {
+    import spark.implicits._
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    val bad = intercept[IllegalArgumentException] {
+      Graft.bm25TopDocs(docs, Seq.empty, k = 5)
+    }
+    assert(bad.getMessage.contains("query term"))
+  }
 }

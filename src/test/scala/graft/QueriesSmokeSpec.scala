@@ -24,7 +24,8 @@ class QueriesSmokeSpec extends SparkSpec {
       // Pair-finding queries may legitimately return 0 rows at this SF;
       // everything else must produce output.
       val mayBeEmpty = Set("dedup_minhash", "dedup_ngram_jaccard",
-        "dedup_simhash", "dedup_embed", "q_anti_join", "q_multi_exists", "dedup_components")
+        "dedup_simhash", "dedup_embed", "q_anti_join", "q_multi_exists",
+        "dedup_components", "dedup_fuzzy_edit")
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
     }
   }
