@@ -143,13 +143,16 @@ object Bench {
     // below is the one number; BASELINE.md documents the same measurement
     // and the emitted "baseline_sec" field makes every artifact
     // self-describe the denominator it used. Measured 2026-08-14 via
-    // scripts/baseline.py over ALL 145 current oracle SQLs (threads=32,
-    // sf0.1), one band: 31.5/33.0/33.7 — the session MINIMUM is taken,
-    // the conservative end (a smaller denominator can only overstate,
-    // never flatter, Spark's relative cost). Env overrides for
-    // re-derived denominators; the fallback keeps `vs_baseline` on the
-    // driver's line, which sets no env. Only meaningful at sf0.1.
-    val FallbackBaselineSec = 31.5
+    // scripts/baseline.py, same boot, composed at the conservative end:
+    // the 145-SQL session minimum (31.5, band 31.5/33.0/33.7) plus the
+    // measured minimum cost of the 8 SQLs added later the same day
+    // (2.2 s; direct 153-SQL draws on the by-then-noisier box ran
+    // 37.5-48.1 at loadavg 2.6-3.5, all ABOVE this number) — a smaller
+    // denominator can only overstate, never flatter, Spark's relative
+    // cost. Env overrides for re-derived denominators; the fallback
+    // keeps `vs_baseline` on the driver's line, which sets no env.
+    // Only meaningful at sf0.1.
+    val FallbackBaselineSec = 33.7
     val baselineEnv = sys.env.get("SPARK_GRAFT_BASELINE_SEC")
     val baselineParsed = baselineEnv
       .flatMap(s => scala.util.Try(s.toDouble).toOption)
