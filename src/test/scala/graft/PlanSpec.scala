@@ -213,6 +213,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q_table_checksum is map-only up to one aggregation exchange") {
+    val p = plan("q_table_checksum")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"checksum should shuffle only the 3-row segment agg:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // Partial aggregation before the exchange: validating a copy ships
+    // one partial sum per segment per partition, never rows.
+    assert(p.indexOf("HashAggregate") < p.indexOf("Exchange hashpartitioning"),
+      s"no map-side partial aggregation before the shuffle:\n$p")
+  }
+
+  test("q_merge_upsert resolves the merge in ONE join on the key") {
+    val p = plan("q_merge_upsert")
+    // FULL OUTER cannot broadcast; the scale shape is exactly one
+    // sort-merge join on the uniform primary key, then a partially
+    // aggregated audit — never a join per change-op branch.
+    assert("SortMergeJoin".r.findAllIn(p).size == 1,
+      s"merge should be a single full-outer join:\n$p")
+    assert(p.contains("FullOuter"), s"merge join is not full-outer:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("text_bm25 broadcasts df + corpus stats and top-ks without a global sort") {
+    val p = plan("text_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 cut should be TakeOrderedAndProject:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"df / stats frames are not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"stats join degenerated:\n$p")
+  }
+
   test("text_tfidf broadcasts the corpus-size scalar, not the term frames") {
     val p = plan("text_tfidf")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
