@@ -424,6 +424,46 @@ object Stress {
     val (pg10, npg10) = time("png pixel decode 10x",
       graft.multimodal.MediaPipeline.decodedPngPixelsOf(spark, pngMedia10).count())
 
+    // Table-maintenance at 10×: MERGE and the segment checksum are the
+    // round-12 write-side ops; both must scale linearly (one key-uniform
+    // join resp. map-only partial agg — no quadratic or skew-prone path).
+    // Invariants at 10×: merged rows = snapshot - deletes + inserts
+    // (op accounting exact at scale), and the 10× checksum's per-segment
+    // row counts are exactly 10× the 1× counts while the content sums
+    // MOVE (shifted keys hash differently — the checksum detects a
+    // key-remapped copy, not just cardinality).
+    val ordStress1 = Tables.orders(spark, sfDir).localCheckpoint()
+    val ordStress10 = tenxShift(ordStress1, "o_orderkey", 100000000L).localCheckpoint()
+    val nOrd1 = ordStress1.count(); val nOrd10 = ordStress10.count()
+    def mergeAudit(snap: org.apache.spark.sql.DataFrame) =
+      operators.MaintenanceQueries.mergedOrdersOf(snap)
+        .agg(count(lit(1)).as("n"), sum("ins").as("ins"), sum("upd").as("upd"))
+        .head()
+    val (mg1, _) = time("merge upsert 1x", { mergeAudit(ordStress1); nOrd1 })
+    var mg10Row: org.apache.spark.sql.Row = null
+    val (mg10, _) = time("merge upsert 10x", { mg10Row = mergeAudit(ordStress10); nOrd10 })
+    val dels10 = ordStress10.filter(col("o_orderkey") % 10 === 1).count()
+    val ins10 = ordStress10.filter(col("o_orderkey") % 10 === 2).count()
+    require(mg10Row.getLong(0) == nOrd10 - dels10 + ins10,
+      s"10x merge row accounting broke: ${mg10Row.getLong(0)} vs ${nOrd10 - dels10 + ins10}")
+    val liStress1 = Tables.lineitem(spark, sfDir).localCheckpoint()
+    val liStress10 = tenxShift(liStress1, "l_orderkey", 100000000L).localCheckpoint()
+    def ckMap(li: org.apache.spark.sql.DataFrame) =
+      operators.MaintenanceQueries.segmentChecksumOf(li)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    var ck1: Map[String, (Long, Long)] = null
+    var ck10: Map[String, (Long, Long)] = null
+    val (ck1Sec, _) = time("segment checksum 1x", { ck1 = ckMap(liStress1); ck1.size.toLong })
+    val (ck10Sec, _) = time("segment checksum 10x", { ck10 = ckMap(liStress10); ck10.size.toLong })
+    require(ck1.keySet == ck10.keySet, "10x checksum changed the segment set")
+    ck1.foreach { case (flag, (n1, sum1)) =>
+      require(ck10(flag)._1 == 10 * n1,
+        s"segment $flag rows ${ck10(flag)._1} != 10x of $n1")
+      require(ck10(flag)._2 != sum1,
+        s"segment $flag content sum failed to move under shifted keys")
+    }
+    println(f"[stress] maintenance 10x: orders=$nOrd10%,d merge $mg1%.2f->$mg10%.2f s; lineitem checksum $ck1Sec%.2f->$ck10Sec%.2f s")
+
     // Broadcast-threshold sensitivity (SF1k preview): with the auto
     // threshold off, the orders/customer joins fall back to sort-merge —
     // the plan shape once those dims outgrow executor memory. The nation
@@ -434,7 +474,7 @@ object Stress {
     smj.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val (b2, _) = time("q3_join sort-merge only", SparkEntry.queries("q3_join")(smj, sfDir).count())
 
-    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"embed_ivf_10x":{"vecs":$embDocs,"nlist16_sec":$iv,"nlist16_pairs":$niv,"nlist128_sec":$iv2,"nlist128_pairs":$niv2},"codebook_hot_vector":{"vecs":$nAdv,"clones":$hotClones,"fit_sec":$fitSec,"nonempty_cells":$nonEmptyCells,"max_cell_share":$maxCellShare,"neardup_sec":$advSec,"neardup_pairs":$nAdvPairs,"planted_pairs":$plantedPairs},"bloom_10x":{"orders":$nOrd,"smj_sec":$sj,"smj_rows":$nsj,"probe_sec":$bp,"probe_rows":$nbp,"verify_sec":$bv,"verify_rows":$nbv},"ingest_many_files":{"files":$ingestN,"hidden_frac":0.333,"sec":$ingestSec,"words":${ingested.size},"fold_match":true},"skew_join_hot":{"hot_rows":$hotRows,"buckets_hit":${buckets.size},"max_bucket_rows":$maxBucket,"salted_sec":$saltSec,"plain_sec":$plainSec,"match":true},"span_hot_gram":{"docs":$tenxDocs,"plain_sec":$spSec,"plain_rows":$spRows,"hot_sec":$shSec,"hot_rows":$shRows,"min_shared_windows":$minShared},"incremental_ingest":{"batch_rows":$nBatch,"corpus_docs":$tenxDocs,"new_docs":$incNew,"expected_new":$expectedNew,"sec":$incSec,"match":true},"stream_state":[${ssRes.map(ssJson).mkString(",")}],"pixel_decode":{"bmp_1x":{"imgs":$npd1,"sec":$pd1},"bmp_10x":{"imgs":$npd10,"sec":$pd10},"png_1x":{"imgs":$npg1,"sec":$pg1},"png_10x":{"imgs":$npg10,"sec":$pg10,"staged_bytes":$pngBytes10}},"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2}}""")
+    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"embed_ivf_10x":{"vecs":$embDocs,"nlist16_sec":$iv,"nlist16_pairs":$niv,"nlist128_sec":$iv2,"nlist128_pairs":$niv2},"codebook_hot_vector":{"vecs":$nAdv,"clones":$hotClones,"fit_sec":$fitSec,"nonempty_cells":$nonEmptyCells,"max_cell_share":$maxCellShare,"neardup_sec":$advSec,"neardup_pairs":$nAdvPairs,"planted_pairs":$plantedPairs},"bloom_10x":{"orders":$nOrd,"smj_sec":$sj,"smj_rows":$nsj,"probe_sec":$bp,"probe_rows":$nbp,"verify_sec":$bv,"verify_rows":$nbv},"ingest_many_files":{"files":$ingestN,"hidden_frac":0.333,"sec":$ingestSec,"words":${ingested.size},"fold_match":true},"skew_join_hot":{"hot_rows":$hotRows,"buckets_hit":${buckets.size},"max_bucket_rows":$maxBucket,"salted_sec":$saltSec,"plain_sec":$plainSec,"match":true},"span_hot_gram":{"docs":$tenxDocs,"plain_sec":$spSec,"plain_rows":$spRows,"hot_sec":$shSec,"hot_rows":$shRows,"min_shared_windows":$minShared},"incremental_ingest":{"batch_rows":$nBatch,"corpus_docs":$tenxDocs,"new_docs":$incNew,"expected_new":$expectedNew,"sec":$incSec,"match":true},"stream_state":[${ssRes.map(ssJson).mkString(",")}],"pixel_decode":{"bmp_1x":{"imgs":$npd1,"sec":$pd1},"bmp_10x":{"imgs":$npd10,"sec":$pd10},"png_1x":{"imgs":$npg1,"sec":$pg1},"png_10x":{"imgs":$npg10,"sec":$pg10,"staged_bytes":$pngBytes10}},"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2},"maintenance_10x":{"orders_10x":$nOrd10,"merge_1x_sec":$mg1,"merge_10x_sec":$mg10,"checksum_1x_sec":$ck1Sec,"checksum_10x_sec":$ck10Sec,"accounting_match":true,"sums_move_under_key_shift":true}}""")
     spark.stop()
   }
 }

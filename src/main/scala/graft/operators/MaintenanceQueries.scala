@@ -33,10 +33,10 @@ import org.apache.spark.sql.functions._
   */
 object MaintenanceQueries extends QueryPack {
 
-  /** Deterministic change batch over orders: key%10==0 → update (price
-    * +500.0), ==1 → delete, ==2 → insert under a fresh key range. */
-  private def changeBatch(s: SparkSession, d: String): DataFrame = {
-    val o = Tables.orders(s, d)
+  /** Deterministic change batch over ANY orders-shaped snapshot:
+    * key%10==0 → update (price +500.0), ==1 → delete, ==2 → insert under
+    * a fresh key range. */
+  private[graft] def changeBatchOf(o: DataFrame): DataFrame = {
     val upd = o.filter(col("o_orderkey") % 10 === 0)
       .select(col("o_orderkey").as("k"), lit("U").as("op"),
         (col("o_totalprice") + lit(500.0)).as("price"),
@@ -53,9 +53,8 @@ object MaintenanceQueries extends QueryPack {
 
   /** MERGE the change batch into the snapshot: one full-outer join on the
     * key resolves keep / update / delete / insert per row. */
-  private def mergedOrders(s: SparkSession, d: String): DataFrame = {
-    val o = Tables.orders(s, d)
-    val ch = changeBatch(s, d)
+  private[graft] def mergedOrdersOf(o: DataFrame): DataFrame = {
+    val ch = changeBatchOf(o)
     o.join(ch, col("o_orderkey") === col("k"), "full_outer")
       .filter(col("op").isNull || col("op") =!= "D")
       .select(
@@ -98,7 +97,7 @@ object MaintenanceQueries extends QueryPack {
     // Sums are over exact cents (floor(price*100+0.5) — the Portable
     // rounding contract), so the gate pins every CASE branch of the merge.
     "q_merge_upsert" -> ((s, d) =>
-      mergedOrders(s, d)
+      mergedOrdersOf(Tables.orders(s, d))
         .groupBy(col("pri").as("o_orderpriority"))
         .agg(count(lit(1)).as("n_rows"),
           sum(floor(col("price") * 100 + 0.5).cast("long")).as("total_cents"),
@@ -116,7 +115,7 @@ object MaintenanceQueries extends QueryPack {
       val before = Tables.orders(s, d)
         .select(col("o_orderkey").as("bk"),
           floor(col("o_totalprice") * 100 + 0.5).cast("long").as("bcents"))
-      val after = mergedOrders(s, d)
+      val after = mergedOrdersOf(Tables.orders(s, d))
         .select(col("key").as("ak"),
           floor(col("price") * 100 + 0.5).cast("long").as("acents"))
       before.join(after, col("bk") === col("ak"), "full_outer")
@@ -161,18 +160,22 @@ object MaintenanceQueries extends QueryPack {
     // = two map-only scans + a 3-row exchange; any dropped, duplicated,
     // or bit-flipped row moves the sum.
     "q_table_checksum" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .select(col("l_returnflag"),
-          PortableHash.h60p(concat_ws("|",
-            col("l_orderkey").cast("string"),
-            col("l_linenumber").cast("string"),
-            floor(col("l_quantity")).cast("long").cast("string"),
-            floor(col("l_extendedprice") * 100 + 0.5).cast("long").cast("string")))
-            .as("h"))
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n_rows"), sum("h").as("content_sum"))
-        .orderBy("l_returnflag"))
+      segmentChecksumOf(Tables.lineitem(s, d)))
   )
+
+  /** The q_table_checksum body over ANY lineitem-shaped frame (Stress
+    * reuses it on a 10× clone). */
+  private[graft] def segmentChecksumOf(li: DataFrame): DataFrame =
+    li.select(col("l_returnflag"),
+        PortableHash.h60p(concat_ws("|",
+          col("l_orderkey").cast("string"),
+          col("l_linenumber").cast("string"),
+          floor(col("l_quantity")).cast("long").cast("string"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").cast("string")))
+          .as("h"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), sum("h").as("content_sum"))
+      .orderBy("l_returnflag")
 
   private val h60pKey = PortableHash.h60pSql("CAST(key AS VARCHAR)")
   private val h60pRow = PortableHash.h60pSql(
