@@ -154,6 +154,41 @@ object MaintenanceQueries extends QueryPack {
         .orderBy("event_type")
     }),
 
+    // Incremental materialized-view refresh — maintain a per-priority
+    // aggregate under the change batch WITHOUT recomputing the table:
+    // new_state = old_state ⊕ delta, where the delta aggregates only the
+    // changed rows (updates contribute new−old cents, deletes −1/−cents,
+    // inserts +1/+cents). All-integer (cent) arithmetic, so incremental
+    // maintenance is EXACTLY equal to recomputation — and the oracle
+    // proves it: DuckDB full-recomputes over the merged table while
+    // Spark only ever aggregates the snapshot state plus the delta. In
+    // production the old state is the STORED view (groups-sized rows),
+    // so a refresh costs O(|delta|) + a groups-sized join — never a
+    // table scan; the snapshot aggregate here stands in for that stored
+    // state because the gate owns no persistent MV.
+    "q_mv_refresh" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val newCents = floor((col("o_totalprice") + lit(500.0)) * 100 + 0.5).cast("long")
+      val oldState = o.groupBy(col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("cents"))
+      val delta = o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderpriority").as("pri"),
+          lit(0L).as("dn"), (newCents - cents).as("dc"))
+        .unionAll(o.filter(col("o_orderkey") % 10 === 1)
+          .select(col("o_orderpriority").as("pri"),
+            lit(-1L).as("dn"), (-cents).as("dc")))
+        .unionAll(o.filter(col("o_orderkey") % 10 === 2)
+          .select(col("o_orderpriority").as("pri"),
+            lit(1L).as("dn"), cents.as("dc")))
+        .groupBy("pri").agg(sum("dn").as("dn"), sum("dc").as("dc"))
+      oldState.join(delta, Seq("pri"), "full_outer")
+        .select(col("pri").as("o_orderpriority"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_rows"),
+          (coalesce(col("cents"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("total_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Order-independent content checksum of lineitem per l_returnflag
     // segment: each row contributes h60p of a canonical integer-string
     // repr (key cols + exact integer measures). Validating a 100 TB copy
@@ -209,6 +244,14 @@ object MaintenanceQueries extends QueryPack {
           SELECT change_class, CAST(COUNT(*) AS BIGINT) AS n_keys,
                  CAST(SUM($h60pKey) AS BIGINT) AS key_hash_sum
           FROM cls GROUP BY 1 ORDER BY change_class""",
+    // Full recomputation over the merged table — equality with Spark's
+    // incremental old⊕delta path IS the gate.
+    "q_mv_refresh" ->
+      s"""WITH $mergedSqlCte
+          SELECT pri AS o_orderpriority,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(CAST(FLOOR(price * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+          FROM merged GROUP BY 1 ORDER BY o_orderpriority""",
     "q_scd2_intervals" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
                            LAG(event_type) OVER

@@ -69,6 +69,15 @@ class MaintenanceSpec extends SparkSpec {
       assert(after(f) == base(f), s"untouched segment $f must not move"))
   }
 
+  test("q_mv_refresh: incremental old⊕delta equals the merge's full recompute") {
+    val inc = MaintenanceQueries.queries("q_mv_refresh")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val full = MaintenanceQueries.queries("q_merge_upsert")(spark, dir)
+      .select("o_orderpriority", "n_rows", "total_cents")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(inc == full, "incremental view maintenance diverged from recomputation")
+  }
+
   test("q_scd2_intervals: interval starts = type-change points; opens = distinct users") {
     val res = MaintenanceQueries.queries("q_scd2_intervals")(spark, dir)
       .agg(sum("n_intervals"), sum("n_open")).collect()(0)
