@@ -35,20 +35,21 @@ object MaintenanceQueries extends QueryPack {
 
   /** Deterministic change batch over ANY orders-shaped snapshot:
     * key%10==0 → update (price +500.0), ==1 → delete, ==2 → insert under
-    * a fresh key range. */
+    * a fresh key range. ONE filtered pass with per-op CASEs — not a
+    * 3-branch union, which would scan the snapshot three times (the
+    * oracle's UNION ALL form is row-for-row identical). */
   private[graft] def changeBatchOf(o: DataFrame): DataFrame = {
-    val upd = o.filter(col("o_orderkey") % 10 === 0)
-      .select(col("o_orderkey").as("k"), lit("U").as("op"),
-        (col("o_totalprice") + lit(500.0)).as("price"),
-        lit(null).cast("string").as("priority"))
-    val del = o.filter(col("o_orderkey") % 10 === 1)
-      .select(col("o_orderkey").as("k"), lit("D").as("op"),
-        lit(null).cast("double").as("price"),
-        lit(null).cast("string").as("priority"))
-    val ins = o.filter(col("o_orderkey") % 10 === 2)
-      .select((col("o_orderkey") + 10000000L).as("k"), lit("I").as("op"),
-        col("o_totalprice").as("price"), col("o_orderpriority").as("priority"))
-    upd.unionAll(del).unionAll(ins)
+    val m = col("o_orderkey") % 10
+    o.filter(m.isin(0, 1, 2))
+      .select(
+        when(m === 2, col("o_orderkey") + 10000000L)
+          .otherwise(col("o_orderkey")).as("k"),
+        when(m === 0, "U").when(m === 1, "D").otherwise("I").as("op"),
+        when(m === 0, col("o_totalprice") + lit(500.0))
+          .when(m === 2, col("o_totalprice"))
+          .otherwise(lit(null).cast("double")).as("price"),
+        when(m === 2, col("o_orderpriority"))
+          .otherwise(lit(null).cast("string")).as("priority"))
   }
 
   /** MERGE the change batch into the snapshot: one full-outer join on the
@@ -172,15 +173,14 @@ object MaintenanceQueries extends QueryPack {
       val newCents = floor((col("o_totalprice") + lit(500.0)) * 100 + 0.5).cast("long")
       val oldState = o.groupBy(col("o_orderpriority").as("pri"))
         .agg(count(lit(1)).as("n"), sum(cents).as("cents"))
-      val delta = o.filter(col("o_orderkey") % 10 === 0)
+      // One filtered pass over the change rows; per-op CASEs give each
+      // row its (dn, dc) contribution directly.
+      val m = col("o_orderkey") % 10
+      val delta = o.filter(m.isin(0, 1, 2))
         .select(col("o_orderpriority").as("pri"),
-          lit(0L).as("dn"), (newCents - cents).as("dc"))
-        .unionAll(o.filter(col("o_orderkey") % 10 === 1)
-          .select(col("o_orderpriority").as("pri"),
-            lit(-1L).as("dn"), (-cents).as("dc")))
-        .unionAll(o.filter(col("o_orderkey") % 10 === 2)
-          .select(col("o_orderpriority").as("pri"),
-            lit(1L).as("dn"), cents.as("dc")))
+          when(m === 0, 0L).when(m === 1, -1L).otherwise(1L).as("dn"),
+          when(m === 0, newCents - cents)
+            .when(m === 1, -cents).otherwise(cents).as("dc"))
         .groupBy("pri").agg(sum("dn").as("dn"), sum("dc").as("dc"))
       oldState.join(delta, Seq("pri"), "full_outer")
         .select(col("pri").as("o_orderpriority"),
