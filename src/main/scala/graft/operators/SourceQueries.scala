@@ -29,6 +29,7 @@ object SourceQueries extends QueryPack {
   private def jsonlBadStage(d: String) = Stage.dir(d, "jsonl_bad")
   private def pqZstdStage(d: String) = Stage.dir(d, "parquet_zstd")
   private def pqHiveStage(d: String) = Stage.dir(d, "parquet_hive")
+  private def pqEvoStage(d: String) = Stage.dir(d, "parquet_evo")
 
   val queries: Map[String, Q] = Map(
     // CSV sink → CSV source (header + schema inference) → aggregate.
@@ -145,6 +146,34 @@ object SourceQueries extends QueryPack {
         .orderBy("lang", "source")
     }),
 
+    // Schema-evolution read — the lake reality that columns get ADDED
+    // over a table's life: old shards (even doc_ids) lack n_chars, new
+    // shards (odd doc_ids) carry it. mergeSchema unifies the footers at
+    // read time and null-fills the old shards; the audit counts exactly
+    // which rows came up short so a widening migration is measurable,
+    // not silent. The oracle reads the same two shard directories with
+    // DuckDB's independent union_by_name resolution. SCALE caveat
+    // documented here once: mergeSchema reads EVERY file's footer up
+    // front — at 100 TB pin the merged schema in a metastore/manifest
+    // and pass it explicitly; this query is the read-path contract test.
+    "parquet_evolution_roundtrip" -> ((s, d) => {
+      val stage = pqEvoStage(d)
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "lang")
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/v1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "lang", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/v2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$stage/v1", s"$stage/v2")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("n_chars"), lit(0L))).as("chars"),
+          sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("n_old_schema"))
+        .orderBy("lang")
+    }),
+
     // Corrupt-tolerant JSONL ingest — the robustness contract a real
     // corpus feed needs: every 7th staged line is deterministically
     // broken (three malformation shapes: unclosed object, non-JSON text,
@@ -227,6 +256,14 @@ object SourceQueries extends QueryPack {
          FROM read_parquet('${pqHiveStage(dataDir)}/*/*.parquet', hive_partitioning = true)
          WHERE lang <> 'en'
          GROUP BY lang, source ORDER BY lang, source""",
+    "parquet_evolution_roundtrip" ->
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS chars,
+                CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_old_schema
+         FROM read_parquet(['${pqEvoStage(dataDir)}/v1/*.parquet',
+                            '${pqEvoStage(dataDir)}/v2/*.parquet'],
+                           union_by_name = true)
+         GROUP BY lang ORDER BY lang""",
     "jsonl_corrupt_audit" ->
       s"""WITH lines AS (SELECT unnest(string_split(content, chr(10))) AS line
                          FROM read_text('${jsonlBadStage(dataDir)}/*.txt')),
