@@ -677,6 +677,34 @@ object DedupQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Quality-argmax canonicalization — production dedup keeps the BEST
+    // cluster member, not the lowest id: per near-dup cluster, the keeper
+    // is argmax(quality, doc_id), scored with the exact text_quality
+    // arithmetic (one shared definition, TextAnalysis.qualityExpr). The
+    // argmax is max(struct(quality, doc_id)) — map-side partial, one
+    // candidate row per cluster per partition, vs the oracle's
+    // shuffle-everything window formulation. Scores are round4-ed BEFORE
+    // ranking so the rank key is cross-engine-stable (text_tfidf rule).
+    "dedup_canonical_best" -> ((s, d) => {
+      val labels = componentLabels(s, d)
+      val q = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_toks", size(col("toks")).cast("double"))
+        .withColumn("n_dist", size(array_distinct(col("toks"))).cast("double"))
+        .withColumn("sw",
+          expr(s"size(filter(toks, t -> t IN (${TextAnalysis.enStopSql})))").cast("double"))
+        .withColumn("quality",
+          TextAnalysis.qualityExpr(col("n_toks"), col("n_dist"), col("sw")))
+        .select(col("doc_id"), col("quality"))
+      labels.join(q, labels("id") === q("doc_id"))
+        .groupBy(col("lbl").as("cluster_id"))
+        .agg(max(struct(col("quality"), col("doc_id"))).as("m"),
+          count(lit(1)).as("n_members"))
+        .select(col("cluster_id"), col("m.doc_id").as("keep_id"),
+          col("m.quality").as("keep_quality"), col("n_members"))
+        .orderBy("cluster_id")
+    }),
+
     // Brute n-gram Jaccard (baseline for minhash): one shingle equi-join
     // computes intersection sizes directly (groupBy pair + count), so the
     // shingle join happens once — not candidates-then-reverify.
@@ -1005,6 +1033,34 @@ object DedupQueries extends QueryPack {
           WHERE NOT EXISTS (SELECT 1 FROM comp c
                             WHERE c.cdoc = d.doc_id AND c.cdoc <> c.cluster_id)
           ORDER BY d.doc_id""",
+    // Same recursive-CTE components as dedup_canonical, keeper chosen by
+    // the window formulation (quality DESC, doc_id DESC ≡ the struct max).
+    "dedup_canonical_best" ->
+      s"""WITH RECURSIVE $shinglesSqlCte,
+            pairs AS (SELECT da, db FROM jac WHERE jac >= 0.7),
+            cedges AS (SELECT da AS a, db AS b FROM pairs
+                       UNION SELECT db, da FROM pairs
+                       UNION SELECT da, da FROM pairs
+                       UNION SELECT db, db FROM pairs),
+            reach(a, b) AS (SELECT a, b FROM cedges
+                            UNION SELECT r.a, e.b FROM reach r JOIN cedges e ON r.b = e.a),
+            comp AS (SELECT a AS cdoc, MIN(b) AS cluster_id FROM reach GROUP BY a),
+            t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            m AS (SELECT doc_id,
+                    CAST(len(toks) AS DOUBLE) AS n_toks,
+                    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_dist,
+                    CAST(len(list_filter(toks, t -> t IN (${TextAnalysis.enStopSql}))) AS DOUBLE) AS sw
+                  FROM t),
+            ql AS (SELECT doc_id, ${TextAnalysis.qualitySql} AS quality FROM m),
+            mem AS (SELECT c.cluster_id, c.cdoc AS doc_id, ql.quality
+                    FROM comp c JOIN ql ON ql.doc_id = c.cdoc),
+            rk AS (SELECT cluster_id, doc_id, quality,
+                          ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY quality DESC, doc_id DESC) AS r,
+                          CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+                   FROM mem)
+          SELECT cluster_id, doc_id AS keep_id, quality AS keep_quality, n_members
+          FROM rk WHERE r = 1 ORDER BY cluster_id""",
     // Oracle = brute force; the Spark side's LSH recall at observed pair
     // similarity (≥0.9) differs from 1 by < 1e-40.
     "dedup_minhash" ->

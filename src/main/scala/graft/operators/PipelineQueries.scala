@@ -167,6 +167,28 @@ object PipelineQueries extends QueryPack {
           round2(max("o_totalprice")).as("hi"))
         .orderBy("bucket")),
 
+    // Shard manifest — the validation artifact a distributed write emits:
+    // docs route to 16 shards by the deterministic md5 hash (the same
+    // family as the samplers, so shard assignment is repartition-stable
+    // and auditable), and each shard's manifest row carries count, byte
+    // sum, an order-independent content checksum (h60p over doc_id +
+    // content hash — q_table_checksum's discipline) and the key range.
+    // Re-validating a 100 TB write = one map-only scan + a 16-row
+    // exchange; a lost, duplicated, or cross-shard-misrouted doc moves
+    // its shard's sum.
+    "q_shard_manifest" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("shard",
+          (graft.functions.PortableHash.h60(col("doc_id").cast("string")) % 16).cast("int"))
+        .withColumn("h", graft.functions.PortableHash.h60p(
+          concat_ws("|", col("doc_id").cast("string"), md5(col("text")))))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("bytes"),
+          sum("h").as("content_sum"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("shard")),
+
     // Z-order (Morton) clustering audit — the multi-dimensional data
     // layout that makes parquet min/max row-group pruning work on EITHER
     // predicate dimension. Interleave the low 8 bits of two key dims into
@@ -269,6 +291,16 @@ object PipelineQueries extends QueryPack {
                 CASE WHEN hh < 80 THEN 'train' WHEN hh < 90 THEN 'val' ELSE 'test' END AS split,
                 CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS first_doc
          FROM h GROUP BY 1, 2 ORDER BY lang, split""",
+    "q_shard_manifest" ->
+      s"""WITH t AS (SELECT doc_id, n_chars,
+                 CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 16 AS INT) AS shard,
+                 ${graft.functions.PortableHash.h60pSql("(CAST(doc_id AS VARCHAR) || '|' || md5(text))")} AS h
+               FROM documents)
+         SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS bytes,
+                CAST(SUM(h) AS BIGINT) AS content_sum,
+                MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+         FROM t GROUP BY 1 ORDER BY shard""",
     "q_histogram" ->
       """SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 11) AS INT) AS bucket,
                 CAST(COUNT(*) AS BIGINT) AS n,

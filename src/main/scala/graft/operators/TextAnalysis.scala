@@ -26,6 +26,25 @@ object TextAnalysis extends QueryPack {
 
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
 
+  /** The text_quality score over (n_toks, n_dist, sw) DOUBLE columns —
+    * ONE definition shared by text_quality, the cleaning funnel and
+    * dedup_canonical_best so the three can't drift. */
+  private[operators] def qualityExpr(nToks: org.apache.spark.sql.Column,
+      nDist: org.apache.spark.sql.Column,
+      sw: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round4(
+      least(nToks / 100.0, lit(1.0)) * 0.4 +
+      (nDist / nToks) * 0.3 +
+      least(sw / nToks * 5.0, lit(1.0)) * 0.3)
+
+  /** English stopword IN-list fragment for oracle SQL reuse. */
+  private[operators] def enStopSql: String = inList(stop("en"))
+
+  /** DuckDB twin of [[qualityExpr]] over columns n_toks/n_dist/sw. */
+  private[operators] val qualitySql: String =
+    "FLOOR((LEAST(n_toks / 100.0, 1.0) * 0.4 + (n_dist / n_toks) * 0.3 + " +
+      "LEAST(sw / n_toks * 5.0, 1.0) * 0.3) * 10000 + 0.5) / 10000"
+
   /** The composed cleaning funnel over ANY (doc_id, source, text) frame —
     * extracted from the `pipeline_clean_corpus` closure so the spec can
     * drive it over a crafted corpus with KNOWN exact duplicates and
@@ -48,10 +67,8 @@ object TextAnalysis extends QueryPack {
       .withColumn("n_dist", size(array_distinct(col("toks"))).cast("double"))
       .withColumn("sw",
         expr(s"size(filter(toks, t -> t IN ($en)))").cast("double"))
-      .withColumn("quality", round4(
-        least(col("n_toks").cast("double") / 100.0, lit(1.0)) * 0.4 +
-        (col("n_dist") / col("n_toks")) * 0.3 +
-        least(col("sw") / col("n_toks") * 5.0, lit(1.0)) * 0.3))
+      .withColumn("quality",
+        qualityExpr(col("n_toks").cast("double"), col("n_dist"), col("sw")))
       .withColumn("pass_q", col("pass_rep") && col("quality") >= 0.3)
       .withColumn("s_de", expr(s"size(filter(toks, t -> t IN ($de)))"))
       .withColumn("s_en", expr(s"size(filter(toks, t -> t IN ($en)))"))
@@ -118,11 +135,7 @@ object TextAnalysis extends QueryPack {
         .withColumn("n_dist", size(array_distinct(col("toks"))).cast("double"))
         .withColumn("sw",
           expr(s"size(filter(toks, t -> t IN (${inList(stop("en"))})))").cast("double"))
-        .withColumn("quality",
-          round4(
-            least(col("n_toks") / 100.0, lit(1.0)) * 0.4 +
-            (col("n_dist") / col("n_toks")) * 0.3 +
-            least(col("sw") / col("n_toks") * 5.0, lit(1.0)) * 0.3))
+        .withColumn("quality", qualityExpr(col("n_toks"), col("n_dist"), col("sw")))
         .select(col("doc_id"), col("quality"))
         .orderBy("doc_id")
     }),
@@ -424,10 +437,7 @@ object TextAnalysis extends QueryPack {
                     CAST(len(list_distinct(toks)) AS DOUBLE) AS n_dist,
                     CAST(len(list_filter(toks, t -> t IN (${inList(stop("en"))}))) AS DOUBLE) AS sw
                   FROM t)
-          SELECT doc_id,
-                 FLOOR((LEAST(n_toks / 100.0, 1.0) * 0.4 +
-                        (n_dist / n_toks) * 0.3 +
-                        LEAST(sw / n_toks * 5.0, 1.0) * 0.3) * 10000 + 0.5) / 10000 AS quality
+          SELECT doc_id, $qualitySql AS quality
           FROM m ORDER BY doc_id""",
     "text_token_count" ->
       """SELECT doc_id,

@@ -25,7 +25,7 @@ class QueriesSmokeSpec extends SparkSpec {
       // everything else must produce output.
       val mayBeEmpty = Set("dedup_minhash", "dedup_ngram_jaccard",
         "dedup_simhash", "dedup_embed", "q_anti_join", "q_multi_exists",
-        "dedup_components", "dedup_fuzzy_edit")
+        "dedup_components", "dedup_fuzzy_edit", "dedup_canonical_best")
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
     }
   }

@@ -126,6 +126,27 @@ class IngestOpsSpec extends SparkSpec {
     assert(row.getAs[Long]("clean_tokens") == good.split(" ").length.toLong)
   }
 
+  test("dedup_canonical_best keeps the highest-quality cluster member, not the lowest id") {
+    // d1 (lowest id) is a repetitive low-quality doc; d2 is a near-dup
+    // (appended tail, shingle jac ≈ 0.9) with more distinct tokens and
+    // stopwords — strictly higher quality. Min-id canonicalization keeps
+    // d1; quality-argmax must keep d2. d9 is unrelated (no cluster).
+    val base = (1 to 20).map(i => s"tok$i tok$i").mkString(" ") // 40 toks, 20 distinct
+    val better = base + " the of and alpha beta gamma"
+    val dir = stageDocs(Seq((1L, base), (2L, better), (9L, "totally different text here")))
+    val res = DedupQueries.queries("dedup_canonical_best")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(res.length == 1, s"expected one cluster, got ${res.toSeq}")
+    val (clusterId, keepId, keepQ, nMembers) = res.head
+    assert(clusterId == 1L && nMembers == 2L)
+    assert(keepId == 2L, "keeper must be the higher-quality member, not the min id")
+    // Cross-check against the standalone quality scores.
+    val q = TextAnalysis.queries("text_quality")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q(2L) > q(1L), s"fixture broken: d2 quality ${q(2L)} !> d1 ${q(1L)}")
+    assert(keepQ == q(2L))
+  }
+
   test("parquet_zstd_roundtrip really writes ZSTD column chunks") {
     val d = sf("sf0.001")
     SourceQueries.queries("parquet_zstd_roundtrip")(spark, d).collect()
