@@ -167,6 +167,35 @@ object PipelineQueries extends QueryPack {
           round2(max("o_totalprice")).as("hi"))
         .orderBy("bucket")),
 
+    // Distribution-drift monitor — per ingest source, the L1 distance of
+    // its language mix from the corpus-wide mix, in EXACT integer
+    // arithmetic: |p_s(l) − p(l)| = |c_sl·N − c_l·N_s| / (N_s·N), so the
+    // summed numerator is a BIGINT (no float summation order to disagree
+    // on) and the final ppm is one integer division. Missing languages
+    // contribute their full corpus share (the grid is a broadcast
+    // langs×sources cross join over two tiny distinct frames — a plain
+    // groupBy would silently skip them). The shape at 100 TB: two
+    // partial-aggregated count passes + a grid-sized join.
+    "dq_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cl = docs.groupBy("lang").agg(count(lit(1)).as("c_l"))
+      val cs = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val csl = docs.groupBy("source", "lang").agg(count(lit(1)).as("c_sl"))
+      val n = broadcast(docs.agg(count(lit(1)).as("n")))
+      broadcast(cs).crossJoin(broadcast(cl))
+        .join(csl, Seq("source", "lang"), "left_outer")
+        .crossJoin(n)
+        .withColumn("term",
+          abs(coalesce(col("c_sl"), lit(0L)) * col("n") - col("c_l") * col("n_s")))
+        .groupBy("source")
+        .agg(min("n_s").as("n_docs"), min("n").as("n_corpus"),
+          sum("term").as("drift_num"))
+        .withColumn("drift_ppm",
+          expr("CAST((drift_num * 1000000) DIV (n_docs * n_corpus) AS BIGINT)"))
+        .select("source", "n_docs", "drift_num", "drift_ppm")
+        .orderBy("source")
+    }),
+
     // Shard manifest — the validation artifact a distributed write emits:
     // docs route to 16 shards by the deterministic md5 hash (the same
     // family as the samplers, so shard assignment is repartition-stable
@@ -291,6 +320,22 @@ object PipelineQueries extends QueryPack {
                 CASE WHEN hh < 80 THEN 'train' WHEN hh < 90 THEN 'val' ELSE 'test' END AS split,
                 CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS first_doc
          FROM h GROUP BY 1, 2 ORDER BY lang, split""",
+    "dq_drift" ->
+      """WITH cl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c_l FROM documents GROUP BY 1),
+            cs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM documents GROUP BY 1),
+            csl AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c_sl
+                    FROM documents GROUP BY 1, 2),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+            grid AS (SELECT s.source, l.lang, s.n_s, l.c_l FROM cs s CROSS JOIN cl l),
+            j AS (SELECT g.source, g.n_s, nn.n,
+                         ABS(COALESCE(c.c_sl, 0) * nn.n - g.c_l * g.n_s) AS term
+                  FROM grid g
+                  LEFT JOIN csl c ON c.source = g.source AND c.lang = g.lang
+                  CROSS JOIN nn)
+         SELECT source, MIN(n_s) AS n_docs,
+                CAST(SUM(term) AS BIGINT) AS drift_num,
+                CAST((SUM(term) * 1000000) // (MIN(n_s) * MIN(n)) AS BIGINT) AS drift_ppm
+         FROM j GROUP BY 1 ORDER BY source""",
     "q_shard_manifest" ->
       s"""WITH t AS (SELECT doc_id, n_chars,
                  CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 16 AS INT) AS shard,

@@ -147,6 +147,28 @@ class IngestOpsSpec extends SparkSpec {
     assert(keepQ == q(2L))
   }
 
+  test("dq_drift matches a hand-computed L1 numerator on a crafted mix") {
+    import spark.implicits._
+    // Corpus: srcA/srcB each 2 en + 2 de; srcC 4 fr. N=12, each lang 4.
+    // srcA term sum = |2·12−4·4| + |2·12−4·4| + |0−4·4| = 8+8+16 = 32
+    //   → ppm = 32e6 / (4·12) = 666666
+    // srcC = |0−16| + |0−16| + |4·12−16| = 16+16+32 = 64 → ppm 1333333
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift_spec_")
+      .toFile.getAbsolutePath
+    val rows = Seq(
+      (1L, "en", "srcA"), (2L, "en", "srcA"), (3L, "de", "srcA"), (4L, "de", "srcA"),
+      (5L, "en", "srcB"), (6L, "en", "srcB"), (7L, "de", "srcB"), (8L, "de", "srcB"),
+      (9L, "fr", "srcC"), (10L, "fr", "srcC"), (11L, "fr", "srcC"), (12L, "fr", "srcC"))
+    rows.toDF("doc_id", "lang", "source")
+      .withColumn("text", lit("x")).withColumn("n_chars", lit(1L))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = PipelineQueries.queries("dq_drift")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got("srcA") == ((32L, 666666L)), s"srcA: ${got("srcA")}")
+    assert(got("srcB") == ((32L, 666666L)))
+    assert(got("srcC") == ((64L, 1333333L)), "the single-language source must drift most")
+  }
+
   test("parquet_zstd_roundtrip really writes ZSTD column chunks") {
     val d = sf("sf0.001")
     SourceQueries.queries("parquet_zstd_roundtrip")(spark, d).collect()
