@@ -558,6 +558,50 @@ object DedupQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // PageRank over the near-dup pair graph — centrality of each doc in
+    // its duplication neighborhood (a high-rank doc is the "template"
+    // many variants derive from; rank-weighted canonicalization is the
+    // production follow-on to dedup_canonical_best). Three power
+    // iterations with damping 0.85 in FIXED-POINT integer arithmetic:
+    // ranks live in 10⁻¹²-units, each step is
+    //   r' = (15·base) DIV 100 + (85·Σ_in (r_u DIV deg_u)) DIV 100,
+    // base = 10¹² DIV n — every operation a BIGINT floor-div or an
+    // order-independent BIGINT sum, so both engines produce bit-equal
+    // ranks with no float summation order to disagree on. Scale shape:
+    // per iteration one join of the (sparse, LSH-bounded) edge list
+    // against the rank frame + one partial-aggregated sum on the
+    // destination key — the standard distributed PageRank step; the
+    // symmetric pair graph has no dangling nodes (every node has
+    // deg ≥ 1 and ≥ 1 in-edge), so no dangling-mass term is needed.
+    "graph_pagerank" -> ((s, d) => {
+      val pairs = minhashPairs(s, d).select("da", "db")
+      // Pairs carry da < db exactly once, so the symmetric union is
+      // duplicate-free by construction.
+      val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+        .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+      val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      // The CASE guards ANSI divide-by-zero on an empty pair graph (the
+      // count row exists even when deg is empty; the result is empty
+      // either way, but the agg row must still evaluate).
+      val nb = broadcast(deg.agg(count(lit(1)).as("n_nodes"))
+        .withColumn("base", expr(
+          "CAST(CASE WHEN n_nodes = 0 THEN 0 ELSE 1000000000000 DIV n_nodes END AS BIGINT)")))
+      var ranks = deg.crossJoin(nb)
+        .select(col("id"), col("deg"), col("base"), col("base").as("r"))
+      for (_ <- 1 to 3) {
+        val shares = ranks.select(col("id").as("sid"), expr("r DIV deg").as("share"))
+        val incoming = edges.join(shares, col("src") === col("sid"))
+          .groupBy(col("dst")).agg(sum("share").as("incoming"))
+        ranks = deg.crossJoin(nb)
+          .join(incoming, col("id") === col("dst"))
+          .select(col("id"), col("deg"), col("base"),
+            expr("(15 * base) DIV 100 + (85 * incoming) DIV 100").as("r"))
+      }
+      ranks.select(col("id").as("doc_id"), col("deg").as("degree"),
+          col("r").as("rank_e12"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus-level similarity via the graft_minhash TypedImperativeAggregate
     // (one-pass grouped sketch, map-side partial buffers of 256 bytes per
     // group): per-language shingle-set signatures, pairwise Jaccard
@@ -1127,6 +1171,37 @@ object DedupQueries extends QueryPack {
                    GROUP BY v)
           SELECT deg.v AS doc_id, deg.degree, COALESCE(tv.n_tri, 0) AS n_tri
           FROM deg LEFT JOIN tv USING (v) ORDER BY doc_id""",
+    // Three unrolled integer power-iteration steps — same fixed-point
+    // recurrence as the Spark side, term for term.
+    "graph_pagerank" ->
+      s"""WITH $shinglesSqlCte,
+            pairs AS (SELECT da, db FROM jac WHERE jac >= 0.7),
+            edges AS (SELECT da AS src, db AS dst FROM pairs
+                      UNION ALL SELECT db, da FROM pairs),
+            deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+                    FROM edges GROUP BY 1),
+            nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                          CAST(CASE WHEN COUNT(*) = 0 THEN 0
+                               ELSE 1000000000000 // COUNT(*) END AS BIGINT) AS base
+                   FROM deg),
+            r0 AS (SELECT id, deg, base, base AS r FROM deg CROSS JOIN nb),
+            i1 AS (SELECT e.dst AS id, CAST(SUM(r.r // r.deg) AS BIGINT) AS incoming
+                   FROM edges e JOIN r0 r ON e.src = r.id GROUP BY 1),
+            r1 AS (SELECT d.id, d.deg, nb.base,
+                          (15 * nb.base) // 100 + (85 * i1.incoming) // 100 AS r
+                   FROM deg d JOIN i1 ON d.id = i1.id CROSS JOIN nb),
+            i2 AS (SELECT e.dst AS id, CAST(SUM(r.r // r.deg) AS BIGINT) AS incoming
+                   FROM edges e JOIN r1 r ON e.src = r.id GROUP BY 1),
+            r2 AS (SELECT d.id, d.deg, nb.base,
+                          (15 * nb.base) // 100 + (85 * i2.incoming) // 100 AS r
+                   FROM deg d JOIN i2 ON d.id = i2.id CROSS JOIN nb),
+            i3 AS (SELECT e.dst AS id, CAST(SUM(r.r // r.deg) AS BIGINT) AS incoming
+                   FROM edges e JOIN r2 r ON e.src = r.id GROUP BY 1),
+            r3 AS (SELECT d.id, d.deg,
+                          (15 * nb.base) // 100 + (85 * i3.incoming) // 100 AS r
+                   FROM deg d JOIN i3 ON d.id = i3.id CROSS JOIN nb)
+          SELECT id AS doc_id, deg AS degree, CAST(r AS BIGINT) AS rank_e12
+          FROM r3 ORDER BY doc_id""",
     "dedup_ngram_jaccard" ->
       s"""WITH $shinglesSqlCte
           SELECT da, db, FLOOR(jac*1000000 + 0.5)/1000000 AS jac FROM jac

@@ -189,6 +189,44 @@ object MaintenanceQueries extends QueryPack {
         .orderBy("o_orderpriority")
     }),
 
+    // Small-file compaction plan — the OPTIMIZE/rewrite planner every
+    // lakehouse table needs once ingest has written thousands of
+    // per-source-per-partition files: collect the file manifest (here the
+    // (source, lang) groups of documents stand in for data files, their
+    // byte sums for file sizes), order it largest-first (classic
+    // first-fit-decreasing order; ties broken by name so the plan is
+    // deterministic), and assign files to 8 equal-byte output groups by
+    // scaled cumulative fill: bin = ((cum − size)·8) DIV total ∈ [0, 7]
+    // by construction, pure BIGINT math. The plan NEVER touches data —
+    // the scan is one partial-agg manifest pass, the planning window runs
+    // over metadata-sized rows (one row per file; a 100 TB table has
+    // ~10⁵ files, driver-scale), and each output group is then an
+    // independent rewrite job reading only its own members.
+    "q_compaction_plan" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val files = Tables.documents(s, d)
+        .groupBy("source", "lang")
+        .agg(sum(col("n_chars").cast("long")).as("bytes"),
+          count(lit(1)).as("n_docs"))
+        .withColumn("file", concat_ws("/", col("source"), col("lang")))
+        .select("file", "bytes", "n_docs")
+      val tot = broadcast(files.agg(sum("bytes").as("total")))
+      // Unpartitioned window: the frame is the file MANIFEST (metadata-
+      // sized by design), never table data — single-partition is correct
+      // here, not a scale bug.
+      val w = Window.orderBy(col("bytes").desc, col("file"))
+      files.crossJoin(tot)
+        .withColumn("cum", sum("bytes").over(w))
+        .withColumn("bin", expr("CAST(((cum - bytes) * 8) DIV total AS INT)"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_files"),
+          sum("bytes").as("group_bytes"),
+          sum("n_docs").as("group_docs"),
+          min("file").as("first_file"),
+          max("file").as("last_file"))
+        .orderBy("bin")
+    }),
+
     // Order-independent content checksum of lineitem per l_returnflag
     // segment: each row contributes h60p of a canonical integer-string
     // repr (key cols + exact integer measures). Validating a 100 TB copy
@@ -266,6 +304,22 @@ object MaintenanceQueries extends QueryPack {
                 CAST(SUM(CASE WHEN valid_to_us IS NOT NULL
                               THEN valid_to_us - us ELSE 0 END) AS BIGINT) AS closed_dur_us
          FROM ch GROUP BY 1 ORDER BY event_type""",
+    "q_compaction_plan" ->
+      """WITH files AS (SELECT source || '/' || lang AS file,
+                              CAST(SUM(n_chars) AS BIGINT) AS bytes,
+                              CAST(COUNT(*) AS BIGINT) AS n_docs
+                       FROM documents GROUP BY source, lang),
+            tot AS (SELECT CAST(SUM(bytes) AS BIGINT) AS total FROM files),
+            c AS (SELECT file, bytes, n_docs, total,
+                         SUM(bytes) OVER (ORDER BY bytes DESC, file
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                  FROM files CROSS JOIN tot)
+         SELECT CAST(((cum - bytes) * 8) // total AS INT) AS bin,
+                CAST(COUNT(*) AS BIGINT) AS n_files,
+                CAST(SUM(bytes) AS BIGINT) AS group_bytes,
+                CAST(SUM(n_docs) AS BIGINT) AS group_docs,
+                MIN(file) AS first_file, MAX(file) AS last_file
+         FROM c GROUP BY 1 ORDER BY bin""",
     "q_table_checksum" ->
       s"""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
                  CAST(SUM($h60pRow) AS BIGINT) AS content_sum

@@ -150,6 +150,53 @@ object PipelineQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), min("doc_id").as("first_doc"))
         .orderBy("lang", "split")),
 
+    // Temperature-balanced language mixing (the mC4/XLM-R α-sampling
+    // step, α = 0.5): per-language weights ∝ √n_l instead of n_l, so
+    // low-resource languages are up-weighted in the training mix. All
+    // arithmetic is integer-EXACT: w_l = isqrt(n_l·10⁶) (≈ 1000·√n_l) via
+    // floor(sqrt) plus a ±1 correction step, so a 1-ulp double-sqrt
+    // disagreement between engines cannot move the floor; mix and keep
+    // rates are ppm BIGINT divisions; the kept set is the deterministic
+    // md5-Bernoulli of the samplers above gated on rate_ppm. Shape at
+    // 100 TB: one partial-agg count pass + a map-only filter against a
+    // broadcast 5-row rate table + one final agg — the mix plan itself is
+    // metadata-sized. Budget = N/2 docs overall.
+    "sample_temperature" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val nl = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      // Exact integer sqrt of x = n_docs·10⁶: double sqrt is correctly
+      // rounded, so floor(sqrt(x)) is off by at most one — the two
+      // CASE arms repair both directions with pure BIGINT comparisons.
+      val wl = nl
+        .withColumn("x", col("n_docs") * lit(1000000L))
+        .withColumn("b", floor(sqrt(col("x").cast("double"))).cast("long"))
+        .withColumn("w",
+          when((col("b") + 1) * (col("b") + 1) <= col("x"), col("b") + 1)
+            .when(col("b") * col("b") > col("x"), col("b") - 1)
+            .otherwise(col("b")))
+        .select("lang", "n_docs", "w")
+      val tot = broadcast(wl.agg(sum("w").as("sum_w"), sum("n_docs").as("n")))
+      val rates = wl.crossJoin(tot)
+        .withColumn("mix_ppm", expr("CAST((w * 1000000) DIV sum_w AS BIGINT)"))
+        .withColumn("rate_ppm",
+          expr("LEAST(CAST(1000000 AS BIGINT), ((n DIV 2) * mix_ppm) DIV n_docs)"))
+        .select("lang", "n_docs", "w", "mix_ppm", "rate_ppm")
+      val kept = docs.join(broadcast(rates.select("lang", "rate_ppm")), Seq("lang"))
+        .filter(graft.functions.PortableHash.h60(col("doc_id").cast("string"))
+          % 1000000 < col("rate_ppm"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(graft.functions.PortableHash.h60p(col("doc_id").cast("string")))
+            .as("kept_sum"))
+      // Left join from the rate table: a language whose rate rounds to
+      // zero still reports its (0, 0) row instead of vanishing.
+      rates.join(kept, Seq("lang"), "left_outer")
+        .select(col("lang"), col("n_docs"), col("w"), col("mix_ppm"), col("rate_ppm"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_sum"), lit(0L)).as("kept_sum"))
+        .orderBy("lang")
+    }),
+
     // Equi-width histogram of order totals — the distribution profile a
     // DQ pass materializes per numeric column. One partial-aggregated
     // shuffle on a ≤13-value key; identical floor arithmetic on both
@@ -346,6 +393,33 @@ object PipelineQueries extends QueryPack {
                 CAST(SUM(h) AS BIGINT) AS content_sum,
                 MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
          FROM t GROUP BY 1 ORDER BY shard""",
+    "sample_temperature" ->
+      s"""WITH nl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+            sq AS (SELECT lang, n_docs, n_docs * 1000000 AS x,
+                          CAST(FLOOR(SQRT(CAST(n_docs * 1000000 AS DOUBLE))) AS BIGINT) AS b
+                   FROM nl),
+            w AS (SELECT lang, n_docs,
+                         CASE WHEN (b + 1) * (b + 1) <= x THEN b + 1
+                              WHEN b * b > x THEN b - 1
+                              ELSE b END AS w
+                  FROM sq),
+            tot AS (SELECT CAST(SUM(w) AS BIGINT) AS sum_w,
+                           CAST(SUM(n_docs) AS BIGINT) AS n FROM w),
+            rates AS (SELECT lang, n_docs, w,
+                             (w * 1000000) // sum_w AS mix_ppm,
+                             LEAST(CAST(1000000 AS BIGINT),
+                                   ((n // 2) * ((w * 1000000) // sum_w)) // n_docs) AS rate_ppm
+                      FROM w CROSS JOIN tot),
+            kept AS (SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                            CAST(SUM(${graft.functions.PortableHash.h60pSql("CAST(doc_id AS VARCHAR)")}) AS BIGINT) AS kept_sum
+                     FROM documents d JOIN rates r ON d.lang = r.lang
+                     WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                           % 1000000 < r.rate_ppm
+                     GROUP BY 1)
+          SELECT r.lang, r.n_docs, r.w, r.mix_ppm, r.rate_ppm,
+                 COALESCE(k.n_kept, 0) AS n_kept,
+                 COALESCE(k.kept_sum, 0) AS kept_sum
+          FROM rates r LEFT JOIN kept k ON r.lang = k.lang ORDER BY r.lang""",
     "q_histogram" ->
       """SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 11) AS INT) AS bucket,
                 CAST(COUNT(*) AS BIGINT) AS n,
