@@ -474,7 +474,66 @@ object Stress {
     smj.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val (b2, _) = time("q3_join sort-merge only", SparkEntry.queries("q3_join")(smj, sfDir).count())
 
-    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"embed_ivf_10x":{"vecs":$embDocs,"nlist16_sec":$iv,"nlist16_pairs":$niv,"nlist128_sec":$iv2,"nlist128_pairs":$niv2},"codebook_hot_vector":{"vecs":$nAdv,"clones":$hotClones,"fit_sec":$fitSec,"nonempty_cells":$nonEmptyCells,"max_cell_share":$maxCellShare,"neardup_sec":$advSec,"neardup_pairs":$nAdvPairs,"planted_pairs":$plantedPairs},"bloom_10x":{"orders":$nOrd,"smj_sec":$sj,"smj_rows":$nsj,"probe_sec":$bp,"probe_rows":$nbp,"verify_sec":$bv,"verify_rows":$nbv},"ingest_many_files":{"files":$ingestN,"hidden_frac":0.333,"sec":$ingestSec,"words":${ingested.size},"fold_match":true},"skew_join_hot":{"hot_rows":$hotRows,"buckets_hit":${buckets.size},"max_bucket_rows":$maxBucket,"salted_sec":$saltSec,"plain_sec":$plainSec,"match":true},"span_hot_gram":{"docs":$tenxDocs,"plain_sec":$spSec,"plain_rows":$spRows,"hot_sec":$shSec,"hot_rows":$shRows,"min_shared_windows":$minShared},"incremental_ingest":{"batch_rows":$nBatch,"corpus_docs":$tenxDocs,"new_docs":$incNew,"expected_new":$expectedNew,"sec":$incSec,"match":true},"stream_state":[${ssRes.map(ssJson).mkString(",")}],"pixel_decode":{"bmp_1x":{"imgs":$npd1,"sec":$pd1},"bmp_10x":{"imgs":$npd10,"sec":$pd10},"png_1x":{"imgs":$npg1,"sec":$pg1},"png_10x":{"imgs":$npg10,"sec":$pg10,"staged_bytes":$pngBytes10}},"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2},"maintenance_10x":{"orders_10x":$nOrd10,"merge_1x_sec":$mg1,"merge_10x_sec":$mg10,"checksum_1x_sec":$ck1Sec,"checksum_10x_sec":$ck10Sec,"accounting_match":true,"sums_move_under_key_shift":true}}""")
+    // PageRank kernel on a synthetic 1.1M-edge graph with a 100k-degree
+    // hot hub: the hub's incoming-contribution sum is the skew-prone
+    // reduction (100k rows to ONE destination key) — partial aggregation
+    // must absorb it map-side. Invariants: all leaves of the star hold
+    // one identical rank, the hub outranks every ring node, and the ring
+    // (2-regular, vertex-transitive) converges to ONE rank value — if
+    // either class splinters into multiple values, the integer recurrence
+    // picked up an order dependence.
+    val ringN = 1000000L
+    val ring = spark.range(ringN)
+      .select(col("id").as("da"),
+        ((col("id") + 1) % ringN).as("db"))
+      .filter(col("da") < col("db")) // drop the wrap edge's reversed form...
+      .union(spark.range(1).select(lit(0L).as("da"), lit(ringN - 1).as("db")))
+    val starLeaves = 100000L
+    val hub = 2000000L
+    val star = spark.range(starLeaves)
+      .select(lit(hub).as("da"), (col("id") + hub + 1).as("db"))
+    val prPairs = ring.union(star).localCheckpoint()
+    val nEdges = prPairs.count()
+    var prTop: Array[org.apache.spark.sql.Row] = null
+    val (prSec, prNodes) = time("pagerank 1.1M edges", {
+      val pr = operators.DedupQueries.pageRankOf(prPairs).localCheckpoint()
+      prTop = pr.orderBy(col("rank_e12").desc).limit(1).collect()
+      pr.count()
+    })
+    val prDistinct = operators.DedupQueries.pageRankOf(prPairs)
+      .groupBy(col("degree")).agg(countDistinct(col("rank_e12")).as("nv"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(prTop.head.getLong(0) == hub, s"hot hub is not the top-ranked node: ${prTop.head}")
+    require(prDistinct(1L) == 1L, s"star leaves splintered into ${prDistinct(1L)} rank values")
+    require(prDistinct(2L) == 1L, s"ring nodes splintered into ${prDistinct(2L)} rank values")
+    println(f"[stress] pagerank: $nEdges%,d edges, $prNodes%,d nodes, hub degree $starLeaves%,d -> $prSec%.2f s (3 iters)")
+
+    // Compaction planner on a 100k-file synthetic manifest with a zipf-ish
+    // size law (size = 10^10 / (rank+1) — one mega file plus a long tail):
+    // planning must stay metadata-speed (the window runs on one partition
+    // of 100k rows) and the balance bound must hold even when a single
+    // file exceeds the whole target group size.
+    val manifest = spark.range(100000)
+      .select(concat(lit("f"), lpad(col("id").cast("string"), 6, "0")).as("file"),
+        expr("CAST(10000000000 DIV (id + 1) AS BIGINT)").as("bytes"),
+        lit(1L).as("n_docs"))
+      .localCheckpoint()
+    var planRows: Array[org.apache.spark.sql.Row] = null
+    val (cpSec, cpBins) = time("compaction plan 100k files", {
+      planRows = operators.MaintenanceQueries.compactionPlanOf(manifest).collect()
+      planRows.length.toLong
+    })
+    val manTotal = manifest.agg(sum("bytes")).head().getLong(0)
+    val manMax = manifest.agg(max("bytes")).head().getLong(0)
+    require(planRows.map(_.getLong(1)).sum == 100000L, "compaction plan lost files")
+    require(planRows.map(_.getLong(2)).sum == manTotal, "compaction plan lost bytes")
+    planRows.foreach { r =>
+      require(r.getLong(2) <= manTotal / 8 + manMax,
+        s"bin ${r.getInt(0)} breaks the fill bound: ${r.getLong(2)}")
+    }
+    println(f"[stress] compaction: 100k files, $cpBins bins, $cpSec%.2f s, max-file/target ratio ${manMax * 8.0 / manTotal}%.2f")
+
+    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"embed_ivf_10x":{"vecs":$embDocs,"nlist16_sec":$iv,"nlist16_pairs":$niv,"nlist128_sec":$iv2,"nlist128_pairs":$niv2},"codebook_hot_vector":{"vecs":$nAdv,"clones":$hotClones,"fit_sec":$fitSec,"nonempty_cells":$nonEmptyCells,"max_cell_share":$maxCellShare,"neardup_sec":$advSec,"neardup_pairs":$nAdvPairs,"planted_pairs":$plantedPairs},"bloom_10x":{"orders":$nOrd,"smj_sec":$sj,"smj_rows":$nsj,"probe_sec":$bp,"probe_rows":$nbp,"verify_sec":$bv,"verify_rows":$nbv},"ingest_many_files":{"files":$ingestN,"hidden_frac":0.333,"sec":$ingestSec,"words":${ingested.size},"fold_match":true},"skew_join_hot":{"hot_rows":$hotRows,"buckets_hit":${buckets.size},"max_bucket_rows":$maxBucket,"salted_sec":$saltSec,"plain_sec":$plainSec,"match":true},"span_hot_gram":{"docs":$tenxDocs,"plain_sec":$spSec,"plain_rows":$spRows,"hot_sec":$shSec,"hot_rows":$shRows,"min_shared_windows":$minShared},"incremental_ingest":{"batch_rows":$nBatch,"corpus_docs":$tenxDocs,"new_docs":$incNew,"expected_new":$expectedNew,"sec":$incSec,"match":true},"stream_state":[${ssRes.map(ssJson).mkString(",")}],"pixel_decode":{"bmp_1x":{"imgs":$npd1,"sec":$pd1},"bmp_10x":{"imgs":$npd10,"sec":$pd10},"png_1x":{"imgs":$npg1,"sec":$pg1},"png_10x":{"imgs":$npg10,"sec":$pg10,"staged_bytes":$pngBytes10}},"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2},"pagerank_hot_hub":{"edges":$nEdges,"nodes":$prNodes,"hub_degree":$starLeaves,"iters":3,"sec":$prSec,"hub_is_top":true,"leaf_rank_values":1,"ring_rank_values":1},"compaction_manifest":{"files":100000,"bins":$cpBins,"sec":$cpSec,"bytes_conserved":true,"fill_bound_holds":true},"maintenance_10x":{"orders_10x":$nOrd10,"merge_1x_sec":$mg1,"merge_10x_sec":$mg10,"checksum_1x_sec":$ck1Sec,"checksum_10x_sec":$ck10Sec,"accounting_match":true,"sums_move_under_key_shift":true}}""")
     spark.stop()
   }
 }

@@ -300,6 +300,39 @@ object DedupQueries extends QueryPack {
         .localCheckpoint(eager = false))
   }
 
+  /** Fixed-point integer PageRank over an undirected pair frame (da, db;
+    * each edge exactly once) — the graph_pagerank kernel, reusable by
+    * Stress on synthetic hot-hub graphs. `iters` power iterations with
+    * damping 0.85; ranks in 10⁻¹²-units; every step BIGINT floor-div +
+    * order-independent BIGINT sums, so results are bit-stable across
+    * engines, partitionings and retries. */
+  private[graft] def pageRankOf(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    // Pairs carry each undirected edge once, so the symmetric union is
+    // duplicate-free by construction.
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+    val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    // The CASE guards ANSI divide-by-zero on an empty pair graph (the
+    // count row exists even when deg is empty; the result is empty
+    // either way, but the agg row must still evaluate).
+    val nb = broadcast(deg.agg(count(lit(1)).as("n_nodes"))
+      .withColumn("base", expr(
+        "CAST(CASE WHEN n_nodes = 0 THEN 0 ELSE 1000000000000 DIV n_nodes END AS BIGINT)")))
+    var ranks = deg.crossJoin(nb)
+      .select(col("id"), col("deg"), col("base"), col("base").as("r"))
+    for (_ <- 1 to iters) {
+      val shares = ranks.select(col("id").as("sid"), expr("r DIV deg").as("share"))
+      val incoming = edges.join(shares, col("src") === col("sid"))
+        .groupBy(col("dst")).agg(sum("share").as("incoming"))
+      ranks = deg.crossJoin(nb)
+        .join(incoming, col("id") === col("dst"))
+        .select(col("id"), col("deg"), col("base"),
+          expr("(15 * base) DIV 100 + (85 * incoming) DIV 100").as("r"))
+    }
+    ranks.select(col("id").as("doc_id"), col("deg").as("degree"),
+      col("r").as("rank_e12"))
+  }
+
   /** MinHash LSH near-dup pairs over ANY (doc_id, text) frame.
     * `maxBucket` (opt-in, default unbounded) skips pathological hot LSH
     * buckets — see [[bucketPairs]] for the recall trade-off. */
@@ -573,34 +606,8 @@ object DedupQueries extends QueryPack {
     // destination key — the standard distributed PageRank step; the
     // symmetric pair graph has no dangling nodes (every node has
     // deg ≥ 1 and ≥ 1 in-edge), so no dangling-mass term is needed.
-    "graph_pagerank" -> ((s, d) => {
-      val pairs = minhashPairs(s, d).select("da", "db")
-      // Pairs carry da < db exactly once, so the symmetric union is
-      // duplicate-free by construction.
-      val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
-        .union(pairs.select(col("db").as("src"), col("da").as("dst")))
-      val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-      // The CASE guards ANSI divide-by-zero on an empty pair graph (the
-      // count row exists even when deg is empty; the result is empty
-      // either way, but the agg row must still evaluate).
-      val nb = broadcast(deg.agg(count(lit(1)).as("n_nodes"))
-        .withColumn("base", expr(
-          "CAST(CASE WHEN n_nodes = 0 THEN 0 ELSE 1000000000000 DIV n_nodes END AS BIGINT)")))
-      var ranks = deg.crossJoin(nb)
-        .select(col("id"), col("deg"), col("base"), col("base").as("r"))
-      for (_ <- 1 to 3) {
-        val shares = ranks.select(col("id").as("sid"), expr("r DIV deg").as("share"))
-        val incoming = edges.join(shares, col("src") === col("sid"))
-          .groupBy(col("dst")).agg(sum("share").as("incoming"))
-        ranks = deg.crossJoin(nb)
-          .join(incoming, col("id") === col("dst"))
-          .select(col("id"), col("deg"), col("base"),
-            expr("(15 * base) DIV 100 + (85 * incoming) DIV 100").as("r"))
-      }
-      ranks.select(col("id").as("doc_id"), col("deg").as("degree"),
-          col("r").as("rank_e12"))
-        .orderBy("doc_id")
-    }),
+    "graph_pagerank" -> ((s, d) =>
+      pageRankOf(minhashPairs(s, d).select("da", "db")).orderBy("doc_id")),
 
     // Corpus-level similarity via the graft_minhash TypedImperativeAggregate
     // (one-pass grouped sketch, map-side partial buffers of 256 bytes per

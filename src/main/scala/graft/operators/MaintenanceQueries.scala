@@ -203,28 +203,13 @@ object MaintenanceQueries extends QueryPack {
     // ~10⁵ files, driver-scale), and each output group is then an
     // independent rewrite job reading only its own members.
     "q_compaction_plan" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val files = Tables.documents(s, d)
         .groupBy("source", "lang")
         .agg(sum(col("n_chars").cast("long")).as("bytes"),
           count(lit(1)).as("n_docs"))
         .withColumn("file", concat_ws("/", col("source"), col("lang")))
         .select("file", "bytes", "n_docs")
-      val tot = broadcast(files.agg(sum("bytes").as("total")))
-      // Unpartitioned window: the frame is the file MANIFEST (metadata-
-      // sized by design), never table data — single-partition is correct
-      // here, not a scale bug.
-      val w = Window.orderBy(col("bytes").desc, col("file"))
-      files.crossJoin(tot)
-        .withColumn("cum", sum("bytes").over(w))
-        .withColumn("bin", expr("CAST(((cum - bytes) * 8) DIV total AS INT)"))
-        .groupBy("bin")
-        .agg(count(lit(1)).as("n_files"),
-          sum("bytes").as("group_bytes"),
-          sum("n_docs").as("group_docs"),
-          min("file").as("first_file"),
-          max("file").as("last_file"))
-        .orderBy("bin")
+      compactionPlanOf(files).orderBy("bin")
     }),
 
     // Order-independent content checksum of lineitem per l_returnflag
@@ -235,6 +220,29 @@ object MaintenanceQueries extends QueryPack {
     "q_table_checksum" -> ((s, d) =>
       segmentChecksumOf(Tables.lineitem(s, d)))
   )
+
+  /** The q_compaction_plan kernel over ANY (file, bytes, n_docs) manifest
+    * frame (Stress reuses it on a 100k-file synthetic manifest): files
+    * sorted largest-first (name tie-break), assigned to `nBins`
+    * equal-byte output groups by scaled cumulative fill — pure BIGINT
+    * math, bin ∈ [0, nBins) by construction. The unpartitioned window is
+    * correct, not a scale bug: its frame is the file MANIFEST
+    * (metadata-sized — one row per file, ~10⁵ rows for a 100 TB table),
+    * never table data. */
+  private[graft] def compactionPlanOf(files: DataFrame, nBins: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = broadcast(files.agg(sum("bytes").as("total")))
+    val w = Window.orderBy(col("bytes").desc, col("file"))
+    files.crossJoin(tot)
+      .withColumn("cum", sum("bytes").over(w))
+      .withColumn("bin", expr(s"CAST(((cum - bytes) * $nBins) DIV total AS INT)"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_files"),
+        sum("bytes").as("group_bytes"),
+        sum("n_docs").as("group_docs"),
+        min("file").as("first_file"),
+        max("file").as("last_file"))
+  }
 
   /** The q_table_checksum body over ANY lineitem-shaped frame (Stress
     * reuses it on a 10× clone). */

@@ -235,6 +235,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("sample_temperature filters via a broadcast rate table (map-only corpus pass)") {
+    val p = plan("sample_temperature")
+    // The corpus-side keep filter must join against the 5-row rate table
+    // by broadcast — the 100 TB scan stays map-only; only per-lang
+    // aggregates reach an exchange.
+    assert(p.contains("BroadcastHashJoin"),
+      s"rate lookup is not a broadcast join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"rate join degenerated:\n$p")
+  }
+
+  test("graph_pagerank partially aggregates incoming contributions before each shuffle") {
+    val p = plan("graph_pagerank")
+    // The hot-hub reduction (many contributions to one destination key)
+    // must combine map-side; a missing partial agg would ship every edge
+    // contribution row through the exchange.
+    assert(p.indexOf("HashAggregate") >= 0 &&
+      p.indexOf("HashAggregate") < p.indexOf("Exchange hashpartitioning"),
+      s"no map-side partial aggregation before the incoming-sum shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), s"rank join degenerated:\n$p")
+  }
+
   test("text_bm25 broadcasts df + corpus stats and top-ks without a global sort") {
     val p = plan("text_bm25")
     assert(p.contains("TakeOrderedAndProject"),
