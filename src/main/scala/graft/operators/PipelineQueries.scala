@@ -197,6 +197,37 @@ object PipelineQueries extends QueryPack {
         .orderBy("lang")
     }),
 
+    // Robust outlier audit — the DQ pass that flags anomalous numeric
+    // rows without letting the anomalies poison the threshold (mean/
+    // stddev shift under the very outliers they hunt; median/MAD do
+    // not). Two grouped exact percentiles over integer cents: med =
+    // p50(cents), MAD = p50(|cents − med|), outlier ⇔ |x − med| > 3·MAD.
+    // Exact-integer inputs keep both engines' interpolated medians
+    // bit-equal (values end in .0/.5). Shape at 100 TB: two passes with
+    // a broadcast per-group threshold table between them — the
+    // textbook two-pass robust scan; the exact grouped percentile sorts
+    // within 3 groups (at larger group counts swap in approx_percentile
+    // and gate with a bounded-error boolean, the q_hll pattern).
+    "dq_outliers" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      val med = li.groupBy("l_returnflag")
+        .agg(expr("percentile(cents, 0.5)").as("med"))
+      val withMed = li.join(broadcast(med), Seq("l_returnflag"))
+        .withColumn("adev", abs(col("cents") - col("med")))
+      val mad = withMed.groupBy("l_returnflag")
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      withMed.join(broadcast(mad), Seq("l_returnflag"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          min("med").as("med_cents"),
+          min("mad").as("mad_cents"),
+          sum(when(col("adev") > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"),
+          coalesce(max(when(col("adev") > col("mad") * 3, col("cents"))), lit(-1L))
+            .as("max_out_cents"))
+        .orderBy("l_returnflag")
+    }),
+
     // Equi-width histogram of order totals — the distribution profile a
     // DQ pass materializes per numeric column. One partial-aggregated
     // shuffle on a ≤13-value key; identical floor arithmetic on both
@@ -420,6 +451,23 @@ object PipelineQueries extends QueryPack {
                  COALESCE(k.n_kept, 0) AS n_kept,
                  COALESCE(k.kept_sum, 0) AS kept_sum
           FROM rates r LEFT JOIN kept k ON r.lang = k.lang ORDER BY r.lang""",
+    "dq_outliers" ->
+      """WITH li AS (SELECT l_returnflag,
+                            CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+                     FROM lineitem),
+            med AS (SELECT l_returnflag, CAST(quantile_cont(cents, 0.5) AS DOUBLE) AS med
+                    FROM li GROUP BY 1),
+            wm AS (SELECT li.l_returnflag, cents, med, ABS(cents - med) AS adev
+                   FROM li JOIN med USING (l_returnflag)),
+            mad AS (SELECT l_returnflag, CAST(quantile_cont(adev, 0.5) AS DOUBLE) AS mad
+                    FROM wm GROUP BY 1)
+         SELECT w.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                MIN(med) AS med_cents, MIN(mad) AS mad_cents,
+                CAST(SUM(CASE WHEN adev > mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                COALESCE(MAX(CASE WHEN adev > mad * 3 THEN cents END),
+                         CAST(-1 AS BIGINT)) AS max_out_cents
+         FROM wm w JOIN mad USING (l_returnflag)
+         GROUP BY 1 ORDER BY w.l_returnflag""",
     "q_histogram" ->
       """SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 11) AS INT) AS bucket,
                 CAST(COUNT(*) AS BIGINT) AS n,

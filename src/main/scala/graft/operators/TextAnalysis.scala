@@ -239,6 +239,27 @@ object TextAnalysis extends QueryPack {
         .drop("ids")
         .orderBy("doc_id")),
 
+    // BPE merge-pair counting — the inner loop of byte-pair-encoding
+    // tokenizer training: count adjacent character pairs across the
+    // corpus, weighted by word frequency; the top pair is the next merge.
+    // The scale-critical trick is counting over the VOCABULARY, not the
+    // corpus: one uniform-key word count collapses the corpus to distinct
+    // words (vocab-sized — ~10⁶ rows even at 100 TB), and the quadratic-
+    // looking pair explosion runs over that small frame only. Top-20 by
+    // (count, pair) — a deterministic rank key, TakeOrderedAndProject.
+    "text_bpe_pairs" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      words
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")).as("pair"))
+        .groupBy("pair").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)
+    }),
+
     // Stopword filtering — the token-scrub pass an indexing/featurization
     // pipeline runs before vocabulary work. Map-only array ops (filter +
     // slice + join), no UDFs; reports before/after counts plus the head
@@ -407,6 +428,15 @@ object TextAnalysis extends QueryPack {
                 CAST(COUNT(*) FILTER (WHERE id = -1) AS BIGINT) AS n_oov,
                 string_agg(CAST(id AS VARCHAR), ',' ORDER BY p) AS ids_csv
          FROM enc GROUP BY doc_id ORDER BY doc_id""",
+    "text_bpe_pairs" ->
+      """WITH w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+                      SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+                    WHERE length(word) >= 2 GROUP BY 1),
+            p AS (SELECT unnest(list_transform(range(length(word) - 1),
+                            i -> substr(word, i + 1, 2))) AS pair, freq
+                  FROM w)
+         SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+         FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""",
     "text_ngram_stats" ->
       """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents
                     WHERE len(string_split(text, ' ')) >= 2),

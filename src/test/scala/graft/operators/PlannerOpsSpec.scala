@@ -138,6 +138,51 @@ class PlannerOpsSpec extends SparkSpec {
     }
   }
 
+  test("text_bpe_pairs counts frequency-weighted adjacent char pairs over the vocab") {
+    // Corpus: "abab" ×3 (as word freq), "bc" ×2, "a" (too short, dropped).
+    val dir = stageDocs(Seq(
+      (1L, "abab bc a", "en", "s0"),
+      (2L, "abab abab bc", "en", "s0")))
+    val out = TextAnalysis.queries("text_bpe_pairs")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // Hand count: "abab" (freq 3) → ab, ba, ab → ab:6, ba:3; "bc"
+    // (freq 2) → bc:2. "a" contributes nothing. Rank by (cnt desc, pair).
+    assert(out.toSeq == Seq(("ab", 6L), ("ba", 3L), ("bc", 2L)))
+  }
+
+  test("dq_outliers flags exactly the rows beyond 3 MAD of a hand-built group") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_outlier_spec_")
+      .toFile.getAbsolutePath
+    // Group A: cents {100, 200, 300, 400, 100000} → med 300.0 = 3.00;
+    // adev {200, 100, 0, 100, 99700} → MAD 100.0; threshold 300 →
+    // only 100000 (adev 99700) is out. Group B: all equal → MAD 0,
+    // any deviation would flag; none exists → 0 outliers.
+    val a = Seq(1.0, 2.0, 3.0, 4.0, 1000.0).map(("A", _))
+    val b = Seq(5.0, 5.0, 5.0).map(("B", _))
+    (a ++ b).toDF("l_returnflag", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = PipelineQueries.queries("dq_outliers")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("A", 5L, 300.0, 100.0, 1L, 100000L),
+      ("B", 3L, 500.0, 0.0, 0L, -1L)))
+  }
+
+  test("dq_outliers median interpolates exactly on even counts (.5 in cents)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_outlier_spec2_")
+      .toFile.getAbsolutePath
+    // Even count: cents {100, 200, 300, 400} → med 250.0, adev
+    // {150, 50, 50, 150} → MAD 100.0 — both land on exact doubles, the
+    // cross-engine determinism the integer-cents design guarantees.
+    Seq(1.0, 2.0, 3.0, 4.0).map(("E", _)).toDF("l_returnflag", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = PipelineQueries.queries("dq_outliers")(spark, dir).collect().head
+    assert((r.getDouble(2), r.getDouble(3), r.getLong(4)) == ((250.0, 100.0, 0L)))
+  }
+
   test("graph_pagerank matches the integer power iteration on an asserted path graph") {
     // Three 30-token docs: A/B differ in the last THREE tokens, B/C in the
     // first three → 3-shingle jac(A,B) = jac(B,C) = 25/31 ≈ 0.81 ≥ 0.7,
