@@ -144,15 +144,18 @@ object Bench {
     // and the emitted "baseline_sec" field makes every artifact
     // self-describe the denominator it used. Measured 2026-08-14 via
     // scripts/baseline.py, same boot, composed at the conservative end:
-    // the 145-SQL session minimum (31.5, band 31.5/33.0/33.7) plus the
-    // measured minimum cost of the 8 SQLs added later the same day
-    // (2.2 s; direct 153-SQL draws on the by-then-noisier box ran
-    // 37.5-48.1 at loadavg 2.6-3.5, all ABOVE this number) — a smaller
-    // denominator can only overstate, never flatter, Spark's relative
-    // cost. Env overrides for re-derived denominators; the fallback
-    // keeps `vs_baseline` on the driver's line, which sets no env.
-    // Only meaningful at sf0.1.
-    val FallbackBaselineSec = 33.7
+    // the 153-SQL composed floor (33.7 — see BASELINE.md's 153-SQL row
+    // for its own conservative construction) plus the measured per-query
+    // MINIMUM cost of the 10 SQLs added later the same day (7.375 s over
+    // three 163-SQL draws; graph_pagerank 3.74 and dedup_canonical_best
+    // 3.30 dominate — their oracles re-run the brute shingle-pair CTE
+    // that Spark's cached LSH index avoids). Direct 163-SQL draws on the
+    // by-then-noisier box ran 45.9-62.3 at loadavg 3.8-4.9, all ABOVE
+    // this number — a smaller denominator can only overstate, never
+    // flatter, Spark's relative cost. Env overrides for re-derived
+    // denominators; the fallback keeps `vs_baseline` on the driver's
+    // line, which sets no env. Only meaningful at sf0.1.
+    val FallbackBaselineSec = 41.0
     val baselineEnv = sys.env.get("SPARK_GRAFT_BASELINE_SEC")
     val baselineParsed = baselineEnv
       .flatMap(s => scala.util.Try(s.toDouble).toOption)
