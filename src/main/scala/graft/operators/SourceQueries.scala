@@ -30,6 +30,7 @@ object SourceQueries extends QueryPack {
   private def pqZstdStage(d: String) = Stage.dir(d, "parquet_zstd")
   private def pqHiveStage(d: String) = Stage.dir(d, "parquet_hive")
   private def pqEvoStage(d: String) = Stage.dir(d, "parquet_evo")
+  private def warcStage(d: String) = Stage.dir(d, "warc")
 
   val queries: Map[String, Q] = Map(
     // CSV sink → CSV source (header + schema inference) → aggregate.
@@ -60,6 +61,39 @@ object SourceQueries extends QueryPack {
           min("doc_id").as("first_doc"),
           max("n_chars").as("max_chars"))
         .orderBy("lang")
+    }),
+
+    // WARC shard ingest — the Common-Crawl arrival format, parsed by
+    // strict Content-Length framing (WarcSource). The staged fixture
+    // plants response payloads that CONTAIN "WARC/1.0" header lines, so
+    // any parser that scans for the record magic instead of honoring
+    // Content-Length splits records and fails the hash. The DuckDB
+    // oracle never parses bytes: it re-generates the closed-form fixture
+    // model (range() + repeat()) and must agree on per-site counts,
+    // payload byte sums, an (idx × len) moment that pins the full record
+    // ORDER within each shard, and an md5 content checksum — the pixel-
+    // gate design applied to an archive format. Scale shape: one task
+    // per shard (the real Common Crawl layout), single forward parse
+    // pass, codegen'd aggregation after.
+    "warc_ingest" -> ((s, d) => {
+      val paths = graft.sources.WarcSource.stageFixture(warcStage(d))
+      graft.sources.WarcSource.records(s, paths)
+        .filter(col("rec_type").isin("request", "response"))
+        .withColumn("site",
+          regexp_extract(col("uri"), "http://(site\\d+)\\.example", 1))
+        .groupBy("site")
+        .agg(
+          sum(when(col("rec_type") === "response", 1L).otherwise(0L)).as("n_responses"),
+          sum(when(col("rec_type") === "request", 1L).otherwise(0L)).as("n_requests"),
+          sum(when(col("rec_type") === "response", col("payload_len"))
+            .otherwise(0L)).as("payload_bytes"),
+          sum(when(col("rec_type") === "response", col("idx") * col("payload_len"))
+            .otherwise(0L)).as("moment"),
+          sum(when(col("rec_type") === "response",
+            graft.functions.PortableHash.h60p(
+              concat(col("uri"), lit("|"), col("payload_md5"))))
+            .otherwise(0L)).as("checksum"))
+        .orderBy("site")
     }),
 
     // GZIP-compressed CSV round-trip — the shape real LLM corpora arrive
@@ -219,6 +253,33 @@ object SourceQueries extends QueryPack {
   )
 
   override def oracleSqlFor(dataDir: String): Map[String, String] = Map(
+    // Dir-independent: the oracle regenerates WarcSource's closed-form
+    // fixture model instead of reading staged bytes (DuckDB has no WARC
+    // reader — the independence is the MODEL, exactly the pixel-decode
+    // gate design). warcinfo records (idx 0) and request records
+    // (idx 1+2i, fixed 5-byte body) surround each response (idx 2+2i).
+    "warc_ingest" ->
+      s"""WITH shards AS (SELECT unnest(range(24)) AS f),
+            resp AS (SELECT f, unnest(range(5 + (f % 4))) AS i FROM shards),
+            m AS (SELECT f, i,
+                         'http://site' || (f % 6) || '.example/f' || f || '/p' || i AS uri,
+                         CASE WHEN i % 3 = 0
+                              THEN 'WARC/1.0' || chr(13) || chr(10) ||
+                                   'X: decoy' || chr(13) || chr(10)
+                              ELSE '' END ||
+                         repeat('x', 40 + ((f * 31 + i * 7) % 100)) AS payload
+                  FROM resp),
+            p AS (SELECT 'site' || (f % 6) AS site,
+                         CAST(2 + 2 * i AS BIGINT) AS idx,
+                         CAST(length(payload) AS BIGINT) AS len,
+                         uri || '|' || md5(payload) AS keyed
+                  FROM m)
+          SELECT site, CAST(COUNT(*) AS BIGINT) AS n_responses,
+                 CAST(COUNT(*) AS BIGINT) AS n_requests,
+                 CAST(SUM(len) AS BIGINT) AS payload_bytes,
+                 CAST(SUM(idx * len) AS BIGINT) AS moment,
+                 CAST(SUM(${graft.functions.PortableHash.h60pSql("keyed")}) AS BIGINT) AS checksum
+          FROM p GROUP BY 1 ORDER BY site""",
     "csv_roundtrip" ->
       s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
                 CAST(SUM(n_chars) AS BIGINT) AS chars,

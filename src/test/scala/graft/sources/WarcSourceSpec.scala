@@ -1,0 +1,121 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sources.WarcSource.{parseWarc, WarcRecord}
+
+/** Framing-level pins for the WARC parser: the oracle gate proves the
+  * fixture round-trip; these prove the Content-Length discipline on
+  * adversarial bytes the fixture cannot stage (truncation, corruption,
+  * garbage) and the loud-failure contract of the distributed read.
+  */
+class WarcSourceSpec extends SparkSpec {
+
+  private def rec(t: String, uri: Option[String], payload: String): Array[Byte] = {
+    val head = new StringBuilder("WARC/1.0\r\n")
+    head.append(s"WARC-Type: $t\r\n")
+    head.append("WARC-Record-ID: <urn:uuid:x>\r\n")
+    uri.foreach(u => head.append(s"WARC-Target-URI: $u\r\n"))
+    head.append(s"Content-Length: ${payload.length}\r\n\r\n")
+    head.toString.getBytes("US-ASCII") ++ payload.getBytes("US-ASCII") ++
+      "\r\n\r\n".getBytes("US-ASCII")
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("US-ASCII")).map("%02x".format(_)).mkString
+
+  test("parses a multi-record file with exact lengths, md5s and indices") {
+    val bytes = rec("warcinfo", None, "software: test\r\n") ++
+      rec("response", Some("http://a/1"), "hello world") ++
+      rec("response", Some("http://a/2"), "")
+    val (rs, clean) = parseWarc("f", bytes)
+    assert(clean)
+    assert(rs == Seq(
+      WarcRecord("f", 0, "warcinfo", "", 16, md5Hex("software: test\r\n")),
+      WarcRecord("f", 1, "response", "http://a/1", 11, md5Hex("hello world")),
+      WarcRecord("f", 2, "response", "http://a/2", 0, md5Hex(""))))
+  }
+
+  test("a payload containing WARC/1.0 header lines stays ONE record (framing, not magic-scan)") {
+    val decoyBody = "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 3\r\n\r\nxxx\r\n\r\n tail"
+    val bytes = rec("response", Some("http://d/1"), decoyBody) ++
+      rec("response", Some("http://d/2"), "after")
+    val (rs, clean) = parseWarc("f", bytes)
+    assert(clean)
+    assert(rs.map(r => (r.idx, r.uri, r.payload_len)) ==
+      Seq((0, "http://d/1", decoyBody.length.toLong), (1, "http://d/2", 5L)))
+    assert(rs.head.payload_md5 == md5Hex(decoyBody))
+  }
+
+  test("truncated payload → unclean, records before the damage survive") {
+    val good = rec("response", Some("http://t/1"), "complete")
+    val bytes = good ++ rec("response", Some("http://t/2"), "cut").dropRight(6)
+    val (rs, clean) = parseWarc("f", bytes)
+    assert(!clean)
+    assert(rs.map(_.uri) == Seq("http://t/1"))
+  }
+
+  test("a corrupted record-final CRLFCRLF halts parsing as unclean") {
+    val a = rec("response", Some("http://c/1"), "aaa")
+    a(a.length - 1) = 'X'.toByte // smash the final \n
+    val bytes = a ++ rec("response", Some("http://c/2"), "bbb")
+    val (rs, clean) = parseWarc("f", bytes)
+    assert(!clean && rs.isEmpty)
+  }
+
+  test("garbage prefix, bad version line and oversized Content-Length all halt unclean") {
+    assert(parseWarc("f", "not a warc at all\r\n".getBytes("US-ASCII")) == ((Nil, false)))
+    assert(parseWarc("f", rec("response", None, "x").patch(5, "9.9".getBytes, 3))
+      ._2 == false)
+    val overLen = "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 99999\r\n\r\nshort\r\n\r\n"
+    assert(parseWarc("f", overLen.getBytes("US-ASCII")) == ((Nil, false)))
+    // Empty input is trivially clean: zero records, nothing unframeable.
+    assert(parseWarc("f", Array.emptyByteArray) == ((Nil, true)))
+  }
+
+  test("records() fails loudly on an unclean shard unless tolerateUnclean") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_spec_")
+      .toFile.getAbsolutePath
+    val good = s"$dir/good.warc"; val bad = s"$dir/bad.warc"
+    java.nio.file.Files.write(java.nio.file.Paths.get(good),
+      rec("response", Some("http://g/1"), "ok"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(bad),
+      rec("response", Some("http://b/1"), "broken").dropRight(2))
+    val ex = intercept[org.apache.spark.SparkException] {
+      WarcSource.records(spark, Seq(good, bad)).collect()
+    }
+    assert(ex.getMessage.contains("unframeable") ||
+      Option(ex.getCause).exists(_.getMessage.contains("unframeable")))
+    val salvaged = WarcSource.records(spark, Seq(good, bad), tolerateUnclean = true)
+      .collect().map(_.getString(3)).sorted
+    assert(salvaged.toSeq == Seq("http://g/1"))
+  }
+
+  test("the staged fixture round-trips: 24 clean shards, 156 responses, decoys intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_fix_")
+      .toFile.getAbsolutePath
+    val paths = WarcSource.stageFixture(dir)
+    assert(paths.size == 24)
+    val all = paths.zipWithIndex.map { case (p, f) =>
+      val (rs, clean) = parseWarc(s"shard$f", java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)))
+      assert(clean, s"shard $f unclean")
+      rs
+    }
+    val responses = all.flatten.filter(_.rec_type == "response")
+    assert(responses.size == 156) // Σ (5 + f%4) over 24 files
+    // Every response length matches the closed-form model exactly,
+    // including the 20-byte decoy prefix on i%3==0 (idx = 2+2i).
+    responses.foreach { r =>
+      val f = r.file.stripPrefix("shard").toInt
+      val i = (r.idx - 2) / 2
+      val expect = 40 + ((f * 31 + i * 7) % 100) + (if (i % 3 == 0) 20 else 0)
+      assert(r.payload_len == expect, s"shard $f response $i: ${r.payload_len} != $expect")
+    }
+    // Restaging is a no-op (marker) and bytes are reproducible.
+    val before = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(paths.head))
+    WarcSource.stageFixture(dir)
+    val after = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(paths.head))
+    assert(java.util.Arrays.equals(before, after))
+  }
+}
