@@ -495,12 +495,15 @@ object Stress {
     val prPairs = ring.union(star).localCheckpoint()
     val nEdges = prPairs.count()
     var prTop: Array[org.apache.spark.sql.Row] = null
+    var pr: org.apache.spark.sql.DataFrame = null
     val (prSec, prNodes) = time("pagerank 1.1M edges", {
-      val pr = operators.DedupQueries.pageRankOf(prPairs).localCheckpoint()
+      pr = operators.DedupQueries.pageRankOf(prPairs).localCheckpoint()
       prTop = pr.orderBy(col("rank_e12").desc).limit(1).collect()
       pr.count()
     })
-    val prDistinct = operators.DedupQueries.pageRankOf(prPairs)
+    // Invariant reads reuse the checkpointed frame — re-running the
+    // 3-iteration kernel here would double the stage's wall time.
+    val prDistinct = pr
       .groupBy(col("degree")).agg(countDistinct(col("rank_e12")).as("nv"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     require(prTop.head.getLong(0) == hub, s"hot hub is not the top-ranked node: ${prTop.head}")

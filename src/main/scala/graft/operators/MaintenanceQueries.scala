@@ -235,7 +235,11 @@ object MaintenanceQueries extends QueryPack {
     val w = Window.orderBy(col("bytes").desc, col("file"))
     files.crossJoin(tot)
       .withColumn("cum", sum("bytes").over(w))
-      .withColumn("bin", expr(s"CAST(((cum - bytes) * $nBins) DIV total AS INT)"))
+      // The CASE guards ANSI divide-by-zero on an all-empty-files
+      // manifest (total = 0): everything lands in bin 0, which is also
+      // the correct plan for zero bytes (one trivial rewrite group).
+      .withColumn("bin", expr(
+        s"CAST(CASE WHEN total = 0 THEN 0 ELSE ((cum - bytes) * $nBins) DIV total END AS INT)"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n_files"),
         sum("bytes").as("group_bytes"),
@@ -322,7 +326,8 @@ object MaintenanceQueries extends QueryPack {
                          SUM(bytes) OVER (ORDER BY bytes DESC, file
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
                   FROM files CROSS JOIN tot)
-         SELECT CAST(((cum - bytes) * 8) // total AS INT) AS bin,
+         SELECT CAST(CASE WHEN total = 0 THEN 0
+                     ELSE ((cum - bytes) * 8) // total END AS INT) AS bin,
                 CAST(COUNT(*) AS BIGINT) AS n_files,
                 CAST(SUM(bytes) AS BIGINT) AS group_bytes,
                 CAST(SUM(n_docs) AS BIGINT) AS group_docs,

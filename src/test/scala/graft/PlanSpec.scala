@@ -249,10 +249,12 @@ class PlanSpec extends SparkSpec {
     val p = plan("graph_pagerank")
     // The hot-hub reduction (many contributions to one destination key)
     // must combine map-side; a missing partial agg would ship every edge
-    // contribution row through the exchange.
-    assert(p.indexOf("HashAggregate") >= 0 &&
-      p.indexOf("HashAggregate") < p.indexOf("Exchange hashpartitioning"),
-      s"no map-side partial aggregation before the incoming-sum shuffle:\n$p")
+    // contribution row through the exchange. Assert the partial MODE
+    // explicitly — a merge/final HashAggregate above the exchange prints
+    // first in the top-down plan text, so ordering alone can't catch a
+    // missing map-side half.
+    assert(p.contains("partial_sum"),
+      s"no map-side partial aggregation of the incoming sums:\n$p")
     assert(!p.contains("CartesianProduct"), s"rank join degenerated:\n$p")
   }
 

@@ -138,6 +138,16 @@ class PlannerOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_compaction_plan survives an all-zero-byte manifest (one trivial bin)") {
+    // Empty-text docs → every file totals 0 bytes; the scaled-fill
+    // divisor is 0 and the ANSI guard must route everything to bin 0
+    // instead of throwing DIVIDE_BY_ZERO.
+    val dir = stageDocs(Seq((1L, "", "en", "s0"), (2L, "", "en", "s1")))
+    val out = MaintenanceQueries.queries("q_compaction_plan")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0, 2L, 0L)))
+  }
+
   test("text_bpe_pairs counts frequency-weighted adjacent char pairs over the vocab") {
     // Corpus: "abab" ×3 (as word freq), "bc" ×2, "a" (too short, dropped).
     val dir = stageDocs(Seq(
