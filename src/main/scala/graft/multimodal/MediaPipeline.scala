@@ -1204,4 +1204,170 @@ object MediaPipeline {
       })
       .toDF()
   }
+
+  // ---------------------------------------------------------------- GIF
+
+  /** Typed animation metadata [[decodeGif]] extracts per GIF payload. */
+  case class GifMeta(doc_id: Long, source: String, bytes: Long,
+                     version: String, width: Int, height: Int,
+                     gct_colors: Int, n_frames: Int, data_bytes: Long)
+
+  /** REAL metadata parse for the GIF container (the public GIF87a/89a
+    * spec) — the sixth format, and the first whose frame count requires
+    * walking LENGTH-PREFIXED SUB-BLOCK CHAINS: after the 6-byte magic and
+    * the little-endian logical screen descriptor (+ optional global color
+    * table of 3·2^(N+1) bytes), the file is a block sequence — 0x21
+    * extensions (label + sub-block chain), 0x2C image descriptors (9-byte
+    * LE geometry + optional LOCAL color table + LZW min-code byte + the
+    * compressed-data sub-block chain), 0x3B trailer. A sub-block chain is
+    * (len byte, len bytes)… until a 0 len — so counting frames means
+    * skipping every chain EXACTLY; any off-by-one desynchronizes the walk
+    * and the strict block dispatch below aborts to None. Bytes after the
+    * trailer are ignored (trailing garbage is ubiquitous in the wild and
+    * the staging appends the doc payload there on purpose). Returns
+    * (version, width, height, global-palette colors or 0, frame count,
+    * total LZW sub-block payload bytes — the length-walk pin). */
+  def decodeGif(media: Array[Byte]): Option[(String, Int, Int, Int, Int, Long)] = {
+    if (media.length < 13) return None
+    val magic = new String(media, 0, 6, "US-ASCII")
+    if (magic != "GIF87a" && magic != "GIF89a") return None
+    def u16(off: Int): Int = (media(off) & 0xff) | ((media(off + 1) & 0xff) << 8)
+    val width = u16(6); val height = u16(8)
+    val packed = media(10) & 0xff
+    val gctColors = if ((packed & 0x80) != 0) 1 << ((packed & 0x07) + 1) else 0
+    var off = 13 + (if (gctColors > 0) 3 * gctColors else 0)
+    // Walks a sub-block chain starting at `p`; returns (bytes walked
+    // EXCLUDING the terminator's len byte, position after terminator),
+    // or None when the chain runs off the buffer.
+    def subBlocks(p0: Int): Option[(Long, Int)] = {
+      var p = p0; var total = 0L
+      while (p < media.length && (media(p) & 0xff) != 0) {
+        val len = media(p) & 0xff
+        if (p + 1 + len > media.length) return None
+        total += len
+        p += 1 + len
+      }
+      if (p >= media.length) None else Some((total, p + 1))
+    }
+    var frames = 0
+    var dataBytes = 0L
+    while (off < media.length) {
+      (media(off) & 0xff) match {
+        case 0x3b => // trailer: done; trailing bytes are ignored
+          return Some((magic.substring(3), width, height, gctColors, frames, dataBytes))
+        case 0x21 => // extension: label byte + sub-block chain
+          if (off + 2 > media.length) return None
+          subBlocks(off + 2) match {
+            case Some((_, next)) => off = next
+            case None => return None
+          }
+        case 0x2c => // image descriptor
+          if (off + 10 > media.length) return None
+          val ipacked = media(off + 9) & 0xff
+          val lct = if ((ipacked & 0x80) != 0) 3 * (1 << ((ipacked & 0x07) + 1)) else 0
+          val lzwAt = off + 10 + lct
+          if (lzwAt + 1 > media.length) return None
+          subBlocks(lzwAt + 1) match {
+            case Some((n, next)) => frames += 1; dataBytes += n; off = next
+            case None => return None
+          }
+        case _ => return None // unknown block byte: desynchronized or corrupt
+      }
+    }
+    None // EOF before the trailer: truncated
+  }
+
+  /** The staged GIF parameters for doc `id` — pure doc_id arithmetic so
+    * the DuckDB oracle replicates what the staging WROTE while Spark
+    * re-derives them by walking real bytes. id%4==1 rows have NO global
+    * palette (the walk must not skip phantom bytes), (id+j)%2==0 frames
+    * carry a graphic-control extension, id%7==0 files open with a
+    * two-sub-block comment extension, and frame 1 of id%5==0 files has a
+    * LOCAL color table — each a distinct skip the walk must get exactly
+    * right to stay synchronized. */
+  def gifVersion(id: Long): String = if (id % 2 == 0) "89a" else "87a"
+  def gifWidth(id: Long): Int = ((id * 3) % 500 + 10).toInt
+  def gifHeight(id: Long): Int = ((id * 7) % 300 + 10).toInt
+  def gifGctColors(id: Long): Int =
+    if (id % 4 == 1) 0 else 1 << ((id % 8) + 1).toInt
+  def gifFrames(id: Long): Int = (1 + id % 4).toInt
+  def gifSub1(id: Long, j: Int): Int = (1 + (id * 13 + j * 7) % 200).toInt
+  def gifSub2(id: Long, j: Int): Int = (1 + (id * 11 + j * 3) % 150).toInt
+
+  /** A COMPLETE valid GIF (header through trailer) for doc `id`. */
+  private[multimodal] def gifBytes(id: Long): Array[Byte] = {
+    val out = Array.newBuilder[Byte]
+    out ++= s"GIF${gifVersion(id)}".getBytes("US-ASCII")
+    val w = gifWidth(id); val h = gifHeight(id)
+    out += (w & 0xff).toByte += ((w >> 8) & 0xff).toByte
+    out += (h & 0xff).toByte += ((h >> 8) & 0xff).toByte
+    val gct = gifGctColors(id)
+    val packed =
+      if (gct > 0) 0x80 | ((id % 8).toInt & 0x07) else 0x00
+    out += packed.toByte += 0.toByte += 0.toByte // bg index, aspect
+    for (i <- 0 until 3 * gct) out += ((i * 7 + id) % 251).toByte
+    if (id % 7 == 0) { // comment extension, two sub-blocks
+      out += 0x21.toByte += 0xfe.toByte
+      out += 5.toByte; out ++= "graft".getBytes("US-ASCII")
+      out += 3.toByte; out ++= "gif".getBytes("US-ASCII")
+      out += 0.toByte
+    }
+    for (j <- 0 until gifFrames(id)) {
+      if ((id + j) % 2 == 0) { // graphic control extension
+        out += 0x21.toByte += 0xf9.toByte += 4.toByte
+        out += 0.toByte += 10.toByte += 0.toByte += 0.toByte // delay 10cs
+        out += 0.toByte
+      }
+      out += 0x2c.toByte // image descriptor
+      out += 0.toByte += 0.toByte += 0.toByte += 0.toByte // left, top
+      out += (w & 0xff).toByte += ((w >> 8) & 0xff).toByte
+      out += (h & 0xff).toByte += ((h >> 8) & 0xff).toByte
+      val lctExp = (id % 3).toInt
+      val hasLct = j == 1 && id % 5 == 0
+      out += (if (hasLct) (0x80 | lctExp) else 0x00).toByte
+      if (hasLct) for (i <- 0 until 3 * (1 << (lctExp + 1)))
+        out += ((i * 5 + id) % 249).toByte
+      out += 8.toByte // LZW min code size
+      val l1 = gifSub1(id, j); val l2 = gifSub2(id, j)
+      out += l1.toByte; for (i <- 0 until l1) out += ((i + id + j) % 253).toByte
+      out += l2.toByte; for (i <- 0 until l2) out += ((i * 3 + id) % 247).toByte
+      out += 0.toByte // chain terminator
+    }
+    out += 0x3b.toByte // trailer
+    out.result()
+  }
+
+  /** GIF-staged media table: every 3rd doc becomes a COMPLETE staged GIF
+    * with the doc payload appended AFTER the trailer (real files often
+    * carry trailing junk; the walk must stop at 0x3B, not at EOF), the
+    * rest stay bare — the animation pass must dispatch on real bytes. */
+  def gifTableStaged(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, src, text) =>
+        val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val media =
+          if (id % 3 == 0) gifBytes(id) ++ payload
+          else payload
+        MediaRow(id, src, media)
+      })
+      .toDF()
+  }
+
+  /** Animation-metadata pass over the GIF-staged mixed corpus: rows whose
+    * bytes survive the block walk yield [[GifMeta]]; bare payloads fail
+    * the magic check and are dropped by the parse itself. */
+  def decodedGif(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    gifTableStaged(s, dir).as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        decodeGif(r.media).map { case (ver, w, h, gct, frames, db) =>
+          GifMeta(r.doc_id, r.source, r.media.length.toLong, ver, w, h,
+            gct, frames, db)
+        }
+      })
+      .toDF()
+  }
 }

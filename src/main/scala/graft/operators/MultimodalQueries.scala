@@ -191,6 +191,26 @@ object MultimodalQueries extends QueryPack {
           max("duration_ms").as("max_duration_ms"))
         .orderBy("source", "brand")),
 
+    // Animation-metadata pass: every 3rd doc is staged as a COMPLETE GIF
+    // (magic + LE logical screen descriptor + optional global palette +
+    // extension/image-descriptor block sequence + trailer, payload
+    // appended after the trailer as trailing junk); Spark re-derives the
+    // metadata by WALKING the blocks — frame counting requires skipping
+    // every length-prefixed LZW sub-block chain exactly, and the fixture
+    // varies palettes (absent / global / LOCAL on one frame), graphic-
+    // control and comment extensions so each skip is load-bearing.
+    // data_bytes (total sub-block payload) pins the length walk itself.
+    "mm_gif_meta" -> ((s, d) =>
+      MediaPipeline.decodedGif(s, d)
+        .groupBy("source", "version")
+        .agg(
+          count(lit(1)).as("n_gifs"),
+          sum(col("width").cast("long") * col("height")).as("px_sum"),
+          max("gct_colors").as("max_colors"),
+          sum(col("n_frames").cast("long")).as("frames_total"),
+          sum("data_bytes").as("data_total"))
+        .orderBy("source", "version")),
+
     // Binary content dedup — exact dedup on the raw payload bytes (md5
     // over the binary column, BEFORE any decode), reporting the storage a
     // dedup pass reclaims. Map-only hash + one uniform-key shuffle; at
@@ -445,6 +465,30 @@ object MultimodalQueries extends QueryPack {
     // free (8+12=20) + mvhd (120 for v1, else 108) + mdat header (8);
     // duration_ms is integer floor division, matching the JVM Long
     // arithmetic exactly.
+    // The staged-GIF model in SQL: frame count and per-frame sub-block
+    // lengths are pure doc_id arithmetic; data bytes need one unnest over
+    // range(frames) per gif.
+    "mm_gif_meta" ->
+      """WITH g AS (SELECT doc_id, source,
+                           CASE WHEN doc_id % 2 = 0 THEN '89a' ELSE '87a' END AS version,
+                           (doc_id * 3) % 500 + 10 AS w,
+                           (doc_id * 7) % 300 + 10 AS h,
+                           CASE WHEN doc_id % 4 = 1 THEN 0
+                                ELSE (1 << CAST((doc_id % 8) + 1 AS INT)) END AS gct,
+                           1 + doc_id % 4 AS frames
+                    FROM documents WHERE doc_id % 3 = 0),
+            fj AS (SELECT doc_id, unnest(range(frames)) AS j FROM g),
+            db AS (SELECT doc_id,
+                          CAST(SUM(2 + (doc_id * 13 + j * 7) % 200
+                                     + (doc_id * 11 + j * 3) % 150) AS BIGINT) AS data_bytes
+                   FROM fj GROUP BY 1)
+         SELECT source, version, CAST(COUNT(*) AS BIGINT) AS n_gifs,
+                CAST(SUM(w * h) AS BIGINT) AS px_sum,
+                CAST(MAX(gct) AS INT) AS max_colors,
+                CAST(SUM(frames) AS BIGINT) AS frames_total,
+                CAST(SUM(db.data_bytes) AS BIGINT) AS data_total
+         FROM g JOIN db USING (doc_id)
+         GROUP BY source, version ORDER BY source, version""",
     "mm_mp4_meta" ->
       """WITH v AS (SELECT doc_id, source, strlen(text) AS b
                     FROM documents WHERE doc_id % 3 = 0),

@@ -96,6 +96,34 @@ object SourceQueries extends QueryPack {
         .orderBy("site")
     }),
 
+    // WARC → WET text extraction — the chain a crawl corpus actually runs
+    // after ingest: for every response record, parse the PAYLOAD as an
+    // HTTP/1.1 message (status line / headers / CRLFCRLF body split),
+    // gate on status and media type, and extract body text. The oracle
+    // regenerates the closed-form HTTP fixture model; the checksum is
+    // summed over 200-status responses ONLY, so the status-line parse
+    // gates content, and body_tokens pins the text split. Same
+    // one-task-per-shard scale shape as warc_ingest.
+    "warc_http_extract" -> ((s, d) => {
+      val paths = graft.sources.WarcSource.stageHttpFixture(
+        Stage.dir(d, "warc_http"))
+      graft.sources.WarcSource.httpResponses(s, paths)
+        .withColumn("site",
+          regexp_extract(col("uri"), "http://(h\\d+)\\.example", 1))
+        .groupBy("site")
+        .agg(
+          count(lit(1)).as("n_responses"),
+          sum(when(col("status") === 200, 1L).otherwise(0L)).as("n_ok"),
+          sum(when(col("media_type") === "text/html", 1L).otherwise(0L)).as("n_html"),
+          sum("body_len").as("body_bytes"),
+          sum("body_tokens").as("token_sum"),
+          sum(when(col("status") === 200,
+            graft.functions.PortableHash.h60p(
+              concat(col("uri"), lit("|"), col("body_md5"))))
+            .otherwise(0L)).as("ok_checksum"))
+        .orderBy("site")
+    }),
+
     // GZIP-compressed CSV round-trip — the shape real LLM corpora arrive
     // in (Common-Crawl-style compressed shards). Spark's text sources
     // decompress by file extension natively; the SCALE caveat is that
@@ -279,6 +307,32 @@ object SourceQueries extends QueryPack {
                  CAST(SUM(len) AS BIGINT) AS payload_bytes,
                  CAST(SUM(idx * len) AS BIGINT) AS moment,
                  CAST(SUM(${graft.functions.PortableHash.h60pSql("keyed")}) AS BIGINT) AS checksum
+          FROM p GROUP BY 1 ORDER BY site""",
+    // Dir-independent like warc_ingest: the oracle regenerates the HTTP
+    // fixture model (12 shards × 6+(f%3) responses; body = "tok "×T with
+    // the trailing space trimmed → length 4T−1, tokens T).
+    "warc_http_extract" ->
+      s"""WITH shards AS (SELECT unnest(range(12)) AS f),
+            resp AS (SELECT f, unnest(range(6 + (f % 3))) AS i FROM shards),
+            m AS (SELECT f, i,
+                         'http://h' || (f % 5) || '.example/f' || f || '/r' || i AS uri,
+                         CASE WHEN i % 5 = 4 THEN 404 ELSE 200 END AS status,
+                         CASE WHEN i % 2 = 0 THEN 'text/html' ELSE 'text/plain' END AS mt,
+                         5 + (f * 7 + i * 11) % 50 AS t
+                  FROM resp),
+            p AS (SELECT 'h' || (f % 5) AS site, status, mt,
+                         CAST(4 * t - 1 AS BIGINT) AS blen,
+                         CAST(t AS BIGINT) AS toks,
+                         uri || '|' || md5(rtrim(repeat('tok ', CAST(t AS INT)))) AS keyed
+                  FROM m)
+          SELECT site, CAST(COUNT(*) AS BIGINT) AS n_responses,
+                 CAST(SUM(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+                 CAST(SUM(CASE WHEN mt = 'text/html' THEN 1 ELSE 0 END) AS BIGINT) AS n_html,
+                 CAST(SUM(blen) AS BIGINT) AS body_bytes,
+                 CAST(SUM(toks) AS BIGINT) AS token_sum,
+                 CAST(SUM(CASE WHEN status = 200
+                          THEN ${graft.functions.PortableHash.h60pSql("keyed")}
+                          ELSE 0 END) AS BIGINT) AS ok_checksum
           FROM p GROUP BY 1 ORDER BY site""",
     "csv_roundtrip" ->
       s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -45,6 +45,19 @@ object WarcSource {
     * everything before the damage is still returned. */
   def parseWarc(fileName: String, bytes: Array[Byte]): (Seq[WarcRecord], Boolean) = {
     val out = Seq.newBuilder[WarcRecord]
+    val clean = walkWarc(bytes) { (idx, recType, uri, payOff, payLen) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(java.util.Arrays.copyOfRange(bytes, payOff, payOff + payLen))
+        .map("%02x".format(_)).mkString
+      out += WarcRecord(fileName, idx, recType, uri, payLen.toLong, md)
+    }
+    (out.result(), clean)
+  }
+
+  /** The shared framing walk: calls `f(idx, type, uri, payloadOffset,
+    * payloadLength)` per well-framed record, returns the clean-EOF flag. */
+  private def walkWarc(bytes: Array[Byte])
+                      (f: (Int, String, String, Int, Int) => Unit): Boolean = {
     var off = 0
     var idx = 0
     var clean = true
@@ -90,17 +103,14 @@ object WarcSource {
               bytes(p + len.toInt + 2) != Crlf(0) || bytes(p + len.toInt + 3) != Crlf(1)) {
             clean = false; halted = true
           } else {
-            val md = java.security.MessageDigest.getInstance("MD5")
-              .digest(java.util.Arrays.copyOfRange(bytes, p, p + len.toInt))
-              .map("%02x".format(_)).mkString
-            out += WarcRecord(fileName, idx, recType, uri, len, md)
+            f(idx, recType, uri, p, len.toInt)
             idx += 1
             off = p + len.toInt + 4
           }
         case _ => clean = false; halted = true
       }
     }
-    (out.result(), clean)
+    clean
   }
 
   /** Distributed WARC record frame over explicit shard paths — one task
@@ -181,6 +191,118 @@ object WarcSource {
       d.mkdirs()
       paths.zipWithIndex.foreach { case (p, f) =>
         java.nio.file.Files.write(java.nio.file.Paths.get(p), fixtureShard(f))
+      }
+      marker.createNewFile(): Unit
+    }
+    paths
+  }
+
+  // ---- HTTP extraction (the WARC → WET text-extraction chain) ----
+
+  /** One HTTP response extracted from a WARC response record's payload:
+    * status code, media type (Content-Type up to any ';'), body length,
+    * body md5 hex, and whitespace-token count of the body. */
+  case class HttpRecord(file: String, idx: Int, uri: String, status: Int,
+                        media_type: String, body_len: Long,
+                        body_md5: String, body_tokens: Long)
+
+  /** Parse an HTTP/1.1 response message: status line, headers up to the
+    * blank line, body = the rest. None when the payload is not an HTTP
+    * response (no CRLFCRLF split, or a malformed status line) — a WARC
+    * can legally carry non-HTTP payloads. */
+  private[sources] def parseHttpPayload(bytes: Array[Byte]): Option[(Int, String, Array[Byte])] = {
+    // Find the header/body split.
+    var i = 0
+    var split = -1
+    while (split < 0 && i + 3 < bytes.length) {
+      if (bytes(i) == '\r' && bytes(i + 1) == '\n' &&
+          bytes(i + 2) == '\r' && bytes(i + 3) == '\n') split = i
+      i += 1
+    }
+    if (split < 0) return None
+    val head = new String(bytes, 0, split, "US-ASCII")
+    val lines = head.split("\r\n", -1)
+    val status = lines.head.split(" ")
+    if (status.length < 2 || !status(0).startsWith("HTTP/")) return None
+    val code = try status(1).toInt catch { case _: NumberFormatException => return None }
+    val ctype = lines.tail
+      .find(_.toLowerCase.startsWith("content-type:"))
+      .map(_.substring("content-type:".length).trim.takeWhile(_ != ';').trim)
+      .getOrElse("")
+    Some((code, ctype, java.util.Arrays.copyOfRange(bytes, split + 4, bytes.length)))
+  }
+
+  /** Distributed WET-style extraction: every WARC *response* record whose
+    * payload parses as an HTTP response becomes one [[HttpRecord]] row.
+    * Same loud-failure contract on unframeable shards as [[records]]. */
+  def httpResponses(spark: SparkSession, paths: Seq[String],
+                    tolerateUnclean: Boolean = false): DataFrame = {
+    import spark.implicits._
+    FileSources.readWholeFilesBytes(spark, paths)
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        val out = Seq.newBuilder[HttpRecord]
+        val clean = walkWarc(bytes) { (idx, recType, uri, payOff, payLen) =>
+          if (recType == "response") {
+            val payload = java.util.Arrays.copyOfRange(bytes, payOff, payOff + payLen)
+            parseHttpPayload(payload).foreach { case (code, ctype, body) =>
+              val md = java.security.MessageDigest.getInstance("MD5")
+                .digest(body).map("%02x".format(_)).mkString
+              val toks = new String(body, "US-ASCII")
+                .split(" ").count(_.nonEmpty).toLong
+              out += HttpRecord(name, idx, uri, code, ctype,
+                body.length.toLong, md, toks)
+            }
+          }
+        }
+        if (!clean && !tolerateUnclean)
+          throw new IllegalArgumentException(
+            s"$path: unframeable trailing bytes " +
+            "(truncated or corrupt WARC; pass tolerateUnclean=true to salvage)")
+        out.result()
+      }
+      .toDF()
+  }
+
+  // HTTP fixture: 12 shards; shard f carries 6 + (f % 3) responses whose
+  // payloads are REAL HTTP/1.1 messages. Response i of shard f:
+  //   uri    = http://h{f%5}.example/f{f}/r{i}
+  //   status = 404 when i % 5 == 4 else 200
+  //   type   = text/html when i % 2 == 0 else text/plain
+  //   body   = "tok " × T, trailing space trimmed; T = 5 + (f*7 + i*11) % 50
+  // so body_len = 4T − 1 and body_tokens = T — closed-form for the oracle.
+
+  def httpFixtureFiles(dir: String): Seq[String] =
+    (0 until 12).map(f => f"$dir/http$f%02d.warc")
+
+  private[graft] def httpFixtureShard(f: Int): Array[Byte] = {
+    val buf = Array.newBuilder[Byte]
+    buf ++= record("warcinfo", None, f"hinfo-$f%02d",
+      "software: graft\r\n".getBytes("US-ASCII"))
+    for (i <- 0 until (6 + f % 3)) {
+      val uri = s"http://h${f % 5}.example/f$f/r$i"
+      val status = if (i % 5 == 4) "404 Not Found" else "200 OK"
+      val ctype = if (i % 2 == 0) "text/html" else "text/plain"
+      val t = 5 + (f * 7 + i * 11) % 50
+      val body = ("tok " * t).stripSuffix(" ")
+      val http = s"HTTP/1.1 $status\r\nContent-Type: $ctype\r\n" +
+        s"X-Crawler: graft\r\n\r\n$body"
+      buf ++= record("response", Some(uri), f"hrsp-$f%02d-$i%02d",
+        http.getBytes("US-ASCII"))
+    }
+    buf.result()
+  }
+
+  /** Stage the HTTP fixture (same idempotence contract as [[stageFixture]]). */
+  def stageHttpFixture(dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    val marker = new java.io.File(d, "_STAGED_WARC_HTTP_V1")
+    val paths = httpFixtureFiles(dir)
+    if (!marker.exists()) {
+      d.mkdirs()
+      paths.zipWithIndex.foreach { case (p, f) =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(p), httpFixtureShard(f))
       }
       marker.createNewFile(): Unit
     }

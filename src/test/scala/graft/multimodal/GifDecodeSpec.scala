@@ -1,0 +1,80 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import graft.multimodal.MediaPipeline._
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Block-walk pins for the GIF decoder: the oracle gate proves the staged
+  * round-trip corpus-wide; these prove each skip (global/local palettes,
+  * extension sub-block chains) is load-bearing and that malformed bytes
+  * abort instead of desynchronizing silently.
+  */
+class GifDecodeSpec extends SparkSpec {
+
+  test("gifBytes round-trips through decodeGif for every fixture residue class") {
+    // ids covering: version (id%2), no-GCT (id%4==1), all GCT exponents
+    // (id%8), comment ext (id%7==0), LCT frame (id%5==0), 1-4 frames.
+    for (id <- 0L to 120L) {
+      val got = decodeGif(gifBytes(id))
+      val expData = (0 until gifFrames(id)).map(j =>
+        gifSub1(id, j).toLong + gifSub2(id, j)).sum
+      assert(got.contains((gifVersion(id), gifWidth(id), gifHeight(id),
+        gifGctColors(id), gifFrames(id), expData)), s"id=$id: $got")
+    }
+  }
+
+  test("bytes after the trailer are ignored; bytes before EOF without trailer abort") {
+    val base = gifBytes(12L)
+    assert(decodeGif(base ++ "trailing junk GIF89a not a file".getBytes("US-ASCII"))
+      == decodeGif(base))
+    assert(decodeGif(base.dropRight(1)).isEmpty) // trailer removed → truncated
+  }
+
+  test("a corrupted sub-block length desynchronizes the walk and aborts") {
+    val id = 9L // no comment ext, has GCT; first frame has a GCE (id+0 even... 9+0 odd → no)
+    val bytes = gifBytes(id)
+    // First image descriptor's first data sub-block length byte: locate
+    // 0x2C, skip 9-byte geometry + packed + LZW byte → len byte.
+    val imgAt = bytes.indexWhere(_ == 0x2c.toByte)
+    assert(imgAt > 0)
+    val lenAt = imgAt + 10 + 1 // descriptor(10 incl. block byte) + lzw min code
+    val smashed = bytes.clone()
+    smashed(lenAt) = 0.toByte // chain "ends" immediately → walk lands in data
+    assert(decodeGif(smashed).isEmpty)
+  }
+
+  test("wrong magic, short header and unknown block bytes all abort") {
+    assert(decodeGif("GIF99a".getBytes("US-ASCII") ++ new Array[Byte](20)).isEmpty)
+    assert(decodeGif("GIF89a".getBytes("US-ASCII")).isEmpty) // no descriptor
+    val noBlocks = gifBytes(1L) // id%4==1 → no GCT, makes offsets easy
+    val bad = noBlocks.clone()
+    // First block byte after the 13-byte descriptor (id=1 has no GCT, no
+    // comment ext): make it an unknown 0x55.
+    bad(13) = 0x55.toByte
+    assert(decodeGif(bad).isEmpty)
+  }
+}
+
+/** Totality fuzz: GIF-magic-prefixed garbage and truncations never throw. */
+object GifDecodeProps extends Properties("gifDecode") {
+  import MediaPipeline._
+
+  private val rawBytes: Gen[Array[Byte]] =
+    Gen.listOf(Gen.chooseNum(0, 255).map(_.toByte)).map(_.toArray)
+  private val fuzz: Gen[Array[Byte]] = Gen.oneOf(
+    rawBytes,
+    rawBytes.map(b => "GIF89a".getBytes("US-ASCII") ++ b),
+    rawBytes.map(b => "GIF87a".getBytes("US-ASCII") ++ b),
+    Gen.chooseNum(0L, 10000L).flatMap(id => Gen.chooseNum(0, 80).map(k =>
+      gifBytes(id).dropRight(k))))
+
+  property("decodeGif is total on arbitrary magic-prefixed bytes") =
+    Prop.forAll(fuzz) { bytes => decodeGif(bytes); true }
+
+  property("GIF round-trip holds for arbitrary ids") =
+    Prop.forAll(Gen.chooseNum(0L, 1000000L)) { id =>
+      decodeGif(gifBytes(id)).exists(m =>
+        m._2 == gifWidth(id) && m._3 == gifHeight(id) &&
+          m._5 == gifFrames(id))
+    }
+}

@@ -91,6 +91,45 @@ class WarcSourceSpec extends SparkSpec {
     assert(salvaged.toSeq == Seq("http://g/1"))
   }
 
+  test("parseHttpPayload splits status/headers/body and strips type parameters") {
+    val msg = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+      "X-Other: v\r\n\r\nbody text here"
+    val Some((code, ctype, body)) = WarcSource.parseHttpPayload(
+      msg.getBytes("US-ASCII")): @unchecked
+    assert(code == 200 && ctype == "text/html")
+    assert(new String(body, "US-ASCII") == "body text here")
+    // Body may itself contain CRLFCRLF — only the FIRST split counts.
+    val nested = "HTTP/1.1 404 Not Found\r\n\r\na\r\n\r\nb"
+    val Some((c2, t2, b2)) = WarcSource.parseHttpPayload(
+      nested.getBytes("US-ASCII")): @unchecked
+    assert(c2 == 404 && t2 == "" && new String(b2, "US-ASCII") == "a\r\n\r\nb")
+  }
+
+  test("parseHttpPayload rejects non-HTTP payloads") {
+    for (bad <- Seq("no split at all", "not http\r\n\r\nbody",
+        "HTTP/1.1 abc OK\r\n\r\nx", "HTTP/1.1\r\n\r\nx"))
+      assert(WarcSource.parseHttpPayload(bad.getBytes("US-ASCII")).isEmpty, bad)
+  }
+
+  test("httpResponses extracts only response records that parse as HTTP") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_http_spec_")
+      .toFile.getAbsolutePath
+    val f = s"$dir/mix.warc"
+    val bytes =
+      rec("request", Some("http://x/1"), "GET\r\n") ++
+      rec("response", Some("http://x/1"),
+        "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\none two  three") ++
+      rec("response", Some("http://x/2"), "raw non-http payload")
+    java.nio.file.Files.write(java.nio.file.Paths.get(f), bytes)
+    val rows = WarcSource.httpResponses(spark, Seq(f)).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("uri") == "http://x/1" &&
+      r.getAs[Int]("status") == 200 &&
+      r.getAs[String]("media_type") == "text/plain" &&
+      r.getAs[Long]("body_tokens") == 3L) // double space yields no empty token
+  }
+
   test("the staged fixture round-trips: 24 clean shards, 156 responses, decoys intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_warc_fix_")
       .toFile.getAbsolutePath
