@@ -146,16 +146,18 @@ object Bench {
     // scripts/baseline.py, same boot, composed at the conservative end:
     // the 153-SQL composed floor (33.7 — see BASELINE.md's 153-SQL row
     // for its own conservative construction) plus the measured per-query
-    // MINIMUM cost of the 10 SQLs added later the same day (7.375 s over
-    // three 163-SQL draws; graph_pagerank 3.74 and dedup_canonical_best
-    // 3.30 dominate — their oracles re-run the brute shingle-pair CTE
-    // that Spark's cached LSH index avoids). Direct 163-SQL draws on the
-    // by-then-noisier box ran 45.9-62.3 at loadavg 3.8-4.9, all ABOVE
-    // this number — a smaller denominator can only overstate, never
-    // flatter, Spark's relative cost. Env overrides for re-derived
-    // denominators; the fallback keeps `vs_baseline` on the driver's
-    // line, which sets no env. Only meaningful at sf0.1.
-    val FallbackBaselineSec = 41.0
+    // MINIMUM cost of the 10 SQLs added next (7.375 s over three 163-SQL
+    // draws; graph_pagerank 3.74 and dedup_canonical_best 3.30 dominate —
+    // their oracles re-run the brute shingle-pair CTE that Spark's
+    // cached LSH index avoids) plus the min cost of the final four
+    // (1.588 s — dedup_threshold_curve's 1.561 is the same brute CTE;
+    // the warc/gif model-regen oracles are ~0.01-0.02). Direct 163-SQL
+    // draws on the by-then-noisier box ran 45.9-62.3 at loadavg 3.8-4.9,
+    // all ABOVE the composition — a smaller denominator can only
+    // overstate, never flatter, Spark's relative cost. Env overrides for
+    // re-derived denominators; the fallback keeps `vs_baseline` on the
+    // driver's line, which sets no env. Only meaningful at sf0.1.
+    val FallbackBaselineSec = 42.6
     val baselineEnv = sys.env.get("SPARK_GRAFT_BASELINE_SEC")
     val baselineParsed = baselineEnv
       .flatMap(s => scala.util.Try(s.toDouble).toOption)

@@ -474,6 +474,39 @@ object Stress {
     smj.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val (b2, _) = time("q3_join sort-merge only", SparkEntry.queries("q3_join")(smj, sfDir).count())
 
+    // WARC parse throughput: 200 synthetic shards × 500 response records
+    // (≈100k records, ~31 MB of framed bytes built distributed, one shard
+    // per row) pushed through the strict Content-Length walk — the shape
+    // of a real crawl ingest (one task per shard; parse is a single
+    // forward pass). The per-record decoy prefix keeps the measurement
+    // honest: the parser is doing framing work, not memchr.
+    import spark.implicits._
+    val warcShards = spark.range(200).select(col("id").cast("int").as("f"))
+      .as[Int].map { f =>
+        val buf = Array.newBuilder[Byte]
+        for (i <- 0 until 500) {
+          val body = (if (i % 3 == 0) "WARC/1.0\r\nX: decoy\r\n" else "") +
+            "x" * (40 + (f * 31 + i * 7) % 100)
+          val head = s"WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Record-ID: <urn:uuid:$f-$i>\r\n" +
+            s"WARC-Target-URI: http://s$f/p$i\r\n" +
+            s"Content-Length: ${body.length}\r\n\r\n"
+          buf ++= head.getBytes("US-ASCII")
+          buf ++= body.getBytes("US-ASCII")
+          buf ++= "\r\n\r\n".getBytes("US-ASCII")
+        }
+        (f.toString, buf.result())
+      }.localCheckpoint()
+    val warcBytes = warcShards.map(_._2.length.toLong).reduce(_ + _)
+    val (warcSec, warcRecs) = time("warc parse 100k records", {
+      warcShards.flatMap { case (n, b) =>
+        val (recs, clean) = graft.sources.WarcSource.parseWarc(n, b)
+        require(clean, s"shard $n unclean"); recs
+      }.count()
+    })
+    require(warcRecs == 100000L, s"warc stress lost records: $warcRecs")
+    println(f"[stress] warc: $warcRecs%,d records / $warcBytes%,d bytes in $warcSec%.2f s (${warcRecs / warcSec / 1000}%.0f k rec/s)")
+
     // PageRank kernel on a synthetic 1.1M-edge graph with a 100k-degree
     // hot hub: the hub's incoming-contribution sum is the skew-prone
     // reduction (100k rows to ONE destination key) — partial aggregation
@@ -536,7 +569,7 @@ object Stress {
     }
     println(f"[stress] compaction: 100k files, $cpBins bins, $cpSec%.2f s, max-file/target ratio ${manMax * 8.0 / manTotal}%.2f")
 
-    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"embed_ivf_10x":{"vecs":$embDocs,"nlist16_sec":$iv,"nlist16_pairs":$niv,"nlist128_sec":$iv2,"nlist128_pairs":$niv2},"codebook_hot_vector":{"vecs":$nAdv,"clones":$hotClones,"fit_sec":$fitSec,"nonempty_cells":$nonEmptyCells,"max_cell_share":$maxCellShare,"neardup_sec":$advSec,"neardup_pairs":$nAdvPairs,"planted_pairs":$plantedPairs},"bloom_10x":{"orders":$nOrd,"smj_sec":$sj,"smj_rows":$nsj,"probe_sec":$bp,"probe_rows":$nbp,"verify_sec":$bv,"verify_rows":$nbv},"ingest_many_files":{"files":$ingestN,"hidden_frac":0.333,"sec":$ingestSec,"words":${ingested.size},"fold_match":true},"skew_join_hot":{"hot_rows":$hotRows,"buckets_hit":${buckets.size},"max_bucket_rows":$maxBucket,"salted_sec":$saltSec,"plain_sec":$plainSec,"match":true},"span_hot_gram":{"docs":$tenxDocs,"plain_sec":$spSec,"plain_rows":$spRows,"hot_sec":$shSec,"hot_rows":$shRows,"min_shared_windows":$minShared},"incremental_ingest":{"batch_rows":$nBatch,"corpus_docs":$tenxDocs,"new_docs":$incNew,"expected_new":$expectedNew,"sec":$incSec,"match":true},"stream_state":[${ssRes.map(ssJson).mkString(",")}],"pixel_decode":{"bmp_1x":{"imgs":$npd1,"sec":$pd1},"bmp_10x":{"imgs":$npd10,"sec":$pd10},"png_1x":{"imgs":$npg1,"sec":$pg1},"png_10x":{"imgs":$npg10,"sec":$pg10,"staged_bytes":$pngBytes10}},"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2},"pagerank_hot_hub":{"edges":$nEdges,"nodes":$prNodes,"hub_degree":$starLeaves,"iters":3,"sec":$prSec,"hub_is_top":true,"leaf_rank_values":1,"ring_rank_values":1},"compaction_manifest":{"files":100000,"bins":$cpBins,"sec":$cpSec,"bytes_conserved":true,"fill_bound_holds":true},"maintenance_10x":{"orders_10x":$nOrd10,"merge_1x_sec":$mg1,"merge_10x_sec":$mg10,"checksum_1x_sec":$ck1Sec,"checksum_10x_sec":$ck10Sec,"accounting_match":true,"sums_move_under_key_shift":true}}""")
+    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"embed_ivf_10x":{"vecs":$embDocs,"nlist16_sec":$iv,"nlist16_pairs":$niv,"nlist128_sec":$iv2,"nlist128_pairs":$niv2},"codebook_hot_vector":{"vecs":$nAdv,"clones":$hotClones,"fit_sec":$fitSec,"nonempty_cells":$nonEmptyCells,"max_cell_share":$maxCellShare,"neardup_sec":$advSec,"neardup_pairs":$nAdvPairs,"planted_pairs":$plantedPairs},"bloom_10x":{"orders":$nOrd,"smj_sec":$sj,"smj_rows":$nsj,"probe_sec":$bp,"probe_rows":$nbp,"verify_sec":$bv,"verify_rows":$nbv},"ingest_many_files":{"files":$ingestN,"hidden_frac":0.333,"sec":$ingestSec,"words":${ingested.size},"fold_match":true},"skew_join_hot":{"hot_rows":$hotRows,"buckets_hit":${buckets.size},"max_bucket_rows":$maxBucket,"salted_sec":$saltSec,"plain_sec":$plainSec,"match":true},"span_hot_gram":{"docs":$tenxDocs,"plain_sec":$spSec,"plain_rows":$spRows,"hot_sec":$shSec,"hot_rows":$shRows,"min_shared_windows":$minShared},"incremental_ingest":{"batch_rows":$nBatch,"corpus_docs":$tenxDocs,"new_docs":$incNew,"expected_new":$expectedNew,"sec":$incSec,"match":true},"stream_state":[${ssRes.map(ssJson).mkString(",")}],"pixel_decode":{"bmp_1x":{"imgs":$npd1,"sec":$pd1},"bmp_10x":{"imgs":$npd10,"sec":$pd10},"png_1x":{"imgs":$npg1,"sec":$pg1},"png_10x":{"imgs":$npg10,"sec":$pg10,"staged_bytes":$pngBytes10}},"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2},"warc_parse":{"shards":200,"records":$warcRecs,"bytes":$warcBytes,"sec":$warcSec,"clean":true},"pagerank_hot_hub":{"edges":$nEdges,"nodes":$prNodes,"hub_degree":$starLeaves,"iters":3,"sec":$prSec,"hub_is_top":true,"leaf_rank_values":1,"ring_rank_values":1},"compaction_manifest":{"files":100000,"bins":$cpBins,"sec":$cpSec,"bytes_conserved":true,"fill_bound_holds":true},"maintenance_10x":{"orders_10x":$nOrd10,"merge_1x_sec":$mg1,"merge_10x_sec":$mg10,"checksum_1x_sec":$ck1Sec,"checksum_10x_sec":$ck10Sec,"accounting_match":true,"sums_move_under_key_shift":true}}""")
     spark.stop()
   }
 }

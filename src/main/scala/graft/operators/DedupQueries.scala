@@ -759,6 +759,36 @@ object DedupQueries extends QueryPack {
     // Brute n-gram Jaccard (baseline for minhash): one shingle equi-join
     // computes intersection sizes directly (groupBy pair + count), so the
     // shingle join happens once — not candidates-then-reverify.
+    // Threshold-tuning curve — the diagnostic a dedup pipeline runs
+    // BEFORE fixing its LSH threshold: exact Jaccard over every
+    // shingle-sharing pair, bucketed into deciles, with the
+    // pairs-at-or-above running total (read straight off: "0.7 keeps N
+    // pairs, 0.6 keeps M"). The decile key is floor(jac·10) — identical
+    // IEEE double division + multiply + floor on both engines, so the
+    // bucket of a boundary value like 3/5 (whose double is just UNDER
+    // 0.6) is deterministic cross-engine. The co-shingle pair universe is
+    // quadratic in cluster size, so at 100 TB this runs on a hash-sample
+    // of the corpus (Graft.hashSample is the knob) — the curve is a
+    // tuning artifact, not a production pass; the curve's shape, not its
+    // absolute counts, picks the threshold.
+    "dedup_threshold_curve" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val shA = shingleFrame(s, d, "da", "sh_a", "na")
+      val shB = shingleFrame(s, d, "db2", "sh_b", "nb")
+      val counts = shA
+        .join(shB, col("sh_a") === col("sh_b") && col("da") < col("db2"))
+        .groupBy(col("da"), col("db2"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("i"))
+        .withColumn("jac", col("i") / (col("na") + col("nb") - col("i")))
+        .withColumn("bucket", least(floor(col("jac") * 10), lit(9.0)).cast("int"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+      // 10-row frame: the running total is metadata-sized by design.
+      val w = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counts.withColumn("pairs_at_or_above", sum("n_pairs").over(w))
+        .orderBy("bucket")
+    }),
+
     "dedup_ngram_jaccard" -> ((s, d) => {
       val shA = shingleFrame(s, d, "da", "sh_a", "na")
       val shB = shingleFrame(s, d, "db2", "sh_b", "nb")
@@ -1213,6 +1243,16 @@ object DedupQueries extends QueryPack {
       s"""WITH $shinglesSqlCte
           SELECT da, db, FLOOR(jac*1000000 + 0.5)/1000000 AS jac FROM jac
           WHERE jac >= 0.5 ORDER BY da, db""",
+    "dedup_threshold_curve" ->
+      s"""WITH $shinglesSqlCte,
+            b AS (SELECT CAST(LEAST(FLOOR(jac * 10), 9) AS INT) AS bucket FROM jac),
+            c AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs
+                  FROM b GROUP BY 1)
+          SELECT bucket, n_pairs,
+                 CAST(SUM(n_pairs) OVER (ORDER BY bucket DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS pairs_at_or_above
+          FROM c ORDER BY bucket""",
     "dedup_simhash" ->
       s"""WITH $simhashSqlCte
           SELECT a.doc_id AS da, b.doc_id AS db,
