@@ -475,7 +475,7 @@ object Stress {
     val (b2, _) = time("q3_join sort-merge only", SparkEntry.queries("q3_join")(smj, sfDir).count())
 
     // WARC parse throughput: 200 synthetic shards × 500 response records
-    // (≈100k records, ~31 MB of framed bytes built distributed, one shard
+    // (100k records, ~22 MB of framed bytes built distributed, one shard
     // per row) pushed through the strict Content-Length walk — the shape
     // of a real crawl ingest (one task per shard; parse is a single
     // forward pass). The per-record decoy prefix keeps the measurement

@@ -756,9 +756,6 @@ object DedupQueries extends QueryPack {
         .orderBy("cluster_id")
     }),
 
-    // Brute n-gram Jaccard (baseline for minhash): one shingle equi-join
-    // computes intersection sizes directly (groupBy pair + count), so the
-    // shingle join happens once — not candidates-then-reverify.
     // Threshold-tuning curve — the diagnostic a dedup pipeline runs
     // BEFORE fixing its LSH threshold: exact Jaccard over every
     // shingle-sharing pair, bucketed into deciles, with the
@@ -789,6 +786,9 @@ object DedupQueries extends QueryPack {
         .orderBy("bucket")
     }),
 
+    // Brute n-gram Jaccard (baseline for minhash): one shingle equi-join
+    // computes intersection sizes directly (groupBy pair + count), so the
+    // shingle join happens once — not candidates-then-reverify.
     "dedup_ngram_jaccard" -> ((s, d) => {
       val shA = shingleFrame(s, d, "da", "sh_a", "na")
       val shB = shingleFrame(s, d, "db2", "sh_b", "nb")

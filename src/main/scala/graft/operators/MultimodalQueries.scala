@@ -458,13 +458,6 @@ object MultimodalQueries extends QueryPack {
                 CAST(SUM(ns) AS BIGINT) AS total_samples,
                 CAST(MAX(dur) AS BIGINT) AS max_duration_ms
          FROM d GROUP BY source ORDER BY source""",
-    // MP4 staging arithmetic replicated from doc_id: brand from the
-    // (id/3)%3 case, timescale from the id%5 case, duration u64-range for
-    // v1 rows (id%6==0); bytes = strlen + ftyp(20) + top-level free
-    // (24 when id%9==0 — largesize form — else 16) + moov header+child
-    // free (8+12=20) + mvhd (120 for v1, else 108) + mdat header (8);
-    // duration_ms is integer floor division, matching the JVM Long
-    // arithmetic exactly.
     // The staged-GIF model in SQL: frame count and per-frame sub-block
     // lengths are pure doc_id arithmetic; data bytes need one unnest over
     // range(frames) per gif.
@@ -489,6 +482,13 @@ object MultimodalQueries extends QueryPack {
                 CAST(SUM(db.data_bytes) AS BIGINT) AS data_total
          FROM g JOIN db USING (doc_id)
          GROUP BY source, version ORDER BY source, version""",
+    // MP4 staging arithmetic replicated from doc_id: brand from the
+    // (id/3)%3 case, timescale from the id%5 case, duration u64-range for
+    // v1 rows (id%6==0); bytes = strlen + ftyp(20) + top-level free
+    // (24 when id%9==0 — largesize form — else 16) + moov header+child
+    // free (8+12=20) + mvhd (120 for v1, else 108) + mdat header (8);
+    // duration_ms is integer floor division, matching the JVM Long
+    // arithmetic exactly.
     "mm_mp4_meta" ->
       """WITH v AS (SELECT doc_id, source, strlen(text) AS b
                     FROM documents WHERE doc_id % 3 = 0),

@@ -122,18 +122,28 @@ object WarcSource {
   def records(spark: SparkSession, paths: Seq[String],
               tolerateUnclean: Boolean = false): DataFrame = {
     import spark.implicits._
+    framedShards(spark, paths, tolerateUnclean)(parseWarc).toDF()
+  }
+
+  /** Shared per-shard scaffolding for the distributed readers: whole-file
+    * read, basename extraction, and the ONE loud-failure/salvage contract
+    * both [[records]] and [[httpResponses]] follow. The emitter walks the
+    * shard once and reports (rows, cleanEof). */
+  private def framedShards[T: org.apache.spark.sql.Encoder](
+      spark: SparkSession, paths: Seq[String], tolerateUnclean: Boolean)(
+      emit: (String, Array[Byte]) => (Seq[T], Boolean)): org.apache.spark.sql.Dataset[T] = {
+    import spark.implicits._
     FileSources.readWholeFilesBytes(spark, paths)
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
         val name = path.substring(path.lastIndexOf('/') + 1)
-        val (recs, clean) = parseWarc(name, bytes)
+        val (out, clean) = emit(name, bytes)
         if (!clean && !tolerateUnclean)
           throw new IllegalArgumentException(
-            s"$path: unframeable trailing bytes after ${recs.size} records " +
+            s"$path: unframeable trailing bytes after ${out.size} records " +
             "(truncated or corrupt WARC; pass tolerateUnclean=true to salvage)")
-        recs
+        out
       }
-      .toDF()
   }
 
   // ---- Deterministic gate fixture (see SourceQueries.warc_ingest) ----
@@ -206,21 +216,24 @@ object WarcSource {
                         media_type: String, body_len: Long,
                         body_md5: String, body_tokens: Long)
 
-  /** Parse an HTTP/1.1 response message: status line, headers up to the
-    * blank line, body = the rest. None when the payload is not an HTTP
-    * response (no CRLFCRLF split, or a malformed status line) — a WARC
-    * can legally carry non-HTTP payloads. */
-  private[sources] def parseHttpPayload(bytes: Array[Byte]): Option[(Int, String, Array[Byte])] = {
-    // Find the header/body split.
-    var i = 0
+  /** Parse an HTTP/1.1 response message in place (no payload copy):
+    * status line, headers up to the blank line, body = the rest. Returns
+    * (code, mediaType, bodyOffset, bodyLength) relative to `bytes`, or
+    * None when the slice is not an HTTP response (no CRLFCRLF split, or a
+    * malformed status line) — a WARC can legally carry non-HTTP payloads. */
+  private[sources] def parseHttpAt(bytes: Array[Byte], off: Int,
+                                   len: Int): Option[(Int, String, Int, Int)] = {
+    // Find the FIRST header/body split within the slice.
+    var i = off
     var split = -1
-    while (split < 0 && i + 3 < bytes.length) {
+    val end = off + len
+    while (split < 0 && i + 3 < end) {
       if (bytes(i) == '\r' && bytes(i + 1) == '\n' &&
           bytes(i + 2) == '\r' && bytes(i + 3) == '\n') split = i
       i += 1
     }
     if (split < 0) return None
-    val head = new String(bytes, 0, split, "US-ASCII")
+    val head = new String(bytes, off, split - off, "US-ASCII")
     val lines = head.split("\r\n", -1)
     val status = lines.head.split(" ")
     if (status.length < 2 || !status(0).startsWith("HTTP/")) return None
@@ -229,40 +242,41 @@ object WarcSource {
       .find(_.toLowerCase.startsWith("content-type:"))
       .map(_.substring("content-type:".length).trim.takeWhile(_ != ';').trim)
       .getOrElse("")
-    Some((code, ctype, java.util.Arrays.copyOfRange(bytes, split + 4, bytes.length)))
+    Some((code, ctype, split + 4, end - (split + 4)))
   }
+
+  /** Whole-payload convenience form of [[parseHttpAt]] (spec surface). */
+  private[sources] def parseHttpPayload(bytes: Array[Byte]): Option[(Int, String, Array[Byte])] =
+    parseHttpAt(bytes, 0, bytes.length).map { case (code, ctype, bOff, bLen) =>
+      (code, ctype, java.util.Arrays.copyOfRange(bytes, bOff, bOff + bLen))
+    }
 
   /** Distributed WET-style extraction: every WARC *response* record whose
     * payload parses as an HTTP response becomes one [[HttpRecord]] row.
-    * Same loud-failure contract on unframeable shards as [[records]]. */
+    * Body bytes are digested and tokenized in place — no per-record
+    * payload copy. Same loud-failure contract as [[records]]. */
   def httpResponses(spark: SparkSession, paths: Seq[String],
                     tolerateUnclean: Boolean = false): DataFrame = {
     import spark.implicits._
-    FileSources.readWholeFilesBytes(spark, paths)
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        val name = path.substring(path.lastIndexOf('/') + 1)
-        val out = Seq.newBuilder[HttpRecord]
-        val clean = walkWarc(bytes) { (idx, recType, uri, payOff, payLen) =>
-          if (recType == "response") {
-            val payload = java.util.Arrays.copyOfRange(bytes, payOff, payOff + payLen)
-            parseHttpPayload(payload).foreach { case (code, ctype, body) =>
-              val md = java.security.MessageDigest.getInstance("MD5")
-                .digest(body).map("%02x".format(_)).mkString
-              val toks = new String(body, "US-ASCII")
-                .split(" ").count(_.nonEmpty).toLong
-              out += HttpRecord(name, idx, uri, code, ctype,
-                body.length.toLong, md, toks)
+    framedShards(spark, paths, tolerateUnclean) { (name, bytes) =>
+      val out = Seq.newBuilder[HttpRecord]
+      val clean = walkWarc(bytes) { (idx, recType, uri, payOff, payLen) =>
+        if (recType == "response") {
+          parseHttpAt(bytes, payOff, payLen).foreach { case (code, ctype, bOff, bLen) =>
+            val digest = java.security.MessageDigest.getInstance("MD5")
+            digest.update(bytes, bOff, bLen)
+            val md = digest.digest().map("%02x".format(_)).mkString
+            var toks = 0L; var inTok = false
+            for (i <- bOff until bOff + bLen) {
+              if (bytes(i) == ' ') inTok = false
+              else if (!inTok) { toks += 1; inTok = true }
             }
+            out += HttpRecord(name, idx, uri, code, ctype, bLen.toLong, md, toks)
           }
         }
-        if (!clean && !tolerateUnclean)
-          throw new IllegalArgumentException(
-            s"$path: unframeable trailing bytes " +
-            "(truncated or corrupt WARC; pass tolerateUnclean=true to salvage)")
-        out.result()
       }
-      .toDF()
+      (out.result(), clean)
+    }.toDF()
   }
 
   // HTTP fixture: 12 shards; shard f carries 6 + (f % 3) responses whose

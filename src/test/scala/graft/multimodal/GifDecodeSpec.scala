@@ -31,7 +31,11 @@ class GifDecodeSpec extends SparkSpec {
   }
 
   test("a corrupted sub-block length desynchronizes the walk and aborts") {
-    val id = 9L // no comment ext, has GCT; first frame has a GCE (id+0 even... 9+0 odd → no)
+    // id=9: 9%4==1 → NO global color table (so a palette byte can't be
+    // mistaken for 0x2C by indexWhere), 9%7≠0 → no comment extension,
+    // (9+0)%2≠0 → no GCE before frame 0: the first 0x2C byte in the file
+    // IS the first image descriptor.
+    val id = 9L
     val bytes = gifBytes(id)
     // First image descriptor's first data sub-block length byte: locate
     // 0x2C, skip 9-byte geometry + packed + LZW byte → len byte.
