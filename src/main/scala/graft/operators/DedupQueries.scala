@@ -300,6 +300,28 @@ object DedupQueries extends QueryPack {
         .localCheckpoint(eager = false))
   }
 
+  /** EXACT Jaccard over every co-shingle pair, UNFILTERED — shared by
+    * dedup_ngram_jaccard (which filters ≥ 0.5) and dedup_threshold_curve
+    * (which buckets the whole range): the shingle self-join is the
+    * expensive part and identical in both, so it is computed once per
+    * session+dir and lazily checkpointed like [[minhashPairs]]. Columns:
+    * (da, db, jac). */
+  def exactJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    Tables.evictDead(indexCache, Tables.sessionKey(s))
+    indexCache.computeIfAbsent((Tables.sessionKey(s), d, "exactjac"),
+      _ => {
+        val shA = shingleFrame(s, d, "da", "sh_a", "na")
+        val shB = shingleFrame(s, d, "db2", "sh_b", "nb")
+        shA
+          .join(shB, col("sh_a") === col("sh_b") && col("da") < col("db2"))
+          .groupBy(col("da"), col("db2").as("db"), col("na"), col("nb"))
+          .agg(count(lit(1)).as("i"))
+          .withColumn("jac", col("i") / (col("na") + col("nb") - col("i")))
+          .select("da", "db", "jac")
+          .localCheckpoint(eager = false)
+      })
+  }
+
   /** Fixed-point integer PageRank over an undirected pair frame (da, db;
     * each edge exactly once) — the graph_pagerank kernel, reusable by
     * Stress on synthetic hot-hub graphs. `iters` power iterations with
@@ -770,13 +792,7 @@ object DedupQueries extends QueryPack {
     // absolute counts, picks the threshold.
     "dedup_threshold_curve" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val shA = shingleFrame(s, d, "da", "sh_a", "na")
-      val shB = shingleFrame(s, d, "db2", "sh_b", "nb")
-      val counts = shA
-        .join(shB, col("sh_a") === col("sh_b") && col("da") < col("db2"))
-        .groupBy(col("da"), col("db2"), col("na"), col("nb"))
-        .agg(count(lit(1)).as("i"))
-        .withColumn("jac", col("i") / (col("na") + col("nb") - col("i")))
+      val counts = exactJaccardPairs(s, d)
         .withColumn("bucket", least(floor(col("jac") * 10), lit(9.0)).cast("int"))
         .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
       // 10-row frame: the running total is metadata-sized by design.
@@ -788,19 +804,14 @@ object DedupQueries extends QueryPack {
 
     // Brute n-gram Jaccard (baseline for minhash): one shingle equi-join
     // computes intersection sizes directly (groupBy pair + count), so the
-    // shingle join happens once — not candidates-then-reverify.
-    "dedup_ngram_jaccard" -> ((s, d) => {
-      val shA = shingleFrame(s, d, "da", "sh_a", "na")
-      val shB = shingleFrame(s, d, "db2", "sh_b", "nb")
-      shA
-        .join(shB, col("sh_a") === col("sh_b") && col("da") < col("db2"))
-        .groupBy(col("da"), col("db2").as("db"), col("na"), col("nb"))
-        .agg(count(lit(1)).as("i"))
-        .withColumn("jac", col("i") / (col("na") + col("nb") - col("i")))
+    // shingle join happens once — not candidates-then-reverify — and the
+    // frame is the session-cached exactJaccardPairs shared with
+    // dedup_threshold_curve.
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      exactJaccardPairs(s, d)
         .filter(col("jac") >= 0.5)
         .select(col("da"), col("db"), round6(col("jac")).as("jac"))
-        .orderBy("da", "db")
-    }),
+        .orderBy("da", "db")),
 
     // Character-level confirm pass over the LSH candidates: shingle
     // Jaccard is blind to WHERE two near-dups differ (a one-word edit and
