@@ -193,6 +193,35 @@ class PlannerOpsSpec extends SparkSpec {
     assert((r.getDouble(2), r.getDouble(3), r.getLong(4)) == ((250.0, 100.0, 0L)))
   }
 
+  test("pageRankOf matches an independent Map-fold model on seeded random graphs") {
+    import spark.implicits._
+    // Independent model: plain Scala Maps, same integer recurrence.
+    def model(pairs: Set[(Long, Long)]): Map[Long, (Long, Long)] = {
+      val edges = pairs.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      val base = if (deg.isEmpty) 0L else 1000000000000L / deg.size
+      var r: Map[Long, Long] = deg.map { case (k, _) => k -> base }
+      for (_ <- 1 to 3) {
+        val incoming = edges.groupBy(_._2).map { case (dst, es) =>
+          dst -> es.map { case (src, _) => r(src) / deg(src) }.sum
+        }
+        r = deg.map { case (k, _) => k -> ((15 * base) / 100 + (85 * incoming(k)) / 100) }
+      }
+      deg.map { case (k, d) => k -> ((d, r(k))) }
+    }
+    val rnd = new scala.util.Random(4242)
+    for (round <- 1 to 8) {
+      val pairs = (for {
+        a <- 1L to 8L; b <- (a + 1) to 8L if rnd.nextBoolean()
+      } yield (a, b)).toSet
+      if (pairs.nonEmpty) {
+        val got = DedupQueries.pageRankOf(pairs.toSeq.toDF("da", "db"))
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        assert(got == model(pairs), s"round $round: graph $pairs")
+      }
+    }
+  }
+
   test("graph_pagerank matches the integer power iteration on an asserted path graph") {
     // Three 30-token docs: A/B differ in the last THREE tokens, B/C in the
     // first three → 3-shingle jac(A,B) = jac(B,C) = 25/31 ≈ 0.81 ≥ 0.7,

@@ -158,3 +158,57 @@ class WarcSourceSpec extends SparkSpec {
     assert(java.util.Arrays.equals(before, after))
   }
 }
+
+/** Randomized framing model-checks: parse(build(records)) must recover
+  * every record regardless of payload content (including payloads that
+  * impersonate WARC headers or contain CRLFCRLF), and any end-truncation
+  * must flag unclean while salvaging exactly the undamaged prefix. */
+object WarcFramingProps extends org.scalacheck.Properties("warcFraming") {
+  import org.scalacheck.{Gen, Prop}
+
+  private def rec(t: String, uri: Option[String], payload: Array[Byte]): Array[Byte] = {
+    val head = new StringBuilder("WARC/1.0\r\n")
+    head.append(s"WARC-Type: $t\r\n")
+    head.append("WARC-Record-ID: <urn:uuid:x>\r\n")
+    uri.foreach(u => head.append(s"WARC-Target-URI: $u\r\n"))
+    head.append(s"Content-Length: ${payload.length}\r\n\r\n")
+    head.toString.getBytes("US-ASCII") ++ payload ++ "\r\n\r\n".getBytes("US-ASCII")
+  }
+
+  private val recGen: Gen[(String, Option[String], Array[Byte])] = for {
+    t <- Gen.oneOf("response", "request", "warcinfo", "metadata")
+    uri <- Gen.option(Gen.alphaNumStr.map(s => s"http://x/$s"))
+    // Payloads biased toward the dangerous shapes: raw bytes, embedded
+    // CRLFCRLF, and full fake record headers.
+    payload <- Gen.oneOf(
+      Gen.listOf(Gen.chooseNum(0, 255).map(_.toByte)).map(_.toArray),
+      Gen.alphaNumStr.map(s => s"$s\r\n\r\n$s".getBytes("US-ASCII")),
+      Gen.alphaNumStr.map(s =>
+        s"WARC/1.0\r\nContent-Length: 3\r\n\r\n$s".getBytes("US-ASCII")))
+  } yield (t, uri, payload)
+
+  property("randomized record sequences round-trip through the framing walk") =
+    Prop.forAll(Gen.listOf(recGen)) { recs =>
+      val bytes = recs.map { case (t, uri, p) => rec(t, uri, p) }
+        .foldLeft(Array.emptyByteArray)(_ ++ _)
+      val (parsed, clean) = WarcSource.parseWarc("f", bytes)
+      clean && parsed.size == recs.size &&
+        parsed.zip(recs).forall { case (got, (t, uri, p)) =>
+          got.rec_type == t && got.uri == uri.getOrElse("") &&
+            got.payload_len == p.length
+        }
+    }
+
+  property("end-truncation flags unclean and salvages exactly the undamaged prefix") =
+    Prop.forAll(Gen.nonEmptyListOf(recGen), Gen.chooseNum(1, 40)) { (recs, k) =>
+      val bytes = recs.map { case (t, uri, p) => rec(t, uri, p) }
+        .foldLeft(Array.emptyByteArray)(_ ++ _)
+      val (full, _) = WarcSource.parseWarc("f", bytes)
+      val cut = bytes.dropRight(math.min(k, bytes.length))
+      val (part, clean) = WarcSource.parseWarc("f", cut)
+      // Dropping 1..40 bytes always damages only the LAST record (the
+      // fixed header alone exceeds 40 bytes), so the walk must flag
+      // unclean and keep exactly the records before it.
+      !clean && part.size == full.size - 1 && part == full.dropRight(1)
+    }
+}
