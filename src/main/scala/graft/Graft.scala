@@ -482,6 +482,40 @@ object Graft {
       .select(col("va"), col("vb"), col("cos"))
   }
 
+  /** Temperature-balanced (α = 0.5) stratified sample — the mC4/XLM-R
+    * low-resource up-weighting step: per-stratum keep rates ∝ √n instead
+    * of n, realized as the same deterministic md5-Bernoulli as
+    * [[hashSample]], targeting `budgetPct`% of the input overall. Shares
+    * its integer-exact rate arithmetic with the `sample_temperature`
+    * gate (PipelineQueries.temperatureRates), so the facade and the
+    * declared query cannot drift. Returns the kept rows. */
+  def temperatureSample(df: DataFrame, keyCol: String, strataCol: String,
+                        budgetPct: Int = 50): DataFrame = {
+    val rates = operators.PipelineQueries.temperatureRates(df, strataCol, budgetPct)
+    df.join(broadcast(rates.select(col(strataCol), col("rate_ppm"))), Seq(strataCol))
+      .filter(functions.PortableHash.h60(col(keyCol).cast("string"))
+        % 1000000 < col("rate_ppm"))
+      .drop("rate_ppm")
+  }
+
+  /** Fixed-point integer PageRank over an undirected pair frame
+    * (`da`, `db` — each edge exactly once): 0.85 damping, ranks in
+    * 10⁻¹²-units, bit-stable across partitionings and retries. Returns
+    * (doc_id, degree, rank_e12). See DedupQueries.pageRankOf. */
+  def pageRank(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    operators.DedupQueries.pageRankOf(pairs, iters)
+  }
+
+  /** OPTIMIZE-style compaction plan over a (file, bytes, n_docs)
+    * manifest: files sorted largest-first, scaled-cumulative-filled into
+    * `nBins` equal-byte rewrite groups. Metadata-sized planning — never
+    * touches data. See MaintenanceQueries.compactionPlanOf. */
+  def compactionPlan(files: DataFrame, nBins: Int = 8): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    operators.MaintenanceQueries.compactionPlanOf(files, nBins)
+  }
+
   def topNgrams(docs: DataFrame, n: Int, k: Int, textCol: String = "text"): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
     require(k >= 1, s"k must be >= 1, got $k") // limit(0) is legal → silently empty

@@ -15,6 +15,39 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries extends QueryPack {
 
+  /** Per-stratum α=0.5 temperature rates — the sample_temperature
+    * arithmetic, shared with the Graft.temperatureSample facade so the
+    * declared gate and the user API cannot drift. All integer-exact:
+    * w = isqrt(n·10⁶) via floor(sqrt) plus a ±1 BIGINT correction (a
+    * 1-ulp cross-engine sqrt disagreement cannot move the floor), mix and
+    * keep rates as ppm BIGINT divisions; the overall budget is
+    * `budgetPct`% of the input rows. Returns one row per stratum:
+    * (strataCol, n_docs, w, mix_ppm, rate_ppm). */
+  private[graft] def temperatureRates(df: org.apache.spark.sql.DataFrame,
+                                      strataCol: String,
+                                      budgetPct: Int): org.apache.spark.sql.DataFrame = {
+    require(budgetPct >= 1 && budgetPct <= 100,
+      s"budgetPct must be in [1, 100], got $budgetPct")
+    val nl = df.groupBy(strataCol).agg(count(lit(1)).as("n_docs"))
+    // Exact integer sqrt of x = n_docs·10⁶: double sqrt is correctly
+    // rounded, so floor(sqrt(x)) is off by at most one — the two CASE
+    // arms repair both directions with pure BIGINT comparisons.
+    val wl = nl
+      .withColumn("x", col("n_docs") * lit(1000000L))
+      .withColumn("b", floor(sqrt(col("x").cast("double"))).cast("long"))
+      .withColumn("w",
+        when((col("b") + 1) * (col("b") + 1) <= col("x"), col("b") + 1)
+          .when(col("b") * col("b") > col("x"), col("b") - 1)
+          .otherwise(col("b")))
+      .select(col(strataCol), col("n_docs"), col("w"))
+    val tot = broadcast(wl.agg(sum("w").as("sum_w"), sum("n_docs").as("n")))
+    wl.crossJoin(tot)
+      .withColumn("mix_ppm", expr("CAST((w * 1000000) DIV sum_w AS BIGINT)"))
+      .withColumn("rate_ppm",
+        expr(s"LEAST(CAST(1000000 AS BIGINT), (((n * $budgetPct) DIV 100) * mix_ppm) DIV n_docs)"))
+      .select(col(strataCol), col("n_docs"), col("w"), col("mix_ppm"), col("rate_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Column-level quality profile of lineitem (null counts, ranges).
     "dq_profile" -> ((s, d) =>
@@ -163,24 +196,7 @@ object PipelineQueries extends QueryPack {
     // metadata-sized. Budget = N/2 docs overall.
     "sample_temperature" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
-      val nl = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
-      // Exact integer sqrt of x = n_docs·10⁶: double sqrt is correctly
-      // rounded, so floor(sqrt(x)) is off by at most one — the two
-      // CASE arms repair both directions with pure BIGINT comparisons.
-      val wl = nl
-        .withColumn("x", col("n_docs") * lit(1000000L))
-        .withColumn("b", floor(sqrt(col("x").cast("double"))).cast("long"))
-        .withColumn("w",
-          when((col("b") + 1) * (col("b") + 1) <= col("x"), col("b") + 1)
-            .when(col("b") * col("b") > col("x"), col("b") - 1)
-            .otherwise(col("b")))
-        .select("lang", "n_docs", "w")
-      val tot = broadcast(wl.agg(sum("w").as("sum_w"), sum("n_docs").as("n")))
-      val rates = wl.crossJoin(tot)
-        .withColumn("mix_ppm", expr("CAST((w * 1000000) DIV sum_w AS BIGINT)"))
-        .withColumn("rate_ppm",
-          expr("LEAST(CAST(1000000 AS BIGINT), ((n DIV 2) * mix_ppm) DIV n_docs)"))
-        .select("lang", "n_docs", "w", "mix_ppm", "rate_ppm")
+      val rates = temperatureRates(docs, "lang", budgetPct = 50)
       val kept = docs.join(broadcast(rates.select("lang", "rate_ppm")), Seq("lang"))
         .filter(graft.functions.PortableHash.h60(col("doc_id").cast("string"))
           % 1000000 < col("rate_ppm"))

@@ -98,6 +98,38 @@ class PlannerOpsSpec extends SparkSpec {
     }
   }
 
+  test("Graft.temperatureSample keeps exactly the md5-model rows; guards fire") {
+    val rows =
+      (1L to 90L).map(i => (i, s"doc $i body", "aa", "s0")) ++
+      (91L to 99L).map(i => (i, s"doc $i body", "bb", "s0")) ++
+      Seq((100L, "doc 100 body", "cc", "s0"))
+    val dir = stageDocs(rows)
+    val docs = graft.Tables.documents(spark, dir)
+    val kept = graft.Graft.temperatureSample(docs, "doc_id", "lang")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // Independent model: same weights/rates as the sample_temperature
+    // test above, keep via java md5.
+    val nBy = Map("aa" -> 90L, "bb" -> 9L, "cc" -> 1L)
+    val w = nBy.map { case (l, n) => l -> isqrt(n * 1000000L) }
+    val sumW = w.values.sum; val n = nBy.values.sum
+    val expect = rows.filter { case (id, _, l, _) =>
+      val mix = w(l) * 1000000L / sumW
+      val rate = math.min(1000000L, (n * 50 / 100) * mix / nBy(l))
+      h60(id.toString) % 1000000L < rate
+    }.map(_._1).toSet
+    assert(kept == expect)
+    intercept[IllegalArgumentException] {
+      graft.Graft.temperatureSample(docs, "doc_id", "lang", budgetPct = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.Graft.pageRank(docs.select(col("doc_id").as("da"), col("doc_id").as("db")), iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.Graft.compactionPlan(docs.select(col("source").as("file"),
+        col("n_chars").as("bytes"), lit(1L).as("n_docs")), nBins = 0)
+    }
+  }
+
   test("q_compaction_plan assigns every file once into balanced scaled-fill groups") {
     // Files = (source, lang) groups; sizes are n_chars sums. Build 12
     // files with deliberately skewed sizes via text lengths.
