@@ -485,17 +485,18 @@ object Graft {
   /** Temperature-balanced (α = 0.5) stratified sample — the mC4/XLM-R
     * low-resource up-weighting step: per-stratum keep rates ∝ √n instead
     * of n, realized as the same deterministic md5-Bernoulli as
-    * [[hashSample]], targeting `budgetPct`% of the input overall. Shares
-    * its integer-exact rate arithmetic with the `sample_temperature`
-    * gate (PipelineQueries.temperatureRates), so the facade and the
-    * declared query cannot drift. Returns the kept rows. */
+    * [[hashSample]], targeting `budgetPct`% of the input overall. Both
+    * the rate arithmetic AND the keep gate are the single shared
+    * implementation behind the `sample_temperature` oracle gate
+    * (PipelineQueries.temperatureRates / temperatureKeptOf), so the
+    * facade and the declared query structurally cannot drift. Null
+    * strata are sampled like any other stratum (null-safe join); the
+    * rate table is one row per stratum and joins by whatever strategy
+    * Catalyst picks for its size. Returns the kept rows. */
   def temperatureSample(df: DataFrame, keyCol: String, strataCol: String,
                         budgetPct: Int = 50): DataFrame = {
     val rates = operators.PipelineQueries.temperatureRates(df, strataCol, budgetPct)
-    df.join(broadcast(rates.select(col(strataCol), col("rate_ppm"))), Seq(strataCol))
-      .filter(functions.PortableHash.h60(col(keyCol).cast("string"))
-        % 1000000 < col("rate_ppm"))
-      .drop("rate_ppm")
+    operators.PipelineQueries.temperatureKeptOf(df, keyCol, strataCol, rates)
   }
 
   /** Fixed-point integer PageRank over an undirected pair frame

@@ -305,7 +305,17 @@ object DedupQueries extends QueryPack {
     * (which buckets the whole range): the shingle self-join is the
     * expensive part and identical in both, so it is computed once per
     * session+dir and lazily checkpointed like [[minhashPairs]]. Columns:
-    * (da, db, jac). */
+    * (da, db, jac).
+    *
+    * Storage trade-off (deliberate): unlike the ≥0.7-filtered minhashPairs
+    * cache, this frame keeps EVERY co-shingle pair — quadratic in
+    * hot-shingle cluster size — pinned (MEMORY_AND_DISK) for the session.
+    * That is the right trade at the diagnostic scale these two queries run
+    * at (the curve is documented as a hash-sample pass; at corpus scale
+    * neither query should run at all — LSH replaces them), and the pin is
+    * exactly the frame both queries would otherwise each recompute. A
+    * pathological boilerplate corpus should go through the maxBucket-capped
+    * LSH path instead, never the brute pair universe. */
   def exactJaccardPairs(s: SparkSession, d: String): DataFrame = {
     Tables.evictDead(indexCache, Tables.sessionKey(s))
     indexCache.computeIfAbsent((Tables.sessionKey(s), d, "exactjac"),

@@ -48,6 +48,28 @@ object PipelineQueries extends QueryPack {
       .select(col(strataCol), col("n_docs"), col("w"), col("mix_ppm"), col("rate_ppm"))
   }
 
+  /** The md5-Bernoulli keep gate over a precomputed rate table — the ONE
+    * place the gate expression lives (shared by the sample_temperature
+    * query and Graft.temperatureSample, so the facade and the declared
+    * query structurally cannot drift). The stratum join is NULL-SAFE: a
+    * null stratum gets its own rate row and its rows are sampled like any
+    * other stratum's (a null-unsafe join would count null rows in the
+    * budget but never sample them). Internal columns use reserved names
+    * so an input frame carrying its own rate_ppm column is untouched. No
+    * forced broadcast: the rate table has one row per stratum, and
+    * Catalyst picks broadcast vs shuffle by its size (a declared 5-strata
+    * gate broadcasts; a million-domain stratification shuffles safely). */
+  private[graft] def temperatureKeptOf(df: org.apache.spark.sql.DataFrame,
+                                       keyCol: String, strataCol: String,
+                                       rates: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val r = rates.select(col(strataCol).as("__graft_stratum"),
+      col("rate_ppm").as("__graft_rate_ppm"))
+    df.join(r, df(strataCol) <=> col("__graft_stratum"))
+      .filter(graft.functions.PortableHash.h60(col(keyCol).cast("string"))
+        % 1000000 < col("__graft_rate_ppm"))
+      .drop("__graft_stratum", "__graft_rate_ppm")
+  }
+
   val queries: Map[String, Q] = Map(
     // Column-level quality profile of lineitem (null counts, ranges).
     "dq_profile" -> ((s, d) =>
@@ -197,16 +219,16 @@ object PipelineQueries extends QueryPack {
     "sample_temperature" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
       val rates = temperatureRates(docs, "lang", budgetPct = 50)
-      val kept = docs.join(broadcast(rates.select("lang", "rate_ppm")), Seq("lang"))
-        .filter(graft.functions.PortableHash.h60(col("doc_id").cast("string"))
-          % 1000000 < col("rate_ppm"))
+      val kept = temperatureKeptOf(docs, "doc_id", "lang", rates)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_kept"),
           sum(graft.functions.PortableHash.h60p(col("doc_id").cast("string")))
             .as("kept_sum"))
       // Left join from the rate table: a language whose rate rounds to
-      // zero still reports its (0, 0) row instead of vanishing.
-      rates.join(kept, Seq("lang"), "left_outer")
+      // zero still reports its (0, 0) row instead of vanishing. Null-safe
+      // so a null-lang stratum's kept counts pair with its rate row.
+      rates.join(kept.withColumnRenamed("lang", "__graft_klang"),
+          col("lang") <=> col("__graft_klang"), "left_outer")
         .select(col("lang"), col("n_docs"), col("w"), col("mix_ppm"), col("rate_ppm"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("kept_sum"), lit(0L)).as("kept_sum"))
@@ -459,14 +481,15 @@ object PipelineQueries extends QueryPack {
                       FROM w CROSS JOIN tot),
             kept AS (SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
                             CAST(SUM(${graft.functions.PortableHash.h60pSql("CAST(doc_id AS VARCHAR)")}) AS BIGINT) AS kept_sum
-                     FROM documents d JOIN rates r ON d.lang = r.lang
+                     FROM documents d JOIN rates r ON d.lang IS NOT DISTINCT FROM r.lang
                      WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
                            % 1000000 < r.rate_ppm
                      GROUP BY 1)
           SELECT r.lang, r.n_docs, r.w, r.mix_ppm, r.rate_ppm,
                  COALESCE(k.n_kept, 0) AS n_kept,
                  COALESCE(k.kept_sum, 0) AS kept_sum
-          FROM rates r LEFT JOIN kept k ON r.lang = k.lang ORDER BY r.lang""",
+          FROM rates r LEFT JOIN kept k ON r.lang IS NOT DISTINCT FROM k.lang
+          ORDER BY r.lang""",
     "dq_outliers" ->
       """WITH li AS (SELECT l_returnflag,
                             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents

@@ -121,6 +121,18 @@ class PlannerOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       graft.Graft.temperatureSample(docs, "doc_id", "lang", budgetPct = 0)
     }
+    // Null strata are real strata: their rows get a rate and are sampled
+    // (a null-unsafe join would count them in the budget but never keep
+    // any), and a caller's own rate_ppm column survives untouched.
+    val withNull = docs
+      .withColumn("lang", when(col("doc_id") <= 45, lit(null: String))
+        .otherwise(col("lang")))
+      .withColumn("rate_ppm", lit(777L))
+    val keptNull = graft.Graft.temperatureSample(withNull, "doc_id", "lang")
+    assert(keptNull.filter(col("lang").isNull).count() > 0,
+      "null-stratum rows were silently dropped")
+    assert(keptNull.filter(col("rate_ppm") =!= 777L).count() == 0,
+      "caller's rate_ppm column was clobbered")
     intercept[IllegalArgumentException] {
       graft.Graft.pageRank(docs.select(col("doc_id").as("da"), col("doc_id").as("db")), iters = 0)
     }
