@@ -38,14 +38,16 @@ object MediaPipeline {
                        width: Int, height: Int, n_frames: Int)
 
   /** STUB decoder — deterministic fake derived from the payload length,
-    * for payloads in no recognized container format. All five container
-    * formats the corpus stages (BMP, PNG, JPEG, WAV, MP4) have REAL
-    * metadata parses, and the uncompressed formats (24-bit BMP, PPM P6,
-    * 16-bit PCM WAV) have REAL pixel/sample decodes too (the round-12
-    * section below). The stub remains only for bare payloads and for
-    * COMPRESSED pixel/sample data (PNG IDAT, JPEG entropy coding, MP4
-    * codecs), which needs codec libraries this container lacks — the
-    * fake keeps every downstream query runnable AND oracle-checkable. */
+    * for payloads in no recognized container format. All six container
+    * formats the corpus stages (BMP, PNG, GIF, JPEG, WAV, MP4) have REAL
+    * metadata parses; the uncompressed formats (24-bit BMP, PPM P6,
+    * 16-bit PCM WAV) AND the losslessly-compressed ones (PNG —
+    * inflate + unfilter, [[decodePngPixels]]; GIF — LZW,
+    * [[decodeGifPixels]]) have REAL pixel/sample decodes too. The stub
+    * remains only for bare payloads and for entropy-coded media (JPEG
+    * scan data, MP4 codecs) whose decode is not bit-deterministic across
+    * implementations (see NOTES.md) — the fake keeps every downstream
+    * query runnable AND oracle-checkable. */
   def decodeStub(media: Array[Byte]): (Int, Int, Int) = {
     val n = media.length
     ((n % 640) + 16, ((n * 7) % 480) + 16, (n % 30) + 1)
@@ -1367,6 +1369,295 @@ object MediaPipeline {
           GifMeta(r.doc_id, r.source, r.media.length.toLong, ver, w, h,
             gct, frames, db)
         }
+      })
+      .toDF()
+  }
+
+  // ------------------------------------------------- GIF pixel decode
+  //
+  // The second losslessly-compressed format closed pure-JVM (after PNG):
+  // GIF's pixel data is LZW with variable-width codes (GIF89a spec,
+  // Appendix F) — deterministic, codec-library-free, and every decoder
+  // decision (code width growth, CLEAR resets, the KwKwK code==next
+  // case, palette indirection) is pinned by the closed-form oracle.
+
+  /** Staged pixel-GIF dims — distinct arithmetic from every other staged
+    * family (BMP ≤16×12, PPM ≤17×13, PNG ≤17×11); up to 40×30 here so
+    * the LZW streams outgrow 9-bit codes and cross the deterministic
+    * CLEAR threshold in larger images. */
+  def gifPxWidth(id: Long): Int = (((id * 5) % 33) + 8).toInt
+  def gifPxHeight(id: Long): Int = (((id * 11) % 25) + 6).toInt
+
+  /** Palette INDEX of pixel (x, y) of staged GIF `id`. The x/5 term gives
+    * horizontal runs of five equal indices, which force the LZW KwKwK
+    * special case (the decoder receives a code it has not defined yet) in
+    * every staged image — a decoder without that branch fails the oracle
+    * corpus-wide, not probabilistically. */
+  def gifPxIndex(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + (x / 5) * 7L + y * 13L) % 256).toInt
+
+  /** Palette channel `c` of entry `k` of staged GIF `id` — three coprime
+    * affine rules mod 251, so a palette off-by-one, a channel swap, or
+    * reading the palette from the wrong offset all break the hash. */
+  def gifPalette(id: Long, k: Int, c: Int): Int = c match {
+    case 0 => ((k * 3L + id) % 251).toInt
+    case 1 => ((k * 5L + id * 2) % 251).toInt
+    case _ => ((k * 7L + id * 3) % 251).toInt
+  }
+
+  /** GIF-LZW encoder (GIF89a spec, Appendix F): variable-width codes
+    * packed LSB-first, an opening CLEAR, code width growing after the
+    * entry that fills the current width (cap 12 bits), and an explicit
+    * CLEAR + table reset both when the table would overflow 4096 and
+    * deterministically every 397 added entries — so the staged streams
+    * exercise mid-stream resets and ≥10-bit codes, not just the happy
+    * path. Used by the fixture staging only; the decode side is
+    * [[lzwDecode]]. */
+  private[multimodal] def lzwEncode(indices: Array[Int], minCodeSize: Int): Array[Byte] = {
+    require(minCodeSize >= 2 && minCodeSize <= 8 && indices.nonEmpty)
+    val clear = 1 << minCodeSize; val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    var codeSize = minCodeSize + 1
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt; bitCnt += codeSize
+      while (bitCnt >= 8) {
+        out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8
+      }
+    }
+    var table = scala.collection.mutable.HashMap.empty[Long, Int]
+    var next = eoi + 1
+    var added = 0
+    emit(clear)
+    var prefix = indices(0)
+    var i = 1
+    while (i < indices.length) {
+      val k = indices(i)
+      val key = (prefix.toLong << 12) | k
+      table.get(key) match {
+        case Some(code) => prefix = code
+        case None =>
+          emit(prefix)
+          if (next < 4096 && added < 397) {
+            table(key) = next; next += 1; added += 1
+            // Width grows AFTER the emit: the decoder (one entry behind)
+            // switches at the same code boundary.
+            if (next > (1 << codeSize) && codeSize < 12) codeSize += 1
+          } else {
+            emit(clear) // at the CURRENT width, then reset
+            table = scala.collection.mutable.HashMap.empty
+            codeSize = minCodeSize + 1; next = eoi + 1; added = 0
+          }
+          prefix = k
+      }
+      i += 1
+    }
+    emit(prefix); emit(eoi)
+    if (bitCnt > 0) out.write((bitBuf & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** GIF-LZW decoder — the exact inverse discipline: LSB-first
+    * variable-width reads, a dictionary rebuilt one entry BEHIND the
+    * encoder, the KwKwK case (code == next: the sequence is
+    * prev-sequence + its own first symbol), CLEAR resets, EOI
+    * termination, and width growth when the entry count fills the
+    * current width. Returns None (never throws) on any invalid code, a
+    * stream that ends before EOI, or output diverging from `expected`
+    * pixels — totality is the contract, like every decoder here. */
+  private[multimodal] def lzwDecode(data: Array[Byte], minCodeSize: Int,
+                                    expected: Int): Option[Array[Int]] = {
+    if (minCodeSize < 2 || minCodeSize > 8 || expected <= 0) return None
+    val clear = 1 << minCodeSize; val eoi = clear + 1
+    val out = new Array[Int](expected)
+    var produced = 0
+    var bitBuf = 0L; var bitCnt = 0; var pos = 0
+    var codeSize = minCodeSize + 1
+    def read(): Int = {
+      while (bitCnt < codeSize && pos < data.length) {
+        bitBuf |= (data(pos) & 0xffL) << bitCnt; bitCnt += 8; pos += 1
+      }
+      if (bitCnt < codeSize) -1
+      else {
+        val c = (bitBuf & ((1L << codeSize) - 1)).toInt
+        bitBuf >>>= codeSize; bitCnt -= codeSize; c
+      }
+    }
+    val prefixOf = new Array[Int](4096)
+    val suffixOf = new Array[Int](4096)
+    val stack = new Array[Int](4097)
+    var next = eoi + 1
+    var prev = -1
+    var done = false; var ok = true
+    while (!done && ok) {
+      val c = read()
+      if (c < 0) ok = false // stream exhausted before EOI
+      else if (c == clear) {
+        next = eoi + 1; codeSize = minCodeSize + 1; prev = -1
+      } else if (c == eoi) done = true
+      else if (prev < 0) {
+        // First code after a CLEAR must be a literal.
+        if (c >= clear || produced >= expected) ok = false
+        else { out(produced) = c; produced += 1; prev = c }
+      } else if (c < clear || (c > eoi && c <= next)) {
+        // Materialize the sequence for c (KwKwK: prev's sequence plus
+        // its first symbol — the entry the encoder defined but this
+        // decoder has not yet).
+        var sp = 0
+        var p = if (c == next) { stack(sp) = -1; sp = 1; prev } else c
+        while (p > eoi) { stack(sp) = suffixOf(p); sp += 1; p = prefixOf(p) }
+        stack(sp) = p; sp += 1
+        val root = p // first symbol of the emitted sequence
+        if (c == next) stack(0) = root // the appended KwKwK tail
+        if (produced + sp > expected) ok = false
+        else {
+          while (sp > 0) { sp -= 1; out(produced) = stack(sp); produced += 1 }
+          if (next < 4096) {
+            prefixOf(next) = prev; suffixOf(next) = root; next += 1
+            if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+          }
+          prev = c
+        }
+      } else ok = false // code beyond the dictionary: corrupt stream
+    }
+    if (done && ok && produced == expected) Some(out) else None
+  }
+
+  /** A COMPLETE GIF89a image for doc `id`: logical screen descriptor,
+    * 256-entry global color table from [[gifPalette]], one full-frame
+    * non-interlaced image descriptor, and REAL LZW-compressed pixel
+    * indices ([[gifPxIndex]]) in ≤255-byte sub-blocks — sub-block
+    * boundaries land mid-code, so a decoder that resets its bit buffer
+    * per sub-block fails. */
+  def pixelGif(id: Long): Array[Byte] = {
+    val w = gifPxWidth(id); val h = gifPxHeight(id)
+    val idx = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { idx(y * w + x) = gifPxIndex(id, x, y); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(w); u16(h)
+    out.write(0xf7) // GCT present, 8-bit color resolution, 2^8 entries
+    out.write(0); out.write(0) // background index, aspect ratio
+    var k = 0
+    while (k < 256) {
+      out.write(gifPalette(id, k, 0)); out.write(gifPalette(id, k, 1))
+      out.write(gifPalette(id, k, 2))
+      k += 1
+    }
+    out.write(0x2c); u16(0); u16(0); u16(w); u16(h)
+    out.write(0) // no local table, not interlaced
+    out.write(8) // LZW minimum code size
+    val z = lzwEncode(idx, 8)
+    var p = 0
+    while (p < z.length) {
+      val n = math.min(255, z.length - p)
+      out.write(n); out.write(z, p, n); p += n
+    }
+    out.write(0) // sub-block chain terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** REAL full-pixel decode for single-frame non-interlaced GIF, pure
+    * JVM: header + screen descriptor, global color table, block walk to
+    * the first image descriptor (extensions skipped by their sub-block
+    * chains), local-palette override when present, sub-block
+    * concatenation, [[lzwDecode]], and palette indirection per pixel.
+    * None for interlaced frames, indices outside the palette, a frame
+    * with no palette at all, or any LZW/framing failure. */
+  def decodeGifPixels(media: Array[Byte]): Option[DecodedPixels] = {
+    if (media.length < 14) return None
+    val magic = new String(media, 0, 6, "US-ASCII")
+    if (magic != "GIF87a" && magic != "GIF89a") return None
+    def u16(off: Int): Int = (media(off) & 0xff) | ((media(off + 1) & 0xff) << 8)
+    val packed = media(10) & 0xff
+    val gctN = if ((packed & 0x80) != 0) 1 << ((packed & 0x07) + 1) else 0
+    if (13 + 3 * gctN > media.length) return None
+    var off = 13 + 3 * gctN
+    val gctAt = 13
+    def subBlocks(p0: Int, sink: java.io.ByteArrayOutputStream): Option[Int] = {
+      var p = p0
+      while (p < media.length && (media(p) & 0xff) != 0) {
+        val len = media(p) & 0xff
+        if (p + 1 + len > media.length) return None
+        if (sink != null) sink.write(media, p + 1, len)
+        p += 1 + len
+      }
+      if (p >= media.length) None else Some(p + 1)
+    }
+    while (off < media.length) {
+      (media(off) & 0xff) match {
+        case 0x3b => return None // trailer before any frame
+        case 0x21 =>
+          if (off + 2 > media.length) return None
+          subBlocks(off + 2, null) match {
+            case Some(nxt) => off = nxt
+            case None => return None
+          }
+        case 0x2c =>
+          if (off + 10 > media.length) return None
+          val fw = u16(off + 5); val fh = u16(off + 7)
+          val ipacked = media(off + 9) & 0xff
+          if ((ipacked & 0x40) != 0) return None // interlaced: out of profile
+          if (fw <= 0 || fh <= 0 || fw > 4096 || fh > 4096) return None
+          val lctN = if ((ipacked & 0x80) != 0) 1 << ((ipacked & 0x07) + 1) else 0
+          val lctAt = off + 10
+          if (lctAt + 3 * lctN + 1 > media.length) return None
+          val (palAt, palN) = if (lctN > 0) (lctAt, lctN) else (gctAt, gctN)
+          if (palN == 0) return None // no palette anywhere: undecodable
+          val mcsAt = lctAt + 3 * lctN
+          val mcs = media(mcsAt) & 0xff
+          val z = new java.io.ByteArrayOutputStream()
+          if (subBlocks(mcsAt + 1, z).isEmpty) return None
+          return lzwDecode(z.toByteArray, mcs, fw * fh).flatMap { idx =>
+            if (idx.exists(_ >= palN)) None // index outside the palette
+            else Some(sumPixels(fw, fh, (x, y, c) =>
+              media(palAt + 3 * idx(y * fw + x) + c) & 0xff))
+          }
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** GIF-pixel-staged media table: every 3rd doc's payload is a COMPLETE
+    * LZW-compressed GIF ([[pixelGif]]), the rest stay bare text — its own
+    * table, like the PNG pixel staging, so the decode must dispatch on
+    * real magic bytes. */
+  def gifPixelTableStaged(s: SparkSession, dir: String): DataFrame =
+    gifPixelMediaOf(s, graft.Tables.documents(s, dir).select(col("doc_id"), col("source")))
+
+  /** The GIF pixel staging over ANY (doc_id, source) frame (stress). */
+  def gifPixelMediaOf(s: SparkSession, ids: DataFrame): DataFrame = {
+    import s.implicits._
+    ids.as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        val media =
+          if (id % 3 == 0) pixelGif(id)
+          else s"doc $id".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        MediaRow(id, src, media)
+      })
+      .toDF()
+  }
+
+  /** GIF pixel-decode pass, same contract as [[decodedPngPixels]]: the
+    * decode is the filter. */
+  def decodedGifPixels(s: SparkSession, dir: String): DataFrame =
+    decodedGifPixelsOf(s, gifPixelTableStaged(s, dir))
+
+  def decodedGifPixelsOf(s: SparkSession, mediaDf: DataFrame): DataFrame = {
+    import s.implicits._
+    mediaDf.as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        decodeGifPixels(r.media).map(p =>
+          PixelStats(r.doc_id, r.source, p.width, p.height, p.rSum, p.gSum,
+            p.bSum, p.rMoment, p.tlLuma))
       })
       .toDF()
   }

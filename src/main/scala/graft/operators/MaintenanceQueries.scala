@@ -232,7 +232,12 @@ object MaintenanceQueries extends QueryPack {
   private[graft] def compactionPlanOf(files: DataFrame, nBins: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tot = broadcast(files.agg(sum("bytes").as("total")))
+    // Explicit ROWS frame: the default RANGE frame would let duplicate
+    // (bytes, file) manifest rows share a cumulative sum that includes
+    // each other's bytes, diverging from the oracle's ROWS frame and the
+    // documented sequential-fill model.
     val w = Window.orderBy(col("bytes").desc, col("file"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     files.crossJoin(tot)
       .withColumn("cum", sum("bytes").over(w))
       // The CASE guards ANSI divide-by-zero on an all-empty-files

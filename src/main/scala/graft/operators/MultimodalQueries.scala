@@ -286,6 +286,26 @@ object MultimodalQueries extends QueryPack {
           sum("tl_luma").as("tl_luma_total"))
         .orderBy("source")),
 
+    // The SECOND compressed-format pixel decode: a complete GIF89a per
+    // staged doc — block walk, 256-entry global palette, and a pure-JVM
+    // GIF-LZW decode (variable-width codes LSB-first, CLEAR resets, the
+    // KwKwK code==next case — which the staged index runs force in EVERY
+    // image) followed by palette indirection. The oracle recomputes the
+    // palette-composed pixel model closed-form; the moment column makes
+    // any code-width, reset, or palette-offset mistake fatal.
+    "mm_gif_pixels" -> ((s, d) =>
+      MediaPipeline.decodedGifPixels(s, d)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_img"),
+          sum(col("width") * col("height")).as("n_px"),
+          sum("r_sum").as("r_total"),
+          sum("g_sum").as("g_total"),
+          sum("b_sum").as("b_total"),
+          sum("r_moment").as("moment_total"),
+          sum("tl_luma").as("tl_luma_total"))
+        .orderBy("source")),
+
     // The EXECUTED resize (mm_resize_plan only plans dims): decode the
     // staged BMP pixel arrays and nearest-neighbor-sample each to a 4×4
     // thumbnail — downscale and upscale in the same integer-floor rule —
@@ -637,6 +657,45 @@ object MultimodalQueries extends QueryPack {
             tl AS (SELECT doc_id,
                           (299*((doc_id*31) % 251) + 587*((doc_id*31 + 101) % 251)
                            + 114*((doc_id*31 + 202) % 251)) // 1000 AS tl_luma
+                   FROM img)
+         SELECT p.source, CAST(COUNT(*) AS BIGINT) AS n_img,
+                CAST(SUM(p.n_px) AS BIGINT) AS n_px,
+                CAST(SUM(p.r_sum) AS BIGINT) AS r_total,
+                CAST(SUM(p.g_sum) AS BIGINT) AS g_total,
+                CAST(SUM(p.b_sum) AS BIGINT) AS b_total,
+                CAST(SUM(p.r_moment) AS BIGINT) AS moment_total,
+                CAST(SUM(t.tl_luma) AS BIGINT) AS tl_luma_total
+         FROM per_doc p JOIN tl t USING (doc_id)
+         GROUP BY p.source ORDER BY p.source""",
+    // The staged-GIF pixel model composed closed-form: palette index
+    // k(x,y) = (id·31 + (x÷5)·7 + y·13) mod 256 (the x÷5 runs are the
+    // KwKwK forcing), channels = three affine rules over k mod 251 —
+    // exactly what the staging wrote through a REAL LZW compressor and
+    // Spark re-derived by decompressing real bytes.
+    "mm_gif_pixels" ->
+      """WITH img AS (SELECT doc_id, source,
+                             CAST(((doc_id * 5) % 33) + 8 AS BIGINT) AS w,
+                             CAST(((doc_id * 11) % 25) + 6 AS BIGINT) AS h
+                      FROM documents WHERE doc_id % 3 = 0),
+            px AS (SELECT i.doc_id, i.source, i.w, i.h, xs.x, ys.y,
+                          (i.doc_id*31 + (xs.x // 5)*7 + ys.y*13) % 256 AS k
+                   FROM img i,
+                        LATERAL (SELECT unnest(range(i.w)) AS x) xs,
+                        LATERAL (SELECT unnest(range(i.h)) AS y) ys),
+            ch AS (SELECT doc_id, source, w, h, x, y,
+                          (k*3 + doc_id) % 251 AS r,
+                          (k*5 + doc_id*2) % 251 AS g,
+                          (k*7 + doc_id*3) % 251 AS b
+                   FROM px),
+            per_doc AS (SELECT doc_id, source, MAX(w*h) AS n_px,
+                               SUM(r) AS r_sum, SUM(g) AS g_sum, SUM(b) AS b_sum,
+                               SUM((y*w + x) * r) AS r_moment
+                        FROM ch GROUP BY doc_id, source),
+            tl AS (SELECT doc_id,
+                          (299*((((doc_id*31) % 256)*3 + doc_id) % 251)
+                           + 587*((((doc_id*31) % 256)*5 + doc_id*2) % 251)
+                           + 114*((((doc_id*31) % 256)*7 + doc_id*3) % 251)) // 1000
+                            AS tl_luma
                    FROM img)
          SELECT p.source, CAST(COUNT(*) AS BIGINT) AS n_img,
                 CAST(SUM(p.n_px) AS BIGINT) AS n_px,

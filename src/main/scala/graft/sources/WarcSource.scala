@@ -61,11 +61,14 @@ object WarcSource {
     var off = 0
     var idx = 0
     var clean = true
+    // Header lines decode as UTF-8: WARC 1.0 header VALUES (notably
+    // WARC-Target-URI) are UTF-8 on the wire; payload framing is byte-based
+    // so the decode charset never affects offsets.
     def readLine(from: Int): Option[(String, Int)] = {
       var i = from
       while (i + 1 < bytes.length && !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
       if (i + 1 >= bytes.length) None
-      else Some((new String(bytes, from, i - from, "US-ASCII"), i + 2))
+      else Some((new String(bytes, from, i - from, "UTF-8"), i + 2))
     }
     var halted = false
     while (!halted && off < bytes.length) {
@@ -98,7 +101,12 @@ object WarcSource {
             }
           }
           // Payload: exactly len bytes, then the record-final \r\n\r\n.
-          if (!headerOk || len < 0 || p + len + 4 > bytes.length ||
+          // The bounds guard is overflow-free: `p + len + 4 > bytes.length`
+          // would wrap negative for a corrupt Content-Length near
+          // Long.MaxValue and bypass the check, so compare against the
+          // remaining byte budget instead (Int arithmetic, len already
+          // known non-negative on that branch).
+          if (!headerOk || len < 0 || len > (bytes.length - p - 4).toLong ||
               bytes(p + len.toInt) != Crlf(0) || bytes(p + len.toInt + 1) != Crlf(1) ||
               bytes(p + len.toInt + 2) != Crlf(0) || bytes(p + len.toInt + 3) != Crlf(1)) {
             clean = false; halted = true
@@ -268,7 +276,9 @@ object WarcSource {
             val md = digest.digest().map("%02x".format(_)).mkString
             var toks = 0L; var inTok = false
             for (i <- bOff until bOff + bLen) {
-              if (bytes(i) == ' ') inTok = false
+              val b = bytes(i)
+              val ws = b == ' ' || b == '\t' || b == '\r' || b == '\n'
+              if (ws) inTok = false
               else if (!inTok) { toks += 1; inTok = true }
             }
             out += HttpRecord(name, idx, uri, code, ctype, bLen.toLong, md, toks)

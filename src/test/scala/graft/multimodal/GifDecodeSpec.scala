@@ -82,3 +82,78 @@ object GifDecodeProps extends Properties("gifDecode") {
           m._5 == gifFrames(id))
     }
 }
+
+/** GIF-LZW codec pins: encode→decode identity across code sizes, the
+  * special cases (KwKwK, CLEAR resets, width growth), and decoder
+  * totality on garbage. */
+class GifLzwSpec extends SparkSpec {
+
+  test("pixelGif round-trips through decodeGifPixels to the closed-form model") {
+    for (id <- 0L to 90L by 3) {
+      val w = gifPxWidth(id); val h = gifPxHeight(id)
+      var r = 0L; var g = 0L; var b = 0L; var m = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val k = gifPxIndex(id, x, y)
+        val rv = gifPalette(id, k, 0)
+        r += rv; g += gifPalette(id, k, 1); b += gifPalette(id, k, 2)
+        m += (y.toLong * w + x) * rv
+      }
+      val k0 = gifPxIndex(id, 0, 0)
+      val luma = (299L * gifPalette(id, k0, 0) + 587L * gifPalette(id, k0, 1) +
+        114L * gifPalette(id, k0, 2)) / 1000L
+      val got = decodeGifPixels(pixelGif(id))
+      assert(got.contains(MediaPipeline.DecodedPixels(w, h, r, g, b, m, luma)),
+        s"id=$id: $got")
+    }
+  }
+
+  test("interlaced frames and out-of-palette indices are rejected") {
+    val bytes = pixelGif(3L)
+    val imgAt = 13 + 3 * 256 // fixed layout: header+LSD then 256-entry GCT
+    assert((bytes(imgAt) & 0xff) == 0x2c)
+    val interlaced = bytes.clone()
+    interlaced(imgAt + 9) = 0x40.toByte
+    assert(decodeGifPixels(interlaced).isEmpty)
+    // Shrink the declared GCT to 4 entries: staged indices overflow it.
+    val smallPal = bytes.clone()
+    smallPal(10) = (smallPal(10) & 0xf8 | 0x01).toByte
+    assert(decodeGifPixels(smallPal).isEmpty)
+  }
+
+  test("metadata-staged GIFs (fake LZW payloads) never pass the pixel decode") {
+    for (id <- 0L to 60L)
+      assert(decodeGifPixels(gifBytes(id)).isEmpty, s"id=$id")
+  }
+}
+
+/** Property pins for the LZW layer itself. */
+object GifLzwProps extends Properties("gifLzw") {
+  import MediaPipeline._
+
+  private val streams: Gen[(Array[Int], Int)] = for {
+    mcs <- Gen.chooseNum(2, 8)
+    n <- Gen.chooseNum(1, 3000)
+    runs <- Gen.listOfN(n, for {
+      sym <- Gen.chooseNum(0, (1 << mcs) - 1)
+      rep <- Gen.frequency(3 -> Gen.const(1), 2 -> Gen.chooseNum(2, 9))
+    } yield List.fill(rep)(sym))
+  } yield (runs.flatten.toArray, mcs)
+
+  property("decode(encode(xs)) == xs across code sizes, runs and resets") =
+    Prop.forAll(streams) { case (xs, mcs) =>
+      lzwDecode(lzwEncode(xs, mcs), mcs, xs.length).exists(_.sameElements(xs))
+    }
+
+  property("decode with the wrong expected length fails, never throws") =
+    Prop.forAll(streams) { case (xs, mcs) =>
+      val z = lzwEncode(xs, mcs)
+      lzwDecode(z, mcs, xs.length + 1).isEmpty &&
+        (xs.length == 1 || lzwDecode(z, mcs, xs.length - 1).isEmpty)
+    }
+
+  property("decoder is total on arbitrary garbage bytes") =
+    Prop.forAll(Gen.listOf(Gen.chooseNum(0, 255).map(_.toByte)),
+                Gen.chooseNum(2, 8), Gen.chooseNum(1, 500)) { (bs, mcs, n) =>
+      lzwDecode(bs.toArray, mcs, n); true
+    }
+}
