@@ -430,6 +430,33 @@ object DedupQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** The constructed arriving batch of dedup_incremental — re-keyed EXACT
+    * COPIES (doc_id%10==3, must all be dropped) + genuinely-new variants
+    * (doc_id%10==0, must all survive). One definition, shared by the
+    * derived-frame query and its bucketed-index twin so the result-
+    * invariance gate compares identical inputs. */
+  private[graft] def incrementalBatchOf(docs: DataFrame): DataFrame = {
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+              concat(col("text"), lit(" v2 fresh")).as("text"))
+    val copies = docs.filter(col("doc_id") % 10 === 3)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    fresh.unionByName(copies)
+  }
+
+  /** The constructed near-dup batch of dedup_incremental_neardup —
+    * one-appended-token near-dups (doc_id%10==7, must be FLAGGED) +
+    * token-reversed fresh docs (doc_id%10==4, must PASS). */
+  private[graft] def neardupBatchOf(docs: DataFrame): DataFrame = {
+    val near = docs.filter(col("doc_id") % 10 === 7)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+              concat(col("text"), lit(" appendix")).as("text"))
+    val fresh = docs.filter(col("doc_id") % 10 === 4)
+      .select((col("doc_id") + 4000000L).as("doc_id"),
+              array_join(reverse(split(col("text"), " ")), " ").as("text"))
+    near.unionByName(fresh)
+  }
+
   /** Incremental ingest dedup over ANY batch/corpus pair — the
     * dedup_incremental query body, reusable for adversarial loads (the
     * STRESS `incremental_ingest` run): within-batch exact dedup (partial-
@@ -487,12 +514,31 @@ object DedupQueries extends QueryPack {
     // join entirely; only maybe-dup rows pay the probe.
     "dedup_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val fresh = docs.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-                concat(col("text"), lit(" v2 fresh")).as("text"))
-      val copies = docs.filter(col("doc_id") % 10 === 3)
-        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
-      incrementalDedupOf(s, fresh.unionByName(copies), docs)
+      incrementalDedupOf(s, incrementalBatchOf(docs), docs)
+    }),
+
+    // PRODUCTION shape of dedup_incremental: at 100 TB the corpus
+    // content-hash index is a MAINTAINED bucketed table (built once,
+    // updated per ingest), not a frame re-derived from the corpus on
+    // every batch. This twin builds that table (writeBucketed on
+    // content_hash — the one-time shuffle) and probes it with the
+    // arriving batch: the LEFT ANTI sort-merge join reads the corpus
+    // side pre-partitioned and pre-sorted from its buckets with ZERO
+    // exchange (plan-pinned in SkewAndBucketingSpec; only the small
+    // batch side shuffles, into the bucket count). Same oracle as
+    // dedup_incremental — the layout round-trip changes nothing.
+    "dedup_incremental_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tbl = "graft_md5_idx_" + java.lang.Integer.toHexString(d.hashCode)
+      graft.sources.FileSources.writeBucketed(
+        docs.select(md5(col("text")).as("content_hash")).distinct(),
+        tbl, 8, Seq("content_hash"))
+      incrementalBatchOf(docs)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_batch_copies"))
+        .join(s.table(tbl), Seq("content_hash"), "left_anti")
+        .select("doc_id", "n_batch_copies")
+        .orderBy("doc_id")
     }),
 
     // Incremental NEAR-dup ingest — the LSH mode of dedup_incremental:
@@ -513,14 +559,32 @@ object DedupQueries extends QueryPack {
     // to a boilerplate-hot band key the same way as in dedup_minhash.
     "dedup_incremental_neardup" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      val near = docs.filter(col("doc_id") % 10 === 7)
-        .select((col("doc_id") + 3000000L).as("doc_id"),
-                concat(col("text"), lit(" appendix")).as("text"))
-      val fresh = docs.filter(col("doc_id") % 10 === 4)
-        .select((col("doc_id") + 4000000L).as("doc_id"),
-                array_join(reverse(split(col("text"), " ")), " ").as("text"))
-      val batch = near.unionByName(fresh)
+      val batch = neardupBatchOf(docs)
       val cand = minhashBandsOf(s, docs).as("c")
+        .join(minhashBandsOf(s, batch).as("b"), Seq("band", "bkey"))
+        .select(col("c.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      jaccardOfDocs(s, docs.unionByName(batch), cand)
+        .filter(col("jac") >= 0.7)
+        .select(col("db").as("batch_id"), col("da").as("corpus_id"),
+                round6(col("jac")).as("jac"))
+        .orderBy("batch_id", "corpus_id")
+    }),
+
+    // PRODUCTION shape of dedup_incremental_neardup: the corpus LSH band
+    // index as a MAINTAINED bucketed table on (band, bkey) — each ingest
+    // probes it with only the batch's band keys, the corpus side read
+    // exchange-free from its buckets (the dedup_incremental_indexed
+    // story, on the candidate-generation join). The exact-Jaccard verify
+    // downstream is unchanged: the index only accelerates candidate
+    // generation, so the oracle is identical to the derived-frame twin.
+    "dedup_incremental_neardup_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val tbl = "graft_band_idx_" + java.lang.Integer.toHexString(d.hashCode)
+      graft.sources.FileSources.writeBucketed(
+        minhashBandsOf(s, docs), tbl, 8, Seq("band", "bkey"))
+      val batch = neardupBatchOf(docs)
+      val cand = s.table(tbl).as("c")
         .join(minhashBandsOf(s, batch).as("b"), Seq("band", "bkey"))
         .select(col("c.doc_id").as("da"), col("b.doc_id").as("db"))
         .distinct()
@@ -991,56 +1055,68 @@ object DedupQueries extends QueryPack {
        sim AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
                FROM bits GROUP BY 1)"""
 
+  /** dedup_incremental's oracle — shared verbatim with the
+    * bucketed-index twin (result invariance is the twin's gate). */
+  private val incrementalSql =
+    """WITH batch AS (
+           SELECT doc_id + 1000000 AS doc_id, text || ' v2 fresh' AS text
+           FROM documents WHERE doc_id % 10 = 0
+           UNION ALL
+           SELECT doc_id + 2000000 AS doc_id, text
+           FROM documents WHERE doc_id % 10 = 3),
+          b AS (SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_batch_copies
+                FROM batch GROUP BY 1),
+          c AS (SELECT DISTINCT md5(text) AS content_hash FROM documents)
+       SELECT b.doc_id, b.n_batch_copies
+       FROM b ANTI JOIN c ON b.content_hash = c.content_hash
+       ORDER BY doc_id"""
+
+  /** dedup_incremental_neardup's oracle — shared verbatim with the
+    * bucketed-band-index twin. */
+  private val incrementalNeardupSql =
+    """WITH batch AS (
+           SELECT doc_id + 3000000 AS doc_id, text || ' appendix' AS text
+           FROM documents WHERE doc_id % 10 = 7
+           UNION ALL
+           SELECT doc_id + 4000000 AS doc_id,
+                  array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+           FROM documents WHERE doc_id % 10 = 4),
+          cd AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          csh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 2),
+                    i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))) AS s
+                  FROM cd WHERE len(toks) >= 3),
+          bd AS (SELECT doc_id, string_split(text, ' ') AS toks FROM batch),
+          bsh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 2),
+                    i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))) AS s
+                  FROM bd WHERE len(toks) >= 3),
+          cs AS (SELECT doc_id, COUNT(*) AS n FROM csh GROUP BY 1),
+          bs AS (SELECT doc_id, COUNT(*) AS n FROM bsh GROUP BY 1),
+          inter AS (SELECT c.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+                    FROM csh c JOIN bsh b ON c.s = b.s GROUP BY 1, 2),
+          jac AS (SELECT da, db, i * 1.0 / (cs.n + bs.n - i) AS jac
+                  FROM inter JOIN cs ON cs.doc_id = da JOIN bs ON bs.doc_id = db)
+       SELECT db AS batch_id, da AS corpus_id,
+              FLOOR(jac * 1000000 + 0.5) / 1000000 AS jac
+       FROM jac WHERE jac >= 0.7 ORDER BY batch_id, corpus_id"""
+
   override def oracleSqlFor(dataDir: String): Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS canonical_id, CAST(COUNT(*) AS BIGINT) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY canonical_id""",
     // Same constructed batch (re-keyed exact copies + ' v2 fresh'
     // variants); ANTI JOIN rather than NOT IN so the no-NULL assumption
-    // never matters cross-engine.
-    "dedup_incremental" ->
-      """WITH batch AS (
-             SELECT doc_id + 1000000 AS doc_id, text || ' v2 fresh' AS text
-             FROM documents WHERE doc_id % 10 = 0
-             UNION ALL
-             SELECT doc_id + 2000000 AS doc_id, text
-             FROM documents WHERE doc_id % 10 = 3),
-            b AS (SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id,
-                         CAST(COUNT(*) AS BIGINT) AS n_batch_copies
-                  FROM batch GROUP BY 1),
-            c AS (SELECT DISTINCT md5(text) AS content_hash FROM documents)
-         SELECT b.doc_id, b.n_batch_copies
-         FROM b ANTI JOIN c ON b.content_hash = c.content_hash
-         ORDER BY doc_id""",
+    // never matters cross-engine. The _indexed twin shares this SQL
+    // verbatim: the bucketed-index layout must not change the result.
+    "dedup_incremental" -> incrementalSql,
+    "dedup_incremental_indexed" -> incrementalSql,
     // Same constructed batch; exact cross-frame 3-shingle Jaccard over
     // corpus × batch (the LSH on the Spark side is candidates-only —
     // exact verify makes the declared result the true near-dup set, the
-    // dedup_minhash pattern).
-    "dedup_incremental_neardup" ->
-      """WITH batch AS (
-             SELECT doc_id + 3000000 AS doc_id, text || ' appendix' AS text
-             FROM documents WHERE doc_id % 10 = 7
-             UNION ALL
-             SELECT doc_id + 4000000 AS doc_id,
-                    array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
-             FROM documents WHERE doc_id % 10 = 4),
-            cd AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-            csh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 2),
-                      i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))) AS s
-                    FROM cd WHERE len(toks) >= 3),
-            bd AS (SELECT doc_id, string_split(text, ' ') AS toks FROM batch),
-            bsh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 2),
-                      i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))) AS s
-                    FROM bd WHERE len(toks) >= 3),
-            cs AS (SELECT doc_id, COUNT(*) AS n FROM csh GROUP BY 1),
-            bs AS (SELECT doc_id, COUNT(*) AS n FROM bsh GROUP BY 1),
-            inter AS (SELECT c.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
-                      FROM csh c JOIN bsh b ON c.s = b.s GROUP BY 1, 2),
-            jac AS (SELECT da, db, i * 1.0 / (cs.n + bs.n - i) AS jac
-                    FROM inter JOIN cs ON cs.doc_id = da JOIN bs ON bs.doc_id = db)
-         SELECT db AS batch_id, da AS corpus_id,
-                FLOOR(jac * 1000000 + 0.5) / 1000000 AS jac
-         FROM jac WHERE jac >= 0.7 ORDER BY batch_id, corpus_id""",
+    // dedup_minhash pattern). Shared by the bucketed-band-index twin for
+    // the same result-invariance reason.
+    "dedup_incremental_neardup" -> incrementalNeardupSql,
+    "dedup_incremental_neardup_indexed" -> incrementalNeardupSql,
     // Ordered 8-gram windows (1-based inclusive list_slice: i+1..i+8 for
     // i in 0..len-8 ≡ Spark's sliding(8)); a gram is "shared" when ≥2
     // DISTINCT docs carry it, and each doc counts every shared window

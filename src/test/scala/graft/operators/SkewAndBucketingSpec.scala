@@ -109,6 +109,61 @@ class SkewAndBucketingSpec extends SparkSpec {
     sess.sql("DROP TABLE IF EXISTS b_ivf_idx")
   }
 
+  /** The index-side pin shared by the two persisted-ingest-index tests:
+    * find the sort-merge join, locate the side reading the bucketed
+    * table, and require NO exchange anywhere on that side — the batch
+    * side may shuffle (it must, to align with the buckets); the corpus
+    * index side must not. AQE off so the executed plan is the plain tree. */
+  private def assertBucketSideExchangeFree(df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan
+    val smj = plan.collectFirst { case j: SortMergeJoinExec => j }
+      .getOrElse(fail(s"no sort-merge join in:\n$plan"))
+    val bucketSide = Seq(smj.left, smj.right)
+      .find(_.toString.contains("Bucketed: true"))
+      .getOrElse(fail(s"no bucketed scan on either join side:\n$plan"))
+    assert(!bucketSide.toString.contains("Exchange"),
+      s"corpus index side still shuffles:\n$bucketSide")
+  }
+
+  test("the persisted md5 corpus index anti-joins with no corpus-side exchange") {
+    // dedup_incremental_indexed's deployment claim: with the corpus
+    // content-hash index bucketed on content_hash, the per-ingest LEFT
+    // ANTI probe shuffles ONLY the (small) arriving batch — the corpus
+    // side reads pre-partitioned, pre-sorted buckets.
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    val docs = Tables.documents(sess, dir)
+    graft.sources.FileSources.writeBucketed(
+      docs.select(md5(col("text")).as("content_hash")).distinct(),
+      "b_md5_idx", 8, Seq("content_hash"))
+    assertBucketSideExchangeFree(
+      DedupQueries.incrementalBatchOf(docs)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(count(lit(1)).as("n_batch_copies"))
+        .join(sess.table("b_md5_idx"), Seq("content_hash"), "left_anti"))
+    sess.sql("DROP TABLE IF EXISTS b_md5_idx")
+  }
+
+  test("the persisted LSH band index joins with no corpus-side exchange") {
+    // dedup_incremental_neardup_indexed: candidate generation probes the
+    // bucketed (band, bkey) corpus index; only the batch bands shuffle.
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    val docs = Tables.documents(sess, dir).select("doc_id", "text")
+    graft.sources.FileSources.writeBucketed(
+      DedupQueries.minhashBandsOf(sess, docs), "b_band_idx", 8, Seq("band", "bkey"))
+    assertBucketSideExchangeFree(
+      sess.table("b_band_idx").as("c")
+        .join(DedupQueries.minhashBandsOf(sess, DedupQueries.neardupBatchOf(docs)).as("b"),
+          Seq("band", "bkey"))
+        .select(col("c.doc_id").as("da"), col("b.doc_id").as("db")))
+    sess.sql("DROP TABLE IF EXISTS b_band_idx")
+  }
+
   test("AQE splits a skewed join partition (skew=true in the final plan)") {
     // Complement to the manual salting path (q_skew_agg/q_skew_join):
     // with thresholds scaled to fixture size, AQE's OptimizeSkewedJoin
