@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryPack, Tables}
 import graft.Portable.{round4, round6}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM-data pipelines (north star):
@@ -260,6 +261,20 @@ object TextAnalysis extends QueryPack {
         .limit(20)
     }),
 
+    // The FULL BPE tokenizer-training loop (text_bpe_pairs is one
+    // iteration of its inner counting step): k=10 rounds of
+    // count-pairs → pick top merge → re-tokenize the vocabulary. Scale
+    // shape is the PageRank driver-loop pattern: every round runs over
+    // the VOCABULARY frame (corpus collapsed once by an uniform-key word
+    // count — vocab-sized even at 100 TB), the per-round shuffle is a
+    // partial-aggregated pair count, only the 1-row argmax ever reaches
+    // the driver, and the re-tokenized vocab is localCheckpoint()ed so
+    // lineage stays flat across rounds. The oracle unrolls the same 10
+    // rounds as CTE stages whose list_reduce fold is proven ≡ the greedy
+    // left-to-right merge (BpeLearnSpec property).
+    "text_bpe_learn" -> ((s, d) =>
+      bpeLearnOf(s, Tables.documents(s, d), k = 10)),
+
     // Stopword filtering — the token-scrub pass an indexing/featurization
     // pipeline runs before vocabulary work. Map-only array ops (filter +
     // slice + join), no UDFs; reports before/after counts plus the head
@@ -356,6 +371,96 @@ object TextAnalysis extends QueryPack {
   private val PiiPhoneRe = "\\+1-[0-9]{3}-[0-9]{4}"
   private val PiiIpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
+  /** One greedy left-to-right application of merge (a, b) → a+b over a
+    * symbol sequence — the standard BPE re-tokenization step: scan
+    * resumes AFTER a merged pair, so overlapping occurrences ("aaa" under
+    * (a,a)) merge like the reference algorithm, not like replace-all. */
+  private[graft] def applyBpeMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** The text_bpe_learn body over ANY documents-shaped frame: k rounds of
+    * pair-count → 1-row argmax → greedy re-tokenize. Returns the learned
+    * merge table (step, left_sym, right_sym, cnt). The argmax tie-break
+    * is (cnt DESC, a, b) — a total order both engines share on the ASCII
+    * fixture vocabulary. */
+  def bpeLearnOf(s: SparkSession, docs: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    var vocab = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      // Char decomposition via substring, NOT split(word, "") — Spark's
+      // regex split appends a trailing empty symbol ("abc" → a,b,c,"")
+      // that would poison every pair ending the word.
+      .select(col("freq"), expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("syms"))
+      .as[(Long, Seq[String])]
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      val top = vocab.toDF("freq", "syms")
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms)-2), i -> struct(syms[i] AS a, syms[i+1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect() // the 1-row argmax — the loop's only driver hop
+      if (top.isEmpty) exhausted = true // degenerate corpus: no pairs left
+      else {
+        val a = top(0).getString(0); val b = top(0).getString(1)
+        merges += ((step, a, b, top(0).getLong(2)))
+        vocab = vocab.map { case (f, syms) => (f, applyBpeMerge(syms, a, b)) }
+          .localCheckpoint()
+        step += 1
+      }
+    }
+    merges.result().toDF("step", "left_sym", "right_sym", "cnt").orderBy("step")
+  }
+
+  /** text_bpe_learn's oracle: the k rounds unrolled as CTE stages. Each
+    * v{r} applies merge t{r} via a list_reduce fold over singleton-list
+    * elements — replace-last-when-(a,b) — which equals the greedy
+    * left-to-right merge because a merged symbol a||b can never equal
+    * the pair's left element a (BpeLearnSpec pins the equivalence on
+    * randomized sequences). */
+  private def bpeLearnSql(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      s"""p$r AS (SELECT u.pair[1] AS a, u.pair[2] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+                  FROM (SELECT freq, unnest(list_transform(range(len(syms)-1),
+                              i -> [syms[i+1], syms[i+2]])) AS pair
+                        FROM v${r - 1} WHERE len(syms) >= 2) u
+                  GROUP BY 1, 2),
+            t$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+            v$r AS (SELECT freq,
+                           list_reduce(list_transform(syms, s -> [s]),
+                             (acc, x) -> CASE WHEN acc[-1] = t.a AND x[1] = t.b
+                                         THEN list_append(acc[1:len(acc)-1], t.a || t.b)
+                                         ELSE list_concat(acc, x) END) AS syms
+                    FROM v${r - 1} CROSS JOIN t$r t)"""
+    }.mkString(",\n")
+    val unions = (1 to k).map(r =>
+      s"SELECT $r AS step, a AS left_sym, b AS right_sym, cnt FROM t$r")
+      .mkString("\n         UNION ALL ")
+    s"""WITH w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+                   FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+                   WHERE length(word) >= 2 GROUP BY 1),
+            v0 AS (SELECT freq, list_transform(range(length(word)),
+                            i -> substring(word, i+1, 1)) AS syms FROM w),
+            $rounds
+         $unions ORDER BY step"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     // The funnel composes the EXACT per-stage arithmetic of dedup_exact
     // (md5 canonical), text_repetition (trigram dup rate), text_quality
@@ -437,6 +542,7 @@ object TextAnalysis extends QueryPack {
                   FROM w)
          SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
          FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""",
+    "text_bpe_learn" -> bpeLearnSql(10),
     "text_ngram_stats" ->
       """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents
                     WHERE len(string_split(text, ' ')) >= 2),
