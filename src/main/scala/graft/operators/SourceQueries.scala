@@ -75,26 +75,19 @@ object SourceQueries extends QueryPack {
     // gate design applied to an archive format. Scale shape: one task
     // per shard (the real Common Crawl layout), single forward parse
     // pass, codegen'd aggregation after.
-    "warc_ingest" -> ((s, d) => {
-      val paths = graft.sources.WarcSource.stageFixture(warcStage(d))
-      graft.sources.WarcSource.records(s, paths)
-        .filter(col("rec_type").isin("request", "response"))
-        .withColumn("site",
-          regexp_extract(col("uri"), "http://(site\\d+)\\.example", 1))
-        .groupBy("site")
-        .agg(
-          sum(when(col("rec_type") === "response", 1L).otherwise(0L)).as("n_responses"),
-          sum(when(col("rec_type") === "request", 1L).otherwise(0L)).as("n_requests"),
-          sum(when(col("rec_type") === "response", col("payload_len"))
-            .otherwise(0L)).as("payload_bytes"),
-          sum(when(col("rec_type") === "response", col("idx") * col("payload_len"))
-            .otherwise(0L)).as("moment"),
-          sum(when(col("rec_type") === "response",
-            graft.functions.PortableHash.h60p(
-              concat(col("uri"), lit("|"), col("payload_md5"))))
-            .otherwise(0L)).as("checksum"))
-        .orderBy("site")
-    }),
+    "warc_ingest" -> ((s, d) =>
+      warcAuditOf(graft.sources.WarcSource.records(
+        s, graft.sources.WarcSource.stageFixture(warcStage(d))))),
+
+    // The same fixture, records and audit — but the records come from a
+    // REAL Structured Streaming execution (binaryFile FileStreamSource →
+    // parse → append parquet sink across three 8-shard micro-batches,
+    // EventStreams.warcRecordsLive) instead of the batch reader. Shares
+    // warc_ingest's oracle verbatim: the streaming arrival path must
+    // reproduce the batch parse bit-for-bit.
+    "warc_ingest_live" -> ((s, d) =>
+      warcAuditOf(graft.streaming.EventStreams.warcRecordsLive(
+        s, graft.sources.WarcSource.stageFixture(warcStage(d))))),
 
     // WARC → WET text extraction — the chain a crawl corpus actually runs
     // after ingest: for every response record, parse the PAYLOAD as an
@@ -280,34 +273,61 @@ object SourceQueries extends QueryPack {
     })
   )
 
+  /** The per-site WARC ingest audit over a WarcSource.records-shaped
+    * frame — shared by the batch reader gate (warc_ingest) and the
+    * streaming-arrival gate (warc_ingest_live), which must agree. */
+  private def warcAuditOf(records: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    records
+      .filter(col("rec_type").isin("request", "response"))
+      .withColumn("site",
+        regexp_extract(col("uri"), "http://(site\\d+)\\.example", 1))
+      .groupBy("site")
+      .agg(
+        sum(when(col("rec_type") === "response", 1L).otherwise(0L)).as("n_responses"),
+        sum(when(col("rec_type") === "request", 1L).otherwise(0L)).as("n_requests"),
+        sum(when(col("rec_type") === "response", col("payload_len"))
+          .otherwise(0L)).as("payload_bytes"),
+        sum(when(col("rec_type") === "response", col("idx") * col("payload_len"))
+          .otherwise(0L)).as("moment"),
+        sum(when(col("rec_type") === "response",
+          graft.functions.PortableHash.h60p(
+            concat(col("uri"), lit("|"), col("payload_md5"))))
+          .otherwise(0L)).as("checksum"))
+      .orderBy("site")
+
+  // Dir-independent: the oracle regenerates WarcSource's closed-form
+  // fixture model instead of reading staged bytes (DuckDB has no WARC
+  // reader — the independence is the MODEL, exactly the pixel-decode
+  // gate design). warcinfo records (idx 0) and request records
+  // (idx 1+2i, fixed 5-byte body) surround each response (idx 2+2i).
+  // Shared verbatim by warc_ingest_live: streaming arrival must change
+  // nothing.
+  private val warcIngestSql =
+    s"""WITH shards AS (SELECT unnest(range(24)) AS f),
+          resp AS (SELECT f, unnest(range(5 + (f % 4))) AS i FROM shards),
+          m AS (SELECT f, i,
+                       'http://site' || (f % 6) || '.example/f' || f || '/p' || i AS uri,
+                       CASE WHEN i % 3 = 0
+                            THEN 'WARC/1.0' || chr(13) || chr(10) ||
+                                 'X: decoy' || chr(13) || chr(10)
+                            ELSE '' END ||
+                       repeat('x', 40 + ((f * 31 + i * 7) % 100)) AS payload
+                FROM resp),
+          p AS (SELECT 'site' || (f % 6) AS site,
+                       CAST(2 + 2 * i AS BIGINT) AS idx,
+                       CAST(length(payload) AS BIGINT) AS len,
+                       uri || '|' || md5(payload) AS keyed
+                FROM m)
+        SELECT site, CAST(COUNT(*) AS BIGINT) AS n_responses,
+               CAST(COUNT(*) AS BIGINT) AS n_requests,
+               CAST(SUM(len) AS BIGINT) AS payload_bytes,
+               CAST(SUM(idx * len) AS BIGINT) AS moment,
+               CAST(SUM(${graft.functions.PortableHash.h60pSql("keyed")}) AS BIGINT) AS checksum
+        FROM p GROUP BY 1 ORDER BY site"""
+
   override def oracleSqlFor(dataDir: String): Map[String, String] = Map(
-    // Dir-independent: the oracle regenerates WarcSource's closed-form
-    // fixture model instead of reading staged bytes (DuckDB has no WARC
-    // reader — the independence is the MODEL, exactly the pixel-decode
-    // gate design). warcinfo records (idx 0) and request records
-    // (idx 1+2i, fixed 5-byte body) surround each response (idx 2+2i).
-    "warc_ingest" ->
-      s"""WITH shards AS (SELECT unnest(range(24)) AS f),
-            resp AS (SELECT f, unnest(range(5 + (f % 4))) AS i FROM shards),
-            m AS (SELECT f, i,
-                         'http://site' || (f % 6) || '.example/f' || f || '/p' || i AS uri,
-                         CASE WHEN i % 3 = 0
-                              THEN 'WARC/1.0' || chr(13) || chr(10) ||
-                                   'X: decoy' || chr(13) || chr(10)
-                              ELSE '' END ||
-                         repeat('x', 40 + ((f * 31 + i * 7) % 100)) AS payload
-                  FROM resp),
-            p AS (SELECT 'site' || (f % 6) AS site,
-                         CAST(2 + 2 * i AS BIGINT) AS idx,
-                         CAST(length(payload) AS BIGINT) AS len,
-                         uri || '|' || md5(payload) AS keyed
-                  FROM m)
-          SELECT site, CAST(COUNT(*) AS BIGINT) AS n_responses,
-                 CAST(COUNT(*) AS BIGINT) AS n_requests,
-                 CAST(SUM(len) AS BIGINT) AS payload_bytes,
-                 CAST(SUM(idx * len) AS BIGINT) AS moment,
-                 CAST(SUM(${graft.functions.PortableHash.h60pSql("keyed")}) AS BIGINT) AS checksum
-          FROM p GROUP BY 1 ORDER BY site""",
+    "warc_ingest" -> warcIngestSql,
+    "warc_ingest_live" -> warcIngestSql,
     // Dir-independent like warc_ingest: the oracle regenerates the HTTP
     // fixture model (12 shards × 6+(f%3) responses; body = "tok "×T with
     // the trailing space trimmed → length 4T−1, tokens T).

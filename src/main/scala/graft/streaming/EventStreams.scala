@@ -706,4 +706,75 @@ object EventStreams {
         mode)
       .toDF()
   }
+
+  /** WARC shard ARRIVAL pipeline, live — the actual Common Crawl ingest
+    * shape: a FileStreamSource over binary WARC shards (`binaryFile`
+    * format — exactly-once file discovery with per-batch commit logs),
+    * the strict Content-Length parse per shard
+    * (WarcSource.parseWarc — same loud-failure contract as the batch
+    * reader), and an append parquet sink. STATELESS map-only
+    * micro-batches: no watermark, no state store — what this gate pins
+    * is that the streaming execution (file-queue batching across
+    * `filesPerTrigger`-sized triggers, sink commit protocol) reproduces
+    * the batch parse bit-for-bit under the batch `warc_ingest` oracle.
+    * At 100 TB this is the shape that matters: shards arrive
+    * continuously, each is one task in some micro-batch, and the sink's
+    * commit log makes re-processing after failure exactly-once.
+    *
+    * Same per-invocation temp-dir/session discipline as [[runLive]]
+    * (own 2-partition session, tracked sink dir, checkpoint+staging
+    * reclaimed eagerly). */
+  def warcRecordsLive(spark: SparkSession, shardPaths: Seq[String],
+                      filesPerTrigger: Int = 8): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_warc_live_").toFile.getAbsolutePath
+    trackForCleanup(base)
+    val srcDir = s"$base/src"
+    new java.io.File(srcDir).mkdirs()
+    // Stage the shards into the stream's source dir (a copy, not a move:
+    // the fixture is shared with the batch twin). 24 fixture shards /
+    // filesPerTrigger=8 → three real micro-batches.
+    shardPaths.foreach { p =>
+      val name = p.substring(p.lastIndexOf('/') + 1)
+      Files.copy(Paths.get(p), Paths.get(s"$srcDir/$name")): Unit
+    }
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", "2")
+    sess.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    sess.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+    import sess.implicits._
+    // binaryFile's schema is fixed by the format, but FileStreamSource
+    // still demands it explicitly (no streaming-time inference).
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val q = sess.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .load(srcDir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        val (recs, clean) = graft.sources.WarcSource.parseWarc(name, bytes)
+        if (!clean) throw new IllegalArgumentException(
+          s"$path: unframeable trailing bytes mid-stream (corrupt WARC shard)")
+        recs
+      }
+      .toDF()
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    Seq(srcDir, s"$base/ckpt").foreach(rmTree)
+    spark.read.parquet(s"$base/out")
+  }
 }

@@ -157,6 +157,21 @@ class WarcSourceSpec extends SparkSpec {
     val after = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(paths.head))
     assert(java.util.Arrays.equals(before, after))
   }
+
+  test("streaming WARC arrival equals the batch reader row-for-row") {
+    // warc_ingest_live's claim at the record level (the oracle pins the
+    // aggregate): the binaryFile FileStreamSource → parse → append-sink
+    // pipeline yields exactly the batch reader's record set.
+    val dir = java.nio.file.Files.createTempDirectory("warc_live_spec").toString
+    val paths = WarcSource.stageFixture(dir)
+    def key(r: org.apache.spark.sql.Row) = r.getValuesMap[Any](
+      Seq("file", "idx", "rec_type", "uri", "payload_len", "payload_md5"))
+    val batch = WarcSource.records(spark, paths).collect().map(key).toSet
+    val live = graft.streaming.EventStreams.warcRecordsLive(spark, paths)
+      .collect().map(key).toSet
+    assert(live == batch)
+    assert(batch.size == 24 + 2 * 156) // warcinfo + request/response pairs
+  }
 }
 
 /** Randomized framing model-checks: parse(build(records)) must recover
