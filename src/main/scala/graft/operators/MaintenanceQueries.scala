@@ -98,13 +98,24 @@ object MaintenanceQueries extends QueryPack {
     // Sums are over exact cents (floor(price*100+0.5) — the Portable
     // rounding contract), so the gate pins every CASE branch of the merge.
     "q_merge_upsert" -> ((s, d) =>
-      mergedOrdersOf(Tables.orders(s, d))
-        .groupBy(col("pri").as("o_orderpriority"))
-        .agg(count(lit(1)).as("n_rows"),
-          sum(floor(col("price") * 100 + 0.5).cast("long")).as("total_cents"),
-          sum("ins").as("n_inserted"),
-          sum("upd").as("n_updated"))
-        .orderBy("o_orderpriority")),
+      mergeAuditOf(mergedOrdersOf(Tables.orders(s, d)))),
+
+    // The scaladoc claim above ("on a bucketed snapshot the join needs no
+    // exchange at all on the snapshot side"), PROVEN: the snapshot is
+    // written once as a parquet table bucketed on the merge key
+    // (FileSources.writeBucketed — the one-time shuffle a maintained
+    // 100 TB table has already paid), and the MERGE's full-outer join
+    // reads it pre-partitioned and pre-sorted from its buckets — only
+    // the (small) change batch shuffles, plan-pinned in
+    // SkewAndBucketingSpec. Identical oracle to q_merge_upsert: the
+    // layout round-trip must change nothing.
+    "q_merge_upsert_bucketed" -> ((s, d) => {
+      val tbl = "graft_orders_snap_" + java.lang.Integer.toHexString(d.hashCode)
+      graft.sources.FileSources.writeBucketed(
+        Tables.orders(s, d).select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        tbl, 8, Seq("o_orderkey"))
+      mergeAuditOf(mergedOrdersOf(s.table(tbl)))
+    }),
 
     // Snapshot diff — compare the post-merge table against the original
     // snapshot BY KEY and classify every key: added / removed / changed /
@@ -221,6 +232,17 @@ object MaintenanceQueries extends QueryPack {
       segmentChecksumOf(Tables.lineitem(s, d)))
   )
 
+  /** The post-MERGE audit shared by q_merge_upsert and its bucketed
+    * twin: per-priority row count, exact-cent total and per-op counts. */
+  private def mergeAuditOf(merged: DataFrame): DataFrame =
+    merged
+      .groupBy(col("pri").as("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(floor(col("price") * 100 + 0.5).cast("long")).as("total_cents"),
+        sum("ins").as("n_inserted"),
+        sum("upd").as("n_updated"))
+      .orderBy("o_orderpriority")
+
   /** The q_compaction_plan kernel over ANY (file, bytes, n_docs) manifest
     * frame (Stress reuses it on a 100k-file synthetic manifest): files
     * sorted largest-first (name tie-break), assigned to `nBins`
@@ -273,15 +295,19 @@ object MaintenanceQueries extends QueryPack {
       "CAST(CAST(FLOOR(l_quantity) AS BIGINT) AS VARCHAR) || '|' || " +
       "CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS VARCHAR))")
 
+  private val mergeUpsertSql =
+    s"""WITH $mergedSqlCte
+        SELECT pri AS o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(FLOOR(price * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+               CAST(SUM(ins) AS BIGINT) AS n_inserted,
+               CAST(SUM(upd) AS BIGINT) AS n_updated
+        FROM merged GROUP BY 1 ORDER BY o_orderpriority"""
+
   val oracleSql: Map[String, String] = Map(
-    "q_merge_upsert" ->
-      s"""WITH $mergedSqlCte
-          SELECT pri AS o_orderpriority,
-                 CAST(COUNT(*) AS BIGINT) AS n_rows,
-                 CAST(SUM(CAST(FLOOR(price * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
-                 CAST(SUM(ins) AS BIGINT) AS n_inserted,
-                 CAST(SUM(upd) AS BIGINT) AS n_updated
-          FROM merged GROUP BY 1 ORDER BY o_orderpriority""",
+    "q_merge_upsert" -> mergeUpsertSql,
+    // Shared verbatim: the bucketed snapshot layout must not move a cent.
+    "q_merge_upsert_bucketed" -> mergeUpsertSql,
     "q_snapshot_diff" ->
       s"""WITH $mergedSqlCte,
             b AS (SELECT o_orderkey AS bk,
