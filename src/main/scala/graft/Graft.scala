@@ -517,6 +517,24 @@ object Graft {
     operators.MaintenanceQueries.compactionPlanOf(files, nBins)
   }
 
+  /** BPE tokenizer training: k rounds of pair-count → argmax → greedy
+    * re-tokenize over the corpus vocabulary (vocab-sized frames, one
+    * 1-row driver hop per round). Returns the learned merge table
+    * (step, left_sym, right_sym, cnt). See TextAnalysis.bpeLearnOf. */
+  def bpeLearn(spark: SparkSession, docs: DataFrame, merges: Int = 10): DataFrame = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
+    operators.TextAnalysis.bpeLearnOf(spark, docs, merges)
+  }
+
+  /** Streaming WARC shard arrival: binaryFile FileStreamSource over the
+    * shard paths → strict Content-Length parse → append parquet sink;
+    * returns the sink as a batch frame of WarcSource.WarcRecord rows.
+    * See EventStreams.warcRecordsLive. */
+  def warcIngestLive(spark: SparkSession, shardPaths: Seq[String]): DataFrame = {
+    require(shardPaths.nonEmpty, "warcIngestLive needs at least one shard path")
+    streaming.EventStreams.warcRecordsLive(spark, shardPaths)
+  }
+
   def topNgrams(docs: DataFrame, n: Int, k: Int, textCol: String = "text"): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
     require(k >= 1, s"k must be >= 1, got $k") // limit(0) is legal → silently empty

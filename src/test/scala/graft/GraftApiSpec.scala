@@ -309,4 +309,20 @@ class GraftApiSpec extends SparkSpec {
     }
     assert(bad.getMessage.contains("query term"))
   }
+
+  test("bpeLearn facade: hand-checked merges, degenerate args rejected") {
+    import spark.implicits._
+    val docs = Seq("abab", "abab", "abc").toDF("text")
+    // Pairs: (a,b) 2·2+1 = 5, (b,a) 2, (b,c) 1 → first merge (a,b) cnt 5.
+    val got = Graft.bpeLearn(spark, docs, merges = 1)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, "a", "b", 5L)))
+    val bad = intercept[IllegalArgumentException](Graft.bpeLearn(spark, docs, merges = 0))
+    assert(bad.getMessage.contains("merges"))
+  }
+
+  test("warcIngestLive facade rejects an empty shard list") {
+    val bad = intercept[IllegalArgumentException](Graft.warcIngestLive(spark, Seq.empty))
+    assert(bad.getMessage.contains("shard"))
+  }
 }
