@@ -466,54 +466,81 @@ object Stress {
 
     // MERGE under a HOT change batch: a changelog where 80% of the change
     // rows hit ONE order key (repeated updates to a single hot order —
-    // the real CDC pathology: one entity thrashing). The merge's
-    // full-outer join then has one shuffle partition carrying 80% of the
-    // batch side; AQE's OptimizeSkewedJoin must split it at runtime so
-    // the hot merge's latency stays in the uniform batch's band instead
-    // of serializing on one task. Thresholds scaled to fixture bytes
-    // (same practice as the SkewAndBucketingSpec AQE pin); a real
-    // cluster keeps the 256 MB defaults.
+    // the real CDC pathology: one entity thrashing). Two measured
+    // findings. (1) Stock AQE CANNOT skew-split a FULL-OUTER join —
+    // OptimizeSkewedJoin only splits sides of inner/semi/anti/one-sided-
+    // outer joins, because duplicating a full-outer partition would
+    // duplicate its null-completion rows — so the raw merge rides one
+    // hot partition (asserted on the executed final plan: no skew=true).
+    // The raw cost stays bounded here because the amplification is
+    // batch-side only (every hot row joins the SAME single snapshot
+    // row). (2) The production defense is therefore CDC PRE-COMPACTION
+    // (Graft.cdcCompact — the q_cdc_compact last-write-wins shape): the
+    // hot key's 400k updates collapse to ONE change row BEFORE the join,
+    // absorbed map-side by partial aggregation, and the merge join then
+    // sees a key-unique batch — hot latency back in the uniform band at
+    // any skew ratio, with last-write-wins semantics asserted.
     val mhSess = spark.newSession()
-    mhSess.conf.set("spark.sql.adaptive.enabled", "true")
     mhSess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    mhSess.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    mhSess.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB")
-    mhSess.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512KB")
     val mhSnap = tenxShift(Tables.orders(mhSess, sfDir)
       .select("o_orderkey", "o_totalprice", "o_orderpriority"), "o_orderkey", 100000000L)
       .localCheckpoint()
     val mhSnapRows = mhSnap.count()
     val mhBatchRows = 500000L
-    val mhHotRows = (mhBatchRows * 8 / 10)
+    val mhHotRows = mhBatchRows * 8 / 10
     // Uniform batch: distinct odd keys; hot batch: 20% uniform tail plus
-    // 80% of rows repeating key 1.
+    // 80% of rows repeating key 1. `seq` is the changelog position the
+    // compaction orders by.
     def mhBatch(hot: Boolean) = {
       val uniform = mhSess.range(if (hot) mhBatchRows - mhHotRows else mhBatchRows)
-        .select((col("id") * 2 + 1).as("k"), (col("id") % 1000).cast("double").as("price"))
+        .select((col("id") * 2 + 1).as("k"), col("id").as("seq"),
+          (col("id") % 1000).cast("double").as("price"))
       val b = if (hot)
         uniform.union(mhSess.range(mhHotRows)
-          .select(lit(1L).as("k"), (col("id") % 1000).cast("double").as("price")))
+          .select(lit(1L).as("k"), (col("id") + mhBatchRows).as("seq"),
+            (col("id") % 1000).cast("double").as("price")))
       else uniform
       b.localCheckpoint()
     }
+    // Executes the merge's OWN plan (toRdd — count() would build and
+    // finalize a different QueryExecution) and returns (rows, finalPlan).
     def mhMerge(batch: org.apache.spark.sql.DataFrame) = {
       val joined = mhSnap.join(batch, col("o_orderkey") === col("k"), "full_outer")
         .select(coalesce(col("k"), col("o_orderkey")).as("key"),
           coalesce(col("price"), col("o_totalprice")).as("p"))
-      val n = joined.count()
+      val n = joined.queryExecution.toRdd.count()
       (n, joined.queryExecution.executedPlan.toString)
     }
     val mhUniform = mhBatch(hot = false); val mhHot = mhBatch(hot = true)
     var mhPlanHot = ""
     val (mhuSec, mhuRows) = time("merge uniform batch", mhMerge(mhUniform)._1)
-    val (mhhSec, mhhRows) = time("merge hot batch 80/1key", {
+    val (mhhSec, mhhRows) = time("merge raw hot batch 80/1key", {
       val (n, p) = mhMerge(mhHot); mhPlanHot = p; n
     })
-    val mhSkewSplit = mhPlanHot.contains("skew=true") || mhPlanHot.contains("skewed")
-    require(mhSkewSplit, s"AQE did not split the hot merge partition:\n$mhPlanHot")
-    // Row accounting: every batch row matches ≤1 snapshot row; the hot
-    // key's clones each join the same snapshot row, so totals are exact.
-    println(f"[stress] merge hot batch: uniform $mhuSec%.2f s ($mhuRows%,d rows) vs hot $mhhSec%.2f s ($mhhRows%,d rows), skew_split=$mhSkewSplit")
+    // Finding (1): the full-outer join was executed with AQE on and the
+    // final plan holds NO skew split — the optimizer cannot help here.
+    require(!mhPlanHot.contains("skew=true"),
+      "unexpected: AQE split a full-outer join — revisit the compaction rationale")
+    var mhCompactRows = 0L
+    val (mhcSec, mhcRows) = time("merge compacted hot batch", {
+      val compacted = Graft.cdcCompact(mhHot, "k", "seq").localCheckpoint()
+      mhCompactRows = compacted.count()
+      mhMerge(compacted.select("k", "price"))._1
+    })
+    // Last-write-wins semantics: one row per distinct key, and the hot
+    // key keeps its highest-seq price.
+    val mhDistinctKeys = mhHot.select("k").distinct().count()
+    require(mhCompactRows == mhDistinctKeys,
+      s"compaction kept $mhCompactRows rows for $mhDistinctKeys keys")
+    val hotKept = Graft.cdcCompact(mhHot, "k", "seq")
+      .filter(col("k") === 1L).select("price").head().getDouble(0)
+    require(hotKept == ((mhHotRows - 1) % 1000).toDouble,
+      s"last-write-wins broke: hot key kept price $hotKept")
+    // Compacted output = |snapshot keys ∪ batch keys| (key-unique batch).
+    require(mhcRows == mhSnapRows + mhDistinctKeys -
+      mhSnap.join(mhHot.select("k").distinct(), col("o_orderkey") === col("k"), "left_semi").count(),
+      "compacted merge row accounting broke")
+    println(f"[stress] merge hot batch: uniform $mhuSec%.2f s ($mhuRows%,d rows), raw hot $mhhSec%.2f s ($mhhRows%,d rows, no AQE full-outer split), compacted hot $mhcSec%.2f s ($mhcRows%,d rows, batch ${mhCompactRows}%,d keys)")
 
     // Broadcast-threshold sensitivity (SF1k preview): with the auto
     // threshold off, the orders/customer joins fall back to sort-merge —
@@ -620,7 +647,7 @@ object Stress {
     }
     println(f"[stress] compaction: 100k files, $cpBins bins, $cpSec%.2f s, max-file/target ratio ${manMax * 8.0 / manTotal}%.2f")
 
-    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"embed_ivf_10x":{"vecs":$embDocs,"nlist16_sec":$iv,"nlist16_pairs":$niv,"nlist128_sec":$iv2,"nlist128_pairs":$niv2},"codebook_hot_vector":{"vecs":$nAdv,"clones":$hotClones,"fit_sec":$fitSec,"nonempty_cells":$nonEmptyCells,"max_cell_share":$maxCellShare,"neardup_sec":$advSec,"neardup_pairs":$nAdvPairs,"planted_pairs":$plantedPairs},"bloom_10x":{"orders":$nOrd,"smj_sec":$sj,"smj_rows":$nsj,"probe_sec":$bp,"probe_rows":$nbp,"verify_sec":$bv,"verify_rows":$nbv},"ingest_many_files":{"files":$ingestN,"hidden_frac":0.333,"sec":$ingestSec,"words":${ingested.size},"fold_match":true},"skew_join_hot":{"hot_rows":$hotRows,"buckets_hit":${buckets.size},"max_bucket_rows":$maxBucket,"salted_sec":$saltSec,"plain_sec":$plainSec,"match":true},"span_hot_gram":{"docs":$tenxDocs,"plain_sec":$spSec,"plain_rows":$spRows,"hot_sec":$shSec,"hot_rows":$shRows,"min_shared_windows":$minShared},"incremental_ingest":{"batch_rows":$nBatch,"corpus_docs":$tenxDocs,"new_docs":$incNew,"expected_new":$expectedNew,"sec":$incSec,"match":true},"stream_state":[${ssRes.map(ssJson).mkString(",")}],"pixel_decode":{"bmp_1x":{"imgs":$npd1,"sec":$pd1},"bmp_10x":{"imgs":$npd10,"sec":$pd10},"png_1x":{"imgs":$npg1,"sec":$pg1},"png_10x":{"imgs":$npg10,"sec":$pg10,"staged_bytes":$pngBytes10}},"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2},"warc_parse":{"shards":200,"records":$warcRecs,"bytes":$warcBytes,"sec":$warcSec,"clean":true},"pagerank_hot_hub":{"edges":$nEdges,"nodes":$prNodes,"hub_degree":$starLeaves,"iters":3,"sec":$prSec,"hub_is_top":true,"leaf_rank_values":1,"ring_rank_values":1},"compaction_manifest":{"files":100000,"bins":$cpBins,"sec":$cpSec,"bytes_conserved":true,"fill_bound_holds":true},"maintenance_10x":{"orders_10x":$nOrd10,"merge_1x_sec":$mg1,"merge_10x_sec":$mg10,"checksum_1x_sec":$ck1Sec,"checksum_10x_sec":$ck10Sec,"accounting_match":true,"sums_move_under_key_shift":true},"merge_hot_batch":{"snapshot_rows":$mhSnapRows,"batch_rows":$mhBatchRows,"hot_rows":$mhHotRows,"uniform_sec":$mhuSec,"uniform_rows":$mhuRows,"hot_sec":$mhhSec,"hot_rows_out":$mhhRows,"skew_split":$mhSkewSplit}}""")
+    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"embed_ivf_10x":{"vecs":$embDocs,"nlist16_sec":$iv,"nlist16_pairs":$niv,"nlist128_sec":$iv2,"nlist128_pairs":$niv2},"codebook_hot_vector":{"vecs":$nAdv,"clones":$hotClones,"fit_sec":$fitSec,"nonempty_cells":$nonEmptyCells,"max_cell_share":$maxCellShare,"neardup_sec":$advSec,"neardup_pairs":$nAdvPairs,"planted_pairs":$plantedPairs},"bloom_10x":{"orders":$nOrd,"smj_sec":$sj,"smj_rows":$nsj,"probe_sec":$bp,"probe_rows":$nbp,"verify_sec":$bv,"verify_rows":$nbv},"ingest_many_files":{"files":$ingestN,"hidden_frac":0.333,"sec":$ingestSec,"words":${ingested.size},"fold_match":true},"skew_join_hot":{"hot_rows":$hotRows,"buckets_hit":${buckets.size},"max_bucket_rows":$maxBucket,"salted_sec":$saltSec,"plain_sec":$plainSec,"match":true},"span_hot_gram":{"docs":$tenxDocs,"plain_sec":$spSec,"plain_rows":$spRows,"hot_sec":$shSec,"hot_rows":$shRows,"min_shared_windows":$minShared},"incremental_ingest":{"batch_rows":$nBatch,"corpus_docs":$tenxDocs,"new_docs":$incNew,"expected_new":$expectedNew,"sec":$incSec,"match":true},"stream_state":[${ssRes.map(ssJson).mkString(",")}],"pixel_decode":{"bmp_1x":{"imgs":$npd1,"sec":$pd1},"bmp_10x":{"imgs":$npd10,"sec":$pd10},"png_1x":{"imgs":$npg1,"sec":$pg1},"png_10x":{"imgs":$npg10,"sec":$pg10,"staged_bytes":$pngBytes10}},"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2},"warc_parse":{"shards":200,"records":$warcRecs,"bytes":$warcBytes,"sec":$warcSec,"clean":true},"pagerank_hot_hub":{"edges":$nEdges,"nodes":$prNodes,"hub_degree":$starLeaves,"iters":3,"sec":$prSec,"hub_is_top":true,"leaf_rank_values":1,"ring_rank_values":1},"compaction_manifest":{"files":100000,"bins":$cpBins,"sec":$cpSec,"bytes_conserved":true,"fill_bound_holds":true},"maintenance_10x":{"orders_10x":$nOrd10,"merge_1x_sec":$mg1,"merge_10x_sec":$mg10,"checksum_1x_sec":$ck1Sec,"checksum_10x_sec":$ck10Sec,"accounting_match":true,"sums_move_under_key_shift":true},"merge_hot_batch":{"snapshot_rows":$mhSnapRows,"batch_rows":$mhBatchRows,"hot_rows":$mhHotRows,"uniform_sec":$mhuSec,"uniform_rows":$mhuRows,"raw_hot_sec":$mhhSec,"raw_hot_rows":$mhhRows,"aqe_fullouter_skew_split":false,"compacted_hot_sec":$mhcSec,"compacted_rows_out":$mhcRows,"compacted_batch_keys":$mhCompactRows,"lww_match":true}}""")
     spark.stop()
   }
 }

@@ -1523,20 +1523,45 @@ object MediaPipeline {
     if (done && ok && produced == expected) Some(out) else None
   }
 
+  /** Whether staged GIF `id` is written INTERLACED (GIF's 4-pass row
+    * order) — every other staged image, so both storage orders are
+    * exercised under the one mm_gif_pixels oracle (interlacing permutes
+    * file row order only; the pixel model is unchanged, so a decoder
+    * that ignores the flag or mis-orders a pass shifts the moment). */
+  def gifInterlaced(id: Long): Boolean = id % 2 == 0
+
+  /** GIF 4-pass interlace row order (GIF89a spec §20): file row r holds
+    * image row interlaceRows(h)(r) — passes start at rows 0/4/2/1 with
+    * strides 8/8/4/2. */
+  private[multimodal] def interlaceRows(h: Int): Array[Int] = {
+    val out = Array.newBuilder[Int]
+    var y = 0
+    while (y < h) { out += y; y += 8 }
+    y = 4; while (y < h) { out += y; y += 8 }
+    y = 2; while (y < h) { out += y; y += 4 }
+    y = 1; while (y < h) { out += y; y += 2 }
+    out.result()
+  }
+
   /** A COMPLETE GIF89a image for doc `id`: logical screen descriptor,
     * 256-entry global color table from [[gifPalette]], one full-frame
-    * non-interlaced image descriptor, and REAL LZW-compressed pixel
+    * image descriptor (interlaced for [[gifInterlaced]] ids — rows
+    * written in the 4-pass order), and REAL LZW-compressed pixel
     * indices ([[gifPxIndex]]) in ≤255-byte sub-blocks — sub-block
     * boundaries land mid-code, so a decoder that resets its bit buffer
     * per sub-block fails. */
   def pixelGif(id: Long): Array[Byte] = {
     val w = gifPxWidth(id); val h = gifPxHeight(id)
+    val interlaced = gifInterlaced(id)
+    val rowOf: Int => Int =
+      if (interlaced) { val m = interlaceRows(h); m(_) } else identity
     val idx = new Array[Int](w * h)
-    var y = 0
-    while (y < h) {
+    var r = 0
+    while (r < h) {
+      val y = rowOf(r)
       var x = 0
-      while (x < w) { idx(y * w + x) = gifPxIndex(id, x, y); x += 1 }
-      y += 1
+      while (x < w) { idx(r * w + x) = gifPxIndex(id, x, y); x += 1 }
+      r += 1
     }
     val out = new java.io.ByteArrayOutputStream()
     def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
@@ -1551,7 +1576,7 @@ object MediaPipeline {
       k += 1
     }
     out.write(0x2c); u16(0); u16(0); u16(w); u16(h)
-    out.write(0) // no local table, not interlaced
+    out.write(if (interlaced) 0x40 else 0x00) // no local table; interlace flag
     out.write(8) // LZW minimum code size
     val z = lzwEncode(idx, 8)
     var p = 0
@@ -1564,13 +1589,14 @@ object MediaPipeline {
     out.toByteArray
   }
 
-  /** REAL full-pixel decode for single-frame non-interlaced GIF, pure
-    * JVM: header + screen descriptor, global color table, block walk to
-    * the first image descriptor (extensions skipped by their sub-block
-    * chains), local-palette override when present, sub-block
-    * concatenation, [[lzwDecode]], and palette indirection per pixel.
-    * None for interlaced frames, indices outside the palette, a frame
-    * with no palette at all, or any LZW/framing failure. */
+  /** REAL full-pixel decode for single-frame GIF, pure JVM: header +
+    * screen descriptor, global color table, block walk to the first
+    * image descriptor (extensions skipped by their sub-block chains),
+    * local-palette override when present, sub-block concatenation,
+    * [[lzwDecode]], the 4-pass INTERLACE row un-permutation when the
+    * descriptor flags it, and palette indirection per pixel. None for
+    * indices outside the palette, a frame with no palette at all, or
+    * any LZW/framing failure. */
   def decodeGifPixels(media: Array[Byte]): Option[DecodedPixels] = {
     if (media.length < 14) return None
     val magic = new String(media, 0, 6, "US-ASCII")
@@ -1604,7 +1630,7 @@ object MediaPipeline {
           if (off + 10 > media.length) return None
           val fw = u16(off + 5); val fh = u16(off + 7)
           val ipacked = media(off + 9) & 0xff
-          if ((ipacked & 0x40) != 0) return None // interlaced: out of profile
+          val interlaced = (ipacked & 0x40) != 0
           if (fw <= 0 || fh <= 0 || fw > 4096 || fh > 4096) return None
           val lctN = if ((ipacked & 0x80) != 0) 1 << ((ipacked & 0x07) + 1) else 0
           val lctAt = off + 10
@@ -1617,8 +1643,20 @@ object MediaPipeline {
           if (subBlocks(mcsAt + 1, z).isEmpty) return None
           return lzwDecode(z.toByteArray, mcs, fw * fh).flatMap { idx =>
             if (idx.exists(_ >= palN)) None // index outside the palette
-            else Some(sumPixels(fw, fh, (x, y, c) =>
-              media(palAt + 3 * idx(y * fw + x) + c) & 0xff))
+            else {
+              // File row r holds image row interlaceRows(fh)(r); invert
+              // the permutation so (x, y) addresses image coordinates.
+              val fileRowOf: Int => Int =
+                if (interlaced) {
+                  val inv = new Array[Int](fh)
+                  val m = interlaceRows(fh)
+                  var r = 0
+                  while (r < fh) { inv(m(r)) = r; r += 1 }
+                  inv(_)
+                } else identity
+              Some(sumPixels(fw, fh, (x, y, c) =>
+                media(palAt + 3 * idx(fileRowOf(y) * fw + x) + c) & 0xff))
+            }
           }
         case _ => return None
       }

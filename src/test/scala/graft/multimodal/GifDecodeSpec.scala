@@ -107,17 +107,31 @@ class GifLzwSpec extends SparkSpec {
     }
   }
 
-  test("interlaced frames and out-of-palette indices are rejected") {
+  test("the interlace flag is load-bearing and out-of-palette indices are rejected") {
+    // id=3 stages non-interlaced (3 % 2 != 0); flipping the flag makes
+    // the decoder un-permute rows that were written sequentially — the
+    // decode still succeeds (indices are valid) but the row permutation
+    // must move the position-weighted moment, proving the flag is read.
     val bytes = pixelGif(3L)
     val imgAt = 13 + 3 * 256 // fixed layout: header+LSD then 256-entry GCT
     assert((bytes(imgAt) & 0xff) == 0x2c)
-    val interlaced = bytes.clone()
-    interlaced(imgAt + 9) = 0x40.toByte
-    assert(decodeGifPixels(interlaced).isEmpty)
+    val flagFlipped = bytes.clone()
+    flagFlipped(imgAt + 9) = 0x40.toByte
+    val straight = decodeGifPixels(bytes).get
+    val permuted = decodeGifPixels(flagFlipped).get
+    assert(permuted.rSum == straight.rSum) // same multiset of pixels...
+    assert(permuted.rMoment != straight.rMoment) // ...different placement
     // Shrink the declared GCT to 4 entries: staged indices overflow it.
     val smallPal = bytes.clone()
     smallPal(10) = (smallPal(10) & 0xf8 | 0x01).toByte
     assert(decodeGifPixels(smallPal).isEmpty)
+  }
+
+  test("interlace row order is a permutation and matches the spec passes") {
+    // h=10: pass1 0,8; pass2 4; pass3 2,6; pass4 1,3,5,7,9.
+    assert(interlaceRows(10).toSeq == Seq(0, 8, 4, 2, 6, 1, 3, 5, 7, 9))
+    for (h <- 1 to 40)
+      assert(interlaceRows(h).sorted.toSeq == (0 until h), s"h=$h not a permutation")
   }
 
   test("metadata-staged GIFs (fake LZW payloads) never pass the pixel decode") {
