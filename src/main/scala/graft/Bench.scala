@@ -142,22 +142,20 @@ object Bench {
     // Denominator (round-11 verdict #3 — SINGLE-SOURCED): the constant
     // below is the one number; BASELINE.md documents the same measurement
     // and the emitted "baseline_sec" field makes every artifact
-    // self-describe the denominator it used. Measured 2026-08-14 via
-    // scripts/baseline.py, same boot, composed at the conservative end:
-    // the 153-SQL composed floor (33.7 — see BASELINE.md's 153-SQL row
-    // for its own conservative construction) plus the measured per-query
-    // MINIMUM cost of the 10 SQLs added next (7.375 s over three 163-SQL
-    // draws; graph_pagerank 3.74 and dedup_canonical_best 3.30 dominate —
-    // their oracles re-run the brute shingle-pair CTE that Spark's
-    // cached LSH index avoids) plus the min cost of the final four
-    // (1.588 s — dedup_threshold_curve's 1.561 is the same brute CTE;
-    // the warc/gif model-regen oracles are ~0.01-0.02). Direct 163-SQL
-    // draws on the by-then-noisier box ran 45.9-62.3 at loadavg 3.8-4.9,
-    // all ABOVE the composition — a smaller denominator can only
-    // overstate, never flatter, Spark's relative cost. Env overrides for
-    // re-derived denominators; the fallback keeps `vs_baseline` on the
-    // driver's line, which sets no env. Only meaningful at sf0.1.
-    val FallbackBaselineSec = 42.6
+    // self-describe the denominator it used. Re-derived 2026-08-14
+    // (round 13) via scripts/baseline.py over all 173 oracle SQLs: four
+    // direct draws 56.76 / 56.92 / 57.06 / 59.73 s (threads=32, loadavg
+    // rising 2.2→4.1), agreeing with the conservative composition
+    // 42.6 (the round-12 composed 167-SQL floor) + 14.24 (measured
+    // per-query MINIMUM cost of the six round-13 SQLs — text_bpe_learn's
+    // 13.6 s dominates: its oracle unrolls ten list-retokenization CTE
+    // rounds that Spark's driver loop runs in ~1 s). 56.7 sits below
+    // every direct draw AND below the composition, so the reported
+    // vs_baseline can only overstate, never flatter, Spark's relative
+    // cost. Env overrides for re-derived denominators; the fallback
+    // keeps `vs_baseline` on the driver's line, which sets no env.
+    // Only meaningful at sf0.1.
+    val FallbackBaselineSec = 56.7
     val baselineEnv = sys.env.get("SPARK_GRAFT_BASELINE_SEC")
     val baselineParsed = baselineEnv
       .flatMap(s => scala.util.Try(s.toDouble).toOption)
