@@ -919,42 +919,80 @@ object MediaPipeline {
     b.array()
   }
 
+  /** Whether staged PNG `id` is written ADAM7-INTERLACED — every other
+    * staged image, mirroring the GIF interlace coverage: interlacing
+    * permutes pixel STORAGE only (per-pass sub-images, each filtered
+    * against its own previous pass scanline), the value model is
+    * unchanged, so the one mm_png_pixels oracle covers both layouts. */
+  def pngInterlaced(id: Long): Boolean = id % 2 == 1
+
+  /** Adam7 pass geometry (PNG spec §8.2): (x0, y0, dx, dy) per pass. */
+  private val Adam7 =
+    Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** The scanline plan shared by the PNG encoder and decoder: scanlines
+    * in stream order, grouped per pass (the filter predictors' "previous
+    * scanline" resets at every pass boundary), each as (image row y,
+    * image x-coords). Sequential = one pass of full rows; Adam7 = the
+    * seven sub-grids, empty passes omitted (a small image legally has
+    * them — pass 2 is empty below width 5). */
+  private def scanlinePlan(w: Int, h: Int, interlaced: Boolean): Seq[Seq[(Int, Array[Int])]] =
+    if (!interlaced) Seq((0 until h).map(y => (y, Array.range(0, w))))
+    else Adam7.map { case (x0, y0, dx, dy) =>
+      val xs = Array.range(x0, w, dx)
+      if (xs.isEmpty) Seq.empty[(Int, Array[Int])]
+      else (y0 until h by dy).map(y => (y, xs))
+    }
+
   /** A COMPLETE, spec-conformant RGB PNG for doc `id` — signature, IHDR
-    * (8-bit truecolor), IDAT holding the zlib-DEFLATED filtered
-    * scanlines, IEND, every chunk CRC'd. Scanline `y` uses filter type
-    * `y % 5`, so all five filters (None/Sub/Up/Average/Paeth) appear in
-    * every image and a decoder with any one predictor wrong fails the
-    * oracle. The IDAT stream is split into TWO chunks mid-stream —
-    * valid per the spec (IDAT boundaries are arbitrary), fatal to a
-    * decoder that inflates only the first chunk. */
+    * (8-bit truecolor; interlace byte 1 for [[pngInterlaced]] ids), IDAT
+    * holding the zlib-DEFLATED filtered scanlines, IEND, every chunk
+    * CRC'd. Scanlines cycle the filter type (stream line number mod 5),
+    * so all five filters (None/Sub/Up/Average/Paeth) appear in every
+    * image and a decoder with any one predictor wrong fails the oracle;
+    * interlaced images filter each pass as its own sub-image. The IDAT
+    * stream is split into TWO chunks mid-stream — valid per the spec
+    * (IDAT boundaries are arbitrary), fatal to a decoder that inflates
+    * only the first chunk. */
   def pixelPng(id: Long): Array[Byte] = {
     val w = pngPxWidth(id); val h = pngPxHeight(id)
+    val interlaced = pngInterlaced(id)
     val bpp = 3
-    val raw = new Array[Byte](h * (1 + w * bpp)) // filter byte + RGB per line
-    var y = 0
-    while (y < h) {
-      val lineBase = y * (1 + w * bpp)
-      val filter = y % 5
-      raw(lineBase) = filter.toByte
-      var i = 0 // byte index within the scanline's pixel bytes
-      while (i < w * bpp) {
-        val x = i / bpp; val c = i % bpp
-        val v = pxByte(id, x, y, c)
-        val a = if (i >= bpp) pxByte(id, (i - bpp) / bpp, y, (i - bpp) % bpp) else 0
-        val b = if (y > 0) pxByte(id, x, y - 1, c) else 0
-        val cc = if (i >= bpp && y > 0) pxByte(id, (i - bpp) / bpp, y - 1, (i - bpp) % bpp) else 0
-        val f = filter match {
-          case 0 => v
-          case 1 => v - a
-          case 2 => v - b
-          case 3 => v - (a + b) / 2
-          case 4 => v - paeth(a, b, cc)
+    val rawOut = new java.io.ByteArrayOutputStream()
+    var lineNo = 0
+    for (pass <- scanlinePlan(w, h, interlaced)) {
+      var prev: Array[Int] = null // reconstructed previous scanline OF THIS PASS
+      for ((y, xs) <- pass) {
+        val filter = lineNo % 5
+        rawOut.write(filter)
+        val cur = new Array[Int](xs.length * bpp)
+        var i = 0
+        while (i < cur.length) {
+          cur(i) = pxByte(id, xs(i / bpp), y, i % bpp)
+          i += 1
         }
-        raw(lineBase + 1 + i) = (f & 0xff).toByte
-        i += 1
+        i = 0
+        while (i < cur.length) {
+          val v = cur(i)
+          val a = if (i >= bpp) cur(i - bpp) else 0
+          val b = if (prev != null) prev(i) else 0
+          val cc = if (i >= bpp && prev != null) prev(i - bpp) else 0
+          val f = filter match {
+            case 0 => v
+            case 1 => v - a
+            case 2 => v - b
+            case 3 => v - (a + b) / 2
+            case 4 => v - paeth(a, b, cc)
+          }
+          rawOut.write(f & 0xff)
+          i += 1
+        }
+        prev = cur
+        lineNo += 1
       }
-      y += 1
     }
+    val raw = rawOut.toByteArray
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(raw); deflater.finish()
     val buf = new Array[Byte](raw.length + 64)
@@ -964,7 +1002,8 @@ object MediaPipeline {
     val z = java.util.Arrays.copyOf(buf, zLen)
     val ihdr = java.nio.ByteBuffer.allocate(13)
       .putInt(w).putInt(h).put(8.toByte).put(2.toByte) // 8-bit truecolor RGB
-      .put(0.toByte).put(0.toByte).put(0.toByte)
+      .put(0.toByte).put(0.toByte)
+      .put((if (interlaced) 1 else 0).toByte)
     val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
     val split = z.length / 2 // two IDATs: concat across chunks is mandatory
     sig ++ pngChunk("IHDR", ihdr.array()) ++
@@ -979,9 +1018,12 @@ object MediaPipeline {
     * UNFILTERING — the inverse of all five PNG filter types, where Sub /
     * Average / Paeth predict from already-reconstructed neighbor bytes,
     * so a single wrong predictor corrupts every later scanline and the
-    * position-weighted oracle moment catches it. None for anything that
-    * isn't exactly this profile (interlace, palette, alpha, 16-bit) or
-    * that fails a CRC, the inflate, or the expected raw length. */
+    * position-weighted oracle moment catches it. BOTH storage layouts
+    * decode: sequential and ADAM7-interlaced (the seven passes unfilter
+    * as independent sub-images — predictors reset per pass — then
+    * scatter to image coordinates). None for anything outside this
+    * profile (palette, alpha, 16-bit) or that fails a CRC, the inflate,
+    * or the exact per-layout raw length. */
   def decodePngPixels(media: Array[Byte]): Option[DecodedPixels] = {
     val hdr = decodePng(media) // signature + IHDR + CRC validation
     hdr match {
@@ -989,8 +1031,8 @@ object MediaPipeline {
         def u32(off: Int): Long =
           ((media(off) & 0xffL) << 24) | ((media(off + 1) & 0xffL) << 16) |
             ((media(off + 2) & 0xffL) << 8) | (media(off + 3) & 0xffL)
-        // interlace must be 0 (decodePng doesn't pin it; Adam7 reorders rows)
-        if (media(28) != 0) return None
+        val interlace = media(28) & 0xff
+        if (interlace > 1) return None // 0 = sequential, 1 = Adam7
         // Walk chunks from after IHDR (offset 33), collecting IDAT data.
         val idat = new java.io.ByteArrayOutputStream()
         var off = 33
@@ -1008,7 +1050,8 @@ object MediaPipeline {
           off += 12 + len.toInt
         }
         val bpp = 3
-        val expect = h * (1 + w * bpp)
+        val plan = scanlinePlan(w, h, interlace == 1)
+        val expect = plan.map(_.iterator.map { case (_, xs) => 1 + xs.length * bpp }.sum).sum
         val raw = new Array[Byte](expect)
         val inflater = new java.util.zip.Inflater()
         inflater.setInput(idat.toByteArray)
@@ -1023,32 +1066,42 @@ object MediaPipeline {
         } catch {
           case _: java.util.zip.DataFormatException => return None
         } finally inflater.end()
-        // Unfilter in place into a reconstructed-pixel view.
+        // Unfilter pass by pass, scattering into image coordinates.
         val px = new Array[Int](h * w * bpp)
-        var y = 0
-        while (y < h) {
-          val lineBase = y * (1 + w * bpp)
-          val filter = raw(lineBase) & 0xff
-          if (filter > 4) return None
-          var i = 0
-          while (i < w * bpp) {
-            val f = raw(lineBase + 1 + i) & 0xff
-            val a = if (i >= bpp) px(y * w * bpp + i - bpp) else 0
-            val b = if (y > 0) px((y - 1) * w * bpp + i) else 0
-            val c = if (i >= bpp && y > 0) px((y - 1) * w * bpp + i - bpp) else 0
-            val v = filter match {
-              case 0 => f
-              case 1 => f + a
-              case 2 => f + b
-              case 3 => f + (a + b) / 2
-              case 4 => f + paeth(a, b, c)
+        var pos = 0
+        for (pass <- plan) {
+          var prev: Array[Int] = null // reconstructed previous scanline OF THIS PASS
+          for ((y, xs) <- pass) {
+            val filter = raw(pos) & 0xff; pos += 1
+            if (filter > 4) return None
+            val n = xs.length * bpp
+            val cur = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              val f = raw(pos + i) & 0xff
+              val a = if (i >= bpp) cur(i - bpp) else 0
+              val b = if (prev != null) prev(i) else 0
+              val c = if (i >= bpp && prev != null) prev(i - bpp) else 0
+              val v = filter match {
+                case 0 => f
+                case 1 => f + a
+                case 2 => f + b
+                case 3 => f + (a + b) / 2
+                case 4 => f + paeth(a, b, c)
+              }
+              cur(i) = v & 0xff
+              i += 1
             }
-            px(y * w * bpp + i) = v & 0xff
-            i += 1
+            pos += n
+            i = 0
+            while (i < n) {
+              px((y * w + xs(i / bpp)) * bpp + i % bpp) = cur(i)
+              i += 1
+            }
+            prev = cur
           }
-          y += 1
         }
-        Some(sumPixels(w, h, (x, y2, c) => px(y2 * w * bpp + x * bpp + c)))
+        Some(sumPixels(w, h, (x, y2, c) => px((y2 * w + x) * bpp + c)))
       case _ => None
     }
   }

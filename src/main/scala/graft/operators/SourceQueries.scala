@@ -89,6 +89,16 @@ object SourceQueries extends QueryPack {
       warcAuditOf(graft.streaming.EventStreams.warcRecordsLive(
         s, graft.sources.WarcSource.stageFixture(warcStage(d))))),
 
+    // The same fixture again, through the ACTUAL Common Crawl wire
+    // format: each record wrapped in its own gzip member, members
+    // concatenated per shard. The reader must gunzip MULTI-member
+    // streams (a one-member decompressor sees exactly one record per
+    // shard and fails the counts); decompressed bytes are identical to
+    // the plain shards, so warc_ingest's oracle holds verbatim.
+    "warc_gz_ingest" -> ((s, d) =>
+      warcAuditOf(graft.sources.WarcSource.recordsGz(
+        s, graft.sources.WarcSource.stageGzFixture(Stage.dir(d, "warc_gz"))))),
+
     // WARC → WET text extraction — the chain a crawl corpus actually runs
     // after ingest: for every response record, parse the PAYLOAD as an
     // HTTP/1.1 message (status line / headers / CRLFCRLF body split),
@@ -328,6 +338,7 @@ object SourceQueries extends QueryPack {
   override def oracleSqlFor(dataDir: String): Map[String, String] = Map(
     "warc_ingest" -> warcIngestSql,
     "warc_ingest_live" -> warcIngestSql,
+    "warc_gz_ingest" -> warcIngestSql,
     // Dir-independent like warc_ingest: the oracle regenerates the HTTP
     // fixture model (12 shards × 6+(f%3) responses; body = "tok "×T with
     // the trailing space trimmed → length 4T−1, tokens T).

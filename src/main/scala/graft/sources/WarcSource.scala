@@ -181,21 +181,28 @@ object WarcSource {
     sb.toString.getBytes("US-ASCII") ++ payload ++ "\r\n\r\n".getBytes("US-ASCII")
   }
 
-  private[graft] def fixtureShard(f: Int): Array[Byte] = {
-    val buf = Array.newBuilder[Byte]
-    buf ++= record("warcinfo", None, f"info-$f%02d",
+  /** The fixture shard as its RECORD LIST — the plain staging
+    * concatenates them; the gzip staging wraps EACH record in its own
+    * gzip member first (the actual Common Crawl layout, which makes a
+    * single record seekable+decompressible without reading the shard). */
+  private[graft] def fixtureShardRecords(f: Int): Seq[Array[Byte]] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    out += record("warcinfo", None, f"info-$f%02d",
       "software: graft\r\n".getBytes("US-ASCII"))
     for (i <- 0 until (5 + f % 4)) {
       val uri = s"http://site${f % 6}.example/f$f/p$i"
-      buf ++= record("request", Some(uri), f"req-$f%02d-$i%02d",
+      out += record("request", Some(uri), f"req-$f%02d-$i%02d",
         "GET\r\n".getBytes("US-ASCII"))
       val decoy = if (i % 3 == 0) "WARC/1.0\r\nX: decoy\r\n" else ""
       val body = decoy + "x" * (40 + (f * 31 + i * 7) % 100)
-      buf ++= record("response", Some(uri), f"rsp-$f%02d-$i%02d",
+      out += record("response", Some(uri), f"rsp-$f%02d-$i%02d",
         body.getBytes("US-ASCII"))
     }
-    buf.result()
+    out.result()
   }
+
+  private[graft] def fixtureShard(f: Int): Array[Byte] =
+    fixtureShardRecords(f).reduce(_ ++ _)
 
   /** Stage the fixture under `dir` (idempotent: the bytes are a pure
     * function of the shard number, so re-writing is byte-identical; the
@@ -209,6 +216,63 @@ object WarcSource {
       d.mkdirs()
       paths.zipWithIndex.foreach { case (p, f) =>
         java.nio.file.Files.write(java.nio.file.Paths.get(p), fixtureShard(f))
+      }
+      marker.createNewFile(): Unit
+    }
+    paths
+  }
+
+  // ---- Gzipped shards (the actual Common Crawl wire format) ----
+
+  /** Decompress a MULTI-MEMBER gzip stream — Common Crawl WARC shards
+    * are one gzip MEMBER PER RECORD, concatenated, so a range request
+    * can decompress a single record in place. java.util.zip's
+    * GZIPInputStream consumes concatenated members natively; a
+    * one-member-only decompressor would surface exactly one record per
+    * shard and fail the gate's counts. */
+  private[graft] def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try in.readAllBytes() finally in.close()
+  }
+
+  private[graft] def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bo)
+    gz.write(bytes); gz.close()
+    bo.toByteArray
+  }
+
+  /** [[records]] over per-record-gzipped shards: whole-shard read,
+    * multi-member gunzip, then the SAME strict framing parse — the
+    * decompressed byte stream is identical to the plain shard, so the
+    * plain fixture's oracle holds verbatim. Scale caveat as with every
+    * gzip source: members are only decompressible forward, one task per
+    * shard file. */
+  def recordsGz(spark: SparkSession, paths: Seq[String],
+                tolerateUnclean: Boolean = false): DataFrame = {
+    import spark.implicits._
+    framedShards(spark, paths, tolerateUnclean) { (name, bytes) =>
+      parseWarc(name, gunzipAll(bytes))
+    }.toDF()
+  }
+
+  def gzFixtureFiles(dir: String): Seq[String] =
+    (0 until 24).map(f => f"$dir/shard$f%02d.warc.gz")
+
+  /** Stage the gzip fixture: the SAME 24 shards as [[stageFixture]],
+    * each record wrapped in its own gzip member (so the staged files
+    * exercise the multi-member path on every shard). Idempotent via
+    * marker, like every Stage consumer. */
+  def stageGzFixture(dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    val marker = new java.io.File(d, "_STAGED_WARC_GZ_V1")
+    val paths = gzFixtureFiles(dir)
+    if (!marker.exists()) {
+      d.mkdirs()
+      paths.zipWithIndex.foreach { case (p, f) =>
+        val gz = fixtureShardRecords(f).map(gzipMember).reduce(_ ++ _)
+        java.nio.file.Files.write(java.nio.file.Paths.get(p), gz)
       }
       marker.createNewFile(): Unit
     }

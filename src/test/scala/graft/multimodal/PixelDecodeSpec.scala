@@ -148,14 +148,18 @@ class PixelDecodeSpec extends SparkSpec {
     assert(decodePngPixels(sigIhdr ++ firstIdat ++ iend).isEmpty)
   }
 
-  test("PNG decode verifies every chunk CRC and rejects interlace") {
-    val media = pixelPng(4L)
+  test("PNG decode verifies every chunk CRC; the interlace byte is load-bearing") {
+    val media = pixelPng(4L) // id 4: sequential layout (pngInterlaced = odd ids)
     // Flip one byte inside the first IDAT payload: chunk CRC must fail.
     val corrupted = media.clone()
     corrupted(33 + 8) = (corrupted(33 + 8) ^ 0x01).toByte
     assert(decodePngPixels(corrupted).isEmpty)
-    // Set the IHDR interlace byte to Adam7 (and fix the IHDR CRC so only
-    // the interlace check can reject): decode must refuse.
+    // Flip the IHDR interlace byte to Adam7 on the SEQUENTIAL stream
+    // (and fix the IHDR CRC so only layout logic can object): the Adam7
+    // layout needs one filter byte per PASS scanline, strictly more than
+    // the sequential stream carries, so the exact-raw-length check must
+    // refuse — a decoder that ignored the flag would return wrong pixels
+    // instead.
     val interlaced = media.clone()
     interlaced(28) = 1
     val crc = new java.util.zip.CRC32
@@ -167,6 +171,27 @@ class PixelDecodeSpec extends SparkSpec {
     interlaced(32) = (v & 0xff).toByte
     assert(decodePng(interlaced).isDefined) // metadata parse still fine
     assert(decodePngPixels(interlaced).isEmpty)
+  }
+
+  test("Adam7 staging really interlaces: different bytes, same decoded pixels") {
+    // id 9 stages interlaced; a sequential re-encode of the same pixels
+    // (via the id-8-adjacent even model is a different image, so instead
+    // compare against the closed-form expectation directly) must agree.
+    assert(MediaPipeline.pngInterlaced(9L))
+    val got = decodePngPixels(pixelPng(9L))
+    assert(got.contains(expected(9L, pngPxWidth(9L), pngPxHeight(9L))))
+    // The interlaced raw stream is strictly longer (one filter byte per
+    // pass scanline), so the staged bytes cannot be the sequential
+    // layout in disguise.
+    val seqLineCount = pngPxHeight(9L)
+    val passLineCount = {
+      val w = pngPxWidth(9L); val h = pngPxHeight(9L)
+      Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)).map { case (x0, y0, dx, dy) =>
+        if (x0 >= w || y0 >= h) 0 else (h - y0 + dy - 1) / dy
+      }.sum
+    }
+    assert(passLineCount > seqLineCount)
   }
 
   test("PCM decode round-trips the sample model with sign extension") {

@@ -158,6 +158,21 @@ class WarcSourceSpec extends SparkSpec {
     assert(java.util.Arrays.equals(before, after))
   }
 
+  test("multi-member gunzip: per-record members decompress to the plain shard") {
+    // The Common Crawl layout: one gzip member PER RECORD, concatenated.
+    // gunzipAll must consume every member; the result must be byte-equal
+    // to the plain shard, so the strict framing parse is unchanged.
+    for (f <- Seq(0, 7, 23)) {
+      val plain = WarcSource.fixtureShard(f)
+      val gz = WarcSource.fixtureShardRecords(f)
+        .map(WarcSource.gzipMember).reduce(_ ++ _)
+      assert(java.util.Arrays.equals(WarcSource.gunzipAll(gz), plain), s"shard $f")
+      // and a single whole-shard member decompresses identically too
+      assert(java.util.Arrays.equals(
+        WarcSource.gunzipAll(WarcSource.gzipMember(plain)), plain))
+    }
+  }
+
   test("streaming WARC arrival equals the batch reader row-for-row") {
     // warc_ingest_live's claim at the record level (the oracle pins the
     // aggregate): the binaryFile FileStreamSource → parse → append-sink
