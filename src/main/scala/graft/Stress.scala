@@ -423,6 +423,15 @@ object Stress {
       graft.multimodal.MediaPipeline.decodedPngPixelsOf(spark, pngMedia1).count())
     val (pg10, npg10) = time("png pixel decode 10x",
       graft.multimodal.MediaPipeline.decodedPngPixelsOf(spark, pngMedia10).count())
+    // GIF LZW decode throughput (the round-13 codec — includes the
+    // interlaced half of the staged corpus on both runs).
+    val gifMedia1 = graft.multimodal.MediaPipeline.gifPixelMediaOf(spark, pxIds1).localCheckpoint()
+    val gifMedia10 = graft.multimodal.MediaPipeline.gifPixelMediaOf(spark, pxIds10).localCheckpoint()
+    val gifBytes10 = gifMedia10.agg(sum(length(col("media")))).head().getLong(0)
+    val (gf1, ngf1) = time("gif pixel decode 1x",
+      graft.multimodal.MediaPipeline.decodedGifPixelsOf(spark, gifMedia1).count())
+    val (gf10, ngf10) = time("gif pixel decode 10x",
+      graft.multimodal.MediaPipeline.decodedGifPixelsOf(spark, gifMedia10).count())
 
     // Table-maintenance at 10×: MERGE and the segment checksum are the
     // round-12 write-side ops; both must scale linearly (one key-uniform
@@ -542,6 +551,27 @@ object Stress {
       "compacted merge row accounting broke")
     println(f"[stress] merge hot batch: uniform $mhuSec%.2f s ($mhuRows%,d rows), raw hot $mhhSec%.2f s ($mhhRows%,d rows, no AQE full-outer split), compacted hot $mhcSec%.2f s ($mhcRows%,d rows, batch ${mhCompactRows}%,d keys)")
 
+    // BPE learn at 10×: the loop is VOCAB-bound — the 10× clone corpus
+    // has the SAME distinct-word vocabulary with uniformly 10× word
+    // frequencies, so (a) the learned merge table must be IDENTICAL with
+    // every count exactly 10× (uniform scaling preserves every argmax
+    // incl. tie-breaks), and (b) wall-clock stays near-flat after the
+    // one corpus-sized word count — the scale story of counting pairs
+    // over the vocabulary, never the corpus.
+    def bpeTable(docs: org.apache.spark.sql.DataFrame) =
+      operators.TextAnalysis.bpeLearnOf(spark, docs, 10)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    var bpe1: Array[(Int, String, String, Long)] = null
+    var bpe10: Array[(Int, String, String, Long)] = null
+    val (bl1, _) = time("bpe learn 1x", { bpe1 = bpeTable(base); bpe1.length.toLong })
+    val (bl10, _) = time("bpe learn 10x corpus", { bpe10 = bpeTable(tenx); bpe10.length.toLong })
+    require(bpe1.length == 10 && bpe10.length == 10, "bpe learn fell short of 10 merges")
+    bpe1.zip(bpe10).foreach { case ((s1, a1, b1x, c1), (s2, a2, b2x, c2)) =>
+      require(s1 == s2 && a1 == a2 && b1x == b2x && c2 == 10 * c1,
+        s"10x corpus changed the merge table: ($s1,$a1,$b1x,$c1) vs ($s2,$a2,$b2x,$c2)")
+    }
+    println(f"[stress] bpe learn: 1x $bl1%.2f s -> 10x $bl10%.2f s, merge tables identical, counts x10")
+
     // Broadcast-threshold sensitivity (SF1k preview): with the auto
     // threshold off, the orders/customer joins fall back to sort-merge —
     // the plan shape once those dims outgrow executor memory. The nation
@@ -647,7 +677,7 @@ object Stress {
     }
     println(f"[stress] compaction: 100k files, $cpBins bins, $cpSec%.2f s, max-file/target ratio ${manMax * 8.0 / manTotal}%.2f")
 
-    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"embed_ivf_10x":{"vecs":$embDocs,"nlist16_sec":$iv,"nlist16_pairs":$niv,"nlist128_sec":$iv2,"nlist128_pairs":$niv2},"codebook_hot_vector":{"vecs":$nAdv,"clones":$hotClones,"fit_sec":$fitSec,"nonempty_cells":$nonEmptyCells,"max_cell_share":$maxCellShare,"neardup_sec":$advSec,"neardup_pairs":$nAdvPairs,"planted_pairs":$plantedPairs},"bloom_10x":{"orders":$nOrd,"smj_sec":$sj,"smj_rows":$nsj,"probe_sec":$bp,"probe_rows":$nbp,"verify_sec":$bv,"verify_rows":$nbv},"ingest_many_files":{"files":$ingestN,"hidden_frac":0.333,"sec":$ingestSec,"words":${ingested.size},"fold_match":true},"skew_join_hot":{"hot_rows":$hotRows,"buckets_hit":${buckets.size},"max_bucket_rows":$maxBucket,"salted_sec":$saltSec,"plain_sec":$plainSec,"match":true},"span_hot_gram":{"docs":$tenxDocs,"plain_sec":$spSec,"plain_rows":$spRows,"hot_sec":$shSec,"hot_rows":$shRows,"min_shared_windows":$minShared},"incremental_ingest":{"batch_rows":$nBatch,"corpus_docs":$tenxDocs,"new_docs":$incNew,"expected_new":$expectedNew,"sec":$incSec,"match":true},"stream_state":[${ssRes.map(ssJson).mkString(",")}],"pixel_decode":{"bmp_1x":{"imgs":$npd1,"sec":$pd1},"bmp_10x":{"imgs":$npd10,"sec":$pd10},"png_1x":{"imgs":$npg1,"sec":$pg1},"png_10x":{"imgs":$npg10,"sec":$pg10,"staged_bytes":$pngBytes10}},"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2},"warc_parse":{"shards":200,"records":$warcRecs,"bytes":$warcBytes,"sec":$warcSec,"clean":true},"pagerank_hot_hub":{"edges":$nEdges,"nodes":$prNodes,"hub_degree":$starLeaves,"iters":3,"sec":$prSec,"hub_is_top":true,"leaf_rank_values":1,"ring_rank_values":1},"compaction_manifest":{"files":100000,"bins":$cpBins,"sec":$cpSec,"bytes_conserved":true,"fill_bound_holds":true},"maintenance_10x":{"orders_10x":$nOrd10,"merge_1x_sec":$mg1,"merge_10x_sec":$mg10,"checksum_1x_sec":$ck1Sec,"checksum_10x_sec":$ck10Sec,"accounting_match":true,"sums_move_under_key_shift":true},"merge_hot_batch":{"snapshot_rows":$mhSnapRows,"batch_rows":$mhBatchRows,"hot_rows":$mhHotRows,"uniform_sec":$mhuSec,"uniform_rows":$mhuRows,"raw_hot_sec":$mhhSec,"raw_hot_rows":$mhhRows,"aqe_fullouter_skew_split":false,"compacted_hot_sec":$mhcSec,"compacted_rows_out":$mhcRows,"compacted_batch_keys":$mhCompactRows,"lww_match":true}}""")
+    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"embed_ivf_10x":{"vecs":$embDocs,"nlist16_sec":$iv,"nlist16_pairs":$niv,"nlist128_sec":$iv2,"nlist128_pairs":$niv2},"codebook_hot_vector":{"vecs":$nAdv,"clones":$hotClones,"fit_sec":$fitSec,"nonempty_cells":$nonEmptyCells,"max_cell_share":$maxCellShare,"neardup_sec":$advSec,"neardup_pairs":$nAdvPairs,"planted_pairs":$plantedPairs},"bloom_10x":{"orders":$nOrd,"smj_sec":$sj,"smj_rows":$nsj,"probe_sec":$bp,"probe_rows":$nbp,"verify_sec":$bv,"verify_rows":$nbv},"ingest_many_files":{"files":$ingestN,"hidden_frac":0.333,"sec":$ingestSec,"words":${ingested.size},"fold_match":true},"skew_join_hot":{"hot_rows":$hotRows,"buckets_hit":${buckets.size},"max_bucket_rows":$maxBucket,"salted_sec":$saltSec,"plain_sec":$plainSec,"match":true},"span_hot_gram":{"docs":$tenxDocs,"plain_sec":$spSec,"plain_rows":$spRows,"hot_sec":$shSec,"hot_rows":$shRows,"min_shared_windows":$minShared},"incremental_ingest":{"batch_rows":$nBatch,"corpus_docs":$tenxDocs,"new_docs":$incNew,"expected_new":$expectedNew,"sec":$incSec,"match":true},"stream_state":[${ssRes.map(ssJson).mkString(",")}],"pixel_decode":{"bmp_1x":{"imgs":$npd1,"sec":$pd1},"bmp_10x":{"imgs":$npd10,"sec":$pd10},"png_1x":{"imgs":$npg1,"sec":$pg1},"png_10x":{"imgs":$npg10,"sec":$pg10,"staged_bytes":$pngBytes10},"gif_1x":{"imgs":$ngf1,"sec":$gf1},"gif_10x":{"imgs":$ngf10,"sec":$gf10,"staged_bytes":$gifBytes10}},"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2},"warc_parse":{"shards":200,"records":$warcRecs,"bytes":$warcBytes,"sec":$warcSec,"clean":true},"pagerank_hot_hub":{"edges":$nEdges,"nodes":$prNodes,"hub_degree":$starLeaves,"iters":3,"sec":$prSec,"hub_is_top":true,"leaf_rank_values":1,"ring_rank_values":1},"compaction_manifest":{"files":100000,"bins":$cpBins,"sec":$cpSec,"bytes_conserved":true,"fill_bound_holds":true},"maintenance_10x":{"orders_10x":$nOrd10,"merge_1x_sec":$mg1,"merge_10x_sec":$mg10,"checksum_1x_sec":$ck1Sec,"checksum_10x_sec":$ck10Sec,"accounting_match":true,"sums_move_under_key_shift":true},"merge_hot_batch":{"snapshot_rows":$mhSnapRows,"batch_rows":$mhBatchRows,"hot_rows":$mhHotRows,"uniform_sec":$mhuSec,"uniform_rows":$mhuRows,"raw_hot_sec":$mhhSec,"raw_hot_rows":$mhhRows,"aqe_fullouter_skew_split":false,"compacted_hot_sec":$mhcSec,"compacted_rows_out":$mhcRows,"compacted_batch_keys":$mhCompactRows,"lww_match":true},"bpe_learn_10x":{"merges":10,"sec_1x":$bl1,"sec_10x":$bl10,"table_identical":true,"counts_x10":true}}""")
     spark.stop()
   }
 }
