@@ -937,7 +937,7 @@ object MediaPipeline {
     * image x-coords). Sequential = one pass of full rows; Adam7 = the
     * seven sub-grids, empty passes omitted (a small image legally has
     * them — pass 2 is empty below width 5). */
-  private def scanlinePlan(w: Int, h: Int, interlaced: Boolean): Seq[Seq[(Int, Array[Int])]] =
+  private[multimodal] def scanlinePlan(w: Int, h: Int, interlaced: Boolean): Seq[Seq[(Int, Array[Int])]] =
     if (!interlaced) Seq((0 until h).map(y => (y, Array.range(0, w))))
     else Adam7.map { case (x0, y0, dx, dy) =>
       val xs = Array.range(x0, w, dx)
@@ -1478,6 +1478,27 @@ object MediaPipeline {
         out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8
       }
     }
+    // WRITE width is governed by a MIRROR of the decoder's dictionary
+    // counter, not by the encoder's own table adds: the decoder adds one
+    // entry after EVERY data code except the first since a CLEAR (capped
+    // at 4096) and widens its reads when that counter fills the current
+    // width — so the encoder must widen at exactly those code
+    // boundaries, INCLUDING after the final flushed prefix (before EOI)
+    // and before a mid-stream CLEAR. An add-driven encoder-side rule is
+    // identical mid-stream but desyncs by one bit when the stream ends
+    // (or clears) exactly on a width boundary — the decoder then reads
+    // the EOI/CLEAR one bit wider than written and rejects a valid
+    // stream (round-13 review finding; regression-pinned in GifLzwSpec).
+    var dNext = eoi + 1
+    var firstData = true
+    def emitData(code: Int): Unit = {
+      emit(code)
+      if (firstData) firstData = false
+      else if (dNext < 4096) {
+        dNext += 1
+        if (dNext == (1 << codeSize) && codeSize < 12) codeSize += 1
+      }
+    }
     var table = scala.collection.mutable.HashMap.empty[Long, Int]
     var next = eoi + 1
     var added = 0
@@ -1490,22 +1511,21 @@ object MediaPipeline {
       table.get(key) match {
         case Some(code) => prefix = code
         case None =>
-          emit(prefix)
+          emitData(prefix)
           if (next < 4096 && added < 397) {
             table(key) = next; next += 1; added += 1
-            // Width grows AFTER the emit: the decoder (one entry behind)
-            // switches at the same code boundary.
-            if (next > (1 << codeSize) && codeSize < 12) codeSize += 1
           } else {
-            emit(clear) // at the CURRENT width, then reset
+            emit(clear) // at the (possibly just-widened) current width
             table = scala.collection.mutable.HashMap.empty
-            codeSize = minCodeSize + 1; next = eoi + 1; added = 0
+            codeSize = minCodeSize + 1
+            next = eoi + 1; added = 0
+            dNext = eoi + 1; firstData = true
           }
           prefix = k
       }
       i += 1
     }
-    emit(prefix); emit(eoi)
+    emitData(prefix); emit(eoi)
     if (bitCnt > 0) out.write((bitBuf & 0xff).toInt)
     out.toByteArray
   }

@@ -138,6 +138,27 @@ class GifLzwSpec extends SparkSpec {
     for (id <- 0L to 60L)
       assert(decodeGifPixels(gifBytes(id)).isEmpty, s"id=$id")
   }
+
+  test("streams ending exactly on a width boundary round-trip (review regression)") {
+    // The round-13 review counterexample: with mcs=2 this stream's final
+    // data code lands the decoder's dictionary exactly on 2^codeSize, so
+    // the decoder widens before reading EOI — an encoder whose width rule
+    // tracks its own table adds (which skip the final flush) writes EOI
+    // one bit narrower and the decode fails. The fixed encoder mirrors
+    // the decoder's counter, including the flush emit.
+    val xs = Array(0, 1, 2, 3, 1, 3, 0, 2, 0, 3, 2)
+    assert(lzwDecode(lzwEncode(xs, 2), 2, xs.length).exists(_.sameElements(xs)))
+    // Exhaustive short-stream sweep at the smallest alphabet: every
+    // 4-symbol stream of length ≤ 7 must round-trip — covers all
+    // boundary-versus-flush alignments a tiny table can produce.
+    def sweep(len: Int, prefix: List[Int]): Unit =
+      if (len == 0) {
+        val s = prefix.toArray
+        assert(lzwDecode(lzwEncode(s, 2), 2, s.length).exists(_.sameElements(s)),
+          s"failed: ${s.mkString(",")}")
+      } else (0 until 4).foreach(v => sweep(len - 1, v :: prefix))
+    (1 to 7).foreach(l => sweep(l, Nil))
+  }
 }
 
 /** Property pins for the LZW layer itself. */

@@ -182,16 +182,17 @@ class PixelDecodeSpec extends SparkSpec {
     assert(got.contains(expected(9L, pngPxWidth(9L), pngPxHeight(9L))))
     // The interlaced raw stream is strictly longer (one filter byte per
     // pass scanline), so the staged bytes cannot be the sequential
-    // layout in disguise.
-    val seqLineCount = pngPxHeight(9L)
-    val passLineCount = {
-      val w = pngPxWidth(9L); val h = pngPxHeight(9L)
-      Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
-          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)).map { case (x0, y0, dx, dy) =>
-        if (x0 >= w || y0 >= h) 0 else (h - y0 + dy - 1) / dy
-      }.sum
-    }
-    assert(passLineCount > seqLineCount)
+    // layout in disguise. Counted from the SINGLE-SOURCED plan the
+    // encoder and decoder share — a forked geometry table here would
+    // keep validating itself if the production table ever changed.
+    val w = pngPxWidth(9L); val h = pngPxHeight(9L)
+    val passLineCount = MediaPipeline.scanlinePlan(w, h, interlaced = true).map(_.size).sum
+    assert(passLineCount > h)
+    // And the plan is a permutation of the image grid: every pixel
+    // appears exactly once across all passes.
+    val covered = MediaPipeline.scanlinePlan(w, h, interlaced = true)
+      .flatten.flatMap { case (y, xs) => xs.map(x => (x, y)) }
+    assert(covered.sorted == (for (y <- 0 until h; x <- 0 until w) yield (x, y)).sorted)
   }
 
   test("PCM decode round-trips the sample model with sign extension") {
