@@ -530,7 +530,7 @@ object DedupQueries extends QueryPack {
     "dedup_incremental_indexed" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val tbl = "graft_md5_idx_" + java.lang.Integer.toHexString(d.hashCode)
-      graft.sources.FileSources.writeBucketed(
+      graft.sources.FileSources.ensureBucketed(
         docs.select(md5(col("text")).as("content_hash")).distinct(),
         tbl, 8, Seq("content_hash"))
       incrementalBatchOf(docs)
@@ -581,7 +581,7 @@ object DedupQueries extends QueryPack {
     "dedup_incremental_neardup_indexed" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val tbl = "graft_band_idx_" + java.lang.Integer.toHexString(d.hashCode)
-      graft.sources.FileSources.writeBucketed(
+      graft.sources.FileSources.ensureBucketed(
         minhashBandsOf(s, docs), tbl, 8, Seq("band", "bkey"))
       val batch = neardupBatchOf(docs)
       val cand = s.table(tbl).as("c")

@@ -111,7 +111,7 @@ object MaintenanceQueries extends QueryPack {
     // layout round-trip must change nothing.
     "q_merge_upsert_bucketed" -> ((s, d) => {
       val tbl = "graft_orders_snap_" + java.lang.Integer.toHexString(d.hashCode)
-      graft.sources.FileSources.writeBucketed(
+      graft.sources.FileSources.ensureBucketed(
         Tables.orders(s, d).select("o_orderkey", "o_totalprice", "o_orderpriority"),
         tbl, 8, Seq("o_orderkey"))
       mergeAuditOf(mergedOrdersOf(s.table(tbl)))

@@ -228,6 +228,20 @@ object FileSources {
       .saveAsTable(table)
   }
 
+  /** [[writeBucketed]] with WITHIN-SESSION reuse: if this session's
+    * catalog already holds `table`, the build is skipped — the
+    * production contract of a maintained index table (build once,
+    * amortize across probes). Correctness precondition: the caller's
+    * table NAME must determine its CONTENT (the index queries key the
+    * name on the data-dir hash, and the fixture dirs are immutable), so
+    * a catalog hit can never serve a different dataset. Cross-process,
+    * the catalog starts empty and the first call rebuilds — reuse never
+    * crosses a JVM. */
+  def ensureBucketed(df: DataFrame, table: String, nBuckets: Int,
+                     bucketCols: Seq[String]): Unit =
+    if (!df.sparkSession.catalog.tableExists(table))
+      writeBucketed(df, table, nBuckets, bucketCols)
+
   /** Z-ordered parquet write — the layout step q_zorder audits: Morton-
     * interleave the low 8 bits of two integer dimensions, range-partition
     * on the z-value (each output file owns a contiguous z-range) and
