@@ -529,7 +529,7 @@ object DedupQueries extends QueryPack {
     // dedup_incremental — the layout round-trip changes nothing.
     "dedup_incremental_indexed" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val tbl = "graft_md5_idx_" + java.lang.Integer.toHexString(d.hashCode)
+      val tbl = graft.sources.FileSources.dirKeyedTable("graft_md5_idx", d)
       graft.sources.FileSources.ensureBucketed(
         docs.select(md5(col("text")).as("content_hash")).distinct(),
         tbl, 8, Seq("content_hash"))
@@ -580,7 +580,7 @@ object DedupQueries extends QueryPack {
     // generation, so the oracle is identical to the derived-frame twin.
     "dedup_incremental_neardup_indexed" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      val tbl = "graft_band_idx_" + java.lang.Integer.toHexString(d.hashCode)
+      val tbl = graft.sources.FileSources.dirKeyedTable("graft_band_idx", d)
       graft.sources.FileSources.ensureBucketed(
         minhashBandsOf(s, docs), tbl, 8, Seq("band", "bkey"))
       val batch = neardupBatchOf(docs)

@@ -110,7 +110,7 @@ object MaintenanceQueries extends QueryPack {
     // SkewAndBucketingSpec. Identical oracle to q_merge_upsert: the
     // layout round-trip must change nothing.
     "q_merge_upsert_bucketed" -> ((s, d) => {
-      val tbl = "graft_orders_snap_" + java.lang.Integer.toHexString(d.hashCode)
+      val tbl = graft.sources.FileSources.dirKeyedTable("graft_orders_snap", d)
       graft.sources.FileSources.ensureBucketed(
         Tables.orders(s, d).select("o_orderkey", "o_totalprice", "o_orderpriority"),
         tbl, 8, Seq("o_orderkey"))

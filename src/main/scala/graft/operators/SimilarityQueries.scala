@@ -189,7 +189,7 @@ object SimilarityQueries extends QueryPack {
     // Semantics are IDENTICAL to sim_knn_ivf (same oracle SQL): this
     // gate pins that the layout round-trip changes nothing.
     "sim_knn_bucketed" -> ((s, d) => {
-      val tbl = "graft_ivf_idx_" + java.lang.Integer.toHexString(d.hashCode)
+      val tbl = graft.sources.FileSources.dirKeyedTable("graft_ivf_idx", d)
       val assigned = ivfScoredAssignment(s, d, nprobe = 1).drop("rk")
         .select(col("cluster"), col("vec_id"), col("v"), col("nrm"))
       graft.sources.FileSources.ensureBucketed(assigned, tbl, 8, Seq("cluster"))

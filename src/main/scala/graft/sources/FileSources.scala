@@ -242,6 +242,19 @@ object FileSources {
     if (!df.sparkSession.catalog.tableExists(table))
       writeBucketed(df, table, nBuckets, bucketCols)
 
+  /** Collision-proof catalog name for a dir-derived index table:
+    * `prefix` + the first 16 hex chars of md5(dir) — a 64-bit key, vs
+    * the 32-bit String.hashCode previously used, whose collisions are
+    * trivially constructible ("...Aa"/"...BB" pairs) and would make
+    * [[ensureBucketed]] silently serve an index built from the WRONG
+    * data dir. */
+  def dirKeyedTable(prefix: String, dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    prefix + "_" + md.substring(0, 16)
+  }
+
   /** Z-ordered parquet write — the layout step q_zorder audits: Morton-
     * interleave the low 8 bits of two integer dimensions, range-partition
     * on the z-value (each output file owns a contiguous z-range) and

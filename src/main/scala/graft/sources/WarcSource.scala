@@ -226,14 +226,75 @@ object WarcSource {
 
   /** Decompress a MULTI-MEMBER gzip stream — Common Crawl WARC shards
     * are one gzip MEMBER PER RECORD, concatenated, so a range request
-    * can decompress a single record in place. java.util.zip's
-    * GZIPInputStream consumes concatenated members natively; a
-    * one-member-only decompressor would surface exactly one record per
-    * shard and fail the gate's counts. */
-  private[graft] def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    try in.readAllBytes() finally in.close()
+    * can decompress a single record in place. Deliberately NOT
+    * GZIPInputStream: it swallows a corrupt next-member header (or
+    * trailing garbage) as a clean EOF — a silent short read, exactly the
+    * data-loss bug the WARC reader's loud-failure contract exists to
+    * catch — and throws from mid-member truncation instead of salvaging.
+    * This walk parses each member header itself (RFC 1952: magic, CM=8,
+    * FLG optional fields), inflates the raw deflate stream, and VERIFIES
+    * the member's CRC32 and ISIZE trailer. Returns (decompressed prefix,
+    * clean): `clean` is false when any byte fails to frame as a valid,
+    * checksummed member — everything before the damage is returned. */
+  private[graft] def gunzipAll(bytes: Array[Byte]): (Array[Byte], Boolean) = {
+    val out = new java.io.ByteArrayOutputStream()
+    var p = 0
+    def u16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    while (p < bytes.length) {
+      // ---- member header (RFC 1952 §2.3) ----
+      if (p + 10 > bytes.length || (bytes(p) & 0xff) != 0x1f ||
+          (bytes(p + 1) & 0xff) != 0x8b || (bytes(p + 2) & 0xff) != 8)
+        return (out.toByteArray, false)
+      val flg = bytes(p + 3) & 0xff
+      var q = p + 10
+      if ((flg & 0x04) != 0) { // FEXTRA
+        if (q + 2 > bytes.length) return (out.toByteArray, false)
+        q += 2 + u16(q)
+      }
+      if ((flg & 0x08) != 0) { // FNAME: NUL-terminated
+        while (q < bytes.length && bytes(q) != 0) q += 1
+        q += 1
+      }
+      if ((flg & 0x10) != 0) { // FCOMMENT
+        while (q < bytes.length && bytes(q) != 0) q += 1
+        q += 1
+      }
+      if ((flg & 0x02) != 0) q += 2 // FHCRC
+      if (q > bytes.length) return (out.toByteArray, false)
+      // ---- raw deflate body — buffered per member: the salvage prefix
+      // holds COMPLETE, CRC-verified members only, so a truncation
+      // mid-deflate never leaks a partial member's bytes ----
+      val member = new java.io.ByteArrayOutputStream()
+      val inflater = new java.util.zip.Inflater(true)
+      inflater.setInput(bytes, q, bytes.length - q)
+      val crc = new java.util.zip.CRC32
+      val buf = new Array[Byte](8192)
+      var memberLen = 0L
+      try {
+        while (!inflater.finished()) {
+          val n = inflater.inflate(buf)
+          if (n == 0 && (inflater.needsInput() || inflater.needsDictionary()))
+            return (out.toByteArray, false) // truncated mid-member
+          member.write(buf, 0, n); crc.update(buf, 0, n); memberLen += n
+        }
+      } catch {
+        case _: java.util.zip.DataFormatException =>
+          return (out.toByteArray, false)
+      } finally {
+        q += inflater.getBytesRead.toInt
+        inflater.end()
+      }
+      // ---- trailer: CRC32 + ISIZE (mod 2^32) ----
+      if (q + 8 > bytes.length || u32(q) != crc.getValue ||
+          u32(q + 4) != (memberLen & 0xffffffffL))
+        return (out.toByteArray, false)
+      member.writeTo(out)
+      p = q + 8
+    }
+    (out.toByteArray, true)
   }
 
   private[graft] def gzipMember(bytes: Array[Byte]): Array[Byte] = {
@@ -244,16 +305,21 @@ object WarcSource {
   }
 
   /** [[records]] over per-record-gzipped shards: whole-shard read,
-    * multi-member gunzip, then the SAME strict framing parse — the
+    * strict multi-member gunzip (every member CRC-verified — see
+    * [[gunzipAll]]), then the SAME strict framing parse — the
     * decompressed byte stream is identical to the plain shard, so the
-    * plain fixture's oracle holds verbatim. Scale caveat as with every
-    * gzip source: members are only decompressible forward, one task per
-    * shard file. */
+    * plain fixture's oracle holds verbatim. The shard is clean only when
+    * BOTH layers are: a corrupt gzip member or unframeable WARC bytes
+    * each trip the loud-failure/salvage contract. Scale caveat as with
+    * every gzip source: members are only decompressible forward, one
+    * task per shard file. */
   def recordsGz(spark: SparkSession, paths: Seq[String],
                 tolerateUnclean: Boolean = false): DataFrame = {
     import spark.implicits._
     framedShards(spark, paths, tolerateUnclean) { (name, bytes) =>
-      parseWarc(name, gunzipAll(bytes))
+      val (plain, gzClean) = gunzipAll(bytes)
+      val (recs, warcClean) = parseWarc(name, plain)
+      (recs, gzClean && warcClean)
     }.toDF()
   }
 

@@ -732,11 +732,16 @@ object EventStreams {
     val srcDir = s"$base/src"
     new java.io.File(srcDir).mkdirs()
     // Stage the shards into the stream's source dir (a copy, not a move:
-    // the fixture is shared with the batch twin). 24 fixture shards /
+    // the fixture is shared with the batch twin). Staged names carry an
+    // ordinal prefix (stripped back off in the parse below): arbitrary
+    // caller paths may legally share a BASENAME across directories
+    // ("/crawl/a/shard00.warc", "/crawl/b/shard00.warc"), and
+    // basename-only staging would collide where the batch reader
+    // handles the same input fine. 24 fixture shards /
     // filesPerTrigger=8 → three real micro-batches.
-    shardPaths.foreach { p =>
+    shardPaths.zipWithIndex.foreach { case (p, i) =>
       val name = p.substring(p.lastIndexOf('/') + 1)
-      Files.copy(Paths.get(p), Paths.get(s"$srcDir/$name")): Unit
+      Files.copy(Paths.get(p), Paths.get(f"$srcDir/$i%05d~$name")): Unit
     }
     val sess = spark.newSession()
     sess.conf.set("spark.sql.shuffle.partitions", "2")
@@ -761,7 +766,8 @@ object EventStreams {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        val name = path.substring(path.lastIndexOf('/') + 1)
+        val staged = path.substring(path.lastIndexOf('/') + 1)
+        val name = staged.substring(staged.indexOf('~') + 1) // drop ordinal
         val (recs, clean) = graft.sources.WarcSource.parseWarc(name, bytes)
         if (!clean) throw new IllegalArgumentException(
           s"$path: unframeable trailing bytes mid-stream (corrupt WARC shard)")

@@ -166,11 +166,47 @@ class WarcSourceSpec extends SparkSpec {
       val plain = WarcSource.fixtureShard(f)
       val gz = WarcSource.fixtureShardRecords(f)
         .map(WarcSource.gzipMember).reduce(_ ++ _)
-      assert(java.util.Arrays.equals(WarcSource.gunzipAll(gz), plain), s"shard $f")
+      val (got, clean) = WarcSource.gunzipAll(gz)
+      assert(clean && java.util.Arrays.equals(got, plain), s"shard $f")
       // and a single whole-shard member decompresses identically too
-      assert(java.util.Arrays.equals(
-        WarcSource.gunzipAll(WarcSource.gzipMember(plain)), plain))
+      val (got1, clean1) = WarcSource.gunzipAll(WarcSource.gzipMember(plain))
+      assert(clean1 && java.util.Arrays.equals(got1, plain))
     }
+  }
+
+  test("gunzip is LOUD about damage GZIPInputStream swallows silently") {
+    // The failure modes the custom member walk exists for: a garbled
+    // next-member header, trailing garbage, a mid-member truncation and
+    // a flipped CRC must all flag unclean while salvaging exactly the
+    // intact member prefix — never a silent short read, never a throw.
+    val recs = WarcSource.fixtureShardRecords(3).map(WarcSource.gzipMember)
+    val full = recs.reduce(_ ++ _)
+    val firstTwo = WarcSource.gunzipAll(recs(0) ++ recs(1))._1
+    // garbled third member header (magic byte flipped)
+    val badHdr = full.clone()
+    badHdr(recs(0).length + recs(1).length) = 0x55.toByte
+    assert(WarcSource.gunzipAll(badHdr) match {
+      case (prefix, false) => java.util.Arrays.equals(prefix, firstTwo)
+      case other => fail(s"garbled header not flagged: clean=${other._2}")
+    })
+    // trailing garbage after the last member
+    val trailing = full ++ Array[Byte](1, 2, 3)
+    assert(!WarcSource.gunzipAll(trailing)._2)
+    assert(java.util.Arrays.equals(WarcSource.gunzipAll(trailing)._1,
+      WarcSource.gunzipAll(full)._1))
+    // truncation mid-member: salvage = all complete members before it
+    val cut = full.dropRight(recs.last.length / 2)
+    val (cutPrefix, cutClean) = WarcSource.gunzipAll(cut)
+    assert(!cutClean)
+    assert(java.util.Arrays.equals(cutPrefix,
+      WarcSource.gunzipAll(recs.dropRight(1).reduce(_ ++ _))._1))
+    // flipped CRC byte in the second member's trailer
+    val badCrc = full.clone()
+    badCrc(recs(0).length + recs(1).length - 8) =
+      (badCrc(recs(0).length + recs(1).length - 8) ^ 0x01).toByte
+    val (crcPrefix, crcClean) = WarcSource.gunzipAll(badCrc)
+    assert(!crcClean)
+    assert(java.util.Arrays.equals(crcPrefix, WarcSource.gunzipAll(recs(0))._1))
   }
 
   test("streaming WARC arrival equals the batch reader row-for-row") {
