@@ -275,6 +275,15 @@ object TextAnalysis extends QueryPack {
     "text_bpe_learn" -> ((s, d) =>
       bpeLearnOf(s, Tables.documents(s, d), k = 10)),
 
+    // The ENCODE side of BPE: apply k=3 learned merges and gate the
+    // resulting tokenization via a tokens-per-word histogram whose h60p
+    // word-hash sums pin WHICH words landed in each bucket. k=3 (not 10)
+    // keeps the oracle's unrolled re-tokenization CTE proportionate —
+    // the application semantics are identical at any k and the k=10
+    // loop itself is already gated by text_bpe_learn.
+    "text_bpe_encode" -> ((s, d) =>
+      bpeEncodeOf(s, Tables.documents(s, d), k = 3)),
+
     // Stopword filtering — the token-scrub pass an indexing/featurization
     // pipeline runs before vocabulary work. Map-only array ops (filter +
     // slice + join), no UDFs; reports before/after counts plus the head
@@ -386,12 +395,14 @@ object TextAnalysis extends QueryPack {
     out.result()
   }
 
-  /** The text_bpe_learn body over ANY documents-shaped frame: k rounds of
-    * pair-count → 1-row argmax → greedy re-tokenize. Returns the learned
-    * merge table (step, left_sym, right_sym, cnt). The argmax tie-break
-    * is (cnt DESC, a, b) — a total order both engines share on the ASCII
-    * fixture vocabulary. */
-  def bpeLearnOf(s: SparkSession, docs: DataFrame, k: Int): DataFrame = {
+  /** The shared BPE training core: k rounds of pair-count → 1-row
+    * argmax → greedy re-tokenize over the (word, freq, syms) vocabulary
+    * frame, returning BOTH the learned merge table and the final
+    * re-tokenized vocabulary (the word column rides along so the encode
+    * gate can hash actual words per token-count bucket). */
+  private def bpeVocabAfter(s: SparkSession, docs: DataFrame, k: Int):
+      (Seq[(Int, String, String, Long)],
+       org.apache.spark.sql.Dataset[(String, Long, Seq[String])]) = {
     import s.implicits._
     var vocab = docs
       .select(explode(split(col("text"), " ")).as("word"))
@@ -400,15 +411,15 @@ object TextAnalysis extends QueryPack {
       // Char decomposition via substring, NOT split(word, "") — Spark's
       // regex split appends a trailing empty symbol ("abc" → a,b,c,"")
       // that would poison every pair ending the word.
-      .select(col("freq"), expr(
+      .select(col("word"), col("freq"), expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("syms"))
-      .as[(Long, Seq[String])]
+      .as[(String, Long, Seq[String])]
       .localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
     while (step <= k && !exhausted) {
-      val top = vocab.toDF("freq", "syms")
+      val top = vocab.toDF("word", "freq", "syms")
         .filter(size(col("syms")) >= 2)
         .select(col("freq"), explode(expr(
           "transform(sequence(0, size(syms)-2), i -> struct(syms[i] AS a, syms[i+1] AS b))")).as("p"))
@@ -420,21 +431,50 @@ object TextAnalysis extends QueryPack {
       else {
         val a = top(0).getString(0); val b = top(0).getString(1)
         merges += ((step, a, b, top(0).getLong(2)))
-        vocab = vocab.map { case (f, syms) => (f, applyBpeMerge(syms, a, b)) }
+        vocab = vocab.map { case (w, f, syms) => (w, f, applyBpeMerge(syms, a, b)) }
           .localCheckpoint()
         step += 1
       }
     }
-    merges.result().toDF("step", "left_sym", "right_sym", "cnt").orderBy("step")
+    (merges.result(), vocab)
   }
 
-  /** text_bpe_learn's oracle: the k rounds unrolled as CTE stages. Each
-    * v{r} applies merge t{r} via a list_reduce fold over singleton-list
+  /** The text_bpe_learn body over ANY documents-shaped frame: k rounds of
+    * pair-count → 1-row argmax → greedy re-tokenize. Returns the learned
+    * merge table (step, left_sym, right_sym, cnt). The argmax tie-break
+    * is (cnt DESC, a, b) — a total order both engines share on the ASCII
+    * fixture vocabulary. */
+  def bpeLearnOf(s: SparkSession, docs: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    bpeVocabAfter(s, docs, k)._1
+      .toDF("step", "left_sym", "right_sym", "cnt").orderBy("step")
+  }
+
+  /** The ENCODE side of BPE — apply k learned merges and audit the
+    * resulting tokenization: tokens-per-word histogram with word count,
+    * corpus frequency mass, and an order-independent h60p word-hash sum
+    * per bucket (so the gate pins WHICH words landed at each token
+    * count, not just how many). Vocab-level, like the learn: documents
+    * re-tokenize by a broadcast-join of this vocab at serving time, so
+    * the audit never explodes the corpus. */
+  def bpeEncodeOf(s: SparkSession, docs: DataFrame, k: Int): DataFrame =
+    bpeVocabAfter(s, docs, k)._2
+      .toDF("word", "freq", "syms")
+      .select(col("word"), col("freq"), size(col("syms")).as("n_tokens"))
+      .groupBy("n_tokens")
+      .agg(count(lit(1)).as("n_words"),
+        sum("freq").as("freq_sum"),
+        sum(graft.functions.PortableHash.h60p(col("word"))).as("word_hash_sum"))
+      .orderBy("n_tokens")
+
+  /** The k BPE rounds as a DuckDB CTE prefix (shared by the learn and
+    * encode oracles; `word` rides through every stage). Each v{r}
+    * applies merge t{r} via a list_reduce fold over singleton-list
     * elements — replace-last-when-(a,b) — which equals the greedy
     * left-to-right merge because a merged symbol a||b can never equal
     * the pair's left element a (BpeLearnSpec pins the equivalence on
     * randomized sequences). */
-  private def bpeLearnSql(k: Int): String = {
+  private def bpeRoundsCte(k: Int): String = {
     val rounds = (1 to k).map { r =>
       s"""p$r AS (SELECT u.pair[1] AS a, u.pair[2] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
                   FROM (SELECT freq, unnest(list_transform(range(len(syms)-1),
@@ -442,24 +482,39 @@ object TextAnalysis extends QueryPack {
                         FROM v${r - 1} WHERE len(syms) >= 2) u
                   GROUP BY 1, 2),
             t$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
-            v$r AS (SELECT freq,
+            v$r AS (SELECT word, freq,
                            list_reduce(list_transform(syms, s -> [s]),
                              (acc, x) -> CASE WHEN acc[-1] = t.a AND x[1] = t.b
                                          THEN list_append(acc[1:len(acc)-1], t.a || t.b)
                                          ELSE list_concat(acc, x) END) AS syms
                     FROM v${r - 1} CROSS JOIN t$r t)"""
     }.mkString(",\n")
+    s"""w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+              FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+              WHERE length(word) >= 2 GROUP BY 1),
+        v0 AS (SELECT word, freq, list_transform(range(length(word)),
+                        i -> substring(word, i+1, 1)) AS syms FROM w),
+        $rounds"""
+  }
+
+  private def bpeLearnSql(k: Int): String = {
     val unions = (1 to k).map(r =>
       s"SELECT $r AS step, a AS left_sym, b AS right_sym, cnt FROM t$r")
       .mkString("\n         UNION ALL ")
-    s"""WITH w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
-                   FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-                   WHERE length(word) >= 2 GROUP BY 1),
-            v0 AS (SELECT freq, list_transform(range(length(word)),
-                            i -> substring(word, i+1, 1)) AS syms FROM w),
-            $rounds
+    s"""WITH ${bpeRoundsCte(k)}
          $unions ORDER BY step"""
   }
+
+  /** text_bpe_encode's oracle: the same k rounds, then the final
+    * vocabulary's tokens-per-word histogram with the h60p word-hash sum
+    * pinning bucket membership. */
+  private def bpeEncodeSql(k: Int): String =
+    s"""WITH ${bpeRoundsCte(k)}
+        SELECT CAST(len(syms) AS INT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(freq) AS BIGINT) AS freq_sum,
+               CAST(SUM(${graft.functions.PortableHash.h60pSql("word")}) AS BIGINT) AS word_hash_sum
+        FROM v$k GROUP BY 1 ORDER BY n_tokens"""
 
   val oracleSql: Map[String, String] = Map(
     // The funnel composes the EXACT per-stage arithmetic of dedup_exact
@@ -543,6 +598,7 @@ object TextAnalysis extends QueryPack {
          SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
          FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""",
     "text_bpe_learn" -> bpeLearnSql(10),
+    "text_bpe_encode" -> bpeEncodeSql(3),
     "text_ngram_stats" ->
       """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents
                     WHERE len(string_split(text, ' ')) >= 2),

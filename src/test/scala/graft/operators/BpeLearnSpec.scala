@@ -23,6 +23,20 @@ class BpeLearnSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, "a", "b", 8L), (2, "ab", "ab", 3L), (3, "ab", "c", 2L)))
   }
 
+  test("bpeEncode histograms the re-tokenized vocab with content-pinning hashes") {
+    import spark.implicits._
+    // Same corpus as the learn test; k=2 merges (a,b) then (ab,ab):
+    //   abab → [abab] (1 token), abc → [ab, c] (2), cc → [c, c] (2).
+    val docs = (Seq.fill(3)("abab") ++ Seq.fill(2)("abc") ++ Seq("cc"))
+      .toDF("text")
+    val got = TextAnalysis.bpeEncodeOf(spark, docs, k = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def h(w: String) = graft.functions.JvmHash.h60p(w)
+    assert(got.toSeq == Seq(
+      (1, 1L, 3L, h("abab")),
+      (2, 2L, 3L, h("abc") + h("cc"))))
+  }
+
   test("overlapping runs merge greedily left-to-right, not replace-all") {
     // "aaa" under (a,a) → [aa, a]; "aaaa" → [aa, aa].
     assert(TextAnalysis.applyBpeMerge(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
