@@ -1772,4 +1772,374 @@ object MediaPipeline {
       })
       .toDF()
   }
+
+  // --------------------------------- JPEG entropy (coefficient) decode
+  //
+  // The honest JPEG gate (NOTES.md "Why JPEG pixel decode stays out"):
+  // PIXEL reconstruction is IDCT-rounding-dependent and therefore not
+  // oracle-worthy, but the entropy layer — Huffman decode of the scan,
+  // DC prediction, run-length/EOB/ZRL expansion, zigzag placement and
+  // DEQUANTIZATION — is bit-exact by specification (ITU T.81). So the
+  // staging synthesizes baseline JPEGs directly FROM a closed-form
+  // quantized-coefficient model (no float DCT anywhere), Huffman-codes
+  // them with the spec's Annex K.3 luminance tables, and the decoder
+  // recovers the dequantized coefficients from real bytes while the
+  // DuckDB oracle recomputes the model — the PNG/GIF gate design,
+  // applied one layer below pixels.
+
+  /** Staged JPEG dims — whole 8×8 blocks only (1..4 × 1..3 blocks). */
+  def jpegPxWidth(id: Long): Int = (8 * (1 + id % 4)).toInt
+  def jpegPxHeight(id: Long): Int = (8 * (1 + (id * 3) % 3)).toInt
+
+  /** Quantization table entry for ZIGZAG index k (DQT stores zigzag
+    * order, and the audit lives in zigzag-index space — no de-zigzag
+    * needed, which would only reshuffle the position weights). */
+  def jpegQuant(id: Long, k: Int): Int = (1 + (k * 7 + id) % 16).toInt
+
+  /** Quantized DC of block b: [-64, 63] — DIFF coding stays ≤ 7 bits. */
+  def jpegDcq(id: Long, b: Int): Int = ((id * 31 + b * 17) % 128 - 64).toInt
+
+  /** Quantized AC at zigzag index u (1..63) of block b: nonzero on a
+    * stride-23 lattice (≤ 3 per block, zero-runs up to 22 → the ZRL
+    * escape fires), values in [-15, -1] ∪ [1, 15] (≤ 4 amplitude bits). */
+  def jpegAcq(id: Long, b: Int, u: Int): Int =
+    if ((u + b + id) % 23 == 0) {
+      val raw = ((id + u * 3 + b * 7) % 30 - 15).toInt
+      if (raw >= 0) raw + 1 else raw
+    } else 0
+
+  // The ITU T.81 Annex K.3 luminance Huffman tables (public spec
+  // constants): BITS (codes per length 1..16) and HUFFVAL.
+  private val JpegDcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val JpegDcVals = Array.range(0, 12)
+  private val JpegAcBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
+  private val JpegAcVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  /** Canonical Huffman code assignment (T.81 C.1-C.3): symbol →
+    * (code, length). */
+  private def jpegHuffCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    val out = Map.newBuilder[Int, (Int, Int)]
+    var code = 0; var k = 0
+    var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        out += vals(k) -> ((code, len)); code += 1; k += 1; i += 1
+      }
+      code <<= 1; len += 1
+    }
+    out.result()
+  }
+
+  /** Table-driven canonical Huffman decoder (T.81 F.2.2.3). */
+  private final class JpegHuffDecoder(bits: Array[Int], vals: Array[Int]) {
+    private val minCode = new Array[Int](17)
+    private val maxCode = Array.fill(17)(-1)
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      var len = 1
+      while (len <= 16) {
+        if (bits(len - 1) > 0) {
+          valPtr(len) = k; minCode(len) = code
+          code += bits(len - 1); k += bits(len - 1)
+          maxCode(len) = code - 1
+        }
+        code <<= 1; len += 1
+      }
+    }
+    /** Next symbol, or -1 on an invalid code / exhausted stream. */
+    def decode(read1: () => Int): Int = {
+      var code = 0; var len = 0
+      while (len < 16) {
+        val b = read1(); if (b < 0) return -1
+        code = (code << 1) | b; len += 1
+        if (maxCode(len) >= 0 && code <= maxCode(len) && code >= minCode(len))
+          return vals(valPtr(len) + code - minCode(len))
+      }
+      -1
+    }
+  }
+
+  /** MSB-first bit writer with the mandatory 0xFF→0xFF00 byte stuffing;
+    * the final partial byte pads with 1-bits (T.81 F.1.2.3). */
+  private final class JpegBitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0; private var n = 0
+    private def put(b: Int): Unit = {
+      out.write(b & 0xff)
+      if ((b & 0xff) == 0xff) out.write(0x00)
+    }
+    def writeBits(v: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1); n += 1
+        if (n == 8) { put(acc); acc = 0; n = 0 }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (n > 0) {
+      put((acc << (8 - n)) | ((1 << (8 - n)) - 1)); acc = 0; n = 0
+    }
+  }
+
+  /** MSB-first bit reader with unstuffing; -1 past the scan (a marker
+    * byte or the buffer end). */
+  private final class JpegBitReader(bytes: Array[Byte], start: Int) {
+    private var pos = start; private var acc = 0; private var n = 0
+    def read1(): Int = {
+      if (n == 0) {
+        if (pos >= bytes.length) return -1
+        val b = bytes(pos) & 0xff; pos += 1
+        if (b == 0xff) {
+          if (pos >= bytes.length) return -1
+          if ((bytes(pos) & 0xff) == 0x00) pos += 1 // stuffed data 0xFF
+          else { pos -= 1; return -1 } // a real marker: scan over
+        }
+        acc = b; n = 8
+      }
+      n -= 1
+      (acc >> n) & 1
+    }
+  }
+
+  private def jpegCategory(v: Int): Int =
+    if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** A COMPLETE baseline JPEG for doc `id`: SOI, DQT (zigzag-ordered
+    * [[jpegQuant]]), SOF0 (8-bit, ONE component, 1×1 sampling), the two
+    * Annex K.3 DHT tables, SOS, and a REAL entropy-coded scan of the
+    * closed-form quantized coefficients — DC DIFF prediction across
+    * blocks, (run, size) AC coding with EOB and ZRL, amplitude bits in
+    * one's-complement form, byte stuffing — then EOI. */
+  def pixelJpeg(id: Long): Array[Byte] = {
+    val w = jpegPxWidth(id); val h = jpegPxHeight(id)
+    val nBlocks = (w / 8) * (h / 8)
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, payload: Array[Int]): Unit = {
+      out.write(0xff); out.write(marker)
+      val len = payload.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      payload.foreach(b => out.write(b & 0xff))
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    seg(0xdb, 0 +: Array.tabulate(64)(k => jpegQuant(id, k))) // DQT Pq=0 Tq=0
+    seg(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 1, 1, 0x11, 0))
+    seg(0xc4, 0x00 +: (JpegDcBits ++ JpegDcVals))
+    seg(0xc4, 0x10 +: (JpegAcBits ++ JpegAcVals))
+    seg(0xda, Array(1, 1, 0x00, 0, 63, 0))
+    val dcCode = jpegHuffCodes(JpegDcBits, JpegDcVals)
+    val acCode = jpegHuffCodes(JpegAcBits, JpegAcVals)
+    val bw = new JpegBitWriter(out)
+    def amp(v: Int, cat: Int): Int = if (v >= 0) v else v + (1 << cat) - 1
+    var pred = 0
+    var b = 0
+    while (b < nBlocks) {
+      val dc = jpegDcq(id, b)
+      val diff = dc - pred; pred = dc
+      val dcat = jpegCategory(diff)
+      val (dcC, dcL) = dcCode(dcat)
+      bw.writeBits(dcC, dcL)
+      if (dcat > 0) bw.writeBits(amp(diff, dcat), dcat)
+      var run = 0
+      var u = 1
+      while (u < 64) {
+        val v = jpegAcq(id, b, u)
+        if (v == 0) run += 1
+        else {
+          while (run > 15) { val (c, l) = acCode(0xf0); bw.writeBits(c, l); run -= 16 }
+          val cat = jpegCategory(v)
+          val (c, l) = acCode((run << 4) | cat)
+          bw.writeBits(c, l); bw.writeBits(amp(v, cat), cat)
+          run = 0
+        }
+        u += 1
+      }
+      if (run > 0) { val (c, l) = acCode(0x00); bw.writeBits(c, l) } // EOB
+      b += 1
+    }
+    bw.flush()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Per-image dequantized-coefficient statistics (zigzag-index space):
+    * the moment weights every coefficient by its (block·64 + index)
+    * position, so a wrong DC prediction, run expansion, table or
+    * dequantization shifts it. */
+  final case class DecodedCoeffs(width: Int, height: Int, nBlocks: Int,
+                                 dcSum: Long, acAbsSum: Long,
+                                 nNonzeroAc: Long, moment: Long)
+
+  /** REAL entropy decode for the staged baseline-JPEG profile, pure JVM:
+    * marker walk collecting DQT/DHT/SOF0/SOS, then Huffman decode of the
+    * scan — canonical table-driven code lookup, DC DIFF prediction,
+    * EOB/ZRL/(run,size) expansion, one's-complement amplitude EXTEND —
+    * and dequantization. None for anything outside the profile
+    * (progressive, multi-component, subsampled, fractional blocks) or
+    * any invalid code / truncation / missing table. */
+  def decodeJpegCoeffs(media: Array[Byte]): Option[DecodedCoeffs] = {
+    if (media.length < 4 || (media(0) & 0xff) != 0xff || (media(1) & 0xff) != 0xd8)
+      return None
+    def u16(off: Int): Int = ((media(off) & 0xff) << 8) | (media(off + 1) & 0xff)
+    var off = 2
+    var quant: Array[Int] = null
+    var dcDec: JpegHuffDecoder = null
+    var acDec: JpegHuffDecoder = null
+    var dims: (Int, Int) = null
+    var scanAt = -1
+    while (scanAt < 0) {
+      if (off + 4 > media.length || (media(off) & 0xff) != 0xff) return None
+      val marker = media(off + 1) & 0xff
+      if (marker == 0xd9 || marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7))
+        return None // EOI / standalone marker before any scan
+      val segLen = u16(off + 2)
+      if (segLen < 2 || off + 2 + segLen > media.length) return None
+      val p0 = off + 4; val pEnd = off + 2 + segLen
+      marker match {
+        case 0xdb => // DQT: one or more (PqTq + 64) tables
+          var p = p0
+          while (p < pEnd) {
+            if ((media(p) & 0xff) != 0x00) return None // 8-bit table 0 only
+            if (p + 65 > pEnd) return None
+            quant = Array.tabulate(64)(k => media(p + 1 + k) & 0xff)
+            p += 65
+          }
+        case 0xc4 => // DHT: one or more (TcTh + bits + vals) tables
+          var p = p0
+          while (p < pEnd) {
+            val tcth = media(p) & 0xff
+            if (p + 17 > pEnd) return None
+            val bits = Array.tabulate(16)(i => media(p + 1 + i) & 0xff)
+            val nVals = bits.sum
+            if (p + 17 + nVals > pEnd) return None
+            val vals = Array.tabulate(nVals)(i => media(p + 17 + i) & 0xff)
+            tcth match {
+              case 0x00 => dcDec = new JpegHuffDecoder(bits, vals)
+              case 0x10 => acDec = new JpegHuffDecoder(bits, vals)
+              case _ => return None // only table id 0 in this profile
+            }
+            p += 17 + nVals
+          }
+        case 0xc0 => // SOF0 baseline
+          if (segLen != 8 + 3) return None // exactly one component
+          if ((media(p0) & 0xff) != 8) return None
+          val h = u16(p0 + 1); val w = u16(p0 + 3)
+          if ((media(p0 + 5) & 0xff) != 1) return None
+          if ((media(p0 + 7) & 0xff) != 0x11) return None // 1x1 sampling
+          if ((media(p0 + 8) & 0xff) != 0) return None // quant table 0
+          if (w <= 0 || h <= 0 || w % 8 != 0 || h % 8 != 0 ||
+              w > 4096 || h > 4096) return None
+          dims = (w, h)
+        case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 =>
+          return None // progressive/extended: out of profile
+        case 0xda =>
+          if ((media(p0) & 0xff) != 1) return None
+          if ((media(p0 + 2) & 0xff) != 0x00) return None // DC0/AC0
+          if ((media(p0 + 3) & 0xff) != 0 || (media(p0 + 4) & 0xff) != 63 ||
+              (media(p0 + 5) & 0xff) != 0) return None // full spectral, no approx
+          scanAt = pEnd
+        case _ => () // APPn / COM: skip
+      }
+      off = pEnd
+    }
+    if (quant == null || dcDec == null || acDec == null || dims == null) return None
+    val (w, h) = dims
+    val nBlocks = (w / 8) * (h / 8)
+    val br = new JpegBitReader(media, scanAt)
+    def extend(bitsv: Int, cat: Int): Int =
+      if (cat == 0) 0
+      else if (bitsv < (1 << (cat - 1))) bitsv - (1 << cat) + 1
+      else bitsv
+    def readAmp(cat: Int): Int = {
+      var v = 0; var i = 0
+      while (i < cat) {
+        val bit = br.read1(); if (bit < 0) return Int.MinValue
+        v = (v << 1) | bit; i += 1
+      }
+      extend(v, cat)
+    }
+    var dcSum = 0L; var acAbs = 0L; var nz = 0L; var moment = 0L
+    var pred = 0
+    var b = 0
+    while (b < nBlocks) {
+      val dcat = dcDec.decode(() => br.read1())
+      if (dcat < 0 || dcat > 11) return None
+      val diff = readAmp(dcat); if (diff == Int.MinValue) return None
+      pred += diff
+      val dcd = pred.toLong * quant(0)
+      dcSum += dcd; moment += (b.toLong * 64) * dcd
+      var u = 1
+      var eob = false
+      while (u < 64 && !eob) {
+        val sym = acDec.decode(() => br.read1())
+        if (sym < 0) return None
+        if (sym == 0x00) eob = true // EOB: rest of the block is zero
+        else if (sym == 0xf0) u += 16 // ZRL
+        else {
+          val run = (sym >> 4) & 0x0f; val cat = sym & 0x0f
+          if (cat == 0 || cat > 10) return None
+          u += run
+          if (u > 63) return None
+          val v = readAmp(cat); if (v == Int.MinValue) return None
+          val d = v.toLong * quant(u)
+          acAbs += math.abs(d); nz += 1
+          moment += (b.toLong * 64 + u) * d
+          u += 1
+        }
+        if (u > 64) return None // a run overran the block
+      }
+      b += 1
+    }
+    Some(DecodedCoeffs(w, h, nBlocks, dcSum, acAbs, nz, moment))
+  }
+
+  /** Per-image coefficient-statistics row the decode pass emits. */
+  case class JpegCoeffStats(doc_id: Long, source: String, width: Int,
+                            height: Int, n_blocks: Int, dc_sum: Long,
+                            ac_abs_sum: Long, n_nonzero_ac: Long,
+                            moment: Long)
+
+  /** JPEG-coefficient-staged media table: every 3rd doc a COMPLETE
+    * baseline JPEG ([[pixelJpeg]]), the rest bare text — the PNG/GIF
+    * staging discipline. */
+  def jpegCoeffTableStaged(s: SparkSession, dir: String): DataFrame =
+    jpegCoeffMediaOf(s, graft.Tables.documents(s, dir).select(col("doc_id"), col("source")))
+
+  def jpegCoeffMediaOf(s: SparkSession, ids: DataFrame): DataFrame = {
+    import s.implicits._
+    ids.as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        val media =
+          if (id % 3 == 0) pixelJpeg(id)
+          else s"doc $id".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        MediaRow(id, src, media)
+      })
+      .toDF()
+  }
+
+  /** JPEG coefficient-decode pass: the decode is the filter. */
+  def decodedJpegCoeffs(s: SparkSession, dir: String): DataFrame =
+    decodedJpegCoeffsOf(s, jpegCoeffTableStaged(s, dir))
+
+  def decodedJpegCoeffsOf(s: SparkSession, mediaDf: DataFrame): DataFrame = {
+    import s.implicits._
+    mediaDf.as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        decodeJpegCoeffs(r.media).map(c =>
+          JpegCoeffStats(r.doc_id, r.source, c.width, c.height, c.nBlocks,
+            c.dcSum, c.acAbsSum, c.nNonzeroAc, c.moment))
+      })
+      .toDF()
+  }
 }

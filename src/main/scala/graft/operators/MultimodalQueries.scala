@@ -306,6 +306,27 @@ object MultimodalQueries extends QueryPack {
           sum("tl_luma").as("tl_luma_total"))
         .orderBy("source")),
 
+    // The honest JPEG gate, one layer below pixels: the entropy layer —
+    // Huffman scan decode with the Annex K.3 tables, DC prediction,
+    // EOB/ZRL/(run,size) expansion, one's-complement EXTEND, and
+    // dequantization — IS bit-exact by spec (only the IDCT is not, see
+    // NOTES.md). Staged baseline JPEGs are synthesized directly from a
+    // closed-form quantized-coefficient model (no float DCT anywhere);
+    // Spark recovers the dequantized coefficients from real bytes, the
+    // oracle recomputes the model; the block·64+index moment makes a
+    // wrong prediction, run expansion, table or quant step fatal.
+    "mm_jpeg_coeffs" -> ((s, d) =>
+      MediaPipeline.decodedJpegCoeffs(s, d)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_img"),
+          sum(col("n_blocks").cast("long")).as("n_blocks"),
+          sum("dc_sum").as("dc_total"),
+          sum("ac_abs_sum").as("ac_abs_total"),
+          sum("n_nonzero_ac").as("nz_total"),
+          sum("moment").as("moment_total"))
+        .orderBy("source")),
+
     // The EXECUTED resize (mm_resize_plan only plans dims): decode the
     // staged BMP pixel arrays and nearest-neighbor-sample each to a 4×4
     // thumbnail — downscale and upscale in the same integer-floor rule —
@@ -705,6 +726,47 @@ object MultimodalQueries extends QueryPack {
                 CAST(SUM(p.r_moment) AS BIGINT) AS moment_total,
                 CAST(SUM(t.tl_luma) AS BIGINT) AS tl_luma_total
          FROM per_doc p JOIN tl t USING (doc_id)
+         GROUP BY p.source ORDER BY p.source""",
+    // The staged-JPEG coefficient model recomputed closed-form: per
+    // block b, DC = ((id·31 + b·17) mod 128 − 64) dequantized by q(0);
+    // AC nonzero on the stride-23 lattice with the ±[1,15] value rule,
+    // dequantized by q(u) = 1 + (u·7 + id) mod 16.
+    "mm_jpeg_coeffs" ->
+      """WITH img AS (SELECT doc_id, source,
+                             CAST(8 * (1 + (doc_id % 4)) AS BIGINT) AS w,
+                             CAST(8 * (1 + ((doc_id * 3) % 3)) AS BIGINT) AS h
+                      FROM documents WHERE doc_id % 3 = 0),
+            blk AS (SELECT i.doc_id, i.source, i.w, i.h, bs.b
+                    FROM img i,
+                         LATERAL (SELECT unnest(range((i.w // 8) * (i.h // 8))) AS b) bs),
+            dc AS (SELECT doc_id, source, b,
+                          ((doc_id*31 + b*17) % 128 - 64) * (1 + (doc_id % 16)) AS dcd
+                   FROM blk),
+            ac AS (SELECT k.doc_id, k.source, k.b, us.u,
+                          (CASE WHEN (us.u + k.b + k.doc_id) % 23 = 0 THEN
+                             (CASE WHEN ((k.doc_id + us.u*3 + k.b*7) % 30 - 15) >= 0
+                                   THEN ((k.doc_id + us.u*3 + k.b*7) % 30 - 15) + 1
+                                   ELSE ((k.doc_id + us.u*3 + k.b*7) % 30 - 15) END)
+                           ELSE 0 END)
+                          * (1 + ((us.u*7 + k.doc_id) % 16)) AS acd
+                   FROM blk k,
+                        LATERAL (SELECT unnest(range(1, 64)) AS u) us),
+            per AS (SELECT d.doc_id, d.source,
+                           COUNT(*) AS n_blocks,
+                           SUM(d.dcd) AS dc_sum,
+                           SUM(d.b * 64 * d.dcd) AS dc_moment
+                    FROM dc d GROUP BY d.doc_id, d.source),
+            pera AS (SELECT doc_id, SUM(ABS(acd)) AS ac_abs,
+                            SUM(CASE WHEN acd <> 0 THEN 1 ELSE 0 END) AS nz,
+                            SUM((b * 64 + u) * acd) AS ac_moment
+                     FROM ac GROUP BY doc_id)
+         SELECT p.source, CAST(COUNT(*) AS BIGINT) AS n_img,
+                CAST(SUM(p.n_blocks) AS BIGINT) AS n_blocks,
+                CAST(SUM(p.dc_sum) AS BIGINT) AS dc_total,
+                CAST(SUM(a.ac_abs) AS BIGINT) AS ac_abs_total,
+                CAST(SUM(a.nz) AS BIGINT) AS nz_total,
+                CAST(SUM(p.dc_moment + a.ac_moment) AS BIGINT) AS moment_total
+         FROM per p JOIN pera a USING (doc_id)
          GROUP BY p.source ORDER BY p.source""",
     "mm_wav_pcm" ->
       """WITH a AS (SELECT doc_id, source, CAST((doc_id % 50) + 10 AS BIGINT) AS n

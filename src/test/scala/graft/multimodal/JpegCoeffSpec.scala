@@ -1,0 +1,109 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import graft.multimodal.MediaPipeline._
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Pins for the JPEG entropy-layer gate: the oracle proves the staged
+  * corpus round-trip; these prove each decode decision (Huffman tables,
+  * DC prediction, ZRL/EOB expansion, EXTEND, stuffing, profile checks)
+  * is load-bearing and that malformed bytes abort instead of decoding
+  * garbage. */
+class JpegCoeffSpec extends SparkSpec {
+
+  private def expected(id: Long): DecodedCoeffs = {
+    val w = jpegPxWidth(id); val h = jpegPxHeight(id)
+    val nb = (w / 8) * (h / 8)
+    var dcSum = 0L; var acAbs = 0L; var nz = 0L; var m = 0L
+    for (b <- 0 until nb) {
+      val dcd = jpegDcq(id, b).toLong * jpegQuant(id, 0)
+      dcSum += dcd; m += b.toLong * 64 * dcd
+      for (u <- 1 until 64) {
+        val v = jpegAcq(id, b, u)
+        if (v != 0) {
+          val d = v.toLong * jpegQuant(id, u)
+          acAbs += math.abs(d); nz += 1; m += (b.toLong * 64 + u) * d
+        }
+      }
+    }
+    DecodedCoeffs(w, h, nb, dcSum, acAbs, nz, m)
+  }
+
+  test("pixelJpeg round-trips through decodeJpegCoeffs to the closed-form model") {
+    for (id <- 0L to 120L by 3)
+      assert(decodeJpegCoeffs(pixelJpeg(id)).contains(expected(id)), s"id=$id")
+  }
+
+  test("the sweep provably exercises ZRL runs, EOBs and byte stuffing") {
+    // ZRL: some block must carry a zero-run longer than 15 between coded
+    // coefficients (the stride-23 AC lattice guarantees gaps of 22).
+    val zrl = (0L to 120L by 3).exists { id =>
+      (0 until (jpegPxWidth(id) / 8) * (jpegPxHeight(id) / 8)).exists { b =>
+        val nzU = (1 until 64).filter(u => jpegAcq(id, b, u) != 0)
+        nzU.nonEmpty && (nzU.head > 16 ||
+          nzU.sliding(2).exists { case Seq(a, c) => c - a > 16; case _ => false })
+      }
+    }
+    assert(zrl, "model never produced a >15 zero-run — ZRL path untested")
+    // EOB: some block must end with trailing zeros after its last nonzero.
+    assert((0L to 120L by 3).exists { id =>
+      (1 until 64).exists(u => jpegAcq(id, 0, u) != 0) &&
+        jpegAcq(id, 0, 63) == 0
+    })
+    // Stuffing: some staged scan must contain a 0xFF data byte (written
+    // as FF 00) — find FF 00 strictly between SOS payload and EOI.
+    val stuffed = (0L to 300L by 3).exists { id =>
+      val bytes = pixelJpeg(id)
+      (0 until bytes.length - 1).exists(i =>
+        (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0x00)
+    }
+    assert(stuffed, "no staged scan contained a stuffed 0xFF — stuffing untested")
+  }
+
+  test("profile violations and damage abort to None, never garbage") {
+    val good = pixelJpeg(6L)
+    assert(decodeJpegCoeffs(good).isDefined)
+    // Truncate mid-scan.
+    assert(decodeJpegCoeffs(good.dropRight(8)).isEmpty)
+    // Progressive SOF marker (0xC2) is out of profile.
+    val prog = good.clone()
+    val sofAt = (0 until good.length - 1).indexWhere(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0)
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(decodeJpegCoeffs(prog).isEmpty)
+    // A flipped bit inside the scan either fails a Huffman/run check or
+    // decodes to DIFFERENT coefficients — never silently equal.
+    val sosAt = (0 until good.length - 1).indexWhere(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xda)
+    val flip = good.clone()
+    flip(sosAt + 10) = (flip(sosAt + 10) ^ 0x40).toByte
+    assert(!decodeJpegCoeffs(flip).contains(expected(6L)))
+    // Bare text never reaches the marker walk.
+    assert(decodeJpegCoeffs("doc 42".getBytes("US-ASCII")).isEmpty)
+  }
+}
+
+/** Totality fuzz: JPEG-magic-prefixed garbage and truncations never
+  * throw. */
+object JpegCoeffProps extends Properties("jpegCoeffs") {
+  import MediaPipeline._
+
+  private val rawBytes: Gen[Array[Byte]] =
+    Gen.listOf(Gen.chooseNum(0, 255).map(_.toByte)).map(_.toArray)
+  private val fuzz: Gen[Array[Byte]] = Gen.oneOf(
+    rawBytes,
+    rawBytes.map(b => Array(0xff.toByte, 0xd8.toByte) ++ b),
+    Gen.chooseNum(0L, 5000L).flatMap(id => Gen.chooseNum(0, 60).map(k =>
+      pixelJpeg(id * 3).dropRight(k))))
+
+  property("decodeJpegCoeffs is total on arbitrary magic-prefixed bytes") =
+    Prop.forAll(fuzz) { bytes => decodeJpegCoeffs(bytes); true }
+
+  property("coefficient round-trip holds for arbitrary staged ids") =
+    Prop.forAll(Gen.chooseNum(0L, 1000000L)) { raw =>
+      val id = raw * 3 // staged residue class
+      decodeJpegCoeffs(pixelJpeg(id)).exists(c =>
+        c.width == jpegPxWidth(id) && c.height == jpegPxHeight(id) &&
+          c.nBlocks == (jpegPxWidth(id) / 8) * (jpegPxHeight(id) / 8))
+    }
+}
