@@ -1787,9 +1787,14 @@ object MediaPipeline {
   // DuckDB oracle recomputes the model — the PNG/GIF gate design,
   // applied one layer below pixels.
 
-  /** Staged JPEG dims — whole 8×8 blocks only (1..4 × 1..3 blocks). */
+  /** Staged JPEG dims — whole 8×8 blocks only (1..4 × 1..3 blocks).
+    * Height keys on id/3: staged ids are the %3==0 residue class, so
+    * ANY multiplicative term collapses mod 3 — the original ×3 form was
+    * identically zero and pinned every staged image to one block row
+    * (review finding — a shared-constant blind spot the oracle
+    * replicated; the spec now pins all three heights appearing). */
   def jpegPxWidth(id: Long): Int = (8 * (1 + id % 4)).toInt
-  def jpegPxHeight(id: Long): Int = (8 * (1 + (id * 3) % 3)).toInt
+  def jpegPxHeight(id: Long): Int = (8 * (1 + (id / 3) % 3)).toInt
 
   /** Quantization table entry for ZIGZAG index k (DQT stores zigzag
     * order, and the audit lives in zigzag-index space — no de-zigzag
@@ -1859,11 +1864,14 @@ object MediaPipeline {
         code <<= 1; len += 1
       }
     }
-    /** Next symbol, or -1 on an invalid code / exhausted stream. */
-    def decode(read1: () => Int): Int = {
+    /** Next symbol, or -1 on an invalid code / exhausted stream. Takes
+      * the reader directly (not a lambda) — this runs once per Huffman
+      * symbol in a corpus-wide mapPartitions pass, and a per-symbol
+      * closure allocation would be pure overhead. */
+    def decode(br: JpegBitReader): Int = {
       var code = 0; var len = 0
       while (len < 16) {
-        val b = read1(); if (b < 0) return -1
+        val b = br.read1(); if (b < 0) return -1
         code = (code << 1) | b; len += 1
         if (maxCode(len) >= 0 && code <= maxCode(len) && code >= minCode(len))
           return vals(valPtr(len) + code - minCode(len))
@@ -2044,6 +2052,10 @@ object MediaPipeline {
         case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 =>
           return None // progressive/extended: out of profile
         case 0xda =>
+          // One component ⇒ Ls = 6 + 2·Ns = 8 exactly; anything else is
+          // out of profile AND would read past the segment (the review's
+          // totality hole: a truncated SOS crashed instead of None-ing).
+          if (segLen != 8) return None
           if ((media(p0) & 0xff) != 1) return None
           if ((media(p0 + 2) & 0xff) != 0x00) return None // DC0/AC0
           if ((media(p0 + 3) & 0xff) != 0 || (media(p0 + 4) & 0xff) != 63 ||
@@ -2073,7 +2085,7 @@ object MediaPipeline {
     var pred = 0
     var b = 0
     while (b < nBlocks) {
-      val dcat = dcDec.decode(() => br.read1())
+      val dcat = dcDec.decode(br)
       if (dcat < 0 || dcat > 11) return None
       val diff = readAmp(dcat); if (diff == Int.MinValue) return None
       pred += diff
@@ -2082,7 +2094,7 @@ object MediaPipeline {
       var u = 1
       var eob = false
       while (u < 64 && !eob) {
-        val sym = acDec.decode(() => br.read1())
+        val sym = acDec.decode(br)
         if (sym < 0) return None
         if (sym == 0x00) eob = true // EOB: rest of the block is zero
         else if (sym == 0xf0) u += 16 // ZRL

@@ -734,7 +734,7 @@ object MultimodalQueries extends QueryPack {
     "mm_jpeg_coeffs" ->
       """WITH img AS (SELECT doc_id, source,
                              CAST(8 * (1 + (doc_id % 4)) AS BIGINT) AS w,
-                             CAST(8 * (1 + ((doc_id * 3) % 3)) AS BIGINT) AS h
+                             CAST(8 * (1 + ((doc_id // 3) % 3)) AS BIGINT) AS h
                       FROM documents WHERE doc_id % 3 = 0),
             blk AS (SELECT i.doc_id, i.source, i.w, i.h, bs.b
                     FROM img i,

@@ -60,6 +60,37 @@ class JpegCoeffSpec extends SparkSpec {
     assert(stuffed, "no staged scan contained a stuffed 0xFF — stuffing untested")
   }
 
+  test("the sweep stages multi-row images (review regression: dead height term)") {
+    // (id*3)%3 was identically zero, silently pinning every staged image
+    // to ONE block row on BOTH engines (a shared-constant blind spot no
+    // oracle can catch). The ×5 model must produce all three heights.
+    val heights = (0L to 120L by 3).map(jpegPxHeight).toSet
+    assert(heights == Set(8, 16, 24), s"heights staged: $heights")
+    // And DC prediction must actually cross block-row boundaries: some
+    // staged image needs > 4 blocks.
+    assert((0L to 120L by 3).exists(id =>
+      (jpegPxWidth(id) / 8) * (jpegPxHeight(id) / 8) > 4))
+  }
+
+  test("a truncated SOS segment returns None, never throws (review regression)") {
+    // SOI + SOS with declared length 2 ending exactly at the buffer: the
+    // SOS branch used to read past the segment and crash with
+    // ArrayIndexOutOfBoundsException inside the Spark task.
+    assert(decodeJpegCoeffs(Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x02)
+      .map(_.toByte)).isEmpty)
+    // Declared length 5 with a short payload at the buffer end.
+    assert(decodeJpegCoeffs(Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x05, 0x01, 0x00, 0x00)
+      .map(_.toByte)).isEmpty)
+    // And a non-8 SOS length inside a valid file is rejected as out of
+    // profile rather than validated against scan bytes.
+    val good = pixelJpeg(6L)
+    val sosAt = (0 until good.length - 1).indexWhere(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xda)
+    val shortSos = good.clone()
+    shortSos(sosAt + 3) = 0x07.toByte // declared SOS length 8 → 7
+    assert(decodeJpegCoeffs(shortSos).isEmpty)
+  }
+
   test("profile violations and damage abort to None, never garbage") {
     val good = pixelJpeg(6L)
     assert(decodeJpegCoeffs(good).isDefined)
