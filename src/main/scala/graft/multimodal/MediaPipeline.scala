@@ -1773,6 +1773,242 @@ object MediaPipeline {
       .toDF()
   }
 
+  // ------------------------------------ MP4 sample-table (demux) decode
+  //
+  // The honest MP4 gate below the metadata walk: actual CODEC payloads
+  // stay stubbed (not bit-deterministic to decode), but the DEMUX layer
+  // — the trak/mdia/minf/stbl sample tables that say where every sample
+  // lives and how long it lasts — is pure big-endian integers (ISO
+  // 14496-12 §8.5-8.7). Staged files carry a REAL box tree with stts /
+  // stsz / stco tables from a closed-form model; the decoder walks the
+  // tree and re-reads the tables while the oracle recomputes the model.
+
+  def mp4SampleCount(id: Long): Int = (5 + (id % 7) * 3).toInt // 5..23
+  def mp4SampleSize(id: Long, i: Int): Int = (100 + (id * 13 + i * 31) % 900).toInt
+  /** stts first-run length ∈ [1, n-1] — two runs, so a decoder summing
+    * only the first entry fails the duration audit. */
+  def mp4SttsSplit(id: Long): Int = (1 + id % (mp4SampleCount(id) - 1)).toInt
+  def mp4Delta1(id: Long): Int = (512 + id % 100).toInt
+  def mp4Delta2(id: Long): Int = (1024 + id % 200).toInt
+  def mp4ChunkCount(id: Long): Int = (1 + id % 3).toInt
+  def mp4ChunkOff(id: Long, j: Int): Long = 4096L + j * (65536L + id % 50000)
+  def mp4MediaTimescale(id: Long): Int = (12288 + id % 1000).toInt
+
+  private def mp4Box(tag: String, payload: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+    b.putInt(8 + payload.length)
+      .put(tag.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .put(payload)
+    b.array()
+  }
+
+  /** A COMPLETE MP4 with a REAL sample-table tree for doc `id`:
+    * ftyp → moov(mvhd v0, trak(tkhd, mdia(mdhd v0, hdlr, minf(stbl(stsd,
+    * stts, stsz, stco))))) → mdat. tkhd/hdlr/stsd are skip-boxes the
+    * walk must pass by size; the three tables carry the closed-form
+    * model. */
+  def sampleMp4(id: Long): Array[Byte] = {
+    val be = java.nio.ByteOrder.BIG_ENDIAN
+    def buf(n: Int) = java.nio.ByteBuffer.allocate(n).order(be)
+    val n = mp4SampleCount(id)
+    val a = mp4SttsSplit(id)
+    val c = mp4ChunkCount(id)
+    val stts = {
+      val b = buf(8 + 16)
+      b.putInt(0).putInt(2) // v0 flags0, two entries
+        .putInt(a).putInt(mp4Delta1(id))
+        .putInt(n - a).putInt(mp4Delta2(id))
+      mp4Box("stts", b.array())
+    }
+    val stsz = {
+      val b = buf(12 + 4 * n)
+      b.putInt(0).putInt(0).putInt(n) // v0, sample_size=0 → per-sample table
+      (0 until n).foreach(i => b.putInt(mp4SampleSize(id, i)))
+      mp4Box("stsz", b.array())
+    }
+    val stco = {
+      val b = buf(8 + 4 * c)
+      b.putInt(0).putInt(c)
+      (0 until c).foreach(j => b.putInt(mp4ChunkOff(id, j).toInt))
+      mp4Box("stco", b.array())
+    }
+    val stsd = mp4Box("stsd", buf(8).putInt(0).putInt(0).array()) // 0 entries
+    val stbl = mp4Box("stbl", stsd ++ stts ++ stsz ++ stco)
+    val minf = mp4Box("minf", stbl)
+    val mdhd = {
+      val b = buf(24)
+      b.putInt(0).putInt(0).putInt(0) // v0 flags0, creation, modification
+        .putInt(mp4MediaTimescale(id))
+        .putInt((a.toLong * mp4Delta1(id) + (n - a).toLong * mp4Delta2(id)).toInt)
+        .putShort(0x55c4.toShort).putShort(0) // language "und", pre_defined
+      mp4Box("mdhd", b.array())
+    }
+    val hdlr = {
+      val b = buf(25)
+      b.putInt(0).putInt(0)
+        .put("vide".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        .putInt(0).putInt(0).putInt(0).put(0.toByte) // reserved + empty name
+      mp4Box("hdlr", b.array())
+    }
+    val tkhd = mp4Box("tkhd", new Array[Byte](84)) // v0 all-zero: skip box
+    val mdia = mp4Box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = mp4Box("trak", tkhd ++ mdia)
+    val mvhd = {
+      val b = buf(100)
+      b.putInt(0).putInt(0).putInt(0) // v0 flags0, creation, modification
+        .putInt(600).putInt(600)      // movie timescale / duration
+        .putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+        .putInt(0).putInt(0)
+        .putInt(0x00010000).putInt(0).putInt(0)
+        .putInt(0).putInt(0x00010000).putInt(0)
+        .putInt(0).putInt(0).putInt(0x40000000)
+        .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+        .putInt(2)
+      mp4Box("mvhd", b.array())
+    }
+    val moov = mp4Box("moov", mvhd ++ trak)
+    val ftyp = {
+      val b = buf(12)
+      b.put("isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        .putInt(0)
+        .put("mp41".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      mp4Box("ftyp", b.array())
+    }
+    val mdat = mp4Box("mdat", Array[Byte](0, 0, 0, 0))
+    ftyp ++ moov ++ mdat
+  }
+
+  /** First `name` box inside [from, to): payload bounds, honoring the
+    * u64 largesize form. None on any malformed size. */
+  private def mp4FindBox(media: Array[Byte], name: String,
+                         from: Int, to: Int): Option[(Int, Int)] = {
+    def u32(off: Int): Long =
+      ((media(off) & 0xffL) << 24) | ((media(off + 1) & 0xffL) << 16) |
+        ((media(off + 2) & 0xffL) << 8) | (media(off + 3) & 0xffL)
+    var off = from
+    while (off + 8 <= to) {
+      val sz32 = u32(off)
+      val (hdr, size): (Int, Long) =
+        if (sz32 == 1L) {
+          if (off + 16 > to) return None
+          (16, (u32(off + 8) << 32) | u32(off + 12))
+        } else (8, sz32)
+      if (size < hdr || size > (to - off).toLong) return None
+      if (new String(media, off + 4, 4,
+          java.nio.charset.StandardCharsets.US_ASCII) == name)
+        return Some((off + hdr, off + size.toInt))
+      off += size.toInt
+    }
+    None
+  }
+
+  /** Per-track demux statistics the sample-table decode emits. */
+  final case class DecodedMp4Samples(nSamples: Int, totalBytes: Long,
+                                     maxSize: Int, durUnits: Long,
+                                     timescale: Int, nChunks: Int,
+                                     chunkOffSum: Long, sizeMoment: Long)
+
+  /** REAL sample-table decode: the ftyp→moov→trak→mdia→(mdhd, minf→stbl)
+    * walk, then the stts/stsz/stco tables — FullBox v0, strict bounds,
+    * and the SPEC's cross-table consistency rule enforced: Σ stts
+    * sample_counts must equal the stsz sample count (§8.6.1.2), so a
+    * decoder reading either table wrong cannot validate. */
+  def decodeMp4Samples(media: Array[Byte]): Option[DecodedMp4Samples] = {
+    def u32(off: Int): Long =
+      ((media(off) & 0xffL) << 24) | ((media(off + 1) & 0xffL) << 16) |
+        ((media(off + 2) & 0xffL) << 8) | (media(off + 3) & 0xffL)
+    if (media.length < 16 || u32(0) < 16 || u32(0) > media.length ||
+        new String(media, 4, 4, java.nio.charset.StandardCharsets.US_ASCII) != "ftyp")
+      return None
+    for {
+      (ms, me) <- mp4FindBox(media, "moov", u32(0).toInt, media.length)
+      (ts, te) <- mp4FindBox(media, "trak", ms, me)
+      (ds, de) <- mp4FindBox(media, "mdia", ts, te)
+      (hs, he) <- mp4FindBox(media, "mdhd", ds, de)
+      if he - hs == 24 && u32(hs) == 0L // v0, flags 0
+      timescale = u32(hs + 12)
+      if timescale > 0 && timescale <= Int.MaxValue
+      (ns, ne) <- mp4FindBox(media, "minf", ds, de)
+      (bs, be) <- mp4FindBox(media, "stbl", ns, ne)
+      (zs, ze) <- mp4FindBox(media, "stsz", bs, be)
+      if ze - zs >= 12 && u32(zs) == 0L && u32(zs + 4) == 0L // per-sample sizes
+      nSamples = u32(zs + 8)
+      if nSamples > 0 && nSamples <= 65536 && ze - zs == 12 + 4 * nSamples
+      (ss, se) <- mp4FindBox(media, "stts", bs, be)
+      if se - ss >= 8 && u32(ss) == 0L
+      nRuns = u32(ss + 4)
+      if nRuns > 0 && se - ss == 8 + 8 * nRuns
+      (cs, ce) <- mp4FindBox(media, "stco", bs, be)
+      if ce - cs >= 8 && u32(cs) == 0L
+      nChunks = u32(cs + 4)
+      if nChunks > 0 && ce - cs == 8 + 4 * nChunks
+      stats <- {
+        var total = 0L; var maxSz = 0L; var moment = 0L
+        var i = 0
+        while (i < nSamples.toInt) {
+          val sz = u32(zs + 12 + 4 * i)
+          total += sz; if (sz > maxSz) maxSz = sz
+          moment += i.toLong * sz
+          i += 1
+        }
+        var dur = 0L; var counted = 0L
+        var r = 0
+        while (r < nRuns.toInt) {
+          val cnt = u32(ss + 8 + 8 * r); val delta = u32(ss + 12 + 8 * r)
+          dur += cnt * delta; counted += cnt
+          r += 1
+        }
+        if (counted != nSamples || maxSz > Int.MaxValue)
+          None // §8.6.1.2 cross-table consistency / implausible size
+        else {
+          var offSum = 0L
+          var j = 0
+          while (j < nChunks.toInt) { offSum += u32(cs + 8 + 4 * j); j += 1 }
+          Some(DecodedMp4Samples(nSamples.toInt, total, maxSz.toInt, dur,
+            timescale.toInt, nChunks.toInt, offSum, moment))
+        }
+      }
+    } yield stats
+  }
+
+  /** MP4-sample-staged media table: every 3rd doc a COMPLETE sample-
+    * table MP4 ([[sampleMp4]]), the rest bare text. */
+  def mp4SampleTableStaged(s: SparkSession, dir: String): DataFrame =
+    mp4SampleMediaOf(s, graft.Tables.documents(s, dir).select(col("doc_id"), col("source")))
+
+  def mp4SampleMediaOf(s: SparkSession, ids: DataFrame): DataFrame = {
+    import s.implicits._
+    ids.as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        val media =
+          if (id % 3 == 0) sampleMp4(id)
+          else s"doc $id".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        MediaRow(id, src, media)
+      })
+      .toDF()
+  }
+
+  case class Mp4SampleStats(doc_id: Long, source: String, n_samples: Int,
+                            total_bytes: Long, max_size: Int, dur_units: Long,
+                            timescale: Int, n_chunks: Int, chunk_off_sum: Long,
+                            size_moment: Long)
+
+  /** MP4 sample-table decode pass: the decode is the filter. */
+  def decodedMp4Samples(s: SparkSession, dir: String): DataFrame =
+    decodedMp4SamplesOf(s, mp4SampleTableStaged(s, dir))
+
+  def decodedMp4SamplesOf(s: SparkSession, mediaDf: DataFrame): DataFrame = {
+    import s.implicits._
+    mediaDf.as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        decodeMp4Samples(r.media).map(m =>
+          Mp4SampleStats(r.doc_id, r.source, m.nSamples, m.totalBytes,
+            m.maxSize, m.durUnits, m.timescale, m.nChunks, m.chunkOffSum,
+            m.sizeMoment))
+      })
+      .toDF()
+  }
+
   // --------------------------------- JPEG entropy (coefficient) decode
   //
   // The honest JPEG gate (NOTES.md "Why JPEG pixel decode stays out"):

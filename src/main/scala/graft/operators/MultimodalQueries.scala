@@ -306,6 +306,29 @@ object MultimodalQueries extends QueryPack {
           sum("tl_luma").as("tl_luma_total"))
         .orderBy("source")),
 
+    // The honest MP4 gate below the metadata walk: codec payloads stay
+    // stubbed (their decode is not bit-deterministic), but the DEMUX
+    // layer — the stts/stsz/stco sample tables that place and time every
+    // sample — is pure big-endian integers. Staged files carry a real
+    // ftyp→moov→trak→mdia→minf→stbl tree (tkhd/hdlr/stsd as skip boxes)
+    // with tables from a closed-form model; the decoder re-reads them
+    // and enforces the spec's cross-table consistency (Σ stts counts ==
+    // stsz count); the i·size moment pins the per-sample order.
+    "mm_mp4_samples" -> ((s, d) =>
+      MediaPipeline.decodedMp4Samples(s, d)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_video"),
+          sum(col("n_samples").cast("long")).as("samples_total"),
+          sum("total_bytes").as("bytes_total"),
+          max("max_size").as("max_sample"),
+          sum("dur_units").as("dur_units_total"),
+          sum(col("timescale").cast("long")).as("ts_sum"),
+          sum(col("n_chunks").cast("long")).as("chunks_total"),
+          sum("chunk_off_sum").as("chunk_off_total"),
+          sum("size_moment").as("moment_total"))
+        .orderBy("source")),
+
     // The honest JPEG gate, one layer below pixels: the entropy layer —
     // Huffman scan decode with the Annex K.3 tables, DC prediction,
     // EOB/ZRL/(run,size) expansion, one's-complement EXTEND, and
@@ -726,6 +749,45 @@ object MultimodalQueries extends QueryPack {
                 CAST(SUM(p.r_moment) AS BIGINT) AS moment_total,
                 CAST(SUM(t.tl_luma) AS BIGINT) AS tl_luma_total
          FROM per_doc p JOIN tl t USING (doc_id)
+         GROUP BY p.source ORDER BY p.source""",
+    // The staged-MP4 sample-table model recomputed closed-form: n
+    // samples with sizes 100 + (id·13 + i·31) mod 900, a two-run stts
+    // (split a = 1 + id mod (n−1)), 1..3 chunk offsets, media timescale
+    // 12288 + id mod 1000.
+    "mm_mp4_samples" ->
+      """WITH v AS (SELECT doc_id, source,
+                           CAST(5 + (doc_id % 7) * 3 AS BIGINT) AS n,
+                           CAST(1 + (doc_id % 3) AS BIGINT) AS c,
+                           CAST(12288 + doc_id % 1000 AS BIGINT) AS ts
+                    FROM documents WHERE doc_id % 3 = 0),
+            sp AS (SELECT doc_id, 1 + doc_id % (n - 1) AS a,
+                          512 + doc_id % 100 AS d1, 1024 + doc_id % 200 AS d2, n
+                   FROM v),
+            smp AS (SELECT k.doc_id, k.source, us.i,
+                           100 + (k.doc_id*13 + us.i*31) % 900 AS sz
+                    FROM v k, LATERAL (SELECT unnest(range(k.n)) AS i) us),
+            chk AS (SELECT k.doc_id, js.j,
+                           4096 + js.j * (65536 + k.doc_id % 50000) AS off
+                    FROM v k, LATERAL (SELECT unnest(range(k.c)) AS j) js),
+            per AS (SELECT s.doc_id, s.source, COUNT(*) AS n_samples,
+                           SUM(s.sz) AS bytes, MAX(s.sz) AS mx,
+                           SUM(s.i * s.sz) AS mom
+                    FROM smp s GROUP BY s.doc_id, s.source),
+            perc AS (SELECT doc_id, COUNT(*) AS n_chunks, SUM(off) AS off_sum
+                     FROM chk GROUP BY doc_id)
+         SELECT p.source, CAST(COUNT(*) AS BIGINT) AS n_video,
+                CAST(SUM(p.n_samples) AS BIGINT) AS samples_total,
+                CAST(SUM(p.bytes) AS BIGINT) AS bytes_total,
+                CAST(MAX(p.mx) AS INT) AS max_sample,
+                CAST(SUM(sp.a * sp.d1 + (sp.n - sp.a) * sp.d2) AS BIGINT) AS dur_units_total,
+                CAST(SUM(v.ts) AS BIGINT) AS ts_sum,
+                CAST(SUM(pc.n_chunks) AS BIGINT) AS chunks_total,
+                CAST(SUM(pc.off_sum) AS BIGINT) AS chunk_off_total,
+                CAST(SUM(p.mom) AS BIGINT) AS moment_total
+         FROM per p
+         JOIN sp USING (doc_id)
+         JOIN v USING (doc_id)
+         JOIN perc pc USING (doc_id)
          GROUP BY p.source ORDER BY p.source""",
     // The staged-JPEG coefficient model recomputed closed-form: per
     // block b, DC = ((id·31 + b·17) mod 128 − 64) dequantized by q(0);
