@@ -463,21 +463,11 @@ object MediaPipeline {
     def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
     def tag(off: Int): String =
       new String(media, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-    // First box of the first `name` box in [from, to): payload bounds
-    // (after the size+type header), or None on any malformed size.
-    def findBox(name: String, from: Int, to: Int): Option[(Int, Int)] = {
-      var off = from
-      while (off + 8 <= to) {
-        val sz32 = u32(off)
-        val (hdr, size): (Int, Long) =
-          if (sz32 == 1L) { if (off + 16 > to) return None; (16, u64(off + 8)) }
-          else (8, sz32)
-        if (size < hdr || size > (to - off).toLong) return None
-        if (tag(off + 4) == name) return Some((off + hdr, off + size.toInt))
-        off += size.toInt
-      }
-      None
-    }
+    // Box walking is shared with the sample-table decoder — ONE
+    // implementation of the size/largesize discipline (review finding:
+    // a nested near-copy lived here before).
+    def findBox(name: String, from: Int, to: Int): Option[(Int, Int)] =
+      mp4FindBox(media, name, from, to)
     if (media.length < 16 || u32(0) < 16 || u32(0) > media.length ||
         tag(4) != "ftyp") None
     else {
@@ -1790,7 +1780,12 @@ object MediaPipeline {
   def mp4SttsSplit(id: Long): Int = (1 + id % (mp4SampleCount(id) - 1)).toInt
   def mp4Delta1(id: Long): Int = (512 + id % 100).toInt
   def mp4Delta2(id: Long): Int = (1024 + id % 200).toInt
-  def mp4ChunkCount(id: Long): Int = (1 + id % 3).toInt
+  /** Chunk count keys on id/3: staged ids are the %3==0 residue class,
+    * where `1 + id % 3` was identically 1 — the stco dimension was
+    * degenerate and its multi-entry path dead (review finding, the same
+    * aliasing class as the JPEG height term; the spec now pins all
+    * three chunk counts appearing). */
+  def mp4ChunkCount(id: Long): Int = (1 + (id / 3) % 3).toInt
   def mp4ChunkOff(id: Long, j: Int): Long = 4096L + j * (65536L + id % 50000)
   def mp4MediaTimescale(id: Long): Int = (12288 + id % 1000).toInt
 

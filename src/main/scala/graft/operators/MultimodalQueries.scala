@@ -757,7 +757,7 @@ object MultimodalQueries extends QueryPack {
     "mm_mp4_samples" ->
       """WITH v AS (SELECT doc_id, source,
                            CAST(5 + (doc_id % 7) * 3 AS BIGINT) AS n,
-                           CAST(1 + (doc_id % 3) AS BIGINT) AS c,
+                           CAST(1 + ((doc_id // 3) % 3) AS BIGINT) AS c,
                            CAST(12288 + doc_id % 1000 AS BIGINT) AS ts
                     FROM documents WHERE doc_id % 3 = 0),
             sp AS (SELECT doc_id, 1 + doc_id % (n - 1) AS a,

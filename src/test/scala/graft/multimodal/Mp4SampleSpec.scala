@@ -24,6 +24,17 @@ class Mp4SampleSpec extends SparkSpec {
       assert(decodeMp4Samples(sampleMp4(id)).contains(expected(id)), s"id=$id")
   }
 
+  test("the sweep stages multi-chunk stco tables (review regression: aliasing)") {
+    // 1 + id % 3 was identically 1 on the %3==0 staged class — the stco
+    // dimension was degenerate and a decoder hardcoding one chunk would
+    // have passed the oracle. The /3-keyed model must hit all three.
+    val counts = (0L to 120L by 3).map(mp4ChunkCount).toSet
+    assert(counts == Set(1, 2, 3), s"chunk counts staged: $counts")
+    // And the second chunk's offset term must be id-dependent somewhere.
+    assert((0L to 120L by 3).filter(mp4ChunkCount(_) >= 2)
+      .map(id => mp4ChunkOff(id, 1)).toSet.size > 1)
+  }
+
   test("the cross-table consistency rule is load-bearing") {
     // Inflate the first stts run count by one: Σ stts counts no longer
     // equals the stsz count — the spec's §8.6.1.2 rule must reject.
