@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.expressions.{BloomContains, BloomMergeAgg, BloomSketchAgg, DotProduct, MinHashSketch}
+import graft.functions.expressions.{BloomContains, BloomMergeAgg, BloomSketchAgg, DotProduct, MinHashSketch, RobustStatsAgg}
 
 /** SparkSessionExtensions entry point — enable with
   * `spark.sql.extensions=graft.GraftExtensions` to make graft's native
@@ -34,5 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_bloom_merge"),
       new ExpressionInfo(classOf[BloomMergeAgg].getName, "graft_bloom_merge"),
       graft.functions.expressions.GraftFunctions.bloomMergeBuilder))
+    // Round 14: one-pass median/MAD/outlier audit (see RobustStatsAgg).
+    ext.injectFunction((
+      FunctionIdentifier("graft_robust_stats"),
+      new ExpressionInfo(classOf[RobustStatsAgg].getName, "graft_robust_stats"),
+      graft.functions.expressions.GraftFunctions.robustStatsBuilder))
   }
 }

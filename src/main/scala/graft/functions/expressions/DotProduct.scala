@@ -110,6 +110,7 @@ object GraftFunctions {
   private val bloomAggInfo = new ExpressionInfo(classOf[BloomSketchAgg].getName, "graft_bloom_agg")
   private val bloomProbeInfo = new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains")
   private val bloomMergeInfo = new ExpressionInfo(classOf[BloomMergeAgg].getName, "graft_bloom_merge")
+  private val robustStatsInfo = new ExpressionInfo(classOf[RobustStatsAgg].getName, "graft_robust_stats")
 
   /** Idempotently registers graft's native expressions in the session's
     * function registry. (Also injectable globally via
@@ -125,6 +126,8 @@ object GraftFunctions {
       FunctionIdentifier("graft_bloom_contains"), bloomProbeInfo, bloomProbeBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_bloom_merge"), bloomMergeInfo, bloomMergeBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_robust_stats"), robustStatsInfo, robustStatsBuilder)
   }
 
   /** Strict arity — `children.head, children(1)` would throw a raw
@@ -168,6 +171,12 @@ object GraftFunctions {
     case Seq(child) => new BloomMergeAgg(child)
     case other => throw new IllegalArgumentException(
       s"graft_bloom_merge expects exactly 1 argument, got ${other.size}")
+  }
+
+  private[graft] val robustStatsBuilder: Seq[Expression] => Expression = {
+    case Seq(child) => new RobustStatsAgg(child)
+    case other => throw new IllegalArgumentException(
+      s"graft_robust_stats expects exactly 1 argument, got ${other.size}")
   }
 
   /** Grouped MinHash signature (array<long> of 32 component minima). */

@@ -238,31 +238,35 @@ object PipelineQueries extends QueryPack {
     // Robust outlier audit — the DQ pass that flags anomalous numeric
     // rows without letting the anomalies poison the threshold (mean/
     // stddev shift under the very outliers they hunt; median/MAD do
-    // not). Two grouped exact percentiles over integer cents: med =
-    // p50(cents), MAD = p50(|cents − med|), outlier ⇔ |x − med| > 3·MAD.
-    // Exact-integer inputs keep both engines' interpolated medians
-    // bit-equal (values end in .0/.5). Shape at 100 TB: two passes with
-    // a broadcast per-group threshold table between them — the
-    // textbook two-pass robust scan; the exact grouped percentile sorts
-    // within 3 groups (at larger group counts swap in approx_percentile
-    // and gate with a bounded-error boolean, the q_hll pattern).
+    // not). med = p50(cents), MAD = p50(|cents − med|), outlier ⇔
+    // |x − med| > 3·MAD. Exact-integer inputs keep both engines'
+    // interpolated medians bit-equal (values end in .0/.5).
+    //
+    // Shape at 100 TB — ONE native aggregation (RobustStatsAgg, a
+    // TypedImperativeAggregate): the buffer is the group's value→count
+    // DOMAIN map, so the partial agg IS the map-side reduction to the
+    // value domain (what an explicit (flag, cents, n) pre-aggregate
+    // would ship, minus its extra shuffle), the merge is a count-map
+    // union, and med/MAD/outlier counts all come out of one finalize
+    // over the merged domain. Replaces the r13 three-pass plan (two
+    // grouped percentiles + two broadcast-joined re-scans of the
+    // table, the engine's heaviest batch query at 2.4 s warm) with a
+    // single stage: raw scan → domain-map partial agg → 3-buffer merge
+    // → finalize. Memory per buffer = per-group value domain, bounded
+    // for integer cents at any row scale.
     "dq_outliers" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select(col("l_returnflag"),
-        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
-      val med = li.groupBy("l_returnflag")
-        .agg(expr("percentile(cents, 0.5)").as("med"))
-      val withMed = li.join(broadcast(med), Seq("l_returnflag"))
-        .withColumn("adev", abs(col("cents") - col("med")))
-      val mad = withMed.groupBy("l_returnflag")
-        .agg(expr("percentile(adev, 0.5)").as("mad"))
-      withMed.join(broadcast(mad), Seq("l_returnflag"))
+      graft.functions.expressions.GraftFunctions.ensureRegistered(s)
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
         .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n_rows"),
-          min("med").as("med_cents"),
-          min("mad").as("mad_cents"),
-          sum(when(col("adev") > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"),
-          coalesce(max(when(col("adev") > col("mad") * 3, col("cents"))), lit(-1L))
-            .as("max_out_cents"))
+        .agg(expr("graft_robust_stats(cents)").as("rs"))
+        .select(col("l_returnflag"),
+          col("rs.n_rows").as("n_rows"),
+          col("rs.med").as("med_cents"),
+          col("rs.mad").as("mad_cents"),
+          col("rs.n_outliers").as("n_outliers"),
+          col("rs.max_out").as("max_out_cents"))
         .orderBy("l_returnflag")
     }),
 
