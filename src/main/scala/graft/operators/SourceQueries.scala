@@ -28,6 +28,8 @@ object SourceQueries extends QueryPack {
   private def jsonlGzStage(d: String) = Stage.dir(d, "jsonl_gz")
   private def jsonlBadStage(d: String) = Stage.dir(d, "jsonl_bad")
   private def pqZstdStage(d: String) = Stage.dir(d, "parquet_zstd")
+  private def orcStage(d: String) = Stage.dir(d, "orc")
+  private def orcHiveStage(d: String) = Stage.dir(d, "orc_hive")
   private def pqHiveStage(d: String) = Stage.dir(d, "parquet_hive")
   private def pqEvoStage(d: String) = Stage.dir(d, "parquet_evo")
   private def warcStage(d: String) = Stage.dir(d, "warc")
@@ -186,6 +188,58 @@ object SourceQueries extends QueryPack {
           sum(col("n_chars").cast("long")).as("chars"),
           countDistinct(col("source")).as("n_sources"))
         .orderBy("lang")
+    }),
+
+    // ORC round-trip — the OTHER columnar lake format Spark ships with
+    // (zstd-compressed, same pushdown/pruning machinery as parquet;
+    // FileSourcesSpec pins the pushed filters and the reader-reported
+    // stripe/compression metadata). DuckDB has no ORC reader, so this
+    // gate uses the closed-form-model discipline instead of re-reading
+    // the bytes: Spark writes the staged ORC from documents, reads it
+    // back through the real DataSource scan path, and aggregates WITH a
+    // row-level order-independent checksum over every round-tripped
+    // column — the oracle recomputes the identical aggregate from the
+    // source parquet, so any row lost, duplicated, or value-corrupted in
+    // the ORC write→read chain breaks count or hash.
+    "orc_roundtrip" -> ((s, d) => {
+      val stage = orcStage(d)
+      Tables.documents(s, d)
+        .select("doc_id", "lang", "source", "n_chars")
+        .coalesce(1)
+        .write.mode("overwrite").option("compression", "zstd").orc(stage)
+      graft.sources.FileSources.orc(s, stage)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("chars"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(graft.functions.PortableHash.h60p(
+            concat(col("doc_id").cast("string"), lit("|"), col("source"),
+              lit("|"), col("n_chars").cast("string")))).as("checksum"))
+        .orderBy("lang")
+    }),
+
+    // Hive-partitioned ORC twin — directory-encoded partition column +
+    // partition pruning on the read-back (lang=en never scanned), the
+    // same layout contract parquet_hive_roundtrip pins for parquet.
+    // Same closed-form oracle discipline as orc_roundtrip: the checksum
+    // covers the directory-decoded lang via the group key and every
+    // data column via the hash.
+    "orc_hive_roundtrip" -> ((s, d) => {
+      val stage = orcHiveStage(d)
+      Tables.documents(s, d)
+        .select("doc_id", "lang", "source", "n_chars")
+        .repartition(col("lang"))
+        .write.mode("overwrite").partitionBy("lang").orc(stage)
+      graft.sources.FileSources.orc(s, stage)
+        .filter(col("lang") =!= "en") // directory-pruned, as in the parquet twin
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("chars"),
+          min("doc_id").as("first_doc"),
+          sum(graft.functions.PortableHash.h60p(
+            concat(col("doc_id").cast("string"), lit("|"),
+              col("n_chars").cast("string")))).as("checksum"))
+        .orderBy("lang", "source")
     }),
 
     // Hive-partitioned layout round-trip — THE physical layout that makes
@@ -395,6 +449,24 @@ object SourceQueries extends QueryPack {
                 CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
          FROM read_parquet('${pqZstdStage(dataDir)}/*.parquet')
          GROUP BY lang ORDER BY lang""",
+    // ORC oracles recompute from the SOURCE documents table (DuckDB has
+    // no ORC reader): same rows the staged ORC was written from, so the
+    // per-row checksum pins the write→read chain's content exactly.
+    "orc_roundtrip" ->
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS chars,
+                CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+                CAST(SUM(${graft.functions.PortableHash.h60pSql(
+                  "CAST(doc_id AS VARCHAR) || '|' || source || '|' || CAST(n_chars AS VARCHAR)")}) AS BIGINT) AS checksum
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "orc_hive_roundtrip" ->
+      s"""SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS chars,
+                CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+                CAST(SUM(${graft.functions.PortableHash.h60pSql(
+                  "CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR)")}) AS BIGINT) AS checksum
+         FROM documents WHERE lang <> 'en'
+         GROUP BY lang, source ORDER BY lang, source""",
     "parquet_hive_roundtrip" ->
       s"""SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
                 CAST(SUM(n_chars) AS BIGINT) AS chars,

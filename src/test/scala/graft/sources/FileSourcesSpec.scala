@@ -311,6 +311,32 @@ class FileSourcesSpec extends SparkSpec {
     assert(q.count() == rows.count(_._2 == 3))
   }
 
+  test("ORC zstd writes carry the requested codec and real stripes (reader metadata)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-orc-meta").toFile.getAbsolutePath + "/z"
+    (1 to 5000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").option("compression", "zstd").orc(tmp)
+    val orcFile = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.endsWith(".orc")).head
+    // Pin the physical file properties from orc-core's own reader — the
+    // codec actually written (a silently-ignored compression option
+    // would fall back to the session default) and a sane stripe layout.
+    val reader = org.apache.orc.OrcFile.createReader(
+      new org.apache.hadoop.fs.Path(orcFile.getAbsolutePath),
+      org.apache.orc.OrcFile.readerOptions(
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      assert(reader.getCompressionKind == org.apache.orc.CompressionKind.ZSTD,
+        s"expected ZSTD, wrote ${reader.getCompressionKind}")
+      assert(reader.getNumberOfRows == 5000L)
+      val stripes = reader.getStripes
+      assert(stripes.size() >= 1)
+      var rows = 0L
+      stripes.forEach(s => rows += s.getNumberOfRows)
+      assert(rows == 5000L, "stripe row counts must cover the file exactly")
+    } finally reader.close()
+  }
+
   test("writeOrc partitions by requested columns (partition-pruned reads)") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-orc-part").toFile.getAbsolutePath + "/out"
