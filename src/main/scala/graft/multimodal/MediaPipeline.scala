@@ -2027,6 +2027,20 @@ object MediaPipeline {
   def jpegPxWidth(id: Long): Int = (8 * (1 + id % 4)).toInt
   def jpegPxHeight(id: Long): Int = (8 * (1 + (id / 3) % 3)).toInt
 
+  /** Restart interval in MCUs for staged image id (0 = no DRI). Keyed on
+    * g = id/3 MOD 5 — coprime with BOTH the width period (4, via id%4)
+    * and the height period (3, via g%3), so over the staged corpus every
+    * (width, height, restart) combination appears and a decoder bug
+    * conditional on dimensions cannot hide behind a correlation (the
+    * r13 residue-aliasing lesson; a g%2 key would have tied presence to
+    * width exactly, since id%4 = 3g%4). Ri∈{1,2} among restart images:
+    * Ri=1 on a 12-block image produces 11 RSTm markers, wrapping the
+    * sequence number through all eight values. */
+  def jpegRestartInterval(id: Long): Int = {
+    val g = id / 3
+    if (g % 5 < 2) (1 + g % 5).toInt else 0
+  }
+
   /** Quantization table entry for ZIGZAG index k (DQT stores zigzag
     * order, and the audit lives in zigzag-index space — no de-zigzag
     * needed, which would only reshuffle the position weights). */
@@ -2150,6 +2164,25 @@ object MediaPipeline {
       n -= 1
       (acc >> n) & 1
     }
+    /** Discard to the next byte boundary; true iff every discarded bit
+      * was a 1 (T.81 F.1.2.3 pads restart-group tails with 1-bits —
+      * strict profile rejects anything else). A 0xFF byte already pulled
+      * into `acc` was data (stuffing consumed), so no rewind is needed. */
+    def alignToByte(): Boolean = {
+      val ok = n == 0 || (acc & ((1 << n) - 1)) == ((1 << n) - 1)
+      n = 0
+      ok
+    }
+    /** At a byte boundary, consume a 0xFF-prefixed marker and return its
+      * code, or -1 if the stream holds anything else. */
+    def consumeMarker(): Int = {
+      if (n != 0 || pos + 1 >= bytes.length) return -1
+      if ((bytes(pos) & 0xff) != 0xff) return -1
+      val m = bytes(pos + 1) & 0xff
+      if (m == 0x00) return -1 // stuffed data byte, not a marker
+      pos += 2
+      m
+    }
   }
 
   private def jpegCategory(v: Int): Int =
@@ -2157,10 +2190,12 @@ object MediaPipeline {
 
   /** A COMPLETE baseline JPEG for doc `id`: SOI, DQT (zigzag-ordered
     * [[jpegQuant]]), SOF0 (8-bit, ONE component, 1×1 sampling), the two
-    * Annex K.3 DHT tables, SOS, and a REAL entropy-coded scan of the
+    * Annex K.3 DHT tables, DRI on restart images
+    * ([[jpegRestartInterval]]), SOS, and a REAL entropy-coded scan of the
     * closed-form quantized coefficients — DC DIFF prediction across
-    * blocks, (run, size) AC coding with EOB and ZRL, amplitude bits in
-    * one's-complement form, byte stuffing — then EOI. */
+    * blocks (reset at each RSTm), (run, size) AC coding with EOB and
+    * ZRL, amplitude bits in one's-complement form, byte stuffing,
+    * 1-padded byte alignment before each restart marker — then EOI. */
   def pixelJpeg(id: Long): Array[Byte] = {
     val w = jpegPxWidth(id); val h = jpegPxHeight(id)
     val nBlocks = (w / 8) * (h / 8)
@@ -2176,14 +2211,26 @@ object MediaPipeline {
     seg(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 1, 1, 0x11, 0))
     seg(0xc4, 0x00 +: (JpegDcBits ++ JpegDcVals))
     seg(0xc4, 0x10 +: (JpegAcBits ++ JpegAcVals))
+    val ri = jpegRestartInterval(id)
+    if (ri > 0) seg(0xdd, Array(ri >> 8, ri & 0xff)) // DRI
     seg(0xda, Array(1, 1, 0x00, 0, 63, 0))
     val dcCode = jpegHuffCodes(JpegDcBits, JpegDcVals)
     val acCode = jpegHuffCodes(JpegAcBits, JpegAcVals)
     val bw = new JpegBitWriter(out)
     def amp(v: Int, cat: Int): Int = if (v >= 0) v else v + (1 << cat) - 1
     var pred = 0
+    var rstM = 0
     var b = 0
     while (b < nBlocks) {
+      // Between restart groups: pad the entropy tail with 1-bits to the
+      // byte boundary, emit RSTm with the cycling modulo-8 sequence
+      // number, and reset the DC predictor (T.81 E.1.4 / F.1.2.3).
+      if (ri > 0 && b > 0 && b % ri == 0) {
+        bw.flush()
+        out.write(0xff); out.write(0xd0 + rstM)
+        rstM = (rstM + 1) % 8
+        pred = 0
+      }
       val dc = jpegDcq(id, b)
       val diff = dc - pred; pred = dc
       val dcat = jpegCategory(diff)
@@ -2236,6 +2283,7 @@ object MediaPipeline {
     var dcDec: JpegHuffDecoder = null
     var acDec: JpegHuffDecoder = null
     var dims: (Int, Int) = null
+    var restartInterval = 0
     var scanAt = -1
     while (scanAt < 0) {
       if (off + 4 > media.length || (media(off) & 0xff) != 0xff) return None
@@ -2282,6 +2330,9 @@ object MediaPipeline {
           dims = (w, h)
         case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 =>
           return None // progressive/extended: out of profile
+        case 0xdd => // DRI: restart interval in MCUs (0 disables)
+          if (segLen != 4) return None
+          restartInterval = u16(p0)
         case 0xda =>
           // One component ⇒ Ls = 6 + 2·Ns = 8 exactly; anything else is
           // out of profile AND would read past the segment (the review's
@@ -2314,8 +2365,21 @@ object MediaPipeline {
     }
     var dcSum = 0L; var acAbs = 0L; var nz = 0L; var moment = 0L
     var pred = 0
+    var rstM = 0
     var b = 0
     while (b < nBlocks) {
+      // Restart-marker boundary (T.81 E.1.4): byte-align (discarded pad
+      // bits must be 1s), consume RSTm, check the modulo-8 sequence
+      // number STRICTLY (an out-of-order RST means lost restart groups),
+      // and reset the DC predictor — the whole point of restarts is that
+      // each group decodes independently of the previous one's DC chain.
+      if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
+        if (!br.alignToByte()) return None
+        val m = br.consumeMarker()
+        if (m != 0xd0 + rstM) return None
+        rstM = (rstM + 1) % 8
+        pred = 0
+      }
       val dcat = dcDec.decode(br)
       if (dcat < 0 || dcat > 11) return None
       val diff = readAmp(dcat); if (diff == Int.MinValue) return None
@@ -2328,7 +2392,13 @@ object MediaPipeline {
         val sym = acDec.decode(br)
         if (sym < 0) return None
         if (sym == 0x00) eob = true // EOB: rest of the block is zero
-        else if (sym == 0xf0) u += 16 // ZRL
+        else if (sym == 0xf0) {
+          // ZRL must be FOLLOWED by a nonzero coefficient (T.81 forbids
+          // ending a block on a bare ZRL — that's what EOB is for), so
+          // after the 16-zero run there must still be room at u ≤ 63.
+          u += 16
+          if (u > 63) return None
+        }
         else {
           val run = (sym >> 4) & 0x0f; val cat = sym & 0x0f
           if (cat == 0 || cat > 10) return None

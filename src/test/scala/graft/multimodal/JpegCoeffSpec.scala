@@ -112,6 +112,69 @@ class JpegCoeffSpec extends SparkSpec {
     // Bare text never reaches the marker walk.
     assert(decodeJpegCoeffs("doc 42".getBytes("US-ASCII")).isEmpty)
   }
+
+  test("the sweep stages both restart and non-restart images; DRI decodes to the model") {
+    val staged = (0L to 240L by 3).toSeq
+    val withRi = staged.filter(jpegRestartInterval(_) > 0)
+    val without = staged.filter(jpegRestartInterval(_) == 0)
+    assert(withRi.nonEmpty && without.nonEmpty,
+      "restart presence must vary across the staged corpus")
+    assert(withRi.map(jpegRestartInterval).toSet == Set(1, 2),
+      "both staged intervals must appear")
+    // Presence is independent of BOTH dimension keys (the residue-
+    // aliasing lesson): every height class AND every width class
+    // contains restart and plain images.
+    for (hClass <- 0 to 2) {
+      val inClass = staged.filter(id => (id / 3) % 3 == hClass)
+      assert(inClass.exists(jpegRestartInterval(_) > 0) &&
+        inClass.exists(jpegRestartInterval(_) == 0),
+        s"height class $hClass lacks restart variety")
+    }
+    for (wClass <- 0 to 3) {
+      val inClass = staged.filter(_ % 4 == wClass)
+      assert(inClass.exists(jpegRestartInterval(_) > 0) &&
+        inClass.exists(jpegRestartInterval(_) == 0),
+        s"width class $wClass lacks restart variety")
+    }
+    // Every restart image decodes bit-exactly to the closed-form model —
+    // i.e. the RST re-alignment and DC reset reconstruct the same
+    // coefficients the no-restart coding would carry.
+    for (id <- withRi)
+      assert(decodeJpegCoeffs(pixelJpeg(id)).contains(expected(id)), s"id=$id")
+    // Some Ri=1 image has >8 restart groups, wrapping the RSTm sequence
+    // number through all eight values.
+    assert(withRi.exists(id => jpegRestartInterval(id) == 1 &&
+      (jpegPxWidth(id) / 8) * (jpegPxHeight(id) / 8) > 9),
+      "no staged image wraps the RSTm counter past RST7")
+  }
+
+  test("restart markers are load-bearing: wrong sequence number or DC carry-over is fatal") {
+    // Pick a staged restart image.
+    val id = (0L to 240L by 3).find(i => jpegRestartInterval(i) == 1 &&
+      (jpegPxWidth(i) / 8) * (jpegPxHeight(i) / 8) >= 3).get
+    val good = pixelJpeg(id)
+    assert(decodeJpegCoeffs(good).contains(expected(id)))
+    val sosAt = (0 until good.length - 1).indexWhere(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xda)
+    def rstPositions(bytes: Array[Byte]): Seq[Int] =
+      (sosAt until bytes.length - 1).filter(i =>
+        (bytes(i) & 0xff) == 0xff &&
+          (bytes(i + 1) & 0xff) >= 0xd0 && (bytes(i + 1) & 0xff) <= 0xd7)
+    val rsts = rstPositions(good)
+    assert(rsts.size >= 2, "fixture must carry multiple RST markers")
+    // Swap the first marker's sequence number: strict decoder refuses.
+    val wrongSeq = good.clone()
+    wrongSeq(rsts.head + 1) = 0xd5.toByte // expected RST0
+    assert(decodeJpegCoeffs(wrongSeq).isEmpty)
+    // Strip the DRI segment but keep the RST markers: without a restart
+    // interval the reader hits a hard marker mid-scan and must abort —
+    // proving the DRI parse is what licenses marker consumption.
+    val driAt = (0 until good.length - 1).indexWhere(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xdd)
+    assert(driAt >= 0)
+    val noDri = good.take(driAt) ++ good.drop(driAt + 6) // FFDD len=4 payload=2
+    assert(decodeJpegCoeffs(noDri).isEmpty)
+  }
 }
 
 /** Totality fuzz: JPEG-magic-prefixed garbage and truncations never
