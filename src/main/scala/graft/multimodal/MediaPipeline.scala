@@ -1789,6 +1789,34 @@ object MediaPipeline {
   def mp4ChunkOff(id: Long, j: Int): Long = 4096L + j * (65536L + id % 50000)
   def mp4MediaTimescale(id: Long): Int = (12288 + id % 1000).toInt
 
+  /** Samples-per-chunk for chunk j (0-based): uniform q = n DIV (c+1)
+    * (≥1) for every chunk before the last, remainder in the last — so
+    * the stsc encodes in RUN form (one entry covering chunks 1..c−1,
+    * §8.7.4's first_chunk semantics actually exercised) and the sample→
+    * chunk map has the closed form min(i DIV q, c−1) the oracle
+    * recomputes. The last chunk's count always differs from q (for
+    * n ≥ 5, n − (c−1)q ≥ 2q > q), so samples-per-chunk VARIES within
+    * every multi-chunk file. */
+  def mp4Spc(id: Long, j: Int): Int = {
+    val n = mp4SampleCount(id); val c = mp4ChunkCount(id)
+    val q = math.max(1, n / (c + 1))
+    if (j < c - 1) q else n - (c - 1) * q
+  }
+
+  /** ctts staging: present on 3/5 of staged files, keyed on (id/3) % 5 —
+    * coprime with the chunk-count period 3, so composition offsets and
+    * chunk structure vary independently. Version alternates 0/1 among
+    * present files; VERSION 1 FILES CARRY A NEGATIVE SECOND-RUN OFFSET
+    * (the signed form v0 cannot express). Two runs split at
+    * [[mp4CttsSplit]], mirroring the stts two-run discipline. */
+  def mp4CttsPresent(id: Long): Boolean = (id / 3) % 5 < 3
+  def mp4CttsVersion(id: Long): Int = (((id / 3) % 5) % 2).toInt
+  def mp4CttsSplit(id: Long): Int = (1 + (id / 3) % (mp4SampleCount(id) - 1)).toInt
+  def mp4CttsOff1(id: Long): Int = (id % 300).toInt
+  def mp4CttsOff2(id: Long): Int =
+    if (mp4CttsVersion(id) == 0) (200 + id % 100).toInt
+    else -(100 + id % 100).toInt
+
   private def mp4Box(tag: String, payload: Array[Byte]): Array[Byte] = {
     val b = java.nio.ByteBuffer.allocate(8 + payload.length)
     b.putInt(8 + payload.length)
@@ -1827,8 +1855,30 @@ object MediaPipeline {
       (0 until c).foreach(j => b.putInt(mp4ChunkOff(id, j).toInt))
       mp4Box("stco", b.array())
     }
+    val stsc = {
+      // Run form: entry 1 covers chunks 1..c−1 at q samples each, entry
+      // 2 the last chunk's remainder; single-chunk files get one entry.
+      val q = mp4Spc(id, 0)
+      val entries =
+        if (c == 1) Seq((1, mp4SampleCount(id)))
+        else Seq((1, q), (c, mp4Spc(id, c - 1)))
+      val b = buf(8 + 12 * entries.size)
+      b.putInt(0).putInt(entries.size)
+      entries.foreach { case (fc, spc) => b.putInt(fc).putInt(spc).putInt(1) }
+      mp4Box("stsc", b.array())
+    }
+    val ctts: Array[Byte] =
+      if (!mp4CttsPresent(id)) Array.emptyByteArray
+      else {
+        val a2 = mp4CttsSplit(id)
+        val b = buf(8 + 16)
+        b.putInt(mp4CttsVersion(id) << 24).putInt(2) // version<<24 | flags 0
+          .putInt(a2).putInt(mp4CttsOff1(id))
+          .putInt(n - a2).putInt(mp4CttsOff2(id))
+        mp4Box("ctts", b.array())
+      }
     val stsd = mp4Box("stsd", buf(8).putInt(0).putInt(0).array()) // 0 entries
-    val stbl = mp4Box("stbl", stsd ++ stts ++ stsz ++ stco)
+    val stbl = mp4Box("stbl", stsd ++ stts ++ ctts ++ stsc ++ stsz ++ stco)
     val minf = mp4Box("minf", stbl)
     val mdhd = {
       val b = buf(24)
@@ -1897,11 +1947,17 @@ object MediaPipeline {
     None
   }
 
-  /** Per-track demux statistics the sample-table decode emits. */
+  /** Per-track demux statistics the sample-table decode emits.
+    * stscMoment = Σ_j j · (bytes of chunk j) from expanding stsc against
+    * stsz — wrong sample→chunk mapping shifts it; cttsSum/cttsMoment are
+    * the (signed) composition-offset total and Σ_i i · off_i (0 when no
+    * ctts box); hasCtts distinguishes absent from all-zero. */
   final case class DecodedMp4Samples(nSamples: Int, totalBytes: Long,
                                      maxSize: Int, durUnits: Long,
                                      timescale: Int, nChunks: Int,
-                                     chunkOffSum: Long, sizeMoment: Long)
+                                     chunkOffSum: Long, sizeMoment: Long,
+                                     stscMoment: Long, hasCtts: Int,
+                                     cttsSum: Long, cttsMoment: Long)
 
   /** REAL sample-table decode: the ftyp→moov→trak→mdia→(mdhd, minf→stbl)
     * walk, then the stts/stsz/stco tables — FullBox v0, strict bounds,
@@ -1937,6 +1993,10 @@ object MediaPipeline {
       if ce - cs >= 8 && u32(cs) == 0L
       nChunks = u32(cs + 4)
       if nChunks > 0 && ce - cs == 8 + 4 * nChunks
+      (xs, xe) <- mp4FindBox(media, "stsc", bs, be) // mandatory (§8.7.4)
+      if xe - xs >= 8 && u32(xs) == 0L
+      nStsc = u32(xs + 4)
+      if nStsc > 0 && xe - xs == 8 + 12 * nStsc
       stats <- {
         var total = 0L; var maxSz = 0L; var moment = 0L
         var i = 0
@@ -1955,15 +2015,99 @@ object MediaPipeline {
         }
         if (counted != nSamples || maxSz > Int.MaxValue)
           None // §8.6.1.2 cross-table consistency / implausible size
-        else {
-          var offSum = 0L
-          var j = 0
-          while (j < nChunks.toInt) { offSum += u32(cs + 8 + 4 * j); j += 1 }
-          Some(DecodedMp4Samples(nSamples.toInt, total, maxSz.toInt, dur,
-            timescale.toInt, nChunks.toInt, offSum, moment))
+        else decodeMp4ChunkCtts(media, u32, nSamples.toInt, nChunks.toInt,
+          zs, cs, xs, nStsc.toInt, bs, be).map {
+          case (offSum, stscMoment, hasCtts, cttsSum, cttsMoment) =>
+            DecodedMp4Samples(nSamples.toInt, total, maxSz.toInt, dur,
+              timescale.toInt, nChunks.toInt, offSum, moment,
+              stscMoment, hasCtts, cttsSum, cttsMoment)
         }
       }
     } yield stats
+  }
+
+  /** stsc expansion + optional ctts decode (split out of
+    * [[decodeMp4Samples]] for readability; same strict-profile rules).
+    *
+    * stsc (§8.7.4): entries are (first_chunk, samples_per_chunk,
+    * sample_description_index); first_chunk values must start at 1 and
+    * strictly increase, an entry covers every chunk up to the next
+    * entry's first_chunk (RUN semantics — the staged c=3 layout encodes
+    * 3 chunks in 2 entries), and the expansion over the stco chunk count
+    * must assign EXACTLY the stsz sample count — a mapping that runs
+    * short or long is structurally inconsistent and refuses. The audit
+    * moment Σ_j j · chunkBytes_j prices the expansion: any off-by-one in
+    * run handling moves bytes between chunk indexes.
+    *
+    * ctts (§8.6.1.3): optional; FullBox version 0 (unsigned offsets) or
+    * 1 (SIGNED offsets — negative composition shifts), flags 0; run
+    * counts must cover exactly the sample count. Emits the signed offset
+    * sum and the sample-index-weighted moment so run order and sign
+    * handling are both load-bearing. */
+  private def decodeMp4ChunkCtts(media: Array[Byte], u32: Int => Long,
+      nSamples: Int, nChunks: Int, zs: Int, cs: Int, xs: Int, nStsc: Int,
+      bs: Int, be: Int): Option[(Long, Long, Int, Long, Long)] = {
+    var offSum = 0L
+    var j = 0
+    while (j < nChunks) { offSum += u32(cs + 8 + 4 * j); j += 1 }
+    // Expand stsc: walk entries, each covering [fc, nextFc) chunks.
+    var stscMoment = 0L
+    var cursor = 0 // next unmapped sample (0-based)
+    var prevFc = 0L
+    var e = 0
+    var ok = true
+    while (ok && e < nStsc) {
+      val fc = u32(xs + 8 + 12 * e)
+      val spc = u32(xs + 12 + 12 * e)
+      val sdi = u32(xs + 16 + 12 * e)
+      val nextFc = if (e + 1 < nStsc) u32(xs + 8 + 12 * (e + 1)) else nChunks + 1L
+      if (fc <= prevFc || fc > nChunks || nextFc <= fc || nextFc > nChunks + 1L ||
+          spc <= 0 || spc > nSamples || sdi != 1L) ok = false
+      else {
+        var chunk = fc
+        while (ok && chunk < nextFc) {
+          // Chunk indexes are 1-based in stsc; the moment uses 0-based j.
+          var k = 0L
+          var chunkBytes = 0L
+          while (k < spc && cursor < nSamples) {
+            chunkBytes += u32(zs + 12 + 4 * cursor); cursor += 1; k += 1
+          }
+          if (k < spc) ok = false // ran out of samples mid-chunk
+          else stscMoment += (chunk - 1) * chunkBytes
+          chunk += 1
+        }
+        prevFc = fc
+      }
+      e += 1
+    }
+    if (!ok || cursor != nSamples) return None // mapping must cover exactly
+    // Optional ctts.
+    mp4FindBox(media, "ctts", bs, be) match {
+      case None => Some((offSum, stscMoment, 0, 0L, 0L))
+      case Some((ts, te)) =>
+        if (te - ts < 8) return None
+        val verFlags = u32(ts)
+        val version = (verFlags >> 24).toInt
+        if ((verFlags & 0xffffffL) != 0L || (version != 0 && version != 1))
+          return None
+        val nRuns = u32(ts + 4)
+        if (nRuns <= 0 || te - ts != 8 + 8 * nRuns) return None
+        var sum = 0L; var mom = 0L; var cur = 0L
+        var r = 0
+        while (r < nRuns.toInt) {
+          val cnt = u32(ts + 8 + 8 * r)
+          val rawOff = u32(ts + 12 + 8 * r)
+          val off = if (version == 1) rawOff.toInt.toLong else rawOff
+          if (cnt <= 0 || cur + cnt > nSamples) return None
+          sum += cnt * off
+          // Σ_{i=cur}^{cur+cnt-1} i = cnt·cur + cnt(cnt−1)/2
+          mom += off * (cnt * cur + cnt * (cnt - 1) / 2)
+          cur += cnt
+          r += 1
+        }
+        if (cur != nSamples) return None // §8.6.1.3 cross-table rule
+        Some((offSum, stscMoment, 1, sum, mom))
+    }
   }
 
   /** MP4-sample-staged media table: every 3rd doc a COMPLETE sample-
@@ -1986,7 +2130,8 @@ object MediaPipeline {
   case class Mp4SampleStats(doc_id: Long, source: String, n_samples: Int,
                             total_bytes: Long, max_size: Int, dur_units: Long,
                             timescale: Int, n_chunks: Int, chunk_off_sum: Long,
-                            size_moment: Long)
+                            size_moment: Long, stsc_moment: Long,
+                            has_ctts: Int, ctts_sum: Long, ctts_moment: Long)
 
   /** MP4 sample-table decode pass: the decode is the filter. */
   def decodedMp4Samples(s: SparkSession, dir: String): DataFrame =
@@ -1999,7 +2144,7 @@ object MediaPipeline {
         decodeMp4Samples(r.media).map(m =>
           Mp4SampleStats(r.doc_id, r.source, m.nSamples, m.totalBytes,
             m.maxSize, m.durUnits, m.timescale, m.nChunks, m.chunkOffSum,
-            m.sizeMoment))
+            m.sizeMoment, m.stscMoment, m.hasCtts, m.cttsSum, m.cttsMoment))
       })
       .toDF()
   }

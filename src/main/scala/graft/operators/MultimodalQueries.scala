@@ -326,7 +326,11 @@ object MultimodalQueries extends QueryPack {
           sum(col("timescale").cast("long")).as("ts_sum"),
           sum(col("n_chunks").cast("long")).as("chunks_total"),
           sum("chunk_off_sum").as("chunk_off_total"),
-          sum("size_moment").as("moment_total"))
+          sum("size_moment").as("moment_total"),
+          sum("stsc_moment").as("stsc_moment_total"),
+          sum(col("has_ctts").cast("long")).as("n_ctts"),
+          sum("ctts_sum").as("ctts_sum_total"),
+          sum("ctts_moment").as("ctts_moment_total"))
         .orderBy("source")),
 
     // The honest JPEG gate, one layer below pixels: the entropy layer —
@@ -753,7 +757,14 @@ object MultimodalQueries extends QueryPack {
     // The staged-MP4 sample-table model recomputed closed-form: n
     // samples with sizes 100 + (id·13 + i·31) mod 900, a two-run stts
     // (split a = 1 + id mod (n−1)), 1..3 chunk offsets, media timescale
-    // 12288 + id mod 1000.
+    // 12288 + id mod 1000. stsc: uniform q = n DIV (c+1) per leading
+    // chunk, remainder last → sample i lives in chunk LEAST(i DIV q,
+    // c−1); the moment weights each chunk's byte sum by its 0-based
+    // index. ctts: present iff (id/3) mod 5 < 3, version ((id/3) mod 5)
+    // mod 2, two runs split at a2 = 1 + (id/3) mod (n−1), offsets o1 =
+    // id mod 300 and o2 = 200 + id mod 100 (v0) / −(100 + id mod 100)
+    // (v1 — the SIGNED case); the moment is the closed triangular form
+    // of Σ i·off_i.
     "mm_mp4_samples" ->
       """WITH v AS (SELECT doc_id, source,
                            CAST(5 + (doc_id % 7) * 3 AS BIGINT) AS n,
@@ -764,17 +775,38 @@ object MultimodalQueries extends QueryPack {
                           512 + doc_id % 100 AS d1, 1024 + doc_id % 200 AS d2, n
                    FROM v),
             smp AS (SELECT k.doc_id, k.source, us.i,
-                           100 + (k.doc_id*13 + us.i*31) % 900 AS sz
+                           100 + (k.doc_id*13 + us.i*31) % 900 AS sz,
+                           LEAST(us.i // GREATEST(1, k.n // (k.c + 1)), k.c - 1) AS chunk_j
                     FROM v k, LATERAL (SELECT unnest(range(k.n)) AS i) us),
             chk AS (SELECT k.doc_id, js.j,
                            4096 + js.j * (65536 + k.doc_id % 50000) AS off
                     FROM v k, LATERAL (SELECT unnest(range(k.c)) AS j) js),
             per AS (SELECT s.doc_id, s.source, COUNT(*) AS n_samples,
                            SUM(s.sz) AS bytes, MAX(s.sz) AS mx,
-                           SUM(s.i * s.sz) AS mom
+                           SUM(s.i * s.sz) AS mom,
+                           SUM(s.chunk_j * s.sz) AS stsc_mom
                     FROM smp s GROUP BY s.doc_id, s.source),
             perc AS (SELECT doc_id, COUNT(*) AS n_chunks, SUM(off) AS off_sum
-                     FROM chk GROUP BY doc_id)
+                     FROM chk GROUP BY doc_id),
+            cx AS (SELECT v.doc_id,
+                          CASE WHEN (v.doc_id // 3) % 5 < 3 THEN 1 ELSE 0 END AS present,
+                          ((v.doc_id // 3) % 5) % 2 AS ver,
+                          1 + (v.doc_id // 3) % (v.n - 1) AS a2,
+                          v.doc_id % 300 AS o1, v.n
+                   FROM v),
+            ct AS (SELECT doc_id, present,
+                          CASE WHEN ver = 0 THEN 200 + doc_id % 100
+                               ELSE -(100 + doc_id % 100) END AS o2,
+                          a2, o1, n
+                   FROM cx),
+            cagg AS (SELECT doc_id, present,
+                            CASE WHEN present = 1
+                                 THEN a2 * o1 + (n - a2) * o2 ELSE 0 END AS csum,
+                            CASE WHEN present = 1
+                                 THEN o1 * (a2 * (a2 - 1) // 2)
+                                    + o2 * (n * (n - 1) // 2 - a2 * (a2 - 1) // 2)
+                                 ELSE 0 END AS cmom
+                     FROM ct)
          SELECT p.source, CAST(COUNT(*) AS BIGINT) AS n_video,
                 CAST(SUM(p.n_samples) AS BIGINT) AS samples_total,
                 CAST(SUM(p.bytes) AS BIGINT) AS bytes_total,
@@ -783,11 +815,16 @@ object MultimodalQueries extends QueryPack {
                 CAST(SUM(v.ts) AS BIGINT) AS ts_sum,
                 CAST(SUM(pc.n_chunks) AS BIGINT) AS chunks_total,
                 CAST(SUM(pc.off_sum) AS BIGINT) AS chunk_off_total,
-                CAST(SUM(p.mom) AS BIGINT) AS moment_total
+                CAST(SUM(p.mom) AS BIGINT) AS moment_total,
+                CAST(SUM(p.stsc_mom) AS BIGINT) AS stsc_moment_total,
+                CAST(SUM(ca.present) AS BIGINT) AS n_ctts,
+                CAST(SUM(ca.csum) AS BIGINT) AS ctts_sum_total,
+                CAST(SUM(ca.cmom) AS BIGINT) AS ctts_moment_total
          FROM per p
          JOIN sp USING (doc_id)
          JOIN v USING (doc_id)
          JOIN perc pc USING (doc_id)
+         JOIN cagg ca USING (doc_id)
          GROUP BY p.source ORDER BY p.source""",
     // The staged-JPEG coefficient model recomputed closed-form: per
     // block b, DC = ((id·31 + b·17) mod 128 − 64) dequantized by q(0);
