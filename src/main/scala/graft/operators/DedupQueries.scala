@@ -444,6 +444,23 @@ object DedupQueries extends QueryPack {
     fresh.unionByName(copies)
   }
 
+  /** Batch 2 of the index-MAINTENANCE gate — each kind tests a distinct
+    * index state: re-keyed copies of batch 1's SURVIVORS (doc_id%10==0 →
+    * +5M, droppable ONLY if the write-back landed), re-keyed copies of
+    * the original corpus (doc_id%10==6 → +6M, droppable via the base
+    * index), and genuinely-new docs (doc_id%10==1 → +7M, must survive). */
+  private[graft] def updateBatchOf(docs: DataFrame): DataFrame = {
+    val dupB1 = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+              concat(col("text"), lit(" v2 fresh")).as("text"))
+    val dupCorpus = docs.filter(col("doc_id") % 10 === 6)
+      .select((col("doc_id") + 6000000L).as("doc_id"), col("text"))
+    val fresh = docs.filter(col("doc_id") % 10 === 1)
+      .select((col("doc_id") + 7000000L).as("doc_id"),
+              concat(col("text"), lit(" v3 new")).as("text"))
+    dupB1.unionByName(dupCorpus).unionByName(fresh)
+  }
+
   /** The constructed near-dup batch of dedup_incremental_neardup —
     * one-appended-token near-dups (doc_id%10==7, must be FLAGGED) +
     * token-reversed fresh docs (doc_id%10==4, must PASS). */
@@ -539,6 +556,54 @@ object DedupQueries extends QueryPack {
         .join(s.table(tbl), Seq("content_hash"), "left_anti")
         .select("doc_id", "n_batch_copies")
         .orderBy("doc_id")
+    }),
+
+    // Index MAINTENANCE — the write-back loop the _indexed twins build
+    // the index FOR but never exercise: ingest batch 1 against the
+    // bucketed corpus index, APPEND batch 1's surviving hashes into the
+    // index table (FileSources.appendBucketed — the per-ingest
+    // production write), then ingest batch 2 against the UPDATED index.
+    // Batch 2's three kinds each pin one index state (updateBatchOf):
+    // copies of batch-1 survivors drop ONLY if the append landed, corpus
+    // copies drop via the base index, fresh docs survive. The audit
+    // frame reports per-phase keep counts + id checksums AND the updated
+    // index's row count + content-hash sum — a stale index (append
+    // skipped) breaks batch2, a DOUBLE-inserted one breaks the index
+    // rows/hash line, and the oracle recomputes every line from scratch.
+    // The base index is rebuilt FRESH each run (writeBucketed, not
+    // ensureBucketed) so the run's append is idempotent across
+    // executions and never contaminates the sibling _indexed queries'
+    // maintained table (separate dir-keyed name). Scale shape: the
+    // append costs one batch-sized bucketed write; both probes read the
+    // corpus side exchange-free from buckets (plan-pinned).
+    "dedup_incremental_indexed_update" -> ((s, d) => {
+      import graft.sources.FileSources
+      val docs = Tables.documents(s, d)
+      val tbl = FileSources.dirKeyedTable("graft_md5_upd_idx", d)
+      FileSources.writeBucketed(
+        docs.select(md5(col("text")).as("content_hash")).distinct(),
+        tbl, 8, Seq("content_hash"))
+      def keptOf(batch: DataFrame): DataFrame = batch
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_batch_copies"))
+        .join(s.table(tbl), Seq("content_hash"), "left_anti")
+      // Eagerly checkpointed BEFORE the append: b1Kept is re-read for
+      // both the write-back and the audit, and a lazy plan re-evaluated
+      // after the append would probe the UPDATED index and report zero
+      // batch-1 survivors.
+      val b1Kept = keptOf(incrementalBatchOf(docs)).localCheckpoint(true)
+      FileSources.appendBucketed(
+        b1Kept.select("content_hash"), tbl, 8, Seq("content_hash"))
+      val b2Kept = keptOf(updateBatchOf(docs))
+      def phaseRow(name: String, df: DataFrame, keyCol: org.apache.spark.sql.Column) =
+        df.agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(graft.functions.PortableHash.h60p(keyCol)), lit(0L))
+              .as("checksum"))
+          .select(lit(name).as("phase"), col("n_rows"), col("checksum"))
+      phaseRow("batch1_kept", b1Kept, col("doc_id").cast("string"))
+        .unionByName(phaseRow("batch2_kept", b2Kept, col("doc_id").cast("string")))
+        .unionByName(phaseRow("index_after", s.table(tbl), col("content_hash")))
+        .orderBy("phase")
     }),
 
     // Incremental NEAR-dup ingest — the LSH mode of dedup_incremental:
@@ -1110,6 +1175,47 @@ object DedupQueries extends QueryPack {
     // verbatim: the bucketed-index layout must not change the result.
     "dedup_incremental" -> incrementalSql,
     "dedup_incremental_indexed" -> incrementalSql,
+    // The maintenance gate's oracle recomputes BOTH batches and the
+    // post-append index from scratch — the updated index is modeled as
+    // base-corpus hashes ∪ batch-1 survivor hashes, so a Spark-side
+    // stale index (batch2 line) or double/dropped insertion (index_after
+    // rows + hash sum) cannot agree with it.
+    "dedup_incremental_indexed_update" ->
+      s"""WITH corpus AS (SELECT DISTINCT md5(text) AS h FROM documents),
+            b1 AS (SELECT doc_id + 1000000 AS doc_id, text || ' v2 fresh' AS text
+                   FROM documents WHERE doc_id % 10 = 0
+                   UNION ALL
+                   SELECT doc_id + 2000000 AS doc_id, text
+                   FROM documents WHERE doc_id % 10 = 3),
+            b1g AS (SELECT md5(text) AS h, MIN(doc_id) AS doc_id
+                    FROM b1 GROUP BY 1),
+            b1k AS (SELECT * FROM b1g ANTI JOIN corpus USING (h)),
+            idx2 AS (SELECT h FROM corpus UNION ALL SELECT h FROM b1k),
+            b2 AS (SELECT doc_id + 5000000 AS doc_id, text || ' v2 fresh' AS text
+                   FROM documents WHERE doc_id % 10 = 0
+                   UNION ALL
+                   SELECT doc_id + 6000000 AS doc_id, text
+                   FROM documents WHERE doc_id % 10 = 6
+                   UNION ALL
+                   SELECT doc_id + 7000000 AS doc_id, text || ' v3 new' AS text
+                   FROM documents WHERE doc_id % 10 = 1),
+            b2g AS (SELECT md5(text) AS h, MIN(doc_id) AS doc_id
+                    FROM b2 GROUP BY 1),
+            b2k AS (SELECT * FROM b2g ANTI JOIN idx2 USING (h))
+         SELECT 'batch1_kept' AS phase, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(COALESCE(SUM(${graft.functions.PortableHash.h60pSql(
+                  "CAST(doc_id AS VARCHAR)")}), 0) AS BIGINT) AS checksum
+         FROM b1k
+         UNION ALL
+         SELECT 'batch2_kept', CAST(COUNT(*) AS BIGINT),
+                CAST(COALESCE(SUM(${graft.functions.PortableHash.h60pSql(
+                  "CAST(doc_id AS VARCHAR)")}), 0) AS BIGINT)
+         FROM b2k
+         UNION ALL
+         SELECT 'index_after', CAST(COUNT(*) AS BIGINT),
+                CAST(COALESCE(SUM(${graft.functions.PortableHash.h60pSql("h")}), 0) AS BIGINT)
+         FROM idx2
+         ORDER BY phase""",
     // Same constructed batch; exact cross-frame 3-shingle Jaccard over
     // corpus × batch (the LSH on the Spark side is candidates-only —
     // exact verify makes the declared result the true near-dup set, the

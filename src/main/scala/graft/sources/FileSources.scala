@@ -229,18 +229,39 @@ object FileSources {
   }
 
   /** [[writeBucketed]] with WITHIN-SESSION reuse: if this session's
-    * catalog already holds `table`, the build is skipped — the
-    * production contract of a maintained index table (build once,
-    * amortize across probes). Correctness precondition: the caller's
-    * table NAME must determine its CONTENT (the index queries key the
-    * name on the data-dir hash, and the fixture dirs are immutable), so
-    * a catalog hit can never serve a different dataset. Cross-process,
-    * the catalog starts empty and the first call rebuilds — reuse never
-    * crosses a JVM. */
+    * catalog already holds `table` with a MATCHING schema, the build is
+    * skipped — the production contract of a maintained index table
+    * (build once, amortize across probes). The schema check guards the
+    * cheap-to-catch staleness case: two callers reusing one prefix with
+    * different projections of the same dir now rebuild instead of
+    * silently serving the other's index. Residual contract (documented,
+    * not checkable without re-scanning the source): the caller's table
+    * NAME must determine its CONTENT — the index queries key the name on
+    * the data-dir hash and the fixture dirs are immutable within a
+    * session, so a catalog hit can never serve a different dataset.
+    * Cross-process, the catalog starts empty and the first call
+    * rebuilds — reuse never crosses a JVM. */
   def ensureBucketed(df: DataFrame, table: String, nBuckets: Int,
+                     bucketCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val fresh = !spark.catalog.tableExists(table) ||
+      spark.table(table).schema != df.schema
+    if (fresh) writeBucketed(df, table, nBuckets, bucketCols)
+  }
+
+  /** Append into a maintained bucketed table — the per-ingest write-back
+    * of the production index loop (ingest batch → append its surviving
+    * keys → next batch probes the UPDATED index). The bucket spec must
+    * match the table's; Spark routes appended rows into the same bucket
+    * files' layout, so probes stay exchange-free on the table side after
+    * any number of appends (pinned in SkewAndBucketingSpec). */
+  def appendBucketed(df: DataFrame, table: String, nBuckets: Int,
                      bucketCols: Seq[String]): Unit =
-    if (!df.sparkSession.catalog.tableExists(table))
-      writeBucketed(df, table, nBuckets, bucketCols)
+    df.write.mode(SaveMode.Append)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 
   /** Collision-proof catalog name for a dir-derived index table:
     * `prefix` + the first 16 hex chars of md5(dir) — a 64-bit key, vs

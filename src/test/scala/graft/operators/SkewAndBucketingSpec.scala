@@ -148,6 +148,39 @@ class SkewAndBucketingSpec extends SparkSpec {
     sess.sql("DROP TABLE IF EXISTS b_md5_idx")
   }
 
+  test("the md5 index stays exchange-free and correct AFTER a bucketed append") {
+    // dedup_incremental_indexed_update's deployment claim: the write-back
+    // (appendBucketed of batch-1 survivors) preserves the bucket layout,
+    // so the SECOND probe still reads the index side with no exchange —
+    // and the updated index now drops re-submissions of batch-1 content.
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    val docs = Tables.documents(sess, dir)
+    graft.sources.FileSources.writeBucketed(
+      docs.select(md5(col("text")).as("content_hash")).distinct(),
+      "b_md5_upd", 8, Seq("content_hash"))
+    def keptOf(batch: org.apache.spark.sql.DataFrame) = batch
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_batch_copies"))
+      .join(sess.table("b_md5_upd"), Seq("content_hash"), "left_anti")
+    val b1Kept = keptOf(DedupQueries.incrementalBatchOf(docs)).localCheckpoint(true)
+    val nB1 = b1Kept.count()
+    assert(nB1 > 0)
+    graft.sources.FileSources.appendBucketed(
+      b1Kept.select("content_hash"), "b_md5_upd", 8, Seq("content_hash"))
+    val b2 = keptOf(DedupQueries.updateBatchOf(docs))
+    assertBucketSideExchangeFree(b2)
+    // Semantics of the update: batch-1 survivor content re-submitted in
+    // batch 2 (+5M ids) is now dropped; fresh v3 docs (+7M) survive.
+    val kept = b2.select("doc_id").collect().map(_.getLong(0))
+    assert(!kept.exists(id => id >= 5000000L && id < 6000000L),
+      "stale index: a batch-1 survivor's re-submission passed batch 2")
+    assert(kept.forall(id => id >= 7000000L), "a corpus copy survived batch 2")
+    assert(kept.nonEmpty)
+    sess.sql("DROP TABLE IF EXISTS b_md5_upd")
+  }
+
   test("the persisted LSH band index joins with no corpus-side exchange") {
     // dedup_incremental_neardup_indexed: candidate generation probes the
     // bucketed (band, bkey) corpus index; only the batch bands shuffle.
