@@ -827,61 +827,93 @@ object MediaPipeline {
     Some(sumPixels(w, h, (x, y, c) => media(base + (y * w + x) * 3 + c) & 0xff))
   }
 
-  /** Staged PCM parameters for doc `id` — sample count and the 16-bit
-    * signed LE sample model, full amplitude range (65521 is prime, so the
-    * values sweep the range without byte-aligned periodicity: a decoder
-    * that reads big-endian or unsigned fails immediately). */
+  /** Staged PCM parameters for doc `id` — FRAME count, channel count and
+    * the 16-bit signed LE sample model, full amplitude range (65521 is
+    * prime, so the values sweep the range without byte-aligned
+    * periodicity: a decoder that reads big-endian or unsigned fails
+    * immediately). Channels key on id/4 — the staged residue class is
+    * id%4==1, where id%2 is identically 1 (the aliasing trap: a
+    * wavChannels-style id%2 key would have made every staged PCM stereo
+    * and the mono path dead); id/4 walks both values. The per-channel
+    * `c*17` term vanishes at c=0, so mono bytes are IDENTICAL to the
+    * pre-stereo staging and the c term only separates channel 1. */
   def pcmLen(id: Long): Int = ((id % 50) + 10).toInt
-  def pcmSample(id: Long, i: Int): Int = (((id * 7 + i * 31L) % 65521) - 32760).toInt
+  def pcmChannels(id: Long): Int = (((id / 4) % 2) + 1).toInt
+  def pcmSample(id: Long, i: Int, c: Int): Int =
+    (((id * 7 + i * 31L + c * 17L) % 65521) - 32760).toInt
+  def pcmSample(id: Long, i: Int): Int = pcmSample(id, i, 0)
 
-  /** A COMPLETE mono 16-bit PCM WAV for doc `id`: the 44-byte canonical
-    * header (same builder the metadata fixtures use) over REAL samples
-    * from [[pcmSample]], little-endian two's-complement. */
+  /** A COMPLETE 16-bit PCM WAV for doc `id` — mono or 2-channel
+    * INTERLEAVED per [[pcmChannels]]: the 44-byte canonical header (same
+    * builder the metadata fixtures use, blockAlign = 2·ch) over REAL
+    * frames from [[pcmSample]], little-endian two's-complement, frame i
+    * laid out [ch0, ch1]. */
   def pcmWav(id: Long): Array[Byte] = {
     val n = pcmLen(id)
-    val data = new Array[Byte](n * 2)
+    val ch = pcmChannels(id)
+    val data = new Array[Byte](n * ch * 2)
     var i = 0
     while (i < n) {
-      val smp = pcmSample(id, i)
-      data(i * 2) = (smp & 0xff).toByte
-      data(i * 2 + 1) = ((smp >> 8) & 0xff).toByte
+      var c = 0
+      while (c < ch) {
+        val smp = pcmSample(id, i, c)
+        val off = (i * ch + c) * 2
+        data(off) = (smp & 0xff).toByte
+        data(off + 1) = ((smp >> 8) & 0xff).toByte
+        c += 1
+      }
       i += 1
     }
-    wavHeader(wavRate(id), 1, data.length) ++ data
+    wavHeader(wavRate(id), ch, data.length) ++ data
   }
 
   /** Integer sample statistics one decoded PCM stream reduces to — all
-    * exact Long/Int arithmetic for the oracle. */
+    * exact Long/Int arithmetic for the oracle. nSamples counts
+    * INDIVIDUAL samples (frames × channels); mom0/mom1 are the
+    * frame-position-weighted per-channel moments Σ_i i·s(i,c), so a
+    * channel swap or de-interleave error (reading [ch0,ch1] frames as
+    * [ch1,ch0] or as consecutive mono) shifts a moment even when the
+    * channel-agnostic sums survive. mom1 = 0 for mono. */
   final case class DecodedPcm(nSamples: Long, sumAbs: Long, sumSq: Long,
-                              maxS: Int, minS: Int)
+                              maxS: Int, minS: Int, channels: Int,
+                              mom0: Long, mom1: Long)
 
-  /** REAL sample decode for mono 16-bit PCM WAV: header validation via
-    * [[decodeWav]], then each sample read as little-endian SIGNED 16-bit
-    * (sign extension is the decode step a naive byte-pair read gets
-    * wrong). Mono only — the staged table writes mono; stereo would need
-    * per-channel stats. None for anything else, including a data chunk
-    * size the buffer can't back. */
+  /** REAL sample decode for mono/stereo 16-bit PCM WAV: header
+    * validation via [[decodeWav]], then each sample read as
+    * little-endian SIGNED 16-bit (sign extension is the decode step a
+    * naive byte-pair read gets wrong), stereo de-interleaved by frame.
+    * None for anything else, including a data chunk size the buffer
+    * can't back or that doesn't divide into whole frames. */
   def decodeWavPcm(media: Array[Byte]): Option[DecodedPcm] =
     decodeWav(media).flatMap { case (_, channels, _) =>
       def i32(off: Int): Int =
         (media(off) & 0xff) | ((media(off + 1) & 0xff) << 8) |
           ((media(off + 2) & 0xff) << 16) | ((media(off + 3) & 0xff) << 24)
       val dataLen = i32(40)
-      val n = dataLen / 2
-      if (channels == 1 && dataLen >= 2 && dataLen % 2 == 0 &&
+      val frameBytes = 2 * channels
+      val nFrames = dataLen / frameBytes
+      if ((channels == 1 || channels == 2) && dataLen >= frameBytes &&
+          dataLen % frameBytes == 0 &&
           media.length.toLong >= WavHeaderLen.toLong + dataLen) {
         var sumAbs = 0L; var sumSq = 0L
         var maxS = Int.MinValue; var minS = Int.MaxValue
+        var mom0 = 0L; var mom1 = 0L
         var i = 0
-        while (i < n) {
-          val off = WavHeaderLen + i * 2
-          val smp = ((media(off) & 0xff) | (media(off + 1) << 8)).toShort.toInt
-          sumAbs += math.abs(smp); sumSq += smp.toLong * smp
-          if (smp > maxS) maxS = smp
-          if (smp < minS) minS = smp
+        while (i < nFrames) {
+          var c = 0
+          while (c < channels) {
+            val off = WavHeaderLen + (i * channels + c) * 2
+            val smp = ((media(off) & 0xff) | (media(off + 1) << 8)).toShort.toInt
+            sumAbs += math.abs(smp); sumSq += smp.toLong * smp
+            if (smp > maxS) maxS = smp
+            if (smp < minS) minS = smp
+            if (c == 0) mom0 += i.toLong * smp else mom1 += i.toLong * smp
+            c += 1
+          }
           i += 1
         }
-        Some(DecodedPcm(n.toLong, sumAbs, sumSq, maxS, minS))
+        Some(DecodedPcm(nFrames.toLong * channels, sumAbs, sumSq, maxS, minS,
+          channels, mom0, mom1))
       } else None
     }
 
@@ -1235,17 +1267,18 @@ object MediaPipeline {
 
   /** Per-stream PCM sample statistics row the sample decode pass emits. */
   case class PcmStats(doc_id: Long, source: String, n_samples: Long,
-                      sum_abs: Long, sum_sq: Long, max_s: Int, min_s: Int)
+                      sum_abs: Long, sum_sq: Long, max_s: Int, min_s: Int,
+                      channels: Int, mom0: Long, mom1: Long)
 
   /** PCM sample-decode pass over the pixel-staged corpus: rows whose
-    * bytes decode as mono 16-bit PCM WAV yield [[PcmStats]]. */
+    * bytes decode as mono/stereo 16-bit PCM WAV yield [[PcmStats]]. */
   def decodedWavPcm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     pixelTableStaged(s, dir).as[MediaRow]
       .mapPartitions(_.flatMap { r =>
         decodeWavPcm(r.media).map(p =>
           PcmStats(r.doc_id, r.source, p.nSamples, p.sumAbs, p.sumSq,
-            p.maxS, p.minS))
+            p.maxS, p.minS, p.channels, p.mom0, p.mom1))
       })
       .toDF()
   }

@@ -375,11 +375,14 @@ object MultimodalQueries extends QueryPack {
         .groupBy("source")
         .agg(
           count(lit(1)).as("n_audio"),
+          sum(when(col("channels") === 2, 1L).otherwise(0L)).as("n_stereo"),
           sum("n_samples").as("total_samples"),
           sum("sum_abs").as("sum_abs"),
           sum("sum_sq").as("sum_sq"),
           max("max_s").as("max_s"),
-          min("min_s").as("min_s"))
+          min("min_s").as("min_s"),
+          sum("mom0").as("mom0_total"),
+          sum("mom1").as("mom1_total"))
         .orderBy("source"))
   )
 
@@ -867,22 +870,34 @@ object MultimodalQueries extends QueryPack {
                 CAST(SUM(p.dc_moment + a.ac_moment) AS BIGINT) AS moment_total
          FROM per p JOIN pera a USING (doc_id)
          GROUP BY p.source ORDER BY p.source""",
+    // Frames × channels recomputed closed-form: ch = ((id/4) mod 2) + 1
+    // (mono AND stereo both staged), sample(i, c) adds the c·17 term
+    // that vanishes on channel 0; mom0/mom1 are the frame-position-
+    // weighted per-channel moments that make interleave order fatal.
     "mm_wav_pcm" ->
-      """WITH a AS (SELECT doc_id, source, CAST((doc_id % 50) + 10 AS BIGINT) AS n
+      """WITH a AS (SELECT doc_id, source, CAST((doc_id % 50) + 10 AS BIGINT) AS n,
+                           CAST(((doc_id // 4) % 2) + 1 AS BIGINT) AS ch
                     FROM documents WHERE doc_id % 4 = 1),
-            s AS (SELECT a.doc_id, a.source,
-                         ((a.doc_id*7 + i.i*31) % 65521) - 32760 AS smp
-                  FROM a, LATERAL (SELECT unnest(range(a.n)) AS i) i),
-            per AS (SELECT doc_id, source, COUNT(*) AS n_samples,
+            s AS (SELECT a.doc_id, a.source, a.ch, i.i, c.c,
+                         ((a.doc_id*7 + i.i*31 + c.c*17) % 65521) - 32760 AS smp
+                  FROM a,
+                       LATERAL (SELECT unnest(range(a.n)) AS i) i,
+                       LATERAL (SELECT unnest(range(a.ch)) AS c) c),
+            per AS (SELECT doc_id, source, MIN(ch) AS ch, COUNT(*) AS n_samples,
                            SUM(ABS(smp)) AS sum_abs, SUM(smp*smp) AS sum_sq,
-                           MAX(smp) AS max_s, MIN(smp) AS min_s
+                           MAX(smp) AS max_s, MIN(smp) AS min_s,
+                           SUM(CASE WHEN c = 0 THEN i * smp ELSE 0 END) AS mom0,
+                           SUM(CASE WHEN c = 1 THEN i * smp ELSE 0 END) AS mom1
                     FROM s GROUP BY doc_id, source)
          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_audio,
+                CAST(SUM(CASE WHEN ch = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_stereo,
                 CAST(SUM(n_samples) AS BIGINT) AS total_samples,
                 CAST(SUM(sum_abs) AS BIGINT) AS sum_abs,
                 CAST(SUM(sum_sq) AS BIGINT) AS sum_sq,
                 CAST(MAX(max_s) AS INT) AS max_s,
-                CAST(MIN(min_s) AS INT) AS min_s
+                CAST(MIN(min_s) AS INT) AS min_s,
+                CAST(SUM(mom0) AS BIGINT) AS mom0_total,
+                CAST(SUM(mom1) AS BIGINT) AS mom1_total
          FROM per GROUP BY source ORDER BY source"""
   )
 }

@@ -195,25 +195,66 @@ class PixelDecodeSpec extends SparkSpec {
     assert(covered.sorted == (for (y <- 0 until h; x <- 0 until w) yield (x, y)).sorted)
   }
 
-  test("PCM decode round-trips the sample model with sign extension") {
+  test("PCM decode round-trips the sample model with sign extension, mono and stereo") {
     for (id <- 0L to 200L) {
       val n = pcmLen(id)
-      val samples = (0 until n).map(i => pcmSample(id, i))
-      val want = DecodedPcm(n.toLong, samples.map(s => math.abs(s).toLong).sum,
-        samples.map(s => s.toLong * s).sum, samples.max, samples.min)
+      val ch = pcmChannels(id)
+      val samples = for (i <- 0 until n; c <- 0 until ch) yield pcmSample(id, i, c)
+      def mom(c: Int): Long =
+        if (c >= ch) 0L
+        else (0 until n).map(i => i.toLong * pcmSample(id, i, c)).sum
+      val want = DecodedPcm((n.toLong * ch), samples.map(s => math.abs(s).toLong).sum,
+        samples.map(s => s.toLong * s).sum, samples.max, samples.min,
+        ch, mom(0), mom(1))
       assert(decodeWavPcm(pcmWav(id)).contains(want), s"id=$id")
       // The model must actually exercise negative territory for the
       // sign-extension claim to be tested.
       if (samples.exists(_ < 0)) assert(want.minS < 0)
     }
     assert((0L to 200L).exists(id => (0 until pcmLen(id)).exists(i => pcmSample(id, i) < 0)))
+    // Both channel layouts are staged IN THE PIXEL CLASS (id%4==1, where
+    // id%2 is identically 1 — the aliasing the id/4 key exists to avoid).
+    val stagedCh = (0L to 200L).filter(_ % 4 == 1).map(pcmChannels).toSet
+    assert(stagedCh == Set(1, 2), s"staged channel counts: $stagedCh")
   }
 
-  test("PCM: a stereo or truncated stream does not sample-decode") {
-    val stereo = wavHeader(8000, 2, 8) ++ Array.fill[Byte](8)(1)
-    assert(decodeWav(stereo).isDefined && decodeWavPcm(stereo).isEmpty)
+  test("PCM stereo: channel swap and de-interleave errors are fatal to the moments") {
+    val id = (0L to 200L).find(i => i % 4 == 1 && pcmChannels(i) == 2).get
+    val good = pcmWav(id)
+    val want = decodeWavPcm(good).get
+    assert(want.channels == 2)
+    // Channel-swapped bytes: swap the two samples of every frame. The
+    // channel-agnostic stats survive; the per-channel moments must not.
+    val swapped = good.clone()
+    val n = pcmLen(id)
+    for (i <- 0 until n) {
+      val f = WavHeaderLen + i * 4
+      val (a0, a1) = (swapped(f), swapped(f + 1))
+      swapped(f) = swapped(f + 2); swapped(f + 1) = swapped(f + 3)
+      swapped(f + 2) = a0; swapped(f + 3) = a1
+    }
+    val sw = decodeWavPcm(swapped).get
+    assert(sw.sumAbs == want.sumAbs && sw.sumSq == want.sumSq)
+    assert(sw.mom0 == want.mom1 && sw.mom1 == want.mom0)
+    assert(sw != want, "a channel swap must be visible in the stats")
+    // A mono header over the same interleaved bytes reads frames as
+    // consecutive mono samples — the position weights shift and the
+    // moment diverges from both channel moments.
+    val asMono = wavHeader(wavRate(id), 1, n * 4) ++ good.drop(WavHeaderLen)
+    val mono = decodeWavPcm(asMono).get
+    assert(mono.channels == 1 && mono.sumAbs == want.sumAbs)
+    assert(mono.mom0 != want.mom0 && mono.mom0 != want.mom1,
+      "de-interleave error must shift the position-weighted moment")
+  }
+
+  test("PCM: odd channel counts and truncated streams do not sample-decode") {
+    val tri = wavHeader(8000, 3, 12) ++ Array.fill[Byte](12)(1)
+    assert(decodeWavPcm(tri).isEmpty)
     val truncated = pcmWav(5L).dropRight(3)
     assert(decodeWavPcm(truncated).isEmpty)
+    // A stereo data chunk that doesn't divide into whole frames.
+    val ragged = wavHeader(8000, 2, 6) ++ Array.fill[Byte](6)(1)
+    assert(decodeWavPcm(ragged).isEmpty)
   }
 
   test("executed 4x4 resize samples the right source pixels, up and down") {
