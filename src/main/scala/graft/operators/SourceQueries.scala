@@ -104,11 +104,15 @@ object SourceQueries extends QueryPack {
     // WARC → WET text extraction — the chain a crawl corpus actually runs
     // after ingest: for every response record, parse the PAYLOAD as an
     // HTTP/1.1 message (status line / headers / CRLFCRLF body split),
-    // gate on status and media type, and extract body text. The oracle
-    // regenerates the closed-form HTTP fixture model; the checksum is
-    // summed over 200-status responses ONLY, so the status-line parse
-    // gates content, and body_tokens pins the text split. Same
-    // one-task-per-shard scale shape as warc_ingest.
+    // DE-CHUNK Transfer-Encoding: chunked bodies (a third of the staged
+    // responses arrive chunked — hex size lines, chunk extensions,
+    // trailers), gate on status and media type, and extract body text.
+    // The oracle regenerates the closed-form HTTP fixture model over the
+    // DE-CHUNKED bodies; the checksum is summed over 200-status
+    // responses ONLY, so the status-line parse gates content,
+    // body_tokens pins the text split (chunk boundaries land mid-token
+    // on purpose), and n_chunked pins which rows took the chunked path.
+    // Same one-task-per-shard scale shape as warc_ingest.
     "warc_http_extract" -> ((s, d) => {
       val paths = graft.sources.WarcSource.stageHttpFixture(
         Stage.dir(d, "warc_http"))
@@ -120,6 +124,7 @@ object SourceQueries extends QueryPack {
           count(lit(1)).as("n_responses"),
           sum(when(col("status") === 200, 1L).otherwise(0L)).as("n_ok"),
           sum(when(col("media_type") === "text/html", 1L).otherwise(0L)).as("n_html"),
+          sum(col("chunked").cast("long")).as("n_chunked"),
           sum("body_len").as("body_bytes"),
           sum("body_tokens").as("token_sum"),
           sum(when(col("status") === 200,
@@ -395,7 +400,10 @@ object SourceQueries extends QueryPack {
     "warc_gz_ingest" -> warcIngestSql,
     // Dir-independent like warc_ingest: the oracle regenerates the HTTP
     // fixture model (12 shards × 6+(f%3) responses; body = "tok "×T with
-    // the trailing space trimmed → length 4T−1, tokens T).
+    // the trailing space trimmed → length 4T−1, tokens T). Chunked rows
+    // (i%3=1) de-chunk to the SAME body, so every body column holds for
+    // them too — the chunked path must reproduce identity extraction
+    // bit-for-bit; n_chunked counts exactly those rows.
     "warc_http_extract" ->
       s"""WITH shards AS (SELECT unnest(range(12)) AS f),
             resp AS (SELECT f, unnest(range(6 + (f % 3))) AS i FROM shards),
@@ -403,9 +411,10 @@ object SourceQueries extends QueryPack {
                          'http://h' || (f % 5) || '.example/f' || f || '/r' || i AS uri,
                          CASE WHEN i % 5 = 4 THEN 404 ELSE 200 END AS status,
                          CASE WHEN i % 2 = 0 THEN 'text/html' ELSE 'text/plain' END AS mt,
+                         CASE WHEN i % 3 = 1 THEN 1 ELSE 0 END AS chk,
                          5 + (f * 7 + i * 11) % 50 AS t
                   FROM resp),
-            p AS (SELECT 'h' || (f % 5) AS site, status, mt,
+            p AS (SELECT 'h' || (f % 5) AS site, status, mt, chk,
                          CAST(4 * t - 1 AS BIGINT) AS blen,
                          CAST(t AS BIGINT) AS toks,
                          uri || '|' || md5(rtrim(repeat('tok ', CAST(t AS INT)))) AS keyed
@@ -413,6 +422,7 @@ object SourceQueries extends QueryPack {
           SELECT site, CAST(COUNT(*) AS BIGINT) AS n_responses,
                  CAST(SUM(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
                  CAST(SUM(CASE WHEN mt = 'text/html' THEN 1 ELSE 0 END) AS BIGINT) AS n_html,
+                 CAST(SUM(chk) AS BIGINT) AS n_chunked,
                  CAST(SUM(blen) AS BIGINT) AS body_bytes,
                  CAST(SUM(toks) AS BIGINT) AS token_sum,
                  CAST(SUM(CASE WHEN status = 200

@@ -349,18 +349,26 @@ object WarcSource {
 
   /** One HTTP response extracted from a WARC response record's payload:
     * status code, media type (Content-Type up to any ';'), body length,
-    * body md5 hex, and whitespace-token count of the body. */
+    * body md5 hex, whitespace-token count of the body, and whether the
+    * body arrived Transfer-Encoding: chunked (audit column — the oracle
+    * recomputes which fixture responses are chunked). */
   case class HttpRecord(file: String, idx: Int, uri: String, status: Int,
                         media_type: String, body_len: Long,
-                        body_md5: String, body_tokens: Long)
+                        body_md5: String, body_tokens: Long, chunked: Int)
 
   /** Parse an HTTP/1.1 response message in place (no payload copy):
-    * status line, headers up to the blank line, body = the rest. Returns
-    * (code, mediaType, bodyOffset, bodyLength) relative to `bytes`, or
-    * None when the slice is not an HTTP response (no CRLFCRLF split, or a
-    * malformed status line) — a WARC can legally carry non-HTTP payloads. */
-  private[sources] def parseHttpAt(bytes: Array[Byte], off: Int,
-                                   len: Int): Option[(Int, String, Int, Int)] = {
+    * status line, headers up to the blank line, body = the rest — either
+    * one identity segment, or, under `Transfer-Encoding: chunked`, the
+    * DE-CHUNKED data ranges ([[parseChunkedAt]]): real WET extraction
+    * hits chunked payloads, and a parser that treats the chunk framing
+    * as body bytes corrupts length, digest and tokens. Returns
+    * (code, mediaType, bodySegments, chunked) with segments as
+    * (offset, length) ranges into `bytes`, or None when the slice is not
+    * an HTTP response (no CRLFCRLF split, malformed status line, or
+    * malformed chunk framing) — a WARC can legally carry non-HTTP
+    * payloads. */
+  private[sources] def parseHttpAt(bytes: Array[Byte], off: Int, len: Int)
+      : Option[(Int, String, List[(Int, Int)], Boolean)] = {
     // Find the FIRST header/body split within the slice.
     var i = off
     var split = -1
@@ -376,17 +384,74 @@ object WarcSource {
     val status = lines.head.split(" ")
     if (status.length < 2 || !status(0).startsWith("HTTP/")) return None
     val code = try status(1).toInt catch { case _: NumberFormatException => return None }
-    val ctype = lines.tail
-      .find(_.toLowerCase.startsWith("content-type:"))
-      .map(_.substring("content-type:".length).trim.takeWhile(_ != ';').trim)
-      .getOrElse("")
-    Some((code, ctype, split + 4, end - (split + 4)))
+    def header(name: String): Option[String] = lines.tail
+      .find(_.toLowerCase.startsWith(name + ":"))
+      .map(_.substring(name.length + 1).trim)
+    val ctype = header("content-type")
+      .map(_.takeWhile(_ != ';').trim).getOrElse("")
+    val chunked = header("transfer-encoding")
+      .exists(_.toLowerCase.split(",").map(_.trim).contains("chunked"))
+    val bodyAt = split + 4
+    if (!chunked) Some((code, ctype, List((bodyAt, end - bodyAt)), false))
+    else parseChunkedAt(bytes, bodyAt, end).map(segs => (code, ctype, segs, true))
   }
 
-  /** Whole-payload convenience form of [[parseHttpAt]] (spec surface). */
+  /** RFC 9112 §7.1 chunked framing over [from, end): each chunk is a hex
+    * size line (optional `;ext` chunk extensions tolerated, CRLF
+    * terminated), that many data bytes, CRLF; the stream ends with a
+    * 0-size chunk, zero or more trailer header lines, and a final CRLF.
+    * STRICT: a bad hex digit, missing CRLF, truncated data, or any bytes
+    * after the terminator (the WARC Content-Length frames the record —
+    * trailing garbage means the framing disagrees) returns None. */
+  private[sources] def parseChunkedAt(bytes: Array[Byte], from: Int,
+                                      end: Int): Option[List[(Int, Int)]] = {
+    val segs = List.newBuilder[(Int, Int)]
+    var p = from
+    def lineEnd(at: Int): Int = { // index of CR of the next CRLF, or -1
+      var i = at
+      while (i + 1 < end && !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
+      if (i + 1 < end) i else -1
+    }
+    while (true) {
+      val cr = lineEnd(p)
+      if (cr < 0 || cr == p) return None // empty size line or no CRLF
+      val sizeLine = new String(bytes, p, cr - p, "US-ASCII")
+      val hexPart = sizeLine.takeWhile(_ != ';').trim
+      if (hexPart.isEmpty || !hexPart.forall(c => Character.digit(c, 16) >= 0))
+        return None
+      val size = try java.lang.Long.parseLong(hexPart, 16)
+      catch { case _: NumberFormatException => return None }
+      p = cr + 2
+      if (size == 0L) {
+        // Trailer section: header lines until the terminating CRLF.
+        var done = false
+        while (!done) {
+          if (p + 1 < end && bytes(p) == '\r' && bytes(p + 1) == '\n') {
+            p += 2; done = true
+          } else {
+            val tcr = lineEnd(p)
+            if (tcr < 0 || tcr == p) return None
+            p = tcr + 2
+          }
+        }
+        return if (p == end) Some(segs.result()) else None
+      }
+      if (size > (end - p).toLong - 2) return None // data + its CRLF must fit
+      segs += ((p, size.toInt))
+      p += size.toInt
+      if (!(bytes(p) == '\r' && bytes(p + 1) == '\n')) return None
+      p += 2
+    }
+    None // unreachable
+  }
+
+  /** Whole-payload convenience form of [[parseHttpAt]] (spec surface):
+    * returns the materialized (de-chunked) body bytes. */
   private[sources] def parseHttpPayload(bytes: Array[Byte]): Option[(Int, String, Array[Byte])] =
-    parseHttpAt(bytes, 0, bytes.length).map { case (code, ctype, bOff, bLen) =>
-      (code, ctype, java.util.Arrays.copyOfRange(bytes, bOff, bOff + bLen))
+    parseHttpAt(bytes, 0, bytes.length).map { case (code, ctype, segs, _) =>
+      val body = new java.io.ByteArrayOutputStream()
+      segs.foreach { case (o, l) => body.write(bytes, o, l) }
+      (code, ctype, body.toByteArray)
     }
 
   /** Distributed WET-style extraction: every WARC *response* record whose
@@ -400,18 +465,28 @@ object WarcSource {
       val out = Seq.newBuilder[HttpRecord]
       val clean = walkWarc(bytes) { (idx, recType, uri, payOff, payLen) =>
         if (recType == "response") {
-          parseHttpAt(bytes, payOff, payLen).foreach { case (code, ctype, bOff, bLen) =>
+          parseHttpAt(bytes, payOff, payLen).foreach { case (code, ctype, segs, chk) =>
             val digest = java.security.MessageDigest.getInstance("MD5")
-            digest.update(bytes, bOff, bLen)
-            val md = digest.digest().map("%02x".format(_)).mkString
+            var bLen = 0L
             var toks = 0L; var inTok = false
-            for (i <- bOff until bOff + bLen) {
-              val b = bytes(i)
-              val ws = b == ' ' || b == '\t' || b == '\r' || b == '\n'
-              if (ws) inTok = false
-              else if (!inTok) { toks += 1; inTok = true }
+            // Digest and tokenize across the de-chunked segments in
+            // order; inTok carries OVER segment boundaries — a chunk
+            // split mid-token must not double-count the token.
+            segs.foreach { case (o, l) =>
+              digest.update(bytes, o, l)
+              bLen += l
+              var i = o
+              while (i < o + l) {
+                val b = bytes(i)
+                val ws = b == ' ' || b == '\t' || b == '\r' || b == '\n'
+                if (ws) inTok = false
+                else if (!inTok) { toks += 1; inTok = true }
+                i += 1
+              }
             }
-            out += HttpRecord(name, idx, uri, code, ctype, bLen.toLong, md, toks)
+            val md = digest.digest().map("%02x".format(_)).mkString
+            out += HttpRecord(name, idx, uri, code, ctype, bLen, md, toks,
+              if (chk) 1 else 0)
           }
         }
       }
@@ -426,9 +501,39 @@ object WarcSource {
   //   type   = text/html when i % 2 == 0 else text/plain
   //   body   = "tok " × T, trailing space trimmed; T = 5 + (f*7 + i*11) % 50
   // so body_len = 4T − 1 and body_tokens = T — closed-form for the oracle.
+  // Responses with i % 3 == 1 arrive Transfer-Encoding: CHUNKED: the same
+  // body split into chunks of varying sizes 1 + (f + i + k) % 9 (k-th
+  // chunk — splits land mid-token on purpose), a chunk extension on the
+  // first size line, and a trailer header after the 0-chunk when
+  // i % 6 == 1. The DE-CHUNKED body equals the identity body, so the
+  // body_len/md5/token columns of the oracle hold unchanged — a parser
+  // that keeps the framing bytes, drops a chunk, or double-counts a
+  // split token cannot agree; n_chunked pins which rows took the path.
 
   def httpFixtureFiles(dir: String): Seq[String] =
     (0 until 12).map(f => f"$dir/http$f%02d.warc")
+
+  /** Chunked-encode `body` for response (f, i) per the fixture rule. */
+  private[graft] def chunkEncode(body: Array[Byte], f: Int, i: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"), 0, s.length)
+    var p = 0
+    var k = 0
+    while (p < body.length) {
+      val size = math.min(1 + (f + i + k) % 9, body.length - p)
+      // A chunk extension on the first size line — legal and routinely
+      // emitted by real servers; the parser must skip it.
+      ascii(java.lang.Long.toHexString(size.toLong) +
+        (if (k == 0) ";graft=1" else "") + "\r\n")
+      out.write(body, p, size)
+      ascii("\r\n")
+      p += size; k += 1
+    }
+    ascii("0\r\n")
+    if (i % 6 == 1) ascii("X-Graft-Trailer: done\r\n")
+    ascii("\r\n")
+    out.toByteArray
+  }
 
   private[graft] def httpFixtureShard(f: Int): Array[Byte] = {
     val buf = Array.newBuilder[Byte]
@@ -439,19 +544,23 @@ object WarcSource {
       val status = if (i % 5 == 4) "404 Not Found" else "200 OK"
       val ctype = if (i % 2 == 0) "text/html" else "text/plain"
       val t = 5 + (f * 7 + i * 11) % 50
-      val body = ("tok " * t).stripSuffix(" ")
-      val http = s"HTTP/1.1 $status\r\nContent-Type: $ctype\r\n" +
-        s"X-Crawler: graft\r\n\r\n$body"
-      buf ++= record("response", Some(uri), f"hrsp-$f%02d-$i%02d",
-        http.getBytes("US-ASCII"))
+      val body = ("tok " * t).stripSuffix(" ").getBytes("US-ASCII")
+      val chunked = i % 3 == 1
+      val head = s"HTTP/1.1 $status\r\nContent-Type: $ctype\r\n" +
+        (if (chunked) "Transfer-Encoding: chunked\r\n" else "") +
+        s"X-Crawler: graft\r\n\r\n"
+      val payload = head.getBytes("US-ASCII") ++
+        (if (chunked) chunkEncode(body, f, i) else body)
+      buf ++= record("response", Some(uri), f"hrsp-$f%02d-$i%02d", payload)
     }
     buf.result()
   }
 
-  /** Stage the HTTP fixture (same idempotence contract as [[stageFixture]]). */
+  /** Stage the HTTP fixture (same idempotence contract as
+    * [[stageFixture]]; V2 marker — V1 predates the chunked rows). */
   def stageHttpFixture(dir: String): Seq[String] = {
     val d = new java.io.File(dir)
-    val marker = new java.io.File(d, "_STAGED_WARC_HTTP_V1")
+    val marker = new java.io.File(d, "_STAGED_WARC_HTTP_V2")
     val paths = httpFixtureFiles(dir)
     if (!marker.exists()) {
       d.mkdirs()

@@ -111,6 +111,35 @@ class WarcSourceSpec extends SparkSpec {
       assert(WarcSource.parseHttpPayload(bad.getBytes("US-ASCII")).isEmpty, bad)
   }
 
+  test("chunked transfer-encoding de-chunks to the identity body") {
+    def msg(body: String): Array[Byte] =
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+        "Transfer-Encoding: chunked\r\n\r\n" + body).getBytes("US-ASCII")
+    // 3-byte + 5-byte chunks with an extension and a trailer.
+    val ok = msg("3;x=1\r\nabc\r\n5\r\ndefgh\r\n0\r\nX-T: v\r\n\r\n")
+    val Some((code, _, body)) = WarcSource.parseHttpPayload(ok): @unchecked
+    assert(code == 200 && new String(body, "US-ASCII") == "abcdefgh")
+    // The list TE form ("gzip, chunked") still routes to the chunk parser.
+    val listed = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: foo, chunked\r\n\r\n" +
+      "2\r\nhi\r\n0\r\n\r\n").getBytes("US-ASCII")
+    assert(WarcSource.parseHttpPayload(listed)
+      .exists(r => new String(r._3, "US-ASCII") == "hi"))
+    // Malformed framings refuse: bad hex, missing data CRLF, truncated
+    // data, garbage after the terminator, missing terminator.
+    for (bad <- Seq(
+        "zz\r\nabc\r\n0\r\n\r\n",
+        "3\r\nabcX5\r\ndefgh\r\n0\r\n\r\n",
+        "9\r\nabc\r\n0\r\n\r\n",
+        "3\r\nabc\r\n0\r\n\r\nEXTRA",
+        "3\r\nabc\r\n"))
+      assert(WarcSource.parseHttpPayload(msg(bad)).isEmpty, bad)
+    // Without the TE header the same bytes are an identity body — the
+    // header is what licenses chunk decoding.
+    val plain = ("HTTP/1.1 200 OK\r\n\r\n3\r\nabc\r\n0\r\n\r\n").getBytes("US-ASCII")
+    assert(WarcSource.parseHttpPayload(plain)
+      .exists(r => new String(r._3, "US-ASCII") == "3\r\nabc\r\n0\r\n\r\n"))
+  }
+
   test("httpResponses extracts only response records that parse as HTTP") {
     val dir = java.nio.file.Files.createTempDirectory("graft_warc_http_spec_")
       .toFile.getAbsolutePath
@@ -263,6 +292,27 @@ object WarcFramingProps extends org.scalacheck.Properties("warcFraming") {
           got.rec_type == t && got.uri == uri.getOrElse("") &&
             got.payload_len == p.length
         }
+    }
+
+  property("chunk framing round-trips arbitrary bodies under arbitrary splits") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.chooseNum(0, 255).map(_.toByte)).map(_.toArray),
+      Gen.nonEmptyListOf(Gen.chooseNum(1, 16))) { (body, sizes) =>
+      // Encode `body` as chunks cycling through `sizes`, decode through
+      // the full HTTP path, require bit-identical reassembly.
+      val out = new java.io.ByteArrayOutputStream()
+      def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"), 0, s.length)
+      ascii("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n")
+      var p = 0; var k = 0
+      while (p < body.length) {
+        val n = math.min(sizes(k % sizes.size), body.length - p)
+        ascii(java.lang.Long.toHexString(n.toLong) + "\r\n")
+        out.write(body, p, n); ascii("\r\n")
+        p += n; k += 1
+      }
+      ascii("0\r\n\r\n")
+      WarcSource.parseHttpPayload(out.toByteArray)
+        .exists(r => java.util.Arrays.equals(r._3, body))
     }
 
   property("end-truncation flags unclean and salvages exactly the undamaged prefix") =
