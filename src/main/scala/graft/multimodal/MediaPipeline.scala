@@ -1085,6 +1085,12 @@ object MediaPipeline {
             got += n
           }
           if (got != expect) return None
+          // The exact-raw-length contract cuts BOTH ways: a zlib stream
+          // still carrying data past the expected scanline bytes is as
+          // malformed as a short one — probe one extra byte and require
+          // the stream to be finished.
+          if (!inflater.finished() &&
+              inflater.inflate(new Array[Byte](1), 0, 1) > 0) return None
         } catch {
           case _: java.util.zip.DataFormatException => return None
         } finally inflater.end()

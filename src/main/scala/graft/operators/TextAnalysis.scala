@@ -473,7 +473,12 @@ object TextAnalysis extends QueryPack {
     * elements — replace-last-when-(a,b) — which equals the greedy
     * left-to-right merge because a merged symbol a||b can never equal
     * the pair's left element a (BpeLearnSpec pins the equivalence on
-    * randomized sequences). */
+    * randomized sequences). TOTAL on pair-exhausted corpora: t{r} is a
+    * LEFT JOIN (not CROSS), so when no mergeable pair remains the round
+    * passes the vocabulary through unchanged — matching the Spark
+    * side's early-exit (bpeVocabAfter's `exhausted`) instead of
+    * emptying every later v{r} (BpeLearnSpec pins the degenerate
+    * corpus). */
   private def bpeRoundsCte(k: Int): String = {
     val rounds = (1 to k).map { r =>
       s"""p$r AS (SELECT u.pair[1] AS a, u.pair[2] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
@@ -483,11 +488,13 @@ object TextAnalysis extends QueryPack {
                   GROUP BY 1, 2),
             t$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
             v$r AS (SELECT word, freq,
-                           list_reduce(list_transform(syms, s -> [s]),
-                             (acc, x) -> CASE WHEN acc[-1] = t.a AND x[1] = t.b
-                                         THEN list_append(acc[1:len(acc)-1], t.a || t.b)
-                                         ELSE list_concat(acc, x) END) AS syms
-                    FROM v${r - 1} CROSS JOIN t$r t)"""
+                           CASE WHEN t.a IS NULL THEN syms ELSE
+                             list_reduce(list_transform(syms, s -> [s]),
+                               (acc, x) -> CASE WHEN acc[-1] = t.a AND x[1] = t.b
+                                           THEN list_append(acc[1:len(acc)-1], t.a || t.b)
+                                           ELSE list_concat(acc, x) END)
+                           END AS syms
+                    FROM v${r - 1} LEFT JOIN t$r t ON TRUE)"""
     }.mkString(",\n")
     s"""w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
               FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)

@@ -148,6 +148,58 @@ class PixelDecodeSpec extends SparkSpec {
     assert(decodePngPixels(sigIhdr ++ firstIdat ++ iend).isEmpty)
   }
 
+  test("PNG: an IDAT stream carrying EXTRA raw bytes is rejected like a short one") {
+    // Rebuild a valid PNG with one surplus byte deflated into the IDAT:
+    // the exact-per-layout raw-length contract must cut both ways.
+    val media = pixelPng(4L)
+    val inflater = new java.util.zip.Inflater()
+    val idat = new java.io.ByteArrayOutputStream()
+    var off = 33
+    while (off < media.length) {
+      val len = ((media(off) & 0xff) << 24) | ((media(off + 1) & 0xff) << 16) |
+        ((media(off + 2) & 0xff) << 8) | (media(off + 3) & 0xff)
+      if (new String(media, off + 4, 4, "US-ASCII") == "IDAT")
+        idat.write(media, off + 8, len)
+      off += 12 + len
+    }
+    inflater.setInput(idat.toByteArray)
+    val raw = new Array[Byte](1 << 16)
+    var n = 0
+    while (!inflater.finished()) n += inflater.inflate(raw, n, raw.length - n)
+    inflater.end()
+    val overlong = java.util.Arrays.copyOf(raw, n + 1) // one extra 0x00 byte
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(overlong); deflater.finish()
+    val zbuf = new Array[Byte](overlong.length + 64)
+    var zLen = 0
+    while (!deflater.finished()) zLen += deflater.deflate(zbuf, zLen, zbuf.length - zLen)
+    deflater.end()
+    val z = java.util.Arrays.copyOf(zbuf, zLen)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + data.length)
+      b.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(b.array(), 4, 4 + data.length)
+      b.putInt(crc.getValue.toInt)
+      b.array()
+    }
+    val rebuilt = media.take(33) ++ chunk("IDAT", z) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(decodePngPixels(rebuilt).isEmpty,
+      "an over-long IDAT stream must refuse, not be silently truncated")
+    // Control: the same rebuild WITHOUT the surplus byte still decodes.
+    val deflater2 = new java.util.zip.Deflater()
+    deflater2.setInput(java.util.Arrays.copyOf(raw, n)); deflater2.finish()
+    val zbuf2 = new Array[Byte](n + 64)
+    var zLen2 = 0
+    while (!deflater2.finished()) zLen2 += deflater2.deflate(zbuf2, zLen2, zbuf2.length - zLen2)
+    deflater2.end()
+    val control = media.take(33) ++
+      chunk("IDAT", java.util.Arrays.copyOf(zbuf2, zLen2)) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(decodePngPixels(control).isDefined)
+  }
+
   test("PNG decode verifies every chunk CRC; the interlace byte is load-bearing") {
     val media = pixelPng(4L) // id 4: sequential layout (pngInterlaced = odd ids)
     // Flip one byte inside the first IDAT payload: chunk CRC must fail.

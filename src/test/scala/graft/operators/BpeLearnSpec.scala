@@ -37,6 +37,26 @@ class BpeLearnSpec extends SparkSpec {
       (2, 2L, 3L, h("abc") + h("cc"))))
   }
 
+  test("a pair-exhausted corpus keeps its vocabulary through the remaining rounds") {
+    import spark.implicits._
+    // "ab" and "cd" exhaust after two merges; rounds 3..10 must be
+    // no-ops that KEEP the vocab (the oracle mirrors this with a LEFT
+    // JOIN pass-through — before that fix an exhausted round emptied
+    // every later v{r} and the encode oracle returned an empty
+    // histogram; cross-engine agreement on this corpus is re-verified
+    // in the round-14 dev loop via Verify + DuckDB).
+    val docs = Seq("ab ab cd", "ab cd", "cd ab").toDF("text")
+    val merges = TextAnalysis.bpeLearnOf(spark, docs, k = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(merges.toSeq == Seq((1, "a", "b"), (2, "c", "d")),
+      "exhaustion must stop the merge table, not pad it")
+    val hist = TextAnalysis.bpeEncodeOf(spark, docs, k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    // Both words fully merged to single tokens; the vocab survives.
+    assert(hist.toSeq == Seq((1, 2L)),
+      s"exhausted corpus lost its vocabulary: ${hist.toSeq}")
+  }
+
   test("overlapping runs merge greedily left-to-right, not replace-all") {
     // "aaa" under (a,a) → [aa, a]; "aaaa" → [aa, aa].
     assert(TextAnalysis.applyBpeMerge(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
