@@ -2188,6 +2188,352 @@ object MediaPipeline {
       .toDF()
   }
 
+  // ------------------------------ Fragmented MP4 (moof/traf/trun) demux
+  //
+  // DASH/CMAF-era files carry NO monolithic stbl: the moov's sample
+  // tables are empty and every fragment ships its own timing/size data
+  // in a moof (ISO 14496-12 §8.8). The load-bearing semantics are the
+  // THREE-LEVEL DEFAULT PRECEDENCE — a per-sample trun field beats a
+  // tfhd fragment default beats the mvex/trex movie default — plus the
+  // tfdt rule that baseMediaDecodeTime equals the sum of all earlier
+  // fragments' durations. Staged files exercise every precedence cell
+  // and both tfdt versions; the decoder enforces tfdt continuity, the
+  // default-base-is-moof data_offset arithmetic, and an EXACT mdat fit
+  // (the fragment's samples must fill its mdat payload precisely), so a
+  // wrong precedence chain breaks structurally, not just numerically.
+  //
+  // All mod-3 staging variety keys on m = id/3: staged ids are the
+  // %3==0 residue class, where any `id % 3` term is identically zero
+  // (the stco/JPEG-height aliasing class caught in round 13).
+
+  def fmp4FragCount(id: Long): Int = (2 + (id / 3) % 3).toInt // 2..4
+  def fmp4MediaTimescale(id: Long): Int = (24000 + id % 1000).toInt
+  def fmp4TrexDur(id: Long): Int = (500 + id % 100).toInt
+  def fmp4TrexSize(id: Long): Int = (300 + id % 200).toInt
+  def fmp4SampleCount(id: Long, f: Int): Int = (3 + (id / 3 + f) % 4).toInt // 3..6
+  /** trun carries per-sample durations iff (m+f) even; per-sample sizes
+    * iff (m+2f) ≡ 0 (mod 3) — periods 2 and 3, so over ≥2 fragments the
+    * four present/absent cells all occur across the corpus. */
+  def fmp4TrunDurPresent(id: Long, f: Int): Boolean = (id / 3 + f) % 2 == 0
+  def fmp4TrunSizePresent(id: Long, f: Int): Boolean = (id / 3 + 2 * f) % 3 == 0
+  /** tfhd fragment defaults: duration override iff (m+f) ≡ 0 (mod 3),
+    * size override iff (m+f) ≡ 1 — mutually exclusive with each other
+    * but free to coincide with the trun flags, so the trun>tfhd>trex
+    * chain is exercised at every level. */
+  def fmp4TfhdDurPresent(id: Long, f: Int): Boolean = (id / 3 + f) % 3 == 0
+  def fmp4TfhdSizePresent(id: Long, f: Int): Boolean = (id / 3 + f) % 3 == 1
+  def fmp4TfhdDur(id: Long, f: Int): Int = (600 + (id + f * 7) % 100).toInt
+  def fmp4TfhdSize(id: Long, f: Int): Int = (400 + (id + f * 11) % 150).toInt
+  def fmp4SampleDur(id: Long, f: Int, i: Int): Int =
+    (256 + (id + f * 5 + i * 3) % 128).toInt
+  def fmp4SampleSize(id: Long, f: Int, i: Int): Int =
+    (100 + (id * 7 + f * 13 + i * 29) % 500).toInt
+  def fmp4TfdtVersion(id: Long): Int = ((id / 3) % 2).toInt
+
+  /** Effective sample size under §8.8.8 precedence: trun > tfhd > trex. */
+  def fmp4EffSize(id: Long, f: Int, i: Int): Int =
+    if (fmp4TrunSizePresent(id, f)) fmp4SampleSize(id, f, i)
+    else if (fmp4TfhdSizePresent(id, f)) fmp4TfhdSize(id, f)
+    else fmp4TrexSize(id)
+  def fmp4EffDur(id: Long, f: Int, i: Int): Int =
+    if (fmp4TrunDurPresent(id, f)) fmp4SampleDur(id, f, i)
+    else if (fmp4TfhdDurPresent(id, f)) fmp4TfhdDur(id, f)
+    else fmp4TrexDur(id)
+
+  private def fmp4FullBox(tag: String, version: Int, flags: Int,
+                          payload: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(4 + payload.length)
+    b.putInt((version << 24) | (flags & 0xffffff)).put(payload)
+    mp4Box(tag, b.array())
+  }
+
+  /** A COMPLETE fragmented MP4 for doc `id`: ftyp(iso5) → moov(mvhd,
+    * trak(tkhd, mdia(mdhd, hdlr, minf(stbl with EMPTY stts/stsc/stsz/
+    * stco — the fMP4 shape), )), mvex(trex)) → F × (moof(mfhd(seq),
+    * traf(tfhd, tfdt, trun)) mdat). data_offset is the real
+    * default-base-is-moof value (moof size + 8) and each mdat payload
+    * is exactly the fragment's sample bytes. */
+  def fragMp4(id: Long): Array[Byte] = {
+    val be = java.nio.ByteOrder.BIG_ENDIAN
+    def buf(n: Int) = java.nio.ByteBuffer.allocate(n).order(be)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val nF = fmp4FragCount(id)
+    val tfdtV = fmp4TfdtVersion(id)
+
+    val stsd = mp4Box("stsd", buf(8).putInt(0).putInt(0).array())
+    val stts0 = mp4Box("stts", buf(8).putInt(0).putInt(0).array())
+    val stsc0 = mp4Box("stsc", buf(8).putInt(0).putInt(0).array())
+    val stsz0 = mp4Box("stsz", buf(12).putInt(0).putInt(0).putInt(0).array())
+    val stco0 = mp4Box("stco", buf(8).putInt(0).putInt(0).array())
+    val stbl = mp4Box("stbl", stsd ++ stts0 ++ stsc0 ++ stsz0 ++ stco0)
+    val minf = mp4Box("minf", stbl)
+    val mdhd = {
+      val b = buf(24)
+      b.putInt(0).putInt(0).putInt(0)
+        .putInt(fmp4MediaTimescale(id)).putInt(0) // duration 0: fragmented
+        .putShort(0x55c4.toShort).putShort(0)
+      mp4Box("mdhd", b.array())
+    }
+    val hdlr = {
+      val b = buf(25)
+      b.putInt(0).putInt(0).put("vide".getBytes(ascii))
+        .putInt(0).putInt(0).putInt(0).put(0.toByte)
+      mp4Box("hdlr", b.array())
+    }
+    val tkhd = mp4Box("tkhd", new Array[Byte](84))
+    val mdia = mp4Box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = mp4Box("trak", tkhd ++ mdia)
+    val trex = {
+      val b = buf(20)
+      b.putInt(1) // track_ID
+        .putInt(1) // default_sample_description_index
+        .putInt(fmp4TrexDur(id)).putInt(fmp4TrexSize(id))
+        .putInt(0) // default_sample_flags
+      fmp4FullBox("trex", 0, 0, b.array())
+    }
+    val mvex = mp4Box("mvex", trex)
+    val mvhd = {
+      val b = buf(100)
+      b.putInt(0).putInt(0).putInt(0)
+        .putInt(600).putInt(0) // movie duration 0: fragmented
+        .putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+        .putInt(0).putInt(0)
+        .putInt(0x00010000).putInt(0).putInt(0)
+        .putInt(0).putInt(0x00010000).putInt(0)
+        .putInt(0).putInt(0).putInt(0x40000000)
+        .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+        .putInt(2)
+      mp4Box("mvhd", b.array())
+    }
+    val moov = mp4Box("moov", mvhd ++ trak ++ mvex)
+    val ftyp = {
+      val b = buf(12)
+      b.put("iso5".getBytes(ascii)).putInt(0).put("dash".getBytes(ascii))
+      mp4Box("ftyp", b.array())
+    }
+
+    var decodeTime = 0L
+    val frags = (0 until nF).flatMap { f =>
+      val sc = fmp4SampleCount(id, f)
+      val durP = fmp4TrunDurPresent(id, f)
+      val sizeP = fmp4TrunSizePresent(id, f)
+      val tDurP = fmp4TfhdDurPresent(id, f)
+      val tSizeP = fmp4TfhdSizePresent(id, f)
+      val mfhd = fmp4FullBox("mfhd", 0, 0, buf(4).putInt(f + 1).array())
+      val tfhd = {
+        val flags = 0x020000 | (if (tDurP) 0x8 else 0) | (if (tSizeP) 0x10 else 0)
+        val b = buf(4 + (if (tDurP) 4 else 0) + (if (tSizeP) 4 else 0))
+        b.putInt(1) // track_ID
+        if (tDurP) b.putInt(fmp4TfhdDur(id, f))
+        if (tSizeP) b.putInt(fmp4TfhdSize(id, f))
+        fmp4FullBox("tfhd", 0, flags, b.array())
+      }
+      val tfdt = {
+        val b = buf(if (tfdtV == 0) 4 else 8)
+        if (tfdtV == 0) b.putInt(decodeTime.toInt) else b.putLong(decodeTime)
+        fmp4FullBox("tfdt", tfdtV, 0, b.array())
+      }
+      // trun size is known before data_offset is: 8 hdr + 4 verflags +
+      // 4 count + 4 data_offset + 4·sc·(durP + sizeP) sample fields.
+      val trunSize = 20 + 4 * sc * ((if (durP) 1 else 0) + (if (sizeP) 1 else 0))
+      val trafSize = 8 + tfhd.length + tfdt.length + trunSize
+      val moofSize = 8 + mfhd.length + trafSize
+      val trun = {
+        val flags = 0x1 | (if (durP) 0x100 else 0) | (if (sizeP) 0x200 else 0)
+        val b = buf(trunSize - 12)
+        b.putInt(sc).putInt(moofSize + 8) // data_offset: first mdat payload byte
+        (0 until sc).foreach { i =>
+          if (durP) b.putInt(fmp4SampleDur(id, f, i))
+          if (sizeP) b.putInt(fmp4SampleSize(id, f, i))
+        }
+        fmp4FullBox("trun", 0, flags, b.array())
+      }
+      val traf = mp4Box("traf", tfhd ++ tfdt ++ trun)
+      val moof = mp4Box("moof", mfhd ++ traf)
+      require(moof.length == moofSize, s"moof size model drift: ${moof.length} vs $moofSize")
+      val fragBytes = (0 until sc).map(i => fmp4EffSize(id, f, i).toLong).sum
+      val mdat = mp4Box("mdat", new Array[Byte](fragBytes.toInt))
+      decodeTime += (0 until sc).map(i => fmp4EffDur(id, f, i).toLong).sum
+      moof ++ mdat
+    }
+    ftyp ++ moov ++ frags.toArray
+  }
+
+  /** Per-doc fragmented-demux statistics. sizeMoment weights each
+    * sample's EFFECTIVE size by its global (cross-fragment) index, so a
+    * wrong precedence chain or fragment order shifts it; tfdtSum is the
+    * sum of baseMediaDecodeTimes the decoder has ALSO verified equal
+    * the running duration; dataOffSum prices the per-fragment moof size
+    * arithmetic. */
+  final case class DecodedMp4Frags(nFrags: Int, seqSum: Long, nSamples: Int,
+                                   totalBytes: Long, durTotal: Long,
+                                   sizeMoment: Long, tfdtSum: Long,
+                                   dataOffSum: Long, timescale: Int)
+
+  /** REAL fragmented-MP4 demux: moov(mdhd timescale, EMPTY stbl
+    * enforced, mvex/trex defaults) then the (moof mdat)+ sequence.
+    * Strict profile: mfhd sequence strictly increasing; tfhd must set
+    * default-base-is-moof and nothing beyond the duration/size
+    * defaults; tfdt must equal the cumulative decode duration; trun
+    * data_offset must land on the first payload byte of the adjacent
+    * mdat; each mdat payload must hold EXACTLY the fragment's sample
+    * bytes; trailing garbage after the last fragment refuses. */
+  def decodeMp4Fragments(media: Array[Byte]): Option[DecodedMp4Frags] = {
+    def u32(off: Int): Long =
+      ((media(off) & 0xffL) << 24) | ((media(off + 1) & 0xffL) << 16) |
+        ((media(off + 2) & 0xffL) << 8) | (media(off + 3) & 0xffL)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    if (media.length < 16 || u32(0) < 16 || u32(0) > media.length ||
+        new String(media, 4, 4, ascii) != "ftyp") return None
+    val moovHdr = for {
+      (ms, me) <- mp4FindBox(media, "moov", u32(0).toInt, media.length)
+      (ts, te) <- mp4FindBox(media, "trak", ms, me)
+      (ds, de) <- mp4FindBox(media, "mdia", ts, te)
+      (hs, he) <- mp4FindBox(media, "mdhd", ds, de)
+      if he - hs == 24 && u32(hs) == 0L
+      timescale = u32(hs + 12)
+      if timescale > 0 && timescale <= Int.MaxValue
+      (ns, ne) <- mp4FindBox(media, "minf", ds, de)
+      (bs, be) <- mp4FindBox(media, "stbl", ns, ne)
+      (zs, ze) <- mp4FindBox(media, "stsz", bs, be)
+      // The fMP4 shape: the moov sample tables must be EMPTY.
+      if ze - zs == 12 && u32(zs) == 0L && u32(zs + 4) == 0L && u32(zs + 8) == 0L
+      (vs, ve) <- mp4FindBox(media, "mvex", ms, me)
+      (xs, xe) <- mp4FindBox(media, "trex", vs, ve)
+      if xe - xs == 24 && u32(xs) == 0L
+      trackId = u32(xs + 4)
+      if trackId == 1L && u32(xs + 8) == 1L // default_sample_description_index
+      moovEnd = me
+    } yield (timescale.toInt, u32(xs + 12), u32(xs + 16), moovEnd)
+    moovHdr.flatMap { case (timescale, trexDur, trexSize, moovEnd) =>
+      var off = moovEnd
+      var nFrags = 0; var seqSum = 0L; var prevSeq = 0L
+      var nSamples = 0L; var totalBytes = 0L; var durTotal = 0L
+      var sizeMoment = 0L; var tfdtSum = 0L; var dataOffSum = 0L
+      var ok = true
+      while (ok && off < media.length) {
+        val step = for {
+          (fs, fe) <- mp4FindBox(media, "moof", off, media.length)
+          if fs == off + 8 // moof must start the remaining stream
+          (hs, he) <- mp4FindBox(media, "mfhd", fs, fe)
+          if he - hs == 8 && u32(hs) == 0L
+          seq = u32(hs + 4)
+          if seq > prevSeq
+          (as, ae) <- mp4FindBox(media, "traf", fs, fe)
+          (ths, the) <- mp4FindBox(media, "tfhd", as, ae)
+          verFlags = u32(ths)
+          if (verFlags >> 24) == 0L
+          flags = (verFlags & 0xffffff).toInt
+          // Strict: default-base-is-moof, only dur/size defaults beyond.
+          if (flags & 0x020000) != 0 && (flags & ~0x020018) == 0
+          if u32(ths + 4) == 1L // track_ID must match the trex track
+          tDurP = (flags & 0x8) != 0
+          tSizeP = (flags & 0x10) != 0
+          if the - ths == 8 + (if (tDurP) 4 else 0) + (if (tSizeP) 4 else 0)
+          tfhdDur = if (tDurP) u32(ths + 8) else -1L
+          tfhdSize = if (tSizeP) u32(ths + (if (tDurP) 12 else 8)) else -1L
+          (tds, tde) <- mp4FindBox(media, "tfdt", as, ae)
+          tfdtVer = (u32(tds) >> 24).toInt
+          if (u32(tds) & 0xffffffL) == 0L && (tfdtVer == 0 || tfdtVer == 1)
+          if tde - tds == (if (tfdtVer == 0) 8 else 12)
+          baseTime = if (tfdtVer == 0) u32(tds + 4)
+                     else (u32(tds + 4) << 32) | u32(tds + 8)
+          // §8.8.12: baseMediaDecodeTime is the sum of the decode
+          // durations of all earlier fragments' samples.
+          if baseTime == durTotal
+          (rs, re) <- mp4FindBox(media, "trun", as, ae)
+          trunVf = u32(rs)
+          if (trunVf >> 24) == 0L
+          trunFlags = (trunVf & 0xffffff).toInt
+          if (trunFlags & 0x1) != 0 && (trunFlags & ~0x301) == 0
+          durP = (trunFlags & 0x100) != 0
+          sizeP = (trunFlags & 0x200) != 0
+          sc = u32(rs + 4)
+          if sc > 0 && sc <= 65536
+          if re - rs == 12 + 4 * sc * ((if (durP) 1 else 0) + (if (sizeP) 1 else 0))
+          dataOff = u32(rs + 8).toInt.toLong // signed 32
+          if dataOff == (fe - off) + 8 // moof size + mdat header: first payload byte
+          (mds, mde) <- mp4FindBox(media, "mdat", fe, media.length)
+          if mds == fe + 8 // mdat must be adjacent to its moof
+        } yield {
+          var fragBytes = 0L; var fragDur = 0L; var localMoment = 0L
+          var p = rs + 12
+          var i = 0
+          var sane = true
+          while (sane && i < sc.toInt) {
+            var dur = -1L; var size = -1L
+            if (durP) { dur = u32(p); p += 4 }
+            if (sizeP) { size = u32(p); p += 4 }
+            val effDur = if (dur >= 0) dur else if (tfhdDur >= 0) tfhdDur else trexDur
+            val effSize = if (size >= 0) size else if (tfhdSize >= 0) tfhdSize else trexSize
+            if (effDur <= 0 || effSize <= 0 || effSize > Int.MaxValue) sane = false
+            else {
+              fragBytes += effSize; fragDur += effDur
+              localMoment += (nSamples + i) * effSize
+              i += 1
+            }
+          }
+          // Exact mdat fit: the fragment's samples fill the payload.
+          if (!sane || (mde - mds).toLong != fragBytes) None
+          else {
+            nFrags += 1; seqSum += seq; prevSeq = seq
+            totalBytes += fragBytes; durTotal += fragDur
+            sizeMoment += localMoment; tfdtSum += baseTime
+            dataOffSum += dataOff
+            nSamples += sc
+            Some(mde) // continue after the mdat
+          }
+        }
+        step.flatten match {
+          case Some(next) => off = next
+          case None       => ok = false
+        }
+      }
+      if (ok && nFrags > 0 && off == media.length)
+        Some(DecodedMp4Frags(nFrags, seqSum, nSamples.toInt, totalBytes,
+          durTotal, sizeMoment, tfdtSum, dataOffSum, timescale))
+      else None
+    }
+  }
+
+  /** fMP4-staged media table: every 3rd doc a COMPLETE fragmented MP4
+    * ([[fragMp4]]), the rest bare text. */
+  def mp4FragmentStaged(s: SparkSession, dir: String): DataFrame =
+    mp4FragmentMediaOf(s, graft.Tables.documents(s, dir).select(col("doc_id"), col("source")))
+
+  def mp4FragmentMediaOf(s: SparkSession, ids: DataFrame): DataFrame = {
+    import s.implicits._
+    ids.as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        val media =
+          if (id % 3 == 0) fragMp4(id)
+          else s"doc $id".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        MediaRow(id, src, media)
+      })
+      .toDF()
+  }
+
+  case class Mp4FragStats(doc_id: Long, source: String, n_frags: Int,
+                          seq_sum: Long, n_samples: Int, total_bytes: Long,
+                          dur_total: Long, size_moment: Long, tfdt_sum: Long,
+                          data_off_sum: Long, timescale: Int)
+
+  /** Fragmented-MP4 demux pass: the decode is the filter. */
+  def decodedMp4Fragments(s: SparkSession, dir: String): DataFrame =
+    decodedMp4FragmentsOf(s, mp4FragmentStaged(s, dir))
+
+  def decodedMp4FragmentsOf(s: SparkSession, mediaDf: DataFrame): DataFrame = {
+    import s.implicits._
+    mediaDf.as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        decodeMp4Fragments(r.media).map(m =>
+          Mp4FragStats(r.doc_id, r.source, m.nFrags, m.seqSum, m.nSamples,
+            m.totalBytes, m.durTotal, m.sizeMoment, m.tfdtSum,
+            m.dataOffSum, m.timescale))
+      })
+      .toDF()
+  }
+
   // --------------------------------- JPEG entropy (coefficient) decode
   //
   // The honest JPEG gate (NOTES.md "Why JPEG pixel decode stays out"):

@@ -333,6 +333,31 @@ object MultimodalQueries extends QueryPack {
           sum("ctts_moment").as("ctts_moment_total"))
         .orderBy("source")),
 
+    // The fMP4/DASH half of the demux gate: fragmented files have NO
+    // monolithic stbl — every moof ships its own timing/size tables.
+    // Staged files exercise the full §8.8.8 default precedence (trun
+    // per-sample > tfhd fragment default > mvex/trex movie default),
+    // both tfdt versions, and real default-base-is-moof data offsets;
+    // the decoder ENFORCES tfdt == cumulative decode duration, the
+    // data_offset arithmetic, and an exact per-fragment mdat fit, so
+    // the global-index size moment pins the precedence chain and
+    // fragment order end to end.
+    "mm_mp4_fragments" -> ((s, d) =>
+      MediaPipeline.decodedMp4Fragments(s, d)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_video"),
+          sum(col("n_frags").cast("long")).as("frags_total"),
+          sum("seq_sum").as("seq_total"),
+          sum(col("n_samples").cast("long")).as("samples_total"),
+          sum("total_bytes").as("bytes_total"),
+          sum("dur_total").as("dur_units_total"),
+          sum("size_moment").as("moment_total"),
+          sum("tfdt_sum").as("tfdt_total"),
+          sum("data_off_sum").as("data_off_total"),
+          sum(col("timescale").cast("long")).as("ts_sum"))
+        .orderBy("source")),
+
     // The honest JPEG gate, one layer below pixels: the entropy layer —
     // Huffman scan decode with the Annex K.3 tables, DC prediction,
     // EOB/ZRL/(run,size) expansion, one's-complement EXTEND, and
@@ -828,6 +853,76 @@ object MultimodalQueries extends QueryPack {
          JOIN v USING (doc_id)
          JOIN perc pc USING (doc_id)
          JOIN cagg ca USING (doc_id)
+         GROUP BY p.source ORDER BY p.source""",
+    // The staged-fMP4 model recomputed closed-form (m = doc_id/3, the
+    // staged-residue index): F = 2 + m%3 fragments of 3 + (m+f)%4
+    // samples; per-sample trun durations present iff (m+f) even, sizes
+    // iff (m+2f)≡0 (3); tfhd duration override iff (m+f)≡0 (3), size
+    // override iff (m+f)≡1; trex defaults 500+id%100 / 300+id%200.
+    // Effective values follow trun>tfhd>trex; the global sample index
+    // is a ROW_NUMBER window over (f,i); tfdt is the windowed prefix
+    // sum of per-fragment durations; data_offset is the closed moof
+    // size (16 mfhd + tfhd 16+4·overrides + tfdt 16/20 by version m%2
+    // + trun 20+4·sc·present + traf/moof headers) + 8.
+    "mm_mp4_fragments" ->
+      """WITH v AS (SELECT doc_id, source, doc_id // 3 AS m,
+                           CAST(2 + (doc_id // 3) % 3 AS BIGINT) AS nf,
+                           CAST(24000 + doc_id % 1000 AS BIGINT) AS ts,
+                           CAST(500 + doc_id % 100 AS BIGINT) AS dtrex,
+                           CAST(300 + doc_id % 200 AS BIGINT) AS strex
+                    FROM documents WHERE doc_id % 3 = 0),
+            frag AS (SELECT v.doc_id, v.source, v.m, v.ts, v.dtrex, v.strex,
+                            fs.f, 3 + (v.m + fs.f) % 4 AS sc,
+                            ((v.m + fs.f) % 2 = 0) AS durp,
+                            ((v.m + 2*fs.f) % 3 = 0) AS sizep,
+                            ((v.m + fs.f) % 3 = 0) AS tdurp,
+                            ((v.m + fs.f) % 3 = 1) AS tsizep,
+                            600 + (v.doc_id + fs.f*7) % 100 AS dtfhd,
+                            400 + (v.doc_id + fs.f*11) % 150 AS stfhd
+                     FROM v, LATERAL (SELECT unnest(range(v.nf)) AS f) fs),
+            smp AS (SELECT g.doc_id, g.source, g.f, us.i,
+                           CASE WHEN g.sizep
+                                THEN 100 + (g.doc_id*7 + g.f*13 + us.i*29) % 500
+                                WHEN g.tsizep THEN g.stfhd ELSE g.strex END AS esz,
+                           CASE WHEN g.durp
+                                THEN 256 + (g.doc_id + g.f*5 + us.i*3) % 128
+                                WHEN g.tdurp THEN g.dtfhd ELSE g.dtrex END AS edur
+                    FROM frag g, LATERAL (SELECT unnest(range(g.sc)) AS i) us),
+            smpg AS (SELECT doc_id, source, esz, edur,
+                            ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f, i) - 1 AS gi
+                     FROM smp),
+            perfrag AS (SELECT doc_id, f, SUM(edur) AS fdur
+                        FROM smp GROUP BY doc_id, f),
+            tfdt AS (SELECT doc_id,
+                            COALESCE(SUM(fdur) OVER (PARTITION BY doc_id ORDER BY f
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS basetime
+                     FROM perfrag),
+            tfdts AS (SELECT doc_id, SUM(basetime) AS tfdt_sum FROM tfdt GROUP BY doc_id),
+            doff AS (SELECT g.doc_id,
+                            SUM(40 + (16 + CASE WHEN g.tdurp THEN 4 ELSE 0 END
+                                         + CASE WHEN g.tsizep THEN 4 ELSE 0 END)
+                                   + (CASE WHEN g.m % 2 = 0 THEN 16 ELSE 20 END)
+                                   + (20 + 4*g.sc*((CASE WHEN g.durp THEN 1 ELSE 0 END)
+                                                 + (CASE WHEN g.sizep THEN 1 ELSE 0 END)))) AS off_sum
+                     FROM frag g GROUP BY g.doc_id),
+            per AS (SELECT doc_id, source, COUNT(*) AS n_samples,
+                           SUM(esz) AS bytes, SUM(edur) AS dur,
+                           SUM(gi * esz) AS mom
+                    FROM smpg GROUP BY doc_id, source)
+         SELECT p.source, CAST(COUNT(*) AS BIGINT) AS n_video,
+                CAST(SUM(v.nf) AS BIGINT) AS frags_total,
+                CAST(SUM(v.nf * (v.nf + 1) // 2) AS BIGINT) AS seq_total,
+                CAST(SUM(p.n_samples) AS BIGINT) AS samples_total,
+                CAST(SUM(p.bytes) AS BIGINT) AS bytes_total,
+                CAST(SUM(p.dur) AS BIGINT) AS dur_units_total,
+                CAST(SUM(p.mom) AS BIGINT) AS moment_total,
+                CAST(SUM(t.tfdt_sum) AS BIGINT) AS tfdt_total,
+                CAST(SUM(o.off_sum) AS BIGINT) AS data_off_total,
+                CAST(SUM(v.ts) AS BIGINT) AS ts_sum
+         FROM per p
+         JOIN v USING (doc_id)
+         JOIN tfdts t USING (doc_id)
+         JOIN doff o USING (doc_id)
          GROUP BY p.source ORDER BY p.source""",
     // The staged-JPEG coefficient model recomputed closed-form: per
     // block b, DC = ((id·31 + b·17) mod 128 − 64) dequantized by q(0);
