@@ -177,6 +177,44 @@ object TextAnalysis extends QueryPack {
           md5(array_join(expr("slice(toks, tok_start + 1, 64)"), " ")).as("chunk_hash"))
         .orderBy("doc_id", "chunk_idx")),
 
+    // C4-style cross-document line dedup — the boilerplate rule ("drop
+    // any line occurring three or more times in the corpus") that
+    // strips headers, cookie banners and license blurbs from crawl
+    // text. The corpus has no newlines, so the line unit is the
+    // non-overlapping 4-token segment (the same segmentation both
+    // engines derive); a segment appearing in >= 3 DISTINCT docs is
+    // boilerplate and removed. Unlike dedup_span_ngrams (which FLAGS
+    // shared overlapping windows) this executes the removal and emits
+    // the cleaned-doc accounting: surviving segments, surviving tokens
+    // and the kept-index checksum that pins WHICH segments were cut.
+    // Scale shape: segment building is map-only array expressions; the
+    // frequency pass is one uniform-key groupBy (partial-aggregated)
+    // over segment strings; the boilerplate set is tiny by construction
+    // (only corpus-repeated segments survive the HAVING), so the join
+    // back is broadcast-able and AQE picks that up at runtime.
+    "text_line_dedup" -> ((s, d) => {
+      val segs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .select(col("doc_id"), col("n"),
+          posexplode(expr(
+            "transform(sequence(0, int((n - 1) / 4)), g -> array_join(slice(toks, g * 4 + 1, 4), ' '))"))
+            .as(Seq("seg_idx", "seg")))
+        .withColumn("seg_tokens", least(lit(4), col("n") - col("seg_idx") * 4))
+      val boiler = segs.groupBy("seg")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 3)
+        .select(col("seg"), lit(1).as("boiler"))
+      segs.join(boiler, Seq("seg"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_segments"),
+          sum(when(col("boiler").isNull, 1).otherwise(0)).as("n_kept"),
+          sum(when(col("boiler").isNull, col("seg_tokens")).otherwise(0)).as("kept_tokens"),
+          sum(when(col("boiler").isNull, col("seg_idx").cast("long")).otherwise(0L)).as("kept_idx_sum"))
+        .orderBy("doc_id")
+    }),
+
     // Document fingerprint: rolling polynomial hash over md5-derived token
     // hashes — a stable 30-bit content signature (PortableHash).
     "text_fingerprint" -> ((s, d) =>
@@ -569,6 +607,26 @@ object TextAnalysis extends QueryPack {
                 CAST(SUM(CASE WHEN is_clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
                 CAST(SUM(CASE WHEN is_clean THEN n_toks ELSE 0 END) AS BIGINT) AS clean_tokens
          FROM fl GROUP BY source ORDER BY source""",
+    // Segment unit identical both sides: non-overlapping 4-token
+    // slices, the last one partial. DuckDB list slicing t[a:b] is
+    // 1-based inclusive and clips at the end exactly like Spark's
+    // slice(toks, start, 4).
+    "text_line_dedup" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            seg AS (SELECT doc_id, g.g AS seg_idx,
+                           array_to_string(t[g.g*4+1 : g.g*4+4], ' ') AS seg,
+                           LEAST(4, len(t) - g.g*4) AS seg_tokens
+                    FROM tk, LATERAL (SELECT unnest(range((len(t)+3)//4)) AS g) g),
+            freq AS (SELECT seg FROM seg GROUP BY seg
+                     HAVING COUNT(DISTINCT doc_id) >= 3),
+            fl AS (SELECT s.doc_id, s.seg_idx, s.seg_tokens,
+                          (f.seg IS NOT NULL) AS boiler
+                   FROM seg s LEFT JOIN freq f USING (seg))
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+                CAST(SUM(CASE WHEN NOT boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(SUM(CASE WHEN NOT boiler THEN seg_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+                CAST(SUM(CASE WHEN NOT boiler THEN seg_idx ELSE 0 END) AS BIGINT) AS kept_idx_sum
+         FROM fl GROUP BY doc_id ORDER BY doc_id""",
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
                     WHERE len(string_split(text, ' ')) >= 3),

@@ -31,6 +31,29 @@ class IngestOpsSpec extends SparkSpec {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("text_line_dedup removes exactly the >=3-doc aligned segments") {
+    // Segments are positional (non-overlapping 4-token slices): the
+    // boilerplate "a b c d" counts only where it is segment-aligned, so
+    // doc 6's shifted copy neither matches nor lifts "e f g h" to 3.
+    val dir = stageDocs(Seq(
+      1L -> "a b c d x1 y1",
+      2L -> "a b c d x2 y2 z2 w2",
+      3L -> "a b c d",
+      4L -> "e f g h i",
+      5L -> "e f g h",
+      6L -> "z e f g h"))
+    val out = TextAnalysis.queries("text_line_dedup")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out(1L) == ((2L, 1L, 2L, 1L)))  // "a b c d" cut, "x1 y1" kept
+    assert(out(2L) == ((2L, 1L, 4L, 1L)))
+    assert(out(3L) == ((1L, 0L, 0L, 0L)))  // the whole doc was boilerplate
+    assert(out(4L) == ((2L, 2L, 5L, 1L)))  // "e f g h" only 2 docs: kept
+    assert(out(5L) == ((1L, 1L, 4L, 0L)))
+    assert(out(6L) == ((2L, 2L, 5L, 1L)))  // shifted copy: different segments
+  }
+
   test("text_pii_scrub redacts the exact injected bytes (hash pinned in-test)") {
     val dir = stageDocs(Seq((7L, "plain words here"), (42L, "more text")))
     val out = TextAnalysis.queries("text_pii_scrub")(spark, dir)
