@@ -917,6 +917,55 @@ object MediaPipeline {
       } else None
     }
 
+  /** Windowed audio-energy features over one decoded PCM stream — the
+    * feature-extraction step (VAD framing, silence trimming, loudness
+    * segmentation) an audio pipeline runs after decode. Windows are
+    * [[EnergyWindowFrames]]-frame blocks of frames (all channels summed
+    * into one window energy); eMoment = Σ w·E_w pins the window
+    * boundaries, eMax the peak block. All Σs² integer-exact. */
+  final case class DecodedPcmEnergy(nWindows: Int, eTotal: Long, eMax: Long,
+                                    eMoment: Long, channels: Int)
+  val EnergyWindowFrames = 16
+
+  /** Same strict header/frame validation as [[decodeWavPcm]], then the
+    * per-window sum-of-squares reduction. */
+  def decodeWavEnergy(media: Array[Byte]): Option[DecodedPcmEnergy] =
+    decodeWav(media).flatMap { case (_, channels, _) =>
+      def i32(off: Int): Int =
+        (media(off) & 0xff) | ((media(off + 1) & 0xff) << 8) |
+          ((media(off + 2) & 0xff) << 16) | ((media(off + 3) & 0xff) << 24)
+      val dataLen = i32(40)
+      val frameBytes = 2 * channels
+      val nFrames = dataLen / frameBytes
+      if ((channels == 1 || channels == 2) && dataLen >= frameBytes &&
+          dataLen % frameBytes == 0 &&
+          media.length.toLong >= WavHeaderLen.toLong + dataLen) {
+        val win = EnergyWindowFrames
+        val nWindows = (nFrames + win - 1) / win
+        var eTotal = 0L; var eMax = 0L; var eMoment = 0L
+        var w = 0
+        while (w < nWindows) {
+          var e = 0L
+          var i = w * win
+          val end = math.min(nFrames, (w + 1) * win)
+          while (i < end) {
+            var c = 0
+            while (c < channels) {
+              val off = WavHeaderLen + (i * channels + c) * 2
+              val smp = ((media(off) & 0xff) | (media(off + 1) << 8)).toShort.toInt
+              e += smp.toLong * smp
+              c += 1
+            }
+            i += 1
+          }
+          eTotal += e; if (e > eMax) eMax = e
+          eMoment += w.toLong * e
+          w += 1
+        }
+        Some(DecodedPcmEnergy(nWindows, eTotal, eMax, eMoment, channels))
+      } else None
+    }
+
   /** Staged full-PNG dims — distinct arithmetic from the BMP/PPM models
     * so a query reading the wrong staged family fails its oracle. */
   def pngPxWidth(id: Long): Int = (((id * 3) % 15) + 3).toInt
@@ -1285,6 +1334,22 @@ object MediaPipeline {
         decodeWavPcm(r.media).map(p =>
           PcmStats(r.doc_id, r.source, p.nSamples, p.sumAbs, p.sumSq,
             p.maxS, p.minS, p.channels, p.mom0, p.mom1))
+      })
+      .toDF()
+  }
+
+  case class PcmEnergyStats(doc_id: Long, source: String, n_windows: Int,
+                            e_total: Long, e_max: Long, e_moment: Long,
+                            channels: Int)
+
+  /** Windowed-energy pass over the pixel-staged corpus. */
+  def decodedWavEnergy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pixelTableStaged(s, dir).as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        decodeWavEnergy(r.media).map(p =>
+          PcmEnergyStats(r.doc_id, r.source, p.nWindows, p.eTotal, p.eMax,
+            p.eMoment, p.channels))
       })
       .toDF()
   }
@@ -1864,11 +1929,23 @@ object MediaPipeline {
     b.array()
   }
 
+  /** stss (sync-sample / keyframe table, §8.6.2) staging: present on
+    * half the staged files (m = id/3 even — independent of the ctts
+    * period 5), sync samples every k = 2 + m%3 samples starting at
+    * sample 1 (1-based), so strides 2..4 all appear. Absent-stss files
+    * pin the spec's default rule: EVERY sample is a sync sample. */
+  def mp4StssPresent(id: Long): Boolean = (id / 3) % 2 == 0
+  def mp4SyncStride(id: Long): Int = (2 + (id / 3) % 3).toInt
+  def mp4SyncCount(id: Long): Int = {
+    val n = mp4SampleCount(id); val k = mp4SyncStride(id)
+    (n + k - 1) / k
+  }
+
   /** A COMPLETE MP4 with a REAL sample-table tree for doc `id`:
     * ftyp → moov(mvhd v0, trak(tkhd, mdia(mdhd v0, hdlr, minf(stbl(stsd,
-    * stts, stsz, stco))))) → mdat. tkhd/hdlr/stsd are skip-boxes the
-    * walk must pass by size; the three tables carry the closed-form
-    * model. */
+    * stts, ctts?, stss?, stsc, stsz, stco))))) → mdat. tkhd/hdlr/stsd
+    * are skip-boxes the walk must pass by size; the tables carry the
+    * closed-form model. */
   def sampleMp4(id: Long): Array[Byte] = {
     val be = java.nio.ByteOrder.BIG_ENDIAN
     def buf(n: Int) = java.nio.ByteBuffer.allocate(n).order(be)
@@ -1916,8 +1993,17 @@ object MediaPipeline {
           .putInt(n - a2).putInt(mp4CttsOff2(id))
         mp4Box("ctts", b.array())
       }
+    val stss: Array[Byte] =
+      if (!mp4StssPresent(id)) Array.emptyByteArray
+      else {
+        val k = mp4SyncStride(id); val m = mp4SyncCount(id)
+        val b = buf(8 + 4 * m)
+        b.putInt(0).putInt(m)
+        (0 until m).foreach(j => b.putInt(1 + j * k)) // 1-based sample numbers
+        mp4Box("stss", b.array())
+      }
     val stsd = mp4Box("stsd", buf(8).putInt(0).putInt(0).array()) // 0 entries
-    val stbl = mp4Box("stbl", stsd ++ stts ++ ctts ++ stsc ++ stsz ++ stco)
+    val stbl = mp4Box("stbl", stsd ++ stts ++ ctts ++ stss ++ stsc ++ stsz ++ stco)
     val minf = mp4Box("minf", stbl)
     val mdhd = {
       val b = buf(24)
@@ -2184,6 +2270,83 @@ object MediaPipeline {
           Mp4SampleStats(r.doc_id, r.source, m.nSamples, m.totalBytes,
             m.maxSize, m.durUnits, m.timescale, m.nChunks, m.chunkOffSum,
             m.sizeMoment, m.stscMoment, m.hasCtts, m.cttsSum, m.cttsMoment))
+      })
+      .toDF()
+  }
+
+  /** Keyframe (sync-sample) statistics for one MP4 — the demux step a
+    * frame-sampling pipeline keys on (decode only keyframes, seek to
+    * the nearest sync point). syncBytes ties stss to stsz: a wrong
+    * 1-based→0-based conversion pulls the wrong sample sizes. When the
+    * box is ABSENT the §8.6.2 default applies: every sample is sync. */
+  final case class DecodedMp4Sync(hasStss: Int, nSync: Int, syncSum: Long,
+                                  syncBytes: Long)
+
+  /** REAL sync-sample decode: walks to the stbl, reads the stsz sizes,
+    * then the OPTIONAL stss — entries must be strictly increasing
+    * 1-based sample numbers within [1, n]; absence means all samples
+    * are sync samples (the spec's rule, not an error). */
+  def decodeMp4Sync(media: Array[Byte]): Option[DecodedMp4Sync] = {
+    def u32(off: Int): Long =
+      ((media(off) & 0xffL) << 24) | ((media(off + 1) & 0xffL) << 16) |
+        ((media(off + 2) & 0xffL) << 8) | (media(off + 3) & 0xffL)
+    if (media.length < 16 || u32(0) < 16 || u32(0) > media.length ||
+        new String(media, 4, 4, java.nio.charset.StandardCharsets.US_ASCII) != "ftyp")
+      return None
+    for {
+      (ms, me) <- mp4FindBox(media, "moov", u32(0).toInt, media.length)
+      (ts, te) <- mp4FindBox(media, "trak", ms, me)
+      (ds, de) <- mp4FindBox(media, "mdia", ts, te)
+      (ns, ne) <- mp4FindBox(media, "minf", ds, de)
+      (bs, be) <- mp4FindBox(media, "stbl", ns, ne)
+      (zs, ze) <- mp4FindBox(media, "stsz", bs, be)
+      if ze - zs >= 12 && u32(zs) == 0L && u32(zs + 4) == 0L
+      nSamples = u32(zs + 8)
+      if nSamples > 0 && nSamples <= 65536 && ze - zs == 12 + 4 * nSamples
+      stats <- mp4FindBox(media, "stss", bs, be) match {
+        case None =>
+          // §8.6.2: no stss box → every sample is a sync sample.
+          var total = 0L; var i = 0
+          while (i < nSamples.toInt) { total += u32(zs + 12 + 4 * i); i += 1 }
+          Some(DecodedMp4Sync(0, nSamples.toInt,
+            nSamples * (nSamples + 1) / 2, total))
+        case Some((ss, se)) =>
+          if (se - ss < 8 || u32(ss) != 0L) None
+          else {
+            val m = u32(ss + 4)
+            if (m <= 0 || m > nSamples || se - ss != 8 + 4 * m) None
+            else {
+              var syncSum = 0L; var syncBytes = 0L; var prev = 0L
+              var j = 0; var ok = true
+              while (ok && j < m.toInt) {
+                val snum = u32(ss + 8 + 4 * j)
+                if (snum <= prev || snum > nSamples) ok = false
+                else {
+                  syncSum += snum
+                  syncBytes += u32(zs + 12 + 4 * (snum.toInt - 1))
+                  prev = snum
+                }
+                j += 1
+              }
+              if (ok) Some(DecodedMp4Sync(1, m.toInt, syncSum, syncBytes))
+              else None
+            }
+          }
+      }
+    } yield stats
+  }
+
+  case class Mp4SyncStats(doc_id: Long, source: String, has_stss: Int,
+                          n_sync: Int, sync_sum: Long, sync_bytes: Long)
+
+  /** Keyframe-extraction pass over the MP4-staged corpus. */
+  def decodedMp4Sync(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mp4SampleTableStaged(s, dir).as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        decodeMp4Sync(r.media).map(m =>
+          Mp4SyncStats(r.doc_id, r.source, m.hasStss, m.nSync, m.syncSum,
+            m.syncBytes))
       })
       .toDF()
   }

@@ -395,6 +395,38 @@ object MultimodalQueries extends QueryPack {
           sum("t_moment").as("thumb_moment"))
         .orderBy("source")),
 
+    // Keyframe (sync-sample) extraction — the demux step frame-sampling
+    // keys on: decode only keyframes, seek to sync points. Half the
+    // staged MP4s carry an stss (strides 2..4); the other half pin the
+    // §8.6.2 default that EVERY sample is sync. sync_bytes ties the
+    // 1-based stss numbers to the stsz sizes, so an off-by-one in the
+    // index conversion is fatal.
+    "mm_mp4_keyframes" -> ((s, d) =>
+      MediaPipeline.decodedMp4Sync(s, d)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_video"),
+          sum(col("has_stss").cast("long")).as("n_with_stss"),
+          sum(col("n_sync").cast("long")).as("sync_total"),
+          sum("sync_sum").as("sync_sum_total"),
+          sum("sync_bytes").as("sync_bytes_total"))
+        .orderBy("source")),
+
+    // Windowed audio energy — the post-decode feature extraction (VAD
+    // framing, silence trimming) over the same staged PCM the sample
+    // gate decodes: 16-frame windows, per-window Σ s² across channels;
+    // the w·E_w moment pins window boundaries and order.
+    "mm_wav_energy" -> ((s, d) =>
+      MediaPipeline.decodedWavEnergy(s, d)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_audio"),
+          sum(col("n_windows").cast("long")).as("windows_total"),
+          sum("e_total").as("energy_total"),
+          max("e_max").as("max_window_energy"),
+          sum("e_moment").as("moment_total"))
+        .orderBy("source")),
+
     "mm_wav_pcm" -> ((s, d) =>
       MediaPipeline.decodedWavPcm(s, d)
         .groupBy("source")
@@ -965,6 +997,56 @@ object MultimodalQueries extends QueryPack {
                 CAST(SUM(p.dc_moment + a.ac_moment) AS BIGINT) AS moment_total
          FROM per p JOIN pera a USING (doc_id)
          GROUP BY p.source ORDER BY p.source""",
+    // The staged stss model recomputed closed-form: present iff
+    // (id/3) even with stride k = 2 + (id/3)%3 → sync numbers 1 + j·k
+    // (1-based, ceil(n/k) of them); absent files take the §8.6.2
+    // default (every sample sync). Bytes re-derive the stsz size model
+    // at the 0-based index snum-1.
+    "mm_mp4_keyframes" ->
+      """WITH v AS (SELECT doc_id, source,
+                           CAST(5 + (doc_id % 7) * 3 AS BIGINT) AS n,
+                           ((doc_id // 3) % 2 = 0) AS present,
+                           CAST(2 + (doc_id // 3) % 3 AS BIGINT) AS k
+                    FROM documents WHERE doc_id % 3 = 0),
+            sync AS (SELECT v.doc_id, v.source, v.present,
+                            CASE WHEN v.present THEN 1 + j.j * v.k
+                                 ELSE 1 + j.j END AS snum
+                     FROM v, LATERAL (SELECT unnest(range(
+                            CASE WHEN v.present THEN (v.n + v.k - 1) // v.k
+                                 ELSE v.n END)) AS j) j),
+            per AS (SELECT doc_id, source,
+                           MAX(CASE WHEN present THEN 1 ELSE 0 END) AS has,
+                           COUNT(*) AS nsync, SUM(snum) AS ssum,
+                           SUM(100 + (doc_id*13 + (snum-1)*31) % 900) AS sbytes
+                    FROM sync GROUP BY doc_id, source)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_video,
+                CAST(SUM(has) AS BIGINT) AS n_with_stss,
+                CAST(SUM(nsync) AS BIGINT) AS sync_total,
+                CAST(SUM(ssum) AS BIGINT) AS sync_sum_total,
+                CAST(SUM(sbytes) AS BIGINT) AS sync_bytes_total
+         FROM per GROUP BY source ORDER BY source""",
+    // The PCM sample model re-windowed: 16-frame blocks, per-window
+    // Σ s² over both channels, w·E_w moment over the window index.
+    "mm_wav_energy" ->
+      """WITH a AS (SELECT doc_id, source, CAST((doc_id % 50) + 10 AS BIGINT) AS n,
+                           CAST(((doc_id // 4) % 2) + 1 AS BIGINT) AS ch
+                    FROM documents WHERE doc_id % 4 = 1),
+            s AS (SELECT a.doc_id, a.source, i.i,
+                         ((a.doc_id*7 + i.i*31 + c.c*17) % 65521) - 32760 AS smp
+                  FROM a,
+                       LATERAL (SELECT unnest(range(a.n)) AS i) i,
+                       LATERAL (SELECT unnest(range(a.ch)) AS c) c),
+            win AS (SELECT doc_id, source, i // 16 AS w, SUM(smp*smp) AS e
+                    FROM s GROUP BY doc_id, source, i // 16),
+            per AS (SELECT doc_id, source, COUNT(*) AS nw, SUM(e) AS etot,
+                           MAX(e) AS emax, SUM(w * e) AS emom
+                    FROM win GROUP BY doc_id, source)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_audio,
+                CAST(SUM(nw) AS BIGINT) AS windows_total,
+                CAST(SUM(etot) AS BIGINT) AS energy_total,
+                CAST(MAX(emax) AS BIGINT) AS max_window_energy,
+                CAST(SUM(emom) AS BIGINT) AS moment_total
+         FROM per GROUP BY source ORDER BY source""",
     // Frames × channels recomputed closed-form: ch = ((id/4) mod 2) + 1
     // (mono AND stereo both staged), sample(i, c) adds the c·17 term
     // that vanishes on channel 0; mom0/mom1 are the frame-position-
