@@ -499,6 +499,39 @@ object DedupQueries extends QueryPack {
       .withColumn(nrm, graft.functions.expressions.GraftFunctions.normCol(col(v)))
   }
 
+  /** URL canonicalization over a frame with a `url` column: lowercase
+    * scheme+host, strip the scheme's default port (keep any other),
+    * collapse slash runs, strip the trailing slash (root stays `/`, an
+    * empty path becomes `/`), drop utm_* tracking params, sort the
+    * surviving params, drop the fragment. All codegen'd built-ins
+    * (parse_url / regexp / array ops) — map-only. Returns the input
+    * columns minus `url` plus `canonical_url`. */
+  def canonicalUrls(df: DataFrame): DataFrame =
+    df
+      .withColumn("scheme", lower(expr("parse_url(url, 'PROTOCOL')")))
+      .withColumn("auth", expr("parse_url(url, 'AUTHORITY')"))
+      .withColumn("port",
+        when(col("auth").contains(":"), expr("substring_index(auth, ':', -1)"))
+          .otherwise(lit("")))
+      .withColumn("keep_port",
+        col("port") =!= "" &&
+          !(col("scheme") === "http" && col("port") === "80") &&
+          !(col("scheme") === "https" && col("port") === "443"))
+      .withColumn("path1",
+        regexp_replace(expr("parse_url(url, 'PATH')"), "/{2,}", "/"))
+      .withColumn("path", when(
+        regexp_replace(col("path1"), "/+$", "") === "", lit("/"))
+        .otherwise(regexp_replace(col("path1"), "/+$", "")))
+      .withColumn("qkept", expr(
+        "array_sort(filter(split(coalesce(parse_url(url, 'QUERY'), ''), '&'), p -> p != '' AND NOT startswith(p, 'utm_')))"))
+      .withColumn("canonical_url", concat(
+        col("scheme"), lit("://"), lower(expr("parse_url(url, 'HOST')")),
+        when(col("keep_port"), concat(lit(":"), col("port"))).otherwise(lit("")),
+        col("path"),
+        when(size(col("qkept")) > 0,
+          concat(lit("?"), array_join(col("qkept"), "&"))).otherwise(lit(""))))
+      .drop("url", "scheme", "auth", "port", "keep_port", "path1", "path", "qkept")
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: content-hash grouping, canonical = min doc_id.
     "dedup_exact" -> ((s, d) =>
@@ -507,6 +540,53 @@ object DedupQueries extends QueryPack {
         .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
         .select("canonical_id", "n_copies")
         .orderBy("canonical_id")),
+
+    // URL canonicalization dedup — the crawl-frontier dedup that runs
+    // BEFORE any content fetch: the same resource hides behind case
+    // variants, default ports, duplicate/trailing slashes, tracking
+    // params and fragments. Messy URLs are staged closed-form from
+    // doc_id (16 canonical buckets via b = doc_id % 16, with
+    // id-dependent noise layered on: scheme/host case, :80/:443,
+    // doubled and trailing slashes, utm_* params, reversed param
+    // order, #fragments); the canonicalizer then has to UNDO all of it
+    // with real parsing — lowercase scheme+host, strip the default
+    // port FOR THAT SCHEME, collapse slash runs, strip the trailing
+    // slash, drop utm_* params, sort the survivors, drop the fragment.
+    // The oracle never parses: it recomputes the canonical form from b
+    // directly, so any canonicalization miss splits a bucket and
+    // changes n_docs. All built-ins (parse_url/regexp/array ops) —
+    // map-only until the final uniform-key groupBy.
+    "dedup_url_canonical" -> ((s, d) => {
+      val b = col("doc_id") % 16
+      val schemeC = when(b % 2 === 0, "http").otherwise("https")
+      val hostC = concat(lit("www.example"), (b % 7).cast("string"), lit(".com"))
+      val pathC = concat(lit("/p"), (b % 5).cast("string"), lit("/x"))
+      val queryC = concat(lit("a="), (b % 3).cast("string"), lit("&b=2"))
+      val messy = Tables.documents(s, d).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 3 === 0, upper(schemeC))
+            .when(col("doc_id") % 3 === 1, initcap(schemeC))
+            .otherwise(schemeC),
+          lit("://"),
+          when(col("doc_id") % 2 === 0, upper(hostC)).otherwise(hostC),
+          when(col("doc_id") % 3 === 0,
+            when(b % 2 === 0, lit(":80")).otherwise(lit(":443")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 2, concat(lit("/"), pathC)).otherwise(pathC),
+          when(col("doc_id") % 4 === 3, lit("/")).otherwise(lit("")),
+          lit("?"),
+          when(col("doc_id") % 2 === 1, concat(lit("b=2&a="), (b % 3).cast("string")))
+            .otherwise(queryC),
+          when(col("doc_id") % 5 === 0, lit("&utm_source=track&utm_medium=m"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 2,
+            concat(lit("#sec"), (col("doc_id") % 9).cast("string")))
+            .otherwise(lit(""))).as("url"))
+      val canon = canonicalUrls(messy)
+      canon.groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+        .orderBy("canonical_url")
+    }),
 
     // Incremental ingest dedup — the dedup MODE the other dedup_* queries
     // don't cover: an arriving batch checked against the EXISTING corpus
@@ -1169,6 +1249,21 @@ object DedupQueries extends QueryPack {
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS canonical_id, CAST(COUNT(*) AS BIGINT) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY canonical_id""",
+    // The oracle NEVER parses a URL: it recomputes the canonical form
+    // straight from the bucket b = doc_id % 16, so every messy variant
+    // the Spark side fails to normalize splits a bucket and breaks
+    // n_docs/first_doc.
+    "dedup_url_canonical" ->
+      """WITH v AS (SELECT doc_id, doc_id % 16 AS b FROM documents),
+            c AS (SELECT doc_id,
+                         (CASE WHEN b % 2 = 0 THEN 'http' ELSE 'https' END)
+                         || '://www.example' || CAST(b % 7 AS VARCHAR) || '.com'
+                         || '/p' || CAST(b % 5 AS VARCHAR) || '/x'
+                         || '?a=' || CAST(b % 3 AS VARCHAR) || '&b=2' AS canonical_url
+                  FROM v)
+         SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(MIN(doc_id) AS BIGINT) AS first_doc
+         FROM c GROUP BY canonical_url ORDER BY canonical_url""",
     // Same constructed batch (re-keyed exact copies + ' v2 fresh'
     // variants); ANTI JOIN rather than NOT IN so the no-NULL assumption
     // never matters cross-engine. The _indexed twin shares this SQL
