@@ -88,6 +88,25 @@ object TextAnalysis extends QueryPack {
       .orderBy("source")
   }
 
+  /** HTML -> visible text over `in`'s `src` column, result in `out`:
+    * script/style elements removed WITH contents first (their bodies may
+    * contain quoted tags and raw < > & that are NOT markup), then
+    * comments, then remaining tags become spaces, THEN entities decode
+    * (&lt; &gt; &quot; &#39; &nbsp; before &amp; — the reverse order
+    * double-decodes "&amp;lt;"), finally whitespace collapses. Pure
+    * regexp_replace chain: map-only and codegen'd. */
+  def htmlToText(in: DataFrame, src: String, out: String): DataFrame = {
+    val noScript = regexp_replace(col(src), "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    in.withColumn(out, trim(regexp_replace(ent, "\\s+", " ")))
+      .drop(src)
+  }
+
   val queries: Map[String, Q] = Map(
     // The composed end-to-end corpus-cleaning pass — what a user actually
     // runs before training: exact dedup (canonical doc per content hash)
@@ -212,6 +231,38 @@ object TextAnalysis extends QueryPack {
           sum(when(col("boiler").isNull, 1).otherwise(0)).as("n_kept"),
           sum(when(col("boiler").isNull, col("seg_tokens")).otherwise(0)).as("kept_tokens"),
           sum(when(col("boiler").isNull, col("seg_idx").cast("long")).otherwise(0L)).as("kept_idx_sum"))
+        .orderBy("doc_id")
+    }),
+
+    // HTML -> text extraction — the step between a crawl fetch and every
+    // text op above (the WET/trafilatura role): strip <script>/<style>
+    // WITH their contents, strip comments, replace remaining tags with
+    // whitespace, decode entities (AFTER tag removal — the order is the
+    // classic bug), collapse whitespace. Staged HTML wraps each doc's
+    // leading tokens in a real page: the <script> body contains a
+    // quoted "</div>" (a generic tag-stripper that runs first leaks
+    // "var a = ...") plus raw < > && that would corrupt a
+    // decode-entities-first pipeline; the comment hides doc-keyed junk.
+    // The oracle never parses HTML: it rebuilds the expected visible
+    // text from the token model, so any extraction miss changes the
+    // md5. All regexp_replace built-ins — map-only, codegen'd.
+    "text_html_extract" -> ((s, d) => {
+      val staged = Tables.documents(s, d).select(col("doc_id"), expr(
+        """concat(
+           '<html><head><title>t', CAST(doc_id AS STRING),
+           '</title><script type="text/javascript">var a = "</div>"; if (a < 2 && 1 > 0) {}</script>',
+           '<style>.c { color: red; } #x > span { top: 0; }</style></head><body><h1>',
+           array_join(slice(split(text, ' '), 1, 3), ' '),
+           '</h1><p class="a">',
+           array_join(slice(split(text, ' '), 4, 5), ' '),
+           ' &amp; <b>', array_join(slice(split(text, ' '), 9, 12), ' '),
+           '</b></p><!-- hidden ', CAST(doc_id AS STRING), ' --></body></html>')""")
+        .as("html"))
+      htmlToText(staged, "html", "x")
+        .select(col("doc_id"),
+          size(split(col("x"), " ")).as("n_tokens"),
+          length(col("x")).cast("long").as("n_chars"),
+          md5(col("x")).as("text_md5"))
         .orderBy("doc_id")
     }),
 
@@ -607,6 +658,24 @@ object TextAnalysis extends QueryPack {
                 CAST(SUM(CASE WHEN is_clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
                 CAST(SUM(CASE WHEN is_clean THEN n_toks ELSE 0 END) AS BIGINT) AS clean_tokens
          FROM fl GROUP BY source ORDER BY source""",
+    // The oracle rebuilds the expected VISIBLE text from the token
+    // model (title 't{id}', tokens 1-3, 4-8, a decoded '&', tokens
+    // 9-20, single-spaced) — it never parses HTML, so a Spark-side
+    // extraction miss (script leak, entity order, whitespace) changes
+    // the md5.
+    "text_html_extract" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            vis AS (SELECT doc_id,
+                           trim(regexp_replace(
+                             't' || CAST(doc_id AS VARCHAR) || ' ' ||
+                             array_to_string(t[1:3], ' ') || ' ' ||
+                             array_to_string(t[4:8], ' ') || ' & ' ||
+                             array_to_string(t[9:20], ' '),
+                             ' +', ' ', 'g')) AS x
+                    FROM tk)
+         SELECT doc_id, CAST(len(string_split(x, ' ')) AS INT) AS n_tokens,
+                CAST(len(x) AS BIGINT) AS n_chars, md5(x) AS text_md5
+         FROM vis ORDER BY doc_id""",
     // Segment unit identical both sides: non-overlapping 4-token
     // slices, the last one partial. DuckDB list slicing t[a:b] is
     // 1-based inclusive and clips at the end exactly like Spark's
