@@ -2697,6 +2697,180 @@ object MediaPipeline {
       .toDF()
   }
 
+  // ------------------------------------------- MP3 (ID3v2 + frame walk)
+  //
+  // The seventh container: crawl audio is overwhelmingly MP3. The
+  // honest gate stops at the frame walk (Huffman audio decode is not
+  // bit-deterministic across decoders): an ID3v2.3 tag whose size is
+  // SYNCSAFE (7 bits per byte — the parse every naive reader gets
+  // wrong once the tag passes 127 bytes; staged tags always do), a
+  // TIT2 title frame inside it, then a VBR sequence of MPEG-1 Layer
+  // III frame headers whose lengths derive from the public bitrate
+  // table: len = 144000·kbps DIV samplerate + padding. The walk must
+  // land EXACTLY on end-of-stream — one mis-sized frame desyncs.
+
+  val Mp3Bitrates: Array[Int] = // MPEG-1 Layer III kbps, index 1..14
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  val Mp3Rates: Array[Int] = Array(44100, 48000, 32000) // sr index 0..2
+
+  def mp3Frames(id: Long): Int = (4 + id % 6).toInt // 4..9
+  /** Sample rate keys on id/3: staged ids are the %3==1 residue class,
+    * where id%3 is constant (the aliasing class again). */
+  def mp3RateIdx(id: Long): Int = ((id / 3) % 3).toInt
+  def mp3Rate(id: Long): Int = Mp3Rates(mp3RateIdx(id))
+  def mp3BrIdx(id: Long, j: Int): Int = (1 + (id + j * 5) % 14).toInt // 1..14: VBR
+  def mp3Pad(id: Long, j: Int): Int = ((id + j) % 2).toInt
+  def mp3FrameLen(id: Long, j: Int): Int =
+    144000 * Mp3Bitrates(mp3BrIdx(id, j)) / mp3Rate(id) + mp3Pad(id, j)
+  /** Tag payload 130..329 bytes — always beyond the 7-bit boundary, so
+    * the syncsafe encoding is live on every staged file. */
+  def mp3TagLen(id: Long): Int = (130 + id % 200).toInt
+  def mp3Title(id: Long): String = s"t$id"
+
+  /** A COMPLETE MP3 for doc `id`: ID3v2.3 tag (syncsafe size, one TIT2
+    * text frame, zero padding) followed by [[mp3Frames]] VBR MPEG-1
+    * Layer III frames with real header arithmetic. */
+  def sampleMp3(id: Long): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val tagLen = mp3TagLen(id)
+    val title = mp3Title(id).getBytes(ascii)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("ID3".getBytes(ascii), 0, 3)
+    out.write(3); out.write(0) // v2.3.0
+    out.write(0)               // flags
+    out.write((tagLen >> 21) & 0x7f); out.write((tagLen >> 14) & 0x7f)
+    out.write((tagLen >> 7) & 0x7f); out.write(tagLen & 0x7f)
+    // TIT2 frame: 4-byte id, u32 size (NOT syncsafe in v2.3), 2 flag
+    // bytes, then encoding byte 0 (latin-1) + text.
+    out.write("TIT2".getBytes(ascii), 0, 4)
+    val fsz = 1 + title.length
+    out.write((fsz >> 24) & 0xff); out.write((fsz >> 16) & 0xff)
+    out.write((fsz >> 8) & 0xff); out.write(fsz & 0xff)
+    out.write(0); out.write(0)
+    out.write(0) // ISO-8859-1 encoding
+    out.write(title, 0, title.length)
+    // Zero padding to the declared tag length.
+    val used = 10 + fsz
+    require(used <= tagLen, s"tag model drift at id=$id")
+    out.write(new Array[Byte](tagLen - used), 0, tagLen - used)
+    // Audio frames.
+    val srIdx = mp3RateIdx(id)
+    var j = 0
+    while (j < mp3Frames(id)) {
+      val len = mp3FrameLen(id, j)
+      out.write(0xff); out.write(0xfb) // sync + MPEG1 + Layer III + no CRC
+      out.write((mp3BrIdx(id, j) << 4) | (srIdx << 2) | (mp3Pad(id, j) << 1))
+      out.write(0xc0) // single-channel mode, no extensions
+      var k = 4
+      while (k < len) { out.write(((id + j * 7 + k) % 251).toInt); k += 1 }
+      j += 1
+    }
+    out.toByteArray
+  }
+
+  /** Per-file frame-walk statistics. kbpsSum prices the bitrate-table
+    * lookup per frame (VBR: one wrong row shifts it); durationMs is the
+    * floor-arithmetic decode duration (1152 samples per MPEG-1 Layer
+    * III frame). */
+  final case class DecodedMp3(nFrames: Int, dataBytes: Long, kbpsSum: Long,
+                              nPadded: Int, sampleRate: Int, durationMs: Long,
+                              id3Bytes: Int, title: String)
+
+  /** REAL MP3 parse: ID3v2.3 header with SYNCSAFE size (any size byte
+    * with bit 7 set refuses), the TIT2 walk inside the tag (stopping at
+    * zero padding, frames bounds-checked), then the frame walk — every
+    * header must carry the 11-bit sync, MPEG-1, Layer III, a valid
+    * bitrate index and the SAME sample-rate index, and the computed
+    * lengths must land exactly on end-of-stream. */
+  def decodeMp3(media: Array[Byte]): Option[DecodedMp3] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    if (media.length < 14 || new String(media, 0, 3, ascii) != "ID3" ||
+        media(3) != 3 || media(4) != 0 || media(5) != 0) return None
+    if ((media(6) | media(7) | media(8) | media(9)) < 0 ||
+        ((media(6) | media(7) | media(8) | media(9)) & 0x80) != 0)
+      return None // syncsafe bytes carry 7 bits each
+    val tagLen = ((media(6) & 0x7f) << 21) | ((media(7) & 0x7f) << 14) |
+      ((media(8) & 0x7f) << 7) | (media(9) & 0x7f)
+    if (10 + tagLen > media.length) return None
+    // Walk ID3 frames to the padding; collect the TIT2 title.
+    var title: String = null
+    var p = 10
+    val tagEnd = 10 + tagLen
+    var ok = true
+    while (ok && p + 10 <= tagEnd && media(p) != 0) {
+      val fid = new String(media, p, 4, ascii)
+      val fsz = ((media(p + 4) & 0xff) << 24) | ((media(p + 5) & 0xff) << 16) |
+        ((media(p + 6) & 0xff) << 8) | (media(p + 7) & 0xff)
+      if (fsz <= 0 || p + 10 + fsz > tagEnd) ok = false
+      else {
+        if (fid == "TIT2" && fsz >= 1 && media(p + 10) == 0)
+          title = new String(media, p + 11, fsz - 1, ascii)
+        p += 10 + fsz
+      }
+    }
+    if (!ok || title == null) return None
+    // Frame walk.
+    var off = tagEnd
+    var n = 0; var bytes = 0L; var kbps = 0L; var padded = 0
+    var srIdx = -1
+    while (ok && off < media.length) {
+      if (off + 4 > media.length || (media(off) & 0xff) != 0xff ||
+          (media(off + 1) & 0xff) != 0xfb) ok = false
+      else {
+        val b2 = media(off + 2) & 0xff
+        val bi = b2 >> 4; val si = (b2 >> 2) & 0x3; val pad = (b2 >> 1) & 0x1
+        if (bi < 1 || bi > 14 || si > 2 || (srIdx >= 0 && si != srIdx)) ok = false
+        else {
+          srIdx = si
+          val len = 144000 * Mp3Bitrates(bi) / Mp3Rates(si) + pad
+          if (off + len > media.length) ok = false
+          else {
+            n += 1; bytes += len; kbps += Mp3Bitrates(bi); padded += pad
+            off += len
+          }
+        }
+      }
+    }
+    if (!ok || n == 0 || off != media.length) None
+    else {
+      val sr = Mp3Rates(srIdx)
+      Some(DecodedMp3(n, bytes, kbps, padded, sr,
+        n.toLong * 1152 * 1000 / sr, tagLen, title))
+    }
+  }
+
+  /** MP3-staged media table: every doc with id % 3 == 1 a COMPLETE MP3
+    * ([[sampleMp3]]), the rest bare text. */
+  def mp3TableStaged(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        val media =
+          if (id % 3 == 1) sampleMp3(id)
+          else s"doc $id".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        MediaRow(id, src, media)
+      })
+      .toDF()
+  }
+
+  case class Mp3Stats(doc_id: Long, source: String, n_frames: Int,
+                      data_bytes: Long, kbps_sum: Long, n_padded: Int,
+                      sample_rate: Int, duration_ms: Long, id3_bytes: Int,
+                      title: String)
+
+  /** MP3 frame-walk pass: the decode is the filter. */
+  def decodedMp3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mp3TableStaged(s, dir).as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        decodeMp3(r.media).map(m =>
+          Mp3Stats(r.doc_id, r.source, m.nFrames, m.dataBytes, m.kbpsSum,
+            m.nPadded, m.sampleRate, m.durationMs, m.id3Bytes, m.title))
+      })
+      .toDF()
+  }
+
   // --------------------------------- JPEG entropy (coefficient) decode
   //
   // The honest JPEG gate (NOTES.md "Why JPEG pixel decode stays out"):

@@ -395,6 +395,28 @@ object MultimodalQueries extends QueryPack {
           sum("t_moment").as("thumb_moment"))
         .orderBy("source")),
 
+    // MP3 frame walk — the seventh container (crawl audio). The gate
+    // covers the two things every real MP3 reader must get right: the
+    // ID3v2 SYNCSAFE size (7 bits per byte; staged tags always exceed
+    // 127 bytes so the encoding is live) and the VBR frame-length
+    // arithmetic from the public bitrate table (the walk must land
+    // exactly on end-of-stream). kbps_total prices the table lookup
+    // per frame; the TIT2 title round-trips through the tag walk.
+    "mm_mp3_frames" -> ((s, d) =>
+      MediaPipeline.decodedMp3(s, d)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_audio"),
+          sum(col("n_frames").cast("long")).as("frames_total"),
+          sum("data_bytes").as("bytes_total"),
+          sum("kbps_sum").as("kbps_total"),
+          sum(col("n_padded").cast("long")).as("padded_total"),
+          sum("duration_ms").as("dur_ms_total"),
+          sum(col("sample_rate").cast("long")).as("sr_sum"),
+          sum(col("id3_bytes").cast("long")).as("id3_total"),
+          sum(graft.functions.PortableHash.h60p(col("title"))).as("title_checksum"))
+        .orderBy("source")),
+
     // Keyframe (sync-sample) extraction — the demux step frame-sampling
     // keys on: decode only keyframes, seek to sync points. Half the
     // staged MP4s carry an stss (strides 2..4); the other half pin the
@@ -997,6 +1019,39 @@ object MultimodalQueries extends QueryPack {
                 CAST(SUM(p.dc_moment + a.ac_moment) AS BIGINT) AS moment_total
          FROM per p JOIN pera a USING (doc_id)
          GROUP BY p.source ORDER BY p.source""",
+    // The staged-MP3 model recomputed closed-form: F = 4 + id%6 VBR
+    // frames, bitrate index 1 + (id + j·5) mod 14 into the MPEG-1
+    // Layer III table, sample rate keyed on (id/3) mod 3 (staged ids
+    // are the %3==1 class), frame length 144000·kbps DIV sr + padding,
+    // tag length 130 + id mod 200, duration the 1152-samples-per-frame
+    // floor arithmetic.
+    "mm_mp3_frames" ->
+      s"""WITH v AS (SELECT doc_id, source,
+                           CAST(4 + doc_id % 6 AS BIGINT) AS f,
+                           CAST(([44100, 48000, 32000])[1 + (doc_id // 3) % 3] AS BIGINT) AS sr,
+                           CAST(130 + doc_id % 200 AS BIGINT) AS taglen,
+                           't' || CAST(doc_id AS VARCHAR) AS title
+                    FROM documents WHERE doc_id % 3 = 1),
+            fr AS (SELECT v.doc_id, v.sr,
+                          ([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320])
+                            [CAST(1 + (v.doc_id + j.j * 5) % 14 AS INT)] AS kbps,
+                          (v.doc_id + j.j) % 2 AS pad
+                   FROM v, LATERAL (SELECT unnest(range(v.f)) AS j) j),
+            per AS (SELECT doc_id, COUNT(*) AS nf,
+                           SUM(144000 * kbps // sr + pad) AS bytes,
+                           SUM(kbps) AS kbps_sum, SUM(pad) AS padded
+                    FROM fr GROUP BY doc_id)
+         SELECT v.source, CAST(COUNT(*) AS BIGINT) AS n_audio,
+                CAST(SUM(p.nf) AS BIGINT) AS frames_total,
+                CAST(SUM(p.bytes) AS BIGINT) AS bytes_total,
+                CAST(SUM(p.kbps_sum) AS BIGINT) AS kbps_total,
+                CAST(SUM(p.padded) AS BIGINT) AS padded_total,
+                CAST(SUM(v.f * 1152 * 1000 // v.sr) AS BIGINT) AS dur_ms_total,
+                CAST(SUM(v.sr) AS BIGINT) AS sr_sum,
+                CAST(SUM(v.taglen) AS BIGINT) AS id3_total,
+                CAST(SUM(${graft.functions.PortableHash.h60pSql("v.title")}) AS BIGINT) AS title_checksum
+         FROM v JOIN per p USING (doc_id)
+         GROUP BY v.source ORDER BY v.source""",
     // The staged stss model recomputed closed-form: present iff
     // (id/3) even with stride k = 2 + (id/3)%3 → sync numbers 1 + j·k
     // (1-based, ceil(n/k) of them); absent files take the §8.6.2
