@@ -629,7 +629,8 @@ object DedupQueries extends QueryPack {
       val tbl = graft.sources.FileSources.dirKeyedTable("graft_md5_idx", d)
       graft.sources.FileSources.ensureBucketed(
         docs.select(md5(col("text")).as("content_hash")).distinct(),
-        tbl, 8, Seq("content_hash"))
+        tbl, 8, Seq("content_hash"),
+        Some(graft.sources.FileSources.dirFingerprint(d)))
       incrementalBatchOf(docs)
         .groupBy(md5(col("text")).as("content_hash"))
         .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_batch_copies"))
@@ -727,7 +728,8 @@ object DedupQueries extends QueryPack {
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val tbl = graft.sources.FileSources.dirKeyedTable("graft_band_idx", d)
       graft.sources.FileSources.ensureBucketed(
-        minhashBandsOf(s, docs), tbl, 8, Seq("band", "bkey"))
+        minhashBandsOf(s, docs), tbl, 8, Seq("band", "bkey"),
+        Some(graft.sources.FileSources.dirFingerprint(d)))
       val batch = neardupBatchOf(docs)
       val cand = s.table(tbl).as("c")
         .join(minhashBandsOf(s, batch).as("b"), Seq("band", "bkey"))

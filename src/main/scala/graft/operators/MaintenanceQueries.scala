@@ -113,7 +113,8 @@ object MaintenanceQueries extends QueryPack {
       val tbl = graft.sources.FileSources.dirKeyedTable("graft_orders_snap", d)
       graft.sources.FileSources.ensureBucketed(
         Tables.orders(s, d).select("o_orderkey", "o_totalprice", "o_orderpriority"),
-        tbl, 8, Seq("o_orderkey"))
+        tbl, 8, Seq("o_orderkey"),
+        Some(graft.sources.FileSources.dirFingerprint(d)))
       mergeAuditOf(mergedOrdersOf(s.table(tbl)))
     }),
 

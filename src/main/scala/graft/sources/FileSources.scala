@@ -228,25 +228,66 @@ object FileSources {
       .saveAsTable(table)
   }
 
+  /** Listing fingerprint of a source data directory: md5 over every
+    * file's (relative path, length, mtime), walked in sorted order.
+    * Costs one driver-side directory walk — no data scan — and changes
+    * whenever the dir's contents are regenerated, which is exactly the
+    * staleness case [[ensureBucketed]]'s schema check cannot see. */
+  def dirFingerprint(dir: String): String = {
+    val root = new java.io.File(dir)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    walk(root).foreach { f =>
+      val rel = root.toPath.relativize(f.toPath).toString
+      md.update(s"$rel|${f.length}|${f.lastModified}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private val FingerprintProp = "graft.source.fingerprint"
+
+  private def tableProp(spark: SparkSession, table: String,
+                        key: String): Option[String] =
+    spark.sql(s"SHOW TBLPROPERTIES `$table`").collect()
+      .find(_.getString(0) == key).map(_.getString(1))
+
   /** [[writeBucketed]] with WITHIN-SESSION reuse: if this session's
-    * catalog already holds `table` with a MATCHING schema, the build is
+    * catalog already holds `table` with a MATCHING schema AND (when the
+    * caller supplies one) a MATCHING source fingerprint, the build is
     * skipped — the production contract of a maintained index table
     * (build once, amortize across probes). The schema check guards the
-    * cheap-to-catch staleness case: two callers reusing one prefix with
-    * different projections of the same dir now rebuild instead of
-    * silently serving the other's index. Residual contract (documented,
-    * not checkable without re-scanning the source): the caller's table
-    * NAME must determine its CONTENT — the index queries key the name on
-    * the data-dir hash and the fixture dirs are immutable within a
-    * session, so a catalog hit can never serve a different dataset.
-    * Cross-process, the catalog starts empty and the first call
-    * rebuilds — reuse never crosses a JVM. */
+    * projection-mixup case (two callers reusing one prefix with
+    * different projections of the same dir); the fingerprint —
+    * [[dirFingerprint]] of the data dir, recorded as a table property
+    * at build time — guards the regenerated-source case: if the dir's
+    * contents change within a session, the stored property no longer
+    * matches and the index rebuilds instead of silently serving stale
+    * rows. Both checks are driver-side metadata only (no source
+    * re-scan). Cross-process, the catalog starts empty and the first
+    * call rebuilds — reuse never crosses a JVM. */
   def ensureBucketed(df: DataFrame, table: String, nBuckets: Int,
-                     bucketCols: Seq[String]): Unit = {
+                     bucketCols: Seq[String],
+                     fingerprint: Option[String] = None): Unit = {
     val spark = df.sparkSession
+    // Names + types only: a parquet round-trip loosens nullability, so a
+    // strict schema compare would spuriously rebuild on every reuse of a
+    // non-nullable input frame.
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.toSeq.map(f => (f.name, f.dataType))
     val fresh = !spark.catalog.tableExists(table) ||
-      spark.table(table).schema != df.schema
-    if (fresh) writeBucketed(df, table, nBuckets, bucketCols)
+      shape(spark.table(table).schema) != shape(df.schema) ||
+      fingerprint.exists(fp => !tableProp(spark, table, FingerprintProp).contains(fp))
+    if (fresh) {
+      writeBucketed(df, table, nBuckets, bucketCols)
+      fingerprint.foreach { fp =>
+        spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES ('$FingerprintProp' = '$fp')")
+        (): Unit
+      }
+    }
   }
 
   /** Append into a maintained bucketed table — the per-ingest write-back

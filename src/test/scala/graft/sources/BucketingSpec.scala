@@ -56,4 +56,43 @@ class BucketingSpec extends SparkSpec {
       sess.sql("DROP TABLE IF EXISTS b_cust")
     }
   }
+
+  test("ensureBucketed fingerprint governs reuse vs rebuild") {
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val b = Seq((3L, "z")).toDF("k", "v") // same schema, different content
+    try {
+      FileSources.ensureBucketed(a, "b_fp", 4, Seq("k"), Some("fpA"))
+      // Same fingerprint → reuse: the table still serves the FIRST build
+      // even though a different frame was offered (amortization contract).
+      FileSources.ensureBucketed(b, "b_fp", 4, Seq("k"), Some("fpA"))
+      assert(spark.table("b_fp").count() == 2, "matching fingerprint must reuse")
+      // Changed fingerprint (source dir regenerated) → rebuild with the
+      // new frame, and the stored property updates.
+      FileSources.ensureBucketed(b, "b_fp", 4, Seq("k"), Some("fpB"))
+      assert(spark.table("b_fp").count() == 1, "changed fingerprint must rebuild")
+      FileSources.ensureBucketed(a, "b_fp", 4, Seq("k"), Some("fpB"))
+      assert(spark.table("b_fp").count() == 1, "new fingerprint must be recorded")
+    } finally spark.sql("DROP TABLE IF EXISTS b_fp")
+  }
+
+  test("dirFingerprint tracks listing changes and ignores walk-order noise") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp").toFile
+    try {
+      val f1 = new java.io.File(dir, "a.parquet")
+      java.nio.file.Files.writeString(f1.toPath, "one")
+      val fp1 = FileSources.dirFingerprint(dir.getPath)
+      assert(fp1 == FileSources.dirFingerprint(dir.getPath), "deterministic")
+      val f2 = new java.io.File(dir, "b.parquet")
+      java.nio.file.Files.writeString(f2.toPath, "two")
+      val fp2 = FileSources.dirFingerprint(dir.getPath)
+      assert(fp1 != fp2, "a new file must change the fingerprint")
+      // Regenerate a.parquet with different length → changes again.
+      java.nio.file.Files.writeString(f1.toPath, "regenerated")
+      assert(FileSources.dirFingerprint(dir.getPath) != fp2)
+    } finally {
+      Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+      dir.delete(): Unit
+    }
+  }
 }
