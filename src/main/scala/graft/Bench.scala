@@ -155,11 +155,21 @@ object Bench {
     // histogram oracle measured 0.227 s minimum over three draws, so
     // the composition moves to 56.9 — with direct 175-SQL draws at
     // 58.0 / 58.7 / 59.5 all ABOVE it, the reported vs_baseline can
-    // only overstate, never flatter, Spark's relative cost. Env
-    // overrides for re-derived denominators; the fallback keeps
-    // `vs_baseline` on the driver's line, which sets no env.
-    // Only meaningful at sf0.1.
-    val FallbackBaselineSec = 56.9
+    // only overstate, never flatter, Spark's relative cost.
+    // Round-14 re-derivation (2026-08-14, 187 SQLs): the ten new
+    // oracles cost 0.623 s total (per-query minima over three draws;
+    // text_line_dedup 0.301 dominates, the rest 0.008-0.095), so the
+    // composition moves to 57.5 = 56.9 + 0.6. Direct 187-SQL draws
+    // that session ran 73.9 / 81.8 / 87.0 under loadavg 4-8 (the
+    // round's own three-SF verify battery trailing) — an A/B of the
+    // dominant text_bpe_learn oracle's pre/post-totality-fix forms on
+    // the same box measured 18.4 vs 17.9 s (r13 quiet: 13.6), pinning
+    // the inflation on box load, not SQL. The shipped 57.5 stays at
+    // the conservative composition, below every direct draw ever
+    // measured. Env overrides for re-derived denominators; the
+    // fallback keeps `vs_baseline` on the driver's line, which sets
+    // no env. Only meaningful at sf0.1.
+    val FallbackBaselineSec = 57.5
     val baselineEnv = sys.env.get("SPARK_GRAFT_BASELINE_SEC")
     val baselineParsed = baselineEnv
       .flatMap(s => scala.util.Try(s.toDouble).toOption)
