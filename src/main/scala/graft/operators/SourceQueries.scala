@@ -33,6 +33,7 @@ object SourceQueries extends QueryPack {
   private def pqHiveStage(d: String) = Stage.dir(d, "parquet_hive")
   private def pqEvoStage(d: String) = Stage.dir(d, "parquet_evo")
   private def warcStage(d: String) = Stage.dir(d, "warc")
+  private def tarStage(d: String) = Stage.dir(d, "tar")
 
   val queries: Map[String, Q] = Map(
     // CSV sink → CSV source (header + schema inference) → aggregate.
@@ -339,6 +340,56 @@ object SourceQueries extends QueryPack {
           sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
           sum(coalesce(col("n_chars"), lit(0L))).as("chars"))
         .orderBy("bucket")
+    }),
+
+    // WebDataset tar-shard ingest — the packed layout multimodal training
+    // corpora ship in: each .tar shard holds samples as member-file
+    // GROUPS sharing a basename (s123.txt + s123.json), re-paired by key
+    // after the parse. The reader (TarSource) is a real ustar block walk
+    // — checksum-verified headers, octal sizes, 512-block arithmetic
+    // (payloads quote the "ustar" magic AND include exact block-multiple
+    // sizes, so resync-by-magic and always-pad walkers both desync) —
+    // and the audit exercises the WebDataset re-pairing itself:
+    // n_samples counts bases with BOTH members present. The DuckDB
+    // oracle regenerates the closed-form fixture model (counts, pairing,
+    // byte sums, an order-pinning eidx×size moment, an md5 checksum).
+    // Scale shape: one task per shard (the WebDataset contract — shards
+    // ARE the parallelism unit), single forward parse, codegen'd
+    // aggregation after.
+    "tar_ingest" -> ((s, d) => {
+      val e = graft.sources.TarSource.entries(
+        s, graft.sources.TarSource.stageFixture(tarStage(d)))
+        .withColumn("site",
+          concat(lit("s"),
+            (regexp_extract(col("file"), "shard(\\d+)\\.tar", 1)
+              .cast("int") % 4).cast("string")))
+      val files = e.filter(col("typeflag") === "0")
+        .withColumn("base", regexp_extract(col("name"), "^(.*)\\.(txt|json)$", 1))
+        .withColumn("ext", regexp_extract(col("name"), "\\.(txt|json)$", 1))
+      val perSample = files
+        .groupBy("site", "base")
+        .agg(
+          (max(when(col("ext") === "txt", 1).otherwise(0)) *
+            max(when(col("ext") === "json", 1).otherwise(0))).as("paired"),
+          count(lit(1)).as("nf"),
+          sum(when(col("ext") === "txt", col("size")).otherwise(0L)).as("tb"),
+          sum(col("eidx") * col("size")).as("mom"),
+          sum(graft.functions.PortableHash.h60p(
+            concat(col("name"), lit("|"), col("payload_md5")))).as("chk"))
+      val dirs = e.filter(col("typeflag") === "5")
+        .groupBy("site").agg(count(lit(1)).as("n_dirs"))
+      perSample
+        .groupBy("site")
+        .agg(
+          sum("nf").as("n_files"),
+          sum("paired").cast("long").as("n_samples"),
+          sum("tb").as("txt_bytes"),
+          sum("mom").as("moment"),
+          sum("chk").as("checksum"))
+        .join(dirs, Seq("site"))
+        .select("site", "n_dirs", "n_files", "n_samples", "txt_bytes",
+          "moment", "checksum")
+        .orderBy("site")
     })
   )
 
@@ -394,10 +445,62 @@ object SourceQueries extends QueryPack {
                CAST(SUM(${graft.functions.PortableHash.h60pSql("keyed")}) AS BIGINT) AS checksum
         FROM p GROUP BY 1 ORDER BY site"""
 
+  // Dir-independent like warc_ingest: the oracle regenerates TarSource's
+  // closed-form fixture model (16 shards; shard f = one directory member
+  // + 5+(f%4) samples; txt payload = decoy ++ x^n with the exact-block
+  // override at i%4==3; json sidecar string). Pairing, counts, byte sums,
+  // the eidx×size order moment and the md5 checksum must all agree with
+  // the real ustar block walk over the staged bytes.
+  private val tarIngestSql =
+    s"""WITH shards AS (SELECT unnest(range(16)) AS f),
+          samp AS (SELECT f, unnest(range(5 + (f % 4))) AS i FROM shards),
+          m AS (SELECT f, i, f * 100 + i AS k,
+                       CASE WHEN i % 3 = 0 THEN 'ustar  00fake' ELSE '' END AS dcy
+                FROM samp),
+          m2 AS (SELECT f, i, k, dcy,
+                        CASE WHEN i % 4 = 3 THEN 512 * (1 + (i % 2)) - length(dcy)
+                             ELSE 300 + (f * 31 + i * 7) % 600 END AS n
+                 FROM m),
+          ent AS (
+            SELECT f, 'd' || f || '/s' || k AS base,
+                   'd' || f || '/s' || k || '.txt' AS name,
+                   CAST(1 + 2 * i AS BIGINT) AS eidx,
+                   CAST(length(dcy) + n AS BIGINT) AS sz,
+                   md5(dcy || repeat('x', CAST(n AS INT))) AS h,
+                   'txt' AS ext
+            FROM m2
+            UNION ALL
+            SELECT f, 'd' || f || '/s' || k,
+                   'd' || f || '/s' || k || '.json',
+                   CAST(2 + 2 * i AS BIGINT),
+                   CAST(length('{"k":' || k || ',"n":' || (length(dcy) + n) || '}') AS BIGINT),
+                   md5('{"k":' || k || ',"n":' || (length(dcy) + n) || '}'),
+                   'json'
+            FROM m2),
+          per AS (SELECT 's' || (f % 4) AS site, base,
+                         MAX(CASE WHEN ext = 'txt' THEN 1 ELSE 0 END) *
+                         MAX(CASE WHEN ext = 'json' THEN 1 ELSE 0 END) AS paired,
+                         COUNT(*) AS nf,
+                         SUM(CASE WHEN ext = 'txt' THEN sz ELSE 0 END) AS tb,
+                         SUM(eidx * sz) AS mom,
+                         SUM(${graft.functions.PortableHash.h60pSql("name || '|' || h")}) AS chk
+                  FROM ent GROUP BY 1, 2)
+        SELECT site, d.n_dirs,
+               CAST(SUM(nf) AS BIGINT) AS n_files,
+               CAST(SUM(paired) AS BIGINT) AS n_samples,
+               CAST(SUM(tb) AS BIGINT) AS txt_bytes,
+               CAST(SUM(mom) AS BIGINT) AS moment,
+               CAST(SUM(chk) AS BIGINT) AS checksum
+        FROM per JOIN (SELECT 's' || (f % 4) AS site,
+                              CAST(COUNT(*) AS BIGINT) AS n_dirs
+                       FROM shards GROUP BY 1) d USING (site)
+        GROUP BY site, d.n_dirs ORDER BY site"""
+
   override def oracleSqlFor(dataDir: String): Map[String, String] = Map(
     "warc_ingest" -> warcIngestSql,
     "warc_ingest_live" -> warcIngestSql,
     "warc_gz_ingest" -> warcIngestSql,
+    "tar_ingest" -> tarIngestSql,
     // Dir-independent like warc_ingest: the oracle regenerates the HTTP
     // fixture model (12 shards × 6+(f%3) responses; body = "tok "×T with
     // the trailing space trimmed → length 4T−1, tokens T). Chunked rows
