@@ -192,24 +192,6 @@ object DedupQueries extends QueryPack {
       .select(col("p.da"), col("p.db"))
       .distinct()
 
-  /** bucketPairs variant that carries a per-doc payload column through the
-    * pair expansion (e.g. the simhash signature) so the caller needs no
-    * join back to the signature frame — everything stays one pass. NOTE:
-    * unlike bucketPairs this does NOT deduplicate — callers filter first
-    * (cheaper) and dedup the survivors. Same `maxBucket` valve. */
-  private[operators] def bucketPairsWith(buckets: DataFrame, keyCols: Seq[String], payload: String,
-                                         maxBucket: Int = Int.MaxValue): DataFrame =
-    buckets
-      .groupBy(keyCols.map(col): _*)
-      .agg(sort_array(collect_list(struct(col("doc_id"), col(payload)))).as("xs"))
-      .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucket)
-      .select(explode(expr(
-        s"""flatten(transform(sequence(0, size(xs) - 2),
-              i -> transform(slice(xs, i + 2, size(xs) - i - 1),
-                     y -> struct(xs[i].doc_id AS da, y.doc_id AS db,
-                                 xs[i].$payload AS pa, y.$payload AS pb))))""")).as("p"))
-      .select(col("p.da"), col("p.db"), col("p.pa"), col("p.pb"))
-
   /** Min-label propagation over the near-dup pair graph → (id, lbl) with
     * lbl = component minimum. Pregel-style: O(diameter) rounds, each
     * localCheckpoint()ed to truncate lineage; the driver only inspects a
@@ -382,19 +364,40 @@ object DedupQueries extends QueryPack {
   }
 
   /** SimHash near-dup pairs (hamming ≤ 3) over ANY (doc_id, text) frame —
-    * the dedup_simhash query body, reusable with the `maxBucket` valve. */
+    * the dedup_simhash query body, reusable with the `maxBucket` valve.
+    *
+    * Candidates come from a (chunk, ckey) SELF-EQUI-JOIN of the banded
+    * signatures, not a collect_list bucket expansion: a shuffle-hash/sort
+    * join on the band key is a shape AQE can skew-split when one 15-bit
+    * chunk key goes hot (natural-text signatures concentrate), whereas a
+    * per-bucket array of b members expands b²/2 struct pairs inside ONE
+    * unsplittable task. The cheap `bit_count ≤ 3` verify runs per join
+    * row BEFORE the dedup, so `dropDuplicates` only touches survivors.
+    * (Quiet-box A/B at sf0.1: self-join 0.44–0.48 s vs collect_list
+    * 0.57–0.80 s, identical 512 pairs.) The signature frame is lazily
+    * localCheckpoint()ed so the join diamond computes signatures once. */
   def simhashPairsOf(s: SparkSession, docs: DataFrame,
                      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxBucket >= 2,
       s"maxBucket below 2 can never emit a pair, got $maxBucket")
-    val sim = simhashFrameOf(s, docs)
+    val sim = simhashFrameOf(s, docs).localCheckpoint(eager = false)
     val chunks = sim
       .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("chunk"))
       .withColumn("ckey", expr("shiftright(simhash, CAST(chunk * 15 AS INT)) & CAST(32767 AS BIGINT)"))
-    // Hamming filter BEFORE dedup: bit_count is cheap per candidate
-    // occurrence (≤4 per pair), so deduplication only touches the tiny
-    // surviving set instead of every bucket co-occurrence.
-    bucketPairsWith(chunks, Seq("chunk", "ckey"), "simhash", maxBucket)
+    // The adversarial-input valve (see bucketPairs): a bucket with more
+    // than maxBucket members contributes NO pairs. Applied as a pre-join
+    // size filter, so hot buckets never reach the pair join at all.
+    val eligible =
+      if (maxBucket == Int.MaxValue) chunks
+      else {
+        val ok = chunks.groupBy("chunk", "ckey").agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") <= maxBucket).select("chunk", "ckey")
+        chunks.join(ok, Seq("chunk", "ckey"))
+      }
+    val a = eligible.select(col("chunk"), col("ckey"), col("doc_id").as("da"), col("simhash").as("pa"))
+    val b = eligible.select(col("chunk"), col("ckey"), col("doc_id").as("db"), col("simhash").as("pb"))
+    a.join(b, Seq("chunk", "ckey"))
+      .filter(col("da") < col("db"))
       .withColumn("ham", expr("CAST(bit_count(pa ^ pb) AS INT)"))
       .filter(col("ham") <= 3)
       .select("da", "db", "ham")
@@ -510,9 +513,10 @@ object DedupQueries extends QueryPack {
     df
       .withColumn("scheme", lower(expr("parse_url(url, 'PROTOCOL')")))
       .withColumn("auth", expr("parse_url(url, 'AUTHORITY')"))
-      .withColumn("port",
-        when(col("auth").contains(":"), expr("substring_index(auth, ':', -1)"))
-          .otherwise(lit("")))
+      // Port = trailing :digits only. A bare `host:x` substring split
+      // would corrupt bracketed IPv6 authorities — '[::1]' has colons but
+      // no port, and '[::1]:8080' must yield 8080, not '1]:8080' pieces.
+      .withColumn("port", regexp_extract(col("auth"), ":(\\d+)$", 1))
       .withColumn("keep_port",
         col("port") =!= "" &&
           !(col("scheme") === "http" && col("port") === "80") &&
@@ -630,7 +634,7 @@ object DedupQueries extends QueryPack {
       graft.sources.FileSources.ensureBucketed(
         docs.select(md5(col("text")).as("content_hash")).distinct(),
         tbl, 8, Seq("content_hash"),
-        Some(graft.sources.FileSources.dirFingerprint(d)))
+        Some(graft.sources.FileSources.tableFingerprint(d, Seq("documents"))))
       incrementalBatchOf(docs)
         .groupBy(md5(col("text")).as("content_hash"))
         .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_batch_copies"))
@@ -729,7 +733,7 @@ object DedupQueries extends QueryPack {
       val tbl = graft.sources.FileSources.dirKeyedTable("graft_band_idx", d)
       graft.sources.FileSources.ensureBucketed(
         minhashBandsOf(s, docs), tbl, 8, Seq("band", "bkey"),
-        Some(graft.sources.FileSources.dirFingerprint(d)))
+        Some(graft.sources.FileSources.tableFingerprint(d, Seq("documents"))))
       val batch = neardupBatchOf(docs)
       val cand = s.table(tbl).as("c")
         .join(minhashBandsOf(s, batch).as("b"), Seq("band", "bkey"))
@@ -1063,7 +1067,7 @@ object DedupQueries extends QueryPack {
         .orderBy("da", "db")),
 
     // The SimHash twin of dedup_minhash_capped: same `maxBucket` skip rule
-    // through bucketPairsWith, oracle-applied in SQL over the identical
+    // as a pre-join bucket-size filter, oracle-applied in SQL over the identical
     // chunk buckets. Cap 2 is deliberately aggressive (the gate fixture's
     // chunk buckets reach 27 members): at cap 2 the fixture loses exactly
     // the hamming-≤3 pairs whose EVERY colliding chunk bucket is over cap
@@ -1561,7 +1565,7 @@ object DedupQueries extends QueryPack {
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
           ORDER BY da, db""",
     // Same signatures, but candidates come from the 4×15-bit chunk buckets
-    // with the bucketPairsWith skip rule applied in SQL: buckets with more
+    // with the over-cap-bucket skip rule applied in SQL: buckets with more
     // than 2 members contribute NO pairs; a pair survives via any
     // under-cap bucket it also collides in.
     "dedup_simhash_capped" ->

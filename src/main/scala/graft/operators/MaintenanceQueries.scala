@@ -114,7 +114,7 @@ object MaintenanceQueries extends QueryPack {
       graft.sources.FileSources.ensureBucketed(
         Tables.orders(s, d).select("o_orderkey", "o_totalprice", "o_orderpriority"),
         tbl, 8, Seq("o_orderkey"),
-        Some(graft.sources.FileSources.dirFingerprint(d)))
+        Some(graft.sources.FileSources.tableFingerprint(d, Seq("orders"))))
       mergeAuditOf(mergedOrdersOf(s.table(tbl)))
     }),
 

@@ -193,7 +193,7 @@ object SimilarityQueries extends QueryPack {
       val assigned = ivfScoredAssignment(s, d, nprobe = 1).drop("rk")
         .select(col("cluster"), col("vec_id"), col("v"), col("nrm"))
       graft.sources.FileSources.ensureBucketed(assigned, tbl, 8, Seq("cluster"),
-        Some(graft.sources.FileSources.dirFingerprint(d)))
+        Some(graft.sources.FileSources.tableFingerprint(d, Seq("embeddings"))))
       val idx = s.table(tbl)
       val a = idx.select(col("cluster"), col("vec_id").as("qid"), col("v"), col("nrm"))
       val b = idx.select(col("cluster"), col("vec_id").as("cid2"),

@@ -233,17 +233,44 @@ object FileSources {
     * Costs one driver-side directory walk — no data scan — and changes
     * whenever the dir's contents are regenerated, which is exactly the
     * staleness case [[ensureBucketed]]'s schema check cannot see. */
-  def dirFingerprint(dir: String): String = {
+  def dirFingerprint(dir: String): String =
+    fingerprintOf(new java.io.File(dir), Seq(new java.io.File(dir)))
+
+  /** [[dirFingerprint]] scoped to the files an index actually DERIVES
+    * from: `dir/<t>.parquet` for each named table (a file or a
+    * directory). Fingerprinting the whole source dir makes unrelated
+    * activity under it — fixture staging subdirs, sibling tables being
+    * rewritten — invalidate a maintained index that read none of those
+    * bytes, forcing spurious rebuilds; and on a real lake the per-call
+    * listing walk is O(total file count) instead of O(one table's
+    * files). A table path that does not exist contributes its name with
+    * a miss marker, so appearing/disappearing inputs still flip the
+    * fingerprint. */
+  def tableFingerprint(dir: String, tables: Seq[String]): String = {
     val root = new java.io.File(dir)
+    fingerprintOf(root, tables.sorted.map(t => new java.io.File(root, s"$t.parquet")))
+  }
+
+  /** md5 over every file's (path relative to `root`, length, mtime),
+    * walked in sorted order under each of `roots` — a driver-side
+    * listing pass, no data scan. Changes whenever any covered file is
+    * added, removed or regenerated, which is exactly the staleness case
+    * [[ensureBucketed]]'s schema check cannot see. */
+  private def fingerprintOf(root: java.io.File, roots: Seq[java.io.File]): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
       else Seq(f)
     val md = java.security.MessageDigest.getInstance("MD5")
-    walk(root).foreach { f =>
-      val rel = root.toPath.relativize(f.toPath).toString
-      md.update(s"$rel|${f.length}|${f.lastModified}\n"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    roots.foreach { r =>
+      if (!r.exists())
+        md.update(s"${r.getName}|ABSENT\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      else walk(r).foreach { f =>
+        val rel = root.toPath.relativize(f.toPath).toString
+        md.update(s"$rel|${f.length}|${f.lastModified}\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
     }
     md.digest().map("%02x".format(_)).mkString
   }

@@ -100,16 +100,22 @@ object TarSource {
         }
         return (out.result(), true)
       }
-      // Header block: verify the unsigned checksum FIRST — only a block
-      // that sums correctly is trusted to carry offsets.
+      // Header block: verify the checksum FIRST — only a block that sums
+      // correctly is trusted to carry offsets. POSIX specifies the
+      // UNSIGNED byte sum, but historic writers summed SIGNED bytes
+      // (headers whose uname/prefix contain bytes ≥ 0x80 then differ);
+      // GNU tar accepts either, and so do we — a real shard from such a
+      // writer must stay readable.
       val stored = octal(off + 148, 8)
-      var sum = 0L
+      var sumU = 0L
+      var sumS = 0L
       var i = 0
       while (i < Block) {
-        sum += (if (i >= 148 && i < 156) ' '.toInt else bytes(off + i) & 0xff)
+        if (i >= 148 && i < 156) { sumU += ' '.toInt; sumS += ' '.toInt }
+        else { sumU += bytes(off + i) & 0xff; sumS += bytes(off + i) }
         i += 1
       }
-      if (stored < 0 || sum != stored) return (out.result(), false)
+      if (stored < 0 || (sumU != stored && sumS != stored)) return (out.result(), false)
       if (cstr(off + 257, 6) != "ustar") return (out.result(), false)
       val size = octal(off + 124, 12)
       if (size < 0 || size > (bytes.length - off - Block).toLong)

@@ -328,39 +328,6 @@ class SkewAndBucketingSpec extends SparkSpec {
     }
   }
 
-  test("bucketPairsWith matches a naive model (payloads carried, no dedup)") {
-    // The payload-carrying variant keeps duplicate pairs across buckets by
-    // contract (callers filter cheaply, then dedup survivors) — so the
-    // model compares MULTISETS, and each doc's payload must ride along
-    // unaltered.
-    import spark.implicits._
-    val rnd = new scala.util.Random(8132026)
-    for (trial <- 1 to 5) {
-      val nDocs = 5 + rnd.nextInt(30)
-      val nBuckets = 1 + rnd.nextInt(5)
-      val payload = (d: Long) => d * 7 + 1
-      val rows = for {
-        d <- 0 until nDocs
-        b <- rnd.shuffle((0 until nBuckets).toList).take(1 + rnd.nextInt(3))
-      } yield (d.toLong, b, payload(d.toLong))
-      val cap = 2 + rnd.nextInt(4)
-      val df = rows.toDF("doc_id", "b", "p")
-      def naive(c: Int): Map[(Long, Long, Long, Long), Int] = rows.groupBy(_._2).values
-        .map(_.map(_._1).sorted)
-        .filter(ids => ids.size > 1 && ids.size <= c)
-        .flatMap(ids =>
-          for { i <- ids.indices; j <- i + 1 until ids.size }
-            yield (ids(i), ids(j), payload(ids(i)), payload(ids(j))))
-        .toSeq.groupBy(identity).map { case (k, v) => k -> v.size }
-      def got(c: Int): Map[(Long, Long, Long, Long), Int] =
-        DedupQueries.bucketPairsWith(df, Seq("b"), "p", c)
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-          .groupBy(identity).map { case (k, v) => k -> v.length }
-      assert(got(Int.MaxValue) == naive(Int.MaxValue), s"trial $trial uncapped mismatch")
-      assert(got(cap) == naive(cap), s"trial $trial cap=$cap mismatch")
-    }
-  }
-
   test("componentLabelsFromPairs matches union-find on random graphs") {
     // The iterative min-label propagation (lazy checkpoints + pointer
     // jumping) is only oracle-checked on the fixture's pair graph; this

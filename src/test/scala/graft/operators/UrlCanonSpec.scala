@@ -44,6 +44,18 @@ class UrlCanonSpec extends SparkSpec {
       "http://x.com/A"))                    // path case is PRESERVED
   }
 
+  test("bracketed IPv6 authorities: colons are not ports") {
+    // A substring-after-':' port parse would turn '[::1]' into port '1]'
+    // and emit 'http://[::1]:1]/a'; the port must be trailing :digits only.
+    assert(canon(
+      "http://[::1]/a",                       // no port at all
+      "http://[2001:DB8::1]:8080/a",          // real non-default port kept
+      "http://[2001:DB8::1]:80/a") == Seq(    // default port stripped
+      "http://[::1]/a",
+      "http://[2001:db8::1]:8080/a",
+      "http://[2001:db8::1]/a"))
+  }
+
   test("distinct messy variants of one resource collapse to one canonical") {
     val c = canon(
       "http://www.site.com:80//p/q/?b=2&a=1#x",

@@ -95,4 +95,38 @@ class BucketingSpec extends SparkSpec {
       dir.delete(): Unit
     }
   }
+
+  test("tableFingerprint sees only its tables' files, not staging siblings") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tfp").toFile
+    try {
+      java.nio.file.Files.writeString(
+        new java.io.File(dir, "documents.parquet").toPath, "docs-v1")
+      val fp1 = FileSources.tableFingerprint(dir.getPath, Seq("documents"))
+      assert(fp1 == FileSources.tableFingerprint(dir.getPath, Seq("documents")))
+      // Unrelated staging under the same source dir (the in-session
+      // fixture case) must NOT invalidate a maintained index.
+      val staged = new java.io.File(dir, "staged_fixture")
+      staged.mkdir()
+      java.nio.file.Files.writeString(
+        new java.io.File(staged, "shard00.tar").toPath, "bytes")
+      java.nio.file.Files.writeString(
+        new java.io.File(dir, "orders.parquet").toPath, "other-table")
+      assert(FileSources.tableFingerprint(dir.getPath, Seq("documents")) == fp1,
+        "sibling staging must not change a scoped fingerprint")
+      // Regenerating the covered table MUST change it.
+      java.nio.file.Files.writeString(
+        new java.io.File(dir, "documents.parquet").toPath, "docs-v2-longer")
+      val fp2 = FileSources.tableFingerprint(dir.getPath, Seq("documents"))
+      assert(fp2 != fp1)
+      // An absent covered table is a distinct state, not an empty hash.
+      val fpAbsent = FileSources.tableFingerprint(dir.getPath, Seq("embeddings"))
+      assert(fpAbsent != FileSources.tableFingerprint(dir.getPath, Seq("documents")))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
 }

@@ -94,6 +94,27 @@ class TarSourceSpec extends SparkSpec {
     assert(parseTar("f", Array.emptyByteArray)._2 == false)
   }
 
+  test("signed-sum checksums from historic writers are accepted (GNU tar compat)") {
+    // Plant a byte ≥ 0x80 in uname (offset 265) so signed and unsigned
+    // sums DIFFER, then store the SIGNED sum — the header a historic
+    // signed-arithmetic writer would emit. The walk must accept it and
+    // the payload must round-trip.
+    val m = member("s.txt", '0', bytes("payload"))
+    m(265) = 0xc3.toByte // non-ASCII uname byte
+    java.util.Arrays.fill(m, 148, 156, ' '.toByte)
+    var signedSum = 0L
+    (0 until 512).foreach(i => signedSum += m(i)) // SIGNED byte sum
+    System.arraycopy(bytes(f"$signedSum%06o"), 0, m, 148, 6)
+    m(154) = 0; m(155) = ' '.toByte
+    val (es, clean) = parseTar("f", archive(Seq(m)))
+    assert(clean)
+    assert(es.map(e => (e.name, e.payload_md5)) ==
+      Seq(("s.txt", md5Hex(bytes("payload")))))
+    // A checksum matching NEITHER sum still halts the walk.
+    m(148) = '9'
+    assert(parseTar("f", archive(Seq(m)))._2 == false)
+  }
+
   test("ustar prefix field joins long paths as prefix/name") {
     val m = member("leaf.txt", '0', bytes("p"))
     // plant a prefix (the writer never emits one; patch it in and re-sum)
@@ -117,8 +138,9 @@ class TarSourceSpec extends SparkSpec {
     // shard 0: dir + 5 samples × 2 members
     assert(es.size == 11)
     assert(es.head.typeflag == "5")
-    // sample i=3 hits the exact-block override: i%4==3, i%3==0 false →
-    // no decoy, size = 512·(1+1) = 1024
+    // sample i=3 hits the exact-block override (i%4==3) AND carries the
+    // decoy prefix (3%3==0): the override sizes the TOTAL payload to
+    // 512·(1+1) = 1024 including the 13-byte decoy (n = 1024−13)
     val txt3 = es.find(_.name == "d0/s3.txt").get
     assert(txt3.size == 1024L)
     // sample i=0 carries the decoy prefix
