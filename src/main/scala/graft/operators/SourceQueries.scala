@@ -102,6 +102,17 @@ object SourceQueries extends QueryPack {
       warcAuditOf(graft.sources.WarcSource.recordsGz(
         s, graft.sources.WarcSource.stageGzFixture(Stage.dir(d, "warc_gz"))))),
 
+    // The same fixture through Common Crawl's CURRENT alternative wire
+    // format, .warc.zst: one checksummed zstd frame per record plus the
+    // spec's leading skippable (dictionary-slot) frame per shard. The
+    // reader must walk MULTI-frame streams, skip skippable frames
+    // without emitting bytes, and verify embedded content checksums;
+    // decompressed bytes are identical to the plain shards, so
+    // warc_ingest's oracle holds verbatim.
+    "warc_zst_ingest" -> ((s, d) =>
+      warcAuditOf(graft.sources.WarcSource.recordsZst(
+        s, graft.sources.WarcSource.stageZstFixture(Stage.dir(d, "warc_zst"))))),
+
     // WARC → WET text extraction — the chain a crawl corpus actually runs
     // after ingest: for every response record, parse the PAYLOAD as an
     // HTTP/1.1 message (status line / headers / CRLFCRLF body split),
@@ -500,6 +511,7 @@ object SourceQueries extends QueryPack {
     "warc_ingest" -> warcIngestSql,
     "warc_ingest_live" -> warcIngestSql,
     "warc_gz_ingest" -> warcIngestSql,
+    "warc_zst_ingest" -> warcIngestSql,
     "tar_ingest" -> tarIngestSql,
     // Dir-independent like warc_ingest: the oracle regenerates the HTTP
     // fixture model (12 shards × 6+(f%3) responses; body = "tok "×T with

@@ -345,6 +345,129 @@ object WarcSource {
     paths
   }
 
+  // ---- zstd shards (the Common Crawl .warc.zst alternative format) ----
+
+  /** Decompress a MULTI-FRAME zstd stream — the `.warc.zst` layout is one
+    * zstd frame per record, concatenated, with skippable frames allowed
+    * (the spec reserves a leading skippable frame for a shared
+    * dictionary). Same loud-failure discipline as [[gunzipAll]]: every
+    * byte must frame as a valid zstd frame; skippable frames (magic
+    * 0x184D2A50–5F) contribute nothing; data frames are decompressed
+    * with their declared content size enforced, and when the writer
+    * embedded a content CHECKSUM (our staging does — see [[zstFrame]])
+    * the decoder verifies it, so corruption anywhere in a frame trips
+    * the salvage contract instead of surfacing mangled records. Returns
+    * (decompressed prefix of COMPLETE frames, clean). Frames written
+    * without a content size (pure streaming writers) are refused as
+    * unclean rather than guessed at: the per-record layout this reader
+    * exists for always records it. */
+  private[graft] def unzstdAll(bytes: Array[Byte]): (Array[Byte], Boolean) = {
+    import com.github.luben.zstd.Zstd
+    val out = new java.io.ByteArrayOutputStream()
+    var p = 0
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    while (p < bytes.length) {
+      if (p + 4 > bytes.length) return (out.toByteArray, false)
+      val magic = u32(p)
+      // findFrameCompressedSize walks the block structure; any malformed
+      // header/descriptor or mid-frame truncation throws.
+      val cs =
+        try Zstd.findFrameCompressedSize(bytes, p, bytes.length - p)
+        catch { case _: com.github.luben.zstd.ZstdException =>
+          return (out.toByteArray, false) }
+      if (cs <= 0 || cs > (bytes.length - p).toLong)
+        return (out.toByteArray, false)
+      if ((magic & 0xfffffff0L) == 0x184d2a50L) {
+        // Skippable frame (dictionary slot): no decompressed bytes. A
+        // dictionary we don't load can't be used SILENTLY: a frame that
+        // actually needs one fails its decompress below — loud.
+        ()
+      } else {
+        val ds =
+          try Zstd.getFrameContentSize(bytes, p, cs.toInt)
+          catch { case _: com.github.luben.zstd.ZstdException =>
+            return (out.toByteArray, false) }
+        if (ds < 0 || ds > (Int.MaxValue - 16).toLong)
+          return (out.toByteArray, false)
+        val dst = new Array[Byte](ds.toInt)
+        val got =
+          try Zstd.decompressByteArray(dst, 0, dst.length, bytes, p, cs.toInt)
+          catch { case _: com.github.luben.zstd.ZstdException =>
+            // covers corruption, checksum mismatch, AND an unknown-
+            // content-size frame misdeclared as 0 (dst too small) —
+            // never a silent short read.
+            return (out.toByteArray, false) }
+        if (got != ds) return (out.toByteArray, false)
+        out.write(dst, 0, dst.length)
+      }
+      p += cs.toInt
+    }
+    (out.toByteArray, true)
+  }
+
+  /** One record as one zstd frame, content size AND content checksum
+    * embedded (xxhash64 low bits, verified by any conformant decoder) —
+    * the per-record seekability of the gzip layout with zstd's ratio. */
+  private[graft] def zstFrame(bytes: Array[Byte]): Array[Byte] = {
+    val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+    try { ctx.setLevel(3); ctx.setChecksum(true); ctx.compress(bytes) }
+    finally ctx.close()
+  }
+
+  /** A zstd SKIPPABLE frame carrying `payload` — the `.warc.zst`
+    * dictionary-slot framing (we stage a non-dictionary marker there so
+    * the reader's skip path is exercised by every staged shard). */
+  private[graft] def skippableFrame(payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Long): Unit =
+      (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    le32(0x184d2a50L)
+    le32(payload.length.toLong)
+    out.write(payload, 0, payload.length)
+    out.toByteArray
+  }
+
+  /** [[records]] over per-record-zstd shards: whole-shard read, strict
+    * multi-frame unzstd ([[unzstdAll]] — checksums verified when
+    * present, skippable frames skipped), then the SAME strict framing
+    * parse; decompressed bytes are identical to the plain shard, so the
+    * plain fixture's oracle holds verbatim. Clean requires BOTH layers
+    * clean. Scale shape as [[recordsGz]]: one task per shard file. */
+  def recordsZst(spark: SparkSession, paths: Seq[String],
+                 tolerateUnclean: Boolean = false): DataFrame = {
+    import spark.implicits._
+    framedShards(spark, paths, tolerateUnclean) { (name, bytes) =>
+      val (plain, zClean) = unzstdAll(bytes)
+      val (recs, warcClean) = parseWarc(name, plain)
+      (recs, zClean && warcClean)
+    }.toDF()
+  }
+
+  def zstFixtureFiles(dir: String): Seq[String] =
+    (0 until 24).map(f => f"$dir/shard$f%02d.warc.zst")
+
+  /** Stage the zstd fixture: the SAME 24 shards as [[stageFixture]],
+    * one checksummed zstd frame per record, preceded by a skippable
+    * dictionary-slot frame — every shard exercises multi-frame walk,
+    * skippable skip and checksum verify. Idempotent via marker. */
+  def stageZstFixture(dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    val marker = new java.io.File(d, "_STAGED_WARC_ZST_V1")
+    val paths = zstFixtureFiles(dir)
+    if (!marker.exists()) {
+      d.mkdirs()
+      paths.zipWithIndex.foreach { case (p, f) =>
+        val zs = skippableFrame(s"graft-dict-slot-$f".getBytes("US-ASCII")) +:
+          fixtureShardRecords(f).map(zstFrame)
+        java.nio.file.Files.write(java.nio.file.Paths.get(p), zs.reduce(_ ++ _))
+      }
+      marker.createNewFile(): Unit
+    }
+    paths
+  }
+
   // ---- HTTP extraction (the WARC → WET text-extraction chain) ----
 
   /** One HTTP response extracted from a WARC response record's payload:

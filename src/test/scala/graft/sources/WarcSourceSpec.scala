@@ -238,6 +238,64 @@ class WarcSourceSpec extends SparkSpec {
     assert(java.util.Arrays.equals(crcPrefix, WarcSource.gunzipAll(recs(0))._1))
   }
 
+  test("multi-frame unzstd: per-record frames + skippable slot decompress to the plain shard") {
+    // The .warc.zst layout: a leading skippable (dictionary-slot) frame,
+    // then one checksummed zstd frame per record. unzstdAll must walk
+    // every frame, emit NOTHING for the skippable one, and reproduce the
+    // plain shard byte-for-byte.
+    for (f <- Seq(0, 7, 23)) {
+      val plain = WarcSource.fixtureShard(f)
+      val zs = (WarcSource.skippableFrame(s"graft-dict-slot-$f".getBytes("US-ASCII")) +:
+        WarcSource.fixtureShardRecords(f).map(WarcSource.zstFrame)).reduce(_ ++ _)
+      val (got, clean) = WarcSource.unzstdAll(zs)
+      assert(clean && java.util.Arrays.equals(got, plain), s"shard $f")
+      // a single whole-shard frame decompresses identically too
+      val (got1, clean1) = WarcSource.unzstdAll(WarcSource.zstFrame(plain))
+      assert(clean1 && java.util.Arrays.equals(got1, plain))
+      // skippable frames may appear anywhere between data frames
+      val mid = WarcSource.zstFrame(plain) ++
+        WarcSource.skippableFrame(Array[Byte](9)) ++ WarcSource.zstFrame(plain)
+      val (got2, clean2) = WarcSource.unzstdAll(mid)
+      assert(clean2 && java.util.Arrays.equals(got2, plain ++ plain))
+    }
+  }
+
+  test("unzstd is LOUD about frame damage: magic, truncation, checksum, trailing junk") {
+    val recs = WarcSource.fixtureShardRecords(3).map(WarcSource.zstFrame)
+    val full = recs.reduce(_ ++ _)
+    val firstTwo = WarcSource.unzstdAll(recs(0) ++ recs(1))._1
+    // garbled third frame magic: salvage exactly the first two frames
+    val badMagic = full.clone()
+    badMagic(recs(0).length + recs(1).length) = 0x55.toByte
+    assert(WarcSource.unzstdAll(badMagic) match {
+      case (prefix, false) => java.util.Arrays.equals(prefix, firstTwo)
+      case other => fail(s"garbled magic not flagged: clean=${other._2}")
+    })
+    // trailing garbage after the last frame
+    val trailing = full ++ Array[Byte](1, 2, 3)
+    assert(!WarcSource.unzstdAll(trailing)._2)
+    assert(java.util.Arrays.equals(WarcSource.unzstdAll(trailing)._1,
+      WarcSource.unzstdAll(full)._1))
+    // truncation mid-frame: salvage = all complete frames before it
+    val cut = full.dropRight(recs.last.length / 2)
+    val (cutPrefix, cutClean) = WarcSource.unzstdAll(cut)
+    assert(!cutClean)
+    assert(java.util.Arrays.equals(cutPrefix,
+      WarcSource.unzstdAll(recs.dropRight(1).reduce(_ ++ _))._1))
+    // a flipped PAYLOAD byte inside the second frame: the embedded
+    // content checksum catches what a checksum-less frame would let
+    // through as mangled bytes
+    val badBody = full.clone()
+    badBody(recs(0).length + recs(1).length / 2) =
+      (badBody(recs(0).length + recs(1).length / 2) ^ 0x5a).toByte
+    val (ckPrefix, ckClean) = WarcSource.unzstdAll(badBody)
+    assert(!ckClean)
+    assert(java.util.Arrays.equals(ckPrefix, WarcSource.unzstdAll(recs(0))._1))
+    // a skippable frame whose declared size overruns the buffer
+    val badSkip = WarcSource.skippableFrame(Array[Byte](1, 2, 3)).dropRight(2)
+    assert(!WarcSource.unzstdAll(recs(0) ++ badSkip)._2)
+  }
+
   test("streaming WARC arrival equals the batch reader row-for-row") {
     // warc_ingest_live's claim at the record level (the oracle pins the
     // aggregate): the binaryFile FileStreamSource → parse → append-sink
