@@ -208,6 +208,69 @@ object SimilarityQueries extends QueryPack {
         .orderBy("vec_id")
     }),
 
+    // IVF index MAINTENANCE — the ANN write-back loop sim_knn_bucketed
+    // builds its index FOR but never exercises: build the bucketed
+    // assignment table fresh (writeBucketed — idempotent across runs,
+    // separate dir-keyed name so the maintained sibling table is never
+    // contaminated), assign a constructed arriving batch of NEW vectors
+    // to cells against the SAME staged centroids, APPEND the batch
+    // assignment into the table (FileSources.appendBucketed — the
+    // per-ingest production write), then probe the batch against the
+    // UPDATED index. The batch is each 10th vector NEGATED and re-keyed:
+    // negation keeps the norm bit-identical while giving a
+    // deterministic, generally different cell. Audit lines pin all three
+    // states: batch_assigned (cell routing), batch_nn (nearest neighbor
+    // within the updated cell — a skipped append loses batch-vs-batch
+    // neighbors), index_after (rows + id|cell checksum — a double
+    // append breaks it). The oracle recomputes everything from scratch.
+    // Scale shape: batch×16 broadcast assignment, one batch-sized
+    // bucketed append, probe reads the corpus side exchange-free from
+    // its buckets (plan-pinned in SkewAndBucketingSpec) — only the
+    // small batch shuffles.
+    "sim_knn_indexed_update" -> ((s, d) => {
+      import graft.sources.FileSources
+      val tbl = FileSources.dirKeyedTable("graft_ivf_upd_idx", d)
+      val assigned = ivfScoredAssignment(s, d, nprobe = 1).drop("rk")
+        .select(col("cluster"), col("vec_id"), col("v"), col("nrm"))
+      FileSources.writeBucketed(assigned, tbl, 8, Seq("cluster"))
+      val cent = IvfCodebook.centroids(s, d)
+      val byVec = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+      val batch = vecs(s, d).filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          expr("transform(v, x -> -x)").as("v"), col("nrm"))
+      // Eagerly checkpointed: re-used for the append, the probe side and
+      // the audit line — one evaluation of the assignment window.
+      val batchAsg = batch.crossJoin(broadcast(cent))
+        .withColumn("ccos", cosExpr / (col("nrm") * col("wnrm")))
+        .withColumn("rk", row_number().over(byVec))
+        .filter(col("rk") === 1)
+        .select(col("cid").as("cluster"), col("vec_id"), col("v"), col("nrm"))
+        .localCheckpoint(true)
+      FileSources.appendBucketed(batchAsg, tbl, 8, Seq("cluster"))
+      val cands = s.table(tbl).select(col("cluster"), col("vec_id").as("cid2"),
+        col("v").as("w"), col("nrm").as("wnrm"))
+      val nn = batchAsg
+        .select(col("cluster"), col("vec_id").as("qid"), col("v"), col("nrm"))
+        .join(cands, Seq("cluster"))
+        .filter(col("qid") =!= col("cid2"))
+        .withColumn("cos", cosExpr / (col("nrm") * col("wnrm")))
+        .groupBy("qid")
+        .agg(max(struct(col("cos"), (-col("cid2")).as("negid"))).as("m"))
+        .select(col("qid"), (-col("m.negid")).as("nn_id"))
+      def phaseRow(name: String, df: DataFrame, keyCol: org.apache.spark.sql.Column) =
+        df.agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(graft.functions.PortableHash.h60p(keyCol)), lit(0L))
+              .as("checksum"))
+          .select(lit(name).as("phase"), col("n_rows"), col("checksum"))
+      phaseRow("batch_assigned", batchAsg,
+          concat(col("vec_id").cast("string"), lit("|"), col("cluster").cast("string")))
+        .unionByName(phaseRow("batch_nn", nn,
+          concat(col("qid").cast("string"), lit("|"), col("nn_id").cast("string"))))
+        .unionByName(phaseRow("index_after", s.table(tbl),
+          concat(col("vec_id").cast("string"), lit("|"), col("cluster").cast("string"))))
+        .orderBy("phase")
+    }),
+
     // kNN join, nprobe=2: recall knob over sim_knn_ivf. A vector near a
     // cell boundary gets a worse-than-brute neighbor when only its own
     // cell is searched; probing the second-nearest cell too recovers most
@@ -367,6 +430,54 @@ object SimilarityQueries extends QueryPack {
     // result-invariant — only the physical layout (and the probe plan's
     // exchange count) differs.
     "sim_knn_bucketed" -> knnIvfSql(dataDir),
+    // Recomputes the whole maintenance loop from scratch: corpus
+    // assignment, batch construction (negated 10th vectors, re-keyed,
+    // norm reused — negation is exact in IEEE), batch assignment over
+    // the same staged centroids, the UNION that models the post-append
+    // index, and the batch kNN within updated cells.
+    "sim_knn_indexed_update" ->
+      s"""WITH $vecsSqlCte,
+            ${centSqlCte(dataDir)},
+            asg AS (SELECT vec_id, v, nrm, cid AS cluster FROM (
+                      SELECT a.vec_id, a.v, a.nrm, c.cid,
+                             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                               ORDER BY ${cosSql("a.v", "c.w")} / (a.nrm * c.wnrm) DESC, c.cid) AS rk
+                      FROM n a, cent c) WHERE rk = 1),
+            bat AS (SELECT vec_id + 1000000 AS vec_id,
+                           list_transform(v, x -> -x) AS v, nrm
+                    FROM n WHERE vec_id % 10 = 0),
+            basg AS (SELECT vec_id, v, nrm, cid AS cluster FROM (
+                       SELECT b.vec_id, b.v, b.nrm, c.cid,
+                              ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                ORDER BY ${cosSql("b.v", "c.w")} / (b.nrm * c.wnrm) DESC, c.cid) AS rk
+                       FROM bat b, cent c) WHERE rk = 1),
+            upd AS (SELECT vec_id, v, nrm, cluster FROM asg
+                    UNION ALL
+                    SELECT vec_id, v, nrm, cluster FROM basg),
+            pairs AS (SELECT p.vec_id AS qid, u.vec_id AS nn_id,
+                             ${cosSql("p.v", "u.v")} / (p.nrm * u.nrm) AS cos
+                      FROM basg p JOIN upd u
+                        ON p.cluster = u.cluster AND p.vec_id <> u.vec_id),
+            nn AS (SELECT qid, nn_id FROM (
+                     SELECT qid, nn_id,
+                            ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY cos DESC, nn_id) AS rk
+                     FROM pairs) WHERE rk = 1)
+          SELECT 'batch_assigned' AS phase, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(COALESCE(SUM(${graft.functions.PortableHash.h60pSql(
+                   "CAST(vec_id AS VARCHAR) || '|' || CAST(cluster AS VARCHAR)")}), 0) AS BIGINT) AS checksum
+          FROM basg
+          UNION ALL
+          SELECT 'batch_nn', CAST(COUNT(*) AS BIGINT),
+                 CAST(COALESCE(SUM(${graft.functions.PortableHash.h60pSql(
+                   "CAST(qid AS VARCHAR) || '|' || CAST(nn_id AS VARCHAR)")}), 0) AS BIGINT)
+          FROM nn
+          UNION ALL
+          SELECT 'index_after', CAST(COUNT(*) AS BIGINT),
+                 CAST(COALESCE(SUM(${graft.functions.PortableHash.h60pSql(
+                   "CAST(vec_id AS VARCHAR) || '|' || CAST(cluster AS VARCHAR)")}), 0) AS BIGINT)
+          FROM upd
+          ORDER BY phase""",
     "sim_knn_ivf2" ->
       s"""WITH $vecsSqlCte,
             ${centSqlCte(dataDir)},

@@ -87,6 +87,36 @@ class SkewAndBucketingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_orphan_test")
   }
 
+  test("the IVF index stays exchange-free and correct AFTER a bucketed append") {
+    // sim_knn_indexed_update's deployment claim: appendBucketed of the
+    // batch assignment preserves the bucket layout, so the post-append
+    // probe still reads the index side with no exchange — and the
+    // updated index now serves batch rows as neighbor candidates.
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    val assigned = SimilarityQueries.ivfScoredAssignment(sess, dir, nprobe = 1)
+      .drop("rk").select(col("cluster"), col("vec_id"), col("v"), col("nrm"))
+    graft.sources.FileSources.writeBucketed(assigned, "b_ivf_upd", 8, Seq("cluster"))
+    val nBase = sess.table("b_ivf_upd").count()
+    // A small constructed batch: two vectors re-keyed into known cells.
+    val batch = assigned.orderBy("vec_id").limit(2)
+      .select(col("cluster"), (col("vec_id") + 1000000L).as("vec_id"),
+        col("v"), col("nrm")).localCheckpoint(true)
+    graft.sources.FileSources.appendBucketed(batch, "b_ivf_upd", 8, Seq("cluster"))
+    assert(sess.table("b_ivf_upd").count() == nBase + 2, "append did not land")
+    val probe = batch.select(col("cluster"), col("vec_id").as("qid"))
+      .join(sess.table("b_ivf_upd").select(col("cluster"), col("vec_id").as("cid2")),
+        Seq("cluster"))
+      .filter(col("qid") =!= col("cid2"))
+    assertBucketSideExchangeFree(probe)
+    // Each appended row's source twin shares its cell, so every batch row
+    // finds at least its twin — and the twin's own +1M copy — as candidates.
+    val qids = probe.select("qid").distinct().collect().map(_.getLong(0)).toSet
+    assert(qids.size == 2, s"batch rows missing from the probe: $qids")
+    sess.sql("DROP TABLE IF EXISTS b_ivf_upd")
+  }
+
   test("the persisted IVF index probes without a shuffle exchange") {
     // sim_knn_bucketed's deployment claim: after writeBucketed(cluster),
     // the probe self-join reads both sides pre-partitioned AND pre-sorted
