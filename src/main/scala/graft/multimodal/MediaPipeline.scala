@@ -1270,6 +1270,68 @@ object MediaPipeline {
       .toDF()
   }
 
+  // ---- WebDataset media shards (the mm_wds_pipeline arrival fixture) ----
+
+  /** Per-member pixel stats keyed by the member NAME — tar pipelines key
+    * samples by path inside the shard, not by a numeric doc id. */
+  case class NamedPixelStats(name: String, site: String, width: Int, height: Int,
+                             r_sum: Long, g_sum: Long, b_sum: Long,
+                             r_moment: Long, tl_luma: Long)
+
+  /** PNG decode pass over (name, site, data) member rows, decode-as-
+    * filter like every pixel pass: JSON sidecars and anything else that
+    * is not a conformant RGB PNG drop out of the flatMap. */
+  def decodedPngMembers(s: SparkSession, members: DataFrame): DataFrame = {
+    import s.implicits._
+    members.select(col("name"), col("site"), col("data"))
+      .as[(String, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (name, site, data) =>
+        decodePngPixels(data).map(p =>
+          NamedPixelStats(name, site, p.width, p.height, p.rSum, p.gSum,
+            p.bSum, p.rMoment, p.tlLuma))
+      })
+      .toDF()
+  }
+
+  /** WebDataset media fixture: 8 tar shards; shard f carries a directory
+    * member d{f}/ then 4 + f%3 samples; sample i (key = f·100+i):
+    *   d{f}/w{key}.png  = [[pixelPng]](img),  img = 3·((f·5 + i·7) mod 9)
+    *   d{f}/w{key}.json = {"k":key,"img":img}
+    * NINE distinct images shared across all 38 samples — the content-
+    * dedup stage's duplicates exist by construction, and odd img ids
+    * stage ADAM7-interlaced so the pipeline decodes both layouts. */
+  def wdsFixtureFiles(dir: String): Seq[String] =
+    (0 until 8).map(f => f"$dir/wds$f%02d.tar")
+
+  private[graft] def wdsShard(f: Int): Array[Byte] = {
+    import graft.sources.TarSource.{archive, member}
+    val ms = Seq.newBuilder[Array[Byte]]
+    ms += member(s"d$f/", '5', Array.emptyByteArray)
+    (0 until (4 + f % 3)).foreach { i =>
+      val key = f * 100 + i
+      val img = 3L * ((f * 5 + i * 7) % 9)
+      ms += member(s"d$f/w$key.png", '0', pixelPng(img))
+      ms += member(s"d$f/w$key.json", '0',
+        s"""{"k":$key,"img":$img}""".getBytes("US-ASCII"))
+    }
+    archive(ms.result())
+  }
+
+  /** Idempotent staging, same marker discipline as every fixture. */
+  def stageWdsFixture(dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    val marker = new java.io.File(d, "_STAGED_WDS_MEDIA_V1")
+    val paths = wdsFixtureFiles(dir)
+    if (!marker.exists()) {
+      d.mkdirs()
+      paths.zipWithIndex.foreach { case (p, f) =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(p), wdsShard(f))
+      }
+      marker.createNewFile(): Unit
+    }
+    paths
+  }
+
   /** PPM pixel-decode pass, same contract as [[decodedBmpPixels]]. */
   def decodedPpmPixels(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

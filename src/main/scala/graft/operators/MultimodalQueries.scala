@@ -240,6 +240,57 @@ object MultimodalQueries extends QueryPack {
   // tl_luma pins the top-left pixel, which in a bottom-up BMP lives at the
   // start of the LAST file row. All-integer outputs: the hashes are exact.
   private def pixelQueries: Map[String, Q] = Map(
+    // The WebDataset END-TO-END pipeline: tar shards (the arrival
+    // format) → member walk (TarSource.members, one task per shard) →
+    // REAL PNG pixel decode (decode-as-filter: the .json sidecars drop
+    // out) → per-image features → content dedup on the decoded pixel
+    // fingerprint (w, h, channel sums, moment — the payload-md5 key is
+    // not oracle-computable, the decoded fingerprint is). Per-site
+    // funnel row: member audit → decoded counts/pixel sums → deduped
+    // uniques, duplicates dropped, canonical-name checksum and a
+    // feature checksum over the DEDUPED set. Canonical = min member
+    // name globally; its site claims the unique (sites s3's shards
+    // carry only re-occurrences, so its dedup columns are legitimately
+    // zero — pinned via the LEFT join + fill). Scale shape: one task
+    // per shard, map-only decode, one fingerprint groupBy; everything
+    // after the decode is ordinary codegen'd aggregation.
+    "mm_wds_pipeline" -> ((s, d) => {
+      val paths = MediaPipeline.stageWdsFixture(graft.Stage.dir(d, "wds_media"))
+      val m = graft.sources.TarSource.members(s, paths)
+        .filter(col("typeflag") === "0")
+        .withColumn("site", concat(lit("s"),
+          (regexp_extract(col("file"), "wds(\\d+)\\.tar", 1).cast("int") % 4)
+            .cast("string")))
+        .localCheckpoint(eager = false) // member audit + decode share one walk
+      val memberAgg = m.groupBy("site").agg(
+        count(lit(1)).as("n_members"),
+        sum(when(col("name").endsWith(".png"), 1L).otherwise(0L)).as("n_png"))
+      val decoded = MediaPipeline.decodedPngMembers(s, m)
+        .localCheckpoint(eager = false) // audit + dedup share one decode
+      val decAgg = decoded.groupBy("site").agg(
+        count(lit(1)).as("n_decoded"),
+        sum(col("width").cast("long") * col("height")).as("n_px"),
+        sum("r_sum").as("r_total"),
+        sum("r_moment").as("moment_total"))
+      val canon = decoded
+        .groupBy("width", "height", "r_sum", "g_sum", "b_sum", "r_moment")
+        .agg(min("name").as("cname"), count(lit(1)).as("n_copies"),
+          max("tl_luma").as("tl_luma"))
+      val dedupAgg = canon
+        .join(decoded.select(col("name").as("cname"), col("site")), Seq("cname"))
+        .groupBy("site").agg(
+          count(lit(1)).as("n_uniq"),
+          sum(col("n_copies") - 1).as("n_dups_dropped"),
+          sum(graft.functions.PortableHash.h60p(col("cname"))).as("canon_checksum"),
+          sum(col("r_sum") * 3 + col("g_sum") * 5 + col("b_sum") * 7
+            + col("width").cast("long") * col("height") + col("tl_luma"))
+            .as("feat_checksum"))
+      memberAgg.join(decAgg, Seq("site"))
+        .join(dedupAgg, Seq("site"), "left")
+        .na.fill(0L, Seq("n_uniq", "n_dups_dropped", "canon_checksum", "feat_checksum"))
+        .orderBy("site")
+    }),
+
     "mm_bmp_pixels" -> ((s, d) =>
       MediaPipeline.decodedBmpPixels(s, d)
         .groupBy("source")
@@ -685,6 +736,69 @@ object MultimodalQueries extends QueryPack {
   // stream, trivial at oracle scale. Spark, by contrast, only ever sees
   // the BYTES: the match proves the decode.
   private def pixelOracles: Map[String, String] = Map(
+    // The whole pipeline recomputed closed-form: the shard/sample model
+    // (8 shards, 4+f%3 samples, img = 3·((f·5+i·7) mod 9)), the staged-
+    // PNG pixel model per distinct image, the per-site member and decode
+    // audits, and the dedup over the SAME fingerprint key Spark groups
+    // on — never a byte parsed.
+    "mm_wds_pipeline" ->
+      s"""WITH sh AS (SELECT unnest(range(8)) AS f),
+            smp AS (SELECT sh.f, us.i, CAST(sh.f*100 + us.i AS BIGINT) AS key,
+                           CAST(3 * ((sh.f*5 + us.i*7) % 9) AS BIGINT) AS img
+                    FROM sh, LATERAL (SELECT unnest(range(4 + sh.f % 3)) AS i) us),
+            mem AS (SELECT 's' || CAST(f % 4 AS VARCHAR) AS site,
+                           CAST(2 * COUNT(*) AS BIGINT) AS n_members,
+                           CAST(COUNT(*) AS BIGINT) AS n_png
+                    FROM smp GROUP BY 1),
+            imgs AS (SELECT DISTINCT img FROM smp),
+            dims AS (SELECT img, CAST(((img*3) % 15) + 3 AS BIGINT) AS w,
+                            CAST(((img*13) % 10) + 2 AS BIGINT) AS h
+                     FROM imgs),
+            px AS (SELECT d.img, d.w, d.h, xs.x, ys.y,
+                          (d.img*31 + xs.x*7 + ys.y*13) % 251 AS r,
+                          (d.img*31 + xs.x*7 + ys.y*13 + 101) % 251 AS g,
+                          (d.img*31 + xs.x*7 + ys.y*13 + 202) % 251 AS b
+                   FROM dims d,
+                        LATERAL (SELECT unnest(range(d.w)) AS x) xs,
+                        LATERAL (SELECT unnest(range(d.h)) AS y) ys),
+            stat AS (SELECT img, MAX(w) AS w, MAX(h) AS h, MAX(w*h) AS n_px,
+                            SUM(r) AS r_sum, SUM(g) AS g_sum, SUM(b) AS b_sum,
+                            SUM((y*w + x) * r) AS r_moment
+                     FROM px GROUP BY img),
+            tl AS (SELECT img, (299*((img*31) % 251) + 587*((img*31 + 101) % 251)
+                                + 114*((img*31 + 202) % 251)) // 1000 AS tl_luma
+                   FROM imgs),
+            dec AS (SELECT 's' || CAST(s.f % 4 AS VARCHAR) AS site,
+                           'd' || CAST(s.f AS VARCHAR) || '/w' ||
+                             CAST(s.key AS VARCHAR) || '.png' AS name,
+                           t.w, t.h, t.n_px, t.r_sum, t.g_sum, t.b_sum,
+                           t.r_moment, l.tl_luma
+                    FROM smp s JOIN stat t ON s.img = t.img
+                               JOIN tl l ON s.img = l.img),
+            deca AS (SELECT site, CAST(COUNT(*) AS BIGINT) AS n_decoded,
+                            CAST(SUM(n_px) AS BIGINT) AS n_px,
+                            CAST(SUM(r_sum) AS BIGINT) AS r_total,
+                            CAST(SUM(r_moment) AS BIGINT) AS moment_total
+                     FROM dec GROUP BY site),
+            canon AS (SELECT w, h, r_sum, g_sum, b_sum, r_moment,
+                             MIN(name) AS cname, COUNT(*) AS n_copies,
+                             MAX(tl_luma) AS tl_luma
+                      FROM dec GROUP BY 1, 2, 3, 4, 5, 6),
+            deda AS (SELECT d.site, CAST(COUNT(*) AS BIGINT) AS n_uniq,
+                            CAST(SUM(c.n_copies - 1) AS BIGINT) AS n_dups_dropped,
+                            CAST(SUM(${graft.functions.PortableHash.h60pSql("c.cname")}) AS BIGINT) AS canon_checksum,
+                            CAST(SUM(c.r_sum*3 + c.g_sum*5 + c.b_sum*7
+                                     + c.w*c.h + c.tl_luma) AS BIGINT) AS feat_checksum
+                     FROM canon c JOIN dec d ON c.cname = d.name
+                     GROUP BY d.site)
+          SELECT m.site, m.n_members, m.n_png,
+                 a.n_decoded, a.n_px, a.r_total, a.moment_total,
+                 CAST(COALESCE(d.n_uniq, 0) AS BIGINT) AS n_uniq,
+                 CAST(COALESCE(d.n_dups_dropped, 0) AS BIGINT) AS n_dups_dropped,
+                 CAST(COALESCE(d.canon_checksum, 0) AS BIGINT) AS canon_checksum,
+                 CAST(COALESCE(d.feat_checksum, 0) AS BIGINT) AS feat_checksum
+          FROM mem m JOIN deca a USING (site) LEFT JOIN deda d USING (site)
+          ORDER BY m.site""",
     "mm_bmp_pixels" ->
       """WITH img AS (SELECT doc_id, source,
                              CAST((doc_id % 13) + 3 AS BIGINT) AS w,

@@ -48,14 +48,20 @@ object TarSource {
   case class TarEntry(file: String, eidx: Int, name: String,
                       typeflag: String, size: Long, payload_md5: String)
 
+  /** A member WITH its payload bytes — the decode-pipeline variant of
+    * [[TarEntry]] (a WebDataset consumer needs the image bytes, not just
+    * the audit digest). `data` is empty for non-file members. */
+  case class TarMember(file: String, eidx: Int, name: String,
+                       typeflag: String, size: Long, data: Array[Byte])
+
   private val Block = 512
 
-  /** Parse one tar shard. Returns (members, cleanEof): `false` means the
-    * walk hit bytes it could not frame (bad checksum, truncated data,
-    * missing end-of-archive marker); members before the damage are still
-    * returned. */
-  def parseTar(fileName: String, bytes: Array[Byte]): (Seq[TarEntry], Boolean) = {
-    val out = Seq.newBuilder[TarEntry]
+  /** Parse one tar shard into payload-carrying members. Returns
+    * (members, cleanEof): `false` means the walk hit bytes it could not
+    * frame (bad checksum, truncated data, missing end-of-archive
+    * marker); members before the damage are still returned. */
+  def parseTarMembers(fileName: String, bytes: Array[Byte]): (Seq[TarMember], Boolean) = {
+    val out = Seq.newBuilder[TarMember]
     var off = 0
     var idx = 0
 
@@ -128,23 +134,32 @@ object TarSource {
         case b => (b & 0xff).toChar.toString
       }
       val dataStart = off + Block
-      val md =
-        if (tf == "0" && size > 0) {
-          java.security.MessageDigest.getInstance("MD5")
-            .digest(java.util.Arrays.copyOfRange(
-              bytes, dataStart, dataStart + size.toInt))
-            .map("%02x".format(_)).mkString
-        } else if (tf == "0") {
-          // md5 of the empty payload — a zero-byte member is still a file
-          java.security.MessageDigest.getInstance("MD5")
-            .digest(Array.emptyByteArray).map("%02x".format(_)).mkString
-        } else ""
-      out += TarEntry(fileName, idx, name, tf, size, md)
+      val data =
+        if (tf == "0")
+          java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + size.toInt)
+        else Array.emptyByteArray
+      out += TarMember(fileName, idx, name, tf, size, data)
       idx += 1
       val padded = ((size + Block - 1) / Block).toInt * Block
       off = dataStart + padded
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** [[parseTarMembers]] reduced to the audit row shape: payloads become
+    * md5 digests ("" for non-file members; a zero-byte member is still a
+    * file and digests the empty payload). */
+  def parseTar(fileName: String, bytes: Array[Byte]): (Seq[TarEntry], Boolean) = {
+    val (ms, clean) = parseTarMembers(fileName, bytes)
+    val out = ms.map { m =>
+      val md =
+        if (m.typeflag == "0")
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(m.data).map("%02x".format(_)).mkString
+        else ""
+      TarEntry(m.file, m.eidx, m.name, m.typeflag, m.size, md)
+    }
+    (out, clean)
   }
 
   /** Distributed member reader: one task per shard (the WebDataset scale
@@ -158,6 +173,27 @@ object TarSource {
       .flatMap { case (path, bytes) =>
         val name = path.substring(path.lastIndexOf('/') + 1)
         val (out, clean) = parseTar(name, bytes)
+        if (!clean && !tolerateUnclean)
+          throw new IllegalArgumentException(
+            s"$path: unframeable bytes after ${out.size} members " +
+            "(bad checksum, truncation or desync; pass tolerateUnclean=true to salvage)")
+        out
+      }
+      .toDF()
+  }
+
+  /** [[entries]] with payload BYTES — the reader a WebDataset decode
+    * pipeline consumes (tar shard → image members → decoders). Same
+    * shape and loud-failure contract; the payload column adds no extra
+    * pass (the audit reader already slices every payload to digest it). */
+  def members(spark: SparkSession, paths: Seq[String],
+              tolerateUnclean: Boolean = false): DataFrame = {
+    import spark.implicits._
+    FileSources.readWholeFilesBytes(spark, paths)
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        val (out, clean) = parseTarMembers(name, bytes)
         if (!clean && !tolerateUnclean)
           throw new IllegalArgumentException(
             s"$path: unframeable bytes after ${out.size} members " +

@@ -260,6 +260,30 @@ class MediaPipelineSpec extends SparkSpec {
       "zero timescale")
   }
 
+  test("WDS shards: members round-trip; PNG decode is the filter; dedup fingerprints") {
+    // Staged shard 2 carries a dir member + 6 samples × (png, json).
+    val (ms, clean) = graft.sources.TarSource.parseTarMembers(
+      "wds02.tar", MediaPipeline.wdsShard(2))
+    assert(clean)
+    assert(ms.count(_.typeflag == "0") == 12)
+    val pngs = ms.filter(_.name.endsWith(".png"))
+    assert(pngs.size == 6)
+    // Every png payload decodes; every json payload is refused (the
+    // decode IS the pipeline's filter stage).
+    pngs.foreach { m =>
+      assert(MediaPipeline.decodePngPixels(m.data).isDefined, m.name) }
+    ms.filter(_.name.endsWith(".json")).foreach { m =>
+      assert(MediaPipeline.decodePngPixels(m.data).isEmpty, m.name) }
+    // Identical img ids produce byte-identical payloads (the dedup
+    // stage's duplicates): shard 0 sample 0 and shard 2 sample 5 share
+    // img = 0 by the model (f=2, i=5: (10+35)%9 = 0).
+    val (m0, _) = graft.sources.TarSource.parseTarMembers(
+      "wds00.tar", MediaPipeline.wdsShard(0))
+    val p0 = m0.find(_.name == "d0/w0.png").get.data
+    val p25 = ms.find(_.name == "d2/w205.png").get.data
+    assert(java.util.Arrays.equals(p0, p25), "shared img must stage identical bytes")
+  }
+
   test("MP4-staged corpus: exactly the id%3==0 docs survive, metadata matches staging") {
     val dir = sf("sf0.001")
     val rows = MediaPipeline.decodedMp4(spark, dir)
