@@ -3112,6 +3112,10 @@ object MediaPipeline {
       pos += 2
       m
     }
+    /** Byte offset of the next unread byte — valid at a byte boundary
+      * (after [[alignToByte]]); lets a multi-scan marker walk resume
+      * where a scan's entropy data ended. */
+    def position: Int = pos
   }
 
   private def jpegCategory(v: Int): Int =
@@ -3188,6 +3192,198 @@ object MediaPipeline {
     out.toByteArray
   }
 
+  /** Spectral-band split for the progressive scan script: AC band 1 is
+    * zigzag 1..split, band 2 is split+1..63. Keyed on id/3 (the staged
+    * residue class) across {1, 11, 21, 31, 41, 51} — including the
+    * single-coefficient band 1..1. */
+  def jpegProgSplit(id: Long): Int = (1 + ((id / 3) % 6) * 10).toInt
+
+  // Custom canonical AC Huffman table for the progressive scans: the
+  // Annex K.3 baseline AC table carries no EOBn symbols above EOB0
+  // (RRRR<<4 with SSSS=0 only exists as 0x00), so progressive EOB runs
+  // are unencodable with it — real progressive files ship their own
+  // optimized tables for the same reason. 73 symbols, all at code
+  // length 7 (canonical codes 0..72; the all-ones code stays unused per
+  // T.81 C.2): EOB0..EOB7, ZRL, and (run 0..15, size 1..4).
+  private val JpegProgAcBits = { val b = new Array[Int](16); b(6) = 73; b }
+  private val JpegProgAcVals: Array[Int] =
+    ((0 to 7).map(_ << 4) ++ Seq(0xf0) ++
+      (for { r <- 0 to 15; s <- 1 to 4 } yield (r << 4) | s)).toArray
+
+  /** A COMPLETE progressive JPEG for doc `id` — the SAME closed-form
+    * coefficient model as [[pixelJpeg]], delivered through a T.81
+    * Annex G scan script: DC first (Al=1) → DC refinement → AC first per
+    * spectral band (Al=1, split at [[jpegProgSplit]]) → AC refinement
+    * per band (Ah=1, Al=0). Every progressive entropy feature is
+    * exercised: EOBn run codes spanning blocks (with appended run-length
+    * bits), ZRL inside bands, newly-nonzero (run,1) refinement symbols
+    * whose zero runs count zero-HISTORY positions only, and buffered
+    * correction bits for already-nonzero coefficients flushed after the
+    * next symbol/EOB run (the T.81 G.1.2.3 ordering). Point transforms
+    * follow the spec's asymmetry — DC: arithmetic shift; AC: magnitude
+    * shift — and the script ends at Al=0, so a full decode reconstructs
+    * the model EXACTLY and the baseline coefficient oracle applies
+    * verbatim. `dropLastRefine` omits the final AC refinement scan — the
+    * spec's negative control: the file stays valid T.81, but band-2
+    * coefficients keep a missing low bit and the moment moves. */
+  def pixelJpegProgressive(id: Long, dropLastRefine: Boolean = false): Array[Byte] = {
+    val w = jpegPxWidth(id); val h = jpegPxHeight(id)
+    val nBlocks = (w / 8) * (h / 8)
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, payload: Array[Int]): Unit = {
+      out.write(0xff); out.write(marker)
+      val len = payload.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      payload.foreach(b => out.write(b & 0xff))
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    seg(0xdb, 0 +: Array.tabulate(64)(k => jpegQuant(id, k)))
+    seg(0xc2, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 1, 1, 0x11, 0)) // SOF2
+    seg(0xc4, 0x00 +: (JpegDcBits ++ JpegDcVals))
+    seg(0xc4, 0x10 +: (JpegProgAcBits ++ JpegProgAcVals))
+    val dcCode = jpegHuffCodes(JpegDcBits, JpegDcVals)
+    val acCode = jpegHuffCodes(JpegProgAcBits, JpegProgAcVals)
+    def amp(v: Int, cat: Int): Int = if (v >= 0) v else v + (1 << cat) - 1
+
+    // Scan 1: DC first, Ss=Se=0, Ah=0, Al=1. DIFF prediction runs in the
+    // POINT-TRANSFORMED domain (arithmetic shift — G.1.2.1).
+    locally {
+      seg(0xda, Array(1, 1, 0x00, 0, 0, 0x01))
+      val bw = new JpegBitWriter(out)
+      var pred = 0
+      var b = 0
+      while (b < nBlocks) {
+        val v = jpegDcq(id, b) >> 1
+        val diff = v - pred; pred = v
+        val cat = jpegCategory(diff)
+        val (c, l) = dcCode(cat); bw.writeBits(c, l)
+        if (cat > 0) bw.writeBits(amp(diff, cat), cat)
+        b += 1
+      }
+      bw.flush()
+    }
+    // Scan 2: DC refinement, Ah=1, Al=0 — one RAW bit per block (no
+    // Huffman): the Al-th bit of the full-precision DC.
+    locally {
+      seg(0xda, Array(1, 1, 0x00, 0, 0, 0x10))
+      val bw = new JpegBitWriter(out)
+      var b = 0
+      while (b < nBlocks) { bw.writeBits(jpegDcq(id, b) & 1, 1); b += 1 }
+      bw.flush()
+    }
+
+    // AC first scan over zigzag band ss..se at Al=1. Point transform is
+    // the MAGNITUDE shift (G.1.2.2): |v| >> Al with the sign reapplied —
+    // |v| = 1 coefficients vanish here and surface as newly-nonzero in
+    // the refinement scan.
+    def acFirstScan(ss: Int, se: Int): Unit = {
+      seg(0xda, Array(1, 1, 0x00, ss, se, 0x01))
+      val bw = new JpegBitWriter(out)
+      var eobrun = 0
+      def flushEob(): Unit = if (eobrun > 0) {
+        val n = 31 - Integer.numberOfLeadingZeros(eobrun)
+        val (c, l) = acCode(n << 4); bw.writeBits(c, l)
+        if (n > 0) bw.writeBits(eobrun, n) // low n bits: eobrun − 2^n
+        eobrun = 0
+      }
+      var b = 0
+      while (b < nBlocks) {
+        var r = 0
+        var u = ss
+        while (u <= se) {
+          val v = jpegAcq(id, b, u)
+          val t = math.abs(v) >> 1
+          if (t == 0) r += 1
+          else {
+            flushEob()
+            while (r > 15) { val (c, l) = acCode(0xf0); bw.writeBits(c, l); r -= 16 }
+            val cat = jpegCategory(t)
+            val tv = if (v < 0) -t else t
+            val (c, l) = acCode((r << 4) | cat); bw.writeBits(c, l)
+            bw.writeBits(amp(tv, cat), cat)
+            r = 0
+          }
+          u += 1
+        }
+        if (r > 0) eobrun += 1 // trailing zeros fold into the EOB run
+        b += 1
+      }
+      flushEob(); bw.flush()
+    }
+
+    // AC refinement scan over ss..se, Ah=1, Al=0 — the G.1.2.3 encoder:
+    // zero runs count zero-HISTORY positions only; already-nonzero
+    // coefficients contribute buffered correction bits, flushed after
+    // the next emitted symbol's bits (or with the EOB run that carries
+    // their blocks); ZRL escapes only while inside the band's last
+    // newly-nonzero index (beyond it, zeros fold into the EOB run).
+    def acRefineScan(ss: Int, se: Int): Unit = {
+      seg(0xda, Array(1, 1, 0x00, ss, se, 0x10))
+      val bw = new JpegBitWriter(out)
+      var eobrun = 0
+      // TWO correction-bit buffers, per G.1.2.3 / the reference encoder
+      // discipline: `carried` holds the bits of blocks already folded
+      // into the pending EOB run (flushed right after the EOBn symbol —
+      // the decoder consumes them in those blocks' tail passes), `cur`
+      // holds the CURRENT block's bits (flushed after this block's next
+      // ZRL or (run,1) symbol — the decoder consumes them during that
+      // symbol's advance walk). One shared buffer desyncs the stream:
+      // the current block's bits would arrive before its symbol.
+      val carried = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val cur = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def flushCur(): Unit = { cur.foreach(bit => bw.writeBits(bit, 1)); cur.clear() }
+      def emitEobrun(): Unit = if (eobrun > 0) {
+        val n = 31 - Integer.numberOfLeadingZeros(eobrun)
+        val (c, l) = acCode(n << 4); bw.writeBits(c, l)
+        if (n > 0) bw.writeBits(eobrun, n)
+        eobrun = 0
+        carried.foreach(bit => bw.writeBits(bit, 1)); carried.clear()
+      }
+      var b = 0
+      while (b < nBlocks) {
+        var eobk = ss - 1 // last newly-nonzero index in this block's band
+        var u = ss
+        while (u <= se) { if (math.abs(jpegAcq(id, b, u)) == 1) eobk = u; u += 1 }
+        var r = 0
+        u = ss
+        while (u <= se) {
+          val v = jpegAcq(id, b, u)
+          val t = math.abs(v)
+          if (t == 0) r += 1
+          else {
+            while (r > 15 && u <= eobk) {
+              emitEobrun()
+              val (c, l) = acCode(0xf0); bw.writeBits(c, l); r -= 16
+              flushCur()
+            }
+            if (t > 1) cur += (t & 1)
+            else {
+              emitEobrun()
+              val (c, l) = acCode((r << 4) | 1); bw.writeBits(c, l); r = 0
+              bw.writeBits(if (v < 0) 0 else 1, 1)
+              flushCur()
+            }
+          }
+          u += 1
+        }
+        if (r > 0 || cur.nonEmpty) {
+          eobrun += 1
+          carried ++= cur; cur.clear()
+        }
+        b += 1
+      }
+      emitEobrun(); bw.flush()
+    }
+
+    val ks = jpegProgSplit(id)
+    acFirstScan(1, ks)
+    acFirstScan(ks + 1, 63)
+    acRefineScan(1, ks)
+    if (!dropLastRefine) acRefineScan(ks + 1, 63)
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
   /** Per-image dequantized-coefficient statistics (zigzag-index space):
     * the moment weights every coefficient by its (block·64 + index)
     * position, so a wrong DC prediction, run expansion, table or
@@ -3196,95 +3392,42 @@ object MediaPipeline {
                                  dcSum: Long, acAbsSum: Long,
                                  nNonzeroAc: Long, moment: Long)
 
-  /** REAL entropy decode for the staged baseline-JPEG profile, pure JVM:
-    * marker walk collecting DQT/DHT/SOF0/SOS, then Huffman decode of the
-    * scan — canonical table-driven code lookup, DC DIFF prediction,
-    * EOB/ZRL/(run,size) expansion, one's-complement amplitude EXTEND —
-    * and dequantization. None for anything outside the profile
-    * (progressive, multi-component, subsampled, fractional blocks) or
-    * any invalid code / truncation / missing table. */
+  /** REAL entropy decode for the staged JPEG profiles, pure JVM: a
+    * marker walk collecting DQT/DHT/SOF/DRI, then a Huffman decode of
+    * EVERY scan into one quantized-coefficient array, dequantized at
+    * EOI. BASELINE (SOF0) files take the sequential path: one
+    * full-spectrum scan with DC DIFF prediction, EOB/ZRL/(run,size)
+    * expansion, one's-complement EXTEND, and strict RSTm restart
+    * sequencing. PROGRESSIVE (SOF2) files decode the T.81 Annex G scan
+    * scripts: DC first/refinement scans (point transform = arithmetic
+    * shift; refinement = one raw bit per block OR-ed at Al), AC first
+    * scans per spectral band (EOBn run codes with appended run-length
+    * bits; values stored << Al), and AC refinement scans (newly-nonzero
+    * (run,1) symbols whose zero runs count zero-HISTORY positions only,
+    * correction bits consumed in position order for already-nonzero
+    * coefficients, EOB runs carrying the covered blocks' correction
+    * bits). None for anything outside the profiles (multi-component,
+    * subsampled, fractional blocks, 12-bit, DRI inside a progressive
+    * file) or any invalid code / truncation / missing table / non-1
+    * padding / dangling EOB run. */
   def decodeJpegCoeffs(media: Array[Byte]): Option[DecodedCoeffs] = {
     if (media.length < 4 || (media(0) & 0xff) != 0xff || (media(1) & 0xff) != 0xd8)
       return None
     def u16(off: Int): Int = ((media(off) & 0xff) << 8) | (media(off + 1) & 0xff)
-    var off = 2
     var quant: Array[Int] = null
     var dcDec: JpegHuffDecoder = null
     var acDec: JpegHuffDecoder = null
     var dims: (Int, Int) = null
+    var progressive = false
     var restartInterval = 0
-    var scanAt = -1
-    while (scanAt < 0) {
-      if (off + 4 > media.length || (media(off) & 0xff) != 0xff) return None
-      val marker = media(off + 1) & 0xff
-      if (marker == 0xd9 || marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7))
-        return None // EOI / standalone marker before any scan
-      val segLen = u16(off + 2)
-      if (segLen < 2 || off + 2 + segLen > media.length) return None
-      val p0 = off + 4; val pEnd = off + 2 + segLen
-      marker match {
-        case 0xdb => // DQT: one or more (PqTq + 64) tables
-          var p = p0
-          while (p < pEnd) {
-            if ((media(p) & 0xff) != 0x00) return None // 8-bit table 0 only
-            if (p + 65 > pEnd) return None
-            quant = Array.tabulate(64)(k => media(p + 1 + k) & 0xff)
-            p += 65
-          }
-        case 0xc4 => // DHT: one or more (TcTh + bits + vals) tables
-          var p = p0
-          while (p < pEnd) {
-            val tcth = media(p) & 0xff
-            if (p + 17 > pEnd) return None
-            val bits = Array.tabulate(16)(i => media(p + 1 + i) & 0xff)
-            val nVals = bits.sum
-            if (p + 17 + nVals > pEnd) return None
-            val vals = Array.tabulate(nVals)(i => media(p + 17 + i) & 0xff)
-            tcth match {
-              case 0x00 => dcDec = new JpegHuffDecoder(bits, vals)
-              case 0x10 => acDec = new JpegHuffDecoder(bits, vals)
-              case _ => return None // only table id 0 in this profile
-            }
-            p += 17 + nVals
-          }
-        case 0xc0 => // SOF0 baseline
-          if (segLen != 8 + 3) return None // exactly one component
-          if ((media(p0) & 0xff) != 8) return None
-          val h = u16(p0 + 1); val w = u16(p0 + 3)
-          if ((media(p0 + 5) & 0xff) != 1) return None
-          if ((media(p0 + 7) & 0xff) != 0x11) return None // 1x1 sampling
-          if ((media(p0 + 8) & 0xff) != 0) return None // quant table 0
-          if (w <= 0 || h <= 0 || w % 8 != 0 || h % 8 != 0 ||
-              w > 4096 || h > 4096) return None
-          dims = (w, h)
-        case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 =>
-          return None // progressive/extended: out of profile
-        case 0xdd => // DRI: restart interval in MCUs (0 disables)
-          if (segLen != 4) return None
-          restartInterval = u16(p0)
-        case 0xda =>
-          // One component ⇒ Ls = 6 + 2·Ns = 8 exactly; anything else is
-          // out of profile AND would read past the segment (the review's
-          // totality hole: a truncated SOS crashed instead of None-ing).
-          if (segLen != 8) return None
-          if ((media(p0) & 0xff) != 1) return None
-          if ((media(p0 + 2) & 0xff) != 0x00) return None // DC0/AC0
-          if ((media(p0 + 3) & 0xff) != 0 || (media(p0 + 4) & 0xff) != 63 ||
-              (media(p0 + 5) & 0xff) != 0) return None // full spectral, no approx
-          scanAt = pEnd
-        case _ => () // APPn / COM: skip
-      }
-      off = pEnd
-    }
-    if (quant == null || dcDec == null || acDec == null || dims == null) return None
-    val (w, h) = dims
-    val nBlocks = (w / 8) * (h / 8)
-    val br = new JpegBitReader(media, scanAt)
+    var coefs: Array[Int] = null // QUANTIZED coefficients, zigzag space
+    var nBlocks = 0
+
     def extend(bitsv: Int, cat: Int): Int =
       if (cat == 0) 0
       else if (bitsv < (1 << (cat - 1))) bitsv - (1 << cat) + 1
       else bitsv
-    def readAmp(cat: Int): Int = {
+    def readAmp(br: JpegBitReader, cat: Int): Int = {
       var v = 0; var i = 0
       while (i < cat) {
         val bit = br.read1(); if (bit < 0) return Int.MinValue
@@ -3292,54 +3435,310 @@ object MediaPipeline {
       }
       extend(v, cat)
     }
+    def readRaw(br: JpegBitReader, n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) {
+        val bit = br.read1(); if (bit < 0) return Int.MinValue
+        v = (v << 1) | bit; i += 1
+      }
+      v
+    }
+
+    // The baseline sequential scan (full spectrum, Ah=Al=0, restarts).
+    // Returns the offset of the byte after the scan's entropy data.
+    def decodeSequentialScan(start: Int): Option[Int] = {
+      val br = new JpegBitReader(media, start)
+      var pred = 0
+      var rstM = 0
+      var b = 0
+      while (b < nBlocks) {
+        // Restart-marker boundary (T.81 E.1.4): byte-align (discarded
+        // pad bits must be 1s), consume RSTm, check the modulo-8
+        // sequence number STRICTLY, reset the DC predictor.
+        if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
+          if (!br.alignToByte()) return None
+          val m = br.consumeMarker()
+          if (m != 0xd0 + rstM) return None
+          rstM = (rstM + 1) % 8
+          pred = 0
+        }
+        val dcat = dcDec.decode(br)
+        if (dcat < 0 || dcat > 11) return None
+        val diff = readAmp(br, dcat); if (diff == Int.MinValue) return None
+        pred += diff
+        coefs(b * 64) = pred
+        var u = 1
+        var eob = false
+        while (u < 64 && !eob) {
+          val sym = acDec.decode(br)
+          if (sym < 0) return None
+          if (sym == 0x00) eob = true // EOB: rest of the block is zero
+          else if (sym == 0xf0) {
+            // ZRL must be FOLLOWED by a nonzero coefficient (T.81
+            // forbids ending a block on a bare ZRL).
+            u += 16
+            if (u > 63) return None
+          }
+          else {
+            val run = (sym >> 4) & 0x0f; val cat = sym & 0x0f
+            if (cat == 0 || cat > 10) return None
+            u += run
+            if (u > 63) return None
+            val v = readAmp(br, cat); if (v == Int.MinValue) return None
+            coefs(b * 64 + u) = v
+            u += 1
+          }
+          if (u > 64) return None // a run overran the block
+        }
+        b += 1
+      }
+      if (!br.alignToByte()) return None
+      Some(br.position)
+    }
+
+    // One progressive scan (T.81 Annex G). Returns the offset after the
+    // scan's entropy data.
+    def decodeProgressiveScan(start: Int, ss: Int, se: Int, ah: Int, al: Int): Option[Int] = {
+      val br = new JpegBitReader(media, start)
+      if (ss == 0) {
+        if (se != 0 || al > 13) return None
+        if (ah == 0) { // DC first: DIFF prediction in the shifted domain
+          if (dcDec == null) return None
+          var pred = 0
+          var b = 0
+          while (b < nBlocks) {
+            val dcat = dcDec.decode(br)
+            if (dcat < 0 || dcat > 11) return None
+            val diff = readAmp(br, dcat); if (diff == Int.MinValue) return None
+            pred += diff
+            coefs(b * 64) = pred << al
+            b += 1
+          }
+        } else { // DC refinement: one raw bit per block, OR-ed at Al
+          if (ah != al + 1) return None
+          var b = 0
+          while (b < nBlocks) {
+            val bit = br.read1(); if (bit < 0) return None
+            if (bit == 1) coefs(b * 64) |= (1 << al)
+            b += 1
+          }
+        }
+      } else { // AC scan over band ss..se
+        if (se < ss || se > 63 || acDec == null || al > 13) return None
+        if (ah == 0) { // AC first scan: values enter at << Al
+          var eobrun = 0
+          var b = 0
+          while (b < nBlocks) {
+            if (eobrun > 0) eobrun -= 1
+            else {
+              var k = ss
+              while (k <= se) {
+                val sym = acDec.decode(br); if (sym < 0) return None
+                val r = (sym >> 4) & 0x0f; val cat = sym & 0x0f
+                if (cat != 0) {
+                  if (cat > 10) return None
+                  k += r
+                  if (k > se) return None
+                  val v = readAmp(br, cat); if (v == Int.MinValue) return None
+                  coefs(b * 64 + k) = v << al
+                  k += 1
+                } else if (r == 15) {
+                  k += 16 // ZRL: sixteen zeros inside the band
+                  if (k > se + 1) return None
+                } else {
+                  // EOBn: run of 2^r (+ r extra bits) all-zero bands,
+                  // INCLUDING this block's remainder.
+                  eobrun = 1 << r
+                  if (r > 0) {
+                    val extra = readRaw(br, r); if (extra == Int.MinValue) return None
+                    eobrun += extra
+                  }
+                  eobrun -= 1 // this block consumed
+                  k = se + 1
+                }
+              }
+            }
+            b += 1
+          }
+          if (eobrun != 0) return None // a run past the last block is corrupt
+        } else { // AC refinement scan
+          if (ah != al + 1) return None
+          val p1 = 1 << al; val m1 = -(1 << al)
+          // Correction bit for an already-nonzero coefficient at k:
+          // consume one bit; a 1 sets the Al bit toward the sign.
+          def correct(idx: Int): Boolean = {
+            val bit = br.read1(); if (bit < 0) return false
+            if (bit == 1 && (coefs(idx) & p1) == 0)
+              coefs(idx) += (if (coefs(idx) >= 0) p1 else m1)
+            true
+          }
+          var eobrun = 0
+          var b = 0
+          while (b < nBlocks) {
+            var k = ss
+            if (eobrun == 0) {
+              var broke = false
+              while (k <= se && !broke) {
+                val sym = acDec.decode(br); if (sym < 0) return None
+                val r0 = (sym >> 4) & 0x0f; val cat = sym & 0x0f
+                var newval = 0
+                var isEob = false
+                if (cat != 0) {
+                  if (cat != 1) return None // refinement codes size 1 only
+                  val bit = br.read1(); if (bit < 0) return None
+                  newval = if (bit == 1) p1 else m1
+                } else if (r0 != 15) {
+                  eobrun = 1 << r0
+                  if (r0 > 0) {
+                    val extra = readRaw(br, r0); if (extra == Int.MinValue) return None
+                    eobrun += extra
+                  }
+                  isEob = true
+                }
+                if (isEob) broke = true // EOB-run tail handled below
+                else {
+                  // Advance over r0 zero-HISTORY positions (16 for ZRL),
+                  // consuming correction bits at nonzero-history ones.
+                  var r = r0
+                  var adv = true
+                  while (k <= se && adv) {
+                    val idx = b * 64 + k
+                    if (coefs(idx) != 0) { if (!correct(idx)) return None }
+                    else { r -= 1; if (r < 0) adv = false }
+                    if (adv) k += 1
+                  }
+                  if (newval != 0) {
+                    if (k > se) return None
+                    coefs(b * 64 + k) = newval
+                  }
+                  k += 1
+                }
+              }
+            }
+            if (eobrun > 0) {
+              // Correction bits for the rest of the band, then one run
+              // unit consumed by this block.
+              while (k <= se) {
+                val idx = b * 64 + k
+                if (coefs(idx) != 0) { if (!correct(idx)) return None }
+                k += 1
+              }
+              eobrun -= 1
+            }
+            b += 1
+          }
+          if (eobrun != 0) return None
+        }
+      }
+      if (!br.alignToByte()) return None
+      Some(br.position)
+    }
+
+    var off = 2
+    var sawScan = false
+    var done = false
+    while (!done) {
+      if (off + 2 > media.length || (media(off) & 0xff) != 0xff) return None
+      val marker = media(off + 1) & 0xff
+      if (marker == 0xd9) { // EOI ends the walk
+        if (!sawScan) return None
+        done = true
+      } else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+        return None // standalone marker outside a scan
+      } else {
+        if (off + 4 > media.length) return None
+        val segLen = u16(off + 2)
+        if (segLen < 2 || off + 2 + segLen > media.length) return None
+        val p0 = off + 4; val pEnd = off + 2 + segLen
+        var next = pEnd
+        marker match {
+          case 0xdb => // DQT: one or more (PqTq + 64) tables
+            var p = p0
+            while (p < pEnd) {
+              if ((media(p) & 0xff) != 0x00) return None // 8-bit table 0 only
+              if (p + 65 > pEnd) return None
+              quant = Array.tabulate(64)(k => media(p + 1 + k) & 0xff)
+              p += 65
+            }
+          case 0xc4 => // DHT: one or more (TcTh + bits + vals) tables
+            var p = p0
+            while (p < pEnd) {
+              val tcth = media(p) & 0xff
+              if (p + 17 > pEnd) return None
+              val bits = Array.tabulate(16)(i => media(p + 1 + i) & 0xff)
+              val nVals = bits.sum
+              if (p + 17 + nVals > pEnd) return None
+              val vals = Array.tabulate(nVals)(i => media(p + 17 + i) & 0xff)
+              tcth match {
+                case 0x00 => dcDec = new JpegHuffDecoder(bits, vals)
+                case 0x10 => acDec = new JpegHuffDecoder(bits, vals)
+                case _ => return None // only table id 0 in this profile
+              }
+              p += 17 + nVals
+            }
+          case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
+            if (dims != null) return None // one frame header only
+            if (segLen != 8 + 3) return None // exactly one component
+            if ((media(p0) & 0xff) != 8) return None
+            val h = u16(p0 + 1); val w = u16(p0 + 3)
+            if ((media(p0 + 5) & 0xff) != 1) return None
+            if ((media(p0 + 7) & 0xff) != 0x11) return None // 1x1 sampling
+            if ((media(p0 + 8) & 0xff) != 0) return None // quant table 0
+            if (w <= 0 || h <= 0 || w % 8 != 0 || h % 8 != 0 ||
+                w > 4096 || h > 4096) return None
+            progressive = marker == 0xc2
+            dims = (w, h)
+            nBlocks = (w / 8) * (h / 8)
+            coefs = new Array[Int](nBlocks * 64)
+          case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 =>
+            return None // extended/arithmetic/hierarchical: out of profile
+          case 0xdd => // DRI: restart interval in MCUs (0 disables)
+            if (segLen != 4) return None
+            restartInterval = u16(p0)
+          case 0xda =>
+            // One component => Ls = 6 + 2*Ns = 8 exactly; anything else
+            // is out of profile AND would read past the segment.
+            if (segLen != 8) return None
+            if ((media(p0) & 0xff) != 1) return None
+            if ((media(p0 + 2) & 0xff) != 0x00) return None // DC0/AC0
+            if (quant == null || dims == null) return None
+            val ss = media(p0 + 3) & 0xff
+            val se = media(p0 + 4) & 0xff
+            val ahal = media(p0 + 5) & 0xff
+            val scanEnd =
+              if (!progressive) {
+                if (ss != 0 || se != 63 || ahal != 0) return None
+                if (dcDec == null || acDec == null) return None
+                decodeSequentialScan(pEnd)
+              } else {
+                if (restartInterval != 0) return None // out of profile
+                decodeProgressiveScan(pEnd, ss, se, (ahal >> 4) & 0x0f, ahal & 0x0f)
+              }
+            scanEnd match {
+              case Some(e) => next = e; sawScan = true
+              case None => return None
+            }
+          case _ => () // APPn / COM: skip
+        }
+        off = next
+      }
+    }
+    // Dequantize and aggregate from the final coefficient array.
+    val (w, h) = dims
     var dcSum = 0L; var acAbs = 0L; var nz = 0L; var moment = 0L
-    var pred = 0
-    var rstM = 0
     var b = 0
     while (b < nBlocks) {
-      // Restart-marker boundary (T.81 E.1.4): byte-align (discarded pad
-      // bits must be 1s), consume RSTm, check the modulo-8 sequence
-      // number STRICTLY (an out-of-order RST means lost restart groups),
-      // and reset the DC predictor — the whole point of restarts is that
-      // each group decodes independently of the previous one's DC chain.
-      if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
-        if (!br.alignToByte()) return None
-        val m = br.consumeMarker()
-        if (m != 0xd0 + rstM) return None
-        rstM = (rstM + 1) % 8
-        pred = 0
-      }
-      val dcat = dcDec.decode(br)
-      if (dcat < 0 || dcat > 11) return None
-      val diff = readAmp(dcat); if (diff == Int.MinValue) return None
-      pred += diff
-      val dcd = pred.toLong * quant(0)
+      val dcd = coefs(b * 64).toLong * quant(0)
       dcSum += dcd; moment += (b.toLong * 64) * dcd
       var u = 1
-      var eob = false
-      while (u < 64 && !eob) {
-        val sym = acDec.decode(br)
-        if (sym < 0) return None
-        if (sym == 0x00) eob = true // EOB: rest of the block is zero
-        else if (sym == 0xf0) {
-          // ZRL must be FOLLOWED by a nonzero coefficient (T.81 forbids
-          // ending a block on a bare ZRL — that's what EOB is for), so
-          // after the 16-zero run there must still be room at u ≤ 63.
-          u += 16
-          if (u > 63) return None
-        }
-        else {
-          val run = (sym >> 4) & 0x0f; val cat = sym & 0x0f
-          if (cat == 0 || cat > 10) return None
-          u += run
-          if (u > 63) return None
-          val v = readAmp(cat); if (v == Int.MinValue) return None
-          val d = v.toLong * quant(u)
+      while (u < 64) {
+        val c = coefs(b * 64 + u)
+        if (c != 0) {
+          val d = c.toLong * quant(u)
           acAbs += math.abs(d); nz += 1
           moment += (b.toLong * 64 + u) * d
-          u += 1
         }
-        if (u > 64) return None // a run overran the block
+        u += 1
       }
       b += 1
     }
@@ -3369,6 +3768,32 @@ object MediaPipeline {
       })
       .toDF()
   }
+
+  /** MIXED-mode JPEG staging: every 3rd doc is a complete JPEG — half of
+    * them BASELINE ([[pixelJpeg]], id/3 even — keeping the restart-
+    * marker coverage), half PROGRESSIVE ([[pixelJpegProgressive]], id/3
+    * odd), both encoding the SAME closed-form coefficient model. The
+    * decoder must dispatch on the SOF marker per file; the baseline
+    * coefficient oracle applies to the mix verbatim. */
+  def jpegMixedCoeffTableStaged(s: SparkSession, dir: String): DataFrame =
+    jpegMixedCoeffMediaOf(s, graft.Tables.documents(s, dir).select(col("doc_id"), col("source")))
+
+  def jpegMixedCoeffMediaOf(s: SparkSession, ids: DataFrame): DataFrame = {
+    import s.implicits._
+    ids.as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        val media =
+          if (id % 3 == 0) {
+            if ((id / 3) % 2 == 0) pixelJpeg(id) else pixelJpegProgressive(id)
+          } else s"doc $id".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        MediaRow(id, src, media)
+      })
+      .toDF()
+  }
+
+  /** JPEG coefficient-decode pass over the mixed corpus. */
+  def decodedJpegCoeffsMixed(s: SparkSession, dir: String): DataFrame =
+    decodedJpegCoeffsOf(s, jpegMixedCoeffTableStaged(s, dir))
 
   /** JPEG coefficient-decode pass: the decode is the filter. */
   def decodedJpegCoeffs(s: SparkSession, dir: String): DataFrame =

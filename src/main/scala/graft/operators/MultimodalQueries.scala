@@ -430,6 +430,28 @@ object MultimodalQueries extends QueryPack {
           sum("moment").as("moment_total"))
         .orderBy("source")),
 
+    // The PROGRESSIVE (SOF2) entropy gate: the same corpus with half the
+    // staged files re-encoded as T.81 Annex G scan scripts — DC
+    // first/refinement (arithmetic-shift point transform), per-band AC
+    // first scans (EOBn run codes, magnitude-shift point transform,
+    // custom Huffman table: K.3 has no EOBn>0 symbols), per-band AC
+    // refinement (zero-history runs + interleaved correction bits). The
+    // script ends at Al=0, so every file reconstructs the SAME
+    // closed-form coefficients and the baseline oracle applies to the
+    // mixed corpus verbatim — the gate pins that the progressive decode
+    // is bit-equal to the sequential one, not merely plausible.
+    "mm_jpeg_coeffs_progressive" -> ((s, d) =>
+      MediaPipeline.decodedJpegCoeffsMixed(s, d)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_img"),
+          sum(col("n_blocks").cast("long")).as("n_blocks"),
+          sum("dc_sum").as("dc_total"),
+          sum("ac_abs_sum").as("ac_abs_total"),
+          sum("n_nonzero_ac").as("nz_total"),
+          sum("moment").as("moment_total"))
+        .orderBy("source")),
+
     // The EXECUTED resize (mm_resize_plan only plans dims): decode the
     // staged BMP pixel arrays and nearest-neighbor-sample each to a 4×4
     // thumbnail — downscale and upscale in the same integer-floor rule —
@@ -735,6 +757,52 @@ object MultimodalQueries extends QueryPack {
   // lateral range() cross join — ~200 cells per image, ~60 samples per
   // stream, trivial at oracle scale. Spark, by contrast, only ever sees
   // the BYTES: the match proves the decode.
+  /** The staged-JPEG coefficient model recomputed closed-form — shared
+    * by the baseline gate and the mixed baseline+progressive gate (the
+    * progressive scan script ends at Al=0, so both decode to the same
+    * model): per block b, DC = ((id·31 + b·17) mod 128 − 64)
+    * dequantized by q(0); AC nonzero on the stride-23 lattice with the
+    * ±[1,15] value rule, dequantized by q(u) = 1 + (u·7 + id) mod 16. */
+  // A def, not a val: `oracleSql` (a val declared ABOVE) builds the map
+  // at object init, and a val here would still be null at that point.
+  private def jpegCoeffsSql: String =
+    """WITH img AS (SELECT doc_id, source,
+                             CAST(8 * (1 + (doc_id % 4)) AS BIGINT) AS w,
+                             CAST(8 * (1 + ((doc_id // 3) % 3)) AS BIGINT) AS h
+                      FROM documents WHERE doc_id % 3 = 0),
+            blk AS (SELECT i.doc_id, i.source, i.w, i.h, bs.b
+                    FROM img i,
+                         LATERAL (SELECT unnest(range((i.w // 8) * (i.h // 8))) AS b) bs),
+            dc AS (SELECT doc_id, source, b,
+                          ((doc_id*31 + b*17) % 128 - 64) * (1 + (doc_id % 16)) AS dcd
+                   FROM blk),
+            ac AS (SELECT k.doc_id, k.source, k.b, us.u,
+                          (CASE WHEN (us.u + k.b + k.doc_id) % 23 = 0 THEN
+                             (CASE WHEN ((k.doc_id + us.u*3 + k.b*7) % 30 - 15) >= 0
+                                   THEN ((k.doc_id + us.u*3 + k.b*7) % 30 - 15) + 1
+                                   ELSE ((k.doc_id + us.u*3 + k.b*7) % 30 - 15) END)
+                           ELSE 0 END)
+                          * (1 + ((us.u*7 + k.doc_id) % 16)) AS acd
+                   FROM blk k,
+                        LATERAL (SELECT unnest(range(1, 64)) AS u) us),
+            per AS (SELECT d.doc_id, d.source,
+                           COUNT(*) AS n_blocks,
+                           SUM(d.dcd) AS dc_sum,
+                           SUM(d.b * 64 * d.dcd) AS dc_moment
+                    FROM dc d GROUP BY d.doc_id, d.source),
+            pera AS (SELECT doc_id, SUM(ABS(acd)) AS ac_abs,
+                            SUM(CASE WHEN acd <> 0 THEN 1 ELSE 0 END) AS nz,
+                            SUM((b * 64 + u) * acd) AS ac_moment
+                     FROM ac GROUP BY doc_id)
+         SELECT p.source, CAST(COUNT(*) AS BIGINT) AS n_img,
+                CAST(SUM(p.n_blocks) AS BIGINT) AS n_blocks,
+                CAST(SUM(p.dc_sum) AS BIGINT) AS dc_total,
+                CAST(SUM(a.ac_abs) AS BIGINT) AS ac_abs_total,
+                CAST(SUM(a.nz) AS BIGINT) AS nz_total,
+                CAST(SUM(p.dc_moment + a.ac_moment) AS BIGINT) AS moment_total
+         FROM per p JOIN pera a USING (doc_id)
+         GROUP BY p.source ORDER BY p.source"""
+
   private def pixelOracles: Map[String, String] = Map(
     // The whole pipeline recomputed closed-form: the shard/sample model
     // (8 shards, 4+f%3 samples, img = 3·((f·5+i·7) mod 9)), the staged-
@@ -1092,47 +1160,10 @@ object MultimodalQueries extends QueryPack {
          JOIN tfdts t USING (doc_id)
          JOIN doff o USING (doc_id)
          GROUP BY p.source ORDER BY p.source""",
-    // The staged-JPEG coefficient model recomputed closed-form: per
-    // block b, DC = ((id·31 + b·17) mod 128 − 64) dequantized by q(0);
-    // AC nonzero on the stride-23 lattice with the ±[1,15] value rule,
-    // dequantized by q(u) = 1 + (u·7 + id) mod 16.
-    "mm_jpeg_coeffs" ->
-      """WITH img AS (SELECT doc_id, source,
-                             CAST(8 * (1 + (doc_id % 4)) AS BIGINT) AS w,
-                             CAST(8 * (1 + ((doc_id // 3) % 3)) AS BIGINT) AS h
-                      FROM documents WHERE doc_id % 3 = 0),
-            blk AS (SELECT i.doc_id, i.source, i.w, i.h, bs.b
-                    FROM img i,
-                         LATERAL (SELECT unnest(range((i.w // 8) * (i.h // 8))) AS b) bs),
-            dc AS (SELECT doc_id, source, b,
-                          ((doc_id*31 + b*17) % 128 - 64) * (1 + (doc_id % 16)) AS dcd
-                   FROM blk),
-            ac AS (SELECT k.doc_id, k.source, k.b, us.u,
-                          (CASE WHEN (us.u + k.b + k.doc_id) % 23 = 0 THEN
-                             (CASE WHEN ((k.doc_id + us.u*3 + k.b*7) % 30 - 15) >= 0
-                                   THEN ((k.doc_id + us.u*3 + k.b*7) % 30 - 15) + 1
-                                   ELSE ((k.doc_id + us.u*3 + k.b*7) % 30 - 15) END)
-                           ELSE 0 END)
-                          * (1 + ((us.u*7 + k.doc_id) % 16)) AS acd
-                   FROM blk k,
-                        LATERAL (SELECT unnest(range(1, 64)) AS u) us),
-            per AS (SELECT d.doc_id, d.source,
-                           COUNT(*) AS n_blocks,
-                           SUM(d.dcd) AS dc_sum,
-                           SUM(d.b * 64 * d.dcd) AS dc_moment
-                    FROM dc d GROUP BY d.doc_id, d.source),
-            pera AS (SELECT doc_id, SUM(ABS(acd)) AS ac_abs,
-                            SUM(CASE WHEN acd <> 0 THEN 1 ELSE 0 END) AS nz,
-                            SUM((b * 64 + u) * acd) AS ac_moment
-                     FROM ac GROUP BY doc_id)
-         SELECT p.source, CAST(COUNT(*) AS BIGINT) AS n_img,
-                CAST(SUM(p.n_blocks) AS BIGINT) AS n_blocks,
-                CAST(SUM(p.dc_sum) AS BIGINT) AS dc_total,
-                CAST(SUM(a.ac_abs) AS BIGINT) AS ac_abs_total,
-                CAST(SUM(a.nz) AS BIGINT) AS nz_total,
-                CAST(SUM(p.dc_moment + a.ac_moment) AS BIGINT) AS moment_total
-         FROM per p JOIN pera a USING (doc_id)
-         GROUP BY p.source ORDER BY p.source""",
+    "mm_jpeg_coeffs" -> jpegCoeffsSql,
+    // Identical SQL on purpose: the progressive re-encoding must be
+    // result-invariant — only the entropy layout differs.
+    "mm_jpeg_coeffs_progressive" -> jpegCoeffsSql,
     // The staged-MP3 model recomputed closed-form: F = 4 + id%6 VBR
     // frames, bitrate index 1 + (id + j·5) mod 14 into the MPEG-1
     // Layer III table, sample rate keyed on (id/3) mod 3 (staged ids

@@ -96,7 +96,8 @@ class JpegCoeffSpec extends SparkSpec {
     assert(decodeJpegCoeffs(good).isDefined)
     // Truncate mid-scan.
     assert(decodeJpegCoeffs(good.dropRight(8)).isEmpty)
-    // Progressive SOF marker (0xC2) is out of profile.
+    // Flipping SOF0→SOF2 on a BASELINE file makes its full-spectrum scan
+    // an invalid progressive scan header (a DC scan must have Se=0).
     val prog = good.clone()
     val sofAt = (0 until good.length - 1).indexWhere(i =>
       (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0)
@@ -175,6 +176,71 @@ class JpegCoeffSpec extends SparkSpec {
     val noDri = good.take(driAt) ++ good.drop(driAt + 6) // FFDD len=4 payload=2
     assert(decodeJpegCoeffs(noDri).isEmpty)
   }
+
+  test("progressive re-encoding decodes bit-equal to the baseline model") {
+    for (id <- 0L to 240L by 3)
+      assert(decodeJpegCoeffs(pixelJpegProgressive(id)).contains(expected(id)),
+        s"id=$id split=${jpegProgSplit(id)}")
+    // The sweep must exercise every progressive entropy feature at the
+    // MODEL level (given the scan script, each fact below forces the
+    // corresponding code path in both encoder and decoder):
+    val staged = (0L to 240L by 3).toSeq
+    def band2(id: Long) = (jpegProgSplit(id) + 1) to 63
+    def nBlocksOf(id: Long) = (jpegPxWidth(id) / 8) * (jpegPxHeight(id) / 8)
+    // newly-nonzero refinement symbols: some |v| == 1 somewhere
+    assert(staged.exists(id => (0 until nBlocksOf(id)).exists(b =>
+      (1 until 64).exists(u => math.abs(jpegAcq(id, b, u)) == 1))))
+    // correction bits: some already-nonzero coefficient with odd |v| > 1
+    assert(staged.exists(id => (0 until nBlocksOf(id)).exists(b =>
+      (1 until 64).exists(u => { val t = math.abs(jpegAcq(id, b, u)); t > 1 && t % 2 == 1 }))))
+    // EOB runs spanning >1 block: two consecutive blocks with an all-zero
+    // band-1 at Al=1 (magnitudes 0 or 1 vanish in the first scan)
+    assert(staged.exists { id =>
+      val b1 = 1 to jpegProgSplit(id)
+      (0 until nBlocksOf(id) - 1).exists(b =>
+        Seq(b, b + 1).forall(bb => b1.forall(u => math.abs(jpegAcq(id, bb, u)) >> 1 == 0)))
+    })
+    // ZRL inside a refinement band: >15 zero-history positions before a
+    // newly-nonzero coefficient within band 2
+    assert(staged.exists { id =>
+      (0 until nBlocksOf(id)).exists { b =>
+        val band = band2(id)
+        val newly = band.filter(u => math.abs(jpegAcq(id, b, u)) == 1)
+        newly.exists(k => band.count(u => u < k && jpegAcq(id, b, u) == 0) > 15)
+      }
+    })
+  }
+
+  test("a skipped refinement pass moves the moment (negative control)") {
+    // Dropping the final AC refinement scan leaves a syntactically valid
+    // progressive file, but every band-2 coefficient with an odd
+    // magnitude (or magnitude 1) is missing its low bit — the decoder
+    // must SUCCEED and report DIFFERENT statistics, exactly for the ids
+    // whose band 2 carries such a coefficient.
+    var affected = 0
+    for (id <- 0L to 240L by 3) {
+      val dropped = decodeJpegCoeffs(pixelJpegProgressive(id, dropLastRefine = true))
+      assert(dropped.isDefined, s"id=$id: a shorter scan script must stay decodable")
+      val nb = (jpegPxWidth(id) / 8) * (jpegPxHeight(id) / 8)
+      val oddInBand2 = (0 until nb).exists(b =>
+        ((jpegProgSplit(id) + 1) to 63).exists(u => math.abs(jpegAcq(id, b, u)) % 2 == 1))
+      if (oddInBand2) {
+        assert(dropped.get != expected(id), s"id=$id: missing refinement went unnoticed")
+        affected += 1
+      } else assert(dropped.contains(expected(id)), s"id=$id: even band 2 must match")
+    }
+    assert(affected > 10, s"sweep too weak: only $affected ids exercise the control")
+  }
+
+  test("DRI inside a progressive file is out of profile") {
+    val good = pixelJpegProgressive(6L)
+    assert(decodeJpegCoeffs(good).isDefined)
+    val sosAt = (0 until good.length - 1).indexWhere(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xda)
+    val dri = Array(0xff, 0xdd, 0x00, 0x04, 0x00, 0x01).map(_.toByte)
+    val withDri = good.take(sosAt) ++ dri ++ good.drop(sosAt)
+    assert(decodeJpegCoeffs(withDri).isEmpty)
+  }
 }
 
 /** Totality fuzz: JPEG-magic-prefixed garbage and truncations never
@@ -188,7 +254,9 @@ object JpegCoeffProps extends Properties("jpegCoeffs") {
     rawBytes,
     rawBytes.map(b => Array(0xff.toByte, 0xd8.toByte) ++ b),
     Gen.chooseNum(0L, 5000L).flatMap(id => Gen.chooseNum(0, 60).map(k =>
-      pixelJpeg(id * 3).dropRight(k))))
+      pixelJpeg(id * 3).dropRight(k))),
+    Gen.chooseNum(0L, 5000L).flatMap(id => Gen.chooseNum(0, 60).map(k =>
+      pixelJpegProgressive(id * 3).dropRight(k))))
 
   property("decodeJpegCoeffs is total on arbitrary magic-prefixed bytes") =
     Prop.forAll(fuzz) { bytes => decodeJpegCoeffs(bytes); true }
