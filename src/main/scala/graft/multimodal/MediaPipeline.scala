@@ -2788,26 +2788,62 @@ object MediaPipeline {
     * the syncsafe encoding is live on every staged file. */
   def mp3TagLen(id: Long): Int = (130 + id % 200).toInt
   def mp3Title(id: Long): String = s"t$id"
+  /** ID3v2 major version: v2.3 and v2.4 alternate on id/3 — the live
+    * difference is the FRAME size field (u32 in v2.3, SYNCSAFE in
+    * v2.4: the parse naive readers get wrong the moment a frame passes
+    * 127 bytes — and more subtly, misread sizes silently land on
+    * padding for SMALL frames, which is why the version byte must
+    * drive the parse, not a heuristic). */
+  def mp3TagVer(id: Long): Int = (3 + (id / 3) % 2).toInt
+  /** Xing/Info VBR header frame present on half the staged files,
+    * keyed independently of the tag version (all four combinations
+    * appear across any 12 consecutive staged ids). */
+  def mp3HasXing(id: Long): Boolean = ((id / 3) / 2) % 2 == 0
+  /** The Xing frame's own MPEG header uses fixed bitrate index 5
+    * (64 kbps), no padding — big enough for the 141-byte payload at
+    * every staged sample rate. */
+  def mp3XingLen(id: Long): Int = 144000 * Mp3Bitrates(5) / mp3Rate(id)
+  def mp3XingQuality(id: Long): Int = (id % 101).toInt
+  /** The Xing TOC model (LAME conventions): entry i points at frame
+    * (i·F) DIV 100 of the F = 1 + nAudioFrames total frames (the Xing
+    * frame itself is frame 0 at offset 0), scaled to 0..255 over the
+    * total stream bytes including the Xing frame. */
+  def mp3Toc(id: Long): Array[Int] = {
+    val n = mp3Frames(id)
+    val lens = mp3XingLen(id) +: Array.tabulate(n)(j => mp3FrameLen(id, j))
+    val offs = lens.scanLeft(0L)(_ + _) // offs(k) = start of frame k
+    val total = offs(n + 1)
+    Array.tabulate(100)(i => ((offs((i * (n + 1)) / 100) * 256) / total).toInt)
+  }
 
-  /** A COMPLETE MP3 for doc `id`: ID3v2.3 tag (syncsafe size, one TIT2
-    * text frame, zero padding) followed by [[mp3Frames]] VBR MPEG-1
-    * Layer III frames with real header arithmetic. */
+  /** A COMPLETE MP3 for doc `id`: ID3v2.3 or v2.4 tag (syncsafe TAG
+    * size always; frame sizes u32 in v2.3, syncsafe in v2.4; one TIT2
+    * text frame, zero padding), an optional Xing VBR header frame
+    * (flags 0xF: frame count, byte count, 100-byte seek TOC, quality),
+    * then [[mp3Frames]] VBR MPEG-1 Layer III frames with real header
+    * arithmetic. */
   def sampleMp3(id: Long): Array[Byte] = {
     val ascii = java.nio.charset.StandardCharsets.US_ASCII
     val tagLen = mp3TagLen(id)
     val title = mp3Title(id).getBytes(ascii)
+    val ver = mp3TagVer(id)
     val out = new java.io.ByteArrayOutputStream()
     out.write("ID3".getBytes(ascii), 0, 3)
-    out.write(3); out.write(0) // v2.3.0
-    out.write(0)               // flags
+    out.write(ver); out.write(0) // v2.<ver>.0
+    out.write(0)                 // flags
     out.write((tagLen >> 21) & 0x7f); out.write((tagLen >> 14) & 0x7f)
     out.write((tagLen >> 7) & 0x7f); out.write(tagLen & 0x7f)
-    // TIT2 frame: 4-byte id, u32 size (NOT syncsafe in v2.3), 2 flag
-    // bytes, then encoding byte 0 (latin-1) + text.
+    // TIT2 frame: 4-byte id, u32 size in v2.3 / SYNCSAFE size in v2.4,
+    // 2 flag bytes, then encoding byte 0 (latin-1) + text.
     out.write("TIT2".getBytes(ascii), 0, 4)
     val fsz = 1 + title.length
-    out.write((fsz >> 24) & 0xff); out.write((fsz >> 16) & 0xff)
-    out.write((fsz >> 8) & 0xff); out.write(fsz & 0xff)
+    if (ver == 4) {
+      out.write((fsz >> 21) & 0x7f); out.write((fsz >> 14) & 0x7f)
+      out.write((fsz >> 7) & 0x7f); out.write(fsz & 0x7f)
+    } else {
+      out.write((fsz >> 24) & 0xff); out.write((fsz >> 16) & 0xff)
+      out.write((fsz >> 8) & 0xff); out.write(fsz & 0xff)
+    }
     out.write(0); out.write(0)
     out.write(0) // ISO-8859-1 encoding
     out.write(title, 0, title.length)
@@ -2815,8 +2851,34 @@ object MediaPipeline {
     val used = 10 + fsz
     require(used <= tagLen, s"tag model drift at id=$id")
     out.write(new Array[Byte](tagLen - used), 0, tagLen - used)
-    // Audio frames.
     val srIdx = mp3RateIdx(id)
+    // Optional Xing VBR header frame: a REAL MPEG frame whose payload
+    // carries "Xing" at the MPEG-1-mono side-info offset (4 + 17), the
+    // 0xF flags word, frame/byte counts over the WHOLE stream (Xing
+    // frame included — the LAME convention), the 100-entry TOC and the
+    // quality word; the remainder zero-fills to the frame length.
+    if (mp3HasXing(id)) {
+      val xlen = mp3XingLen(id)
+      val frame = new Array[Byte](xlen)
+      frame(0) = 0xff.toByte; frame(1) = 0xfb.toByte
+      frame(2) = ((5 << 4) | (srIdx << 2)).toByte // bitrate idx 5, pad 0
+      frame(3) = 0xc0.toByte
+      var q = 21
+      def be32(v: Long): Unit = {
+        frame(q) = ((v >> 24) & 0xff).toByte; frame(q + 1) = ((v >> 16) & 0xff).toByte
+        frame(q + 2) = ((v >> 8) & 0xff).toByte; frame(q + 3) = (v & 0xff).toByte
+        q += 4
+      }
+      "Xing".getBytes(ascii).copyToArray(frame, q); q += 4
+      be32(0xfL) // flags: frames | bytes | TOC | quality
+      val n = mp3Frames(id)
+      be32(n + 1L)
+      be32(xlen.toLong + (0 until n).map(mp3FrameLen(id, _).toLong).sum)
+      mp3Toc(id).foreach { t => frame(q) = (t & 0xff).toByte; q += 1 }
+      be32(mp3XingQuality(id).toLong)
+      out.write(frame, 0, xlen)
+    }
+    // Audio frames.
     var j = 0
     while (j < mp3Frames(id)) {
       val len = mp3FrameLen(id, j)
@@ -2833,21 +2895,30 @@ object MediaPipeline {
   /** Per-file frame-walk statistics. kbpsSum prices the bitrate-table
     * lookup per frame (VBR: one wrong row shifts it); durationMs is the
     * floor-arithmetic decode duration (1152 samples per MPEG-1 Layer
-    * III frame). */
+    * III frame); audio stats EXCLUDE the Xing header frame. tocSum and
+    * quality are 0 when no VBR header is present. */
   final case class DecodedMp3(nFrames: Int, dataBytes: Long, kbpsSum: Long,
                               nPadded: Int, sampleRate: Int, durationMs: Long,
-                              id3Bytes: Int, title: String)
+                              id3Bytes: Int, title: String, tagVer: Int,
+                              hasVbr: Int, tocSum: Long, vbrQuality: Int)
 
-  /** REAL MP3 parse: ID3v2.3 header with SYNCSAFE size (any size byte
-    * with bit 7 set refuses), the TIT2 walk inside the tag (stopping at
-    * zero padding, frames bounds-checked), then the frame walk — every
-    * header must carry the 11-bit sync, MPEG-1, Layer III, a valid
-    * bitrate index and the SAME sample-rate index, and the computed
-    * lengths must land exactly on end-of-stream. */
+  /** REAL MP3 parse: ID3v2.3/v2.4 header with SYNCSAFE tag size (any
+    * size byte with bit 7 set refuses), the TIT2 walk inside the tag
+    * (v2.3 u32 frame sizes, v2.4 SYNCSAFE — the version byte drives the
+    * parse; padding stops the walk; frames bounds-checked), an optional
+    * Xing/Info VBR header frame whose frame count, byte count and every
+    * one of the 100 TOC entries are VERIFIED against the actual frame
+    * walk (a stale or shifted seek table refuses — a seek into the
+    * middle of a frame corrupts every downstream consumer), then the
+    * frame walk — every header must carry the 11-bit sync, MPEG-1,
+    * Layer III, a valid bitrate index and the SAME sample-rate index,
+    * and the computed lengths must land exactly on end-of-stream. */
   def decodeMp3(media: Array[Byte]): Option[DecodedMp3] = {
     val ascii = java.nio.charset.StandardCharsets.US_ASCII
     if (media.length < 14 || new String(media, 0, 3, ascii) != "ID3" ||
-        media(3) != 3 || media(4) != 0 || media(5) != 0) return None
+        (media(3) != 3 && media(3) != 4) || media(4) != 0 || media(5) != 0)
+      return None
+    val tagVer = media(3).toInt
     if ((media(6) | media(7) | media(8) | media(9)) < 0 ||
         ((media(6) | media(7) | media(8) | media(9)) & 0x80) != 0)
       return None // syncsafe bytes carry 7 bits each
@@ -2861,8 +2932,16 @@ object MediaPipeline {
     var ok = true
     while (ok && p + 10 <= tagEnd && media(p) != 0) {
       val fid = new String(media, p, 4, ascii)
-      val fsz = ((media(p + 4) & 0xff) << 24) | ((media(p + 5) & 0xff) << 16) |
-        ((media(p + 6) & 0xff) << 8) | (media(p + 7) & 0xff)
+      val fsz =
+        if (tagVer == 4) {
+          // v2.4 frame sizes are SYNCSAFE; a set high bit is corrupt.
+          if (((media(p + 4) | media(p + 5) | media(p + 6) | media(p + 7)) & 0x80) != 0)
+            -1
+          else ((media(p + 4) & 0x7f) << 21) | ((media(p + 5) & 0x7f) << 14) |
+            ((media(p + 6) & 0x7f) << 7) | (media(p + 7) & 0x7f)
+        } else
+          ((media(p + 4) & 0xff) << 24) | ((media(p + 5) & 0xff) << 16) |
+            ((media(p + 6) & 0xff) << 8) | (media(p + 7) & 0xff)
       if (fsz <= 0 || p + 10 + fsz > tagEnd) ok = false
       else {
         if (fid == "TIT2" && fsz >= 1 && media(p + 10) == 0)
@@ -2871,34 +2950,86 @@ object MediaPipeline {
       }
     }
     if (!ok || title == null) return None
-    // Frame walk.
+    // Parse one MPEG frame header at `at`; returns (brIdx, srIdx, pad,
+    // len) or null.
+    def frameHeader(at: Int): Array[Int] = {
+      if (at + 4 > media.length || (media(at) & 0xff) != 0xff ||
+          (media(at + 1) & 0xff) != 0xfb) return null
+      val b2 = media(at + 2) & 0xff
+      val bi = b2 >> 4; val si = (b2 >> 2) & 0x3; val pad = (b2 >> 1) & 0x1
+      if (bi < 1 || bi > 14 || si > 2) return null
+      Array(bi, si, pad, 144000 * Mp3Bitrates(bi) / Mp3Rates(si) + pad)
+    }
+    // Optional Xing/Info VBR header frame: magic at the MPEG-1-mono
+    // side-info offset of the FIRST frame after the tag.
     var off = tagEnd
-    var n = 0; var bytes = 0L; var kbps = 0L; var padded = 0
+    var hasVbr = 0
+    var vbrFrames = -1L; var vbrBytes = -1L
+    var vbrToc: Array[Int] = null
+    var vbrQuality = 0
+    var tocSum = 0L
     var srIdx = -1
+    val xh = frameHeader(tagEnd)
+    if (xh != null && tagEnd + xh(3) <= media.length && xh(3) >= 21 + 8) {
+      val magic = new String(media, tagEnd + 21, 4, ascii)
+      if (magic == "Xing" || magic == "Info") {
+        def u32(a: Int): Long =
+          ((media(a) & 0xffL) << 24) | ((media(a + 1) & 0xffL) << 16) |
+            ((media(a + 2) & 0xffL) << 8) | (media(a + 3) & 0xffL)
+        hasVbr = 1
+        srIdx = xh(1)
+        var q = tagEnd + 25
+        val flags = u32(q); q += 4
+        if ((flags & ~0xfL) != 0) return None
+        def room(n: Int): Boolean = q + n <= tagEnd + xh(3)
+        if ((flags & 0x1) != 0) { if (!room(4)) return None; vbrFrames = u32(q); q += 4 }
+        if ((flags & 0x2) != 0) { if (!room(4)) return None; vbrBytes = u32(q); q += 4 }
+        if ((flags & 0x4) != 0) {
+          if (!room(100)) return None
+          vbrToc = Array.tabulate(100)(i => media(q + i) & 0xff); q += 100
+          tocSum = vbrToc.map(_.toLong).sum
+        }
+        if ((flags & 0x8) != 0) { if (!room(4)) return None; vbrQuality = u32(q).toInt }
+        off = tagEnd + xh(3)
+      }
+    }
+    // Audio frame walk (offsets recorded for the TOC verification).
+    val lens = Array.newBuilder[Int]
+    var n = 0; var bytes = 0L; var kbps = 0L; var padded = 0
     while (ok && off < media.length) {
-      if (off + 4 > media.length || (media(off) & 0xff) != 0xff ||
-          (media(off + 1) & 0xff) != 0xfb) ok = false
+      val h = frameHeader(off)
+      if (h == null || (srIdx >= 0 && h(1) != srIdx) ||
+          off + h(3) > media.length) ok = false
       else {
-        val b2 = media(off + 2) & 0xff
-        val bi = b2 >> 4; val si = (b2 >> 2) & 0x3; val pad = (b2 >> 1) & 0x1
-        if (bi < 1 || bi > 14 || si > 2 || (srIdx >= 0 && si != srIdx)) ok = false
-        else {
-          srIdx = si
-          val len = 144000 * Mp3Bitrates(bi) / Mp3Rates(si) + pad
-          if (off + len > media.length) ok = false
-          else {
-            n += 1; bytes += len; kbps += Mp3Bitrates(bi); padded += pad
-            off += len
-          }
+        srIdx = h(1)
+        n += 1; bytes += h(3); kbps += Mp3Bitrates(h(0)); padded += h(2)
+        lens += h(3)
+        off += h(3)
+      }
+    }
+    if (!ok || n == 0 || off != media.length) return None
+    // VBR header cross-checks: counts and the WHOLE seek table must
+    // agree with the walked frames (LAME conventions: the Xing frame is
+    // frame 0 at offset 0 and counts toward both totals).
+    if (hasVbr == 1) {
+      val all = xh(3) +: lens.result()
+      val total = all.map(_.toLong).sum
+      if (vbrFrames >= 0 && vbrFrames != all.length.toLong) return None
+      if (vbrBytes >= 0 && vbrBytes != total) return None
+      if (vbrToc != null) {
+        val offs = all.scanLeft(0L)(_ + _)
+        var i = 0
+        while (i < 100) {
+          if (vbrToc(i) != ((offs((i * all.length) / 100) * 256) / total).toInt)
+            return None
+          i += 1
         }
       }
     }
-    if (!ok || n == 0 || off != media.length) None
-    else {
-      val sr = Mp3Rates(srIdx)
-      Some(DecodedMp3(n, bytes, kbps, padded, sr,
-        n.toLong * 1152 * 1000 / sr, tagLen, title))
-    }
+    val sr = Mp3Rates(srIdx)
+    Some(DecodedMp3(n, bytes, kbps, padded, sr,
+      n.toLong * 1152 * 1000 / sr, tagLen, title, tagVer,
+      hasVbr, tocSum, if (hasVbr == 1) vbrQuality else 0))
   }
 
   /** MP3-staged media table: every doc with id % 3 == 1 a COMPLETE MP3
@@ -2919,7 +3050,8 @@ object MediaPipeline {
   case class Mp3Stats(doc_id: Long, source: String, n_frames: Int,
                       data_bytes: Long, kbps_sum: Long, n_padded: Int,
                       sample_rate: Int, duration_ms: Long, id3_bytes: Int,
-                      title: String)
+                      title: String, tag_ver: Int, has_vbr: Int,
+                      toc_sum: Long, vbr_quality: Int)
 
   /** MP3 frame-walk pass: the decode is the filter. */
   def decodedMp3(s: SparkSession, dir: String): DataFrame = {
@@ -2928,7 +3060,8 @@ object MediaPipeline {
       .mapPartitions(_.flatMap { r =>
         decodeMp3(r.media).map(m =>
           Mp3Stats(r.doc_id, r.source, m.nFrames, m.dataBytes, m.kbpsSum,
-            m.nPadded, m.sampleRate, m.durationMs, m.id3Bytes, m.title))
+            m.nPadded, m.sampleRate, m.durationMs, m.id3Bytes, m.title,
+            m.tagVer, m.hasVbr, m.tocSum, m.vbrQuality))
       })
       .toDF()
   }

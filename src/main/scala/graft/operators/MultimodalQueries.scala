@@ -487,7 +487,16 @@ object MultimodalQueries extends QueryPack {
           sum("duration_ms").as("dur_ms_total"),
           sum(col("sample_rate").cast("long")).as("sr_sum"),
           sum(col("id3_bytes").cast("long")).as("id3_total"),
-          sum(graft.functions.PortableHash.h60p(col("title"))).as("title_checksum"))
+          sum(graft.functions.PortableHash.h60p(col("title"))).as("title_checksum"),
+          // r15 depth: tag-version mix (v2.3/v2.4 syncsafe frame sizes),
+          // Xing VBR header presence, the verified 100-entry seek-TOC
+          // byte sum, and the quality word — all recomputed closed-form
+          // by the oracle (the TOC needs windowed prefix sums over the
+          // frame-length model).
+          sum(col("tag_ver").cast("long")).as("ver_sum"),
+          sum(col("has_vbr").cast("long")).as("n_vbr"),
+          sum("toc_sum").as("toc_total"),
+          sum(col("vbr_quality").cast("long")).as("quality_total"))
         .orderBy("source")),
 
     // Keyframe (sync-sample) extraction — the demux step frame-sampling
@@ -1169,7 +1178,11 @@ object MultimodalQueries extends QueryPack {
     // Layer III table, sample rate keyed on (id/3) mod 3 (staged ids
     // are the %3==1 class), frame length 144000·kbps DIV sr + padding,
     // tag length 130 + id mod 200, duration the 1152-samples-per-frame
-    // floor arithmetic.
+    // floor arithmetic. r15 depth: ID3 version 3 + (id/3) mod 2, Xing
+    // VBR header present iff ((id/3)/2) even — its frame is 64 kbps
+    // unpadded — and the 100-entry TOC recomputed from windowed prefix
+    // sums over [Xing frame] ++ audio frames (entry i = offset of frame
+    // (i·F')//100 of F' total frames, scaled to 0..255 over the total).
     "mm_mp3_frames" ->
       s"""WITH v AS (SELECT doc_id, source,
                            CAST(4 + doc_id % 6 AS BIGINT) AS f,
@@ -1177,7 +1190,12 @@ object MultimodalQueries extends QueryPack {
                            CAST(130 + doc_id % 200 AS BIGINT) AS taglen,
                            't' || CAST(doc_id AS VARCHAR) AS title
                     FROM documents WHERE doc_id % 3 = 1),
-            fr AS (SELECT v.doc_id, v.sr,
+            x AS (SELECT doc_id, sr,
+                         CAST(3 + (doc_id // 3) % 2 AS BIGINT) AS ver,
+                         CASE WHEN ((doc_id // 3) // 2) % 2 = 0 THEN 1 ELSE 0 END AS hasx,
+                         144000 * 64 // sr AS xlen
+                  FROM v),
+            fr AS (SELECT v.doc_id, v.sr, j.j,
                           ([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320])
                             [CAST(1 + (v.doc_id + j.j * 5) % 14 AS INT)] AS kbps,
                           (v.doc_id + j.j) % 2 AS pad
@@ -1185,7 +1203,25 @@ object MultimodalQueries extends QueryPack {
             per AS (SELECT doc_id, COUNT(*) AS nf,
                            SUM(144000 * kbps // sr + pad) AS bytes,
                            SUM(kbps) AS kbps_sum, SUM(pad) AS padded
-                    FROM fr GROUP BY doc_id)
+                    FROM fr GROUP BY doc_id),
+            allf AS (SELECT doc_id, CAST(0 AS BIGINT) AS k, xlen AS len
+                     FROM x WHERE hasx = 1
+                     UNION ALL
+                     SELECT fr.doc_id, fr.j + 1 AS k,
+                            144000 * fr.kbps // fr.sr + fr.pad AS len
+                     FROM fr JOIN x USING (doc_id) WHERE x.hasx = 1),
+            offs AS (SELECT doc_id, k, len,
+                            COALESCE(SUM(len) OVER (PARTITION BY doc_id ORDER BY k
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
+                            SUM(len) OVER (PARTITION BY doc_id) AS total,
+                            COUNT(*) OVER (PARTITION BY doc_id) AS nall
+                     FROM allf),
+            tocidx AS (SELECT d.doc_id, (i.i * d.nall) // 100 AS k
+                       FROM (SELECT DISTINCT doc_id, nall FROM offs) d,
+                            LATERAL (SELECT unnest(range(100)) AS i) i),
+            toc AS (SELECT t.doc_id, SUM((o.off * 256) // o.total) AS toc_sum
+                    FROM tocidx t JOIN offs o ON t.doc_id = o.doc_id AND t.k = o.k
+                    GROUP BY t.doc_id)
          SELECT v.source, CAST(COUNT(*) AS BIGINT) AS n_audio,
                 CAST(SUM(p.nf) AS BIGINT) AS frames_total,
                 CAST(SUM(p.bytes) AS BIGINT) AS bytes_total,
@@ -1194,8 +1230,14 @@ object MultimodalQueries extends QueryPack {
                 CAST(SUM(v.f * 1152 * 1000 // v.sr) AS BIGINT) AS dur_ms_total,
                 CAST(SUM(v.sr) AS BIGINT) AS sr_sum,
                 CAST(SUM(v.taglen) AS BIGINT) AS id3_total,
-                CAST(SUM(${graft.functions.PortableHash.h60pSql("v.title")}) AS BIGINT) AS title_checksum
+                CAST(SUM(${graft.functions.PortableHash.h60pSql("v.title")}) AS BIGINT) AS title_checksum,
+                CAST(SUM(x.ver) AS BIGINT) AS ver_sum,
+                CAST(SUM(x.hasx) AS BIGINT) AS n_vbr,
+                CAST(SUM(COALESCE(tc.toc_sum, 0)) AS BIGINT) AS toc_total,
+                CAST(SUM(CASE WHEN x.hasx = 1 THEN v.doc_id % 101 ELSE 0 END) AS BIGINT) AS quality_total
          FROM v JOIN per p USING (doc_id)
+         JOIN x USING (doc_id)
+         LEFT JOIN toc tc USING (doc_id)
          GROUP BY v.source ORDER BY v.source""",
     // The staged stss model recomputed closed-form: present iff
     // (id/3) even with stride k = 2 + (id/3)%3 → sync numbers 1 + j·k
