@@ -70,7 +70,18 @@ object Explain {
     // groupBy), and the HTML extractor (pure codegen'd regexp chain —
     // the plan should be scan → project → sort, nothing else).
     "dq_outliers", "text_line_dedup", "dedup_url_canonical",
-    "text_html_extract")
+    "text_html_extract",
+    // round 15: the rewritten simhash candidate join (skew-splittable
+    // (chunk, ckey) self-equi-join, hamming verify INSIDE the join —
+    // replacing the unsplittable collect_list bucket expansion), the
+    // zstd WARC ingest (whole-shard read → multi-frame unzstd → framing
+    // parse → codegen'd aggregate), the WebDataset end-to-end pipeline
+    // (tar member walk → PNG decode-as-filter → fingerprint dedup with
+    // one groupBy), the mixed baseline+progressive JPEG gate, and the
+    // ANN maintenance loop's post-append probe (batch-side-only
+    // exchange against the bucketed IVF table).
+    "dedup_simhash", "warc_zst_ingest", "mm_wds_pipeline",
+    "mm_jpeg_coeffs_progressive", "sim_knn_indexed_update")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -100,14 +100,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("dedup_simhash_capped generates candidates by bucket grouping — no self-join") {
-    // The capped pipeline must keep the uncapped path's key property: the
-    // signature frame is grouped on (chunk, ckey) and pairs explode from
-    // the bucket arrays — a self-join would evaluate the signature
-    // subtree twice AND shuffle the corpus twice.
-    val p = plan("dedup_simhash_capped")
-    assert(!p.toLowerCase.contains("join"),
-      s"capped simhash candidates should come from bucket grouping, found a join:\n$p")
+  test("simhash candidates come from a band-key equi-join with the hamming verify INSIDE it") {
+    // Round-15 shape (replacing the collect_list bucket expansion, which
+    // packed b²/2 struct pairs into ONE unsplittable task per hot
+    // bucket): candidates are a (chunk, ckey) self-equi-join — a shape
+    // AQE can skew-split — and BOTH the da<db ordering and the
+    // bit_count(pa^pb) <= 3 verify sit in the join condition itself, so
+    // no un-verified pair ever reaches the downstream dedup exchange.
+    for (q <- Seq("dedup_simhash", "dedup_simhash_capped")) {
+      val p = plan(q).toLowerCase
+      assert(p.contains("join") && p.contains("chunk") && p.contains("ckey"),
+        s"$q candidates should come from a (chunk, ckey) equi-join:\n$p")
+      val joinLine = p.linesIterator.find(l => l.contains("join") && l.contains("ckey"))
+        .getOrElse(fail(s"no band-key join line in:\n$p"))
+      assert(joinLine.contains("bit_count") && joinLine.contains("<= 3"),
+        s"$q hamming verify must run inside the join, not after the dedup:\n$p")
+    }
   }
 
   test("sim_ivf_recall: both top-10 sides broadcast into the semi-join") {
