@@ -27,6 +27,7 @@ object SourceQueries extends QueryPack {
   private def csvGzStage(d: String) = Stage.dir(d, "csv_gz")
   private def jsonlGzStage(d: String) = Stage.dir(d, "jsonl_gz")
   private def jsonlBadStage(d: String) = Stage.dir(d, "jsonl_bad")
+  private def jsonlZstStage(d: String) = Stage.dir(d, "jsonl_zst")
   private def pqZstdStage(d: String) = Stage.dir(d, "parquet_zstd")
   private def orcStage(d: String) = Stage.dir(d, "orc")
   private def orcHiveStage(d: String) = Stage.dir(d, "orc_hive")
@@ -179,6 +180,36 @@ object SourceQueries extends QueryPack {
         .select("doc_id", "lang", "n_chars")
         .coalesce(1)
         .write.mode("overwrite").option("compression", "gzip").json(stage)
+      graft.sources.FileSources.json(s, stage)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("first_doc"),
+          max("n_chars").as("max_chars"))
+        .orderBy("lang")
+    }),
+
+    // ZSTD-compressed JSON-lines round-trip through graft's OWN Hadoop
+    // codec (ZstdShardCodec): Hadoop's built-in ZStandardCodec needs the
+    // native libhadoop+libzstd pair this deployment (like most) lacks,
+    // so the library ships a pure-JVM zstd-jni codec exposed through the
+    // CompressionCodec SPI — the write is a normal Spark json sink with
+    // the codec FQCN, the read is a normal extension-mapped text scan,
+    // BOTH distributed (one task per shard both directions; 3 shards
+    // staged so the parallelism is real). Frames carry content checksums;
+    // the reader decodes continuously across concatenated frames. Same
+    // non-splittable caveat as .gz text — a 100 TB corpus arrives as many
+    // shards, never one archive; splittable zstd belongs to parquet
+    // (parquet_zstd_roundtrip). The DuckDB oracle decodes the very same
+    // .json.zst bytes with its own independent zstd reader.
+    "jsonl_zst_roundtrip" -> ((s, d) => {
+      graft.sources.ZstdShardCodec.register(s)
+      val stage = jsonlZstStage(d)
+      Tables.documents(s, d)
+        .select("doc_id", "lang", "n_chars")
+        .repartition(3, col("doc_id"))
+        .write.mode("overwrite")
+        .option("compression", classOf[graft.sources.ZstdShardCodec].getName)
+        .json(stage)
       graft.sources.FileSources.json(s, stage)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
@@ -567,6 +598,12 @@ object SourceQueries extends QueryPack {
                 CAST(MIN(doc_id) AS BIGINT) AS first_doc,
                 CAST(MAX(n_chars) AS BIGINT) AS max_chars
          FROM read_json('${jsonlGzStage(dataDir)}/*.json.gz', format = 'newline_delimited')
+         GROUP BY lang ORDER BY lang""",
+    "jsonl_zst_roundtrip" ->
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+                CAST(MAX(n_chars) AS BIGINT) AS max_chars
+         FROM read_json('${jsonlZstStage(dataDir)}/*.json.zst', format = 'newline_delimited')
          GROUP BY lang ORDER BY lang""",
     "parquet_zstd_roundtrip" ->
       s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
