@@ -111,6 +111,8 @@ object GraftFunctions {
   private val bloomProbeInfo = new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains")
   private val bloomMergeInfo = new ExpressionInfo(classOf[BloomMergeAgg].getName, "graft_bloom_merge")
   private val robustStatsInfo = new ExpressionInfo(classOf[RobustStatsAgg].getName, "graft_robust_stats")
+  private val cmsAggInfo = new ExpressionInfo(classOf[CmsSketchAgg].getName, "graft_cms_agg")
+  private val cmsEstimateInfo = new ExpressionInfo(classOf[CmsEstimate].getName, "graft_cms_estimate")
 
   /** Idempotently registers graft's native expressions in the session's
     * function registry. (Also injectable globally via
@@ -128,6 +130,10 @@ object GraftFunctions {
       FunctionIdentifier("graft_bloom_merge"), bloomMergeInfo, bloomMergeBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_robust_stats"), robustStatsInfo, robustStatsBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_cms_agg"), cmsAggInfo, cmsAggBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_cms_estimate"), cmsEstimateInfo, cmsEstimateBuilder)
   }
 
   /** Strict arity — `children.head, children(1)` would throw a raw
@@ -179,6 +185,27 @@ object GraftFunctions {
       s"graft_robust_stats expects exactly 1 argument, got ${other.size}")
   }
 
+  /** graft_cms_agg(key) or graft_cms_agg(key, depth, width) — sizing
+    * params must be integer literals (they fix the buffer shape). */
+  private[graft] val cmsAggBuilder: Seq[Expression] => Expression = {
+    case Seq(child) => new CmsSketchAgg(child)
+    case Seq(child, depth, width) =>
+      def lit(e: Expression, what: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_cms_agg: $what must be an integer literal, got $other")
+      }
+      CmsSketchAgg(child, lit(depth, "depth"), lit(width, "width"), 0, 0)
+    case other => throw new IllegalArgumentException(
+      s"graft_cms_agg expects 1 or 3 arguments, got ${other.size}")
+  }
+
+  private[graft] val cmsEstimateBuilder: Seq[Expression] => Expression = {
+    case Seq(cms, key) => CmsEstimate(cms, key)
+    case other => throw new IllegalArgumentException(
+      s"graft_cms_estimate expects exactly 2 arguments, got ${other.size}")
+  }
+
   /** Grouped MinHash signature (array<long> of 32 component minima). */
   def minhashSketchCol(c: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_minhash", c)
@@ -194,6 +221,15 @@ object GraftFunctions {
   /** OR-union of bloom artifacts into one (aggregate; see BloomMergeAgg). */
   def bloomMergeCol(artifact: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_bloom_merge", artifact)
+
+  /** Count-min sketch build over a string key column (binary artifact). */
+  def cmsAggCol(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_cms_agg", c)
+
+  /** Point-frequency estimate: min of the key's d counters — ≥ the true
+    * count always, ≤ true + εN with probability 1−2^−d. */
+  def cmsEstimateCol(cms: Column, key: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_cms_estimate", cms, key)
 
   /** dot(a, b) as a Column; requires ensureRegistered on the session. */
   def dotCol(a: Column, b: Column): Column =

@@ -275,6 +275,33 @@ object ExtrasQueries extends QueryPack {
             .as("fpr_within_1pct"))
     }),
 
+    // Count-min frequency sketch with the HARDEST gate in the sketch
+    // family: because graft_cms_agg hashes with the portable seeded
+    // family (md5-derived, bit-equal in DuckDB SQL), the oracle
+    // recomputes the ESTIMATES themselves — every counter is the sum of
+    // the exact counts of the keys colliding into it — not just the
+    // inequality contract. The plan is the 100 TB shape: one fixed
+    // ~16 KB buffer per task map-side, elementwise-sum merge, broadcast
+    // artifact, codegen'd min-probe per row. Probes are the top-20 keys
+    // by exact count (computed here only to GATE the estimates; a
+    // production use probes without it). no_underestimate is the CMS
+    // hard guarantee; overestimate makes the collision cost visible and
+    // hash-checked.
+    "q_cms_freq" -> ((s, d) => {
+      graft.functions.expressions.GraftFunctions.ensureRegistered(s)
+      import graft.functions.expressions.GraftFunctions.{cmsAggCol, cmsEstimateCol}
+      val keys = Tables.lineitem(s, d).select(col("l_partkey").cast("long").as("k"))
+      val cms = keys.agg(cmsAggCol(col("k").cast("string")).as("cms"))
+      val exact = keys.groupBy("k").agg(count(lit(1)).as("exact_cnt"))
+      exact.orderBy(col("exact_cnt").desc, col("k")).limit(20)
+        .crossJoin(broadcast(cms))
+        .withColumn("est_cnt", cmsEstimateCol(col("cms"), col("k").cast("string")))
+        .select(col("k"), col("exact_cnt"), col("est_cnt"),
+          (col("est_cnt") - col("exact_cnt")).as("overestimate"),
+          (col("est_cnt") >= col("exact_cnt")).as("no_underestimate"))
+        .orderBy(col("exact_cnt").desc, col("k"))
+    }),
+
     // Top-k per group via ranking window (distributed: one exchange on the
     // group key; the typed Aggregator equivalent is TopKAggregatorSpec).
     "q_topk_per_group" -> ((s, d) => {
@@ -475,6 +502,35 @@ object ExtrasQueries extends QueryPack {
          FROM orders o
          LEFT JOIN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') c
            ON o.o_custkey = c.c_custkey""",
+    // Full estimate recomputation: counter(i,b) = Σ exact counts of the
+    // keys the portable seeded family sends to bucket b in row i; the
+    // estimate is the min over the key's 4 counters. Width 509 and
+    // depth 4 mirror CmsSketch.DefaultWidth/DefaultDepth.
+    "q_cms_freq" -> {
+      import graft.functions.PortableHash.h60pSql
+      import graft.functions.expressions.CmsSketch
+      s"""WITH keyed AS (
+            SELECT CAST(l_partkey AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+            FROM lineitem GROUP BY 1),
+          hashed AS (
+            SELECT k, exact_cnt, seeds.i AS i,
+                   ${CmsSketch.bucketSql(h60pSql("CAST(k AS VARCHAR)"), "seeds.i", 509)} AS b
+            FROM keyed CROSS JOIN range(4) seeds(i)),
+          counters AS (
+            SELECT i, b, SUM(exact_cnt) AS cnt FROM hashed GROUP BY 1, 2),
+          probes AS (
+            SELECT k, exact_cnt FROM keyed ORDER BY exact_cnt DESC, k LIMIT 20),
+          est AS (
+            SELECT h.k, MIN(c.cnt) AS est_cnt
+            FROM hashed h JOIN counters c ON h.i = c.i AND h.b = c.b
+            WHERE h.k IN (SELECT k FROM probes)
+            GROUP BY h.k)
+          SELECT p.k, p.exact_cnt, CAST(e.est_cnt AS BIGINT) AS est_cnt,
+                 CAST(e.est_cnt - p.exact_cnt AS BIGINT) AS overestimate,
+                 e.est_cnt >= p.exact_cnt AS no_underestimate
+          FROM probes p JOIN est e ON p.k = e.k
+          ORDER BY p.exact_cnt DESC, p.k"""
+    },
     "q_approx_topk" ->
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
             exact AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY w
