@@ -21,6 +21,7 @@ object SparkEntry {
     MaintenanceQueries,
     DedupQueries,
     SimilarityQueries,
+    PqQueries,
     TextAnalysis,
     MultimodalQueries,
     SourceQueries
