@@ -398,42 +398,62 @@ object SourceQueries extends QueryPack {
     // Scale shape: one task per shard (the WebDataset contract — shards
     // ARE the parallelism unit), single forward parse, codegen'd
     // aggregation after.
-    "tar_ingest" -> ((s, d) => {
-      val e = graft.sources.TarSource.entries(
-        s, graft.sources.TarSource.stageFixture(tarStage(d)))
-        .withColumn("site",
-          concat(lit("s"),
-            (regexp_extract(col("file"), "shard(\\d+)\\.tar", 1)
-              .cast("int") % 4).cast("string")))
-      val files = e.filter(col("typeflag") === "0")
-        .withColumn("base", regexp_extract(col("name"), "^(.*)\\.(txt|json)$", 1))
-        .withColumn("ext", regexp_extract(col("name"), "\\.(txt|json)$", 1))
-      val perSample = files
-        .groupBy("site", "base")
-        .agg(
-          (max(when(col("ext") === "txt", 1).otherwise(0)) *
-            max(when(col("ext") === "json", 1).otherwise(0))).as("paired"),
-          count(lit(1)).as("nf"),
-          sum(when(col("ext") === "txt", col("size")).otherwise(0L)).as("tb"),
-          sum(col("eidx") * col("size")).as("mom"),
-          sum(graft.functions.PortableHash.h60p(
-            concat(col("name"), lit("|"), col("payload_md5")))).as("chk"))
-      val dirs = e.filter(col("typeflag") === "5")
-        .groupBy("site").agg(count(lit(1)).as("n_dirs"))
-      perSample
-        .groupBy("site")
-        .agg(
-          sum("nf").as("n_files"),
-          sum("paired").cast("long").as("n_samples"),
-          sum("tb").as("txt_bytes"),
-          sum("mom").as("moment"),
-          sum("chk").as("checksum"))
-        .join(dirs, Seq("site"))
-        .select("site", "n_dirs", "n_files", "n_samples", "txt_bytes",
-          "moment", "checksum")
-        .orderBy("site")
-    })
+    "tar_ingest" -> ((s, d) =>
+      tarAuditOf(graft.sources.TarSource.entries(
+        s, graft.sources.TarSource.stageFixture(tarStage(d))))),
+
+    // The COMPRESSED WebDataset layout (.tar.gz): the same 16 shards
+    // byte-identical after a strict multi-member gunzip, cut into
+    // 1500-byte gzip members whose boundaries never align with tar
+    // blocks — parsing members individually instead of
+    // concatenate-then-walk desyncs at the first cut header. Because the
+    // decompressed stream equals the plain shards exactly, the audit and
+    // its oracle hold verbatim; agreement here proves the decompression
+    // layer is a true identity, not approximately one.
+    "tgz_ingest" -> ((s, d) =>
+      tarAuditOf(graft.sources.TarSource.entriesGz(
+        s, graft.sources.TarSource.stageGzFixture(Stage.dir(d, "tgz")))))
   )
+
+  /** The per-site WebDataset audit over a TarSource entries-shaped frame
+    * — shared by the plain (tar_ingest) and gzip (tgz_ingest) readers,
+    * which must agree on every column (same discipline as warcAuditOf).
+    * `site` derives from the shard ordinal (regex matches shardNN.tar
+    * and shardNN.tar.gz alike); n_samples exercises the WebDataset
+    * re-pairing: bases with BOTH the .txt and .json member present. */
+  private def tarAuditOf(e0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val e = e0.withColumn("site",
+      concat(lit("s"),
+        (regexp_extract(col("file"), "shard(\\d+)\\.tar", 1)
+          .cast("int") % 4).cast("string")))
+    val files = e.filter(col("typeflag") === "0")
+      .withColumn("base", regexp_extract(col("name"), "^(.*)\\.(txt|json)$", 1))
+      .withColumn("ext", regexp_extract(col("name"), "\\.(txt|json)$", 1))
+    val perSample = files
+      .groupBy("site", "base")
+      .agg(
+        (max(when(col("ext") === "txt", 1).otherwise(0)) *
+          max(when(col("ext") === "json", 1).otherwise(0))).as("paired"),
+        count(lit(1)).as("nf"),
+        sum(when(col("ext") === "txt", col("size")).otherwise(0L)).as("tb"),
+        sum(col("eidx") * col("size")).as("mom"),
+        sum(graft.functions.PortableHash.h60p(
+          concat(col("name"), lit("|"), col("payload_md5")))).as("chk"))
+    val dirs = e.filter(col("typeflag") === "5")
+      .groupBy("site").agg(count(lit(1)).as("n_dirs"))
+    perSample
+      .groupBy("site")
+      .agg(
+        sum("nf").as("n_files"),
+        sum("paired").cast("long").as("n_samples"),
+        sum("tb").as("txt_bytes"),
+        sum("mom").as("moment"),
+        sum("chk").as("checksum"))
+      .join(dirs, Seq("site"))
+      .select("site", "n_dirs", "n_files", "n_samples", "txt_bytes",
+        "moment", "checksum")
+      .orderBy("site")
+  }
 
   /** The per-site WARC ingest audit over a WarcSource.records-shaped
     * frame — shared by the batch reader gate (warc_ingest) and the
@@ -544,6 +564,9 @@ object SourceQueries extends QueryPack {
     "warc_gz_ingest" -> warcIngestSql,
     "warc_zst_ingest" -> warcIngestSql,
     "tar_ingest" -> tarIngestSql,
+    // Identical model on purpose: gunzip-then-walk must be a byte
+    // identity over the plain shards.
+    "tgz_ingest" -> tarIngestSql,
     // Dir-independent like warc_ingest: the oracle regenerates the HTTP
     // fixture model (12 shards × 6+(f%3) responses; body = "tok "×T with
     // the trailing space trimmed → length 4T−1, tokens T). Chunked rows

@@ -203,6 +203,37 @@ object TarSource {
       .toDF()
   }
 
+  /** [[entries]] over gzip-compressed shards (`.tar.gz` — the compressed
+    * WebDataset layout): whole-shard read, strict multi-member gunzip
+    * ([[WarcSource.gunzipAll]] — every member CRC-verified), then the
+    * SAME block walk over the decompressed bytes. The decompressed
+    * stream is byte-identical to a plain shard, so the plain fixture's
+    * oracle holds verbatim. Unlike `.warc.gz` (one member per record),
+    * gzip member boundaries in a `.tar.gz` carry NO framing meaning —
+    * the staged fixture cuts members mid-header on purpose, so a reader
+    * that walks each gzip member as its own tar desyncs immediately;
+    * only the concatenation frames. Clean requires BOTH layers clean.
+    * Scale caveat as every gzip source: forward-only decompression, one
+    * task per shard — which is already the WebDataset unit of work. */
+  def entriesGz(spark: SparkSession, paths: Seq[String],
+                tolerateUnclean: Boolean = false): DataFrame = {
+    import spark.implicits._
+    FileSources.readWholeFilesBytes(spark, paths)
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        val (plain, gzClean) = WarcSource.gunzipAll(bytes)
+        val (out, tarClean) = parseTar(name, plain)
+        if (!(gzClean && tarClean) && !tolerateUnclean)
+          throw new IllegalArgumentException(
+            s"$path: unframeable bytes after ${out.size} members " +
+            "(gzip corruption, bad checksum, truncation or desync; " +
+            "pass tolerateUnclean=true to salvage)")
+        out
+      }
+      .toDF()
+  }
+
   // ------------------------------------------------------------------
   // Tar WRITER (fixture staging + a real sink primitive): spec-complete
   // ustar headers with computed checksums.
@@ -286,6 +317,30 @@ object TarSource {
       ms += member(s"d$f/s$key.json", '0', sidecar)
     }
     archive(ms.result())
+  }
+
+  def gzFixtureFiles(dir: String): Seq[String] =
+    (0 until 16).map(f => f"$dir/shard$f%02d.tar.gz")
+
+  /** Stage the `.tar.gz` fixture: the SAME 16 shards as [[stageFixture]]
+    * byte-for-byte after decompression, each split into 1500-byte gzip
+    * members — boundaries that never align with 512-byte tar blocks, so
+    * per-member parsing (instead of concatenate-then-walk) is fatal.
+    * Idempotent via marker. */
+  def stageGzFixture(dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    val marker = new java.io.File(d, "_STAGED_TGZ_V1")
+    val paths = gzFixtureFiles(dir)
+    if (!marker.exists()) {
+      d.mkdirs()
+      paths.zipWithIndex.foreach { case (p, f) =>
+        val plain = fixtureShard(f)
+        val gz = plain.grouped(1500).map(WarcSource.gzipMember).reduce(_ ++ _)
+        java.nio.file.Files.write(java.nio.file.Paths.get(p), gz)
+      }
+      marker.createNewFile(): Unit
+    }
+    paths
   }
 
   /** Idempotent staging, same marker discipline as WarcSource. */
