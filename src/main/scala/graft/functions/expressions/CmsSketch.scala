@@ -135,6 +135,96 @@ case class CmsSketchAgg(
     copy(inputAggBufferOffset = newOffset)
 }
 
+/** Merge of pre-built CMS artifacts by elementwise counter SUM — the
+  * pre-aggregated-sketch maintenance pattern the HLL and bloom merges
+  * already pin (q_hll_merge / the bloom generation rotation): per-shard
+  * or per-micro-batch sketches persist as rows, and a query-time merge
+  * reconstructs the global sketch WITHOUT rescanning any keys. Because
+  * counter addition is commutative and associative, a merge of partials
+  * is BYTE-IDENTICAL to the sketch built over the union stream — the
+  * property stream_cms_live gates end-to-end.
+  *
+  * Same SQL-exposure discipline as [[BloomSketchAgg]]'s merge: arbitrary
+  * binaries must fail loudly (header validated before any byte is
+  * touched), and artifacts with mismatched depth/width refuse to merge.
+  */
+case class CmsMergeAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int,
+    override val inputAggBufferOffset: Int)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  def this(child: Expression) = this(child, 0, 0)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cms_merge expects a binary CMS artifact, got ${child.dataType.catalogString}")
+
+  // Empty marker until the first artifact arrives — the artifact's own
+  // header fixes the shape, so the buffer can't pre-commit to one.
+  override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray
+
+  private def requireArtifact(art: Array[Byte]): Unit = {
+    require(art.length >= 8 + 8 && (art.length - 8) % 8 == 0,
+      s"graft_cms_merge: ${art.length} B is not a CMS artifact " +
+        "(expected [int32 depth][int32 width][depth*width int64 counters])")
+    val bb = ByteBuffer.wrap(art)
+    val depth = bb.getInt(); val width = bb.getInt()
+    require(depth > 0 && depth <= 16 && width > 1 && width <= (1 << 20) &&
+        art.length == 8 + 8 * depth * width,
+      s"graft_cms_merge: artifact header depth=$depth width=$width inconsistent " +
+        s"with ${art.length} B — not a graft_cms artifact")
+  }
+
+  private def sumInto(buf: Array[Byte], art: Array[Byte]): Array[Byte] =
+    if (art.isEmpty) buf
+    else if (buf.isEmpty) { requireArtifact(art); art.clone() }
+    else {
+      requireArtifact(art)
+      require(buf.length == art.length &&
+          java.util.Arrays.equals(buf, 0, 8, art, 0, 8),
+        s"graft_cms_merge: mismatched artifact shapes (${buf.length} B / " +
+          s"${art.length} B) — sketches built with different depth/width cannot merge")
+      val b = ByteBuffer.wrap(buf)
+      val a = ByteBuffer.wrap(art)
+      var off = 8
+      while (off < buf.length) {
+        b.putLong(off, b.getLong(off) + a.getLong(off))
+        off += 8
+      }
+      buf
+    }
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v == null) buf else sumInto(buf, v.asInstanceOf[Array[Byte]])
+  }
+
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = sumInto(b1, b2)
+
+  // An all-null/empty group yields the default-shape zero sketch: every
+  // estimate 0, which IS the sketch of an empty stream.
+  override def eval(buf: Array[Byte]): Any =
+    if (buf.isEmpty) CmsSketch.emptyArtifact() else buf
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_cms_merge"
+  override def children: Seq[Expression] = Seq(child)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+}
+
 /** Point-frequency estimate against a graft_cms_agg artifact: the MIN of
   * the key's d counters. Codegen emits a static call so the probe stays
   * inside whole-stage codegen. */
@@ -191,6 +281,15 @@ object CmsSketch {
     graft.functions.PortableHash.h60pSql(s"('graft-cms-b-' || CAST($i AS VARCHAR))")
   def bucketSql(h: String, i: String, width: Int): String =
     s"(((${rowASql(i)} * $h + ${rowBSql(i)}) % 1000000007) % $width)"
+
+  /** The default-shape all-zero artifact (the sketch of an empty
+    * stream) — graft_cms_merge's identity element. */
+  def emptyArtifact(): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + 8 * DefaultDepth * DefaultWidth)
+    bb.putInt(DefaultDepth)
+    bb.putInt(DefaultWidth)
+    bb.array()
+  }
 
   /** Static probe shared by the interpreted and codegen paths.
     *

@@ -113,6 +113,7 @@ object GraftFunctions {
   private val robustStatsInfo = new ExpressionInfo(classOf[RobustStatsAgg].getName, "graft_robust_stats")
   private val cmsAggInfo = new ExpressionInfo(classOf[CmsSketchAgg].getName, "graft_cms_agg")
   private val cmsEstimateInfo = new ExpressionInfo(classOf[CmsEstimate].getName, "graft_cms_estimate")
+  private val cmsMergeInfo = new ExpressionInfo(classOf[CmsMergeAgg].getName, "graft_cms_merge")
 
   /** Idempotently registers graft's native expressions in the session's
     * function registry. (Also injectable globally via
@@ -134,6 +135,8 @@ object GraftFunctions {
       FunctionIdentifier("graft_cms_agg"), cmsAggInfo, cmsAggBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_cms_estimate"), cmsEstimateInfo, cmsEstimateBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_cms_merge"), cmsMergeInfo, cmsMergeBuilder)
   }
 
   /** Strict arity — `children.head, children(1)` would throw a raw
@@ -206,6 +209,12 @@ object GraftFunctions {
       s"graft_cms_estimate expects exactly 2 arguments, got ${other.size}")
   }
 
+  private[graft] val cmsMergeBuilder: Seq[Expression] => Expression = {
+    case Seq(child) => new CmsMergeAgg(child)
+    case other => throw new IllegalArgumentException(
+      s"graft_cms_merge expects exactly 1 argument, got ${other.size}")
+  }
+
   /** Grouped MinHash signature (array<long> of 32 component minima). */
   def minhashSketchCol(c: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_minhash", c)
@@ -230,6 +239,10 @@ object GraftFunctions {
     * count always, ≤ true + εN with probability 1−2^−d. */
   def cmsEstimateCol(cms: Column, key: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_cms_estimate", cms, key)
+
+  /** Merge pre-built CMS artifacts by elementwise counter sum. */
+  def cmsMergeCol(artifact: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_cms_merge", artifact)
 
   /** dot(a, b) as a Column; requires ensureRegistered on the session. */
   def dotCol(a: Column, b: Column): Column =

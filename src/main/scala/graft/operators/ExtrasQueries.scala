@@ -302,6 +302,32 @@ object ExtrasQueries extends QueryPack {
         .orderBy(col("exact_cnt").desc, col("k"))
     }),
 
+    // CMS MERGEABILITY (the q_hll_merge pattern for the new sketch):
+    // per-returnflag partial sketches built independently, merged by
+    // graft_cms_merge's elementwise counter sum, probed with the same
+    // top-20 keys — and because counter addition is associative, the
+    // merged estimates must EQUAL the single-build estimates, which the
+    // oracle recomputes in full exactly as for q_cms_freq (the partition
+    // into flags is invisible to the counter sums). The production
+    // shape: per-shard/per-day sketches persist as rows; a query-time
+    // merge of a few KB per row reconstructs the global sketch without
+    // rescanning any keys.
+    "q_cms_merge" -> ((s, d) => {
+      graft.functions.expressions.GraftFunctions.ensureRegistered(s)
+      import graft.functions.expressions.GraftFunctions.{cmsAggCol, cmsEstimateCol, cmsMergeCol}
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("g"), col("l_partkey").cast("long").as("k"))
+      val merged = li.groupBy("g")
+        .agg(cmsAggCol(col("k").cast("string")).as("cms"))
+        .agg(cmsMergeCol(col("cms")).as("cms"), count(lit(1)).as("n_parts"))
+      val exact = li.groupBy("k").agg(count(lit(1)).as("exact_cnt"))
+      exact.orderBy(col("exact_cnt").desc, col("k")).limit(20)
+        .crossJoin(broadcast(merged))
+        .withColumn("est_cnt", cmsEstimateCol(col("cms"), col("k").cast("string")))
+        .select(col("k"), col("exact_cnt"), col("est_cnt"), col("n_parts"))
+        .orderBy(col("exact_cnt").desc, col("k"))
+    }),
+
     // Top-k per group via ranking window (distributed: one exchange on the
     // group key; the typed Aggregator equivalent is TopKAggregatorSpec).
     "q_topk_per_group" -> ((s, d) => {
@@ -529,6 +555,34 @@ object ExtrasQueries extends QueryPack {
                  CAST(e.est_cnt - p.exact_cnt AS BIGINT) AS overestimate,
                  e.est_cnt >= p.exact_cnt AS no_underestimate
           FROM probes p JOIN est e ON p.k = e.k
+          ORDER BY p.exact_cnt DESC, p.k"""
+    },
+    // Merged-partials estimates == single-build estimates (associative
+    // counter sums), so the recomputation is the q_cms_freq oracle plus
+    // the partial count.
+    "q_cms_merge" -> {
+      import graft.functions.PortableHash.h60pSql
+      import graft.functions.expressions.CmsSketch
+      s"""WITH keyed AS (
+            SELECT CAST(l_partkey AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+            FROM lineitem GROUP BY 1),
+          hashed AS (
+            SELECT k, exact_cnt, seeds.i AS i,
+                   ${CmsSketch.bucketSql(h60pSql("CAST(k AS VARCHAR)"), "seeds.i", 509)} AS b
+            FROM keyed CROSS JOIN range(4) seeds(i)),
+          counters AS (
+            SELECT i, b, SUM(exact_cnt) AS cnt FROM hashed GROUP BY 1, 2),
+          probes AS (
+            SELECT k, exact_cnt FROM keyed ORDER BY exact_cnt DESC, k LIMIT 20),
+          est AS (
+            SELECT h.k, MIN(c.cnt) AS est_cnt
+            FROM hashed h JOIN counters c ON h.i = c.i AND h.b = c.b
+            WHERE h.k IN (SELECT k FROM probes)
+            GROUP BY h.k),
+          np AS (SELECT CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_parts
+                 FROM lineitem)
+          SELECT p.k, p.exact_cnt, CAST(e.est_cnt AS BIGINT) AS est_cnt, np.n_parts
+          FROM probes p JOIN est e ON p.k = e.k CROSS JOIN np
           ORDER BY p.exact_cnt DESC, p.k"""
     },
     "q_approx_topk" ->

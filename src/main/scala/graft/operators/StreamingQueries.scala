@@ -152,6 +152,14 @@ object StreamingQueries extends QueryPack {
           ceil(col("n_distinct") * lit(0.04))).as("fpr_ok"))
     }),
 
+    // Streaming COUNT-MIN SKETCH maintenance, live: per-micro-batch
+    // sketches persisted as rows, merged at query time by
+    // graft_cms_merge — and since counter sums are associative, the
+    // merged estimates must equal a single whole-stream build's, which
+    // the oracle recomputes IN FULL (every counter = sum of colliding
+    // keys' exact counts, as q_cms_freq). See EventStreams.runCmsLive.
+    "stream_cms_live" -> ((s, d) => EventStreams.runCmsLive(s, d)),
+
     // The flagship word count executed LIVE as an unbounded-aggregation
     // streaming run (complete-mode state snapshot through foreachBatch;
     // see EventStreams.runWordCountLive): the documents fixture arrives
@@ -285,6 +293,34 @@ object StreamingQueries extends QueryPack {
       """SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
                 true AS no_false_negative, true AS fpr_ok
          FROM events""",
+    // Full estimate recomputation over the whole event stream (the
+    // merged per-batch sketch is byte-equal to a single build), keyed by
+    // user_id; n_batches pins the three-slice staging.
+    "stream_cms_live" -> {
+      import graft.functions.PortableHash.h60pSql
+      import graft.functions.expressions.CmsSketch
+      s"""WITH keyed AS (
+            SELECT CAST(user_id AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+            FROM events GROUP BY 1),
+          hashed AS (
+            SELECT k, exact_cnt, seeds.i AS i,
+                   ${CmsSketch.bucketSql(h60pSql("CAST(k AS VARCHAR)"), "seeds.i", 509)} AS b
+            FROM keyed CROSS JOIN range(4) seeds(i)),
+          counters AS (
+            SELECT i, b, SUM(exact_cnt) AS cnt FROM hashed GROUP BY 1, 2),
+          probes AS (
+            SELECT k, exact_cnt FROM keyed ORDER BY exact_cnt DESC, k LIMIT 20),
+          est AS (
+            SELECT h.k, MIN(c.cnt) AS est_cnt
+            FROM hashed h JOIN counters c ON h.i = c.i AND h.b = c.b
+            WHERE h.k IN (SELECT k FROM probes)
+            GROUP BY h.k)
+          SELECT p.k, p.exact_cnt, CAST(e.est_cnt AS BIGINT) AS est_cnt,
+                 e.est_cnt >= p.exact_cnt AS no_underestimate,
+                 CAST(3 AS BIGINT) AS n_batches
+          FROM probes p JOIN est e ON p.k = e.k
+          ORDER BY p.exact_cnt DESC, p.k"""
+    },
     // The live complete-mode aggregation must converge to the identical
     // full-corpus count (same oracle as the batch `wordcount` twin).
     "stream_wordcount_live" ->

@@ -520,6 +520,90 @@ object EventStreams {
     spark.read.parquet(s"$base/out")
   }
 
+  /** Streaming count-min sketch maintenance, LIVE — the execution behind
+    * `stream_cms_live`: the events fixture arrives as three micro-batches
+    * (file-stream source, maxFilesPerTrigger=1); each batch builds its
+    * OWN CMS artifact over the batch's user_ids (graft_cms_agg inside
+    * foreachBatch) and appends it as one ~16 KB parquet row — the
+    * per-window sketch a production frequency monitor persists. After
+    * the run, a query-time graft_cms_merge folds the per-batch artifacts
+    * into the global sketch and probes the top-20 keys by exact count.
+    *
+    * The gate's teeth: counter addition is associative, so the merged
+    * sketch must be BYTE-identical to a single build over the whole
+    * stream — the DuckDB oracle recomputes the ESTIMATES in full (every
+    * counter = the sum of exact counts of colliding keys, as in
+    * q_cms_freq), so a dropped batch, a double-processed batch, or any
+    * merge arithmetic error shifts a counter and hash-fails. n_batches
+    * pins that the state genuinely crossed three batches.
+    *
+    * Scale: per-batch state is ONE fixed-size buffer per task regardless
+    * of key cardinality; the persisted artifact stream grows one row per
+    * trigger and the merge reads only those rows — frequency tracking
+    * over an unbounded key space with O(batches · 16 KB) total state. */
+  def runCmsLive(spark: SparkSession, dataDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import graft.functions.expressions.GraftFunctions
+    val base = Files.createTempDirectory("graft_live_cms_").toFile.getAbsolutePath
+    trackForCleanup(base)
+    val srcDir = s"$base/src"
+    new java.io.File(srcDir).mkdirs()
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", "4")
+    GraftFunctions.ensureRegistered(sess)
+    val ev = sess.read.parquet(s"$dataDir/events.parquet")
+      .select("event_id", "user_id")
+    // Three deterministic slices → three micro-batches (same staging
+    // discipline as runWordCountLive).
+    val tmp = s"$base/staged"
+    ev.withColumn("b", (col("event_id") % 3).cast("int"))
+      .repartition(3, col("b"))
+      .write.partitionBy("b").parquet(tmp)
+    for (k <- 0 until 3) {
+      val dir = new java.io.File(s"$tmp/b=$k")
+      if (dir.isDirectory) {
+        val parts = dir.listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        if (parts.length != 1)
+          sys.error(s"expected exactly one part file under $tmp/b=$k, found ${parts.length}")
+        Files.move(parts.head.toPath, Paths.get(s"$srcDir/b$k.parquet"))
+      }
+    }
+    rmTree(tmp)
+    val partsDir = s"$base/parts"
+    val stream = sess.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        // The per-trigger sketch build: one artifact row per non-empty
+        // batch. (ensureRegistered is idempotent; the micro-batch frame
+        // may live in a cloned session.)
+        GraftFunctions.ensureRegistered(batch.sparkSession)
+        if (!batch.isEmpty)
+          batch.agg(GraftFunctions.cmsAggCol(col("user_id").cast("string")).as("cms"))
+            .withColumn("batch_id", lit(bid))
+            .write.mode("append").parquet(partsDir)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    Seq(srcDir, s"$base/ckpt").foreach(rmTree)
+    val merged = sess.read.parquet(partsDir)
+      .agg(GraftFunctions.cmsMergeCol(col("cms")).as("cms"),
+        count(lit(1)).as("n_batches"))
+    val exact = sess.read.parquet(s"$dataDir/events.parquet")
+      .select(col("user_id").cast("long").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("exact_cnt"))
+    exact.orderBy(col("exact_cnt").desc, col("k")).limit(20)
+      .crossJoin(broadcast(merged))
+      .withColumn("est_cnt",
+        GraftFunctions.cmsEstimateCol(col("cms"), col("k").cast("string")))
+      .select(col("k"), col("exact_cnt"), col("est_cnt"),
+        (col("est_cnt") >= col("exact_cnt")).as("no_underestimate"),
+        col("n_batches"))
+      .orderBy(col("exact_cnt").desc, col("k"))
+  }
+
   /** Custom state machine via flatMapGroupsWithState (≡ §2.2 J's
     * UDAF-shaped reduce, but incremental): per-user running count +
     * cumulative value, emitted on every update. */

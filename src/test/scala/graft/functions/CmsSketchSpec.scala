@@ -65,6 +65,42 @@ class CmsSketchSpec extends SparkSpec {
       intercept[IllegalArgumentException](CmsSketch.estimate(bad, "k"))
   }
 
+  test("merging per-group partials is byte-identical to one whole-stream build") {
+    GraftFunctions.ensureRegistered(spark)
+    val whole = artifact(stream, 4)
+    val merged = stream.zipWithIndex.map { case (k, i) => (k, i % 5) }
+      .toDF("k", "g").repartition(6)
+      .groupBy("g").agg(GraftFunctions.cmsAggCol(col("k")).as("cms"))
+      .agg(GraftFunctions.cmsMergeCol(col("cms")).as("cms"))
+      .collect()(0).getAs[Array[Byte]]("cms")
+    assert(whole.toSeq == merged.toSeq,
+      "associative counter sums must make merge-of-partials equal the single build")
+  }
+
+  test("merge rejects garbage and mismatched-shape artifacts loudly") {
+    GraftFunctions.ensureRegistered(spark)
+    def mergeOf(arts: Seq[Array[Byte]]): Array[Byte] =
+      arts.toDF("cms").agg(GraftFunctions.cmsMergeCol(col("cms")).as("m"))
+        .collect()(0).getAs[Array[Byte]]("m")
+    val a = artifact(stream, 2)
+    val garbage = Array.fill[Byte](64)(0x5a)
+    intercept[Exception](mergeOf(Seq(a, garbage)))
+    // A differently-shaped but internally valid artifact must refuse too.
+    val other = stream.toDF("k").agg(
+        expr("graft_cms_agg(k, 2, 101)").as("cms"))
+      .collect()(0).getAs[Array[Byte]]("cms")
+    CmsSketch.estimate(other, "key-1") // sanity: valid on its own
+    intercept[Exception](mergeOf(Seq(a, other)))
+  }
+
+  test("merging an empty input yields the zero sketch (every estimate 0)") {
+    GraftFunctions.ensureRegistered(spark)
+    val z = Seq.empty[Array[Byte]].toDF("cms")
+      .agg(GraftFunctions.cmsMergeCol(col("cms")).as("m"))
+      .collect()(0).getAs[Array[Byte]]("m")
+    assert(CmsSketch.estimate(z, "anything") == 0L)
+  }
+
   test("probe agrees between interpreted eval and whole-stage codegen") {
     GraftFunctions.ensureRegistered(spark)
     val art = artifact(stream, 4)
