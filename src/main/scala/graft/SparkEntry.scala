@@ -22,6 +22,7 @@ object SparkEntry {
     DedupQueries,
     SimilarityQueries,
     PqQueries,
+    IvfPqQueries,
     TextAnalysis,
     MultimodalQueries,
     SourceQueries

@@ -70,9 +70,13 @@ object PqCodebook {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** The staged codebook parquet for `dataDir` — oracle CTEs name this
-    * path. Columns: (m: int, cid: long, w: array<double>). */
-  def stagePath(dataDir: String): String =
-    Stage.dir(dataDir, s"pq_codebook_v${FitVersion}_${M}x$K")
+    * path. Columns: (m: int, cid: long, w: array<double>). `kind`
+    * separates independently-fit codebooks over different inputs (""
+    * = the raw embeddings; "ivfres" = IVF-residuals, see IvfPqQueries). */
+  def stagePath(dataDir: String, kind: String = ""): String = {
+    val tag = if (kind.isEmpty) "" else s"_$kind"
+    Stage.dir(dataDir, s"pq_codebook$tag" + s"_v${FitVersion}_${M}x$K")
+  }
 
   /** Explode a (vec_id, v, ...) frame into its M sub-vectors:
     * (vec_id, m, sub) with sub = v[m·SubDim+1 .. (m+1)·SubDim] kept at
@@ -87,17 +91,28 @@ object PqCodebook {
 
   /** The fitted codebook as an M·K-row (m, cid, w) frame read from the
     * staged parquet — fit once per (session, dir). */
-  def codebook(s: SparkSession, d: String): DataFrame = {
+  def codebook(s: SparkSession, d: String): DataFrame =
+    codebookFor(s, d, "", SimilarityQueries.vecs(s, d))
+
+  /** [[codebook]] over an ARBITRARY (vec_id, v) input, staged under
+    * `kind` — the residual-quantization entry point (IvfPqQueries fits
+    * one over IVF residuals). `input` is by-name: only evaluated on a
+    * cache+stage miss, so consumers don't rebuild the input frame when
+    * the staged bytes already exist. */
+  def codebookFor(s: SparkSession, d: String, kind: String,
+                  input: => DataFrame): DataFrame = {
     Tables.evictDead(cache, Tables.sessionKey(s))
-    cache.computeIfAbsent((Tables.sessionKey(s), d, "pqcent"), _ => fitAndStage(s, d))
+    cache.computeIfAbsent((Tables.sessionKey(s), d, s"pqcent_$kind"),
+      _ => fitAndStage(s, d, kind, input))
   }
 
   private def round6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
-  private def fitAndStage(s: SparkSession, d: String): DataFrame = {
-    val path = stagePath(d)
+  private def fitAndStage(s: SparkSession, d: String, kind: String,
+                          input: => DataFrame): DataFrame = {
+    val path = stagePath(d, kind)
     fitLocks.computeIfAbsent(path, _ => new Object).synchronized {
-      existingStage(s, path).getOrElse(fitInto(s, d, path))
+      existingStage(s, path).getOrElse(fitInto(s, input, path))
     }
   }
 
@@ -113,9 +128,9 @@ object PqCodebook {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  private def fitInto(s: SparkSession, d: String, path: String): DataFrame = {
-    val cents = fit(s, SimilarityQueries.vecs(s, d))
-    require(cents.nonEmpty, s"PQ codebook: no sample vectors in $d")
+  private def fitInto(s: SparkSession, input: DataFrame, path: String): DataFrame = {
+    val cents = fit(s, input)
+    require(cents.nonEmpty, s"PQ codebook: no sample vectors for $path")
     import s.implicits._
     cents.toDF("m", "cid", "w")
       .coalesce(1)
