@@ -81,7 +81,17 @@ object Explain {
     // ANN maintenance loop's post-append probe (batch-side-only
     // exchange against the bucketed IVF table).
     "dedup_simhash", "warc_zst_ingest", "mm_wds_pipeline",
-    "mm_jpeg_coeffs_progressive", "sim_knn_indexed_update")
+    "mm_jpeg_coeffs_progressive", "sim_knn_indexed_update",
+    // round 15 second session: the CMS probe (broadcast 16 KB artifact →
+    // codegen'd min-probe projection over the top-k frame), the PQ ADC
+    // scan (codes scan → broadcast LUT row → fixed-index array-read
+    // projection → TakeOrderedAndProject, NO shuffle — the map-only
+    // claim PqSpec pins), its IVF-PQ composition (adds the per-cell
+    // constant broadcast join, candidates confined to probed cells),
+    // and the compressed WebDataset walk (whole-shard read → gunzip →
+    // block walk → codegen'd audit aggregate). stream_cms_live stays
+    // EXCLUDED for the round-9 live-gate reason.
+    "q_cms_freq", "sim_pq_adc", "sim_ivfpq_adc", "tgz_ingest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
