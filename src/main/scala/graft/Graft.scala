@@ -535,6 +535,96 @@ object Graft {
     streaming.EventStreams.warcRecordsLive(spark, shardPaths)
   }
 
+  /** Build a count-min frequency sketch over a key column (binary
+    * artifact: 4×509 Long counters ≈ 16 KB — see CmsSketch for the hash
+    * family and the ε·N bound). Aggregates map-side into one fixed
+    * buffer per task (elementwise-sum merge); the artifact broadcasts
+    * to estimate sides. Grouped builds (`df.groupBy(...).agg(...)` with
+    * [[functions.expressions.GraftFunctions.cmsAggCol]]) stay mergeable
+    * — [[cmsEstimate]] sum-merges multi-row artifact frames. */
+  def cmsBuild(spark: SparkSession, df: DataFrame, keyCol: String): DataFrame = {
+    functions.expressions.GraftFunctions.ensureRegistered(spark)
+    df.agg(functions.expressions.GraftFunctions
+      .cmsAggCol(col(keyCol).cast("string")).as("cms"))
+  }
+
+  /** Annotate `df` with `est_cnt` — the CMS frequency estimate of
+    * `keyCol` against a [[cmsBuild]] artifact: ≥ the true count always,
+    * ≤ true + ε·N with probability 1−2^−4. Map-only over the big side
+    * (codegen'd min-probe against the broadcast artifact).
+    *
+    * The artifact frame may carry ANY number of rows (per-group or
+    * per-window builds): they are sum-merged into one sketch first —
+    * associative counter addition makes the merged estimates identical
+    * to a single whole-stream build's. Same column-resolution contract
+    * as [[bloomProbe]]. */
+  def cmsEstimate(spark: SparkSession, df: DataFrame, keyCol: String,
+                  cms: DataFrame): DataFrame = {
+    functions.expressions.GraftFunctions.ensureRegistered(spark)
+    val artCol =
+      if (cms.columns.contains("cms")) "cms"
+      else {
+        require(cms.columns.length == 1,
+          s"cms frame needs a 'cms' column or exactly one column, got ${cms.columns.mkString(", ")}")
+        cms.columns.head
+      }
+    val art = cms.agg(functions.expressions.GraftFunctions
+      .cmsMergeCol(col(artCol)).as("__graft_cms"))
+    df.crossJoin(broadcast(art))
+      .withColumn("est_cnt", functions.expressions.GraftFunctions
+        .cmsEstimateCol(col("__graft_cms"), col(keyCol).cast("string")))
+      .drop("__graft_cms")
+  }
+
+  /** Fit a product-quantization codebook over an embedding frame
+    * (`vec_id`, `embedCol`: array<float|double> of 64 dims — 8
+    * subspaces × 8 dims at 256 centroids each; see PqCodebook for the
+    * sampled deterministic fit). Returns the (m, cid, w) codebook frame
+    * consumed by [[pqEncode]]/[[pqTopK]]. */
+  def pqFit(spark: SparkSession, embeddings: DataFrame,
+            embedCol: String = "embedding"): DataFrame =
+    operators.PqCodebook.fitFrame(spark,
+      embeddings.select(col("vec_id"), col(embedCol).as("v")))
+
+  /** Encode every vector to 8 one-byte centroid ids against a [[pqFit]]
+    * codebook — 32× smaller than the floats; the (vec_id, codes) frame
+    * IS the stored PQ index. */
+  def pqEncode(spark: SparkSession, embeddings: DataFrame, codebook: DataFrame,
+               embedCol: String = "embedding"): DataFrame =
+    operators.PqCodebook.encode(
+      embeddings.select(col("vec_id"), col(embedCol).as("v")), codebook)
+
+  /** Approximate top-k by inner product against a query vector, scored
+    * from PQ codes alone (asymmetric distance): the query builds one
+    * broadcast 2048-entry lookup-table row from the codebook; every
+    * encoded vector scores as eight codegen'd fixed-index array reads —
+    * a map-only scan of the codes frame, no shuffle. Serving-quality
+    * answers rerank a larger k exactly (the sim_pq_recall shape). */
+  def pqTopK(spark: SparkSession, codes: DataFrame, codebook: DataFrame,
+             query: Array[Double], k: Int): DataFrame = {
+    val M = operators.PqCodebook.M
+    val S = operators.PqCodebook.SubDim
+    val K = operators.PqCodebook.K
+    require(query.length == M * S, s"query must have ${M * S} dims, got ${query.length}")
+    require(k >= 1, s"k must be >= 1, got $k")
+    functions.expressions.GraftFunctions.ensureRegistered(spark)
+    val dot = functions.expressions.GraftFunctions.dotCol _
+    val lut = codebook
+      .withColumn("__q", typedLit(query))
+      .withColumn("part", dot(expr(s"slice(__q, m * $S + 1, $S)"), col("w")))
+      .select((col("m") * K + col("cid")).as("idx"), col("part"))
+      .agg(expr("transform(array_sort(collect_list(struct(idx, part))), s -> s.part)")
+        .as("__graft_lut"))
+    val adc = (0 until M)
+      .map(m => expr(s"__graft_lut[$m * $K + codes[$m]]"))
+      .reduce(_ + _)
+    codes.crossJoin(broadcast(lut))
+      .withColumn("adc", adc)
+      .drop("__graft_lut")
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(k)
+  }
+
   def topNgrams(docs: DataFrame, n: Int, k: Int, textCol: String = "text"): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
     require(k >= 1, s"k must be >= 1, got $k") // limit(0) is legal → silently empty

@@ -71,18 +71,9 @@ object IvfPqQueries extends QueryPack {
   private[operators] def ivfpqCodes(s: SparkSession, d: String): DataFrame = {
     Tables.evictDead(codesCache, Tables.sessionKey(s))
     codesCache.computeIfAbsent((Tables.sessionKey(s), d, "ivfpq"), _ => {
-      val cb = residualCodebook(s, d).withColumn("cc", dot(col("w"), col("w")))
       val res = residuals(s, d)
-      val codes = PqCodebook.subVectors(res)
-        .withColumn("xx", dot(col("sub"), col("sub")))
-        .join(broadcast(cb), Seq("m"))
-        .withColumn("d2", col("xx") + col("cc") - lit(2.0) * dot(col("sub"), col("w")))
-        .groupBy("vec_id", "m")
-        .agg(min(struct(col("d2"), col("cid"))).as("mn"))
-        .groupBy("vec_id")
-        .agg(sort_array(collect_list(struct(col("m"), col("mn.cid").as("code")))).as("cs"))
-        .select(col("vec_id"), expr("transform(cs, s -> CAST(s.code AS INT))").as("codes"))
-      codes.join(res.select("vec_id", "cluster"), Seq("vec_id"))
+      PqCodebook.encode(res, residualCodebook(s, d))
+        .join(res.select("vec_id", "cluster"), Seq("vec_id"))
         .localCheckpoint(eager = false)
     })
   }

@@ -138,6 +138,36 @@ object PqCodebook {
     s.read.parquet(path)
   }
 
+  /** Per-call fit over an arbitrary (vec_id, v) frame, returned as the
+    * (m, cid, w) codebook frame WITHOUT staging — the facade entry point
+    * ([[graft.Graft.pqFit]]); the staged variants remain the
+    * oracle-checked path. */
+  def fitFrame(s: SparkSession, vecsDf: DataFrame): DataFrame = {
+    import s.implicits._
+    fit(s, vecsDf).toDF("m", "cid", "w")
+  }
+
+  /** Encode (vec_id, v) → (vec_id, codes array<int>[M]) against a
+    * codebook frame: per subspace the argmin-d² centroid id,
+    * d² = |x|² + |c|² − 2⟨x,c⟩, ties toward the smaller cid. The argmin
+    * is min(struct(d2, cid)) — lexicographic min partial-aggregates
+    * map-side, so the encode pass ships one candidate per (vector,
+    * subspace) per partition, not the K-scored frame. Shared by
+    * PqQueries (raw vectors), IvfPqQueries (residuals) and the facade. */
+  def encode(vecsDf: DataFrame, codebook: DataFrame): DataFrame = {
+    val dot = graft.functions.expressions.GraftFunctions.dotCol _
+    val cb = codebook.withColumn("cc", dot(col("w"), col("w")))
+    subVectors(vecsDf)
+      .withColumn("xx", dot(col("sub"), col("sub")))
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("d2", col("xx") + col("cc") - lit(2.0) * dot(col("sub"), col("w")))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d2"), col("cid"))).as("mn"))
+      .groupBy("vec_id")
+      .agg(sort_array(collect_list(struct(col("m"), col("mn.cid").as("code")))).as("cs"))
+      .select(col("vec_id"), expr("transform(cs, s -> CAST(s.code AS INT))").as("codes"))
+  }
+
   /** The deterministic sampled per-subspace L2 k-means. Input contract:
     * (vec_id, v) with |v| = M·SubDim. Returns (m, cid, w) rows,
     * cid = 0..k'−1 per subspace, k' = min(K, sample size). Unlike the

@@ -60,27 +60,13 @@ object PqQueries extends QueryPack {
   private val codesCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
 
-  /** Encode every vector: per subspace, the argmin-d² centroid id, with
-    * d² = |x|² + |c|² − 2⟨x,c⟩ and ties toward the smaller cid. argmin
-    * via min(struct(d2, cid)) — lexicographic min partial-aggregates
-    * map-side, so the encode pass ships one candidate per (vector,
-    * subspace) per partition, not the K-scored frame. */
+  /** Encode every vector against the staged codebook
+    * ([[PqCodebook.encode]] documents the argmin shape). */
   private[operators] def pqCodes(s: SparkSession, d: String): DataFrame = {
     Tables.evictDead(codesCache, Tables.sessionKey(s))
-    codesCache.computeIfAbsent((Tables.sessionKey(s), d, "pqcodes"), _ => {
-      val cb = PqCodebook.codebook(s, d)
-        .withColumn("cc", dot(col("w"), col("w")))
-      PqCodebook.subVectors(SimilarityQueries.vecs(s, d))
-        .withColumn("xx", dot(col("sub"), col("sub")))
-        .join(broadcast(cb), Seq("m"))
-        .withColumn("d2", col("xx") + col("cc") - lit(2.0) * dot(col("sub"), col("w")))
-        .groupBy("vec_id", "m")
-        .agg(min(struct(col("d2"), col("cid"))).as("mn"))
-        .groupBy("vec_id")
-        .agg(sort_array(collect_list(struct(col("m"), col("mn.cid").as("code")))).as("cs"))
-        .select(col("vec_id"), expr("transform(cs, s -> CAST(s.code AS INT))").as("codes"))
-        .localCheckpoint(eager = false)
-    })
+    codesCache.computeIfAbsent((Tables.sessionKey(s), d, "pqcodes"), _ =>
+      PqCodebook.encode(SimilarityQueries.vecs(s, d), PqCodebook.codebook(s, d))
+        .localCheckpoint(eager = false))
   }
 
   val queries: Map[String, Q] = Map(

@@ -325,4 +325,50 @@ class GraftApiSpec extends SparkSpec {
     val bad = intercept[IllegalArgumentException](Graft.warcIngestLive(spark, Seq.empty))
     assert(bad.getMessage.contains("shard"))
   }
+
+  test("cmsBuild/cmsEstimate: no underestimate on a custom stream; grouped builds merge") {
+    import spark.implicits._
+    val events = (1 to 40).flatMap(i => Seq.fill(i % 5 + 1)((i.toLong, s"g${i % 3}")))
+      .toDF("k", "g")
+    val exact = events.groupBy("k").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Whole-stream build.
+    val whole = Graft.cmsBuild(spark, events, "k")
+    val est1 = Graft.cmsEstimate(spark, events.select("k").distinct(), "k", whole)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("est_cnt")).toMap
+    exact.foreach { case (k, c) => assert(est1(k) >= c, s"$k: ${est1(k)} < $c") }
+    // Per-group partial builds must estimate IDENTICALLY after the merge.
+    val grouped = events.groupBy("g").agg(
+      functions.expressions.GraftFunctions.cmsAggCol(col("k").cast("string")).as("cms"))
+    val est2 = Graft.cmsEstimate(spark, events.select("k").distinct(), "k", grouped)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("est_cnt")).toMap
+    assert(est1 == est2, "merged per-group sketches must equal the single build")
+  }
+
+  test("pqFit/pqEncode/pqTopK: the facade pipeline matches the staged sim_pq_adc gate") {
+    // Same input, same deterministic fit → the facade's ADC top-10 for
+    // vector 0 must equal the oracle-gated sim_pq_adc output.
+    val dir = sf("sf0.001")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cb = Graft.pqFit(spark, emb)
+    val codes = Graft.pqEncode(spark, emb, cb)
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+    val got = Graft.pqTopK(spark, codes.filter(col("vec_id") =!= 0), cb, q, 10)
+      .select(col("vec_id"), col("adc")).collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 1e6 + 0.5) / 1e6))
+    val want = operators.PqQueries.queries("sim_pq_adc")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("pqTopK validates query dims and k") {
+    import spark.implicits._
+    val cb = Seq((0, 0L, Array.fill(8)(0.0))).toDF("m", "cid", "w")
+    val codes = Seq((1L, Array.fill(8)(0))).toDF("vec_id", "codes")
+    intercept[IllegalArgumentException](
+      Graft.pqTopK(spark, codes, cb, Array.fill(63)(0.0), 10))
+    intercept[IllegalArgumentException](
+      Graft.pqTopK(spark, codes, cb, Array.fill(64)(0.0), 0))
+  }
 }
