@@ -27,6 +27,29 @@ object TextAnalysis extends QueryPack {
 
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
 
+  /** Doc-level rule flags behind text_quality_rules (thresholds in the
+    * query's comment): input any (doc_id, text, ...) frame; adds the
+    * four `r_*` booleans and their conjunction `keep`. All integer
+    * arithmetic (ratio thresholds cross-multiplied) — exposed at this
+    * scope so the crafted-corpus spec can force each rule to bite (the
+    * synthetic fixture only exercises word-count and stopwords). */
+  private[graft] def qualityRuleFlags(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("n_ch", length(regexp_replace(col("text"), " ", "")).cast("long"))
+      .withColumn("n_alpha",
+        expr("size(filter(toks, t -> t rlike '[a-z]'))").cast("long"))
+      .withColumn("n_stop",
+        stop("en").map(w => array_contains(col("toks"), w).cast("long")).reduce(_ + _))
+      .withColumn("r_wc", col("n_words").between(30L, 100000L))
+      .withColumn("r_mwl",
+        col("n_ch") >= col("n_words") * 3 && col("n_ch") <= col("n_words") * 10)
+      .withColumn("r_alpha", col("n_alpha") * 5 >= col("n_words") * 4)
+      .withColumn("r_stop", col("n_stop") >= 2)
+      .withColumn("keep",
+        col("r_wc") && col("r_mwl") && col("r_alpha") && col("r_stop"))
+
   /** The text_quality score over (n_toks, n_dist, sw) DOUBLE columns —
     * ONE definition shared by text_quality, the cleaning funnel and
     * dedup_canonical_best so the three can't drift. */
@@ -158,6 +181,33 @@ object TextAnalysis extends QueryPack {
         .withColumn("quality", qualityExpr(col("n_toks"), col("n_dist"), col("sw")))
         .select(col("doc_id"), col("quality"))
         .orderBy("doc_id")
+    }),
+
+    // Hard RULE battery in the Gopher-filter style (Rae et al. 2021's
+    // published heuristics), complementing text_quality's soft score:
+    // each rule is a pass/fail boolean in INTEGER arithmetic (ratio
+    // thresholds as cross-multiplications — no doubles anywhere), the
+    // keep decision is their conjunction, and the per-language audit
+    // carries one fail-count per rule plus a kept-set checksum, so a
+    // threshold drifting by one document anywhere is a hash mismatch.
+    // Rules (thresholds tuned to BITE on this fixture): word count in
+    // [30, 100k]; mean word length in [3, 10] (3n ≤ chars ≤ 10n);
+    // ≥80% words contain a letter (5·alpha ≥ 4·n); ≥2 distinct
+    // stopwords present. Map-only scan + one small groupBy — the
+    // pre-training corpus filter shape at any scale.
+    "text_quality_rules" -> ((s, d) => {
+      import graft.functions.PortableHash
+      qualityRuleFlags(Tables.documents(s, d)).groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(!col("r_wc"), 1L).otherwise(0L)).as("fail_word_count"),
+          sum(when(!col("r_mwl"), 1L).otherwise(0L)).as("fail_mean_word_len"),
+          sum(when(!col("r_alpha"), 1L).otherwise(0L)).as("fail_alpha_frac"),
+          sum(when(!col("r_stop"), 1L).otherwise(0L)).as("fail_stopwords"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          coalesce(sum(when(col("keep"),
+            PortableHash.h60p(col("doc_id").cast("string")))), lit(0L)).as("kept_checksum"))
+        .orderBy("lang")
     }),
 
     // Token counting three ways: whitespace, alpha-word regex, BPE-ish
@@ -765,6 +815,36 @@ object TextAnalysis extends QueryPack {
                   FROM t)
           SELECT doc_id, $qualitySql AS quality
           FROM m ORDER BY doc_id""",
+    "text_quality_rules" -> {
+      val stopSum = stop("en")
+        .map(w => s"(CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks,
+                            CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_ch
+                     FROM documents),
+            m AS (SELECT doc_id, lang, n_ch,
+                         CAST(len(toks) AS BIGINT) AS n_words,
+                         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+                         CAST($stopSum AS BIGINT) AS n_stop
+                  FROM t),
+            r AS (SELECT doc_id, lang,
+                         (n_words BETWEEN 30 AND 100000) AS r_wc,
+                         (n_ch >= n_words * 3 AND n_ch <= n_words * 10) AS r_mwl,
+                         (n_alpha * 5 >= n_words * 4) AS r_alpha,
+                         (n_stop >= 2) AS r_stop
+                  FROM m),
+            k AS (SELECT doc_id, lang, r_wc, r_mwl, r_alpha, r_stop,
+                         (r_wc AND r_mwl AND r_alpha AND r_stop) AS keep
+                  FROM r)
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(CASE WHEN NOT r_wc THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_count,
+                 CAST(SUM(CASE WHEN NOT r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_word_len,
+                 CAST(SUM(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha_frac,
+                 CAST(SUM(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords,
+                 CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 CAST(COALESCE(SUM(CASE WHEN keep THEN ${graft.functions.PortableHash.h60pSql("CAST(doc_id AS VARCHAR)")} END), 0) AS BIGINT) AS kept_checksum
+          FROM k GROUP BY lang ORDER BY lang"""
+    },
     "text_token_count" ->
       """SELECT doc_id,
                 CAST(len(string_split(text, ' ')) AS INT) AS n_ws,

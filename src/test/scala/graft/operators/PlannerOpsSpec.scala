@@ -303,4 +303,38 @@ class PlannerOpsSpec extends SparkSpec {
     // The hub outranks the leaves; leaves are symmetric.
     assert(r2v > r1v && r1v == r3v)
   }
+
+  test("text_quality_rules: each rule bites exactly where the crafted corpus says") {
+    import spark.implicits._
+    // One doc per single-rule failure, one all-pass; word counts and
+    // character sums hand-derived so the cross-multiplied thresholds are
+    // checked at their boundaries, not just in bulk.
+    val okWords = (1 to 28).map(i => s"word$i").mkString(" ") // 28 alpha words, len 5-6
+    val docs = Seq(
+      // 29 words (28 + the + a = 30? no: 27 + the + a = 29) -> fails ONLY word count.
+      (1L, (1 to 27).map(i => s"word$i").mkString(" ") + " the a"),
+      // 35 words averaging 2 chars -> fails ONLY mean-word-len (low side):
+      // 33*2 + 3 + 1 = 70 chars < 3*35 = 105.
+      (2L, Seq.fill(33)("ab").mkString(" ") + " the a"),
+      // 30 words averaging > 10 -> fails ONLY mean-word-len (high side):
+      // 28*12 + 3 + 1 = 340 chars > 10*30 = 300.
+      (3L, Seq.fill(28)("abcdefghijkl").mkString(" ") + " the a"),
+      // 10/30 words pure digits -> fails ONLY alpha-frac: 20*5 < 30*4.
+      (4L, (Seq.fill(10)("12345") ++ Seq.fill(18)("word")).mkString(" ") + " the a"),
+      // 30 words, zero stopwords -> fails ONLY the stopword rule.
+      (5L, Seq.fill(30)("zigzag").mkString(" ")),
+      // 30 words incl. two distinct stopwords, sane lengths -> keeps.
+      (6L, okWords + " the a"))
+      .toDF("doc_id", "text")
+    val flags = TextAnalysis.qualityRuleFlags(docs)
+      .select("doc_id", "r_wc", "r_mwl", "r_alpha", "r_stop", "keep")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(flags(1L) == ((false, true, true, true, false)), s"d1: ${flags(1L)}")
+    assert(flags(2L) == ((true, false, true, true, false)), s"d2: ${flags(2L)}")
+    assert(flags(3L) == ((true, false, true, true, false)), s"d3: ${flags(3L)}")
+    assert(flags(4L) == ((true, true, false, true, false)), s"d4: ${flags(4L)}")
+    assert(flags(5L) == ((true, true, true, false, false)), s"d5: ${flags(5L)}")
+    assert(flags(6L) == ((true, true, true, true, true)), s"d6: ${flags(6L)}")
+  }
 }
