@@ -104,6 +104,37 @@ object Stress {
     val (iv2, niv2) = time("embed IVF 10x nlist=128",
       Graft.embedNearDupIvf(spark, tenxEmb, threshold = 0.99, nlist = 128, nprobe = 2).count())
 
+    // PQ at 10×: the index build (fit + encode — paid ONCE) vs the
+    // per-query scans it buys. The ADC scan reads 8 bytes of codes per
+    // vector against a broadcast LUT; the exact scan reads the 256-byte
+    // float vector and folds 64 multiplies — at 100 TB the 32× row-size
+    // gap IS the scan-cost gap (here both corpora are cache-resident, so
+    // the measured per-query gap understates the IO-bound reality).
+    val pqEmb = tenxEmb.select(col("vec_id"), col("embedding").as("v"))
+    val t0pq = System.nanoTime()
+    val pqCb = operators.PqCodebook.fitFrame(spark, pqEmb).localCheckpoint()
+    pqCb.count()
+    val pqFitSec = (System.nanoTime() - t0pq) / 1e9
+    val t1pq = System.nanoTime()
+    val pqCodes = operators.PqCodebook.encode(pqEmb, pqCb).localCheckpoint()
+    val nPqCodes = pqCodes.count()
+    val pqEncSec = (System.nanoTime() - t1pq) / 1e9
+    require(nPqCodes == embDocs, s"PQ encode lost vectors: $nPqCodes != $embDocs")
+    println(f"[stress] PQ 10x index build: fit=$pqFitSec%.2f s encode=$pqEncSec%.2f s over $nPqCodes%,d vecs")
+    val pqQuery = emb.filter(col("vec_id") === 0)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("q"))
+      .head().getSeq[Double](0).toArray
+    val (pqScanSec, nPqTop) = time("PQ ADC scan 10x",
+      Graft.pqTopK(spark, pqCodes, pqCb, pqQuery, 10).count())
+    require(nPqTop == 10, s"ADC top-k returned $nPqTop rows")
+    val (pqExactSec, _) = time("exact dot scan 10x", {
+      import spark.implicits._
+      val probeDf = Seq(Tuple1(pqQuery)).toDF("w")
+      tenxEmb.crossJoin(broadcast(probeDf))
+        .withColumn("dq", functions.expressions.GraftFunctions.dotCol(col("embedding"), col("w")))
+        .orderBy(col("dq").desc, col("vec_id")).limit(10).count()
+    })
+
     // Bloom runtime-filter at 10×: the scenario the bloom pair exists for
     // is a build side too big to broadcast whole (forced here with a
     // merge hint) but whose 8 KB FILTER always broadcasts. Three shapes:
@@ -677,7 +708,7 @@ object Stress {
     }
     println(f"[stress] compaction: 100k files, $cpBins bins, $cpSec%.2f s, max-file/target ratio ${manMax * 8.0 / manTotal}%.2f")
 
-    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"embed_ivf_10x":{"vecs":$embDocs,"nlist16_sec":$iv,"nlist16_pairs":$niv,"nlist128_sec":$iv2,"nlist128_pairs":$niv2},"codebook_hot_vector":{"vecs":$nAdv,"clones":$hotClones,"fit_sec":$fitSec,"nonempty_cells":$nonEmptyCells,"max_cell_share":$maxCellShare,"neardup_sec":$advSec,"neardup_pairs":$nAdvPairs,"planted_pairs":$plantedPairs},"bloom_10x":{"orders":$nOrd,"smj_sec":$sj,"smj_rows":$nsj,"probe_sec":$bp,"probe_rows":$nbp,"verify_sec":$bv,"verify_rows":$nbv},"ingest_many_files":{"files":$ingestN,"hidden_frac":0.333,"sec":$ingestSec,"words":${ingested.size},"fold_match":true},"skew_join_hot":{"hot_rows":$hotRows,"buckets_hit":${buckets.size},"max_bucket_rows":$maxBucket,"salted_sec":$saltSec,"plain_sec":$plainSec,"match":true},"span_hot_gram":{"docs":$tenxDocs,"plain_sec":$spSec,"plain_rows":$spRows,"hot_sec":$shSec,"hot_rows":$shRows,"min_shared_windows":$minShared},"incremental_ingest":{"batch_rows":$nBatch,"corpus_docs":$tenxDocs,"new_docs":$incNew,"expected_new":$expectedNew,"sec":$incSec,"match":true},"stream_state":[${ssRes.map(ssJson).mkString(",")}],"pixel_decode":{"bmp_1x":{"imgs":$npd1,"sec":$pd1},"bmp_10x":{"imgs":$npd10,"sec":$pd10},"png_1x":{"imgs":$npg1,"sec":$pg1},"png_10x":{"imgs":$npg10,"sec":$pg10,"staged_bytes":$pngBytes10},"gif_1x":{"imgs":$ngf1,"sec":$gf1},"gif_10x":{"imgs":$ngf10,"sec":$gf10,"staged_bytes":$gifBytes10}},"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2},"warc_parse":{"shards":200,"records":$warcRecs,"bytes":$warcBytes,"sec":$warcSec,"clean":true},"pagerank_hot_hub":{"edges":$nEdges,"nodes":$prNodes,"hub_degree":$starLeaves,"iters":3,"sec":$prSec,"hub_is_top":true,"leaf_rank_values":1,"ring_rank_values":1},"compaction_manifest":{"files":100000,"bins":$cpBins,"sec":$cpSec,"bytes_conserved":true,"fill_bound_holds":true},"maintenance_10x":{"orders_10x":$nOrd10,"merge_1x_sec":$mg1,"merge_10x_sec":$mg10,"checksum_1x_sec":$ck1Sec,"checksum_10x_sec":$ck10Sec,"accounting_match":true,"sums_move_under_key_shift":true},"merge_hot_batch":{"snapshot_rows":$mhSnapRows,"batch_rows":$mhBatchRows,"hot_rows":$mhHotRows,"uniform_sec":$mhuSec,"uniform_rows":$mhuRows,"raw_hot_sec":$mhhSec,"raw_hot_rows":$mhhRows,"aqe_fullouter_skew_split":false,"compacted_hot_sec":$mhcSec,"compacted_rows_out":$mhcRows,"compacted_batch_keys":$mhCompactRows,"lww_match":true},"bpe_learn_10x":{"merges":10,"sec_1x":$bl1,"sec_10x":$bl10,"table_identical":true,"counts_x10":true}}""")
+    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"embed_ivf_10x":{"vecs":$embDocs,"nlist16_sec":$iv,"nlist16_pairs":$niv,"nlist128_sec":$iv2,"nlist128_pairs":$niv2},"pq_adc_10x":{"vecs":$nPqCodes,"fit_sec":$pqFitSec,"encode_sec":$pqEncSec,"adc_scan_sec":$pqScanSec,"exact_scan_sec":$pqExactSec,"code_bytes_per_vec":8,"float_bytes_per_vec":256},"codebook_hot_vector":{"vecs":$nAdv,"clones":$hotClones,"fit_sec":$fitSec,"nonempty_cells":$nonEmptyCells,"max_cell_share":$maxCellShare,"neardup_sec":$advSec,"neardup_pairs":$nAdvPairs,"planted_pairs":$plantedPairs},"bloom_10x":{"orders":$nOrd,"smj_sec":$sj,"smj_rows":$nsj,"probe_sec":$bp,"probe_rows":$nbp,"verify_sec":$bv,"verify_rows":$nbv},"ingest_many_files":{"files":$ingestN,"hidden_frac":0.333,"sec":$ingestSec,"words":${ingested.size},"fold_match":true},"skew_join_hot":{"hot_rows":$hotRows,"buckets_hit":${buckets.size},"max_bucket_rows":$maxBucket,"salted_sec":$saltSec,"plain_sec":$plainSec,"match":true},"span_hot_gram":{"docs":$tenxDocs,"plain_sec":$spSec,"plain_rows":$spRows,"hot_sec":$shSec,"hot_rows":$shRows,"min_shared_windows":$minShared},"incremental_ingest":{"batch_rows":$nBatch,"corpus_docs":$tenxDocs,"new_docs":$incNew,"expected_new":$expectedNew,"sec":$incSec,"match":true},"stream_state":[${ssRes.map(ssJson).mkString(",")}],"pixel_decode":{"bmp_1x":{"imgs":$npd1,"sec":$pd1},"bmp_10x":{"imgs":$npd10,"sec":$pd10},"png_1x":{"imgs":$npg1,"sec":$pg1},"png_10x":{"imgs":$npg10,"sec":$pg10,"staged_bytes":$pngBytes10},"gif_1x":{"imgs":$ngf1,"sec":$gf1},"gif_10x":{"imgs":$ngf10,"sec":$gf10,"staged_bytes":$gifBytes10}},"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2},"warc_parse":{"shards":200,"records":$warcRecs,"bytes":$warcBytes,"sec":$warcSec,"clean":true},"pagerank_hot_hub":{"edges":$nEdges,"nodes":$prNodes,"hub_degree":$starLeaves,"iters":3,"sec":$prSec,"hub_is_top":true,"leaf_rank_values":1,"ring_rank_values":1},"compaction_manifest":{"files":100000,"bins":$cpBins,"sec":$cpSec,"bytes_conserved":true,"fill_bound_holds":true},"maintenance_10x":{"orders_10x":$nOrd10,"merge_1x_sec":$mg1,"merge_10x_sec":$mg10,"checksum_1x_sec":$ck1Sec,"checksum_10x_sec":$ck10Sec,"accounting_match":true,"sums_move_under_key_shift":true},"merge_hot_batch":{"snapshot_rows":$mhSnapRows,"batch_rows":$mhBatchRows,"hot_rows":$mhHotRows,"uniform_sec":$mhuSec,"uniform_rows":$mhuRows,"raw_hot_sec":$mhhSec,"raw_hot_rows":$mhhRows,"aqe_fullouter_skew_split":false,"compacted_hot_sec":$mhcSec,"compacted_rows_out":$mhcRows,"compacted_batch_keys":$mhCompactRows,"lww_match":true},"bpe_learn_10x":{"merges":10,"sec_1x":$bl1,"sec_10x":$bl10,"table_identical":true,"counts_x10":true}}""")
     spark.stop()
   }
 }
