@@ -997,6 +997,20 @@ object MediaPipeline {
     * unchanged, so the one mm_png_pixels oracle covers both layouts. */
   def pngInterlaced(id: Long): Boolean = id % 2 == 1
 
+  /** Whether staged PNG `id` is written PALETTE-indexed (color type 3) —
+    * half the staged images, on a rule INDEPENDENT of the interlace
+    * parity so all four storage combos occur (sequential/Adam7 ×
+    * RGB/palette). Like interlacing, the palette is pure STORAGE: the
+    * per-pixel value model is unchanged (these images have ≤ w·h ≤ 187
+    * distinct colors, so an 8-bit palette always fits), and the one
+    * mm_png_pixels oracle covers all four layouts verbatim. Real crawl
+    * PNGs are frequently palette-indexed (icons, logos, screenshots),
+    * which is why the profile matters. */
+  def pngPaletted(id: Long): Boolean = {
+    val k = (id / 3) % 4
+    k == 1 || k == 2
+  }
+
   /** Adam7 pass geometry (PNG spec §8.2): (x0, y0, dx, dy) per pass. */
   private val Adam7 =
     Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
@@ -1029,7 +1043,16 @@ object MediaPipeline {
   def pixelPng(id: Long): Array[Byte] = {
     val w = pngPxWidth(id); val h = pngPxHeight(id)
     val interlaced = pngInterlaced(id)
-    val bpp = 3
+    val paletted = pngPaletted(id)
+    // Palette in raster first-occurrence order — deterministic, so the
+    // staged bytes are stable across runs.
+    val palette = scala.collection.mutable.LinkedHashMap[(Int, Int, Int), Int]()
+    if (paletted)
+      for (y <- 0 until h; x <- 0 until w) {
+        val key = (pxByte(id, x, y, 0), pxByte(id, x, y, 1), pxByte(id, x, y, 2))
+        if (!palette.contains(key)) palette(key) = palette.size
+      }
+    val bpp = if (paletted) 1 else 3
     val rawOut = new java.io.ByteArrayOutputStream()
     var lineNo = 0
     for (pass <- scanlinePlan(w, h, interlaced)) {
@@ -1040,7 +1063,10 @@ object MediaPipeline {
         val cur = new Array[Int](xs.length * bpp)
         var i = 0
         while (i < cur.length) {
-          cur(i) = pxByte(id, xs(i / bpp), y, i % bpp)
+          cur(i) =
+            if (paletted)
+              palette((pxByte(id, xs(i), y, 0), pxByte(id, xs(i), y, 1), pxByte(id, xs(i), y, 2)))
+            else pxByte(id, xs(i / bpp), y, i % bpp)
           i += 1
         }
         i = 0
@@ -1072,12 +1098,22 @@ object MediaPipeline {
     deflater.end()
     val z = java.util.Arrays.copyOf(buf, zLen)
     val ihdr = java.nio.ByteBuffer.allocate(13)
-      .putInt(w).putInt(h).put(8.toByte).put(2.toByte) // 8-bit truecolor RGB
+      .putInt(w).putInt(h).put(8.toByte)
+      .put((if (paletted) 3 else 2).toByte) // 8-bit palette or truecolor
       .put(0.toByte).put(0.toByte)
       .put((if (interlaced) 1 else 0).toByte)
     val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val plte =
+      if (!paletted) Array.emptyByteArray
+      else {
+        val p = new Array[Byte](palette.size * 3)
+        palette.foreach { case ((r, g, b), idx) =>
+          p(idx * 3) = r.toByte; p(idx * 3 + 1) = g.toByte; p(idx * 3 + 2) = b.toByte
+        }
+        pngChunk("PLTE", p)
+      }
     val split = z.length / 2 // two IDATs: concat across chunks is mandatory
-    sig ++ pngChunk("IHDR", ihdr.array()) ++
+    sig ++ pngChunk("IHDR", ihdr.array()) ++ plte ++
       pngChunk("IDAT", java.util.Arrays.copyOfRange(z, 0, split)) ++
       pngChunk("IDAT", java.util.Arrays.copyOfRange(z, split, z.length)) ++
       pngChunk("IEND", Array.emptyByteArray)
@@ -1089,23 +1125,30 @@ object MediaPipeline {
     * UNFILTERING — the inverse of all five PNG filter types, where Sub /
     * Average / Paeth predict from already-reconstructed neighbor bytes,
     * so a single wrong predictor corrupts every later scanline and the
-    * position-weighted oracle moment catches it. BOTH storage layouts
-    * decode: sequential and ADAM7-interlaced (the seven passes unfilter
-    * as independent sub-images — predictors reset per pass — then
-    * scatter to image coordinates). None for anything outside this
-    * profile (palette, alpha, 16-bit) or that fails a CRC, the inflate,
-    * or the exact per-layout raw length. */
+    * position-weighted oracle moment catches it. ALL FOUR storage
+    * layouts decode: sequential and ADAM7-interlaced (the seven passes
+    * unfilter as independent sub-images — predictors reset per pass —
+    * then scatter to image coordinates) × truecolor RGB and
+    * PALETTE-indexed (color type 3: PLTE required before the first IDAT,
+    * 1 filtered byte per pixel, indices resolved through the palette at
+    * scatter time so the emitted statistics are layout-invariant; an
+    * index past the palette refuses). None for anything outside this
+    * profile (alpha, 16-bit, grayscale) or that fails a CRC, the
+    * inflate, or the exact per-layout raw length. */
   def decodePngPixels(media: Array[Byte]): Option[DecodedPixels] = {
     val hdr = decodePng(media) // signature + IHDR + CRC validation
     hdr match {
-      case Some((w, h, 8, 2)) if w <= 4096 && h <= 4096 =>
+      case Some((w, h, 8, ct)) if (ct == 2 || ct == 3) && w <= 4096 && h <= 4096 =>
         def u32(off: Int): Long =
           ((media(off) & 0xffL) << 24) | ((media(off + 1) & 0xffL) << 16) |
             ((media(off + 2) & 0xffL) << 8) | (media(off + 3) & 0xffL)
         val interlace = media(28) & 0xff
         if (interlace > 1) return None // 0 = sequential, 1 = Adam7
-        // Walk chunks from after IHDR (offset 33), collecting IDAT data.
+        // Walk chunks from after IHDR (offset 33), collecting IDAT data
+        // (and, for the palette profile, the PLTE — which the spec
+        // REQUIRES before the first IDAT for color type 3).
         val idat = new java.io.ByteArrayOutputStream()
+        var plte: Array[Byte] = null
         var off = 33
         var ended = false
         while (!ended) {
@@ -1116,11 +1159,19 @@ object MediaPipeline {
           val crc = new java.util.zip.CRC32
           crc.update(media, off + 4, 4 + len.toInt)
           if (crc.getValue != u32(off + 8 + len.toInt)) return None
-          if (typ == "IDAT") idat.write(media, off + 8, len.toInt)
+          if (typ == "PLTE") {
+            // Exactly one PLTE of 1..256 whole RGB entries, per spec.
+            if (plte != null || len == 0 || len % 3 != 0 || len > 768) return None
+            plte = java.util.Arrays.copyOfRange(media, off + 8, off + 8 + len.toInt)
+          }
+          if (typ == "IDAT") {
+            if (ct == 3 && plte == null) return None // PLTE must precede IDAT
+            idat.write(media, off + 8, len.toInt)
+          }
           if (typ == "IEND") ended = true
           off += 12 + len.toInt
         }
-        val bpp = 3
+        val bpp = if (ct == 3) 1 else 3
         val plan = scanlinePlan(w, h, interlace == 1)
         val expect = plan.map(_.iterator.map { case (_, xs) => 1 + xs.length * bpp }.sum).sum
         val raw = new Array[Byte](expect)
@@ -1143,8 +1194,10 @@ object MediaPipeline {
         } catch {
           case _: java.util.zip.DataFormatException => return None
         } finally inflater.end()
-        // Unfilter pass by pass, scattering into image coordinates.
-        val px = new Array[Int](h * w * bpp)
+        // Unfilter pass by pass, scattering into image coordinates —
+        // always as RGB: palette indices resolve through the PLTE here,
+        // so the emitted statistics are layout-invariant.
+        val px = new Array[Int](h * w * 3)
         var pos = 0
         for (pass <- plan) {
           var prev: Array[Int] = null // reconstructed previous scanline OF THIS PASS
@@ -1171,14 +1224,27 @@ object MediaPipeline {
             }
             pos += n
             i = 0
-            while (i < n) {
-              px((y * w + xs(i / bpp)) * bpp + i % bpp) = cur(i)
-              i += 1
+            if (ct == 3) {
+              val nEntries = plte.length / 3
+              while (i < n) {
+                val idx = cur(i)
+                if (idx >= nEntries) return None // index outside the palette
+                val base = (y * w + xs(i)) * 3
+                px(base) = plte(idx * 3) & 0xff
+                px(base + 1) = plte(idx * 3 + 1) & 0xff
+                px(base + 2) = plte(idx * 3 + 2) & 0xff
+                i += 1
+              }
+            } else {
+              while (i < n) {
+                px((y * w + xs(i / bpp)) * bpp + i % bpp) = cur(i)
+                i += 1
+              }
             }
             prev = cur
           }
         }
-        Some(sumPixels(w, h, (x, y2, c) => px((y2 * w + x) * bpp + c)))
+        Some(sumPixels(w, h, (x, y2, c) => px((y2 * w + x) * 3 + c)))
       case _ => None
     }
   }
@@ -1320,7 +1386,9 @@ object MediaPipeline {
   /** Idempotent staging, same marker discipline as every fixture. */
   def stageWdsFixture(dir: String): Seq[String] = {
     val d = new java.io.File(dir)
-    val marker = new java.io.File(d, "_STAGED_WDS_MEDIA_V1")
+    // V2: pixelPng gained the palette profile — shards must restage so
+    // the pipeline actually carries color-type-3 members.
+    val marker = new java.io.File(d, "_STAGED_WDS_MEDIA_V2")
     val paths = wdsFixtureFiles(dir)
     if (!marker.exists()) {
       d.mkdirs()

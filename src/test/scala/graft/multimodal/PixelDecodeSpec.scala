@@ -151,15 +151,18 @@ class PixelDecodeSpec extends SparkSpec {
   test("PNG: an IDAT stream carrying EXTRA raw bytes is rejected like a short one") {
     // Rebuild a valid PNG with one surplus byte deflated into the IDAT:
     // the exact-per-layout raw-length contract must cut both ways.
-    val media = pixelPng(4L)
+    val media = pixelPng(4L) // paletted since round 15 — the rebuild must keep the PLTE
     val inflater = new java.util.zip.Inflater()
     val idat = new java.io.ByteArrayOutputStream()
     var off = 33
+    var preIdatEnd = 33 // end of the last chunk BEFORE the first IDAT (keeps PLTE etc.)
+    var seenIdat = false
     while (off < media.length) {
       val len = ((media(off) & 0xff) << 24) | ((media(off + 1) & 0xff) << 16) |
         ((media(off + 2) & 0xff) << 8) | (media(off + 3) & 0xff)
-      if (new String(media, off + 4, 4, "US-ASCII") == "IDAT")
-        idat.write(media, off + 8, len)
+      val typ = new String(media, off + 4, 4, "US-ASCII")
+      if (typ == "IDAT") { idat.write(media, off + 8, len); seenIdat = true }
+      if (!seenIdat) preIdatEnd = off + 12 + len
       off += 12 + len
     }
     inflater.setInput(idat.toByteArray)
@@ -183,7 +186,7 @@ class PixelDecodeSpec extends SparkSpec {
       b.putInt(crc.getValue.toInt)
       b.array()
     }
-    val rebuilt = media.take(33) ++ chunk("IDAT", z) ++
+    val rebuilt = media.take(preIdatEnd) ++ chunk("IDAT", z) ++
       chunk("IEND", Array.emptyByteArray)
     assert(decodePngPixels(rebuilt).isEmpty,
       "an over-long IDAT stream must refuse, not be silently truncated")
@@ -194,7 +197,7 @@ class PixelDecodeSpec extends SparkSpec {
     var zLen2 = 0
     while (!deflater2.finished()) zLen2 += deflater2.deflate(zbuf2, zLen2, zbuf2.length - zLen2)
     deflater2.end()
-    val control = media.take(33) ++
+    val control = media.take(preIdatEnd) ++
       chunk("IDAT", java.util.Arrays.copyOf(zbuf2, zLen2)) ++
       chunk("IEND", Array.emptyByteArray)
     assert(decodePngPixels(control).isDefined)
@@ -245,6 +248,72 @@ class PixelDecodeSpec extends SparkSpec {
     val covered = MediaPipeline.scanlinePlan(w, h, interlaced = true)
       .flatten.flatMap { case (y, xs) => xs.map(x => (x, y)) }
     assert(covered.sorted == (for (y <- 0 until h; x <- 0 until w) yield (x, y)).sorted)
+  }
+
+  test("PNG palette: all four storage combos stage and decode to the model") {
+    // (id/3)%4 in {1,2} palettes; id%2 interlaces — find one id per combo
+    // in the staged space and require the decode to agree with the model
+    // for each, so palette handling is proven under BOTH scan layouts.
+    val combos = (0L to 100L).groupBy(id => (pngPaletted(id), pngInterlaced(id)))
+    assert(combos.keySet.size == 4, s"missing storage combos: ${combos.keySet}")
+    combos.foreach { case ((pal, il), ids) =>
+      val id = ids.head
+      val media = pixelPng(id)
+      // A paletted file must physically carry a PLTE chunk; RGB must not.
+      val hasPlte = media.sliding(4).exists(_.sameElements("PLTE".getBytes("US-ASCII")))
+      assert(hasPlte == pal, s"id=$id pal=$pal il=$il PLTE presence wrong")
+      assert(decodePngPixels(media).contains(expected(id, pngPxWidth(id), pngPxHeight(id))),
+        s"combo pal=$pal il=$il id=$id failed to decode to the model")
+    }
+  }
+
+  test("PNG palette: a color-type-3 stream without a preceding PLTE is refused") {
+    val id = (0L to 100L).find(i => pngPaletted(i) && !pngInterlaced(i)).get
+    val media = pixelPng(id)
+    assert(decodePngPixels(media).isDefined)
+    // Surgically remove the PLTE chunk (length+type+data+crc) — the
+    // remaining chunks still CRC-validate, so the refusal must come from
+    // the PLTE-before-IDAT rule, not from corruption.
+    def u32(m: Array[Byte], off: Int): Int =
+      ((m(off) & 0xff) << 24) | ((m(off + 1) & 0xff) << 16) |
+        ((m(off + 2) & 0xff) << 8) | (m(off + 3) & 0xff)
+    var off = 8 + 12 + 13 // signature + IHDR chunk
+    assert(new String(media, off + 4, 4, "US-ASCII") == "PLTE")
+    val plteLen = 12 + u32(media, off)
+    val stripped = media.take(off) ++ media.drop(off + plteLen)
+    assert(decodePngPixels(stripped).isEmpty)
+  }
+
+  test("PNG palette: an index past the palette end is refused") {
+    // Hand-built minimal color-type-3 PNG: 1x1, one-entry palette, the
+    // single pixel indexing entry 5 — structurally valid (all CRCs
+    // good), semantically out of range.
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + data.length)
+      b.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(b.array(), 4, 4 + data.length)
+      b.putInt(crc.getValue.toInt)
+      b.array()
+    }
+    def png(idx: Byte): Array[Byte] = {
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(1).putInt(1).put(8.toByte).put(3.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte)
+      val raw = Array[Byte](0, idx) // filter None + one index byte
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw); defl.finish()
+      val buf = new Array[Byte](64)
+      val n = defl.deflate(buf); defl.end()
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+        chunk("IHDR", ihdr.array()) ++
+        chunk("PLTE", Array[Byte](10, 20, 30)) ++
+        chunk("IDAT", buf.take(n)) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+    assert(decodePngPixels(png(0)).contains(DecodedPixels(1, 1, 10, 20, 30, 0,
+      (299L * 10 + 587L * 20 + 114L * 30) / 1000L)))
+    assert(decodePngPixels(png(5)).isEmpty, "index 5 into a 1-entry palette must refuse")
   }
 
   test("PCM decode round-trips the sample model with sign extension, mono and stereo") {
