@@ -961,6 +961,43 @@ object DedupQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // N-GRAM decontamination — the published span-level protocol (the
+    // word-level variant of GPT-3's 13-gram eval-overlap rule, sized at
+    // 8 tokens to this fixture's doc lengths): an eval doc is flagged if
+    // it shares ANY 8-token window with ANY train doc, with the count of
+    // distinct overlapping windows as the contamination severity. This
+    // complements dedup_contamination's doc-level LSH: a verbatim QUOTED
+    // SPAN inside an otherwise different doc never reaches Jaccard 0.7
+    // but is exactly what leaks an eval answer. Scale shape: the train
+    // side reduces to DISTINCT grams BEFORE the join (one uniform-key
+    // pre-agg), the probe is a gram-keyed left-semi equi-join —
+    // skew-splittable, no window anywhere; at 100 TB the train gram set
+    // additionally compresses through a bloom pre-filter (q_bloom_join's
+    // shape), same join key discipline.
+    "dedup_contamination_ngram" -> ((s, d) => {
+      import s.implicits._
+      val sp = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"),
+          (graft.functions.PortableHash.h60(col("doc_id").cast("string")) % 100).as("h"))
+      def grams(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        df.select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .as[(Long, Seq[String])]
+          .flatMap { case (id, toks) =>
+            if (toks.length < 8) Iterator.empty
+            else toks.sliding(8).map(w => (id, w.mkString(" ")))
+          }
+          .toDF("doc_id", "gram")
+      val trainGrams = grams(sp.filter(col("h") < 90)).select("gram").distinct()
+      grams(sp.filter(col("h") >= 90))
+        .distinct() // severity counts DISTINCT overlapping windows
+        .join(trainGrams, Seq("gram"), "left_semi")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_overlap_grams"))
+        .join(sp.select("doc_id", "lang"), Seq("doc_id"))
+        .select("doc_id", "lang", "n_overlap_grams")
+        .orderBy("doc_id")
+    }),
+
     // The deduplicated corpus: every doc except non-canonical cluster
     // members (keep the min doc_id per near-dup component) — the actual
     // output a training-data pipeline ships. Anti join against the
@@ -1340,6 +1377,23 @@ object DedupQueries extends QueryPack {
                          COUNT(*) OVER (PARTITION BY gram) AS nd FROM gd)
          SELECT doc_id, CAST(SUM(nw) AS BIGINT) AS n_shared_windows
          FROM h WHERE nd >= 2 GROUP BY doc_id ORDER BY doc_id""",
+    "dedup_contamination_ngram" ->
+      """WITH s AS (SELECT doc_id, lang, text,
+                           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS h
+                    FROM documents),
+            t AS (SELECT doc_id, h, string_split(text, ' ') AS toks FROM s
+                  WHERE len(string_split(text, ' ')) >= 8),
+            g AS (SELECT doc_id, h,
+                         unnest(list_transform(range(len(toks) - 7),
+                           i -> array_to_string(list_slice(toks, i + 1, i + 8), ' '))) AS gram
+                  FROM t),
+            tg AS (SELECT DISTINCT gram FROM g WHERE h < 90),
+            eg AS (SELECT DISTINCT doc_id, gram FROM g WHERE h >= 90),
+            hit AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap_grams
+                    FROM eg e JOIN tg USING (gram) GROUP BY e.doc_id)
+          SELECT h.doc_id, s.lang, h.n_overlap_grams
+          FROM hit h JOIN s ON h.doc_id = s.doc_id
+          ORDER BY h.doc_id""",
     "dedup_contamination" ->
       s"""WITH $shinglesSqlCte,
             pairs AS (SELECT da, db FROM jac WHERE jac >= 0.7),
