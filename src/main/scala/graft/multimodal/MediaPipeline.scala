@@ -966,6 +966,192 @@ object MediaPipeline {
       } else None
     }
 
+  // ---- IMA ADPCM (WAVE format 0x11) — a REAL compressed audio codec ----
+  //
+  // The honest step past PCM: 4-bit IMA/DVI ADPCM is the one widely
+  // deployed audio codec whose decode is BIT-EXACT by specification
+  // (pure integer predictor + step-table recurrence, no floats, no
+  // implementation latitude) — which is exactly the JPEG-coefficient
+  // argument for why this layer is oracle-worthy while lossy float
+  // codecs are not. Blocks are staged from a CLOSED-FORM NIBBLE MODEL
+  // (any nibble stream is legal ADPCM data — the model does not need an
+  // encoder, just the block writer), and the DuckDB oracle replays the
+  // identical recurrence as an integer fold with the state (running
+  // sample sum, predictor, step index) PACKED into one BIGINT — so a
+  // wrong step-table entry, clamp bound, sign bit or index update
+  // anywhere in the chain diverges every later sample and hash-fails.
+
+  /** IMA step-size table (89 entries) and index-adjust table — public
+    * spec constants (IMA ADPCM reference algorithm / DVI4, RFC 3551
+    * §4.5.1 lineage). */
+  val AdpcmStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  val AdpcmIndexAdjust: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Closed-form staged-stream model: blocks per doc, per-block header
+    * state, and the nibble at position i — the i² term breaks linear
+    * periodicity so consecutive nibbles do not repeat with the table
+    * period. */
+  def adpcmBlocks(id: Long): Int = (1 + id % 3).toInt
+  def adpcmPred0(id: Long, b: Int): Int = (((id * 37 + b * 101) % 65536) - 32768).toInt
+  def adpcmIdx0(id: Long, b: Int): Int = ((id * 13 + b * 7) % 89).toInt
+  def adpcmNib(id: Long, b: Int, i: Int): Int =
+    ((id * 7 + b * 11 + i.toLong * i * 3) % 16).toInt
+
+  /** 128 nibbles per block → 64 data bytes; +4-byte block header = 68;
+    * the header predictor is itself the block's first OUTPUT sample, so
+    * samples per block = 129 (the fmt extension field). */
+  val AdpcmNibsPerBlock = 128
+  val AdpcmBlockAlign = 4 + AdpcmNibsPerBlock / 2
+  val AdpcmSamplesPerBlock = AdpcmNibsPerBlock + 1
+
+  /** A complete mono IMA-ADPCM WAV for doc `id`: RIFF + fmt (tag 0x11,
+    * 4 bits/sample, cbSize=2 extension carrying samplesPerBlock) + fact
+    * (total sample count — REQUIRED for compressed WAVE formats) + data
+    * blocks of [int16 LE predictor][uint8 step index][reserved 0] and
+    * nibbles packed LOW-first. */
+  def adpcmWav(id: Long): Array[Byte] = {
+    val nb = adpcmBlocks(id)
+    val dataLen = nb * AdpcmBlockAlign
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + 20 + 8 + 4 + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 28 + 12 + 8 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(0x11.toShort).putShort(1.toShort) // IMA ADPCM, mono
+      .putInt(8000)
+      .putInt(8000 * AdpcmBlockAlign / AdpcmSamplesPerBlock) // nominal byte rate
+      .putShort(AdpcmBlockAlign.toShort).putShort(4.toShort) // 4 bits/sample
+      .putShort(2.toShort).putShort(AdpcmSamplesPerBlock.toShort)
+    bb.put("fact".getBytes("US-ASCII")).putInt(4)
+      .putInt(nb * AdpcmSamplesPerBlock)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    for (b <- 0 until nb) {
+      bb.putShort(adpcmPred0(id, b).toShort).put(adpcmIdx0(id, b).toByte).put(0.toByte)
+      var i = 0
+      while (i < AdpcmNibsPerBlock) {
+        bb.put((adpcmNib(id, b, i) | (adpcmNib(id, b, i + 1) << 4)).toByte)
+        i += 2
+      }
+    }
+    bb.array()
+  }
+
+  /** Per-doc decoded-ADPCM statistics, all exact integers: s_sum sums
+    * EVERY output sample (header predictor included — it is sample 0 of
+    * its block), pred_moment = Σ (b+1)·finalPredictor_b pins block order
+    * AND the full in-block recurrence (the final predictor depends on
+    * every step of the chain). */
+  final case class DecodedAdpcm(nBlocks: Int, nSamples: Long, sSum: Long,
+                                predMoment: Long)
+
+  /** REAL IMA-ADPCM decode, pure JVM: RIFF chunk walk (fmt/fact/data),
+    * strict profile validation (tag 0x11, mono, 4 bits, blockAlign
+    * consistent with the fmt extension's samplesPerBlock, fact == blocks
+    * × samplesPerBlock, step index ≤ 88, reserved byte 0), then the IMA
+    * recurrence per nibble: diff = (step>>3) + bit-conditional step
+    * fractions, predictor clamped to int16, index adjusted and clamped
+    * to [0, 88]. None for anything outside the profile or misframed. */
+  def decodeWavAdpcm(media: Array[Byte]): Option[DecodedAdpcm] = {
+    if (media.length < 12) return None
+    def s(off: Int, n: Int) = new String(media, off, n, "US-ASCII")
+    if (s(0, 4) != "RIFF" || s(8, 4) != "WAVE") return None
+    def u16(off: Int): Int = (media(off) & 0xff) | ((media(off + 1) & 0xff) << 8)
+    def i16(off: Int): Int = u16(off).toShort.toInt
+    def u32(off: Int): Long =
+      (media(off) & 0xffL) | ((media(off + 1) & 0xffL) << 8) |
+        ((media(off + 2) & 0xffL) << 16) | ((media(off + 3) & 0xffL) << 24)
+    var off = 12
+    var fmtOff = -1; var factSamples = -1L; var dataOff = -1; var dataLen = -1
+    while (off + 8 <= media.length) {
+      val typ = s(off, 4); val len = u32(off + 4)
+      if (len > media.length - off - 8) return None
+      typ match {
+        case "fmt " => fmtOff = off + 8
+        case "fact" => if (len >= 4) factSamples = u32(off + 8)
+        case "data" => dataOff = off + 8; dataLen = len.toInt
+        case _ => ()
+      }
+      off += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+    }
+    if (fmtOff < 0 || dataOff < 0 || factSamples < 0) return None
+    if (u16(fmtOff) != 0x11 || u16(fmtOff + 2) != 1 || u16(fmtOff + 14) != 4)
+      return None
+    val blockAlign = u16(fmtOff + 12)
+    if (u16(fmtOff + 16) < 2) return None // cbSize must carry samplesPerBlock
+    val spb = u16(fmtOff + 18)
+    if (spb < 2 || blockAlign != 4 + (spb - 1) / 2 || (spb - 1) % 2 != 0)
+      return None
+    if (dataLen <= 0 || dataLen % blockAlign != 0) return None
+    val nBlocks = dataLen / blockAlign
+    if (factSamples != nBlocks.toLong * spb) return None
+    var sSum = 0L; var predMoment = 0L
+    var b = 0
+    while (b < nBlocks) {
+      val base = dataOff + b * blockAlign
+      var pred = i16(base)
+      var idx = media(base + 2) & 0xff
+      if (idx > 88 || media(base + 3) != 0) return None
+      sSum += pred // the header predictor is the block's first sample
+      var i = 0
+      while (i < spb - 1) {
+        val byte = media(base + 4 + i / 2) & 0xff
+        val nib = if (i % 2 == 0) byte & 0x0f else byte >> 4
+        val step = AdpcmStep(idx)
+        var diff = step >> 3
+        if ((nib & 4) != 0) diff += step
+        if ((nib & 2) != 0) diff += step >> 1
+        if ((nib & 1) != 0) diff += step >> 2
+        pred = if ((nib & 8) != 0) pred - diff else pred + diff
+        if (pred > 32767) pred = 32767
+        if (pred < -32768) pred = -32768
+        idx += AdpcmIndexAdjust(nib & 7)
+        if (idx < 0) idx = 0
+        if (idx > 88) idx = 88
+        sSum += pred
+        i += 1
+      }
+      predMoment += (b + 1).toLong * pred
+      b += 1
+    }
+    Some(DecodedAdpcm(nBlocks, nBlocks.toLong * spb, sSum, predMoment))
+  }
+
+  /** ADPCM-staged media table: every EVEN doc's payload is a complete
+    * IMA-ADPCM WAV, odd docs stay bare text — decode-as-filter, its own
+    * table like the PNG-pixel corpus. */
+  def adpcmTableStaged(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        val media =
+          if (id % 2 == 0) adpcmWav(id)
+          else s"doc $id".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        MediaRow(id, src, media)
+      })
+      .toDF()
+  }
+
+  final case class AdpcmStats(doc_id: Long, source: String, n_blocks: Int,
+                              n_samples: Long, s_sum: Long, pred_moment: Long)
+
+  def decodedAdpcm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    adpcmTableStaged(s, dir).as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        decodeWavAdpcm(r.media).map(a =>
+          AdpcmStats(r.doc_id, r.source, a.nBlocks, a.nSamples, a.sSum, a.predMoment))
+      })
+      .toDF()
+  }
+
   /** Staged full-PNG dims — distinct arithmetic from the BMP/PPM models
     * so a query reading the wrong staged family fails its oracle. */
   def pngPxWidth(id: Long): Int = (((id * 3) % 15) + 3).toInt

@@ -531,6 +531,22 @@ object MultimodalQueries extends QueryPack {
           sum("e_moment").as("moment_total"))
         .orderBy("source")),
 
+    // IMA ADPCM — a REAL compressed audio codec, bit-exact by spec (see
+    // MediaPipeline's ADPCM scaladoc): per-source audit over the decoded
+    // streams. The oracle replays the full predictor/step recurrence as
+    // an integer fold with the state packed into one BIGINT, so any
+    // wrong table entry, clamp, sign or index update diverges the chain.
+    "mm_wav_adpcm" -> ((s, d) =>
+      MediaPipeline.decodedAdpcm(s, d)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_audio"),
+          sum(col("n_blocks").cast("long")).as("n_blocks"),
+          sum("n_samples").as("n_samples"),
+          sum("s_sum").as("s_sum"),
+          sum("pred_moment").as("pred_moment"))
+        .orderBy("source")),
+
     "mm_wav_pcm" -> ((s, d) =>
       MediaPipeline.decodedWavPcm(s, d)
         .groupBy("source")
@@ -1293,6 +1309,55 @@ object MultimodalQueries extends QueryPack {
     // (mono AND stereo both staged), sample(i, c) adds the c·17 term
     // that vanishes on channel 0; mom0/mom1 are the frame-position-
     // weighted per-channel moments that make interleave order fatal.
+    // The IMA recurrence replayed in SQL: state (running sample sum,
+    // predictor, step index) packed as ((sum+2^23)*65536 + (pred+32768))
+    // *89 + idx into one BIGINT, folded over the closed-form nibble list
+    // with the spec's bit-serial diff (step>>3 plus bit-conditional step
+    // fractions — NOT the multiplicative (2m+1)·step/8 approximation,
+    // which is not bit-equal) and both clamps. The header predictor is
+    // the block's sample 0, exactly as the decoder counts it.
+    "mm_wav_adpcm" -> {
+      val steps = s"[${graft.multimodal.MediaPipeline.AdpcmStep.mkString(", ")}]"
+      val adj = s"[${graft.multimodal.MediaPipeline.AdpcmIndexAdjust.mkString(", ")}]"
+      val OFF = 8388608L // 2^23 >> max |sum| of 129 samples x 32768
+      // State-extraction and transition fragments, interpolated so the
+      // lambda is one expression (list_reduce's contract).
+      val idxS = "(x % 89)"
+      val predS = "(((x // 89) % 65536) - 32768)"
+      val sumS = s"(((x // 89) // 65536) - $OFF)"
+      val stepS = s"($steps[$idxS + 1])"
+      val diffS = s"(($stepS >> 3) + (CASE WHEN (y & 4) != 0 THEN $stepS ELSE 0 END) + " +
+        s"(CASE WHEN (y & 2) != 0 THEN ($stepS >> 1) ELSE 0 END) + " +
+        s"(CASE WHEN (y & 1) != 0 THEN ($stepS >> 2) ELSE 0 END))"
+      val predRawS = s"($predS + (CASE WHEN (y & 8) != 0 THEN -$diffS ELSE $diffS END))"
+      val pred2S = s"(LEAST(32767, GREATEST(-32768, $predRawS)))"
+      val idx2S = s"(LEAST(88, GREATEST(0, $idxS + $adj[(y & 7) + 1])))"
+      val sum2S = s"($sumS + $pred2S)"
+      s"""WITH a AS (SELECT doc_id, source, CAST(1 + doc_id % 3 AS BIGINT) AS nb
+                     FROM documents WHERE doc_id % 2 = 0),
+            blk AS (SELECT a.doc_id, a.source, b.b,
+                           ((a.doc_id * 37 + b.b * 101) % 65536) - 32768 AS pred0,
+                           (a.doc_id * 13 + b.b * 7) % 89 AS idx0,
+                           list_transform(range(128),
+                             i -> (a.doc_id * 7 + b.b * 11 + i * i * 3) % 16) AS nibs
+                    FROM a, LATERAL (SELECT unnest(range(a.nb)) AS b) b),
+            folded AS (SELECT doc_id, source, b,
+                              list_reduce(
+                                list_prepend(((pred0 + $OFF) * 65536 + (pred0 + 32768)) * 89 + idx0, nibs),
+                                (x, y) -> (($sum2S + $OFF) * 65536 + ($pred2S + 32768)) * 89 + $idx2S) AS f
+                       FROM blk),
+            per AS (SELECT doc_id, source,
+                           ((f // 89) // 65536) - $OFF AS sum_b,
+                           ((f // 89) % 65536) - 32768 AS pred_b,
+                           b
+                    FROM folded)
+          SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_audio,
+                 CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                 CAST(COUNT(*) * 129 AS BIGINT) AS n_samples,
+                 CAST(SUM(sum_b) AS BIGINT) AS s_sum,
+                 CAST(SUM((b + 1) * pred_b) AS BIGINT) AS pred_moment
+          FROM per GROUP BY source ORDER BY source"""
+    },
     "mm_wav_pcm" ->
       """WITH a AS (SELECT doc_id, source, CAST((doc_id % 50) + 10 AS BIGINT) AS n,
                            CAST(((doc_id // 4) % 2) + 1 AS BIGINT) AS ch
