@@ -2013,6 +2013,15 @@ object MediaPipeline {
     * that ignores the flag or mis-orders a pass shifts the moment). */
   def gifInterlaced(id: Long): Boolean = id % 2 == 0
 
+  /** Whether staged GIF `id` carries a LOCAL color table on its image
+    * descriptor — the per-frame palette real GIFs use for multi-frame
+    * color variety. The rule hits both interlace parities. When an LCT
+    * is present the GLOBAL table is written as a DECOY (a different
+    * id's palette), so the spec's override rule is load-bearing: a
+    * decoder that keeps reading the GCT sums wrong colors and fails the
+    * unchanged mm_gif_pixels oracle. */
+  def gifLocalPalette(id: Long): Boolean = id % 5 == 2
+
   /** GIF 4-pass interlace row order (GIF89a spec §20): file row r holds
     * image row interlaceRows(h)(r) — passes start at rows 0/4/2/1 with
     * strides 8/8/4/2. */
@@ -2052,14 +2061,28 @@ object MediaPipeline {
     u16(w); u16(h)
     out.write(0xf7) // GCT present, 8-bit color resolution, 2^8 entries
     out.write(0); out.write(0) // background index, aspect ratio
+    val hasLct = gifLocalPalette(id)
+    // With an LCT on the frame, the GCT becomes a decoy palette (a
+    // different id's colors) — see gifLocalPalette's scaladoc.
+    val gctId = if (hasLct) id + 7 else id
     var k = 0
     while (k < 256) {
-      out.write(gifPalette(id, k, 0)); out.write(gifPalette(id, k, 1))
-      out.write(gifPalette(id, k, 2))
+      out.write(gifPalette(gctId, k, 0)); out.write(gifPalette(gctId, k, 1))
+      out.write(gifPalette(gctId, k, 2))
       k += 1
     }
     out.write(0x2c); u16(0); u16(0); u16(w); u16(h)
-    out.write(if (interlaced) 0x40 else 0x00) // no local table; interlace flag
+    // Image descriptor packed byte: LCT flag + size (2^(7+1) = 256
+    // entries) when local, plus the interlace flag.
+    out.write((if (hasLct) 0x87 else 0x00) | (if (interlaced) 0x40 else 0x00))
+    if (hasLct) {
+      k = 0
+      while (k < 256) {
+        out.write(gifPalette(id, k, 0)); out.write(gifPalette(id, k, 1))
+        out.write(gifPalette(id, k, 2))
+        k += 1
+      }
+    }
     out.write(8) // LZW minimum code size
     val z = lzwEncode(idx, 8)
     var p = 0

@@ -107,6 +107,36 @@ class GifLzwSpec extends SparkSpec {
     }
   }
 
+  test("local color tables override the global decoy — table selection is load-bearing") {
+    // id=12: 12%5==2 → staged WITH an LCT; the GCT holds id+7's colors
+    // as a decoy. Both storage tables are physically present; the decode
+    // must match the model under the LOCAL palette and must NOT match
+    // the same model under the decoy — so a decoder that keeps reading
+    // the GCT cannot pass.
+    val id = 12L
+    assert(gifLocalPalette(id))
+    def model(palId: Long): MediaPipeline.DecodedPixels = {
+      val w = gifPxWidth(id); val h = gifPxHeight(id)
+      var r = 0L; var g = 0L; var b = 0L; var m = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val k = gifPxIndex(id, x, y)
+        r += gifPalette(palId, k, 0); g += gifPalette(palId, k, 1)
+        b += gifPalette(palId, k, 2)
+        m += (y.toLong * w + x) * gifPalette(palId, k, 0)
+      }
+      val k0 = gifPxIndex(id, 0, 0)
+      MediaPipeline.DecodedPixels(w, h, r, g, b, m,
+        (299L * gifPalette(palId, k0, 0) + 587L * gifPalette(palId, k0, 1) +
+          114L * gifPalette(palId, k0, 2)) / 1000L)
+    }
+    val got = decodeGifPixels(pixelGif(id))
+    assert(got.contains(model(id)), s"LCT decode wrong: $got")
+    assert(!got.contains(model(id + 7)), "decoy GCT indistinguishable — test is toothless")
+    // Sanity on the rule itself: LCT ids exist in both interlace classes.
+    val lctIds = (0L to 90L by 3).filter(gifLocalPalette)
+    assert(lctIds.exists(gifInterlaced) && lctIds.exists(!gifInterlaced(_)))
+  }
+
   test("the interlace flag is load-bearing and out-of-palette indices are rejected") {
     // id=3 stages non-interlaced (3 % 2 != 0); flipping the flag makes
     // the decoder un-permute rows that were written sequentially — the
