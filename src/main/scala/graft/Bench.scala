@@ -174,10 +174,17 @@ object Bench {
     // that once in a cached/staged index, the SQL twin pays it per
     // query), the three IVF-PQ oracles ~0.4-0.5 s on the same shape,
     // the other nine 0.3 s combined. Composition: 57.5 + 6.5 = 64.0.
+    // Second-session re-derivation (206 SQLs): the three additions cost
+    // 6.05 s minima — mm_wav_adpcm's 5.69 dominates (its oracle replays
+    // the IMA recurrence as a ~5.4M-evaluation integer fold; already
+    // 4.6× optimized by hoisting the step tables out of the lambda —
+    // Spark decodes the same blocks in ~0.2 s through the typed
+    // mapPartitions path), text_quality_rules 0.05,
+    // dedup_contamination_ngram 0.31. Composition: 64.0 + 6.0 = 70.0.
     // Env overrides for re-derived denominators; the fallback keeps
     // `vs_baseline` on the driver's line, which sets no env. Only
     // meaningful at sf0.1.
-    val FallbackBaselineSec = 64.0
+    val FallbackBaselineSec = 70.0
     val baselineEnv = sys.env.get("SPARK_GRAFT_BASELINE_SEC")
     val baselineParsed = baselineEnv
       .flatMap(s => scala.util.Try(s.toDouble).toOption)

@@ -91,7 +91,13 @@ object Explain {
     // and the compressed WebDataset walk (whole-shard read → gunzip →
     // block walk → codegen'd audit aggregate). stream_cms_live stays
     // EXCLUDED for the round-9 live-gate reason.
-    "q_cms_freq", "sim_pq_adc", "sim_ivfpq_adc", "tgz_ingest")
+    "q_cms_freq", "sim_pq_adc", "sim_ivfpq_adc", "tgz_ingest",
+    // Round 15 third wave: the span decontamination join (train grams
+    // pre-distinct → gram-keyed left-semi probe, no windows), the hard
+    // quality-rule battery (pure map-only scan → one small groupBy),
+    // and the ADPCM codec gate (typed mapPartitions decode → codegen'd
+    // aggregate, the pixel-gate plan family).
+    "dedup_contamination_ngram", "text_quality_rules", "mm_wav_adpcm")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

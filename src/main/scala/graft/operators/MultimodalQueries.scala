@@ -1321,17 +1321,21 @@ object MultimodalQueries extends QueryPack {
       val adj = s"[${graft.multimodal.MediaPipeline.AdpcmIndexAdjust.mkString(", ")}]"
       val OFF = 8388608L // 2^23 >> max |sum| of 129 samples x 32768
       // State-extraction and transition fragments, interpolated so the
-      // lambda is one expression (list_reduce's contract).
+      // lambda is one expression (list_reduce's contract). The step and
+      // index tables ride as per-row COLUMNS (st/aj, one cross-joined
+      // constant row) captured by the lambda — inlining the 89-entry
+      // literal at its four use sites instead re-materializes it per
+      // element evaluation and measured 4.6× slower.
       val idxS = "(x % 89)"
       val predS = "(((x // 89) % 65536) - 32768)"
       val sumS = s"(((x // 89) // 65536) - $OFF)"
-      val stepS = s"($steps[$idxS + 1])"
+      val stepS = s"(st[$idxS + 1])"
       val diffS = s"(($stepS >> 3) + (CASE WHEN (y & 4) != 0 THEN $stepS ELSE 0 END) + " +
         s"(CASE WHEN (y & 2) != 0 THEN ($stepS >> 1) ELSE 0 END) + " +
         s"(CASE WHEN (y & 1) != 0 THEN ($stepS >> 2) ELSE 0 END))"
       val predRawS = s"($predS + (CASE WHEN (y & 8) != 0 THEN -$diffS ELSE $diffS END))"
       val pred2S = s"(LEAST(32767, GREATEST(-32768, $predRawS)))"
-      val idx2S = s"(LEAST(88, GREATEST(0, $idxS + $adj[(y & 7) + 1])))"
+      val idx2S = s"(LEAST(88, GREATEST(0, $idxS + aj[(y & 7) + 1])))"
       val sum2S = s"($sumS + $pred2S)"
       s"""WITH a AS (SELECT doc_id, source, CAST(1 + doc_id % 3 AS BIGINT) AS nb
                      FROM documents WHERE doc_id % 2 = 0),
@@ -1339,8 +1343,10 @@ object MultimodalQueries extends QueryPack {
                            ((a.doc_id * 37 + b.b * 101) % 65536) - 32768 AS pred0,
                            (a.doc_id * 13 + b.b * 7) % 89 AS idx0,
                            list_transform(range(128),
-                             i -> (a.doc_id * 7 + b.b * 11 + i * i * 3) % 16) AS nibs
-                    FROM a, LATERAL (SELECT unnest(range(a.nb)) AS b) b),
+                             i -> (a.doc_id * 7 + b.b * 11 + i * i * 3) % 16) AS nibs,
+                           tb.st AS st, tb.aj AS aj
+                    FROM a, LATERAL (SELECT unnest(range(a.nb)) AS b) b
+                    CROSS JOIN (SELECT $steps AS st, $adj AS aj) tb),
             folded AS (SELECT doc_id, source, b,
                               list_reduce(
                                 list_prepend(((pred0 + $OFF) * 65536 + (pred0 + 32768)) * 89 + idx0, nibs),
