@@ -24,6 +24,7 @@ object SparkEntry {
     PqQueries,
     IvfPqQueries,
     TextAnalysis,
+    TextModelQueries,
     MultimodalQueries,
     SourceQueries
   )

@@ -1,0 +1,230 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import graft.functions.PortableHash
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical language-model operators for corpus curation — the two
+  * model-based filters every large pretraining pipeline runs after the
+  * hard rules (text_quality_rules) and before dedup:
+  *
+  *   - `text_lm_perplexity`: CCNet-style n-gram-LM perplexity filtering
+  *     (Wenzek et al. 2020) — train a bigram LM over the corpus, score
+  *     every document by its average token log-probability, flag the
+  *     high-perplexity tail. Here the LM trains on the corpus it scores
+  *     (self-scoring), which is the standard bootstrap when no curated
+  *     reference corpus exists yet.
+  *   - `text_nb_classify`: a multinomial Naive Bayes document classifier
+  *     (the fastText-style linear text filter reduced to its count-based
+  *     ancestor) — train per-class token likelihoods with add-1
+  *     smoothing, score docs as quantized log-likelihood sums + prior,
+  *     argmax with a deterministic tie-break, emit the confusion matrix
+  *     against the labeled truth.
+  *
+  * Cross-engine determinism: every log-probability is quantized ONCE per
+  * model parameter — `FLOOR(ln(p) * 10000)` as BIGINT ("deci-milli-log")
+  * — and everything downstream (per-doc scores, corpus totals, argmax,
+  * the tail-flag threshold) is pure 64-bit integer arithmetic, so
+  * reduction order can never change a result. The only doubles are the
+  * single `ln` per (bigram | token×class) TYPE: both engines divide
+  * exact integer-valued doubles (IEEE-identical) and take `ln` within
+  * 1 ulp, so a quantization-boundary straddle needs the true value
+  * within ~1e-11 of an integer — negligible over the bounded type
+  * space, and far safer than summing raw doubles (order-dependent).
+  *
+  * Scale shape (100 TB): the MODELS are vocabulary-sized — |V|² bigram
+  * types, |V|×L class likelihoods — i.e. megabytes when the corpus is
+  * terabytes, so scoring is a broadcast join onto the token/bigram
+  * frame. The corpus pays exactly two wide exchanges per query: one
+  * partial-aggregated groupBy to count model statistics and one to
+  * re-aggregate per (doc, class). No windows over the corpus (the NB
+  * argmax window partitions by doc_id over L=5 rows per doc), no
+  * driver hops, no collect.
+  */
+object TextModelQueries extends QueryPack {
+
+  /** Quantization scale for log-probabilities (see object doc). */
+  private val Q = 10000
+
+  val queries: Map[String, Q] = Map(
+    // CCNet-style perplexity filter. LM: bigram with add-1 smoothing,
+    //   p(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + V)
+    // where c(w1·) counts w1 as bigram CONTEXT (positions 1..n-1) and V
+    // is the corpus-wide distinct-token count. Per-doc score = sum of
+    // quantized bigram logprobs over OCCURRENCES; the flag is the
+    // integer cross-multiplication
+    //   q_sum * N * 10 < Q_tot * n_bi * 11
+    // i.e. "this doc's avg logprob is below 1.1× the corpus average"
+    // (logprobs are negative: 1.1× the average means noticeably more
+    // surprising than typical — the filter CCNet applies at the
+    // 'tail' perplexity bucket). Self-calibrating: no fixture-tuned
+    // constant. Output is the per-lang audit: docs scored, bigram
+    // mass, total quantized logprob, flagged count, and an
+    // order-independent h60p checksum pinning WHICH docs were flagged.
+    "text_lm_perplexity" -> ((s, d) => lmPerplexityAudit(s, Tables.documents(s, d))),
+
+    // Multinomial Naive Bayes over the labeled corpus (label = lang).
+    // Train: per-class token likelihoods with add-1 smoothing over the
+    // SHARED vocabulary grid (every (w, class) pair scored, zero counts
+    // included — the grid is vocab × classes, built by a cross join of
+    // two TINY distinct frames and LEFT-joining the observed counts),
+    // plus quantized class log-priors. Score: per-doc per-class
+    //   score = q_prior(l) + Σ_w k_w · q(w|l)
+    // — all BIGINT. Predict: argmax with ties broken toward the
+    // alphabetically-first class (a total order both engines share).
+    // Output: the confusion matrix (lang_true, lang_pred, n) with an
+    // h60p membership checksum per cell. NOTE on this fixture: the
+    // generator draws tokens independently of lang, so the learned
+    // likelihoods are near-uniform and the matrix mostly collapses to
+    // the prior argmax — the gate pins the ESTIMATOR (smoothing, grid
+    // zeros, quantization, tie-break); NbClassifierSpec drives the same
+    // body over a crafted corpus with genuinely disjoint class
+    // vocabularies and pins perfect-recovery + the zero-count path.
+    "text_nb_classify" -> ((s, d) => nbConfusion(s, Tables.documents(s, d))))
+
+  /** The text_lm_perplexity body over ANY (doc_id, lang, text) frame —
+    * exposed so NbClassifierSpec can plant a gibberish document (all
+    * singleton bigrams) in a repetitive corpus and pin that the flag
+    * catches exactly it. */
+  private[graft] def lmPerplexityAudit(s: SparkSession, docs: DataFrame): DataFrame = {
+    val t = docs
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val b = t
+      .select(col("doc_id"), col("lang"),
+        explode(graft.Graft.zipNgrams(col("toks"), 2)).as("g"))
+      .select(col("doc_id"), col("lang"),
+        col("g.c0").as("w1"), col("g.c1").as("w2"))
+    val bc = b.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uc = b.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // V counts distinct tokens over ALL positions (incl. 1-token docs).
+    val v = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct("w").as("vsz"))
+    val lm = bc.join(uc, "w1").crossJoin(broadcast(v))
+      .withColumn("q",
+        floor(log((col("c12") + lit(1.0)) / (col("c1") + col("vsz"))) * Q))
+      .select("w1", "w2", "q")
+    val db = b.groupBy("doc_id", "lang", "w1", "w2").agg(count(lit(1)).as("k"))
+    val ds = db.join(broadcast(lm), Seq("w1", "w2"))
+      .groupBy("doc_id", "lang")
+      .agg(sum("k").as("n_bi"), sum(col("k") * col("q")).as("q_sum"))
+    val tot = ds.agg(sum("n_bi").as("nn"), sum("q_sum").as("qq"))
+    ds.crossJoin(broadcast(tot))
+      .withColumn("flagged",
+        col("q_sum") * col("nn") * 10 < col("qq") * col("n_bi") * 11)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_bi").as("n_bigrams"),
+        sum("q_sum").as("q_logprob_sum"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+        coalesce(sum(when(col("flagged"),
+          PortableHash.h60p(col("doc_id").cast("string")))), lit(0L))
+          .as("flagged_checksum"))
+      .orderBy("lang")
+  }
+
+  /** The text_nb_classify body over ANY (doc_id, lang, text) frame —
+    * exposed so NbClassifierSpec can drive it over a crafted corpus
+    * whose class vocabularies actually discriminate. */
+  private[graft] def nbConfusion(s: SparkSession, docs: DataFrame): DataFrame = {
+    val tk = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("w"))
+    val cwl = tk.groupBy(col("lang").as("lang_model"), col("w"))
+      .agg(count(lit(1)).as("c_wl"))
+    val nl = tk.groupBy(col("lang").as("lang_model")).agg(count(lit(1)).as("n_l"))
+    val vocab = tk.select("w").distinct()
+    val v = vocab.agg(count(lit(1)).as("vsz"))
+    val dl = docs.groupBy(col("lang").as("lang_model")).agg(count(lit(1)).as("d_l"))
+    val dtot = docs.agg(count(lit(1)).as("d_all"))
+    val prior = dl.crossJoin(broadcast(dtot))
+      .withColumn("qp", floor(log(col("d_l") / col("d_all").cast("double")) * Q))
+      .select("lang_model", "qp")
+    val grid = vocab.crossJoin(dl.select("lang_model"))
+      .join(cwl, Seq("lang_model", "w"), "left")
+      .na.fill(0L, Seq("c_wl"))
+      .join(nl, "lang_model")
+      .crossJoin(broadcast(v))
+      .withColumn("qw",
+        floor(log((col("c_wl") + lit(1.0)) / (col("n_l") + col("vsz"))) * Q))
+      .select("lang_model", "w", "qw")
+    val dt = tk.groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("k"))
+    val scores = dt.join(broadcast(grid), "w")
+      .groupBy(col("doc_id"), col("lang"), col("lang_model"))
+      .agg(sum(col("k") * col("qw")).as("s0"))
+      .join(broadcast(prior), "lang_model")
+      .withColumn("score", col("s0") + col("qp"))
+    val pred = scores.withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang_model"))))
+      .filter(col("rk") === 1)
+    pred.groupBy(col("lang").as("lang_true"), col("lang_model").as("lang_pred"))
+      .agg(count(lit(1)).as("n"),
+        sum(PortableHash.h60p(col("doc_id").cast("string"))).as("cell_checksum"))
+      .orderBy("lang_true", "lang_pred")
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "text_lm_perplexity" ->
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+                     WHERE len(string_split(text, ' ')) >= 2),
+            b AS (SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2
+                  FROM (SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i FROM t)),
+            bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY 1, 2),
+            uc AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY 1),
+            v AS (SELECT COUNT(DISTINCT w) AS vsz FROM
+                    (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+            lm AS (SELECT bc.w1, bc.w2,
+                          CAST(FLOOR(ln((c12 + 1.0) / (c1 + vsz)) * $Q) AS BIGINT) AS q
+                   FROM bc JOIN uc USING (w1) CROSS JOIN v),
+            db AS (SELECT doc_id, lang, w1, w2, COUNT(*) AS k FROM b GROUP BY 1, 2, 3, 4),
+            ds AS (SELECT doc_id, lang, CAST(SUM(k) AS BIGINT) AS n_bi,
+                          CAST(SUM(k * q) AS BIGINT) AS q_sum
+                   FROM db JOIN lm USING (w1, w2) GROUP BY 1, 2),
+            tot AS (SELECT CAST(SUM(n_bi) AS BIGINT) AS nn,
+                           CAST(SUM(q_sum) AS BIGINT) AS qq FROM ds),
+            f AS (SELECT doc_id, lang, n_bi, q_sum,
+                         (q_sum * nn * 10 < qq * n_bi * 11) AS flagged
+                  FROM ds CROSS JOIN tot)
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_bi) AS BIGINT) AS n_bigrams,
+                 CAST(SUM(q_sum) AS BIGINT) AS q_logprob_sum,
+                 CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+                 CAST(COALESCE(SUM(CASE WHEN flagged THEN ${PortableHash.h60pSql("CAST(doc_id AS VARCHAR)")} END), 0) AS BIGINT) AS flagged_checksum
+          FROM f GROUP BY lang ORDER BY lang""",
+
+    "text_nb_classify" ->
+      s"""WITH tk AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+            cwl AS (SELECT lang AS lang_model, w, COUNT(*) AS c_wl FROM tk GROUP BY 1, 2),
+            nl AS (SELECT lang AS lang_model, COUNT(*) AS n_l FROM tk GROUP BY 1),
+            vocab AS (SELECT DISTINCT w FROM tk),
+            v AS (SELECT COUNT(*) AS vsz FROM vocab),
+            dl AS (SELECT lang AS lang_model, COUNT(*) AS d_l FROM documents GROUP BY 1),
+            dtot AS (SELECT COUNT(*) AS d_all FROM documents),
+            prior AS (SELECT lang_model,
+                             CAST(FLOOR(ln(d_l / CAST(d_all AS DOUBLE)) * $Q) AS BIGINT) AS qp
+                      FROM dl CROSS JOIN dtot),
+            grid AS (SELECT g.lang_model, g.w,
+                            CAST(FLOOR(ln((COALESCE(cwl.c_wl, 0) + 1.0) / (nl.n_l + v.vsz)) * $Q) AS BIGINT) AS qw
+                     FROM (SELECT lang_model, w FROM dl CROSS JOIN vocab) g
+                     LEFT JOIN cwl ON cwl.lang_model = g.lang_model AND cwl.w = g.w
+                     JOIN nl ON nl.lang_model = g.lang_model
+                     CROSS JOIN v),
+            dt AS (SELECT doc_id, lang, w, COUNT(*) AS k FROM tk GROUP BY 1, 2, 3),
+            sc AS (SELECT dt.doc_id, dt.lang, grid.lang_model,
+                          CAST(SUM(dt.k * grid.qw) AS BIGINT) + MIN(prior.qp) AS score
+                   FROM dt JOIN grid ON grid.w = dt.w
+                   JOIN prior ON prior.lang_model = grid.lang_model
+                   GROUP BY 1, 2, 3),
+            pred AS (SELECT doc_id, lang, lang_model,
+                            ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, lang_model) AS rk
+                     FROM sc)
+          SELECT lang AS lang_true, lang_model AS lang_pred,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(${PortableHash.h60pSql("CAST(doc_id AS VARCHAR)")}) AS BIGINT) AS cell_checksum
+          FROM pred WHERE rk = 1
+          GROUP BY 1, 2 ORDER BY lang_true, lang_pred""")
+}
