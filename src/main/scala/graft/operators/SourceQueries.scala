@@ -35,6 +35,7 @@ object SourceQueries extends QueryPack {
   private def pqEvoStage(d: String) = Stage.dir(d, "parquet_evo")
   private def warcStage(d: String) = Stage.dir(d, "warc")
   private def tarStage(d: String) = Stage.dir(d, "tar")
+  private def zipStage(d: String) = Stage.dir(d, "zip")
 
   val queries: Map[String, Q] = Map(
     // CSV sink → CSV source (header + schema inference) → aggregate.
@@ -412,7 +413,44 @@ object SourceQueries extends QueryPack {
     // layer is a true identity, not approximately one.
     "tgz_ingest" -> ((s, d) =>
       tarAuditOf(graft.sources.TarSource.entriesGz(
-        s, graft.sources.TarSource.stageGzFixture(Stage.dir(d, "tgz")))))
+        s, graft.sources.TarSource.stageGzFixture(Stage.dir(d, "tgz"))))),
+
+    // ZIP shard ingest — the archive format scraped datasets actually
+    // arrive in. The reader (ZipSource) walks the CENTRAL DIRECTORY
+    // (the only authoritative index): every fixture shard plants an
+    // orphaned local entry a sequential local-header walker would
+    // over-count, data-descriptor members whose local sizes are zero,
+    // payloads quoting the "PK\3\4" magic (resync-by-signature splits
+    // them), local-only extra fields (central lengths locate data
+    // wrongly), and a non-empty EOCD comment (fixed -22 readers miss
+    // the record). Per-member verification: signatures, local-vs-
+    // central agreement, exact inflate length, CRC-32 of the
+    // decompressed payload. The audit separates stored/deflated/
+    // descriptor members so every branch of the walk is oracle-visible;
+    // the DuckDB oracle regenerates the closed-form payload model —
+    // compressed bytes never reach it, only decompressed identities.
+    // Scale shape: one task per shard (the central directory lives at
+    // the END, so ZIP is a seekable-blob format, not split-streamable),
+    // codegen'd aggregation after.
+    "zip_ingest" -> ((s, d) => {
+      val e = graft.sources.ZipSource.entries(
+        s, graft.sources.ZipSource.stageFixture(zipStage(d)))
+        .withColumn("site",
+          concat(lit("s"),
+            (regexp_extract(col("file"), "part(\\d+)\\.zip", 1)
+              .cast("int") % 4).cast("string")))
+      e.groupBy("site")
+        .agg(
+          count(lit(1)).as("n_members"),
+          sum(when(col("method") === 0, 1L).otherwise(0L)).as("n_stored"),
+          sum(when(col("method") === 8, 1L).otherwise(0L)).as("n_deflated"),
+          sum(when(col("streamed"), 1L).otherwise(0L)).as("n_streamed"),
+          sum("usize").as("usize_sum"),
+          sum(col("eidx") * col("usize")).as("moment"),
+          sum(graft.functions.PortableHash.h60p(
+            concat(col("name"), lit("|"), col("payload_md5")))).as("checksum"))
+        .orderBy("site")
+    })
   )
 
   /** The per-site WebDataset audit over a TarSource entries-shaped frame
@@ -567,6 +605,36 @@ object SourceQueries extends QueryPack {
     // Identical model on purpose: gunzip-then-walk must be a byte
     // identity over the plain shards.
     "tgz_ingest" -> tarIngestSql,
+    // Dir-independent like tar_ingest: the oracle regenerates
+    // ZipSource's closed-form payload model (12 shards; member i of
+    // shard f = decoy ++ 'abc'×n, stored/deflated by parity, descriptor
+    // members at i%4==1). Only DECOMPRESSED identities appear — names,
+    // true sizes, md5s — so stored and deflated members must both
+    // round-trip bit-exactly through the walk, and the planted orphan
+    // local entry must stay invisible (it would shift every count,
+    // moment and checksum).
+    "zip_ingest" ->
+      s"""WITH shards AS (SELECT unnest(range(12)) AS f),
+            samp AS (SELECT f, unnest(range(4 + (f % 3))) AS i FROM shards),
+            m AS (SELECT f, i, f * 100 + i AS k,
+                         CASE WHEN i % 3 = 0 THEN 'PK' || chr(3) || chr(4) ELSE '' END AS dcy,
+                         200 + (f * 37 + i * 13) % 500 AS n
+                  FROM samp),
+            ent AS (SELECT 's' || (f % 4) AS site, i,
+                           'm' || k || '.txt' AS name,
+                           CASE WHEN i % 2 = 0 THEN 0 ELSE 8 END AS method,
+                           CASE WHEN i % 4 = 1 THEN 1 ELSE 0 END AS streamed,
+                           CAST(length(dcy) + 3 * n AS BIGINT) AS usize,
+                           md5(dcy || repeat('abc', CAST(n AS INT))) AS h
+                    FROM m)
+          SELECT site, CAST(COUNT(*) AS BIGINT) AS n_members,
+                 CAST(SUM(CASE WHEN method = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_stored,
+                 CAST(SUM(CASE WHEN method = 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_deflated,
+                 CAST(SUM(streamed) AS BIGINT) AS n_streamed,
+                 CAST(SUM(usize) AS BIGINT) AS usize_sum,
+                 CAST(SUM(i * usize) AS BIGINT) AS moment,
+                 CAST(SUM(${graft.functions.PortableHash.h60pSql("name || '|' || h")}) AS BIGINT) AS checksum
+          FROM ent GROUP BY 1 ORDER BY site""",
     // Dir-independent like warc_ingest: the oracle regenerates the HTTP
     // fixture model (12 shards × 6+(f%3) responses; body = "tok "×T with
     // the trailing space trimmed → length 4T−1, tokens T). Chunked rows
