@@ -4219,4 +4219,266 @@ object MediaPipeline {
       })
       .toDF()
   }
+
+  // --------------------------------- TIFF / EXIF (IFD walk, both endians)
+  //
+  // The EIGHTH container: TIFF 6.0 + the EXIF sub-IFD — the metadata
+  // format every camera JPEG embeds and every scanned-document corpus
+  // ships natively. Unlike the seven parsers above, TIFF is DUAL-ENDIAN
+  // by declaration ("II" little / "MM" big in the header), offsets are
+  // in FILE byte order, and scalar values small enough to fit inline
+  // occupy the LEFT bytes of the 4-byte value field — three distinct
+  // endianness traps the fixture stages both ways. Directory entries are
+  // (tag u16, type u16, count u32, value-or-offset u32); values wider
+  // than 4 bytes (ASCII strings, RATIONALs) live at an absolute offset
+  // the reader must SEEK to (the fixture places the value area BEFORE
+  // the IFD for odd ids, so "values follow the directory" assumptions
+  // desync), and IFDs chain via a trailing next-IFD offset (ids % 5 == 0
+  // carry a thumbnail IFD1 the chain walk must count without letting it
+  // override IFD0's tags).
+
+  /** Typed TIFF/EXIF metadata: byte order, IFD0 dimensions/orientation/
+    * make, X-resolution as a quantized integer (num·1000 div den — both
+    * engines' integer division agrees on positives), and from the EXIF
+    * sub-IFD the ISO rating and exposure denominator (exposures are
+    * 1/den s). `n_ifds` counts the next-IFD chain. */
+  case class TiffMeta(doc_id: Long, source: String, bytes: Long,
+                      endian: String, width: Int, height: Int,
+                      orientation: Int, make: String, res_q: Long,
+                      iso: Int, exp_den: Int, n_ifds: Int)
+
+  /** The staged TIFF value model (pure doc_id arithmetic, replicated by
+    * the DuckDB oracle while Spark PARSES the bytes). */
+  def tiffWidth(id: Long): Int = ((id * 9) % 2000 + 16).toInt
+  def tiffHeight(id: Long): Int = ((id * 17) % 1500 + 16).toInt
+  def tiffOrientation(id: Long): Int = (id % 8 + 1).toInt
+  def tiffMake(id: Long): String = s"graft-cam-${id % 7}"
+  def tiffResNum(id: Long): Int = (72 + id % 300).toInt
+  def tiffResDen(id: Long): Int = (1 + id % 3).toInt
+  def tiffIso(id: Long): Int = (100 + (id % 32) * 25).toInt
+  def tiffExpDen(id: Long): Int = (30 + id % 200).toInt
+
+  private val TagWidth = 0x0100
+  private val TagHeight = 0x0101
+  private val TagMake = 0x010f
+  private val TagOrientation = 0x0112
+  private val TagXRes = 0x011a
+  private val TagExifPtr = 0x8769
+  private val TagIso = 0x8827
+  private val TagExposure = 0x829a
+
+  private[graft] case class TiffFields(endian: String, width: Int, height: Int,
+      orientation: Int, make: String, resQ: Long, iso: Int, expDen: Int,
+      nIfds: Int)
+
+  /** REAL TIFF/EXIF parse: header (byte order + magic 42 + IFD0 offset),
+    * IFD0 entry walk extracting width/height/make/orientation/
+    * X-resolution, the EXIF sub-IFD pointer followed to ISO + exposure,
+    * and the next-IFD chain counted. Strict on the rules that matter:
+    * every multi-byte read honors the DECLARED byte order (offsets
+    * included), inline values read from the LEFT of the value field,
+    * types must match the tag's spec type (SHORT 3 / LONG 4 / ASCII 2 /
+    * RATIONAL 5), out-of-range offsets or a missing required tag abort
+    * to None. A text payload can never reach the walk: byte 0 must be
+    * 'I'/'M' paired with magic 42 in that byte order AND a parsable
+    * directory. */
+  private[graft] def decodeTiffFields(media: Array[Byte]): Option[TiffFields] = {
+    if (media.length < 8) return None
+    val little = media(0) == 'I'.toByte && media(1) == 'I'.toByte
+    val big = media(0) == 'M'.toByte && media(1) == 'M'.toByte
+    if (!little && !big) return None
+    def u16(at: Int): Int = {
+      if (at < 0 || at + 2 > media.length) return -1
+      if (little) (media(at) & 0xff) | ((media(at + 1) & 0xff) << 8)
+      else ((media(at) & 0xff) << 8) | (media(at + 1) & 0xff)
+    }
+    def u32(at: Int): Long = {
+      if (at < 0 || at + 4 > media.length) return -1L
+      if (little)
+        (media(at) & 0xffL) | ((media(at + 1) & 0xffL) << 8) |
+        ((media(at + 2) & 0xffL) << 16) | ((media(at + 3) & 0xffL) << 24)
+      else
+        ((media(at) & 0xffL) << 24) | ((media(at + 1) & 0xffL) << 16) |
+        ((media(at + 2) & 0xffL) << 8) | (media(at + 3) & 0xffL)
+    }
+    if (u16(2) != 42) return None
+
+    // One IFD walk: returns (tag -> (type, count, valueFieldOffset), next)
+    def walk(at: Int): Option[(Map[Int, (Int, Long, Int)], Long)] = {
+      val n = u16(at)
+      if (n <= 0 || n > 512) return None
+      val entries = (0 until n).map { i =>
+        val e = at + 2 + 12 * i
+        val tag = u16(e)
+        val typ = u16(e + 2)
+        val cnt = u32(e + 4)
+        if (tag < 0 || typ < 0 || cnt < 0) return None
+        tag -> (typ, cnt, e + 8)
+      }.toMap
+      val next = u32(at + 2 + 12 * n)
+      if (next < 0) None else Some((entries, next))
+    }
+    def typeSize(t: Int): Int = t match {
+      case 1 | 2 => 1; case 3 => 2; case 4 => 4; case 5 => 8; case _ => 0
+    }
+    /** Absolute position of a value: inline (LEFT bytes of the value
+      * field) when total size ≤ 4, else at the u32 offset the field
+      * holds — in FILE byte order, the trap. */
+    def valueAt(typ: Int, cnt: Long, field: Int): Int = {
+      val total = typeSize(typ) * cnt
+      if (total <= 0) -1
+      else if (total <= 4) field
+      else {
+        val off = u32(field)
+        if (off < 0 || off + total > media.length) -1 else off.toInt
+      }
+    }
+    def short(m: Map[Int, (Int, Long, Int)], tag: Int): Option[Int] =
+      m.get(tag).collect { case (3, 1L, f) => u16(valueAt(3, 1, f)) }.filter(_ >= 0)
+    def long(m: Map[Int, (Int, Long, Int)], tag: Int): Option[Long] =
+      m.get(tag).collect { case (4, 1L, f) => u32(valueAt(4, 1, f)) }.filter(_ >= 0)
+    def ascii(m: Map[Int, (Int, Long, Int)], tag: Int): Option[String] =
+      m.get(tag).collect { case (2, cnt, f) if cnt >= 1 =>
+        val at = valueAt(2, cnt, f)
+        if (at < 0) return None
+        // NUL-terminated by spec; count includes the NUL.
+        new String(media, at, cnt.toInt - 1, "US-ASCII")
+      }
+    def rational(m: Map[Int, (Int, Long, Int)], tag: Int): Option[(Long, Long)] =
+      m.get(tag).collect { case (5, 1L, f) =>
+        val at = valueAt(5, 1, f)
+        if (at < 0) return None
+        (u32(at), u32(at + 4))
+      }.filter { case (n2, d2) => n2 >= 0 && d2 > 0 }
+
+    val ifd0Off = u32(4)
+    if (ifd0Off < 8) return None
+    for {
+      (ifd0, next0) <- walk(ifd0Off.toInt)
+      w <- short(ifd0, TagWidth)
+      h <- long(ifd0, TagHeight)
+      orient <- short(ifd0, TagOrientation)
+      make <- ascii(ifd0, TagMake)
+      (rn, rd) <- rational(ifd0, TagXRes)
+      exifOff <- long(ifd0, TagExifPtr)
+      (exif, _) <- if (exifOff >= 8 && exifOff < media.length) walk(exifOff.toInt) else None
+      iso <- short(exif, TagIso)
+      (_, expDen) <- rational(exif, TagExposure)
+    } yield {
+      // Count the IFD0 → IFD1 → ... chain (EXIF sub-IFD not part of it).
+      var nIfds = 1
+      var nx = next0
+      var guard = 0
+      while (nx >= 8 && nx < media.length && guard < 16) {
+        walk(nx.toInt) match {
+          case Some((_, n2)) => nIfds += 1; nx = n2; guard += 1
+          case None => nx = 0
+        }
+      }
+      TiffFields(if (little) "II" else "MM", w, h.toInt, orient, make,
+        rn * 1000L / rd, iso, expDen.toInt, nIfds)
+    }
+  }
+
+  /** A COMPLETE little- or big-endian TIFF with IFD0 (width, height,
+    * make, orientation, X-resolution rational, EXIF pointer), the EXIF
+    * sub-IFD (ISO, exposure rational), an optional chained thumbnail
+    * IFD1, and arbitrary trailing junk. For odd ids the out-of-line
+    * value area precedes IFD0 — offset-following is load-bearing. */
+  def tiffFile(id: Long, junk: Array[Byte]): Array[Byte] = {
+    val little = id % 2 == 0
+    val order = if (little) java.nio.ByteOrder.LITTLE_ENDIAN
+                else java.nio.ByteOrder.BIG_ENDIAN
+    val make = (tiffMake(id) + "\u0000").getBytes("US-ASCII")
+    val hasIfd1 = id % 5 == 0
+    // Sizes: header 8; IFD0 = 2 + 6*12 + 4 = 78; values: make + xres 8 +
+    // exposure 8; EXIF IFD = 2 + 2*12 + 4 = 30; IFD1 = 2 + 12 + 4 = 18.
+    val ifd0Size = 2 + 6 * 12 + 4
+    val exifSize = 2 + 2 * 12 + 4
+    val valSize = make.length + 8 + 8
+    val valueFirst = id % 2 == 1 // MM files: value area before IFD0
+    val valBase = if (valueFirst) 8 else 8 + ifd0Size
+    val ifd0At = if (valueFirst) 8 + valSize + exifSize else 8
+    val exifAt = if (valueFirst) 8 + valSize else valBase + valSize
+    // IFD1 is always written LAST, whichever of the two layouts precedes.
+    val ifd1At = 8 + ifd0Size + exifSize + valSize
+    val makeAt = valBase
+    val xresAt = valBase + make.length
+    val expAt = xresAt + 8
+    val total = 8 + ifd0Size + exifSize + valSize + (if (hasIfd1) 18 else 0)
+    val b = java.nio.ByteBuffer.allocate(total).order(order)
+    b.put((if (little) "II" else "MM").getBytes("US-ASCII"))
+    b.putShort(42).putInt(ifd0At)
+    def entry(tag: Int, typ: Int, cnt: Int, writeValue: java.nio.ByteBuffer => Unit): Unit = {
+      b.putShort(tag.toShort).putShort(typ.toShort).putInt(cnt)
+      val before = b.position()
+      writeValue(b)
+      // Inline values pack LEFT; pad the field to exactly 4 bytes.
+      while (b.position() < before + 4) b.put(0.toByte)
+    }
+    def writeIfd0(): Unit = {
+      b.putShort(6)
+      entry(TagWidth, 3, 1, _.putShort(tiffWidth(id).toShort))
+      entry(TagHeight, 4, 1, _.putInt(tiffHeight(id)))
+      entry(TagMake, 2, make.length, _.putInt(makeAt))
+      entry(TagOrientation, 3, 1, _.putShort(tiffOrientation(id).toShort))
+      entry(TagXRes, 5, 1, _.putInt(xresAt))
+      entry(TagExifPtr, 4, 1, _.putInt(exifAt))
+      b.putInt(if (hasIfd1) ifd1At else 0)
+    }
+    def writeExif(): Unit = {
+      b.putShort(2)
+      entry(TagExposure, 5, 1, _.putInt(expAt))
+      entry(TagIso, 3, 1, _.putShort(tiffIso(id).toShort))
+      b.putInt(0)
+    }
+    def writeValues(): Unit = {
+      b.put(make)
+      b.putInt(tiffResNum(id)).putInt(tiffResDen(id))
+      b.putInt(1).putInt(tiffExpDen(id))
+    }
+    if (valueFirst) { writeValues(); writeExif(); writeIfd0() }
+    else { writeIfd0(); writeValues(); writeExif() }
+    if (hasIfd1) {
+      b.putShort(1)
+      entry(0x0103, 3, 1, _.putShort(6)) // Compression: thumbnail JPEG
+      b.putInt(0)
+    }
+    b.array() ++ junk
+  }
+
+  /** Mixed corpus for the EXIF gate: ids % 3 == 1 staged as full TIFFs
+    * (both endians by id parity; trailing junk QUOTES the "II*\0" magic
+    * so resync-by-signature parsers split), everything else bare text. */
+  def tiffTableStaged(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, src, text) =>
+        val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val media =
+          if (id % 3 == 1)
+            tiffFile(id, "II*\u0000decoy".getBytes("US-ASCII") ++ payload)
+          else payload
+        MediaRow(id, src, media)
+      })
+      .toDF()
+  }
+
+  /** TIFF/EXIF decode pass: the parse is the filter, as every gate. */
+  def decodedTiff(s: SparkSession, dir: String): DataFrame =
+    decodedTiffOf(s, tiffTableStaged(s, dir))
+
+  def decodedTiffOf(s: SparkSession, mediaDf: DataFrame): DataFrame = {
+    import s.implicits._
+    mediaDf.as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        decodeTiffFields(r.media).map(f =>
+          TiffMeta(r.doc_id, r.source, r.media.length.toLong, f.endian,
+            f.width, f.height, f.orientation, f.make, f.resQ, f.iso,
+            f.expDen, f.nIfds))
+      })
+      .toDF()
+  }
 }

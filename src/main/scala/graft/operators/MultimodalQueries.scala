@@ -226,7 +226,36 @@ object MultimodalQueries extends QueryPack {
           count(lit(1)).as("n_copies"),
           (sum("nbytes") - max("nbytes")).as("bytes_reclaimed"))
         .select("canonical_id", "n_copies", "bytes_reclaimed")
-        .orderBy("canonical_id"))
+        .orderBy("canonical_id")),
+
+    // TIFF/EXIF metadata pass — the EIGHTH container, and the first
+    // DUAL-ENDIAN one: ids % 3 == 1 are staged as complete TIFF 6.0
+    // files ("II" little / "MM" big by id parity) with IFD0 (width,
+    // height, make, orientation, X-resolution rational, EXIF pointer),
+    // an EXIF sub-IFD (ISO, exposure rational) and for ids % 5 == 0 a
+    // chained thumbnail IFD1 the walk must count. Spark re-derives
+    // every value by WALKING the directories — offsets in FILE byte
+    // order, inline values LEFT-packed in the 4-byte field, out-of-line
+    // value areas placed BEFORE the IFD on odd ids, trailing junk
+    // quoting the "II*\0" magic — while the oracle replays the doc_id
+    // value model. Grouping by the PARSED endian splits every statistic
+    // across the two byte orders, so a single-endian reader cannot
+    // match both rows.
+    "mm_exif_meta" -> ((s, d) =>
+      MediaPipeline.decodedTiff(s, d)
+        .groupBy("source", "endian")
+        .agg(
+          count(lit(1)).as("n_tiff"),
+          sum("bytes").as("total_bytes"),
+          sum(col("width").cast("long")).as("w_sum"),
+          sum(col("height").cast("long")).as("h_sum"),
+          max("orientation").as("max_orient"),
+          sum("res_q").as("res_q_sum"),
+          sum(col("iso").cast("long")).as("iso_sum"),
+          sum(col("exp_den").cast("long")).as("exp_den_sum"),
+          sum(col("n_ifds").cast("long")).as("ifds_sum"),
+          sum(graft.functions.PortableHash.h60p(col("make"))).as("make_checksum"))
+        .orderBy("source", "endian"))
   ) ++ pixelQueries
 
   // Pixel/sample DECODE gates (round 12): the staged payloads are COMPLETE
@@ -628,6 +657,35 @@ object MultimodalQueries extends QueryPack {
                 CAST(COUNT(*) AS BIGINT) AS n_copies,
                 CAST(SUM(strlen(text)) - MAX(strlen(text)) AS BIGINT) AS bytes_reclaimed
          FROM documents GROUP BY md5(text) ORDER BY canonical_id""",
+    // The staged-TIFF value model from doc_id arithmetic; bytes = 144-byte
+    // fixed structure (header 8 + IFD0 78 + EXIF IFD 30 + value area 28)
+    // + 18 when the thumbnail IFD1 is chained + 9 junk bytes + strlen.
+    "mm_exif_meta" ->
+      s"""WITH t AS (SELECT doc_id AS id, source, strlen(text) AS b
+                     FROM documents WHERE doc_id % 3 = 1),
+            m AS (SELECT id, source,
+                         CASE WHEN id % 2 = 0 THEN 'II' ELSE 'MM' END AS endian,
+                         (id * 9) % 2000 + 16 AS w,
+                         (id * 17) % 1500 + 16 AS h,
+                         id % 8 + 1 AS orient,
+                         'graft-cam-' || (id % 7) AS make,
+                         ((72 + id % 300) * 1000) // (1 + id % 3) AS res_q,
+                         100 + (id % 32) * 25 AS iso,
+                         30 + id % 200 AS exp_den,
+                         CASE WHEN id % 5 = 0 THEN 2 ELSE 1 END AS n_ifds,
+                         144 + CASE WHEN id % 5 = 0 THEN 18 ELSE 0 END + 9 + b AS bytes
+                  FROM t)
+          SELECT source, endian, CAST(COUNT(*) AS BIGINT) AS n_tiff,
+                 CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+                 CAST(SUM(w) AS BIGINT) AS w_sum,
+                 CAST(SUM(h) AS BIGINT) AS h_sum,
+                 CAST(MAX(orient) AS INT) AS max_orient,
+                 CAST(SUM(res_q) AS BIGINT) AS res_q_sum,
+                 CAST(SUM(iso) AS BIGINT) AS iso_sum,
+                 CAST(SUM(exp_den) AS BIGINT) AS exp_den_sum,
+                 CAST(SUM(n_ifds) AS BIGINT) AS ifds_sum,
+                 CAST(SUM(${graft.functions.PortableHash.h60pSql("make")}) AS BIGINT) AS make_checksum
+          FROM m GROUP BY 1, 2 ORDER BY source, endian""",
     "mm_embed_topk" ->
       """WITH meta AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS bytes,
                               (strlen(text) % 640) + 16 AS width,
