@@ -20,6 +20,7 @@ object SparkEntry {
     PipelineQueries,
     MaintenanceQueries,
     DedupQueries,
+    CrawlQueries,
     SimilarityQueries,
     PqQueries,
     IvfPqQueries,
