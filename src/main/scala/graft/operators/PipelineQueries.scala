@@ -235,6 +235,62 @@ object PipelineQueries extends QueryPack {
         .orderBy("lang")
     }),
 
+    // Training-mix apportionment — the "data recipe" step every
+    // pretraining run executes: given per-source mix WEIGHTS and a
+    // global token BUDGET (one third of the corpus here), split the
+    // budget across sources with the LARGEST-REMAINDER method
+    // (Hamilton apportionment: floor(B·w/W) per source, the leftover
+    // tokens going one each to the largest (B·w) mod W remainders,
+    // ties to the alphabetically-first source) — integer-exact, and
+    // the per-source targets sum to B EXACTLY, which naive independent
+    // rounding cannot guarantee. Each source then fills its target
+    // greedily in deterministic hash order (h60 of doc_id — a seeded
+    // random permutation both engines share), keeping docs while the
+    // running token sum stays within target. Output: per-source
+    // weight, exact target, selected docs/tokens and the membership
+    // checksum. Scale shape: one map-side-combined groupBy for source
+    // totals (a tiny frame where all apportionment math happens), one
+    // per-source window for the greedy fill, one final aggregate —
+    // the corpus is scanned once and shuffled once.
+    "pipeline_token_mix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      val tot = docs.agg(expr("sum(toks) div 3").as("b"))
+      val srcs = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("avail"))
+        .withColumn("w", substring(col("source"), 4, 10).cast("long") % 4 + 1)
+      val wsum = srcs.agg(sum("w").as("wtot"))
+      val appor = srcs.crossJoin(broadcast(tot)).crossJoin(broadcast(wsum))
+        .withColumn("base", expr("b * w div wtot")) // integer division: exact
+        .withColumn("rem", (col("b") * col("w")) % col("wtot"))
+      val leftover = appor.agg((max("b") - sum("base")).as("r"))
+      val targets = appor.crossJoin(broadcast(leftover))
+        .withColumn("rrk", row_number().over(
+          Window.orderBy(col("rem").desc, col("source"))))
+        .withColumn("target_tokens",
+          col("base") + when(col("rrk") <= col("r"), 1L).otherwise(0L))
+        .select("source", "w", "n_docs", "avail", "target_tokens")
+      val fill = Window.partitionBy("source")
+        .orderBy(graft.functions.PortableHash.h60(col("doc_id").cast("string")), col("doc_id"))
+      val sel = docs
+        .withColumn("cum", sum("toks").over(
+          fill.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(broadcast(targets.select("source", "target_tokens")), Seq("source"))
+        .filter(col("cum") <= col("target_tokens"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("sel_docs"), sum("toks").as("sel_tokens"),
+          sum(graft.functions.PortableHash.h60p(col("doc_id").cast("string")))
+            .as("sel_checksum"))
+      targets.join(sel, Seq("source"), "left")
+        .select(col("source"), col("w"), col("n_docs"), col("avail"),
+          col("target_tokens"),
+          coalesce(col("sel_docs"), lit(0L)).as("sel_docs"),
+          coalesce(col("sel_tokens"), lit(0L)).as("sel_tokens"),
+          coalesce(col("sel_checksum"), lit(0L)).as("sel_checksum"))
+        .orderBy("source")
+    }),
+
     // Robust outlier audit — the DQ pass that flags anomalous numeric
     // rows without letting the anomalies poison the threshold (mean/
     // stddev shift under the very outliers they hunt; median/MAD do
@@ -466,6 +522,39 @@ object PipelineQueries extends QueryPack {
                 CAST(SUM(h) AS BIGINT) AS content_sum,
                 MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
          FROM t GROUP BY 1 ORDER BY shard""",
+    "pipeline_token_mix" ->
+      s"""WITH docs AS (SELECT doc_id, source,
+                               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+                        FROM documents),
+            tot AS (SELECT SUM(toks) // 3 AS b FROM docs),
+            srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                            CAST(SUM(toks) AS BIGINT) AS avail,
+                            CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS w
+                     FROM docs GROUP BY 1),
+            ws AS (SELECT SUM(w) AS wtot FROM srcs),
+            ap AS (SELECT source, n_docs, avail, w, b,
+                          (b * w) // wtot AS base, (b * w) % wtot AS rem
+                   FROM srcs CROSS JOIN tot CROSS JOIN ws),
+            lo AS (SELECT MAX(b) - SUM(base) AS r FROM ap),
+            tg AS (SELECT source, w, n_docs, avail,
+                          CAST(base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source) <= r
+                                      THEN 1 ELSE 0 END AS BIGINT) AS target_tokens
+                   FROM ap CROSS JOIN lo),
+            fill AS (SELECT doc_id, source, toks,
+                            SUM(toks) OVER (PARTITION BY source
+                              ORDER BY ${graft.functions.PortableHash.h60Sql("CAST(doc_id AS VARCHAR)")}, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+                     FROM docs),
+            sel AS (SELECT f.source, CAST(COUNT(*) AS BIGINT) AS sel_docs,
+                           CAST(SUM(f.toks) AS BIGINT) AS sel_tokens,
+                           CAST(SUM(${graft.functions.PortableHash.h60pSql("CAST(f.doc_id AS VARCHAR)")}) AS BIGINT) AS sel_checksum
+                    FROM fill f JOIN tg USING (source)
+                    WHERE f.cum <= tg.target_tokens GROUP BY 1)
+          SELECT source, w, n_docs, avail, target_tokens,
+                 COALESCE(sel_docs, 0) AS sel_docs,
+                 COALESCE(sel_tokens, 0) AS sel_tokens,
+                 COALESCE(sel_checksum, 0) AS sel_checksum
+          FROM tg LEFT JOIN sel USING (source) ORDER BY source""",
     "sample_temperature" ->
       s"""WITH nl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
             sq AS (SELECT lang, n_docs, n_docs * 1000000 AS x,
