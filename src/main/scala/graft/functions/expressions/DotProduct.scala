@@ -114,6 +114,10 @@ object GraftFunctions {
   private val cmsAggInfo = new ExpressionInfo(classOf[CmsSketchAgg].getName, "graft_cms_agg")
   private val cmsEstimateInfo = new ExpressionInfo(classOf[CmsEstimate].getName, "graft_cms_estimate")
   private val cmsMergeInfo = new ExpressionInfo(classOf[CmsMergeAgg].getName, "graft_cms_merge")
+  private val kmvAggInfo = new ExpressionInfo(classOf[KmvSketchAgg].getName, "graft_kmv_agg")
+  private val kmvEstimateInfo = new ExpressionInfo(classOf[KmvEstimate].getName, "graft_kmv_estimate")
+  private val kmvMergeInfo = new ExpressionInfo(classOf[KmvMergeAgg].getName, "graft_kmv_merge")
+  private val kmvIntersectInfo = new ExpressionInfo(classOf[KmvIntersect].getName, "graft_kmv_intersect")
 
   /** Idempotently registers graft's native expressions in the session's
     * function registry. (Also injectable globally via
@@ -137,6 +141,14 @@ object GraftFunctions {
       FunctionIdentifier("graft_cms_estimate"), cmsEstimateInfo, cmsEstimateBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_cms_merge"), cmsMergeInfo, cmsMergeBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_kmv_agg"), kmvAggInfo, kmvAggBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_kmv_estimate"), kmvEstimateInfo, kmvEstimateBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_kmv_merge"), kmvMergeInfo, kmvMergeBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_kmv_intersect"), kmvIntersectInfo, kmvIntersectBuilder)
   }
 
   /** Strict arity — `children.head, children(1)` would throw a raw
@@ -214,6 +226,55 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(
       s"graft_cms_merge expects exactly 1 argument, got ${other.size}")
   }
+
+  /** graft_kmv_agg(key) or graft_kmv_agg(key, k) — k must be an integer
+    * literal (it fixes the buffer shape). */
+  private[graft] val kmvAggBuilder: Seq[Expression] => Expression = {
+    case Seq(child) => new KmvSketchAgg(child)
+    case Seq(child, kExpr) =>
+      val k = kExpr match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_kmv_agg: k must be an integer literal, got $other")
+      }
+      KmvSketchAgg(child, k, 0, 0)
+    case other => throw new IllegalArgumentException(
+      s"graft_kmv_agg expects 1 or 2 arguments, got ${other.size}")
+  }
+
+  private[graft] val kmvEstimateBuilder: Seq[Expression] => Expression = {
+    case Seq(child) => KmvEstimate(child)
+    case other => throw new IllegalArgumentException(
+      s"graft_kmv_estimate expects exactly 1 argument, got ${other.size}")
+  }
+
+  private[graft] val kmvMergeBuilder: Seq[Expression] => Expression = {
+    case Seq(child) => new KmvMergeAgg(child)
+    case other => throw new IllegalArgumentException(
+      s"graft_kmv_merge expects exactly 1 argument, got ${other.size}")
+  }
+
+  private[graft] val kmvIntersectBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => KmvIntersect(a, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_kmv_intersect expects exactly 2 arguments, got ${other.size}")
+  }
+
+  /** KMV theta sketch build over a string key column (binary artifact). */
+  def kmvAggCol(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_kmv_agg", c)
+
+  /** Distinct-count estimate from a KMV artifact (exact below k). */
+  def kmvEstimateCol(artifact: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_kmv_estimate", artifact)
+
+  /** Union of KMV artifacts into one (aggregate; see KmvMergeAgg). */
+  def kmvMergeCol(artifact: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_kmv_merge", artifact)
+
+  /** Theta-rule intersection-cardinality estimate of two KMV artifacts. */
+  def kmvIntersectCol(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_kmv_intersect", a, b)
 
   /** Grouped MinHash signature (array<long> of 32 component minima). */
   def minhashSketchCol(c: Column): Column =

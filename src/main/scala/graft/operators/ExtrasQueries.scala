@@ -328,6 +328,64 @@ object ExtrasQueries extends QueryPack {
         .orderBy(col("exact_cnt").desc, col("k"))
     }),
 
+    // KMV theta sketch — the distinct-count sketch with SET ALGEBRA
+    // (what HLL cannot intersect). Unlike q_hll's contract gate, the
+    // estimates here are DuckDB-replayed BIT-EXACTLY: the k smallest
+    // distinct md5-h60 hashes are a deterministic set both engines
+    // derive, and (k−1)·2^60/m is an integer floor-division (HUGEINT
+    // on the oracle side, BigInt in the engine). Per-flag distinct
+    // part keys: exact vs estimate, side by side — the estimate's
+    // accuracy is oracle-visible data, not an assertion.
+    "q_kmv_distinct" -> ((s, d) => {
+      graft.functions.expressions.GraftFunctions.ensureRegistered(s)
+      import graft.functions.expressions.GraftFunctions.{kmvAggCol, kmvEstimateCol}
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("g"), col("l_partkey").cast("string").as("k"))
+        .groupBy("g")
+        .agg(countDistinct("k").as("n_exact"),
+          kmvEstimateCol(kmvAggCol(col("k"))).as("kmv_est"))
+        .orderBy("g")
+    }),
+
+    // KMV set algebra end-to-end: customer sets by order priority band
+    // (A = priorities 1-3, B = 3-5 — overlapping on band 3 plus the
+    // multi-priority customers), each sketched independently; the UNION
+    // estimate comes from graft_kmv_merge over the two artifacts (the
+    // merged artifact must equal the sketch of the pooled key stream —
+    // the mergeability identity), the INTERSECTION from the theta rule.
+    // Exact counts ride along, so the output row shows estimate-vs-
+    // truth for every set operation at once; the oracle replays all
+    // four sketch values from the same hash windows. At sf0.001 both
+    // sides stay under k (the EXACT branch is live); at sf0.01+ the
+    // estimator branch is live — the SF sweep exercises both paths.
+    "q_kmv_overlap" -> ((s, d) => {
+      graft.functions.expressions.GraftFunctions.ensureRegistered(s)
+      import graft.functions.expressions.GraftFunctions._
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").cast("string").as("k"),
+        substring(col("o_orderpriority"), 1, 1).as("p"))
+      val a = o.filter(col("p").isin("1", "2", "3")).select("k")
+      val b = o.filter(col("p").isin("3", "4", "5")).select("k")
+      val ska = a.agg(kmvAggCol(col("k")).as("sk")).select(col("sk").as("ska"))
+      val skb = b.agg(kmvAggCol(col("k")).as("sk")).select(col("sk").as("skb"))
+      val skU = a.agg(kmvAggCol(col("k")).as("sk"))
+        .unionAll(b.agg(kmvAggCol(col("k")).as("sk")))
+        .agg(kmvMergeCol(col("sk")).as("sku"))
+      val exA = a.agg(countDistinct("k").as("n_a_exact"))
+      val exB = b.agg(countDistinct("k").as("n_b_exact"))
+      val exU = a.unionAll(b).agg(countDistinct("k").as("n_union_exact"))
+      val exI = a.distinct().join(b.distinct(), Seq("k"))
+        .agg(count(lit(1)).as("n_inter_exact"))
+      exA.crossJoin(broadcast(exB)).crossJoin(broadcast(exU))
+        .crossJoin(broadcast(exI)).crossJoin(broadcast(ska))
+        .crossJoin(broadcast(skb)).crossJoin(broadcast(skU))
+        .select(
+          col("n_a_exact"), kmvEstimateCol(col("ska")).as("a_est"),
+          col("n_b_exact"), kmvEstimateCol(col("skb")).as("b_est"),
+          col("n_union_exact"), kmvEstimateCol(col("sku")).as("union_est"),
+          col("n_inter_exact"), kmvIntersectCol(col("ska"), col("skb")).as("inter_est"))
+    }),
+
     // Top-k per group via ranking window (distributed: one exchange on the
     // group key; the typed Aggregator equivalent is TopKAggregatorSpec).
     "q_topk_per_group" -> ((s, d) => {
@@ -532,6 +590,68 @@ object ExtrasQueries extends QueryPack {
     // keys the portable seeded family sends to bucket b in row i; the
     // estimate is the min over the key's 4 counters. Width 509 and
     // depth 4 mirror CmsSketch.DefaultWidth/DefaultDepth.
+    // KMV replay: the k smallest distinct h60 hashes are a window rank,
+    // the estimate an exact HUGEINT floor-division — bit-equal to the
+    // engine's BigInt math. 1152921504606846976 = 2^60, the h60 space.
+    "q_kmv_distinct" ->
+      s"""WITH keys AS (SELECT DISTINCT l_returnflag AS g, CAST(l_partkey AS VARCHAR) AS k
+                        FROM lineitem),
+            dh AS (SELECT DISTINCT g, ${graft.functions.PortableHash.h60Sql("k")} AS h FROM keys),
+            r AS (SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rk,
+                         COUNT(*) OVER (PARTITION BY g) AS nd FROM dh),
+            est AS (SELECT g,
+                      CASE WHEN MAX(nd) < 256 THEN CAST(MAX(nd) AS BIGINT)
+                           ELSE CAST(CAST(255 AS HUGEINT) * 1152921504606846976 //
+                                MAX(CASE WHEN rk = 256 THEN h END) AS BIGINT) END AS kmv_est
+                    FROM r GROUP BY g),
+            ex AS (SELECT l_returnflag AS g,
+                          CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact
+                   FROM lineitem GROUP BY 1)
+          SELECT g, n_exact, kmv_est FROM ex JOIN est USING (g) ORDER BY g""",
+    "q_kmv_overlap" ->
+      s"""WITH o AS (SELECT CAST(o_orderkey AS VARCHAR) AS k,
+                            substr(o_orderpriority, 1, 1) AS p FROM orders),
+            a AS (SELECT DISTINCT k FROM o WHERE p IN ('1','2','3')),
+            b AS (SELECT DISTINCT k FROM o WHERE p IN ('3','4','5')),
+            ha AS (SELECT DISTINCT ${graft.functions.PortableHash.h60Sql("k")} AS h FROM a),
+            hb AS (SELECT DISTINCT ${graft.functions.PortableHash.h60Sql("k")} AS h FROM b),
+            ra AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk, COUNT(*) OVER () AS nd FROM ha),
+            rb AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk, COUNT(*) OVER () AS nd FROM hb),
+            ta AS (SELECT CASE WHEN MAX(nd) < 256 THEN 1152921504606846976
+                               ELSE MAX(CASE WHEN rk = 256 THEN h END) END AS th,
+                          CASE WHEN MAX(nd) < 256 THEN CAST(MAX(nd) AS BIGINT)
+                               ELSE CAST(CAST(255 AS HUGEINT) * 1152921504606846976 //
+                                    MAX(CASE WHEN rk = 256 THEN h END) AS BIGINT) END AS a_est
+                   FROM ra),
+            tb AS (SELECT CASE WHEN MAX(nd) < 256 THEN 1152921504606846976
+                               ELSE MAX(CASE WHEN rk = 256 THEN h END) END AS th,
+                          CASE WHEN MAX(nd) < 256 THEN CAST(MAX(nd) AS BIGINT)
+                               ELSE CAST(CAST(255 AS HUGEINT) * 1152921504606846976 //
+                                    MAX(CASE WHEN rk = 256 THEN h END) AS BIGINT) END AS b_est
+                   FROM rb),
+            hu AS (SELECT DISTINCT h FROM (SELECT h FROM ha UNION ALL SELECT h FROM hb)),
+            ru AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk, COUNT(*) OVER () AS nd FROM hu),
+            tu AS (SELECT CASE WHEN MAX(nd) < 256 THEN CAST(MAX(nd) AS BIGINT)
+                               ELSE CAST(CAST(255 AS HUGEINT) * 1152921504606846976 //
+                                    MAX(CASE WHEN rk = 256 THEN h END) AS BIGINT) END AS union_est
+                   FROM ru),
+            th AS (SELECT LEAST(ta.th, tb.th) AS th FROM ta, tb),
+            m AS (SELECT COUNT(*) AS mm FROM
+                    (SELECT h FROM ra WHERE rk <= 256) x
+                    JOIN (SELECT h FROM rb WHERE rk <= 256) y USING (h)
+                    CROSS JOIN th WHERE h < th.th),
+            ii AS (SELECT CASE WHEN th.th = 1152921504606846976 THEN CAST(m.mm AS BIGINT)
+                               ELSE CAST(CAST(m.mm AS HUGEINT) * 1152921504606846976 //
+                                    th.th AS BIGINT) END AS inter_est
+                   FROM m, th),
+            exa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a_exact FROM a),
+            exb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b_exact FROM b),
+            exu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_union_exact FROM
+                      (SELECT k FROM a UNION SELECT k FROM b)),
+            exi AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_inter_exact FROM a JOIN b USING (k))
+          SELECT n_a_exact, a_est, n_b_exact, b_est, n_union_exact, union_est,
+                 n_inter_exact, inter_est
+          FROM exa, exb, exu, exi, ta, tb, tu, ii""",
     "q_cms_freq" -> {
       import graft.functions.PortableHash.h60pSql
       import graft.functions.expressions.CmsSketch

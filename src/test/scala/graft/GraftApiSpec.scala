@@ -345,6 +345,19 @@ class GraftApiSpec extends SparkSpec {
     assert(est1 == est2, "merged per-group sketches must equal the single build")
   }
 
+  test("kmvBuild/kmvUnion/kmvIntersect: exact below k, grouped union merges, overlap exact") {
+    import spark.implicits._
+    val a = (1 to 120).map(i => s"u$i").toDF("k")
+    val b = (100 to 180).map(i => s"u$i").toDF("k")
+    val ska = Graft.kmvBuild(spark, a, "k")
+    val skb = Graft.kmvBuild(spark, b, "k")
+    assert(Graft.kmvUnion(spark, ska).collect()(0).getLong(0) == 120L)
+    // Union of the two artifacts (both exact, pooled distinct = 180).
+    assert(Graft.kmvUnion(spark, ska.unionAll(skb)).collect()(0).getLong(0) == 180L)
+    // Both sketches exact -> the theta-rule intersection is exact: 21.
+    assert(Graft.kmvIntersect(spark, ska, skb).collect()(0).getLong(0) == 21L)
+  }
+
   test("pqFit/pqEncode/pqTopK: the facade pipeline matches the staged sim_pq_adc gate") {
     // Same input, same deterministic fit → the facade's ADC top-10 for
     // vector 0 must equal the oracle-gated sim_pq_adc output.
