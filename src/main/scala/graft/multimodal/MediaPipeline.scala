@@ -4481,4 +4481,239 @@ object MediaPipeline {
       })
       .toDF()
   }
+
+  // ------------------------------- Ogg (RFC 3533 page walk + packet framing)
+  //
+  // The NINTH container: Ogg, the framing layer under Vorbis/Opus/Theora —
+  // what crawled open-web audio actually ships in. Three things make the
+  // walk load-bearing in ways no previous gate covers:
+  //   - Ogg's CRC-32 is NOT zlib's: polynomial 0x04c11db7 applied FORWARD
+  //     (no bit reflection), init 0, no final xor, computed over the whole
+  //     page with the checksum field zeroed. A parser reusing
+  //     java.util.zip.CRC32 fails every page.
+  //   - PACKETS are framed by the lacing table: each segment's lacing
+  //     value is 255 ("packet continues") or < 255 ("packet ends here",
+  //     including 0 for an exact-multiple terminator), so the number of
+  //     COMPLETED packets on a page is the count of sub-255 lacing
+  //     values — arithmetic the fixture varies per page.
+  //   - Packets SPAN pages: a page ending in lacing 255 leaves a packet
+  //     open, and the next page must carry the continuation flag (0x01).
+  //     The walk enforces flag/lacing CONSISTENCY both ways — a flag
+  //     without an open packet, or an open packet without the flag, is
+  //     a framing corruption and refuses.
+  // The walk also requires BOS on page 0, EOS on the last page (trailing
+  // junk after EOS is legal and ignored — the flag decides where the
+  // stream ends, not the buffer length), strictly increasing sequence
+  // numbers, and one serial throughout.
+
+  /** Ogg page CRC (RFC 3533 §6): forward CRC-32, poly 0x04c11db7,
+    * init 0, no reflection, no final xor. Property pins (OggSpec):
+    * crc([0x00]) = 0, crc([0x01]) = the polynomial itself. */
+  private val OggCrcTable: Array[Int] = Array.tabulate(256) { n =>
+    var r = n << 24
+    var i = 0
+    while (i < 8) { r = if ((r & 0x80000000) != 0) (r << 1) ^ 0x04c11db7 else r << 1; i += 1 }
+    r
+  }
+
+  private[graft] def oggCrc(bytes: Array[Byte], from: Int, len: Int): Int = {
+    var r = 0
+    var i = from
+    val end = from + len
+    while (i < end) {
+      r = (r << 8) ^ OggCrcTable(((r >>> 24) ^ (bytes(i) & 0xff)) & 0xff)
+      i += 1
+    }
+    r
+  }
+
+  /** Per-stream audit the Ogg walk extracts: page count, COMPLETED
+    * packet count (lacing semantics), pages carrying a continuation
+    * (spanning packets), total payload bytes, payload byte sum (pins
+    * the payload offsets), a (seq+1)-weighted granule moment (pins the
+    * 64-bit LE granule reads and page order), and the stream serial. */
+  case class OggMeta(doc_id: Long, source: String, bytes: Long,
+                     n_pages: Int, n_packets: Long, n_spanning: Int,
+                     payload_bytes: Long, payload_sum: Long,
+                     granule_moment: Long, serial: Long)
+
+  /** The staged Ogg page model (pure doc_id arithmetic — see the oracle). */
+  def oggPages(id: Long): Int = (1 + id % 4).toInt
+  def oggSerial(id: Long): Long = (id * 7919) % 100000
+  def oggGranule(id: Long, p: Int): Long = (id * 1000 + p * 137) % 100000
+  def oggR1(id: Long, p: Int): Int = ((id + p * 17) % 255).toInt
+  def oggR2(id: Long, p: Int): Int = (1 + (id * 3 + p * 29) % 254).toInt
+  def oggR3(id: Long, p: Int): Int = ((id + p) % 200).toInt
+  def oggOpen(id: Long, p: Int): Boolean = p % 2 == 1 && p < oggPages(id) - 1
+  def oggClosing(id: Long, p: Int): Boolean = p >= 1 && oggOpen(id, p - 1)
+
+  private def oggLacing(id: Long, p: Int): Array[Int] = {
+    val head = if (oggClosing(id, p)) Array(oggR3(id, p)) else Array.emptyIntArray
+    val tail = if (oggOpen(id, p)) Array(255) else Array.emptyIntArray
+    head ++ Array(255, 255, oggR1(id, p), oggR2(id, p)) ++ tail
+  }
+
+  /** A COMPLETE Ogg stream for doc `id`: 1-4 pages with real CRCs,
+    * varied lacing (exact-multiple terminators included when r1 = 0),
+    * cross-page packets with the continuation flag, BOS/EOS, and
+    * `junk` appended after the EOS page (ignored by a correct walk). */
+  def oggFile(id: Long, junk: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val n = oggPages(id)
+    for (p <- 0 until n) {
+      val lace = oggLacing(id, p)
+      val payloadLen = lace.sum
+      val page = java.nio.ByteBuffer.allocate(27 + lace.length + payloadLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      page.put("OggS".getBytes("US-ASCII"))
+      page.put(0.toByte) // version
+      val flags = (if (oggClosing(id, p)) 1 else 0) |
+        (if (p == 0) 2 else 0) | (if (p == n - 1) 4 else 0)
+      page.put(flags.toByte)
+      page.putLong(oggGranule(id, p))
+      page.putInt(oggSerial(id).toInt)
+      page.putInt(p)
+      page.putInt(0) // CRC placeholder
+      page.put(lace.length.toByte)
+      lace.foreach(v => page.put(v.toByte))
+      var i = 0
+      while (i < payloadLen) {
+        page.put((((id * 31 + p * 7 + i) % 251) & 0xff).toByte)
+        i += 1
+      }
+      val arr = page.array()
+      val crc = oggCrc(arr, 0, arr.length)
+      arr(22) = (crc & 0xff).toByte
+      arr(23) = ((crc >> 8) & 0xff).toByte
+      arr(24) = ((crc >> 16) & 0xff).toByte
+      arr(25) = ((crc >> 24) & 0xff).toByte
+      out.write(arr)
+    }
+    out.toByteArray ++ junk
+  }
+
+  private[graft] case class OggFields(nPages: Int, nPackets: Long, nSpanning: Int,
+      payloadBytes: Long, payloadSum: Long, granuleMoment: Long, serial: Long)
+
+  private[graft] def decodeOggFields(media: Array[Byte]): Option[OggFields] = {
+    if (media.length < 27 || media(0) != 'O' || media(1) != 'g' ||
+        media(2) != 'g' || media(3) != 'S') return None
+    def u32(at: Int): Long =
+      (media(at) & 0xffL) | ((media(at + 1) & 0xffL) << 8) |
+      ((media(at + 2) & 0xffL) << 16) | ((media(at + 3) & 0xffL) << 24)
+    def u64(at: Int): Long = u32(at) | (u32(at + 4) << 32)
+    var off = 0
+    var page = 0
+    var open = false // a packet left open by the previous page
+    var serial = -1L
+    var nPackets = 0L
+    var nSpanning = 0
+    var payloadBytes = 0L
+    var payloadSum = 0L
+    var granuleMoment = 0L
+    var sawEos = false
+    while (!sawEos) {
+      if (off + 27 > media.length) return None // ran out before EOS
+      if (media(off) != 'O' || media(off + 1) != 'g' ||
+          media(off + 2) != 'g' || media(off + 3) != 'S') return None
+      if (media(off + 4) != 0) return None // version
+      val flags = media(off + 5) & 0xff
+      val granule = u64(off + 6)
+      val ser = u32(off + 14)
+      val seq = u32(off + 18)
+      val crcStored = u32(off + 22)
+      val nseg = media(off + 26) & 0xff
+      if (off + 27 + nseg > media.length) return None
+      var lsum = 0
+      var completed = 0L
+      var endsOpen = false
+      var i = 0
+      while (i < nseg) {
+        val v = media(off + 27 + i) & 0xff
+        lsum += v
+        if (v < 255) completed += 1
+        endsOpen = v == 255
+        i += 1
+      }
+      val total = 27 + nseg + lsum
+      if (off + total > media.length) return None
+      // CRC over the page with the checksum field zeroed: recompute by
+      // splicing — prefix, four zero bytes, suffix.
+      var crc = oggCrc(media, off, 22)
+      val zero = new Array[Byte](4)
+      crc = {
+        var r = crc
+        var j = 0
+        while (j < 4) {
+          r = (r << 8) ^ OggCrcTable(((r >>> 24) ^ (zero(j) & 0xff)) & 0xff); j += 1
+        }
+        r
+      }
+      crc = {
+        var r = crc
+        var j = off + 26
+        val end = off + total
+        while (j < end) {
+          r = (r << 8) ^ OggCrcTable(((r >>> 24) ^ (media(j) & 0xff)) & 0xff); j += 1
+        }
+        r
+      }
+      if ((crc.toLong & 0xffffffffL) != crcStored) return None
+      // Flag/lacing consistency, sequence and serial continuity.
+      val cont = (flags & 1) != 0
+      if (cont != open) return None
+      if (page == 0 && (flags & 2) == 0) return None
+      if (page > 0 && (flags & 2) != 0) return None
+      if (seq != page.toLong) return None
+      if (serial < 0) serial = ser else if (serial != ser) return None
+      if (cont) nSpanning += 1
+      nPackets += completed
+      payloadBytes += lsum
+      var b = off + 27 + nseg
+      val end = off + total
+      while (b < end) { payloadSum += (media(b) & 0xff); b += 1 }
+      granuleMoment += (page + 1).toLong * granule
+      open = endsOpen
+      sawEos = (flags & 4) != 0
+      if (sawEos && endsOpen) return None // EOS may not leave a packet open
+      off += total
+      page += 1
+    }
+    Some(OggFields(page, nPackets, nSpanning, payloadBytes, payloadSum,
+      granuleMoment, serial))
+  }
+
+  /** Mixed corpus for the Ogg gate: ids % 3 == 2 staged as full Ogg
+    * streams, trailing junk after EOS quoting "OggS"; everything else
+    * bare text (refused by the walk). */
+  def oggTableStaged(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, src, text) =>
+        val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val media =
+          if (id % 3 == 2) oggFile(id, "OggS decoy".getBytes("US-ASCII") ++ payload)
+          else payload
+        MediaRow(id, src, media)
+      })
+      .toDF()
+  }
+
+  /** Ogg decode pass: the walk is the filter, as every gate. */
+  def decodedOgg(s: SparkSession, dir: String): DataFrame =
+    decodedOggOf(s, oggTableStaged(s, dir))
+
+  def decodedOggOf(s: SparkSession, mediaDf: DataFrame): DataFrame = {
+    import s.implicits._
+    mediaDf.as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        decodeOggFields(r.media).map(f =>
+          OggMeta(r.doc_id, r.source, r.media.length.toLong, f.nPages,
+            f.nPackets, f.nSpanning, f.payloadBytes, f.payloadSum,
+            f.granuleMoment, f.serial))
+      })
+      .toDF()
+  }
 }

@@ -255,7 +255,33 @@ object MultimodalQueries extends QueryPack {
           sum(col("exp_den").cast("long")).as("exp_den_sum"),
           sum(col("n_ifds").cast("long")).as("ifds_sum"),
           sum(graft.functions.PortableHash.h60p(col("make"))).as("make_checksum"))
-        .orderBy("source", "endian"))
+        .orderBy("source", "endian")),
+
+    // Ogg page-walk pass — the NINTH container (RFC 3533), the framing
+    // layer under Vorbis/Opus: ids % 3 == 2 staged as 1-4 page streams
+    // with REAL Ogg CRCs (forward 0x04c11db7 — zlib's reflected CRC
+    // fails every page), varied lacing tables (packets completed per
+    // page = sub-255 lacing count, exact-multiple 0-terminators
+    // included), packets SPANNING pages with the continuation flag
+    // enforced consistent both ways, BOS/EOS discipline (trailing junk
+    // after EOS quotes "OggS" — a walk that doesn't stop at the flag
+    // desyncs into the decoy), and a (seq+1)-weighted granule moment
+    // pinning the 64-bit LE reads. The oracle replays the page model
+    // including per-byte payload sums.
+    "mm_ogg_pages" -> ((s, d) =>
+      MediaPipeline.decodedOgg(s, d)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_streams"),
+          sum("bytes").as("total_bytes"),
+          sum(col("n_pages").cast("long")).as("pages_sum"),
+          sum("n_packets").as("packets_sum"),
+          sum(col("n_spanning").cast("long")).as("spanning_sum"),
+          sum("payload_bytes").as("payload_bytes"),
+          sum("payload_sum").as("payload_sum"),
+          sum("granule_moment").as("granule_moment"),
+          sum("serial").as("serial_sum"))
+        .orderBy("source"))
   ) ++ pixelQueries
 
   // Pixel/sample DECODE gates (round 12): the staged payloads are COMPLETE
@@ -657,6 +683,52 @@ object MultimodalQueries extends QueryPack {
                 CAST(COUNT(*) AS BIGINT) AS n_copies,
                 CAST(SUM(strlen(text)) - MAX(strlen(text)) AS BIGINT) AS bytes_reclaimed
          FROM documents GROUP BY md5(text) ORDER BY canonical_id""",
+    // The staged-Ogg page model from doc_id arithmetic: per page p of
+    // stream id, lacing = [r3 if closing] ++ [255,255,r1,r2] ++ [255 if
+    // open], so payload L and completed-packet counts are closed-form;
+    // payload byte i is (id*31+p*7+i) % 251, summed via a lateral range.
+    // Stream bytes = sum(27 + nseg + L) + the 10-byte junk prefix +
+    // strlen(text).
+    "mm_ogg_pages" ->
+      """WITH t AS (SELECT doc_id AS id, source, strlen(text) AS b
+                    FROM documents WHERE doc_id % 3 = 2),
+            pg AS (SELECT id, source, b, unnest(range(1 + id % 4)) AS p,
+                          1 + id % 4 AS n FROM t),
+            m AS (SELECT id, source, b, p, n,
+                         (p % 2 = 1 AND p < n - 1) AS op,
+                         (p % 2 = 0 AND p >= 2) AS cl,
+                         (id + p * 17) % 255 AS r1,
+                         1 + (id * 3 + p * 29) % 254 AS r2,
+                         (id + p) % 200 AS r3,
+                         (id * 1000 + p * 137) % 100000 AS gran
+                  FROM pg),
+            m2 AS (SELECT *, CASE WHEN cl THEN r3 ELSE 0 END + 510 + r1 + r2 +
+                             CASE WHEN op THEN 255 ELSE 0 END AS L,
+                            4 + CASE WHEN cl THEN 1 ELSE 0 END +
+                            CASE WHEN op THEN 1 ELSE 0 END AS nseg
+                   FROM m),
+            ps AS (SELECT id, p, SUM((id * 31 + p * 7 + i) % 251) AS psum
+                   FROM (SELECT id, p, unnest(range(L)) AS i FROM m2)
+                   GROUP BY 1, 2),
+            doc AS (SELECT m2.id, m2.source, MAX(m2.n) AS n_pages,
+                           SUM(2 + CASE WHEN m2.cl THEN 1 ELSE 0 END) AS n_packets,
+                           SUM(CASE WHEN m2.cl THEN 1 ELSE 0 END) AS n_span,
+                           SUM(m2.L) AS pb, SUM(ps.psum) AS psums,
+                           SUM((m2.p + 1) * m2.gran) AS gm,
+                           SUM(27 + m2.nseg + m2.L) AS stream_bytes,
+                           MAX(m2.b) AS b
+                    FROM m2 JOIN ps ON ps.id = m2.id AND ps.p = m2.p
+                    GROUP BY 1, 2)
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_streams,
+                 CAST(SUM(stream_bytes + 10 + b) AS BIGINT) AS total_bytes,
+                 CAST(SUM(n_pages) AS BIGINT) AS pages_sum,
+                 CAST(SUM(n_packets) AS BIGINT) AS packets_sum,
+                 CAST(SUM(n_span) AS BIGINT) AS spanning_sum,
+                 CAST(SUM(pb) AS BIGINT) AS payload_bytes,
+                 CAST(SUM(psums) AS BIGINT) AS payload_sum,
+                 CAST(SUM(gm) AS BIGINT) AS granule_moment,
+                 CAST(SUM((id * 7919) % 100000) AS BIGINT) AS serial_sum
+          FROM doc GROUP BY 1 ORDER BY source""",
     // The staged-TIFF value model from doc_id arithmetic; bytes = 144-byte
     // fixed structure (header 8 + IFD0 78 + EXIF IFD 30 + value area 28)
     // + 18 when the thumbnail IFD1 is chained + 9 junk bytes + strlen.
