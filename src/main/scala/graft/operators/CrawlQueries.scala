@@ -137,7 +137,120 @@ object CrawlQueries extends QueryPack {
       .otherwise(lit("/file.tmpx"))
   }
 
+  /** Closed-form SRT document for doc `id` (see the srt_cues query doc):
+    * 2-5 cues, CRLF line endings on even ids, hour-rollover start times
+    * for ids % 3 != 0, comma-millisecond timestamps, a second text line
+    * on even cues, engineered overlaps (inter-cue gap is exactly
+    * 1500 ms, durations run 800-3199 ms), and a trailing newline on
+    * ids % 3 == 0 so the cue splitter must tolerate it. */
+  private[graft] def srtOf(id: Long): String = {
+    val nl = if (id % 2 == 0) "\r\n" else "\n"
+    val n = (2 + id % 4).toInt
+    def ts(ms: Long): String =
+      f"${ms / 3600000}%02d:${ms / 60000 % 60}%02d:${ms / 1000 % 60}%02d,${ms % 1000}%03d"
+    val cues = (0 until n).map { c =>
+      val start = (id % 3) * 3600000L + id * 211 + c * 1500
+      val dur = 800 + (id * 7 + c * 13) % 2400
+      val l2 = if (c % 2 == 0) nl + "gamma delta" else ""
+      s"${c + 1}$nl${ts(start)} --> ${ts(start + dur)}${nl}cue ${id % 7} alpha beta$l2"
+    }
+    cues.mkString(nl + nl) + (if (id % 3 == 0) nl else "")
+  }
+
   val queries: Map[String, Q] = Map(
+    // SubRip subtitle parsing — the text format video training corpora
+    // pair with their frames (aligned text for ASR/captioning). The
+    // staged SRT exercises what real subtitle files throw at a parser:
+    // CRLF vs LF, comma-millisecond "HH:MM:SS,mmm --> ..." cue lines
+    // with hour rollovers, multi-line cue text, inter-cue OVERLAPS
+    // (common in broadcast subs), and trailing blank lines. The parse
+    // is pure codegen'd expressions (blank-line split, per-field
+    // regexp_extract, line slicing) plus one per-document lag window
+    // for the overlap rule; the oracle replays the closed-form cue
+    // model — a comma/dot slip, a dropped hour field, a CRLF bug or an
+    // off-by-one in the text slice each shifts a sum.
+    "text_srt_cues" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val staged = Tables.documents(s, d)
+        .select(col("doc_id"), col("source")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, src) => (id, src, srtOf(id)) })
+        .toDF("doc_id", "source", "srt")
+      def tsMs(line: org.apache.spark.sql.Column, pre: String): org.apache.spark.sql.Column = {
+        def g(i: Int) = regexp_extract(line,
+          s"$pre(\\d+):(\\d+):(\\d+),(\\d+)", i).cast("long")
+        g(1) * 3600000L + g(2) * 60000L + g(3) * 1000L + g(4)
+      }
+      val cues = staged
+        .select(col("doc_id"), col("source"),
+          explode(split(col("srt"), "\\r?\\n\\r?\\n")).as("seg"))
+        // NOT trim(): Spark's trim strips 0x20 only — the trailing-newline
+        // document would keep a phantom empty line and inflate the
+        // multiline/token counts.
+        .select(col("doc_id"), col("source"),
+          regexp_replace(col("seg"), "^\\s+|\\s+$", "").as("cue"))
+        .filter(col("cue") =!= "")
+        .withColumn("lines", split(col("cue"), "\\r?\\n"))
+        .withColumn("idx", element_at(col("lines"), 1).cast("long"))
+        .withColumn("start_ms", tsMs(element_at(col("lines"), 2), "^"))
+        .withColumn("end_ms", tsMs(element_at(col("lines"), 2), "--> "))
+        .withColumn("text", array_join(expr("slice(lines, 3, 1000)"), " "))
+        .withColumn("n_text_lines", size(col("lines")) - 2)
+        .withColumn("tokens", size(split(col("text"), " ")))
+        .withColumn("prev_end", lag("end_ms", 1).over(
+          Window.partitionBy("doc_id").orderBy("idx")))
+        .withColumn("overlap",
+          coalesce(col("start_ms") < col("prev_end"), lit(false)))
+      cues.groupBy("source")
+        .agg(
+          countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("cues_sum"),
+          sum("idx").as("idx_sum"),
+          sum(col("end_ms") - col("start_ms")).as("dur_sum"),
+          max("end_ms").as("max_end_ms"),
+          sum(when(col("n_text_lines") >= 2, 1L).otherwise(0L)).as("multiline_sum"),
+          sum(when(col("overlap"), 1L).otherwise(0L)).as("overlap_sum"),
+          sum(col("tokens").cast("long")).as("token_sum"))
+        .orderBy("source")
+    }),
+
+    // XML record ingest via Spark 4's native from_xml — the sitemap/
+    // feed shape a crawler consumes. The staged records exercise the
+    // XML features that break naive string parsers: an ATTRIBUTE on
+    // the root element (schema field _id), an ENTITY in element text
+    // (&amp; must decode to & — the checksum is over the DECODED url),
+    // a CDATA section whose raw '<' and '&' are NOT markup, and a
+    // REPEATED element mapped to an array field. The record strings
+    // are pure concat arithmetic; the oracle replays the decoded
+    // model, so from_xml's entity/CDATA/attribute handling is what's
+    // under test.
+    "xml_ingest" -> ((s, d) => {
+      val id = col("doc_id")
+      val tags = when(id % 3 === 0, lit("<t>tag0</t>"))
+        .when(id % 3 === 1, lit("<t>tag0</t><t>tag1</t>"))
+        .otherwise(lit("<t>tag0</t><t>tag1</t><t>tag2</t>"))
+      val xml = concat(
+        lit("<page id=\""), id.cast("string"), lit("\"><loc>http://h"),
+        (id % 5).cast("string"), lit(".example/p"), (id % 9).cast("string"),
+        lit("?a=1&amp;b=2</loc><score>"), (id % 10).cast("string"),
+        lit(".5</score><note><![CDATA[x < y & z]]></note><tags>"),
+        tags, lit("</tags></page>"))
+      val schema = "STRUCT<_id: BIGINT, loc: STRING, score: DOUBLE, " +
+        "note: STRING, tags: STRUCT<t: ARRAY<STRING>>>"
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), xml.as("xml"))
+        .withColumn("r", expr(s"from_xml(xml, '$schema')"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("r._id")).as("id_sum"),
+          sum(PortableHash.h60p(col("r.loc"))).as("loc_checksum"),
+          sum((col("r.score") * 10).cast("long")).as("score_q_sum"),
+          sum(length(col("r.note")).cast("long")).as("note_len_sum"),
+          sum(size(col("r.tags.t")).cast("long")).as("tag_count_sum"))
+        .orderBy("source")
+    }),
+
     // RFC 9309 robots.txt evaluation over a synthetic frontier: six
     // hosts' policies are staged as TEXT (decoy pre-group rule,
     // non-matching otherbot group, mixed-case directives, comments, a
@@ -170,6 +283,49 @@ object CrawlQueries extends QueryPack {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // The cue model replayed from doc_id arithmetic — the oracle never
+    // sees SRT text, so every parsed field (timestamps incl. hours,
+    // indices, text slices, overlap lags) must be re-derived correctly
+    // by the Spark parse for the sums to land.
+    "text_srt_cues" ->
+      """WITH c AS (SELECT doc_id AS id, source, unnest(range(2 + doc_id % 4)) AS c
+                    FROM documents),
+            m AS (SELECT id, source, c,
+                         (id % 3) * 3600000 + id * 211 + c * 1500 AS start_ms,
+                         800 + (id * 7 + c * 13) % 2400 AS dur
+                  FROM c),
+            m2 AS (SELECT id, source, c, dur, start_ms + dur AS end_ms,
+                          CASE WHEN c % 2 = 0 THEN 1 ELSE 0 END AS multi,
+                          4 + CASE WHEN c % 2 = 0 THEN 2 ELSE 0 END AS toks,
+                          CASE WHEN c >= 1 AND (800 + (id * 7 + (c - 1) * 13) % 2400) > 1500
+                               THEN 1 ELSE 0 END AS ovl
+                   FROM m)
+          SELECT source, CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs,
+                 CAST(COUNT(*) AS BIGINT) AS cues_sum,
+                 CAST(SUM(c + 1) AS BIGINT) AS idx_sum,
+                 CAST(SUM(dur) AS BIGINT) AS dur_sum,
+                 CAST(MAX(end_ms) AS BIGINT) AS max_end_ms,
+                 CAST(SUM(multi) AS BIGINT) AS multiline_sum,
+                 CAST(SUM(ovl) AS BIGINT) AS overlap_sum,
+                 CAST(SUM(toks) AS BIGINT) AS token_sum
+          FROM m2 GROUP BY 1 ORDER BY source""",
+    // The DECODED record model: loc carries a raw & (the entity must
+    // decode), note is the CDATA body's 9 characters, scores are exact
+    // halves (x.5 doubles are exact, so the x10 quantization is safe).
+    "xml_ingest" ->
+      s"""WITH m AS (SELECT doc_id AS id, source,
+                            'http://h' || (doc_id % 5) || '.example/p' ||
+                              (doc_id % 9) || '?a=1&b=2' AS loc,
+                            (doc_id % 10) * 10 + 5 AS score_q,
+                            1 + doc_id % 3 AS ntags
+                     FROM documents)
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(id) AS BIGINT) AS id_sum,
+                 CAST(SUM(${PortableHash.h60pSql("loc")}) AS BIGINT) AS loc_checksum,
+                 CAST(SUM(score_q) AS BIGINT) AS score_q_sum,
+                 CAST(SUM(9) AS BIGINT) AS note_len_sum,
+                 CAST(SUM(ntags) AS BIGINT) AS tag_count_sum
+          FROM m GROUP BY 1 ORDER BY source""",
     "crawl_robots_filter" ->
       s"""WITH hosts AS (SELECT unnest(range(6)) AS h),
             rules AS (
