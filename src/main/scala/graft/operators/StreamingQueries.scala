@@ -159,6 +159,7 @@ object StreamingQueries extends QueryPack {
     // the oracle recomputes IN FULL (every counter = sum of colliding
     // keys' exact counts, as q_cms_freq). See EventStreams.runCmsLive.
     "stream_cms_live" -> ((s, d) => EventStreams.runCmsLive(s, d)),
+    "stream_kmv_live" -> ((s, d) => EventStreams.runKmvLive(s, d)),
 
     // The flagship word count executed LIVE as an unbounded-aggregation
     // streaming run (complete-mode state snapshot through foreachBatch;
@@ -320,6 +321,24 @@ object StreamingQueries extends QueryPack {
                  CAST(3 AS BIGINT) AS n_batches
           FROM probes p JOIN est e ON p.k = e.k
           ORDER BY p.exact_cnt DESC, p.k"""
+    },
+    // KMV live: the merged per-batch artifacts are byte-equal to a
+    // single build, so the oracle recomputes the ESTIMATE itself from
+    // the k-smallest-hash window — a dropped or doubled batch shifts
+    // the k-th minimum and hash-fails (stronger than the CMS bound).
+    "stream_kmv_live" -> {
+      import graft.functions.PortableHash.h60Sql
+      s"""WITH dk AS (SELECT DISTINCT CAST(event_id AS VARCHAR) AS k FROM events),
+            dh AS (SELECT DISTINCT ${h60Sql("k")} AS h FROM dk),
+            r AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk,
+                         COUNT(*) OVER () AS nd FROM dh),
+            est AS (SELECT CASE WHEN MAX(nd) < 256 THEN CAST(MAX(nd) AS BIGINT)
+                                ELSE CAST(CAST(255 AS HUGEINT) * 1152921504606846976 //
+                                     MAX(CASE WHEN rk = 256 THEN h END) AS BIGINT) END AS kmv_est
+                    FROM r)
+          SELECT (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) FROM events) AS n_exact,
+                 kmv_est, CAST(3 AS BIGINT) AS n_batches
+          FROM est"""
     },
     // The live complete-mode aggregation must converge to the identical
     // full-corpus count (same oracle as the batch `wordcount` twin).

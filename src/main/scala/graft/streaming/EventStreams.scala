@@ -604,6 +604,73 @@ object EventStreams {
       .orderBy(col("exact_cnt").desc, col("k"))
   }
 
+  /** `stream_kmv_live` — the KMV twin of [[runCmsLive]], and the
+    * stronger gate of the two: each of the three micro-batches builds
+    * its own ≤ 2 KB KMV artifact over the batch's EVENT IDS (unique per
+    * event, so the stream's distinct count is far past k = 256 and the
+    * ESTIMATOR branch is live, not just the exact one), persists it as
+    * one parquet row, and the query-time graft_kmv_merge folds the
+    * per-batch artifacts into the global sketch. KMV's merge identity —
+    * the k smallest of a union are the k smallest of the pooled
+    * k-minimum sets — means the merged artifact is BYTE-equal to a
+    * single whole-stream build, and because every piece of the sketch
+    * is portable md5 math, the DuckDB oracle recomputes the ESTIMATE
+    * ITSELF (not a bound, unlike the CMS gate's min-counter
+    * inequality): a dropped batch, a double-processed batch, or any
+    * merge slip changes the k-th minimum and hash-fails. Scale: O(k)
+    * state per trigger, O(batches · 2 KB) persisted. */
+  def runKmvLive(spark: SparkSession, dataDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import graft.functions.expressions.GraftFunctions
+    val base = Files.createTempDirectory("graft_live_kmv_").toFile.getAbsolutePath
+    trackForCleanup(base)
+    val srcDir = s"$base/src"
+    new java.io.File(srcDir).mkdirs()
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", "4")
+    GraftFunctions.ensureRegistered(sess)
+    val ev = sess.read.parquet(s"$dataDir/events.parquet").select("event_id")
+    val tmp = s"$base/staged"
+    ev.withColumn("b", (col("event_id") % 3).cast("int"))
+      .repartition(3, col("b"))
+      .write.partitionBy("b").parquet(tmp)
+    for (k <- 0 until 3) {
+      val dir = new java.io.File(s"$tmp/b=$k")
+      if (dir.isDirectory) {
+        val parts = dir.listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        if (parts.length != 1)
+          sys.error(s"expected exactly one part file under $tmp/b=$k, found ${parts.length}")
+        Files.move(parts.head.toPath, Paths.get(s"$srcDir/b$k.parquet"))
+      }
+    }
+    rmTree(tmp)
+    val partsDir = s"$base/parts"
+    val stream = sess.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        GraftFunctions.ensureRegistered(batch.sparkSession)
+        if (!batch.isEmpty)
+          batch.agg(GraftFunctions.kmvAggCol(col("event_id").cast("string")).as("kmv"))
+            .withColumn("batch_id", lit(bid))
+            .write.mode("append").parquet(partsDir)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    Seq(srcDir, s"$base/ckpt").foreach(rmTree)
+    val merged = sess.read.parquet(partsDir)
+      .agg(GraftFunctions.kmvMergeCol(col("kmv")).as("kmv"),
+        count(lit(1)).as("n_batches"))
+    val exact = sess.read.parquet(s"$dataDir/events.parquet")
+      .agg(countDistinct(col("event_id")).as("n_exact"))
+    exact.crossJoin(broadcast(merged))
+      .select(col("n_exact"),
+        GraftFunctions.kmvEstimateCol(col("kmv")).as("kmv_est"),
+        col("n_batches"))
+  }
+
   /** Custom state machine via flatMapGroupsWithState (≡ §2.2 J's
     * UDAF-shaped reduce, but incremental): per-user running count +
     * cumulative value, emitted on every update. */
