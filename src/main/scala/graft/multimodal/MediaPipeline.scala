@@ -4683,6 +4683,206 @@ object MediaPipeline {
       granuleMoment, serial))
   }
 
+  // ----------------------- FLAC (STREAMINFO bit-packing + block walk)
+  //
+  // The TENTH container: FLAC, the lossless audio format archival music
+  // and speech corpora ship in. Two traps no earlier gate covers:
+  //   - STREAMINFO's packed bitfields: sample rate (20 bits), channels−1
+  //     (3 bits), bits-per-sample−1 (5 bits) and total samples (36 bits
+  //     — PAST u32, so ids staged above 2^32 samples fail any 32-bit
+  //     read) share 8 bytes with no alignment.
+  //   - The VORBIS_COMMENT block is LITTLE-endian INSIDE an otherwise
+  //     big-endian container (24-bit BE block lengths, BE bitfields) —
+  //     the dual of TIFF's declared-order trap.
+  // The walk honors the is-last block flag (junk after the final block
+  // quotes "fLaC") and requires STREAMINFO first, as the spec mandates.
+
+  /** Staged FLAC value model (pure doc_id arithmetic). */
+  def flacRate(id: Long): Int =
+    Array(8000, 16000, 22050, 44100, 48000, 96000)((id % 6).toInt)
+  def flacChannels(id: Long): Int = (1 + id % 8).toInt
+  def flacBps(id: Long): Int = (8 + (id % 5) * 4).toInt
+  def flacSamples(id: Long): Long =
+    if (id % 4 == 0) 30000000000L + id * 1000 else id * 100000 + 12345
+  def flacPad(id: Long): Int = (id % 50).toInt
+  def flacArtist(id: Long): String = s"artist${id % 5}"
+  def flacAudioMd5(id: Long): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s"flac-$id".getBytes("US-ASCII")).map("%02x".format(_)).mkString
+  }
+
+  /** Typed FLAC metadata the walk extracts. */
+  case class FlacMeta(doc_id: Long, source: String, bytes: Long,
+                      sample_rate: Int, channels: Int, bps: Int,
+                      total_samples: Long, audio_md5: String,
+                      n_blocks: Int, pad_len: Long, vendor: String,
+                      artist: String)
+
+  private[graft] case class FlacFields(rate: Int, channels: Int, bps: Int,
+      samples: Long, md5Hex: String, nBlocks: Int, padLen: Long,
+      vendor: String, artist: String)
+
+  /** REAL FLAC metadata walk: magic, block headers (is-last flag + type
+    * + 24-bit BE length), STREAMINFO required FIRST per spec with its
+    * packed 20/3/5/36-bit fields, PADDING length accounted, and the
+    * VORBIS_COMMENT block decoded with its LITTLE-endian lengths.
+    * Truncation, a non-STREAMINFO first block, or a comment block
+    * whose declared lengths overrun its own boundary refuse. */
+  private[graft] def decodeFlacFields(media: Array[Byte]): Option[FlacFields] = {
+    if (media.length < 8 || media(0) != 'f' || media(1) != 'L' ||
+        media(2) != 'a' || media(3) != 'C') return None
+    def u8(at: Int): Int = media(at) & 0xff
+    def be24(at: Int): Int = (u8(at) << 16) | (u8(at + 1) << 8) | u8(at + 2)
+    def le32(at: Int): Long =
+      (media(at) & 0xffL) | ((media(at + 1) & 0xffL) << 8) |
+      ((media(at + 2) & 0xffL) << 16) | ((media(at + 3) & 0xffL) << 24)
+    var off = 4
+    var first = true
+    var last = false
+    var nBlocks = 0
+    var rate = -1; var ch = -1; var bps = -1
+    var samples = -1L; var md5Hex = ""
+    var padLen = 0L
+    var vendor = ""; var artist = ""
+    while (!last) {
+      if (off + 4 > media.length) return None
+      val hdr = u8(off)
+      last = (hdr & 0x80) != 0
+      val btype = hdr & 0x7f
+      val blen = be24(off + 1)
+      val data = off + 4
+      if (data + blen > media.length) return None
+      if (first && btype != 0) return None // STREAMINFO must be first
+      btype match {
+        case 0 =>
+          if (blen != 34) return None
+          // Packed fields start at data+10: rrrrrrrr rrrrrrrr rrrrccc
+          // bbbbb(hi) then 36-bit total samples.
+          val b10 = u8(data + 10); val b11 = u8(data + 11)
+          val b12 = u8(data + 12); val b13 = u8(data + 13)
+          rate = (b10 << 12) | (b11 << 4) | (b12 >> 4)
+          ch = ((b12 >> 1) & 0x7) + 1
+          bps = (((b12 & 0x1) << 4) | (b13 >> 4)) + 1
+          samples = ((b13 & 0xfL) << 32) | ((u8(data + 14).toLong << 24) |
+            (u8(data + 15).toLong << 16) | (u8(data + 16).toLong << 8) |
+            u8(data + 17).toLong)
+          md5Hex = (18 until 34)
+            .map(i => f"${u8(data + i)}%02x").mkString
+        case 1 => padLen += blen
+        case 4 =>
+          // Vorbis comment: LITTLE-endian lengths inside the BE container.
+          var p = data
+          def need(n: Int): Boolean = p + n <= data + blen
+          if (!need(4)) return None
+          val vlen = le32(p).toInt; p += 4
+          if (!need(vlen)) return None
+          vendor = new String(media, p, vlen, "UTF-8"); p += vlen
+          if (!need(4)) return None
+          val nc = le32(p).toInt; p += 4
+          var c = 0
+          while (c < nc) {
+            if (!need(4)) return None
+            val cl = le32(p).toInt; p += 4
+            if (!need(cl)) return None
+            val kv = new String(media, p, cl, "UTF-8"); p += cl
+            val eq = kv.indexOf('=')
+            if (eq > 0 && kv.substring(0, eq).equalsIgnoreCase("ARTIST"))
+              artist = kv.substring(eq + 1)
+            c += 1
+          }
+        case _ => () // other block types: skip by declared length
+      }
+      nBlocks += 1
+      first = false
+      off = data + blen
+    }
+    if (rate <= 0 || ch <= 0) None
+    else Some(FlacFields(rate, ch, bps, samples, md5Hex, nBlocks, padLen, vendor, artist))
+  }
+
+  /** A COMPLETE FLAC metadata section for doc `id`: STREAMINFO (packed
+    * fields from the value model, audio md5 = md5("flac-id")), a
+    * PADDING block, a VORBIS_COMMENT block (vendor + ARTIST/TITLE
+    * comments, LE lengths) flagged as last, then `junk` (fake frame
+    * data — quotes "fLaC"). */
+  def flacFile(id: Long, junk: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    def blockHeader(last: Boolean, btype: Int, len: Int): Unit = {
+      out.write((if (last) 0x80 else 0) | btype)
+      out.write((len >> 16) & 0xff); out.write((len >> 8) & 0xff); out.write(len & 0xff)
+    }
+    // STREAMINFO
+    blockHeader(last = false, 0, 34)
+    val si = java.nio.ByteBuffer.allocate(34)
+    si.putShort(4096).putShort(4096)           // min/max block size
+    val minF = 1000 + (id % 300).toInt
+    val maxF = 4000 + (id % 800).toInt
+    si.put((minF >> 16).toByte).put((minF >> 8).toByte).put(minF.toByte)
+    si.put((maxF >> 16).toByte).put((maxF >> 8).toByte).put(maxF.toByte)
+    val rate = flacRate(id); val ch = flacChannels(id) - 1
+    val bps = flacBps(id) - 1; val ns = flacSamples(id)
+    si.put((rate >> 12).toByte)
+    si.put(((rate >> 4) & 0xff).toByte)
+    si.put((((rate & 0xf) << 4) | (ch << 1) | (bps >> 4)).toByte)
+    si.put((((bps & 0xf) << 4) | ((ns >> 32) & 0xf).toInt).toByte)
+    si.put(((ns >> 24) & 0xff).toByte).put(((ns >> 16) & 0xff).toByte)
+    si.put(((ns >> 8) & 0xff).toByte).put((ns & 0xff).toByte)
+    si.put(java.security.MessageDigest.getInstance("MD5")
+      .digest(s"flac-$id".getBytes("US-ASCII")))
+    out.write(si.array())
+    // PADDING
+    blockHeader(last = false, 1, flacPad(id))
+    out.write(new Array[Byte](flacPad(id)))
+    // VORBIS_COMMENT (little-endian lengths), flagged LAST
+    val vendor = "graft-flac 1.0".getBytes("UTF-8")
+    val comments = Seq(s"ARTIST=${flacArtist(id)}", s"TITLE=t${id % 7}")
+      .map(_.getBytes("UTF-8"))
+    val vcLen = 4 + vendor.length + 4 + comments.map(4 + _.length).sum
+    blockHeader(last = true, 4, vcLen)
+    def le32w(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    le32w(vendor.length); out.write(vendor)
+    le32w(comments.length)
+    comments.foreach { c => le32w(c.length); out.write(c) }
+    out.toByteArray ++ junk
+  }
+
+  /** Mixed corpus for the FLAC gate: ids % 3 == 0 staged as FLAC
+    * metadata sections (junk after the last block quotes "fLaC");
+    * everything else bare text. */
+  def flacTableStaged(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, src, text) =>
+        val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val media =
+          if (id % 3 == 0) flacFile(id, "fLaC decoy".getBytes("US-ASCII") ++ payload)
+          else payload
+        MediaRow(id, src, media)
+      })
+      .toDF()
+  }
+
+  def decodedFlac(s: SparkSession, dir: String): DataFrame =
+    decodedFlacOf(s, flacTableStaged(s, dir))
+
+  def decodedFlacOf(s: SparkSession, mediaDf: DataFrame): DataFrame = {
+    import s.implicits._
+    mediaDf.as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        decodeFlacFields(r.media).map(f =>
+          FlacMeta(r.doc_id, r.source, r.media.length.toLong, f.rate,
+            f.channels, f.bps, f.samples, f.md5Hex, f.nBlocks, f.padLen,
+            f.vendor, f.artist))
+      })
+      .toDF()
+  }
+
   /** Mixed corpus for the Ogg gate: ids % 3 == 2 staged as full Ogg
     * streams, trailing junk after EOS quoting "OggS"; everything else
     * bare text (refused by the walk). */

@@ -257,6 +257,33 @@ object MultimodalQueries extends QueryPack {
           sum(graft.functions.PortableHash.h60p(col("make"))).as("make_checksum"))
         .orderBy("source", "endian")),
 
+    // FLAC metadata pass — the TENTH container: ids % 3 == 0 staged as
+    // real FLAC metadata sections. The walk decodes STREAMINFO's PACKED
+    // bitfields (20-bit rate / 3-bit channels / 5-bit bps / 36-bit
+    // total samples — ids % 4 == 0 stage counts past 2^32, so a 32-bit
+    // read fails), walks block headers by 24-bit BE length honoring the
+    // is-last flag (junk after it quotes "fLaC"), accounts PADDING, and
+    // decodes the VORBIS_COMMENT block whose lengths are LITTLE-endian
+    // inside the otherwise big-endian container — the dual of TIFF's
+    // declared-order trap. The audio-md5 signature and ARTIST comment
+    // feed checksums; the oracle replays the value model including
+    // md5('flac-' || id).
+    "mm_flac_meta" -> ((s, d) =>
+      MediaPipeline.decodedFlac(s, d)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_flac"),
+          sum("bytes").as("total_bytes"),
+          sum(col("sample_rate").cast("long")).as("rate_sum"),
+          sum(col("channels").cast("long")).as("ch_sum"),
+          sum(col("bps").cast("long")).as("bps_sum"),
+          sum("total_samples").as("samples_sum"),
+          sum("pad_len").as("pad_sum"),
+          sum(col("n_blocks").cast("long")).as("blocks_sum"),
+          sum(graft.functions.PortableHash.h60p(col("audio_md5"))).as("md5_checksum"),
+          sum(graft.functions.PortableHash.h60p(col("artist"))).as("artist_checksum"))
+        .orderBy("source")),
+
     // Ogg page-walk pass — the NINTH container (RFC 3533), the framing
     // layer under Vorbis/Opus: ids % 3 == 2 staged as 1-4 page streams
     // with REAL Ogg CRCs (forward 0x04c11db7 — zlib's reflected CRC
@@ -683,6 +710,35 @@ object MultimodalQueries extends QueryPack {
                 CAST(COUNT(*) AS BIGINT) AS n_copies,
                 CAST(SUM(strlen(text)) - MAX(strlen(text)) AS BIGINT) AS bytes_reclaimed
          FROM documents GROUP BY md5(text) ORDER BY canonical_id""",
+    // The staged-FLAC value model: bytes = 4 magic + 38 STREAMINFO +
+    // (4 + pad) PADDING + 56 VORBIS_COMMENT + 10 junk prefix + strlen.
+    "mm_flac_meta" ->
+      s"""WITH t AS (SELECT doc_id AS id, source, strlen(text) AS b
+                     FROM documents WHERE doc_id % 3 = 0),
+            m AS (SELECT id, source,
+                         CASE CAST(id % 6 AS INT)
+                              WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+                              WHEN 3 THEN 44100 WHEN 4 THEN 48000 ELSE 96000 END AS rate,
+                         1 + id % 8 AS ch,
+                         8 + (id % 5) * 4 AS bps,
+                         CASE WHEN id % 4 = 0 THEN 30000000000 + id * 1000
+                              ELSE id * 100000 + 12345 END AS ns,
+                         id % 50 AS pad,
+                         md5('flac-' || id) AS h,
+                         'artist' || (id % 5) AS artist,
+                         112 + (id % 50) + b AS bytes
+                  FROM t)
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_flac,
+                 CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+                 CAST(SUM(rate) AS BIGINT) AS rate_sum,
+                 CAST(SUM(ch) AS BIGINT) AS ch_sum,
+                 CAST(SUM(bps) AS BIGINT) AS bps_sum,
+                 CAST(SUM(ns) AS BIGINT) AS samples_sum,
+                 CAST(SUM(pad) AS BIGINT) AS pad_sum,
+                 CAST(SUM(3) AS BIGINT) AS blocks_sum,
+                 CAST(SUM(${graft.functions.PortableHash.h60pSql("h")}) AS BIGINT) AS md5_checksum,
+                 CAST(SUM(${graft.functions.PortableHash.h60pSql("artist")}) AS BIGINT) AS artist_checksum
+          FROM m GROUP BY 1 ORDER BY source""",
     // The staged-Ogg page model from doc_id arithmetic: per page p of
     // stream id, lacing = [r3 if closing] ++ [255,255,r1,r2] ++ [255 if
     // open], so payload L and completed-packet counts are closed-form;

@@ -36,6 +36,7 @@ object SourceQueries extends QueryPack {
   private def warcStage(d: String) = Stage.dir(d, "warc")
   private def tarStage(d: String) = Stage.dir(d, "tar")
   private def zipStage(d: String) = Stage.dir(d, "zip")
+  private def pqAuditStage(d: String) = Stage.dir(d, "pq_audit")
 
   val queries: Map[String, Q] = Map(
     // CSV sink → CSV source (header + schema inference) → aggregate.
@@ -432,6 +433,64 @@ object SourceQueries extends QueryPack {
     // Scale shape: one task per shard (the central directory lives at
     // the END, so ZIP is a seekable-blob format, not split-streamable),
     // codegen'd aggregation after.
+    // Parquet FOOTER introspection — the lake-health audit every
+    // compaction/retention planner consumes: row-group/column-chunk
+    // layout, value counts, compression codec, compressed byte totals
+    // and column statistics, read from the FOOTER METADATA (zero data
+    // pages touched). Spark reads footers with parquet-hadoop's
+    // ParquetFileReader in a DISTRIBUTED pass (paths parallelized, one
+    // footer per task — the shape that audits a million-file lake);
+    // the DuckDB oracle reads the very same staged files through its
+    // independent parquet_metadata() reader, so every footer field the
+    // audit reports (chunk counts, value counts, codec, compressed
+    // sizes, the doc_id min/max statistics) is cross-checked by two
+    // unrelated parquet implementations over identical bytes.
+    "parquet_footer_audit" -> ((s, d) => {
+      val stage = pqAuditStage(d)
+      Tables.documents(s, d)
+        .select("doc_id", "lang", "n_chars")
+        .repartition(2, col("doc_id")) // two part files: the audit must aggregate across files
+        .write.mode("overwrite").option("compression", "zstd").parquet(stage)
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      val paths = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted.toSeq
+      val chunks = s.sparkContext
+        .parallelize(paths, math.max(1, math.min(paths.size, 4)))
+        .flatMap { p =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            r.getFooter.getBlocks.asScala.flatMap { bg =>
+              bg.getColumns.asScala.map { cc =>
+                val name = cc.getPath.toDotString
+                val st = cc.getStatistics
+                val (mn, mx) =
+                  if (name == "doc_id" && st != null && st.hasNonNullValue)
+                    (st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+                      st.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+                  else (-1L, -1L)
+                (name, cc.getValueCount, cc.getCodec.name.toLowerCase,
+                  cc.getTotalSize, mn, mx)
+              }.toSeq
+            }
+          } finally r.close()
+        }
+        .toDF("column_name", "nv", "codec", "csize", "mn", "mx")
+      chunks.groupBy("column_name")
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum("nv").as("values_sum"),
+          sum("csize").as("compressed_sum"),
+          min("codec").as("codec"),
+          min(when(col("mn") >= 0, col("mn")).otherwise(lit(null))).as("min_id"),
+          max("mx").as("max_id"))
+        .na.fill(-1L, Seq("min_id"))
+        .orderBy("column_name")
+    }),
+
     "zip_ingest" -> ((s, d) => {
       val e = graft.sources.ZipSource.entries(
         s, graft.sources.ZipSource.stageFixture(zipStage(d)))
@@ -666,6 +725,21 @@ object SourceQueries extends QueryPack {
                           THEN ${graft.functions.PortableHash.h60pSql("keyed")}
                           ELSE 0 END) AS BIGINT) AS ok_checksum
           FROM p GROUP BY 1 ORDER BY site""",
+    // DuckDB's own parquet_metadata() over the SAME staged files Spark's
+    // parquet-hadoop footer scan read — two independent parquet
+    // implementations must agree on every footer field.
+    "parquet_footer_audit" ->
+      s"""SELECT path_in_schema AS column_name,
+                 CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                 CAST(SUM(num_values) AS BIGINT) AS values_sum,
+                 CAST(SUM(total_compressed_size) AS BIGINT) AS compressed_sum,
+                 MIN(lower(compression)) AS codec,
+                 CAST(COALESCE(MIN(CASE WHEN path_in_schema = 'doc_id'
+                       THEN CAST(stats_min_value AS BIGINT) END), -1) AS BIGINT) AS min_id,
+                 CAST(COALESCE(MAX(CASE WHEN path_in_schema = 'doc_id'
+                       THEN CAST(stats_max_value AS BIGINT) END), -1) AS BIGINT) AS max_id
+          FROM parquet_metadata('${pqAuditStage(dataDir)}/*.parquet')
+          GROUP BY 1 ORDER BY column_name""",
     "csv_roundtrip" ->
       s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
                 CAST(SUM(n_chars) AS BIGINT) AS chars,
