@@ -98,7 +98,9 @@ object TextModelQueries extends QueryPack {
       .select(col("doc_id"), col("lang"),
         col("g.c0").as("w1"), col("g.c1").as("w2"))
     val bc = b.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val uc = b.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // Context counts fold from the bigram-type frame — no second pass
+    // over the exploded corpus (bc is vocab²-bounded).
+    val uc = bc.groupBy("w1").agg(sum("c12").as("c1"))
     // V counts distinct tokens over ALL positions (incl. 1-token docs).
     val v = docs
       .select(explode(split(col("text"), " ")).as("w"))
@@ -135,8 +137,11 @@ object TextModelQueries extends QueryPack {
       explode(split(col("text"), " ")).as("w"))
     val cwl = tk.groupBy(col("lang").as("lang_model"), col("w"))
       .agg(count(lit(1)).as("c_wl"))
-    val nl = tk.groupBy(col("lang").as("lang_model")).agg(count(lit(1)).as("n_l"))
-    val vocab = tk.select("w").distinct()
+    // Class token totals and the vocabulary both fold from the tiny
+    // (class × vocab) count frame — one corpus explode feeds the whole
+    // trainer (dt below is the second and last).
+    val nl = cwl.groupBy("lang_model").agg(sum("c_wl").as("n_l"))
+    val vocab = cwl.select("w").distinct()
     val v = vocab.agg(count(lit(1)).as("vsz"))
     val dl = docs.groupBy(col("lang").as("lang_model")).agg(count(lit(1)).as("d_l"))
     val dtot = docs.agg(count(lit(1)).as("d_all"))
