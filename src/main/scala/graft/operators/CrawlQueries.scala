@@ -126,11 +126,14 @@ object CrawlQueries extends QueryPack {
     * ALLOWED because the `*` group no longer applies). */
   private def pathFor(id: org.apache.spark.sql.Column,
       h: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val p = id % 8
+    // (id div 6) decouples the family from the host index (id % 6):
+    // gcd(6, 8) = 2 would otherwise confine each host to same-parity
+    // families and leave half the rules untested per host.
+    val p = expr("doc_id div 6") % 8
     when(p === 0, lit("/index"))
       .when(p === 1, concat(lit("/private"), h, lit("/page")))
       .when(p === 2, concat(lit("/private"), h, lit("/ok/page")))
-      .when(p === 3, concat(lit("/file"), (id % 4).cast("string"), lit(".tmp")))
+      .when(p === 3, concat(lit("/file"), (expr("doc_id div 24") % 4).cast("string"), lit(".tmp")))
       .when(p === 4, concat(lit("/g"), h, lit("/secret")))
       .when(p === 5, concat(lit("/g"), h, lit("/pub/x")))
       .when(p === 6, concat(lit("/a/b"), h))
@@ -251,6 +254,75 @@ object CrawlQueries extends QueryPack {
         .orderBy("source")
     }),
 
+    // The COMPOSED crawl-frontier pipeline — the crawl-side analogue of
+    // pipeline_clean_corpus: sitemap XML records (Spark 4 from_xml, the
+    // &amp; entity live in every loc) → URL canonicalization
+    // (DedupQueries.canonicalUrls undoes scheme/host case, :80 default
+    // ports, doubled slashes, utm_* params and fragments) → exact
+    // frontier dedup on the canonical form (min doc_id representative)
+    // → RFC 9309 robots evaluation of the canonical path against the
+    // same per-host policies as crawl_robots_filter (graftbot groups on
+    // even hosts) → a PER-HOST POLITENESS BUDGET (top-7 by h60 hash
+    // order — the deterministic fetch-queue cut every crawler applies).
+    // Each stage reuses its standalone gate's exact logic, so this pins
+    // the COMPOSITION; the per-host funnel makes every stage's drop
+    // cost auditable in one row. Scale: map-only XML+canonicalization,
+    // one uniform-key dedup groupBy, a broadcast rules join, and one
+    // per-host ranking window over an already-deduped frontier.
+    "crawl_frontier_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val id = col("doc_id")
+      val h = (id % 6).cast("string")
+      // Messy sitemap locs: entity-encoded query ampersand, scheme and
+      // host case noise, default port, a doubled leading slash, utm
+      // params, fragments.
+      val loc = concat(
+        when(id % 3 === 0, lit("HTTP")).otherwise(lit("http")),
+        lit("://"),
+        when(id % 2 === 0, concat(lit("H"), h, lit(".EXAMPLE")))
+          .otherwise(concat(lit("h"), h, lit(".example"))),
+        when(id % 4 === 1, lit(":80")).otherwise(lit("")),
+        when(id % 5 === 0, lit("/")).otherwise(lit("")), // doubles the path's slash
+        pathFor(id, h),
+        lit("?a=1"),
+        when(id % 2 === 0, lit("&amp;utm_source=track")).otherwise(lit("")),
+        when(id % 7 === 0, lit("#frag")).otherwise(lit("")))
+      val xml = concat(lit("<url><loc>"), loc, lit("</loc></url>"))
+      val parsed = Tables.documents(s, d)
+        .select(id.as("doc_id"), xml.as("xml"))
+        .select(col("doc_id"),
+          expr("from_xml(xml, 'STRUCT<loc: STRING>')").getField("loc").as("url"))
+      val canon = graft.operators.DedupQueries.canonicalUrls(parsed)
+      val deduped = canon.groupBy("canonical_url")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dups"))
+        .withColumn("host", expr("parse_url(canonical_url, 'HOST')"))
+        .withColumn("path", expr("parse_url(canonical_url, 'PATH')"))
+      val robots = Tables.documents(s, d)
+        .select((col("doc_id") % 6).as("hh")).distinct()
+        .select(concat(lit("h"), col("hh").cast("string"), lit(".example")).as("host"),
+          robotsText(col("hh")).as("content"))
+      val decided = evalRobots(robots,
+          deduped.select("doc_id", "host", "path"))
+        .join(deduped.select("doc_id", "canonical_url", "n_dups"), Seq("doc_id"))
+      val fetched = decided.filter(col("allowed"))
+        .withColumn("rk", row_number().over(Window.partitionBy("host")
+          .orderBy(PortableHash.h60(col("canonical_url")), col("canonical_url"))))
+        .filter(col("rk") <= 7)
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_fetch"),
+          sum(PortableHash.h60p(col("canonical_url"))).as("fetch_checksum"))
+      decided.groupBy("host")
+        .agg(
+          sum("n_dups").as("n_raw"),
+          count(lit(1)).as("n_canonical"),
+          sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"))
+        .join(fetched, Seq("host"), "left")
+        .select(col("host"), col("n_raw"), col("n_canonical"), col("n_allowed"),
+          coalesce(col("n_fetch"), lit(0L)).as("n_fetch"),
+          coalesce(col("fetch_checksum"), lit(0L)).as("fetch_checksum"))
+        .orderBy("host")
+    }),
+
     // RFC 9309 robots.txt evaluation over a synthetic frontier: six
     // hosts' policies are staged as TEXT (decoy pre-group rule,
     // non-matching otherbot group, mixed-case directives, comments, a
@@ -326,6 +398,61 @@ object CrawlQueries extends QueryPack {
                  CAST(SUM(9) AS BIGINT) AS note_len_sum,
                  CAST(SUM(ntags) AS BIGINT) AS tag_count_sum
           FROM m GROUP BY 1 ORDER BY source""",
+    // The frontier pipeline replayed end-to-end from the model: the
+    // canonical form is closed-form (the noise the canonicalizer must
+    // undo never appears), dedup is a GROUP BY over it, robots reuses
+    // the effective-rule replay, and the budget is the same h60-ranked
+    // top-10 window.
+    "crawl_frontier_pipeline" ->
+      s"""WITH hosts AS (SELECT unnest(range(6)) AS h),
+            rules AS (
+              SELECT h, 'disallow' AS rtype, '/private' || h || '/' AS pat FROM hosts WHERE h % 2 = 1
+              UNION ALL SELECT h, 'allow', '/private' || h || '/ok' FROM hosts WHERE h % 2 = 1
+              UNION ALL SELECT h, 'disallow', '/*.tmp$$' FROM hosts WHERE h % 2 = 1
+              UNION ALL SELECT h, 'disallow', '/g' || h || '/' FROM hosts WHERE h % 2 = 0
+              UNION ALL SELECT h, 'allow', '/g' || h || '/pub*' FROM hosts WHERE h % 2 = 0),
+            rx AS (SELECT h, rtype, length(pat) AS plen,
+                          '^' || CASE WHEN pat LIKE '%$$'
+                                 THEN replace(replace(substr(pat, 1, length(pat) - 1), '.', '[.]'), '*', '(.*)') || '$$'
+                                 ELSE replace(replace(pat, '.', '[.]'), '*', '(.*)') END AS rex
+                   FROM rules),
+            f AS (SELECT doc_id, doc_id % 6 AS h,
+                         CASE CAST((doc_id // 6) % 8 AS INT)
+                              WHEN 0 THEN '/index'
+                              WHEN 1 THEN '/private' || (doc_id % 6) || '/page'
+                              WHEN 2 THEN '/private' || (doc_id % 6) || '/ok/page'
+                              WHEN 3 THEN '/file' || ((doc_id // 24) % 4) || '.tmp'
+                              WHEN 4 THEN '/g' || (doc_id % 6) || '/secret'
+                              WHEN 5 THEN '/g' || (doc_id % 6) || '/pub/x'
+                              WHEN 6 THEN '/a/b' || (doc_id % 6)
+                              ELSE '/file.tmpx' END AS path
+                  FROM documents),
+            ded AS (SELECT 'http://h' || h || '.example' || path || '?a=1' AS canon,
+                           h, path, COUNT(*) AS n_dups
+                    FROM f GROUP BY 1, 2, 3),
+            m AS (SELECT ded.canon, r.rtype,
+                         ROW_NUMBER() OVER (PARTITION BY ded.canon
+                           ORDER BY r.plen DESC, r.rtype) AS rk
+                  FROM ded JOIN rx r ON r.h = ded.h AND regexp_matches(ded.path, r.rex)),
+            dec AS (SELECT ded.canon, ded.h, ded.n_dups,
+                           COALESCE(w.rtype = 'allow', TRUE) AS allowed
+                    FROM ded LEFT JOIN (SELECT canon, rtype FROM m WHERE rk = 1) w
+                    USING (canon)),
+            bud AS (SELECT canon, h,
+                           ROW_NUMBER() OVER (PARTITION BY h
+                             ORDER BY ${PortableHash.h60Sql("canon")}, canon) AS rk
+                    FROM dec WHERE allowed),
+            agg1 AS (SELECT h, CAST(SUM(n_dups) AS BIGINT) AS n_raw,
+                            CAST(COUNT(*) AS BIGINT) AS n_canonical,
+                            CAST(SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed
+                     FROM dec GROUP BY 1),
+            agg2 AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n_fetch,
+                            CAST(SUM(${PortableHash.h60pSql("canon")}) AS BIGINT) AS fetch_checksum
+                     FROM bud WHERE rk <= 7 GROUP BY 1)
+          SELECT 'h' || h || '.example' AS host, n_raw, n_canonical, n_allowed,
+                 CAST(COALESCE(n_fetch, 0) AS BIGINT) AS n_fetch,
+                 CAST(COALESCE(fetch_checksum, 0) AS BIGINT) AS fetch_checksum
+          FROM agg1 LEFT JOIN agg2 USING (h) ORDER BY host""",
     "crawl_robots_filter" ->
       s"""WITH hosts AS (SELECT unnest(range(6)) AS h),
             rules AS (
@@ -340,11 +467,11 @@ object CrawlQueries extends QueryPack {
                                  ELSE replace(replace(pat, '.', '[.]'), '*', '(.*)') END AS rex
                    FROM rules),
             f AS (SELECT doc_id, doc_id % 6 AS h, 'h' || (doc_id % 6) AS host,
-                         CASE CAST(doc_id % 8 AS INT)
+                         CASE CAST((doc_id // 6) % 8 AS INT)
                               WHEN 0 THEN '/index'
                               WHEN 1 THEN '/private' || (doc_id % 6) || '/page'
                               WHEN 2 THEN '/private' || (doc_id % 6) || '/ok/page'
-                              WHEN 3 THEN '/file' || (doc_id % 4) || '.tmp'
+                              WHEN 3 THEN '/file' || ((doc_id // 24) % 4) || '.tmp'
                               WHEN 4 THEN '/g' || (doc_id % 6) || '/secret'
                               WHEN 5 THEN '/g' || (doc_id % 6) || '/pub/x'
                               WHEN 6 THEN '/a/b' || (doc_id % 6)
