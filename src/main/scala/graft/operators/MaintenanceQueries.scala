@@ -230,7 +230,45 @@ object MaintenanceQueries extends QueryPack {
     // = two map-only scans + a 3-row exchange; any dropped, duplicated,
     // or bit-flipped row moves the sum.
     "q_table_checksum" -> ((s, d) =>
-      segmentChecksumOf(Tables.lineitem(s, d)))
+      segmentChecksumOf(Tables.lineitem(s, d))),
+
+    // SNAPSHOT RETENTION planning — the expiry policy every versioned
+    // lake runs (keep recent history dense, older history sparse):
+    // keep the 5 most-recent snapshots by timestamp AND the latest
+    // snapshot of every day; expire the rest and account the reclaimed
+    // bytes. Snapshots are synthesized closed-form (5 per day, 12 days,
+    // within-day timestamps deliberately NON-monotonic in snapshot id,
+    // so "latest of the day" must rank by ts, not id). Two windows —
+    // one global recency rank, one per-day head — and an aggregate:
+    // the plan over a million-snapshot metadata table costs two
+    // small-frame exchanges. The kept-set checksum pins membership
+    // (an off-by-one in either window moves it).
+    "q_retention_plan" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val snaps = Tables.documents(s, d)
+        .filter(col("doc_id") < 60)
+        .select(col("doc_id").as("sid"))
+        .withColumn("day", expr("sid div 5"))
+        .withColumn("ts_sec",
+          col("day") * 86400L + (col("sid") % 5) * 3600L + (col("sid") % 7) * 60L)
+        .withColumn("bytes", lit(1000L) + (col("sid") * 37) % 5000)
+      val planned = snaps
+        .withColumn("recency_rk", row_number().over(
+          Window.orderBy(col("ts_sec").desc, col("sid").desc)))
+        .withColumn("day_rk", row_number().over(
+          Window.partitionBy("day").orderBy(col("ts_sec").desc, col("sid").desc)))
+        .withColumn("keep", col("recency_rk") <= 5 || col("day_rk") === 1)
+      planned.groupBy("day")
+        .agg(
+          count(lit(1)).as("n_snaps"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(!col("keep"), 1L).otherwise(0L)).as("n_expired"),
+          sum(when(!col("keep"), col("bytes")).otherwise(0L)).as("expired_bytes"),
+          coalesce(sum(when(col("keep"),
+            graft.functions.PortableHash.h60p(col("sid").cast("string")))), lit(0L))
+            .as("kept_checksum"))
+        .orderBy("day")
+    })
   )
 
   /** The post-MERGE audit shared by q_merge_upsert and its bucketed
@@ -368,6 +406,24 @@ object MaintenanceQueries extends QueryPack {
     "q_table_checksum" ->
       s"""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
                  CAST(SUM($h60pRow) AS BIGINT) AS content_sum
-          FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""
+          FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "q_retention_plan" ->
+      s"""WITH snaps AS (SELECT doc_id AS sid, doc_id // 5 AS day,
+                                (doc_id // 5) * 86400 + (doc_id % 5) * 3600 + (doc_id % 7) * 60 AS ts_sec,
+                                1000 + (doc_id * 37) % 5000 AS bytes
+                         FROM documents WHERE doc_id < 60),
+            planned AS (SELECT sid, day, bytes,
+                               ROW_NUMBER() OVER (ORDER BY ts_sec DESC, sid DESC) AS recency_rk,
+                               ROW_NUMBER() OVER (PARTITION BY day
+                                 ORDER BY ts_sec DESC, sid DESC) AS day_rk
+                        FROM snaps),
+            k AS (SELECT sid, day, bytes,
+                         (recency_rk <= 5 OR day_rk = 1) AS keep FROM planned)
+          SELECT day, CAST(COUNT(*) AS BIGINT) AS n_snaps,
+                 CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_expired,
+                 CAST(SUM(CASE WHEN keep THEN 0 ELSE bytes END) AS BIGINT) AS expired_bytes,
+                 CAST(COALESCE(SUM(CASE WHEN keep THEN ${graft.functions.PortableHash.h60pSql("CAST(sid AS VARCHAR)")} END), 0) AS BIGINT) AS kept_checksum
+          FROM k GROUP BY 1 ORDER BY day"""
   )
 }

@@ -178,6 +178,33 @@ object SimilarityQueries extends QueryPack {
         .orderBy("vec_id")
     }),
 
+    // HARD-NEGATIVE MINING — the contrastive-training data op (the
+    // "hard negatives" every retrieval/embedding trainer mines): for
+    // each vector, the highest-cosine candidate with a DIFFERENT label
+    // — semantically close yet labeled apart, exactly what the loss
+    // needs. Same scale shape as sim_knn_ivf (IVF-cell equi-join, never
+    // corpus², map-side argmax via max(struct)) with the label
+    // inequality inside the join filter, so mismatched-label pruning
+    // happens before the aggregate. Vectors whose cell holds no
+    // other-label candidate drop out (standard mining semantics; the
+    // oracle replays the same blocked computation).
+    "sim_hard_negatives" -> ((s, d) => {
+      val assigned = ivfScoredAssignment(s, d, nprobe = 1).drop("rk")
+        .join(vecs(s, d).select(col("vec_id"), col("label")), Seq("vec_id"))
+      val a = assigned.select(col("cluster"), col("vec_id").as("qid"),
+        col("label").as("qlab"), col("v"), col("nrm"))
+      val b = assigned.select(col("cluster"), col("vec_id").as("cid2"),
+        col("label").as("clab"), col("v").as("w"), col("nrm").as("wnrm"))
+      a.join(b, Seq("cluster"))
+        .filter(col("qid") =!= col("cid2") && col("qlab") =!= col("clab"))
+        .withColumn("cos", cosExpr / (col("nrm") * col("wnrm")))
+        .groupBy("qid")
+        .agg(max(struct(col("cos"), (-col("cid2")).as("negid"))).as("m"))
+        .select(col("qid").as("vec_id"), (-col("m.negid")).as("neg_id"),
+          round6(col("m.cos")).as("cos"))
+        .orderBy("vec_id")
+    }),
+
     // The PERSISTED-index deployment path for IVF kNN: the scored
     // assignment is written ONCE as a parquet table bucketed on
     // `cluster` (FileSources.writeBucketed — build offline, amortized
@@ -426,6 +453,25 @@ object SimilarityQueries extends QueryPack {
           SELECT vec_id, nn_id, FLOOR(cos*1000000 + 0.5)/1000000 AS cos
           FROM ranked WHERE rk = 1 ORDER BY vec_id""",
     "sim_knn_ivf" -> knnIvfSql(dataDir),
+    "sim_hard_negatives" ->
+      s"""WITH $vecsSqlCte,
+            ${centSqlCte(dataDir)},
+            asg AS (SELECT vec_id, label, v, nrm, cid AS cluster FROM (
+                      SELECT a.vec_id, a.label, a.v, a.nrm, c.cid,
+                             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                               ORDER BY ${cosSql("a.v", "c.w")} / (a.nrm * c.wnrm) DESC, c.cid) AS rk
+                      FROM n a, cent c) WHERE rk = 1),
+            pairs AS (SELECT a.vec_id, b.vec_id AS neg_id,
+                             ${cosSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+                      FROM asg a JOIN asg b
+                        ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+                           AND a.label <> b.label),
+            ranked AS (SELECT vec_id, neg_id, cos,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, neg_id) AS rk
+                       FROM pairs)
+          SELECT vec_id, neg_id, FLOOR(cos*1000000 + 0.5)/1000000 AS cos
+          FROM ranked WHERE rk = 1 ORDER BY vec_id""",
     // Identical SQL on purpose: the bucketed-table round-trip must be
     // result-invariant — only the physical layout (and the probe plan's
     // exchange count) differs.
