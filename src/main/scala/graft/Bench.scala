@@ -181,10 +181,16 @@ object Bench {
     // Spark decodes the same blocks in ~0.2 s through the typed
     // mapPartitions path), text_quality_rules 0.05,
     // dedup_contamination_ngram 0.31. Composition: 64.0 + 6.0 = 70.0.
+    // Fourth-session re-derivation (223 SQLs): the 17 additions cost
+    // 1.312 s of three-draw DuckDB minima (largest: sim_hard_negatives
+    // 0.23, mm_ogg_pages 0.17 — its oracle materializes per-byte
+    // payload sums via lateral range, text_lm_perplexity 0.17,
+    // text_nb_classify 0.16; the rest ≤ 0.14 each).
+    // Composition: 70.0 + 1.3 = 71.3.
     // Env overrides for re-derived denominators; the fallback keeps
     // `vs_baseline` on the driver's line, which sets no env. Only
     // meaningful at sf0.1.
-    val FallbackBaselineSec = 70.0
+    val FallbackBaselineSec = 71.3
     val baselineEnv = sys.env.get("SPARK_GRAFT_BASELINE_SEC")
     val baselineParsed = baselineEnv
       .flatMap(s => scala.util.Try(s.toDouble).toOption)

@@ -97,7 +97,20 @@ object Explain {
     // quality-rule battery (pure map-only scan → one small groupBy),
     // and the ADPCM codec gate (typed mapPartitions decode → codegen'd
     // aggregate, the pixel-gate plan family).
-    "dedup_contamination_ngram", "text_quality_rules", "mm_wav_adpcm")
+    "dedup_contamination_ngram", "text_quality_rules", "mm_wav_adpcm",
+    // round 15 fourth session: the statistical-LM filters (two wide
+    // exchanges + broadcast model join), the KMV sketch set algebra
+    // (map-side 2 KB buffers + broadcast artifacts), the composed
+    // crawl-frontier funnel (map-only XML+canonicalize → dedup groupBy
+    // → broadcast rules join → per-host window), hard-negative mining
+    // (IVF-cell equi-join + map-side argmax), the apportioned token
+    // mix (tiny apportionment frame + one per-source fill window), and
+    // the distributed parquet-footer scan.
+    "text_lm_perplexity", "text_nb_classify", "q_kmv_distinct",
+    "q_kmv_overlap", "crawl_frontier_pipeline", "sim_hard_negatives",
+    "pipeline_token_mix", "parquet_footer_audit", "text_srt_cues",
+    "mm_exif_meta", "mm_ogg_pages", "mm_flac_meta", "zip_ingest",
+    "xml_ingest", "q_retention_plan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
