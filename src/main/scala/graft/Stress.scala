@@ -708,7 +708,36 @@ object Stress {
     }
     println(f"[stress] compaction: 100k files, $cpBins bins, $cpSec%.2f s, max-file/target ratio ${manMax * 8.0 / manTotal}%.2f")
 
-    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"embed_ivf_10x":{"vecs":$embDocs,"nlist16_sec":$iv,"nlist16_pairs":$niv,"nlist128_sec":$iv2,"nlist128_pairs":$niv2},"pq_adc_10x":{"vecs":$nPqCodes,"fit_sec":$pqFitSec,"encode_sec":$pqEncSec,"adc_scan_sec":$pqScanSec,"exact_scan_sec":$pqExactSec,"code_bytes_per_vec":8,"float_bytes_per_vec":256},"codebook_hot_vector":{"vecs":$nAdv,"clones":$hotClones,"fit_sec":$fitSec,"nonempty_cells":$nonEmptyCells,"max_cell_share":$maxCellShare,"neardup_sec":$advSec,"neardup_pairs":$nAdvPairs,"planted_pairs":$plantedPairs},"bloom_10x":{"orders":$nOrd,"smj_sec":$sj,"smj_rows":$nsj,"probe_sec":$bp,"probe_rows":$nbp,"verify_sec":$bv,"verify_rows":$nbv},"ingest_many_files":{"files":$ingestN,"hidden_frac":0.333,"sec":$ingestSec,"words":${ingested.size},"fold_match":true},"skew_join_hot":{"hot_rows":$hotRows,"buckets_hit":${buckets.size},"max_bucket_rows":$maxBucket,"salted_sec":$saltSec,"plain_sec":$plainSec,"match":true},"span_hot_gram":{"docs":$tenxDocs,"plain_sec":$spSec,"plain_rows":$spRows,"hot_sec":$shSec,"hot_rows":$shRows,"min_shared_windows":$minShared},"incremental_ingest":{"batch_rows":$nBatch,"corpus_docs":$tenxDocs,"new_docs":$incNew,"expected_new":$expectedNew,"sec":$incSec,"match":true},"stream_state":[${ssRes.map(ssJson).mkString(",")}],"pixel_decode":{"bmp_1x":{"imgs":$npd1,"sec":$pd1},"bmp_10x":{"imgs":$npd10,"sec":$pd10},"png_1x":{"imgs":$npg1,"sec":$pg1},"png_10x":{"imgs":$npg10,"sec":$pg10,"staged_bytes":$pngBytes10},"gif_1x":{"imgs":$ngf1,"sec":$gf1},"gif_10x":{"imgs":$ngf10,"sec":$gf10,"staged_bytes":$gifBytes10}},"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2},"warc_parse":{"shards":200,"records":$warcRecs,"bytes":$warcBytes,"sec":$warcSec,"clean":true},"pagerank_hot_hub":{"edges":$nEdges,"nodes":$prNodes,"hub_degree":$starLeaves,"iters":3,"sec":$prSec,"hub_is_top":true,"leaf_rank_values":1,"ring_rank_values":1},"compaction_manifest":{"files":100000,"bins":$cpBins,"sec":$cpSec,"bytes_conserved":true,"fill_bound_holds":true},"maintenance_10x":{"orders_10x":$nOrd10,"merge_1x_sec":$mg1,"merge_10x_sec":$mg10,"checksum_1x_sec":$ck1Sec,"checksum_10x_sec":$ck10Sec,"accounting_match":true,"sums_move_under_key_shift":true},"merge_hot_batch":{"snapshot_rows":$mhSnapRows,"batch_rows":$mhBatchRows,"hot_rows":$mhHotRows,"uniform_sec":$mhuSec,"uniform_rows":$mhuRows,"raw_hot_sec":$mhhSec,"raw_hot_rows":$mhhRows,"aqe_fullouter_skew_split":false,"compacted_hot_sec":$mhcSec,"compacted_rows_out":$mhcRows,"compacted_batch_keys":$mhCompactRows,"lww_match":true},"bpe_learn_10x":{"merges":10,"sec_1x":$bl1,"sec_10x":$bl10,"table_identical":true,"counts_x10":true}}""")
+    // KMV theta sketch at 10× distinct keys: exact countDistinct shuffles
+    // every distinct key; the sketch ships one 2 KB buffer per task. The
+    // honest read on this cache-resident size (like pq_adc_10x): both
+    // finish in seconds — the sketch's claim is the ~2 KB mergeable
+    // artifact (persistable per shard, unionable, intersectable)
+    // replacing a key-space shuffle, plus the measured estimate error
+    // against the guaranteed RSE band.
+    graft.functions.expressions.GraftFunctions.ensureRegistered(spark)
+    val kmvKeys = spark.range(10)
+      .crossJoin(Tables.lineitem(spark, sfDir).select(col("l_orderkey")))
+      .select(concat(col("l_orderkey").cast("string"), lit("#"), col("id")).as("k"))
+      .localCheckpoint()
+    var kmvExact = 0L
+    val (kexSec, _) = time("kmv 10x exact countDistinct", {
+      kmvExact = kmvKeys.agg(countDistinct("k")).head().getLong(0); kmvExact
+    })
+    var kmvEst = 0L
+    val (kskSec, _) = time("kmv 10x sketch estimate", {
+      kmvEst = kmvKeys
+        .agg(expr("graft_kmv_estimate(graft_kmv_agg(k))")).head().getLong(0)
+      kmvEst
+    })
+    val kmvErrPpm = math.abs(kmvEst - kmvExact) * 1000000L / kmvExact
+    // 4 relative standard errors at k=256 ≈ 25%; a correct sketch sits
+    // far inside it (observed ~a few %).
+    require(kmvErrPpm < 250000L,
+      s"kmv estimate $kmvEst vs exact $kmvExact: error ${kmvErrPpm}ppm past 4 RSE")
+    println(f"[stress] kmv_10x: exact $kmvExact%,d in $kexSec%.2f s, sketch est $kmvEst%,d in $kskSec%.2f s, err ${kmvErrPpm / 10000.0}%.2f%%")
+
+    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"embed_ivf_10x":{"vecs":$embDocs,"nlist16_sec":$iv,"nlist16_pairs":$niv,"nlist128_sec":$iv2,"nlist128_pairs":$niv2},"pq_adc_10x":{"vecs":$nPqCodes,"fit_sec":$pqFitSec,"encode_sec":$pqEncSec,"adc_scan_sec":$pqScanSec,"exact_scan_sec":$pqExactSec,"code_bytes_per_vec":8,"float_bytes_per_vec":256},"codebook_hot_vector":{"vecs":$nAdv,"clones":$hotClones,"fit_sec":$fitSec,"nonempty_cells":$nonEmptyCells,"max_cell_share":$maxCellShare,"neardup_sec":$advSec,"neardup_pairs":$nAdvPairs,"planted_pairs":$plantedPairs},"bloom_10x":{"orders":$nOrd,"smj_sec":$sj,"smj_rows":$nsj,"probe_sec":$bp,"probe_rows":$nbp,"verify_sec":$bv,"verify_rows":$nbv},"ingest_many_files":{"files":$ingestN,"hidden_frac":0.333,"sec":$ingestSec,"words":${ingested.size},"fold_match":true},"skew_join_hot":{"hot_rows":$hotRows,"buckets_hit":${buckets.size},"max_bucket_rows":$maxBucket,"salted_sec":$saltSec,"plain_sec":$plainSec,"match":true},"span_hot_gram":{"docs":$tenxDocs,"plain_sec":$spSec,"plain_rows":$spRows,"hot_sec":$shSec,"hot_rows":$shRows,"min_shared_windows":$minShared},"incremental_ingest":{"batch_rows":$nBatch,"corpus_docs":$tenxDocs,"new_docs":$incNew,"expected_new":$expectedNew,"sec":$incSec,"match":true},"stream_state":[${ssRes.map(ssJson).mkString(",")}],"pixel_decode":{"bmp_1x":{"imgs":$npd1,"sec":$pd1},"bmp_10x":{"imgs":$npd10,"sec":$pd10},"png_1x":{"imgs":$npg1,"sec":$pg1},"png_10x":{"imgs":$npg10,"sec":$pg10,"staged_bytes":$pngBytes10},"gif_1x":{"imgs":$ngf1,"sec":$gf1},"gif_10x":{"imgs":$ngf10,"sec":$gf10,"staged_bytes":$gifBytes10}},"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2},"warc_parse":{"shards":200,"records":$warcRecs,"bytes":$warcBytes,"sec":$warcSec,"clean":true},"pagerank_hot_hub":{"edges":$nEdges,"nodes":$prNodes,"hub_degree":$starLeaves,"iters":3,"sec":$prSec,"hub_is_top":true,"leaf_rank_values":1,"ring_rank_values":1},"compaction_manifest":{"files":100000,"bins":$cpBins,"sec":$cpSec,"bytes_conserved":true,"fill_bound_holds":true},"maintenance_10x":{"orders_10x":$nOrd10,"merge_1x_sec":$mg1,"merge_10x_sec":$mg10,"checksum_1x_sec":$ck1Sec,"checksum_10x_sec":$ck10Sec,"accounting_match":true,"sums_move_under_key_shift":true},"merge_hot_batch":{"snapshot_rows":$mhSnapRows,"batch_rows":$mhBatchRows,"hot_rows":$mhHotRows,"uniform_sec":$mhuSec,"uniform_rows":$mhuRows,"raw_hot_sec":$mhhSec,"raw_hot_rows":$mhhRows,"aqe_fullouter_skew_split":false,"compacted_hot_sec":$mhcSec,"compacted_rows_out":$mhcRows,"compacted_batch_keys":$mhCompactRows,"lww_match":true},"bpe_learn_10x":{"merges":10,"sec_1x":$bl1,"sec_10x":$bl10,"table_identical":true,"counts_x10":true},"kmv_10x":{"distinct_keys":$kmvExact,"exact_sec":$kexSec,"sketch_sec":$kskSec,"estimate":$kmvEst,"err_ppm":$kmvErrPpm,"artifact_bytes":2056}}""")
     spark.stop()
   }
 }

@@ -1174,6 +1174,53 @@ object DedupQueries extends QueryPack {
         .orderBy("va", "vb")
     }),
 
+    // SemDeDup (Abbas et al. 2023) — the published SEMANTIC dedup recipe
+    // verbatim: cluster the embeddings (the shared IVF k-means
+    // assignment, strictly one cell each — the paper blocks by cluster),
+    // connect within-cluster pairs above the cosine threshold into
+    // semantic-duplicate GROUPS (connected components — pointer-jumping
+    // min-label, the dedup_components machinery over the new pair set),
+    // and keep ONE representative per group: the member LEAST similar
+    // to its centroid (the paper's diversity-keeping rule; round6'd
+    // cosine + vec_id as the deterministic total order). Per-cluster
+    // audit: members, groups, dropped count and the kept-set checksum.
+    // Scale shape: pairs are Σ cells² (never corpus²), components run
+    // on the sparse above-threshold edge list, and the representative
+    // choice is one window over groups.
+    "dedup_semdedup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dot = graft.functions.expressions.GraftFunctions.dotCol _
+      val cent = IvfCodebook.centroids(s, d)
+      val scored = SimilarityQueries.ivfScoredAssignment(s, d, nprobe = 1)
+      val withC = scored.join(broadcast(cent), scored("cluster") === cent("cid"))
+        .withColumn("ccos",
+          round6(dot(col("v"), col("w")) / (col("nrm") * col("wnrm"))))
+        .select(col("vec_id"), col("cluster"), col("v"), col("nrm"), col("ccos"))
+      val a = withC.select(col("cluster"), col("vec_id").as("qa"),
+        col("v").as("v_a"), col("nrm").as("nrm_a"))
+      val b = withC.select(col("cluster"), col("vec_id").as("qb"),
+        col("v").as("v_b"), col("nrm").as("nrm_b"))
+      val pairs = a.join(b, Seq("cluster"))
+        .filter(col("qa") < col("qb"))
+        .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+        .filter(col("cos") >= 0.4)
+        .select(col("qa").as("da"), col("qb").as("db"))
+      val labels = componentLabelsFromPairs(pairs.localCheckpoint(eager = false))
+      val grouped = withC.join(labels, withC("vec_id") === labels("id"), "left")
+        .withColumn("grp", coalesce(col("lbl"), col("vec_id")))
+      val ranked = grouped.withColumn("rk2", row_number().over(
+        Window.partitionBy("grp").orderBy(col("ccos").asc, col("vec_id").asc)))
+      ranked.groupBy("cluster")
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          countDistinct("grp").as("n_groups"),
+          (count(lit(1)) - countDistinct("grp")).as("n_dropped"),
+          coalesce(sum(when(col("rk2") === 1,
+            graft.functions.PortableHash.h60p(col("vec_id").cast("string")))), lit(0L))
+            .as("kept_checksum"))
+        .orderBy("cluster")
+    }),
+
     "dedup_embed_ivf" -> ((s, d) => {
       val dot = graft.functions.expressions.GraftFunctions.dotCol _
       val e = SimilarityQueries.vecs(s, d)
@@ -1670,6 +1717,49 @@ object DedupQueries extends QueryPack {
                   FROM cand c JOIN n x ON c.va = x.vec_id JOIN n y ON c.vb = y.vec_id)
           SELECT va, vb, FLOOR(cos*1000000 + 0.5)/1000000 AS cos FROM p
           WHERE cos >= 0.4 ORDER BY va, vb""",
+    // The SemDeDup replay: same assignment CTE, intra-cluster pairs at
+    // the threshold, components via a recursive CTE, and the same
+    // (round6 ccos, vec_id) representative order.
+    "dedup_semdedup" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              n AS (SELECT vec_id, v,
+                           sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+                    FROM e),
+              ${SimilarityQueries.centSqlCte(dataDir)},
+              sc AS (SELECT a.vec_id, a.v, a.nrm, c.cid,
+                            list_reduce(list_transform(range(64), i -> a.v[i + 1] * c.w[i + 1]),
+                                        (x, y) -> x + y) / (a.nrm * c.wnrm) AS ccos_raw,
+                            ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                              ORDER BY list_reduce(list_transform(range(64), i -> a.v[i + 1] * c.w[i + 1]),
+                                                   (x, y) -> x + y) / (a.nrm * c.wnrm) DESC, c.cid) AS rk
+                     FROM n a, cent c),
+              asg AS (SELECT vec_id, v, nrm, cid AS cluster,
+                             FLOOR(ccos_raw*1000000 + 0.5)/1000000 AS ccos
+                      FROM sc WHERE rk = 1),
+              pr AS (SELECT x.vec_id AS da, y.vec_id AS db
+                     FROM asg x JOIN asg y
+                       ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+                     WHERE list_reduce(list_transform(range(64), i -> x.v[i + 1] * y.v[i + 1]),
+                                       (u, t) -> u + t) / (x.nrm * y.nrm) >= 0.4),
+              cedges AS (SELECT da AS a, db AS b FROM pr
+                         UNION SELECT db, da FROM pr
+                         UNION SELECT da, da FROM pr
+                         UNION SELECT db, db FROM pr),
+              reach(a, b) AS (SELECT a, b FROM cedges
+                              UNION SELECT r.a, e2.b FROM reach r JOIN cedges e2 ON r.b = e2.a),
+              comp AS (SELECT a AS id, MIN(b) AS lbl FROM reach GROUP BY a),
+              g AS (SELECT asg.vec_id, asg.cluster, asg.ccos,
+                           COALESCE(comp.lbl, asg.vec_id) AS grp
+                    FROM asg LEFT JOIN comp ON comp.id = asg.vec_id),
+              r AS (SELECT vec_id, cluster, grp,
+                           ROW_NUMBER() OVER (PARTITION BY grp ORDER BY ccos, vec_id) AS rk2
+                    FROM g)
+          SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                 CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups,
+                 CAST(COUNT(*) - COUNT(DISTINCT grp) AS BIGINT) AS n_dropped,
+                 CAST(COALESCE(SUM(CASE WHEN rk2 = 1 THEN ${graft.functions.PortableHash.h60pSql("CAST(vec_id AS VARCHAR)")} END), 0) AS BIGINT) AS kept_checksum
+          FROM r GROUP BY 1 ORDER BY cluster""",
     "dedup_embed_ivf" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                     FROM embeddings),
