@@ -1586,6 +1586,66 @@ object MediaPipeline {
     paths
   }
 
+  // ---- WebDataset AUDIO shards (the mm_wds_audio_pipeline fixture) ----
+  //
+  // The audio twin of [[wdsShard]]: 12 tar shards of WAV + JSON sample
+  // members. The WAV payloads draw from a POOL of 10 distinct PCM
+  // streams (aid = 4·((f·3 + i·5) % 10) — multiples of 4 so
+  // [[pcmChannels]] mixes mono and stereo), so identical audio recurs
+  // across shards and the content-dedup stage has real work.
+
+  def wdsAudioFixtureFiles(dir: String): Seq[String] =
+    (0 until 12).map(f => f"$dir/wdsa$f%02d.tar")
+
+  private[graft] def wdsAudioShard(f: Int): Array[Byte] = {
+    import graft.sources.TarSource.{archive, member}
+    val ms = Seq.newBuilder[Array[Byte]]
+    ms += member(s"d$f/", '5', Array.emptyByteArray)
+    (0 until (4 + f % 3)).foreach { i =>
+      val key = f * 100 + i
+      val aid = 4L * ((f * 3 + i * 5) % 10)
+      ms += member(s"d$f/a$key.wav", '0', pcmWav(aid))
+      ms += member(s"d$f/a$key.json", '0',
+        s"""{"k":$key,"aid":$aid}""".getBytes("US-ASCII"))
+    }
+    archive(ms.result())
+  }
+
+  def stageWdsAudioFixture(dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    val marker = new java.io.File(d, "_STAGED_WDS_AUDIO_V1")
+    val paths = wdsAudioFixtureFiles(dir)
+    if (!marker.exists()) {
+      d.mkdirs()
+      paths.zipWithIndex.foreach { case (p, f) =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(p), wdsAudioShard(f))
+      }
+      marker.createNewFile(): Unit
+    }
+    paths
+  }
+
+  /** One decoded WAV member row (the [[DecodedPcm]] statistics keyed by
+    * shard + member name) — the audio twin of decodedPngMembers. */
+  case class WavMemberStats(file: String, name: String, n_samples: Long,
+                            sum_abs: Long, sum_sq: Long, max_s: Int,
+                            min_s: Int, channels: Int, mom0: Long, mom1: Long)
+
+  /** WAV sample decode over a TarSource.members-shaped frame: the decode
+    * is the filter (JSON sidecars and non-WAV members drop out). */
+  def decodedWavMembers(s: SparkSession, members: DataFrame): DataFrame = {
+    import s.implicits._
+    members
+      .select(col("file"), col("name"), col("data"))
+      .as[(String, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (file, name, data) =>
+        decodeWavPcm(data).map(p =>
+          WavMemberStats(file, name, p.nSamples, p.sumAbs, p.sumSq,
+            p.maxS, p.minS, p.channels, p.mom0, p.mom1))
+      })
+      .toDF()
+  }
+
   /** PPM pixel-decode pass, same contract as [[decodedBmpPixels]]. */
   def decodedPpmPixels(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -284,6 +284,52 @@ object MultimodalQueries extends QueryPack {
           sum(graft.functions.PortableHash.h60p(col("artist"))).as("artist_checksum"))
         .orderBy("source")),
 
+    // The WebDataset AUDIO pipeline — the audio twin of mm_wds_pipeline,
+    // proving the arrival-format path for SOUND: tar shards → member
+    // walk (one task per shard) → REAL 16-bit PCM WAV decode as the
+    // filter stage (JSON sidecars drop out; mono and stereo both live
+    // via the aid pool) → per-member sample statistics incl. the
+    // sum-of-squares energy and channel-aware moments → content dedup
+    // on the decoded-PCM signature (the WAV pool repeats across shards,
+    // so the dedup genuinely drops copies). Per-site funnel: members →
+    // wav count → decoded stats → uniques/dups/canonical checksum. The
+    // oracle replays the shard model and the pcmSample arithmetic.
+    "mm_wds_audio_pipeline" -> ((s, d) => {
+      val paths = MediaPipeline.stageWdsAudioFixture(graft.Stage.dir(d, "wds_audio"))
+      def site(c: org.apache.spark.sql.Column) = concat(lit("s"),
+        (regexp_extract(c, "wdsa(\\d+)\\.tar", 1).cast("int") % 4).cast("string"))
+      val m = graft.sources.TarSource.members(s, paths)
+        .filter(col("typeflag") === "0")
+        .withColumn("site", site(col("file")))
+        .localCheckpoint(eager = false) // member audit + decode share one walk
+      val memberAgg = m.groupBy("site").agg(
+        count(lit(1)).as("n_members"),
+        sum(when(col("name").endsWith(".wav"), 1L).otherwise(0L)).as("n_wav"))
+      val dec = MediaPipeline.decodedWavMembers(s, m)
+        .withColumn("site", site(col("file")))
+        .localCheckpoint(eager = false) // audit + dedup share one decode
+      val decAgg = dec.groupBy("site").agg(
+        count(lit(1)).as("n_decoded"),
+        sum("n_samples").as("samples_total"),
+        sum("sum_abs").as("abs_total"),
+        sum("sum_sq").as("energy_total"),
+        sum("mom0").as("mom0_total"),
+        sum(col("channels").cast("long")).as("ch_total"))
+      val canon = dec
+        .groupBy("n_samples", "sum_abs", "sum_sq", "mom0", "mom1", "channels")
+        .agg(min("name").as("cname"), count(lit(1)).as("n_copies"))
+      val dedupAgg = canon
+        .join(dec.select(col("name").as("cname"), col("site")), Seq("cname"))
+        .groupBy("site").agg(
+          count(lit(1)).as("n_uniq"),
+          sum(col("n_copies") - 1).as("n_dups_dropped"),
+          sum(graft.functions.PortableHash.h60p(col("cname"))).as("canon_checksum"))
+      memberAgg.join(decAgg, Seq("site"))
+        .join(dedupAgg, Seq("site"), "left")
+        .na.fill(0L, Seq("n_uniq", "n_dups_dropped", "canon_checksum"))
+        .orderBy("site")
+    }),
+
     // Ogg page-walk pass — the NINTH container (RFC 3533), the framing
     // layer under Vorbis/Opus: ids % 3 == 2 staged as 1-4 page streams
     // with REAL Ogg CRCs (forward 0x04c11db7 — zlib's reflected CRC
@@ -710,6 +756,60 @@ object MultimodalQueries extends QueryPack {
                 CAST(COUNT(*) AS BIGINT) AS n_copies,
                 CAST(SUM(strlen(text)) - MAX(strlen(text)) AS BIGINT) AS bytes_reclaimed
          FROM documents GROUP BY md5(text) ORDER BY canonical_id""",
+    // The WDS-audio model: shard f carries 4+(f%3) samples, each a WAV
+    // from the 10-stream pool (aid = 4·((f·3+i·5)%10)); per-aid stats
+    // replay pcmSample over frames × channels; dedup groups by the same
+    // decoded-stats tuple the Spark side keys on.
+    "mm_wds_audio_pipeline" ->
+      s"""WITH sh AS (SELECT unnest(range(12)) AS f),
+            mem AS (SELECT f, unnest(range(4 + f % 3)) AS i FROM sh),
+            w AS (SELECT f, i, f * 100 + i AS key,
+                         4 * ((f * 3 + i * 5) % 10) AS aid FROM mem),
+            pool AS (SELECT DISTINCT aid FROM w),
+            dims AS (SELECT aid, (aid % 50) + 10 AS n,
+                            ((aid // 4) % 2) + 1 AS ch FROM pool),
+            fr AS (SELECT aid, n, ch, unnest(range(n)) AS fi FROM dims),
+            sp AS (SELECT aid, n, ch, fi, unnest(range(ch)) AS cc FROM fr),
+            sv AS (SELECT aid, n, ch, fi, cc,
+                          ((aid * 7 + fi * 31 + cc * 17) % 65521) - 32760 AS s
+                   FROM sp),
+            stats AS (SELECT aid, MAX(n * ch) AS n_samples,
+                             SUM(ABS(s)) AS sum_abs, SUM(s * s) AS sum_sq,
+                             SUM(CASE WHEN cc = 0 THEN fi * s ELSE 0 END) AS mom0,
+                             SUM(CASE WHEN cc = 1 THEN fi * s ELSE 0 END) AS mom1,
+                             MAX(ch) AS channels
+                      FROM sv GROUP BY aid),
+            rows_ AS (SELECT w.f, 's' || (w.f % 4) AS site,
+                             'd' || w.f || '/a' || w.key || '.wav' AS name,
+                             st.n_samples, st.sum_abs, st.sum_sq, st.mom0,
+                             st.mom1, st.channels
+                      FROM w JOIN stats st USING (aid)),
+            ma AS (SELECT site, CAST(COUNT(*) * 2 AS BIGINT) AS n_members,
+                          CAST(COUNT(*) AS BIGINT) AS n_wav
+                   FROM rows_ GROUP BY 1),
+            da AS (SELECT site, CAST(COUNT(*) AS BIGINT) AS n_decoded,
+                          CAST(SUM(n_samples) AS BIGINT) AS samples_total,
+                          CAST(SUM(sum_abs) AS BIGINT) AS abs_total,
+                          CAST(SUM(sum_sq) AS BIGINT) AS energy_total,
+                          CAST(SUM(mom0) AS BIGINT) AS mom0_total,
+                          CAST(SUM(channels) AS BIGINT) AS ch_total
+                   FROM rows_ GROUP BY 1),
+            canon AS (SELECT n_samples, sum_abs, sum_sq, mom0, mom1, channels,
+                             MIN(name) AS cname, COUNT(*) AS n_copies
+                      FROM rows_ GROUP BY 1, 2, 3, 4, 5, 6),
+            ded AS (SELECT r.site, c.cname, c.n_copies
+                    FROM canon c JOIN rows_ r ON r.name = c.cname),
+            dd AS (SELECT site, CAST(COUNT(*) AS BIGINT) AS n_uniq,
+                          CAST(SUM(n_copies - 1) AS BIGINT) AS n_dups_dropped,
+                          CAST(SUM(${graft.functions.PortableHash.h60pSql("cname")}) AS BIGINT) AS canon_checksum
+                   FROM ded GROUP BY 1)
+          SELECT site, n_members, n_wav, n_decoded, samples_total, abs_total,
+                 energy_total, mom0_total, ch_total,
+                 CAST(COALESCE(n_uniq, 0) AS BIGINT) AS n_uniq,
+                 CAST(COALESCE(n_dups_dropped, 0) AS BIGINT) AS n_dups_dropped,
+                 CAST(COALESCE(canon_checksum, 0) AS BIGINT) AS canon_checksum
+          FROM ma JOIN da USING (site) LEFT JOIN dd USING (site)
+          ORDER BY site""",
     // The staged-FLAC value model: bytes = 4 magic + 38 STREAMINFO +
     // (4 + pad) PADDING + 56 VORBIS_COMMENT + 10 junk prefix + strlen.
     "mm_flac_meta" ->
