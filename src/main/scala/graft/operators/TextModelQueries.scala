@@ -65,6 +65,35 @@ object TextModelQueries extends QueryPack {
     // order-independent h60p checksum pinning WHICH docs were flagged.
     "text_lm_perplexity" -> ((s, d) => lmPerplexityAudit(s, Tables.documents(s, d))),
 
+    // The CCNet head/middle/tail split — what the perplexity score is
+    // FOR: rank every document by its LM micro-average logprob
+    // (q_sum·1e6 div n_bi — integer division of already-quantized
+    // sums, so the ranking key is BIGINT on both engines; doc_id breaks
+    // exact ties) and cut the corpus into three equal-count buckets
+    // with ntile. head = most fluent (highest avg logprob), tail =
+    // most surprising; downstream mixing samples head-heavy. Output:
+    // per (lang, bucket) counts, token mass and the membership
+    // checksum — a one-doc boundary shift anywhere hash-fails. One
+    // corpus-wide ntile window: the global sort a real pipeline runs
+    // once per corpus snapshot.
+    "text_lm_buckets" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // The ranking key negates q_sum first so the integer division runs
+      // on POSITIVES — Spark's `div` truncates toward zero while
+      // DuckDB's `//` floors, and they only agree above zero. Ascending
+      // surprisal = descending fluency, so bucket 1 is the head.
+      val ds = lmDocScores(s, Tables.documents(s, d))
+        .withColumn("surprisal", expr("(-q_sum) * 1000000 div n_bi"))
+        .withColumn("bucket", ntile(3).over(
+          Window.orderBy(col("surprisal").asc, col("doc_id"))))
+      ds.groupBy("lang", "bucket")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_bi").as("bigram_mass"),
+          sum(PortableHash.h60p(col("doc_id").cast("string"))).as("member_checksum"))
+        .orderBy("lang", "bucket")
+    }),
+
     // Multinomial Naive Bayes over the labeled corpus (label = lang).
     // Train: per-class token likelihoods with add-1 smoothing over the
     // SHARED vocabulary grid (every (w, class) pair scored, zero counts
@@ -88,7 +117,10 @@ object TextModelQueries extends QueryPack {
     * exposed so NbClassifierSpec can plant a gibberish document (all
     * singleton bigrams) in a repetitive corpus and pin that the flag
     * catches exactly it. */
-  private[graft] def lmPerplexityAudit(s: SparkSession, docs: DataFrame): DataFrame = {
+  /** Per-document LM scores — (doc_id, lang, n_bi, q_sum) — the frame
+    * both text_lm_perplexity (tail flag) and text_lm_buckets (ntile
+    * split) consume. */
+  private[graft] def lmDocScores(s: SparkSession, docs: DataFrame): DataFrame = {
     val t = docs
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
@@ -110,9 +142,13 @@ object TextModelQueries extends QueryPack {
         floor(log((col("c12") + lit(1.0)) / (col("c1") + col("vsz"))) * Q))
       .select("w1", "w2", "q")
     val db = b.groupBy("doc_id", "lang", "w1", "w2").agg(count(lit(1)).as("k"))
-    val ds = db.join(broadcast(lm), Seq("w1", "w2"))
+    db.join(broadcast(lm), Seq("w1", "w2"))
       .groupBy("doc_id", "lang")
       .agg(sum("k").as("n_bi"), sum(col("k") * col("q")).as("q_sum"))
+  }
+
+  private[graft] def lmPerplexityAudit(s: SparkSession, docs: DataFrame): DataFrame = {
+    val ds = lmDocScores(s, docs)
     val tot = ds.agg(sum("n_bi").as("nn"), sum("q_sum").as("qq"))
     ds.crossJoin(broadcast(tot))
       .withColumn("flagged",
@@ -199,6 +235,31 @@ object TextModelQueries extends QueryPack {
                  CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
                  CAST(COALESCE(SUM(CASE WHEN flagged THEN ${PortableHash.h60pSql("CAST(doc_id AS VARCHAR)")} END), 0) AS BIGINT) AS flagged_checksum
           FROM f GROUP BY lang ORDER BY lang""",
+
+    "text_lm_buckets" ->
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+                     WHERE len(string_split(text, ' ')) >= 2),
+            b AS (SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2
+                  FROM (SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i FROM t)),
+            bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY 1, 2),
+            uc AS (SELECT w1, SUM(c12) AS c1 FROM bc GROUP BY 1),
+            v AS (SELECT COUNT(DISTINCT w) AS vsz FROM
+                    (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+            lm AS (SELECT bc.w1, bc.w2,
+                          CAST(FLOOR(ln((c12 + 1.0) / (c1 + vsz)) * $Q) AS BIGINT) AS q
+                   FROM bc JOIN uc USING (w1) CROSS JOIN v),
+            db AS (SELECT doc_id, lang, w1, w2, COUNT(*) AS k FROM b GROUP BY 1, 2, 3, 4),
+            ds AS (SELECT doc_id, lang, CAST(SUM(k) AS BIGINT) AS n_bi,
+                          CAST(SUM(k * q) AS BIGINT) AS q_sum
+                   FROM db JOIN lm USING (w1, w2) GROUP BY 1, 2),
+            rk AS (SELECT doc_id, lang, n_bi,
+                          NTILE(3) OVER (ORDER BY ((-q_sum) * 1000000) // n_bi, doc_id) AS bucket
+                   FROM ds)
+          SELECT lang, CAST(bucket AS INT) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_bi) AS BIGINT) AS bigram_mass,
+                 CAST(SUM(${PortableHash.h60pSql("CAST(doc_id AS VARCHAR)")}) AS BIGINT) AS member_checksum
+          FROM rk GROUP BY 1, 2 ORDER BY lang, bucket""",
 
     "text_nb_classify" ->
       s"""WITH tk AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
