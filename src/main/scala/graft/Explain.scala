@@ -110,7 +110,13 @@ object Explain {
     "q_kmv_overlap", "crawl_frontier_pipeline", "sim_hard_negatives",
     "pipeline_token_mix", "parquet_footer_audit", "text_srt_cues",
     "mm_exif_meta", "mm_ogg_pages", "mm_flac_meta", "zip_ingest",
-    "xml_ingest", "q_retention_plan")
+    "xml_ingest", "q_retention_plan",
+    // round 15 fourth session close: SemDeDup (IVF-blocked pairs →
+    // iterative components → representative window), the WDS audio
+    // funnel (tar walk → typed PCM decode → dedup join-back), and the
+    // perplexity-bucket split (one corpus-wide ntile window over the
+    // shared LM score frame).
+    "dedup_semdedup", "mm_wds_audio_pipeline", "text_lm_buckets")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
