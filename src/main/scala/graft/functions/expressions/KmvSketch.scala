@@ -174,7 +174,16 @@ case class KmvMergeAgg(
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
-    if (v == null) buf else union(buf, v.asInstanceOf[Array[Byte]])
+    if (v == null) buf
+    else {
+      // USER data validates unconditionally — a zero-length binary from
+      // a truncated artifact column must refuse loudly, not pass as an
+      // empty sketch. (union's isEmpty shortcut stays for merge(): an
+      // empty INTERNAL buffer from a row-less partition is legitimate.)
+      val art = v.asInstanceOf[Array[Byte]]
+      KmvSketch.validate(art, "graft_kmv_merge")
+      union(buf, art)
+    }
   }
 
   override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = union(b1, b2)

@@ -4831,19 +4831,26 @@ object MediaPipeline {
         case 1 => padLen += blen
         case 4 =>
           // Vorbis comment: LITTLE-endian lengths inside the BE container.
+          // Lengths are validated as LONGS before any Int narrowing — a
+          // declared length ≥ 2^31 must refuse (decode-is-the-filter),
+          // not go negative and throw out of the task.
           var p = data
-          def need(n: Int): Boolean = p + n <= data + blen
+          def need(n: Long): Boolean = n >= 0 && p + n <= data + blen
           if (!need(4)) return None
-          val vlen = le32(p).toInt; p += 4
-          if (!need(vlen)) return None
+          val vlenL = le32(p); p += 4
+          if (!need(vlenL)) return None
+          val vlen = vlenL.toInt
           vendor = new String(media, p, vlen, "UTF-8"); p += vlen
           if (!need(4)) return None
-          val nc = le32(p).toInt; p += 4
+          val ncL = le32(p); p += 4
+          if (ncL < 0 || ncL > blen) return None
+          val nc = ncL.toInt
           var c = 0
           while (c < nc) {
             if (!need(4)) return None
-            val cl = le32(p).toInt; p += 4
-            if (!need(cl)) return None
+            val clL = le32(p); p += 4
+            if (!need(clL)) return None
+            val cl = clL.toInt
             val kv = new String(media, p, cl, "UTF-8"); p += cl
             val eq = kv.indexOf('=')
             if (eq > 0 && kv.substring(0, eq).equalsIgnoreCase("ARTIST"))

@@ -39,13 +39,21 @@ object CrawlQueries extends QueryPack {
     * Returns (doc_id, host, path, allowed). */
   private[graft] def evalRobots(robots: DataFrame, frontier: DataFrame): DataFrame = {
     val byLine = Window.partitionBy("host").orderBy("ln")
+    // CRLF discipline: real robots.txt files routinely ship \r\n, and
+    // Spark's trim() strips 0x20 ONLY — splitting on bare \n would
+    // leave every agent token and pattern carrying a trailing \r, no
+    // group would ever match, and the left-join default would FAIL
+    // OPEN (everything allowed). Split tolerates \r\n and the trims
+    // are whitespace-regexps, not trim().
+    def wtrim(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "^\\s+|\\s+$", "")
     val lines = robots
-      .select(col("host"), posexplode(split(col("content"), "\n")).as(Seq("ln", "raw")))
-      .withColumn("line", trim(regexp_replace(col("raw"), "#.*", "")))
+      .select(col("host"), posexplode(split(col("content"), "\\r?\\n")).as(Seq("ln", "raw")))
+      .withColumn("line", wtrim(regexp_replace(col("raw"), "#.*", "")))
       .filter(col("line") =!= "")
       .withColumn("directive",
         lower(regexp_extract(col("line"), "^([A-Za-z-]+)\\s*:", 1)))
-      .withColumn("value", trim(regexp_extract(col("line"), ":(.*)$", 1)))
+      .withColumn("value", wtrim(regexp_extract(col("line"), ":(.*)$", 1)))
       .withColumn("is_ua", col("directive") === "user-agent")
       .withColumn("new_group",
         col("is_ua") && !coalesce(lag("is_ua", 1).over(byLine), lit(false)))
@@ -67,13 +75,20 @@ object CrawlQueries extends QueryPack {
       .join(groups.select("host", "gid", "is_bot", "is_star"), Seq("host", "gid"))
       .join(hostHasBot, Seq("host"))
       .filter((col("has_bot") && col("is_bot")) || (!col("has_bot") && col("is_star")))
+      // Pattern → regex: per RFC 9309 only '*' (any octets) and a
+      // TRAILING '$' (end anchor) are special; everything else is
+      // literal. Escape every non-[a-zA-Z0-9/*] character — so '?',
+      // '(', '[', '{', '+', '.', a MID-pattern '$', etc. all match
+      // literally and can never produce an invalid regex — then expand
+      // '*'. (The earlier dot-only escape let a real-world
+      // "Disallow: /*?sessionid=" turn '?' into a quantifier.)
       .withColumn("rex", concat(
         lit("^"),
         regexp_replace(
           regexp_replace(
             when(col("pat").endsWith("$"),
               expr("substring(pat, 1, length(pat) - 1)")).otherwise(col("pat")),
-            "\\.", "[.]"),
+            "([^a-zA-Z0-9/*])", "\\\\$1"),
           "\\*", "(.*)"),
         when(col("pat").endsWith("$"), lit("$")).otherwise(lit(""))))
       .select(col("host"), col("rtype"), col("pat"), col("rex"),

@@ -249,8 +249,12 @@ object MaintenanceQueries extends QueryPack {
         .filter(col("doc_id") < 60)
         .select(col("doc_id").as("sid"))
         .withColumn("day", expr("sid div 5"))
+        // (sid·7919) % 5 hours: genuinely NON-monotonic in sid within a
+        // day (7919 ≡ 4 mod 5, so the hour runs 0,4,3,2,1 across the
+        // day's five snapshots) — an implementation ranking by sid
+        // instead of ts produces a DIFFERENT daily head and fails.
         .withColumn("ts_sec",
-          col("day") * 86400L + (col("sid") % 5) * 3600L + (col("sid") % 7) * 60L)
+          col("day") * 86400L + ((col("sid") * 7919) % 5) * 3600L + (col("sid") % 7) * 60L)
         .withColumn("bytes", lit(1000L) + (col("sid") * 37) % 5000)
       val planned = snaps
         .withColumn("recency_rk", row_number().over(
@@ -409,7 +413,7 @@ object MaintenanceQueries extends QueryPack {
           FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
     "q_retention_plan" ->
       s"""WITH snaps AS (SELECT doc_id AS sid, doc_id // 5 AS day,
-                                (doc_id // 5) * 86400 + (doc_id % 5) * 3600 + (doc_id % 7) * 60 AS ts_sec,
+                                (doc_id // 5) * 86400 + ((doc_id * 7919) % 5) * 3600 + (doc_id % 7) * 60 AS ts_sec,
                                 1000 + (doc_id * 37) % 5000 AS bytes
                          FROM documents WHERE doc_id < 60),
             planned AS (SELECT sid, day, bytes,

@@ -53,9 +53,10 @@ object TextModelQueries extends QueryPack {
     //   p(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + V)
     // where c(w1·) counts w1 as bigram CONTEXT (positions 1..n-1) and V
     // is the corpus-wide distinct-token count. Per-doc score = sum of
-    // quantized bigram logprobs over OCCURRENCES; the flag is the
-    // integer cross-multiplication
-    //   q_sum * N * 10 < Q_tot * n_bi * 11
+    // quantized bigram logprobs over OCCURRENCES; the flag compares
+    // integer micro-average SURPRISALS (negated logprobs — positive,
+    // so both engines' integer division agrees):
+    //   doc_micro · 10 > corp_micro · 11
     // i.e. "this doc's avg logprob is below 1.1× the corpus average"
     // (logprobs are negative: 1.1× the average means noticeably more
     // surprising than typical — the filter CCNet applies at the
@@ -150,9 +151,18 @@ object TextModelQueries extends QueryPack {
   private[graft] def lmPerplexityAudit(s: SparkSession, docs: DataFrame): DataFrame = {
     val ds = lmDocScores(s, docs)
     val tot = ds.agg(sum("n_bi").as("nn"), sum("q_sum").as("qq"))
+    // Overflow-safe threshold: the naive cross-multiplication
+    // q_sum·nn·10 < qq·n_bi·11 exceeds int64 once the corpus carries
+    // ~10^9 bigrams. Instead compare per-mille MICRO-AVERAGES on
+    // NEGATED (positive) values — Spark div truncates toward zero and
+    // DuckDB // floors, agreeing only above zero. doc_micro is safe to
+    // ~20M-token documents; corp_micro splits the division so the
+    // remainder term bounds at nn·10^6, safe to ~10^12 corpus bigrams.
     ds.crossJoin(broadcast(tot))
-      .withColumn("flagged",
-        col("q_sum") * col("nn") * 10 < col("qq") * col("n_bi") * 11)
+      .withColumn("doc_micro", expr("(-q_sum) * 1000000 div n_bi"))
+      .withColumn("corp_micro",
+        expr("((-qq) div nn) * 1000000 + ((-qq) % nn) * 1000000 div nn"))
+      .withColumn("flagged", col("doc_micro") * 10 > col("corp_micro") * 11)
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -227,7 +237,8 @@ object TextModelQueries extends QueryPack {
             tot AS (SELECT CAST(SUM(n_bi) AS BIGINT) AS nn,
                            CAST(SUM(q_sum) AS BIGINT) AS qq FROM ds),
             f AS (SELECT doc_id, lang, n_bi, q_sum,
-                         (q_sum * nn * 10 < qq * n_bi * 11) AS flagged
+                         (((-q_sum) * 1000000) // n_bi) * 10 >
+                           (((-qq) // nn) * 1000000 + (((-qq) % nn) * 1000000) // nn) * 11 AS flagged
                   FROM ds CROSS JOIN tot)
           SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
                  CAST(SUM(n_bi) AS BIGINT) AS n_bigrams,

@@ -125,6 +125,10 @@ object ZipSource {
       val lMethod = u16(bytes, lo + 8)
       val lnLen = u16(bytes, lo + 26)
       val lxLen = u16(bytes, lo + 28)
+      // Bound the local name/extra reads BEFORE touching them: a corrupt
+      // offset pointing near EOF with a large declared name length must
+      // refuse (the salvage contract), not throw out of the task.
+      if (lo + 30 + lnLen + lxLen > bytes.length) return (out.result(), false)
       if (lMethod != method || lFlags != flags ||
           new String(bytes, lo + 30, lnLen, "US-ASCII") != name)
         return (out.result(), false)

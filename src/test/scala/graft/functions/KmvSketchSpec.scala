@@ -66,6 +66,14 @@ class KmvSketchSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       KmvSketch.estimate(Array[Byte](1, 2, 3))
     }
+    // A zero-length binary in the DATA is a truncated artifact, not an
+    // empty sketch — graft_kmv_merge must refuse it like any garbage.
+    GraftFunctions.ensureRegistered(spark)
+    val exEmpty = intercept[Exception] {
+      Seq(Array.emptyByteArray).toDF("sk")
+        .agg(expr("graft_kmv_merge(sk)")).collect()
+    }
+    assert(exEmpty.getMessage != null)
     GraftFunctions.ensureRegistered(spark)
     val a = sketchOf(Seq("a"), k = 64)
     val b = sketchOf(Seq("b"), k = 128)

@@ -48,6 +48,16 @@ class FlacSpec extends AnyFunSuite {
     assert(decodeFlacFields(reordered).isEmpty)
   }
 
+  test("a comment length past 2^31 refuses instead of crashing") {
+    val id = 7L
+    val z = flacFile(id, Array.emptyByteArray)
+    // Vendor length field (LE) right after the VORBIS_COMMENT header:
+    // set the sign bit so a naive .toInt goes negative.
+    val at = 4 + 38 + 4 + flacPad(id) + 4
+    z(at + 3) = 0x80.toByte
+    assert(decodeFlacFields(z).isEmpty, "oversized length must refuse, not throw")
+  }
+
   test("a cleared is-last flag runs into junk and refuses; truncation refuses") {
     val id = 9L
     val z = flacFile(id, junk)

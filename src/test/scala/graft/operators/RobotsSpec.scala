@@ -61,4 +61,29 @@ class RobotsSpec extends SparkSpec {
     val d = allowed("User-agent: other\nDisallow: /\n", Seq("/a", "/b"))
     assert(d("/a") && d("/b"))
   }
+
+  test("CRLF robots.txt must not fail open") {
+    // Windows line endings are the common real-world case: a parser
+    // splitting on bare \n leaves \r on every token, no group matches,
+    // and everything is allowed — the dangerous direction.
+    val p = "User-agent: *\r\nDisallow: /private\r\nAllow: /private/ok\r\n"
+    val d = allowed(p, Seq("/private/x", "/private/ok/y", "/open"))
+    assert(!d("/private/x"), "CRLF policy must still deny")
+    assert(d("/private/ok/y") && d("/open"))
+  }
+
+  test("regex metacharacters in patterns are literal (except * and trailing $)") {
+    val p = "User-agent: *\nDisallow: /*?sessionid=\nDisallow: /a(b\nDisallow: /c$d\n"
+    val d = allowed(p, Seq(
+      "/page?sessionid=1", // '*' spans, '?' literal
+      "/pagesessionid=1",  // no literal '?' -> allowed
+      "/a(b/x",            // '(' literal, no crash
+      "/c$d/e",            // mid-pattern '$' literal per the RFC
+      "/cd/e"))
+    assert(!d("/page?sessionid=1"))
+    assert(d("/pagesessionid=1"))
+    assert(!d("/a(b/x"))
+    assert(!d("/c$d/e"))
+    assert(d("/cd/e"))
+  }
 }

@@ -17,7 +17,7 @@ class ZipSourceSpec extends AnyFunSuite {
 
   /** The fixture's closed-form payload model for member i of shard f. */
   private def payload(f: Int, i: Int): Array[Byte] = {
-    val dcy = if (i % 3 == 0) "PK" else ""
+    val dcy = if (i % 3 == 0) "PK\u0003\u0004" else ""
     val n = 200 + (f * 37 + i * 13) % 500
     (dcy + "abc" * n).getBytes("US-ASCII")
   }
@@ -46,7 +46,7 @@ class ZipSourceSpec extends AnyFunSuite {
     // comment-length field reads "XX" (0x5858), which does not run to
     // EOF, so the scan must reject it and keep walking back to the
     // real record.
-    val z = ZipSource.archive(Seq(m), "PK" + "X" * 30)
+    val z = ZipSource.archive(Seq(m), "PK\u0005\u0006" + "X" * 30)
     val (es, clean) = ZipSource.parseZip("c.zip", z)
     assert(clean && es.size == 1 && es.head.payload_md5 == md5(m.payload))
   }
