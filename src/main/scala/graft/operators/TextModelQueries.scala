@@ -70,23 +70,42 @@ object TextModelQueries extends QueryPack {
     // FOR: rank every document by its LM micro-average logprob
     // (q_sum·1e6 div n_bi — integer division of already-quantized
     // sums, so the ranking key is BIGINT on both engines; doc_id breaks
-    // exact ties) and cut the corpus into three equal-count buckets
-    // with ntile. head = most fluent (highest avg logprob), tail =
-    // most surprising; downstream mixing samples head-heavy. Output:
-    // per (lang, bucket) counts, token mass and the membership
-    // checksum — a one-doc boundary shift anywhere hash-fails. One
-    // corpus-wide ntile window: the global sort a real pipeline runs
-    // once per corpus snapshot.
+    // exact ties) and cut the corpus into three equal-count buckets.
+    // head = most fluent (highest avg logprob), tail = most
+    // surprising; downstream mixing samples head-heavy. Output: per
+    // (lang, bucket) counts, token mass and the membership checksum —
+    // a one-doc boundary shift anywhere hash-fails.
+    //
+    // NOT a global ntile window (the round-15 weak plan): NTILE over
+    // an unpartitioned window funnels the whole per-document frame
+    // through ONE task (Exchange SinglePartition) — a single-task sort
+    // of 10⁹+ rows at corpus scale. Instead the bucket is assigned
+    // from the document's exact global rank, computed distributed by
+    // [[globalRank]] (parallel range-partitioned sort + broadcast
+    // per-partition offsets), and compared against the two NTILE
+    // boundary ranks derived in closed form from the corpus count —
+    // identical membership to the oracle's NTILE(3), no funnel.
     "text_lm_buckets" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       // The ranking key negates q_sum first so the integer division runs
       // on POSITIVES — Spark's `div` truncates toward zero while
       // DuckDB's `//` floors, and they only agree above zero. Ascending
       // surprisal = descending fluency, so bucket 1 is the head.
-      val ds = lmDocScores(s, Tables.documents(s, d))
+      val scored = lmDocScores(s, Tables.documents(s, d))
         .withColumn("surprisal", expr("(-q_sum) * 1000000 div n_bi"))
-        .withColumn("bucket", ntile(3).over(
-          Window.orderBy(col("surprisal").asc, col("doc_id"))))
+      val ranked = RankUtils.globalRank(scored,
+        Seq(col("surprisal").asc, col("doc_id").asc))
+      // NTILE(3) boundary ranks: base size n div 3, the first n%3
+      // buckets take one extra row. e1/e2 are the last ranks of
+      // buckets 1 and 2 — a 1-row frame, broadcast onto every doc.
+      val cuts = ranked.agg(count(lit(1)).as("n"))
+        .withColumn("e1", expr("n div 3 + if(n % 3 >= 1, 1, 0)"))
+        .withColumn("e2", expr("2 * (n div 3) + least(n % 3, 2)"))
+        .select("e1", "e2")
+      val ds = ranked.crossJoin(broadcast(cuts))
+        .withColumn("bucket",
+          when(col("rank") <= col("e1"), 1)
+            .when(col("rank") <= col("e2"), 2)
+            .otherwise(3))
       ds.groupBy("lang", "bucket")
         .agg(
           count(lit(1)).as("n_docs"),

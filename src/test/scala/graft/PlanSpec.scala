@@ -309,4 +309,26 @@ class PlanSpec extends SparkSpec {
       s"scan read ${scan.metrics("numFiles").value} files, expected the $oneDayFiles in one partition")
     assert(oneDayFiles < allFiles, "partitioned layout produced a single directory")
   }
+
+  test("text_lm_buckets ranks distributed — no SinglePartition funnel on the doc frame") {
+    // The round-15 weak plan: ntile(3) over an unpartitioned window put
+    // an Exchange SinglePartition on the PER-DOCUMENT score frame. The
+    // fix (RankUtils.globalRank) must show (a) a parallel range
+    // partitioning on the ranking key, (b) no ntile window at all, and
+    // (c) every remaining SinglePartition exchange feeding only from an
+    // aggregate (1-row cuts, per-partition offset counts) — metadata-
+    // sized reductions, never the doc frame itself.
+    val p = plan("text_lm_buckets")
+    assert(p.contains("Exchange rangepartitioning(surprisal"),
+      s"missing the parallel range sort on surprisal:\n$p")
+    assert(!p.toLowerCase.contains("ntile"), s"ntile window crept back:\n$p")
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach {
+      case (line, i) =>
+        val child = lines.drop(i + 1)
+          .find(l => l.exists(c => c.isLetter)) // next operator line
+        assert(child.exists(c => c.contains("HashAggregate")),
+          s"SinglePartition exchange over a non-aggregate child:\n$line\n${child.getOrElse("")}\n$p")
+    }
+  }
 }
