@@ -149,6 +149,37 @@ object SourceQueries extends QueryPack {
         .orderBy("site")
     }),
 
+    // Charset-aware WET extraction — the ingest-fidelity step
+    // warc_http_extract stops short of: DECODE each response body to
+    // text honoring the Content-Type charset parameter (quoted, mixed-
+    // case labels), strict-UTF-8 with a windows-1252 fallback when the
+    // parameter is absent or unsupported (the WHATWG rule). Real crawls
+    // are 10-20% legacy-encoded; a UTF-8-only decode silently mojibakes
+    // those bodies into the corpus. The fixture plants one response per
+    // decode case per shard (declared utf-8 / windows-1252 /
+    // ISO-8859-1 / Shift_JIS, absent-param invalid-UTF-8 fallback,
+    // quoted label, bogus label) with multibyte bodies whose md5-keyed
+    // text checksums only match under the CORRECT decode — U+FFFD or a
+    // wrong letter anywhere hash-fails. char_sum counts CODE POINTS, so
+    // even a checksum-colliding miss would have to preserve character
+    // counts across encodings. Same one-task-per-shard scale shape as
+    // warc_ingest.
+    "warc_charset_extract" -> ((s, d) => {
+      val paths = graft.sources.WarcSource.stageCharsetFixture(
+        Stage.dir(d, "warc_charset"))
+      graft.sources.WarcSource.httpTexts(s, paths)
+        .withColumn("case_id", regexp_extract(col("uri"), "/c(\\d+)$", 1).cast("int"))
+        .groupBy("case_id")
+        .agg(
+          min("declared").as("declared_charset"),
+          min("used").as("used_charset"),
+          count(lit(1)).as("n_responses"),
+          sum("n_chars").as("char_sum"),
+          sum(graft.functions.PortableHash.h60p(
+            concat(col("uri"), lit("|"), md5(col("text"))))).as("text_checksum"))
+        .orderBy("case_id")
+    }),
+
     // GZIP-compressed CSV round-trip — the shape real LLM corpora arrive
     // in (Common-Crawl-style compressed shards). Spark's text sources
     // decompress by file extension natively; the SCALE caveat is that
@@ -725,6 +756,40 @@ object SourceQueries extends QueryPack {
                           THEN ${graft.functions.PortableHash.h60pSql("keyed")}
                           ELSE 0 END) AS BIGINT) AS ok_checksum
           FROM p GROUP BY 1 ORDER BY site""",
+
+    // Regenerates the closed-form charset fixture model: the DECODED
+    // Unicode text per (shard, case) rebuilt from the same base strings
+    // (UTF-8 literals here — DuckDB strings are UTF-8, so md5 runs over
+    // the identical bytes Spark hashes, and length() counts the same
+    // code points).
+    "warc_charset_extract" ->
+      s"""WITH shards AS (SELECT unnest(range(8)) AS f),
+            resp AS (SELECT f, unnest(range(7)) AS i FROM shards),
+            c AS (SELECT f, i,
+                         'http://cs.example/f' || f || '/c' || i AS uri,
+                         CASE i WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1252'
+                                WHEN 2 THEN 'iso-8859-1' WHEN 3 THEN 'shift_jis'
+                                WHEN 4 THEN '' WHEN 5 THEN 'utf-8'
+                                ELSE 'x-graft-bogus' END AS declared,
+                         CASE i WHEN 1 THEN 'windows-1252' WHEN 2 THEN 'iso-8859-1'
+                                WHEN 3 THEN 'shift_jis' WHEN 4 THEN 'windows-1252'
+                                ELSE 'utf-8' END AS used,
+                         CASE i WHEN 0 THEN 'café €0' WHEN 1 THEN 'café €1'
+                                WHEN 2 THEN 'caß é2' WHEN 3 THEN '日本語3'
+                                WHEN 4 THEN 'café4' WHEN 5 THEN 'naïve5'
+                                ELSE 'héllo6' END AS base,
+                         1 + (f + i) % 4 AS n
+                  FROM resp),
+            t AS (SELECT i, declared, used, uri,
+                         repeat(base || ' ', CAST(n AS INT)) || 'x' || f || '_' || i AS text
+                  FROM c)
+          SELECT CAST(i AS INT) AS case_id,
+                 MIN(declared) AS declared_charset,
+                 MIN(used) AS used_charset,
+                 CAST(COUNT(*) AS BIGINT) AS n_responses,
+                 CAST(SUM(length(text)) AS BIGINT) AS char_sum,
+                 CAST(SUM(${graft.functions.PortableHash.h60pSql("uri || '|' || md5(text)")}) AS BIGINT) AS text_checksum
+          FROM t GROUP BY 1 ORDER BY case_id""",
     // DuckDB's own parquet_metadata() over the SAME staged files Spark's
     // parquet-hadoop footer scan read — two independent parquet
     // implementations must agree on every footer field.

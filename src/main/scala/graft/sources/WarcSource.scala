@@ -510,8 +510,9 @@ object WarcSource {
     def header(name: String): Option[String] = lines.tail
       .find(_.toLowerCase.startsWith(name + ":"))
       .map(_.substring(name.length + 1).trim)
-    val ctype = header("content-type")
-      .map(_.takeWhile(_ != ';').trim).getOrElse("")
+    // RAW Content-Type value — parameters (charset=...) included; the
+    // callers that only want the media type strip at ';' themselves.
+    val ctype = header("content-type").getOrElse("")
     val chunked = header("transfer-encoding")
       .exists(_.toLowerCase.split(",").map(_.trim).contains("chunked"))
     val bodyAt = split + 4
@@ -571,10 +572,10 @@ object WarcSource {
   /** Whole-payload convenience form of [[parseHttpAt]] (spec surface):
     * returns the materialized (de-chunked) body bytes. */
   private[sources] def parseHttpPayload(bytes: Array[Byte]): Option[(Int, String, Array[Byte])] =
-    parseHttpAt(bytes, 0, bytes.length).map { case (code, ctype, segs, _) =>
+    parseHttpAt(bytes, 0, bytes.length).map { case (code, rawCt, segs, _) =>
       val body = new java.io.ByteArrayOutputStream()
       segs.foreach { case (o, l) => body.write(bytes, o, l) }
-      (code, ctype, body.toByteArray)
+      (code, rawCt.takeWhile(_ != ';').trim, body.toByteArray)
     }
 
   /** Distributed WET-style extraction: every WARC *response* record whose
@@ -588,7 +589,7 @@ object WarcSource {
       val out = Seq.newBuilder[HttpRecord]
       val clean = walkWarc(bytes) { (idx, recType, uri, payOff, payLen) =>
         if (recType == "response") {
-          parseHttpAt(bytes, payOff, payLen).foreach { case (code, ctype, segs, chk) =>
+          parseHttpAt(bytes, payOff, payLen).foreach { case (code, rawCt, segs, chk) =>
             val digest = java.security.MessageDigest.getInstance("MD5")
             var bLen = 0L
             var toks = 0L; var inTok = false
@@ -608,7 +609,8 @@ object WarcSource {
               }
             }
             val md = digest.digest().map("%02x".format(_)).mkString
-            out += HttpRecord(name, idx, uri, code, ctype, bLen, md, toks,
+            out += HttpRecord(name, idx, uri, code,
+              rawCt.takeWhile(_ != ';').trim, bLen, md, toks,
               if (chk) 1 else 0)
           }
         }
@@ -689,6 +691,170 @@ object WarcSource {
       d.mkdirs()
       paths.zipWithIndex.foreach { case (p, f) =>
         java.nio.file.Files.write(java.nio.file.Paths.get(p), httpFixtureShard(f))
+      }
+      marker.createNewFile(): Unit
+    }
+    paths
+  }
+
+  // ---- Charset-aware WET text extraction ----
+  //
+  // Real Common Crawl responses are only ~80-90% UTF-8; the rest declare
+  // (or silently use) legacy encodings — windows-1252, iso-8859-*,
+  // shift_jis, ... A UTF-8-only decode does not FAIL on those bodies, it
+  // silently mojibakes them (each legacy byte ≥ 0x80 becomes U+FFFD or a
+  // wrong letter) and the garbage flows into the training corpus. This
+  // is the ingest-fidelity concern of the reference's whole-file read
+  // (loadFile, FileWordCounter.cpp:139-147) at the crawl scale.
+
+  /** The `charset=` parameter of a Content-Type header value, if any:
+    * case-insensitive name and value, optional quotes, surrounding
+    * whitespace tolerated. Returned lowercased (charset names are
+    * case-insensitive per RFC 2046). */
+  private[graft] def charsetParam(rawContentType: String): Option[String] = {
+    val m = java.util.regex.Pattern
+      .compile(";\\s*charset\\s*=\\s*\"?([^\";]+?)\"?\\s*(;|$)",
+        java.util.regex.Pattern.CASE_INSENSITIVE)
+      .matcher(rawContentType)
+    if (m.find()) Some(m.group(1).trim.toLowerCase(java.util.Locale.ROOT))
+      .filter(_.nonEmpty)
+    else None
+  }
+
+  /** Decode an HTTP body to text. The documented rule:
+    *  1. a DECLARED, JVM-supported charset decodes with REPLACE
+    *     semantics (malformed sequences → U+FFFD — deterministic even
+    *     when the server lies about its encoding);
+    *  2. otherwise (absent or unsupported label) try STRICT UTF-8 —
+    *     the dominant real-world default, and strictness is what makes
+    *     the fallback meaningful;
+    *  3. if the bytes are not valid UTF-8, decode as windows-1252 — the
+    *     HTML5/WHATWG fallback superset of ASCII in which every byte
+    *     sequence decodes.
+    * Returns (text, canonical lowercase name of the charset USED). */
+  private[graft] def decodeBody(body: Array[Byte],
+                                declared: Option[String]): (String, String) = {
+    import java.nio.charset.{Charset, CodingErrorAction}
+    def decode(cs: Charset, strict: Boolean): Option[String] = {
+      val action = if (strict) CodingErrorAction.REPORT else CodingErrorAction.REPLACE
+      try Some(cs.newDecoder()
+        .onMalformedInput(action).onUnmappableCharacter(action)
+        .decode(java.nio.ByteBuffer.wrap(body)).toString)
+      catch { case _: java.nio.charset.CharacterCodingException => None }
+    }
+    val declaredCs = declared.flatMap { name =>
+      try Some(Charset.forName(name)) catch { case _: Exception => None }
+    }
+    declaredCs match {
+      case Some(cs) =>
+        (decode(cs, strict = false).get, cs.name().toLowerCase(java.util.Locale.ROOT))
+      case None =>
+        decode(Charset.forName("UTF-8"), strict = true) match {
+          case Some(t) => (t, "utf-8")
+          case None =>
+            (decode(Charset.forName("windows-1252"), strict = false).get,
+              "windows-1252")
+        }
+    }
+  }
+
+  /** One charset-decoded HTTP response: declared charset label (the
+    * lowercased `charset=` parameter, "" when absent), the charset the
+    * decode actually USED, the decoded text and its length in code
+    * points. */
+  case class HttpTextRecord(file: String, idx: Int, uri: String, status: Int,
+                            media_type: String, declared: String,
+                            used: String, text: String, n_chars: Long)
+
+  /** Distributed charset-aware WET extraction: like [[httpResponses]]
+    * but DECODES each response body to text per [[decodeBody]]'s rule
+    * instead of digesting raw bytes. Same one-task-per-shard scale
+    * shape; the decoded-text copy per record is the unavoidable cost of
+    * producing text (the WET file Common Crawl ships is exactly this
+    * materialization). */
+  def httpTexts(spark: SparkSession, paths: Seq[String],
+                tolerateUnclean: Boolean = false): DataFrame = {
+    import spark.implicits._
+    framedShards(spark, paths, tolerateUnclean) { (name, bytes) =>
+      val out = Seq.newBuilder[HttpTextRecord]
+      val clean = walkWarc(bytes) { (idx, recType, uri, payOff, payLen) =>
+        if (recType == "response") {
+          parseHttpAt(bytes, payOff, payLen).foreach { case (code, rawCt, segs, _) =>
+            val body = new java.io.ByteArrayOutputStream()
+            segs.foreach { case (o, l) => body.write(bytes, o, l) }
+            val declared = charsetParam(rawCt)
+            val (text, used) = decodeBody(body.toByteArray, declared)
+            val mt = rawCt.takeWhile(_ != ';').trim
+            out += HttpTextRecord(name, idx, uri, code, mt,
+              declared.getOrElse(""), used, text, text.codePointCount(0, text.length).toLong)
+          }
+        }
+      }
+      (out.result(), clean)
+    }.toDF()
+  }
+
+  /** Charset fixture model — shared by [[stageCharsetFixture]] and the
+    * warc_charset_extract oracle. Case `i` of shard `f` (8 shards × 7
+    * responses, one per case, uri http://cs.example/f{f}/c{i}):
+    * (Content-Type header value, charset the BYTES are encoded in,
+    * base Unicode string). The decoded text is
+    * `(base + " ") × n + "x{f}_{i}"` with n = 1 + (f + i) % 4 — closed
+    * form on both engines. The cases, in order:
+    *  0 declared utf-8, multibyte body;
+    *  1 declared windows-1252 — é/€ bytes that a UTF-8-only decode
+    *    mojibakes (THE trap);
+    *  2 declared ISO-8859-1 (case-insensitive label);
+    *  3 declared Shift_JIS (a multi-byte legacy CJK encoding);
+    *  4 NO charset parameter, body invalid UTF-8 → windows-1252
+    *    fallback;
+    *  5 quoted + mixed-case parameter (`Charset="UTF-8"`);
+    *  6 unsupported label → strict-UTF-8 fallback (multibyte body
+    *    proves the fallback tries UTF-8 before windows-1252). */
+  private[graft] val charsetCases: IndexedSeq[(String, String, String)] =
+    IndexedSeq(
+      ("text/plain; charset=utf-8", "UTF-8", "caf\u00e9 \u20ac0"),
+      ("text/html; charset=windows-1252", "windows-1252", "caf\u00e9 \u20ac1"),
+      ("text/plain; charset=ISO-8859-1", "ISO-8859-1", "ca\u00df \u00e92"),
+      ("text/plain; charset=Shift_JIS", "Shift_JIS", "\u65e5\u672c\u8a9e3"),
+      ("text/plain", "windows-1252", "caf\u00e94"),
+      ("text/plain; Charset=\"UTF-8\"", "UTF-8", "na\u00efve5"),
+      ("text/plain; charset=x-graft-bogus", "UTF-8", "h\u00e9llo6"))
+
+  private[graft] def charsetText(f: Int, i: Int): String = {
+    val base = charsetCases(i)._3
+    val n = 1 + (f + i) % 4
+    (base + " ") * n + s"x${f}_$i"
+  }
+
+  def charsetFixtureFiles(dir: String): Seq[String] =
+    (0 until 8).map(f => f"$dir/cs$f%02d.warc")
+
+  private[graft] def charsetFixtureShard(f: Int): Array[Byte] = {
+    val buf = Array.newBuilder[Byte]
+    buf ++= record("warcinfo", None, f"csinfo-$f%02d",
+      "software: graft\r\n".getBytes("US-ASCII"))
+    for (i <- charsetCases.indices) {
+      val (ctype, enc, _) = charsetCases(i)
+      val uri = s"http://cs.example/f$f/c$i"
+      val body = charsetText(f, i).getBytes(enc)
+      val head = s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n\r\n"
+      buf ++= record("response", Some(uri), f"csrsp-$f%02d-$i%02d",
+        head.getBytes("US-ASCII") ++ body)
+    }
+    buf.result()
+  }
+
+  /** Stage the charset fixture (same idempotence contract as
+    * [[stageFixture]]). */
+  def stageCharsetFixture(dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    val marker = new java.io.File(d, "_STAGED_WARC_CHARSET_V1")
+    val paths = charsetFixtureFiles(dir)
+    if (!marker.exists()) {
+      d.mkdirs()
+      paths.zipWithIndex.foreach { case (p, f) =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(p), charsetFixtureShard(f))
       }
       marker.createNewFile(): Unit
     }

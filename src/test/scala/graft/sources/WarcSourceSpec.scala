@@ -310,6 +310,66 @@ class WarcSourceSpec extends SparkSpec {
     assert(live == batch)
     assert(batch.size == 24 + 2 * 156) // warcinfo + request/response pairs
   }
+
+  test("charsetParam: quoted, mixed-case, spaced, absent, other params") {
+    import WarcSource.charsetParam
+    assert(charsetParam("text/html; charset=utf-8") == Some("utf-8"))
+    assert(charsetParam("text/plain; Charset=\"UTF-8\"") == Some("utf-8"))
+    assert(charsetParam("text/plain;charset = ISO-8859-1 ") == Some("iso-8859-1"))
+    assert(charsetParam("text/plain; boundary=x; charset=shift_jis; q=1")
+      == Some("shift_jis"))
+    assert(charsetParam("text/plain") == None)
+    assert(charsetParam("text/plain; boundary=charsetish") == None)
+    assert(charsetParam("text/plain; charset=\"\"") == None)
+  }
+
+  test("decodeBody: the mojibake trap — declared legacy charsets must not decode as UTF-8") {
+    import WarcSource.decodeBody
+    // 'café €' in windows-1252: é=0xE9, €=0x80 — a UTF-8-only reader
+    // turns both into U+FFFD (or worse, a wrong letter via latin-1).
+    val cp1252 = "café €".getBytes("windows-1252")
+    assert(decodeBody(cp1252, Some("windows-1252")) == ("café €", "windows-1252"))
+    val naive = new String(cp1252, "UTF-8") // what the old path produced
+    assert(naive.contains('�') && naive != "café €")
+    // Declared charsets that lie still decode deterministically (REPLACE).
+    val (lied, usedLied) = decodeBody(Array[Byte](0x41, 0xff.toByte, 0x42), Some("utf-8"))
+    assert(lied == "A�B" && usedLied == "utf-8")
+  }
+
+  test("decodeBody fallback: strict UTF-8 first, then windows-1252") {
+    import WarcSource.decodeBody
+    // Valid multibyte UTF-8 with NO declared charset decodes as UTF-8 —
+    // a straight-to-windows-1252 fallback would mojibake é to Ã©.
+    val utf8 = "héllo".getBytes("UTF-8")
+    assert(decodeBody(utf8, None) == ("héllo", "utf-8"))
+    // Invalid UTF-8 (a lone 0xE9) falls back to windows-1252.
+    val legacy = "café!".getBytes("windows-1252")
+    assert(decodeBody(legacy, None) == ("café!", "windows-1252"))
+    // An unsupported label behaves like an absent one.
+    assert(decodeBody(utf8, Some("x-graft-bogus")) == ("héllo", "utf-8"))
+    assert(decodeBody(legacy, Some("x-graft-bogus")) == ("café!", "windows-1252"))
+  }
+
+  test("httpTexts decodes the staged charset fixture per its model") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_cs_spec").toString
+    val paths = WarcSource.stageCharsetFixture(dir)
+    val rows = WarcSource.httpTexts(spark, paths).collect()
+    assert(rows.length == 8 * 7)
+    rows.foreach { r =>
+      val uri = r.getAs[String]("uri")
+      val m = "http://cs.example/f(\\d+)/c(\\d+)".r.findFirstMatchIn(uri).get
+      val (f, i) = (m.group(1).toInt, m.group(2).toInt)
+      val want = WarcSource.charsetText(f, i)
+      assert(r.getAs[String]("text") == want, s"$uri decoded wrong")
+      assert(r.getAs[Long]("n_chars") == want.length.toLong, uri)
+    }
+    // Case 3 (Shift_JIS) really is multibyte: its byte length differs
+    // from its char count — the decode is doing work, not passing bytes.
+    val sj = rows.find(_.getAs[String]("uri").endsWith("/c3")).get
+    assert(sj.getAs[String]("used") == "shift_jis")
+    assert(sj.getAs[String]("text").getBytes("Shift_JIS").length >
+      sj.getAs[Long]("n_chars"))
+  }
 }
 
 /** Randomized framing model-checks: parse(build(records)) must recover
