@@ -4950,9 +4950,683 @@ object MediaPipeline {
       .toDF()
   }
 
-  /** Mixed corpus for the Ogg gate: ids % 3 == 2 staged as full Ogg
-    * streams, trailing junk after EOS quoting "OggS"; everything else
-    * bare text (refused by the walk). */
+  // ----------------------- FLAC frame decode (subframes + Rice residuals)
+  //
+  // The audio dual of the PNG/GIF/JPEG pixel gates: FLAC is LOSSLESS and
+  // bit-exact BY SPEC — constant/verbatim/fixed/LPC subframes and Rice
+  // residuals are pure integer arithmetic, so a correct decoder owes the
+  // oracle exact sample values, not an approximation. The decode covers
+  // the full public frame format (FLAC format spec / RFC 9639):
+  //   - frame header: 14-bit sync, blocking strategy, block-size and
+  //     sample-rate codes, channel assignment (independent + the three
+  //     STEREO DECORRELATION modes left/side, right/side, mid/side —
+  //     side channels carry ONE EXTRA bit per sample), UTF-8-coded
+  //     frame/sample number (multi-byte past 127 — exercised by the
+  //     variable-blocksize files' third frame at sample 128), CRC-8;
+  //   - subframes: constant, verbatim, fixed predictors order 0-4, LPC
+  //     up to order 32 with quantized coefficients and arithmetic
+  //     right-shift, wasted-bits shift;
+  //   - residuals: 4-bit (and 5-bit RICE2) Rice parameters over 2^po
+  //     partitions, zigzag mapping, and the raw-bits ESCAPE code;
+  //   - CRC-16 over the whole frame; both CRCs VERIFIED (a flipped bit
+  //     anywhere refuses the file — decode-is-the-filter).
+  // The staged fixture encodes a closed-form sample model through a
+  // purpose-built exact encoder; STREAMINFO's audio MD5 is recomputed
+  // from the DECODED samples, pinning the whole chain end to end.
+
+  val FlacPcmFrames = 3
+  val FlacPcmBlock = 64
+  val FlacPcmBps = 16
+
+  /** Closed-form PCM model for FLAC staging: sample n (0..63) of frame f
+    * (0..2), LOGICAL channel c (0=L, 1=R) of doc `id`. The case on
+    * t = (id+f+c) % 5 varies the signal shape so every subframe type
+    * the encoder picks (constant, verbatim+wasted-bits, low-order and
+    * high-order fixed, LPC) actually occurs. All arithmetic on
+    * non-negative operands — Spark and DuckDB agree. */
+  def flacPcmSample(id: Long, f: Int, c: Int, n: Int): Int = {
+    val t = ((id + f + c) % 5).toInt
+    (t match {
+      case 0 => ((id * 7 + f * 3 + c * 11) % 4001) - 2000
+      case 1 => 2 * (((id * 5 + f * 13 + c * 7 + n * 31) % 16000) - 8000)
+      case 2 => ((id * 11 + f * 17 + c * 23 + n * n * 3) % 2001) - 1000
+      case 3 => ((id + c) % 500) + n * 2 + ((n + f) % 3)
+      case _ => ((id * 13 + f * 7 + c * 3) % 800) + n * (2 + id % 3) + (n % 2)
+    }).toInt
+  }
+
+  /** Number of logical channels of doc `id`'s staged FLAC PCM file. */
+  def flacPcmChannels(id: Long): Int = (1 + id % 2).toInt
+
+  // CRC-8 poly 0x07 and CRC-16 poly 0x8005, both init 0 — the FLAC spec
+  // polynomials.
+  private[graft] def flacCrc8(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= bytes(i) & 0xff
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  private[graft] def flacCrc16(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (bytes(i) & 0xff) << 8
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+              else (crc << 1) & 0xffff
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  private final class FlacBitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0
+    private var nb = 0
+    def writeBits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1L).toInt
+        nb += 1
+        if (nb == 8) { out.write(acc); acc = 0; nb = 0 }
+        i -= 1
+      }
+    }
+    def writeSigned(v: Int, n: Int): Unit = writeBits(v.toLong & ((1L << n) - 1), n)
+    def writeUnary(q: Int): Unit = { writeBits(0L, q); writeBits(1L, 1) }
+    def align(): Unit = if (nb != 0) writeBits(0L, 8 - nb)
+    def bytes: Array[Byte] = { require(nb == 0); out.toByteArray }
+  }
+
+  private final class FlacBitReader(bytes: Array[Byte], start: Int) {
+    private var pos = start
+    private var bit = 0
+    var failed = false
+    def bytePos: Int = pos
+    def aligned: Boolean = bit == 0
+    def readBits(n: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < n) {
+        if (pos >= bytes.length) { failed = true; return 0L }
+        v = (v << 1) | ((bytes(pos) >> (7 - bit)) & 1).toLong
+        bit += 1
+        if (bit == 8) { bit = 0; pos += 1 }
+        i += 1
+      }
+      v
+    }
+    def readSigned(n: Int): Int = {
+      val v = readBits(n)
+      if (n > 0 && (v & (1L << (n - 1))) != 0) (v - (1L << n)).toInt else v.toInt
+    }
+    def readUnary(): Int = {
+      var q = 0
+      while (!failed && readBits(1) == 0L) {
+        q += 1
+        if (q > (bytes.length - start) * 8) { failed = true; return 0 }
+      }
+      q
+    }
+    def align(): Unit = if (bit != 0) { bit = 0; pos += 1 }
+  }
+
+  /** FLAC UTF-8-style coded number (the frame/sample number coding —
+    * standard UTF-8 extended to 36-bit values). */
+  private def flacUtf8Encode(w: FlacBitWriter, v: Long): Unit = {
+    if (v < 0x80) w.writeBits(v, 8)
+    else {
+      // cont continuation bytes carry 6 bits each; the lead byte
+      // (cont+1 ones, a zero) carries the remaining 6−cont high bits.
+      var cont = 1
+      while (v >= (1L << (6 + 5 * cont))) cont += 1
+      w.writeBits(((0xffL << (7 - cont)) & 0xff) | (v >> (6 * cont)), 8)
+      var i = cont - 1
+      while (i >= 0) {
+        w.writeBits(0x80L | ((v >> (i * 6)) & 0x3f), 8)
+        i -= 1
+      }
+    }
+  }
+
+  private def flacUtf8Decode(r: FlacBitReader): Long = {
+    val b0 = r.readBits(8).toInt
+    if ((b0 & 0x80) == 0) b0.toLong
+    else {
+      var cont = 0
+      var mask = 0x40
+      while ((b0 & mask) != 0 && cont < 7) { cont += 1; mask >>= 1 }
+      if (cont < 1 || cont > 6) { r.failed = true; return -1L }
+      var v = (b0 & (mask - 1)).toLong
+      var i = 0
+      while (i < cont) {
+        val b = r.readBits(8).toInt
+        if ((b & 0xc0) != 0x80) { r.failed = true; return -1L }
+        v = (v << 6) | (b & 0x3f)
+        i += 1
+      }
+      v
+    }
+  }
+
+  private def signedBitsNeeded(v: Int): Int = {
+    var b = 1
+    while (!(v >= -(1 << (b - 1)) && v < (1 << (b - 1)))) b += 1
+    b
+  }
+
+  /** Encode one channel's residual section (Rice method 00, partition
+    * order `po`), escaping every partition to raw bits when `escape`. */
+  private def writeResiduals(w: FlacBitWriter, res: Array[Int], blockSize: Int,
+                             predOrder: Int, po: Int, escape: Boolean): Unit = {
+    w.writeBits(0L, 2) // coding method: 4-bit Rice
+    w.writeBits(po.toLong, 4)
+    val nPart = 1 << po
+    var p = 0
+    var idx = 0
+    while (p < nPart) {
+      val cnt = (blockSize >> po) - (if (p == 0) predOrder else 0)
+      if (escape) {
+        var bits = 1
+        var i = 0
+        while (i < cnt) { bits = math.max(bits, signedBitsNeeded(res(idx + i))); i += 1 }
+        w.writeBits(0xfL, 4) // escape code
+        w.writeBits(bits.toLong, 5)
+        i = 0
+        while (i < cnt) { w.writeSigned(res(idx + i), bits); i += 1 }
+      } else {
+        // zigzag, then a parameter that keeps quotients short
+        var maxU = 0L
+        var i = 0
+        while (i < cnt) {
+          val r = res(idx + i)
+          val u = if (r >= 0) r.toLong << 1 else ((-r).toLong << 1) - 1
+          if (u > maxU) maxU = u
+          i += 1
+        }
+        var param = 0
+        while (param < 14 && (maxU >> param) > 15) param += 1
+        w.writeBits(param.toLong, 4)
+        i = 0
+        while (i < cnt) {
+          val r = res(idx + i)
+          val u = if (r >= 0) r.toLong << 1 else ((-r).toLong << 1) - 1
+          w.writeUnary((u >> param).toInt)
+          w.writeBits(u & ((1L << param) - 1), param)
+          i += 1
+        }
+      }
+      idx += cnt
+      p += 1
+    }
+  }
+
+  /** Encode one subframe for `samples` at `bps` bits. Type choice:
+    * constant when all samples are equal; otherwise verbatim / fixed-1 /
+    * fixed-3 / LPC-2 by `hint` % 4. `wastedOk` allows a 1-bit
+    * wasted-bits shift when every sample is even; `escape` forces raw
+    * residual partitions. */
+  private def writeSubframe(w: FlacBitWriter, samples: Array[Int], bps: Int,
+                            hint: Int, wastedOk: Boolean, escape: Boolean): Unit = {
+    val allEq = samples.forall(_ == samples(0))
+    val kind = if (allEq) -1 else math.floorMod(hint, 4)
+    val wasted =
+      if (!allEq && kind == 0 && wastedOk && samples.forall(s => (s & 1) == 0)) 1 else 0
+    val arr = if (wasted > 0) samples.map(_ >> wasted) else samples
+    val ebps = bps - wasted
+    w.writeBits(0L, 1) // reserved
+    val typeCode = kind match {
+      case -1 => 0x00 // constant
+      case 0  => 0x01 // verbatim
+      case 1  => 0x08 | 1 // fixed order 1
+      case 2  => 0x08 | 3 // fixed order 3
+      case _  => 0x20 | (2 - 1) // LPC order 2
+    }
+    w.writeBits(typeCode.toLong, 6)
+    if (wasted > 0) { w.writeBits(1L, 1); w.writeUnary(wasted - 1) }
+    else w.writeBits(0L, 1)
+    kind match {
+      case -1 => w.writeSigned(arr(0), ebps)
+      case 0 => arr.foreach(s => w.writeSigned(s, ebps))
+      case 1 | 2 =>
+        val order = if (kind == 1) 1 else 3
+        var i = 0
+        while (i < order) { w.writeSigned(arr(i), ebps); i += 1 }
+        val res = new Array[Int](arr.length - order)
+        i = order
+        while (i < arr.length) {
+          val pred = order match {
+            case 1 => arr(i - 1)
+            case 3 => 3 * arr(i - 1) - 3 * arr(i - 2) + arr(i - 3)
+            case _ => 0
+          }
+          res(i - order) = arr(i) - pred
+          i += 1
+        }
+        writeResiduals(w, res, arr.length, order, 1, escape)
+      case _ =>
+        // LPC order 2, precision 4, shift 1, coeffs [3, -1]:
+        // pred = (3·s[n-1] − s[n-2]) >> 1 — arithmetic shift.
+        val order = 2; val prec = 4; val shift = 1
+        val c1 = 3; val c2 = -1
+        var i = 0
+        while (i < order) { w.writeSigned(arr(i), ebps); i += 1 }
+        w.writeBits((prec - 1).toLong, 4)
+        w.writeBits(shift.toLong, 5)
+        w.writeSigned(c1, prec)
+        w.writeSigned(c2, prec)
+        val res = new Array[Int](arr.length - order)
+        i = order
+        while (i < arr.length) {
+          val pred = (c1 * arr(i - 1) + c2 * arr(i - 2)) >> shift
+          res(i - order) = arr(i) - pred
+          i += 1
+        }
+        writeResiduals(w, res, arr.length, order, 1, escape)
+    }
+  }
+
+  /** One complete staged FLAC file for doc `id`: STREAMINFO (audio MD5
+    * computed over the model PCM) + [[FlacPcmFrames]] real frames of
+    * [[FlacPcmBlock]] samples. Odd ids use the variable-blocksize
+    * strategy (frame 2's coded SAMPLE number 128 exercises multi-byte
+    * UTF-8); stereo frames rotate through the four channel assignments
+    * by (id + f) % 4; id % 7 == 0 escapes every residual partition;
+    * id % 8 == 3 allows wasted-bits. */
+  def flacPcmFile(id: Long): Array[Byte] = {
+    val nch = flacPcmChannels(id)
+    val variable = id % 2 == 1
+    // PCM for the MD5: frame order, interleaved channels, 16-bit LE.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (f <- 0 until FlacPcmFrames; n <- 0 until FlacPcmBlock; c <- 0 until nch) {
+      val s = flacPcmSample(id, f, c, n)
+      md.update((s & 0xff).toByte); md.update(((s >> 8) & 0xff).toByte)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    // STREAMINFO, flagged last (no other metadata blocks).
+    out.write(0x80); out.write(0); out.write(0); out.write(34)
+    val si = java.nio.ByteBuffer.allocate(34)
+    val minBlk = if (variable) 32 else FlacPcmBlock
+    si.putShort(minBlk.toShort).putShort(FlacPcmBlock.toShort)
+    si.put(Array[Byte](0, 0, 0)).put(Array[Byte](0, 0, 0)) // frame sizes unknown
+    val rate = flacRate(id)
+    val total = (FlacPcmFrames * FlacPcmBlock).toLong
+    si.put((rate >> 12).toByte)
+    si.put(((rate >> 4) & 0xff).toByte)
+    si.put((((rate & 0xf) << 4) | ((nch - 1) << 1) | ((FlacPcmBps - 1) >> 4)).toByte)
+    si.put(((((FlacPcmBps - 1) & 0xf) << 4) | ((total >> 32) & 0xf).toInt).toByte)
+    si.put(((total >> 24) & 0xff).toByte).put(((total >> 16) & 0xff).toByte)
+    si.put(((total >> 8) & 0xff).toByte).put((total & 0xff).toByte)
+    si.put(md.digest())
+    out.write(si.array())
+    for (f <- 0 until FlacPcmFrames) {
+      val left = Array.tabulate(FlacPcmBlock)(n => flacPcmSample(id, f, 0, n))
+      val right =
+        if (nch == 2) Array.tabulate(FlacPcmBlock)(n => flacPcmSample(id, f, 1, n))
+        else null
+      val mode = if (nch == 2) ((id + f) % 4).toInt else 0
+      val (chAssign, phys, physBps) =
+        if (nch == 1) (0, Array(left), Array(FlacPcmBps))
+        else mode match {
+          case 0 => (1, Array(left, right), Array(FlacPcmBps, FlacPcmBps))
+          case 1 => (8, Array(left, Array.tabulate(FlacPcmBlock)(n => left(n) - right(n))),
+                     Array(FlacPcmBps, FlacPcmBps + 1)) // left/side
+          case 2 => (9, Array(Array.tabulate(FlacPcmBlock)(n => left(n) - right(n)), right),
+                     Array(FlacPcmBps + 1, FlacPcmBps)) // right/side
+          case _ => (10, Array(Array.tabulate(FlacPcmBlock)(n => (left(n) + right(n)) >> 1),
+                               Array.tabulate(FlacPcmBlock)(n => left(n) - right(n))),
+                     Array(FlacPcmBps, FlacPcmBps + 1)) // mid/side
+        }
+      val w = new FlacBitWriter
+      w.writeBits(0x3ffeL, 14)
+      w.writeBits(0L, 1)
+      w.writeBits(if (variable) 1L else 0L, 1)
+      w.writeBits(6L, 4) // block size: 8-bit value-1 follows the number
+      w.writeBits(0L, 4) // sample rate: from STREAMINFO
+      w.writeBits(chAssign.toLong, 4)
+      w.writeBits(4L, 3) // sample size: 16-bit
+      w.writeBits(0L, 1)
+      flacUtf8Encode(w, if (variable) f.toLong * FlacPcmBlock else f.toLong)
+      w.writeBits((FlacPcmBlock - 1).toLong, 8)
+      val headBytes = w.bytes
+      w.writeBits(flacCrc8(headBytes, 0, headBytes.length).toLong, 8)
+      for (c <- phys.indices)
+        writeSubframe(w, phys(c), physBps(c), (id + f + c).toInt,
+          wastedOk = id % 8 == 3, escape = id % 7 == 0)
+      w.align()
+      val frameBytes = w.bytes
+      w.writeBits(flacCrc16(frameBytes, 0, frameBytes.length).toLong, 16)
+      val full = w.bytes
+      out.write(full, 0, full.length)
+    }
+    out.toByteArray
+  }
+
+  /** Decoded FLAC stream: per-channel interleaved samples in frame
+    * order, plus the md5-chain verdict (STREAMINFO audio MD5 vs the MD5
+    * of the DECODED PCM). */
+  private[graft] case class FlacPcm(channels: Int, samples: Array[Array[Int]],
+                                    nFrames: Int, md5Ok: Boolean)
+
+  /** Decode one residual section into `res` (already holding the
+    * warm-ups at [0, predOrder)); returns false on malformed coding. */
+  private def readResiduals(r: FlacBitReader, res: Array[Int], blockSize: Int,
+                            predOrder: Int): Boolean = {
+    val method = r.readBits(2).toInt
+    if (method > 1) return false // 00 Rice4, 01 Rice5(RICE2); 1x reserved
+    val pBits = if (method == 0) 4 else 5
+    val escCode = (1 << pBits) - 1
+    val po = r.readBits(4).toInt
+    if ((blockSize & ((1 << po) - 1)) != 0) return false
+    var idx = predOrder
+    var p = 0
+    while (p < (1 << po)) {
+      val cnt = (blockSize >> po) - (if (p == 0) predOrder else 0)
+      if (cnt < 0) return false
+      val param = r.readBits(pBits).toInt
+      if (param == escCode) {
+        val bits = r.readBits(5).toInt
+        var i = 0
+        while (i < cnt) { res(idx) = r.readSigned(bits); idx += 1; i += 1 }
+      } else {
+        var i = 0
+        while (i < cnt) {
+          val q = r.readUnary().toLong
+          val u = (q << param) | r.readBits(param)
+          res(idx) = (if ((u & 1L) == 0L) u >> 1 else -((u + 1L) >> 1)).toInt
+          idx += 1
+          i += 1
+        }
+      }
+      if (r.failed) return false
+      p += 1
+    }
+    true
+  }
+
+  /** Decode one subframe of `blockSize` samples at `bps` bits. Returns
+    * the reconstructed (wasted-bits-restored) samples or None. */
+  private def readSubframe(r: FlacBitReader, blockSize: Int, bps: Int): Option[Array[Int]] = {
+    if (r.readBits(1) != 0L) return None // reserved bit must be 0
+    val typeCode = r.readBits(6).toInt
+    val wasted = if (r.readBits(1) == 1L) r.readUnary() + 1 else 0
+    if (r.failed || wasted >= bps) return None
+    val ebps = bps - wasted
+    val out = new Array[Int](blockSize)
+    val ok: Boolean = typeCode match {
+      case 0x00 =>
+        val v = r.readSigned(ebps)
+        java.util.Arrays.fill(out, v); !r.failed
+      case 0x01 =>
+        var i = 0
+        while (i < blockSize) { out(i) = r.readSigned(ebps); i += 1 }
+        !r.failed
+      case t if (t & 0x38) == 0x08 && (t & 0x07) <= 4 =>
+        val order = t & 0x07
+        if (order > blockSize) return None
+        var i = 0
+        while (i < order) { out(i) = r.readSigned(ebps); i += 1 }
+        if (!readResiduals(r, out, blockSize, order)) return None
+        // Fixed predictors 0-4 (the spec's binomial coefficients).
+        i = order
+        while (i < blockSize) {
+          val pred = order match {
+            case 0 => 0
+            case 1 => out(i - 1)
+            case 2 => 2 * out(i - 1) - out(i - 2)
+            case 3 => 3 * out(i - 1) - 3 * out(i - 2) + out(i - 3)
+            case _ => 4 * out(i - 1) - 6 * out(i - 2) + 4 * out(i - 3) - out(i - 4)
+          }
+          out(i) = out(i) + pred
+          i += 1
+        }
+        true
+      case t if (t & 0x20) == 0x20 =>
+        val order = (t & 0x1f) + 1
+        if (order > blockSize) return None
+        var i = 0
+        while (i < order) { out(i) = r.readSigned(ebps); i += 1 }
+        val prec = r.readBits(4).toInt + 1
+        if (prec > 15) return None // 0b1111 is invalid per spec
+        val shift = r.readSigned(5)
+        if (shift < 0) return None
+        val coefs = new Array[Int](order)
+        i = 0
+        while (i < order) { coefs(i) = r.readSigned(prec); i += 1 }
+        if (!readResiduals(r, out, blockSize, order)) return None
+        i = order
+        while (i < blockSize) {
+          var acc = 0L
+          var j = 0
+          while (j < order) { acc += coefs(j).toLong * out(i - 1 - j); j += 1 }
+          out(i) = out(i) + (acc >> shift).toInt
+          i += 1
+        }
+        true
+      case _ => false
+    }
+    if (!ok || r.failed) None
+    else if (wasted > 0) Some(out.map(_ << wasted))
+    else Some(out)
+  }
+
+  /** REAL FLAC sample decode: STREAMINFO walk, then every frame —
+    * header (sync, strategy, block-size/rate codes, channel assignment,
+    * UTF-8 coded number, CRC-8), per-channel subframes, byte alignment,
+    * CRC-16 — reconstructing the stereo decorrelation exactly. Both
+    * CRCs verified; any malformed structure, a sample count that
+    * disagrees with STREAMINFO, or trailing bytes refuse the file. */
+  private[graft] def decodeFlacPcm(media: Array[Byte]): Option[FlacPcm] = {
+    if (media.length < 42 || media(0) != 'f' || media(1) != 'L' ||
+        media(2) != 'a' || media(3) != 'C') return None
+    def u8(at: Int): Int = media(at) & 0xff
+    // Metadata walk: collect STREAMINFO, skip the rest by length.
+    var off = 4
+    var last = false
+    var first = true
+    var rate = -1; var nch = -1; var bps = -1; var total = -1L
+    var md5Hex = ""
+    while (!last) {
+      if (off + 4 > media.length) return None
+      last = (u8(off) & 0x80) != 0
+      val btype = u8(off) & 0x7f
+      val blen = (u8(off + 1) << 16) | (u8(off + 2) << 8) | u8(off + 3)
+      val data = off + 4
+      if (data + blen > media.length) return None
+      if (first && btype != 0) return None
+      if (btype == 0) {
+        if (blen != 34) return None
+        val b12 = u8(data + 12); val b13 = u8(data + 13)
+        rate = (u8(data + 10) << 12) | (u8(data + 11) << 4) | (b12 >> 4)
+        nch = ((b12 >> 1) & 0x7) + 1
+        bps = (((b12 & 0x1) << 4) | (b13 >> 4)) + 1
+        total = ((b13 & 0xfL) << 32) | (u8(data + 14).toLong << 24) |
+          (u8(data + 15).toLong << 16) | (u8(data + 16).toLong << 8) |
+          u8(data + 17).toLong
+        md5Hex = (18 until 34).map(i => f"${u8(data + i)}%02x").mkString
+      }
+      first = false
+      off = data + blen
+    }
+    if (rate <= 0 || nch <= 0 || total <= 0 || total > 100000000L) return None
+    val chans = Array.fill(nch)(new scala.collection.mutable.ArrayBuffer[Int](total.toInt))
+    var decoded = 0L
+    var nFrames = 0
+    while (decoded < total) {
+      val frameStart = off
+      val r = new FlacBitReader(media, off)
+      if (r.readBits(14) != 0x3ffeL || r.readBits(1) != 0L) return None
+      val variable = r.readBits(1) == 1L
+      val bsCode = r.readBits(4).toInt
+      val srCode = r.readBits(4).toInt
+      val chAssign = r.readBits(4).toInt
+      val ssCode = r.readBits(3).toInt
+      if (r.readBits(1) != 0L) return None
+      val num = flacUtf8Decode(r)
+      if (r.failed || num < 0) return None
+      // Expected position pin: variable strategy codes the SAMPLE
+      // number, fixed codes the FRAME number.
+      if (variable && num != decoded) return None
+      val blockSize = bsCode match {
+        case 0 => return None // reserved
+        case 1 => 192
+        case c if c >= 2 && c <= 5 => 576 << (c - 2)
+        case 6 => r.readBits(8).toInt + 1
+        case 7 => r.readBits(16).toInt + 1
+        case c => 256 << (c - 8)
+      }
+      if (!variable && num != nFrames.toLong) return None
+      srCode match {
+        case 0 => () // from STREAMINFO
+        case 12 => r.readBits(8); ()
+        case 13 | 14 => r.readBits(16); ()
+        case 15 => return None
+        case _ => () // table codes carry no extra bytes
+      }
+      val frameBps = ssCode match {
+        case 0 => bps
+        case 1 => 8
+        case 2 => 12
+        case 4 => 16
+        case 5 => 20
+        case 6 => 24
+        case 7 => 32
+        case _ => return None
+      }
+      if (!r.aligned) return None // header is byte-aligned pre-CRC by construction
+      val crc8At = r.bytePos
+      val gotCrc8 = r.readBits(8).toInt
+      if (flacCrc8(media, frameStart, crc8At) != gotCrc8) return None
+      val nPhys = if (chAssign <= 7) chAssign + 1 else 2
+      if (chAssign <= 7 && nPhys != nch) return None
+      if (chAssign > 10) return None
+      if (chAssign > 7 && nch != 2) return None
+      val phys = new Array[Array[Int]](nPhys)
+      var c = 0
+      while (c < nPhys) {
+        val extra = chAssign match {
+          case 8 => if (c == 1) 1 else 0  // left/side
+          case 9 => if (c == 0) 1 else 0  // right/side
+          case 10 => if (c == 1) 1 else 0 // mid/side
+          case _ => 0
+        }
+        phys(c) = readSubframe(r, blockSize, frameBps + extra).getOrElse(return None)
+        c += 1
+      }
+      r.align()
+      val crc16At = r.bytePos
+      val gotCrc16 = r.readBits(16).toInt
+      if (r.failed) return None
+      if (flacCrc16(media, frameStart, crc16At) != gotCrc16) return None
+      // Undo stereo decorrelation.
+      val (l, rr) = chAssign match {
+        case 8 => (phys(0), Array.tabulate(blockSize)(i => phys(0)(i) - phys(1)(i)))
+        case 9 => (Array.tabulate(blockSize)(i => phys(0)(i) + phys(1)(i)), phys(1))
+        case 10 => (null, null)
+        case _ => (null, null)
+      }
+      if (chAssign == 10) {
+        var i = 0
+        while (i < blockSize) {
+          val mid2 = (phys(0)(i) << 1) | (phys(1)(i) & 1)
+          chans(0) += (mid2 + phys(1)(i)) >> 1
+          chans(1) += (mid2 - phys(1)(i)) >> 1
+          i += 1
+        }
+      } else if (chAssign > 7) {
+        chans(0) ++= l; chans(1) ++= rr
+      } else {
+        var cc = 0
+        while (cc < nch) { chans(cc) ++= phys(cc); cc += 1 }
+      }
+      decoded += blockSize
+      nFrames += 1
+      off = r.bytePos
+    }
+    if (decoded != total || off != media.length) return None
+    // Audio-MD5 chain: recompute over the decoded PCM (frame-order
+    // interleaved, bps/8 little-endian bytes — 16-bit here).
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < total.toInt) {
+      var c = 0
+      while (c < nch) {
+        val s = chans(c)(i)
+        md.update((s & 0xff).toByte); md.update(((s >> 8) & 0xff).toByte)
+        c += 1
+      }
+      i += 1
+    }
+    val gotMd5 = md.digest().map("%02x".format(_)).mkString
+    Some(FlacPcm(nch, chans.map(_.toArray), nFrames, gotMd5 == md5Hex))
+  }
+
+  /** Per-file FLAC sample statistics the decode pass emits. */
+  case class FlacPcmStats(doc_id: Long, source: String, channels: Int,
+                          n_frames: Int, n_samples: Long, md5_ok: Int,
+                          sum_abs: Long, sum_sq: Long, max_s: Int,
+                          min_s: Int, moment: Long)
+
+  /** Mixed corpus for the FLAC PCM gate: ids % 3 == 0 staged as complete
+    * FLAC files with real frames; everything else bare text (refused by
+    * the decode — decode-is-the-filter). */
+  def flacPcmTableStaged(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, src, text) =>
+        val media =
+          if (id % 3 == 0) flacPcmFile(id)
+          else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        MediaRow(id, src, media)
+      })
+      .toDF()
+  }
+
+  def decodedFlacPcm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    flacPcmTableStaged(s, dir).as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        decodeFlacPcm(r.media).map { p =>
+          var sumAbs = 0L; var sumSq = 0L; var mom = 0L
+          var maxS = Int.MinValue; var minS = Int.MaxValue
+          var n = 0L
+          var c = 0
+          while (c < p.channels) {
+            val arr = p.samples(c)
+            var j = 0
+            while (j < arr.length) {
+              val v = arr(j)
+              sumAbs += math.abs(v).toLong
+              sumSq += v.toLong * v
+              mom += (c + 1).toLong * (j + 1) * v
+              if (v > maxS) maxS = v
+              if (v < minS) minS = v
+              n += 1
+              j += 1
+            }
+            c += 1
+          }
+          FlacPcmStats(r.doc_id, r.source, p.channels, p.nFrames, n,
+            if (p.md5Ok) 1 else 0, sumAbs, sumSq, maxS, minS, mom)
+        }
+      })
+      .toDF()
+  }
   def oggTableStaged(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.Tables.documents(s, dir)

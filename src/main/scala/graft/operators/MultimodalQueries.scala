@@ -675,6 +675,29 @@ object MultimodalQueries extends QueryPack {
           sum("pred_moment").as("pred_moment"))
         .orderBy("source")),
 
+    // FLAC frame decode — the lossless codec gate: constant / verbatim /
+    // fixed / LPC subframes, Rice residuals (+ escape), all four stereo
+    // decorrelation modes, wasted bits, UTF-8 frame numbers, CRC-8/16
+    // verified. n_md5_ok pins the WHOLE chain: STREAMINFO's audio MD5 is
+    // recomputed from the decoded PCM, so one wrong sample anywhere
+    // zeroes the column. The oracle replays the closed-form model the
+    // encoder consumed; lossless-by-spec means sample-exact agreement.
+    "mm_flac_pcm" -> ((s, d) =>
+      MediaPipeline.decodedFlacPcm(s, d)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_audio"),
+          sum(col("md5_ok").cast("long")).as("n_md5_ok"),
+          sum(when(col("channels") === 2, 1L).otherwise(0L)).as("n_stereo"),
+          sum(col("n_frames").cast("long")).as("n_frames"),
+          sum("n_samples").as("total_samples"),
+          sum("sum_abs").as("sum_abs"),
+          sum("sum_sq").as("sum_sq"),
+          max("max_s").as("max_s"),
+          min("min_s").as("min_s"),
+          sum("moment").as("moment_total"))
+        .orderBy("source")),
+
     "mm_wav_pcm" -> ((s, d) =>
       MediaPipeline.decodedWavPcm(s, d)
         .groupBy("source")
@@ -1650,6 +1673,36 @@ object MultimodalQueries extends QueryPack {
                  CAST(SUM((b + 1) * pred_b) AS BIGINT) AS pred_moment
           FROM per GROUP BY source ORDER BY source"""
     },
+    // Replays the closed-form FLAC sample model (flacPcmSample) — the
+    // decoder owes EXACT samples because FLAC is lossless by spec.
+    "mm_flac_pcm" ->
+      """WITH a AS (SELECT doc_id, source, CAST(1 + doc_id % 2 AS BIGINT) AS ch
+                    FROM documents WHERE doc_id % 3 = 0),
+            s AS (SELECT a.doc_id, a.source, a.ch, f.f, c.c, n.n,
+                         CASE ((a.doc_id + f.f + c.c) % 5)
+                           WHEN 0 THEN ((a.doc_id*7 + f.f*3 + c.c*11) % 4001) - 2000
+                           WHEN 1 THEN 2 * (((a.doc_id*5 + f.f*13 + c.c*7 + n.n*31) % 16000) - 8000)
+                           WHEN 2 THEN ((a.doc_id*11 + f.f*17 + c.c*23 + n.n*n.n*3) % 2001) - 1000
+                           WHEN 3 THEN ((a.doc_id + c.c) % 500) + n.n*2 + ((n.n + f.f) % 3)
+                           ELSE ((a.doc_id*13 + f.f*7 + c.c*3) % 800) + n.n * (2 + a.doc_id % 3) + (n.n % 2)
+                         END AS smp
+                  FROM a,
+                       LATERAL (SELECT unnest(range(3)) AS f) f,
+                       LATERAL (SELECT unnest(range(a.ch)) AS c) c,
+                       LATERAL (SELECT unnest(range(64)) AS n) n)
+         SELECT source,
+                CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_audio,
+                CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_md5_ok,
+                CAST(COUNT(DISTINCT CASE WHEN ch = 2 THEN doc_id END) AS BIGINT) AS n_stereo,
+                CAST(COUNT(DISTINCT doc_id) * 3 AS BIGINT) AS n_frames,
+                CAST(COUNT(*) AS BIGINT) AS total_samples,
+                CAST(SUM(ABS(smp)) AS BIGINT) AS sum_abs,
+                CAST(SUM(smp*smp) AS BIGINT) AS sum_sq,
+                CAST(MAX(smp) AS INT) AS max_s,
+                CAST(MIN(smp) AS INT) AS min_s,
+                CAST(SUM((c + 1) * (f * 64 + n + 1) * smp) AS BIGINT) AS moment_total
+         FROM s GROUP BY source ORDER BY source""",
+
     "mm_wav_pcm" ->
       """WITH a AS (SELECT doc_id, source, CAST((doc_id % 50) + 10 AS BIGINT) AS n,
                            CAST(((doc_id // 4) % 2) + 1 AS BIGINT) AS ch
