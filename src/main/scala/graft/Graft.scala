@@ -318,6 +318,76 @@ object Graft {
       .limit(k)
   }
 
+  /** Build-once persisted BM25 inverted index over `dir`'s documents:
+    * posting lists (w, doc_id, tf, dl — doc length DENORMALIZED into the
+    * posting row, the production trick that kills the per-query dl join)
+    * bucketed + sorted by term, the vocab-sized df table, and the 1-row
+    * corpus stats. [[bm25TopDocs]] re-tokenizes and re-aggregates the
+    * WHOLE corpus per query — the right shape for one-off scoring, a
+    * scale-killer for a retrieval service. With the index, a query pays:
+    * a bucket-pruned pushed-filter scan of the matching posting lists,
+    * two broadcast joins (df + stats), and ONE candidate-bounded
+    * exchange for the per-doc score sum. Same [[sources.FileSources
+    * .ensureBucketed]] reuse/staleness contract as the dedup and ANN
+    * indexes. Returns (postingsTable, dfTable, statsTable). */
+  def bm25EnsureIndex(spark: SparkSession, dir: String): (String, String, String) = {
+    import graft.sources.FileSources
+    val docs = Tables.documents(spark, dir)
+    val fp = Some(FileSources.tableFingerprint(dir, Seq("documents")))
+    val postT = FileSources.dirKeyedTable("bm25_postings", dir)
+    val dfT = FileSources.dirKeyedTable("bm25_df", dir)
+    val statT = FileSources.dirKeyedTable("bm25_stats", dir)
+    val postings = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy("w", "doc_id")
+      .agg(count(lit(1)).as("tf"), min("dl").as("dl"))
+    FileSources.ensureBucketed(postings, postT, 8, Seq("w"), fp)
+    // df folds from the PERSISTED postings (vocab-sized output, and the
+    // build never re-explodes the corpus a second time).
+    FileSources.ensureBucketed(
+      spark.table(postT).groupBy("w").agg(count(lit(1)).as("df")),
+      dfT, 8, Seq("w"), fp)
+    FileSources.ensureBucketed(
+      docs.agg(count(lit(1)).as("n"),
+        (sum(size(split(col("text"), " ")).cast("long")) * lit(1.0) /
+          count(lit(1))).as("avgdl")),
+      statT, 1, Seq("n"), fp)
+    (postT, dfT, statT)
+  }
+
+  /** BM25 top-k over the PERSISTED index — identical scores to
+    * [[bm25TopDocs]] (same contrib expression over the same exact tf /
+    * dl / df / n / avgdl values, same pinned left-to-right term-sum
+    * order), different cost: the corpus is never re-read. */
+  def bm25IndexedTopDocs(spark: SparkSession, dir: String,
+                         terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val (postT, dfT, statT) = bm25EnsureIndex(spark, dir)
+    val tf = spark.table(postT).filter(col("w").isin(terms: _*))
+    val dfq = broadcast(spark.table(dfT).filter(col("w").isin(terms: _*)))
+    val stats = broadcast(spark.table(statT))
+    val contrib =
+      log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+        (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("w") === t, col("contrib")).otherwise(lit(0.0))).as(s"s$i")
+    }
+    val scored = tf
+      .join(dfq, "w")
+      .crossJoin(stats)
+      .withColumn("contrib", contrib)
+      .groupBy("doc_id")
+      .agg(perTerm.head, perTerm.tail: _*)
+    val total = terms.indices.map(i => col(s"s$i")).reduceLeft(_ + _)
+    scored.select(col("doc_id"), Portable.round6(total).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Deterministic Bernoulli sample: keep rows whose md5-derived hash of
     * `keyCol` falls under `percent` — reproducible and repartition-stable
     * (never rand()). */

@@ -461,6 +461,19 @@ object TextAnalysis extends QueryPack {
       graft.Graft.bm25TopDocs(Tables.documents(s, d),
         Seq("spark", "vector", "dup"), k = 20)),
 
+    // The PERSISTED-index twin of text_bm25 — identical oracle, probe
+    // cost instead of corpus cost: posting lists (tf + denormalized doc
+    // length) live in a bucketed-by-term table built once per corpus
+    // snapshot (ensureBucketed reuse + fingerprint staleness), so a
+    // query pays a bucket-pruned pushed-filter scan of its terms'
+    // postings, two broadcast joins, and one candidate-bounded exchange
+    // — never a corpus re-tokenization. The production retrieval shape
+    // dedup (_indexed) and ANN (sim_knn_bucketed) already have;
+    // Bm25IndexSpec pins the probe plan's exchanges to the candidate
+    // frame.
+    "text_bm25_indexed" -> ((s, d) =>
+      graft.Graft.bm25IndexedTopDocs(s, d, Seq("spark", "vector", "dup"), k = 20)),
+
     // Corpus-level aggregate stats (the reduce side of text analysis).
     "text_corpus_stats" -> ((s, d) =>
       Tables.documents(s, d)
@@ -512,6 +525,31 @@ object TextAnalysis extends QueryPack {
         .orderBy("doc_id")
     })
   )
+
+  // Shared by text_bm25 and text_bm25_indexed: the index changes the
+  // execution shape, never the answer.
+  private val Bm25OracleSql =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+            tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+                   WHERE w IN ('spark', 'vector', 'dup') GROUP BY 1, 2),
+            dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+                   FROM documents),
+            dfq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+            st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          SUM(len(string_split(text, ' '))) * 1.0 / COUNT(*) AS avgdl
+                   FROM documents),
+            c AS (SELECT tf.doc_id, tf.w,
+                         ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+                           (tf.tf * 2.2) /
+                           (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS contrib
+                  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (w) CROSS JOIN st),
+            sc AS (SELECT doc_id,
+                          SUM(CASE WHEN w = 'spark' THEN contrib ELSE 0.0 END) AS s0,
+                          SUM(CASE WHEN w = 'vector' THEN contrib ELSE 0.0 END) AS s1,
+                          SUM(CASE WHEN w = 'dup' THEN contrib ELSE 0.0 END) AS s2
+                   FROM c GROUP BY 1)
+         SELECT doc_id, FLOOR((s0 + s1 + s2) * 1000000 + 0.5) / 1000000 AS score
+         FROM sc ORDER BY score DESC, doc_id LIMIT 20"""
 
   // RE2-and-Java-compatible PII patterns (shared by the Spark query and
   // its DuckDB oracle below; DuckDB's regexp engine is RE2).
@@ -880,28 +918,10 @@ object TextAnalysis extends QueryPack {
           FROM k ORDER BY doc_id""",
     // Identical expression tree as Graft.bm25TopDocs, term contributions
     // combined in the same pinned left-to-right order.
-    "text_bm25" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-            tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
-                   WHERE w IN ('spark', 'vector', 'dup') GROUP BY 1, 2),
-            dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-                   FROM documents),
-            dfq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-            st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-                          SUM(len(string_split(text, ' '))) * 1.0 / COUNT(*) AS avgdl
-                   FROM documents),
-            c AS (SELECT tf.doc_id, tf.w,
-                         ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
-                           (tf.tf * 2.2) /
-                           (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS contrib
-                  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (w) CROSS JOIN st),
-            sc AS (SELECT doc_id,
-                          SUM(CASE WHEN w = 'spark' THEN contrib ELSE 0.0 END) AS s0,
-                          SUM(CASE WHEN w = 'vector' THEN contrib ELSE 0.0 END) AS s1,
-                          SUM(CASE WHEN w = 'dup' THEN contrib ELSE 0.0 END) AS s2
-                   FROM c GROUP BY 1)
-         SELECT doc_id, FLOOR((s0 + s1 + s2) * 1000000 + 0.5) / 1000000 AS score
-         FROM sc ORDER BY score DESC, doc_id LIMIT 20""",
+    "text_bm25" -> Bm25OracleSql,
+    // The indexed twin must return the SAME answer the direct scorer
+    // does — one oracle SQL, two Spark plans.
+    "text_bm25_indexed" -> Bm25OracleSql,
     "text_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
             tc AS (SELECT doc_id, w, COUNT(*) AS cnt FROM toks GROUP BY doc_id, w),
