@@ -411,6 +411,56 @@ object DedupQueries extends QueryPack {
     * self-join diamond scans the gram stream once) → per-gram doc count →
     * equi-join; never a per-gram Window, so a corpus-wide boilerplate
     * gram skew-splits instead of landing in one unsplittable partition. */
+  /** Maximal shared spans per doc pair — what contamination removal
+    * actually ships (the Lee et al. "Deduplicating Training Data ..."
+    * substring result, approximated by coalescing the fixed 8-gram
+    * windows of [[spanSharedWindowsOf]] into maximal runs): two shared
+    * windows at (pa, pb) and (pa+1, pb+1) are the SAME span, so spans
+    * are islands of consecutive pa along each alignment DIAGONAL
+    * (pa − pb). Emits one row per maximal span with its start in both
+    * docs and its token length (windows + 7).
+    *
+    * Scale shape: candidate generation is the gram-keyed equi-join,
+    * skew-bounded by the per-gram distinct-doc cap (`maxDocsPerGram`,
+    * the hot-gram valve — boilerplate headers shared by everything
+    * would otherwise quadratically explode); the island window
+    * partitions by (pair, diagonal) — span-sized partitions, never the
+    * corpus. */
+  def spanMergedOf(s: SparkSession, docs: DataFrame,
+                   maxDocsPerGram: Int = 16): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val g = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .as[(Long, Seq[String])]
+      .flatMap { case (id, toks) =>
+        if (toks.length < 8) Iterator.empty
+        else toks.sliding(8).zipWithIndex.map { case (w, i) =>
+          (id, i.toLong, w.mkString(" "))
+        }
+      }
+      .toDF("doc_id", "pos", "gram")
+    val eligible = g.groupBy("gram")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= maxDocsPerGram)
+      .select("gram")
+    val gg = g.join(eligible, "gram")
+    val pairs = gg.select(col("gram"), col("doc_id").as("da"), col("pos").as("pa"))
+      .join(gg.select(col("gram"), col("doc_id").as("db"), col("pos").as("pb")), "gram")
+      .filter(col("da") < col("db"))
+      .select("da", "db", "pa", "pb")
+    val w = Window.partitionBy(col("da"), col("db"), col("pa") - col("pb"))
+      .orderBy("pa")
+    pairs
+      .withColumn("isl", col("pa") - row_number().over(w))
+      .groupBy(col("da"), col("db"), (col("pa") - col("pb")).as("diag"), col("isl"))
+      .agg(min("pa").as("start_a"), min("pb").as("start_b"),
+        count(lit(1)).as("span_windows"),
+        (count(lit(1)) + lit(7)).as("span_tokens"))
+      .select("da", "db", "start_a", "start_b", "span_windows", "span_tokens")
+      .orderBy("da", "db", "start_a", "start_b")
+  }
+
   def spanSharedWindowsOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     val gd = docs
@@ -769,6 +819,15 @@ object DedupQueries extends QueryPack {
     // exploded grams and no O(n²) pair path.
     "dedup_span_ngrams" -> ((s, d) =>
       spanSharedWindowsOf(s, Tables.documents(s, d))),
+
+    // Maximal-span coalescing of the shared 8-gram windows — span
+    // starts/lengths per doc pair, island-merged along alignment
+    // diagonals (see spanMergedOf). The oracle replays the identical
+    // chain (gram join under the same hot-gram cap, diagonal islands
+    // via ROW_NUMBER, per-island MIN/COUNT), so a span split, merged
+    // across a gap, or shifted by one anywhere row-fails.
+    "dedup_span_merged" -> ((s, d) =>
+      spanMergedOf(s, Tables.documents(s, d))),
 
     // MinHash + LSH near-dup: 32 seeded hashes → 16 bands × 2 rows →
     // band-key equi-join for candidates → TRUE-Jaccard verify ≥ 0.7.
@@ -1424,6 +1483,29 @@ object DedupQueries extends QueryPack {
                          COUNT(*) OVER (PARTITION BY gram) AS nd FROM gd)
          SELECT doc_id, CAST(SUM(nw) AS BIGINT) AS n_shared_windows
          FROM h WHERE nd >= 2 GROUP BY doc_id ORDER BY doc_id""",
+    // Identical gram universe and hot-gram cap as the Spark side; spans
+    // are islands of consecutive pa along each (da, db, pa−pb) diagonal.
+    "dedup_span_merged" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+                    WHERE len(string_split(text, ' ')) >= 8),
+            g AS (SELECT doc_id, i AS pos,
+                         array_to_string(list_slice(toks, i + 1, i + 8), ' ') AS gram
+                  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 7)) AS i FROM t)),
+            cap AS (SELECT gram FROM
+                      (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+                    WHERE nd BETWEEN 2 AND 16),
+            p AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+                  FROM g a JOIN cap USING (gram) JOIN g b USING (gram)
+                  WHERE a.doc_id < b.doc_id),
+            isl AS (SELECT da, db, pa, pb, pa - pb AS diag,
+                           pa - ROW_NUMBER() OVER (PARTITION BY da, db, pa - pb
+                                                   ORDER BY pa) AS isl
+                    FROM p)
+          SELECT da, db, MIN(pa) AS start_a, MIN(pb) AS start_b,
+                 CAST(COUNT(*) AS BIGINT) AS span_windows,
+                 CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+          FROM isl GROUP BY da, db, diag, isl
+          ORDER BY da, db, start_a, start_b""",
     "dedup_contamination_ngram" ->
       """WITH s AS (SELECT doc_id, lang, text,
                            CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS h
