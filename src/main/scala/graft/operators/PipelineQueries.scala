@@ -252,6 +252,78 @@ object PipelineQueries extends QueryPack {
     // totals (a tiny frame where all apportionment math happens), one
     // per-source window for the greedy fill, one final aggregate —
     // the corpus is scanned once and shuffled once.
+    // The end-to-end TEXT pipeline from the ARRIVAL format — the text
+    // twin of mm_wds_pipeline: WARC shards (bodies = corpus text, some
+    // docs re-crawled under alias URIs) → charset-aware HTTP/WET
+    // extraction → Gopher-style hard quality rules → CCNet LM
+    // perplexity tail gate (self-scored on the quality survivors) →
+    // exact content dedup (drops the re-crawl aliases) → α=0.5
+    // temperature mix at 50% budget. Emits the per-lang funnel — every
+    // stage's count plus the final membership checksum — reusing each
+    // stage's exact arithmetic (qualityRuleFlags, lmDocScores,
+    // temperatureRates/KeptOf), so this gate pins the COMPOSITION, not
+    // re-implementations. Scale shape: one task per WARC shard at
+    // ingest, then the same plans as the component gates; stages share
+    // scans via localCheckpoint.
+    "pipeline_crawl_corpus" -> ((s, d) => {
+      import graft.functions.PortableHash
+      val paths = graft.sources.WarcSource.stageCrawlFixture(
+        s, d, graft.Stage.dir(d, "crawl_corpus"))
+      val fetched = graft.sources.WarcSource.httpTexts(s, paths)
+        .withColumn("crawl_id",
+          regexp_extract(col("uri"), "/d(\\d+)$", 1).cast("long"))
+        .withColumn("clang",
+          regexp_extract(col("uri"), "crawl\\.example/([a-z]+)/", 1))
+        .select(col("crawl_id"), col("clang").as("lang"), col("text"))
+        .localCheckpoint(eager = false)
+      val kept1 = TextAnalysis.qualityRuleFlags(fetched)
+        .filter(col("keep")).select("crawl_id", "lang", "text")
+        .localCheckpoint(eager = false)
+      // LM perplexity gate: the text_lm_buckets tercile rule — score
+      // every quality survivor with the self-trained bigram LM, rank by
+      // micro-average surprisal (RankUtils.globalRank — the same
+      // distributed rank, no SinglePartition funnel) and DROP the tail
+      // third (the most-surprising bucket; CCNet mixes head-heavy).
+      // Deliberately the bucket rule, not the 1.1x tail FLAG: after the
+      // hard quality rules the survivors are homogeneous enough that
+      // the flag fires on nobody — a dead stage proves nothing, while
+      // the tercile cut bites by construction.
+      val scores = TextModelQueries.lmDocScores(
+        s, kept1.withColumnRenamed("crawl_id", "doc_id"))
+        .withColumn("surprisal", expr("(-q_sum) * 1000000 div n_bi"))
+      val ranked = RankUtils.globalRank(scores,
+        Seq(col("surprisal").asc, col("doc_id").asc))
+      val cuts = ranked.agg(count(lit(1)).as("n"))
+        .withColumn("e2", expr("2 * (n div 3) + least(n % 3, 2)"))
+        .select("e2")
+      val lmKeptIds = ranked.crossJoin(broadcast(cuts))
+        .filter(col("rank") <= col("e2"))
+        .select(col("doc_id").as("crawl_id"))
+      val kept2 = kept1.join(lmKeptIds, Seq("crawl_id"), "left_semi")
+        .localCheckpoint(eager = false)
+      val uniq = kept2.groupBy(md5(col("text")).as("h"))
+        .agg(min("crawl_id").as("crawl_id"), min("lang").as("lang"),
+          count(lit(1)).as("n_copies"))
+        .localCheckpoint(eager = false)
+      val rates = temperatureRates(uniq, "lang", budgetPct = 50)
+      val mixed = temperatureKeptOf(
+        uniq.select("crawl_id", "lang"), "crawl_id", "lang", rates)
+      val f0 = fetched.groupBy("lang").agg(count(lit(1)).as("n_fetched"))
+      val f1 = kept1.groupBy("lang").agg(count(lit(1)).as("n_quality"))
+      val f2 = kept2.groupBy("lang").agg(count(lit(1)).as("n_lm_kept"))
+      val f3 = uniq.groupBy("lang").agg(count(lit(1)).as("n_unique"),
+        sum(col("n_copies") - 1).as("n_dups_dropped"))
+      val f4 = mixed.groupBy("lang").agg(count(lit(1)).as("n_mixed"),
+        sum(PortableHash.h60p(col("crawl_id").cast("string"))).as("mixed_checksum"))
+      f0.join(f1, Seq("lang"), "left")
+        .join(f2, Seq("lang"), "left")
+        .join(f3, Seq("lang"), "left")
+        .join(f4, Seq("lang"), "left")
+        .na.fill(0L, Seq("n_quality", "n_lm_kept", "n_unique",
+          "n_dups_dropped", "n_mixed", "mixed_checksum"))
+        .orderBy("lang")
+    }),
+
     "pipeline_token_mix" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
@@ -615,6 +687,96 @@ object PipelineQueries extends QueryPack {
                  CAST(COUNT(*) AS BIGINT) AS n,
                  MIN(x) AS min_x, MAX(x) AS max_x,
                  MIN(y) AS min_y, MAX(y) AS max_y
-          FROM zz GROUP BY 1 ORDER BY file_id"""
+          FROM zz GROUP BY 1 ORDER BY file_id""",
+
+    // Replays the whole crawl funnel from the parquet table: the staged
+    // WARC membership (even doc_ids, % 10 == 4 re-crawled as +1
+    // aliases), the quality rules, the LM tail flag over the quality
+    // survivors, exact dedup by content md5, and the α=0.5 temperature
+    // gate at 50% budget — each stage's arithmetic verbatim from its
+    // component oracle.
+    "pipeline_crawl_corpus" -> {
+      val stopSum = TextAnalysis.enStopCaseSumSql
+      val h60cid = graft.functions.PortableHash.h60Sql("CAST(u.cid AS VARCHAR)")
+      val h60pcid = graft.functions.PortableHash.h60pSql("CAST(cid AS VARCHAR)")
+      s"""WITH base AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0),
+            crawl AS (SELECT doc_id * 10 AS cid, lang, text FROM base
+                      UNION ALL
+                      SELECT doc_id * 10 + 1 AS cid, lang, text FROM base
+                      WHERE doc_id % 10 = 4),
+            qt AS (SELECT cid, lang, text, string_split(text, ' ') AS toks,
+                          CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_ch
+                   FROM crawl),
+            qm AS (SELECT cid, lang, text, n_ch,
+                          CAST(len(toks) AS BIGINT) AS n_words,
+                          CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+                          CAST($stopSum AS BIGINT) AS n_stop
+                   FROM qt),
+            keep1 AS (SELECT cid, lang, text FROM qm
+                      WHERE n_words BETWEEN 30 AND 100000
+                        AND n_ch >= n_words * 3 AND n_ch <= n_words * 10
+                        AND n_alpha * 5 >= n_words * 4 AND n_stop >= 2),
+            lt AS (SELECT cid, lang, string_split(text, ' ') AS toks FROM keep1
+                   WHERE len(string_split(text, ' ')) >= 2),
+            lb AS (SELECT cid, lang, toks[i] AS w1, toks[i + 1] AS w2
+                   FROM (SELECT cid, lang, toks, unnest(range(1, len(toks))) AS i FROM lt)),
+            bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM lb GROUP BY 1, 2),
+            uc AS (SELECT w1, SUM(c12) AS c1 FROM bc GROUP BY 1),
+            v AS (SELECT COUNT(DISTINCT w) AS vsz FROM
+                    (SELECT unnest(string_split(text, ' ')) AS w FROM keep1)),
+            lm AS (SELECT bc.w1, bc.w2,
+                          CAST(FLOOR(ln((c12 + 1.0) / (c1 + vsz)) * 10000) AS BIGINT) AS q
+                   FROM bc JOIN uc USING (w1) CROSS JOIN v),
+            ldb AS (SELECT cid, lang, w1, w2, COUNT(*) AS k FROM lb GROUP BY 1, 2, 3, 4),
+            ds AS (SELECT cid, CAST(SUM(k) AS BIGINT) AS n_bi,
+                          CAST(SUM(k * q) AS BIGINT) AS q_sum
+                   FROM ldb JOIN lm USING (w1, w2) GROUP BY 1),
+            rk AS (SELECT cid,
+                          NTILE(3) OVER (ORDER BY ((-q_sum) * 1000000) // n_bi, cid) AS bucket
+                   FROM ds),
+            keep2 AS (SELECT k.cid, k.lang, k.text
+                      FROM keep1 k JOIN rk ON rk.cid = k.cid
+                      WHERE rk.bucket <= 2),
+            uniq AS (SELECT MIN(cid) AS cid, MIN(lang) AS lang,
+                            CAST(COUNT(*) AS BIGINT) AS n_copies
+                     FROM keep2 GROUP BY md5(text)),
+            nl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM uniq GROUP BY 1),
+            sq AS (SELECT lang, n_docs, n_docs * 1000000 AS x,
+                          CAST(FLOOR(SQRT(CAST(n_docs * 1000000 AS DOUBLE))) AS BIGINT) AS b
+                   FROM nl),
+            w AS (SELECT lang, n_docs,
+                         CASE WHEN (b + 1) * (b + 1) <= x THEN b + 1
+                              WHEN b * b > x THEN b - 1
+                              ELSE b END AS w
+                  FROM sq),
+            wtot AS (SELECT CAST(SUM(w) AS BIGINT) AS sum_w,
+                            CAST(SUM(n_docs) AS BIGINT) AS n FROM w),
+            rates AS (SELECT lang, n_docs, w,
+                             (w * 1000000) // sum_w AS mix_ppm,
+                             LEAST(CAST(1000000 AS BIGINT),
+                                   (((n * 50) // 100) * ((w * 1000000) // sum_w)) // n_docs) AS rate_ppm
+                      FROM w CROSS JOIN wtot),
+            mixed AS (SELECT u.cid, u.lang FROM uniq u JOIN rates r ON u.lang = r.lang
+                      WHERE $h60cid % 1000000 < r.rate_ppm),
+            f0 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_fetched FROM crawl GROUP BY 1),
+            f1 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_quality FROM keep1 GROUP BY 1),
+            f2 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lm_kept FROM keep2 GROUP BY 1),
+            f3 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_unique,
+                          CAST(SUM(n_copies - 1) AS BIGINT) AS n_dups_dropped
+                   FROM uniq GROUP BY 1),
+            f4 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_mixed,
+                          CAST(SUM($h60pcid) AS BIGINT) AS mixed_checksum
+                   FROM mixed GROUP BY 1)
+          SELECT f0.lang, f0.n_fetched,
+                 COALESCE(f1.n_quality, 0) AS n_quality,
+                 COALESCE(f2.n_lm_kept, 0) AS n_lm_kept,
+                 COALESCE(f3.n_unique, 0) AS n_unique,
+                 COALESCE(f3.n_dups_dropped, 0) AS n_dups_dropped,
+                 COALESCE(f4.n_mixed, 0) AS n_mixed,
+                 COALESCE(f4.mixed_checksum, 0) AS mixed_checksum
+          FROM f0 LEFT JOIN f1 USING (lang) LEFT JOIN f2 USING (lang)
+               LEFT JOIN f3 USING (lang) LEFT JOIN f4 USING (lang)
+          ORDER BY f0.lang"""
+    }
   )
 }

@@ -64,6 +64,13 @@ object TextAnalysis extends QueryPack {
   /** English stopword IN-list fragment for oracle SQL reuse. */
   private[operators] def enStopSql: String = inList(stop("en"))
 
+  /** English stopword presence-count fragment over a `toks` list column
+    * — the quality-rule n_stop, shared by the text_quality_rules oracle
+    * and the composed pipeline_crawl_corpus oracle. */
+  private[operators] def enStopCaseSumSql: String = stop("en")
+    .map(w => s"(CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END)")
+    .mkString(" + ")
+
   /** DuckDB twin of [[qualityExpr]] over columns n_toks/n_dist/sw. */
   private[operators] val qualitySql: String =
     "FLOOR((LEAST(n_toks / 100.0, 1.0) * 0.4 + (n_dist / n_toks) * 0.3 + " +
@@ -854,9 +861,7 @@ object TextAnalysis extends QueryPack {
           SELECT doc_id, $qualitySql AS quality
           FROM m ORDER BY doc_id""",
     "text_quality_rules" -> {
-      val stopSum = stop("en")
-        .map(w => s"(CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END)")
-        .mkString(" + ")
+      val stopSum = enStopCaseSumSql
       s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks,
                             CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_ch
                      FROM documents),

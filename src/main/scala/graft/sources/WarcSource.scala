@@ -845,6 +845,66 @@ object WarcSource {
     buf.result()
   }
 
+  // ---- Crawl-corpus fixture: WARC shards whose bodies ARE corpus text ----
+
+  /** Stage WARC shards whose response bodies are the documents table's
+    * texts — the arrival format of the end-to-end text pipeline
+    * (pipeline_crawl_corpus), so every downstream stage (quality, LM,
+    * dedup, mix) runs on real corpus text and the oracle replays from
+    * the parquet table. Membership model (closed form for the oracle):
+    * every doc_id % 2 == 0 doc appears once with crawl_id = doc_id·10
+    * (shard (doc_id/2) % 6); docs with doc_id % 10 == 4 are RE-CRAWLED
+    * into the next shard under alias crawl_id = doc_id·10 + 1 —
+    * identical body, different URI, which is exactly what the exact-
+    * dedup stage exists to drop. URIs carry the lang and crawl_id:
+    * http://crawl.example/{lang}/d{crawl_id}.
+    *
+    * Staging is DISTRIBUTED: one task per shard via groupByKey (rows
+    * sorted in-group for deterministic bytes) — no driver-side collect
+    * of corpus text. */
+  def stageCrawlFixture(spark: SparkSession, dataDir: String,
+                        dir: String): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = new java.io.File(dir)
+    val marker = new java.io.File(d, "_STAGED_WARC_CRAWL_V1")
+    val paths = (0 until 6).map(f => f"$dir/crawl$f%02d.warc")
+    if (!marker.exists()) {
+      d.mkdirs()
+      val base = graft.Tables.documents(spark, dataDir)
+        .filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val rows = base
+        .select((expr("doc_id div 2") % 6).as("shard"),
+          (col("doc_id") * 10).as("crawl_id"), col("lang"), col("text"))
+        .unionByName(base.filter(col("doc_id") % 10 === 4)
+          .select(((expr("doc_id div 2") + 1) % 6).as("shard"),
+            (col("doc_id") * 10 + 1).as("crawl_id"), col("lang"), col("text")))
+        .as[(Long, Long, String, String)]
+      val written = rows.groupByKey(_._1)
+        .mapGroups { (shard, it) =>
+          val buf = Array.newBuilder[Byte]
+          buf ++= record("warcinfo", None, f"crawlinfo-$shard%02d",
+            "software: graft\r\n".getBytes("US-ASCII"))
+          it.toSeq.sortBy(_._2).foreach { case (_, cid, lang, text) =>
+            val body = text.getBytes("UTF-8")
+            val head = "HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n\r\n"
+            buf ++= record("response",
+              Some(s"http://crawl.example/$lang/d$cid"),
+              f"crawlrsp-$shard%02d-$cid",
+              head.getBytes("US-ASCII") ++ body)
+          }
+          val p = f"$dir/crawl$shard%02d.warc"
+          java.nio.file.Files.write(java.nio.file.Paths.get(p), buf.result())
+          p
+        }
+      val got = written.collect().toSet // 6-row action, metadata only
+      require(got == paths.toSet, s"staged shards $got != expected $paths")
+      marker.createNewFile(): Unit
+    }
+    paths
+  }
+
   /** Stage the charset fixture (same idempotence contract as
     * [[stageFixture]]). */
   def stageCharsetFixture(dir: String): Seq[String] = {
