@@ -116,7 +116,17 @@ object Explain {
     // funnel (tar walk → typed PCM decode → dedup join-back), and the
     // perplexity-bucket split (one corpus-wide ntile window over the
     // shared LM score frame).
-    "dedup_semdedup", "mm_wds_audio_pipeline", "text_lm_buckets")
+    "dedup_semdedup", "mm_wds_audio_pipeline", "text_lm_buckets",
+    // round 16: the distributed-rank bucket split (rangepartitioning,
+    // no SinglePartition funnel — the r15 weak plan closed), the
+    // charset-aware WET decode (one task per shard → codegen'd agg),
+    // the FLAC frame decode (typed mapPartitions decode → aggregate,
+    // the pixel-gate family), the persisted-BM25 probe (bucket-pruned
+    // posting scan, candidate-only exchange), the maximal-span island
+    // merge (gram equi-join → per-(pair,diagonal) window), and the
+    // composed crawl funnel from WARC arrival.
+    "warc_charset_extract", "mm_flac_pcm", "text_bm25_indexed",
+    "dedup_span_merged", "pipeline_crawl_corpus")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
