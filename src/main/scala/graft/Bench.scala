@@ -192,10 +192,18 @@ object Bench {
     // 64-dim list folds + a recursive-CTE components pass, the
     // dedup_embed_ivf oracle's cost family); mm_wds_audio_pipeline
     // 0.03, text_lm_buckets 0.13. Composition: 71.3 + 2.4 = 73.7.
+    // Round-16 re-derivation (2026-08-15, 231 SQLs): the five additions
+    // cost 1.469 s of three-draw minima on a load<1 box —
+    // pipeline_crawl_corpus 0.755 (its oracle replays the whole
+    // WARC→quality→LM→dedup→mix funnel from parquet) and
+    // dedup_span_merged 0.570 (per-pair island coalescing over the
+    // shared-gram join) dominate; mm_flac_pcm 0.077 (closed-form sample
+    // model replay), text_bm25_indexed 0.059 (shares text_bm25's SQL),
+    // warc_charset_extract 0.007. Composition: 73.7 + 1.5 = 75.2.
     // Env overrides for re-derived denominators; the fallback keeps
     // `vs_baseline` on the driver's line, which sets no env. Only
     // meaningful at sf0.1.
-    val FallbackBaselineSec = 73.7
+    val FallbackBaselineSec = 75.2
     val baselineEnv = sys.env.get("SPARK_GRAFT_BASELINE_SEC")
     val baselineParsed = baselineEnv
       .flatMap(s => scala.util.Try(s.toDouble).toOption)

@@ -5657,4 +5657,163 @@ object MediaPipeline {
       })
       .toDF()
   }
+
+  // ─────────── perceptual-hash (aHash) near-dup fixture (round 16) ───────────
+  // IMAGE near-duplicate detection — the visual twin of simhash over text:
+  // decode → 8×8-block average hash (64 bits) → banded candidate join →
+  // Hamming verify. The staged corpus is built for the gate: doc ids group
+  // into FAMILIES of four (fam = id/4); variant v = id%4 perturbs v blocks
+  // of the family's base mosaic, so within-family aHash distances are small
+  // (near-dups by construction) while cross-family mosaics differ in ~half
+  // the bits. Every pixel value is closed-form doc_id arithmetic the DuckDB
+  // oracle replays block-exactly — Spark re-derives the hash by PARSING the
+  // BMP bytes (stride, bottom-up rows, B,G,R) and averaging real pixels.
+
+  /** Gray base of block `bi` (row-major in the 8×8 grid) of family `fam`:
+    * a value in [23, 222], varying with both inputs so cross-family
+    * mosaics decorrelate. */
+  def ahashBlockBase(fam: Long, bi: Int): Int =
+    (((fam * 37 + bi * 11L + (bi * bi) % 7) % 200) + 23).toInt
+
+  /** Perturbation of block `bi` for doc `id`: variant v = id%4 shifts the
+    * v blocks (fam + 17k) % 64, k = 1..v, by ±90 toward the far side of
+    * the dynamic range — far enough that the shifted block crosses the
+    * global mean (≈122) from almost anywhere in [23, 222], so each
+    * perturbed block flips its hash bit and within-family hamming ≈ v
+    * (measured over all sf0.1 families: avg 2.0, max 7 — inside the ≤ 8
+    * verify; cross-family ≈ 32). 17·k mod 64 is injective for k ≤ 3, so
+    * the perturbed blocks are distinct. The base pattern's fam-period of
+    * 200 additionally plants EXACT-duplicate mosaics at family distance
+    * 200 — real corpus duplicates the gate must also surface. */
+  def ahashDelta(id: Long, bi: Int): Int = {
+    val fam = id / 4
+    val v = (id % 4).toInt
+    var d = 0
+    var k = 1
+    while (k <= v) {
+      if (bi == ((fam + 17L * k) % 64).toInt)
+        d += (if (ahashBlockBase(fam, bi) < 128) 90 else -90)
+      k += 1
+    }
+    d
+  }
+
+  /** The staged gray value of pixel (x, y) of doc `id` (64×64 image, all
+    * three channels equal): block base + variant perturbation + a ±3
+    * column-parity ripple that cancels EXACTLY over every 8-wide block —
+    * the block means stay closed-form while a decoder that mis-walks
+    * pixels still breaks the moment. Range [20, 225]. */
+  def ahashPxValue(id: Long, x: Int, y: Int): Int = {
+    val bi = (y / 8) * 8 + (x / 8)
+    ahashBlockBase(id / 4, bi) + ahashDelta(id, bi) + (if (x % 2 == 0) 3 else -3)
+  }
+
+  /** A COMPLETE 64×64 uncompressed 24-bit BMP for doc `id` under the
+    * aHash mosaic model — same layout discipline as [[pixelBmp]]
+    * (bottom-up rows, B,G,R bytes; 64·3 = 192 is already 4-aligned so no
+    * stride padding exists at this width). */
+  def ahashBmp(id: Long): Array[Byte] = {
+    val w = 64; val h = 64
+    val stride = w * 3
+    val px = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val base = (h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val v = ahashPxValue(id, x, y).toByte
+        px(base + x * 3) = v; px(base + x * 3 + 1) = v; px(base + x * 3 + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    bmpHeader(w, h, px.length) ++ px
+  }
+
+  /** aHash-staged media table: one mosaic BMP per document. Built
+    * in-memory per pass like [[mediaTableStaged]] — the oracle replays
+    * the value model, never these bytes. */
+  def ahashTableStaged(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) => MediaRow(id, src, ahashBmp(id)) })
+      .toDF()
+  }
+
+  /** Per-image average-hash row: the 64-bit hash split into two NONNEGATIVE
+    * 32-bit halves (h_hi = blocks 0-31 with block 0 at bit 31, h_lo =
+    * blocks 32-63) so banding, XOR and checksum arithmetic stay identical
+    * in Spark and DuckDB without signed-bit-63 hazards; `moment` is the
+    * position-weighted gray sum Σ gray·(x + w·y + 1) pinning the full
+    * per-pixel walk. */
+  case class AhashRow(doc_id: Long, source: String, h_hi: Long, h_lo: Long,
+                      moment: Long)
+
+  /** REAL average-hash decode for uncompressed 24-bit BMP: parse the pixel
+    * array via [[bmpPixelAccessor]], integer luma (r + 2g + b)/4 per
+    * pixel, mean per cell of the 8×8 grid (truncating division — exact on
+    * the staged mosaics because the parity ripple cancels), global mean
+    * of the 64 block means, bit = mean ≥ global mean. None unless both
+    * dimensions are positive multiples of 8 (the integer 8×8 downsample
+    * is only well-defined there). */
+  def decodeAhash(media: Array[Byte]): Option[(Long, Long, Long)] =
+    bmpPixelAccessor(media).flatMap { case (w, h, at) =>
+      if (w <= 0 || h <= 0 || w % 8 != 0 || h % 8 != 0) None
+      else {
+        val cw = w / 8; val ch = h / 8
+        val area = cw.toLong * ch
+        val bm = new Array[Long](64)
+        var moment = 0L
+        var by = 0
+        while (by < 8) {
+          var bx = 0
+          while (bx < 8) {
+            var sum = 0L
+            var y = by * ch
+            while (y < (by + 1) * ch) {
+              var x = bx * cw
+              while (x < (bx + 1) * cw) {
+                val gray = (at(x, y, 0) + 2 * at(x, y, 1) + at(x, y, 2)) / 4
+                sum += gray
+                moment += gray * (x + w.toLong * y + 1)
+                x += 1
+              }
+              y += 1
+            }
+            bm(by * 8 + bx) = sum / area
+            bx += 1
+          }
+          by += 1
+        }
+        var total = 0L
+        var i = 0
+        while (i < 64) { total += bm(i); i += 1 }
+        val gmean = total / 64
+        var hi = 0L; var lo = 0L
+        i = 0
+        while (i < 64) {
+          val bit = if (bm(i) >= gmean) 1L else 0L
+          if (i < 32) hi = (hi << 1) | bit else lo = (lo << 1) | bit
+          i += 1
+        }
+        Some((hi, lo, moment))
+      }
+    }
+
+  /** aHash decode pass: decode-as-filter like every pixel gate. */
+  def decodedAhash(s: SparkSession, dir: String): DataFrame =
+    decodedAhashOf(s, ahashTableStaged(s, dir))
+
+  def decodedAhashOf(s: SparkSession, mediaDf: DataFrame): DataFrame = {
+    import s.implicits._
+    mediaDf.as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        decodeAhash(r.media).map { case (hi, lo, m) =>
+          AhashRow(r.doc_id, r.source, hi, lo, m)
+        }
+      })
+      .toDF()
+  }
 }

@@ -419,6 +419,53 @@ object MultimodalQueries extends QueryPack {
         .orderBy("site")
     }),
 
+    // IMAGE near-duplicate detection via the 8×8 AVERAGE HASH (aHash) —
+    // the visual member of the perceptual-dedup family and the image twin
+    // of dedup_simhash: decode the staged mosaic BMPs (REAL pixel parse —
+    // stride, bottom-up rows, B,G,R), integer-luma 8×8 block means, 64-bit
+    // hash split into two nonnegative 32-bit halves (no signed-bit-63
+    // hazard in either engine), then BANDED candidates (4×16-bit chunks,
+    // the LSH-for-Hamming shape — never corpus²) verified at hamming ≤ 8
+    // BEFORE the pair dedup, exactly the simhash self-equi-join shape AQE
+    // can skew-split. The staged families of four variants guarantee real
+    // near-dups; the oracle replays block means, hash packing, banding and
+    // hamming closed-form. Scale: per-chunk buckets shuffle-partition, the
+    // verify is candidate-bounded, audits are ordinary codegen'd aggs.
+    "mm_ahash_dedup" -> ((s, d) => {
+      val dec = MediaPipeline.decodedAhash(s, d)
+        .localCheckpoint(eager = false) // audit + candidate join share one decode
+      val chunks = dec
+        .select(col("doc_id"), col("source"), col("h_hi"), col("h_lo"),
+          explode(sequence(lit(0), lit(3))).as("ck"))
+        .withColumn("cv", expr(
+          """CASE ck WHEN 0 THEN shiftright(h_hi, 16) & CAST(65535 AS BIGINT)
+                     WHEN 1 THEN h_hi & CAST(65535 AS BIGINT)
+                     WHEN 2 THEN shiftright(h_lo, 16) & CAST(65535 AS BIGINT)
+                     ELSE h_lo & CAST(65535 AS BIGINT) END"""))
+      val a = chunks.select(col("ck"), col("cv"), col("doc_id").as("da"),
+        col("source").as("src"), col("h_hi").as("ha_hi"), col("h_lo").as("ha_lo"))
+      val b = chunks.select(col("ck"), col("cv"), col("doc_id").as("db"),
+        col("h_hi").as("hb_hi"), col("h_lo").as("hb_lo"))
+      val pairs = a.join(b, Seq("ck", "cv"))
+        .filter(col("da") < col("db"))
+        .withColumn("ham", expr(
+          "CAST(bit_count(ha_hi ^ hb_hi) + bit_count(ha_lo ^ hb_lo) AS BIGINT)"))
+        .filter(col("ham") <= 8)
+        .select("da", "db", "src", "ham")
+        .dropDuplicates("da", "db")
+      val imgAgg = dec.groupBy("source").agg(
+        count(lit(1)).as("n_img"),
+        sum(col("h_hi") * 3 + col("h_lo") * 5).as("hash_checksum"),
+        sum("moment").as("moment_sum"))
+      val pairAgg = pairs.groupBy(col("src").as("source")).agg(
+        count(lit(1)).as("n_pairs"),
+        sum("ham").as("hamming_sum"),
+        sum(col("da") * 31 + col("db")).as("pair_checksum"))
+      imgAgg.join(pairAgg, Seq("source"), "left")
+        .na.fill(0L, Seq("n_pairs", "hamming_sum", "pair_checksum"))
+        .orderBy("source")
+    }),
+
     "mm_bmp_pixels" -> ((s, d) =>
       MediaPipeline.decodedBmpPixels(s, d)
         .groupBy("source")
@@ -1201,6 +1248,57 @@ object MultimodalQueries extends QueryPack {
                  CAST(COALESCE(d.feat_checksum, 0) AS BIGINT) AS feat_checksum
           FROM mem m JOIN deca a USING (site) LEFT JOIN deda d USING (site)
           ORDER BY m.site""",
+    // The aHash model replayed closed-form: block means from the mosaic
+    // arithmetic (the ±3 column-parity ripple cancels exactly over every
+    // 8-wide block, so no per-pixel range is needed — only the moment
+    // carries the constant −6144 parity term, derived in MediaPipeline),
+    // then hash packing, 4×16-bit banding, hamming verify and the same
+    // per-source audits.
+    "mm_ahash_dedup" ->
+      """WITH img AS (SELECT doc_id AS id, source FROM documents),
+            base AS (SELECT id, source, b.range AS bi,
+                            (((id//4)*37 + bi*11 + (bi*bi)%7) % 200) + 23 AS bb
+                     FROM img, range(64) b),
+            blk AS (SELECT id, source, bi,
+                           bb + CASE WHEN (id%4) >= 1 AND bi = ((id//4)+17) % 64
+                                     THEN CASE WHEN bb < 128 THEN 90 ELSE -90 END ELSE 0 END
+                              + CASE WHEN (id%4) >= 2 AND bi = ((id//4)+34) % 64
+                                     THEN CASE WHEN bb < 128 THEN 90 ELSE -90 END ELSE 0 END
+                              + CASE WHEN (id%4) >= 3 AND bi = ((id//4)+51) % 64
+                                     THEN CASE WHEN bb < 128 THEN 90 ELSE -90 END ELSE 0 END AS bm
+                    FROM base),
+            gm AS (SELECT id, SUM(bm)//64 AS gmean FROM blk GROUP BY id),
+            hash AS (SELECT blk.id, ANY_VALUE(source) AS source,
+                            CAST(SUM(CASE WHEN bi < 32 AND bm >= gmean
+                                          THEN (CAST(1 AS BIGINT) << (31 - bi)) ELSE 0 END) AS BIGINT) AS h_hi,
+                            CAST(SUM(CASE WHEN bi >= 32 AND bm >= gmean
+                                          THEN (CAST(1 AS BIGINT) << (63 - bi)) ELSE 0 END) AS BIGINT) AS h_lo,
+                            CAST(SUM(bm * (512*(bi%8) + 32768*(bi//8) + 14624)) - 6144 AS BIGINT) AS moment
+                     FROM blk JOIN gm ON blk.id = gm.id GROUP BY blk.id),
+            ch AS (SELECT id, source, h_hi, h_lo, k.range AS ck,
+                          CASE k.range WHEN 0 THEN (h_hi >> 16) & 65535
+                                       WHEN 1 THEN h_hi & 65535
+                                       WHEN 2 THEN (h_lo >> 16) & 65535
+                                       ELSE h_lo & 65535 END AS cv
+                   FROM hash, range(4) k),
+            pr AS (SELECT DISTINCT a.id AS da, b.id AS db, a.source AS src,
+                          bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) AS ham
+                   FROM ch a JOIN ch b ON a.ck = b.ck AND a.cv = b.cv AND a.id < b.id
+                   WHERE bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) <= 8),
+            ia AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_img,
+                          CAST(SUM(h_hi*3 + h_lo*5) AS BIGINT) AS hash_checksum,
+                          CAST(SUM(moment) AS BIGINT) AS moment_sum
+                   FROM hash GROUP BY source),
+            pa AS (SELECT src AS source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                          CAST(SUM(ham) AS BIGINT) AS hamming_sum,
+                          CAST(SUM(da*31 + db) AS BIGINT) AS pair_checksum
+                   FROM pr GROUP BY src)
+         SELECT ia.source, ia.n_img, ia.hash_checksum, ia.moment_sum,
+                COALESCE(pa.n_pairs, 0) AS n_pairs,
+                COALESCE(pa.hamming_sum, 0) AS hamming_sum,
+                COALESCE(pa.pair_checksum, 0) AS pair_checksum
+         FROM ia LEFT JOIN pa USING (source) ORDER BY ia.source""",
+
     "mm_bmp_pixels" ->
       """WITH img AS (SELECT doc_id, source,
                              CAST((doc_id % 13) + 3 AS BIGINT) AS w,
