@@ -338,6 +338,34 @@ object CrawlQueries extends QueryPack {
         .orderBy("host")
     }),
 
+    // Hyperlink extraction + RFC 3986 resolution + host-level link graph
+    // — the step that grows a crawl frontier and feeds link-based quality
+    // signals. Pages are staged HTML whose links exercise all five
+    // reference forms (absolute, scheme-relative, absolute-path,
+    // same-directory, ../ traversal — the last three must resolve
+    // against the page URL with real remove_dot_segments), fragments
+    // that must strip, an &amp;-escaped query that must unescape,
+    // quote/case/unquoted attribute variation, a commented-out link and
+    // a no-href anchor that must NOT extract, and an empty-href
+    // self-reference (same-document per §5.3). The oracle replays the
+    // closed-form resolved-link model — it never parses HTML — so any
+    // extractor or resolver slip shifts a degree count or the checksum.
+    // Scale: extraction is map-only; the edge list shuffles once on host.
+    "crawl_link_graph" -> ((s, d) => {
+      val edges = LinkGraph.edgesOf(s, LinkGraph.pagesStaged(s, d))
+        .localCheckpoint(eager = false) // in/out audits share one parse
+      val out = edges.groupBy(col("src_host").as("host")).agg(
+        count(lit(1)).as("n_out"),
+        sum(when(col("dst_host") === col("src_host"), 1L).otherwise(0L)).as("n_self"),
+        countDistinct(col("dst_host")).as("n_dst_hosts"),
+        sum(PortableHash.h60p(col("dst_url"))).as("url_checksum"))
+      val in = edges.groupBy(col("dst_host").as("host")).agg(
+        count(lit(1)).as("n_in"))
+      out.join(in, Seq("host"), "full_outer")
+        .na.fill(0L, Seq("n_out", "n_self", "n_dst_hosts", "url_checksum", "n_in"))
+        .orderBy("host")
+    }),
+
     // RFC 9309 robots.txt evaluation over a synthetic frontier: six
     // hosts' policies are staged as TEXT (decoy pre-group rule,
     // non-matching otherbot group, mixed-case directives, comments, a
@@ -468,6 +496,54 @@ object CrawlQueries extends QueryPack {
                  CAST(COALESCE(n_fetch, 0) AS BIGINT) AS n_fetch,
                  CAST(COALESCE(fetch_checksum, 0) AS BIGINT) AS fetch_checksum
           FROM agg1 LEFT JOIN agg2 USING (h) ORDER BY host""",
+    // The resolved-link model replayed closed-form: targets, the five
+    // resolution outcomes (forms 2-4 land on the SOURCE host with the
+    // merged path), the unescaped query, and the empty-href self rows.
+    "crawl_link_graph" ->
+      s"""WITH lk AS (SELECT d.doc_id AS id, k.range AS k,
+                             (d.doc_id*7 + k.range*13 + 1) % 997 AS t
+                      FROM documents d, range(5) k
+                      WHERE k.range < (d.doc_id % 4) + 2),
+            edges AS (
+              SELECT id,
+                     'h' || CAST(id % 7 AS VARCHAR) || '.test' AS src_host,
+                     CASE (id + k) % 5
+                       WHEN 0 THEN 'http://h' || CAST(t % 7 AS VARCHAR) || '.test/a' || CAST(t % 3 AS VARCHAR)
+                                    || '/b' || CAST(t % 5 AS VARCHAR) || '/p' || CAST(t AS VARCHAR) || '.html'
+                                    || CASE WHEN (id + k) % 6 = 0 THEN '?x=1&y=2' ELSE '' END
+                       WHEN 1 THEN 'http://h' || CAST(t % 7 AS VARCHAR) || '.test/a' || CAST(t % 3 AS VARCHAR)
+                                    || '/b' || CAST(t % 5 AS VARCHAR) || '/p' || CAST(t AS VARCHAR) || '.html'
+                       WHEN 2 THEN 'http://h' || CAST(id % 7 AS VARCHAR) || '.test/a' || CAST(t % 3 AS VARCHAR)
+                                    || '/b' || CAST(t % 5 AS VARCHAR) || '/p' || CAST(t AS VARCHAR) || '.html'
+                       WHEN 3 THEN 'http://h' || CAST(id % 7 AS VARCHAR) || '.test/a' || CAST(id % 3 AS VARCHAR)
+                                    || '/b' || CAST(id % 5 AS VARCHAR) || '/p' || CAST(t AS VARCHAR) || '.html'
+                       ELSE 'http://h' || CAST(id % 7 AS VARCHAR) || '.test/a' || CAST(id % 3 AS VARCHAR)
+                                    || '/c' || CAST(t % 3 AS VARCHAR) || '/q' || CAST(t AS VARCHAR) || '.html'
+                     END AS dst_url,
+                     CASE WHEN (id + k) % 5 IN (0, 1)
+                          THEN 'h' || CAST(t % 7 AS VARCHAR) || '.test'
+                          ELSE 'h' || CAST(id % 7 AS VARCHAR) || '.test' END AS dst_host
+              FROM lk
+              UNION ALL
+              SELECT doc_id, 'h' || CAST(doc_id % 7 AS VARCHAR) || '.test',
+                     'http://h' || CAST(doc_id % 7 AS VARCHAR) || '.test/a' || CAST(doc_id % 3 AS VARCHAR)
+                      || '/b' || CAST(doc_id % 5 AS VARCHAR) || '/p' || CAST(doc_id AS VARCHAR) || '.html',
+                     'h' || CAST(doc_id % 7 AS VARCHAR) || '.test'
+              FROM documents WHERE doc_id % 11 = 0),
+            o AS (SELECT src_host AS host, CAST(COUNT(*) AS BIGINT) AS n_out,
+                         CAST(SUM(CASE WHEN dst_host = src_host THEN 1 ELSE 0 END) AS BIGINT) AS n_self,
+                         CAST(COUNT(DISTINCT dst_host) AS BIGINT) AS n_dst_hosts,
+                         CAST(SUM(${PortableHash.h60pSql("dst_url")}) AS BIGINT) AS url_checksum
+                  FROM edges GROUP BY src_host),
+            i AS (SELECT dst_host AS host, CAST(COUNT(*) AS BIGINT) AS n_in
+                  FROM edges GROUP BY dst_host)
+         SELECT COALESCE(o.host, i.host) AS host,
+                COALESCE(n_out, 0) AS n_out, COALESCE(n_self, 0) AS n_self,
+                COALESCE(n_dst_hosts, 0) AS n_dst_hosts,
+                COALESCE(url_checksum, 0) AS url_checksum,
+                COALESCE(n_in, 0) AS n_in
+         FROM o FULL OUTER JOIN i ON o.host = i.host ORDER BY 1""",
+
     "crawl_robots_filter" ->
       s"""WITH hosts AS (SELECT unnest(range(6)) AS h),
             rules AS (
