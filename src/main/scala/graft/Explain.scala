@@ -126,7 +126,13 @@ object Explain {
     // merge (gram equi-join → per-(pair,diagonal) window), and the
     // composed crawl funnel from WARC arrival.
     "warc_charset_extract", "mm_flac_pcm", "text_bm25_indexed",
-    "dedup_span_merged", "pipeline_crawl_corpus")
+    "dedup_span_merged", "pipeline_crawl_corpus",
+    // round 16 second wave: the aHash image near-dup (typed decode →
+    // banded self-join, the simhash candidate shape), the host link
+    // graph (map-only extract/resolve chain → uniform edge groupBy),
+    // and the block-level boilerplate scorer (posexplode + higher-order
+    // aggregates, map-only to one per-source groupBy).
+    "mm_ahash_dedup", "crawl_link_graph", "text_boilerplate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

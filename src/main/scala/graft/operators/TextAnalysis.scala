@@ -118,6 +118,39 @@ object TextAnalysis extends QueryPack {
       .orderBy("source")
   }
 
+  /** Block-level boilerplate scoring behind text_boilerplate (the
+    * jusText/trafilatura recipe): segment `in`'s `html` column into
+    * <p>/<div> blocks, score each on length, link density (chars inside
+    * <a> vs visible chars) and stopword density. One output row per
+    * block: (input columns..., j, anchor_chars, total_chars, words,
+    * stops, kept) where kept = total_chars ≥ 40 AND anchor_chars ≤ 30%
+    * of total AND stopwords ≥ 20% of words (boundaries inclusive, all
+    * thresholds cross-multiplied integer math). Pure codegen'd
+    * expressions — regexp_extract_all + posexplode for the split, a
+    * higher-order aggregate for anchor chars, filter() for stopwords —
+    * so the pass is map-only. Exposed at this scope so BoilerplateSpec
+    * can force each of the three rules to bite in isolation over
+    * crafted pages (the staged fixture exercises them jointly). */
+  private[graft] def boilerplateBlocks(in: DataFrame): DataFrame =
+    in.select(in.columns.map(col).toSeq :+
+        posexplode(expr(
+          "regexp_extract_all(html, '(?s)<(?:p|div)>(.*?)</(?:p|div)>', 1)"))
+          .as(Seq("j", "inner")): _*)
+      .withColumn("anchor_chars", expr(
+        """aggregate(regexp_extract_all(inner, '(?is)<a[^>]*>(.*?)</a>', 1),
+                     CAST(0 AS BIGINT), (a, x) -> a + length(x))"""))
+      .withColumn("vis", trim(regexp_replace(
+        regexp_replace(col("inner"), "<[^>]+>", " "), "\\s+", " ")))
+      .withColumn("total_chars", length(col("vis")).cast("long"))
+      .withColumn("toks", split(col("vis"), " "))
+      .withColumn("words", size(col("toks")).cast("long"))
+      .withColumn("stops", expr(
+        "CAST(size(filter(toks, t -> t IN ('the','a','of','to','in','and'))) AS BIGINT)"))
+      .withColumn("kept",
+        col("total_chars") >= 40 &&
+          col("anchor_chars") * 100 <= col("total_chars") * 30 &&
+          col("stops") * 100 >= col("words") * 20)
+
   /** HTML -> visible text over `in`'s `src` column, result in `out`:
     * script/style elements removed WITH contents first (their bodies may
     * contain quoted tags and raw < > & that are NOT markup), then
@@ -138,6 +171,45 @@ object TextAnalysis extends QueryPack {
   }
 
   val queries: Map[String, Q] = Map(
+    // Boilerplate removal at the BLOCK level — the jusText/trafilatura
+    // recipe every HTML-to-corpus pipeline runs between raw markup and
+    // quality filtering: segment the page into <p>/<div> blocks, score
+    // each on length, LINK DENSITY (chars inside <a> vs visible chars)
+    // and stopword density, keep only content-like blocks. The staged
+    // pages mix content paragraphs (with and without an inline link —
+    // one variant sits exactly ON the 20% stopword boundary), link-farm
+    // nav <div>s (high link density AND short AND stopword-free: wrong
+    // on any one rule still drops them, so the gate pins all three) and
+    // a short footer line. Everything is codegen'd expressions — block
+    // split via regexp_extract_all + posexplode, anchor chars via a
+    // higher-order aggregate, stopwords via filter() — map-only until
+    // the final per-source aggregate; the oracle replays the block
+    // feature model closed-form and never touches HTML.
+    "text_boilerplate" -> ((s, d) => {
+      val staged = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        expr("""concat_ws('', transform(sequence(0, CAST(3 + doc_id % 4 AS INT)),
+                 j -> CASE CAST((doc_id + j) % 4 AS INT)
+                   WHEN 0 THEN '<p>' || repeat('the quick data point ',
+                                CAST(3 + (doc_id + j) % 5 AS INT)) || 'done now.</p>'
+                   WHEN 1 THEN '<p>' || repeat('the quick data point ',
+                                CAST(3 + (doc_id + j) % 5 AS INT))
+                                || 'done now. <a href=''/ref''>source</a></p>'
+                   WHEN 2 THEN '<div>' || concat_ws(' | ',
+                                transform(sequence(1, CAST(3 + (doc_id + j) % 3 AS INT)),
+                                  i -> '<a href=''/n''>tab</a>')) || '</div>'
+                   ELSE '<p>copyright 2026 example corp</p>' END))""").as("html"))
+      boilerplateBlocks(staged).groupBy("source").agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("total_chars")).otherwise(0L)).as("kept_chars"),
+        sum(when(!col("kept"), col("total_chars")).otherwise(0L)).as("dropped_chars"),
+        sum("anchor_chars").as("anchor_chars"),
+        sum(when(col("kept"),
+          graft.functions.PortableHash.h60p(concat_ws(":", col("doc_id"), col("j"))))
+          .otherwise(0L)).as("kept_checksum"))
+        .orderBy("source")
+    }),
+
     // The composed end-to-end corpus-cleaning pass — what a user actually
     // runs before training: exact dedup (canonical doc per content hash)
     // → boilerplate filter (duplicate-trigram rate < 30%) → quality floor
@@ -708,6 +780,48 @@ object TextAnalysis extends QueryPack {
         FROM v$k GROUP BY 1 ORDER BY n_tokens"""
 
   val oracleSql: Map[String, String] = Map(
+    // The oracle replays the BLOCK FEATURE MODEL closed-form — per block
+    // type it derives visible chars / words / anchor chars / stopword
+    // hits arithmetically from (doc_id, j) and never parses HTML, so a
+    // Spark-side extraction miss (anchor text leaking into vis, entity
+    // order, whitespace collapse, block split) shifts a count or the
+    // membership checksum. Block model: type 0 content (r repeats of a
+    // 21-char 4-word phrase + 'done now.'), type 1 content + 6-char
+    // anchor, type 2 link-farm nav (k 3-char anchors, ' | '-joined),
+    // type 3 short footer (27 chars, 4 words, 0 stopwords).
+    "text_boilerplate" ->
+      s"""WITH b AS (SELECT d.doc_id, d.source, j.j,
+                            CAST((d.doc_id + j.j) % 4 AS INT) AS typ,
+                            CAST(3 + (d.doc_id + j.j) % 5 AS BIGINT) AS r,
+                            CAST(3 + (d.doc_id + j.j) % 3 AS BIGINT) AS k
+                     FROM documents d,
+                          LATERAL (SELECT unnest(range(0, 4 + d.doc_id % 4)) AS j) j),
+            f AS (SELECT doc_id, source, j,
+                         CASE typ WHEN 0 THEN 21*r + 9
+                                  WHEN 1 THEN 21*r + 16
+                                  WHEN 2 THEN 6*k - 3
+                                  ELSE 27 END AS total_chars,
+                         CASE typ WHEN 1 THEN 6
+                                  WHEN 2 THEN 3*k
+                                  ELSE 0 END AS anchor_chars,
+                         CASE typ WHEN 0 THEN 4*r + 2
+                                  WHEN 1 THEN 4*r + 3
+                                  WHEN 2 THEN 2*k - 1
+                                  ELSE 4 END AS words,
+                         CASE WHEN typ IN (0, 1) THEN r ELSE 0 END AS stops
+                  FROM b),
+            kf AS (SELECT *,
+                          (total_chars >= 40 AND anchor_chars * 100 <= total_chars * 30
+                             AND stops * 100 >= words * 20) AS kept
+                   FROM f)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(SUM(CASE WHEN kept THEN total_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+                CAST(SUM(CASE WHEN NOT kept THEN total_chars ELSE 0 END) AS BIGINT) AS dropped_chars,
+                CAST(SUM(anchor_chars) AS BIGINT) AS anchor_chars,
+                CAST(SUM(CASE WHEN kept THEN ${graft.functions.PortableHash.h60pSql(
+                  "CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)")} ELSE 0 END) AS BIGINT) AS kept_checksum
+         FROM kf GROUP BY source ORDER BY source""",
     // The funnel composes the EXACT per-stage arithmetic of dedup_exact
     // (md5 canonical), text_repetition (trigram dup rate), text_quality
     // (round4'd score), text_lang_id ('en' = best>0 ∧ s_de<best ∧
