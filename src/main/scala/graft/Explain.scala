@@ -132,7 +132,12 @@ object Explain {
     // graph (map-only extract/resolve chain → uniform edge groupBy),
     // and the block-level boilerplate scorer (posexplode + higher-order
     // aggregates, map-only to one per-source groupBy).
-    "mm_ahash_dedup", "crawl_link_graph", "text_boilerplate")
+    "mm_ahash_dedup", "crawl_link_graph", "text_boilerplate",
+    // round 16 third wave: the host-rank power iteration (edge⋈rank
+    // join + dst-keyed partial agg per step, rank frames host-sized)
+    // and the balanced shard plan (ONE range-partition exchange via
+    // globalRank, then a uniform groupBy — no rank funnel).
+    "crawl_host_rank", "pipeline_shard_balance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -175,6 +175,46 @@ object CrawlQueries extends QueryPack {
     cues.mkString(nl + nl) + (if (id % 3 == 0) nl else "")
   }
 
+  /** Weighted directed PageRank over a host-level edge list (src, dst)
+    * — multiplicities count, i.e. a host linking another 100× passes
+    * 100 edge-shares. Fixed-point integer arithmetic in the
+    * graph_pagerank style (ranks in 10⁻¹²-units, BIGINT floor-div +
+    * order-independent sums, damping 0.85), so both engines produce
+    * bit-equal ranks. Per iteration: one join of the weighted edge list
+    * against the rank frame + one partial-aggregated sum on dst — the
+    * standard distributed step; rank/degree frames are host-sized
+    * (~10⁷ at web scale), edges corpus-sized. Hosts with no out-edges
+    * would drop their mass (the remove-dangling simplification, stated);
+    * the staged model has none — every page links out. Exposed for
+    * HostRankSpec's crafted graphs. */
+  private[graft] def hostRankOf(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val w = edges.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).cast("long").as("w"))
+      .localCheckpoint(eager = false) // all iterations share one extraction
+    val outW = w.groupBy(col("src").as("oid")).agg(sum("w").as("wout"))
+    val nodes = w.select(col("src").as("id"))
+      .union(w.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(eager = false)
+    val nb = broadcast(nodes.agg(count(lit(1)).as("n_nodes"))
+      .withColumn("base", expr(
+        "CAST(CASE WHEN n_nodes = 0 THEN 0 ELSE 1000000000000 DIV n_nodes END AS BIGINT)")))
+    var ranks = nodes.crossJoin(nb).select(col("id"), col("base"), col("base").as("r"))
+    for (_ <- 1 to iters) {
+      val shares = ranks.join(outW, col("id") === col("oid"))
+        .select(col("id").as("sid"), expr("r DIV wout").as("unit"))
+      val incoming = w.join(shares, col("src") === col("sid"))
+        .groupBy(col("dst")).agg(sum(expr("unit * w")).as("incoming"))
+      ranks = nodes.crossJoin(nb)
+        .join(incoming, col("id") === col("dst"), "left")
+        .select(col("id"), col("base"), expr(
+          "(15 * base) DIV 100 + (85 * coalesce(incoming, CAST(0 AS BIGINT))) DIV 100").as("r"))
+    }
+    ranks.join(outW, col("id") === col("oid"), "left")
+      .select(col("id").as("host"),
+        coalesce(col("wout"), lit(0L)).as("n_out"),
+        col("r").as("rank_e12"))
+  }
+
   val queries: Map[String, Q] = Map(
     // SubRip subtitle parsing — the text format video training corpora
     // pair with their frames (aligned text for ASR/captioning). The
@@ -366,6 +406,20 @@ object CrawlQueries extends QueryPack {
         .orderBy("host")
     }),
 
+    // Host authority from the link graph — the ranking signal crawl
+    // schedulers and quality filters consume (OPIC/PageRank-prioritized
+    // frontiers): the SAME extraction + resolution as crawl_link_graph
+    // feeds a weighted directed PageRank over host→host edges, 3 power
+    // iterations of exact integer arithmetic (see hostRankOf), so the
+    // oracle replays the closed-form edge model through three unrolled
+    // iteration CTEs and must land on bit-equal 10⁻¹²-unit ranks. Any
+    // slip anywhere — extraction, resolution, edge weights, the damping
+    // arithmetic — shifts some host's rank integer.
+    "crawl_host_rank" -> ((s, d) =>
+      hostRankOf(LinkGraph.edgesOf(s, LinkGraph.pagesStaged(s, d))
+        .select(col("src_host").as("src"), col("dst_host").as("dst")))
+        .orderBy("host")),
+
     // RFC 9309 robots.txt evaluation over a synthetic frontier: six
     // hosts' policies are staged as TEXT (decoy pre-group rule,
     // non-matching otherbot group, mixed-case directives, comments, a
@@ -396,6 +450,43 @@ object CrawlQueries extends QueryPack {
             .as("denied_checksum"))
         .orderBy("host")
     }))
+
+  /** The closed-form resolved-link edge model (CTEs `lk`, `edges`)
+    * shared by the crawl_link_graph and crawl_host_rank oracles:
+    * targets, the five resolution outcomes (forms 2-4 land on the
+    * SOURCE host with the merged path), the unescaped query, and the
+    * empty-href self rows. */
+  private val lgEdgesCte: String =
+    """lk AS (SELECT d.doc_id AS id, k.range AS k,
+                             (d.doc_id*7 + k.range*13 + 1) % 997 AS t
+                      FROM documents d, range(5) k
+                      WHERE k.range < (d.doc_id % 4) + 2),
+            edges AS (
+              SELECT id,
+                     'h' || CAST(id % 7 AS VARCHAR) || '.test' AS src_host,
+                     CASE (id + k) % 5
+                       WHEN 0 THEN 'http://h' || CAST(t % 7 AS VARCHAR) || '.test/a' || CAST(t % 3 AS VARCHAR)
+                                    || '/b' || CAST(t % 5 AS VARCHAR) || '/p' || CAST(t AS VARCHAR) || '.html'
+                                    || CASE WHEN (id + k) % 6 = 0 THEN '?x=1&y=2' ELSE '' END
+                       WHEN 1 THEN 'http://h' || CAST(t % 7 AS VARCHAR) || '.test/a' || CAST(t % 3 AS VARCHAR)
+                                    || '/b' || CAST(t % 5 AS VARCHAR) || '/p' || CAST(t AS VARCHAR) || '.html'
+                       WHEN 2 THEN 'http://h' || CAST(id % 7 AS VARCHAR) || '.test/a' || CAST(t % 3 AS VARCHAR)
+                                    || '/b' || CAST(t % 5 AS VARCHAR) || '/p' || CAST(t AS VARCHAR) || '.html'
+                       WHEN 3 THEN 'http://h' || CAST(id % 7 AS VARCHAR) || '.test/a' || CAST(id % 3 AS VARCHAR)
+                                    || '/b' || CAST(id % 5 AS VARCHAR) || '/p' || CAST(t AS VARCHAR) || '.html'
+                       ELSE 'http://h' || CAST(id % 7 AS VARCHAR) || '.test/a' || CAST(id % 3 AS VARCHAR)
+                                    || '/c' || CAST(t % 3 AS VARCHAR) || '/q' || CAST(t AS VARCHAR) || '.html'
+                     END AS dst_url,
+                     CASE WHEN (id + k) % 5 IN (0, 1)
+                          THEN 'h' || CAST(t % 7 AS VARCHAR) || '.test'
+                          ELSE 'h' || CAST(id % 7 AS VARCHAR) || '.test' END AS dst_host
+              FROM lk
+              UNION ALL
+              SELECT doc_id, 'h' || CAST(doc_id % 7 AS VARCHAR) || '.test',
+                     'http://h' || CAST(doc_id % 7 AS VARCHAR) || '.test/a' || CAST(doc_id % 3 AS VARCHAR)
+                      || '/b' || CAST(doc_id % 5 AS VARCHAR) || '/p' || CAST(doc_id AS VARCHAR) || '.html',
+                     'h' || CAST(doc_id % 7 AS VARCHAR) || '.test'
+              FROM documents WHERE doc_id % 11 = 0)"""
 
   val oracleSql: Map[String, String] = Map(
     // The cue model replayed from doc_id arithmetic — the oracle never
@@ -496,40 +587,9 @@ object CrawlQueries extends QueryPack {
                  CAST(COALESCE(n_fetch, 0) AS BIGINT) AS n_fetch,
                  CAST(COALESCE(fetch_checksum, 0) AS BIGINT) AS fetch_checksum
           FROM agg1 LEFT JOIN agg2 USING (h) ORDER BY host""",
-    // The resolved-link model replayed closed-form: targets, the five
-    // resolution outcomes (forms 2-4 land on the SOURCE host with the
-    // merged path), the unescaped query, and the empty-href self rows.
+    // The resolved-link model replayed closed-form (see lgEdgesCte).
     "crawl_link_graph" ->
-      s"""WITH lk AS (SELECT d.doc_id AS id, k.range AS k,
-                             (d.doc_id*7 + k.range*13 + 1) % 997 AS t
-                      FROM documents d, range(5) k
-                      WHERE k.range < (d.doc_id % 4) + 2),
-            edges AS (
-              SELECT id,
-                     'h' || CAST(id % 7 AS VARCHAR) || '.test' AS src_host,
-                     CASE (id + k) % 5
-                       WHEN 0 THEN 'http://h' || CAST(t % 7 AS VARCHAR) || '.test/a' || CAST(t % 3 AS VARCHAR)
-                                    || '/b' || CAST(t % 5 AS VARCHAR) || '/p' || CAST(t AS VARCHAR) || '.html'
-                                    || CASE WHEN (id + k) % 6 = 0 THEN '?x=1&y=2' ELSE '' END
-                       WHEN 1 THEN 'http://h' || CAST(t % 7 AS VARCHAR) || '.test/a' || CAST(t % 3 AS VARCHAR)
-                                    || '/b' || CAST(t % 5 AS VARCHAR) || '/p' || CAST(t AS VARCHAR) || '.html'
-                       WHEN 2 THEN 'http://h' || CAST(id % 7 AS VARCHAR) || '.test/a' || CAST(t % 3 AS VARCHAR)
-                                    || '/b' || CAST(t % 5 AS VARCHAR) || '/p' || CAST(t AS VARCHAR) || '.html'
-                       WHEN 3 THEN 'http://h' || CAST(id % 7 AS VARCHAR) || '.test/a' || CAST(id % 3 AS VARCHAR)
-                                    || '/b' || CAST(id % 5 AS VARCHAR) || '/p' || CAST(t AS VARCHAR) || '.html'
-                       ELSE 'http://h' || CAST(id % 7 AS VARCHAR) || '.test/a' || CAST(id % 3 AS VARCHAR)
-                                    || '/c' || CAST(t % 3 AS VARCHAR) || '/q' || CAST(t AS VARCHAR) || '.html'
-                     END AS dst_url,
-                     CASE WHEN (id + k) % 5 IN (0, 1)
-                          THEN 'h' || CAST(t % 7 AS VARCHAR) || '.test'
-                          ELSE 'h' || CAST(id % 7 AS VARCHAR) || '.test' END AS dst_host
-              FROM lk
-              UNION ALL
-              SELECT doc_id, 'h' || CAST(doc_id % 7 AS VARCHAR) || '.test',
-                     'http://h' || CAST(doc_id % 7 AS VARCHAR) || '.test/a' || CAST(doc_id % 3 AS VARCHAR)
-                      || '/b' || CAST(doc_id % 5 AS VARCHAR) || '/p' || CAST(doc_id AS VARCHAR) || '.html',
-                     'h' || CAST(doc_id % 7 AS VARCHAR) || '.test'
-              FROM documents WHERE doc_id % 11 = 0),
+      s"""WITH $lgEdgesCte,
             o AS (SELECT src_host AS host, CAST(COUNT(*) AS BIGINT) AS n_out,
                          CAST(SUM(CASE WHEN dst_host = src_host THEN 1 ELSE 0 END) AS BIGINT) AS n_self,
                          CAST(COUNT(DISTINCT dst_host) AS BIGINT) AS n_dst_hosts,
@@ -543,6 +603,37 @@ object CrawlQueries extends QueryPack {
                 COALESCE(url_checksum, 0) AS url_checksum,
                 COALESCE(n_in, 0) AS n_in
          FROM o FULL OUTER JOIN i ON o.host = i.host ORDER BY 1""",
+    // The same edge model feeding three unrolled weighted-PageRank
+    // iterations in the exact integer arithmetic of hostRankOf: every
+    // step a BIGINT floor-div ('//' here, DIV on the Spark side — both
+    // truncate toward -inf on these all-positive values) or an
+    // order-independent BIGINT sum, so the 10⁻¹²-unit ranks must be
+    // bit-equal.
+    "crawl_host_rank" ->
+      s"""WITH $lgEdgesCte,
+            w AS (SELECT src_host AS src, dst_host AS dst,
+                         CAST(COUNT(*) AS BIGINT) AS w
+                  FROM edges GROUP BY 1, 2),
+            ow AS (SELECT src AS id, SUM(w) AS wout FROM w GROUP BY 1),
+            nodes AS (SELECT DISTINCT id FROM
+                        (SELECT src AS id FROM w UNION ALL SELECT dst FROM w)),
+            nb AS (SELECT CAST(1000000000000 // COUNT(*) AS BIGINT) AS base
+                   FROM nodes),
+            s1 AS (SELECT w.dst, SUM((b.base // ow.wout) * w.w) AS inc
+                   FROM w CROSS JOIN nb b JOIN ow ON ow.id = w.src GROUP BY 1),
+            r1 AS (SELECT n.id, (15*b.base)//100 + (85*COALESCE(s.inc, 0))//100 AS r
+                   FROM nodes n CROSS JOIN nb b LEFT JOIN s1 s ON s.dst = n.id),
+            s2 AS (SELECT w.dst, SUM((r.r // ow.wout) * w.w) AS inc
+                   FROM w JOIN r1 r ON r.id = w.src JOIN ow ON ow.id = w.src GROUP BY 1),
+            r2 AS (SELECT n.id, (15*b.base)//100 + (85*COALESCE(s.inc, 0))//100 AS r
+                   FROM nodes n CROSS JOIN nb b LEFT JOIN s2 s ON s.dst = n.id),
+            s3 AS (SELECT w.dst, SUM((r.r // ow.wout) * w.w) AS inc
+                   FROM w JOIN r2 r ON r.id = w.src JOIN ow ON ow.id = w.src GROUP BY 1),
+            r3 AS (SELECT n.id, (15*b.base)//100 + (85*COALESCE(s.inc, 0))//100 AS r
+                   FROM nodes n CROSS JOIN nb b LEFT JOIN s3 s ON s.dst = n.id)
+         SELECT r3.id AS host, CAST(COALESCE(ow.wout, 0) AS BIGINT) AS n_out,
+                CAST(r3.r AS BIGINT) AS rank_e12
+         FROM r3 LEFT JOIN ow ON ow.id = r3.id ORDER BY host""",
 
     "crawl_robots_filter" ->
       s"""WITH hosts AS (SELECT unnest(range(6)) AS h),

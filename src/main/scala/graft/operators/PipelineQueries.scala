@@ -324,6 +324,37 @@ object PipelineQueries extends QueryPack {
         .orderBy("lang")
     }),
 
+    // Token-BALANCED shard assignment for distributed training — the
+    // complement of q_shard_manifest's hash sharding: hash spreads docs
+    // uniformly by COUNT but long-document skew leaves shards with
+    // unequal token loads (stragglers in a data-parallel epoch).
+    // Longest-processing-time-style round-robin fixes it: global rank
+    // by (tokens DESC, doc_id) via RankUtils.globalRank (parallel
+    // range-partitioned sort — NO SinglePartition funnel), shard =
+    // (rank-1) % 8, so the 8 heaviest docs land on 8 different shards
+    // and so on down the order. The per-shard audit carries doc/token
+    // totals and a membership checksum, plus the global max-min token
+    // spread cross-joined back (1-row broadcast) so the balance claim
+    // is IN the gate: round-robin over the sorted order bounds the
+    // spread by ~one max-document, where hash sharding's spread grows
+    // with corpus skew.
+    "pipeline_shard_balance" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      val ranked = RankUtils.globalRank(docs,
+        Seq(col("toks").desc, col("doc_id").asc), rankCol = "rk")
+      val shards = ranked
+        .withColumn("shard", ((col("rk") - 1) % 8).cast("int"))
+        .groupBy("shard").agg(
+          count(lit(1)).as("n_docs"),
+          sum("toks").as("token_sum"),
+          min("toks").as("min_toks"), max("toks").as("max_toks"),
+          sum(graft.functions.PortableHash.h60p(col("doc_id").cast("string"))).as("doc_checksum"))
+      val spread = broadcast(shards.agg(
+        (max("token_sum") - min("token_sum")).as("token_spread")))
+      shards.crossJoin(spread).orderBy("shard")
+    }),
+
     "pipeline_token_mix" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
@@ -594,6 +625,24 @@ object PipelineQueries extends QueryPack {
                 CAST(SUM(h) AS BIGINT) AS content_sum,
                 MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
          FROM t GROUP BY 1 ORDER BY shard""",
+    "pipeline_shard_balance" ->
+      s"""WITH t AS (SELECT doc_id,
+                            CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+                     FROM documents),
+            r AS (SELECT doc_id, toks,
+                         ROW_NUMBER() OVER (ORDER BY toks DESC, doc_id) AS rk
+                  FROM t),
+            sh AS (SELECT CAST((rk - 1) % 8 AS INT) AS shard,
+                          CAST(COUNT(*) AS BIGINT) AS n_docs,
+                          CAST(SUM(toks) AS BIGINT) AS token_sum,
+                          CAST(MIN(toks) AS BIGINT) AS min_toks,
+                          CAST(MAX(toks) AS BIGINT) AS max_toks,
+                          CAST(SUM(${graft.functions.PortableHash.h60pSql(
+                            "CAST(doc_id AS VARCHAR)")}) AS BIGINT) AS doc_checksum
+                   FROM r GROUP BY 1),
+            sp AS (SELECT MAX(token_sum) - MIN(token_sum) AS token_spread FROM sh)
+         SELECT sh.*, CAST(sp.token_spread AS BIGINT) AS token_spread
+         FROM sh CROSS JOIN sp ORDER BY shard""",
     "pipeline_token_mix" ->
       s"""WITH docs AS (SELECT doc_id, source,
                                CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
