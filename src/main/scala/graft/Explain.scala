@@ -137,7 +137,11 @@ object Explain {
     // join + dst-keyed partial agg per step, rank frames host-sized)
     // and the balanced shard plan (ONE range-partition exchange via
     // globalRank, then a uniform groupBy — no rank funnel).
-    "crawl_host_rank", "pipeline_shard_balance")
+    "crawl_host_rank", "pipeline_shard_balance",
+    // round 16 fourth wave: the spectral gates — typed decode →
+    // codegen'd aggregate (mm_audio_dft) and the banded perceptual-hash
+    // candidate join (mm_phash_dedup, the simhash/ahash shape).
+    "mm_audio_dft", "mm_phash_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

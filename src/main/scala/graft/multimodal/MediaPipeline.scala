@@ -966,6 +966,71 @@ object MediaPipeline {
       } else None
     }
 
+  /** 16-point integer twiddle table: Cos16(m) = floor(cos(2π·m/16)·10⁴)
+    * as MATHEMATICAL values, hardcoded — never computed at runtime:
+    * cos(3π/2) evaluates to -1.8e-16 in doubles and the floor would turn
+    * the exact 0 into -1 on one engine but not the other. Single-sourced
+    * into the mm_audio_dft oracle via [[cos16Sql]];
+    * sin(2πm/16) = cos(2π·((m+12) mod 16)/16). */
+  val Cos16: Array[Long] = Array(10000L, 9238L, 7071L, 3826L, 0L, -3827L,
+    -7072L, -9239L, -10000L, -9239L, -7072L, -3827L, 0L, 3826L, 7071L, 9238L)
+
+  /** DuckDB CASE fragment indexing [[Cos16]] by `e` (already reduced
+    * mod 16) — generated from the same array, so the two engines cannot
+    * drift. */
+  def cos16Sql(e: String): String =
+    s"(CASE ($e) " +
+      Cos16.zipWithIndex.map { case (v, m) => s"WHEN $m THEN $v" }.mkString(" ") +
+      " END)"
+
+  /** Spectral features one decoded stream reduces to: the channel-0
+    * correlation against the 16-periodic cosine/sine basis at bins
+    * k = 1..3 — X_k = Σ_i s(i,0)·Cos16((k·i) mod 16) (a true DFT bin for
+    * lengths that are multiples of 16, a comb-filter correlation
+    * otherwise), power p_k = (X_k² + Y_k²) / 10⁶ computed through a
+    * 128-bit intermediate (|X| ≤ n·32760·10⁴ overflows a squared
+    * BIGINT at n ≥ ~300; the oracle squares in HUGEINT), and the
+    * dominant bin (ties to the lowest k). */
+  final case class DecodedDft(nFrames: Long, x1: Long, p1E6: Long,
+                              x2: Long, p2E6: Long, x3: Long, p3E6: Long,
+                              domBin: Int)
+
+  /** Same strict header/frame validation as [[decodeWavPcm]], then the
+    * three-bin correlation pass over channel 0. */
+  def decodeWavDft(media: Array[Byte]): Option[DecodedDft] =
+    decodeWav(media).flatMap { case (_, channels, _) =>
+      def i32(off: Int): Int =
+        (media(off) & 0xff) | ((media(off + 1) & 0xff) << 8) |
+          ((media(off + 2) & 0xff) << 16) | ((media(off + 3) & 0xff) << 24)
+      val dataLen = i32(40)
+      val frameBytes = 2 * channels
+      val nFrames = dataLen / frameBytes
+      if ((channels == 1 || channels == 2) && dataLen >= frameBytes &&
+          dataLen % frameBytes == 0 &&
+          media.length.toLong >= WavHeaderLen.toLong + dataLen) {
+        val x = new Array[Long](4); val y = new Array[Long](4)
+        var i = 0
+        while (i < nFrames) {
+          val off = WavHeaderLen + (i * channels) * 2
+          val smp = ((media(off) & 0xff) | (media(off + 1) << 8)).toShort.toInt
+          var k = 1
+          while (k <= 3) {
+            val m = (k * i) % 16
+            x(k) += smp * Cos16(m)
+            y(k) += smp * Cos16((m + 12) % 16)
+            k += 1
+          }
+          i += 1
+        }
+        val p = Array.tabulate(4)(k =>
+          if (k == 0) 0L
+          else ((BigInt(x(k)) * x(k) + BigInt(y(k)) * y(k)) / 1000000).toLong)
+        val dom = if (p(1) >= p(2) && p(1) >= p(3)) 1
+                  else if (p(2) >= p(3)) 2 else 3
+        Some(DecodedDft(nFrames.toLong, x(1), p(1), x(2), p(2), x(3), p(3), dom))
+      } else None
+    }
+
   // ---- IMA ADPCM (WAVE format 0x11) — a REAL compressed audio codec ----
   //
   // The honest step past PCM: 4-bit IMA/DVI ADPCM is the one widely
@@ -1726,6 +1791,23 @@ object MediaPipeline {
         decodeWavEnergy(r.media).map(p =>
           PcmEnergyStats(r.doc_id, r.source, p.nWindows, p.eTotal, p.eMax,
             p.eMoment, p.channels))
+      })
+      .toDF()
+  }
+
+  case class DftStats(doc_id: Long, source: String, n_frames: Long,
+                      x1: Long, p1_e6: Long, x2: Long, p2_e6: Long,
+                      x3: Long, p3_e6: Long, dom_bin: Int)
+
+  /** Spectral-correlation pass over the pixel-staged corpus (see
+    * [[decodeWavDft]]). */
+  def decodedWavDft(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pixelTableStaged(s, dir).as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        decodeWavDft(r.media).map(p =>
+          DftStats(r.doc_id, r.source, p.nFrames, p.x1, p.p1E6, p.x2, p.p2E6,
+            p.x3, p.p3E6, p.domBin))
       })
       .toDF()
   }
@@ -5758,7 +5840,12 @@ object MediaPipeline {
     * of the 64 block means, bit = mean ≥ global mean. None unless both
     * dimensions are positive multiples of 8 (the integer 8×8 downsample
     * is only well-defined there). */
-  def decodeAhash(media: Array[Byte]): Option[(Long, Long, Long)] =
+  /** Shared 8×8 downsample for the perceptual hashes: integer-luma
+    * block means over the parsed BMP (truncating division) plus the
+    * position-weighted gray moment Σ gray·(x + w·y + 1). None unless
+    * both dimensions are positive multiples of 8. bm is row-major
+    * (by·8 + bx). */
+  private def bmpBlockMeans(media: Array[Byte]): Option[(Array[Long], Long)] =
     bmpPixelAccessor(media).flatMap { case (w, h, at) =>
       if (w <= 0 || h <= 0 || w % 8 != 0 || h % 8 != 0) None
       else {
@@ -5787,19 +5874,24 @@ object MediaPipeline {
           }
           by += 1
         }
-        var total = 0L
-        var i = 0
-        while (i < 64) { total += bm(i); i += 1 }
-        val gmean = total / 64
-        var hi = 0L; var lo = 0L
-        i = 0
-        while (i < 64) {
-          val bit = if (bm(i) >= gmean) 1L else 0L
-          if (i < 32) hi = (hi << 1) | bit else lo = (lo << 1) | bit
-          i += 1
-        }
-        Some((hi, lo, moment))
+        Some((bm, moment))
       }
+    }
+
+  def decodeAhash(media: Array[Byte]): Option[(Long, Long, Long)] =
+    bmpBlockMeans(media).map { case (bm, moment) =>
+      var total = 0L
+      var i = 0
+      while (i < 64) { total += bm(i); i += 1 }
+      val gmean = total / 64
+      var hi = 0L; var lo = 0L
+      i = 0
+      while (i < 64) {
+        val bit = if (bm(i) >= gmean) 1L else 0L
+        if (i < 32) hi = (hi << 1) | bit else lo = (lo << 1) | bit
+        i += 1
+      }
+      (hi, lo, moment)
     }
 
   /** aHash decode pass: decode-as-filter like every pixel gate. */
@@ -5812,6 +5904,162 @@ object MediaPipeline {
       .mapPartitions(_.flatMap { r =>
         decodeAhash(r.media).map { case (hi, lo, m) =>
           AhashRow(r.doc_id, r.source, hi, lo, m)
+        }
+      })
+      .toDF()
+  }
+
+  // ─────────── perceptual-hash (pHash) near-dup fixture (round 16) ───────────
+  // The DCT member of the perceptual family: 8×8 downsample (the aHash
+  // block means) → 2D DCT-II → 63 AC coefficients → threshold at their
+  // MEDIAN → 63-bit hash. What it buys over aHash is PHOTOMETRIC
+  // invariance: brightness shifts live entirely in the excluded DC
+  // coefficient and contrast scaling multiplies every AC coefficient by
+  // the same positive factor (median comparisons unchanged) — so the
+  // staged families here are brightness/contrast-edited copies (v = id%4
+  // scales contrast by (50+v)/50 around mid-gray and shifts +3v), the
+  // edit class aHash's fixture does not exercise. Integer-division
+  // requantization makes the variants near- rather than exact-equal
+  // (measured over the model: within-family hamming avg 0.13 max 4,
+  // cross-family ≈ 31; verify ≤ 6). The base pattern interacts fam with
+  // block ((fam+bi)² mod 97) — a per-family constant offset alone would
+  // make every same-shape family a brightness twin and collide the
+  // whole corpus into one hash cluster, precisely BECAUSE the hash is
+  // brightness-invariant.
+
+  /** 8×8 DCT-II twiddle table: Dct8(u)(x) = floor(cos(π(2x+1)u/16)·10⁴)
+    * — hardcoded mathematical values (no runtime cos: the table is
+    * single-sourced into the oracle via [[dct8Sql]]; none of these
+    * angles hits an exact zero, but floor-of-double near a boundary is
+    * still a cross-engine hazard not worth taking). */
+  val Dct8: Array[Array[Long]] = Array(
+    Array(10000L, 10000L, 10000L, 10000L, 10000L, 10000L, 10000L, 10000L),
+    Array(9807L, 8314L, 5555L, 1950L, -1951L, -5556L, -8315L, -9808L),
+    Array(9238L, 3826L, -3827L, -9239L, -9239L, -3827L, 3826L, 9238L),
+    Array(8314L, -1951L, -9808L, -5556L, 5555L, 9807L, 1950L, -8315L),
+    Array(7071L, -7072L, -7072L, 7071L, 7071L, -7072L, -7072L, 7071L),
+    Array(5555L, -9808L, 1950L, 8314L, -8315L, -1951L, 9807L, -5556L),
+    Array(3826L, -9239L, 9238L, -3827L, -3827L, 9238L, -9239L, 3826L),
+    Array(1950L, -5556L, 8314L, -9808L, 9807L, -8315L, 5555L, -1951L))
+
+  /** DuckDB CASE fragment for Dct8(`u`)(`x`) — generated from the same
+    * array so the engines cannot drift. Both operands must already be
+    * in 0..7. */
+  def dct8Sql(u: String, x: String): String =
+    s"(CASE ($u)*8 + ($x) " +
+      (for (uu <- 0 until 8; xx <- 0 until 8)
+        yield s"WHEN ${uu * 8 + xx} THEN ${Dct8(uu)(xx)}").mkString(" ") +
+      " END)"
+
+  /** Gray base of block `bi` for pHash family `fam`: the (fam+bi)²
+    * term varies the SHAPE per family, not just the offset. */
+  def phashBlockBase(fam: Long, bi: Int): Int =
+    (((fam * 37 + bi * 11L + ((fam + bi) * (fam + bi)) % 97) % 200) + 23).toInt
+
+  /** Staged gray value: variant v = id%4 applies integer contrast
+    * (50+v)/50 around mid-gray 122 — algebraically b + floor(v·(b-122)/50),
+    * computed as b - 6 + (v·(b-122) + 300)/50 so the dividend stays
+    * NONNEGATIVE (min 3): Scala / truncates and the engines' // division
+    * semantics differ on negatives, and here the off-by-one would land
+    * only on the dark half of each mosaic — a non-uniform shift pHash is
+    * NOT invariant to (found by a hash mismatch at sf0.01, id=1 bit
+    * flip). Plus brightness +3v and the ±3 column-parity ripple that
+    * cancels over every block. Range [20, 240]. */
+  def phashPxValue(id: Long, x: Int, y: Int): Int = {
+    val bi = (y / 8) * 8 + (x / 8)
+    val b = phashBlockBase(id / 4, bi)
+    val v = (id % 4).toInt
+    b - 6 + (v * (b - 122) + 300) / 50 + 3 * v +
+      (if (x % 2 == 0) 3 else -3)
+  }
+
+  /** A COMPLETE 64×64 gray BMP for doc `id` under the pHash model —
+    * same layout discipline as [[ahashBmp]]. */
+  def phashBmp(id: Long): Array[Byte] = {
+    val w = 64; val h = 64
+    val stride = w * 3
+    val px = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val base = (h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val v = phashPxValue(id, x, y).toByte
+        px(base + x * 3) = v; px(base + x * 3 + 1) = v; px(base + x * 3 + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    bmpHeader(w, h, px.length) ++ px
+  }
+
+  def phashTableStaged(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) => MediaRow(id, src, phashBmp(id)) })
+      .toDF()
+  }
+
+  /** Per-image pHash row: h_hi carries AC coefficients 1..31 (bit
+    * 31-idx), h_lo coefficients 32..63 (bit 63-idx) — both nonnegative;
+    * bit = coefficient STRICTLY above the median (the 32nd-smallest of
+    * the 63 AC values under the (value, index) total order, so ties are
+    * deterministic). */
+  case class PhashRow(doc_id: Long, source: String, h_hi: Long, h_lo: Long,
+                      moment: Long)
+
+  /** REAL pHash decode: parse the BMP, 8×8 block means, separable
+    * integer DCT-II against [[Dct8]], median threshold over the 63 AC
+    * coefficients. */
+  def decodePhash(media: Array[Byte]): Option[(Long, Long, Long)] =
+    bmpBlockMeans(media).map { case (bm, moment) =>
+      // t(x)(v) = Σ_y m(y)(x)·Dct8(v)(y); coef(u)(v) = Σ_x t(x)(v)·Dct8(u)(x)
+      val t = Array.ofDim[Long](8, 8)
+      var x = 0
+      while (x < 8) {
+        var v = 0
+        while (v < 8) {
+          var s = 0L; var y = 0
+          while (y < 8) { s += bm(y * 8 + x) * Dct8(v)(y); y += 1 }
+          t(x)(v) = s; v += 1
+        }
+        x += 1
+      }
+      val coef = Array.ofDim[Long](8, 8)
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var s = 0L; var xx = 0
+          while (xx < 8) { s += t(xx)(v) * Dct8(u)(xx); xx += 1 }
+          coef(u)(v) = s; v += 1
+        }
+        u += 1
+      }
+      val ac = (1 until 64).map(i => (coef(i / 8)(i % 8), i)).sorted
+      val med = ac(31)._1
+      var hi = 0L; var lo = 0L
+      var i = 1
+      while (i < 64) {
+        if (coef(i / 8)(i % 8) > med) {
+          if (i < 32) hi |= 1L << (31 - i) else lo |= 1L << (63 - i)
+        }
+        i += 1
+      }
+      (hi, lo, moment)
+    }
+
+  def decodedPhash(s: SparkSession, dir: String): DataFrame =
+    decodedPhashOf(s, phashTableStaged(s, dir))
+
+  def decodedPhashOf(s: SparkSession, mediaDf: DataFrame): DataFrame = {
+    import s.implicits._
+    mediaDf.as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        decodePhash(r.media).map { case (hi, lo, m) =>
+          PhashRow(r.doc_id, r.source, hi, lo, m)
         }
       })
       .toDF()

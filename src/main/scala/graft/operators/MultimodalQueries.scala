@@ -466,6 +466,53 @@ object MultimodalQueries extends QueryPack {
         .orderBy("source")
     }),
 
+    // IMAGE near-dup via the DCT PERCEPTUAL HASH (pHash) — the spectral
+    // member of the family: 8×8 block means → integer DCT-II (the
+    // hardcoded Dct8 table) → median-thresholded 63 AC coefficients.
+    // The staged families are brightness/contrast-edited copies — the
+    // photometric edit class pHash is invariant to BY CONSTRUCTION (DC
+    // excluded, median scales with contrast) and the edit class the
+    // aHash fixture does not exercise; integer requantization leaves
+    // within-family hamming ≤ 6 while cross-family sits ≈ 31. Same
+    // banded candidate shape as mm_ahash_dedup (4×16-bit chunks,
+    // verify INSIDE the join, AQE-skew-splittable); the oracle replays
+    // block means, the separable DCT, the median rank and the banding
+    // closed-form.
+    "mm_phash_dedup" -> ((s, d) => {
+      val dec = MediaPipeline.decodedPhash(s, d)
+        .localCheckpoint(eager = false) // audit + candidate join share one decode
+      val chunks = dec
+        .select(col("doc_id"), col("source"), col("h_hi"), col("h_lo"),
+          explode(sequence(lit(0), lit(3))).as("ck"))
+        .withColumn("cv", expr(
+          """CASE ck WHEN 0 THEN shiftright(h_hi, 16) & CAST(65535 AS BIGINT)
+                     WHEN 1 THEN h_hi & CAST(65535 AS BIGINT)
+                     WHEN 2 THEN shiftright(h_lo, 16) & CAST(65535 AS BIGINT)
+                     ELSE h_lo & CAST(65535 AS BIGINT) END"""))
+      val a = chunks.select(col("ck"), col("cv"), col("doc_id").as("da"),
+        col("source").as("src"), col("h_hi").as("ha_hi"), col("h_lo").as("ha_lo"))
+      val b = chunks.select(col("ck"), col("cv"), col("doc_id").as("db"),
+        col("h_hi").as("hb_hi"), col("h_lo").as("hb_lo"))
+      val pairs = a.join(b, Seq("ck", "cv"))
+        .filter(col("da") < col("db"))
+        .withColumn("ham", expr(
+          "CAST(bit_count(ha_hi ^ hb_hi) + bit_count(ha_lo ^ hb_lo) AS BIGINT)"))
+        .filter(col("ham") <= 6)
+        .select("da", "db", "src", "ham")
+        .dropDuplicates("da", "db")
+      val imgAgg = dec.groupBy("source").agg(
+        count(lit(1)).as("n_img"),
+        sum(col("h_hi") * 3 + col("h_lo") * 5).as("hash_checksum"),
+        sum("moment").as("moment_sum"))
+      val pairAgg = pairs.groupBy(col("src").as("source")).agg(
+        count(lit(1)).as("n_pairs"),
+        sum("ham").as("hamming_sum"),
+        sum(col("da") * 31 + col("db")).as("pair_checksum"))
+      imgAgg.join(pairAgg, Seq("source"), "left")
+        .na.fill(0L, Seq("n_pairs", "hamming_sum", "pair_checksum"))
+        .orderBy("source")
+    }),
+
     "mm_bmp_pixels" -> ((s, d) =>
       MediaPipeline.decodedBmpPixels(s, d)
         .groupBy("source")
@@ -743,6 +790,33 @@ object MultimodalQueries extends QueryPack {
           max("max_s").as("max_s"),
           min("min_s").as("min_s"),
           sum("moment").as("moment_total"))
+        .orderBy("source")),
+
+    // Spectral featurization — the step after raw decode in any audio
+    // pipeline (tone/silence detection, band energies for VAD or music
+    // filtering): channel-0 correlation against the 16-periodic
+    // cosine/sine basis at bins 1..3, in exact integer arithmetic via
+    // the hardcoded Cos16 twiddle table (see its scaladoc for why the
+    // table is literal, not computed — the cos(3π/2) floor trap). Bin
+    // powers square through a 128-bit intermediate; the per-doc
+    // dominant bin feeds a census so a single sample slipping one frame
+    // (which rotates the basis phase) flips some doc's argmax. The
+    // decode is the typed mapPartitions family every codec gate shares;
+    // everything after is one codegen'd per-source aggregate. Oracle
+    // replays the sample model × the same table closed-form, squaring
+    // in HUGEINT.
+    "mm_audio_dft" -> ((s, d) =>
+      MediaPipeline.decodedWavDft(s, d)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_audio"),
+          sum("n_frames").as("total_frames"),
+          sum("x1").as("sum_x1"), sum("p1_e6").as("sum_p1"),
+          sum("x2").as("sum_x2"), sum("p2_e6").as("sum_p2"),
+          sum("x3").as("sum_x3"), sum("p3_e6").as("sum_p3"),
+          sum(when(col("dom_bin") === 1, 1L).otherwise(0L)).as("n_dom1"),
+          sum(when(col("dom_bin") === 2, 1L).otherwise(0L)).as("n_dom2"),
+          sum(when(col("dom_bin") === 3, 1L).otherwise(0L)).as("n_dom3"))
         .orderBy("source")),
 
     "mm_wav_pcm" -> ((s, d) =>
@@ -1299,6 +1373,65 @@ object MultimodalQueries extends QueryPack {
                 COALESCE(pa.pair_checksum, 0) AS pair_checksum
          FROM ia LEFT JOIN pa USING (source) ORDER BY ia.source""",
 
+    // Block means from the photometric model, then the SAME separable
+    // integer DCT (dct8Sql is generated from the Dct8 array), median by
+    // exact rank under the (value, index) total order, and the banded
+    // pair join. The moment closed form matches the ahash fixture's
+    // geometry (same 64×64 mosaic layout and ripple).
+    "mm_phash_dedup" -> {
+      def D(u: String, x: String) = graft.multimodal.MediaPipeline.dct8Sql(u, x)
+      s"""WITH img AS (SELECT doc_id AS id, source FROM documents),
+            bb AS (SELECT id, source, b.range AS bi,
+                          ((((id//4)*37 + b.range*11 +
+                             (((id//4) + b.range)*((id//4) + b.range)) % 97) % 200) + 23) AS pb
+                   FROM img, range(64) b),
+            blk AS (SELECT id, source, bi,
+                           pb - 6 + ((id%4)*(pb - 122) + 300) // 50 + 3*(id%4) AS bm
+                    FROM bb),
+            mo AS (SELECT id, CAST(SUM(bm * (512*(bi%8) + 32768*(bi//8) + 14624)) - 6144 AS BIGINT) AS moment
+                   FROM blk GROUP BY id),
+            tt AS (SELECT id, source, bi%8 AS x, dv.range AS v,
+                          SUM(bm * ${D("dv.range", "bi//8")}) AS t
+                   FROM blk, range(8) dv GROUP BY 1, 2, 3, 4),
+            cf AS (SELECT id, source, du.range AS u, v,
+                          SUM(t * ${D("du.range", "x")}) AS c
+                   FROM tt, range(8) du GROUP BY 1, 2, 3, 4),
+            md AS (SELECT id, c AS med FROM
+                     (SELECT id, c, ROW_NUMBER() OVER (PARTITION BY id
+                        ORDER BY c, u*8 + v) AS rk
+                      FROM cf WHERE NOT (u = 0 AND v = 0))
+                   WHERE rk = 32),
+            hash AS (SELECT cf.id, ANY_VALUE(cf.source) AS source,
+                            CAST(SUM(CASE WHEN u*8 + v BETWEEN 1 AND 31 AND c > med
+                                          THEN (CAST(1 AS BIGINT) << (31 - (u*8 + v))) ELSE 0 END) AS BIGINT) AS h_hi,
+                            CAST(SUM(CASE WHEN u*8 + v >= 32 AND c > med
+                                          THEN (CAST(1 AS BIGINT) << (63 - (u*8 + v))) ELSE 0 END) AS BIGINT) AS h_lo
+                     FROM cf JOIN md ON cf.id = md.id GROUP BY cf.id),
+            ch AS (SELECT id, source, h_hi, h_lo, k.range AS ck,
+                          CASE k.range WHEN 0 THEN (h_hi >> 16) & 65535
+                                       WHEN 1 THEN h_hi & 65535
+                                       WHEN 2 THEN (h_lo >> 16) & 65535
+                                       ELSE h_lo & 65535 END AS cv
+                   FROM hash, range(4) k),
+            pr AS (SELECT DISTINCT a.id AS da, b.id AS db, a.source AS src,
+                          bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) AS ham
+                   FROM ch a JOIN ch b ON a.ck = b.ck AND a.cv = b.cv AND a.id < b.id
+                   WHERE bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) <= 6),
+            ia AS (SELECT h.source, CAST(COUNT(*) AS BIGINT) AS n_img,
+                          CAST(SUM(h.h_hi*3 + h.h_lo*5) AS BIGINT) AS hash_checksum,
+                          CAST(SUM(m.moment) AS BIGINT) AS moment_sum
+                   FROM hash h JOIN mo m ON h.id = m.id GROUP BY h.source),
+            pa AS (SELECT src AS source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                          CAST(SUM(ham) AS BIGINT) AS hamming_sum,
+                          CAST(SUM(da*31 + db) AS BIGINT) AS pair_checksum
+                   FROM pr GROUP BY src)
+         SELECT ia.source, ia.n_img, ia.hash_checksum, ia.moment_sum,
+                COALESCE(pa.n_pairs, 0) AS n_pairs,
+                COALESCE(pa.hamming_sum, 0) AS hamming_sum,
+                COALESCE(pa.pair_checksum, 0) AS pair_checksum
+         FROM ia LEFT JOIN pa USING (source) ORDER BY ia.source"""
+    },
+
     "mm_bmp_pixels" ->
       """WITH img AS (SELECT doc_id, source,
                              CAST((doc_id % 13) + 3 AS BIGINT) AS w,
@@ -1800,6 +1933,42 @@ object MultimodalQueries extends QueryPack {
                 CAST(MIN(smp) AS INT) AS min_s,
                 CAST(SUM((c + 1) * (f * 64 + n + 1) * smp) AS BIGINT) AS moment_total
          FROM s GROUP BY source ORDER BY source""",
+
+    // The channel-0 sample model (c=0 ⇒ the c·17 term vanishes) crossed
+    // with the SAME literal twiddle table (cos16Sql), squares in
+    // HUGEINT, floor-div on the non-negative power only.
+    "mm_audio_dft" -> {
+      def ct(e: String) = MediaPipeline.cos16Sql(e)
+      def pe6(xk: String, yk: String) =
+        s"CAST((CAST($xk AS HUGEINT)*$xk + CAST($yk AS HUGEINT)*$yk) // 1000000 AS BIGINT)"
+      s"""WITH a AS (SELECT doc_id, source, CAST((doc_id % 50) + 10 AS BIGINT) AS n
+                     FROM documents WHERE doc_id % 4 = 1),
+            s AS (SELECT a.doc_id, a.source, i.i,
+                         ((a.doc_id*7 + i.i*31) % 65521) - 32760 AS smp
+                  FROM a, LATERAL (SELECT unnest(range(a.n)) AS i) i),
+            b AS (SELECT doc_id, source, COUNT(*) AS n_frames,
+                         SUM(smp * ${ct("(i) % 16")}) AS x1,
+                         SUM(smp * ${ct("(i + 12) % 16")}) AS y1,
+                         SUM(smp * ${ct("(2*i) % 16")}) AS x2,
+                         SUM(smp * ${ct("(2*i + 12) % 16")}) AS y2,
+                         SUM(smp * ${ct("(3*i) % 16")}) AS x3,
+                         SUM(smp * ${ct("(3*i + 12) % 16")}) AS y3
+                  FROM s GROUP BY 1, 2),
+            p AS (SELECT doc_id, source, n_frames, x1, x2, x3,
+                         ${pe6("x1", "y1")} AS p1,
+                         ${pe6("x2", "y2")} AS p2,
+                         ${pe6("x3", "y3")} AS p3
+                  FROM b)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_audio,
+                CAST(SUM(n_frames) AS BIGINT) AS total_frames,
+                CAST(SUM(x1) AS BIGINT) AS sum_x1, CAST(SUM(p1) AS BIGINT) AS sum_p1,
+                CAST(SUM(x2) AS BIGINT) AS sum_x2, CAST(SUM(p2) AS BIGINT) AS sum_p2,
+                CAST(SUM(x3) AS BIGINT) AS sum_x3, CAST(SUM(p3) AS BIGINT) AS sum_p3,
+                CAST(SUM(CASE WHEN p1 >= p2 AND p1 >= p3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dom1,
+                CAST(SUM(CASE WHEN NOT (p1 >= p2 AND p1 >= p3) AND p2 >= p3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dom2,
+                CAST(SUM(CASE WHEN NOT (p1 >= p2 AND p1 >= p3) AND NOT (p2 >= p3) THEN 1 ELSE 0 END) AS BIGINT) AS n_dom3
+         FROM p GROUP BY source ORDER BY source"""
+    },
 
     "mm_wav_pcm" ->
       """WITH a AS (SELECT doc_id, source, CAST((doc_id % 50) + 10 AS BIGINT) AS n,

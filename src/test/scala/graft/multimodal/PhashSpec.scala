@@ -1,0 +1,78 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** Pins for the DCT perceptual hash behind mm_phash_dedup
+  * (MediaPipeline.decodePhash): the literal Dct8 table, the photometric
+  * invariances that define pHash (brightness lives in the excluded DC,
+  * contrast scales every AC coefficient alike), structural sensitivity,
+  * and the family model's near-dup property. */
+class PhashSpec extends SparkSpec {
+
+  import MediaPipeline._
+
+  /** 64×64 gray BMP from a value function (same layout as phashBmp). */
+  private def grayBmp(f: (Int, Int) => Int): Array[Byte] = {
+    val w = 64; val h = 64; val stride = w * 3
+    val px = new Array[Byte](stride * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (h - 1 - y) * stride
+      val v = f(x, y).toByte
+      px(base + x * 3) = v; px(base + x * 3 + 1) = v; px(base + x * 3 + 2) = v
+    }
+    bmpHeader(w, h, px.length) ++ px
+  }
+
+  private def mosaic(x: Int, y: Int): Int = {
+    val bi = (y / 8) * 8 + (x / 8)
+    40 + (bi * 29) % 160
+  }
+
+  test("the Dct8 table: DC row is flat 10000, every AC row floors to sum -4") {
+    assert(Dct8(0).forall(_ == 10000L))
+    for (u <- 1 until 8) assert(Dct8(u).sum == -4L, s"row $u")
+  }
+
+  test("brightness shift leaves the hash identical (DC-only edit)") {
+    val a = decodePhash(grayBmp(mosaic)).get
+    val b = decodePhash(grayBmp((x, y) => mosaic(x, y) + 10)).get
+    assert((a._1, a._2) == (b._1, b._2))
+    assert(a._3 != b._3) // the moment still sees the edit
+  }
+
+  test("exact contrast doubling around mid-gray leaves the hash identical") {
+    // v' = 122 + 2(v-122): every AC coefficient exactly doubles, the
+    // median doubles with them, every strict comparison is unchanged.
+    val half = decodePhash(grayBmp((x, y) => 122 + (mosaic(x, y) - 122) / 2)).get
+    val full = decodePhash(grayBmp((x, y) =>
+      122 + ((122 + (mosaic(x, y) - 122) / 2) - 122) * 2)).get
+    assert((half._1, half._2) == (full._1, full._2))
+  }
+
+  test("a single-block structural edit moves the hash") {
+    val a = decodePhash(grayBmp(mosaic)).get
+    val b = decodePhash(grayBmp((x, y) =>
+      if (x < 8 && y < 8) mosaic(x, y) + 90 else mosaic(x, y))).get
+    assert((a._1, a._2) != (b._1, b._2))
+  }
+
+  test("staged families are near-dups under hamming <= 6, cross-family is far") {
+    def ham(a: (Long, Long, Long), b: (Long, Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    for (fam <- 0 until 6) {
+      val hs = (0 until 4).map(v => decodePhash(phashBmp(fam * 4L + v)).get)
+      for (i <- 0 until 4; j <- i + 1 until 4)
+        assert(ham(hs(i), hs(j)) <= 6, s"fam $fam $i-$j")
+    }
+    val h0 = decodePhash(phashBmp(0L)).get
+    val h9 = decodePhash(phashBmp(9 * 4L)).get
+    assert(ham(h0, h9) > 15)
+  }
+
+  test("validation refuses non-multiple-of-8 dimensions and truncation") {
+    val w = 60; val h = 64; val stride = (w * 3 + 3) / 4 * 4
+    val odd = bmpHeader(w, h, stride * h) ++ new Array[Byte](stride * h)
+    assert(decodePhash(odd).isEmpty)
+    assert(decodePhash(phashBmp(3L).dropRight(4)).isEmpty)
+  }
+}
