@@ -200,10 +200,17 @@ object Bench {
     // shared-gram join) dominate; mm_flac_pcm 0.077 (closed-form sample
     // model replay), text_bm25_indexed 0.059 (shares text_bm25's SQL),
     // warc_charset_extract 0.007. Composition: 73.7 + 1.5 = 75.2.
+    // Round-16 second re-derivation (238 SQLs): the seven later
+    // additions cost 1.9 s of cross-session three-draw minima —
+    // mm_phash_dedup 1.40 dominates (the oracle replays the separable
+    // integer DCT over 64 blocks × 8 bins twice per doc: ~31M
+    // intermediate rows at sf0.1); mm_ahash_dedup 0.21, crawl_host_rank
+    // 0.13 (three unrolled PageRank iterations), the rest ≤ 0.06.
+    // Composition: 75.2 + 1.9 = 77.1.
     // Env overrides for re-derived denominators; the fallback keeps
     // `vs_baseline` on the driver's line, which sets no env. Only
     // meaningful at sf0.1.
-    val FallbackBaselineSec = 75.2
+    val FallbackBaselineSec = 77.1
     val baselineEnv = sys.env.get("SPARK_GRAFT_BASELINE_SEC")
     val baselineParsed = baselineEnv
       .flatMap(s => scala.util.Try(s.toDouble).toOption)

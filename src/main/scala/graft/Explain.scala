@@ -141,7 +141,11 @@ object Explain {
     // round 16 fourth wave: the spectral gates — typed decode →
     // codegen'd aggregate (mm_audio_dft) and the banded perceptual-hash
     // candidate join (mm_phash_dedup, the simhash/ahash shape).
-    "mm_audio_dft", "mm_phash_dedup")
+    "mm_audio_dft", "mm_phash_dedup",
+    // round 16 fifth wave: the prefix-filtered exact similarity join —
+    // df groupBy → per-doc rank window → prefix self-equi-join →
+    // candidate-bounded verify (no corpus², no LSH misses).
+    "dedup_prefix_jaccard")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -96,6 +96,27 @@ object DedupQueries extends QueryPack {
       .withColumn("jac", col("i") / (col("na") + col("nb") - col("i")))
   }
 
+  /** Prefix-filtered exact Jaccard ≥ 0.5 pairs over ANY (doc_id, text)
+    * frame — the dedup_prefix_jaccard kernel (see that query's comment
+    * for the algorithm and the no-false-negative argument). Returns
+    * (da, db, na, nb, i, jac) for every pair at or above the threshold.
+    * Exposed for PrefixJaccardSpec's crafted boundary corpora. */
+  private[graft] def prefixJaccardPairsOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleFrameOf(s, docs, "doc_id", "sh", "n")
+    val dfr = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val prefix = sh.join(dfr, "sh")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+      .filter(col("rk") <= expr("n - (n + 1) DIV 2 + 1")) // t = 0.5
+      .select(col("sh"), col("doc_id"))
+    val cand = prefix.select(col("sh"), col("doc_id").as("da"))
+      .join(prefix.select(col("sh"), col("doc_id").as("db")), "sh")
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+    jaccardOfDocs(s, docs, cand).filter(col("jac") >= 0.5)
+  }
+
   /** 60-bit weighted SimHash per doc, one JVM pass per document.
     * The declarative formulation (explode 60 bit positions × tokens → two
     * hash aggregates) expands to 12M rows at sf0.1 and costs ~2.5 s; this
@@ -1134,6 +1155,31 @@ object DedupQueries extends QueryPack {
         .select(col("da"), col("db"), round6(col("jac")).as("jac"))
         .orderBy("da", "db")),
 
+    // EXACT similarity join via PREFIX FILTERING (the PPJoin/AllPairs
+    // family, Xiao et al. / Bayardo et al.) — the third candidate
+    // strategy next to minhash-LSH (probabilistic, misses pairs) and the
+    // brute shingle join (exact, corpus²): order every doc's shingles by
+    // ascending GLOBAL document frequency (rarest first, shingle text as
+    // tiebreak), keep only the first n - ceil(t·n) + 1 as the PREFIX,
+    // and join docs on shared prefix shingles. Any pair with Jaccard ≥ t
+    // MUST share a prefix shingle (pigeonhole: two sets missing each
+    // other's whole prefixes can overlap on at most n - p < ceil(t·n)
+    // elements on either side), so the candidate set has NO FALSE
+    // NEGATIVES — and prefixes hold each doc's RAREST shingles, so the
+    // candidate join is naturally skew-light (hot boilerplate shingles
+    // are exactly the ones prefix filtering excludes for large n). The
+    // verify is the shared candidate-bounded jaccardOfDocs. The ORACLE
+    // is deliberately the brute-force shingle join at the same
+    // threshold — two INDEPENDENT algorithms must produce the identical
+    // pair set, which is the no-false-negative theorem made into a
+    // hash gate. Scale: df table is shingle-keyed (uniform), the
+    // per-doc rank window partitions by doc, candidates are prefix-
+    // bounded; the 100 TB shape throughout.
+    "dedup_prefix_jaccard" -> ((s, d) =>
+      prefixJaccardPairsOf(s, Tables.documents(s, d))
+        .select(col("da"), col("db"), round6(col("jac")).as("jac"))
+        .orderBy("da", "db")),
+
     // Character-level confirm pass over the LSH candidates: shingle
     // Jaccard is blind to WHERE two near-dups differ (a one-word edit and
     // a rewritten sentence can score the same), so production dedup runs
@@ -1727,6 +1773,14 @@ object DedupQueries extends QueryPack {
           SELECT id AS doc_id, deg AS degree, CAST(r AS BIGINT) AS rank_e12
           FROM r3 ORDER BY doc_id""",
     "dedup_ngram_jaccard" ->
+      s"""WITH $shinglesSqlCte
+          SELECT da, db, FLOOR(jac*1000000 + 0.5)/1000000 AS jac FROM jac
+          WHERE jac >= 0.5 ORDER BY da, db""",
+    // Deliberately the BRUTE-FORCE join: the prefix-filtered Spark plan
+    // must reproduce the naive algorithm's pair set exactly (prefix
+    // filtering admits no false negatives) — algorithm-independence is
+    // the gate.
+    "dedup_prefix_jaccard" ->
       s"""WITH $shinglesSqlCte
           SELECT da, db, FLOOR(jac*1000000 + 0.5)/1000000 AS jac FROM jac
           WHERE jac >= 0.5 ORDER BY da, db""",
