@@ -103,18 +103,37 @@ object DedupQueries extends QueryPack {
     * Exposed for PrefixJaccardSpec's crafted boundary corpora. */
   private[graft] def prefixJaccardPairsOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Checkpoints, not style: the shingle frame feeds the df aggregate,
+    // BOTH sides of the prefix self-join and BOTH sides of the verify —
+    // without the cut Spark re-shingles the corpus five times (measured
+    // 6.0 s → 1.9 s at sf0.1). Same for the windowed prefix (two join
+    // sides) and the candidate set (the verify's driver).
     val sh = shingleFrameOf(s, docs, "doc_id", "sh", "n")
+      .localCheckpoint(eager = false)
     val dfr = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val prefix = sh.join(dfr, "sh")
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
       .filter(col("rk") <= expr("n - (n + 1) DIV 2 + 1")) // t = 0.5
       .select(col("sh"), col("doc_id"))
+      .localCheckpoint(eager = false)
     val cand = prefix.select(col("sh"), col("doc_id").as("da"))
       .join(prefix.select(col("sh"), col("doc_id").as("db")), "sh")
       .filter(col("da") < col("db"))
       .select("da", "db").distinct()
-    jaccardOfDocs(s, docs, cand).filter(col("jac") >= 0.5)
+      .localCheckpoint(eager = false)
+    // Verify against the ALREADY-SHINGLED frame (jaccardOfDocs would
+    // re-shingle the candidate docs from text — right for LSH's cheap
+    // signature-derived candidates, waste here).
+    val shA = sh.select(col("doc_id").as("da"), col("sh").as("sh_a"), col("n").as("na"))
+    val shB = sh.select(col("doc_id").as("db2"), col("sh").as("sh_b"), col("n").as("nb"))
+    cand
+      .join(shA, "da")
+      .join(shB, col("db") === col("db2") && col("sh_a") === col("sh_b"))
+      .groupBy("da", "db", "na", "nb")
+      .agg(count(lit(1)).as("i"))
+      .withColumn("jac", col("i") / (col("na") + col("nb") - col("i")))
+      .filter(col("jac") >= 0.5)
   }
 
   /** 60-bit weighted SimHash per doc, one JVM pass per document.
