@@ -48,7 +48,7 @@ object DedupQueries extends QueryPack {
                            shName: String, nName: String): DataFrame =
     shingleFrameOf(s, Tables.documents(s, d), idName, shName, nName)
 
-  private def shingleFrameOf(s: SparkSession, docs: DataFrame, idName: String,
+  private[graft] def shingleFrameOf(s: SparkSession, docs: DataFrame, idName: String,
                              shName: String, nName: String): DataFrame = {
     import s.implicits._
     docs
