@@ -145,7 +145,11 @@ object Explain {
     // round 16 fifth wave: the prefix-filtered exact similarity join —
     // df groupBy → per-doc rank window → prefix self-equi-join →
     // candidate-bounded verify (no corpus², no LSH misses).
-    "dedup_prefix_jaccard")
+    "dedup_prefix_jaccard",
+    // round 16 sixth wave: the PDF extraction pass — typed parse-as-
+    // filter mapPartitions → codegen'd aggregate (the codec-gate plan
+    // family; the parsing depth lives in PdfSource, not the plan).
+    "pdf_extract")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

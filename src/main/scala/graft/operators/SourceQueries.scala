@@ -540,6 +540,35 @@ object SourceQueries extends QueryPack {
           sum(graft.functions.PortableHash.h60p(
             concat(col("name"), lit("|"), col("payload_md5")))).as("checksum"))
         .orderBy("site")
+    }),
+
+    // PDF text extraction — the document container after HTML (arXiv,
+    // legal, government corpora arrive PDF-first). The staged PDFs are
+    // real spec-conformant files and the parser is the real chain:
+    // startxref → xref table(s) → objects at their RECORDED offsets (a
+    // decoy "9 0 obj" inside a string literal is data), incremental
+    // updates honored latest-first through the trailer /Prev chain (on
+    // id%7==0 docs a second body REPLACES page 0's content — a parser
+    // reading the first xref extracts stale text), /Length resolved
+    // through an indirect forward reference on id%3==1 docs (the real-
+    // writer layout), then content-stream tokenization: literal strings
+    // with balanced-paren nesting + escapes incl. octal, hex strings,
+    // TJ arrays whose kerning numbers emit nothing, Td/TD line logic.
+    // The oracle replays the decoded text model closed-form (md5 per
+    // page text) and never parses PDF — any slip anywhere in the chain
+    // shifts a checksum. Scale: parse-as-filter mapPartitions (the
+    // codec-gate family), then one codegen'd aggregate.
+    "pdf_extract" -> ((s, d) => {
+      graft.sources.PdfSource.extractedPages(s, d)
+        .groupBy("source")
+        .agg(
+          countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_pages"),
+          sum("n_ops").as("ops_sum"),
+          sum("n_chars").as("char_sum"),
+          sum(graft.functions.PortableHash.h60p(concat_ws(":",
+            col("doc_id"), col("page"), col("text_md5")))).as("text_checksum"))
+        .orderBy("source")
     })
   )
 
@@ -883,7 +912,35 @@ object SourceQueries extends QueryPack {
                 CAST(COUNT(*) AS BIGINT) AS n_lines,
                 CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
                 CAST(SUM(CASE WHEN ok THEN CAST(line->>'$$.n_chars' AS BIGINT) ELSE 0 END) AS BIGINT) AS chars
-         FROM cls GROUP BY 1 ORDER BY 1"""
+         FROM cls GROUP BY 1 ORDER BY 1""",
+
+    // The decoded page-text model replayed closed-form from doc_id
+    // arithmetic — the oracle never sees a PDF byte, so xref walking,
+    // the incremental-update override, indirect lengths, string escapes
+    // (octal \101 = 'A'), hex strings, TJ concatenation and the Td line
+    // logic must all be re-derived correctly for the md5s to land.
+    "pdf_extract" ->
+      s"""WITH d AS (SELECT doc_id AS id, source FROM documents),
+            pg AS (SELECT id, source, p.range AS p
+                   FROM d, range(2) p WHERE p.range < 1 + id % 2),
+            t AS (SELECT id, source, p,
+                         CASE WHEN p = 0 AND id % 7 = 0 THEN 5 ELSE 6 END AS ops,
+                         'Doc ' || id || ' page ' || p || chr(10) ||
+                         CASE WHEN p = 0 AND id % 7 = 0
+                              THEN 'revised ' || (id * 7) || ' r2'
+                              ELSE 'the quick data point ' || (id * 7 + p) || ' cont' END
+                           || chr(10) ||
+                         'segment ' || (id % 9) || chr(10) ||
+                         'esc (' || (id % 5) || ') A (nested 9 0 obj) end' || chr(10) ||
+                         'hex' || (id % 3) AS text
+                  FROM pg)
+         SELECT source, CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs,
+                CAST(COUNT(*) AS BIGINT) AS n_pages,
+                CAST(SUM(ops) AS BIGINT) AS ops_sum,
+                CAST(SUM(length(text)) AS BIGINT) AS char_sum,
+                CAST(SUM(${graft.functions.PortableHash.h60pSql(
+                  "id || ':' || p || ':' || md5(text)")}) AS BIGINT) AS text_checksum
+         FROM t GROUP BY source ORDER BY source"""
   )
 
   val oracleSql: Map[String, String] = oracleSqlFor(Stage.GateDir)
