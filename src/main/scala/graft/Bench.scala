@@ -208,7 +208,9 @@ object Bench {
     // 0.13 (three unrolled PageRank iterations), the rest ≤ 0.06.
     // Composition: 75.2 + 1.9 = 77.1. Plus dedup_prefix_jaccard (239th;
     // its oracle is deliberately the brute shingle join) at 1.246 s of
-    // three-draw minima: 77.1 + 1.2 = 78.3.
+    // three-draw minima: 77.1 + 1.2 = 78.3. Plus pdf_extract (240th) at
+    // 0.031 s: stays 78.3 (the conservative floor — sub-0.05 additions
+    // round DOWN, every direct draw sits higher).
     // Env overrides for re-derived denominators; the fallback keeps
     // `vs_baseline` on the driver's line, which sets no env. Only
     // meaningful at sf0.1.

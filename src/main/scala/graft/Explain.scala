@@ -149,7 +149,12 @@ object Explain {
     // round 16 sixth wave: the PDF extraction pass — typed parse-as-
     // filter mapPartitions → codegen'd aggregate (the codec-gate plan
     // family; the parsing depth lives in PdfSource, not the plan).
-    "pdf_extract")
+    "pdf_extract",
+    // round 16 seventh wave: the whole-file multiline CSV read (one
+    // task per file — the documented splittability trade) and the
+    // textcat classifier (broadcast profiles, per-doc rank window,
+    // doc×lang distance frame).
+    "csv_multiline_roundtrip", "text_lang_profile")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

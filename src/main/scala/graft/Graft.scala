@@ -750,4 +750,36 @@ object Graft {
       .orderBy(col("n").desc, col("ngram"))
       .limit(k)
   }
+
+  /** EXACT Jaccard ≥ 0.5 near-dup pairs via PPJoin-style prefix
+    * filtering over (doc_id, text) — the no-false-negative alternative
+    * to [[nearDupPairs]]' probabilistic LSH. Run [[exactDedup]] FIRST:
+    * exact-dup clusters make the true pair set quadratic (SCALE.md
+    * §prefix_join_10x). Returns (da, db, na, nb, i, jac). */
+  def prefixJaccardPairs(spark: SparkSession, docs: DataFrame): DataFrame =
+    operators.DedupQueries.prefixJaccardPairsOf(spark, docs)
+
+  /** Weighted directed PageRank over a host/entity edge list
+    * (`src`, `dst`; multiplicities are weights): 0.85 damping, ranks in
+    * 10⁻¹²-units, bit-stable. Returns (host, n_out, rank_e12). See
+    * CrawlQueries.hostRankOf. */
+  def hostRank(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    operators.CrawlQueries.hostRankOf(edges, iters)
+  }
+
+  /** PDF text extraction over (doc_id, source, pdf BINARY) rows: the
+    * full xref/incremental-update/content-stream chain of
+    * sources.PdfSource.extractPdf, parse-as-filter. One row per page:
+    * (doc_id, source, page, n_ops, text). */
+  def pdfExtract(spark: SparkSession, pdfs: DataFrame): DataFrame = {
+    import spark.implicits._
+    pdfs.select(col("doc_id"), col("source"), col("pdf"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, src, bytes) =>
+        sources.PdfSource.extractPdf(bytes).toSeq.flatten.map(pg =>
+          (id, src, pg.page, pg.nOps, pg.text))
+      })
+      .toDF("doc_id", "source", "page", "n_ops", "text")
+  }
 }

@@ -23,6 +23,7 @@ import org.apache.spark.sql.functions._
 object SourceQueries extends QueryPack {
 
   private def csvStage(d: String) = Stage.dir(d, "csv")
+  private def csvMlStage(d: String) = Stage.dir(d, "csvml")
   private def jsonlStage(d: String) = Stage.dir(d, "jsonl")
   private def csvGzStage(d: String) = Stage.dir(d, "csv_gz")
   private def jsonlGzStage(d: String) = Stage.dir(d, "jsonl_gz")
@@ -51,6 +52,34 @@ object SourceQueries extends QueryPack {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars").cast("long")).as("chars"),
           countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang")
+    }),
+
+    // RFC 4180 multiline CSV: every payload embeds a NEWLINE, a comma,
+    // a quoted-quote ("" doubling) and a leading space inside the
+    // quotes — the four things that corrupt a naive line-split reader.
+    // The sink quotes/escapes them; the gate reads the bytes back
+    // through FileSources.csvMultiline (whole-file parse — see its
+    // scaladoc for the splittability trade) and the ORACLE parses the
+    // SAME staged file with DuckDB's independent CSV reader: two
+    // unrelated RFC 4180 implementations must agree row-for-row on a
+    // per-payload md5 checksum. A reader that splits records on raw
+    // newlines doubles the row count and shifts every hash.
+    "csv_multiline_roundtrip" -> ((s, d) => {
+      val stage = csvMlStage(d)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          concat(lit(" v\""), (col("doc_id") % 7).cast("string"), lit("\" x\n"),
+            lit("l2,c "), col("doc_id").cast("string")).as("payload"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("header", "true").option("escape", "\"").csv(stage)
+      graft.sources.FileSources.csvMultiline(s, stage)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(length(col("payload"))).cast("long").as("payload_chars"),
+          sum(graft.functions.PortableHash.h60p(concat_ws(":",
+            col("doc_id"), md5(col("payload"))))).as("payload_checksum"))
         .orderBy("lang")
     }),
 
@@ -839,6 +868,15 @@ object SourceQueries extends QueryPack {
                 CAST(SUM(n_chars) AS BIGINT) AS chars,
                 CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
          FROM read_csv('${csvStage(dataDir)}/*.csv', header = true)
+         GROUP BY lang ORDER BY lang""",
+    // DuckDB's own RFC 4180 parser over the SAME staged bytes — the
+    // two-independent-implementations gate.
+    "csv_multiline_roundtrip" ->
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(SUM(length(payload)) AS BIGINT) AS payload_chars,
+                CAST(SUM(${graft.functions.PortableHash.h60pSql(
+                  "doc_id || ':' || md5(payload)")}) AS BIGINT) AS payload_checksum
+         FROM read_csv('${csvMlStage(dataDir)}/*.csv', header = true)
          GROUP BY lang ORDER BY lang""",
     "jsonl_roundtrip" ->
       s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,

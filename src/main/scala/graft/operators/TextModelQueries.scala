@@ -131,7 +131,67 @@ object TextModelQueries extends QueryPack {
     // zeros, quantization, tie-break); NbClassifierSpec drives the same
     // body over a crafted corpus with genuinely disjoint class
     // vocabularies and pins perfect-recovery + the zero-count path.
-    "text_nb_classify" -> ((s, d) => nbConfusion(s, Tables.documents(s, d))))
+    "text_nb_classify" -> ((s, d) => nbConfusion(s, Tables.documents(s, d))),
+
+    // Cavnar-Trenkle character-n-gram profile classification (the
+    // classic "textcat" algorithm, Cavnar & Trenkle 1994) — the third
+    // language-ID family next to the stopword heuristic (text_lang_id)
+    // and the token-level Naive Bayes: per language, rank the top-30
+    // char TRIGRAMS by frequency; per document, rank its own top-30;
+    // distance = Σ over doc-profile grams of |rank_doc − rank_lang|,
+    // with a fixed out-of-place penalty of 30 for grams absent from the
+    // language profile; predict argmin (ties to the alphabetically-
+    // first language). All integer arithmetic — counts, ranks under a
+    // (count DESC, gram ASC) total order, absolute differences — so the
+    // oracle replays it exactly. NOTE on this fixture: the generator's
+    // lexical distributions are lang-independent, so profiles are
+    // near-identical and the matrix mostly collapses — the gate pins
+    // the ESTIMATOR (ranking, the out-of-place penalty, tie-breaks);
+    // CtClassifierSpec drives the same body over crafted corpora with
+    // genuinely distinct character distributions and pins recovery.
+    // Scale: profiles are (langs × 30) rows — broadcast; the corpus
+    // pays the gram explode + two uniform-key groupBys + one per-doc
+    // rank window; the doc×lang distance frame is |docs|·|langs|.
+    "text_lang_profile" -> ((s, d) => ctConfusion(s, Tables.documents(s, d))))
+
+  /** Cavnar-Trenkle confusion body over ANY (doc_id, lang, text) frame
+    * — exposed for CtClassifierSpec's crafted corpora. */
+  private[graft] def ctConfusion(s: SparkSession, docs0: DataFrame): DataFrame = {
+    val K = 30
+    val docs = docs0.select(col("doc_id"), col("lang"), col("text"))
+      .filter(length(col("text")) >= 3) // sequence(1,0) would DESCEND
+    val grams = docs.select(col("doc_id"), col("lang"), explode(expr(
+      "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("g"))
+    val langProf = grams.groupBy("lang", "g").agg(count(lit(1)).as("c"))
+      .withColumn("rl", row_number().over(
+        Window.partitionBy("lang").orderBy(col("c").desc, col("g"))))
+      .filter(col("rl") <= K).select(col("lang").as("cand"), col("g"), col("rl"))
+      .localCheckpoint(eager = false) // tiny; feeds the join AND the lang list
+    val docProf = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .withColumn("rd", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("c").desc, col("g"))))
+      .filter(col("rd") <= K).select("doc_id", "g", "rd")
+      .localCheckpoint(eager = false) // feeds the match join and the per-doc size
+    val matched = docProf.join(broadcast(langProf), "g")
+      .groupBy("doc_id", "cand")
+      .agg(sum(abs(col("rd") - col("rl"))).as("m_dist"), count(lit(1)).as("m_cnt"))
+    val docN = docProf.groupBy("doc_id").agg(count(lit(1)).as("n_g"))
+    val langs = langProf.select("cand").distinct()
+    val pred = docN.crossJoin(broadcast(langs))
+      .join(matched, Seq("doc_id", "cand"), "left")
+      .na.fill(0L, Seq("m_dist", "m_cnt"))
+      .withColumn("dist", col("m_dist") + (col("n_g") - col("m_cnt")) * lit(K.toLong))
+      .groupBy("doc_id")
+      .agg(min(struct(col("dist"), col("cand"))).as("best"))
+      .select(col("doc_id"), col("best.cand").as("lang_pred"),
+        col("best.dist").as("dist"))
+    docs.select("doc_id", "lang").join(pred, "doc_id")
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("dist").as("dist_sum"),
+        sum(PortableHash.h60p(col("doc_id").cast("string"))).as("member_checksum"))
+      .orderBy("lang", "lang_pred")
+  }
 
   /** The text_lm_perplexity body over ANY (doc_id, lang, text) frame —
     * exposed so NbClassifierSpec can plant a gibberish document (all
@@ -237,6 +297,43 @@ object TextModelQueries extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // The same integer rank/out-of-place arithmetic replayed from
+    // scratch: char trigrams, (count DESC, gram ASC) ranks, penalty 30,
+    // argmin with the lexicographic tie-break.
+    "text_lang_profile" ->
+      s"""WITH d AS (SELECT doc_id, lang, text FROM documents WHERE length(text) >= 3),
+            g AS (SELECT doc_id, lang, substr(text, CAST(i.i AS INT), 3) AS g
+                  FROM d, LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i) i),
+            lp AS (SELECT lang AS cand, g, rl FROM
+                     (SELECT lang, g, ROW_NUMBER() OVER (PARTITION BY lang
+                        ORDER BY COUNT(*) DESC, g) AS rl
+                      FROM g GROUP BY lang, g)
+                   WHERE rl <= 30),
+            dp AS (SELECT doc_id, g, rd FROM
+                     (SELECT doc_id, g, ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY COUNT(*) DESC, g) AS rd
+                      FROM g GROUP BY doc_id, g)
+                   WHERE rd <= 30),
+            dn AS (SELECT doc_id, COUNT(*) AS n_g FROM dp GROUP BY 1),
+            langs AS (SELECT DISTINCT cand FROM lp),
+            mt AS (SELECT dp.doc_id, lp.cand, SUM(ABS(dp.rd - lp.rl)) AS m_dist,
+                          COUNT(*) AS m_cnt
+                   FROM dp JOIN lp ON dp.g = lp.g GROUP BY 1, 2),
+            ap AS (SELECT dn.doc_id, l.cand,
+                          COALESCE(m.m_dist, 0) + (dn.n_g - COALESCE(m.m_cnt, 0)) * 30 AS dist
+                   FROM dn CROSS JOIN langs l
+                   LEFT JOIN mt m ON m.doc_id = dn.doc_id AND m.cand = l.cand),
+            best AS (SELECT doc_id, cand AS lang_pred, dist FROM
+                       (SELECT doc_id, cand, dist,
+                               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY dist, cand) AS rk
+                        FROM ap)
+                     WHERE rk = 1)
+         SELECT d.lang, b.lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(b.dist) AS BIGINT) AS dist_sum,
+                CAST(SUM(${PortableHash.h60pSql("CAST(d.doc_id AS VARCHAR)")}) AS BIGINT) AS member_checksum
+         FROM best b JOIN d ON b.doc_id = d.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "text_lm_perplexity" ->
       s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
                      WHERE len(string_split(text, ' ')) >= 2),

@@ -177,6 +177,18 @@ object FileSources {
   def csv(spark: SparkSession, path: String, header: Boolean = true): DataFrame =
     spark.read.option("header", header.toString).option("inferSchema", "true").csv(path)
 
+  /** CSV with RFC 4180 quoted fields that may span LINES (embedded
+    * newlines, escaped "" quotes, commas): Spark's default reader splits
+    * records on raw newlines BEFORE parsing quotes (fast, splittable —
+    * and silently corrupts multiline rows into extra records); the
+    * `multiLine` option switches to a whole-file parse per file. That is
+    * the real trade: multiline CSV files are NOT splittable — one task
+    * per file — so at 100 TB the answer is many medium files (or a
+    * saner format), never one giant multiline CSV. */
+  def csvMultiline(spark: SparkSession, path: String, header: Boolean = true): DataFrame =
+    spark.read.option("header", header.toString).option("inferSchema", "true")
+      .option("multiLine", "true").option("escape", "\"").csv(path)
+
   def json(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 

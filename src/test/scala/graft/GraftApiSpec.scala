@@ -384,4 +384,37 @@ class GraftApiSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Graft.pqTopK(spark, codes, cb, Array.fill(64)(0.0), 0))
   }
+
+  test("prefixJaccardPairs facade finds the exact boundary pair") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, "x a b c d")).toDF("doc_id", "text")
+    val got = Graft.prefixJaccardPairs(spark, docs)
+      .select("da", "db", "jac").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 2L, 0.5)))
+  }
+
+  test("hostRank facade weights edges and validates iters") {
+    import spark.implicits._
+    val edges = Seq("h" -> "a", "h" -> "a", "h" -> "b", "a" -> "h", "b" -> "h")
+      .toDF("src", "dst")
+    val r = Graft.hostRank(edges).collect()
+      .map(x => x.getString(0) -> x.getLong(2)).toMap
+    assert(r("a") > r("b"))
+    intercept[IllegalArgumentException](Graft.hostRank(edges, 0))
+  }
+
+  test("pdfExtract facade round-trips the staged model and drops junk rows") {
+    import spark.implicits._
+    val rows = Seq(
+      (5L, "s0", sources.PdfSource.pdfBytes(5L)),
+      (6L, "s0", Array[Byte](1, 2, 3))) // not a PDF: parse-as-filter drops it
+      .toDF("doc_id", "source", "pdf")
+    val got = Graft.pdfExtract(spark, rows)
+      .select("doc_id", "page", "text").collect()
+    assert(got.map(_.getLong(0)).distinct.toSeq == Seq(5L))
+    assert(got.map(r => r.getString(2)).toSeq ==
+      (0 until sources.PdfSource.pdfPageCount(5L))
+        .map(p => sources.PdfSource.pdfPageText(5L, p)))
+  }
 }
