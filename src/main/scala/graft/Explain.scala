@@ -154,7 +154,10 @@ object Explain {
     // task per file — the documented splittability trade) and the
     // textcat classifier (broadcast profiles, per-doc rank window,
     // doc×lang distance frame).
-    "csv_multiline_roundtrip", "text_lang_profile")
+    "csv_multiline_roundtrip", "text_lang_profile",
+    // and the NFC-normalized dedup audit (typed normalize map → one
+    // global aggregate).
+    "text_nfc_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

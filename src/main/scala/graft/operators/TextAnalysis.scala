@@ -210,6 +210,50 @@ object TextAnalysis extends QueryPack {
         .orderBy("source")
     }),
 
+    // Unicode normalization BEFORE content hashing — the dedup-fidelity
+    // step: the same logical text arrives from different sources in
+    // composed (U+00E9 'é') and decomposed (e + U+0301 combining acute)
+    // forms, byte-different but canonically equal, so raw-md5 exact
+    // dedup silently keeps both. The staged corpus pairs docs 2k/2k+1
+    // on the same logical string — even ids composed (NFC), odd ids
+    // decomposed (NFD) with TWO combining marks (é and å) — plus an
+    // unpaired singleton per id%5==0 pinning that NFC never
+    // over-merges. Normalization is java.text.Normalizer NFC in a
+    // typed map (Spark has no builtin normalizer — the documented
+    // mapPartitions escape hatch); the oracle replays the staged forms
+    // via chr() and DuckDB's independent nfc_normalize, so the two
+    // Unicode implementations must agree on every hash. Raw-group vs
+    // NFC-group counts make the missed-duplicate claim a checked
+    // number, not prose.
+    "text_nfc_dedup" -> ((s, d) => {
+      import s.implicits._
+      val comp = "caf\u00e9 \u00e5rbok x" // NFC: one code point per accent
+      val decomp = "cafe\u0301 a\u030arbok x" // NFD: base + combining mark
+      val staged = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("solo "), col("doc_id").cast("string"), lit(" \u00e9")))
+            .when(col("doc_id") % 2 === 0,
+              concat(lit(comp + " "), (col("doc_id") / 2).cast("long").cast("string")))
+            .otherwise(
+              concat(lit(decomp + " "), (col("doc_id") / 2).cast("long").cast("string")))
+            .as("text"))
+      val norm = staged.as[(Long, String, String)]
+        .mapPartitions(_.map { case (id, src, t) =>
+          (id, src, t,
+            java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC))
+        })
+        .toDF("doc_id", "source", "text", "nfc")
+      norm.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_raw_groups"),
+        countDistinct(md5(col("nfc"))).as("n_nfc_groups"),
+        sum(length(col("text"))).as("raw_chars"),
+        sum(length(col("nfc"))).as("nfc_chars"),
+        sum(graft.functions.PortableHash.h60p(
+          concat_ws(":", col("doc_id"), md5(col("nfc"))))).as("nfc_checksum"))
+    }),
+
     // The composed end-to-end corpus-cleaning pass — what a user actually
     // runs before training: exact dedup (canonical doc per content hash)
     // → boilerplate filter (duplicate-trigram rate < 30%) → quality floor
@@ -780,6 +824,28 @@ object TextAnalysis extends QueryPack {
         FROM v$k GROUP BY 1 ORDER BY n_tokens"""
 
   val oracleSql: Map[String, String] = Map(
+    // The staged composed/decomposed forms rebuilt via chr(), normalized
+    // by DuckDB's INDEPENDENT nfc_normalize — the two Unicode
+    // implementations (ICU-derived vs java.text.Normalizer) must agree
+    // on every md5.
+    "text_nfc_dedup" ->
+      s"""WITH t AS (SELECT doc_id,
+                CASE WHEN doc_id % 5 = 0
+                       THEN 'solo ' || doc_id || ' ' || chr(233)
+                     WHEN doc_id % 2 = 0
+                       THEN 'caf' || chr(233) || ' ' || chr(229) || 'rbok x ' || (doc_id // 2)
+                     ELSE 'cafe' || chr(769) || ' a' || chr(778) || 'rbok x ' || (doc_id // 2)
+                END AS text
+              FROM documents),
+            n AS (SELECT doc_id, text, nfc_normalize(text) AS nfc FROM t)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_raw_groups,
+                CAST(COUNT(DISTINCT md5(nfc)) AS BIGINT) AS n_nfc_groups,
+                CAST(SUM(length(text)) AS BIGINT) AS raw_chars,
+                CAST(SUM(length(nfc)) AS BIGINT) AS nfc_chars,
+                CAST(SUM(${graft.functions.PortableHash.h60pSql(
+                  "doc_id || ':' || md5(nfc)")}) AS BIGINT) AS nfc_checksum
+         FROM n""",
     // The oracle replays the BLOCK FEATURE MODEL closed-form — per block
     // type it derives visible chars / words / anchor chars / stopword
     // hits arithmetically from (doc_id, j) and never parses HTML, so a
