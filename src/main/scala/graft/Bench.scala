@@ -212,7 +212,8 @@ object Bench {
     // 0.031 s: stays 78.3 (the conservative floor — sub-0.05 additions
     // round DOWN, every direct draw sits higher). Plus
     // csv_multiline_roundtrip 0.013 + text_lang_profile 0.239 (241st,
-    // 242nd): 78.3 + 0.25 = 78.5.
+    // 242nd): 78.3 + 0.25 = 78.5. text_nfc_dedup (243rd) at 0.024 s
+    // rounds down: stays 78.5.
     // Env overrides for re-derived denominators; the fallback keeps
     // `vs_baseline` on the driver's line, which sets no env. Only
     // meaningful at sf0.1.

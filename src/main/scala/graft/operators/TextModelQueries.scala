@@ -155,32 +155,44 @@ object TextModelQueries extends QueryPack {
     "text_lang_profile" -> ((s, d) => ctConfusion(s, Tables.documents(s, d))))
 
   /** Cavnar-Trenkle confusion body over ANY (doc_id, lang, text) frame
-    * — exposed for CtClassifierSpec's crafted corpora. */
+    * — exposed for CtClassifierSpec's crafted corpora.
+    *
+    * Plan shape (rewritten after the first version benched 6.6 s at
+    * sf0.1 from THREE serialized localCheckpoint jobs plus a
+    * matched/doc-size/left-join-fill dance): ONE job — the doc profile
+    * crossed with the tiny language list, LEFT-joined against the
+    * broadcast language profiles, the out-of-place penalty applied as a
+    * per-row coalesce, then dist/argmin/confusion as plain aggregates.
+    * The gram explode is evaluated once per profile branch (two corpus
+    * map-scans — cheaper than materializing a checkpoint between them). */
   private[graft] def ctConfusion(s: SparkSession, docs0: DataFrame): DataFrame = {
     val K = 30
     val docs = docs0.select(col("doc_id"), col("lang"), col("text"))
       .filter(length(col("text")) >= 3) // sequence(1,0) would DESCEND
-    val grams = docs.select(col("doc_id"), col("lang"), explode(expr(
-      "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("g"))
+    // Char-trigram stream via arrays_zip of three shifted char slices —
+    // codegen'd end-to-end; the interpreted transform(sequence(...),
+    // substring) HOF formulation measured 2-3× slower (the
+    // text_ngram_stats lesson, re-confirmed here).
+    val grams = docs
+      .withColumn("ch", split(col("text"), ""))
+      .select(col("doc_id"), col("lang"),
+        explode(graft.Graft.zipNgrams(col("ch"), 3)).as("t"))
+      .select(col("doc_id"), col("lang"),
+        concat(col("t.c0"), col("t.c1"), col("t.c2")).as("g"))
     val langProf = grams.groupBy("lang", "g").agg(count(lit(1)).as("c"))
       .withColumn("rl", row_number().over(
         Window.partitionBy("lang").orderBy(col("c").desc, col("g"))))
       .filter(col("rl") <= K).select(col("lang").as("cand"), col("g"), col("rl"))
-      .localCheckpoint(eager = false) // tiny; feeds the join AND the lang list
     val docProf = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       .withColumn("rd", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("c").desc, col("g"))))
       .filter(col("rd") <= K).select("doc_id", "g", "rd")
-      .localCheckpoint(eager = false) // feeds the match join and the per-doc size
-    val matched = docProf.join(broadcast(langProf), "g")
-      .groupBy("doc_id", "cand")
-      .agg(sum(abs(col("rd") - col("rl"))).as("m_dist"), count(lit(1)).as("m_cnt"))
-    val docN = docProf.groupBy("doc_id").agg(count(lit(1)).as("n_g"))
-    val langs = langProf.select("cand").distinct()
-    val pred = docN.crossJoin(broadcast(langs))
-      .join(matched, Seq("doc_id", "cand"), "left")
-      .na.fill(0L, Seq("m_dist", "m_cnt"))
-      .withColumn("dist", col("m_dist") + (col("n_g") - col("m_cnt")) * lit(K.toLong))
+    val langs = docs.select(col("lang").as("cand")).distinct()
+    val pred = docProf.crossJoin(broadcast(langs))
+      .join(broadcast(langProf), Seq("cand", "g"), "left")
+      .withColumn("contrib",
+        coalesce(abs(col("rd") - col("rl")), lit(K.toLong)))
+      .groupBy("doc_id", "cand").agg(sum("contrib").as("dist"))
       .groupBy("doc_id")
       .agg(min(struct(col("dist"), col("cand"))).as("best"))
       .select(col("doc_id"), col("best.cand").as("lang_pred"),
