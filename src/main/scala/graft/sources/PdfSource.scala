@@ -86,7 +86,8 @@ object PdfSource {
     sb.append("12 0 Td (cont) Tj\n") // positive move: same line
     sb.append(s"0 -14 Td [(seg) -120 (ment ${id % 9})] TJ\n")
     sb.append(s"0 -14 Td (esc \\(${id % 5}\\) \\101 (nested 9 0 obj) end) Tj\n")
-    sb.append(s"0 -14 Td <${hexOf(s"hex${id % 3}")}> Tj\n")
+    // the `"` operator does its own next-line move (aw ac string ")
+    sb.append(s"""1 2 <${hexOf(s"hex${id % 3}")}> "\n""")
     sb.append("ET")
     sb.toString
   }
@@ -498,6 +499,13 @@ object PdfSource {
             case _ => return None
           }
           case "'" => operands.lastOption match {
+            case Some(PStr(v)) => pendingNewline = true; emit(v)
+            case _ => return None
+          }
+          // `"` = set word/char spacing AND move-to-next-line-show
+          // (§9.4.3, Table 107): aw ac (string) " — the string is the
+          // LAST operand, the two numbers are spacing (no text effect).
+          case "\"" => operands.lastOption match {
             case Some(PStr(v)) => pendingNewline = true; emit(v)
             case _ => return None
           }
