@@ -120,8 +120,7 @@ object DedupQueries extends QueryPack {
     val cand = prefix.select(col("sh"), col("doc_id").as("da"))
       .join(prefix.select(col("sh"), col("doc_id").as("db")), "sh")
       .filter(col("da") < col("db"))
-      .select("da", "db").distinct()
-      .localCheckpoint(eager = false)
+      .select("da", "db").distinct() // no checkpoint: consumed exactly once
     // Verify against the ALREADY-SHINGLED frame (jaccardOfDocs would
     // re-shingle the candidate docs from text — right for LSH's cheap
     // signature-derived candidates, waste here).
