@@ -11,19 +11,29 @@ import org.apache.spark.sql.functions.col
   * .cpp); this is LLM-pipeline extension surface built from the public
   * PDF 1.7 spec (ISO 32000-1): cross-reference tables §7.5.4 (including
   * incremental updates via the trailer /Prev chain — the LATEST xref
-  * wins per object), objects §7.3 (dictionaries, arrays, literal strings
-  * with balanced-paren nesting and \-escapes incl. octal, hex strings),
-  * streams §7.3.8 (/Length direct or INDIRECT — real writers emit the
-  * length object after the stream bytes), and text-showing operators
-  * §9.4.3 (Tj, ', TJ arrays whose numbers are kerning, not text).
+  * wins per object), cross-reference STREAMS §7.5.8 (the PDF 1.5+
+  * layout every modern writer emits: /Type /XRef, /W field widths,
+  * /Index subsections, FlateDecode + PNG predictors §7.4.4.4), object
+  * streams §7.5.7 (/Type /ObjStm packing of non-stream objects, type-2
+  * xref entries), stream filters §7.4.4 (/Filter /FlateDecode in both
+  * name and one-element-array form — real-world content streams are
+  * almost universally Flate-compressed), objects §7.3 (dictionaries,
+  * arrays, literal strings with balanced-paren nesting and \-escapes
+  * incl. octal, hex strings), streams §7.3.8 (/Length direct or
+  * INDIRECT — real writers emit the length object after the stream
+  * bytes), and text-showing operators §9.4.3 (Tj, ', ", TJ arrays whose
+  * numbers are kerning, not text; BDC/DP property-list dictionaries are
+  * operands, not text).
   *
   * The parser is the real thing, not a regex: it walks startxref → xref
-  * section(s) → per-object byte offsets, parses objects at their
-  * recorded offsets only (a decoy "9 0 obj" inside a string literal is
-  * data, not structure), resolves indirect references with a memo, and
-  * tokenizes content streams with a string scanner that honors nesting,
-  * escapes and comments. Returns None on any malformation rather than
-  * guessing.
+  * table(s) OR xref stream(s) → per-object byte offsets (direct or
+  * inside an object stream), parses objects at their recorded offsets
+  * only (a decoy "9 0 obj" inside a string literal is data, not
+  * structure), resolves indirect references with a memo, inflates and
+  * un-predicts filtered streams, and tokenizes content streams with a
+  * string scanner that honors nesting, escapes and comments. Returns
+  * None on any malformation (including corrupt deflate data) rather
+  * than guessing.
   *
   * Scale shape: one task per document, no state — the extraction is a
   * map-only pass (the pixel/codec-gate family); everything downstream is
@@ -43,6 +53,10 @@ object PdfSource {
   //      \101 = 'A', a BALANCED unescaped paren group whose content is a
   //      decoy object header)
   //   L5 "hex<id%3>"                            (hex string)
+  // Every original page wraps its shows in a /Span << /ActualText (...) >>
+  // BDC … EMC marked-content span — the property-list DICT is a content
+  // operand whose inner string must NOT emit (the '<<'-in-content-stream
+  // hazard a tokenizer that treats every '<' as a hex string fails).
   // Docs with id%3 == 1 write /Length as an INDIRECT reference whose
   // integer object sits AFTER the stream (the real-writer layout).
   // Docs with id%7 == 0 carry an INCREMENTAL UPDATE: a second body +
@@ -50,10 +64,24 @@ object PdfSource {
   // L2 becomes "revised <id*7> r2" with no continuation — a parser that
   // reads the first xref, or scans for "obj" textually, extracts the
   // stale text.
+  // Docs with id%2 == 0 Flate-compress their content streams
+  // (/Filter [ /FlateDecode ] array form on id%4 == 0, /Filter
+  // /FlateDecode name form on id%4 == 2) — the real-world default.
+  // Docs with id%5 == 2 use the MODERN (PDF 1.5+) file layout: all
+  // non-stream objects packed into a /Type /ObjStm object stream,
+  // cross-references as a /Type /XRef stream (W = [1 3 1], FlateDecode,
+  // PNG Up predictor 12) — a classic-table-only parser refuses these
+  // outright. id=7 hits modern+revised+indirect-length at once.
 
   def pdfPageCount(id: Long): Int = (1 + id % 2).toInt
 
   def pdfRevised(id: Long): Boolean = id % 7 == 0
+
+  /** Content streams Flate-compressed (array filter form on id%4==0). */
+  def pdfFlate(id: Long): Boolean = id % 2 == 0
+
+  /** PDF 1.5+ layout: object stream + cross-reference stream. */
+  def pdfModern(id: Long): Boolean = id % 5 == 2
 
   /** The decoded text of page `p` of doc `id` — what [[extractPdf]] must
     * produce and the oracle recomputes. */
@@ -81,6 +109,9 @@ object PdfSource {
     val sb = new StringBuilder
     sb.append("BT /F1 12 Tf\n")
     sb.append("% layout marker\n") // comments are legal content tokens
+    // a marked-content property list: the '<<' dict is an OPERAND whose
+    // string value must not emit (and must not be read as a hex string)
+    sb.append("/Span << /ActualText (decoy, never emitted) >> BDC\n")
     sb.append(s"72 720 Td (Doc $id page $p) Tj\n")
     sb.append(s"0 -14 Td (the quick data point ${id * 7 + p}) Tj\n")
     sb.append("12 0 Td (cont) Tj\n") // positive move: same line
@@ -88,7 +119,7 @@ object PdfSource {
     sb.append(s"0 -14 Td (esc \\(${id % 5}\\) \\101 (nested 9 0 obj) end) Tj\n")
     // the `"` operator does its own next-line move (aw ac string ")
     sb.append(s"""1 2 <${hexOf(s"hex${id % 3}")}> "\n""")
-    sb.append("ET")
+    sb.append("EMC\nET")
     sb.toString
   }
 
@@ -105,11 +136,124 @@ object PdfSource {
     sb.toString
   }
 
-  /** A COMPLETE spec-conformant PDF for doc `id` (ASCII throughout).
-    * Object numbering: 1 catalog, 2 pages root, 3..2+P pages,
-    * 3+P..2+2P contents, 3+2P font, 4+2P..3+3P length objects (only
-    * written for the indirect-length docs). */
-  def pdfBytes(id: Long): Array[Byte] = {
+  // ─────────────────────────── codec helpers ───────────────────────────
+
+  /** zlib-deflate (the encoding FlateDecode §7.4.4 expects). Output
+    * bytes never enter an oracle checksum — only the DECODED text does —
+    * so zlib's exact byte choice is free to vary. */
+  private def deflateBytes(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** zlib-inflate; None on corrupt or truncated data. */
+  private def inflateBytes(in: Array[Byte]): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(in)
+    val out = new java.io.ByteArrayOutputStream(in.length * 3 + 64)
+    val buf = new Array[Byte](8192)
+    try {
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+        else if (!inf.finished()) return None // truncated stream
+      }
+      Some(out.toByteArray)
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
+  }
+
+  /** PNG Up-predictor (type 2) encode for xref stream staging: each row
+    * is prefixed with filter byte 2 and stores raw − rowAbove (mod 256).
+    * §7.4.4.4: the predictors are exactly PNG's (RFC 2083). */
+  private def pngUpPredict(rows: Array[Array[Byte]]): Array[Byte] = {
+    val w = if (rows.isEmpty) 0 else rows(0).length
+    val out = new Array[Byte](rows.length * (w + 1))
+    var prev = new Array[Byte](w)
+    var r = 0
+    while (r < rows.length) {
+      out(r * (w + 1)) = 2
+      var i = 0
+      while (i < w) {
+        out(r * (w + 1) + 1 + i) = ((rows(r)(i) - prev(i)) & 0xFF).toByte
+        i += 1
+      }
+      prev = rows(r)
+      r += 1
+    }
+    out
+  }
+
+  /** PNG predictor decode (filter types 0..4 per row, RFC 2083 §6) over
+    * rows of `columns`×`bpp` bytes. None on bad geometry or filter. */
+  private def pngUnpredict(data: Array[Byte], columns: Int, bpp: Int): Option[Array[Byte]] = {
+    val rowBytes = columns * bpp
+    if (rowBytes <= 0 || data.length % (rowBytes + 1) != 0) return None
+    val nRows = data.length / (rowBytes + 1)
+    val out = new Array[Byte](nRows * rowBytes)
+    var prevOff = -1
+    var r = 0
+    while (r < nRows) {
+      val ft = data(r * (rowBytes + 1)) & 0xFF
+      val src = r * (rowBytes + 1) + 1
+      val dst = r * rowBytes
+      var i = 0
+      while (i < rowBytes) {
+        val raw = data(src + i) & 0xFF
+        val left = if (i >= bpp) out(dst + i - bpp) & 0xFF else 0
+        val up = if (prevOff >= 0) out(prevOff + i) & 0xFF else 0
+        val upLeft = if (prevOff >= 0 && i >= bpp) out(prevOff + i - bpp) & 0xFF else 0
+        val rec = ft match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + (left + up) / 2
+          case 4 => // Paeth
+            val p = left + up - upLeft
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - upLeft)
+            raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft)
+          case _ => return None
+        }
+        out(dst + i) = (rec & 0xFF).toByte
+        i += 1
+      }
+      prevOff = dst
+      r += 1
+    }
+    Some(out)
+  }
+
+  private def iso(b: Array[Byte]): String = new String(b, "ISO-8859-1")
+  private def bytesOf(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+
+  // ───────────────────────────── staged writer ─────────────────────────────
+
+  /** A COMPLETE spec-conformant PDF for doc `id`. Classic layout: object
+    * numbering 1 catalog, 2 pages root, 3..2+P pages, 3+P..2+2P contents,
+    * 3+2P font, 4+2P..3+3P length objects (only for the indirect-length
+    * docs). Modern layout (id%5==2) additionally: S=ObjStm, X=XRef stream
+    * (and X+1 for the update's second xref stream). */
+  def pdfBytes(id: Long): Array[Byte] =
+    if (pdfModern(id)) modernPdfBytes(id) else classicPdfBytes(id)
+
+  /** `/Filter …` dict fragment (with leading space) for doc `id`'s
+    * content streams, or "" when stored plain. */
+  private def filterFragment(id: Long): String =
+    if (!pdfFlate(id)) ""
+    else if (id % 4 == 0) " /Filter [ /FlateDecode ]" // array form
+    else " /Filter /FlateDecode"                      // name form
+
+  /** Stored (possibly deflated) body for doc `id`'s content streams. */
+  private def storedContent(id: Long, body: String): String =
+    if (pdfFlate(id)) iso(deflateBytes(bytesOf(body))) else body
+
+  private def classicPdfBytes(id: Long): Array[Byte] = {
     val pages = pdfPageCount(id)
     val indirectLen = id % 3 == 1
     val fontObj = 3 + 2 * pages
@@ -129,13 +273,13 @@ object PdfSource {
       obj(3 + p)(s"<< /Type /Page /Parent 2 0 R /Contents ${3 + pages + p} 0 R " +
         s"/MediaBox [ 0 0 612 792 ] /Resources << /Font << /F1 $fontObj 0 R >> >> >>")
     for (p <- 0 until pages) {
-      val body = contentOf(id, p)
-      val lenStr = if (indirectLen) s"${4 + 2 * pages + p} 0 R" else body.length.toString
+      val stored = storedContent(id, contentOf(id, p))
+      val lenStr = if (indirectLen) s"${4 + 2 * pages + p} 0 R" else stored.length.toString
       offsets(3 + pages + p) = sb.length.toLong
-      sb.append(s"${3 + pages + p} 0 obj\n<< /Length $lenStr >>\nstream\n")
-      sb.append(body).append("\nendstream\nendobj\n")
+      sb.append(s"${3 + pages + p} 0 obj\n<< /Length $lenStr${filterFragment(id)} >>\nstream\n")
+      sb.append(stored).append("\nendstream\nendobj\n")
       if (indirectLen) // the real-writer layout: length object AFTER the bytes
-        obj(4 + 2 * pages + p)(body.length.toString)
+        obj(4 + 2 * pages + p)(stored.length.toString)
     }
     obj(fontObj)("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     // first xref
@@ -152,14 +296,110 @@ object PdfSource {
     if (pdfRevised(id)) {
       // incremental update: replace page 0's content object
       val contObj = 3 + pages
-      val body = revisedContentOf(id)
+      val stored = storedContent(id, revisedContentOf(id))
       val newOff = sb.length.toLong
-      sb.append(s"$contObj 0 obj\n<< /Length ${body.length} >>\nstream\n")
-      sb.append(body).append("\nendstream\nendobj\n")
+      sb.append(s"$contObj 0 obj\n<< /Length ${stored.length}${filterFragment(id)} >>\nstream\n")
+      sb.append(stored).append("\nendstream\nendobj\n")
       val xref2 = sb.length.toLong
       sb.append(s"xref\n$contObj 1\n")
       sb.append(f"$newOff%010d 00000 n \n")
       sb.append(s"trailer\n<< /Size ${maxObj + 1} /Root 1 0 R /Prev $xref1 >>\n")
+      sb.append(s"startxref\n$xref2\n%%EOF\n")
+    }
+    sb.toString.getBytes("ISO-8859-1")
+  }
+
+  /** Serialize one cross-reference STREAM object (§7.5.8): W = [1 3 1]
+    * rows, FlateDecode + PNG Up predictor (12), /Index subsections. */
+  private def xrefStreamObj(num: Int, size: Int, root: String,
+                            index: Seq[(Int, Int)],
+                            rows: Seq[(Int, Long, Int)], // (type, f2, f3)
+                            prev: Option[Long]): String = {
+    val rowBytes = rows.map { case (t, f2, f3) =>
+      Array[Byte](t.toByte,
+        ((f2 >> 16) & 0xFF).toByte, ((f2 >> 8) & 0xFF).toByte, (f2 & 0xFF).toByte,
+        (f3 & 0xFF).toByte)
+    }.toArray
+    val stored = iso(deflateBytes(pngUpPredict(rowBytes)))
+    val idxStr = index.map { case (s0, c) => s"$s0 $c" }.mkString(" ")
+    val prevStr = prev.map(p => s" /Prev $p").getOrElse("")
+    s"$num 0 obj\n<< /Type /XRef /Size $size /W [ 1 3 1 ] /Index [ $idxStr ]" +
+      s" /Root $root$prevStr /Filter /FlateDecode" +
+      s" /DecodeParms << /Predictor 12 /Columns 5 >> /Length ${stored.length} >>\n" +
+      s"stream\n$stored\nendstream\nendobj\n"
+  }
+
+  /** The PDF 1.5+ writer: non-stream objects packed into one /ObjStm
+    * (compressed when the doc's content is), content streams direct,
+    * cross-references as predictor-12 Flate xref streams — including the
+    * incremental update, whose second xref STREAM chains via /Prev. */
+  private def modernPdfBytes(id: Long): Array[Byte] = {
+    val pages = pdfPageCount(id)
+    val indirectLen = id % 3 == 1
+    val fontObj = 3 + 2 * pages
+    val stmObj = (if (indirectLen) 3 + 3 * pages else fontObj) + 1 // S
+    val xrefObj = stmObj + 1                                        // X
+    val sb = new StringBuilder
+    sb.append("%PDF-1.5\n")
+    sb.append("% staged by graft.sources.PdfSource (modern layout)\n")
+    // content streams: direct objects (streams cannot live in an ObjStm)
+    val contOff = new Array[Long](pages)
+    val storedLens = new Array[Int](pages)
+    for (p <- 0 until pages) {
+      val stored = storedContent(id, contentOf(id, p))
+      storedLens(p) = stored.length
+      val lenStr = if (indirectLen) s"${4 + 2 * pages + p} 0 R" else stored.length.toString
+      contOff(p) = sb.length.toLong
+      sb.append(s"${3 + pages + p} 0 obj\n<< /Length $lenStr${filterFragment(id)} >>\nstream\n")
+      sb.append(stored).append("\nendstream\nendobj\n")
+    }
+    // object stream members: catalog, pages, page dicts, font, lengths
+    val kids = (0 until pages).map(p => s"${3 + p} 0 R").mkString(" ")
+    val members = Seq.newBuilder[(Int, String)]
+    members += 1 -> s"<< /Type /Catalog /Pages 2 0 R >>"
+    members += 2 -> s"<< /Type /Pages /Kids [ $kids ] /Count $pages >>"
+    for (p <- 0 until pages)
+      members += (3 + p) -> (s"<< /Type /Page /Parent 2 0 R /Contents ${3 + pages + p} 0 R " +
+        s"/MediaBox [ 0 0 612 792 ] /Resources << /Font << /F1 $fontObj 0 R >> >> >>")
+    members += fontObj -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    if (indirectLen)
+      for (p <- 0 until pages) members += (4 + 2 * pages + p) -> storedLens(p).toString
+    val mem = members.result()
+    // ObjStm body: "num off …\n" header, then the member bodies
+    val bodies = mem.map(_._2)
+    val offs = bodies.scanLeft(0)((acc, b) => acc + b.length + 1).init
+    val header = mem.map(_._1).zip(offs).map { case (n, o) => s"$n $o" }.mkString(" ")
+    val first = header.length + 1
+    val plain = header + "\n" + bodies.mkString(" ") + " "
+    val storedStm = if (pdfFlate(id)) iso(deflateBytes(bytesOf(plain))) else plain
+    val stmOff = sb.length.toLong
+    sb.append(s"$stmObj 0 obj\n<< /Type /ObjStm /N ${mem.length} /First $first" +
+      s"${filterFragment(id)} /Length ${storedStm.length} >>\nstream\n")
+    sb.append(storedStm).append("\nendstream\nendobj\n")
+    // xref stream: obj 0 free, members type-2, contents/S/X type-1
+    val inStm: Map[Int, Int] = mem.map(_._1).zipWithIndex.toMap
+    val rows = (0 to xrefObj).map { n =>
+      if (n == 0) (0, 0L, 255)
+      else if (inStm.contains(n)) (2, stmObj.toLong, inStm(n))
+      else if (n >= 3 + pages && n < 3 + 2 * pages) (1, contOff(n - 3 - pages), 0)
+      else if (n == stmObj) (1, stmOff, 0)
+      else (1, sb.length.toLong, 0) // n == xrefObj: its own offset
+    }
+    val xref1 = sb.length.toLong
+    sb.append(xrefStreamObj(xrefObj, xrefObj + 1, "1 0 R",
+      Seq(0 -> (xrefObj + 1)), rows, None))
+    sb.append(s"startxref\n$xref1\n%%EOF\n")
+    if (pdfRevised(id)) {
+      val contObj = 3 + pages
+      val stored = storedContent(id, revisedContentOf(id))
+      val newOff = sb.length.toLong
+      sb.append(s"$contObj 0 obj\n<< /Length ${stored.length}${filterFragment(id)} >>\nstream\n")
+      sb.append(stored).append("\nendstream\nendobj\n")
+      val x2 = xrefObj + 1
+      val xref2 = sb.length.toLong
+      sb.append(xrefStreamObj(x2, x2 + 1, "1 0 R",
+        Seq(contObj -> 1, x2 -> 1),
+        Seq((1, newOff, 0), (1, xref2, 0)), Some(xref1)))
       sb.append(s"startxref\n$xref2\n%%EOF\n")
     }
     sb.toString.getBytes("ISO-8859-1")
@@ -175,6 +415,12 @@ object PdfSource {
   private final case class PArr(v: Vector[PVal]) extends PVal
   private final case class PDict(v: Map[String, PVal]) extends PVal
   private case object PNull extends PVal
+
+  /** Where an object lives: at a byte offset, or packed inside an
+    * object stream (type-2 xref entry, §7.5.8.3). */
+  private sealed trait XEntry
+  private final case class XOff(off: Long) extends XEntry
+  private final case class XInStm(stm: Int, idx: Int) extends XEntry
 
   /** Single-pass object-value scanner over the whole-file string `s`
     * starting at `pos`; returns (value, posAfter) or None. */
@@ -327,11 +573,67 @@ object PdfSource {
     }
   }
 
+  /** Raw→decoded stream bytes (as an ISO-8859-1 string) for a stream
+    * whose dict starts the object at `afterDict` in `s`. Applies
+    * /Filter (/FlateDecode, name or one-element array) and
+    * /DecodeParms PNG predictors; any other filter, predictor 2, or
+    * corrupt deflate data refuses with None. `resolveLen` resolves an
+    * indirect /Length (pass a direct-only resolver where indirection is
+    * illegal, e.g. inside xref parsing before offsets exist). */
+  private def streamData(s: String, dict: Map[String, PVal], afterDict: Int,
+                         resolveLen: PVal => Option[PVal]): Option[String] = {
+    if (afterDict < 0) return None // ObjStm members can never be streams
+    val len = resolveLen(dict.getOrElse("Length", return None)) match {
+      case Some(PNum(l)) if l >= 0 => l.toLong
+      case _ => return None
+    }
+    val sc = new Scanner(s); sc.pos = afterDict
+    if (!sc.literal("stream")) return None
+    var dp = sc.pos
+    if (dp < s.length && s.charAt(dp) == '\r') dp += 1
+    if (dp < s.length && s.charAt(dp) == '\n') dp += 1
+    if (dp.toLong + len > s.length) return None
+    val raw = s.substring(dp, dp + len.toInt)
+    val filters: Vector[String] = dict.get("Filter") match {
+      case None => Vector.empty
+      case Some(PName(f)) => Vector(f)
+      case Some(PArr(fs)) =>
+        fs.map { case PName(f) => f; case _ => return None }
+      case _ => return None
+    }
+    if (filters.isEmpty) return Some(raw)
+    if (filters != Vector("FlateDecode")) return None // unsupported filter
+    val inflated = inflateBytes(bytesOf(raw)).getOrElse(return None)
+    val parms: Map[String, PVal] = dict.get("DecodeParms") match {
+      case None | Some(PNull) => Map.empty
+      case Some(PDict(m)) => m
+      case Some(PArr(Vector(PDict(m)))) => m
+      case Some(PArr(Vector(PNull))) => Map.empty
+      case _ => return None
+    }
+    def intParm(k: String, dflt: Int): Option[Int] = parms.get(k) match {
+      case Some(PNum(v)) => Some(v.toInt)
+      case None => Some(dflt)
+      case _ => None
+    }
+    val pred = intParm("Predictor", 1).getOrElse(return None)
+    if (pred == 1) Some(iso(inflated))
+    else if (pred >= 10) { // PNG predictors, §7.4.4.4
+      val cols = intParm("Columns", 1).getOrElse(return None)
+      val colors = intParm("Colors", 1).getOrElse(return None)
+      val bits = intParm("BitsPerComponent", 8).getOrElse(return None)
+      val bpp = math.max(1, colors * bits / 8)
+      pngUnpredict(inflated, cols, bpp).map(iso)
+    } else None // TIFF predictor 2: not emitted by PDF writers we accept
+  }
+
   /** One extracted page. */
   final case class PdfPage(page: Int, nOps: Int, text: String)
 
   /** Parse `bytes` as a PDF and extract all page texts in kid order.
-    * None on any structural malformation. */
+    * None on any structural malformation. Handles both classic xref
+    * tables (§7.5.4) and PDF 1.5+ xref streams (§7.5.8) with object
+    * streams (§7.5.7), chained through /Prev in either form. */
   def extractPdf(bytes: Array[Byte]): Option[Vector[PdfPage]] = {
     val s = new String(bytes, "ISO-8859-1")
     // 1. latest startxref
@@ -339,68 +641,181 @@ object PdfSource {
     if (sxi < 0) return None
     val sc0 = new Scanner(s); sc0.pos = sxi + "startxref".length
     val xrefStart = sc0.number().getOrElse(return None).toLong
-    // 2. xref chain, latest first; first-recorded offset wins per object
-    val objOff = scala.collection.mutable.Map.empty[Int, Long]
+    // 2. xref chain, latest first; first-recorded entry wins per object
+    val objOff = scala.collection.mutable.Map.empty[Int, XEntry]
     var next = xrefStart
     var guard = 0
     var trailerRoot = -1
     while (next >= 0 && guard < 16) {
       guard += 1
-      if (next > s.length) return None
+      if (next < 0 || next > s.length) return None
       val sc = new Scanner(s); sc.pos = next.toInt
-      if (!sc.literal("xref")) return None
-      // subsections until "trailer"
-      var done = false
-      while (!done) {
-        val save = sc.pos
-        if (sc.literal("trailer")) done = true
-        else {
-          sc.pos = save
-          val start = sc.number().getOrElse(return None).toInt
-          val count = sc.number().getOrElse(return None).toInt
-          if (count < 0 || count > 100000) return None
-          for (k <- 0 until count) {
-            val off = sc.number().getOrElse(return None).toLong
-            sc.number().getOrElse(return None) // generation
-            sc.ws()
-            if (sc.pos >= s.length) return None
-            val typ = s.charAt(sc.pos); sc.pos += 1
-            if (typ != 'n' && typ != 'f') return None
-            val objNum = start + k
-            if (typ == 'n' && !objOff.contains(objNum)) objOff(objNum) = off
+      val save = sc.pos
+      if (sc.literal("xref")) {
+        // ── classic cross-reference table ──
+        var done = false
+        while (!done) {
+          val save2 = sc.pos
+          if (sc.literal("trailer")) done = true
+          else {
+            sc.pos = save2
+            val start = sc.number().getOrElse(return None).toInt
+            val count = sc.number().getOrElse(return None).toInt
+            if (count < 0 || count > 100000) return None
+            for (k <- 0 until count) {
+              val off = sc.number().getOrElse(return None).toLong
+              sc.number().getOrElse(return None) // generation
+              sc.ws()
+              if (sc.pos >= s.length) return None
+              val typ = s.charAt(sc.pos); sc.pos += 1
+              if (typ != 'n' && typ != 'f') return None
+              val objNum = start + k
+              if (typ == 'n' && !objOff.contains(objNum)) objOff(objNum) = XOff(off)
+            }
           }
         }
-      }
-      sc.value() match {
-        case Some(PDict(t)) =>
-          if (trailerRoot < 0) t.get("Root") match {
-            case Some(PRef(r)) => trailerRoot = r
-            case _ => return None
+        sc.value() match {
+          case Some(PDict(t)) =>
+            if (trailerRoot < 0) t.get("Root") match {
+              case Some(PRef(r)) => trailerRoot = r
+              case _ => return None
+            }
+            next = t.get("Prev") match {
+              case Some(PNum(p)) => p.toLong
+              case _ => -1L
+            }
+          case _ => return None
+        }
+      } else {
+        // ── PDF 1.5+ cross-reference STREAM: "N 0 obj << /Type /XRef … >>" ──
+        sc.pos = save
+        sc.number().getOrElse(return None) // object number
+        sc.number().getOrElse(return None) // generation
+        if (!sc.literal("obj")) return None
+        val dict = sc.value() match {
+          case Some(PDict(m)) if m.get("Type").contains(PName("XRef")) => m
+          case _ => return None
+        }
+        // xref stream dict entries must be direct (§7.5.8.2) — resolve
+        // nothing: offsets are not known yet at this point of the walk.
+        val data = streamData(s, dict, sc.pos,
+          { case n @ PNum(_) => Some(n); case _ => None }).getOrElse(return None)
+        val w = dict.get("W") match {
+          case Some(PArr(ws)) if ws.length == 3 =>
+            ws.map { case PNum(x) if x >= 0 && x <= 7 => x.toInt; case _ => return None }
+          case _ => return None
+        }
+        val size = dict.get("Size") match {
+          case Some(PNum(n)) if n > 0 => n.toInt
+          case _ => return None
+        }
+        val index: Vector[(Int, Int)] = dict.get("Index") match {
+          case None => Vector((0, size))
+          case Some(PArr(xs)) if xs.length % 2 == 0 =>
+            xs.grouped(2).map {
+              case Vector(PNum(a), PNum(b)) => (a.toInt, b.toInt)
+              case _ => return None
+            }.toVector
+          case _ => return None
+        }
+        val rowLen = w.sum
+        if (rowLen <= 0) return None
+        val total = index.map(_._2.toLong).sum
+        if (total * rowLen > data.length) return None
+        var p = 0
+        def field(width: Int): Long = {
+          var v = 0L; var i = 0
+          while (i < width) { v = (v << 8) | (data.charAt(p) & 0xFF); p += 1; i += 1 }
+          v
+        }
+        for ((start, count) <- index; k <- 0 until count) {
+          val typ = if (w(0) == 0) 1L else field(w(0)) // §7.5.8.3: default type 1
+          val f2 = field(w(1))
+          val f3 = field(w(2))
+          val objNum = start + k
+          if (!objOff.contains(objNum)) typ match {
+            case 1L => objOff(objNum) = XOff(f2)
+            case 2L => objOff(objNum) = XInStm(f2.toInt, f3.toInt)
+            case _ => () // type 0 (free) and unknown types: skip (§7.5.8.3)
           }
-          next = t.get("Prev") match {
-            case Some(PNum(p)) => p.toLong
-            case _ => -1L
-          }
-        case _ => return None
+        }
+        if (trailerRoot < 0) dict.get("Root") match {
+          case Some(PRef(r)) => trailerRoot = r
+          case _ => return None
+        }
+        next = dict.get("Prev") match {
+          case Some(PNum(pv)) => pv.toLong
+          case _ => -1L
+        }
       }
     }
     if (trailerRoot < 0) return None
     // 3. object resolution at recorded offsets only
     val memo = scala.collection.mutable.Map.empty[Int, (PVal, Int)]
+    // decoded object streams: stm → (member (num, off) pairs, /First, data)
+    val stmMemo = scala.collection.mutable.Map.empty[Int, Option[(Vector[(Int, Int)], Int, String)]]
+    def parseAt(off: Long, expectNum: Int): Option[(PVal, Int)] = {
+      if (off < 0 || off >= s.length) return None
+      val sc = new Scanner(s); sc.pos = off.toInt
+      val n = sc.number().getOrElse(return None).toInt
+      if (n != expectNum) return None // xref offset must land on the object it names
+      sc.number().getOrElse(return None) // generation
+      if (!sc.literal("obj")) return None
+      val v = sc.value().getOrElse(return None)
+      Some((v, sc.pos))
+    }
+    def objStmOf(stm: Int): Option[(Vector[(Int, Int)], Int, String)] =
+      stmMemo.getOrElseUpdate(stm, {
+        objOff.get(stm) match {
+          case Some(XOff(off)) => // an ObjStm can never itself be packed
+            parseAt(off, stm).flatMap { case (v, after) =>
+              v match {
+                case PDict(d) if d.get("Type").contains(PName("ObjStm")) =>
+                  val n = d.get("N") match {
+                    case Some(PNum(x)) if x >= 0 => x.toInt
+                    case _ => return None
+                  }
+                  val first = d.get("First") match {
+                    case Some(PNum(x)) if x >= 0 => x.toInt
+                    case _ => return None
+                  }
+                  // /Length of an ObjStm: direct only (indirection could
+                  // recurse into this very stream)
+                  val data = streamData(s, d, after,
+                    { case pn @ PNum(_) => Some(pn); case _ => None })
+                    .getOrElse(return None)
+                  val hs = new Scanner(data)
+                  val pairs = Vector.newBuilder[(Int, Int)]
+                  for (_ <- 0 until n) {
+                    val num = hs.number().getOrElse(return None).toInt
+                    val o = hs.number().getOrElse(return None).toInt
+                    pairs += ((num, o))
+                  }
+                  Some((pairs.result(), first, data))
+                case _ => None
+              }
+            }
+          case _ => None
+        }
+      })
     def parseObj(num: Int): Option[(PVal, Int)] = memo.get(num) match {
       case Some(v) => Some(v)
       case None =>
-        val off = objOff.getOrElse(num, return None)
-        if (off < 0 || off >= s.length) return None
-        val sc = new Scanner(s); sc.pos = off.toInt
-        val n = sc.number().getOrElse(return None).toInt
-        if (n != num) return None // xref offset must land on the object it names
-        sc.number().getOrElse(return None) // generation
-        if (!sc.literal("obj")) return None
-        val v = sc.value().getOrElse(return None)
-        val r = (v, sc.pos)
-        memo(num) = r
-        Some(r)
+        val r: Option[(PVal, Int)] = objOff.getOrElse(num, return None) match {
+          case XOff(off) => parseAt(off, num)
+          case XInStm(stm, idx) =>
+            val (pairs, first, data) = objStmOf(stm).getOrElse(return None)
+            if (idx < 0 || idx >= pairs.length) return None
+            val (onum, ooff) = pairs(idx)
+            if (onum != num) return None // header pair must name this object
+            val sc = new Scanner(data)
+            sc.pos = first + ooff
+            if (sc.pos > data.length) return None
+            // -1: packed objects are never streams (§7.5.7 forbids it)
+            sc.value().map(v => (v, -1))
+        }
+        r.foreach(memo(num) = _)
+        r
     }
     def resolve(v: PVal): Option[PVal] = v match {
       case PRef(n) => parseObj(n).map(_._1)
@@ -427,26 +842,17 @@ object PdfSource {
         case PDict(m) => m
         case _ => return None
       }
-      val len = resolve(contDict.getOrElse("Length", return None)) match {
-        case Some(PNum(l)) if l >= 0 => l.toLong
-        case _ => return None
-      }
-      // stream keyword follows the dict; data starts after its EOL
-      val sc = new Scanner(s); sc.pos = afterDict
-      if (!sc.literal("stream")) return None
-      var dp = sc.pos
-      if (dp < s.length && s.charAt(dp) == '\r') dp += 1
-      if (dp < s.length && s.charAt(dp) == '\n') dp += 1
-      if (dp.toLong + len > s.length) return None
-      val content = s.substring(dp, dp + len.toInt)
+      val content = streamData(s, contDict, afterDict, resolve).getOrElse(return None)
       out += extractText(p, content).getOrElse(return None)
     }
     Some(out.result())
   }
 
-  /** Content-stream text assembly: Tj / ' / TJ emit; a Td/TD whose ty
-    * argument is negative starts a new line, a non-negative move
-    * continues the line with a space. */
+  /** Content-stream text assembly: Tj / ' / " / TJ emit; a Td/TD whose
+    * ty argument is negative starts a new line, a non-negative move
+    * continues the line with a space. A '<<' token is a DICTIONARY
+    * operand (BDC/DP property lists, §14.6) — parsed and discarded, its
+    * inner strings never emit. */
   private def extractText(pageIdx: Int, content: String): Option[PdfPage] = {
     val sc = new Scanner(content)
     val text = new StringBuilder
@@ -464,7 +870,10 @@ object PdfSource {
     }
     while ({ sc.ws(); sc.pos < content.length }) {
       val c = content.charAt(sc.pos)
-      if (c == '(' ) {
+      if (c == '<' && sc.pos + 1 < content.length && content.charAt(sc.pos + 1) == '<') {
+        // dict operand (property list); value() consumes the balanced <<…>>
+        operands :+= sc.value().getOrElse(return None)
+      } else if (c == '(' ) {
         operands :+= PStr(sc.litString().getOrElse(return None))
       } else if (c == '<') {
         operands :+= PStr(sc.hexString().getOrElse(return None))
@@ -520,7 +929,7 @@ object PdfSource {
               case PNum(ty) => if (ty < 0) pendingNewline = true
               case _ => return None
             }
-          case _ => () // Tf, BT, ET, cm, ... — no text effect
+          case _ => () // Tf, BT, ET, BDC, EMC, cm, ... — no text effect
         }
         operands = Vector.empty
       }
