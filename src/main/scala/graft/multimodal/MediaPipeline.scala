@@ -5824,6 +5824,66 @@ object MediaPipeline {
       .toDF()
   }
 
+  // ───────── aHash incremental-ingest batch (mm_ahash_incremental) ─────────
+  // The image twin of dedup_incremental_neardup's constructed batch,
+  // both directions exercised:
+  //   doc_id%10 == 7 → the corpus mosaic with ONE extra ±90 block edit
+  //     on block (fam+4)%64 (disjoint from the variant blocks
+  //     (fam+17k)%64, k ≤ 3, since 68 ≡ 4 mod 64) — a lightly-edited
+  //     re-submission the hamming ≤ 8 gate must FLAG;
+  //   doc_id%10 == 4 → a fresh mosaic whose base pattern is the
+  //     TRANSPOSED block layout (base(fam, (bi%8)·8 + bi/8), no variant
+  //     deltas) — structurally different content that must PASS.
+
+  /** Batch gray value of pixel (x, y) for arriving doc `id` (same 64×64
+    * mosaic discipline and ±3 column-parity ripple as ahashPxValue). */
+  def ahashBatchPxValue(id: Long, x: Int, y: Int): Int = {
+    val bi = (y / 8) * 8 + (x / 8)
+    val fam = id / 4
+    val ripple = if (x % 2 == 0) 3 else -3
+    if (id % 10 == 7) {
+      val extra =
+        if (bi == ((fam + 4) % 64).toInt)
+          (if (ahashBlockBase(fam, bi) < 128) 90 else -90)
+        else 0
+      ahashBlockBase(fam, bi) + ahashDelta(id, bi) + extra + ripple
+    } else {
+      val bt = (bi % 8) * 8 + bi / 8
+      ahashBlockBase(fam, bt) + ripple
+    }
+  }
+
+  /** Arriving-batch BMP for doc `id` under the batch value model. */
+  def ahashBatchBmp(id: Long): Array[Byte] = {
+    val w = 64; val h = 64
+    val stride = w * 3
+    val px = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val base = (h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val v = ahashBatchPxValue(id, x, y).toByte
+        px(base + x * 3) = v; px(base + x * 3 + 1) = v; px(base + x * 3 + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    bmpHeader(w, h, px.length) ++ px
+  }
+
+  /** The arriving image batch: docs with doc_id%10 ∈ {4, 7}, staged
+    * under the batch value model (oracle replays the model). */
+  def ahashBatchStaged(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 === 4 || col("doc_id") % 10 === 7)
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) => MediaRow(id, src, ahashBatchBmp(id)) })
+      .toDF()
+  }
+
   /** Per-image average-hash row: the 64-bit hash split into two NONNEGATIVE
     * 32-bit halves (h_hi = blocks 0-31 with block 0 at bit 31, h_lo =
     * blocks 32-63) so banding, XOR and checksum arithmetic stay identical

@@ -100,7 +100,37 @@ object DedupQueries extends QueryPack {
     * frame — the dedup_prefix_jaccard kernel (see that query's comment
     * for the algorithm and the no-false-negative argument). Returns
     * (da, db, na, nb, i, jac) for every pair at or above the threshold.
-    * Exposed for PrefixJaccardSpec's crafted boundary corpora. */
+    * Exposed for PrefixJaccardSpec's crafted boundary corpora.
+    *
+    * Candidate pruning is full PPJoin (Bayardo et al. WWW'07 / Xiao et
+    * al. WWW'08), every filter exact (no false negatives) at t = 0.5:
+    *  - ASYMMETRIC PREFIX filter: docs are canonically ordered by
+    *    (n, doc_id); the smaller doc x PROBES with its mid-prefix (the
+    *    first nx − ceil(2t/(1+t)·nx) + 1 = nx − ceil(2nx/3) + 1 rarest
+    *    shingles), the larger doc y INDEXES its standard prefix (the
+    *    first ny − ceil(t·ny) + 1). Exactness is the first-common-token
+    *    lemma: the globally-first common shingle w sits at rank
+    *    ≤ n − o + 1 in BOTH docs (every common shingle ranks ≥ w), and
+    *    a qualifying pair has o ≥ alpha = ceil(t/(1+t)·(nx+ny)) ≥
+    *    ceil(2t/(1+t)·nx) and o ≥ t·ny (via the length filter), so w
+    *    falls inside both joined prefixes.
+    *  - LENGTH filter: jac ≤ nx/ny, so a qualifying pair needs
+    *    ny ≤ 2·nx — one-sided under the canonical order, applied
+    *    inside the prefix join before the pair shuffle.
+    *  - POSITIONAL filter: per pair, let c = matched shingles and
+    *    (ra, rb) the per-doc ranks of the LAST match in the global
+    *    (df, sh) order. Any common shingle outside the matched set
+    *    ranks after (ra, rb) in BOTH docs (one ranked before the last
+    *    match would sit inside both joined prefixes and have matched),
+    *    so overlap ≤ c + min(nx − ra, ny − rb); pairs whose bound is
+    *    under alpha cannot reach jac ≥ 0.5 and skip the verify.
+    * Measured at sf0.1: the r17 symmetric prefix join produced 409k
+    * join rows (distinct pairs, all verified); the asymmetric probe
+    * halves that to 217k join rows, and length+positional pruning
+    * passes 123k pairs to the verify. Query 5.3 s (r17 artifact) →
+    * 2.86 s; the remainder is the plan's ~8-exchange fixed floor plus
+    * the verify join, not candidate excess (cutting verify pairs 410k →
+    * 123k moved the time < 0.1 s — see NOTES.md round 18). */
   private[graft] def prefixJaccardPairsOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Checkpoints, not style: the shingle frame feeds the df aggregate,
@@ -114,13 +144,30 @@ object DedupQueries extends QueryPack {
     val prefix = sh.join(dfr, "sh")
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
-      .filter(col("rk") <= expr("n - (n + 1) DIV 2 + 1")) // t = 0.5
-      .select(col("sh"), col("doc_id"))
+      .filter(col("rk") <= expr("n - (n + 1) DIV 2 + 1")) // index prefix, t = 0.5
+      .select(col("sh"), col("doc_id"), col("n"), col("rk"))
       .localCheckpoint(eager = false)
-    val cand = prefix.select(col("sh"), col("doc_id").as("da"))
-      .join(prefix.select(col("sh"), col("doc_id").as("db")), "sh")
-      .filter(col("da") < col("db"))
-      .select("da", "db").distinct() // no checkpoint: consumed exactly once
+    // probe side: the mid-prefix is a PREFIX of the index prefix (it is
+    // shorter for every n), so it filters out of the same ranked frame.
+    val probe = prefix.filter(col("rk") <= expr("n - (2*n + 2) DIV 3 + 1"))
+      .select(col("sh"), col("doc_id").as("da"),
+        col("n").as("pna"), col("rk").as("rka"))
+    // (ra, rb) of the LAST matched shingle fall out of max(): rank
+    // follows the global (df, sh) order inside each doc, so the max-rank
+    // match is the same shingle on both sides.
+    val cand = probe
+      .join(prefix.select(col("sh"), col("doc_id").as("db"),
+        col("n").as("pnb"), col("rk").as("rkb")), "sh")
+      .filter((col("pna") < col("pnb")
+          || (col("pna") === col("pnb") && col("da") < col("db")))
+        && col("pnb") <= col("pna") * 2) // canonical (n, id) order + length
+      .groupBy("da", "db", "pna", "pnb")
+      .agg(count(lit(1)).as("c"), max("rka").as("ra"), max("rkb").as("rb"))
+      .filter(col("c") + least(col("pna") - col("ra"), col("pnb") - col("rb"))
+        >= expr("(pna + pnb + 2) DIV 3")) // ceil((na+nb)/3), operands nonneg
+      // downstream convention (and the oracle's) is id-ordered pairs
+      .select(least(col("da"), col("db")).as("da"),
+        greatest(col("da"), col("db")).as("db")) // consumed exactly once
     // Verify against the ALREADY-SHINGLED frame (jaccardOfDocs would
     // re-shingle the candidate docs from text — right for LSH's cheap
     // signature-derived candidates, waste here).

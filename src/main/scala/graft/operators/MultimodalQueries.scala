@@ -367,6 +367,17 @@ object MultimodalQueries extends QueryPack {
   // r_moment (position-weighted) makes ANY coordinate mistake fatal;
   // tl_luma pins the top-left pixel, which in a bottom-up BMP lives at the
   // start of the LAST file row. All-integer outputs: the hashes are exact.
+  /** Decoded aHash frame → one row per (doc, band): the t+1
+    * HammingBands layout, shared by the offline self-join and the
+    * persisted ingest index so the two can never band differently. */
+  private[graft] def ahashBandRows(dec: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val nb = graft.multimodal.HammingBands.ahash.length
+    dec.select(col("doc_id"), col("h_hi"), col("h_lo"),
+        explode(sequence(lit(0), lit(nb - 1))).as("ck"))
+      .withColumn("cv", expr(
+        graft.multimodal.HammingBands.sparkCaseSql(graft.multimodal.HammingBands.ahash)))
+  }
+
   private def pixelQueries: Map[String, Q] = Map(
     // The WebDataset END-TO-END pipeline: tar shards (the arrival
     // format) → member walk (TarSource.members, one task per shard) →
@@ -424,24 +435,24 @@ object MultimodalQueries extends QueryPack {
     // of dedup_simhash: decode the staged mosaic BMPs (REAL pixel parse —
     // stride, bottom-up rows, B,G,R), integer-luma 8×8 block means, 64-bit
     // hash split into two nonnegative 32-bit halves (no signed-bit-63
-    // hazard in either engine), then BANDED candidates (4×16-bit chunks,
-    // the LSH-for-Hamming shape — never corpus²) verified at hamming ≤ 8
-    // BEFORE the pair dedup, exactly the simhash self-equi-join shape AQE
-    // can skew-split. The staged families of four variants guarantee real
-    // near-dups; the oracle replays block means, hash packing, banding and
-    // hamming closed-form. Scale: per-chunk buckets shuffle-partition, the
-    // verify is candidate-bounded, audits are ordinary codegen'd aggs.
+    // hazard in either engine), then BANDED candidates (9 disjoint 6-8-bit
+    // bands = t+1 for the t = 8 verify, so recall is GUARANTEED by
+    // pigeonhole — see HammingBands; never corpus²) verified at
+    // hamming ≤ 8 BEFORE the pair dedup, exactly the simhash
+    // self-equi-join shape AQE can skew-split. The staged families of
+    // four variants guarantee real near-dups; the oracle replays block
+    // means, hash packing, banding and hamming closed-form. Scale:
+    // per-band buckets shuffle-partition, the verify is
+    // candidate-bounded, audits are ordinary codegen'd aggs.
     "mm_ahash_dedup" -> ((s, d) => {
       val dec = MediaPipeline.decodedAhash(s, d)
         .localCheckpoint(eager = false) // audit + candidate join share one decode
+      val nb = graft.multimodal.HammingBands.ahash.length
       val chunks = dec
         .select(col("doc_id"), col("source"), col("h_hi"), col("h_lo"),
-          explode(sequence(lit(0), lit(3))).as("ck"))
+          explode(sequence(lit(0), lit(nb - 1))).as("ck"))
         .withColumn("cv", expr(
-          """CASE ck WHEN 0 THEN shiftright(h_hi, 16) & CAST(65535 AS BIGINT)
-                     WHEN 1 THEN h_hi & CAST(65535 AS BIGINT)
-                     WHEN 2 THEN shiftright(h_lo, 16) & CAST(65535 AS BIGINT)
-                     ELSE h_lo & CAST(65535 AS BIGINT) END"""))
+          graft.multimodal.HammingBands.sparkCaseSql(graft.multimodal.HammingBands.ahash)))
       val a = chunks.select(col("ck"), col("cv"), col("doc_id").as("da"),
         col("source").as("src"), col("h_hi").as("ha_hi"), col("h_lo").as("ha_lo"))
       val b = chunks.select(col("ck"), col("cv"), col("doc_id").as("db"),
@@ -466,6 +477,38 @@ object MultimodalQueries extends QueryPack {
         .orderBy("source")
     }),
 
+    // PRODUCTION shape of mm_ahash_dedup — the PERSISTED image-dedup
+    // ingest gate (the image twin of dedup_incremental_neardup_indexed):
+    // the corpus aHash band index is a MAINTAINED bucketed table on
+    // (ck, cv) — each arriving image batch probes it with only the
+    // batch's band rows, the corpus side read EXCHANGE-FREE from its
+    // buckets (plan-pinned in PlanSpec). The staged batch exercises both
+    // directions: doc_id%10==7 → one-block-edited re-submissions that
+    // must FLAG at hamming ≤ 8; doc_id%10==4 → transposed-layout fresh
+    // images that must PASS (see MediaPipeline.ahashBatchPxValue). Same
+    // t+1 (9-band) HammingBands layout as the offline job, so recall at
+    // the threshold is guaranteed, and the oracle replays both value
+    // models + banding closed-form.
+    "mm_ahash_incremental" -> ((s, d) => {
+      val corpus = MediaPipeline.decodedAhash(s, d)
+      val tbl = graft.sources.FileSources.dirKeyedTable("graft_ahash_band_idx", d)
+      graft.sources.FileSources.ensureBucketed(
+        ahashBandRows(corpus), tbl, 8, Seq("ck", "cv"),
+        Some(graft.sources.FileSources.tableFingerprint(d, Seq("documents"))))
+      val batch = MediaPipeline.decodedAhashOf(s, MediaPipeline.ahashBatchStaged(s, d))
+      val probe = ahashBandRows(batch)
+        .select(col("ck"), col("cv"), col("doc_id").as("batch_id"),
+          col("h_hi").as("hb_hi"), col("h_lo").as("hb_lo"))
+      s.table(tbl)
+        .join(probe, Seq("ck", "cv"))
+        .withColumn("ham", expr(
+          "CAST(bit_count(h_hi ^ hb_hi) + bit_count(h_lo ^ hb_lo) AS BIGINT)"))
+        .filter(col("ham") <= 8)
+        .select(col("batch_id"), col("doc_id").as("corpus_id"), col("ham"))
+        .dropDuplicates("batch_id", "corpus_id")
+        .orderBy("batch_id", "corpus_id")
+    }),
+
     // IMAGE near-dup via the DCT PERCEPTUAL HASH (pHash) — the spectral
     // member of the family: 8×8 block means → integer DCT-II (the
     // hardcoded Dct8 table) → median-thresholded 63 AC coefficients.
@@ -474,21 +517,20 @@ object MultimodalQueries extends QueryPack {
     // excluded, median scales with contrast) and the edit class the
     // aHash fixture does not exercise; integer requantization leaves
     // within-family hamming ≤ 6 while cross-family sits ≈ 31. Same
-    // banded candidate shape as mm_ahash_dedup (4×16-bit chunks,
-    // verify INSIDE the join, AQE-skew-splittable); the oracle replays
-    // block means, the separable DCT, the median rank and the banding
-    // closed-form.
+    // banded candidate shape as mm_ahash_dedup but 7 disjoint 8-11-bit
+    // bands = t+1 for the t = 6 verify (guaranteed recall, see
+    // HammingBands; verify INSIDE the join, AQE-skew-splittable); the
+    // oracle replays block means, the separable DCT, the median rank
+    // and the banding closed-form.
     "mm_phash_dedup" -> ((s, d) => {
       val dec = MediaPipeline.decodedPhash(s, d)
         .localCheckpoint(eager = false) // audit + candidate join share one decode
+      val nb = graft.multimodal.HammingBands.phash.length
       val chunks = dec
         .select(col("doc_id"), col("source"), col("h_hi"), col("h_lo"),
-          explode(sequence(lit(0), lit(3))).as("ck"))
+          explode(sequence(lit(0), lit(nb - 1))).as("ck"))
         .withColumn("cv", expr(
-          """CASE ck WHEN 0 THEN shiftright(h_hi, 16) & CAST(65535 AS BIGINT)
-                     WHEN 1 THEN h_hi & CAST(65535 AS BIGINT)
-                     WHEN 2 THEN shiftright(h_lo, 16) & CAST(65535 AS BIGINT)
-                     ELSE h_lo & CAST(65535 AS BIGINT) END"""))
+          graft.multimodal.HammingBands.sparkCaseSql(graft.multimodal.HammingBands.phash)))
       val a = chunks.select(col("ck"), col("cv"), col("doc_id").as("da"),
         col("source").as("src"), col("h_hi").as("ha_hi"), col("h_lo").as("ha_lo"))
       val b = chunks.select(col("ck"), col("cv"), col("doc_id").as("db"),
@@ -837,6 +879,35 @@ object MultimodalQueries extends QueryPack {
 
   // Oracle mirrors decodeStub arithmetic on strlen(text) (ASCII ⇒
   // byte length == char length).
+  /** Corpus aHash model as a DuckDB CTE chain ending in
+    * hash(id, source, h_hi, h_lo, moment) — single-sourced between
+    * mm_ahash_dedup and mm_ahash_incremental so the two oracles cannot
+    * drift. Block means from the mosaic arithmetic (the ±3
+    * column-parity ripple cancels exactly over every 8-wide block; only
+    * the moment carries the constant −6144 parity term, derived in
+    * MediaPipeline), then hash packing. */
+  private val ahashCorpusHashCte: String =
+    """img AS (SELECT doc_id AS id, source FROM documents),
+            base AS (SELECT id, source, b.range AS bi,
+                            (((id//4)*37 + bi*11 + (bi*bi)%7) % 200) + 23 AS bb
+                     FROM img, range(64) b),
+            blk AS (SELECT id, source, bi,
+                           bb + CASE WHEN (id%4) >= 1 AND bi = ((id//4)+17) % 64
+                                     THEN CASE WHEN bb < 128 THEN 90 ELSE -90 END ELSE 0 END
+                              + CASE WHEN (id%4) >= 2 AND bi = ((id//4)+34) % 64
+                                     THEN CASE WHEN bb < 128 THEN 90 ELSE -90 END ELSE 0 END
+                              + CASE WHEN (id%4) >= 3 AND bi = ((id//4)+51) % 64
+                                     THEN CASE WHEN bb < 128 THEN 90 ELSE -90 END ELSE 0 END AS bm
+                    FROM base),
+            gm AS (SELECT id, SUM(bm)//64 AS gmean FROM blk GROUP BY id),
+            hash AS (SELECT blk.id, ANY_VALUE(source) AS source,
+                            CAST(SUM(CASE WHEN bi < 32 AND bm >= gmean
+                                          THEN (CAST(1 AS BIGINT) << (31 - bi)) ELSE 0 END) AS BIGINT) AS h_hi,
+                            CAST(SUM(CASE WHEN bi >= 32 AND bm >= gmean
+                                          THEN (CAST(1 AS BIGINT) << (63 - bi)) ELSE 0 END) AS BIGINT) AS h_lo,
+                            CAST(SUM(bm * (512*(bi%8) + 32768*(bi//8) + 14624)) - 6144 AS BIGINT) AS moment
+                     FROM blk JOIN gm ON blk.id = gm.id GROUP BY blk.id)"""
+
   val oracleSql: Map[String, String] = Map(
     // ASCII text ⇒ byte value == codepoint; windows replicated with list
     // slices over the per-char codes.
@@ -1326,35 +1397,13 @@ object MultimodalQueries extends QueryPack {
     // arithmetic (the ±3 column-parity ripple cancels exactly over every
     // 8-wide block, so no per-pixel range is needed — only the moment
     // carries the constant −6144 parity term, derived in MediaPipeline),
-    // then hash packing, 4×16-bit banding, hamming verify and the same
-    // per-source audits.
+    // then hash packing, the t+1 (9-band) hamming banding, the verify
+    // and the same per-source audits.
     "mm_ahash_dedup" ->
-      """WITH img AS (SELECT doc_id AS id, source FROM documents),
-            base AS (SELECT id, source, b.range AS bi,
-                            (((id//4)*37 + bi*11 + (bi*bi)%7) % 200) + 23 AS bb
-                     FROM img, range(64) b),
-            blk AS (SELECT id, source, bi,
-                           bb + CASE WHEN (id%4) >= 1 AND bi = ((id//4)+17) % 64
-                                     THEN CASE WHEN bb < 128 THEN 90 ELSE -90 END ELSE 0 END
-                              + CASE WHEN (id%4) >= 2 AND bi = ((id//4)+34) % 64
-                                     THEN CASE WHEN bb < 128 THEN 90 ELSE -90 END ELSE 0 END
-                              + CASE WHEN (id%4) >= 3 AND bi = ((id//4)+51) % 64
-                                     THEN CASE WHEN bb < 128 THEN 90 ELSE -90 END ELSE 0 END AS bm
-                    FROM base),
-            gm AS (SELECT id, SUM(bm)//64 AS gmean FROM blk GROUP BY id),
-            hash AS (SELECT blk.id, ANY_VALUE(source) AS source,
-                            CAST(SUM(CASE WHEN bi < 32 AND bm >= gmean
-                                          THEN (CAST(1 AS BIGINT) << (31 - bi)) ELSE 0 END) AS BIGINT) AS h_hi,
-                            CAST(SUM(CASE WHEN bi >= 32 AND bm >= gmean
-                                          THEN (CAST(1 AS BIGINT) << (63 - bi)) ELSE 0 END) AS BIGINT) AS h_lo,
-                            CAST(SUM(bm * (512*(bi%8) + 32768*(bi//8) + 14624)) - 6144 AS BIGINT) AS moment
-                     FROM blk JOIN gm ON blk.id = gm.id GROUP BY blk.id),
+      s"""WITH $ahashCorpusHashCte,
             ch AS (SELECT id, source, h_hi, h_lo, k.range AS ck,
-                          CASE k.range WHEN 0 THEN (h_hi >> 16) & 65535
-                                       WHEN 1 THEN h_hi & 65535
-                                       WHEN 2 THEN (h_lo >> 16) & 65535
-                                       ELSE h_lo & 65535 END AS cv
-                   FROM hash, range(4) k),
+                          ${graft.multimodal.HammingBands.duckCaseSql(graft.multimodal.HammingBands.ahash, "k.range")} AS cv
+                   FROM hash, range(${graft.multimodal.HammingBands.ahash.length}) k),
             pr AS (SELECT DISTINCT a.id AS da, b.id AS db, a.source AS src,
                           bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) AS ham
                    FROM ch a JOIN ch b ON a.ck = b.ck AND a.cv = b.cv AND a.id < b.id
@@ -1372,6 +1421,52 @@ object MultimodalQueries extends QueryPack {
                 COALESCE(pa.hamming_sum, 0) AS hamming_sum,
                 COALESCE(pa.pair_checksum, 0) AS pair_checksum
          FROM ia LEFT JOIN pa USING (source) ORDER BY ia.source""",
+
+    // The ingest gate replayed: corpus hashes from the shared CTE, batch
+    // hashes from the BATCH value model (id%10==7: the corpus blocks +
+    // variant deltas + one extra ±90 edit on block (fam+4)%64; id%10==4:
+    // the transposed-layout base, no deltas), both banded with the same
+    // t+1 layout, hamming ≤ 8 on band-collided (corpus, batch) pairs.
+    "mm_ahash_incremental" -> {
+      val bands = graft.multimodal.HammingBands.ahash
+      s"""WITH $ahashCorpusHashCte,
+            bbase AS (SELECT id, b.range AS bi,
+                             (((id//4)*37 + bi*11 + (bi*bi)%7) % 200) + 23 AS bb,
+                             (((id//4)*37 + ((bi%8)*8 + bi//8)*11
+                               + (((bi%8)*8 + bi//8)*((bi%8)*8 + bi//8))%7) % 200) + 23 AS tb
+                      FROM (SELECT doc_id AS id FROM documents
+                            WHERE doc_id%10 = 4 OR doc_id%10 = 7) bi2, range(64) b),
+            bblk AS (SELECT id, bi,
+                            CASE WHEN id%10 = 7 THEN
+                              bb + CASE WHEN (id%4) >= 1 AND bi = ((id//4)+17) % 64
+                                        THEN CASE WHEN bb < 128 THEN 90 ELSE -90 END ELSE 0 END
+                                 + CASE WHEN (id%4) >= 2 AND bi = ((id//4)+34) % 64
+                                        THEN CASE WHEN bb < 128 THEN 90 ELSE -90 END ELSE 0 END
+                                 + CASE WHEN (id%4) >= 3 AND bi = ((id//4)+51) % 64
+                                        THEN CASE WHEN bb < 128 THEN 90 ELSE -90 END ELSE 0 END
+                                 + CASE WHEN bi = ((id//4)+4) % 64
+                                        THEN CASE WHEN bb < 128 THEN 90 ELSE -90 END ELSE 0 END
+                            ELSE tb END AS bm
+                     FROM bbase),
+            bgm AS (SELECT id, SUM(bm)//64 AS gmean FROM bblk GROUP BY id),
+            bhash AS (SELECT bblk.id,
+                             CAST(SUM(CASE WHEN bi < 32 AND bm >= gmean
+                                           THEN (CAST(1 AS BIGINT) << (31 - bi)) ELSE 0 END) AS BIGINT) AS h_hi,
+                             CAST(SUM(CASE WHEN bi >= 32 AND bm >= gmean
+                                           THEN (CAST(1 AS BIGINT) << (63 - bi)) ELSE 0 END) AS BIGINT) AS h_lo
+                      FROM bblk JOIN bgm ON bblk.id = bgm.id GROUP BY bblk.id),
+            cch AS (SELECT id, h_hi, h_lo, k.range AS ck,
+                           ${graft.multimodal.HammingBands.duckCaseSql(bands, "k.range")} AS cv
+                    FROM hash, range(${bands.length}) k),
+            bch AS (SELECT id, h_hi, h_lo, k.range AS ck,
+                           ${graft.multimodal.HammingBands.duckCaseSql(bands, "k.range")} AS cv
+                    FROM bhash, range(${bands.length}) k)
+          SELECT DISTINCT b.id AS batch_id, c.id AS corpus_id,
+                 CAST(bit_count(xor(c.h_hi, b.h_hi)) + bit_count(xor(c.h_lo, b.h_lo)) AS BIGINT) AS ham
+          FROM cch c JOIN bch b ON c.ck = b.ck AND c.cv = b.cv
+          WHERE bit_count(xor(c.h_hi, b.h_hi)) + bit_count(xor(c.h_lo, b.h_lo)) <= 8
+          ORDER BY batch_id, corpus_id"""
+    },
 
     // Block means from the photometric model, then the SAME separable
     // integer DCT (dct8Sql is generated from the Dct8 array), median by
@@ -1408,11 +1503,8 @@ object MultimodalQueries extends QueryPack {
                                           THEN (CAST(1 AS BIGINT) << (63 - (u*8 + v))) ELSE 0 END) AS BIGINT) AS h_lo
                      FROM cf JOIN md ON cf.id = md.id GROUP BY cf.id),
             ch AS (SELECT id, source, h_hi, h_lo, k.range AS ck,
-                          CASE k.range WHEN 0 THEN (h_hi >> 16) & 65535
-                                       WHEN 1 THEN h_hi & 65535
-                                       WHEN 2 THEN (h_lo >> 16) & 65535
-                                       ELSE h_lo & 65535 END AS cv
-                   FROM hash, range(4) k),
+                          ${graft.multimodal.HammingBands.duckCaseSql(graft.multimodal.HammingBands.phash, "k.range")} AS cv
+                   FROM hash, range(${graft.multimodal.HammingBands.phash.length}) k),
             pr AS (SELECT DISTINCT a.id AS da, b.id AS db, a.source AS src,
                           bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) AS ham
                    FROM ch a JOIN ch b ON a.ck = b.ck AND a.cv = b.cv AND a.id < b.id

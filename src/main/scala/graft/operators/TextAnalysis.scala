@@ -537,6 +537,16 @@ object TextAnalysis extends QueryPack {
     "text_bpe_learn" -> ((s, d) =>
       bpeLearnOf(s, Tables.documents(s, d), k = 10)),
 
+    // BYTE-level BPE with a GPT-2-style regex pretokenizer — the
+    // tokenizer recipe LLM pipelines actually train (bytes, not chars,
+    // as the base alphabet; spaces attach to the following word;
+    // contractions split). k=8 merge rounds over the pretoken
+    // vocabulary; symbols are hex-coded UTF-8 bytes so merges crossing
+    // multi-byte character boundaries are first-class (pinned in
+    // BpeLearnSpec). Same 100 TB shape as text_bpe_learn.
+    "text_bpe_bytes" -> ((s, d) =>
+      bpeBytesLearnOf(s, Tables.documents(s, d), k = 8)),
+
     // The ENCODE side of BPE: apply k=3 learned merges and gate the
     // resulting tokenization via a tokens-per-word histogram whose h60p
     // word-hash sums pin WHICH words landed in each bucket. k=3 (not 10)
@@ -704,7 +714,7 @@ object TextAnalysis extends QueryPack {
       (Seq[(Int, String, String, Long)],
        org.apache.spark.sql.Dataset[(String, Long, Seq[String])]) = {
     import s.implicits._
-    var vocab = docs
+    val vocab0 = docs
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 2)
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -714,7 +724,19 @@ object TextAnalysis extends QueryPack {
       .select(col("word"), col("freq"), expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("syms"))
       .as[(String, Long, Seq[String])]
-      .localCheckpoint()
+    bpeLoop(s, vocab0, k)
+  }
+
+  /** The k-round merge loop shared by the char-level and byte-level
+    * trainers: works on ANY (word, freq, syms) vocabulary, whatever the
+    * symbols are (chars or hex-coded UTF-8 bytes). */
+  private def bpeLoop(s: SparkSession,
+                      vocab0: org.apache.spark.sql.Dataset[(String, Long, Seq[String])],
+                      k: Int):
+      (Seq[(Int, String, String, Long)],
+       org.apache.spark.sql.Dataset[(String, Long, Seq[String])]) = {
+    import s.implicits._
+    var vocab = vocab0.localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
@@ -767,6 +789,45 @@ object TextAnalysis extends QueryPack {
         sum(graft.functions.PortableHash.h60p(col("word"))).as("word_hash_sum"))
       .orderBy("n_tokens")
 
+  /** GPT-2-STYLE pretokenizer pattern, lookahead-free so Java regex
+    * (Spark) and RE2 (DuckDB) run it identically: contraction suffixes,
+    * then space-attached letter / digit / punctuation runs, then
+    * whitespace runs. The one departure from GPT-2's published pattern
+    * is dropping the `\s+(?!\S)` alternative (RE2 has no lookahead), so
+    * a multi-space gap keeps ALL its spaces in the whitespace token
+    * instead of donating the last one to the following word. */
+  private[graft] val BytePretokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  /** UTF-8 bytes of a pretoken as fixed-width lowercase hex symbols —
+    * the byte-level BPE alphabet. Hex keeps merged symbols (plain
+    * concatenation) unambiguous and gives both engines the same ASCII
+    * sort for the argmax tie-break. */
+  private[graft] def utf8HexSyms(w: String): Seq[String] =
+    w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .toSeq.map(b => f"${b & 0xFF}%02x")
+
+  /** BYTE-level BPE learn (the tokenizer LLM pipelines actually train —
+    * GPT-2/BPE-on-bytes): GPT-2-style regex pretokenization (spaces
+    * attach to the following word; contractions split), UTF-8 bytes as
+    * the initial symbols, then the SAME vocab-sized merge loop as the
+    * char-level trainer. Scale shape identical to text_bpe_learn: the
+    * corpus collapses to a pretoken vocabulary once, every round is a
+    * partial-aggregated pair count over that frame, one 1-row argmax
+    * driver hop per round. Multi-byte characters are just byte runs —
+    * merges freely cross character boundaries (pinned in BpeLearnSpec). */
+  def bpeBytesLearnOf(s: SparkSession, docs: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val vocab0 = docs
+      .select(explode(regexp_extract_all(col("text"),
+        lit(BytePretokenPattern), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .map { case (w, f) => (w, f, utf8HexSyms(w)) }
+    bpeLoop(s, vocab0, k)._1
+      .toDF("step", "left_sym", "right_sym", "cnt").orderBy("step")
+  }
+
   /** The k BPE rounds as a DuckDB CTE prefix (shared by the learn and
     * encode oracles; `word` rides through every stage). Each v{r}
     * applies merge t{r} via a list_reduce fold over singleton-list
@@ -779,7 +840,41 @@ object TextAnalysis extends QueryPack {
     * side's early-exit (bpeVocabAfter's `exhausted`) instead of
     * emptying every later v{r} (BpeLearnSpec pins the degenerate
     * corpus). */
-  private def bpeRoundsCte(k: Int): String = {
+  private def bpeRoundsCte(k: Int): String =
+    s"""${bpeCharV0Cte},
+        ${bpeRoundsOnly(k)}"""
+
+  /** Char-level w/v0 prefix (the original text_bpe_* alphabet). */
+  private def bpeCharV0Cte: String =
+    """w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+              FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+              WHERE length(word) >= 2 GROUP BY 1),
+        v0 AS (SELECT word, freq, list_transform(range(length(word)),
+                        i -> substring(word, i+1, 1)) AS syms FROM w)"""
+
+  /** Byte-level w/v0 prefix: GPT-2-style pretokens, UTF-8 bytes derived
+    * arithmetically from code points (DuckDB strings are code-point
+    * addressable; the CASE is the UTF-8 encoding algorithm, RFC 3629),
+    * hex-coded to match utf8HexSyms. */
+  private def bpeByteV0Cte: String = {
+    val pat = BytePretokenPattern.replace("'", "''")
+    def h(e: String) = s"lpad(lower(hex($e)), 2, '0')"
+    s"""w AS (SELECT pt AS word, CAST(COUNT(*) AS BIGINT) AS freq
+              FROM (SELECT unnest(regexp_extract_all(text, '$pat')) AS pt FROM documents)
+              GROUP BY 1),
+        v0 AS (SELECT word, freq,
+                 flatten(list_transform(
+                   list_transform(range(length(word)), i -> unicode(substring(word, i+1, 1))),
+                   cp -> CASE
+                     WHEN cp < 128 THEN [${h("cp")}]
+                     WHEN cp < 2048 THEN [${h("192 + cp//64")}, ${h("128 + cp%64")}]
+                     WHEN cp < 65536 THEN [${h("224 + cp//4096")}, ${h("128 + (cp//64)%64")}, ${h("128 + cp%64")}]
+                     ELSE [${h("240 + cp//262144")}, ${h("128 + (cp//4096)%64")}, ${h("128 + (cp//64)%64")}, ${h("128 + cp%64")}]
+                   END)) AS syms
+               FROM w)"""
+  }
+
+  private def bpeRoundsOnly(k: Int): String = {
     val rounds = (1 to k).map { r =>
       s"""p$r AS (SELECT u.pair[1] AS a, u.pair[2] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
                   FROM (SELECT freq, unnest(list_transform(range(len(syms)-1),
@@ -796,12 +891,7 @@ object TextAnalysis extends QueryPack {
                            END AS syms
                     FROM v${r - 1} LEFT JOIN t$r t ON TRUE)"""
     }.mkString(",\n")
-    s"""w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
-              FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-              WHERE length(word) >= 2 GROUP BY 1),
-        v0 AS (SELECT word, freq, list_transform(range(length(word)),
-                        i -> substring(word, i+1, 1)) AS syms FROM w),
-        $rounds"""
+    rounds
   }
 
   private def bpeLearnSql(k: Int): String = {
@@ -809,6 +899,16 @@ object TextAnalysis extends QueryPack {
       s"SELECT $r AS step, a AS left_sym, b AS right_sym, cnt FROM t$r")
       .mkString("\n         UNION ALL ")
     s"""WITH ${bpeRoundsCte(k)}
+         $unions ORDER BY step"""
+  }
+
+  /** text_bpe_bytes' oracle: byte-level v0, same unrolled rounds. */
+  private def bpeBytesLearnSql(k: Int): String = {
+    val unions = (1 to k).map(r =>
+      s"SELECT $r AS step, a AS left_sym, b AS right_sym, cnt FROM t$r")
+      .mkString("\n         UNION ALL ")
+    s"""WITH ${bpeByteV0Cte},
+         ${bpeRoundsOnly(k)}
          $unions ORDER BY step"""
   }
 
@@ -1007,6 +1107,7 @@ object TextAnalysis extends QueryPack {
          SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
          FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""",
     "text_bpe_learn" -> bpeLearnSql(10),
+    "text_bpe_bytes" -> bpeBytesLearnSql(8),
     "text_bpe_encode" -> bpeEncodeSql(3),
     "text_ngram_stats" ->
       """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents

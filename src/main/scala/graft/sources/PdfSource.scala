@@ -64,9 +64,14 @@ object PdfSource {
   // L2 becomes "revised <id*7> r2" with no continuation — a parser that
   // reads the first xref, or scans for "obj" textually, extracts the
   // stale text.
-  // Docs with id%2 == 0 Flate-compress their content streams
-  // (/Filter [ /FlateDecode ] array form on id%4 == 0, /Filter
-  // /FlateDecode name form on id%4 == 2) — the real-world default.
+  // Docs with id%2 == 0 FILTER their content streams (and, in the
+  // modern layout, the ObjStm), rotating through the filter classes a
+  // real corpus carries:
+  //   id%8 == 0  /Filter [ /FlateDecode ]              (array form)
+  //   id%8 == 2  /Filter /LZWDecode                    (name form)
+  //   id%8 == 4  /Filter [ /ASCIIHexDecode /FlateDecode ]
+  //   id%8 == 6  /Filter [ /ASCII85Decode /LZWDecode ]
+  // Odd ids store their streams plain.
   // Docs with id%5 == 2 use the MODERN (PDF 1.5+) file layout: all
   // non-stream objects packed into a /Type /ObjStm object stream,
   // cross-references as a /Type /XRef stream (W = [1 3 1], FlateDecode,
@@ -77,7 +82,8 @@ object PdfSource {
 
   def pdfRevised(id: Long): Boolean = id % 7 == 0
 
-  /** Content streams Flate-compressed (array filter form on id%4==0). */
+  /** Content streams carry a /Filter (the class rotates on id%8 — see
+    * the model comment; the name predates the LZW/transport classes). */
   def pdfFlate(id: Long): Boolean = id % 2 == 0
 
   /** PDF 1.5+ layout: object stream + cross-reference stream. */
@@ -151,8 +157,15 @@ object PdfSource {
     out.toByteArray
   }
 
-  /** zlib-inflate; None on corrupt or truncated data. */
-  private def inflateBytes(in: Array[Byte]): Option[Array[Byte]] = {
+  /** Decompression-bomb ceiling for every expanding codec: extractPdf
+    * is a parse-as-filter over possibly-hostile bytes, and a tiny
+    * crafted Flate/LZW stream can otherwise inflate to gigabytes and
+    * OOM an executor. 64 MiB is orders of magnitude above any content
+    * stream the staged model (or a sane real page) produces. */
+  private[sources] val MaxDecodedBytes: Int = 64 << 20
+
+  /** zlib-inflate; None on corrupt, truncated, or bomb-sized data. */
+  private[sources] def inflateBytes(in: Array[Byte]): Option[Array[Byte]] = {
     val inf = new java.util.zip.Inflater()
     inf.setInput(in)
     val out = new java.io.ByteArrayOutputStream(in.length * 3 + 64)
@@ -160,13 +173,204 @@ object PdfSource {
     try {
       while (!inf.finished()) {
         val n = inf.inflate(buf)
-        if (n > 0) out.write(buf, 0, n)
+        if (n > 0) {
+          out.write(buf, 0, n)
+          if (out.size > MaxDecodedBytes) return None // decompression bomb
+        }
         else if (!inf.finished()) return None // truncated stream
       }
       Some(out.toByteArray)
     } catch {
       case _: java.util.zip.DataFormatException => None
     } finally inf.end()
+  }
+
+  // ── LZWDecode (§7.4.4.2): MSB-first variable-width codes, 256 = clear,
+  //    257 = EOD, table capped at 4096, width bumps 9→12 one code early
+  //    when /EarlyChange is 1 (the default). The PDF variant differs from
+  //    the in-tree GIF-LZW (MediaPipeline) in bit order (MSB-first here,
+  //    LSB-first in GIF), fixed specials (256/257 vs root-size-relative)
+  //    and the early-change rule — a shared core would encode neither
+  //    spec cleanly, so this is its own ~60 lines.
+
+  /** Shared table-state transition for encoder bit-packing and decoder:
+    * given (next, width, prevSeen) BEFORE a code, the state after it.
+    * Keeping one function is what guarantees the two stay in sync. */
+  private def lzwStep(code: Int, next: Int, width: Int, prevSeen: Boolean,
+                      early: Int): (Int, Int, Boolean) =
+    if (code == 256) (258, 9, false)
+    else if (code == 257) (next, width, prevSeen)
+    else {
+      val n2 = if (prevSeen && next < 4096) next + 1 else next
+      val w2 = if (prevSeen && n2 == (1 << width) - early && width < 12) width + 1 else width
+      (n2, w2, true)
+    }
+
+  /** Greedy LZW encode for staging: clear, phrases, clear-on-full, EOD. */
+  private[sources] def lzwEncode(raw: Array[Byte], early: Int = 1): Array[Byte] = {
+    val codes = Vector.newBuilder[Int]
+    codes += 256
+    val dict = scala.collection.mutable.HashMap.empty[(Int, Byte), Int]
+    var next = 258
+    var cur = -1
+    for (b <- raw) {
+      if (cur < 0) cur = b & 0xFF
+      else dict.get((cur, b)) match {
+        case Some(c) => cur = c
+        case None =>
+          codes += cur
+          if (next < 4096) { dict((cur, b)) = next; next += 1 }
+          else { codes += 256; dict.clear(); next = 258 }
+          cur = b & 0xFF
+      }
+    }
+    if (cur >= 0) codes += cur
+    codes += 257
+    // bit-pack by replaying the DECODER's width evolution (lzwStep)
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    var bitBuf = 0L; var bitCnt = 0
+    var dNext = 258; var width = 9; var prevSeen = false
+    for (c <- codes.result()) {
+      bitBuf = (bitBuf << width) | c.toLong; bitCnt += width
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >> (bitCnt - 8)) & 0xFF).toInt); bitCnt -= 8
+      }
+      val st = lzwStep(c, dNext, width, prevSeen, early)
+      dNext = st._1; width = st._2; prevSeen = st._3
+    }
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xFF).toInt)
+    out.toByteArray
+  }
+
+  /** LZW decode; None on malformed codes, missing EOD, or bomb size. */
+  private[sources] def lzwDecode(in: Array[Byte], early: Int = 1): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(in.length * 3 + 64)
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    def expand(code: Int): Array[Byte] = {
+      var n = 0; var c = code
+      while (c >= 258) { n += 1; c = prefix(c) }
+      val res = new Array[Byte](n + 1)
+      c = code; var i = n
+      while (c >= 258) { res(i) = suffix(c); i -= 1; c = prefix(c) }
+      res(0) = c.toByte
+      res
+    }
+    var bitBuf = 0L; var bitCnt = 0; var pos = 0
+    var next = 258; var width = 9; var prevSeen = false
+    var prev = -1
+    while (true) {
+      while (bitCnt < width && pos < in.length) {
+        bitBuf = (bitBuf << 8) | (in(pos) & 0xFF); bitCnt += 8; pos += 1
+      }
+      if (bitCnt < width) return None // ran out of bits before EOD
+      val code = ((bitBuf >> (bitCnt - width)) & ((1L << width) - 1)).toInt
+      bitCnt -= width
+      if (code == 257) return Some(out.toByteArray)
+      if (code != 256) {
+        if (code > next || (code == next && !prevSeen)) return None
+        val entry =
+          if (code < next) expand(code)
+          else { val p = expand(prev); p :+ p(0) } // KwKwK: code == next
+        out.write(entry, 0, entry.length)
+        if (out.size > MaxDecodedBytes) return None // decompression bomb
+        if (prevSeen && next < 4096) { prefix(next) = prev; suffix(next) = entry(0) }
+        prev = code
+      } else prev = -1
+      val st = lzwStep(code, next, width, prevSeen, early)
+      next = st._1; width = st._2; prevSeen = st._3
+    }
+    None // unreachable
+  }
+
+  // ── ASCIIHexDecode / ASCII85Decode (§7.4.2, §7.4.3): the transport
+  //    wrappers real corpora put AROUND a compression filter.
+
+  private[sources] def asciiHexEncode(raw: Array[Byte]): String =
+    raw.map(b => f"$b%02X").mkString + ">"
+
+  /** Hex pairs up to '>'; whitespace ignored; odd trailing digit pads 0. */
+  private[sources] def asciiHexDecode(s: String): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(s.length / 2 + 8)
+    var hi = -1
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val d =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'A' && c <= 'F') c - 'A' + 10
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else if (c == '>') { // EOD: odd count implies a final 0 nibble
+          if (hi >= 0) out.write(hi << 4)
+          return Some(out.toByteArray)
+        }
+        else if (c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f') -1
+        else return None // not hex, not whitespace, not EOD
+      if (d >= 0) {
+        if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+      }
+      i += 1
+    }
+    None // missing '>' terminator
+  }
+
+  private[sources] def ascii85Encode(raw: Array[Byte]): String = {
+    val sb = new StringBuilder(raw.length * 5 / 4 + 8)
+    var i = 0
+    while (i < raw.length) {
+      val n = math.min(4, raw.length - i)
+      var v = 0L
+      for (k <- 0 until 4) {
+        val b = if (i + k < raw.length) raw(i + k) & 0xFF else 0
+        v = (v << 8) | b
+      }
+      if (n == 4 && v == 0L) sb.append('z')
+      else {
+        val cs = new Array[Char](5)
+        var rem = v
+        for (k <- 4 to 0 by -1) { cs(k) = ('!' + (rem % 85)).toChar; rem /= 85 }
+        for (k <- 0 to n) sb.append(cs(k)) // n+1 chars encode n bytes
+      }
+      i += 4
+    }
+    sb.append("~>").toString
+  }
+
+  /** Base-85 groups up to '~>'; 'z' = four zero bytes; a final partial
+    * group of k+1 chars yields k bytes. None on bad chars, a 1-char
+    * final group, or group overflow. */
+  private[sources] def ascii85Decode(s: String): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(s.length * 4 / 5 + 8)
+    val grp = new Array[Int](5)
+    var gi = 0
+    var i = 0
+    def flush(chars: Int): Boolean = { // chars in [2, 5]
+      var v = 0L
+      for (k <- 0 until 5) v = v * 85 + (if (k < chars) grp(k) else 84)
+      if (v > 0xFFFFFFFFL) return false // group value exceeds 2^32-1
+      val bs = Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+      out.write(bs, 0, chars - 1)
+      true
+    }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '~') {
+        if (i + 1 >= s.length || s.charAt(i + 1) != '>') return None
+        if (gi == 1) return None // a lone trailing char is unrepresentable
+        if (gi >= 2 && !flush(gi)) return None
+        return Some(out.toByteArray)
+      }
+      else if (c == 'z' && gi == 0) { out.write(Array[Byte](0, 0, 0, 0), 0, 4) }
+      else if (c >= '!' && c <= 'u') {
+        grp(gi) = c - '!'; gi += 1
+        if (gi == 5) { if (!flush(5)) return None; gi = 0 }
+      }
+      else if (!(c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f'))
+        return None
+      i += 1
+    }
+    None // missing '~>' terminator
   }
 
   /** PNG Up-predictor (type 2) encode for xref stream staging: each row
@@ -192,7 +396,7 @@ object PdfSource {
 
   /** PNG predictor decode (filter types 0..4 per row, RFC 2083 §6) over
     * rows of `columns`×`bpp` bytes. None on bad geometry or filter. */
-  private def pngUnpredict(data: Array[Byte], columns: Int, bpp: Int): Option[Array[Byte]] = {
+  private[sources] def pngUnpredict(data: Array[Byte], columns: Int, bpp: Int): Option[Array[Byte]] = {
     val rowBytes = columns * bpp
     if (rowBytes <= 0 || data.length % (rowBytes + 1) != 0) return None
     val nRows = data.length / (rowBytes + 1)
@@ -243,15 +447,30 @@ object PdfSource {
     if (pdfModern(id)) modernPdfBytes(id) else classicPdfBytes(id)
 
   /** `/Filter …` dict fragment (with leading space) for doc `id`'s
-    * content streams, or "" when stored plain. */
+    * content streams, or "" when stored plain. Even ids are filtered,
+    * rotating through the real-corpus filter classes (see the doc-model
+    * comment): Flate in array form, LZW in name form, and the two
+    * transport-wrapped chains. */
   private def filterFragment(id: Long): String =
     if (!pdfFlate(id)) ""
-    else if (id % 4 == 0) " /Filter [ /FlateDecode ]" // array form
-    else " /Filter /FlateDecode"                      // name form
+    else (id % 8) match {
+      case 0 => " /Filter [ /FlateDecode ]"                // array form
+      case 2 => " /Filter /LZWDecode"                      // name form
+      case 4 => " /Filter [ /ASCIIHexDecode /FlateDecode ]" // hex transport
+      case _ => " /Filter [ /ASCII85Decode /LZWDecode ]"   // base-85 transport
+    }
 
-  /** Stored (possibly deflated) body for doc `id`'s content streams. */
+  /** Stored (filtered per [[filterFragment]]) body for doc `id`'s
+    * content streams — encoded in REVERSE declaration order (§7.4: the
+    * first listed filter is the last applied when writing). */
   private def storedContent(id: Long, body: String): String =
-    if (pdfFlate(id)) iso(deflateBytes(bytesOf(body))) else body
+    if (!pdfFlate(id)) body
+    else (id % 8) match {
+      case 0 => iso(deflateBytes(bytesOf(body)))
+      case 2 => iso(lzwEncode(bytesOf(body)))
+      case 4 => asciiHexEncode(deflateBytes(bytesOf(body)))
+      case _ => ascii85Encode(lzwEncode(bytesOf(body)))
+    }
 
   private def classicPdfBytes(id: Long): Array[Byte] = {
     val pages = pdfPageCount(id)
@@ -316,6 +535,11 @@ object PdfSource {
                             rows: Seq[(Int, Long, Int)], // (type, f2, f3)
                             prev: Option[Long]): String = {
     val rowBytes = rows.map { case (t, f2, f3) =>
+      // W = [1 3 1] is hardcoded: a silent truncation of a byte offset
+      // above 16 MiB would write a corrupt xref with no error, so refuse
+      // loudly instead (staged docs are tiny; this guards future reuse).
+      require(t >= 0 && t <= 0xFF && f2 >= 0 && f2 <= 0xFFFFFF && f3 >= 0 && f3 <= 0xFF,
+        s"xref row ($t, $f2, $f3) exceeds W=[1 3 1] field widths")
       Array[Byte](t.toByte,
         ((f2 >> 16) & 0xFF).toByte, ((f2 >> 8) & 0xFF).toByte, (f2 & 0xFF).toByte,
         (f3 & 0xFF).toByte)
@@ -371,7 +595,7 @@ object PdfSource {
     val header = mem.map(_._1).zip(offs).map { case (n, o) => s"$n $o" }.mkString(" ")
     val first = header.length + 1
     val plain = header + "\n" + bodies.mkString(" ") + " "
-    val storedStm = if (pdfFlate(id)) iso(deflateBytes(bytesOf(plain))) else plain
+    val storedStm = storedContent(id, plain) // same filter class as the content
     val stmOff = sb.length.toLong
     sb.append(s"$stmObj 0 obj\n<< /Type /ObjStm /N ${mem.length} /First $first" +
       s"${filterFragment(id)} /Length ${storedStm.length} >>\nstream\n")
@@ -421,6 +645,10 @@ object PdfSource {
   private sealed trait XEntry
   private final case class XOff(off: Long) extends XEntry
   private final case class XInStm(stm: Int, idx: Int) extends XEntry
+  /** Free (type-0 / classic 'f') — RECORDED, not skipped, so a newer
+    * revision's deletion shadows an older section's stale offset
+    * (latest-revision-wins, §7.5.8.3). */
+  private case object XFree extends XEntry
 
   /** Single-pass object-value scanner over the whole-file string `s`
     * starting at `pos`; returns (value, posAfter) or None. */
@@ -602,29 +830,49 @@ object PdfSource {
       case _ => return None
     }
     if (filters.isEmpty) return Some(raw)
-    if (filters != Vector("FlateDecode")) return None // unsupported filter
-    val inflated = inflateBytes(bytesOf(raw)).getOrElse(return None)
-    val parms: Map[String, PVal] = dict.get("DecodeParms") match {
-      case None | Some(PNull) => Map.empty
-      case Some(PDict(m)) => m
-      case Some(PArr(Vector(PDict(m)))) => m
-      case Some(PArr(Vector(PNull))) => Map.empty
+    // /DecodeParms aligns with /Filter: a single dict applies to a
+    // single filter; an array aligns element-by-element (§7.3.8.2).
+    val parmsSeq: Vector[Map[String, PVal]] = dict.get("DecodeParms") match {
+      case None | Some(PNull) => Vector.fill(filters.length)(Map.empty)
+      case Some(PDict(m)) if filters.length == 1 => Vector(m)
+      case Some(PArr(xs)) if xs.length == filters.length =>
+        xs.map { case PDict(m) => m; case PNull => Map.empty; case _ => return None }
       case _ => return None
     }
-    def intParm(k: String, dflt: Int): Option[Int] = parms.get(k) match {
-      case Some(PNum(v)) => Some(v.toInt)
-      case None => Some(dflt)
-      case _ => None
+    // apply the chain in declaration order (§7.4: the FIRST filter is
+    // the one applied LAST at write time)
+    var cur = raw
+    for ((f, parms) <- filters.zip(parmsSeq)) {
+      def intParm(k: String, dflt: Int): Option[Int] = parms.get(k) match {
+        case Some(PNum(v)) => Some(v.toInt)
+        case None => Some(dflt)
+        case _ => None
+      }
+      /** Predictor post-pass shared by Flate and LZW (§7.4.4.4). */
+      def unpredict(decoded: Array[Byte]): Option[String] = {
+        val pred = intParm("Predictor", 1).getOrElse(return None)
+        if (pred == 1) Some(iso(decoded))
+        else if (pred >= 10) { // PNG predictors
+          val cols = intParm("Columns", 1).getOrElse(return None)
+          val colors = intParm("Colors", 1).getOrElse(return None)
+          val bits = intParm("BitsPerComponent", 8).getOrElse(return None)
+          val bpp = math.max(1, colors * bits / 8)
+          pngUnpredict(decoded, cols, bpp).map(iso)
+        } else None // TIFF predictor 2: not emitted by PDF writers we accept
+      }
+      cur = f match {
+        case "FlateDecode" =>
+          inflateBytes(bytesOf(cur)).flatMap(unpredict).getOrElse(return None)
+        case "LZWDecode" =>
+          val early = intParm("EarlyChange", 1).getOrElse(return None)
+          if (early != 0 && early != 1) return None
+          lzwDecode(bytesOf(cur), early).flatMap(unpredict).getOrElse(return None)
+        case "ASCIIHexDecode" => asciiHexDecode(cur).map(iso).getOrElse(return None)
+        case "ASCII85Decode" => ascii85Decode(cur).map(iso).getOrElse(return None)
+        case _ => return None // unsupported filter: refuse, never guess
+      }
     }
-    val pred = intParm("Predictor", 1).getOrElse(return None)
-    if (pred == 1) Some(iso(inflated))
-    else if (pred >= 10) { // PNG predictors, §7.4.4.4
-      val cols = intParm("Columns", 1).getOrElse(return None)
-      val colors = intParm("Colors", 1).getOrElse(return None)
-      val bits = intParm("BitsPerComponent", 8).getOrElse(return None)
-      val bpp = math.max(1, colors * bits / 8)
-      pngUnpredict(inflated, cols, bpp).map(iso)
-    } else None // TIFF predictor 2: not emitted by PDF writers we accept
+    Some(cur)
   }
 
   /** One extracted page. */
@@ -670,7 +918,8 @@ object PdfSource {
               val typ = s.charAt(sc.pos); sc.pos += 1
               if (typ != 'n' && typ != 'f') return None
               val objNum = start + k
-              if (typ == 'n' && !objOff.contains(objNum)) objOff(objNum) = XOff(off)
+              if (!objOff.contains(objNum))
+                objOff(objNum) = if (typ == 'n') XOff(off) else XFree
             }
           }
         }
@@ -736,7 +985,10 @@ object PdfSource {
           if (!objOff.contains(objNum)) typ match {
             case 1L => objOff(objNum) = XOff(f2)
             case 2L => objOff(objNum) = XInStm(f2.toInt, f3.toInt)
-            case _ => () // type 0 (free) and unknown types: skip (§7.5.8.3)
+            // type 0 (free) RECORDS so a newer deletion shadows an older
+            // /Prev section's offset; unknown types read as the null
+            // object (§7.5.8.3) — same refusal on use.
+            case _ => objOff(objNum) = XFree
           }
         }
         if (trailerRoot < 0) dict.get("Root") match {
@@ -764,44 +1016,48 @@ object PdfSource {
       val v = sc.value().getOrElse(return None)
       Some((v, sc.pos))
     }
-    def objStmOf(stm: Int): Option[(Vector[(Int, Int)], Int, String)] =
-      stmMemo.getOrElseUpdate(stm, {
-        objOff.get(stm) match {
-          case Some(XOff(off)) => // an ObjStm can never itself be packed
-            parseAt(off, stm).flatMap { case (v, after) =>
-              v match {
-                case PDict(d) if d.get("Type").contains(PName("ObjStm")) =>
-                  val n = d.get("N") match {
-                    case Some(PNum(x)) if x >= 0 => x.toInt
-                    case _ => return None
-                  }
-                  val first = d.get("First") match {
-                    case Some(PNum(x)) if x >= 0 => x.toInt
-                    case _ => return None
-                  }
-                  // /Length of an ObjStm: direct only (indirection could
-                  // recurse into this very stream)
-                  val data = streamData(s, d, after,
-                    { case pn @ PNum(_) => Some(pn); case _ => None })
-                    .getOrElse(return None)
-                  val hs = new Scanner(data)
-                  val pairs = Vector.newBuilder[(Int, Int)]
-                  for (_ <- 0 until n) {
-                    val num = hs.number().getOrElse(return None).toInt
-                    val o = hs.number().getOrElse(return None).toInt
-                    pairs += ((num, o))
-                  }
-                  Some((pairs.result(), first, data))
-                case _ => None
-              }
+    // A nested def (not an inline thunk) so the `return None`s below
+    // exit THIS function — the failure value then reaches the memo and a
+    // malformed ObjStm is not re-parsed per member lookup.
+    def computeObjStm(stm: Int): Option[(Vector[(Int, Int)], Int, String)] =
+      objOff.get(stm) match {
+        case Some(XOff(off)) => // an ObjStm can never itself be packed
+          parseAt(off, stm).flatMap { case (v, after) =>
+            v match {
+              case PDict(d) if d.get("Type").contains(PName("ObjStm")) =>
+                val n = d.get("N") match {
+                  case Some(PNum(x)) if x >= 0 => x.toInt
+                  case _ => return None
+                }
+                val first = d.get("First") match {
+                  case Some(PNum(x)) if x >= 0 => x.toInt
+                  case _ => return None
+                }
+                // /Length of an ObjStm: direct only (indirection could
+                // recurse into this very stream)
+                val data = streamData(s, d, after,
+                  { case pn @ PNum(_) => Some(pn); case _ => None })
+                  .getOrElse(return None)
+                val hs = new Scanner(data)
+                val pairs = Vector.newBuilder[(Int, Int)]
+                for (_ <- 0 until n) {
+                  val num = hs.number().getOrElse(return None).toInt
+                  val o = hs.number().getOrElse(return None).toInt
+                  pairs += ((num, o))
+                }
+                Some((pairs.result(), first, data))
+              case _ => None
             }
-          case _ => None
-        }
-      })
+          }
+        case _ => None
+      }
+    def objStmOf(stm: Int): Option[(Vector[(Int, Int)], Int, String)] =
+      stmMemo.getOrElseUpdate(stm, computeObjStm(stm))
     def parseObj(num: Int): Option[(PVal, Int)] = memo.get(num) match {
       case Some(v) => Some(v)
       case None =>
         val r: Option[(PVal, Int)] = objOff.getOrElse(num, return None) match {
+          case XFree => None // freed (or unknown-type) entry: null object
           case XOff(off) => parseAt(off, num)
           case XInStm(stm, idx) =>
             val (pairs, first, data) = objStmOf(stm).getOrElse(return None)

@@ -62,6 +62,56 @@ class AhashSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("ingest batch model: edited re-submissions sit inside the flag threshold, transposed images outside") {
+    // The mm_ahash_incremental fixture's two directions, decoded through
+    // the REAL BMP parse: id%10==7 batch images are one-block edits of
+    // their corpus source (must land within hamming ≤ 8 of it — the
+    // one flipped block plus any gmean-boundary ripple), id%10==4 batch
+    // images are transposed-layout mosaics (must land far from their
+    // source). Swept over the first 40 of each class.
+    for (k <- 0 until 40) {
+      val id7 = 7L + 10L * k
+      val d7 = hamming(decodeAhash(ahashBmp(id7)).get, decodeAhash(ahashBatchBmp(id7)).get)
+      assert(d7 <= 8, s"edited batch id=$id7 hamming=$d7 escapes the flag threshold")
+      val id4 = 4L + 10L * k
+      val d4 = hamming(decodeAhash(ahashBmp(id4)).get, decodeAhash(ahashBatchBmp(id4)).get)
+      assert(d4 > 8, s"transposed batch id=$id4 hamming=$d4 unexpectedly near its source")
+    }
+  }
+
+  test("t+1 banding catches spread-bit near-dups the 4×16 chunks provably missed") {
+    // Hamming 8 spread 2-per-16-bit-chunk: under the verify threshold,
+    // yet EVERY legacy 16-bit chunk differs — the round-16 banding
+    // dropped this pair silently. The 9-band layout must catch it
+    // (pigeonhole: 8 flipped bits cannot dirty 9 disjoint bands).
+    val a = (0L, 0L)
+    val flip = (1L << 31) | (1L << 16) | (1L << 15) | 1L // 2 bits in each 16-bit half
+    val b = (flip, flip)
+    assert(java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2) == 8)
+    assert(!HammingBands.collide(HammingBands.legacy16, a, b), "legacy chunks were expected to miss")
+    assert(HammingBands.collide(HammingBands.ahash, a, b), "t+1 bands must catch hamming 8")
+  }
+
+  test("banding recall is exhaustive under the verify threshold (seeded sweep)") {
+    // Pigeonhole makes this a theorem for ANY pair at hamming ≤ 8; the
+    // sweep pins the band table against editing mistakes (an overlap or
+    // a hole in the layout would fail here).
+    val widthSum = HammingBands.ahash.map { case (_, _, m) => java.lang.Long.bitCount(m) }.sum
+    assert(widthSum == 64, "bands must cover all 64 bits")
+    assert(HammingBands.ahash.length == 9, "t+1 bands for t = 8")
+    val rnd = new scala.util.Random(180001L)
+    for (_ <- 0 until 2000) {
+      val hi = rnd.nextLong() & 0xFFFFFFFFL
+      val lo = rnd.nextLong() & 0xFFFFFFFFL
+      // flip exactly 8 distinct random bit positions of the 64
+      val pos = rnd.shuffle((0 until 64).toList).take(8)
+      var hi2 = hi; var lo2 = lo
+      pos.foreach(p => if (p < 32) hi2 ^= (1L << p) else lo2 ^= (1L << (p - 32)))
+      assert(HammingBands.collide(HammingBands.ahash, (hi, lo), (hi2, lo2)),
+        s"missed pair at hamming 8: $hi/$lo vs $hi2/$lo2")
+    }
+  }
+
   test("the ±90 perturbation flips bits for nearly every family") {
     // The shift crosses the global mean from almost anywhere, but a block
     // whose base sits in the far corner of the range can survive (e.g.

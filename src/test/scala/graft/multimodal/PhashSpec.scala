@@ -69,6 +69,36 @@ class PhashSpec extends SparkSpec {
     assert(ham(h0, h9) > 15)
   }
 
+  test("t+1 banding catches spread-bit near-dups the 4×16 chunks provably missed") {
+    // Hamming 6 spread (2,1,2,1) over the legacy 16-bit chunks: under
+    // the verify threshold yet every legacy chunk dirty. The 7-band
+    // layout must catch it (6 flipped bits cannot dirty 7 disjoint
+    // bands). hi bit 31 stays clear — position u*8+v = 0 (the DC) is
+    // excluded from h_hi by construction.
+    val a = (0L, 0L)
+    val b = ((1L << 30) | (1L << 17) | (1L << 8),
+             (1L << 30) | (1L << 20) | (1L << 8))
+    assert(java.lang.Long.bitCount(b._1) + java.lang.Long.bitCount(b._2) == 6)
+    assert(!HammingBands.collide(HammingBands.legacy16, a, b), "legacy chunks were expected to miss")
+    assert(HammingBands.collide(HammingBands.phash, a, b), "t+1 bands must catch hamming 6")
+  }
+
+  test("banding recall is exhaustive under the verify threshold (seeded sweep)") {
+    val widthSum = HammingBands.phash.map { case (_, _, m) => java.lang.Long.bitCount(m) }.sum
+    assert(widthSum == 64, "bands must cover all 64 bits")
+    assert(HammingBands.phash.length == 7, "t+1 bands for t = 6")
+    val rnd = new scala.util.Random(180002L)
+    for (_ <- 0 until 2000) {
+      val hi = rnd.nextLong() & 0x7FFFFFFFL // DC bit stays clear, as staged
+      val lo = rnd.nextLong() & 0xFFFFFFFFL
+      val pos = rnd.shuffle((0 until 63).toList).take(6) // never flip hi bit 31
+      var hi2 = hi; var lo2 = lo
+      pos.foreach(p => if (p < 31) hi2 ^= (1L << p) else lo2 ^= (1L << (p - 31)))
+      assert(HammingBands.collide(HammingBands.phash, (hi, lo), (hi2, lo2)),
+        s"missed pair at hamming 6: $hi/$lo vs $hi2/$lo2")
+    }
+  }
+
   test("validation refuses non-multiple-of-8 dimensions and truncation") {
     val w = 60; val h = 64; val stride = (w * 3 + 3) / 4 * 4
     val odd = bmpHeader(w, h, stride * h) ++ new Array[Byte](stride * h)

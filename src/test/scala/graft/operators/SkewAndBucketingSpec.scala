@@ -158,6 +158,27 @@ class SkewAndBucketingSpec extends SparkSpec {
       s"no exchange-free bucketed join side:\n$plan")
   }
 
+  test("the persisted aHash band index probes with no corpus-side exchange") {
+    // mm_ahash_incremental's deployment claim: with the corpus band
+    // index bucketed on (ck, cv), the per-ingest probe shuffles ONLY
+    // the arriving batch's band rows — the corpus side reads
+    // pre-partitioned, pre-sorted buckets.
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    val corpus = graft.multimodal.MediaPipeline.decodedAhash(sess, dir)
+    graft.sources.FileSources.writeBucketed(
+      MultimodalQueries.ahashBandRows(corpus), "b_ahash_idx", 8, Seq("ck", "cv"))
+    val batch = graft.multimodal.MediaPipeline.decodedAhashOf(
+      sess, graft.multimodal.MediaPipeline.ahashBatchStaged(sess, dir))
+    val probe = MultimodalQueries.ahashBandRows(batch)
+      .select(col("ck"), col("cv"), col("doc_id").as("batch_id"),
+        col("h_hi").as("hb_hi"), col("h_lo").as("hb_lo"))
+    assertBucketSideExchangeFree(
+      sess.table("b_ahash_idx").join(probe, Seq("ck", "cv")))
+    sess.sql("DROP TABLE IF EXISTS b_ahash_idx")
+  }
+
   test("the persisted md5 corpus index anti-joins with no corpus-side exchange") {
     // dedup_incremental_indexed's deployment claim: with the corpus
     // content-hash index bucketed on content_hash, the per-ingest LEFT
