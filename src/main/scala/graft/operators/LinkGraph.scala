@@ -138,11 +138,15 @@ object LinkGraph {
 
   private val CommentRe = "(?s)<!--.*?-->".r
   private val ATagRe = "(?is)<a\\b[^>]*>".r
-  private val HrefRe = "(?is)\\bhref\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s>\"']+))".r
+  // (?<![\w-]): `\bhref` alone also matches inside `data-href=` (the
+  // hyphen is a word BOUNDARY), silently harvesting dataset attributes
+  // as links — the lookbehind refuses any word-char or hyphen prefix.
+  private val HrefRe = "(?is)(?<![\\w-])href\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s>\"']+))".r
 
   /** href values of <a> tags: comments removed FIRST (a commented-out
     * link is not a link), tag and attribute names case-insensitive,
-    * double-/single-/un-quoted values, anchors without href skipped. */
+    * double-/single-/un-quoted values, anchors without href skipped,
+    * `data-href`-style attribute suffixes NOT treated as href. */
   def hrefs(html: String): Seq[String] = {
     val noComments = CommentRe.replaceAllIn(html, "")
     ATagRe.findAllIn(noComments).toSeq.flatMap { tag =>

@@ -253,14 +253,20 @@ object PipelineQueries extends QueryPack {
     // per-source window for the greedy fill, one final aggregate —
     // the corpus is scanned once and shuffled once.
     // The end-to-end TEXT pipeline from the ARRIVAL format — the text
-    // twin of mm_wds_pipeline: WARC shards (bodies = corpus text, some
-    // docs re-crawled under alias URIs) → charset-aware HTTP/WET
-    // extraction → Gopher-style hard quality rules → CCNet LM
-    // perplexity tail gate (self-scored on the quality survivors) →
-    // exact content dedup (drops the re-crawl aliases) → α=0.5
-    // temperature mix at 50% budget. Emits the per-lang funnel — every
-    // stage's count plus the final membership checksum — reusing each
-    // stage's exact arithmetic (qualityRuleFlags, lmDocScores,
+    // twin of mm_wds_pipeline: WARC shards (bodies = HTML pages built
+    // around the corpus text, some docs re-crawled under alias URIs) →
+    // charset-aware HTTP extraction → BOILERPLATE block filtering (the
+    // text_boilerplate jusText rules: the staged nav <div> dies on
+    // anchor density alone, the footer on length, and the one content
+    // <p> survives iff the article itself passes length + stopword
+    // density — the kept blocks reconstitute the article text exactly,
+    // which the downstream md5 dedup implicitly gates) → Gopher-style
+    // hard quality rules → CCNet LM perplexity tail gate (self-scored
+    // on the quality survivors) → exact content dedup (drops the
+    // re-crawl aliases) → α=0.5 temperature mix at 50% budget. Emits
+    // the per-lang funnel — every stage's count plus the final
+    // membership checksum — reusing each stage's exact arithmetic
+    // (boilerplateBlocks, qualityRuleFlags, lmDocScores,
     // temperatureRates/KeptOf), so this gate pins the COMPOSITION, not
     // re-implementations. Scale shape: one task per WARC shard at
     // ingest, then the same plans as the component gates; stages share
@@ -274,9 +280,20 @@ object PipelineQueries extends QueryPack {
           regexp_extract(col("uri"), "/d(\\d+)$", 1).cast("long"))
         .withColumn("clang",
           regexp_extract(col("uri"), "crawl\\.example/([a-z]+)/", 1))
-        .select(col("crawl_id"), col("clang").as("lang"), col("text"))
+        .select(col("crawl_id"), col("clang").as("lang"),
+          col("text").as("html"))
         .localCheckpoint(eager = false)
-      val kept1 = TextAnalysis.qualityRuleFlags(fetched)
+      // Boilerplate stage: block-score each page with the exact
+      // text_boilerplate arithmetic, keep content blocks, reconstitute
+      // the article (the staged page has at most one kept block; min()
+      // is just the degenerate aggregate over that one row).
+      val content = TextAnalysis.boilerplateBlocks(
+          fetched, TextAnalysis.BoilerplateStopsCorpus)
+        .filter(col("kept"))
+        .groupBy("crawl_id", "lang")
+        .agg(min("vis").as("text"))
+        .localCheckpoint(eager = false)
+      val kept1 = TextAnalysis.qualityRuleFlags(content)
         .filter(col("keep")).select("crawl_id", "lang", "text")
         .localCheckpoint(eager = false)
       // LM perplexity gate: the text_lm_buckets tercile rule — score
@@ -309,17 +326,19 @@ object PipelineQueries extends QueryPack {
       val mixed = temperatureKeptOf(
         uniq.select("crawl_id", "lang"), "crawl_id", "lang", rates)
       val f0 = fetched.groupBy("lang").agg(count(lit(1)).as("n_fetched"))
+      val f0b = content.groupBy("lang").agg(count(lit(1)).as("n_boiler"))
       val f1 = kept1.groupBy("lang").agg(count(lit(1)).as("n_quality"))
       val f2 = kept2.groupBy("lang").agg(count(lit(1)).as("n_lm_kept"))
       val f3 = uniq.groupBy("lang").agg(count(lit(1)).as("n_unique"),
         sum(col("n_copies") - 1).as("n_dups_dropped"))
       val f4 = mixed.groupBy("lang").agg(count(lit(1)).as("n_mixed"),
         sum(PortableHash.h60p(col("crawl_id").cast("string"))).as("mixed_checksum"))
-      f0.join(f1, Seq("lang"), "left")
+      f0.join(f0b, Seq("lang"), "left")
+        .join(f1, Seq("lang"), "left")
         .join(f2, Seq("lang"), "left")
         .join(f3, Seq("lang"), "left")
         .join(f4, Seq("lang"), "left")
-        .na.fill(0L, Seq("n_quality", "n_lm_kept", "n_unique",
+        .na.fill(0L, Seq("n_boiler", "n_quality", "n_lm_kept", "n_unique",
           "n_dups_dropped", "n_mixed", "mixed_checksum"))
         .orderBy("lang")
     }),
@@ -753,9 +772,20 @@ object PipelineQueries extends QueryPack {
                       UNION ALL
                       SELECT doc_id * 10 + 1 AS cid, lang, text FROM base
                       WHERE doc_id % 10 = 4),
+            -- boilerplate stage: the staged page's nav/footer blocks are
+            -- dropped by construction (anchor density / length); the one
+            -- content <p> reconstitutes the article text exactly and
+            -- survives iff the article passes the jusText length +
+            -- stopword-density rules (anchor_chars = 0 for it).
+            boiler AS (SELECT cid, lang, text FROM crawl
+                       WHERE length(text) >= 40
+                         AND len(list_filter(string_split(text, ' '),
+                               t -> t IN (${TextAnalysis.BoilerplateStopsCorpus
+                                 .map(w => s"'$w'").mkString(", ")}))) * 100
+                             >= len(string_split(text, ' ')) * 20),
             qt AS (SELECT cid, lang, text, string_split(text, ' ') AS toks,
                           CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_ch
-                   FROM crawl),
+                   FROM boiler),
             qm AS (SELECT cid, lang, text, n_ch,
                           CAST(len(toks) AS BIGINT) AS n_words,
                           CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
@@ -808,6 +838,7 @@ object PipelineQueries extends QueryPack {
             mixed AS (SELECT u.cid, u.lang FROM uniq u JOIN rates r ON u.lang = r.lang
                       WHERE $h60cid % 1000000 < r.rate_ppm),
             f0 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_fetched FROM crawl GROUP BY 1),
+            f0b AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_boiler FROM boiler GROUP BY 1),
             f1 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_quality FROM keep1 GROUP BY 1),
             f2 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lm_kept FROM keep2 GROUP BY 1),
             f3 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_unique,
@@ -817,13 +848,15 @@ object PipelineQueries extends QueryPack {
                           CAST(SUM($h60pcid) AS BIGINT) AS mixed_checksum
                    FROM mixed GROUP BY 1)
           SELECT f0.lang, f0.n_fetched,
+                 COALESCE(f0b.n_boiler, 0) AS n_boiler,
                  COALESCE(f1.n_quality, 0) AS n_quality,
                  COALESCE(f2.n_lm_kept, 0) AS n_lm_kept,
                  COALESCE(f3.n_unique, 0) AS n_unique,
                  COALESCE(f3.n_dups_dropped, 0) AS n_dups_dropped,
                  COALESCE(f4.n_mixed, 0) AS n_mixed,
                  COALESCE(f4.mixed_checksum, 0) AS mixed_checksum
-          FROM f0 LEFT JOIN f1 USING (lang) LEFT JOIN f2 USING (lang)
+          FROM f0 LEFT JOIN f0b USING (lang) LEFT JOIN f1 USING (lang)
+               LEFT JOIN f2 USING (lang)
                LEFT JOIN f3 USING (lang) LEFT JOIN f4 USING (lang)
           ORDER BY f0.lang"""
     }

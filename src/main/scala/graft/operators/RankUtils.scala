@@ -42,6 +42,12 @@ object RankUtils {
       .sortWithinPartitions(order: _*)
       .withColumn("__graft_mid", monotonically_increasing_id())
       .withColumn("__graft_pid", shiftright(col("__graft_mid"), LocalBits))
+      // Materialize ONCE: the frame feeds both the per-partition counts
+      // and the join. Without the cut, the two consumers could re-sample
+      // range bounds (and, if the caller's key is not a total order,
+      // re-order ties) independently — ranks must come from ONE
+      // materialized layout, not two executions assumed identical.
+      .localCheckpoint(eager = false)
     val offsets = ranged
       .groupBy("__graft_pid").agg(count(lit(1)).as("__graft_pc"))
       .withColumn("__graft_off",

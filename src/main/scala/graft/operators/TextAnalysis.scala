@@ -128,10 +128,27 @@ object TextAnalysis extends QueryPack {
     * thresholds cross-multiplied integer math). Pure codegen'd
     * expressions — regexp_extract_all + posexplode for the split, a
     * higher-order aggregate for anchor chars, filter() for stopwords —
-    * so the pass is map-only. Exposed at this scope so BoilerplateSpec
+    * so the pass is map-only. The stopword LIST is a parameter exactly
+    * as in jusText (its per-language stoplists are the algorithm's one
+    * tunable); the default is text_boilerplate's English function
+    * words, and pipeline_crawl_corpus passes the corpus's own
+    * function-word list. Exposed at this scope so BoilerplateSpec
     * can force each of the three rules to bite in isolation over
     * crafted pages (the staged fixture exercises them jointly). */
-  private[graft] def boilerplateBlocks(in: DataFrame): DataFrame =
+  private[graft] val BoilerplateStopsEn: Seq[String] =
+    Seq("the", "a", "of", "to", "in", "and")
+
+  /** The staged corpus's ten most frequent tokens — its function words
+    * for jusText purposes (the synthetic corpus has no natural-language
+    * closed class; frequency rank is how jusText-style stoplists are
+    * derived for such domains). Used by pipeline_crawl_corpus and its
+    * oracle, and by the staged crawl pages' nav block. */
+  private[graft] val BoilerplateStopsCorpus: Seq[String] =
+    Seq("join", "hash", "row", "batch", "scan",
+      "customer", "column", "filter", "small", "slow")
+
+  private[graft] def boilerplateBlocks(
+      in: DataFrame, stops: Seq[String] = BoilerplateStopsEn): DataFrame =
     in.select(in.columns.map(col).toSeq :+
         posexplode(expr(
           "regexp_extract_all(html, '(?s)<(?:p|div)>(.*?)</(?:p|div)>', 1)"))
@@ -145,7 +162,7 @@ object TextAnalysis extends QueryPack {
       .withColumn("toks", split(col("vis"), " "))
       .withColumn("words", size(col("toks")).cast("long"))
       .withColumn("stops", expr(
-        "CAST(size(filter(toks, t -> t IN ('the','a','of','to','in','and'))) AS BIGINT)"))
+        s"CAST(size(filter(toks, t -> t IN (${inList(stops)}))) AS BIGINT)"))
       .withColumn("kept",
         col("total_chars") >= 40 &&
           col("anchor_chars") * 100 <= col("total_chars") * 30 &&

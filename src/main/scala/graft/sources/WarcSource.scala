@@ -867,7 +867,9 @@ object WarcSource {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val d = new java.io.File(dir)
-    val marker = new java.io.File(d, "_STAGED_WARC_CRAWL_V1")
+    // V2: bodies are HTML pages (nav + content + footer blocks) so the
+    // funnel's boilerplate stage has real markup to strip.
+    val marker = new java.io.File(d, "_STAGED_WARC_CRAWL_V3")
     val paths = (0 until 6).map(f => f"$dir/crawl$f%02d.warc")
     if (!marker.exists()) {
       d.mkdirs()
@@ -887,8 +889,21 @@ object WarcSource {
           buf ++= record("warcinfo", None, f"crawlinfo-$shard%02d",
             "software: graft\r\n".getBytes("US-ASCII"))
           it.toSeq.sortBy(_._2).foreach { case (_, cid, lang, text) =>
-            val body = text.getBytes("UTF-8")
-            val head = "HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n\r\n"
+            // The served page: a link-farm nav <div> (long enough and
+            // stopword-dense enough to pass those rules — ONLY the
+            // anchor-density rule drops it), the article text as the one
+            // content <p>, and a short copyright footer (length rule).
+            // Nav anchors are built from corpus function words so the
+            // length AND stopword rules pass — only anchor density
+            // drops the block (the rule link farms exist to trip).
+            val page =
+              "<div><a href='/n'>join hash row scan</a> | " +
+                "<a href='/n'>batch customer column</a> | " +
+                "<a href='/n'>filter small slow</a></div>" +
+                s"<p>$text</p>" +
+                "<p>copyright 2026 example corp</p>"
+            val body = page.getBytes("UTF-8")
+            val head = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
             buf ++= record("response",
               Some(s"http://crawl.example/$lang/d$cid"),
               f"crawlrsp-$shard%02d-$cid",

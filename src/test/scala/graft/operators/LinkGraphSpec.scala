@@ -77,6 +77,15 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(hrefs(html) == Seq("one.html", "two.html", "three.html"))
   }
 
+  test("data-href and suffixed attributes are not links; a real href beside one still is") {
+    // `\bhref` alone matches inside `data-href` (hyphen = word boundary);
+    // the lookbehind must refuse it while still reading an adjacent href.
+    assert(hrefs("<a data-href='fake.html'>x</a>") == Seq.empty)
+    assert(hrefs("<a data-href='fake.html' href='real.html'>x</a>") == Seq("real.html"))
+    assert(hrefs("<a xhref='fake.html'>x</a>") == Seq.empty)
+    assert(hrefs("<a HREF=bare.html>x</a>") == Seq("bare.html")) // case+unquoted survive
+  }
+
   test("a multi-line comment hides every link inside it") {
     val html = "<a href='keep.html'>k</a><!--\n<a href='a.html'>a</a>\n<a href='b.html'>b</a>\n-->"
     assert(hrefs(html) == Seq("keep.html"))
