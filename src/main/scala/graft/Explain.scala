@@ -157,7 +157,13 @@ object Explain {
     "csv_multiline_roundtrip", "text_lang_profile",
     // and the NFC-normalized dedup audit (typed normalize map → one
     // global aggregate).
-    "text_nfc_dedup")
+    "text_nfc_dedup",
+    // round 18: the persisted image-ingest probe (bucketed band-index
+    // scan, batch-side-only exchange — the dedup_incremental_indexed
+    // family) and the byte-level BPE's per-round pair count shape is
+    // text_bpe_pairs' (its learn loop is driver-collected like
+    // text_bpe_learn, so no Explain entry — same reason).
+    "mm_ahash_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

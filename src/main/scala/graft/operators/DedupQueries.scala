@@ -128,9 +128,12 @@ object DedupQueries extends QueryPack {
     * join rows (distinct pairs, all verified); the asymmetric probe
     * halves that to 217k join rows, and length+positional pruning
     * passes 123k pairs to the verify. Query 5.3 s (r17 artifact) →
-    * 2.86 s; the remainder is the plan's ~8-exchange fixed floor plus
-    * the verify join, not candidate excess (cutting verify pairs 410k →
-    * 123k moved the time < 0.1 s — see NOTES.md round 18). */
+    * 2.9 s first draw / 1.80 s three-run floor (≈1.5× the 1.23 s
+    * brute DuckDB draw); the rest is the plan's ~8-exchange fixed
+    * floor plus the verify join, not candidate excess (cutting verify
+    * pairs 410k → 123k moved wall-clock < 0.1 s). At 10× corpus the
+    * filters buy 2.1× (STRESS prefix_join_10x: 29.8 → 17.5 s,
+    * bit-identical pair set). */
   private[graft] def prefixJaccardPairsOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Checkpoints, not style: the shingle frame feeds the df aggregate,

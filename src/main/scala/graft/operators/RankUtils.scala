@@ -32,22 +32,27 @@ object RankUtils {
 
   private val LocalBits = 33 // monotonically_increasing_id's layout
 
+  /** `checkpoint = false` exists ONLY for PlanSpec: the checkpoint
+    * hides the range exchange inside a Scan ExistingRDD, so the plan
+    * pin inspects the un-cut kernel. Production callers keep the
+    * default. */
   def globalRank(df: DataFrame, order: Seq[Column],
-                 rankCol: String = "rank"): DataFrame = {
+                 rankCol: String = "rank",
+                 checkpoint: Boolean = true): DataFrame = {
     val cols = df.columns.toSeq
     require(!cols.contains(rankCol) && !cols.contains("__graft_mid"),
       s"globalRank: input already has a $rankCol/__graft_mid column")
-    val ranged = df
+    val ranged0 = df
       .repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__graft_mid", monotonically_increasing_id())
       .withColumn("__graft_pid", shiftright(col("__graft_mid"), LocalBits))
-      // Materialize ONCE: the frame feeds both the per-partition counts
-      // and the join. Without the cut, the two consumers could re-sample
-      // range bounds (and, if the caller's key is not a total order,
-      // re-order ties) independently — ranks must come from ONE
-      // materialized layout, not two executions assumed identical.
-      .localCheckpoint(eager = false)
+    // Materialize ONCE: the frame feeds both the per-partition counts
+    // and the join. Without the cut, the two consumers could re-sample
+    // range bounds (and, if the caller's key is not a total order,
+    // re-order ties) independently — ranks must come from ONE
+    // materialized layout, not two executions assumed identical.
+    val ranged = if (checkpoint) ranged0.localCheckpoint(eager = false) else ranged0
     val offsets = ranged
       .groupBy("__graft_pid").agg(count(lit(1)).as("__graft_pc"))
       .withColumn("__graft_off",

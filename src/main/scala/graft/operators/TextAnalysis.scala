@@ -891,6 +891,12 @@ object TextAnalysis extends QueryPack {
                FROM w)"""
   }
 
+  /** Each v{r} (two consumers: p{r+1} and v{r+1}) and t{r} are
+    * MATERIALIZED: without the hint DuckDB re-inlines the chain per
+    * reference, which is exponential in k (measured: text_bpe_bytes'
+    * k=8 oracle 10.8 s plain → 0.12 s materialized at sf0.1). An
+    * inflated oracle draw would pad the bench denominator, so the
+    * cheap form is the honest one. */
   private def bpeRoundsOnly(k: Int): String = {
     val rounds = (1 to k).map { r =>
       s"""p$r AS (SELECT u.pair[1] AS a, u.pair[2] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
@@ -898,8 +904,8 @@ object TextAnalysis extends QueryPack {
                               i -> [syms[i+1], syms[i+2]])) AS pair
                         FROM v${r - 1} WHERE len(syms) >= 2) u
                   GROUP BY 1, 2),
-            t$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
-            v$r AS (SELECT word, freq,
+            t$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+            v$r AS MATERIALIZED (SELECT word, freq,
                            CASE WHEN t.a IS NULL THEN syms ELSE
                              list_reduce(list_transform(syms, s -> [s]),
                                (acc, x) -> CASE WHEN acc[-1] = t.a AND x[1] = t.b

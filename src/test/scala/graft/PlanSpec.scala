@@ -319,9 +319,27 @@ class PlanSpec extends SparkSpec {
     // aggregate (1-row cuts, per-partition offset counts) — metadata-
     // sized reductions, never the doc frame itself.
     val p = plan("text_lm_buckets")
-    assert(p.contains("Exchange rangepartitioning(surprisal"),
-      s"missing the parallel range sort on surprisal:\n$p")
+    // Round 18: the ranked frame is localCheckpoint()ed (one
+    // materialization for both the offset aggregate and the join), so
+    // the range exchange lives inside the checkpoint's lineage and the
+    // downstream plan shows a Scan ExistingRDD carrying the rank
+    // columns instead. Pin the checkpoint barrier here and the range
+    // partitioning on the un-cut kernel below.
+    assert(p.contains("Scan ExistingRDD") && p.contains("__graft_pid"),
+      s"ranked frame not read from its single checkpoint:\n$p")
     assert(!p.toLowerCase.contains("ntile"), s"ntile window crept back:\n$p")
+    import org.apache.spark.sql.functions.{col, length}
+    val kernel = graft.operators.RankUtils.globalRank(
+      Tables.documents(spark, sf("sf0.001"))
+        .select(col("doc_id"), length(col("text")).as("n")),
+      Seq(col("n").asc, col("doc_id").asc), checkpoint = false)
+      .queryExecution.executedPlan.toString
+    assert(kernel.contains("Exchange rangepartitioning(n#"),
+      s"missing the parallel range sort on the ranking key:\n$kernel")
+    assert(!kernel.contains("Exchange SinglePartition") ||
+      !kernel.linesIterator.exists(l =>
+        l.contains("Exchange SinglePartition") && l.contains("doc_id")),
+      s"kernel funnels the doc frame:\n$kernel")
     val lines = p.linesIterator.toVector
     lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach {
       case (line, i) =>
