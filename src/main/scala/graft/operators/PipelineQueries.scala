@@ -374,6 +374,47 @@ object PipelineQueries extends QueryPack {
       shards.crossJoin(spread).orderBy("shard")
     }),
 
+    // SEQUENCE PACKING for LLM pretraining — the concat-and-chunk step
+    // that turns a deduped corpus into fixed-length training sequences:
+    // concatenate documents in a deterministic order (doc_id), slice the
+    // token stream into L=128-token sequences, and audit the packing —
+    // how many documents each sequence touches (attention-mask
+    // fragmentation), how many sequences are exactly full (all but the
+    // tail, by construction — pinned in the gate), token conservation,
+    // and a membership checksum. The document start offsets come from
+    // RankUtils.globalPrefixSum (parallel range-partitioned scan — the
+    // weighted sibling of globalRank, NO SinglePartition funnel); a doc
+    // then explodes into its ~toks/L covered sequences map-side with the
+    // exact per-sequence token overlap, and everything downstream is
+    // ordinary codegen'd aggregation. Scale: one range exchange for the
+    // offsets, one hash exchange on seq — both linear; the explode
+    // fan-out is bounded by total_tokens/L.
+    "pipeline_seq_pack" -> ((s, d) => {
+      val L = 128L
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      val pre = RankUtils.globalPrefixSum(docs, Seq(col("doc_id").asc),
+        col("toks"), prefixCol = "tok_start")
+      val frag = pre
+        .withColumn("seq", explode(sequence(
+          expr(s"tok_start div $L"),
+          expr(s"(tok_start + toks - 1) div $L"))))
+        .withColumn("fill",
+          least(col("tok_start") + col("toks"), (col("seq") + 1) * L)
+            - greatest(col("tok_start"), col("seq") * L))
+      val seqs = frag.groupBy("seq").agg(
+        count(lit(1)).as("n_docs"),
+        sum("fill").as("fill"),
+        sum(graft.functions.PortableHash.h60p(col("doc_id").cast("string")))
+          .as("dck"))
+      seqs.groupBy(col("n_docs").as("docs_per_seq")).agg(
+        count(lit(1)).as("n_seqs"),
+        sum("fill").as("token_sum"),
+        sum(when(col("fill") === L, 1L).otherwise(0L)).as("n_full"),
+        sum(col("seq") * 31 + col("dck")).as("seq_checksum"))
+        .orderBy("docs_per_seq")
+    }),
+
     "pipeline_token_mix" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
@@ -662,6 +703,37 @@ object PipelineQueries extends QueryPack {
             sp AS (SELECT MAX(token_sum) - MIN(token_sum) AS token_spread FROM sh)
          SELECT sh.*, CAST(sp.token_spread AS BIGINT) AS token_spread
          FROM sh CROSS JOIN sp ORDER BY shard""",
+    // Concat-and-chunk replayed closed-form: exclusive cumsum over the
+    // doc_id order, each doc laterally exploded into its covered
+    // 128-token sequences with the exact overlap, then the same
+    // two-level aggregation.
+    "pipeline_seq_pack" ->
+      s"""WITH docs AS (SELECT doc_id,
+                               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+                        FROM documents),
+            pre AS (SELECT doc_id, toks,
+                           CAST(COALESCE(SUM(toks) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                             0) AS BIGINT) AS tok_start
+                    FROM docs),
+            sqs AS (SELECT doc_id, toks, tok_start,
+                           unnest(range(tok_start // 128,
+                                        (tok_start + toks - 1) // 128 + 1)) AS seq
+                    FROM pre),
+            frag AS (SELECT doc_id, seq,
+                            LEAST(tok_start + toks, (seq + 1) * 128)
+                              - GREATEST(tok_start, seq * 128) AS fill
+                     FROM sqs),
+            sq AS (SELECT seq, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                          CAST(SUM(fill) AS BIGINT) AS fill,
+                          SUM(${graft.functions.PortableHash.h60pSql(
+                            "CAST(doc_id AS VARCHAR)")}) AS dck
+                   FROM frag GROUP BY 1)
+          SELECT n_docs AS docs_per_seq, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+                 CAST(SUM(fill) AS BIGINT) AS token_sum,
+                 CAST(SUM(CASE WHEN fill = 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+                 CAST(SUM(seq * 31 + dck) AS BIGINT) AS seq_checksum
+          FROM sq GROUP BY 1 ORDER BY docs_per_seq""",
     "pipeline_token_mix" ->
       s"""WITH docs AS (SELECT doc_id, source,
                                CAST(len(string_split(text, ' ')) AS BIGINT) AS toks

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Distributed exact total-order ranking — the scale-safe replacement
   * for `row_number()/ntile()` over an UNPARTITIONED window, whose plan
@@ -68,5 +69,61 @@ object RankUtils {
         col("__graft_off") +
           col("__graft_mid").bitwiseAND(lit((1L << LocalBits) - 1)) + 1)
       .drop("__graft_mid", "__graft_pid", "__graft_off")
+  }
+
+  /** Distributed exact EXCLUSIVE prefix sum of `weight` over the global
+    * `order` — the weighted sibling of [[globalRank]] (rank is the
+    * prefix sum of the constant weight 1). Same shape: ONE wide exchange
+    * (the range partitioning), never a SinglePartition funnel.
+    *
+    * The per-partition inclusive scan is inherently sequential state —
+    * the one case where `mapPartitions` beats every declarative option:
+    * a `Window.partitionBy(pid)` would force a SECOND full exchange
+    * (hash on pid) just to satisfy the window's clustering requirement,
+    * while the scan is a narrow, order-preserving pass over the
+    * partition `sortWithinPartitions` already laid out. Partition totals
+    * then roll up exactly like globalRank's counts: a metadata-sized
+    * frame (one row per partition) carries the only window, and the
+    * offsets broadcast back.
+    *
+    * `order` must be a total order; `weight` must cast to a non-null
+    * BIGINT on every row. `prefixCol` gets the sum of all weights
+    * STRICTLY BEFORE the row (0 for the global first row). */
+  def globalPrefixSum(df: DataFrame, order: Seq[Column], weight: Column,
+                      prefixCol: String = "prefix",
+                      checkpoint: Boolean = true): DataFrame = {
+    val reserved = Set("__graft_w", "__graft_cum", "__graft_pid", "__graft_off")
+    val cols = df.columns.toSet
+    require(!cols.contains(prefixCol) && !reserved.exists(cols.contains),
+      s"globalPrefixSum: input already has a $prefixCol or __graft_* column")
+    val ranged = df
+      .withColumn("__graft_w", weight.cast(LongType))
+      .repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+    val wIdx = ranged.schema.fieldIndex("__graft_w")
+    val outSchema = ranged.schema.add("__graft_cum", LongType, nullable = false)
+    val scanned0 = ranged.mapPartitions { it =>
+      var acc = 0L
+      it.map { r => acc += r.getLong(wIdx); Row.fromSeq(r.toSeq :+ acc) }
+    }(Encoders.row(outSchema))
+    // Materialize ONCE for the same reason as globalRank: the offsets
+    // aggregate and the join must read one layout, not two executions.
+    val scanned = (if (checkpoint) scanned0.localCheckpoint(eager = false)
+                   else scanned0)
+      .withColumn("__graft_pid", spark_partition_id().cast(LongType))
+    val offsets = scanned
+      .groupBy("__graft_pid").agg(sum("__graft_w").as("__graft_pt"))
+      .withColumn("__graft_off",
+        coalesce(
+          sum("__graft_pt").over(
+            Window.orderBy("__graft_pid")
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__graft_pid", "__graft_off")
+    scanned
+      .join(broadcast(offsets), "__graft_pid")
+      .withColumn(prefixCol,
+        col("__graft_off") + col("__graft_cum") - col("__graft_w"))
+      .drop("__graft_w", "__graft_cum", "__graft_pid", "__graft_off")
   }
 }

@@ -349,4 +349,48 @@ class PlanSpec extends SparkSpec {
           s"SinglePartition exchange over a non-aggregate child:\n$line\n${child.getOrElse("")}\n$p")
     }
   }
+
+  test("pipeline_seq_pack prefix-sums distributed — range exchange, no doc-frame funnel") {
+    // The concat-and-chunk offsets come from RankUtils.globalPrefixSum;
+    // the naive formulation (SUM OVER an unpartitioned ORDER BY) would
+    // funnel the whole corpus through one task. Pin: (a) the executed
+    // plan reads the scanned frame from its one checkpoint, (b) the
+    // un-cut kernel shows the parallel range partitioning on the order
+    // key and an order-preserving MapPartitions scan — NOT a second
+    // full exchange on pid, (c) any SinglePartition exchange in the
+    // full plan feeds only from an aggregate (metadata-sized offsets).
+    val p = plan("pipeline_seq_pack")
+    assert(p.contains("Scan ExistingRDD") && p.contains("__graft_cum"),
+      s"scanned frame not read from its single checkpoint:\n$p")
+    import org.apache.spark.sql.functions.{col, size, split}
+    val kernel = graft.operators.RankUtils.globalPrefixSum(
+      Tables.documents(spark, sf("sf0.001"))
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("toks")),
+      Seq(col("doc_id").asc), col("toks"), checkpoint = false)
+      .queryExecution.executedPlan.toString
+    assert(kernel.contains("Exchange rangepartitioning(doc_id#"),
+      s"missing the parallel range sort on the order key:\n$kernel")
+    assert(kernel.contains("MapPartitions"),
+      s"missing the order-preserving per-partition scan:\n$kernel")
+    // Any exchange on pid must sit ABOVE a partial aggregate (the
+    // one-row-per-partition offsets frame), never re-shuffle the
+    // scanned corpus rows themselves — the Window.partitionBy(pid)
+    // formulation this helper exists to avoid.
+    val kLines = kernel.linesIterator.toVector
+    kLines.zipWithIndex
+      .filter(_._1.contains("Exchange hashpartitioning(__graft_pid")).foreach {
+        case (line, i) =>
+          val child = kLines.drop(i + 1).find(l => l.exists(_.isLetter))
+          assert(child.exists(_.contains("HashAggregate")),
+            s"pid exchange over a non-aggregate child:\n$line\n${child.getOrElse("")}\n$kernel")
+      }
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach {
+      case (line, i) =>
+        val child = lines.drop(i + 1)
+          .find(l => l.exists(c => c.isLetter))
+        assert(child.exists(c => c.contains("HashAggregate")),
+          s"SinglePartition exchange over a non-aggregate child:\n$line\n${child.getOrElse("")}\n$p")
+    }
+  }
 }

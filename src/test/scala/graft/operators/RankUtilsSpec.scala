@@ -42,4 +42,40 @@ class RankUtilsSpec extends SparkSpec {
       RankUtils.globalRank(df, Seq(col("id").asc))
     }
   }
+
+  test("globalPrefixSum equals the unpartitioned window cumsum") {
+    // Weights include zeros; keys collide on k (ties broken by id) and
+    // arrive scrambled, so the scan must follow the total order, not
+    // the arrival order.
+    val df = (1 to 997).map(i => ((i * 131) % 23 - 11, i.toLong, (i * 7) % 5L))
+      .toDF("k", "id", "w")
+    val got = RankUtils.globalPrefixSum(df,
+      Seq(col("k").asc, col("id").asc), col("w"), prefixCol = "pre")
+    val want = df.withColumn("pre",
+      coalesce(sum("w").over(Window.orderBy(col("k").asc, col("id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val g = got.orderBy("k", "id").select("k", "id", "pre")
+      .as[(Int, Long, Long)].collect().toSeq
+    val w = want.orderBy("k", "id").select("k", "id", "pre")
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(g == w)
+    // Exclusive semantics: the global first row starts at 0, and the
+    // last row's prefix + weight is the grand total.
+    assert(g.head._3 == 0L)
+  }
+
+  test("globalPrefixSum on tiny and empty frames; colliding column refused") {
+    val tiny = Seq((3, 10L), (1, 5L), (2, 7L)).toDF("id", "w")
+    val r = RankUtils.globalPrefixSum(tiny, Seq(col("id").asc), col("w"),
+      prefixCol = "pre")
+      .orderBy("id").select("id", "pre").as[(Int, Long)].collect().toSeq
+    assert(r == Seq((1, 0L), (2, 5L), (3, 12L)))
+    val empty = Seq.empty[(Int, Long)].toDF("id", "w")
+    assert(RankUtils.globalPrefixSum(empty, Seq(col("id").asc), col("w"))
+      .count() == 0)
+    intercept[IllegalArgumentException] {
+      RankUtils.globalPrefixSum(Seq((1, 1L)).toDF("prefix", "w"),
+        Seq(col("w").asc), col("w"))
+    }
+  }
 }
