@@ -163,7 +163,11 @@ object Explain {
     // family) and the byte-level BPE's per-round pair count shape is
     // text_bpe_pairs' (its learn loop is driver-collected like
     // text_bpe_learn, so no Explain entry — same reason).
-    "mm_ahash_incremental")
+    "mm_ahash_incremental",
+    // round 18 continuation: the pHash ingest probe (the aHash twin,
+    // same bucketed-scan plan family) and the sequence-packing report
+    // (globalPrefixSum range exchange + map-side explode → seq groupBy).
+    "mm_phash_incremental", "pipeline_seq_pack")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

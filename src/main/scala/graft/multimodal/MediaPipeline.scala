@@ -6124,4 +6124,71 @@ object MediaPipeline {
       })
       .toDF()
   }
+
+  // ──────── pHash incremental-ingest batch (mm_phash_incremental) ────────
+  // The spectral twin of the aHash ingest batch, exercising the edit
+  // class pHash exists for:
+  //   doc_id%10 == 7 → a SECOND photometric round on the corpus image
+  //     (contrast ×55/50 around mid-gray 122, applied at the BLOCK level
+  //     so the parity ripple still cancels) — pHash is invariant to the
+  //     affine map up to integer requantization, so the re-submission
+  //     lands within hamming ≤ 2 of its corpus doc (measured over all
+  //     sf0.1 ids: worst 2, 95% exact-equal) and the ≤ 6 gate must FLAG;
+  //   doc_id%10 == 4 → fresh content: the TRANSPOSED block layout with
+  //     no variant edits. Transposing block means transposes the DCT
+  //     coefficient matrix, so the hash is a bit-permutation of the
+  //     original's — far for the asymmetric (fam+bi)² patterns (measured
+  //     global minimum hamming vs the ENTIRE sf0.1 corpus: 12 > 6) —
+  //     and the gate must PASS it.
+
+  /** Batch gray value of pixel (x, y) for arriving doc `id`. The %10==7
+    * edit re-contrasts the corpus BLOCK value cb ∈ [26, 237]:
+    * cb + floor(5·(cb−122)/50), computed as cb − 10 + (5·(cb−122)+500)/50
+    * so the dividend stays nonnegative (min 20); result ∈ [16, 248], so
+    * the ±3 ripple keeps every byte in range. */
+  def phashBatchPxValue(id: Long, x: Int, y: Int): Int = {
+    val bi = (y / 8) * 8 + (x / 8)
+    val ripple = if (x % 2 == 0) 3 else -3
+    if (id % 10 == 7) {
+      val b = phashBlockBase(id / 4, bi)
+      val v = (id % 4).toInt
+      val cb = b - 6 + (v * (b - 122) + 300) / 50 + 3 * v
+      cb - 10 + (5 * (cb - 122) + 500) / 50 + ripple
+    } else {
+      val bt = (bi % 8) * 8 + bi / 8
+      phashBlockBase(id / 4, bt) + ripple
+    }
+  }
+
+  /** Arriving-batch BMP for doc `id` under the pHash batch value model. */
+  def phashBatchBmp(id: Long): Array[Byte] = {
+    val w = 64; val h = 64
+    val stride = w * 3
+    val px = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val base = (h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val v = phashBatchPxValue(id, x, y).toByte
+        px(base + x * 3) = v; px(base + x * 3 + 1) = v; px(base + x * 3 + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    bmpHeader(w, h, px.length) ++ px
+  }
+
+  /** The arriving image batch for the pHash ingest gate: docs with
+    * doc_id%10 ∈ {4, 7}, staged under the batch value model (the oracle
+    * replays the model, never these bytes). */
+  def phashBatchStaged(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 === 4 || col("doc_id") % 10 === 7)
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) => MediaRow(id, src, phashBatchBmp(id)) })
+      .toDF()
+  }
 }

@@ -378,6 +378,17 @@ object MultimodalQueries extends QueryPack {
         graft.multimodal.HammingBands.sparkCaseSql(graft.multimodal.HammingBands.ahash)))
   }
 
+  /** pHash twin of [[ahashBandRows]]: the 7-band (t+1 for the ≤ 6
+    * verify) HammingBands.phash layout, shared by the offline self-join
+    * and the persisted ingest index. */
+  private[graft] def phashBandRows(dec: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val nb = graft.multimodal.HammingBands.phash.length
+    dec.select(col("doc_id"), col("h_hi"), col("h_lo"),
+        explode(sequence(lit(0), lit(nb - 1))).as("ck"))
+      .withColumn("cv", expr(
+        graft.multimodal.HammingBands.sparkCaseSql(graft.multimodal.HammingBands.phash)))
+  }
+
   private def pixelQueries: Map[String, Q] = Map(
     // The WebDataset END-TO-END pipeline: tar shards (the arrival
     // format) → member walk (TarSource.members, one task per shard) →
@@ -553,6 +564,40 @@ object MultimodalQueries extends QueryPack {
       imgAgg.join(pairAgg, Seq("source"), "left")
         .na.fill(0L, Seq("n_pairs", "hamming_sum", "pair_checksum"))
         .orderBy("source")
+    }),
+
+    // PRODUCTION shape of mm_phash_dedup — the PERSISTED pHash ingest
+    // gate (spectral twin of mm_ahash_incremental): the corpus pHash
+    // band index is a MAINTAINED bucketed table on (ck, cv); each
+    // arriving image batch probes it with only the batch's band rows,
+    // the corpus side read EXCHANGE-FREE from its buckets (plan-pinned
+    // in SkewAndBucketingSpec). The staged batch exercises the edit
+    // class pHash exists for: doc_id%10==7 → a second photometric round
+    // (block-level contrast ×55/50) that must FLAG at hamming ≤ 6
+    // (measured worst distance 2); doc_id%10==4 → transposed-layout
+    // fresh content that must PASS (measured global minimum corpus
+    // distance 12 — see MediaPipeline.phashBatchPxValue). Same t+1
+    // (7-band) HammingBands layout as the offline job, so recall at the
+    // threshold is guaranteed; the oracle replays both value models,
+    // the integer DCT and the banding closed-form.
+    "mm_phash_incremental" -> ((s, d) => {
+      val corpus = MediaPipeline.decodedPhash(s, d)
+      val tbl = graft.sources.FileSources.dirKeyedTable("graft_phash_band_idx", d)
+      graft.sources.FileSources.ensureBucketed(
+        phashBandRows(corpus), tbl, 8, Seq("ck", "cv"),
+        Some(graft.sources.FileSources.tableFingerprint(d, Seq("documents"))))
+      val batch = MediaPipeline.decodedPhashOf(s, MediaPipeline.phashBatchStaged(s, d))
+      val probe = phashBandRows(batch)
+        .select(col("ck"), col("cv"), col("doc_id").as("batch_id"),
+          col("h_hi").as("hb_hi"), col("h_lo").as("hb_lo"))
+      s.table(tbl)
+        .join(probe, Seq("ck", "cv"))
+        .withColumn("ham", expr(
+          "CAST(bit_count(h_hi ^ hb_hi) + bit_count(h_lo ^ hb_lo) AS BIGINT)"))
+        .filter(col("ham") <= 6)
+        .select(col("batch_id"), col("doc_id").as("corpus_id"), col("ham"))
+        .dropDuplicates("batch_id", "corpus_id")
+        .orderBy("batch_id", "corpus_id")
     }),
 
     "mm_bmp_pixels" -> ((s, d) =>
@@ -886,6 +931,34 @@ object MultimodalQueries extends QueryPack {
     * column-parity ripple cancels exactly over every 8-wide block; only
     * the moment carries the constant −6144 parity term, derived in
     * MediaPipeline), then hash packing. */
+  /** The pHash DCT→median→hash CTE chain over a block-means CTE
+    * `blk`(id, bi, bm), emitted with prefix `p` so one statement can run
+    * it twice (the incremental oracle's corpus and batch sides). Same
+    * arithmetic as the mm_phash_dedup oracle: separable integer DCT-II
+    * against dct8Sql (generated from the Dct8 array), median = the
+    * 32nd-smallest of the 63 AC values under the (value, index) total
+    * order, bit = strictly above the median. */
+  private def phashChainSql(p: String, blk: String): String = {
+    def D(u: String, x: String) = graft.multimodal.MediaPipeline.dct8Sql(u, x)
+    s"""${p}tt AS (SELECT id, bi%8 AS x, dv.range AS v,
+                          SUM(bm * ${D("dv.range", "bi//8")}) AS t
+                   FROM $blk, range(8) dv GROUP BY 1, 2, 3),
+            ${p}cf AS (SELECT id, du.range AS u, v,
+                          SUM(t * ${D("du.range", "x")}) AS c
+                   FROM ${p}tt, range(8) du GROUP BY 1, 2, 3),
+            ${p}md AS (SELECT id, c AS med FROM
+                     (SELECT id, c, ROW_NUMBER() OVER (PARTITION BY id
+                        ORDER BY c, u*8 + v) AS rk
+                      FROM ${p}cf WHERE NOT (u = 0 AND v = 0))
+                   WHERE rk = 32),
+            ${p}hash AS (SELECT f.id,
+                            CAST(SUM(CASE WHEN u*8 + v BETWEEN 1 AND 31 AND c > med
+                                          THEN (CAST(1 AS BIGINT) << (31 - (u*8 + v))) ELSE 0 END) AS BIGINT) AS h_hi,
+                            CAST(SUM(CASE WHEN u*8 + v >= 32 AND c > med
+                                          THEN (CAST(1 AS BIGINT) << (63 - (u*8 + v))) ELSE 0 END) AS BIGINT) AS h_lo
+                     FROM ${p}cf f JOIN ${p}md m ON f.id = m.id GROUP BY f.id)"""
+  }
+
   private val ahashCorpusHashCte: String =
     """img AS (SELECT doc_id AS id, source FROM documents),
             base AS (SELECT id, source, b.range AS bi,
@@ -1522,6 +1595,51 @@ object MultimodalQueries extends QueryPack {
                 COALESCE(pa.hamming_sum, 0) AS hamming_sum,
                 COALESCE(pa.pair_checksum, 0) AS pair_checksum
          FROM ia LEFT JOIN pa USING (source) ORDER BY ia.source"""
+    },
+
+    // The pHash ingest gate replayed: corpus hashes from the photometric
+    // model, batch hashes from the BATCH value model (id%10==7: the
+    // corpus block value re-contrasted ×55/50 — the nonneg-dividend
+    // form mirrors MediaPipeline.phashBatchPxValue; id%10==4: the
+    // transposed-layout base, no variant deltas), both through the same
+    // integer-DCT chain and t+1 banding, hamming ≤ 6 on band-collided
+    // (corpus, batch) pairs.
+    "mm_phash_incremental" -> {
+      val bands = graft.multimodal.HammingBands.phash
+      s"""WITH cbb AS (SELECT doc_id AS id, b.range AS bi,
+                          ((((doc_id//4)*37 + b.range*11 +
+                             (((doc_id//4) + b.range)*((doc_id//4) + b.range)) % 97) % 200) + 23) AS pb
+                   FROM documents, range(64) b),
+            cblk AS (SELECT id, bi,
+                            pb - 6 + ((id%4)*(pb - 122) + 300) // 50 + 3*(id%4) AS bm
+                     FROM cbb),
+            ${phashChainSql("c", "cblk")},
+            bbb AS (SELECT id, b.range AS bi,
+                           ((((id//4)*37 + b.range*11 +
+                              (((id//4) + b.range)*((id//4) + b.range)) % 97) % 200) + 23) AS pb,
+                           ((((id//4)*37 + ((b.range%8)*8 + b.range//8)*11 +
+                              (((id//4) + ((b.range%8)*8 + b.range//8))
+                               *((id//4) + ((b.range%8)*8 + b.range//8))) % 97) % 200) + 23) AS tb
+                    FROM (SELECT doc_id AS id FROM documents
+                          WHERE doc_id%10 = 4 OR doc_id%10 = 7) bi2, range(64) b),
+            bblk AS (SELECT id, bi,
+                            CASE WHEN id%10 = 7 THEN
+                              (pb - 6 + ((id%4)*(pb - 122) + 300) // 50 + 3*(id%4)) - 10
+                                + (5*((pb - 6 + ((id%4)*(pb - 122) + 300) // 50 + 3*(id%4)) - 122) + 500) // 50
+                            ELSE tb END AS bm
+                     FROM bbb),
+            ${phashChainSql("b", "bblk")},
+            cch AS (SELECT id, h_hi, h_lo, k.range AS ck,
+                           ${graft.multimodal.HammingBands.duckCaseSql(bands, "k.range")} AS cv
+                    FROM chash, range(${bands.length}) k),
+            bch AS (SELECT id, h_hi, h_lo, k.range AS ck,
+                           ${graft.multimodal.HammingBands.duckCaseSql(bands, "k.range")} AS cv
+                    FROM bhash, range(${bands.length}) k)
+          SELECT DISTINCT b.id AS batch_id, c.id AS corpus_id,
+                 CAST(bit_count(xor(c.h_hi, b.h_hi)) + bit_count(xor(c.h_lo, b.h_lo)) AS BIGINT) AS ham
+          FROM cch c JOIN bch b ON c.ck = b.ck AND c.cv = b.cv
+          WHERE bit_count(xor(c.h_hi, b.h_hi)) + bit_count(xor(c.h_lo, b.h_lo)) <= 6
+          ORDER BY batch_id, corpus_id"""
     },
 
     "mm_bmp_pixels" ->

@@ -69,6 +69,27 @@ class PhashSpec extends SparkSpec {
     assert(ham(h0, h9) > 15)
   }
 
+  test("ingest batch model: re-contrasted re-submissions flag, transposed images pass") {
+    // The mm_phash_incremental fixture's two directions, decoded
+    // through the REAL BMP parse: id%10==7 batch images are a SECOND
+    // photometric round on their corpus source — the affine edit class
+    // pHash is invariant to up to integer requantization, so they must
+    // land within the hamming ≤ 6 flag threshold (measured worst 2);
+    // id%10==4 batch images are transposed-layout fresh content — the
+    // bit-permutation the asymmetric patterns push far away — and must
+    // land outside it. Swept over the first 40 of each class.
+    def ham(a: (Long, Long, Long), b: (Long, Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    for (k <- 0 until 40) {
+      val id7 = 7L + 10L * k
+      val d7 = ham(decodePhash(phashBmp(id7)).get, decodePhash(phashBatchBmp(id7)).get)
+      assert(d7 <= 6, s"re-contrasted batch id=$id7 hamming=$d7 escapes the flag threshold")
+      val id4 = 4L + 10L * k
+      val d4 = ham(decodePhash(phashBmp(id4)).get, decodePhash(phashBatchBmp(id4)).get)
+      assert(d4 > 6, s"transposed batch id=$id4 hamming=$d4 unexpectedly near its source")
+    }
+  }
+
   test("t+1 banding catches spread-bit near-dups the 4×16 chunks provably missed") {
     // Hamming 6 spread (2,1,2,1) over the legacy 16-bit chunks: under
     // the verify threshold yet every legacy chunk dirty. The 7-band

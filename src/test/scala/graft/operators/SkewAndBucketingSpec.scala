@@ -179,6 +179,26 @@ class SkewAndBucketingSpec extends SparkSpec {
     sess.sql("DROP TABLE IF EXISTS b_ahash_idx")
   }
 
+  test("the persisted pHash band index probes with no corpus-side exchange") {
+    // mm_phash_incremental's deployment claim — the spectral twin of
+    // the aHash pin above: the per-ingest probe shuffles ONLY the
+    // arriving batch's band rows.
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    val corpus = graft.multimodal.MediaPipeline.decodedPhash(sess, dir)
+    graft.sources.FileSources.writeBucketed(
+      MultimodalQueries.phashBandRows(corpus), "b_phash_idx", 8, Seq("ck", "cv"))
+    val batch = graft.multimodal.MediaPipeline.decodedPhashOf(
+      sess, graft.multimodal.MediaPipeline.phashBatchStaged(sess, dir))
+    val probe = MultimodalQueries.phashBandRows(batch)
+      .select(col("ck"), col("cv"), col("doc_id").as("batch_id"),
+        col("h_hi").as("hb_hi"), col("h_lo").as("hb_lo"))
+    assertBucketSideExchangeFree(
+      sess.table("b_phash_idx").join(probe, Seq("ck", "cv")))
+    sess.sql("DROP TABLE IF EXISTS b_phash_idx")
+  }
+
   test("the persisted md5 corpus index anti-joins with no corpus-side exchange") {
     // dedup_incremental_indexed's deployment claim: with the corpus
     // content-hash index bucketed on content_hash, the per-ingest LEFT
