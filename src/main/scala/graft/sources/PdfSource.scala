@@ -67,10 +67,12 @@ object PdfSource {
   // Docs with id%2 == 0 FILTER their content streams (and, in the
   // modern layout, the ObjStm), rotating through the filter classes a
   // real corpus carries:
-  //   id%8 == 0  /Filter [ /FlateDecode ]              (array form)
-  //   id%8 == 2  /Filter /LZWDecode                    (name form)
-  //   id%8 == 4  /Filter [ /ASCIIHexDecode /FlateDecode ]
-  //   id%8 == 6  /Filter [ /ASCII85Decode /LZWDecode ]
+  //   id%16 ∈ {0,8}  /Filter [ /FlateDecode ]              (array form)
+  //   id%16 == 2     /Filter /LZWDecode                    (name form)
+  //   id%16 ∈ {4,12} /Filter [ /ASCIIHexDecode /FlateDecode ]
+  //   id%16 == 6     /Filter [ /ASCII85Decode /LZWDecode ]
+  //   id%16 == 10    /Filter /RunLengthDecode              (name form)
+  //   id%16 == 14    /Filter [ /RunLengthDecode /FlateDecode ]
   // Odd ids store their streams plain.
   // Docs with id%5 == 2 use the MODERN (PDF 1.5+) file layout: all
   // non-stream objects packed into a /Type /ObjStm object stream,
@@ -82,8 +84,9 @@ object PdfSource {
 
   def pdfRevised(id: Long): Boolean = id % 7 == 0
 
-  /** Content streams carry a /Filter (the class rotates on id%8 — see
-    * the model comment; the name predates the LZW/transport classes). */
+  /** Content streams carry a /Filter (the class rotates on id%16 — see
+    * the model comment; the name predates the LZW/RLE/transport
+    * classes). */
   def pdfFlate(id: Long): Boolean = id % 2 == 0
 
   /** PDF 1.5+ layout: object stream + cross-reference stream. */
@@ -373,6 +376,58 @@ object PdfSource {
     None // missing '~>' terminator
   }
 
+  // ── RunLengthDecode (§7.4.5): length byte L — 0..127 copies the next
+  //    L+1 bytes literally, 129..255 repeats the next byte 257−L times,
+  //    128 is EOD. The PackBits scheme old image-heavy writers emit.
+
+  /** Run-length encode for staging: maximal runs (≥ 2) as repeat
+    * groups, literal stretches capped at 128, EOD terminator. */
+  private[sources] def rleEncode(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(raw.length + raw.length / 128 + 8)
+    var i = 0
+    while (i < raw.length) {
+      var j = i + 1
+      while (j < raw.length && j - i < 128 && raw(j) == raw(i)) j += 1
+      if (j - i >= 2) { out.write(257 - (j - i)); out.write(raw(i) & 0xFF); i = j }
+      else {
+        var k = i + 1
+        while (k < raw.length && k - i < 128 &&
+               !(k + 1 < raw.length && raw(k) == raw(k + 1))) k += 1
+        out.write(k - i - 1)
+        out.write(raw, i, k - i)
+        i = k
+      }
+    }
+    out.write(128) // EOD
+    out.toByteArray
+  }
+
+  /** Run-length decode; None on a truncated group, a missing EOD, or
+    * bomb size (a 2-byte group expands to at most 128 bytes, but the
+    * ceiling keeps every expanding codec under one contract). */
+  private[sources] def rleDecode(in: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(in.length * 2 + 8)
+    var i = 0
+    while (i < in.length) {
+      val l = in(i) & 0xFF
+      if (l == 128) return Some(out.toByteArray) // EOD
+      if (l < 128) {
+        if (i + 2 + l > in.length) return None // truncated literal group
+        out.write(in, i + 1, l + 1)
+        i += l + 2
+      } else {
+        if (i + 1 >= in.length) return None // truncated repeat group
+        val n = 257 - l
+        val b = in(i + 1) & 0xFF
+        var k = 0
+        while (k < n) { out.write(b); k += 1 }
+        i += 2
+      }
+      if (out.size > MaxDecodedBytes) return None // decompression bomb
+    }
+    None // missing EOD
+  }
+
   /** PNG Up-predictor (type 2) encode for xref stream staging: each row
     * is prefixed with filter byte 2 and stores raw − rowAbove (mod 256).
     * §7.4.4.4: the predictors are exactly PNG's (RFC 2083). */
@@ -453,11 +508,13 @@ object PdfSource {
     * transport-wrapped chains. */
   private def filterFragment(id: Long): String =
     if (!pdfFlate(id)) ""
-    else (id % 8) match {
-      case 0 => " /Filter [ /FlateDecode ]"                // array form
-      case 2 => " /Filter /LZWDecode"                      // name form
-      case 4 => " /Filter [ /ASCIIHexDecode /FlateDecode ]" // hex transport
-      case _ => " /Filter [ /ASCII85Decode /LZWDecode ]"   // base-85 transport
+    else (id % 16) match {
+      case 0 | 8 => " /Filter [ /FlateDecode ]"             // array form
+      case 2     => " /Filter /LZWDecode"                   // name form
+      case 4 | 12 => " /Filter [ /ASCIIHexDecode /FlateDecode ]" // hex transport
+      case 6     => " /Filter [ /ASCII85Decode /LZWDecode ]" // base-85 transport
+      case 10    => " /Filter /RunLengthDecode"             // name form
+      case _     => " /Filter [ /RunLengthDecode /FlateDecode ]" // RLE transport
     }
 
   /** Stored (filtered per [[filterFragment]]) body for doc `id`'s
@@ -465,11 +522,13 @@ object PdfSource {
     * first listed filter is the last applied when writing). */
   private def storedContent(id: Long, body: String): String =
     if (!pdfFlate(id)) body
-    else (id % 8) match {
-      case 0 => iso(deflateBytes(bytesOf(body)))
-      case 2 => iso(lzwEncode(bytesOf(body)))
-      case 4 => asciiHexEncode(deflateBytes(bytesOf(body)))
-      case _ => ascii85Encode(lzwEncode(bytesOf(body)))
+    else (id % 16) match {
+      case 0 | 8 => iso(deflateBytes(bytesOf(body)))
+      case 2     => iso(lzwEncode(bytesOf(body)))
+      case 4 | 12 => asciiHexEncode(deflateBytes(bytesOf(body)))
+      case 6     => ascii85Encode(lzwEncode(bytesOf(body)))
+      case 10    => iso(rleEncode(bytesOf(body)))
+      case _     => iso(rleEncode(deflateBytes(bytesOf(body))))
     }
 
   private def classicPdfBytes(id: Long): Array[Byte] = {
@@ -869,6 +928,7 @@ object PdfSource {
           lzwDecode(bytesOf(cur), early).flatMap(unpredict).getOrElse(return None)
         case "ASCIIHexDecode" => asciiHexDecode(cur).map(iso).getOrElse(return None)
         case "ASCII85Decode" => ascii85Decode(cur).map(iso).getOrElse(return None)
+        case "RunLengthDecode" => rleDecode(bytesOf(cur)).map(iso).getOrElse(return None)
         case _ => return None // unsupported filter: refuse, never guess
       }
     }

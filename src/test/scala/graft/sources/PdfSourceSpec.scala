@@ -13,11 +13,12 @@ class PdfSourceSpec extends AnyFunSuite {
   test("round-trip: extracted pages match the text model across the id classes") {
     // Classic layout: 0 revised+flate-array; 1 indirect-length, plain;
     // 4 flate-wrapped-in-hex; 6 ascii85+LZW; 9 2-page plain direct;
-    // 10 LZW name-form; 13/21 plain classics; 14 revised + ascii85+LZW.
-    // Modern (xref stream + ObjStm) layout: 2 LZW'd ObjStm; 7 revised +
-    // indirect-length + plain ObjStm; 12 hex+flate ObjStm; 22 85+LZW
-    // ObjStm; 42 revised + LZW'd ObjStm; 32 flate ObjStm.
-    for (id <- Seq(0L, 1L, 2L, 4L, 6L, 7L, 9L, 10L, 12L, 13L, 14L, 21L, 22L, 32L, 42L)) {
+    // 10 RunLength name-form; 13/21 plain classics; 14 revised +
+    // RLE-around-flate; 18 LZW name-form. Modern (xref stream + ObjStm)
+    // layout: 2 LZW'd ObjStm; 7 revised + indirect-length + plain
+    // ObjStm; 12 hex+flate ObjStm; 22 85+LZW ObjStm; 42 revised +
+    // RLE'd ObjStm; 32 flate ObjStm.
+    for (id <- Seq(0L, 1L, 2L, 4L, 6L, 7L, 9L, 10L, 12L, 13L, 14L, 18L, 21L, 22L, 32L, 42L)) {
       val got = extractPdf(pdfBytes(id)).getOrElse(fail(s"parse failed for id=$id"))
       assert(got.length == pdfPageCount(id), s"id=$id page count")
       for (pg <- got) {
@@ -101,6 +102,26 @@ class PdfSourceSpec extends AnyFunSuite {
     assert(ascii85Decode("a~>").isEmpty)    // 1-char final group
     assert(ascii85Decode("s8W-!~>").map(_.toSeq).contains(Seq[Byte](-1, -1, -1, -1))) // max group
     assert(ascii85Decode("uuuuu~>").isEmpty) // group value over 2^32-1
+  }
+
+  test("RunLength codec round-trips across run/literal shapes and refuses malformation") {
+    val rnd = new scala.util.Random(45L)
+    for (n <- Seq(0, 1, 2, 127, 128, 129, 300, 5000)) {
+      // random bytes (mostly literals)
+      val raw = new Array[Byte](n)
+      rnd.nextBytes(raw)
+      assert(rleDecode(rleEncode(raw)).map(_.toSeq).contains(raw.toSeq), s"rnd n=$n")
+      // long constant runs (cross the 128-run cap)
+      val runs = Array.fill[Byte](n)(7)
+      assert(rleDecode(rleEncode(runs)).map(_.toSeq).contains(runs.toSeq), s"run n=$n")
+      // alternating 2-runs (the shortest encodable run)
+      val alt = Array.tabulate[Byte](n)(i => (i / 2 % 5).toByte)
+      assert(rleDecode(rleEncode(alt)).map(_.toSeq).contains(alt.toSeq), s"alt n=$n")
+    }
+    assert(rleDecode(Array[Byte](3, 1, 2)).isEmpty)      // truncated literal group
+    assert(rleDecode(Array[Byte](0xFE.toByte)).isEmpty)  // truncated repeat group
+    assert(rleDecode(Array[Byte](0, 1)).isEmpty)         // missing EOD
+    assert(rleDecode(Array[Byte](0x80.toByte)).map(_.length).contains(0)) // bare EOD = empty
   }
 
   test("a decompression bomb refuses at the output cap") {
