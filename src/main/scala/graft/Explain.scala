@@ -167,7 +167,11 @@ object Explain {
     // round 18 continuation: the pHash ingest probe (the aHash twin,
     // same bucketed-scan plan family) and the sequence-packing report
     // (globalPrefixSum range exchange + map-side explode → seq groupBy).
-    "mm_phash_incremental", "pipeline_seq_pack")
+    "mm_phash_incremental", "pipeline_seq_pack",
+    // DSIR selection: one checkpointed feature explode feeding bucket
+    // counts and scoring, the 1024-row model broadcast back, one
+    // per-doc aggregate — the broadcast-model curation plan family.
+    "text_dsir_select")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -782,4 +782,17 @@ object Graft {
       })
       .toDF("doc_id", "source", "page", "n_ops", "text")
   }
+
+  /** DSIR importance log-weights (Xie et al. 2023) over (doc_id, text)
+    * rows: hashed word uni+bigram bag, add-1 target-vs-raw bucket
+    * distributions, quantized-log integer λ per doc — keep λ > 0 rows
+    * (or weighted-resample by λ) to select data resembling the target.
+    * `isTarget` marks the target slice (e.g. `col("lang") === "en"`, a
+    * curated-subset flag). Returns (doc_id, lam). Same arithmetic as
+    * the declared text_dsir_select gate (one shared kernel). */
+  def dsirLogWeights(docs: DataFrame, isTarget: Column,
+                     buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    operators.TextModelQueries.dsirLogWeights(docs, isTarget, buckets = buckets)
+  }
 }

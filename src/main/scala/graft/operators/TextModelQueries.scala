@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryPack, Tables}
 import graft.functions.PortableHash
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -152,7 +152,87 @@ object TextModelQueries extends QueryPack {
     // Scale: profiles are (langs × 30) rows — broadcast; the corpus
     // pays the gram explode + two uniform-key groupBys + one per-doc
     // rank window; the doc×lang distance frame is |docs|·|langs|.
-    "text_lang_profile" -> ((s, d) => ctConfusion(s, Tables.documents(s, d))))
+    "text_lang_profile" -> ((s, d) => ctConfusion(s, Tables.documents(s, d))),
+
+    // DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): score every document
+    // by how much more likely its hashed-n-gram bag is under a TARGET
+    // distribution than under the raw-corpus distribution, and keep the
+    // docs the ratio favors. Features are word unigrams + space-joined
+    // bigrams hashed into B = 1024 buckets (the paper's hashed n-gram
+    // reduction); the target here is the corpus's own 'en' slice — the
+    // standard bootstrap when the curated target set is a slice of what
+    // you already have. Model: add-1-smoothed bucket distributions,
+    // each log-probability quantized ONCE per bucket (FLOOR(ln·10⁴),
+    // the file-wide determinism discipline), per-doc importance
+    // log-weight λ = Σ_k n_k·(lp_k − lq_k) in pure BIGINT, keep ⇔
+    // λ > 0 (more target-like than corpus-average). Report per lang:
+    // doc/kept counts, λ range/sum, kept-id checksum — the en slice
+    // keeps ~43% while every other lang keeps ~4%, so the gate pins
+    // real discrimination, not a constant. Scale shape (100 TB): the
+    // MODEL is B rows — megabytes against terabytes — so scoring is a
+    // broadcast join onto the feature stream; the corpus pays one
+    // explode pass (checkpointed once for the count and score
+    // consumers), one bucket groupBy, one per-doc groupBy.
+    "text_dsir_select" -> ((s, d) =>
+      dsirLogWeights(Tables.documents(s, d), col("lang") === "en",
+        carry = Seq("lang"))
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("lam") > 0, 1L).otherwise(0L)).as("n_kept"),
+          sum("lam").as("weight_sum"),
+          min("lam").as("min_w"), max("lam").as("max_w"),
+          sum(when(col("lam") > 0,
+            PortableHash.h60p(col("doc_id").cast("string"))).otherwise(0L))
+            .as("kept_checksum"))
+        .orderBy("lang")))
+
+  /** DSIR importance log-weights (Xie et al. 2023) — the ONE place the
+    * arithmetic lives (shared by the declared text_dsir_select gate and
+    * the Graft.dsirLogWeights facade, so the two structurally cannot
+    * drift). Features: word unigrams + space-joined adjacent bigrams of
+    * `textCol`, hashed into `buckets` buckets via the portable md5 hash;
+    * model: add-1-smoothed target (rows where `isTarget`) vs raw bucket
+    * distributions, each log-probability quantized once per bucket
+    * (FLOOR(ln·10⁴) BIGINT); per-doc λ = Σ_k n_k·(lp_k − lq_k), pure
+    * integer downstream. Returns one row per doc: (doc_id, carry…, lam).
+    * `carry` columns must be constant per doc_id (reduced with max).
+    * Scale: the model is `buckets` rows (broadcast), the corpus pays one
+    * checkpointed explode, one bucket groupBy and one per-doc groupBy. */
+  private[graft] def dsirLogWeights(docs: DataFrame, isTarget: Column,
+                                    carry: Seq[String] = Seq.empty,
+                                    buckets: Int = 1024,
+                                    textCol: String = "text"): DataFrame = {
+    val B = buckets
+    val base = docs.select(
+      (Seq(col("doc_id"), isTarget.as("__t"), split(col(textCol), " ").as("tk"))
+        ++ carry.map(col)): _*)
+    def keep(extra: Column) =
+      Seq(col("doc_id"), col("__t"), extra.as("f")) ++ carry.map(col)
+    val uni = base.select(keep(explode(col("tk"))): _*)
+    val bi = base.filter(size(col("tk")) >= 2)
+      .withColumn("g", explode(graft.Graft.zipNgrams(col("tk"), 2)))
+      .select(keep(graft.Graft.ngramText(col("g"), 2)): _*)
+    val feat = uni.union(bi)
+      .withColumn("k", PortableHash.h60(col("f")) % B)
+      .drop("f")
+      .localCheckpoint(eager = false) // counts + scoring share one explode
+    val tcnt = feat.filter(col("__t"))
+      .groupBy("k").agg(count(lit(1)).as("ct"))
+    val acnt = feat.groupBy("k").agg(count(lit(1)).as("ca"))
+    val tot = broadcast(feat.agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("t_tot"),
+      count(lit(1)).as("a_tot")))
+    val model = acnt.join(tcnt, Seq("k"), "left")
+      .na.fill(0L, Seq("ct")).crossJoin(tot)
+      .withColumn("lpq",
+        floor(log((col("ct") + lit(1.0)) / (col("t_tot") + lit(B.toDouble))) * Q)
+          - floor(log((col("ca") + lit(1.0)) / (col("a_tot") + lit(B.toDouble))) * Q))
+      .select("k", "lpq")
+    val aggs = carry.map(c => max(col(c)).as(c)) :+ sum("lpq").as("lam")
+    feat.join(broadcast(model), Seq("k"))
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*) // carry cols constant per doc
+  }
 
   /** Cavnar-Trenkle confusion body over ANY (doc_id, lang, text) frame
     * — exposed for CtClassifierSpec's crafted corpora.
@@ -431,5 +511,38 @@ object TextModelQueries extends QueryPack {
                  CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(SUM(${PortableHash.h60pSql("CAST(doc_id AS VARCHAR)")}) AS BIGINT) AS cell_checksum
           FROM pred WHERE rk = 1
-          GROUP BY 1, 2 ORDER BY lang_true, lang_pred""")
+          GROUP BY 1, 2 ORDER BY lang_true, lang_pred""",
+
+    // DSIR replayed: unigram + adjacent-bigram features hashed into
+    // 1024 buckets, add-1 target ('en') and raw distributions with one
+    // FLOOR(ln·10⁴) per bucket, integer per-doc log-weight sums, the
+    // λ > 0 keep gate, the same per-lang report.
+    "text_dsir_select" ->
+      s"""WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+            uni AS (SELECT doc_id, lang, unnest(t) AS f FROM tk),
+            bi AS (SELECT doc_id, lang, t[i] || ' ' || t[i + 1] AS f
+                   FROM (SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i FROM tk)),
+            feat AS (SELECT doc_id, lang,
+                            ${PortableHash.h60Sql("f")} % 1024 AS k
+                     FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+            tcnt AS (SELECT k, COUNT(*) AS ct FROM feat WHERE lang = 'en' GROUP BY 1),
+            acnt AS (SELECT k, COUNT(*) AS ca FROM feat GROUP BY 1),
+            tot AS (SELECT (SELECT COUNT(*) FROM feat WHERE lang = 'en') AS t_tot,
+                           (SELECT COUNT(*) FROM feat) AS a_tot),
+            model AS (SELECT a.k,
+                             CAST(FLOOR(ln((COALESCE(t.ct, 0) + 1.0) / (tot.t_tot + 1024.0)) * $Q) AS BIGINT)
+                               - CAST(FLOOR(ln((a.ca + 1.0) / (tot.a_tot + 1024.0)) * $Q) AS BIGINT) AS lpq
+                      FROM acnt a LEFT JOIN tcnt t ON a.k = t.k CROSS JOIN tot),
+            sc AS (SELECT f.doc_id, MAX(f.lang) AS lang,
+                          CAST(SUM(m.lpq) AS BIGINT) AS lam
+                   FROM feat f JOIN model m ON f.k = m.k GROUP BY 1)
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(CASE WHEN lam > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 CAST(SUM(lam) AS BIGINT) AS weight_sum,
+                 CAST(MIN(lam) AS BIGINT) AS min_w,
+                 CAST(MAX(lam) AS BIGINT) AS max_w,
+                 CAST(SUM(CASE WHEN lam > 0
+                           THEN ${PortableHash.h60pSql("CAST(doc_id AS VARCHAR)")}
+                           ELSE 0 END) AS BIGINT) AS kept_checksum
+          FROM sc GROUP BY 1 ORDER BY lang""")
 }

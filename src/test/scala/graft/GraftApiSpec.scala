@@ -417,4 +417,18 @@ class GraftApiSpec extends SparkSpec {
       (0 until sources.PdfSource.pdfPageCount(5L))
         .map(p => sources.PdfSource.pdfPageText(5L, p)))
   }
+
+  test("dsirLogWeights facade reproduces the declared gate's per-lang weight sums") {
+    // One kernel, two callers: summing the facade's per-doc λ by lang
+    // must reproduce text_dsir_select's weight_sum column exactly.
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val facade = Graft.dsirLogWeights(docs, col("lang") === "en")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(org.apache.spark.sql.functions.sum("lam").as("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gate = SparkEntry.queries("text_dsir_select")(spark, sf("sf0.001"))
+      .collect().map(r =>
+        r.getAs[String]("lang") -> r.getAs[Long]("weight_sum")).toMap
+    assert(facade == gate)
+  }
 }
