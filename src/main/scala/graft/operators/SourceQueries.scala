@@ -38,6 +38,8 @@ object SourceQueries extends QueryPack {
   private def tarStage(d: String) = Stage.dir(d, "tar")
   private def zipStage(d: String) = Stage.dir(d, "zip")
   private def pqAuditStage(d: String) = Stage.dir(d, "pq_audit")
+  private def avroStage(d: String) = Stage.dir(d, "avro")
+  private def avroEvoStage(d: String) = Stage.dir(d, "avro_evo")
 
   val queries: Map[String, Q] = Map(
     // CSV sink → CSV source (header + schema inference) → aggregate.
@@ -350,6 +352,71 @@ object SourceQueries extends QueryPack {
             concat(col("doc_id").cast("string"), lit("|"),
               col("n_chars").cast("string")))).as("checksum"))
         .orderBy("lang", "source")
+    }),
+
+    // Avro OCF round-trip — the ROW-oriented wire format log/Kafka
+    // pipelines ship (vs parquet/ORC's columnar archival layouts). No
+    // spark-avro module in the image, so both directions run on the
+    // avro CORE library (AvroSource): the sink writes one zstd-coded
+    // OCF shard per partition through the Hadoop FileSystem API (no
+    // driver funnel — works against HDFS/S3 unchanged), the source is
+    // a parse-as-filter over whole shards, one task each. DuckDB has no
+    // Avro reader either, so this uses orc_roundtrip's closed-form
+    // discipline: the read-back aggregates WITH a row-level checksum
+    // over every round-tripped column and the oracle recomputes the
+    // identical aggregate from the source parquet — any row lost,
+    // duplicated, or corrupted across the encode→codec→decode chain
+    // breaks count or hash.
+    "avro_roundtrip" -> ((s, d) => {
+      val stage = avroStage(d)
+      graft.sources.AvroSource.writeShards(
+        Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars"),
+        stage, codec = "zstandard", numShards = 4)
+      graft.sources.AvroSource.read(s, stage)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("chars"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(graft.functions.PortableHash.h60p(
+            concat(col("doc_id").cast("string"), lit("|"), col("source"),
+              lit("|"), col("n_chars").cast("string")))).as("checksum"))
+        .orderBy("lang")
+    }),
+
+    // Avro schema-evolution read — the resolution machinery that makes
+    // Avro the log-pipeline format: old shards are written with schema
+    // v1 (n_chars as INT), the reader supplies schema v2 and the
+    // LIBRARY applies the spec's resolution rules at decode time —
+    // int→long promotion for n_chars, and the declared default (0.25)
+    // for the added `quality` field the writer never knew about. The
+    // audit counts rows that came back with exactly the default, so a
+    // resolution regression is measurable: a reader that null-fills or
+    // zero-fills instead of applying the Avro default breaks
+    // n_defaulted; one that mis-promotes breaks chars. Same
+    // closed-form oracle discipline as avro_roundtrip.
+    "avro_evolution" -> ((s, d) => {
+      val stage = avroEvoStage(d)
+      graft.sources.AvroSource.writeShards(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          col("n_chars").cast("int").as("n_chars")),
+        stage, codec = "deflate", numShards = 4)
+      val readerV2 =
+        """{"type":"record","name":"GraftRecord","namespace":"graft.avro",
+           |"fields":[
+           |  {"name":"doc_id","type":["null","long"],"default":null},
+           |  {"name":"lang","type":["null","string"],"default":null},
+           |  {"name":"n_chars","type":["null","long"],"default":null},
+           |  {"name":"quality","type":"double","default":0.25}
+           |]}""".stripMargin
+      graft.sources.AvroSource.read(s, stage, Some(readerV2))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"),
+          sum(when(col("quality") === 0.25, 1L).otherwise(0L)).as("n_defaulted"),
+          sum(graft.functions.PortableHash.h60p(
+            concat(col("doc_id").cast("string"), lit("|"),
+              col("n_chars").cast("string")))).as("checksum"))
+        .orderBy("lang")
     }),
 
     // Hive-partitioned layout round-trip — THE physical layout that makes
@@ -926,6 +993,22 @@ object SourceQueries extends QueryPack {
                   "CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR)")}) AS BIGINT) AS checksum
          FROM documents WHERE lang <> 'en'
          GROUP BY lang, source ORDER BY lang, source""",
+    // Avro oracles recompute from the SOURCE documents table (DuckDB has
+    // no Avro reader) — same closed-form discipline as the ORC rows.
+    "avro_roundtrip" ->
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS chars,
+                CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+                CAST(SUM(${graft.functions.PortableHash.h60pSql(
+                  "CAST(doc_id AS VARCHAR) || '|' || source || '|' || CAST(n_chars AS VARCHAR)")}) AS BIGINT) AS checksum
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "avro_evolution" ->
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS chars,
+                CAST(COUNT(*) AS BIGINT) AS n_defaulted,
+                CAST(SUM(${graft.functions.PortableHash.h60pSql(
+                  "CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR)")}) AS BIGINT) AS checksum
+         FROM documents GROUP BY lang ORDER BY lang""",
     "parquet_hive_roundtrip" ->
       s"""SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
                 CAST(SUM(n_chars) AS BIGINT) AS chars,
