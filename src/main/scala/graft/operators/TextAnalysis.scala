@@ -573,6 +573,42 @@ object TextAnalysis extends QueryPack {
     "text_bpe_encode" -> ((s, d) =>
       bpeEncodeOf(s, Tables.documents(s, d), k = 3)),
 
+    // WordPiece tokenizer training — the BERT-family counterpart of
+    // text_bpe_learn: the same vocab-sized merge loop, but the argmax is
+    // the LIKELIHOOD score count(ab)/(count(a)·count(b)) rather than the
+    // raw pair count — the merge that most increases corpus likelihood
+    // under a unigram piece model wins, so a rare-but-exclusive pair
+    // beats a frequent-but-independent one (WordPieceSpec pins a corpus
+    // where the two objectives disagree). Continuation pieces carry the
+    // BERT '##' marker; a merge's symbol drops the marker from its right
+    // half ('##o'+'##r' → '##or'). Cross-engine determinism: the score
+    // ranks by floor(cnt·10¹²/(ca·cb)) in EXACT integer arithmetic
+    // (Spark decimal `div`, DuckDB HUGEINT `//`) — no float ever enters
+    // the ordering, and ties break on (a, b). Scale shape =
+    // text_bpe_learn: vocab-sized frames, per-round partial-aggregated
+    // shuffles, one 1-row argmax driver hop per round, localCheckpoint'd
+    // lineage.
+    "text_wordpiece_learn" -> ((s, d) =>
+      wordpieceLearnOf(s, Tables.documents(s, d), k = 8)),
+
+    // The ENCODE side of WordPiece — greedy LONGEST-MATCH-FIRST against
+    // the learned piece inventory (the algorithm BERT tokenizers ship).
+    // This is NOT merge replay: greedy grabs the longest piece at each
+    // position, and a word with no matching piece at some position is
+    // [UNK] (bucket -1), exactly like production WordPiece
+    // (WordPieceSpec pins a vocabulary where greedy and merge replay
+    // disagree, and an UNK case). k=4 keeps the oracle's learn-chain
+    // CTE proportionate — apply semantics are k-independent and the
+    // k=8 loop is gated by text_wordpiece_learn. The piece inventory is
+    // alphabet-sized (base chars ×2 + k merges), so it ships as a
+    // closure constant and the per-word scan is map-only; the oracle
+    // re-derives the same pieces via the learn CTEs, precomputes the
+    // longest hop per (word, position) non-recursively, and walks the
+    // hops with a recursive CTE — UNK words are exactly those whose
+    // walk never reaches the word's end.
+    "text_wordpiece_encode" -> ((s, d) =>
+      wordpieceEncodeOf(s, Tables.documents(s, d), k = 4)),
+
     // Stopword filtering — the token-scrub pass an indexing/featurization
     // pipeline runs before vocabulary work. Map-only array ops (filter +
     // slice + join), no UDFs; reports before/after counts plus the head
@@ -711,6 +747,136 @@ object TextAnalysis extends QueryPack {
     * symbol sequence — the standard BPE re-tokenization step: scan
     * resumes AFTER a merged pair, so overlapping occurrences ("aaa" under
     * (a,a)) merge like the reference algorithm, not like replace-all. */
+  /** The text_wordpiece_learn body over ANY documents-shaped frame: k
+    * rounds of score-ranked merge over the BERT-style decomposition.
+    * Returns (step, left_sym, right_sym, cnt, ca, cb, skey) per round. */
+  def wordpieceLearnOf(s: SparkSession, docs: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    wpLoop(s, wpVocab0(s, docs), k)._1
+      .toDF("step", "left_sym", "right_sym", "cnt", "ca", "cb", "skey")
+      .orderBy("step")
+  }
+
+  /** The text_wordpiece_encode body: learn k merges, then greedy
+    * longest-match-first encode of the vocabulary against the learned
+    * piece inventory, reported as a tokens-per-word histogram (-1 =
+    * [UNK]) with freq and word-hash pins. */
+  def wordpieceEncodeOf(s: SparkSession, docs: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val vocab = wpLoop(s, wpVocab0(s, docs), k)._2
+    // The piece inventory is ALPHABET-sized (base chars ×2 + k merged
+    // pieces) — the justified collect: a tokenizer vocabulary is a
+    // broadcast artifact at apply time, never a distributed frame.
+    val pieces = vocab.flatMap(_._3).distinct().collect().toSet
+    vocab.map { case (w, f, _) => (w, f, wpGreedy(w, pieces)) }
+      .toDF("word", "freq", "n_tokens")
+      .groupBy("n_tokens")
+      .agg(count(lit(1)).as("n_words"),
+        sum("freq").as("freq_sum"),
+        sum(graft.functions.PortableHash.h60p(col("word"))).as("word_hash_sum"))
+      .orderBy("n_tokens")
+  }
+
+  /** BERT-style initial decomposition: first char plain, continuations
+    * '##'-prefixed. Done in DataFrame SQL (substring) so the char
+    * addressing matches the oracle's exactly. */
+  private def wpVocab0(s: SparkSession, docs: DataFrame):
+      org.apache.spark.sql.Dataset[(String, Long, Seq[String])] = {
+    import s.implicits._
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"), expr(
+        "transform(sequence(1, length(word)), i -> " +
+        "IF(i = 1, substring(word, 1, 1), concat('##', substring(word, i, 1))))").as("syms"))
+      .as[(String, Long, Seq[String])]
+  }
+
+  /** The k-round WordPiece merge loop: bpeLoop's shape, with the argmax
+    * key floor(cnt·10¹²/(ca·cb)) — count(a)/count(b) are the symbol
+    * frequencies over the CURRENT vocab decomposition, freq-weighted,
+    * recounted each round. Exact decimal arithmetic keeps the ranking
+    * float-free and engine-identical. */
+  private def wpLoop(s: SparkSession,
+                     vocab0: org.apache.spark.sql.Dataset[(String, Long, Seq[String])],
+                     k: Int):
+      (Seq[(Int, String, String, Long, Long, Long, Long)],
+       org.apache.spark.sql.Dataset[(String, Long, Seq[String])]) = {
+    import s.implicits._
+    var vocab = vocab0.localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long, Long, Long, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      val df = vocab.toDF("word", "freq", "syms")
+      val symCnt = df.select(col("freq"), explode(col("syms")).as("sym"))
+        .groupBy("sym").agg(sum("freq").as("c"))
+      val top = df.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms)-2), i -> struct(syms[i] AS a, syms[i+1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .join(symCnt.select(col("sym").as("a"), col("c").as("ca")), "a")
+        .join(symCnt.select(col("sym").as("b"), col("c").as("cb")), "b")
+        .withColumn("skey", expr(
+          "CAST((CAST(cnt AS DECIMAL(38,0)) * 1000000000000) div " +
+          "(CAST(ca AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0))) AS BIGINT)"))
+        .orderBy(col("skey").desc, col("a"), col("b"))
+        .limit(1).collect() // the 1-row argmax — the loop's only driver hop
+      if (top.isEmpty) exhausted = true
+      else {
+        val r = top(0)
+        val a = r.getAs[String]("a"); val b = r.getAs[String]("b")
+        merges += ((step, a, b, r.getAs[Long]("cnt"), r.getAs[Long]("ca"),
+          r.getAs[Long]("cb"), r.getAs[Long]("skey")))
+        val m = a + b.stripPrefix("##")
+        vocab = vocab.map { case (w, f, syms) => (w, f, applyWpMerge(syms, a, b, m)) }
+          .localCheckpoint()
+        step += 1
+      }
+    }
+    (merges.result(), vocab)
+  }
+
+  /** applyBpeMerge with an explicit merged symbol (WordPiece drops the
+    * '##' marker from the right half, so a+b is NOT the symbol). */
+  private[graft] def applyWpMerge(syms: Seq[String], a: String, b: String,
+                                  m: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += m; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Greedy longest-match-first WordPiece encode: token count for
+    * `word` against `pieces` (word-initial pieces plain, continuations
+    * '##'-prefixed), or -1 when some position has no matching piece
+    * ([UNK] — production WordPiece drops the whole word to UNK, not
+    * just the failing position). */
+  private[graft] def wpGreedy(word: String, pieces: Set[String]): Int = {
+    var pos = 0
+    var n = 0
+    while (pos < word.length) {
+      var l = word.length - pos
+      var found = -1
+      while (l >= 1 && found < 0) {
+        val cand =
+          if (pos == 0) word.substring(0, l)
+          else "##" + word.substring(pos, pos + l)
+        if (pieces.contains(cand)) found = l
+        l -= 1
+      }
+      if (found < 0) return -1
+      pos += found
+      n += 1
+    }
+    n
+  }
+
   private[graft] def applyBpeMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var i = 0
@@ -946,6 +1112,93 @@ object TextAnalysis extends QueryPack {
                CAST(SUM(${graft.functions.PortableHash.h60pSql("word")}) AS BIGINT) AS word_hash_sum
         FROM v$k GROUP BY 1 ORDER BY n_tokens"""
 
+  /** WordPiece w/v0 prefix: BERT-style decomposition — first char
+    * plain, continuations '##'-prefixed. */
+  private def wpV0Cte: String =
+    """w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+              FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+              WHERE length(word) >= 2 GROUP BY 1),
+        v0 AS (SELECT word, freq, list_transform(range(length(word)),
+                  i -> CASE WHEN i = 0 THEN substring(word, 1, 1)
+                            ELSE '##' || substring(word, i + 1, 1) END) AS syms
+               FROM w)"""
+
+  /** k WordPiece rounds: per round, symbol counts over the current
+    * decomposition (c), pair counts (p), the exact-integer likelihood
+    * key (s), the 1-row argmax with its merged symbol (t), and the
+    * re-tokenized vocab (v) — the same fold-left merge the BPE rounds
+    * use, appending t.m instead of a||b. */
+  private def wpRoundsCte(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      s"""c$r AS MATERIALIZED (SELECT s AS sym, CAST(SUM(freq) AS BIGINT) AS c
+                  FROM (SELECT freq, unnest(syms) AS s FROM v${r - 1}) GROUP BY 1),
+          p$r AS (SELECT u.pair[1] AS a, u.pair[2] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+                  FROM (SELECT freq, unnest(list_transform(range(len(syms)-1),
+                              i -> [syms[i+1], syms[i+2]])) AS pair
+                        FROM v${r - 1} WHERE len(syms) >= 2) u
+                  GROUP BY 1, 2),
+          s$r AS (SELECT p.a, p.b, p.cnt, ca.c AS ca, cb.c AS cb,
+                         CAST((CAST(p.cnt AS HUGEINT) * 1000000000000) //
+                              (CAST(ca.c AS HUGEINT) * CAST(cb.c AS HUGEINT)) AS BIGINT) AS skey
+                  FROM p$r p JOIN c$r ca ON ca.sym = p.a JOIN c$r cb ON cb.sym = p.b),
+          t$r AS MATERIALIZED (SELECT a, b, cnt, ca, cb, skey,
+                         a || CASE WHEN b LIKE '##%' THEN substring(b, 3) ELSE b END AS m
+                  FROM s$r ORDER BY skey DESC, a, b LIMIT 1),
+          v$r AS MATERIALIZED (SELECT word, freq,
+                         CASE WHEN t.a IS NULL THEN syms ELSE
+                           list_reduce(list_transform(syms, s -> [s]),
+                             (acc, x) -> CASE WHEN acc[-1] = t.a AND x[1] = t.b
+                                         THEN list_append(acc[1:len(acc)-1], t.m)
+                                         ELSE list_concat(acc, x) END)
+                         END AS syms
+                  FROM v${r - 1} LEFT JOIN t$r t ON TRUE)"""
+    }.mkString(",\n")
+    s"""$wpV0Cte,
+        $rounds"""
+  }
+
+  private def wpLearnSql(k: Int): String = {
+    val unions = (1 to k).map(r =>
+      s"SELECT $r AS step, a AS left_sym, b AS right_sym, cnt, ca, cb, skey FROM t$r")
+      .mkString("\n         UNION ALL ")
+    s"""WITH ${wpRoundsCte(k)}
+         $unions ORDER BY step"""
+  }
+
+  /** Greedy longest-match encode replay: the learn chain derives the
+    * piece inventory, `hop` precomputes the longest match per (word,
+    * position) NON-recursively (aggregates are barred from recursive
+    * terms), and the recursive walk follows single-successor hops —
+    * words whose walk never reaches the end are [UNK]. */
+  private def wpEncodeSql(k: Int): String =
+    s"""WITH RECURSIVE ${wpRoundsCte(k)},
+        pieces AS MATERIALIZED (SELECT DISTINCT s AS p
+                  FROM (SELECT unnest(syms) AS s FROM v$k)),
+        pos AS (SELECT word, unnest(range(length(word))) AS pos FROM w),
+        hop AS MATERIALIZED (
+          SELECT o.word, o.pos,
+                 MAX(CASE WHEN o.pos = 0 THEN length(pc.p) ELSE length(pc.p) - 2 END) AS step
+          FROM pos o JOIN pieces pc ON
+            CASE WHEN o.pos = 0
+                 THEN pc.p NOT LIKE '##%' AND pc.p = substring(o.word, 1, length(pc.p))
+                 ELSE pc.p LIKE '##%' AND length(pc.p) > 2
+                      AND substring(pc.p, 3) = substring(o.word, o.pos + 1, length(pc.p) - 2)
+            END
+          GROUP BY o.word, o.pos),
+        r AS (
+          SELECT word, 0 AS pos, 0 AS n FROM w
+          UNION ALL
+          SELECT r.word, r.pos + h.step, r.n + 1
+          FROM r JOIN hop h ON h.word = r.word AND h.pos = r.pos),
+        done AS (SELECT word, n FROM r WHERE pos = length(word)),
+        enc AS (SELECT w.word, w.freq, COALESCE(d.n, -1) AS n_tokens
+                FROM w LEFT JOIN done d USING (word))
+        SELECT CAST(n_tokens AS INT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(freq) AS BIGINT) AS freq_sum,
+               CAST(SUM(${graft.functions.PortableHash.h60pSql("word")}) AS BIGINT) AS word_hash_sum
+        FROM enc GROUP BY 1 ORDER BY n_tokens"""
+
   val oracleSql: Map[String, String] = Map(
     // The staged composed/decomposed forms rebuilt via chr(), normalized
     // by DuckDB's INDEPENDENT nfc_normalize — the two Unicode
@@ -1132,6 +1385,8 @@ object TextAnalysis extends QueryPack {
     "text_bpe_learn" -> bpeLearnSql(10),
     "text_bpe_bytes" -> bpeBytesLearnSql(8),
     "text_bpe_encode" -> bpeEncodeSql(3),
+    "text_wordpiece_learn" -> wpLearnSql(8),
+    "text_wordpiece_encode" -> wpEncodeSql(4),
     "text_ngram_stats" ->
       """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents
                     WHERE len(string_split(text, ' ')) >= 2),
