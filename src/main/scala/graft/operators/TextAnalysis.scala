@@ -609,6 +609,27 @@ object TextAnalysis extends QueryPack {
     "text_wordpiece_encode" -> ((s, d) =>
       wordpieceEncodeOf(s, Tables.documents(s, d), k = 4)),
 
+    // Unigram-LM (SentencePiece-style) Viterbi segmentation — the third
+    // subword family beside BPE and WordPiece, and the one that picks a
+    // GLOBALLY optimal tiling instead of greedy/merge-order choices.
+    // Inventory: every substring ≤4 chars of the vocabulary kept at a
+    // corpus count ≥5 (single chars always kept, so every word tiles —
+    // the unigram models ship their base alphabet for the same reason).
+    // Scores are an integer log2 surrogate of the unigram log-prob:
+    // s(p) = bitlen(count(p)) − bitlen(Σcount) — bin() string length on
+    // both engines, so no float/ln enters the DP. Viterbi maximizes
+    // (Σ s(p), −n_tokens) lexicographically; ties beyond that can pick
+    // different tilings but never a different (score, count), which is
+    // all the histogram reads. The piece inventory is
+    // tokenizer-vocabulary-sized → a broadcast artifact; the per-word DP
+    // is map-only. Oracle: the DP unrolled as 16 position CTEs (words
+    // are capped at 16 chars on BOTH sides — stated, not hidden), each
+    // taking the lexicographic list-max over the ≤4 pieces that can end
+    // at that position. UnigramSpec pins the optimal-vs-greedy split and
+    // the tie rule.
+    "text_unigram_viterbi" -> ((s, d) =>
+      unigramViterbiOf(s, Tables.documents(s, d))),
+
     // Stopword filtering — the token-scrub pass an indexing/featurization
     // pipeline runs before vocabulary work. Map-only array ops (filter +
     // slice + join), no UDFs; reports before/after counts plus the head
@@ -836,6 +857,74 @@ object TextAnalysis extends QueryPack {
       }
     }
     (merges.result(), vocab)
+  }
+
+  /** text_unigram_viterbi body: frequency-scored piece inventory, exact
+    * integer Viterbi per vocab word, tokens-per-word histogram with
+    * score and word-hash pins. Word length capped at [2, 16] on both
+    * engines (the oracle unrolls one CTE per position). */
+  def unigramViterbiOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")).between(2, 16))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)].localCheckpoint()
+    val kept = words.toDF("word", "freq")
+      .select(col("freq"), explode(expr(
+        "flatten(transform(sequence(1, length(word)), i -> " +
+        "transform(sequence(i, least(length(word), i + 3)), " +
+        "j -> substring(word, i, j - i + 1))))")).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+      .filter(length(col("piece")) === 1 || col("cnt") >= 5)
+      .localCheckpoint()
+    // The inventory is tokenizer-vocabulary-sized (substrings ≤4 chars
+    // above a count floor) — a broadcast artifact at apply time, same
+    // justification as wordpieceEncodeOf's piece set.
+    val blt = java.lang.Long.toBinaryString(
+      kept.agg(sum("cnt")).as[Long].collect()(0)).length
+    val scores: Map[String, Long] = kept
+      .select(col("piece"), length(expr("bin(cnt)")).cast("long").as("bl"))
+      .as[(String, Long)].collect()
+      .map { case (p, bl) => p -> (bl - blt) }.toMap
+    words.map { case (w, f) =>
+      val (sc, nt) = unigramViterbi(w, scores)
+      (w, f, sc, nt)
+    }.toDF("word", "freq", "sc", "n_tokens")
+      .groupBy("n_tokens")
+      .agg(count(lit(1)).as("n_words"),
+        sum("freq").as("freq_sum"),
+        sum("sc").as("score_sum"),
+        sum(graft.functions.PortableHash.h60p(col("word"))).as("word_hash_sum"))
+      .orderBy("n_tokens")
+  }
+
+  /** Exact Viterbi: maximize (Σ piece score, −n_tokens) lexicographically
+    * over all tilings of `word` by scored pieces (max piece length 4).
+    * Lexicographic order is preserved under the additive step, so
+    * per-position DP is optimal. Single chars are always in the
+    * inventory, so every word tiles. */
+  private[graft] def unigramViterbi(word: String,
+                                    scores: Map[String, Long]): (Long, Int) = {
+    val n = word.length
+    val sc = Array.fill(n + 1)(Long.MinValue)
+    val nt = Array.fill(n + 1)(Int.MaxValue)
+    sc(0) = 0L
+    nt(0) = 0
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      while (l <= math.min(4, i)) {
+        val j = i - l
+        if (sc(j) != Long.MinValue) scores.get(word.substring(j, i)).foreach { s =>
+          val cs = sc(j) + s
+          val cn = nt(j) + 1
+          if (cs > sc(i) || (cs == sc(i) && cn < nt(i))) { sc(i) = cs; nt(i) = cn }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    (sc(n), nt(n))
   }
 
   /** applyBpeMerge with an explicit merged symbol (WordPiece drops the
@@ -1199,6 +1288,53 @@ object TextAnalysis extends QueryPack {
                CAST(SUM(${graft.functions.PortableHash.h60pSql("word")}) AS BIGINT) AS word_hash_sum
         FROM enc GROUP BY 1 ORDER BY n_tokens"""
 
+  /** text_unigram_viterbi oracle: the DP unrolled positionally — dp$i
+    * holds each word's lexicographic-best (score, −tokens) over tilings
+    * of its first i chars, taking the list-max over the ≤4 pieces that
+    * can end at position i. Words are length-capped at 16 = the CTE
+    * count. bin() string length is the shared integer log2. */
+  private def unigramViterbiSql(maxLen: Int): String = {
+    val dps = (1 to maxLen).map { i =>
+      val branches = (1 to math.min(4, i)).map { l =>
+        val j = i - l
+        s"""SELECT d.word, d.sc, d.nt, substring(d.word, ${j + 1}, $l) AS frag
+                  FROM dp$j d WHERE length(d.word) >= $i"""
+      }.mkString("\n              UNION ALL ")
+      s"""dp$i AS MATERIALIZED (
+            SELECT word, k[1] AS sc, -k[2] AS nt FROM (
+              SELECT u.word, max([u.sc + p.s, -(u.nt + 1)]) AS k
+              FROM ($branches) u
+              JOIN pscore p ON p.piece = u.frag
+              GROUP BY u.word) q)"""
+    }.mkString(",\n")
+    val fin = (1 to maxLen).map(i =>
+      s"SELECT word, sc, nt, $i AS i FROM dp$i").mkString("\n         UNION ALL ")
+    s"""WITH w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+              FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+              WHERE length(word) BETWEEN 2 AND $maxLen GROUP BY 1),
+        sub AS (SELECT freq, substring(word, i.range + 1, l.range + 1) AS piece
+                FROM w, range($maxLen) i, range(4) l
+                WHERE i.range + l.range + 1 <= length(word)),
+        kept AS MATERIALIZED (
+          SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM sub GROUP BY 1
+          HAVING length(piece) = 1 OR CAST(SUM(freq) AS BIGINT) >= 5),
+        tot AS (SELECT CAST(length(bin(CAST(SUM(cnt) AS BIGINT))) AS BIGINT) AS blt FROM kept),
+        pscore AS MATERIALIZED (
+          SELECT piece, CAST(length(bin(cnt)) AS BIGINT) - (SELECT blt FROM tot) AS s
+          FROM kept),
+        dp0 AS (SELECT word, CAST(0 AS BIGINT) AS sc, CAST(0 AS BIGINT) AS nt FROM w),
+        $dps,
+        fin AS (SELECT w.word, w.freq, d.sc, d.nt
+                FROM w JOIN ($fin) d
+                ON d.word = w.word AND d.i = length(w.word))
+        SELECT CAST(nt AS INT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(freq) AS BIGINT) AS freq_sum,
+               CAST(SUM(sc) AS BIGINT) AS score_sum,
+               CAST(SUM(${graft.functions.PortableHash.h60pSql("word")}) AS BIGINT) AS word_hash_sum
+        FROM fin GROUP BY 1 ORDER BY n_tokens"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     // The staged composed/decomposed forms rebuilt via chr(), normalized
     // by DuckDB's INDEPENDENT nfc_normalize — the two Unicode
@@ -1387,6 +1523,7 @@ object TextAnalysis extends QueryPack {
     "text_bpe_encode" -> bpeEncodeSql(3),
     "text_wordpiece_learn" -> wpLearnSql(8),
     "text_wordpiece_encode" -> wpEncodeSql(4),
+    "text_unigram_viterbi" -> unigramViterbiSql(16),
     "text_ngram_stats" ->
       """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents
                     WHERE len(string_split(text, ' ')) >= 2),
