@@ -158,6 +158,15 @@ object Explain {
     // and the NFC-normalized dedup audit (typed normalize map → one
     // global aggregate).
     "text_nfc_dedup",
+    // round 18 late session: the Avro OCF round-trip (whole-shard
+    // parse-as-filter → codegen'd checksum aggregate — the tar/warc
+    // shard-read family over a hand-built reader) and the unigram
+    // Viterbi segmenter (vocab-sized frames: word groupBy → piece
+    // explode/aggregate for the broadcast inventory → typed per-word DP
+    // map → histogram groupBy). text_wordpiece_learn/encode stay out
+    // for text_bpe_learn's reason: driver-loop merge tables whose
+    // per-round shape IS text_bpe_pairs' plan.
+    "avro_roundtrip", "text_unigram_viterbi",
     // round 18: the persisted image-ingest probe (bucketed band-index
     // scan, batch-side-only exchange — the dedup_incremental_indexed
     // family) and the byte-level BPE's per-round pair count shape is

@@ -596,6 +596,48 @@ object Graft {
     operators.TextAnalysis.bpeLearnOf(spark, docs, merges)
   }
 
+  /** WordPiece (BERT-family) tokenizer training: like [[bpeLearn]] but
+    * merges are ranked by the likelihood score count(ab)/(count(a)·
+    * count(b)) in exact integer arithmetic, with '##' continuation
+    * markers. Returns (step, left_sym, right_sym, cnt, ca, cb, skey).
+    * See TextAnalysis.wordpieceLearnOf. */
+  def wordpieceLearn(spark: SparkSession, docs: DataFrame, merges: Int = 8): DataFrame = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
+    operators.TextAnalysis.wordpieceLearnOf(spark, docs, merges)
+  }
+
+  /** WordPiece encode: learn `merges`, then greedy longest-match-first
+    * encode of the vocabulary against the learned piece inventory —
+    * tokens-per-word histogram with [UNK] = -1 buckets. See
+    * TextAnalysis.wordpieceEncodeOf. */
+  def wordpieceEncode(spark: SparkSession, docs: DataFrame, merges: Int = 4): DataFrame = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
+    operators.TextAnalysis.wordpieceEncodeOf(spark, docs, merges)
+  }
+
+  /** Unigram-LM (SentencePiece-style) Viterbi segmentation over a
+    * frequency-scored piece inventory — globally optimal tilings, not
+    * greedy. Words capped at 16 chars (both engines). See
+    * TextAnalysis.unigramViterbiOf. */
+  def unigramSegment(spark: SparkSession, docs: DataFrame): DataFrame =
+    operators.TextAnalysis.unigramViterbiOf(spark, docs)
+
+  /** Avro OCF sink on the avro core library: one codec'd shard per
+    * partition through the Hadoop FileSystem API. Returns the shard
+    * paths. See sources.AvroSource.writeShards. */
+  def avroWrite(df: DataFrame, dir: String, codec: String = "zstandard",
+                numShards: Int = 4): Seq[String] = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    sources.AvroSource.writeShards(df, dir, codec, numShards)
+  }
+
+  /** Avro OCF source: parse-as-filter over whole shards, with optional
+    * READER schema (resolution rules: added-field defaults, int→long /
+    * float→double promotions). See sources.AvroSource.read. */
+  def avroRead(spark: SparkSession, dir: String,
+               readerSchemaJson: Option[String] = None): DataFrame =
+    sources.AvroSource.read(spark, dir, readerSchemaJson)
+
   /** Streaming WARC shard arrival: binaryFile FileStreamSource over the
     * shard paths → strict Content-Length parse → append parquet sink;
     * returns the sink as a batch frame of WarcSource.WarcRecord rows.
