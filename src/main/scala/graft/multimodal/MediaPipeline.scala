@@ -5794,7 +5794,14 @@ object MediaPipeline {
     * aHash mosaic model — same layout discipline as [[pixelBmp]]
     * (bottom-up rows, B,G,R bytes; 64·3 = 192 is already 4-aligned so no
     * stride padding exists at this width). */
-  def ahashBmp(id: Long): Array[Byte] = {
+  def ahashBmp(id: Long): Array[Byte] = gray64Bmp((x, y) => ahashPxValue(id, x, y))
+
+  /** A COMPLETE 64×64 gray 24-bit BMP from a pixel-value model — the ONE
+    * builder all four hash fixtures share, so the layout discipline
+    * (bottom-up rows at `(h-1-y)*stride`, B=G=R gray triplets) lives in
+    * exactly one place: a stride/orientation fix cannot desynchronize a
+    * staged fixture from its oracle's value model. */
+  private def gray64Bmp(pxValue: (Int, Int) => Int): Array[Byte] = {
     val w = 64; val h = 64
     val stride = w * 3
     val px = new Array[Byte](stride * h)
@@ -5803,7 +5810,7 @@ object MediaPipeline {
       val base = (h - 1 - y) * stride
       var x = 0
       while (x < w) {
-        val v = ahashPxValue(id, x, y).toByte
+        val v = pxValue(x, y).toByte
         px(base + x * 3) = v; px(base + x * 3 + 1) = v; px(base + x * 3 + 2) = v
         x += 1
       }
@@ -5854,23 +5861,8 @@ object MediaPipeline {
   }
 
   /** Arriving-batch BMP for doc `id` under the batch value model. */
-  def ahashBatchBmp(id: Long): Array[Byte] = {
-    val w = 64; val h = 64
-    val stride = w * 3
-    val px = new Array[Byte](stride * h)
-    var y = 0
-    while (y < h) {
-      val base = (h - 1 - y) * stride
-      var x = 0
-      while (x < w) {
-        val v = ahashBatchPxValue(id, x, y).toByte
-        px(base + x * 3) = v; px(base + x * 3 + 1) = v; px(base + x * 3 + 2) = v
-        x += 1
-      }
-      y += 1
-    }
-    bmpHeader(w, h, px.length) ++ px
-  }
+  def ahashBatchBmp(id: Long): Array[Byte] =
+    gray64Bmp((x, y) => ahashBatchPxValue(id, x, y))
 
   /** The arriving image batch: docs with doc_id%10 ∈ {4, 7}, staged
     * under the batch value model (oracle replays the model). */
@@ -6034,24 +6026,8 @@ object MediaPipeline {
   }
 
   /** A COMPLETE 64×64 gray BMP for doc `id` under the pHash model —
-    * same layout discipline as [[ahashBmp]]. */
-  def phashBmp(id: Long): Array[Byte] = {
-    val w = 64; val h = 64
-    val stride = w * 3
-    val px = new Array[Byte](stride * h)
-    var y = 0
-    while (y < h) {
-      val base = (h - 1 - y) * stride
-      var x = 0
-      while (x < w) {
-        val v = phashPxValue(id, x, y).toByte
-        px(base + x * 3) = v; px(base + x * 3 + 1) = v; px(base + x * 3 + 2) = v
-        x += 1
-      }
-      y += 1
-    }
-    bmpHeader(w, h, px.length) ++ px
-  }
+    * [[gray64Bmp]], the shared layout. */
+  def phashBmp(id: Long): Array[Byte] = gray64Bmp((x, y) => phashPxValue(id, x, y))
 
   def phashTableStaged(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -6161,23 +6137,8 @@ object MediaPipeline {
   }
 
   /** Arriving-batch BMP for doc `id` under the pHash batch value model. */
-  def phashBatchBmp(id: Long): Array[Byte] = {
-    val w = 64; val h = 64
-    val stride = w * 3
-    val px = new Array[Byte](stride * h)
-    var y = 0
-    while (y < h) {
-      val base = (h - 1 - y) * stride
-      var x = 0
-      while (x < w) {
-        val v = phashBatchPxValue(id, x, y).toByte
-        px(base + x * 3) = v; px(base + x * 3 + 1) = v; px(base + x * 3 + 2) = v
-        x += 1
-      }
-      y += 1
-    }
-    bmpHeader(w, h, px.length) ++ px
-  }
+  def phashBatchBmp(id: Long): Array[Byte] =
+    gray64Bmp((x, y) => phashBatchPxValue(id, x, y))
 
   /** The arriving image batch for the pHash ingest gate: docs with
     * doc_id%10 ∈ {4, 7}, staged under the batch value model (the oracle

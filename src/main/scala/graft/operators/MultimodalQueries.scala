@@ -367,27 +367,23 @@ object MultimodalQueries extends QueryPack {
   // r_moment (position-weighted) makes ANY coordinate mistake fatal;
   // tl_luma pins the top-left pixel, which in a bottom-up BMP lives at the
   // start of the LAST file row. All-integer outputs: the hashes are exact.
-  /** Decoded aHash frame → one row per (doc, band): the t+1
-    * HammingBands layout, shared by the offline self-join and the
-    * persisted ingest index so the two can never band differently. */
-  private[graft] def ahashBandRows(dec: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val nb = graft.multimodal.HammingBands.ahash.length
+  /** Decoded hash frame → one row per (doc, band) for a HammingBands
+    * layout — the ONE banding projection the offline self-joins and the
+    * persisted ingest indexes share (per family), so the two sides of
+    * an index can never band differently. */
+  private def bandRows(dec: org.apache.spark.sql.DataFrame,
+                       bands: Seq[graft.multimodal.HammingBands.Band]): org.apache.spark.sql.DataFrame =
     dec.select(col("doc_id"), col("h_hi"), col("h_lo"),
-        explode(sequence(lit(0), lit(nb - 1))).as("ck"))
-      .withColumn("cv", expr(
-        graft.multimodal.HammingBands.sparkCaseSql(graft.multimodal.HammingBands.ahash)))
-  }
+        explode(sequence(lit(0), lit(bands.length - 1))).as("ck"))
+      .withColumn("cv", expr(graft.multimodal.HammingBands.sparkCaseSql(bands)))
 
-  /** pHash twin of [[ahashBandRows]]: the 7-band (t+1 for the ≤ 6
-    * verify) HammingBands.phash layout, shared by the offline self-join
-    * and the persisted ingest index. */
-  private[graft] def phashBandRows(dec: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val nb = graft.multimodal.HammingBands.phash.length
-    dec.select(col("doc_id"), col("h_hi"), col("h_lo"),
-        explode(sequence(lit(0), lit(nb - 1))).as("ck"))
-      .withColumn("cv", expr(
-        graft.multimodal.HammingBands.sparkCaseSql(graft.multimodal.HammingBands.phash)))
-  }
+  /** aHash banding: the 9-band (t+1 for the ≤8 verify) layout. */
+  private[graft] def ahashBandRows(dec: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    bandRows(dec, graft.multimodal.HammingBands.ahash)
+
+  /** pHash banding: the 7-band (t+1 for the ≤6 verify) layout. */
+  private[graft] def phashBandRows(dec: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    bandRows(dec, graft.multimodal.HammingBands.phash)
 
   private def pixelQueries: Map[String, Q] = Map(
     // The WebDataset END-TO-END pipeline: tar shards (the arrival

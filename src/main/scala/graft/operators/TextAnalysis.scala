@@ -953,10 +953,14 @@ object TextAnalysis extends QueryPack {
       var l = word.length - pos
       var found = -1
       while (l >= 1 && found < 0) {
+        // A word-initial match must be a NON-continuation piece: a word
+        // literally starting with "##" may not borrow a '##'-marked
+        // vocabulary entry at position 0 (the oracle's hop CTE applies
+        // the same `NOT LIKE '##%'` guard — both engines UNK it).
         val cand =
           if (pos == 0) word.substring(0, l)
           else "##" + word.substring(pos, pos + l)
-        if (pieces.contains(cand)) found = l
+        if ((pos > 0 || !cand.startsWith("##")) && pieces.contains(cand)) found = l
         l -= 1
       }
       if (found < 0) return -1

@@ -144,10 +144,18 @@ object AvroSource {
     require(shards.nonEmpty, s"no .avro shards under $dir")
 
     // Resolve the OUTPUT schema on the driver from one shard's header
-    // (cheap: header only), or from the reader schema if supplied.
+    // (cheap: DataFileStream consumes only the header bytes from the
+    // open stream — never the shard body, whatever its size), or from
+    // the reader schema if supplied.
     val outAvro = readerSchemaJson match {
       case Some(js) => new Schema.Parser().parse(js)
-      case None     => writerSchemaOf(readAll(fs, shards.head))
+      case None =>
+        val in = fs.open(new org.apache.hadoop.fs.Path(shards.head))
+        try {
+          val dfs = new org.apache.avro.file.DataFileStream[GenericRecord](
+            in, new GenericDatumReader[GenericRecord]())
+          try dfs.getSchema finally dfs.close()
+        } finally in.close()
     }
     val outSpark = sparkSchemaFor(outAvro)
     // Ship SCHEMA JSON to the executors, never a Schema object — the
@@ -163,31 +171,22 @@ object AvroSource {
         else new GenericDatumReader[GenericRecord]()
       val dfr = new DataFileReader[GenericRecord](
         new SeekableByteArrayInput(bytes), reader)
-      try {
-        val b = Vector.newBuilder[Row]
-        while (dfr.hasNext) b += rowOf(dfr.next(), out)
-        b.result()
-      } finally dfr.close()
+      // Lazy row stream (closing on exhaustion): the whole-shard byte
+      // array is already in memory; buffering every decoded Row on top
+      // of it would double the task's footprint on text-heavy shards.
+      new Iterator[Row] {
+        private var open = true
+        def hasNext: Boolean = {
+          if (open && !dfr.hasNext) { dfr.close(); open = false }
+          open
+        }
+        def next(): Row = {
+          if (!hasNext) throw new NoSuchElementException("exhausted avro shard")
+          rowOf(dfr.next(), out)
+        }
+      }
     }
     spark.createDataFrame(rows, outSpark)
-  }
-
-  /** The writer schema embedded in one shard's OCF header. */
-  private[sources] def writerSchemaOf(bytes: Array[Byte]): Schema = {
-    val dfr = new DataFileReader[GenericRecord](
-      new SeekableByteArrayInput(bytes), new GenericDatumReader[GenericRecord]())
-    try dfr.getSchema finally dfr.close()
-  }
-
-  private def readAll(fs: org.apache.hadoop.fs.FileSystem,
-                      path: String): Array[Byte] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val len = fs.getFileStatus(p).getLen
-    require(len <= Int.MaxValue, s"$path too large for a single read")
-    val buf = new Array[Byte](len.toInt)
-    val in = fs.open(p)
-    try in.readFully(0, buf) finally in.close()
-    buf
   }
 
   /** Avro→Spark schema for the flat records this source handles. */

@@ -307,7 +307,8 @@ object PdfSource {
           if (hi >= 0) out.write(hi << 4)
           return Some(out.toByteArray)
         }
-        else if (c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f') -1
+        // §7.2.3 white-space: NUL, HT, LF, FF, CR, SP — NUL included.
+        else if (c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == '\u0000') -1
         else return None // not hex, not whitespace, not EOD
       if (d >= 0) {
         if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
@@ -369,7 +370,8 @@ object PdfSource {
         grp(gi) = c - '!'; gi += 1
         if (gi == 5) { if (!flush(5)) return None; gi = 0 }
       }
-      else if (!(c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f'))
+      // §7.2.3 white-space: NUL, HT, LF, FF, CR, SP — NUL included.
+      else if (!(c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == '\u0000'))
         return None
       i += 1
     }

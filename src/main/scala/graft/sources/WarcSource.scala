@@ -867,12 +867,16 @@ object WarcSource {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val d = new java.io.File(dir)
-    // V2: bodies are HTML pages (nav + content + footer blocks) so the
-    // funnel's boilerplate stage has real markup to strip.
+    // V3 fixture: bodies are HTML pages (nav + content + footer blocks)
+    // so the funnel's boilerplate stage has real markup to strip.
     val marker = new java.io.File(d, "_STAGED_WARC_CRAWL_V3")
     val paths = (0 until 6).map(f => f"$dir/crawl$f%02d.warc")
     if (!marker.exists()) {
       d.mkdirs()
+      // Retire superseded fixture markers so a shared staging dir does
+      // not accumulate stale V1/V2 flags across upgrades.
+      Seq("_STAGED_WARC_CRAWL_V1", "_STAGED_WARC_CRAWL_V2")
+        .foreach(m => new java.io.File(d, m).delete())
       val base = graft.Tables.documents(spark, dataDir)
         .filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("lang"), col("text"))

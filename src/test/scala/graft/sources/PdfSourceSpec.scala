@@ -95,6 +95,9 @@ class PdfSourceSpec extends AnyFunSuite {
     assert(ascii85Encode(zeros) == "zz~>")
     assert(ascii85Decode("zz~>").map(_.toSeq).contains(zeros.toSeq))
     assert(asciiHexDecode("48 65\n5>").map(_.toSeq).contains(Seq[Byte](0x48, 0x65, 0x50))) // ws + odd pad
+    // NUL is PDF white-space (§7.2.3) — both transport filters skip it.
+    assert(asciiHexDecode("48\u000065>").map(_.toSeq).contains(Seq[Byte](0x48, 0x65)))
+    assert(ascii85Decode("z\u0000z~>").map(_.toSeq).contains(Seq.fill(8)(0: Byte)))
     assert(asciiHexDecode("48GZ>").isEmpty) // non-hex char
     assert(asciiHexDecode("4865").isEmpty)  // missing '>'
     assert(ascii85Decode("abcv~>").isEmpty) // 'v' outside '!'..'u'
