@@ -692,6 +692,29 @@ object Stress {
     require(pdfPages == expPdfPages, s"pdf stress lost pages: $pdfPages != $expPdfPages")
     println(f"[stress] pdf: $nPdfDocs%,d docs / $pdfPages%,d pages / $pdfBytesTotal%,d bytes in $pdfSec%.2f s (${nPdfDocs / pdfSec / 1000}%.1f k docs/s)")
 
+    // Avro OCF sink+source at 10×: one zstd shard per partition written
+    // from executors through the Hadoop FS API, read back through the
+    // parse-as-filter reader. The row-count identity keeps it honest (a
+    // reader that drops or duplicates rows cannot pass); per-shard
+    // parallelism is the scale story — more shards, same per-task cost.
+    val avroSrc = tenxShift(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+      "doc_id", 10000000L).localCheckpoint()
+    val nAvroRows = avroSrc.count()
+    val avroDir = java.nio.file.Files
+      .createTempDirectory("graft-avro-stress").toFile.getAbsolutePath
+    val (avWriteSec, _) = time("avro write 10x", {
+      sources.AvroSource.writeShards(avroSrc, avroDir,
+        codec = "zstandard", numShards = 16).size.toLong
+    })
+    val avroBytes = new java.io.File(avroDir).listFiles().map(_.length).sum
+    val (avReadSec, avReadRows) = time("avro read 10x",
+      sources.AvroSource.read(spark, avroDir).count())
+    require(avReadRows == nAvroRows, s"avro stress lost rows: $avReadRows != $nAvroRows")
+    println(f"[stress] avro: $nAvroRows%,d rows / $avroBytes%,d bytes write $avWriteSec%.2f s read $avReadSec%.2f s")
+    rmTree(avroDir)
+
     val warcBytes = warcShards.map(_._2.length.toLong).reduce(_ + _)
     val (warcSec, warcRecs) = time("warc parse 100k records", {
       warcShards.flatMap { case (n, b) =>
@@ -793,7 +816,7 @@ object Stress {
       s"kmv estimate $kmvEst vs exact $kmvExact: error ${kmvErrPpm}ppm past 4 RSE")
     println(f"[stress] kmv_10x: exact $kmvExact%,d in $kexSec%.2f s, sketch est $kmvEst%,d in $kskSec%.2f s, err ${kmvErrPpm / 10000.0}%.2f%%")
 
-    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"prefix_join_10x":{"docs":$pjDocs,"sec_1x":$pj1Sec,"pairs_1x":$pj1Pairs,"sec_10x":$pjSec,"pairs_10x":$pjPairs,"brute_pair_universe":$pjUniverse},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"embed_ivf_10x":{"vecs":$embDocs,"nlist16_sec":$iv,"nlist16_pairs":$niv,"nlist128_sec":$iv2,"nlist128_pairs":$niv2},"pq_adc_10x":{"vecs":$nPqCodes,"fit_sec":$pqFitSec,"encode_sec":$pqEncSec,"adc_scan_sec":$pqScanSec,"exact_scan_sec":$pqExactSec,"code_bytes_per_vec":8,"float_bytes_per_vec":256},"codebook_hot_vector":{"vecs":$nAdv,"clones":$hotClones,"fit_sec":$fitSec,"nonempty_cells":$nonEmptyCells,"max_cell_share":$maxCellShare,"neardup_sec":$advSec,"neardup_pairs":$nAdvPairs,"planted_pairs":$plantedPairs},"bloom_10x":{"orders":$nOrd,"smj_sec":$sj,"smj_rows":$nsj,"probe_sec":$bp,"probe_rows":$nbp,"verify_sec":$bv,"verify_rows":$nbv},"ingest_many_files":{"files":$ingestN,"hidden_frac":0.333,"sec":$ingestSec,"words":${ingested.size},"fold_match":true},"skew_join_hot":{"hot_rows":$hotRows,"buckets_hit":${buckets.size},"max_bucket_rows":$maxBucket,"salted_sec":$saltSec,"plain_sec":$plainSec,"match":true},"span_hot_gram":{"docs":$tenxDocs,"plain_sec":$spSec,"plain_rows":$spRows,"hot_sec":$shSec,"hot_rows":$shRows,"min_shared_windows":$minShared},"incremental_ingest":{"batch_rows":$nBatch,"corpus_docs":$tenxDocs,"new_docs":$incNew,"expected_new":$expectedNew,"sec":$incSec,"match":true},"stream_state":[${ssRes.map(ssJson).mkString(",")}],"pixel_decode":{"bmp_1x":{"imgs":$npd1,"sec":$pd1},"bmp_10x":{"imgs":$npd10,"sec":$pd10},"png_1x":{"imgs":$npg1,"sec":$pg1},"png_10x":{"imgs":$npg10,"sec":$pg10,"staged_bytes":$pngBytes10},"gif_1x":{"imgs":$ngf1,"sec":$gf1},"gif_10x":{"imgs":$ngf10,"sec":$gf10,"staged_bytes":$gifBytes10}},"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2},"warc_parse":{"shards":200,"records":$warcRecs,"bytes":$warcBytes,"sec":$warcSec,"clean":true},"pdf_parse":{"docs":$nPdfDocs,"pages":$pdfPages,"bytes":$pdfBytesTotal,"sec":$pdfSec,"clean":true},"pagerank_hot_hub":{"edges":$nEdges,"nodes":$prNodes,"hub_degree":$starLeaves,"iters":3,"sec":$prSec,"hub_is_top":true,"leaf_rank_values":1,"ring_rank_values":1},"compaction_manifest":{"files":100000,"bins":$cpBins,"sec":$cpSec,"bytes_conserved":true,"fill_bound_holds":true},"maintenance_10x":{"orders_10x":$nOrd10,"merge_1x_sec":$mg1,"merge_10x_sec":$mg10,"checksum_1x_sec":$ck1Sec,"checksum_10x_sec":$ck10Sec,"accounting_match":true,"sums_move_under_key_shift":true},"merge_hot_batch":{"snapshot_rows":$mhSnapRows,"batch_rows":$mhBatchRows,"hot_rows":$mhHotRows,"uniform_sec":$mhuSec,"uniform_rows":$mhuRows,"raw_hot_sec":$mhhSec,"raw_hot_rows":$mhhRows,"aqe_fullouter_skew_split":false,"compacted_hot_sec":$mhcSec,"compacted_rows_out":$mhcRows,"compacted_batch_keys":$mhCompactRows,"lww_match":true},"bpe_learn_10x":{"merges":10,"sec_1x":$bl1,"sec_10x":$bl10,"table_identical":true,"counts_x10":true},"kmv_10x":{"distinct_keys":$kmvExact,"exact_sec":$kexSec,"sketch_sec":$kskSec,"estimate":$kmvEst,"err_ppm":$kmvErrPpm,"artifact_bytes":2056}}""")
+    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"prefix_join_10x":{"docs":$pjDocs,"sec_1x":$pj1Sec,"pairs_1x":$pj1Pairs,"sec_10x":$pjSec,"pairs_10x":$pjPairs,"brute_pair_universe":$pjUniverse},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"embed_ivf_10x":{"vecs":$embDocs,"nlist16_sec":$iv,"nlist16_pairs":$niv,"nlist128_sec":$iv2,"nlist128_pairs":$niv2},"pq_adc_10x":{"vecs":$nPqCodes,"fit_sec":$pqFitSec,"encode_sec":$pqEncSec,"adc_scan_sec":$pqScanSec,"exact_scan_sec":$pqExactSec,"code_bytes_per_vec":8,"float_bytes_per_vec":256},"codebook_hot_vector":{"vecs":$nAdv,"clones":$hotClones,"fit_sec":$fitSec,"nonempty_cells":$nonEmptyCells,"max_cell_share":$maxCellShare,"neardup_sec":$advSec,"neardup_pairs":$nAdvPairs,"planted_pairs":$plantedPairs},"bloom_10x":{"orders":$nOrd,"smj_sec":$sj,"smj_rows":$nsj,"probe_sec":$bp,"probe_rows":$nbp,"verify_sec":$bv,"verify_rows":$nbv},"ingest_many_files":{"files":$ingestN,"hidden_frac":0.333,"sec":$ingestSec,"words":${ingested.size},"fold_match":true},"skew_join_hot":{"hot_rows":$hotRows,"buckets_hit":${buckets.size},"max_bucket_rows":$maxBucket,"salted_sec":$saltSec,"plain_sec":$plainSec,"match":true},"span_hot_gram":{"docs":$tenxDocs,"plain_sec":$spSec,"plain_rows":$spRows,"hot_sec":$shSec,"hot_rows":$shRows,"min_shared_windows":$minShared},"incremental_ingest":{"batch_rows":$nBatch,"corpus_docs":$tenxDocs,"new_docs":$incNew,"expected_new":$expectedNew,"sec":$incSec,"match":true},"stream_state":[${ssRes.map(ssJson).mkString(",")}],"pixel_decode":{"bmp_1x":{"imgs":$npd1,"sec":$pd1},"bmp_10x":{"imgs":$npd10,"sec":$pd10},"png_1x":{"imgs":$npg1,"sec":$pg1},"png_10x":{"imgs":$npg10,"sec":$pg10,"staged_bytes":$pngBytes10},"gif_1x":{"imgs":$ngf1,"sec":$gf1},"gif_10x":{"imgs":$ngf10,"sec":$gf10,"staged_bytes":$gifBytes10}},"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2},"warc_parse":{"shards":200,"records":$warcRecs,"bytes":$warcBytes,"sec":$warcSec,"clean":true},"pdf_parse":{"docs":$nPdfDocs,"pages":$pdfPages,"bytes":$pdfBytesTotal,"sec":$pdfSec,"clean":true},"avro_10x":{"rows":$nAvroRows,"bytes":$avroBytes,"shards":16,"write_sec":$avWriteSec,"read_sec":$avReadSec,"match":true},"pagerank_hot_hub":{"edges":$nEdges,"nodes":$prNodes,"hub_degree":$starLeaves,"iters":3,"sec":$prSec,"hub_is_top":true,"leaf_rank_values":1,"ring_rank_values":1},"compaction_manifest":{"files":100000,"bins":$cpBins,"sec":$cpSec,"bytes_conserved":true,"fill_bound_holds":true},"maintenance_10x":{"orders_10x":$nOrd10,"merge_1x_sec":$mg1,"merge_10x_sec":$mg10,"checksum_1x_sec":$ck1Sec,"checksum_10x_sec":$ck10Sec,"accounting_match":true,"sums_move_under_key_shift":true},"merge_hot_batch":{"snapshot_rows":$mhSnapRows,"batch_rows":$mhBatchRows,"hot_rows":$mhHotRows,"uniform_sec":$mhuSec,"uniform_rows":$mhuRows,"raw_hot_sec":$mhhSec,"raw_hot_rows":$mhhRows,"aqe_fullouter_skew_split":false,"compacted_hot_sec":$mhcSec,"compacted_rows_out":$mhcRows,"compacted_batch_keys":$mhCompactRows,"lww_match":true},"bpe_learn_10x":{"merges":10,"sec_1x":$bl1,"sec_10x":$bl10,"table_identical":true,"counts_x10":true},"kmv_10x":{"distinct_keys":$kmvExact,"exact_sec":$kexSec,"sketch_sec":$kskSec,"estimate":$kmvEst,"err_ppm":$kmvErrPpm,"artifact_bytes":2056}}""")
     spark.stop()
   }
 }
