@@ -147,6 +147,24 @@ object SourceQueries extends QueryPack {
       warcAuditOf(graft.sources.WarcSource.recordsZst(
         s, graft.sources.WarcSource.stageZstFixture(Stage.dir(d, "warc_zst"))))),
 
+    // The DICTIONARY-compressed `.warc.zst` layout — the IIPC spec's
+    // full form: every record is its own zstd frame compressed against
+    // one TRAINED dictionary (ZDICT over the fixture's records) carried
+    // in the leading dictionary-slot skippable frame (magic 0x184D2A5D;
+    // odd shards carry the dictionary itself zstd-compressed, the
+    // spec's optional variant). This is what per-record seekability
+    // costs at shard-level ratios in production crawls: small frames
+    // compress terribly alone, so the shared dictionary IS the format's
+    // economics. The reader loads the slot and decompresses every
+    // following frame against it; a reader that merely SKIPS the slot
+    // (our pre-round-18 behavior, and the naive implementation) fails
+    // every record frame's embedded dictID — loud, pinned in
+    // WarcSourceSpec. Decompressed bytes are byte-identical to the
+    // plain shards, so warc_ingest's closed-form oracle holds verbatim.
+    "warc_zstdict_ingest" -> ((s, d) =>
+      warcAuditOf(graft.sources.WarcSource.recordsZst(
+        s, graft.sources.WarcSource.stageZstDictFixture(Stage.dir(d, "warc_zstdict"))))),
+
     // WARC → WET text extraction — the chain a crawl corpus actually runs
     // after ingest: for every response record, parse the PAYLOAD as an
     // HTTP/1.1 message (status line / headers / CRLFCRLF body split),
@@ -816,6 +834,9 @@ object SourceQueries extends QueryPack {
     "warc_ingest_live" -> warcIngestSql,
     "warc_gz_ingest" -> warcIngestSql,
     "warc_zst_ingest" -> warcIngestSql,
+    // Identical model on purpose: the dictionary layer must be a byte
+    // identity over the plain shards' records.
+    "warc_zstdict_ingest" -> warcIngestSql,
     "tar_ingest" -> tarIngestSql,
     // Identical model on purpose: gunzip-then-walk must be a byte
     // identity over the plain shards.

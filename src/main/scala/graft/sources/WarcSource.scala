@@ -364,48 +364,86 @@ object WarcSource {
   private[graft] def unzstdAll(bytes: Array[Byte]): (Array[Byte], Boolean) = {
     import com.github.luben.zstd.Zstd
     val out = new java.io.ByteArrayOutputStream()
-    var p = 0
-    def u32(off: Int): Long =
-      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
-        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
-    while (p < bytes.length) {
-      if (p + 4 > bytes.length) return (out.toByteArray, false)
-      val magic = u32(p)
-      // findFrameCompressedSize walks the block structure; any malformed
-      // header/descriptor or mid-frame truncation throws.
-      val cs =
-        try Zstd.findFrameCompressedSize(bytes, p, bytes.length - p)
-        catch { case _: com.github.luben.zstd.ZstdException =>
-          return (out.toByteArray, false) }
-      if (cs <= 0 || cs > (bytes.length - p).toLong)
-        return (out.toByteArray, false)
-      if ((magic & 0xfffffff0L) == 0x184d2a50L) {
-        // Skippable frame (dictionary slot): no decompressed bytes. A
-        // dictionary we don't load can't be used SILENTLY: a frame that
-        // actually needs one fails its decompress below — loud.
-        ()
-      } else {
-        val ds =
-          try Zstd.getFrameContentSize(bytes, p, cs.toInt)
+    val dctx = new com.github.luben.zstd.ZstdDecompressCtx()
+    try {
+      var p = 0
+      def u32(off: Int): Long =
+        (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+          ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+      while (p < bytes.length) {
+        if (p + 4 > bytes.length) return (out.toByteArray, false)
+        val magic = u32(p)
+        // findFrameCompressedSize walks the block structure; any malformed
+        // header/descriptor or mid-frame truncation throws.
+        val cs =
+          try Zstd.findFrameCompressedSize(bytes, p, bytes.length - p)
           catch { case _: com.github.luben.zstd.ZstdException =>
             return (out.toByteArray, false) }
-        if (ds < 0 || ds > (Int.MaxValue - 16).toLong)
+        if (cs <= 0 || cs > (bytes.length - p).toLong)
           return (out.toByteArray, false)
-        val dst = new Array[Byte](ds.toInt)
-        val got =
-          try Zstd.decompressByteArray(dst, 0, dst.length, bytes, p, cs.toInt)
+        if (magic == ZstDictSlotMagic) {
+          // The IIPC warc-zstd DICTIONARY slot (magic 0x184D2A5D): the
+          // payload is a zstd dictionary, optionally itself a zstd
+          // frame (detect by the frame magic). Load it for every data
+          // frame that follows — this is what makes per-record frames
+          // compress at shard-level ratios.
+          if (p + 8 > bytes.length) return (out.toByteArray, false)
+          val plen = u32(p + 4)
+          if (plen > (cs - 8).toLong) return (out.toByteArray, false)
+          val payload = java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + plen.toInt)
+          val dict =
+            if (payload.length >= 4 &&
+                (payload(0) & 0xff) == 0x28 && (payload(1) & 0xff) == 0xb5 &&
+                (payload(2) & 0xff) == 0x2f && (payload(3) & 0xff) == 0xfd) {
+              val ds =
+                try Zstd.getFrameContentSize(payload, 0, payload.length)
+                catch { case _: com.github.luben.zstd.ZstdException =>
+                  return (out.toByteArray, false) }
+              if (ds <= 0 || ds > (Int.MaxValue - 16).toLong)
+                return (out.toByteArray, false)
+              val d = new Array[Byte](ds.toInt)
+              val got =
+                try Zstd.decompressByteArray(d, 0, d.length, payload, 0, payload.length)
+                catch { case _: com.github.luben.zstd.ZstdException =>
+                  return (out.toByteArray, false) }
+              if (got != ds) return (out.toByteArray, false)
+              d
+            } else payload
+          try dctx.loadDict(dict)
           catch { case _: com.github.luben.zstd.ZstdException =>
-            // covers corruption, checksum mismatch, AND an unknown-
-            // content-size frame misdeclared as 0 (dst too small) —
-            // never a silent short read.
-            return (out.toByteArray, false) }
-        if (got != ds) return (out.toByteArray, false)
-        out.write(dst, 0, dst.length)
+            return (out.toByteArray, false) } // malformed dictionary: loud
+        } else if ((magic & 0xfffffff0L) == 0x184d2a50L) {
+          // Other skippable frames: no decompressed bytes. A dictionary
+          // in a NON-dict slot can't be used SILENTLY: a frame that
+          // needs one fails its decompress below — loud.
+          ()
+        } else {
+          val ds =
+            try Zstd.getFrameContentSize(bytes, p, cs.toInt)
+            catch { case _: com.github.luben.zstd.ZstdException =>
+              return (out.toByteArray, false) }
+          if (ds < 0 || ds > (Int.MaxValue - 16).toLong)
+            return (out.toByteArray, false)
+          val dst = new Array[Byte](ds.toInt)
+          val got =
+            try dctx.decompressByteArray(dst, 0, dst.length, bytes, p, cs.toInt)
+            catch { case _: com.github.luben.zstd.ZstdException =>
+              // covers corruption, checksum mismatch, a dict-needing
+              // frame with no loaded dictionary, AND an unknown-
+              // content-size frame misdeclared as 0 (dst too small) —
+              // never a silent short read.
+              return (out.toByteArray, false) }
+          if (got != ds) return (out.toByteArray, false)
+          out.write(dst, 0, dst.length)
+        }
+        p += cs.toInt
       }
-      p += cs.toInt
-    }
-    (out.toByteArray, true)
+      (out.toByteArray, true)
+    } finally dctx.close()
   }
+
+  /** The IIPC warc-zstd spec's dictionary-slot skippable-frame magic. */
+  private[graft] val ZstDictSlotMagic = 0x184d2a5dL
 
   /** One record as one zstd frame, content size AND content checksum
     * embedded (xxhash64 low bits, verified by any conformant decoder) —
@@ -417,16 +455,41 @@ object WarcSource {
   }
 
   /** A zstd SKIPPABLE frame carrying `payload` — the `.warc.zst`
-    * dictionary-slot framing (we stage a non-dictionary marker there so
-    * the reader's skip path is exercised by every staged shard). */
-  private[graft] def skippableFrame(payload: Array[Byte]): Array[Byte] = {
+    * dictionary-slot framing. The plain-zst fixture stages a
+    * non-dictionary marker under the GENERIC skippable magic (0x184D2A50)
+    * so the reader's skip path is exercised; the dict fixture uses the
+    * spec's dictionary magic ([[ZstDictSlotMagic]]). */
+  private[graft] def skippableFrame(payload: Array[Byte],
+                                    magic: Long = 0x184d2a50L): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def le32(v: Long): Unit =
       (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
-    le32(0x184d2a50L)
+    le32(magic)
     le32(payload.length.toLong)
     out.write(payload, 0, payload.length)
     out.toByteArray
+  }
+
+  /** One record as one zstd frame compressed WITH a dictionary —
+    * content size, content checksum AND the dictionary's ID embedded,
+    * so a reader that skipped the dict slot fails the frame loudly
+    * instead of emitting garbage. */
+  private[graft] def zstFrameDict(bytes: Array[Byte], dict: Array[Byte]): Array[Byte] = {
+    val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+    try {
+      ctx.setLevel(3); ctx.setChecksum(true); ctx.loadDict(dict)
+      ctx.compress(bytes)
+    } finally ctx.close()
+  }
+
+  /** Train a zstd dictionary from sample records (ZDICT — deterministic
+    * for a fixed sample set, order, and library version). */
+  private[graft] def trainZstDict(samples: Seq[Array[Byte]],
+                                  dictBytes: Int = 16 * 1024): Array[Byte] = {
+    val trainer = new com.github.luben.zstd.ZstdDictTrainer(
+      samples.map(_.length).sum + 1024, dictBytes)
+    samples.foreach(trainer.addSample)
+    trainer.trainSamples()
   }
 
   /** [[records]] over per-record-zstd shards: whole-shard read, strict
@@ -447,6 +510,42 @@ object WarcSource {
 
   def zstFixtureFiles(dir: String): Seq[String] =
     (0 until 24).map(f => f"$dir/shard$f%02d.warc.zst")
+
+  def zstDictFixtureFiles(dir: String): Seq[String] =
+    (0 until 24).map(f => f"$dir/shard$f%02d.warc.zst")
+
+  /** Stage the DICTIONARY-compressed zstd fixture: the SAME 24 shards
+    * as [[stageFixture]], every record frame compressed with one
+    * trained ZDICT dictionary carried in the spec's leading
+    * dictionary-slot skippable frame (magic 0x184D2A5D). Odd shards
+    * carry the dictionary itself zstd-compressed in the slot (the
+    * spec's optional form); even shards carry it raw. A reader that
+    * skips the slot instead of loading it fails every record frame's
+    * dictID check — loud, pinned in WarcSourceSpec. Content is
+    * byte-identical to the plain shards, so warc_ingest's oracle holds
+    * verbatim. Idempotent via marker. */
+  def stageZstDictFixture(dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    val marker = new java.io.File(d, "_STAGED_WARC_ZSTDICT_V1")
+    val paths = zstDictFixtureFiles(dir)
+    if (!marker.exists()) {
+      d.mkdirs()
+      // One dictionary over the whole fixture's records — the shared-
+      // dictionary economics the slot exists for (per-record frames,
+      // shard-level ratios).
+      val dict = trainZstDict(
+        (0 until 24).flatMap(f => fixtureShardRecords(f)))
+      paths.zipWithIndex.foreach { case (p, f) =>
+        val slot =
+          if (f % 2 == 1) skippableFrame(zstFrame(dict), ZstDictSlotMagic)
+          else skippableFrame(dict, ZstDictSlotMagic)
+        val zs = slot +: fixtureShardRecords(f).map(zstFrameDict(_, dict))
+        java.nio.file.Files.write(java.nio.file.Paths.get(p), zs.reduce(_ ++ _))
+      }
+      marker.createNewFile(): Unit
+    }
+    paths
+  }
 
   /** Stage the zstd fixture: the SAME 24 shards as [[stageFixture]],
     * one checksummed zstd frame per record, preceded by a skippable

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.scalacheck.{Gen, Prop, Properties}
 
 /** Pins for the WordPiece trainer and greedy encoder: the likelihood
   * objective picking a DIFFERENT merge than raw pair count would, the
@@ -89,4 +90,46 @@ class WordPieceSpec extends SparkSpec {
       (-1, 1L, 1L, h("abc")),
       (1, 2L, 9L, h("ab") + h("xbc"))))
   }
+}
+
+/** The text_wordpiece_* oracles re-tokenize with the SAME list_reduce
+  * fold the BPE oracles use, except the appended symbol is the merge's
+  * explicit `m` (the marker-stripped concatenation). Prove
+  * applyWpMerge ≡ that fold on generated '##'-marked symbol runs — the
+  * WordPiece twin of BpeFoldProps. */
+object WpFoldProps extends Properties("wpFold") {
+
+  /** The oracle's v$r fold, transcribed with the explicit m. */
+  private def oracleFold(syms: Seq[String], a: String, b: String,
+                         m: String): Seq[String] =
+    if (syms.isEmpty) syms
+    else syms.tail.foldLeft(Vector(syms.head)) { (acc, x) =>
+      if (acc.last == a && x == b) acc.init :+ m
+      else acc :+ x
+    }
+
+  // Symbol pools shaped like real WordPiece rounds: a small base
+  // alphabet where position-0 symbols are bare and continuations are
+  // '##'-marked, plus already-merged multi-char pieces.
+  private val sym: Gen[String] = Gen.oneOf(
+    "a", "b", "##a", "##b", "##ab", "ab", "##ba")
+  private val cases: Gen[(List[String], String, String)] = for {
+    syms <- Gen.nonEmptyListOf(sym)
+    a <- sym
+    b <- sym
+  } yield (syms, a, b)
+
+  property("greedy WP merge == oracle list fold on marked symbol runs") =
+    Prop.forAll(cases) { case (syms, a, b) =>
+      val m = a + b.stripPrefix("##")
+      TextAnalysis.applyWpMerge(syms, a, b, m) == oracleFold(syms, a, b, m)
+    }
+
+  property("second-round merge under a produced symbol stays equivalent") =
+    Prop.forAll(cases) { case (syms, a, b) =>
+      val m1 = "a" + "##b".stripPrefix("##")
+      val s2 = TextAnalysis.applyWpMerge(syms, "a", "##b", m1)
+      val m2 = a + b.stripPrefix("##")
+      TextAnalysis.applyWpMerge(s2, a, b, m2) == oracleFold(s2, a, b, m2)
+    }
 }

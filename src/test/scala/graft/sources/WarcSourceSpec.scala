@@ -296,6 +296,47 @@ class WarcSourceSpec extends SparkSpec {
     assert(!WarcSource.unzstdAll(recs(0) ++ badSkip)._2)
   }
 
+  test("dictionary-slot frames: loaded, applied, and LOUD when skipped or damaged") {
+    val recs = WarcSource.fixtureShardRecords(5)
+    val plain = recs.reduce(_ ++ _)
+    val dict = WarcSource.trainZstDict(recs)
+    val dictFrames = recs.map(WarcSource.zstFrameDict(_, dict))
+    // raw dict in the spec's 0x184D2A5D slot
+    val rawSlot = WarcSource.skippableFrame(dict, WarcSource.ZstDictSlotMagic)
+    val (got, clean) = WarcSource.unzstdAll(rawSlot ++ dictFrames.reduce(_ ++ _))
+    assert(clean && java.util.Arrays.equals(got, plain))
+    // the spec's optional form: the dictionary itself zstd-compressed
+    val zSlot = WarcSource.skippableFrame(
+      WarcSource.zstFrame(dict), WarcSource.ZstDictSlotMagic)
+    val (got2, clean2) = WarcSource.unzstdAll(zSlot ++ dictFrames.reduce(_ ++ _))
+    assert(clean2 && java.util.Arrays.equals(got2, plain))
+    // a reader-visible NON-dict skippable slot (the naive "skip
+    // everything skippable" behavior) leaves the dictID unresolved:
+    // every record frame must fail LOUDLY, salvaging nothing
+    val skippedSlot = WarcSource.skippableFrame(dict) // generic 0x184D2A50
+    val (got3, clean3) = WarcSource.unzstdAll(skippedSlot ++ dictFrames.reduce(_ ++ _))
+    assert(!clean3 && got3.isEmpty,
+      "dict-compressed frames without a LOADED dictionary must refuse, not emit garbage")
+    // a corrupted dictionary payload refuses at the load (or fails every
+    // frame's dictID) — never mangled records
+    val badDict = dict.clone()
+    for (k <- 8 until 24) badDict(k) = (badDict(k) ^ 0x5a).toByte
+    val badSlot = WarcSource.skippableFrame(badDict, WarcSource.ZstDictSlotMagic)
+    val (got4, clean4) = WarcSource.unzstdAll(badSlot ++ dictFrames.reduce(_ ++ _))
+    assert(!clean4 && got4.isEmpty)
+    // mixed stream: plain frames BEFORE the slot decode dict-less;
+    // dict frames after it decode with the dict
+    val mixed = WarcSource.zstFrame(recs.head) ++ rawSlot ++ dictFrames(1)
+    val (got5, clean5) = WarcSource.unzstdAll(mixed)
+    assert(clean5 && java.util.Arrays.equals(got5, recs.head ++ recs(1)))
+    // the economics claim: dict frames are smaller than solo frames on
+    // the fixture's small records (that is what the slot exists for)
+    val solo = recs.map(r => WarcSource.zstFrame(r).length.toLong).sum
+    val withDict = dictFrames.map(_.length.toLong).sum
+    assert(withDict < solo,
+      s"dictionary must pay on small records: dict=$withDict solo=$solo")
+  }
+
   test("streaming WARC arrival equals the batch reader row-for-row") {
     // warc_ingest_live's claim at the record level (the oracle pins the
     // aggregate): the binaryFile FileStreamSource → parse → append-sink
