@@ -40,6 +40,7 @@ object SourceQueries extends QueryPack {
   private def pqAuditStage(d: String) = Stage.dir(d, "pq_audit")
   private def avroStage(d: String) = Stage.dir(d, "avro")
   private def avroEvoStage(d: String) = Stage.dir(d, "avro_evo")
+  private def avroLiveStage(d: String) = Stage.dir(d, "avro_live")
 
   val queries: Map[String, Q] = Map(
     // CSV sink → CSV source (header + schema inference) → aggregate.
@@ -391,6 +392,28 @@ object SourceQueries extends QueryPack {
         Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars"),
         stage, codec = "zstandard", numShards = 4)
       graft.sources.AvroSource.read(s, stage)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("chars"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(graft.functions.PortableHash.h60p(
+            concat(col("doc_id").cast("string"), lit("|"), col("source"),
+              lit("|"), col("n_chars").cast("string")))).as("checksum"))
+        .orderBy("lang")
+    }),
+
+    // The STREAMING twin of avro_roundtrip: the same six OCF shards
+    // arriving through a REAL Structured Streaming execution
+    // (binaryFile FileStreamSource → per-shard DataFileReader parse →
+    // append parquet sink across three 2-file micro-batches) — log
+    // shards arriving continuously is OCF's native habitat, and the
+    // gate pins live ≡ batch through the identical aggregate + oracle.
+    "avro_ingest_live" -> ((s, d) => {
+      val stage = avroLiveStage(d)
+      val paths = graft.sources.AvroSource.writeShards(
+        Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars"),
+        stage, codec = "deflate", numShards = 6)
+      graft.streaming.EventStreams.avroRowsLive(s, paths)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars").cast("long")).as("chars"),
@@ -1017,6 +1040,15 @@ object SourceQueries extends QueryPack {
     // Avro oracles recompute from the SOURCE documents table (DuckDB has
     // no Avro reader) — same closed-form discipline as the ORC rows.
     "avro_roundtrip" ->
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS chars,
+                CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+                CAST(SUM(${graft.functions.PortableHash.h60pSql(
+                  "CAST(doc_id AS VARCHAR) || '|' || source || '|' || CAST(n_chars AS VARCHAR)")}) AS BIGINT) AS checksum
+         FROM documents GROUP BY lang ORDER BY lang""",
+    // live ≡ batch on purpose: the streaming arrival must decode to the
+    // identical row set.
+    "avro_ingest_live" ->
       s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
                 CAST(SUM(n_chars) AS BIGINT) AS chars,
                 CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,

@@ -875,6 +875,85 @@ object EventStreams {
     * Same per-invocation temp-dir/session discipline as [[runLive]]
     * (own 2-partition session, tracked sink dir, checkpoint+staging
     * reclaimed eagerly). */
+  /** One decoded Avro documents-projection row (the fixed shape the
+    * live gate streams; the schema-generic reader is the batch API —
+    * Structured Streaming needs a concrete Encoder). */
+  case class AvroDocRow(doc_id: Long, lang: String, source: String, n_chars: Long)
+
+  /** avro_ingest_live: OCF shards arriving as a STREAM — binaryFile
+    * FileStreamSource → per-shard DataFileReader parse → append parquet
+    * sink across real micro-batches; returns the sink as a batch frame.
+    * The streaming twin of [[graft.sources.AvroSource.read]]: log
+    * shards arriving continuously is OCF's native habitat, and the
+    * parse is the same whole-shard decode one task per arriving file. */
+  def avroRowsLive(spark: SparkSession, shardPaths: Seq[String],
+                   filesPerTrigger: Int = 2): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_avro_live_").toFile.getAbsolutePath
+    trackForCleanup(base)
+    val srcDir = s"$base/src"
+    new java.io.File(srcDir).mkdirs()
+    // Copy (not move — the shards are shared with the batch twin), with
+    // an ordinal prefix against basename collisions, as in
+    // warcRecordsLive. writeShards returns Hadoop path strings that may
+    // carry a scheme; strip it for the local copy.
+    shardPaths.zipWithIndex.foreach { case (p, i) =>
+      val local = if (p.contains(":")) new java.net.URI(p).getPath else p
+      val name = local.substring(local.lastIndexOf('/') + 1)
+      Files.copy(Paths.get(local), Paths.get(f"$srcDir/$i%05d~$name")): Unit
+    }
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", "2")
+    sess.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    sess.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+    import sess.implicits._
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val q = sess.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .load(srcDir)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap { bytes =>
+        val dfr = new org.apache.avro.file.DataFileReader(
+          new org.apache.avro.file.SeekableByteArrayInput(bytes),
+          new org.apache.avro.generic.GenericDatumReader[
+            org.apache.avro.generic.GenericRecord]())
+        def longOf(v: Any): Long = v match {
+          case i: java.lang.Integer => i.toLong
+          case l: java.lang.Long    => l
+          case other => throw new IllegalArgumentException(s"not integral: $other")
+        }
+        try {
+          val out = Vector.newBuilder[AvroDocRow]
+          while (dfr.hasNext) {
+            val r = dfr.next()
+            out += AvroDocRow(longOf(r.get("doc_id")),
+              String.valueOf(r.get("lang")), String.valueOf(r.get("source")),
+              longOf(r.get("n_chars")))
+          }
+          out.result()
+        } finally dfr.close()
+      }
+      .toDF()
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    Seq(srcDir, s"$base/ckpt").foreach(rmTree)
+    spark.read.parquet(s"$base/out")
+  }
+
   def warcRecordsLive(spark: SparkSession, shardPaths: Seq[String],
                       filesPerTrigger: Int = 8): DataFrame = {
     import java.nio.file.{Files, Paths}
