@@ -41,6 +41,7 @@ object SourceQueries extends QueryPack {
   private def avroStage(d: String) = Stage.dir(d, "avro")
   private def avroEvoStage(d: String) = Stage.dir(d, "avro_evo")
   private def avroLiveStage(d: String) = Stage.dir(d, "avro_live")
+  private def jsonlBz2Stage(d: String) = Stage.dir(d, "jsonl_bz2")
 
   val queries: Map[String, Q] = Map(
     // CSV sink → CSV source (header + schema inference) → aggregate.
@@ -371,6 +372,34 @@ object SourceQueries extends QueryPack {
             concat(col("doc_id").cast("string"), lit("|"),
               col("n_chars").cast("string")))).as("checksum"))
         .orderBy("lang", "source")
+    }),
+
+    // `.jsonl.bz2` round-trip — the ONE text codec in the whole zoo
+    // that is SPLITTABLE: Hadoop's pure-Java BZip2Codec implements
+    // SplittableCompressionCodec (block-boundary resync), so unlike
+    // gzip/zstd shards — where one shard = one task forever — a single
+    // huge .bz2 shard still fans out across executors at 100 TB. The
+    // trade is CPU (bzip2 is the slowest codec here); crawl archives
+    // historically shipped .bz2 for exactly this split-ability. DuckDB
+    // reads gzip/zstd but not bz2, so this gate uses the closed-form
+    // row-checksum discipline (orc_roundtrip's): any row lost,
+    // duplicated, or corrupted across the compress→split→decode chain
+    // breaks count or hash against the source-table recompute.
+    "jsonl_bz2_roundtrip" -> ((s, d) => {
+      val stage = jsonlBz2Stage(d)
+      Tables.documents(s, d)
+        .select("doc_id", "lang", "source", "n_chars")
+        .coalesce(1) // ONE shard on purpose: the read back still splits
+        .write.mode("overwrite").option("compression", "bzip2").json(stage)
+      graft.sources.FileSources.json(s, stage)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("chars"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(graft.functions.PortableHash.h60p(
+            concat(col("doc_id").cast("string"), lit("|"), col("source"),
+              lit("|"), col("n_chars").cast("string")))).as("checksum"))
+        .orderBy("lang")
     }),
 
     // Avro OCF round-trip — the ROW-oriented wire format log/Kafka
@@ -1037,8 +1066,15 @@ object SourceQueries extends QueryPack {
                   "CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR)")}) AS BIGINT) AS checksum
          FROM documents WHERE lang <> 'en'
          GROUP BY lang, source ORDER BY lang, source""",
-    // Avro oracles recompute from the SOURCE documents table (DuckDB has
-    // no Avro reader) — same closed-form discipline as the ORC rows.
+    // bz2 / Avro oracles recompute from the SOURCE documents table
+    // (DuckDB reads neither) — same closed-form discipline as the ORC rows.
+    "jsonl_bz2_roundtrip" ->
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS chars,
+                CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+                CAST(SUM(${graft.functions.PortableHash.h60pSql(
+                  "CAST(doc_id AS VARCHAR) || '|' || source || '|' || CAST(n_chars AS VARCHAR)")}) AS BIGINT) AS checksum
+         FROM documents GROUP BY lang ORDER BY lang""",
     "avro_roundtrip" ->
       s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
                 CAST(SUM(n_chars) AS BIGINT) AS chars,

@@ -16,6 +16,34 @@ class FileSourcesSpec extends SparkSpec {
     dir.getAbsolutePath
   }
 
+  test("bz2 is the splittable text codec: one shard fans out; gzip stays one task") {
+    // The codec-class property jsonl_bz2_roundtrip's scale note claims:
+    assert(classOf[org.apache.hadoop.io.compress.SplittableCompressionCodec]
+      .isAssignableFrom(classOf[org.apache.hadoop.io.compress.BZip2Codec]))
+    assert(!classOf[org.apache.hadoop.io.compress.SplittableCompressionCodec]
+      .isAssignableFrom(classOf[org.apache.hadoop.io.compress.GzipCodec]))
+    // And behaviorally: the SAME single-shard json under a 32 KiB split
+    // target — bz2 fans out into multiple input partitions (block
+    // resync), gzip cannot. Values are deterministic so the count pins
+    // that the split loses and duplicates nothing.
+    import org.apache.spark.sql.functions.{concat, lit}
+    val dir = Files.createTempDirectory("graft-bz2split").toFile.getAbsolutePath
+    val df = spark.range(20000).select(col("id"),
+      concat(lit("pad-the-line-so-blocks-exist-"), col("id")).as("s"))
+    df.coalesce(1).write.mode("overwrite").option("compression", "bzip2").json(s"$dir/bz")
+    df.coalesce(1).write.mode("overwrite").option("compression", "gzip").json(s"$dir/gz")
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.files.maxPartitionBytes", (32 * 1024).toString)
+    sess.conf.set("spark.sql.files.openCostInBytes", "0")
+    val bz = sess.read.json(s"$dir/bz")
+    val gz = sess.read.json(s"$dir/gz")
+    assert(bz.rdd.getNumPartitions > 1,
+      s"bz2 must split under a 32 KiB target: ${bz.rdd.getNumPartitions}")
+    assert(gz.rdd.getNumPartitions == 1,
+      s"gzip must stay one task: ${gz.rdd.getNumPartitions}")
+    assert(bz.count() == 20000L)
+  }
+
   test("wholeTextDir yields one (path, content) row per file (A1+A2)") {
     val dir = tempDirWith("a.txt" -> "hello world", "b.txt" -> "foo")
     val rows = FileSources.wholeTextDir(spark, dir).collect()
