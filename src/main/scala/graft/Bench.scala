@@ -224,18 +224,20 @@ object Bench {
     // the ratio. The minimum draw is the recorded denominator
     // (smaller denominator = larger reported ratio = the conservative
     // direction). BASELINE.md round-18 row documents the three draws.
-    // Round-18 LATE session re-derivation over all 253 oracle SQLs
-    // (+ avro_roundtrip/avro_evolution closed-form, the WordPiece
-    // learn/encode chains, text_unigram_viterbi's 16-CTE DP): direct
-    // draws 62.36 / 82.95 / 65.40 s (the middle draw rode a loadavg-8
-    // spike; the protocol takes the MINIMUM, which again shrinks the
-    // denominator in the conservative direction — 62.4 < 71.9 even
-    // with 8 more SQLs because this box was quieter than the close
-    // session's draws). BASELINE.md round-18-late row has the ledger.
-    // Env overrides for re-derived denominators; the fallback keeps
-    // `vs_baseline` on the driver's line, which sets no env. Only
-    // meaningful at sf0.1.
-    val FallbackBaselineSec = 62.4
+    // Round-18 LATE session re-derivations. First battery over 253
+    // SQLs (+ avro_roundtrip/avro_evolution, WordPiece learn/encode,
+    // text_unigram_viterbi): 62.36 / 82.95 / 65.40 s (the middle draw
+    // rode a loadavg-8 spike). Final battery over the closing 256-SQL
+    // set (+ warc_zstdict_ingest, avro_ingest_live,
+    // jsonl_bz2_roundtrip): 63.51 / 64.79 / 70.58 s at loadavg 0.1-2.2.
+    // The recorded constant is the minimum over the FINAL set — the
+    // apples-to-apples denominator for the 256-query numerator; it
+    // stays well under the close session's 71.9 because this box was
+    // quieter than those draws. BASELINE.md round-18-late rows have the
+    // full ledger. Env overrides for re-derived denominators; the
+    // fallback keeps `vs_baseline` on the driver's line, which sets no
+    // env. Only meaningful at sf0.1.
+    val FallbackBaselineSec = 63.5
     val baselineEnv = sys.env.get("SPARK_GRAFT_BASELINE_SEC")
     val baselineParsed = baselineEnv
       .flatMap(s => scala.util.Try(s.toDouble).toOption)
