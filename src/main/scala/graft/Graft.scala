@@ -638,6 +638,16 @@ object Graft {
                readerSchemaJson: Option[String] = None): DataFrame =
     sources.AvroSource.read(spark, dir, readerSchemaJson)
 
+  /** CDX index build over WARC shards — per-record (offset, length)
+    * rows with a built-in seek audit (every indexed slice re-parsed in
+    * isolation) and an end-to-end tiling check. The Common Crawl
+    * seekability artifact. See sources.WarcSource.cdxIndex. */
+  def cdxIndex(spark: SparkSession, shardPaths: Seq[String],
+               tolerateUnclean: Boolean = false): DataFrame = {
+    require(shardPaths.nonEmpty, "cdxIndex needs at least one shard path")
+    sources.WarcSource.cdxIndex(spark, shardPaths, tolerateUnclean)
+  }
+
   /** Streaming WARC shard arrival: binaryFile FileStreamSource over the
     * shard paths → strict Content-Length parse → append parquet sink;
     * returns the sink as a batch frame of WarcSource.WarcRecord rows.

@@ -601,6 +601,33 @@ object SourceQueries extends QueryPack {
       tarAuditOf(graft.sources.TarSource.entries(
         s, graft.sources.TarSource.stageFixture(tarStage(d))))),
 
+    // CDX index build — the seekability artifact that makes WARC
+    // archives usable at 100 TB: per-record (offset, length) rows let a
+    // consumer range-request ONE record out of a ~1 GB shard (Common
+    // Crawl publishes exactly this index beside its shards). Offsets
+    // cannot be modeled by the oracle (they depend on header byte
+    // layouts), so the gate makes them LOAD-BEARING instead: parseCdx
+    // re-parses every indexed byte slice in isolation — the very
+    // operation a range-requesting consumer performs — and additionally
+    // requires the records to tile the shard end to end with no gaps;
+    // n_seek_ok must equal n_responses, and one wrong offset/length
+    // breaks it. Content columns replay the closed-form fixture model
+    // exactly as warc_ingest does.
+    "warc_cdx_index" -> ((s, d) =>
+      graft.sources.WarcSource.cdxIndex(
+          s, graft.sources.WarcSource.stageFixture(warcStage(d)))
+        .filter(col("rec_type") === "response")
+        .withColumn("site",
+          regexp_extract(col("uri"), "http://(site\\d+)\\.example", 1))
+        .groupBy("site")
+        .agg(count(lit(1)).as("n_responses"),
+          sum(when(col("seek_ok"), 1L).otherwise(0L)).as("n_seek_ok"),
+          sum("payload_len").as("payload_bytes"),
+          sum(col("idx").cast("long") * col("payload_len")).as("moment"),
+          sum(graft.functions.PortableHash.h60p(
+            concat(col("uri"), lit("|"), col("payload_md5")))).as("checksum"))
+        .orderBy("site")),
+
     // The COMPRESSED WebDataset layout (.tar.gz): the same 16 shards
     // byte-identical after a strict multi-member gunzip, cut into
     // 1500-byte gzip members whose boundaries never align with tar
@@ -889,6 +916,31 @@ object SourceQueries extends QueryPack {
     // Identical model on purpose: the dictionary layer must be a byte
     // identity over the plain shards' records.
     "warc_zstdict_ingest" -> warcIngestSql,
+    // Same response model as warc_ingest; n_seek_ok = n_responses is
+    // the oracle's claim that EVERY indexed slice re-parses (the Spark
+    // side earns it per record via the slice re-parse + tiling check).
+    "warc_cdx_index" ->
+      s"""WITH shards AS (SELECT unnest(range(24)) AS f),
+            resp AS (SELECT f, unnest(range(5 + (f % 4))) AS i FROM shards),
+            m AS (SELECT f, i,
+                         'http://site' || (f % 6) || '.example/f' || f || '/p' || i AS uri,
+                         CASE WHEN i % 3 = 0
+                              THEN 'WARC/1.0' || chr(13) || chr(10) ||
+                                   'X: decoy' || chr(13) || chr(10)
+                              ELSE '' END ||
+                         repeat('x', 40 + ((f * 31 + i * 7) % 100)) AS payload
+                  FROM resp),
+            p AS (SELECT 'site' || (f % 6) AS site,
+                         CAST(2 + 2 * i AS BIGINT) AS idx,
+                         CAST(length(payload) AS BIGINT) AS len,
+                         uri || '|' || md5(payload) AS keyed
+                  FROM m)
+          SELECT site, CAST(COUNT(*) AS BIGINT) AS n_responses,
+                 CAST(COUNT(*) AS BIGINT) AS n_seek_ok,
+                 CAST(SUM(len) AS BIGINT) AS payload_bytes,
+                 CAST(SUM(idx * len) AS BIGINT) AS moment,
+                 CAST(SUM(${graft.functions.PortableHash.h60pSql("keyed")}) AS BIGINT) AS checksum
+          FROM p GROUP BY 1 ORDER BY site""",
     "tar_ingest" -> tarIngestSql,
     // Identical model on purpose: gunzip-then-walk must be a byte
     // identity over the plain shards.

@@ -45,7 +45,7 @@ object WarcSource {
     * everything before the damage is still returned. */
   def parseWarc(fileName: String, bytes: Array[Byte]): (Seq[WarcRecord], Boolean) = {
     val out = Seq.newBuilder[WarcRecord]
-    val clean = walkWarc(bytes) { (idx, recType, uri, payOff, payLen) =>
+    val clean = walkWarc(bytes) { (idx, recType, uri, _, payOff, payLen) =>
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(java.util.Arrays.copyOfRange(bytes, payOff, payOff + payLen))
         .map("%02x".format(_)).mkString
@@ -54,10 +54,62 @@ object WarcSource {
     (out.result(), clean)
   }
 
-  /** The shared framing walk: calls `f(idx, type, uri, payloadOffset,
-    * payloadLength)` per well-framed record, returns the clean-EOF flag. */
+  /** One CDX-style index row — the Common Crawl seekability artifact:
+    * `rec_offset`/`rec_length` address the WHOLE record (header +
+    * payload + terminator) inside its shard, so a consumer can range-
+    * request one record without reading the shard. `seek_ok` is the
+    * built-in audit: the indexed slice was re-parsed in isolation and
+    * reproduced exactly this record (type, uri, payload md5) — a wrong
+    * offset or length cannot produce a true value. */
+  case class CdxEntry(file: String, idx: Int, rec_type: String, uri: String,
+                      rec_offset: Long, rec_length: Long,
+                      payload_len: Long, payload_md5: String, seek_ok: Boolean)
+
+  /** Build the CDX index of one shard AND verify it: every entry's
+    * byte slice is re-parsed as a standalone single-record WARC (the
+    * exact operation a range-requesting consumer performs). Also
+    * enforces complete tiling — records must cover the shard end to
+    * end with no gaps — so the offsets are provably the framing's, not
+    * a parallel bookkeeping that could drift. */
+  def parseCdx(fileName: String, bytes: Array[Byte]): (Seq[CdxEntry], Boolean) = {
+    val out = Seq.newBuilder[CdxEntry]
+    var expectedOff = 0L
+    var tiled = true
+    val clean = walkWarc(bytes) { (idx, recType, uri, recOff, payOff, payLen) =>
+      val recLen = (payOff - recOff + payLen + 4).toLong
+      if (recOff.toLong != expectedOff) tiled = false
+      expectedOff = recOff + recLen
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(java.util.Arrays.copyOfRange(bytes, payOff, payOff + payLen))
+        .map("%02x".format(_)).mkString
+      // The seek audit: re-parse the indexed slice in isolation.
+      val slice = java.util.Arrays.copyOfRange(bytes, recOff, recOff + recLen.toInt)
+      val ok = parseWarc(fileName, slice) match {
+        case (Seq(r), true) =>
+          r.rec_type == recType && r.uri == uri && r.payload_md5 == md
+        case _ => false
+      }
+      out += CdxEntry(fileName, idx, recType, uri, recOff.toLong, recLen,
+        payLen.toLong, md, ok)
+    }
+    val entries = out.result()
+    (entries, clean && tiled && expectedOff == bytes.length.toLong)
+  }
+
+  /** Distributed CDX index build over shard paths — one task per shard,
+    * same loud-failure contract as [[records]]. */
+  def cdxIndex(spark: SparkSession, paths: Seq[String],
+               tolerateUnclean: Boolean = false): DataFrame = {
+    import spark.implicits._
+    framedShards(spark, paths, tolerateUnclean)(parseCdx).toDF()
+  }
+
+  /** The shared framing walk: calls `f(idx, type, uri, recordOffset,
+    * payloadOffset, payloadLength)` per well-framed record (recordOffset
+    * = the byte where the record's "WARC/1.0" line starts — the CDX
+    * seek address), returns the clean-EOF flag. */
   private def walkWarc(bytes: Array[Byte])
-                      (f: (Int, String, String, Int, Int) => Unit): Boolean = {
+                      (f: (Int, String, String, Int, Int, Int) => Unit): Boolean = {
     var off = 0
     var idx = 0
     var clean = true
@@ -111,7 +163,7 @@ object WarcSource {
               bytes(p + len.toInt + 2) != Crlf(0) || bytes(p + len.toInt + 3) != Crlf(1)) {
             clean = false; halted = true
           } else {
-            f(idx, recType, uri, p, len.toInt)
+            f(idx, recType, uri, off, p, len.toInt)
             idx += 1
             off = p + len.toInt + 4
           }
@@ -686,7 +738,7 @@ object WarcSource {
     import spark.implicits._
     framedShards(spark, paths, tolerateUnclean) { (name, bytes) =>
       val out = Seq.newBuilder[HttpRecord]
-      val clean = walkWarc(bytes) { (idx, recType, uri, payOff, payLen) =>
+      val clean = walkWarc(bytes) { (idx, recType, uri, _, payOff, payLen) =>
         if (recType == "response") {
           parseHttpAt(bytes, payOff, payLen).foreach { case (code, rawCt, segs, chk) =>
             val digest = java.security.MessageDigest.getInstance("MD5")
@@ -876,7 +928,7 @@ object WarcSource {
     import spark.implicits._
     framedShards(spark, paths, tolerateUnclean) { (name, bytes) =>
       val out = Seq.newBuilder[HttpTextRecord]
-      val clean = walkWarc(bytes) { (idx, recType, uri, payOff, payLen) =>
+      val clean = walkWarc(bytes) { (idx, recType, uri, _, payOff, payLen) =>
         if (recType == "response") {
           parseHttpAt(bytes, payOff, payLen).foreach { case (code, rawCt, segs, _) =>
             val body = new java.io.ByteArrayOutputStream()

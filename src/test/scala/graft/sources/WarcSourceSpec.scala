@@ -296,6 +296,37 @@ class WarcSourceSpec extends SparkSpec {
     assert(!WarcSource.unzstdAll(recs(0) ++ badSkip)._2)
   }
 
+  test("CDX index: slices re-parse, records tile the shard, damage is caught") {
+    val bytes = WarcSource.fixtureShard(3)
+    val (entries, clean) = WarcSource.parseCdx("shard03.warc", bytes)
+    assert(clean && entries.nonEmpty)
+    assert(entries.forall(_.seek_ok), "every indexed slice must re-parse")
+    // entries tile the shard end to end
+    assert(entries.head.rec_offset == 0L)
+    assert(entries.map(_.rec_length).sum == bytes.length.toLong)
+    entries.sliding(2).foreach {
+      case Seq(a, b) => assert(a.rec_offset + a.rec_length == b.rec_offset)
+      case _ => ()
+    }
+    // the CDX rows agree with the record parse on identity fields
+    val (recs, _) = WarcSource.parseWarc("shard03.warc", bytes)
+    assert(entries.map(e => (e.idx, e.rec_type, e.uri, e.payload_md5)) ==
+      recs.map(r => (r.idx, r.rec_type, r.uri, r.payload_md5)))
+    // junk INSERTED between records breaks the walk loudly (no silent
+    // re-sync — offsets downstream of the junk would all be wrong)
+    val mid = (entries(1).rec_offset + entries(1).rec_length).toInt
+    val gapped = bytes.take(mid) ++ "JUNK".getBytes("US-ASCII") ++ bytes.drop(mid)
+    val (salvaged, gClean) = WarcSource.parseCdx("shard03.warc", gapped)
+    assert(!gClean && salvaged.length == 2, "junk between records must halt the walk")
+    // a manually corrupted offset cannot pass the slice re-parse (the
+    // audit a consumer's range request relies on)
+    val shifted = entries(2).copy(rec_offset = entries(2).rec_offset + 1)
+    val badSlice = java.util.Arrays.copyOfRange(bytes,
+      shifted.rec_offset.toInt, (shifted.rec_offset + shifted.rec_length).toInt)
+    assert(WarcSource.parseWarc("s", badSlice)._1.isEmpty
+      || WarcSource.parseWarc("s", badSlice)._2 == false)
+  }
+
   test("dictionary-slot frames: loaded, applied, and LOUD when skipped or damaged") {
     val recs = WarcSource.fixtureShardRecords(5)
     val plain = recs.reduce(_ ++ _)
