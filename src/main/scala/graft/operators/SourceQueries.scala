@@ -42,6 +42,7 @@ object SourceQueries extends QueryPack {
   private def avroEvoStage(d: String) = Stage.dir(d, "avro_evo")
   private def avroLiveStage(d: String) = Stage.dir(d, "avro_live")
   private def jsonlBz2Stage(d: String) = Stage.dir(d, "jsonl_bz2")
+  private def ipynbStage(d: String) = Stage.dir(d, "ipynb")
 
   val queries: Map[String, Q] = Map(
     // CSV sink → CSV source (header + schema inference) → aggregate.
@@ -601,6 +602,31 @@ object SourceQueries extends QueryPack {
       tarAuditOf(graft.sources.TarSource.entries(
         s, graft.sources.TarSource.stageFixture(tarStage(d))))),
 
+    // Jupyter notebook extraction — the format code-pretraining corpora
+    // actually arrive in (GitHub ships millions of .ipynb): JSON whose
+    // `cells` array interleaves markdown and code, code cells carrying
+    // `outputs` that curation STRIPS (outputs are leakage/noise; the
+    // audit counts them so the strip is measurable). Parse is Spark's
+    // own from_json with an explicit nbformat-4 schema — codegen'd, no
+    // UDFs — and the oracle parses the SAME staged bytes with DuckDB's
+    // independent JSON machinery (json_transform over $.cells), so the
+    // gate is the two-engines-same-bytes discipline, not a model
+    // replay. Fixture sources quote JSON-hostile characters
+    // (backslash, quote, newline) so string decoding is exercised.
+    "ipynb_extract" -> ((s, d) =>
+      graft.sources.NotebookSource.cells(s,
+          graft.sources.NotebookSource.stageFixture(s, d, ipynbStage(d)))
+        .groupBy("language")
+        .agg(countDistinct("nb_id").as("n_notebooks"),
+          sum(when(col("cell_type") === "code", 1L).otherwise(0L)).as("n_code"),
+          sum(when(col("cell_type") === "markdown", 1L).otherwise(0L)).as("n_md"),
+          sum(when(col("cell_type") === "code", length(col("src")))
+            .otherwise(0L).cast("long")).as("code_chars"),
+          sum(col("n_outputs").cast("long")).as("n_outputs_stripped"),
+          sum(graft.functions.PortableHash.h60p(concat_ws(":",
+            col("nb_id"), col("cell_idx"), md5(col("src"))))).as("src_checksum"))
+        .orderBy("language")),
+
     // CDX index build — the seekability artifact that makes WARC
     // archives usable at 100 TB: per-record (offset, length) rows let a
     // consumer range-request ONE record out of a ~1 GB shard (Common
@@ -916,6 +942,35 @@ object SourceQueries extends QueryPack {
     // Identical model on purpose: the dictionary layer must be a byte
     // identity over the plain shards' records.
     "warc_zstdict_ingest" -> warcIngestSql,
+    // DuckDB's INDEPENDENT JSON parse of the same staged notebook bytes
+    // — cell list via json_transform, subscripts zipped with unnest.
+    "ipynb_extract" ->
+      s"""WITH f AS (SELECT filename, content
+                     FROM read_text('${ipynbStage(dataDir)}/*.ipynb')),
+            nb AS (SELECT
+                     CAST(regexp_extract(filename, 'nb(\\d+)\\.ipynb', 1) AS BIGINT) AS nb_id,
+                     json_extract_string(content, '$$.metadata.kernelspec.language') AS language,
+                     json_transform(json_extract(content, '$$.cells'),
+                       '[{"cell_type":"VARCHAR","source":["VARCHAR"],"outputs":[{"output_type":"VARCHAR"}]}]') AS cells
+                   FROM f),
+            c AS (SELECT nb_id, language,
+                         generate_subscripts(cells, 1) - 1 AS cell_idx,
+                         unnest(cells) AS cell
+                  FROM nb),
+            e AS (SELECT nb_id, language, cell_idx,
+                         cell.cell_type AS ct,
+                         array_to_string(cell.source, '') AS src,
+                         COALESCE(len(cell.outputs), 0) AS n_out
+                  FROM c)
+          SELECT language,
+                 CAST(COUNT(DISTINCT nb_id) AS BIGINT) AS n_notebooks,
+                 CAST(SUM(CASE WHEN ct = 'code' THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
+                 CAST(SUM(CASE WHEN ct = 'markdown' THEN 1 ELSE 0 END) AS BIGINT) AS n_md,
+                 CAST(SUM(CASE WHEN ct = 'code' THEN length(src) ELSE 0 END) AS BIGINT) AS code_chars,
+                 CAST(SUM(n_out) AS BIGINT) AS n_outputs_stripped,
+                 CAST(SUM(${graft.functions.PortableHash.h60pSql(
+                   "nb_id || ':' || cell_idx || ':' || md5(src)")}) AS BIGINT) AS src_checksum
+          FROM e GROUP BY 1 ORDER BY language""",
     // Same response model as warc_ingest; n_seek_ok = n_responses is
     // the oracle's claim that EVERY indexed slice re-parses (the Spark
     // side earns it per record via the slice re-parse + tiling check).
