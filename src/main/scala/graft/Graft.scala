@@ -638,6 +638,12 @@ object Graft {
                readerSchemaJson: Option[String] = None): DataFrame =
     sources.AvroSource.read(spark, dir, readerSchemaJson)
 
+  /** LaTeX text extraction (the arXiv format): body-only, comments and
+    * math stripped, wrapper commands unwrapped, escapes decoded; None →
+    * row dropped (parse-as-filter). See sources.TexSource.extractTex. */
+  def texExtract(tex: String): Option[String] =
+    sources.TexSource.extractTex(tex)
+
   /** CDX index build over WARC shards — per-record (offset, length)
     * rows with a built-in seek audit (every indexed slice re-parsed in
     * isolation) and an end-to-end tiling check. The Common Crawl

@@ -602,6 +602,27 @@ object SourceQueries extends QueryPack {
       tarAuditOf(graft.sources.TarSource.entries(
         s, graft.sources.TarSource.stageFixture(tarStage(d))))),
 
+    // LaTeX text extraction — the arXiv arrival format (scientific
+    // corpora ship TeX sources; pdf_extract handles the rendered twin).
+    // A real character scanner (TexSource): body-only extraction with
+    // \end{document} recognized DURING the scan (the fixture comments a
+    // decoy end-tag — a textual search truncates there), comments
+    // eaten, inline/display/environment math DROPPED, wrapper commands
+    // (\section/\textbf/\emph) unwrapped, unknown commands dropped WITH
+    // their argument, escapes and ~ decoded. The oracle rebuilds the
+    // expected text closed-form from id arithmetic and never parses
+    // TeX — any rule slip shifts a checksum. Parse-as-filter map-only
+    // pass (the pdf_extract scale family).
+    "tex_extract" -> ((s, d) =>
+      graft.sources.TexSource.extractedTexts(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_lines").as("line_sum"),
+          sum("n_chars").as("char_sum"),
+          sum(graft.functions.PortableHash.h60p(concat_ws(":",
+            col("doc_id"), md5(col("text"))))).as("text_checksum"))
+        .orderBy("source")),
+
     // Jupyter notebook extraction — the format code-pretraining corpora
     // actually arrive in (GitHub ships millions of .ipynb): JSON whose
     // `cells` array interleaves markdown and code, code cells carrying
@@ -942,6 +963,27 @@ object SourceQueries extends QueryPack {
     // Identical model on purpose: the dictionary layer must be a byte
     // identity over the plain shards' records.
     "warc_zstdict_ingest" -> warcIngestSql,
+    // The extracted-text truth rebuilt closed-form from doc_id
+    // arithmetic (TexSource.texExpected's exact lines) — the oracle
+    // never sees a TeX byte.
+    "tex_extract" ->
+      s"""WITH d AS (SELECT doc_id AS id, source FROM documents),
+            t AS (SELECT id, source,
+                    'Intro ' || (id % 9) || chr(10) ||
+                    'Plain text ' || (id * 7) || ' with bold ' || (id % 5) ||
+                      ' and math inline.' || chr(10) ||
+                    'Escaped 100% and A_B and braces {x}.' || chr(10) ||
+                    'Display tail .' || chr(10) ||
+                    'item one ' || (id % 3) || chr(10) ||
+                    'item two plus' || chr(10) ||
+                    'Final line ' || (id % 4) || ' ends.' AS text
+                  FROM d)
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(COUNT(*) * 7 AS BIGINT) AS line_sum,
+                 CAST(SUM(length(text)) AS BIGINT) AS char_sum,
+                 CAST(SUM(${graft.functions.PortableHash.h60pSql(
+                   "id || ':' || md5(text)")}) AS BIGINT) AS text_checksum
+          FROM t GROUP BY source ORDER BY source""",
     // DuckDB's INDEPENDENT JSON parse of the same staged notebook bytes
     // — cell list via json_transform, subscripts zipped with unnest.
     "ipynb_extract" ->
