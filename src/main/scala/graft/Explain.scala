@@ -167,6 +167,13 @@ object Explain {
     // for text_bpe_learn's reason: driver-loop merge tables whose
     // per-round shape IS text_bpe_pairs' plan.
     "avro_roundtrip", "text_unigram_viterbi",
+    // round 18 late, second wave: the CDX build (whole-shard walk with
+    // per-record slice re-parses → codegen'd audit aggregate), the
+    // notebook parse (whole-file scan → from_json projection →
+    // posexplode → aggregate — all builtins, no UDF barrier), and the
+    // LaTeX scanner (typed parse-as-filter map → aggregate, the
+    // pdf_extract family).
+    "warc_cdx_index", "ipynb_extract", "tex_extract",
     // round 18: the persisted image-ingest probe (bucketed band-index
     // scan, batch-side-only exchange — the dedup_incremental_indexed
     // family) and the byte-level BPE's per-round pair count shape is
