@@ -44,6 +44,30 @@ object SourceQueries extends QueryPack {
   private def jsonlBz2Stage(d: String) = Stage.dir(d, "jsonl_bz2")
   private def ipynbStage(d: String) = Stage.dir(d, "ipynb")
 
+  /** The shared documents-projection audit (the closed-form-roundtrip
+    * discipline): per-lang counts, char sums, distinct sources, and a
+    * row-level checksum over every round-tripped column — ONE definition
+    * for the orc/bz2/Avro gates whose bytes DuckDB cannot read, so a
+    * checksum-format change cannot desynchronize them. */
+  private def docsAuditOf(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("chars"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(graft.functions.PortableHash.h60p(
+          concat(col("doc_id").cast("string"), lit("|"), col("source"),
+            lit("|"), col("n_chars").cast("string")))).as("checksum"))
+      .orderBy("lang")
+
+  /** docsAuditOf's oracle twin, recomputed from the source table. */
+  private val docsAuditSql =
+    s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS chars,
+              CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+              CAST(SUM(${graft.functions.PortableHash.h60pSql(
+                "CAST(doc_id AS VARCHAR) || '|' || source || '|' || CAST(n_chars AS VARCHAR)")}) AS BIGINT) AS checksum
+       FROM documents GROUP BY lang ORDER BY lang"""
+
   val queries: Map[String, Q] = Map(
     // CSV sink → CSV source (header + schema inference) → aggregate.
     "csv_roundtrip" -> ((s, d) => {
@@ -341,14 +365,7 @@ object SourceQueries extends QueryPack {
         .coalesce(1)
         .write.mode("overwrite").option("compression", "zstd").orc(stage)
       graft.sources.FileSources.orc(s, stage)
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars").cast("long")).as("chars"),
-          countDistinct(col("source")).as("n_sources"),
-          sum(graft.functions.PortableHash.h60p(
-            concat(col("doc_id").cast("string"), lit("|"), col("source"),
-              lit("|"), col("n_chars").cast("string")))).as("checksum"))
-        .orderBy("lang")
+        .transform(docsAuditOf)
     }),
 
     // Hive-partitioned ORC twin — directory-encoded partition column +
@@ -393,14 +410,7 @@ object SourceQueries extends QueryPack {
         .coalesce(1) // ONE shard on purpose: the read back still splits
         .write.mode("overwrite").option("compression", "bzip2").json(stage)
       graft.sources.FileSources.json(s, stage)
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars").cast("long")).as("chars"),
-          countDistinct(col("source")).as("n_sources"),
-          sum(graft.functions.PortableHash.h60p(
-            concat(col("doc_id").cast("string"), lit("|"), col("source"),
-              lit("|"), col("n_chars").cast("string")))).as("checksum"))
-        .orderBy("lang")
+        .transform(docsAuditOf)
     }),
 
     // Avro OCF round-trip — the ROW-oriented wire format log/Kafka
@@ -422,14 +432,7 @@ object SourceQueries extends QueryPack {
         Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars"),
         stage, codec = "zstandard", numShards = 4)
       graft.sources.AvroSource.read(s, stage)
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars").cast("long")).as("chars"),
-          countDistinct(col("source")).as("n_sources"),
-          sum(graft.functions.PortableHash.h60p(
-            concat(col("doc_id").cast("string"), lit("|"), col("source"),
-              lit("|"), col("n_chars").cast("string")))).as("checksum"))
-        .orderBy("lang")
+        .transform(docsAuditOf)
     }),
 
     // The STREAMING twin of avro_roundtrip: the same six OCF shards
@@ -444,14 +447,7 @@ object SourceQueries extends QueryPack {
         Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars"),
         stage, codec = "deflate", numShards = 6)
       graft.streaming.EventStreams.avroRowsLive(s, paths)
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars").cast("long")).as("chars"),
-          countDistinct(col("source")).as("n_sources"),
-          sum(graft.functions.PortableHash.h60p(
-            concat(col("doc_id").cast("string"), lit("|"), col("source"),
-              lit("|"), col("n_chars").cast("string")))).as("checksum"))
-        .orderBy("lang")
+        .transform(docsAuditOf)
     }),
 
     // Avro schema-evolution read — the resolution machinery that makes
@@ -974,12 +970,14 @@ object SourceQueries extends QueryPack {
                       ' and math inline.' || chr(10) ||
                     'Escaped 100% and A_B and braces {x}.' || chr(10) ||
                     'Display tail .' || chr(10) ||
+                    'Broken' || chr(10) ||
+                    'line ' || (id % 6) || ' and cafe con leche.' || chr(10) ||
                     'item one ' || (id % 3) || chr(10) ||
                     'item two plus' || chr(10) ||
                     'Final line ' || (id % 4) || ' ends.' AS text
                   FROM d)
           SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-                 CAST(COUNT(*) * 7 AS BIGINT) AS line_sum,
+                 CAST(COUNT(*) * 9 AS BIGINT) AS line_sum,
                  CAST(SUM(length(text)) AS BIGINT) AS char_sum,
                  CAST(SUM(${graft.functions.PortableHash.h60pSql(
                    "id || ':' || md5(text)")}) AS BIGINT) AS text_checksum
@@ -1201,12 +1199,7 @@ object SourceQueries extends QueryPack {
     // no ORC reader): same rows the staged ORC was written from, so the
     // per-row checksum pins the write→read chain's content exactly.
     "orc_roundtrip" ->
-      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-                CAST(SUM(n_chars) AS BIGINT) AS chars,
-                CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
-                CAST(SUM(${graft.functions.PortableHash.h60pSql(
-                  "CAST(doc_id AS VARCHAR) || '|' || source || '|' || CAST(n_chars AS VARCHAR)")}) AS BIGINT) AS checksum
-         FROM documents GROUP BY lang ORDER BY lang""",
+      docsAuditSql,
     "orc_hive_roundtrip" ->
       s"""SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
                 CAST(SUM(n_chars) AS BIGINT) AS chars,
@@ -1218,28 +1211,13 @@ object SourceQueries extends QueryPack {
     // bz2 / Avro oracles recompute from the SOURCE documents table
     // (DuckDB reads neither) — same closed-form discipline as the ORC rows.
     "jsonl_bz2_roundtrip" ->
-      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-                CAST(SUM(n_chars) AS BIGINT) AS chars,
-                CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
-                CAST(SUM(${graft.functions.PortableHash.h60pSql(
-                  "CAST(doc_id AS VARCHAR) || '|' || source || '|' || CAST(n_chars AS VARCHAR)")}) AS BIGINT) AS checksum
-         FROM documents GROUP BY lang ORDER BY lang""",
+      docsAuditSql,
     "avro_roundtrip" ->
-      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-                CAST(SUM(n_chars) AS BIGINT) AS chars,
-                CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
-                CAST(SUM(${graft.functions.PortableHash.h60pSql(
-                  "CAST(doc_id AS VARCHAR) || '|' || source || '|' || CAST(n_chars AS VARCHAR)")}) AS BIGINT) AS checksum
-         FROM documents GROUP BY lang ORDER BY lang""",
+      docsAuditSql,
     // live ≡ batch on purpose: the streaming arrival must decode to the
     // identical row set.
     "avro_ingest_live" ->
-      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-                CAST(SUM(n_chars) AS BIGINT) AS chars,
-                CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
-                CAST(SUM(${graft.functions.PortableHash.h60pSql(
-                  "CAST(doc_id AS VARCHAR) || '|' || source || '|' || CAST(n_chars AS VARCHAR)")}) AS BIGINT) AS checksum
-         FROM documents GROUP BY lang ORDER BY lang""",
+      docsAuditSql,
     "avro_evolution" ->
       s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
                 CAST(SUM(n_chars) AS BIGINT) AS chars,

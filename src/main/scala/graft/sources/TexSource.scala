@@ -43,11 +43,35 @@ object TexSource {
     "section", "subsection", "subsubsection", "paragraph",
     "textbf", "textit", "texttt", "emph", "underline")
 
+  /** Comment-aware forward search: the index where `target` begins
+    * OUTSIDE comments and not hidden behind a backslash pair, or -1.
+    * TeX's `%` comments everywhere (including inside math and dropped
+    * environments), and `\%`/`\$`/`\\` hide the following character —
+    * a plain indexOf search would terminate math or an environment at
+    * a commented decoy tag, leaking stripped content into the text. */
+  private def scanPast(s: String, from: Int, target: String): Int = {
+    var i = from
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\\') {
+        if (target.charAt(0) == '\\' && s.startsWith(target, i)) return i
+        i += 2 // escape pair: hides %, $, etc.
+      } else if (c == '%') {
+        while (i < n && s.charAt(i) != '\n') i += 1
+      } else if (s.startsWith(target, i)) return i
+      else i += 1
+    }
+    -1
+  }
+
   /** Extract the visible text of a LaTeX source, or None on
     * malformation. See the object doc for the rules. */
   def extractTex(tex: String): Option[String] = {
     val bTag = "\\begin{document}"
-    val bdoc = tex.indexOf(bTag)
+    // Comment-aware locate: a preamble comment that QUOTES the begin
+    // tag (the fixture plants one) must not start the body inside it.
+    val bdoc = scanPast(tex, 0, bTag)
     if (bdoc < 0) return None
     // `\end{document}` is recognized DURING the scan, not by indexOf:
     // a comment (or verbatim) legally QUOTES the tag, and a textual
@@ -64,11 +88,11 @@ object TexSource {
           while (i < n && body.charAt(i) != '\n') i += 1
         case '$' =>
           if (i + 1 < n && body.charAt(i + 1) == '$') {
-            val close = body.indexOf("$$", i + 2)
+            val close = scanPast(body, i + 2, "$$")
             if (close < 0) return None
             i = close + 2
           } else {
-            val close = body.indexOf('$', i + 1)
+            val close = scanPast(body, i + 1, "$")
             if (close < 0) return None
             i = close + 1
           }
@@ -79,7 +103,7 @@ object TexSource {
           if (i + 1 < n && "%_{}&#$".indexOf(body.charAt(i + 1)) >= 0) {
             out += body.charAt(i + 1); i += 2
           } else if (body.startsWith("\\[", i)) {
-            val close = body.indexOf("\\]", i + 2)
+            val close = scanPast(body, i + 2, "\\]")
             if (close < 0) return None
             i = close + 2
           } else if (body.startsWith("\\begin{", i)) {
@@ -88,7 +112,10 @@ object TexSource {
             val env = body.substring(i + 7, cb)
             if (DropEnvs(env)) {
               val endTag = s"\\end{$env}"
-              val close = body.indexOf(endTag, cb + 1)
+              // Comment-aware: a commented `\end{env}` inside the
+              // environment must not close the drop early (the fixture
+              // plants one inside the equation).
+              val close = scanPast(body, cb + 1, endTag)
               if (close < 0) return None
               i = close + endTag.length
             } else i = cb + 1
@@ -97,10 +124,31 @@ object TexSource {
             if (cb < 0) return None
             if (body.substring(i + 5, cb) == "document") ended = true
             i = cb + 1
+          } else if (i + 1 < n && !body.charAt(i + 1).isLetter) {
+            // Single-character control sequences — ubiquitous in real
+            // LaTeX, so they must not refuse the document: `\\` is a
+            // line break (newline; an optional [2pt] glue arg drops),
+            // spacing controls (`\ `, `\,`, `\;`, `\:`, `\!`) become a
+            // space, and accent commands (`\'e`, `\"o`, `\^a`, …)
+            // vanish leaving their letter to be emitted normally.
+            val c2 = body.charAt(i + 1)
+            if (c2 == '\\') {
+              out += '\n'
+              i += 2
+              if (i < n && body.charAt(i) == '[') {
+                val cb = body.indexOf(']', i)
+                if (cb < 0) return None
+                i = cb + 1
+              }
+            } else {
+              if (c2 == ' ' || c2 == ',' || c2 == ';' || c2 == ':' || c2 == '!')
+                out += ' '
+              i += 2
+            }
           } else {
             var j = i + 1
             while (j < n && body.charAt(j).isLetter) j += 1
-            if (j == i + 1) return None // lone backslash before non-letter
+            if (j == i + 1) return None // trailing backslash at EOF
             var name = body.substring(i + 1, j)
             if (j < n && body.charAt(j) == '*') { name += "*"; j += 1 }
             if (j < n && body.charAt(j) == '[') {
@@ -141,7 +189,8 @@ object TexSource {
     * exercises every extractor rule (comment, inline/display/env math,
     * wrapper unwrap, unknown-command drop, escapes, ~, \item). */
   def texSource(id: Long): String =
-    s"""% arXiv-style header comment for doc $id
+    s"""% header for doc $id — note: after \\begin{document} we emit X (a DECOY:
+       |% a textual search for the begin tag starts the body inside this comment)
        |\\documentclass[11pt]{article}
        |\\usepackage{amsmath}
        |\\title{Doc $id}
@@ -152,7 +201,9 @@ object TexSource {
        |% a dropped comment mentioning \\end{document} is data, not structure
        |Escaped 100\\% and A\\_B and braces \\{x\\}.
        |Display \\[ a = $id \\] tail \\footnote{dropped note $id}.
+       |Broken\\\\line ${id % 6} and caf\\'e con \\,leche.
        |\\begin{equation}
+       |% a commented fake \\end{equation} must not close the drop
        |e = mc^2 + $id
        |\\end{equation}
        |\\begin{itemize}
@@ -171,6 +222,8 @@ object TexSource {
     s"Plain text ${id * 7} with bold ${id % 5} and math inline.",
     s"Escaped 100% and A_B and braces {x}.",
     "Display tail .",
+    "Broken",
+    s"line ${id % 6} and cafe con leche.",
     s"item one ${id % 3}",
     "item two plus",
     s"Final line ${id % 4} ends.").mkString("\n")

@@ -563,8 +563,9 @@ object WarcSource {
   def zstFixtureFiles(dir: String): Seq[String] =
     (0 until 24).map(f => f"$dir/shard$f%02d.warc.zst")
 
-  def zstDictFixtureFiles(dir: String): Seq[String] =
-    (0 until 24).map(f => f"$dir/shard$f%02d.warc.zst")
+  /** Same 24 shard names as the plain-zst fixture — the dict layout
+    * mirrors it by construction. */
+  def zstDictFixtureFiles(dir: String): Seq[String] = zstFixtureFiles(dir)
 
   /** Stage the DICTIONARY-compressed zstd fixture: the SAME 24 shards
     * as [[stageFixture]], every record frame compressed with one

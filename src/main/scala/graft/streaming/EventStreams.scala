@@ -858,45 +858,30 @@ object EventStreams {
       .toDF()
   }
 
-  /** WARC shard ARRIVAL pipeline, live — the actual Common Crawl ingest
-    * shape: a FileStreamSource over binary WARC shards (`binaryFile`
-    * format — exactly-once file discovery with per-batch commit logs),
-    * the strict Content-Length parse per shard
-    * (WarcSource.parseWarc — same loud-failure contract as the batch
-    * reader), and an append parquet sink. STATELESS map-only
-    * micro-batches: no watermark, no state store — what this gate pins
-    * is that the streaming execution (file-queue batching across
-    * `filesPerTrigger`-sized triggers, sink commit protocol) reproduces
-    * the batch parse bit-for-bit under the batch `warc_ingest` oracle.
-    * At 100 TB this is the shape that matters: shards arrive
-    * continuously, each is one task in some micro-batch, and the sink's
-    * commit log makes re-processing after failure exactly-once.
-    *
-    * Same per-invocation temp-dir/session discipline as [[runLive]]
-    * (own 2-partition session, tracked sink dir, checkpoint+staging
-    * reclaimed eagerly). */
   /** One decoded Avro documents-projection row (the fixed shape the
     * live gate streams; the schema-generic reader is the batch API —
     * Structured Streaming needs a concrete Encoder). */
   case class AvroDocRow(doc_id: Long, lang: String, source: String, n_chars: Long)
 
-  /** avro_ingest_live: OCF shards arriving as a STREAM — binaryFile
-    * FileStreamSource → per-shard DataFileReader parse → append parquet
-    * sink across real micro-batches; returns the sink as a batch frame.
-    * The streaming twin of [[graft.sources.AvroSource.read]]: log
-    * shards arriving continuously is OCF's native habitat, and the
-    * parse is the same whole-shard decode one task per arriving file. */
-  def avroRowsLive(spark: SparkSession, shardPaths: Seq[String],
-                   filesPerTrigger: Int = 2): DataFrame = {
+  /** Shared scaffold for the live SHARD-arrival gates: stage the shard
+    * files into a fresh stream source dir (COPIES, ordinal-prefixed —
+    * arbitrary caller paths may share a basename across directories,
+    * and Hadoop-scheme path strings are accepted), run a binaryFile
+    * FileStreamSource → per-shard `decode` → append parquet sink across
+    * `filesPerTrigger`-file micro-batches, return the sink as a batch
+    * frame. Same per-invocation temp-dir/session discipline as
+    * [[runLive]] (own 2-partition session, tracked sink dir,
+    * checkpoint+staging reclaimed eagerly). binaryFile's schema is
+    * fixed by the format, but FileStreamSource still demands it
+    * explicitly (no streaming-time inference). */
+  private def shardStreamLive[T <: Product : scala.reflect.runtime.universe.TypeTag](
+      spark: SparkSession, shardPaths: Seq[String], filesPerTrigger: Int,
+      tag: String)(decode: (String, Array[Byte]) => Seq[T]): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val base = Files.createTempDirectory("graft_avro_live_").toFile.getAbsolutePath
+    val base = Files.createTempDirectory(s"graft_${tag}_live_").toFile.getAbsolutePath
     trackForCleanup(base)
     val srcDir = s"$base/src"
     new java.io.File(srcDir).mkdirs()
-    // Copy (not move — the shards are shared with the batch twin), with
-    // an ordinal prefix against basename collisions, as in
-    // warcRecordsLive. writeShards returns Hadoop path strings that may
-    // carry a scheme; strip it for the local copy.
     shardPaths.zipWithIndex.foreach { case (p, i) =>
       val local = if (p.contains(":")) new java.net.URI(p).getPath else p
       val name = local.substring(local.lastIndexOf('/') + 1)
@@ -907,6 +892,8 @@ object EventStreams {
     sess.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     sess.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
     import sess.implicits._
+    implicit val enc: org.apache.spark.sql.Encoder[T] =
+      org.apache.spark.sql.Encoders.product[T]
     val binarySchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("path",
         org.apache.spark.sql.types.StringType),
@@ -920,9 +907,33 @@ object EventStreams {
       .schema(binarySchema)
       .option("maxFilesPerTrigger", filesPerTrigger)
       .load(srcDir)
-      .select(col("content"))
-      .as[Array[Byte]]
-      .flatMap { bytes =>
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val staged = path.substring(path.lastIndexOf('/') + 1)
+        decode(staged.substring(staged.indexOf('~') + 1), bytes) // drop ordinal
+      }
+      .toDF()
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    Seq(srcDir, s"$base/ckpt").foreach(rmTree)
+    spark.read.parquet(s"$base/out")
+  }
+
+  /** avro_ingest_live: OCF shards arriving as a STREAM — binaryFile
+    * FileStreamSource → per-shard DataFileReader parse → append parquet
+    * sink across real micro-batches; returns the sink as a batch frame.
+    * The streaming twin of [[graft.sources.AvroSource.read]]: log
+    * shards arriving continuously is OCF's native habitat, and the
+    * parse is the same whole-shard decode, one task per arriving file. */
+  def avroRowsLive(spark: SparkSession, shardPaths: Seq[String],
+                   filesPerTrigger: Int = 2): DataFrame =
+    shardStreamLive[AvroDocRow](spark, shardPaths, filesPerTrigger, "avro") {
+      (_, bytes) =>
         val dfr = new org.apache.avro.file.DataFileReader(
           new org.apache.avro.file.SeekableByteArrayInput(bytes),
           new org.apache.avro.generic.GenericDatumReader[
@@ -942,75 +953,32 @@ object EventStreams {
           }
           out.result()
         } finally dfr.close()
-      }
-      .toDF()
-      .writeStream.format("parquet")
-      .option("path", s"$base/out")
-      .option("checkpointLocation", s"$base/ckpt")
-      .outputMode("append")
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    Seq(srcDir, s"$base/ckpt").foreach(rmTree)
-    spark.read.parquet(s"$base/out")
-  }
-
-  def warcRecordsLive(spark: SparkSession, shardPaths: Seq[String],
-                      filesPerTrigger: Int = 8): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val base = Files.createTempDirectory("graft_warc_live_").toFile.getAbsolutePath
-    trackForCleanup(base)
-    val srcDir = s"$base/src"
-    new java.io.File(srcDir).mkdirs()
-    // Stage the shards into the stream's source dir (a copy, not a move:
-    // the fixture is shared with the batch twin). Staged names carry an
-    // ordinal prefix (stripped back off in the parse below): arbitrary
-    // caller paths may legally share a BASENAME across directories
-    // ("/crawl/a/shard00.warc", "/crawl/b/shard00.warc"), and
-    // basename-only staging would collide where the batch reader
-    // handles the same input fine. 24 fixture shards /
-    // filesPerTrigger=8 → three real micro-batches.
-    shardPaths.zipWithIndex.foreach { case (p, i) =>
-      val name = p.substring(p.lastIndexOf('/') + 1)
-      Files.copy(Paths.get(p), Paths.get(f"$srcDir/$i%05d~$name")): Unit
     }
-    val sess = spark.newSession()
-    sess.conf.set("spark.sql.shuffle.partitions", "2")
-    sess.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    sess.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
-    import sess.implicits._
-    // binaryFile's schema is fixed by the format, but FileStreamSource
-    // still demands it explicitly (no streaming-time inference).
-    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("path",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("modificationTime",
-        org.apache.spark.sql.types.TimestampType),
-      org.apache.spark.sql.types.StructField("length",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("content",
-        org.apache.spark.sql.types.BinaryType)))
-    val q = sess.readStream.format("binaryFile")
-      .schema(binarySchema)
-      .option("maxFilesPerTrigger", filesPerTrigger)
-      .load(srcDir)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        val staged = path.substring(path.lastIndexOf('/') + 1)
-        val name = staged.substring(staged.indexOf('~') + 1) // drop ordinal
-        val (recs, clean) = graft.sources.WarcSource.parseWarc(name, bytes)
-        if (!clean) throw new IllegalArgumentException(
-          s"$path: unframeable trailing bytes mid-stream (corrupt WARC shard)")
-        recs
-      }
-      .toDF()
-      .writeStream.format("parquet")
-      .option("path", s"$base/out")
-      .option("checkpointLocation", s"$base/ckpt")
-      .outputMode("append")
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    Seq(srcDir, s"$base/ckpt").foreach(rmTree)
-    spark.read.parquet(s"$base/out")
-  }
+
+  /** WARC shard ARRIVAL pipeline, live — the actual Common Crawl ingest
+    * shape: a FileStreamSource over binary WARC shards (`binaryFile`
+    * format — exactly-once file discovery with per-batch commit logs),
+    * the strict Content-Length parse per shard
+    * (WarcSource.parseWarc — same loud-failure contract as the batch
+    * reader), and an append parquet sink. STATELESS map-only
+    * micro-batches: no watermark, no state store — what this gate pins
+    * is that the streaming execution (file-queue batching across
+    * `filesPerTrigger`-sized triggers, sink commit protocol) reproduces
+    * the batch parse bit-for-bit under the batch `warc_ingest` oracle.
+    * At 100 TB this is the shape that matters: shards arrive
+    * continuously, each is one task in some micro-batch, and the sink's
+    * commit log makes re-processing after failure exactly-once.
+    *
+    * Same per-invocation temp-dir/session discipline as [[runLive]]
+    * (own 2-partition session, tracked sink dir, checkpoint+staging
+    * reclaimed eagerly). */
+  def warcRecordsLive(spark: SparkSession, shardPaths: Seq[String],
+                      filesPerTrigger: Int = 8): DataFrame =
+    shardStreamLive[graft.sources.WarcSource.WarcRecord](
+        spark, shardPaths, filesPerTrigger, "warc") { (name, bytes) =>
+      val (recs, clean) = graft.sources.WarcSource.parseWarc(name, bytes)
+      if (!clean) throw new IllegalArgumentException(
+        s"$name: unframeable trailing bytes mid-stream (corrupt WARC shard)")
+      recs
+    }
 }

@@ -30,11 +30,32 @@ class TexSourceSpec extends AnyFunSuite {
     assert(x("a~b").contains("a b"))
     assert(x("{grouped}").contains("grouped"))
     assert(x("\\maketitle\nb").contains("b"))
+    // single-char control sequences: line break (+glue arg), spacing, accents
+    assert(x("a\\\\b").contains("a\nb"))
+    assert(x("a\\\\[2pt]b").contains("a\nb"))
+    assert(x("caf\\'e and Gau\\ss? no: stra\\ss e").isDefined)
+    assert(x("caf\\'e").contains("cafe"))
+    assert(x("x \\, y \\; z \\ w").contains("x y z w"))
   }
 
-  test("a comment-quoted \\end{document} is data, not the terminator") {
-    val tex = "\\begin{document}\nkeep1\n% fake \\end{document} here\nkeep2\n\\end{document}\n"
-    assert(extractTex(tex).contains("keep1\nkeep2"))
+  test("comment-quoted structure is data everywhere, not parse signals") {
+    // quoted \end{document}
+    val t1 = "\\begin{document}\nkeep1\n% fake \\end{document} here\nkeep2\n\\end{document}\n"
+    assert(extractTex(t1).contains("keep1\nkeep2"))
+    // a PREAMBLE comment quoting \begin{document} must not start the body
+    val t2 = "% after \\begin{document} we emit X\n\\documentclass{a}\n" +
+      "\\begin{document}\ntext\n\\end{document}\n"
+    assert(extractTex(t2).contains("text"))
+    // a commented \end{equation} inside the env must not close the drop
+    val t3 = "\\begin{document}\n\\begin{equation}\n% fake \\end{equation}\n" +
+      "E=mc^2\n\\end{equation}\nreal\n\\end{document}\n"
+    assert(extractTex(t3).contains("real"))
+    // a commented closing $ must not end inline math
+    val t4 = "\\begin{document}\na $x +\n% $ decoy\ny$ b\n\\end{document}\n"
+    assert(extractTex(t4).contains("a b"))
+    // an ESCAPED dollar inside math must not close it either
+    val t5 = "\\begin{document}\na $cost \\$5 total$ b\n\\end{document}\n"
+    assert(extractTex(t5).contains("a b"))
   }
 
   test("malformations refuse instead of guessing") {
@@ -47,6 +68,7 @@ class TexSourceSpec extends AnyFunSuite {
     assert(x("a \\[ unclosed").isEmpty)
     assert(x("\\begin{equation} never ends").isEmpty)
     assert(x("\\unknown{unclosed group").isEmpty)
-    assert(x("lone backslash \\ before space").isEmpty)
+    assert(x("unterminated glue a\\\\[2pt b").isEmpty)
+    assert(extractTex("\\begin{document} trailing backslash \\").isEmpty)
   }
 }
