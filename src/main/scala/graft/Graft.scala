@@ -644,6 +644,12 @@ object Graft {
   def texExtract(tex: String): Option[String] =
     sources.TexSource.extractTex(tex)
 
+  /** Markdown extraction: (prose text, fence count, code chars) — the
+    * code/prose channel split curation routes on. See
+    * sources.MarkdownSource.extractMd. */
+  def mdExtract(md: String): (String, Int, Long) =
+    sources.MarkdownSource.extractMd(md)
+
   /** CDX index build over WARC shards — per-record (offset, length)
     * rows with a built-in seek audit (every indexed slice re-parsed in
     * isolation) and an end-to-end tiling check. The Common Crawl

@@ -619,6 +619,24 @@ object SourceQueries extends QueryPack {
             col("doc_id"), md5(col("text"))))).as("text_checksum"))
         .orderBy("source")),
 
+    // Markdown extraction — the README/docs format every repository
+    // leads with: fenced code blocks leave the prose channel (counted,
+    // char-summed — curation routes code and prose to different
+    // filters), headers/links/images/emphasis/inline-code unwrap to
+    // their text. The oracle rebuilds the prose truth closed-form from
+    // id arithmetic (the tex_extract discipline); a rule slip shifts
+    // the checksum. Parse-as-filter map-only pass.
+    "md_extract" -> ((s, d) =>
+      graft.sources.MarkdownSource.extractedMd(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_fences").as("fence_sum"),
+          sum("code_chars").as("code_char_sum"),
+          sum("n_chars").as("char_sum"),
+          sum(graft.functions.PortableHash.h60p(concat_ws(":",
+            col("doc_id"), md5(col("text"))))).as("text_checksum"))
+        .orderBy("source")),
+
     // Jupyter notebook extraction — the format code-pretraining corpora
     // actually arrive in (GitHub ships millions of .ipynb): JSON whose
     // `cells` array interleaves markdown and code, code cells carrying
@@ -959,6 +977,26 @@ object SourceQueries extends QueryPack {
     // Identical model on purpose: the dictionary layer must be a byte
     // identity over the plain shards' records.
     "warc_zstdict_ingest" -> warcIngestSql,
+    // The prose truth rebuilt closed-form from doc_id arithmetic
+    // (MarkdownSource.mdExpected's exact lines + the fence-metric
+    // arithmetic) — the oracle never sees a markdown byte.
+    "md_extract" ->
+      s"""WITH d AS (SELECT doc_id AS id, source FROM documents),
+            t AS (SELECT id, source,
+                    'Title ' || (id % 9) || chr(10) ||
+                    'Intro emphasis ' || (id % 5) || ' and bold ' || (id % 7) ||
+                      ' and code ' || (id % 3) || '.' || chr(10) ||
+                    'Link ' || (id % 4) || ' and img ' || (id % 2) || ' here.' || chr(10) ||
+                    'Tail ' || (id % 6) || ' line.' AS text,
+                    length('val x = ' || (id * 13)) AS cc
+                  FROM d)
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(COUNT(*) AS BIGINT) AS fence_sum,
+                 CAST(SUM(cc) AS BIGINT) AS code_char_sum,
+                 CAST(SUM(length(text)) AS BIGINT) AS char_sum,
+                 CAST(SUM(${graft.functions.PortableHash.h60pSql(
+                   "id || ':' || md5(text)")}) AS BIGINT) AS text_checksum
+          FROM t GROUP BY source ORDER BY source""",
     // The extracted-text truth rebuilt closed-form from doc_id
     // arithmetic (TexSource.texExpected's exact lines) — the oracle
     // never sees a TeX byte.

@@ -1,0 +1,93 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Markdown text extraction — the README/documentation format code and
+  * docs corpora arrive in (every GitHub repository leads with one).
+  *
+  * Rules (CommonMark essentials, deterministic):
+  *  - FENCED CODE BLOCKS (``` … ```) leave the prose channel: their
+  *    contents are counted separately (`code_chars`) — a curation
+  *    pipeline routes code and prose to different filters, so the
+  *    split must be measurable, exactly like ipynb_extract's
+  *    cells;
+  *  - ATX headers lose their `#` markers, keeping the heading text;
+  *  - images `![alt](url)` keep the ALT text (it is the caption);
+  *    links `[text](url)` keep the link text — images rewrite FIRST or
+  *    the leading `!` survives the link rule;
+  *  - emphasis `**x**` / `*x*` and inline code `` `x` `` unwrap;
+  *  - blank lines drop; other lines are trimmed.
+  * Inline transforms are Spark-regex-safe (no lookahead), applied in a
+  * fixed order; the whole pass is a pure per-document function through
+  * mapPartitions (the pdf/tex parse-as-filter family).
+  */
+object MarkdownSource {
+
+  /** (prose text, n_fences, code_chars) for one markdown document. */
+  def extractMd(md: String): (String, Int, Long) = {
+    val lines = md.split("\n", -1)
+    val prose = Seq.newBuilder[String]
+    var inFence = false
+    var nFences = 0
+    var codeChars = 0L
+    for (line <- lines) {
+      if (line.startsWith("```")) {
+        if (!inFence) nFences += 1
+        inFence = !inFence
+      } else if (inFence) {
+        codeChars += line.length.toLong
+      } else {
+        val t = line
+          .replaceAll("^#{1,6}\\s+", "")
+          .replaceAll("!\\[([^\\]]*)\\]\\([^)]*\\)", "$1") // images first
+          .replaceAll("\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+          .replaceAll("\\*\\*([^*]+)\\*\\*", "$1")
+          .replaceAll("\\*([^*]+)\\*", "$1")
+          .replaceAll("`([^`]+)`", "$1")
+          .replaceAll("\\s+", " ").trim
+        if (t.nonEmpty) prose += t
+      }
+    }
+    (prose.result().mkString("\n"), nFences, codeChars)
+  }
+
+  // ───────────── deterministic fixture model (closed-form) ─────────────
+
+  /** The staged markdown for doc `id` — one of each rule. */
+  def mdSource(id: Long): String =
+    s"""# Title ${id % 9}
+       |
+       |Intro *emphasis ${id % 5}* and **bold ${id % 7}** and `code ${id % 3}`.
+       |[Link ${id % 4}](http://example.com/$id) and ![img ${id % 2}](x.png) here.
+       |
+       |```scala
+       |val x = ${id * 13}
+       |```
+       |Tail ${id % 6} line.
+       |""".stripMargin
+
+  /** The prose truth for doc `id` (oracle rebuilds it in SQL). */
+  def mdExpected(id: Long): String = Seq(
+    s"Title ${id % 9}",
+    s"Intro emphasis ${id % 5} and bold ${id % 7} and code ${id % 3}.",
+    s"Link ${id % 4} and img ${id % 2} here.",
+    s"Tail ${id % 6} line.").mkString("\n")
+
+  /** Code chars of doc `id`'s one fence (the `val x = …` line). */
+  def mdCodeChars(id: Long): Long = s"val x = ${id * 13}".length.toLong
+
+  /** (doc_id, source, text, n_fences, code_chars, n_chars) over the
+    * corpus — parse-as-filter, map-only (the pdf/tex family). */
+  def extractedMd(spark: SparkSession, dataDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dataDir)
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        val (text, nf, cc) = extractMd(mdSource(id))
+        (id, src, text, nf.toLong, cc, text.length.toLong)
+      })
+      .toDF("doc_id", "source", "text", "n_fences", "code_chars", "n_chars")
+  }
+}
