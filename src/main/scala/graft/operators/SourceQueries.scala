@@ -43,6 +43,7 @@ object SourceQueries extends QueryPack {
   private def avroLiveStage(d: String) = Stage.dir(d, "avro_live")
   private def jsonlBz2Stage(d: String) = Stage.dir(d, "jsonl_bz2")
   private def ipynbStage(d: String) = Stage.dir(d, "ipynb")
+  private def docxStage(d: String) = Stage.dir(d, "docx")
 
   /** The shared documents-projection audit (the closed-form-roundtrip
     * discipline): per-lang counts, char sums, distinct sources, and a
@@ -662,6 +663,28 @@ object SourceQueries extends QueryPack {
             col("nb_id"), col("cell_idx"), md5(col("src"))))).as("src_checksum"))
         .orderBy("language")),
 
+    // DOCX text extraction — the dominant enterprise/document arrival
+    // format after PDF: an OPC package (a ZIP whose word/document.xml
+    // carries WordprocessingML). COMPOSES the audited ZipSource
+    // central-directory walk with a hand ECMA-376 scanner: split
+    // <w:t> runs concatenate, xml:space governs trimming, tab/br map,
+    // field instrText and tracked-change delText never reach prose,
+    // table-cell paragraphs count, entities decode. The oracle
+    // rebuilds the prose truth closed-form from doc_id arithmetic
+    // (the tex/md discipline) — a rule slip shifts the checksum.
+    // Parse-as-filter map-only pass over staged real .docx bytes.
+    "docx_extract" -> ((s, d) =>
+      graft.sources.DocxSource.extractedDocx(s,
+          graft.sources.DocxSource.stageFixture(s, d, docxStage(d)))
+        .withColumn("bucket", col("doc_id") % 7)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_paras").as("para_sum"),
+          sum("n_chars").as("char_sum"),
+          sum(graft.functions.PortableHash.h60p(concat_ws(":",
+            col("doc_id"), md5(col("text"))))).as("text_checksum"))
+        .orderBy("bucket")),
+
     // CDX index build — the seekability artifact that makes WARC
     // archives usable at 100 TB: per-record (offset, length) rows let a
     // consumer range-request ONE record out of a ~1 GB shard (Common
@@ -997,6 +1020,26 @@ object SourceQueries extends QueryPack {
                  CAST(SUM(${graft.functions.PortableHash.h60pSql(
                    "id || ':' || md5(text)")}) AS BIGINT) AS text_checksum
           FROM t GROUP BY source ORDER BY source""",
+    // The prose truth rebuilt closed-form from doc_id arithmetic
+    // (DocxSource.docxExpected's exact lines) — the oracle never sees
+    // a docx byte; only the kept-id list comes from the table.
+    "docx_extract" ->
+      s"""WITH d AS (SELECT doc_id AS id FROM documents WHERE doc_id % 101 = 0),
+            t AS (SELECT id,
+                    'Title bold ' || (id % 7) || ' tail.' || chr(10) ||
+                    'Amp & lt < café h-' || (id % 5) || '.' || chr(10) ||
+                    'A' || (id % 5) || chr(9) || 'B' || (id % 3) || chr(10) ||
+                      'C' || (id % 9) || chr(10) ||
+                    'Page ' || (id % 4) || chr(10) ||
+                    'Kept ' || (id % 6) || '.' || chr(10) ||
+                    'Cell ' || (id % 8) AS text
+                  FROM d)
+          SELECT id % 7 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(COUNT(*) * 6 AS BIGINT) AS para_sum,
+                 CAST(SUM(length(text)) AS BIGINT) AS char_sum,
+                 CAST(SUM(${graft.functions.PortableHash.h60pSql(
+                   "id || ':' || md5(text)")}) AS BIGINT) AS text_checksum
+          FROM t GROUP BY 1 ORDER BY bucket""",
     // The extracted-text truth rebuilt closed-form from doc_id
     // arithmetic (TexSource.texExpected's exact lines) — the oracle
     // never sees a TeX byte.

@@ -76,7 +76,19 @@ object ZipSource {
     * (no valid EOCD, signature/name/size/crc mismatch, truncation);
     * members verified before the damage are still returned. */
   def parseZip(fileName: String, bytes: Array[Byte]): (Seq[ZipEntry], Boolean) = {
-    val out = Seq.newBuilder[ZipEntry]
+    val (out, clean) = parseZipRetain(fileName, bytes, _ => false)
+    (out.map(_._1), clean)
+  }
+
+  /** [[parseZip]] that additionally RETAINS the decompressed payload of
+    * members whose name satisfies `retain` (others carry null) — the
+    * hook container-of-container readers (docx = ZIP of XML) compose
+    * on. Verification is identical; retention only affects what is
+    * kept in memory, so the audited single-walk structure is shared,
+    * not duplicated. */
+  private[graft] def parseZipRetain(fileName: String, bytes: Array[Byte],
+      retain: String => Boolean): (Seq[(ZipEntry, Array[Byte])], Boolean) = {
+    val out = Seq.newBuilder[(ZipEntry, Array[Byte])]
     // EOCD backward scan: the record is 22 bytes + a comment of up to
     // 65535 bytes that must run EXACTLY to end-of-file — that terminal
     // condition disambiguates a signature quoted inside the comment.
@@ -181,7 +193,8 @@ object ZipSource {
       if (c.getValue != crc) return (out.result(), false)
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(payload).map("%02x".format(_)).mkString
-      out += ZipEntry(fileName, idx, name, method, usize, streamed, md)
+      out += ((ZipEntry(fileName, idx, name, method, usize, streamed, md),
+        if (retain(name)) payload else null))
       cd += 46 + nLen + xLen + cLen
       idx += 1
     }
