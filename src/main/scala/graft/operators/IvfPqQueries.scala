@@ -37,6 +37,13 @@ object IvfPqQueries extends QueryPack {
   /** ADC shortlist for the rerank gate, as [[PqQueries.RerankShortlist]]. */
   val RerankShortlist = PqQueries.RerankShortlist
 
+  /** ADC shortlist for the production refine stage — the FAISS-style
+    * deployment reranks a deeper pool (top-100) than the recall gate's
+    * 50: refine cost is candidates×dim regardless, and the deeper pool
+    * dominates the 50-shortlist recall by construction (a superset of
+    * candidates can only add exact-top-10 members). */
+  val RefineShortlist = 100
+
   /** Measured cross-SF minimum of the reranked recall@10 (the probed
     * cells bound what ANY in-cell method can reach; the floor is exact —
     * deterministic fit, fixture and probe). */
@@ -122,6 +129,42 @@ object IvfPqQueries extends QueryPack {
         .select(lit(10).as("k"), col("n_hit"),
           round6(col("n_hit") / lit(10.0)).as("recall"),
           (col("n_hit") >= RecallFloorHits).as("recall_ok"))
+    }),
+
+    // The production refine stage (ANN re-ranking refinement): the ADC
+    // scan's top-RefineShortlist candidates fetch their EXACT vectors
+    // and re-rank by true dot(q, v) — the answer a FAISS-style engine
+    // actually serves. Each output row carries the exact score beside
+    // its ADC estimate (the refinement delta is visible) and whether it
+    // is in the exact brute-force top-10 (so the frame ENCODES
+    // recall@10 — the hash gate pins the hits, and IvfPqSpec asserts
+    // it dominates the 50-shortlist gate). Cost shape: the candidate
+    // fetch is a broadcast-semi probe of the vector table (100 ids ×
+    // dim — never corpus²), then a 100-row local sort.
+    "sim_ivfpq_refine" -> ((s, d) => {
+      val e = SimilarityQueries.vecs(s, d)
+      val probe = e.filter(col("vec_id") === 0).select(col("v").as("w"))
+      val short = adcRanked(s, d).limit(RefineShortlist)
+      val refined = e.join(broadcast(short), Seq("vec_id"))
+        .crossJoin(broadcast(probe))
+        .withColumn("dq", round6(dot(col("v"), col("w"))))
+        .select("vec_id", "cluster", "adc", "dq")
+        .orderBy(col("dq").desc, col("vec_id"))
+        .limit(10)
+      val brute = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .withColumn("dq", dot(col("v"), col("w")))
+        .orderBy(col("dq").desc, col("vec_id"))
+        .limit(10)
+        .select("vec_id")
+      import org.apache.spark.sql.expressions.Window
+      refined
+        .join(broadcast(brute.withColumn("in_brute", lit(true))), Seq("vec_id"), "left")
+        .na.fill(false, Seq("in_brute"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("dq").desc, col("vec_id"))))
+        .select("rank", "vec_id", "cluster", "adc", "dq", "in_brute")
+        .orderBy("rank")
     })
   )
 
@@ -238,6 +281,25 @@ object IvfPqQueries extends QueryPack {
             $ivfpqAdcCte
           SELECT vec_id, cluster, FLOOR(adc * 1000000 + 0.5) / 1000000 AS adc
           FROM adcs ORDER BY adc DESC, vec_id LIMIT 10""",
+    "sim_ivfpq_refine" ->
+      s"""WITH ${ivfpqCte(dataDir)},
+            $ivfpqAdcCte,
+            shortlist AS (SELECT vec_id, cluster,
+                                 FLOOR(adc * 1000000 + 0.5) / 1000000 AS adc
+                          FROM adcs
+                          ORDER BY FLOOR(adc * 1000000 + 0.5) / 1000000 DESC, vec_id
+                          LIMIT $RefineShortlist),
+            probe AS (SELECT v FROM e WHERE vec_id = 0),
+            refined AS (SELECT s.vec_id, s.cluster, s.adc,
+                               FLOOR(${dot64Sql("a.v", "p.v")} * 1000000 + 0.5) / 1000000 AS dq
+                        FROM e a JOIN shortlist s USING (vec_id), probe p
+                        ORDER BY dq DESC, s.vec_id LIMIT 10),
+            brute AS (SELECT a.vec_id FROM e a, probe p WHERE a.vec_id <> 0
+                      ORDER BY ${dot64Sql("a.v", "p.v")} DESC, a.vec_id LIMIT 10)
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY dq DESC, vec_id) AS INT) AS rank,
+                 vec_id, cluster, adc, dq,
+                 vec_id IN (SELECT vec_id FROM brute) AS in_brute
+          FROM refined ORDER BY rank""",
     "sim_ivfpq_recall" ->
       s"""WITH ${ivfpqCte(dataDir)},
             $ivfpqAdcCte,

@@ -71,4 +71,31 @@ class IvfPqSpec extends SparkSpec {
     val row = IvfPqQueries.queries("sim_ivfpq_recall")(spark, dir).collect()(0)
     assert(row.getLong(1) >= IvfPqQueries.RecallFloorHits && row.getBoolean(3), row.toString)
   }
+
+  test("refine stage: exact scores, ranked, recall dominates the 50-shortlist gate") {
+    val rows = IvfPqQueries.queries("sim_ivfpq_refine")(spark, dir).collect()
+    assert(rows.length == 10)
+    // Ranked 1..10 by (dq DESC, vec_id) with dq non-increasing.
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10))
+    val dqs = rows.map(_.getDouble(4))
+    assert(dqs.zip(dqs.tail).forall { case (a, b) => a >= b })
+    // Each row's exact dot recomputed directly from the raw vectors.
+    val e = SimilarityQueries.vecs(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](r.fieldIndex("v")).map(_.toDouble).toArray)
+      .toMap
+    val q = e(0L)
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    rows.foreach { r =>
+      val v = e(r.getLong(1))
+      val dot = v.indices.foldLeft(0.0)((acc, i) => acc + v(i) * q(i))
+      assert(r.getDouble(4) == r6(dot), s"vec ${r.getLong(1)} exact dot mismatch")
+    }
+    // recall@10 encoded by in_brute must be ≥ the 50-shortlist gate's
+    // n_hit (a candidate superset can only add exact-top-10 members)
+    // and ≥ the published floor.
+    val nHit = rows.count(_.getBoolean(5))
+    val gate = IvfPqQueries.queries("sim_ivfpq_recall")(spark, dir).collect()(0).getLong(1)
+    assert(nHit >= gate, s"refine n_hit $nHit < 50-shortlist gate $gate")
+    assert(nHit >= IvfPqQueries.RecallFloorHits)
+  }
 }
