@@ -272,8 +272,56 @@ object MaintenanceQueries extends QueryPack {
             graft.functions.PortableHash.h60p(col("sid").cast("string")))), lit(0L))
             .as("kept_checksum"))
         .orderBy("day")
+    }),
+
+    // TIME-TRAVEL READ over the transaction-log table ([[graft.sources
+    // .TxLog]] — the Delta-style JSON commit log over parquet): version
+    // 0 is the appended pre-merge snapshot, version 1 OVERWRITES it
+    // with the MERGE result (the same mergedOrdersOf kernel the
+    // q_merge_upsert gate pins). The query reads BOTH snapshots through
+    // the log replay — proving the overwrite did not destroy version
+    // 0's readability (snapshot isolation) — and audits each; the
+    // oracle recomputes both versions from the raw table, never seeing
+    // a log byte. The log is metadata-sized; the data reads are
+    // ordinary distributed parquet scans.
+    "q_timetravel_read" -> ((s, d) => {
+      val dir = stageTxTable(s, d)
+      val v0 = graft.sources.TxLog.readAsOf(s, dir, 0).withColumn("version", lit(0L))
+      val v1 = graft.sources.TxLog.readAsOf(s, dir, 1).withColumn("version", lit(1L))
+      v0.unionByName(v1)
+        .groupBy(col("version"), col("pri").as("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("price") * 100 + 0.5).cast("long")).as("total_cents"),
+          sum(PortableHash.h60p(col("key").cast("string"))).as("key_checksum"))
+        .orderBy("version", "o_orderpriority")
     })
   )
+
+  /** Stage the two-commit transaction-log table under the data dir's
+    * stage root (idempotent: a log head ≥ 1 means both commits exist —
+    * commit files appear only via ATOMIC_MOVE, so a half-staged table
+    * is impossible to observe). Returns the table dir. */
+  private[graft] def stageTxTable(s: SparkSession, d: String): String = {
+    val dir = graft.Stage.dir(d, "txlog")
+    val existing =
+      try graft.sources.TxLog.latestVersion(dir)
+      catch { case _: IllegalStateException => -1L }
+    // Resume per missing version (a crash between the two commits
+    // leaves head=0; re-staging version 0 would refuse — correctly).
+    if (existing < 0) {
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("key"), col("o_orderpriority").as("pri"),
+        col("o_totalprice").as("price"), lit(0L).as("ins"), lit(0L).as("upd"))
+      graft.sources.TxLog.commit(dir, 0, "append",
+        graft.sources.TxLog.writeData(o, dir, 0))
+    }
+    if (existing < 1) {
+      val f0 = graft.sources.TxLog.activeFiles(dir, 0)
+      val f1 = graft.sources.TxLog.writeData(mergedOrdersOf(Tables.orders(s, d)), dir, 1)
+      graft.sources.TxLog.commit(dir, 1, "overwrite", f1, removes = f0)
+    }
+    dir
+  }
 
   /** The post-MERGE audit shared by q_merge_upsert and its bucketed
     * twin: per-priority row count, exact-cent total and per-op counts. */
@@ -428,6 +476,23 @@ object MaintenanceQueries extends QueryPack {
                  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_expired,
                  CAST(SUM(CASE WHEN keep THEN 0 ELSE bytes END) AS BIGINT) AS expired_bytes,
                  CAST(COALESCE(SUM(CASE WHEN keep THEN ${graft.functions.PortableHash.h60pSql("CAST(sid AS VARCHAR)")} END), 0) AS BIGINT) AS kept_checksum
-          FROM k GROUP BY 1 ORDER BY day"""
+          FROM k GROUP BY 1 ORDER BY day""",
+    // Both snapshots recomputed from the raw table: version 0 IS the
+    // pre-merge projection, version 1 IS the merge kernel's output —
+    // the oracle never reads a log byte, so the Spark side's log
+    // replay + time-travel parquet reads must reproduce them exactly.
+    "q_timetravel_read" ->
+      s"""WITH $mergedSqlCte,
+            v0 AS (SELECT CAST(0 AS BIGINT) AS version, o_orderpriority AS pri,
+                          o_orderkey AS key, o_totalprice AS price
+                   FROM orders),
+            v1 AS (SELECT CAST(1 AS BIGINT) AS version, pri, key, price FROM merged),
+            u AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
+          SELECT version, pri AS o_orderpriority,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(CAST(FLOOR(price * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+                 CAST(SUM(${graft.functions.PortableHash.h60pSql(
+                   "CAST(key AS VARCHAR)")}) AS BIGINT) AS key_checksum
+          FROM u GROUP BY 1, 2 ORDER BY version, o_orderpriority"""
   )
 }
