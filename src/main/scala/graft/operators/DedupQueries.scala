@@ -517,18 +517,7 @@ object DedupQueries extends QueryPack {
     * corpus. */
   def spanMergedOf(s: SparkSession, docs: DataFrame,
                    maxDocsPerGram: Int = 16): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val g = docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .as[(Long, Seq[String])]
-      .flatMap { case (id, toks) =>
-        if (toks.length < 8) Iterator.empty
-        else toks.sliding(8).zipWithIndex.map { case (w, i) =>
-          (id, i.toLong, w.mkString(" "))
-        }
-      }
-      .toDF("doc_id", "pos", "gram")
+    val g = posGramsOf(s, docs, 8)
     val eligible = g.groupBy("gram")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= 2 && col("nd") <= maxDocsPerGram)
@@ -538,6 +527,31 @@ object DedupQueries extends QueryPack {
       .join(gg.select(col("gram"), col("doc_id").as("db"), col("pos").as("pb")), "gram")
       .filter(col("da") < col("db"))
       .select("da", "db", "pa", "pb")
+    islandMerge(pairs)
+  }
+
+  /** Positioned sliding `n`-gram frame (doc_id, pos, gram) over ANY
+    * (doc_id, text) frame — one corpus-linear typed flatMap. */
+  private def posGramsOf(s: SparkSession, docs: DataFrame, n: Int): DataFrame = {
+    import s.implicits._
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .as[(Long, Seq[String])]
+      .flatMap { case (id, toks) =>
+        if (toks.length < n) Iterator.empty
+        else toks.sliding(n).zipWithIndex.map { case (w, i) =>
+          (id, i.toLong, w.mkString(" "))
+        }
+      }
+      .toDF("doc_id", "pos", "gram")
+  }
+
+  /** Diagonal island-merge of shared-window pairs (da, db, pa, pb) into
+    * maximal spans — the [[spanMergedOf]] tail, shared by the suffix
+    * variant. The window partitions by (pair, diagonal): span-sized
+    * partitions, never the corpus. */
+  private def islandMerge(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("da"), col("db"), col("pa") - col("pb"))
       .orderBy("pa")
     pairs
@@ -548,6 +562,76 @@ object DedupQueries extends QueryPack {
         (count(lit(1)) + lit(7)).as("span_tokens"))
       .select("da", "db", "start_a", "start_b", "span_windows", "span_tokens")
       .orderBy("da", "db", "start_a", "start_b")
+  }
+
+  /** Exact-substring span dedup with the SUFFIX-NGRAM rescue for hot
+    * grams — closing the one recall gap the hot-gram valve opens.
+    *
+    * Why there is no other gap (the "grid" impossibility argument):
+    * the windows are STRIDE-1 sliding 8-grams, not a stride-8 tiling,
+    * so there is no phase alignment to evade — any shared token span
+    * of length L ≥ 8 between two docs contains its own first 8 tokens
+    * as a shared 8-gram, and in fact yields ALL L−7 of its windows,
+    * which [[islandMerge]] coalesces back into exactly one maximal
+    * span (bijection: maximal shared span of length L on diagonal
+    * pa−pb ⟺ island of L−7 consecutive shared windows on that
+    * diagonal). A duplicate pair can therefore only hide from
+    * [[spanMergedOf]] through the `maxDocsPerGram` valve: when every
+    * 8-gram of the span ALSO occurs in more than `cap` other docs
+    * (boilerplate-phrase flood), the valve drops all of its windows.
+    *
+    * The rescue: a window whose 8-gram is hot is re-keyed by a COVERING
+    * 16-GRAM — the suffix extension at offsets k ∈ [0, 8] (the 16-gram
+    * starting at pos−k covers windows pos−k .. pos−k+8). Two hot
+    * windows pair when any same-k covering 16-gram matches and that
+    * 16-gram is itself mild (nd₁₆ ∈ [2, cap]). Exactness: for a span of
+    * L ≥ 16 tokens unique to a pair, every window has at least one
+    * covering 16-gram fully inside the span (k = 0 while pos ≤ end−15,
+    * else k = pos − (end−15) ≤ 8), and an in-span 16-gram of a
+    * pair-unique span has nd₁₆ = 2 — so the whole span is recovered.
+    * Hot spans of 8–15 tokens stay dropped (far below the published
+    * 50-token exact-substring granularity), and a span whose 16-grams
+    * are THEMSELVES shared by > cap docs is mass duplication — the
+    * quadratic-output case the valve exists for.
+    *
+    * Scale shape: the 16-gram pass is corpus-linear like the 8-gram
+    * pass; the ×9 offset expansion applies to HOT windows only; both
+    * pair joins stay capped, so no key explodes past cap² rows. */
+  def spanMergedSuffixOf(s: SparkSession, docs: DataFrame,
+                         maxDocsPerGram: Int = 16): DataFrame = {
+    val g8 = posGramsOf(s, docs, 8).localCheckpoint(eager = false)
+    val g16 = posGramsOf(s, docs, 16)
+    val nd8 = g8.groupBy("gram").agg(countDistinct("doc_id").as("nd"))
+      .localCheckpoint(eager = false)
+    val mild8 = nd8.filter(col("nd") >= 2 && col("nd") <= maxDocsPerGram).select("gram")
+    val hot8 = nd8.filter(col("nd") > maxDocsPerGram).select("gram")
+    val mild16 = g16.groupBy("gram").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= maxDocsPerGram)
+      .select(col("gram"))
+    val g16m = g16.join(mild16, "gram")
+      .select(col("doc_id"), col("pos").as("epos"), col("gram").as("gram16"))
+      .localCheckpoint(eager = false)
+    // Tier 1: mild 8-grams, exactly the spanMergedOf path.
+    val gg = g8.join(mild8, "gram")
+    val p1 = gg.select(col("gram"), col("doc_id").as("da"), col("pos").as("pa"))
+      .join(gg.select(col("gram"), col("doc_id").as("db"), col("pos").as("pb")), "gram")
+      .filter(col("da") < col("db"))
+      .select("da", "db", "pa", "pb")
+    // Tier 2: hot windows re-keyed by covering mild 16-grams. The same
+    // k on both sides keeps the window alignment (pa−pb = eposₐ−eposᵦ).
+    val hexp = g8.join(hot8, "gram")
+      .select(col("doc_id"), col("pos"),
+        explode(sequence(lit(0L), lit(8L))).as("k"))
+      .withColumn("epos", col("pos") - col("k"))
+      .filter(col("epos") >= 0)
+      .join(g16m, Seq("doc_id", "epos"))
+      .select(col("gram16"), col("k"), col("doc_id"), col("pos"))
+    val p2 = hexp.select(col("gram16"), col("k"), col("doc_id").as("da"), col("pos").as("pa"))
+      .join(hexp.select(col("gram16"), col("k"), col("doc_id").as("db"), col("pos").as("pb")),
+        Seq("gram16", "k"))
+      .filter(col("da") < col("db"))
+      .select("da", "db", "pa", "pb")
+    islandMerge(p1.unionByName(p2).dropDuplicates("da", "db", "pa", "pb"))
   }
 
   def spanSharedWindowsOf(s: SparkSession, docs: DataFrame): DataFrame = {
@@ -917,6 +1001,16 @@ object DedupQueries extends QueryPack {
     // across a gap, or shifted by one anywhere row-fails.
     "dedup_span_merged" -> ((s, d) =>
       spanMergedOf(s, Tables.documents(s, d))),
+
+    // The suffix-ngram exact-substring variant: identical span output,
+    // plus recovery of spans whose every 8-gram is hotter than the
+    // valve (boilerplate-phrase flood) via covering mild 16-grams —
+    // see spanMergedSuffixOf for the exactness argument and the spec's
+    // adversarial flood corpus for the pair spanMergedOf provably
+    // misses. The oracle replays both tiers (capped 8-gram join UNION
+    // same-offset covering-16-gram join, DISTINCT, diagonal islands).
+    "dedup_span_suffix" -> ((s, d) =>
+      spanMergedSuffixOf(s, Tables.documents(s, d))),
 
     // MinHash + LSH near-dup: 32 seeded hashes → 16 bands × 2 rows →
     // band-key equi-join for candidates → TRUE-Jaccard verify ≥ 0.7.
@@ -1611,6 +1705,48 @@ object DedupQueries extends QueryPack {
             p AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
                   FROM g a JOIN cap USING (gram) JOIN g b USING (gram)
                   WHERE a.doc_id < b.doc_id),
+            isl AS (SELECT da, db, pa, pb, pa - pb AS diag,
+                           pa - ROW_NUMBER() OVER (PARTITION BY da, db, pa - pb
+                                                   ORDER BY pa) AS isl
+                    FROM p)
+          SELECT da, db, MIN(pa) AS start_a, MIN(pb) AS start_b,
+                 CAST(COUNT(*) AS BIGINT) AS span_windows,
+                 CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+          FROM isl GROUP BY da, db, diag, isl
+          ORDER BY da, db, start_a, start_b""",
+    // Two-tier replay: tier 1 is the capped 8-gram join verbatim; tier
+    // 2 re-keys hot-gram windows by covering 16-grams at the same
+    // offset k (0..8), mild at 16. DISTINCT before the island merge —
+    // one window can be certified by several covering 16-grams.
+    "dedup_span_suffix" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+                    WHERE len(string_split(text, ' ')) >= 8),
+            g8 AS (SELECT doc_id, i AS pos,
+                          array_to_string(list_slice(toks, i + 1, i + 8), ' ') AS gram
+                   FROM (SELECT doc_id, toks, unnest(range(len(toks) - 7)) AS i FROM t)),
+            g16 AS (SELECT doc_id, i AS pos,
+                           array_to_string(list_slice(toks, i + 1, i + 16), ' ') AS gram16
+                    FROM (SELECT doc_id, toks, unnest(range(len(toks) - 15)) AS i
+                          FROM t WHERE len(toks) >= 16)),
+            nd8 AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g8 GROUP BY 1),
+            mild8 AS (SELECT gram FROM nd8 WHERE nd BETWEEN 2 AND 16),
+            hot8 AS (SELECT gram FROM nd8 WHERE nd > 16),
+            mild16 AS (SELECT gram16 FROM
+                         (SELECT gram16, COUNT(DISTINCT doc_id) AS nd FROM g16 GROUP BY 1)
+                       WHERE nd BETWEEN 2 AND 16),
+            p1 AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+                   FROM g8 a JOIN mild8 USING (gram) JOIN g8 b USING (gram)
+                   WHERE a.doc_id < b.doc_id),
+            hexp AS (SELECT h.doc_id, h.pos, k.k, e.gram16
+                     FROM (SELECT g.doc_id, g.pos FROM g8 g JOIN hot8 USING (gram)) h
+                     CROSS JOIN (SELECT unnest(range(9)) AS k) k
+                     JOIN g16 e ON e.doc_id = h.doc_id AND e.pos = h.pos - k.k
+                     JOIN mild16 USING (gram16)),
+            p2 AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+                   FROM hexp a JOIN hexp b ON a.gram16 = b.gram16 AND a.k = b.k
+                   WHERE a.doc_id < b.doc_id),
+            p AS (SELECT DISTINCT da, db, pa, pb FROM
+                    (SELECT * FROM p1 UNION ALL SELECT * FROM p2)),
             isl AS (SELECT da, db, pa, pb, pa - pb AS diag,
                            pa - ROW_NUMBER() OVER (PARTITION BY da, db, pa - pb
                                                    ORDER BY pa) AS isl
