@@ -134,8 +134,22 @@ object Bench {
       .map { case (k, v) => jkey(k) + ":" + fmt(v) }.mkString("{", ",", "}")
     val stamp =
       s""","loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"warmed":$warmed,"retimed":$retimed,"retimed_from":$rtf"""
+    // Batch-only split (round-18 verdict #6): the `*_live` gates are
+    // real Structured Streaming micro-batch EXECUTIONS (session spin-up,
+    // checkpoint IO, arrival scheduling) that the batch-SQL denominator
+    // structurally never pays — no DuckDB twin exists for a streaming
+    // runtime. Both totals are emitted on BOTH artifact lines so a
+    // reader separates "Spark vs the SQL baseline on comparable work"
+    // (vs_baseline_batch) from "everything this library runs per round"
+    // (vs_baseline); the live per-query costs stay in the queries map.
+    val liveTotal = results.filter(r => r._2 >= 0 && r._1.endsWith("_live"))
+      .map(_._2).sum
+    val nLive = results.count(_._1.endsWith("_live"))
+    val batchTotal = total - liveTotal
+    val split =
+      s""","batch_value":${fmt(batchTotal)},"live_value":${fmt(liveTotal)},"n_live":$nLive"""
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$stamp,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$split$stamp,"sf":"$sfDir"}"""
     // The per-query map is ~2 kB and can overflow a tail-window parse, so
     // the FINAL stdout line is a short total-only summary (~250 bytes);
     // the full line goes out just before it and to BENCH_local.json.
@@ -261,10 +275,10 @@ object Bench {
         if (baselineEnv.isEmpty && new java.io.File(sfDir).getName == "sf0.1")
           Some(FallbackBaselineSec)
         else None)
-      .map(base => s""","vs_baseline":${fmt(total / base)},"baseline_sec":${fmt(base)}""")
+      .map(base => s""","vs_baseline":${fmt(total / base)},"vs_baseline_batch":${fmt(batchTotal / base)},"baseline_sec":${fmt(base)}""")
       .getOrElse("")
     val short =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":${results.count(_._2 < 0)}$ratio$stamp,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":${results.count(_._2 < 0)}$split$ratio$stamp,"sf":"$sfDir"}"""
     // Repo-relative (cwd) path, overridable — a hardcoded absolute path
     // would silently skip the fallback on any other checkout; failures
     // are reported, not swallowed.
