@@ -708,7 +708,11 @@ object Stress {
       sources.AvroSource.writeShards(avroSrc, avroDir,
         codec = "zstandard", numShards = 16).size.toLong
     })
-    val avroBytes = new java.io.File(avroDir).listFiles().map(_.length).sum
+    // Only the .avro shards: the Hadoop checksummed LocalFileSystem
+    // writes hidden .part-*.avro.crc siblings that would inflate the
+    // reported byte metric (round-18 ADVICE).
+    val avroBytes = new java.io.File(avroDir).listFiles()
+      .filter(_.getName.endsWith(".avro")).map(_.length).sum
     val (avReadSec, avReadRows) = time("avro read 10x",
       sources.AvroSource.read(spark, avroDir).count())
     require(avReadRows == nAvroRows, s"avro stress lost rows: $avReadRows != $nAvroRows")

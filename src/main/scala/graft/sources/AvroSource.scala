@@ -174,6 +174,14 @@ object AvroSource {
       // Lazy row stream (closing on exhaustion): the whole-shard byte
       // array is already in memory; buffering every decoded Row on top
       // of it would double the task's footprint on text-heavy shards.
+      // A consumer that stops early (limit/take) never exhausts the
+      // iterator, so the task-completion listener closes the reader
+      // deterministically — today the input is an in-memory
+      // SeekableByteArrayInput (close is a no-op), but the hook keeps
+      // that an implementation detail rather than a leak if this source
+      // ever switches to streaming file handles (round-18 ADVICE).
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => dfr.close()))
       new Iterator[Row] {
         private var open = true
         def hasNext: Boolean = {

@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions.col
   *  - images `![alt](url)` keep the ALT text (it is the caption);
   *    links `[text](url)` keep the link text — images rewrite FIRST or
   *    the leading `!` survives the link rule;
-  *  - emphasis `**x**` / `*x*` and inline code `` `x` `` unwrap;
+  *  - emphasis `**x**` / `*x*` and inline code `` `x` `` unwrap; code
+  *    spans bind FIRST (CommonMark precedence — masked before the
+  *    link/emphasis rewrites, so `*args` or `[i]` inside backticks
+  *    survives literally);
   *  - blank lines drop; other lines are trimmed.
   * Inline transforms are Spark-regex-safe (no lookahead), applied in a
   * fixed order; the whole pass is a pure per-document function through
@@ -38,13 +41,25 @@ object MarkdownSource {
       } else if (inFence) {
         codeChars += line.length.toLong
       } else {
-        val t = line
+        // Inline code spans are MASKED before any other inline rule and
+        // restored after (CommonMark precedence: code spans bind before
+        // emphasis/links) — a span containing `*args` or `[i]` must
+        // come through literally, not be mangled by the emphasis/link
+        // rewrites (round-18 ADVICE).
+        val codes = scala.collection.mutable.ArrayBuffer.empty[String]
+        val masked = "`([^`]+)`".r.replaceAllIn(line.replace("\u0000", ""), m => {
+          codes += m.group(1)
+          "\u0000" + (codes.length - 1) + "\u0000"
+        })
+        val rewritten = masked
           .replaceAll("^#{1,6}\\s+", "")
           .replaceAll("!\\[([^\\]]*)\\]\\([^)]*\\)", "$1") // images first
           .replaceAll("\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
           .replaceAll("\\*\\*([^*]+)\\*\\*", "$1")
           .replaceAll("\\*([^*]+)\\*", "$1")
-          .replaceAll("`([^`]+)`", "$1")
+        val t = "\u0000(\\d+)\u0000".r
+          .replaceAllIn(rewritten, m =>
+            scala.util.matching.Regex.quoteReplacement(codes(m.group(1).toInt)))
           .replaceAll("\\s+", " ").trim
         if (t.nonEmpty) prose += t
       }

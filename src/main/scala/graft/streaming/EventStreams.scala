@@ -883,8 +883,14 @@ object EventStreams {
     val srcDir = s"$base/src"
     new java.io.File(srcDir).mkdirs()
     shardPaths.zipWithIndex.foreach { case (p, i) =>
-      val local = if (p.contains(":")) new java.net.URI(p).getPath else p
-      val name = local.substring(local.lastIndexOf('/') + 1)
+      // Hadoop Path, not raw URI parsing: a plain local path with a
+      // colon in a segment, or a file: URI with an encoded char, trips
+      // java.net.URI; Path normalizes both and only strips a scheme
+      // when one is actually present (round-18 ADVICE).
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val local =
+        if (hp.toUri.getScheme == null) p else hp.toUri.getPath
+      val name = hp.getName
       Files.copy(Paths.get(local), Paths.get(f"$srcDir/$i%05d~$name")): Unit
     }
     val sess = spark.newSession()
@@ -947,8 +953,13 @@ object EventStreams {
           val out = Vector.newBuilder[AvroDocRow]
           while (dfr.hasNext) {
             val r = dfr.next()
+            // Option-map, not String.valueOf: a null field must decode
+            // to SQL NULL exactly as the batch AvroSource.read path
+            // yields it, not the literal string "null" (round-18
+            // ADVICE — keeps the live≡batch twin honest on nullables).
+            def strOf(v: Any): String = Option(v).map(_.toString).orNull
             out += AvroDocRow(longOf(r.get("doc_id")),
-              String.valueOf(r.get("lang")), String.valueOf(r.get("source")),
+              strOf(r.get("lang")), strOf(r.get("source")),
               longOf(r.get("n_chars")))
           }
           out.result()

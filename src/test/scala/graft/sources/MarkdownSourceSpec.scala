@@ -31,6 +31,18 @@ class MarkdownSourceSpec extends AnyFunSuite {
     assert(p("  spaced   out  ") == "spaced out")
   }
 
+  test("inline code binds before emphasis/links (CommonMark precedence)") {
+    def p(s: String) = extractMd(s)._1
+    // markdown-hostile characters INSIDE a code span survive literally
+    assert(p("use `*args` here") == "use *args here")
+    assert(p("index `a[i]` and `[x](y)` stay") == "index a[i] and [x](y) stay")
+    assert(p("`**not bold**` vs **bold**") == "**not bold** vs bold")
+    // dollar/backslash in a code span must not break the restore
+    assert(p("`a$1\\b` c") == "a$1\\b c")
+    // bare digits in prose are NOT mask placeholders
+    assert(p("a `x` 0 b") == "a x 0 b")
+  }
+
   test("fences route to the code channel, not the prose") {
     val (text, nf, cc) = extractMd("p1\n```\ncode line\n```\np2\n```js\nq\n```\n")
     assert(text == "p1\np2")
