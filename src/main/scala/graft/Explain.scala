@@ -187,7 +187,16 @@ object Explain {
     // DSIR selection: one checkpointed feature explode feeding bucket
     // counts and scoring, the 1024-row model broadcast back, one
     // per-doc aggregate — the broadcast-model curation plan family.
-    "text_dsir_select")
+    "text_dsir_select",
+    // round 19: the DOCX composition (whole-file ZIP walk → typed
+    // parse-as-filter map → aggregate, the pdf/tex family), the ANN
+    // refine stage (broadcast candidate probe → 100-row local sort —
+    // candidates×dim, never corpus), the time-travel read (two
+    // log-replayed distributed parquet scans → one aggregate), and the
+    // suffix-rescued span merge (two corpus-linear gram passes, capped
+    // pair joins, per-(pair,diagonal) island window).
+    "docx_extract", "sim_ivfpq_refine", "q_timetravel_read",
+    "dedup_span_suffix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
