@@ -595,28 +595,40 @@ object DedupQueries extends QueryPack {
     * quadratic-output case the valve exists for.
     *
     * Scale shape: the 16-gram pass is corpus-linear like the 8-gram
-    * pass; the ×9 offset expansion applies to HOT windows only; both
-    * pair joins stay capped, so no key explodes past cap² rows. */
+    * pass — and SKIPPED ENTIRELY (1-row driver hop on the checkpointed
+    * nd8) when no gram is hot, since tier 2 joins through hot8 on both
+    * sides and is then provably empty; the ×9 offset expansion applies
+    * to HOT windows only; both pair joins stay capped, so no key
+    * explodes past cap² rows. */
   def spanMergedSuffixOf(s: SparkSession, docs: DataFrame,
                          maxDocsPerGram: Int = 16): DataFrame = {
     val g8 = posGramsOf(s, docs, 8).localCheckpoint(eager = false)
-    val g16 = posGramsOf(s, docs, 16)
     val nd8 = g8.groupBy("gram").agg(countDistinct("doc_id").as("nd"))
       .localCheckpoint(eager = false)
     val mild8 = nd8.filter(col("nd") >= 2 && col("nd") <= maxDocsPerGram).select("gram")
     val hot8 = nd8.filter(col("nd") > maxDocsPerGram).select("gram")
-    val mild16 = g16.groupBy("gram").agg(countDistinct("doc_id").as("nd"))
-      .filter(col("nd") >= 2 && col("nd") <= maxDocsPerGram)
-      .select(col("gram"))
-    val g16m = g16.join(mild16, "gram")
-      .select(col("doc_id"), col("pos").as("epos"), col("gram").as("gram16"))
-      .localCheckpoint(eager = false)
     // Tier 1: mild 8-grams, exactly the spanMergedOf path.
     val gg = g8.join(mild8, "gram")
     val p1 = gg.select(col("gram"), col("doc_id").as("da"), col("pos").as("pa"))
       .join(gg.select(col("gram"), col("doc_id").as("db"), col("pos").as("pb")), "gram")
       .filter(col("da") < col("db"))
       .select("da", "db", "pa", "pb")
+    // Adaptive skip (the AQE stance, via a 1-row driver hop on the
+    // already-checkpointed nd8): the rescue tier exists FOR hot grams,
+    // so when the valve never fired there is nothing to rescue and the
+    // whole 16-gram pass (a second corpus-linear explode + its distinct
+    // agg) is provably dead — tier 2 joins through hot8 on both sides.
+    // A healthy deduped corpus has zero hot grams (sf0.1: max nd = 4);
+    // the flood is the adversarial case, and only it pays for itself.
+    if (nd8.filter(col("nd") > maxDocsPerGram).limit(1).isEmpty)
+      return islandMerge(p1)
+    val g16 = posGramsOf(s, docs, 16)
+    val mild16 = g16.groupBy("gram").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= maxDocsPerGram)
+      .select(col("gram"))
+    val g16m = g16.join(mild16, "gram")
+      .select(col("doc_id"), col("pos").as("epos"), col("gram").as("gram16"))
+      .localCheckpoint(eager = false)
     // Tier 2: hot windows re-keyed by covering mild 16-grams. The same
     // k on both sides keeps the window alignment (pa−pb = eposₐ−eposᵦ).
     val hexp = g8.join(hot8, "gram")
