@@ -82,6 +82,11 @@ object Bench {
     // GC/spill spike shows up as a large retimed_from next to a small
     // reported floor) instead of just a count.
     val retimedFrom = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // stream_running_tws is a real live execution (runRunningTwsLive,
+    // the transformWithState runtime gate) that predates the _live
+    // naming convention; stream_bloom_dedup and stream_dedup_first are
+    // BATCH executions of stateful operators and stay in the batch side.
+    def isLive(name: String) = name.endsWith("_live") || name == "stream_running_tws"
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val a = timeOnce(fn)
       var best =
@@ -92,7 +97,7 @@ object Bench {
         // IO + micro-batch count), not data-dependent noise, so a second
         // full streaming execution buys no signal for ~2 s each; the >5×-
         // median outlier re-time below still protects them from load spikes.
-        else if (a < 0.15 || name.endsWith("_live")) a
+        else if (a < 0.15 || isLive(name)) a
         else {
           val b = timeOnce(fn)
           if (b < 0) -1.0 else math.min(a, b)
@@ -142,9 +147,9 @@ object Bench {
     // reader separates "Spark vs the SQL baseline on comparable work"
     // (vs_baseline_batch) from "everything this library runs per round"
     // (vs_baseline); the live per-query costs stay in the queries map.
-    val liveTotal = results.filter(r => r._2 >= 0 && r._1.endsWith("_live"))
+    val liveTotal = results.filter(r => r._2 >= 0 && isLive(r._1))
       .map(_._2).sum
-    val nLive = results.count(_._1.endsWith("_live"))
+    val nLive = results.count(r => isLive(r._1))
     val batchTotal = total - liveTotal
     val split =
       s""","batch_value":${fmt(batchTotal)},"live_value":${fmt(liveTotal)},"n_live":$nLive"""
