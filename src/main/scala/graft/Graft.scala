@@ -859,4 +859,54 @@ object Graft {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     operators.TextModelQueries.dsirLogWeights(docs, isTarget, buckets = buckets)
   }
+
+  /** DOCX text extraction over (doc_id, source, docx BINARY) rows —
+    * OPC package (ZIP central-directory walk) → word/document.xml →
+    * the ECMA-376 WordprocessingML scanner, parse-as-filter (malformed
+    * packages drop, never garble). One row per document:
+    * (doc_id, source, text, n_paras). See sources.DocxSource. */
+  def docxExtract(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source"), col("docx"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, src, bytes) =>
+        sources.DocxSource.extractDocx(s"doc$id.docx", bytes).map {
+          case (text, np) => (id, src, text, np)
+        }
+      })
+      .toDF("doc_id", "source", "text", "n_paras")
+  }
+
+  /** Maximal shared token spans (≥ 8 tokens) per doc pair with the
+    * suffix-ngram rescue for hot grams — exact-substring span dedup
+    * that keeps its recall under boilerplate-phrase floods (see
+    * DedupQueries.spanMergedSuffixOf for the exactness argument).
+    * Returns (da, db, start_a, start_b, span_windows, span_tokens). */
+  def spanSuffixPairs(spark: SparkSession, docs: DataFrame,
+                      maxDocsPerGram: Int = 16): DataFrame = {
+    require(maxDocsPerGram >= 2, s"maxDocsPerGram must be >= 2, got $maxDocsPerGram")
+    operators.DedupQueries.spanMergedSuffixOf(spark, docs, maxDocsPerGram)
+  }
+
+  /** Transaction-log table primitives (sources.TxLog — the Delta-style
+    * JSON commit log over parquet): write `df` as the data of commit
+    * `version` and commit it atomically. `removes` lists the
+    * table-relative files this commit supersedes (pass the previous
+    * snapshot's files for an overwrite; empty for an append). */
+  def txCommit(df: DataFrame, dir: String, version: Long,
+               operation: String = "append",
+               removes: Seq[String] = Nil): Long =
+    sources.TxLog.commit(dir, version, operation,
+      sources.TxLog.writeData(df, dir, version), removes)
+
+  /** Snapshot-isolated read AS OF `version` from a transaction-log
+    * table; negative version (default) reads the latest snapshot. */
+  def txRead(spark: SparkSession, dir: String, version: Long = -1L): DataFrame =
+    if (version < 0) sources.TxLog.readLatest(spark, dir)
+    else sources.TxLog.readAsOf(spark, dir, version)
+
+  /** The active table-relative file set of a transaction-log table at
+    * `version` (the manifest a compaction/retention pass plans over). */
+  def txActiveFiles(dir: String, version: Long): Seq[String] =
+    sources.TxLog.activeFiles(dir, version)
 }

@@ -431,4 +431,39 @@ class GraftApiSpec extends SparkSpec {
         r.getAs[String]("lang") -> r.getAs[Long]("weight_sum")).toMap
     assert(facade == gate)
   }
+
+  test("docxExtract facade round-trips the staged model and drops junk rows") {
+    import spark.implicits._
+    val rows = Seq(
+      (7L, "s0", sources.DocxSource.docxBytes(7L)),
+      (8L, "s0", Array[Byte](9, 9, 9))) // not a ZIP: parse-as-filter drops it
+      .toDF("doc_id", "source", "docx")
+    val got = Graft.docxExtract(spark, rows).collect()
+    assert(got.length == 1 && got(0).getLong(0) == 7L)
+    assert(got(0).getString(2) == sources.DocxSource.docxExpected(7L))
+    assert(got(0).getInt(3) == sources.DocxSource.ExpectedParas)
+  }
+
+  test("spanSuffixPairs facade equals the declared dedup_span_suffix gate") {
+    val d = sf("sf0.001")
+    val facade = Graft.spanSuffixPairs(spark, Tables.documents(spark, d))
+      .collect().map(_.toSeq).toSet
+    val gate = SparkEntry.queries("dedup_span_suffix")(spark, d)
+      .collect().map(_.toSeq).toSet
+    assert(facade == gate)
+  }
+
+  test("txCommit/txRead facade: append, overwrite, time travel, manifest") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_api_").toFile.getPath
+    Graft.txCommit(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir, 0)
+    val f0 = Graft.txActiveFiles(dir, 0)
+    Graft.txCommit(Seq((9L, "z")).toDF("k", "s"), dir, 1,
+      operation = "overwrite", removes = f0)
+    assert(Graft.txRead(spark, dir).as[(Long, String)].collect().toSeq ==
+      Seq((9L, "z")))
+    assert(Graft.txRead(spark, dir, 0).orderBy("k").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a"), (2L, "b")))
+    assert(Graft.txActiveFiles(dir, 1).forall(_.startsWith("data/v1/")))
+  }
 }
