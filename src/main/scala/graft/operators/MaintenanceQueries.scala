@@ -294,8 +294,58 @@ object MaintenanceQueries extends QueryPack {
           sum(floor(col("price") * 100 + 0.5).cast("long")).as("total_cents"),
           sum(PortableHash.h60p(col("key").cast("string"))).as("key_checksum"))
         .orderBy("version", "o_orderpriority")
+    }),
+
+    // COMPACTION EXECUTED through the transaction log — the OPTIMIZE
+    // the q_compaction_plan planner plans, actually run, on its own
+    // staged table: version 0 lands the snapshot as 8 small files (the
+    // many-small-appends layout a streaming ingest accumulates),
+    // version 1 rewrites them into 2 coalesced files as an overwrite
+    // commit. The gate audits the POST-compaction snapshot — content
+    // must be bit-identical to the source projection (the oracle
+    // recomputes it from the raw table; a compaction that drops or
+    // duplicates a row breaks a checksum) — and `compacted` is earned
+    // driver-side from the two log manifests (strictly fewer active
+    // files). Time travel to the pre-compaction layout stays intact
+    // (TxLogSpec pins manifest shrink + cross-version content identity).
+    "q_txlog_compact" -> ((s, d) => {
+      val dir = stageTxCompact(s, d)
+      val before = graft.sources.TxLog.activeFiles(dir, 0).size
+      val after = graft.sources.TxLog.activeFiles(dir, 1).size
+      graft.sources.TxLog.readAsOf(s, dir, 1)
+        .groupBy(col("pri").as("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("price") * 100 + 0.5).cast("long")).as("total_cents"),
+          sum(PortableHash.h60p(col("key").cast("string"))).as("key_checksum"))
+        .withColumn("compacted", lit(after < before))
+        .orderBy("o_orderpriority")
     })
   )
+
+  /** Stage the compaction table: version 0 = the orders projection
+    * REPARTITIONED to 8 small files (the small-file pathology), version
+    * 1 = the same rows coalesced to 2 files, committed as an overwrite.
+    * Idempotent per missing version, as [[stageTxTable]]. */
+  private[graft] def stageTxCompact(s: SparkSession, d: String): String = {
+    val dir = graft.Stage.dir(d, "txcompact")
+    val existing =
+      try graft.sources.TxLog.latestVersion(dir)
+      catch { case _: IllegalStateException => -1L }
+    if (existing < 0) {
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("key"), col("o_orderpriority").as("pri"),
+        col("o_totalprice").as("price")).repartition(8)
+      graft.sources.TxLog.commit(dir, 0, "append",
+        graft.sources.TxLog.writeData(o, dir, 0))
+    }
+    if (existing < 1) {
+      val f0 = graft.sources.TxLog.activeFiles(dir, 0)
+      val compacted = graft.sources.TxLog.readAsOf(s, dir, 0).coalesce(2)
+      graft.sources.TxLog.commit(dir, 1, "overwrite",
+        graft.sources.TxLog.writeData(compacted, dir, 1), removes = f0)
+    }
+    dir
+  }
 
   /** Stage the two-commit transaction-log table under the data dir's
     * stage root (idempotent: a log head ≥ 1 means both commits exist —
@@ -493,6 +543,18 @@ object MaintenanceQueries extends QueryPack {
                  CAST(SUM(CAST(FLOOR(price * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
                  CAST(SUM(${graft.functions.PortableHash.h60pSql(
                    "CAST(key AS VARCHAR)")}) AS BIGINT) AS key_checksum
-          FROM u GROUP BY 1, 2 ORDER BY version, o_orderpriority"""
+          FROM u GROUP BY 1, 2 ORDER BY version, o_orderpriority""",
+    // Post-compaction content ≡ the source projection, recomputed from
+    // the raw table; `compacted` is the oracle's claim that the rewrite
+    // strictly shrank the file manifest — the Spark side earns it from
+    // the two log manifests.
+    "q_txlog_compact" ->
+      s"""SELECT o_orderpriority,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+                 CAST(SUM(${graft.functions.PortableHash.h60pSql(
+                   "CAST(o_orderkey AS VARCHAR)")}) AS BIGINT) AS key_checksum,
+                 TRUE AS compacted
+          FROM orders GROUP BY 1 ORDER BY o_orderpriority"""
   )
 }
