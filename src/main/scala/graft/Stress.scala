@@ -311,6 +311,42 @@ object Stress {
       s"a doc missed the universal boilerplate windows (min=$minShared)")
     println(f"[stress] span hot gram: docs=$tenxDocs plain=$spSec%.2f s hot=$shSec%.2f s min_shared=$minShared")
 
+    // Suffix-rescued span merge under the adversarial flood, at 10×
+    // (round 19): a planted pair shares a unique 50-token span whose
+    // every 8-gram is ALSO injected into 20 flood docs (nd₈ = 22 > cap
+    // 16 — the capped method provably reports nothing for the pair),
+    // on top of the boilerplate-headed 10× corpus whose universal
+    // header grams are hot in EVERY doc. The suffix variant must (a)
+    // recover the planted span exactly (43 windows / 50 tokens), and
+    // (b) hold the latency curve while paying the 16-gram rescue pass
+    // over the whole corpus — the honest worst-case cost, vs the
+    // adaptive skip the unflooded corpus takes.
+    val spanS = (0 until 50).map(i => s"uq$i")
+    val planted = Seq(
+      (980000001L, s"px1 px2 px3 ${spanS.mkString(" ")} px4 px5"),
+      (980000002L, s"py1 ${spanS.mkString(" ")} py2 py3")) ++
+      (1 to 20).map { i =>
+        val grams = spanS.sliding(8).zipWithIndex
+          .map { case (g, k) => s"fj${i}_$k " + g.mkString(" ") }
+          .mkString(" ")
+        (980000100L + i, s"fh$i $grams ft$i")
+      }
+    import spark.implicits._
+    val floodDocs = spanHotDocs.unionByName(
+      planted.toDF("doc_id", "text")).localCheckpoint()
+    val suffixRes = operators.DedupQueries.spanMergedSuffixOf(spark, floodDocs)
+      .localCheckpoint(eager = false)
+    val (sfxSec, sfxRows) = time("span suffix flood 10x", suffixRes.count())
+    val plantedSpan = suffixRes
+      .filter(col("da") === 980000001L && col("db") === 980000002L).collect()
+    require(plantedSpan.length == 1 &&
+        plantedSpan(0).getLong(4) == 43L && plantedSpan(0).getLong(5) == 50L,
+      s"flooded span not recovered exactly: ${plantedSpan.mkString(";")}")
+    val cappedMiss = operators.DedupQueries.spanMergedOf(spark, floodDocs)
+      .filter(col("da") === 980000001L && col("db") === 980000002L).isEmpty
+    require(cappedMiss, "the capped method unexpectedly found the flooded pair")
+    println(f"[stress] span suffix flood: docs=${tenxDocs + 22} sec=$sfxSec%.2f s rows=$sfxRows planted_recovered=true capped_missed=true")
+
     // Incremental ingest dedup (round-11 verdict #6): a 100× batch
     // against the 10× corpus — each base doc arrives 100 times, half as
     // EXACT copies of corpus text (all 50 collapse within-batch, then
@@ -820,7 +856,7 @@ object Stress {
       s"kmv estimate $kmvEst vs exact $kmvExact: error ${kmvErrPpm}ppm past 4 RSE")
     println(f"[stress] kmv_10x: exact $kmvExact%,d in $kexSec%.2f s, sketch est $kmvEst%,d in $kskSec%.2f s, err ${kmvErrPpm / 10000.0}%.2f%%")
 
-    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"prefix_join_10x":{"docs":$pjDocs,"sec_1x":$pj1Sec,"pairs_1x":$pj1Pairs,"sec_10x":$pjSec,"pairs_10x":$pjPairs,"brute_pair_universe":$pjUniverse},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"embed_ivf_10x":{"vecs":$embDocs,"nlist16_sec":$iv,"nlist16_pairs":$niv,"nlist128_sec":$iv2,"nlist128_pairs":$niv2},"pq_adc_10x":{"vecs":$nPqCodes,"fit_sec":$pqFitSec,"encode_sec":$pqEncSec,"adc_scan_sec":$pqScanSec,"exact_scan_sec":$pqExactSec,"code_bytes_per_vec":8,"float_bytes_per_vec":256},"codebook_hot_vector":{"vecs":$nAdv,"clones":$hotClones,"fit_sec":$fitSec,"nonempty_cells":$nonEmptyCells,"max_cell_share":$maxCellShare,"neardup_sec":$advSec,"neardup_pairs":$nAdvPairs,"planted_pairs":$plantedPairs},"bloom_10x":{"orders":$nOrd,"smj_sec":$sj,"smj_rows":$nsj,"probe_sec":$bp,"probe_rows":$nbp,"verify_sec":$bv,"verify_rows":$nbv},"ingest_many_files":{"files":$ingestN,"hidden_frac":0.333,"sec":$ingestSec,"words":${ingested.size},"fold_match":true},"skew_join_hot":{"hot_rows":$hotRows,"buckets_hit":${buckets.size},"max_bucket_rows":$maxBucket,"salted_sec":$saltSec,"plain_sec":$plainSec,"match":true},"span_hot_gram":{"docs":$tenxDocs,"plain_sec":$spSec,"plain_rows":$spRows,"hot_sec":$shSec,"hot_rows":$shRows,"min_shared_windows":$minShared},"incremental_ingest":{"batch_rows":$nBatch,"corpus_docs":$tenxDocs,"new_docs":$incNew,"expected_new":$expectedNew,"sec":$incSec,"match":true},"stream_state":[${ssRes.map(ssJson).mkString(",")}],"pixel_decode":{"bmp_1x":{"imgs":$npd1,"sec":$pd1},"bmp_10x":{"imgs":$npd10,"sec":$pd10},"png_1x":{"imgs":$npg1,"sec":$pg1},"png_10x":{"imgs":$npg10,"sec":$pg10,"staged_bytes":$pngBytes10},"gif_1x":{"imgs":$ngf1,"sec":$gf1},"gif_10x":{"imgs":$ngf10,"sec":$gf10,"staged_bytes":$gifBytes10}},"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2},"warc_parse":{"shards":200,"records":$warcRecs,"bytes":$warcBytes,"sec":$warcSec,"clean":true},"pdf_parse":{"docs":$nPdfDocs,"pages":$pdfPages,"bytes":$pdfBytesTotal,"sec":$pdfSec,"clean":true},"avro_10x":{"rows":$nAvroRows,"bytes":$avroBytes,"shards":16,"write_sec":$avWriteSec,"read_sec":$avReadSec,"match":true},"pagerank_hot_hub":{"edges":$nEdges,"nodes":$prNodes,"hub_degree":$starLeaves,"iters":3,"sec":$prSec,"hub_is_top":true,"leaf_rank_values":1,"ring_rank_values":1},"compaction_manifest":{"files":100000,"bins":$cpBins,"sec":$cpSec,"bytes_conserved":true,"fill_bound_holds":true},"maintenance_10x":{"orders_10x":$nOrd10,"merge_1x_sec":$mg1,"merge_10x_sec":$mg10,"checksum_1x_sec":$ck1Sec,"checksum_10x_sec":$ck10Sec,"accounting_match":true,"sums_move_under_key_shift":true},"merge_hot_batch":{"snapshot_rows":$mhSnapRows,"batch_rows":$mhBatchRows,"hot_rows":$mhHotRows,"uniform_sec":$mhuSec,"uniform_rows":$mhuRows,"raw_hot_sec":$mhhSec,"raw_hot_rows":$mhhRows,"aqe_fullouter_skew_split":false,"compacted_hot_sec":$mhcSec,"compacted_rows_out":$mhcRows,"compacted_batch_keys":$mhCompactRows,"lww_match":true},"bpe_learn_10x":{"merges":10,"sec_1x":$bl1,"sec_10x":$bl10,"table_identical":true,"counts_x10":true},"kmv_10x":{"distinct_keys":$kmvExact,"exact_sec":$kexSec,"sketch_sec":$kskSec,"estimate":$kmvEst,"err_ppm":$kmvErrPpm,"artifact_bytes":2056}}""")
+    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"prefix_join_10x":{"docs":$pjDocs,"sec_1x":$pj1Sec,"pairs_1x":$pj1Pairs,"sec_10x":$pjSec,"pairs_10x":$pjPairs,"brute_pair_universe":$pjUniverse},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"embed_ivf_10x":{"vecs":$embDocs,"nlist16_sec":$iv,"nlist16_pairs":$niv,"nlist128_sec":$iv2,"nlist128_pairs":$niv2},"pq_adc_10x":{"vecs":$nPqCodes,"fit_sec":$pqFitSec,"encode_sec":$pqEncSec,"adc_scan_sec":$pqScanSec,"exact_scan_sec":$pqExactSec,"code_bytes_per_vec":8,"float_bytes_per_vec":256},"codebook_hot_vector":{"vecs":$nAdv,"clones":$hotClones,"fit_sec":$fitSec,"nonempty_cells":$nonEmptyCells,"max_cell_share":$maxCellShare,"neardup_sec":$advSec,"neardup_pairs":$nAdvPairs,"planted_pairs":$plantedPairs},"bloom_10x":{"orders":$nOrd,"smj_sec":$sj,"smj_rows":$nsj,"probe_sec":$bp,"probe_rows":$nbp,"verify_sec":$bv,"verify_rows":$nbv},"ingest_many_files":{"files":$ingestN,"hidden_frac":0.333,"sec":$ingestSec,"words":${ingested.size},"fold_match":true},"skew_join_hot":{"hot_rows":$hotRows,"buckets_hit":${buckets.size},"max_bucket_rows":$maxBucket,"salted_sec":$saltSec,"plain_sec":$plainSec,"match":true},"span_hot_gram":{"docs":$tenxDocs,"plain_sec":$spSec,"plain_rows":$spRows,"hot_sec":$shSec,"hot_rows":$shRows,"min_shared_windows":$minShared},"span_suffix_flood":{"docs":${tenxDocs + 22},"sec":$sfxSec,"rows":$sfxRows,"planted_recovered":true,"capped_missed":true},"incremental_ingest":{"batch_rows":$nBatch,"corpus_docs":$tenxDocs,"new_docs":$incNew,"expected_new":$expectedNew,"sec":$incSec,"match":true},"stream_state":[${ssRes.map(ssJson).mkString(",")}],"pixel_decode":{"bmp_1x":{"imgs":$npd1,"sec":$pd1},"bmp_10x":{"imgs":$npd10,"sec":$pd10},"png_1x":{"imgs":$npg1,"sec":$pg1},"png_10x":{"imgs":$npg10,"sec":$pg10,"staged_bytes":$pngBytes10},"gif_1x":{"imgs":$ngf1,"sec":$gf1},"gif_10x":{"imgs":$ngf10,"sec":$gf10,"staged_bytes":$gifBytes10}},"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2},"warc_parse":{"shards":200,"records":$warcRecs,"bytes":$warcBytes,"sec":$warcSec,"clean":true},"pdf_parse":{"docs":$nPdfDocs,"pages":$pdfPages,"bytes":$pdfBytesTotal,"sec":$pdfSec,"clean":true},"avro_10x":{"rows":$nAvroRows,"bytes":$avroBytes,"shards":16,"write_sec":$avWriteSec,"read_sec":$avReadSec,"match":true},"pagerank_hot_hub":{"edges":$nEdges,"nodes":$prNodes,"hub_degree":$starLeaves,"iters":3,"sec":$prSec,"hub_is_top":true,"leaf_rank_values":1,"ring_rank_values":1},"compaction_manifest":{"files":100000,"bins":$cpBins,"sec":$cpSec,"bytes_conserved":true,"fill_bound_holds":true},"maintenance_10x":{"orders_10x":$nOrd10,"merge_1x_sec":$mg1,"merge_10x_sec":$mg10,"checksum_1x_sec":$ck1Sec,"checksum_10x_sec":$ck10Sec,"accounting_match":true,"sums_move_under_key_shift":true},"merge_hot_batch":{"snapshot_rows":$mhSnapRows,"batch_rows":$mhBatchRows,"hot_rows":$mhHotRows,"uniform_sec":$mhuSec,"uniform_rows":$mhuRows,"raw_hot_sec":$mhhSec,"raw_hot_rows":$mhhRows,"aqe_fullouter_skew_split":false,"compacted_hot_sec":$mhcSec,"compacted_rows_out":$mhcRows,"compacted_batch_keys":$mhCompactRows,"lww_match":true},"bpe_learn_10x":{"merges":10,"sec_1x":$bl1,"sec_10x":$bl10,"table_identical":true,"counts_x10":true},"kmv_10x":{"distinct_keys":$kmvExact,"exact_sec":$kexSec,"sketch_sec":$kskSec,"estimate":$kmvEst,"err_ppm":$kmvErrPpm,"artifact_bytes":2056}}""")
     spark.stop()
   }
 }
