@@ -334,9 +334,16 @@ object Stress {
     import spark.implicits._
     val floodDocs = spanHotDocs.unionByName(
       planted.toDF("doc_id", "text")).localCheckpoint()
-    val suffixRes = operators.DedupQueries.spanMergedSuffixOf(spark, floodDocs)
-      .localCheckpoint(eager = false)
-    val (sfxSec, sfxRows) = time("span suffix flood 10x", suffixRes.count())
+    // Time CONSTRUCTION + execution together: the adaptive skip inside
+    // spanMergedSuffixOf runs a driver action at plan-build time (it
+    // materializes the checkpointed gram counts), so timing only the
+    // final count would hide most of the work.
+    var suffixRes: org.apache.spark.sql.DataFrame = null
+    val (sfxSec, sfxRows) = time("span suffix flood 10x", {
+      suffixRes = operators.DedupQueries.spanMergedSuffixOf(spark, floodDocs)
+        .localCheckpoint(eager = false)
+      suffixRes.count()
+    })
     val plantedSpan = suffixRes
       .filter(col("da") === 980000001L && col("db") === 980000002L).collect()
     require(plantedSpan.length == 1 &&
