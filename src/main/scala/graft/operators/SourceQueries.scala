@@ -44,6 +44,7 @@ object SourceQueries extends QueryPack {
   private def jsonlBz2Stage(d: String) = Stage.dir(d, "jsonl_bz2")
   private def ipynbStage(d: String) = Stage.dir(d, "ipynb")
   private def docxStage(d: String) = Stage.dir(d, "docx")
+  private def xlsxStage(d: String) = Stage.dir(d, "xlsx")
 
   /** The shared documents-projection audit (the closed-form-roundtrip
     * discipline): per-lang counts, char sums, distinct sources, and a
@@ -685,6 +686,37 @@ object SourceQueries extends QueryPack {
             col("doc_id"), md5(col("text"))))).as("text_checksum"))
         .orderBy("bucket")),
 
+    // XLSX cell extraction — the OTHER dominant OPC format (tabular
+    // enterprise data ships as spreadsheets): the audited ZipSource
+    // walk + a hand ECMA-376 §18 SpreadsheetML scanner. The gate's
+    // teeth: the SHARED-STRING indirection (t="s" cells store an INDEX
+    // into xl/sharedStrings.xml — a reader that takes <v> literally
+    // emits row numbers as text and every text checksum breaks),
+    // rich-text runs concatenating with xml:space, inline strings,
+    // FORMULA cells whose cached <v> is taken while the formula text
+    // never leaks, booleans, negatives, an empty cell skipped, and a
+    // two-letter AA column decoded by the bijective base-26 rule.
+    // Numeric cells aggregate as exact decimal cents; the oracle
+    // rebuilds every cell closed-form from doc_id arithmetic.
+    "xlsx_extract" -> ((s, d) =>
+      graft.sources.XlsxSource.extractedXlsx(s,
+          graft.sources.XlsxSource.stageFixture(s, d, xlsxStage(d)))
+        .withColumn("bucket", col("doc_id") % 7)
+        .groupBy("bucket")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_cells"),
+          sum(when(col("kind") === "text", 1L).otherwise(0L)).as("n_text"),
+          sum(when(col("kind") === "num",
+            (col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .otherwise(0L)).as("num_cents"),
+          sum(when(col("kind") === "bool", col("value").cast("long"))
+            .otherwise(0L)).as("bool_sum"),
+          sum(when(col("kind") === "text",
+            graft.functions.PortableHash.h60p(concat_ws(":",
+              col("doc_id"), col("ref"), md5(col("value")))))
+            .otherwise(0L)).as("text_checksum"))
+        .orderBy("bucket")),
+
     // CDX index build — the seekability artifact that makes WARC
     // archives usable at 100 TB: per-record (offset, length) rows let a
     // consumer range-request ONE record out of a ~1 GB shard (Common
@@ -1020,6 +1052,31 @@ object SourceQueries extends QueryPack {
                  CAST(SUM(${graft.functions.PortableHash.h60pSql(
                    "id || ':' || md5(text)")}) AS BIGINT) AS text_checksum
           FROM t GROUP BY source ORDER BY source""",
+    // Every cell rebuilt closed-form from doc_id arithmetic
+    // (XlsxSource.expectedCells) — the oracle never sees an xlsx byte.
+    "xlsx_extract" ->
+      s"""WITH d AS (SELECT doc_id AS id FROM documents WHERE doc_id % 101 = 0),
+            cells AS (
+              SELECT id, 'A1' AS ref, 'text' AS kind, 'Name ' || (id % 9) AS value FROM d
+              UNION ALL SELECT id, 'B1', 'num', (id % 100) || '.25' FROM d
+              UNION ALL SELECT id, 'AA1', 'num', CAST(id % 3 AS VARCHAR) FROM d
+              UNION ALL SELECT id, 'A2', 'text', 'inline ' || (id % 5) FROM d
+              UNION ALL SELECT id, 'B2', 'num', (id % 50) || '.5' FROM d
+              UNION ALL SELECT id, 'C2', 'bool', CAST(id % 2 AS VARCHAR) FROM d
+              UNION ALL SELECT id, 'A3', 'text', ' Café & co ' || (id % 4) FROM d
+              UNION ALL SELECT id, 'C3', 'num', '-' || (id % 7) FROM d)
+          SELECT id % 7 AS bucket,
+                 CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs,
+                 CAST(COUNT(*) AS BIGINT) AS n_cells,
+                 CAST(SUM(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
+                 CAST(SUM(CASE WHEN kind = 'num'
+                   THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS num_cents,
+                 CAST(SUM(CASE WHEN kind = 'bool' THEN CAST(value AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS bool_sum,
+                 CAST(SUM(CASE WHEN kind = 'text' THEN ${graft.functions.PortableHash.h60pSql(
+                   "id || ':' || ref || ':' || md5(value)")} ELSE 0 END) AS BIGINT) AS text_checksum
+          FROM cells GROUP BY 1 ORDER BY bucket""",
     // The prose truth rebuilt closed-form from doc_id arithmetic
     // (DocxSource.docxExpected's exact lines) — the oracle never sees
     // a docx byte; only the kept-id list comes from the table.

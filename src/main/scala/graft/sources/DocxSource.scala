@@ -51,8 +51,9 @@ object DocxSource {
   private val DocMember = "word/document.xml"
 
   /** Decode one XML entity starting at `&` (index `i`); returns
-    * (decoded char(s), index past ';') or None on malformation. */
-  private def entity(s: String, i: Int): Option[(String, Int)] = {
+    * (decoded char(s), index past ';') or None on malformation.
+    * Shared with [[XlsxSource]] — one decoder for the OPC family. */
+  private[sources] def entity(s: String, i: Int): Option[(String, Int)] = {
     val semi = s.indexOf(';', i + 1)
     if (semi < 0 || semi - i > 12) return None
     val name = s.substring(i + 1, semi)
@@ -78,7 +79,7 @@ object DocxSource {
     * (text, index past the close tag) or None (unterminated / bad
     * entity). WordprocessingML text elements contain no child markup,
     * so the scan runs to the FIRST '<' — which must open `close`. */
-  private def textTo(s: String, i0: Int, close: String): Option[(String, Int)] = {
+  private[sources] def textTo(s: String, i0: Int, close: String): Option[(String, Int)] = {
     val sb = new StringBuilder
     var i = i0
     val n = s.length
