@@ -179,10 +179,48 @@ object StreamingQueries extends QueryPack {
       EventStreams.runEwmaLive(s, d)
         .select(col("user_id"), col("n_events").cast("int").as("n_events"),
           graft.Portable.round6(col("ewma")).as("ewma"))
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // The streaming-LAKEHOUSE sink: events arrive as two real
+    // micro-batches and land in a TxLog transaction-log table with one
+    // ATOMIC COMMIT PER BATCH (version = batchId — the Delta streaming
+    // sink's exactly-once pattern; a replayed batch finds its version
+    // already committed and skips). The gate reads the table BACK
+    // THROUGH THE LOG twice — time travel to version 0 (batch 0 alone:
+    // the even event_ids, pinned by forced file mtime order) and the
+    // latest snapshot (all events) — auditing both against the raw
+    // batch model, so a lost commit, a double-landed batch, or a
+    // version serving the wrong snapshot breaks a count or checksum.
+    "stream_txlog_live" -> ((s, d) => {
+      import graft.functions.PortableHash
+      val dir = EventStreams.runTxLogSinkLive(s, d)
+      val v0 = graft.sources.TxLog.readAsOf(s, dir, 0).withColumn("version", lit(0L))
+      val v1 = graft.sources.TxLog.readLatest(s, dir).withColumn("version", lit(1L))
+      v0.unionByName(v1)
+        .groupBy("version")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"),
+          sum(PortableHash.h60p(col("event_id").cast("string"))).as("event_checksum"))
+        .orderBy("version")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Version 0 = the even-id micro-batch, latest = everything —
+    // recomputed from the raw events table; the Spark side earns the
+    // same numbers through per-batch atomic commits + log-replayed
+    // reads.
+    "stream_txlog_live" ->
+      s"""WITH e AS (SELECT event_id, value FROM events),
+            v0 AS (SELECT CAST(0 AS BIGINT) AS version, event_id, value
+                   FROM e WHERE event_id % 2 = 0),
+            v1 AS (SELECT CAST(1 AS BIGINT) AS version, event_id, value FROM e),
+            u AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
+          SELECT version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
+                 CAST(SUM(${graft.functions.PortableHash.h60pSql(
+                   "CAST(event_id AS VARCHAR)")}) AS BIGINT) AS event_checksum
+          FROM u GROUP BY 1 ORDER BY version""",
     // Tumbling 1h epoch-aligned windows ≡ floor(epoch/3600).
     "stream_windowed_counts" ->
       """SELECT CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS win_start_sec, event_type,

@@ -930,6 +930,80 @@ object EventStreams {
     spark.read.parquet(s"$base/out")
   }
 
+  /** stream_txlog_live: the streaming-LAKEHOUSE sink — events arriving
+    * as a stream land in a [[graft.sources.TxLog]] transaction-log
+    * table with ONE ATOMIC COMMIT PER MICRO-BATCH via foreachBatch,
+    * version = batchId. This is the production exactly-once pattern
+    * (what Delta's streaming sink does): on failure-replay of a batch,
+    * the version is already committed and the write SKIPS — TxLog's
+    * atomic-rename commit makes the check race-free, so the table can
+    * never hold a batch's rows twice. Two real micro-batches
+    * (maxFilesPerTrigger=1 over two staged files with forced mtime
+    * order); returns the table dir for log-replayed reads — the gate
+    * time-travels to version 0 (batch 0 alone) AND reads the latest
+    * snapshot, auditing both against the batch model. */
+  def runTxLogSinkLive(spark: SparkSession, dataDir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_txlog_live_").toFile.getAbsolutePath
+    trackForCleanup(base)
+    val srcDir = s"$base/src"
+    new java.io.File(srcDir).mkdirs()
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", "2")
+    sess.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    sess.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!sess.conf.getOption(nanosKey).contains("true")) sess.conf.set(nanosKey, "true")
+    val ev = graft.Tables.events(sess, dataDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    def stageOneFile(df: DataFrame, tmp: String, dest: String, mtime: Long): Unit = {
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      Files.move(part.toPath, Paths.get(dest)): Unit
+      // Forced mtime order: FileStreamSource batches by timestamp, and
+      // the gate's version-0 audit pins WHICH half landed first.
+      new java.io.File(dest).setLastModified(mtime): Unit
+    }
+    stageOneFile(ev.filter(col("event_id") % 2 === 0), s"$base/b0",
+      s"$srcDir/batch0.parquet", 1000000L)
+    stageOneFile(ev.filter(col("event_id") % 2 =!= 0), s"$base/b1",
+      s"$srcDir/batch1.parquet", 2000000L)
+    rmTree(s"$base/b0"); rmTree(s"$base/b1")
+    val tableDir = s"$base/table"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    // Not fromParquetDir: that helper normalizes a `ts` column the
+    // events fixture carries; this projection deliberately has none.
+    val q = sess.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        // Idempotent replay: a version file appears only via ATOMIC_MOVE,
+        // so existence == that batch is fully committed — skip, exactly
+        // once. (A concurrent loser of the rename race would throw out
+        // of commit(), failing the query loudly rather than double-
+        // landing rows; single-writer here, so the check suffices.)
+        if (!new java.io.File(tableDir, f"_log/$batchId%020d.json").exists()) {
+          val files = graft.sources.TxLog.writeData(df, tableDir, batchId)
+          graft.sources.TxLog.commit(tableDir, batchId, "append", files): Unit
+        }
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    Seq(srcDir, s"$base/ckpt").foreach(rmTree)
+    tableDir
+  }
+
   /** avro_ingest_live: OCF shards arriving as a STREAM — binaryFile
     * FileStreamSource → per-shard DataFileReader parse → append parquet
     * sink across real micro-batches; returns the sink as a batch frame.
