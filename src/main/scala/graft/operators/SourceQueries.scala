@@ -45,6 +45,7 @@ object SourceQueries extends QueryPack {
   private def ipynbStage(d: String) = Stage.dir(d, "ipynb")
   private def docxStage(d: String) = Stage.dir(d, "docx")
   private def xlsxStage(d: String) = Stage.dir(d, "xlsx")
+  private def pptxStage(d: String) = Stage.dir(d, "pptx")
 
   /** The shared documents-projection audit (the closed-form-roundtrip
     * discipline): per-lang counts, char sums, distinct sources, and a
@@ -686,6 +687,28 @@ object SourceQueries extends QueryPack {
             col("doc_id"), md5(col("text"))))).as("text_checksum"))
         .orderBy("bucket")),
 
+    // PPTX text extraction — the third OPC format (slide decks carry a
+    // real fraction of enterprise prose): the audited ZipSource walk +
+    // a DrawingML §21.1 scanner sharing DocxSource's machinery. The
+    // gate's teeth: slides read in NUMERIC order (the fixture's deck
+    // is slides 1, 2 and 10 stored in the central directory's LEXICAL
+    // order — a naive walk emits slide 10 before slide 2 and the text
+    // checksum breaks), split <a:t> runs concatenating, <a:fld> field
+    // runs (slide numbers) never reaching prose, <a:br/> newlines,
+    // entities, empty paragraphs dropped. Closed-form oracle.
+    "pptx_extract" -> ((s, d) =>
+      graft.sources.PptxSource.extractedPptx(s,
+          graft.sources.PptxSource.stageFixture(s, d, pptxStage(d)))
+        .withColumn("bucket", col("doc_id") % 7)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_slides").as("slide_sum"),
+          sum("n_paras").as("para_sum"),
+          sum("n_chars").as("char_sum"),
+          sum(graft.functions.PortableHash.h60p(concat_ws(":",
+            col("doc_id"), md5(col("text"))))).as("text_checksum"))
+        .orderBy("bucket")),
+
     // XLSX cell extraction — the OTHER dominant OPC format (tabular
     // enterprise data ships as spreadsheets): the audited ZipSource
     // walk + a hand ECMA-376 §18 SpreadsheetML scanner. The gate's
@@ -1052,6 +1075,25 @@ object SourceQueries extends QueryPack {
                  CAST(SUM(${graft.functions.PortableHash.h60pSql(
                    "id || ':' || md5(text)")}) AS BIGINT) AS text_checksum
           FROM t GROUP BY source ORDER BY source""",
+    // The prose truth rebuilt closed-form from doc_id arithmetic
+    // (PptxSource.pptxExpected's exact lines, slides in NUMERIC order)
+    // — the oracle never sees a pptx byte.
+    "pptx_extract" ->
+      s"""WITH d AS (SELECT doc_id AS id FROM documents WHERE doc_id % 101 = 0),
+            t AS (SELECT id,
+                    'Deck ' || (id % 9) || ': bold ' || (id % 7) || chr(10) ||
+                    'Intro ' || (id % 5) || '.' || chr(10) ||
+                    'Amp & café ' || (id % 4) || chr(10) ||
+                      'line ' || (id % 3) || chr(10) ||
+                    'Closing ' || (id % 6) || '.' AS text
+                  FROM d)
+          SELECT id % 7 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(COUNT(*) * 3 AS BIGINT) AS slide_sum,
+                 CAST(COUNT(*) * 4 AS BIGINT) AS para_sum,
+                 CAST(SUM(length(text)) AS BIGINT) AS char_sum,
+                 CAST(SUM(${graft.functions.PortableHash.h60pSql(
+                   "id || ':' || md5(text)")}) AS BIGINT) AS text_checksum
+          FROM t GROUP BY 1 ORDER BY bucket""",
     // Every cell rebuilt closed-form from doc_id arithmetic
     // (XlsxSource.expectedCells) — the oracle never sees an xlsx byte.
     "xlsx_extract" ->
