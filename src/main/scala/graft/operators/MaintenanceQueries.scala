@@ -319,8 +319,59 @@ object MaintenanceQueries extends QueryPack {
           sum(PortableHash.h60p(col("key").cast("string"))).as("key_checksum"))
         .withColumn("compacted", lit(after < before))
         .orderBy("o_orderpriority")
+    }),
+
+    // VACUUM EXECUTED — the retention pass q_retention_plan plans: the
+    // vacuum table's version-0 small files are PHYSICALLY deleted
+    // (horizon = 1) while the log keeps the full history; the gate
+    // audits the retained snapshot's content (bit-identical to the
+    // source projection — the oracle recomputes it from the raw table)
+    // and earns `vacuumed` driver-side: every below-horizon file is
+    // gone from disk AND every retained file still present. Time
+    // travel below the horizon now fails loudly at read time
+    // (TxLogSpec pins it), exactly the published lakehouse contract.
+    "q_txlog_vacuum" -> ((s, d) => {
+      val dir = stageTxVacuum(s, d)
+      val gone = graft.sources.TxLog.activeFiles(dir, 0)
+        .forall(p => !new java.io.File(dir, p).exists())
+      val kept = graft.sources.TxLog.activeFiles(dir, 1)
+        .forall(p => new java.io.File(dir, p).exists())
+      graft.sources.TxLog.readLatest(s, dir)
+        .groupBy(col("pri").as("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("price") * 100 + 0.5).cast("long")).as("total_cents"),
+          sum(PortableHash.h60p(col("key").cast("string"))).as("key_checksum"))
+        .withColumn("vacuumed", lit(gone && kept))
+        .orderBy("o_orderpriority")
     })
   )
+
+  /** Stage the vacuum table (its OWN table — vacuuming the compaction
+    * table would break its time-travel spec): v0 = 8 small files,
+    * v1 = the compacted overwrite, then VACUUM with horizon 1 —
+    * version 0's files are physically deleted while the log keeps the
+    * full history. Idempotent (vacuum skips already-deleted files). */
+  private[graft] def stageTxVacuum(s: SparkSession, d: String): String = {
+    val dir = graft.Stage.dir(d, "txvacuum")
+    val existing =
+      try graft.sources.TxLog.latestVersion(dir)
+      catch { case _: IllegalStateException => -1L }
+    if (existing < 0) {
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("key"), col("o_orderpriority").as("pri"),
+        col("o_totalprice").as("price")).repartition(8)
+      graft.sources.TxLog.commit(dir, 0, "append",
+        graft.sources.TxLog.writeData(o, dir, 0))
+    }
+    if (existing < 1) {
+      val f0 = graft.sources.TxLog.activeFiles(dir, 0)
+      val compacted = graft.sources.TxLog.readAsOf(s, dir, 0).coalesce(2)
+      graft.sources.TxLog.commit(dir, 1, "overwrite",
+        graft.sources.TxLog.writeData(compacted, dir, 1), removes = f0)
+    }
+    graft.sources.TxLog.vacuum(dir, retainFrom = 1)
+    dir
+  }
 
   /** Stage the compaction table: version 0 = the orders projection
     * REPARTITIONED to 8 small files (the small-file pathology), version
@@ -555,6 +606,17 @@ object MaintenanceQueries extends QueryPack {
                  CAST(SUM(${graft.functions.PortableHash.h60pSql(
                    "CAST(o_orderkey AS VARCHAR)")}) AS BIGINT) AS key_checksum,
                  TRUE AS compacted
+          FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
+    // Retained-snapshot content ≡ the source projection; `vacuumed` is
+    // the oracle's claim the physical deletion happened exactly at the
+    // horizon — the Spark side earns it from the filesystem.
+    "q_txlog_vacuum" ->
+      s"""SELECT o_orderpriority,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+                 CAST(SUM(${graft.functions.PortableHash.h60pSql(
+                   "CAST(o_orderkey AS VARCHAR)")}) AS BIGINT) AS key_checksum,
+                 TRUE AS vacuumed
           FROM orders GROUP BY 1 ORDER BY o_orderpriority"""
   )
 }

@@ -187,6 +187,26 @@ object TxLog {
   def readLatest(spark: SparkSession, dir: String): DataFrame =
     readAsOf(spark, dir, latestVersion(dir))
 
+  /** VACUUM: physically delete data files not referenced by any
+    * version ≥ `retainFrom` (the retention horizon). The log itself is
+    * untouched — vacuum is a PHYSICAL operation, exactly as in the
+    * published lakehouse formats: time travel to versions below the
+    * horizon keeps resolving in the log but fails loudly at read time
+    * (the files are gone), while every retained version stays fully
+    * readable. Returns the table-relative paths deleted. Idempotent —
+    * already-deleted files are skipped. */
+  def vacuum(dir: String, retainFrom: Long): Seq[String] = {
+    val head = latestVersion(dir)
+    require(retainFrom >= 0 && retainFrom <= head,
+      s"retainFrom=$retainFrom outside [0, $head]")
+    val keep = (retainFrom to head).flatMap(v => activeFiles(dir, v)).toSet
+    val everAdded = (0L to head).flatMap(v => parseCommit(dir, v).adds).toSet
+    val dead = (everAdded -- keep).toSeq.sorted
+    dead.filter { p =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$dir/$p"))
+    }
+  }
+
   /** Write `df` as the data files of commit `version` (a distributed
     * parquet write under `data/v<version>/`) and return the
     * table-relative file list, ready to pass to [[commit]]. */

@@ -136,4 +136,24 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.readAsOf(spark, dir, 0).count() ==
       graft.Tables.orders(spark, d).count())
   }
+
+  test("vacuum deletes exactly the below-horizon files; time travel there fails loudly") {
+    val d = sf("sf0.001")
+    val dir = graft.operators.MaintenanceQueries.stageTxVacuum(spark, d)
+    val f0 = TxLog.activeFiles(dir, 0)
+    val f1 = TxLog.activeFiles(dir, 1)
+    // The log keeps the full history (vacuum is physical, not logical)…
+    assert(f0.size == 8 && f1.size == 2)
+    // …but version 0's files are gone and version 1's remain.
+    assert(f0.forall(p => !new java.io.File(dir, p).exists()))
+    assert(f1.forall(p => new java.io.File(dir, p).exists()))
+    // The retained snapshot reads; the vacuumed one fails loudly.
+    assert(TxLog.readLatest(spark, dir).count() ==
+      graft.Tables.orders(spark, d).count())
+    intercept[Exception] { TxLog.readAsOf(spark, dir, 0).count() }
+    // Idempotent: a second vacuum deletes nothing further.
+    assert(TxLog.vacuum(dir, retainFrom = 1).isEmpty)
+    // Horizon validation: a retention point past the head refuses.
+    intercept[IllegalArgumentException] { TxLog.vacuum(dir, retainFrom = 9) }
+  }
 }
