@@ -196,7 +196,12 @@ object Explain {
     // suffix-rescued span merge (two corpus-linear gram passes, capped
     // pair joins, per-(pair,diagonal) island window).
     "docx_extract", "sim_ivfpq_refine", "q_timetravel_read",
-    "dedup_span_suffix")
+    "dedup_span_suffix",
+    // round 19 second wave: the two remaining OPC extractors (the
+    // docx plan family — whole-file ZIP walk → typed parse-as-filter
+    // map → aggregate), compaction and vacuum executed through the
+    // transaction log (log-replayed parquet scan → one aggregate).
+    "xlsx_extract", "pptx_extract", "q_txlog_compact", "q_txlog_vacuum")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

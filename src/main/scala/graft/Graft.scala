@@ -909,4 +909,41 @@ object Graft {
     * `version` (the manifest a compaction/retention pass plans over). */
   def txActiveFiles(dir: String, version: Long): Seq[String] =
     sources.TxLog.activeFiles(dir, version)
+
+  /** VACUUM a transaction-log table: physically delete data files
+    * unreferenced by any version ≥ `retainFrom`. Retained snapshots
+    * stay readable; time travel below the horizon fails loudly at read
+    * time. Returns the deleted table-relative paths. */
+  def txVacuum(dir: String, retainFrom: Long): Seq[String] =
+    sources.TxLog.vacuum(dir, retainFrom)
+
+  /** PPTX text extraction over (doc_id, source, pptx BINARY) rows —
+    * slides in numeric order, field runs dropped, parse-as-filter.
+    * One row per document: (doc_id, source, text, n_slides, n_paras). */
+  def pptxExtract(spark: SparkSession, decks: DataFrame): DataFrame = {
+    import spark.implicits._
+    decks.select(col("doc_id"), col("source"), col("pptx"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, src, bytes) =>
+        sources.PptxSource.extractPptx(s"deck$id.pptx", bytes).map {
+          case (text, ns, np) => (id, src, text, ns, np)
+        }
+      })
+      .toDF("doc_id", "source", "text", "n_slides", "n_paras")
+  }
+
+  /** XLSX cell extraction over (doc_id, source, xlsx BINARY) rows —
+    * shared strings resolved, formulas' cached values taken,
+    * parse-as-filter. One row per cell:
+    * (doc_id, source, row, col, ref, kind, value). */
+  def xlsxExtract(spark: SparkSession, books: DataFrame): DataFrame = {
+    import spark.implicits._
+    books.select(col("doc_id"), col("source"), col("xlsx"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, src, bytes) =>
+        sources.XlsxSource.extractXlsx(s"book$id.xlsx", bytes).toSeq.flatten
+          .map(c => (id, src, c.row, c.col, c.ref, c.kind, c.value))
+      })
+      .toDF("doc_id", "source", "row", "col", "ref", "kind", "value")
+  }
 }

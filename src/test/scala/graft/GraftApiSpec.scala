@@ -465,5 +465,24 @@ class GraftApiSpec extends SparkSpec {
     assert(Graft.txRead(spark, dir, 0).orderBy("k").as[(Long, String)]
       .collect().toSeq == Seq((1L, "a"), (2L, "b")))
     assert(Graft.txActiveFiles(dir, 1).forall(_.startsWith("data/v1/")))
+    // Vacuum at horizon 1: version 0's file goes, the latest still reads.
+    assert(Graft.txVacuum(dir, 1) == f0.sorted)
+    assert(Graft.txRead(spark, dir).as[(Long, String)].collect().toSeq ==
+      Seq((9L, "z")))
+    intercept[Exception] { Graft.txRead(spark, dir, 0).count() }
+  }
+
+  test("pptxExtract and xlsxExtract facades round-trip the staged models") {
+    import spark.implicits._
+    val decks = Seq((3L, "s0", sources.PptxSource.pptxBytes(3L)),
+      (4L, "s0", Array[Byte](1))).toDF("doc_id", "source", "pptx")
+    val pGot = Graft.pptxExtract(spark, decks).collect()
+    assert(pGot.length == 1 && pGot(0).getLong(0) == 3L)
+    assert(pGot(0).getString(2) == sources.PptxSource.pptxExpected(3L))
+    val books = Seq((5L, "s0", sources.XlsxSource.xlsxBytes(5L)),
+      (6L, "s0", Array[Byte](2))).toDF("doc_id", "source", "xlsx")
+    val xGot = Graft.xlsxExtract(spark, books).collect()
+    assert(xGot.map(_.getLong(0)).distinct.toSeq == Seq(5L))
+    assert(xGot.length == sources.XlsxSource.expectedCells(5L).size)
   }
 }
