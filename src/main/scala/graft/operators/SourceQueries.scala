@@ -46,6 +46,7 @@ object SourceQueries extends QueryPack {
   private def docxStage(d: String) = Stage.dir(d, "docx")
   private def xlsxStage(d: String) = Stage.dir(d, "xlsx")
   private def pptxStage(d: String) = Stage.dir(d, "pptx")
+  private def epubStage(d: String) = Stage.dir(d, "epub")
 
   /** The shared documents-projection audit (the closed-form-roundtrip
     * discipline): per-lang counts, char sums, distinct sources, and a
@@ -687,6 +688,33 @@ object SourceQueries extends QueryPack {
             col("doc_id"), md5(col("text"))))).as("text_checksum"))
         .orderBy("bucket")),
 
+    // EPUB chapter extraction — the BOOK corpus container: the full
+    // OCF three-hop indirection (META-INF/container.xml → the OPF
+    // package → manifest hrefs + THE SPINE as reading order) walked
+    // per the public EPUB spec, then the chapters' XHTML stripped by
+    // the SAME codegen'd htmlToText chain text_html_extract gates (one
+    // HTML semantics, two gates). The fixture's teeth: spine order
+    // (intro, zeta, alpha) differs from BOTH the ZIP central-directory
+    // order and lexical href order, and each chapter carries a
+    // distinct content tag — wrong pairing of chapter index to content
+    // breaks the checksum even with the right count; the spine also
+    // references an SVG cover (no text) and the manifest a CSS item
+    // the spine never uses. Parse-as-filter map-only walk + codegen'd
+    // strip; closed-form oracle.
+    "epub_extract" -> ((s, d) =>
+      TextAnalysis.htmlToText(
+          graft.sources.EpubSource.chapters(s,
+            graft.sources.EpubSource.stageFixture(s, d, epubStage(d))),
+          "xhtml", "text")
+        .withColumn("bucket", col("doc_id") % 7)
+        .groupBy("bucket")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_chapters"),
+          sum(length(col("text")).cast("long")).as("char_sum"),
+          sum(graft.functions.PortableHash.h60p(concat_ws(":",
+            col("doc_id"), col("chap_idx"), md5(col("text"))))).as("chap_checksum"))
+        .orderBy("bucket")),
+
     // PPTX text extraction — the third OPC format (slide decks carry a
     // real fraction of enterprise prose): the audited ZipSource walk +
     // a DrawingML §21.1 scanner sharing DocxSource's machinery. The
@@ -1075,6 +1103,25 @@ object SourceQueries extends QueryPack {
                  CAST(SUM(${graft.functions.PortableHash.h60pSql(
                    "id || ':' || md5(text)")}) AS BIGINT) AS text_checksum
           FROM t GROUP BY source ORDER BY source""",
+    // Chapter text rebuilt closed-form (EpubSource.chapterExpected,
+    // chapters in SPINE order with their content tags) — the oracle
+    // never sees an epub byte.
+    "epub_extract" ->
+      s"""WITH d AS (SELECT doc_id AS id FROM documents WHERE doc_id % 101 = 0),
+            ch AS (SELECT id, 0 AS k, 7 AS tag FROM d
+                   UNION ALL SELECT id, 1, 3 FROM d
+                   UNION ALL SELECT id, 2, 1 FROM d),
+            t AS (SELECT id, k,
+                    'Chap ' || tag || ' alpha ' || (id % 9) ||
+                    ' & beta. Line ' || (id % 5) || ' <end>.' AS text
+                  FROM ch)
+          SELECT id % 7 AS bucket,
+                 CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs,
+                 CAST(COUNT(*) AS BIGINT) AS n_chapters,
+                 CAST(SUM(length(text)) AS BIGINT) AS char_sum,
+                 CAST(SUM(${graft.functions.PortableHash.h60pSql(
+                   "id || ':' || k || ':' || md5(text)")}) AS BIGINT) AS chap_checksum
+          FROM t GROUP BY 1 ORDER BY bucket""",
     // The prose truth rebuilt closed-form from doc_id arithmetic
     // (PptxSource.pptxExpected's exact lines, slides in NUMERIC order)
     // — the oracle never sees a pptx byte.
