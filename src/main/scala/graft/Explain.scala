@@ -201,7 +201,8 @@ object Explain {
     // docx plan family — whole-file ZIP walk → typed parse-as-filter
     // map → aggregate), compaction and vacuum executed through the
     // transaction log (log-replayed parquet scan → one aggregate).
-    "xlsx_extract", "pptx_extract", "q_txlog_compact", "q_txlog_vacuum")
+    "xlsx_extract", "pptx_extract", "q_txlog_compact", "q_txlog_vacuum",
+    "epub_extract")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

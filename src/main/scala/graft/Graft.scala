@@ -932,6 +932,22 @@ object Graft {
       .toDF("doc_id", "source", "text", "n_slides", "n_paras")
   }
 
+  /** EPUB chapter extraction over (doc_id, source, epub BINARY) rows —
+    * the OCF container walk (container.xml → OPF → spine order) plus
+    * the codegen'd htmlToText strip. One row per chapter:
+    * (doc_id, source, chap_idx, href, text). */
+  def epubExtract(spark: SparkSession, books: DataFrame): DataFrame = {
+    import spark.implicits._
+    val rows = books.select(col("doc_id"), col("source"), col("epub"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, src, bytes) =>
+        sources.EpubSource.extractEpub(s"book$id.epub", bytes).toSeq.flatten
+          .map { case (k, href, xhtml) => (id, src, k, href, xhtml) }
+      })
+      .toDF("doc_id", "source", "chap_idx", "href", "xhtml")
+    operators.TextAnalysis.htmlToText(rows, "xhtml", "text")
+  }
+
   /** XLSX cell extraction over (doc_id, source, xlsx BINARY) rows —
     * shared strings resolved, formulas' cached values taken,
     * parse-as-filter. One row per cell:

@@ -485,4 +485,17 @@ class GraftApiSpec extends SparkSpec {
     assert(xGot.map(_.getLong(0)).distinct.toSeq == Seq(5L))
     assert(xGot.length == sources.XlsxSource.expectedCells(5L).size)
   }
+
+  test("epubExtract facade yields spine-ordered stripped chapters") {
+    import spark.implicits._
+    val books = Seq((9L, "s0", sources.EpubSource.epubBytes(9L)),
+      (10L, "s0", Array[Byte](0))).toDF("doc_id", "source", "epub")
+    val got = Graft.epubExtract(spark, books)
+      .orderBy("chap_idx").select("doc_id", "chap_idx", "text").collect()
+    assert(got.map(_.getLong(0)).distinct.toSeq == Seq(9L))
+    val want = sources.EpubSource.SpineChapters.zipWithIndex.map {
+      case ((_, tag), k) => (k, sources.EpubSource.chapterExpected(9L, tag))
+    }
+    assert(got.map(r => (r.getInt(1), r.getString(2))).toSeq == want)
+  }
 }
