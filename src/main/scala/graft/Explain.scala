@@ -202,7 +202,10 @@ object Explain {
     // map → aggregate), compaction and vacuum executed through the
     // transaction log (log-replayed parquet scan → one aggregate).
     "xlsx_extract", "pptx_extract", "q_txlog_compact", "q_txlog_vacuum",
-    "epub_extract")
+    "epub_extract",
+    // the mixed front door: one binary scan -> typed dispatch map ->
+    // codegen'd strip on the epub branch -> union -> one aggregate.
+    "pipeline_mixed_extract")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

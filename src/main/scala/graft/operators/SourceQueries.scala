@@ -47,6 +47,82 @@ object SourceQueries extends QueryPack {
   private def xlsxStage(d: String) = Stage.dir(d, "xlsx")
   private def pptxStage(d: String) = Stage.dir(d, "pptx")
   private def epubStage(d: String) = Stage.dir(d, "epub")
+  private def mixedStage(d: String) = Stage.dir(d, "mixed")
+
+  /** Stage the MIXED document directory: kept ids (≡ 0 mod 101) route
+    * by id%3 to .docx / .pptx / .epub (the three OPC prose containers,
+    * reusing their byte builders), PLUS two poison plants the front
+    * door must drop — a corrupt .docx (garbage bytes under a plausible
+    * name) and an unknown extension. Idempotent via marker. */
+  private def stageMixed(s: org.apache.spark.sql.SparkSession, dataDir: String): String = {
+    val dir = mixedStage(dataDir)
+    val d = new java.io.File(dir)
+    val marker = new java.io.File(d, "_STAGED_MIXED_V1")
+    if (!marker.exists()) {
+      d.mkdirs()
+      import s.implicits._
+      val ids = Tables.documents(s, dataDir)
+        .select(col("doc_id")).filter(col("doc_id") % 101 === 0)
+        .as[Long].collect().sorted
+      ids.foreach { id =>
+        val (ext, bytes) = (id % 3) match {
+          case 0 => ("docx", graft.sources.DocxSource.docxBytes(id))
+          case 1 => ("pptx", graft.sources.PptxSource.pptxBytes(id))
+          case _ => ("epub", graft.sources.EpubSource.epubBytes(id))
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$dir/doc$id.$ext"), bytes)
+      }
+      // Poison plants: ids no oracle counts — a parser that "succeeds"
+      // on either ADDS a row and breaks the format counts.
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/doc777777777.docx"),
+        Array[Byte](0x50, 0x4b, 3, 4, 9, 9, 9))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/doc888888888.xyz"),
+        "not a container".getBytes("UTF-8"))
+      marker.createNewFile(): Unit
+    }
+    dir
+  }
+
+  /** The mixed-corpus FRONT DOOR: one directory, extension dispatch to
+    * the per-format extractor, unified (doc_id, format, text) rows.
+    * Epub rows come back as raw XHTML and take the codegen'd
+    * htmlToText strip; unknown extensions and refused parses drop
+    * (parse-as-filter — the quarantine path of a real ingest tier). */
+  private[graft] def mixedExtractRows(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val raw = graft.sources.FileSources.readWholeFilesBytes(s,
+        new java.io.File(dir).listFiles()
+          .filter(f => f.isFile && f.getName.startsWith("doc"))
+          .map(_.getPath).sorted.toSeq)
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (path, bytes) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        val stem = name.substring(0, name.lastIndexOf('.'))
+        val id = stem.stripPrefix("doc").toLong
+        name.substring(name.lastIndexOf('.') + 1) match {
+          case "docx" =>
+            graft.sources.DocxSource.extractDocx(name, bytes)
+              .map { case (t, _) => (id, "docx", t) }
+          case "pptx" =>
+            graft.sources.PptxSource.extractPptx(name, bytes)
+              .map { case (t, _, _) => (id, "pptx", t) }
+          case "epub" =>
+            graft.sources.EpubSource.extractEpub(name, bytes)
+              .map(chs => (id, "epub", chs.map(_._3).mkString("\n")))
+          case _ => None // unknown format: quarantine, never guessed
+        }
+      })
+      .toDF("doc_id", "format", "raw")
+    val epub = TextAnalysis.htmlToText(
+      raw.filter(col("format") === "epub"), "raw", "text")
+    raw.filter(col("format") =!= "epub")
+      .withColumnRenamed("raw", "text")
+      .unionByName(epub.select("doc_id", "format", "text"))
+  }
 
   /** The shared documents-projection audit (the closed-form-roundtrip
     * discipline): per-lang counts, char sums, distinct sources, and a
@@ -688,6 +764,26 @@ object SourceQueries extends QueryPack {
             col("doc_id"), md5(col("text"))))).as("text_checksum"))
         .orderBy("bucket")),
 
+    // The mixed-corpus FRONT DOOR — what an ingest tier actually faces:
+    // ONE directory of mixed .docx/.pptx/.epub files (id%3 routing over
+    // the kept ids, reusing the three OPC fixtures' byte builders),
+    // dispatched by extension to the per-format extractor into a
+    // unified (doc_id, format, text) frame — proving the extractors
+    // COMPOSE into one pipeline, not just pass isolated gates. Two
+    // poison plants must vanish through the parse-as-filter contract:
+    // a corrupt .docx under a plausible name and an unknown extension
+    // (a parser that "succeeds" on either adds a row and breaks the
+    // per-format counts). The oracle rebuilds each format's prose
+    // model closed-form and unions them under the same id routing.
+    "pipeline_mixed_extract" -> ((s, d) =>
+      mixedExtractRows(s, stageMixed(s, d))
+        .groupBy("format")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("char_sum"),
+          sum(graft.functions.PortableHash.h60p(concat_ws(":",
+            col("doc_id"), md5(col("text"))))).as("text_checksum"))
+        .orderBy("format")),
+
     // EPUB chapter extraction — the BOOK corpus container: the full
     // OCF three-hop indirection (META-INF/container.xml → the OPF
     // package → manifest hrefs + THE SPINE as reading order) walked
@@ -1103,6 +1199,38 @@ object SourceQueries extends QueryPack {
                  CAST(SUM(${graft.functions.PortableHash.h60pSql(
                    "id || ':' || md5(text)")}) AS BIGINT) AS text_checksum
           FROM t GROUP BY source ORDER BY source""",
+    // Each format's prose model rebuilt closed-form under the same
+    // id%3 routing; the poison plants appear in NO branch — a parser
+    // that passed them would break a format's count.
+    "pipeline_mixed_extract" ->
+      s"""WITH d AS (SELECT doc_id AS id FROM documents WHERE doc_id % 101 = 0),
+            dx AS (SELECT id, 'docx' AS format,
+                     'Title bold ' || (id % 7) || ' tail.' || chr(10) ||
+                     'Amp & lt < café h-' || (id % 5) || '.' || chr(10) ||
+                     'A' || (id % 5) || chr(9) || 'B' || (id % 3) || chr(10) ||
+                       'C' || (id % 9) || chr(10) ||
+                     'Page ' || (id % 4) || chr(10) ||
+                     'Kept ' || (id % 6) || '.' || chr(10) ||
+                     'Cell ' || (id % 8) AS text
+                   FROM d WHERE id % 3 = 0),
+            pp AS (SELECT id, 'pptx' AS format,
+                     'Deck ' || (id % 9) || ': bold ' || (id % 7) || chr(10) ||
+                     'Intro ' || (id % 5) || '.' || chr(10) ||
+                     'Amp & café ' || (id % 4) || chr(10) ||
+                       'line ' || (id % 3) || chr(10) ||
+                     'Closing ' || (id % 6) || '.' AS text
+                   FROM d WHERE id % 3 = 1),
+            ep AS (SELECT id, 'epub' AS format,
+                     'Chap 7 alpha ' || (id % 9) || ' & beta. Line ' || (id % 5) || ' <end>.' ||
+                     ' Chap 3 alpha ' || (id % 9) || ' & beta. Line ' || (id % 5) || ' <end>.' ||
+                     ' Chap 1 alpha ' || (id % 9) || ' & beta. Line ' || (id % 5) || ' <end>.' AS text
+                   FROM d WHERE id % 3 = 2),
+            u AS (SELECT * FROM dx UNION ALL SELECT * FROM pp UNION ALL SELECT * FROM ep)
+          SELECT format, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(length(text)) AS BIGINT) AS char_sum,
+                 CAST(SUM(${graft.functions.PortableHash.h60pSql(
+                   "id || ':' || md5(text)")}) AS BIGINT) AS text_checksum
+          FROM u GROUP BY 1 ORDER BY format""",
     // Chapter text rebuilt closed-form (EpubSource.chapterExpected,
     // chapters in SPINE order with their content tags) — the oracle
     // never sees an epub byte.
