@@ -73,21 +73,37 @@ object EpubSource {
   }
 
   /** The spine-ordered chapter list of one EPUB blob:
-    * (chap_idx, href, xhtml string), or None on malformation. */
+    * (chap_idx, href, xhtml string), or None on malformation.
+    *
+    * Two ZIP walks, not one: the chapter hrefs are unknown until the
+    * OPF is read, and retaining EVERY member's payload on the first
+    * pass would hold the decompressed archive in memory beside the
+    * blob. Pass 1 retains only container.xml; pass 2 retains the OPF
+    * and exactly the spine's files (both walks are the same verified
+    * central-directory scan). */
   def extractEpub(fileName: String, bytes: Array[Byte]): Option[Vector[(Int, String, String)]] = {
-    val (members, clean) = ZipSource.parseZipRetain(fileName, bytes, _ => true)
-    if (!clean) return None
-    val byName = members.map { case (e, p) => e.name -> p }.toMap
     def utf8(p: Array[Byte]) = new String(p, java.nio.charset.StandardCharsets.UTF_8)
     // Hop 1: container.xml → the OPF path.
-    val container = byName.getOrElse(ContainerPath, return None)
+    val (pass1, clean1) = ZipSource.parseZipRetain(fileName, bytes, _ == ContainerPath)
+    if (!clean1) return None
+    val container = pass1
+      .collectFirst { case (e, p) if e.name == ContainerPath && p != null => p }
+      .getOrElse(return None)
     val opfPath = tagsOf(utf8(container), "rootfile").headOption
       .flatMap(attr(_, "full-path")).getOrElse(return None)
-    val opf = byName.getOrElse(opfPath, return None)
     val opfDir = opfPath.lastIndexOf('/') match {
       case -1 => ""
       case k => opfPath.substring(0, k + 1)
     }
+    // Pass 2: the OPF plus everything under its directory (a superset
+    // of the spine files, still excluding images/fonts elsewhere only
+    // when the package nests them — chapter payloads are what we need
+    // and hrefs resolve under opfDir).
+    val (members, clean) = ZipSource.parseZipRetain(fileName, bytes,
+      n => n == opfPath || n.startsWith(opfDir))
+    if (!clean) return None
+    val byName = members.collect { case (e, p) if p != null => e.name -> p }.toMap
+    val opf = byName.getOrElse(opfPath, return None)
     val opfXml = utf8(opf)
     // Hop 2: manifest id → (href, media-type).
     val items = tagsOf(opfXml, "item").flatMap { t =>
