@@ -352,7 +352,17 @@ object MaintenanceQueries extends QueryPack {
     * version 0's files are physically deleted while the log keeps the
     * full history. Idempotent (vacuum skips already-deleted files). */
   private[graft] def stageTxVacuum(s: SparkSession, d: String): String = {
-    val dir = graft.Stage.dir(d, "txvacuum")
+    val dir = stageSmallFileTable(s, d, "txvacuum")
+    graft.sources.TxLog.vacuum(dir, retainFrom = 1)
+    dir
+  }
+
+  /** ONE staging recipe for both lifecycle gates: version 0 = the
+    * orders projection as 8 small files (the small-file pathology),
+    * version 1 = the same rows coalesced to 2 files as an overwrite.
+    * Idempotent per missing version ([[stageTxTable]]'s resume rule). */
+  private def stageSmallFileTable(s: SparkSession, d: String, kind: String): String = {
+    val dir = graft.Stage.dir(d, kind)
     val existing =
       try graft.sources.TxLog.latestVersion(dir)
       catch { case _: IllegalStateException => -1L }
@@ -369,7 +379,6 @@ object MaintenanceQueries extends QueryPack {
       graft.sources.TxLog.commit(dir, 1, "overwrite",
         graft.sources.TxLog.writeData(compacted, dir, 1), removes = f0)
     }
-    graft.sources.TxLog.vacuum(dir, retainFrom = 1)
     dir
   }
 
@@ -377,30 +386,13 @@ object MaintenanceQueries extends QueryPack {
     * REPARTITIONED to 8 small files (the small-file pathology), version
     * 1 = the same rows coalesced to 2 files, committed as an overwrite.
     * Idempotent per missing version, as [[stageTxTable]]. */
-  private[graft] def stageTxCompact(s: SparkSession, d: String): String = {
-    val dir = graft.Stage.dir(d, "txcompact")
-    val existing =
-      try graft.sources.TxLog.latestVersion(dir)
-      catch { case _: IllegalStateException => -1L }
-    if (existing < 0) {
-      val o = Tables.orders(s, d).select(
-        col("o_orderkey").as("key"), col("o_orderpriority").as("pri"),
-        col("o_totalprice").as("price")).repartition(8)
-      graft.sources.TxLog.commit(dir, 0, "append",
-        graft.sources.TxLog.writeData(o, dir, 0))
-    }
-    if (existing < 1) {
-      val f0 = graft.sources.TxLog.activeFiles(dir, 0)
-      val compacted = graft.sources.TxLog.readAsOf(s, dir, 0).coalesce(2)
-      graft.sources.TxLog.commit(dir, 1, "overwrite",
-        graft.sources.TxLog.writeData(compacted, dir, 1), removes = f0)
-    }
-    dir
-  }
+  private[graft] def stageTxCompact(s: SparkSession, d: String): String =
+    stageSmallFileTable(s, d, "txcompact")
 
   /** Stage the two-commit transaction-log table under the data dir's
     * stage root (idempotent: a log head ≥ 1 means both commits exist —
-    * commit files appear only via ATOMIC_MOVE, so a half-staged table
+    * commit files appear only via the atomic link publication, so a
+    * half-staged table
     * is impossible to observe). Returns the table dir. */
   private[graft] def stageTxTable(s: SparkSession, d: String): String = {
     val dir = graft.Stage.dir(d, "txlog")

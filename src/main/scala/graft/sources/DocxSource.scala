@@ -130,14 +130,16 @@ object DocxSource {
         done = true
       } else if (xml.startsWith("<w:p>", i) || xml.startsWith("<w:p ", i) ||
                  xml.startsWith("<w:p/>", i)) {
-        if (xml.startsWith("<w:p/>", i)) { i += 6 } // empty paragraph: drops
+        val gt = xml.indexOf('>', i)
+        if (gt < 0) return None
+        if (xml.charAt(gt - 1) == '/') { i = gt + 1 } // self-closed empty
+        // paragraph — Word routinely writes `<w:p w:rsidR="…"/>`, not
+        // just the bare `<w:p/>`: spacing-only, drops.
         else {
           if (inPara) return None // w:p does not nest directly
           inPara = true
           cur.clear()
-          i = xml.indexOf('>', i)
-          if (i < 0) return None
-          i += 1
+          i = gt + 1
         }
       } else if (xml.startsWith("</w:p>", i)) {
         if (!inPara) return None
@@ -148,12 +150,16 @@ object DocxSource {
       } else if (inPara && (xml.startsWith("<w:t>", i) || xml.startsWith("<w:t ", i))) {
         val gt = xml.indexOf('>', i)
         if (gt < 0) return None
-        val preserve = xml.substring(i, gt).contains("xml:space=\"preserve\"")
-        textTo(xml, gt + 1, "</w:t>") match {
-          case Some((t, j)) =>
-            cur ++= (if (preserve) t else t.trim)
-            i = j
-          case None => return None
+        if (xml.charAt(gt - 1) == '/') { i = gt + 1 } // self-closed <w:t/>
+        // (with or without attributes): an empty run, contributes nothing.
+        else {
+          val preserve = xml.substring(i, gt).contains("xml:space=\"preserve\"")
+          textTo(xml, gt + 1, "</w:t>") match {
+            case Some((t, j)) =>
+              cur ++= (if (preserve) t else t.trim)
+              i = j
+            case None => return None
+          }
         }
       } else if (inPara && (xml.startsWith("<w:tab/>", i) || xml.startsWith("<w:tab ", i))) {
         cur += '\t'

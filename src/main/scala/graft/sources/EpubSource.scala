@@ -51,10 +51,30 @@ object EpubSource {
     }
   }
 
+  /** Strip XML comments; None when one never closes (a truncated
+    * package must REFUSE, not yield a partial chapter set). A
+    * commented-out `<itemref/>` in a real OPF is dead markup — without
+    * the strip it would count as a live spine entry. */
+  private def stripComments(xml: String): Option[String] = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < xml.length) {
+      val c = xml.indexOf("<!--", i)
+      if (c < 0) { sb ++= xml.substring(i); i = xml.length }
+      else {
+        sb ++= xml.substring(i, c)
+        val e = xml.indexOf("-->", c + 4)
+        if (e < 0) return None
+        i = e + 3
+      }
+    }
+    Some(sb.result())
+  }
+
   /** All tags named exactly `name` (self-closed or not) in document
-    * order. The boundary check matters: "<item" must not match
-    * "<itemref" (OPF has both). */
-  private def tagsOf(xml: String, name: String): Vector[String] = {
+    * order, or None on a truncated tag (no closing '>'). The boundary
+    * check matters: "<item" must not match "<itemref" (OPF has both). */
+  private def tagsOf(xml: String, name: String): Option[Vector[String]] = {
     val out = Vector.newBuilder[String]
     val open = s"<$name"
     var i = xml.indexOf(open)
@@ -65,64 +85,64 @@ object EpubSource {
         c == ' ' || c == '>' || c == '/' || c == '\t' || c == '\n'
       }
       val gt = xml.indexOf('>', i)
-      if (gt < 0) return out.result()
+      if (gt < 0) return None // truncated mid-tag: refuse, never partial
       if (boundary) out += xml.substring(i, gt + 1)
       i = xml.indexOf(open, gt)
     }
-    out.result()
+    Some(out.result())
   }
 
   /** The spine-ordered chapter list of one EPUB blob:
     * (chap_idx, href, xhtml string), or None on malformation.
     *
-    * Two ZIP walks, not one: the chapter hrefs are unknown until the
-    * OPF is read, and retaining EVERY member's payload on the first
-    * pass would hold the decompressed archive in memory beside the
-    * blob. Pass 1 retains only container.xml; pass 2 retains the OPF
-    * and exactly the spine's files (both walks are the same verified
-    * central-directory scan). */
+    * Three ZIP walks, not one: the chapter hrefs are unknown until the
+    * OPF is read, and retaining EVERY member's payload on one pass
+    * would hold the decompressed archive (images and fonts included)
+    * in memory beside the blob. Pass 1 retains only container.xml,
+    * pass 2 only the OPF, pass 3 exactly the spine's XHTML files —
+    * all three are the same verified central-directory scan. */
   def extractEpub(fileName: String, bytes: Array[Byte]): Option[Vector[(Int, String, String)]] = {
     def utf8(p: Array[Byte]) = new String(p, java.nio.charset.StandardCharsets.UTF_8)
+    def member(keep: String => Boolean): Option[Map[String, Array[Byte]]] = {
+      val (ms, clean) = ZipSource.parseZipRetain(fileName, bytes, keep)
+      if (!clean) None
+      else Some(ms.collect { case (e, p) if p != null => e.name -> p }.toMap)
+    }
     // Hop 1: container.xml → the OPF path.
-    val (pass1, clean1) = ZipSource.parseZipRetain(fileName, bytes, _ == ContainerPath)
-    if (!clean1) return None
-    val container = pass1
-      .collectFirst { case (e, p) if e.name == ContainerPath && p != null => p }
-      .getOrElse(return None)
-    val opfPath = tagsOf(utf8(container), "rootfile").headOption
-      .flatMap(attr(_, "full-path")).getOrElse(return None)
+    val pass1 = member(_ == ContainerPath).getOrElse(return None)
+    val container = stripComments(utf8(
+      pass1.getOrElse(ContainerPath, return None))).getOrElse(return None)
+    val opfPath = tagsOf(container, "rootfile").getOrElse(return None)
+      .headOption.flatMap(attr(_, "full-path")).getOrElse(return None)
     val opfDir = opfPath.lastIndexOf('/') match {
       case -1 => ""
       case k => opfPath.substring(0, k + 1)
     }
-    // Pass 2: the OPF plus everything under its directory (a superset
-    // of the spine files, still excluding images/fonts elsewhere only
-    // when the package nests them — chapter payloads are what we need
-    // and hrefs resolve under opfDir).
-    val (members, clean) = ZipSource.parseZipRetain(fileName, bytes,
-      n => n == opfPath || n.startsWith(opfDir))
-    if (!clean) return None
-    val byName = members.collect { case (e, p) if p != null => e.name -> p }.toMap
-    val opf = byName.getOrElse(opfPath, return None)
-    val opfXml = utf8(opf)
-    // Hop 2: manifest id → (href, media-type).
-    val items = tagsOf(opfXml, "item").flatMap { t =>
+    // Hop 2: manifest id → (href, media-type), spine = the reading order.
+    val pass2 = member(_ == opfPath).getOrElse(return None)
+    val opfXml = stripComments(utf8(
+      pass2.getOrElse(opfPath, return None))).getOrElse(return None)
+    val items = tagsOf(opfXml, "item").getOrElse(return None).flatMap { t =>
       for (id <- attr(t, "id"); href <- attr(t, "href"))
         yield id -> (href, attr(t, "media-type").getOrElse(""))
     }.toMap
-    // Hop 3: the spine IS the reading order.
-    val spine = tagsOf(opfXml, "itemref").map(attr(_, "idref"))
+    val spine = tagsOf(opfXml, "itemref").getOrElse(return None).map(attr(_, "idref"))
     if (spine.isEmpty) return None
-    val chapters = Vector.newBuilder[(Int, String, String)]
-    var idx = 0
+    // Resolve the spine to XHTML paths first; refuse dangling idrefs.
+    val paths = Vector.newBuilder[(String, String)] // (href, archive path)
     for (idrefOpt <- spine) {
       val idref = idrefOpt.getOrElse(return None)
       val (href, mime) = items.getOrElse(idref, return None) // dangling idref: refuse
-      if (mime == "application/xhtml+xml") {
-        val body = byName.getOrElse(opfDir + href, return None) // listed but absent: refuse
-        chapters += ((idx, href, utf8(body)))
-        idx += 1
-      }
+      if (mime == "application/xhtml+xml") paths += ((href, opfDir + href))
+    }
+    val resolved = paths.result()
+    val wanted = resolved.map(_._2).toSet
+    // Hop 3: retain exactly the spine's files.
+    val pass3 = member(wanted).getOrElse(return None)
+    val chapters = Vector.newBuilder[(Int, String, String)]
+    resolved.zipWithIndex.foreach { case ((href, path), idx) =>
+      val body = pass3.getOrElse(path, return None) // listed but absent: refuse
+      chapters += ((idx, href, utf8(body)))
     }
     Some(chapters.result())
   }

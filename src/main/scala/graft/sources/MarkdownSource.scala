@@ -27,6 +27,11 @@ import org.apache.spark.sql.functions.col
   */
 object MarkdownSource {
 
+  // Hoisted: extractMd runs per LINE on a corpus-linear path — compiling
+  // these patterns inside the loop would rebuild them millions of times.
+  private val CodeSpanRe = "`([^`]+)`".r
+  private val MaskRe = "\u0000(\\d+)\u0000".r
+
   /** (prose text, n_fences, code_chars) for one markdown document. */
   def extractMd(md: String): (String, Int, Long) = {
     val lines = md.split("\n", -1)
@@ -46,20 +51,28 @@ object MarkdownSource {
         // emphasis/links) — a span containing `*args` or `[i]` must
         // come through literally, not be mangled by the emphasis/link
         // rewrites (round-18 ADVICE).
-        val codes = scala.collection.mutable.ArrayBuffer.empty[String]
-        val masked = "`([^`]+)`".r.replaceAllIn(line.replace("\u0000", ""), m => {
-          codes += m.group(1)
-          "\u0000" + (codes.length - 1) + "\u0000"
-        })
+        // Fast path: no backtick means no span to mask — skip the
+        // mask/restore machinery (and its buffer) entirely.
+        val hasCode = line.indexOf('`') >= 0
+        val codes =
+          if (hasCode) scala.collection.mutable.ArrayBuffer.empty[String] else null
+        val masked =
+          if (hasCode)
+            CodeSpanRe.replaceAllIn(line.replace("\u0000", ""), m => {
+              codes += m.group(1)
+              "\u0000" + (codes.length - 1) + "\u0000"
+            })
+          else line
         val rewritten = masked
           .replaceAll("^#{1,6}\\s+", "")
           .replaceAll("!\\[([^\\]]*)\\]\\([^)]*\\)", "$1") // images first
           .replaceAll("\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
           .replaceAll("\\*\\*([^*]+)\\*\\*", "$1")
           .replaceAll("\\*([^*]+)\\*", "$1")
-        val t = "\u0000(\\d+)\u0000".r
-          .replaceAllIn(rewritten, m =>
-            scala.util.matching.Regex.quoteReplacement(codes(m.group(1).toInt)))
+        val t = (if (hasCode)
+            MaskRe.replaceAllIn(rewritten, m =>
+              scala.util.matching.Regex.quoteReplacement(codes(m.group(1).toInt)))
+          else rewritten)
           .replaceAll("\\s+", " ").trim
         if (t.nonEmpty) prose += t
       }

@@ -83,12 +83,17 @@ object PptxSource {
         if (e < 0) return None
         i = e + 2
       } else if (xml.startsWith("<a:p>", i) || xml.startsWith("<a:p ", i)) {
-        if (inPara) return None
-        inPara = true
-        cur.clear()
-        i = xml.indexOf('>', i)
-        if (i < 0) return None
-        i += 1
+        val gt = xml.indexOf('>', i)
+        if (gt < 0) return None
+        if (xml.charAt(gt - 1) == '/') { i = gt + 1 } // attributed `<a:p …/>`:
+        // a self-closed empty paragraph, drops (the bare `<a:p/>` falls to
+        // the generic skip below).
+        else {
+          if (inPara) return None
+          inPara = true
+          cur.clear()
+          i = gt + 1
+        }
       } else if (xml.startsWith("</a:p>", i)) {
         if (!inPara) return None
         inPara = false
@@ -103,7 +108,8 @@ object PptxSource {
       } else if (inPara && (xml.startsWith("<a:t>", i) || xml.startsWith("<a:t ", i))) {
         val gt = xml.indexOf('>', i)
         if (gt < 0) return None
-        DocxSource.textTo(xml, gt + 1, "</a:t>") match {
+        if (xml.charAt(gt - 1) == '/') { i = gt + 1 } // self-closed empty run
+        else DocxSource.textTo(xml, gt + 1, "</a:t>") match {
           case Some((t, j)) => cur ++= t; i = j
           case None => return None
         }

@@ -27,7 +27,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * The invariants that make this a TABLE format rather than a directory
   * of files:
   *  - **Atomic visibility**: a commit is written to a temp name and
-  *    ATOMIC_MOVE'd into place; a version file either exists complete
+  *    atomically hard-LINKED into place (link(2) fails EEXIST atomically
+  *    where rename silently replaces); a version file either exists complete
   *    or not at all, and committing an already-taken version REFUSES
   *    (optimistic concurrency — the loser must re-resolve and retry).
   *  - **Torn-commit refusal**: the trailer line carries the action
@@ -63,7 +64,7 @@ object TxLog {
                     adds: Seq[String], removes: Seq[String])
 
   /** Write commit `version`: `adds`/`removes` are table-relative parquet
-    * paths. Atomic (temp file + ATOMIC_MOVE); REFUSES if the version
+    * paths. Atomic (temp file + createLink); REFUSES if the version
     * already exists — the optimistic-concurrency loser must reread the
     * log, re-resolve and retry with the next version. Returns the
     * version written. */
@@ -88,15 +89,18 @@ object TxLog {
     sb ++= s"""{"commit":{"version":$version,"operation":"$operation","n_actions":${adds.size + removes.size}}}""" += '\n'
     val tmp = java.nio.file.Files.createTempFile(ld.toPath, s".tmp-$version-", ".json")
     java.nio.file.Files.write(tmp, sb.result().getBytes("UTF-8"))
+    // createLink, NOT move: POSIX rename(2) silently REPLACES an
+    // existing target (ATOMIC_MOVE included), so a move-based commit
+    // would let the loser of a version race overwrite the winner's
+    // commit file. link(2) fails with EEXIST atomically — the claim
+    // and the publication are one filesystem operation.
     try
-      java.nio.file.Files.move(tmp, target.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.Files.createLink(target.toPath, tmp)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
-        java.nio.file.Files.deleteIfExists(tmp)
         throw new IllegalStateException(
           s"version $version already committed (lost the race)", e)
-    }
+    } finally java.nio.file.Files.deleteIfExists(tmp)
     version
   }
 

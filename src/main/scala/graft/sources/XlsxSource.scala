@@ -110,6 +110,13 @@ object XlsxSource {
     if (i < 0) return None
     val end = xml.indexOf("</sheetData>", i)
     if (end < 0) return None
+    // Cells WITHOUT attributes (`<c>…`) are legal SpreadsheetML — the
+    // r reference is optional (§18.3.1.4) and position then inherits
+    // from document order. Positional inheritance is out of scope, so
+    // such a workbook REFUSES loudly instead of silently dropping its
+    // r-less cells (the parse-as-filter contract: refuse, never garble).
+    val bare = xml.indexOf("<c>", i)
+    if (bare >= 0 && bare < end) return None
     i = xml.indexOf("<c ", i)
     while (i >= 0 && i < end) {
       val gt = xml.indexOf('>', i)

@@ -936,7 +936,7 @@ object EventStreams {
     * version = batchId. This is the production exactly-once pattern
     * (what Delta's streaming sink does): on failure-replay of a batch,
     * the version is already committed and the write SKIPS — TxLog's
-    * atomic-rename commit makes the check race-free, so the table can
+    * atomic hard-link commit makes the check race-free, so the table can
     * never hold a batch's rows twice. Two real micro-batches
     * (maxFilesPerTrigger=1 over two staged files with forced mtime
     * order); returns the table dir for log-replayed reads — the gate
@@ -987,7 +987,8 @@ object EventStreams {
       .parquet(srcDir)
       .writeStream
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        // Idempotent replay: a version file appears only via ATOMIC_MOVE,
+        // Idempotent replay: a version file appears only via an atomic
+        // link(2) publication,
         // so existence == that batch is fully committed — skip, exactly
         // once. (A concurrent loser of the rename race would throw out
         // of commit(), failing the query loudly rather than double-

@@ -63,6 +63,15 @@ class DocxSourceSpec extends AnyFunSuite {
              "<w:r><w:t>kept</w:t></w:r></w:p>") == "kept")
   }
 
+  test("attributed self-closing paragraphs and runs are empty, not malformed") {
+    // Word routinely writes `<w:p w:rsidR="…"/>` for spacing and
+    // `<w:t/>` for empty runs — both must drop silently, never refuse
+    // the document (round-19 review finding).
+    assert(t("<w:p w:rsidR=\"00A77B3E\" w:rsidRDefault=\"00A77B3E\"/>" +
+             "<w:p><w:r><w:t>kept</w:t></w:r></w:p>") == "kept")
+    assert(t("<w:p><w:r><w:t x=\"y\"/><w:t>a</w:t></w:r></w:p>") == "a")
+  }
+
   test("table-cell paragraphs are prose; empty paragraphs drop") {
     assert(t("<w:tbl><w:tr><w:tc><w:p><w:r><w:t>cell</w:t></w:r></w:p></w:tc>" +
              "</w:tr></w:tbl>") == "cell")

@@ -75,6 +75,34 @@ class EpubSourceSpec extends SparkSpec {
           |<spine><itemref idref="a"/></spine></package>""".stripMargin)).isEmpty)
   }
 
+  test("commented-out spine entries are dead markup; a truncated OPF refuses") {
+    def pkg(opf: String): Array[Byte] =
+      ZipSource.archive(Seq(
+        ZipSource.Member("META-INF/container.xml",
+          """<container><rootfiles><rootfile full-path="c.opf"/></rootfiles></container>"""
+            .getBytes("UTF-8"), deflate = false, descriptor = false,
+          localExtra = Array.emptyByteArray),
+        ZipSource.Member("c.opf", opf.getBytes("UTF-8"), deflate = false,
+          descriptor = false, localExtra = Array.emptyByteArray),
+        ZipSource.Member("ch.xhtml", "<html><body><p>x</p></body></html>"
+          .getBytes("UTF-8"), deflate = false, descriptor = false,
+          localExtra = Array.emptyByteArray)), comment = "")
+    // A commented-out itemref must NOT count as a live spine entry
+    // (it references no manifest item — counting it would refuse a
+    // valid book on a phantom dangling idref).
+    val commented = pkg(
+      """<package><manifest><item id="a" href="ch.xhtml" media-type="application/xhtml+xml"/></manifest>
+        |<spine><!-- <itemref idref="old"/> --><itemref idref="a"/></spine></package>""".stripMargin)
+    assert(extractEpub("c.epub", commented).get.map(_._2) == Vector("ch.xhtml"))
+    // An OPF truncated mid-tag must refuse, never return a partial
+    // chapter set; same for an unterminated comment.
+    assert(extractEpub("t.epub", pkg(
+      """<package><manifest><item id="a" href="ch.xhtml" media-type="application/xhtml+xml"/></manifest>
+        |<spine><itemref idref="a""".stripMargin)).isEmpty)
+    assert(extractEpub("u.epub", pkg(
+      """<package><!-- never closed <manifest/></package>""")).isEmpty)
+  }
+
   test("an OPF in a subdirectory resolves hrefs relative to itself") {
     // The fixture already uses OEBPS/; pin the root-level variant too.
     val flat = ZipSource.archive(Seq(

@@ -43,6 +43,12 @@ class PptxSourceSpec extends AnyFunSuite {
     assert(p("<a:p></a:p>").get == Vector.empty)
   }
 
+  test("attributed self-closing paragraphs and runs are empty, not malformed") {
+    assert(p("<a:p marL=\"0\"/><a:p><a:r><a:t>kept</a:t></a:r></a:p>")
+      .get == Vector("kept"))
+    assert(p("<a:p><a:r><a:t x=\"y\"/><a:t>a</a:t></a:r></a:p>").get == Vector("a"))
+  }
+
   test("malformations refuse: unterminated t/fld, open paragraph, corrupt zip, no slides") {
     assert(p("<a:p><a:r><a:t>open forever").isEmpty)
     assert(p("<a:p><a:fld><a:t>1</a:t>").isEmpty)

@@ -87,8 +87,16 @@ class TxLogSpec extends SparkSpec {
     import spark.implicits._
     val files = TxLog.writeData(Seq((1L, "a")).toDF("k", "s"), dir, 0)
     TxLog.commit(dir, 0, "append", files)
-    // Same version again: the optimistic-concurrency loser must refuse.
+    // Same version again: the optimistic-concurrency loser must refuse —
+    // AND the winner's commit file must be byte-identical afterwards
+    // (the link(2) publication cannot replace; a rename-based commit
+    // silently would — round-19 review finding).
+    val before = java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "_log/" + f"${0L}%020d" + ".json").toPath)
     intercept[IllegalStateException] { TxLog.commit(dir, 0, "append", files) }
+    val after = java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "_log/" + f"${0L}%020d" + ".json").toPath)
+    assert(java.util.Arrays.equals(before, after), "commit file was replaced")
     // Reading past the head must refuse, not serve the older snapshot.
     intercept[IllegalStateException] { TxLog.activeFiles(dir, 1) }
     // A gap (commit 2 without 1) breaks the replay for asOf ≥ 1.

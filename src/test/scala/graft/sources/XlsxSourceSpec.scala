@@ -89,6 +89,11 @@ class XlsxSourceSpec extends AnyFunSuite {
     assert(parseSharedStrings("<sst><si><t>open forever").isEmpty)
   }
 
+  test("r-less cells (positional inheritance) refuse loudly, never skip silently") {
+    assert(parseSheet(sheetOf("""<row r="1"><c><v>5</v></c></row>"""),
+      Vector.empty).isEmpty)
+  }
+
   test("a workbook with no sharedStrings member is legal until a t=\"s\" cell needs one") {
     val noShared = ZipSource.archive(Seq(
       ZipSource.Member("[Content_Types].xml", "<Types/>".getBytes("UTF-8"),
