@@ -42,10 +42,26 @@ object Bench {
 
     val warmDir = "/root/testdata/sf0.001"
     val warmed = new java.io.File(warmDir).isDirectory && warmDir != sfDir
-    if (warmed)
+    if (warmed) {
       selected.values.foreach { fn =>
         try fn(spark, warmDir).count() catch { case _: Throwable => }
       }
+      // Drop the warm-up pass's SESSION STATE before the timed battery
+      // (round-19 verdict #1b): ~90 checkpoint/persist sites lazily
+      // localCheckpoint shared frames, so the warm-up leaves warmDir-keyed
+      // RDD blocks riding the block manager — memory pressure the timed
+      // sfDir queries then pay for. CLEAR CACHE drops SQL-cached plans;
+      // evictDir drops + unpersists every registered derived-frame cache
+      // entry for warmDir; the persistent-RDD sweep frees any block the
+      // caches no longer reference (at this point only warm-up blocks
+      // exist — the timed battery hasn't started). JIT/codegen warmth —
+      // the thing the warm-up is FOR — lives in the JVM, not the block
+      // manager, and survives all three.
+      try spark.sql("CLEAR CACHE") catch { case _: Throwable => }
+      Tables.evictDir(spark, warmDir)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(r => try r.unpersist(blocking = false) catch { case _: Throwable => })
+    }
 
     // Machine-load stamp (round-8 post-mortem: BENCH_r08 recorded 3.13×
     // from a loaded box while the binaries measured 0.88× quiet — the
@@ -87,6 +103,22 @@ object Bench {
     // naming convention; stream_bloom_dedup and stream_dedup_first are
     // BATCH executions of stateful operators and stay in the batch side.
     def isLive(name: String) = name.endsWith("_live") || name == "stream_running_tws"
+    // Session-degradation canary (round-19 verdict #1a): BENCH_r19
+    // recorded wordcount at 4.92 s on the driver's box vs 0.117 s on the
+    // same binaries hours later — a SUSTAINED degradation the >5×-median
+    // re-time cannot rescue (the re-run draws the same poison). The
+    // defense that works is evidence: time one fixed cheap query before
+    // AND after the battery and stamp both values plus their ratio on the
+    // artifact. A healthy session reads canary ~0.1 s both ends
+    // (drift ≈ 1); a poisoned one self-identifies the way loadavg stamps
+    // made loaded boxes self-identifying since round 9. Best-of-2 so one
+    // stray spike can't fake a drift.
+    val canaryName = "wordcount"
+    def canaryRun(): Double = selected.get(canaryName).map { fn =>
+      val a = timeOnce(fn)
+      if (a < 0) a else math.min(a, timeOnce(fn))
+    }.getOrElse(-1.0)
+    val canaryFirst = canaryRun()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val a = timeOnce(fn)
       var best =
@@ -112,6 +144,9 @@ object Bench {
       if (best >= 0) completed += best
       name -> best
     }
+    val canaryLast = canaryRun()
+    val canaryDrift =
+      if (canaryFirst > 0 && canaryLast > 0) canaryLast / canaryFirst else -1.0
     val loadEnd = loadavg()
     results.filter(_._2 < 0).foreach { case (n, _) =>
       System.err.println(s"[bench] $n FAILED") }
@@ -138,7 +173,8 @@ object Bench {
     val rtf = retimedFrom
       .map { case (k, v) => jkey(k) + ":" + fmt(v) }.mkString("{", ",", "}")
     val stamp =
-      s""","loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"warmed":$warmed,"retimed":$retimed,"retimed_from":$rtf"""
+      s""","loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"warmed":$warmed,"retimed":$retimed,"retimed_from":$rtf""" +
+      s""","canary_first":${fmt(canaryFirst)},"canary_last":${fmt(canaryLast)},"canary_drift":${fmt(canaryDrift)}"""
     // Batch-only split (round-18 verdict #6): the `*_live` gates are
     // real Structured Streaming micro-batch EXECUTIONS (session spin-up,
     // checkpoint IO, arrival scheduling) that the batch-SQL denominator
@@ -149,10 +185,15 @@ object Bench {
     // (vs_baseline); the live per-query costs stay in the queries map.
     val liveTotal = results.filter(r => r._2 >= 0 && isLive(r._1))
       .map(_._2).sum
-    val nLive = results.count(r => isLive(r._1))
+    // n_live counts only SUCCESSFUL live runs (mirroring the liveTotal
+    // filter) so the batch/live split can never report N live gates
+    // against an understated live_value; failures get their own count
+    // (round-19 ADVICE).
+    val nLive = results.count(r => r._2 >= 0 && isLive(r._1))
+    val nLiveFailed = results.count(r => r._2 < 0 && isLive(r._1))
     val batchTotal = total - liveTotal
     val split =
-      s""","batch_value":${fmt(batchTotal)},"live_value":${fmt(liveTotal)},"n_live":$nLive"""
+      s""","batch_value":${fmt(batchTotal)},"live_value":${fmt(liveTotal)},"n_live":$nLive,"n_live_failed":$nLiveFailed"""
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$split$stamp,"sf":"$sfDir"}"""
     // The per-query map is ~2 kB and can overflow a tail-window parse, so

@@ -94,6 +94,49 @@ object Tables {
       }
     }
 
+  // Registry of every (session, dir, name)-keyed derived-frame cache in
+  // the repo (this one plus the dedup/ANN index caches) so a caller can
+  // purge ONE dir's entries across all of them — the Bench post-warm-up
+  // purge (round-19 verdict #1b): without it, the warm-up pass's
+  // localCheckpoint/persist blocks ride the block manager through the
+  // timed battery.
+  private val registeredCaches =
+    new java.util.concurrent.CopyOnWriteArrayList[
+      java.util.concurrent.ConcurrentHashMap[(String, String, String), _]]()
+
+  private[graft] def registerCache[V](
+      m: java.util.concurrent.ConcurrentHashMap[(String, String, String), V])
+      : java.util.concurrent.ConcurrentHashMap[(String, String, String), V] = {
+    registeredCaches.add(m)
+    m
+  }
+  registerCache(relCache)
+
+  /** Evict every registered cache entry for (this session, `dir`) and
+    * unpersist any DataFrame value's blocks — the warm-up purge. Only
+    * the CALLING session's entries are touched (a sibling session's
+    * state is its own). Cheap: cache sizes are tens of entries. */
+  private[graft] def evictDir(spark: SparkSession, dir: String): Unit = {
+    val key = sessionKey(spark)
+    registeredCaches.forEach { m =>
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 == key && e.getKey._2 == dir) {
+          e.getValue match {
+            case df: DataFrame =>
+              // Frees the lazily-localCheckpointed blocks; safe because
+              // the entry is removed — nothing can reuse the truncated-
+              // lineage frame afterwards.
+              try df.unpersist(blocking = false) catch { case _: Throwable => }
+            case _ =>
+          }
+          it.remove()
+        }
+      }
+    }
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val key = sessionKey(spark)
     evictDead(relCache, key)

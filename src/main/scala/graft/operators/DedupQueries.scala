@@ -355,7 +355,8 @@ object DedupQueries extends QueryPack {
   // value is a lazily-checkpointed DataFrame: first action computes and
   // caches the RDD blocks; later queries over the same corpus reuse them.
   private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
+    Tables.registerCache(
+      new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]())
 
   /** MinHash LSH pairs with true Jaccard ≥ 0.7 (shared by dedup_minhash,
     * dedup_components, dedup_canonical and dedup_contamination — computed

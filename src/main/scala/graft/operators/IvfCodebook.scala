@@ -62,7 +62,8 @@ object IvfCodebook {
   private val FitVersion = 1
 
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
+    Tables.registerCache(
+      new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]())
 
   // Per-stage-path fit lock: two SESSIONS in one JVM racing their first
   // IVF query would both miss the per-session cache and write the same

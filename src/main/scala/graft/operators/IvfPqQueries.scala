@@ -73,7 +73,8 @@ object IvfPqQueries extends QueryPack {
   // once per (session, dir). At 100 TB this pair of columns IS the
   // stored index: 1 byte of cell id + M bytes of code per vector.
   private val codesCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
+    Tables.registerCache(
+      new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]())
 
   private[operators] def ivfpqCodes(s: SparkSession, d: String): DataFrame = {
     Tables.evictDead(codesCache, Tables.sessionKey(s))

@@ -65,7 +65,8 @@ object PqCodebook {
   private val FitVersion = 1
 
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
+    Tables.registerCache(
+      new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]())
   private val fitLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 

@@ -58,7 +58,8 @@ object PqQueries extends QueryPack {
   // The encoded corpus, built once per (session, dir) and shared by all
   // three gates: (vec_id, codes array<int>[M]) — the "PQ index".
   private val codesCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
+    Tables.registerCache(
+      new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]())
 
   /** Encode every vector against the staged codebook
     * ([[PqCodebook.encode]] documents the argmin shape). */

@@ -72,7 +72,8 @@ object SimilarityQueries extends QueryPack {
   // index cache; nprobe=1 consumers filter rk = 1 off the shared frame,
   // which also reuses its materialized blocks).
   private val assignCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
+    Tables.registerCache(
+      new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]())
 
   private[operators] def ivfScoredAssignment(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= 2,

@@ -99,6 +99,36 @@ object DocxSource {
     None // unterminated
   }
 
+  /** xml:space handling for an opening tag's attribute region
+    * (§17.3.3.31 / XML 1.0 §2.10): Some(true) = preserve edge
+    * whitespace, Some(false) = trim (attribute absent or explicit
+    * "default"), None = REFUSE — xml:space is present but unparsable
+    * (no '=', unterminated quote, or a value outside the two the XML
+    * spec allows). Either quote style is legal XML and real writers
+    * emit both; refusing the unparsable case keeps whitespace handling
+    * fail-loud instead of silently trimming significant edges.
+    * Shared with [[XlsxSource]] — one parser for the OPC family. */
+  private[sources] def spacePreserve(attrs: String): Option[Boolean] = {
+    val at = attrs.indexOf("xml:space")
+    if (at < 0) return Some(false)
+    var i = at + "xml:space".length
+    val n = attrs.length
+    while (i < n && Character.isWhitespace(attrs.charAt(i))) i += 1
+    if (i >= n || attrs.charAt(i) != '=') return None
+    i += 1
+    while (i < n && Character.isWhitespace(attrs.charAt(i))) i += 1
+    if (i >= n) return None
+    val q = attrs.charAt(i)
+    if (q != '"' && q != '\'') return None
+    val end = attrs.indexOf(q, i + 1)
+    if (end < 0) return None
+    attrs.substring(i + 1, end) match {
+      case "preserve" => Some(true)
+      case "default" => Some(false)
+      case _ => None
+    }
+  }
+
   /** Extract (prose text, n_paras) from WordprocessingML bytes, or
     * None on malformation. See the object doc for the rules. */
   private[graft] def extractDocumentXml(xml: String): Option[(String, Int)] = {
@@ -152,14 +182,15 @@ object DocxSource {
         if (gt < 0) return None
         if (xml.charAt(gt - 1) == '/') { i = gt + 1 } // self-closed <w:t/>
         // (with or without attributes): an empty run, contributes nothing.
-        else {
-          val preserve = xml.substring(i, gt).contains("xml:space=\"preserve\"")
-          textTo(xml, gt + 1, "</w:t>") match {
-            case Some((t, j)) =>
-              cur ++= (if (preserve) t else t.trim)
-              i = j
-            case None => return None
-          }
+        else spacePreserve(xml.substring(i, gt)) match {
+          case None => return None // xml:space present but unparsable
+          case Some(preserve) =>
+            textTo(xml, gt + 1, "</w:t>") match {
+              case Some((t, j)) =>
+                cur ++= (if (preserve) t else t.trim)
+                i = j
+              case None => return None
+            }
         }
       } else if (inPara && (xml.startsWith("<w:tab/>", i) || xml.startsWith("<w:tab ", i))) {
         cur += '\t'
@@ -169,18 +200,24 @@ object DocxSource {
         cur += '\n'
         i = xml.indexOf('>', i) + 1
       } else if (xml.startsWith("<w:instrText", i)) {
-        // Field instruction code — configuration, never prose.
+        // Field instruction code — configuration, never prose. The
+        // self-closed form (legal, occasionally emitted) is an empty
+        // instruction: skip the tag, contribute nothing — scanning for
+        // the close tag would refuse the whole valid document.
         val gt = xml.indexOf('>', i)
         if (gt < 0) return None
-        textTo(xml, gt + 1, "</w:instrText>") match {
+        if (xml.charAt(gt - 1) == '/') i = gt + 1
+        else textTo(xml, gt + 1, "</w:instrText>") match {
           case Some((_, j)) => i = j
           case None => return None
         }
       } else if (xml.startsWith("<w:delText", i)) {
         // Tracked-change deleted text — REMOVED content, never prose.
+        // Self-closed = an empty deletion: skip, contribute nothing.
         val gt = xml.indexOf('>', i)
         if (gt < 0) return None
-        textTo(xml, gt + 1, "</w:delText>") match {
+        if (xml.charAt(gt - 1) == '/') i = gt + 1
+        else textTo(xml, gt + 1, "</w:delText>") match {
           case Some((_, j)) => i = j
           case None => return None
         }

@@ -113,9 +113,22 @@ object PptxSource {
           case Some((t, j)) => cur ++= t; i = j
           case None => return None
         }
-      } else if (inPara && xml.startsWith("<a:br/>", i)) {
+      } else if (inPara && xml.startsWith("<a:br", i) && i + 5 < xml.length &&
+                 (xml.charAt(i + 5) == '/' || xml.charAt(i + 5) == '>' ||
+                  Character.isWhitespace(xml.charAt(i + 5)))) {
+        // Line break, ALL the forms real PowerPoint emits: self-closed
+        // `<a:br/>`, attributed self-closed `<a:br .../>`, and the open
+        // form `<a:br><a:rPr .../></a:br>` (children are run formatting,
+        // never prose). The boundary check keeps `<a:brX…>` out.
         cur += '\n'
-        i += 7
+        val gt = xml.indexOf('>', i)
+        if (gt < 0) return None
+        if (xml.charAt(gt - 1) == '/') i = gt + 1
+        else {
+          val e = xml.indexOf("</a:br>", gt)
+          if (e < 0) return None
+          i = e + 7
+        }
       } else {
         val gt = xml.indexOf('>', i)
         if (gt < 0) return None

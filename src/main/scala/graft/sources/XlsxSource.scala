@@ -86,12 +86,13 @@ object XlsxSource {
           val gt = xml.indexOf('>', t)
           if (gt < 0 || gt >= end) bad = true
           else if (xml.charAt(gt - 1) == '/') j = gt + 1 // <t/>: empty run
-          else {
-            val preserve = xml.substring(t, gt).contains("xml:space=\"preserve\"")
-            DocxSource.textTo(xml, gt + 1, "</t>") match {
-              case Some((s, k)) => sb ++= (if (preserve) s else s.trim); j = k
-              case None => bad = true
-            }
+          else DocxSource.spacePreserve(xml.substring(t, gt)) match {
+            case None => bad = true // xml:space present but unparsable
+            case Some(preserve) =>
+              DocxSource.textTo(xml, gt + 1, "</t>") match {
+                case Some((s, k)) => sb ++= (if (preserve) s else s.trim); j = k
+                case None => bad = true
+              }
           }
         }
       }
@@ -160,11 +161,11 @@ object XlsxSource {
               else {
                 val tgt = body.indexOf('>', tAt)
                 if (tgt < 0) None
-                else {
-                  val preserve = body.substring(tAt, tgt).contains("xml:space=\"preserve\"")
-                  DocxSource.textTo(body, tgt + 1, "</t>")
-                    .map { case (s, _) =>
-                      Cell(row, col, refStr, "text", if (preserve) s else s.trim) }
+                else DocxSource.spacePreserve(body.substring(tAt, tgt)).flatMap {
+                  preserve =>
+                    DocxSource.textTo(body, tgt + 1, "</t>")
+                      .map { case (s, _) =>
+                        Cell(row, col, refStr, "text", if (preserve) s else s.trim) }
                 }
               }
             }

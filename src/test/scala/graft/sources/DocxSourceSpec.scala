@@ -41,6 +41,18 @@ class DocxSourceSpec extends AnyFunSuite {
     assert(t("<w:p><w:r><w:t xml:space=\"preserve\">  x  </w:t></w:r></w:p>") == "  x  ")
   }
 
+  test("xml:space accepts either quote style and spaced '='; refuses unparsable") {
+    // Single quotes are legal XML and real writers emit them — a
+    // double-quote-only match would silently trim significant edges.
+    assert(t("<w:p><w:r><w:t xml:space='preserve'>  x  </w:t></w:r></w:p>") == "  x  ")
+    assert(t("<w:p><w:r><w:t xml:space = \"preserve\">  x  </w:t></w:r></w:p>") == "  x  ")
+    assert(t("<w:p><w:r><w:t xml:space='default'>  x  </w:t></w:r></w:p>") == "x")
+    // Present-but-unparsable fails LOUD (refusal), never garbles:
+    assert(x("<w:p><w:r><w:t xml:space=\"keep\">  x  </w:t></w:r></w:p>").isEmpty)
+    assert(x("<w:p><w:r><w:t xml:space>  x  </w:t></w:r></w:p>").isEmpty)
+    assert(x("<w:p><w:r><w:t xml:space=preserve>  x  </w:t></w:r></w:p>").isEmpty)
+  }
+
   test("entities and character references decode; unknown/unterminated refuse") {
     assert(t("<w:p><w:r><w:t>a &amp; &lt; &gt; &quot; &apos; b</w:t></w:r></w:p>")
       == "a & < > \" ' b")
@@ -61,6 +73,11 @@ class DocxSourceSpec extends AnyFunSuite {
              "<w:r><w:t>p</w:t></w:r></w:p>") == "p")
     assert(t("<w:p><w:del><w:r><w:delText>GONE</w:delText></w:r></w:del>" +
              "<w:r><w:t>kept</w:t></w:r></w:p>") == "kept")
+    // Self-closed forms (legal, occasionally emitted) are EMPTY
+    // instruction/deletion elements: skip silently, never refuse the
+    // valid document (round-19 review finding).
+    assert(t("<w:p><w:r><w:instrText/></w:r><w:r><w:t>p</w:t></w:r></w:p>") == "p")
+    assert(t("<w:p><w:r><w:delText w:x=\"1\"/></w:r><w:r><w:t>q</w:t></w:r></w:p>") == "q")
   }
 
   test("attributed self-closing paragraphs and runs are empty, not malformed") {

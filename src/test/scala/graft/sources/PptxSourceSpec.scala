@@ -39,6 +39,18 @@ class PptxSourceSpec extends AnyFunSuite {
     assert(p("<a:p><a:r><a:t>x</a:t></a:r><a:br/><a:r><a:t>y</a:t></a:r></a:p>")
       .get == Vector("x\ny"))
     assert(p("<a:p><a:r><a:t>a &amp; &#233;</a:t></a:r></a:p>").get == Vector("a & é"))
+    // ALL the break forms real PowerPoint emits map to '\n' (round-19
+    // review finding — only the bare self-closed form was handled):
+    assert(p("<a:p><a:r><a:t>x</a:t></a:r><a:br><a:rPr lang=\"en\"/></a:br>" +
+             "<a:r><a:t>y</a:t></a:r></a:p>").get == Vector("x\ny"))
+    assert(p("<a:p><a:r><a:t>x</a:t></a:r><a:br kern=\"0\"/>" +
+             "<a:r><a:t>y</a:t></a:r></a:p>").get == Vector("x\ny"))
+    // …and the boundary check keeps a hypothetical `<a:brX>` out of it
+    // (unknown tag → generic skip, no newline):
+    assert(p("<a:p><a:r><a:t>x</a:t></a:r><a:brX/><a:r><a:t>y</a:t></a:r></a:p>")
+      .get == Vector("xy"))
+    // An open a:br never closed is malformed — refuse:
+    assert(p("<a:p><a:r><a:t>x</a:t></a:r><a:br><a:rPr/>").isEmpty)
     assert(p("<a:p/><a:p><a:r><a:t>k</a:t></a:r></a:p>").get == Vector("k"))
     assert(p("<a:p></a:p>").get == Vector.empty)
   }

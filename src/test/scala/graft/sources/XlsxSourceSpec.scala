@@ -35,6 +35,11 @@ class XlsxSourceSpec extends AnyFunSuite {
     val sst = """<sst><si><r><t xml:space="preserve"> a </t></r><r><t>  b  </t></r></si>
                 |<si><t>  plain  </t></si><si><t/></si></sst>""".stripMargin
     assert(parseSharedStrings(sst).get == Vector(" a b", "plain", ""))
+    // Either quote style (legal XML); unparsable xml:space refuses
+    // (round-19 review finding — double-quote-only silently trimmed):
+    assert(parseSharedStrings("<sst><si><t xml:space='preserve'> a </t></si></sst>")
+      .get == Vector(" a "))
+    assert(parseSharedStrings("<sst><si><t xml:space=\"keep\"> a </t></si></sst>").isEmpty)
   }
 
   test("formula cells take the cached value; the formula text never leaks") {
