@@ -890,14 +890,15 @@ object Graft {
 
   /** Transaction-log table primitives (sources.TxLog — the Delta-style
     * JSON commit log over parquet): write `df` as the data of commit
-    * `version` and commit it atomically. `removes` lists the
-    * table-relative files this commit supersedes (pass the previous
-    * snapshot's files for an overwrite; empty for an append). */
+    * `version` (into a writer-unique dir, so losing a version race
+    * never touches the winner's committed files) and commit it
+    * atomically with the schema recorded in the trailer. `removes`
+    * lists the table-relative files this commit supersedes (pass the
+    * previous snapshot's files for an overwrite; empty for an append). */
   def txCommit(df: DataFrame, dir: String, version: Long,
                operation: String = "append",
                removes: Seq[String] = Nil): Long =
-    sources.TxLog.commit(dir, version, operation,
-      sources.TxLog.writeData(df, dir, version), removes)
+    sources.TxLog.commitData(df, dir, version, operation, removes)
 
   /** Snapshot-isolated read AS OF `version` from a transaction-log
     * table; negative version (default) reads the latest snapshot. */
@@ -916,6 +917,23 @@ object Graft {
     * time. Returns the deleted table-relative paths. */
   def txVacuum(dir: String, retainFrom: Long): Seq[String] =
     sources.TxLog.vacuum(dir, retainFrom)
+
+  /** ODT text extraction over (doc_id, source, odt BINARY) rows —
+    * ODF package (ZIP central-directory walk) → mimetype check →
+    * content.xml → the ODF 1.2 text scanner, parse-as-filter
+    * (malformed packages drop, never garble). One row per document:
+    * (doc_id, source, text, n_paras). See sources.OdtSource. */
+  def odtExtract(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source"), col("odt"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, src, bytes) =>
+        sources.OdtSource.extractOdt(s"doc$id.odt", bytes).map {
+          case (text, np) => (id, src, text, np)
+        }
+      })
+      .toDF("doc_id", "source", "text", "n_paras")
+  }
 
   /** PPTX text extraction over (doc_id, source, pptx BINARY) rows —
     * slides in numeric order, field runs dropped, parse-as-filter.

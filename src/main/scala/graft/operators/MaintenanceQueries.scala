@@ -370,14 +370,13 @@ object MaintenanceQueries extends QueryPack {
       val o = Tables.orders(s, d).select(
         col("o_orderkey").as("key"), col("o_orderpriority").as("pri"),
         col("o_totalprice").as("price")).repartition(8)
-      graft.sources.TxLog.commit(dir, 0, "append",
-        graft.sources.TxLog.writeData(o, dir, 0))
+      graft.sources.TxLog.commitData(o, dir, 0, "append"): Unit
     }
     if (existing < 1) {
       val f0 = graft.sources.TxLog.activeFiles(dir, 0)
       val compacted = graft.sources.TxLog.readAsOf(s, dir, 0).coalesce(2)
-      graft.sources.TxLog.commit(dir, 1, "overwrite",
-        graft.sources.TxLog.writeData(compacted, dir, 1), removes = f0)
+      graft.sources.TxLog.commitData(compacted, dir, 1, "overwrite",
+        removes = f0): Unit
     }
     dir
   }
@@ -405,13 +404,12 @@ object MaintenanceQueries extends QueryPack {
       val o = Tables.orders(s, d).select(
         col("o_orderkey").as("key"), col("o_orderpriority").as("pri"),
         col("o_totalprice").as("price"), lit(0L).as("ins"), lit(0L).as("upd"))
-      graft.sources.TxLog.commit(dir, 0, "append",
-        graft.sources.TxLog.writeData(o, dir, 0))
+      graft.sources.TxLog.commitData(o, dir, 0, "append"): Unit
     }
     if (existing < 1) {
       val f0 = graft.sources.TxLog.activeFiles(dir, 0)
-      val f1 = graft.sources.TxLog.writeData(mergedOrdersOf(Tables.orders(s, d)), dir, 1)
-      graft.sources.TxLog.commit(dir, 1, "overwrite", f1, removes = f0)
+      graft.sources.TxLog.commitData(mergedOrdersOf(Tables.orders(s, d)),
+        dir, 1, "overwrite", removes = f0): Unit
     }
     dir
   }

@@ -47,28 +47,34 @@ object SourceQueries extends QueryPack {
   private def xlsxStage(d: String) = Stage.dir(d, "xlsx")
   private def pptxStage(d: String) = Stage.dir(d, "pptx")
   private def epubStage(d: String) = Stage.dir(d, "epub")
+  private def odtStage(d: String) = Stage.dir(d, "odt")
   private def mixedStage(d: String) = Stage.dir(d, "mixed")
 
   /** Stage the MIXED document directory: kept ids (≡ 0 mod 101) route
-    * by id%3 to .docx / .pptx / .epub (the three OPC prose containers,
-    * reusing their byte builders), PLUS two poison plants the front
-    * door must drop — a corrupt .docx (garbage bytes under a plausible
-    * name) and an unknown extension. Idempotent via marker. */
+    * by id%4 to .docx / .pptx / .epub / .odt (the three OPC prose
+    * containers plus the ODF one, reusing their byte builders), PLUS
+    * two poison plants the front door must drop — a corrupt .docx
+    * (garbage bytes under a plausible name) and an unknown extension.
+    * Idempotent via marker; a V1 (pre-odt, id%3-routed) staging is
+    * WIPED first — its leftover files carry the wrong extension for
+    * their ids under the new routing. */
   private def stageMixed(s: org.apache.spark.sql.SparkSession, dataDir: String): String = {
     val dir = mixedStage(dataDir)
     val d = new java.io.File(dir)
-    val marker = new java.io.File(d, "_STAGED_MIXED_V1")
+    val marker = new java.io.File(d, "_STAGED_MIXED_V2")
     if (!marker.exists()) {
       d.mkdirs()
+      d.listFiles().foreach(f => if (f.isFile) f.delete())
       import s.implicits._
       val ids = Tables.documents(s, dataDir)
         .select(col("doc_id")).filter(col("doc_id") % 101 === 0)
         .as[Long].collect().sorted
       ids.foreach { id =>
-        val (ext, bytes) = (id % 3) match {
+        val (ext, bytes) = (id % 4) match {
           case 0 => ("docx", graft.sources.DocxSource.docxBytes(id))
           case 1 => ("pptx", graft.sources.PptxSource.pptxBytes(id))
-          case _ => ("epub", graft.sources.EpubSource.epubBytes(id))
+          case 2 => ("epub", graft.sources.EpubSource.epubBytes(id))
+          case _ => ("odt", graft.sources.OdtSource.odtBytes(id))
         }
         java.nio.file.Files.write(
           java.nio.file.Paths.get(s"$dir/doc$id.$ext"), bytes)
@@ -113,6 +119,9 @@ object SourceQueries extends QueryPack {
           case "epub" =>
             graft.sources.EpubSource.extractEpub(name, bytes)
               .map(chs => (id, "epub", chs.map(_._3).mkString("\n")))
+          case "odt" =>
+            graft.sources.OdtSource.extractOdt(name, bytes)
+              .map { case (t, _) => (id, "odt", t) }
           case _ => None // unknown format: quarantine, never guessed
         }
       })
@@ -764,9 +773,34 @@ object SourceQueries extends QueryPack {
             col("doc_id"), md5(col("text"))))).as("text_checksum"))
         .orderBy("bucket")),
 
+    // ODT text extraction — the OpenDocument sibling of DOCX
+    // (LibreOffice's native format): an ODF package (a ZIP whose
+    // content.xml carries the body, with a mandatory STORED mimetype
+    // member). COMPOSES the audited ZipSource walk with a hand ODF 1.2
+    // scanner: prose is character data directly in text:p/text:h (no
+    // run elements), text:span unwraps, raw whitespace runs COLLAPSE
+    // while explicit <text:s text:c="N"/>/<text:tab/>/<text:line-break/>
+    // expand, office:annotation (nesting its own text:p) never reaches
+    // prose, entities decode, the mimetype member is verified. The
+    // oracle rebuilds the prose truth closed-form from doc_id
+    // arithmetic (the docx discipline) — a rule slip shifts the
+    // checksum. Parse-as-filter map-only pass over staged real .odt
+    // bytes.
+    "odt_extract" -> ((s, d) =>
+      graft.sources.OdtSource.extractedOdt(s,
+          graft.sources.OdtSource.stageFixture(s, d, odtStage(d)))
+        .withColumn("bucket", col("doc_id") % 7)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_paras").as("para_sum"),
+          sum("n_chars").as("char_sum"),
+          sum(graft.functions.PortableHash.h60p(concat_ws(":",
+            col("doc_id"), md5(col("text"))))).as("text_checksum"))
+        .orderBy("bucket")),
+
     // The mixed-corpus FRONT DOOR — what an ingest tier actually faces:
-    // ONE directory of mixed .docx/.pptx/.epub files (id%3 routing over
-    // the kept ids, reusing the three OPC fixtures' byte builders),
+    // ONE directory of mixed .docx/.pptx/.epub/.odt files (id%4 routing over
+    // the kept ids, reusing the four container fixtures' byte builders),
     // dispatched by extension to the per-format extractor into a
     // unified (doc_id, format, text) frame — proving the extractors
     // COMPOSE into one pipeline, not just pass isolated gates. Two
@@ -1212,20 +1246,30 @@ object SourceQueries extends QueryPack {
                      'Page ' || (id % 4) || chr(10) ||
                      'Kept ' || (id % 6) || '.' || chr(10) ||
                      'Cell ' || (id % 8) AS text
-                   FROM d WHERE id % 3 = 0),
+                   FROM d WHERE id % 4 = 0),
             pp AS (SELECT id, 'pptx' AS format,
                      'Deck ' || (id % 9) || ': bold ' || (id % 7) || chr(10) ||
                      'Intro ' || (id % 5) || '.' || chr(10) ||
                      'Amp & café ' || (id % 4) || chr(10) ||
                        'line ' || (id % 3) || chr(10) ||
                      'Closing ' || (id % 6) || '.' AS text
-                   FROM d WHERE id % 3 = 1),
+                   FROM d WHERE id % 4 = 1),
             ep AS (SELECT id, 'epub' AS format,
                      'Chap 7 alpha ' || (id % 9) || ' & beta. Line ' || (id % 5) || ' <end>.' ||
                      ' Chap 3 alpha ' || (id % 9) || ' & beta. Line ' || (id % 5) || ' <end>.' ||
                      ' Chap 1 alpha ' || (id % 9) || ' & beta. Line ' || (id % 5) || ' <end>.' AS text
-                   FROM d WHERE id % 3 = 2),
-            u AS (SELECT * FROM dx UNION ALL SELECT * FROM pp UNION ALL SELECT * FROM ep)
+                   FROM d WHERE id % 4 = 2),
+            od AS (SELECT id, 'odt' AS format,
+                     'Doc ' || (id % 9) || ' heading tail.' || chr(10) ||
+                     'Amp & lt < café h-' || (id % 5) || '.' || chr(10) ||
+                     'A' || (id % 5) || chr(9) || 'B' || (id % 3) || chr(10) ||
+                       'C' || (id % 9) || chr(10) ||
+                     'Gap one   three collapsed ' || (id % 4) || '.' || chr(10) ||
+                     'Kept ' || (id % 6) || '.' || chr(10) ||
+                     'Styled ' || (id % 8) AS text
+                   FROM d WHERE id % 4 = 3),
+            u AS (SELECT * FROM dx UNION ALL SELECT * FROM pp
+                  UNION ALL SELECT * FROM ep UNION ALL SELECT * FROM od)
           SELECT format, CAST(COUNT(*) AS BIGINT) AS n_docs,
                  CAST(SUM(length(text)) AS BIGINT) AS char_sum,
                  CAST(SUM(${graft.functions.PortableHash.h60pSql(
@@ -1307,6 +1351,27 @@ object SourceQueries extends QueryPack {
                     'Page ' || (id % 4) || chr(10) ||
                     'Kept ' || (id % 6) || '.' || chr(10) ||
                     'Cell ' || (id % 8) AS text
+                  FROM d)
+          SELECT id % 7 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(COUNT(*) * 6 AS BIGINT) AS para_sum,
+                 CAST(SUM(length(text)) AS BIGINT) AS char_sum,
+                 CAST(SUM(${graft.functions.PortableHash.h60pSql(
+                   "id || ':' || md5(text)")}) AS BIGINT) AS text_checksum
+          FROM t GROUP BY 1 ORDER BY bucket""",
+    // The prose truth rebuilt closed-form from doc_id arithmetic
+    // (OdtSource.odtExpected's exact lines — including the collapsed
+    // raw-whitespace run and the explicit text:s spaces) — the oracle
+    // never sees an odt byte.
+    "odt_extract" ->
+      s"""WITH d AS (SELECT doc_id AS id FROM documents WHERE doc_id % 101 = 0),
+            t AS (SELECT id,
+                    'Doc ' || (id % 9) || ' heading tail.' || chr(10) ||
+                    'Amp & lt < café h-' || (id % 5) || '.' || chr(10) ||
+                    'A' || (id % 5) || chr(9) || 'B' || (id % 3) || chr(10) ||
+                      'C' || (id % 9) || chr(10) ||
+                    'Gap one   three collapsed ' || (id % 4) || '.' || chr(10) ||
+                    'Kept ' || (id % 6) || '.' || chr(10) ||
+                    'Styled ' || (id % 8) AS text
                   FROM d)
           SELECT id % 7 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
                  CAST(COUNT(*) * 6 AS BIGINT) AS para_sum,

@@ -994,8 +994,9 @@ object EventStreams {
         // of commit(), failing the query loudly rather than double-
         // landing rows; single-writer here, so the check suffices.)
         if (!new java.io.File(tableDir, f"_log/$batchId%020d.json").exists()) {
-          val files = graft.sources.TxLog.writeData(df, tableDir, batchId)
-          graft.sources.TxLog.commit(tableDir, batchId, "append", files): Unit
+          // commitData = writer-unique data dir + atomic commit with the
+          // batch's schema recorded in the trailer (the schema contract).
+          graft.sources.TxLog.commitData(df, tableDir, batchId, "append"): Unit
         }
       }
       .option("checkpointLocation", s"$base/ckpt")

@@ -464,7 +464,7 @@ class GraftApiSpec extends SparkSpec {
       Seq((9L, "z")))
     assert(Graft.txRead(spark, dir, 0).orderBy("k").as[(Long, String)]
       .collect().toSeq == Seq((1L, "a"), (2L, "b")))
-    assert(Graft.txActiveFiles(dir, 1).forall(_.startsWith("data/v1/")))
+    assert(Graft.txActiveFiles(dir, 1).forall(_.startsWith("data/v1-")))
     // Vacuum at horizon 1: version 0's file goes, the latest still reads.
     assert(Graft.txVacuum(dir, 1) == f0.sorted)
     assert(Graft.txRead(spark, dir).as[(Long, String)].collect().toSeq ==

@@ -43,7 +43,7 @@ class TxLogSpec extends SparkSpec {
     TxLog.commit(dir, 0, "append", files)
     TxLog.commit(dir, 1, "overwrite",
       TxLog.writeData(Seq((2L, "b")).toDF("k", "s"), dir, 1), removes = files)
-    assert(TxLog.activeFiles(dir, 1).forall(_.startsWith("data/v1/")))
+    assert(TxLog.activeFiles(dir, 1).forall(_.startsWith("data/v1-")))
     // Commit 2 re-adds version 0's files (a production RESTORE): the
     // replay's latest-wins rule must resurrect them.
     TxLog.commit(dir, 2, "overwrite", files, removes = TxLog.activeFiles(dir, 1))
@@ -133,7 +133,9 @@ class TxLogSpec extends SparkSpec {
     val f1 = TxLog.activeFiles(dir, 1)
     assert(f0.size == 8, s"small-file layout expected 8 files, got ${f0.size}")
     assert(f1.size < f0.size, s"compaction did not shrink: ${f0.size} -> ${f1.size}")
-    assert(f1.forall(_.startsWith("data/v1/")))
+    // Accepts both layouts: legacy fixtures staged before writer-unique
+    // dirs carry data/v1/…, fresh stagings data/v1-<nonce>/….
+    assert(f1.forall(_.startsWith("data/v1")))
     def chk(v: Long): Long =
       TxLog.readAsOf(spark, dir, v).agg(sum(graft.functions.PortableHash.h60p(
         concat_ws("|", col("key"), col("pri"), floor(col("price") * 100 + 0.5)))))
@@ -143,6 +145,104 @@ class TxLogSpec extends SparkSpec {
     assert(chk(1) == chk(0))
     assert(TxLog.readAsOf(spark, dir, 0).count() ==
       graft.Tables.orders(spark, d).count())
+  }
+
+  test("schema contract: mismatched append refuses; overwrite evolves; reads pin as-of schema") {
+    val dir = freshDir()
+    import spark.implicits._
+    TxLog.commitData(Seq((1L, "a")).toDF("k", "s"), dir, 0)
+    assert(TxLog.schemaAsOf(dir, 0).isDefined)
+    // An append whose parquet carries an EVOLVED schema must refuse —
+    // the old default resolution silently won-or-lost columns depending
+    // on file order (round-19 verdict #2).
+    val evolved = Seq((2L, "b", 3.0)).toDF("k", "s", "x")
+    val ex = intercept[IllegalStateException] {
+      TxLog.commitData(evolved, dir, 1, "append")
+    }
+    assert(ex.getMessage.contains("schema"))
+    // The refused append's data landed in a writer-unique dir and the
+    // log never references it: the table still reads as version 0.
+    assert(TxLog.readLatest(spark, dir).columns.toSeq == Seq("k", "s"))
+    // Schema EVOLUTION is an overwrite — the published lakehouse rule.
+    TxLog.commitData(evolved, dir, 1, "overwrite",
+      removes = TxLog.activeFiles(dir, 0))
+    assert(TxLog.readAsOf(spark, dir, 1).columns.toSeq == Seq("k", "s", "x"))
+    // Time travel below the evolution still reads the OLD schema —
+    // the as-of schema is pinned onto the scan.
+    assert(TxLog.readAsOf(spark, dir, 0).columns.toSeq == Seq("k", "s"))
+    assert(TxLog.schemaAsOf(dir, 0) != TxLog.schemaAsOf(dir, 1))
+    // A same-schema append after the evolution is fine.
+    TxLog.commitData(Seq((9L, "z", 1.5)).toDF("k", "s", "x"), dir, 2)
+    assert(TxLog.readLatest(spark, dir).count() == 2)
+  }
+
+  test("writeData refuses fast on an already-committed version, before writing") {
+    val dir = freshDir()
+    import spark.implicits._
+    TxLog.commitData(Seq((1L, "a")).toDF("k", "s"), dir, 0)
+    val before = TxLog.activeFiles(dir, 0)
+    intercept[IllegalStateException] {
+      TxLog.writeData(Seq((2L, "b")).toDF("k", "s"), dir, 0)
+    }
+    // The committed snapshot's files are untouched (the round-19 review
+    // finding: the old shared data/v0/ dir let a retry delete them).
+    assert(TxLog.activeFiles(dir, 0) == before)
+    assert(before.forall(p => new java.io.File(dir, p).exists()))
+  }
+
+  test("checkpoint: replay identity, O(1) tail resolution, torn refusal, legacy logs") {
+    val dir = freshDir()
+    import spark.implicits._
+    // 13 commits: v0 append, v1..v12 alternating appends/overwrites —
+    // v10 crosses the checkpointInterval so commit() writes the
+    // checkpoint + _last_checkpoint automatically.
+    TxLog.commitData(Seq((0L, "r0")).toDF("k", "s"), dir, 0)
+    (1L to 12L).foreach { v =>
+      if (v % 3 == 0)
+        TxLog.commitData(Seq((v, s"r$v")).toDF("k", "s"), dir, v, "overwrite",
+          removes = TxLog.activeFiles(dir, v - 1))
+      else
+        TxLog.commitData(Seq((v, s"r$v")).toDF("k", "s"), dir, v)
+    }
+    val ckpt = new java.io.File(dir, "_log/" + f"${10L}%020d" + ".checkpoint.json")
+    val ptr = new java.io.File(dir, "_log/_last_checkpoint")
+    assert(ckpt.exists(), "interval checkpoint not written")
+    assert(ptr.exists(), "_last_checkpoint not written")
+    // Checkpoint-vs-full-replay identity at every version — the
+    // checkpointed read (asOf ≥ 10 seeds from the snapshot) must equal
+    // the ground truth replay. Ground truth: hide the checkpoint+pointer
+    // and re-resolve.
+    val byCkpt = (0L to 12L).map(v => TxLog.activeFiles(dir, v))
+    // (moved OUT of _log — a .bak name inside it would refuse as foreign)
+    val outC = new java.io.File(dir, "ckpt.bak")
+    val outP = new java.io.File(dir, "ptr.bak")
+    assert(ckpt.renameTo(outC) && ptr.renameTo(outP))
+    val byReplay = (0L to 12L).map(v => TxLog.activeFiles(dir, v))
+    assert(byCkpt == byReplay, "checkpointed state diverges from full replay")
+    assert(outC.renameTo(ckpt) && outP.renameTo(ptr))
+    // Deep time travel BELOW the checkpoint still resolves (listing
+    // fallback path): version 3 readable with its exact rows.
+    assert(TxLog.readAsOf(spark, dir, 3).as[(Long, String)].collect().toSeq
+      .sorted == Seq((3L, "r3")))
+    // Torn checkpoint refuses: lie about n_files.
+    val ckptLines = new String(
+      java.nio.file.Files.readAllBytes(ckpt.toPath), "UTF-8")
+      .split("\n").filter(_.nonEmpty)
+    val good = ckptLines.mkString("\n") + "\n"
+    java.nio.file.Files.write(ckpt.toPath,
+      (ckptLines.init.mkString("\n") + "\n" +
+        """{"checkpoint":{"version":10,"n_files":99}}""" + "\n").getBytes("UTF-8"))
+    intercept[IllegalStateException] { TxLog.activeFiles(dir, 12) }
+    // Corrupt _last_checkpoint refuses (it only appears via atomic move).
+    java.nio.file.Files.write(ckpt.toPath, good.getBytes("UTF-8"))
+    java.nio.file.Files.write(ptr.toPath, "garbage".getBytes("UTF-8"))
+    intercept[IllegalStateException] { TxLog.activeFiles(dir, 12) }
+    java.nio.file.Files.write(ptr.toPath,
+      """{"checkpoint":{"version":10}}""".getBytes("UTF-8"))
+    assert(TxLog.activeFiles(dir, 12).nonEmpty)
+    // An explicit checkpoint call is idempotent.
+    TxLog.checkpoint(dir, 10)
+    assert(TxLog.activeFiles(dir, 12) == byCkpt(12))
   }
 
   test("vacuum deletes exactly the below-horizon files; time travel there fails loudly") {
