@@ -918,6 +918,22 @@ object Graft {
   def txVacuum(dir: String, retainFrom: Long): Seq[String] =
     sources.TxLog.vacuum(dir, retainFrom)
 
+  /** RTF text extraction over (doc_id, source, rtf BINARY) rows — the
+    * hand RTF 1.9 control-word parser, parse-as-filter (malformed
+    * documents drop, never garble). One row per document:
+    * (doc_id, source, text, n_paras). See sources.RtfSource. */
+  def rtfExtract(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source"), col("rtf"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, src, bytes) =>
+        sources.RtfSource.extractRtf(s"doc$id.rtf", bytes).map {
+          case (text, np) => (id, src, text, np)
+        }
+      })
+      .toDF("doc_id", "source", "text", "n_paras")
+  }
+
   /** ODT text extraction over (doc_id, source, odt BINARY) rows —
     * ODF package (ZIP central-directory walk) → mimetype check →
     * content.xml → the ODF 1.2 text scanner, parse-as-filter

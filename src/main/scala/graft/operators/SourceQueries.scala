@@ -48,6 +48,7 @@ object SourceQueries extends QueryPack {
   private def pptxStage(d: String) = Stage.dir(d, "pptx")
   private def epubStage(d: String) = Stage.dir(d, "epub")
   private def odtStage(d: String) = Stage.dir(d, "odt")
+  private def rtfStage(d: String) = Stage.dir(d, "rtf")
   private def mixedStage(d: String) = Stage.dir(d, "mixed")
 
   /** Stage the MIXED document directory: kept ids (≡ 0 mod 101) route
@@ -798,6 +799,29 @@ object SourceQueries extends QueryPack {
             col("doc_id"), md5(col("text"))))).as("text_checksum"))
         .orderBy("bucket")),
 
+    // RTF text extraction — the legacy interchange format (Word/
+    // Wordpad era) a real document corpus still carries: NOT a ZIP
+    // container but a 7-bit control-word format, parsed by a hand
+    // recursive-state scanner (group stack, destination skipping,
+    // delimiter-space consumption, cp1252 \'hh and \uN escapes with
+    // \ucN fallback skipping, fields whose instruction drops and
+    // result stays). The oracle rebuilds the prose truth closed-form
+    // from doc_id arithmetic — a rule slip (the classic: forgetting
+    // that a control word EATS one trailing space) shifts the
+    // checksum. Parse-as-filter map-only pass over staged real .rtf
+    // bytes.
+    "rtf_extract" -> ((s, d) =>
+      graft.sources.RtfSource.extractedRtf(s,
+          graft.sources.RtfSource.stageFixture(s, d, rtfStage(d)))
+        .withColumn("bucket", col("doc_id") % 7)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_paras").as("para_sum"),
+          sum("n_chars").as("char_sum"),
+          sum(graft.functions.PortableHash.h60p(concat_ws(":",
+            col("doc_id"), md5(col("text"))))).as("text_checksum"))
+        .orderBy("bucket")),
+
     // The mixed-corpus FRONT DOOR — what an ingest tier actually faces:
     // ONE directory of mixed .docx/.pptx/.epub/.odt files (id%4 routing over
     // the kept ids, reusing the four container fixtures' byte builders),
@@ -1372,6 +1396,27 @@ object SourceQueries extends QueryPack {
                     'Gap one   three collapsed ' || (id % 4) || '.' || chr(10) ||
                     'Kept ' || (id % 6) || '.' || chr(10) ||
                     'Styled ' || (id % 8) AS text
+                  FROM d)
+          SELECT id % 7 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(COUNT(*) * 6 AS BIGINT) AS para_sum,
+                 CAST(SUM(length(text)) AS BIGINT) AS char_sum,
+                 CAST(SUM(${graft.functions.PortableHash.h60pSql(
+                   "id || ':' || md5(text)")}) AS BIGINT) AS text_checksum
+          FROM t GROUP BY 1 ORDER BY bucket""",
+    // The prose truth rebuilt closed-form from doc_id arithmetic
+    // (RtfSource.rtfExpected's exact lines — including the delimiter-
+    // space, cp1252, \uN-fallback and field-result rules) — the oracle
+    // never sees an rtf byte.
+    "rtf_extract" ->
+      s"""WITH d AS (SELECT doc_id AS id FROM documents WHERE doc_id % 101 = 0),
+            t AS (SELECT id,
+                    'Title ' || (id % 7) || ' and tail ' || (id % 5) || '.' || chr(10) ||
+                    'Café em—dash ée €X.' || chr(10) ||
+                    'A' || (id % 5) || chr(9) || 'B' || (id % 3) || chr(10) ||
+                      'C' || (id % 9) || chr(10) ||
+                    'Page ' || (id % 4) || ' of doc.' || chr(10) ||
+                    'Brace {x} and nb space ' || (id % 6) || '.' || chr(10) ||
+                    'Last ' || (id % 8) AS text
                   FROM d)
           SELECT id % 7 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
                  CAST(COUNT(*) * 6 AS BIGINT) AS para_sum,
