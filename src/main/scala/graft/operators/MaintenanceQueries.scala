@@ -321,6 +321,32 @@ object MaintenanceQueries extends QueryPack {
         .orderBy("o_orderpriority")
     }),
 
+    // STATS-PRUNED snapshot read — the data-skipping read that makes a
+    // transaction-log table fast, not just correct: the staged table's
+    // commit records per-file min/max/rows for `key` (the files are
+    // range-partitioned, so ranges are disjoint), and the gate reads
+    // `key BETWEEN 1 AND max/8` through readAsOfWhere, which drops
+    // disjoint files AT THE MANIFEST — before Spark lists them. The
+    // audit content must equal the raw-table filter (the oracle
+    // recomputes it, never seeing a log byte) and `pruned` is earned
+    // driver-side: at least one file skipped AND files kept < files
+    // active — a reader that scans everything and filters later
+    // cannot earn it. At 100 TB this is 3 files touched instead of a
+    // 10⁵-file listing.
+    "q_txlog_stats_prune" -> ((s, d) => {
+      val dir = stageTxStats(s, d)
+      val hi = Tables.orders(s, d)
+        .agg(max(col("o_orderkey")).cast("long")).collect()(0).getLong(0) / 8
+      val (df, nPruned, nKept) =
+        graft.sources.TxLog.readAsOfWhere(s, dir, 0, "key", 1L, hi)
+      df.groupBy(col("pri").as("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("price") * 100 + 0.5).cast("long")).as("total_cents"),
+          sum(PortableHash.h60p(col("key").cast("string"))).as("key_checksum"))
+        .withColumn("pruned", lit(nPruned > 0 && nKept < nPruned + nKept))
+        .orderBy("o_orderpriority")
+    }),
+
     // VACUUM EXECUTED — the retention pass q_retention_plan plans: the
     // vacuum table's version-0 small files are PHYSICALLY deleted
     // (horizon = 1) while the log keeps the full history; the gate
@@ -345,6 +371,26 @@ object MaintenanceQueries extends QueryPack {
         .orderBy("o_orderpriority")
     })
   )
+
+  /** Stage the stats table: the orders projection RANGE-partitioned by
+    * key into 8 files (disjoint per-file key ranges — the layout that
+    * makes min/max stats prune), committed with per-file stats on
+    * `key`. Idempotent per missing version. */
+  private[graft] def stageTxStats(s: SparkSession, d: String): String = {
+    val dir = graft.Stage.dir(d, "txstats")
+    val existing =
+      try graft.sources.TxLog.latestVersion(dir)
+      catch { case _: IllegalStateException => -1L }
+    if (existing < 0) {
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("key"), col("o_orderpriority").as("pri"),
+        col("o_totalprice").as("price"))
+        .repartitionByRange(8, col("key"))
+      graft.sources.TxLog.commitData(o, dir, 0, "append",
+        statsCol = Some("key")): Unit
+    }
+    dir
+  }
 
   /** Stage the vacuum table (its OWN table — vacuuming the compaction
     * table would break its time-travel spec): v0 = 8 small files,
@@ -597,6 +643,21 @@ object MaintenanceQueries extends QueryPack {
                    "CAST(o_orderkey AS VARCHAR)")}) AS BIGINT) AS key_checksum,
                  TRUE AS compacted
           FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
+    // The pruned read's content ≡ the raw-table range filter (integer
+    // division on both sides); `pruned` is the oracle's claim that
+    // manifest skipping actually happened — the Spark side earns it
+    // from the file counts readAsOfWhere reports.
+    "q_txlog_stats_prune" ->
+      s"""WITH m AS (SELECT MAX(o_orderkey) // 8 AS hi FROM orders),
+            f AS (SELECT o_orderpriority, o_totalprice, o_orderkey
+                  FROM orders, m WHERE o_orderkey BETWEEN 1 AND m.hi)
+          SELECT o_orderpriority,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+                 CAST(SUM(${graft.functions.PortableHash.h60pSql(
+                   "CAST(o_orderkey AS VARCHAR)")}) AS BIGINT) AS key_checksum,
+                 TRUE AS pruned
+          FROM f GROUP BY 1 ORDER BY o_orderpriority""",
     // Retained-snapshot content ≡ the source projection; `vacuumed` is
     // the oracle's claim the physical deletion happened exactly at the
     // horizon — the Spark side earns it from the filesystem.

@@ -84,21 +84,32 @@ object TxLog {
   private def lastCheckpointFile(dir: String) =
     new java.io.File(logDir(dir), "_last_checkpoint")
 
-  private val AddRe = """\{"add":\{"path":"([^"]+)"\}\}""".r
+  // Add/active lines optionally carry FILE-LEVEL STATS — one long-typed
+  // column's min/max plus the row count (the Delta/Iceberg manifest
+  // design): a snapshot read with a range predicate on that column can
+  // prune files from the MANIFEST, before Spark ever lists them.
+  private val StatsRe = ""","col":"([^"]+)","lo":(-?\d+),"hi":(-?\d+),"rows":(\d+)"""
+  private val AddRe = ("""\{"add":\{"path":"([^"]+)"(?:""" + StatsRe + """)?\}\}""").r
   private val RemoveRe = """\{"remove":\{"path":"([^"]+)"\}\}""".r
   private val CommitRe =
     """\{"commit":\{"version":(\d+),"operation":"(append|overwrite)","n_actions":(\d+)(?:,"schema":"([^"]+)")?\}\}""".r
-  private val ActiveRe = """\{"active":\{"path":"([^"]+)"\}\}""".r
+  private val ActiveRe = ("""\{"active":\{"path":"([^"]+)"(?:""" + StatsRe + """)?\}\}""").r
   private val CkptTrailerRe =
     """\{"checkpoint":\{"version":(\d+),"n_files":(\d+)(?:,"schema":"([^"]+)")?\}\}""".r
   private val LastCkptRe = """\{"checkpoint":\{"version":(\d+)\}\}""".r
 
+  /** Per-file statistics for one long-typed column: closed [lo, hi]
+    * value range plus the file's row count. */
+  case class FileStats(col: String, lo: Long, hi: Long, rows: Long)
+
   /** One replayed commit: version, operation, add/remove paths
-    * (relative to the table dir), and the recorded schema (None on
-    * legacy commits written before the schema contract). */
+    * (relative to the table dir), per-path file stats where the writer
+    * recorded them, and the recorded schema (None on legacy commits
+    * written before the schema contract). */
   case class Commit(version: Long, operation: String,
                     adds: Seq[String], removes: Seq[String],
-                    schema: Option[String])
+                    schema: Option[String],
+                    stats: Map[String, FileStats] = Map.empty)
 
   /** The paths and schema DDL are embedded raw inside JSON string
     * literals by the line writers; refuse anything that would need
@@ -113,6 +124,13 @@ object TxLog {
     * has no business in the log. */
   private def normalizeDdl(ddl: String): String = StructType.fromDDL(ddl).toDDL
 
+  private def statsField(st: Option[FileStats]): String = st match {
+    case Some(FileStats(c, lo, hi, rows)) =>
+      requireEncodable("stats column", c)
+      s""","col":"$c","lo":$lo,"hi":$hi,"rows":$rows"""
+    case None => ""
+  }
+
   /** Write commit `version`: `adds`/`removes` are table-relative parquet
     * paths; `schemaDdl` is the commit's schema (pass
     * `df.schema.toDDL`; None only for legacy callers). Atomic (temp
@@ -124,7 +142,8 @@ object TxLog {
     * the state checkpoint. Returns the version written. */
   def commit(dir: String, version: Long, operation: String,
              adds: Seq[String], removes: Seq[String] = Nil,
-             schemaDdl: Option[String] = None): Long = {
+             schemaDdl: Option[String] = None,
+             stats: Map[String, FileStats] = Map.empty): Long = {
     require(operation == "append" || operation == "overwrite", operation)
     schemaDdl.foreach { ddl =>
       requireEncodable("schema", ddl)
@@ -149,7 +168,7 @@ object TxLog {
     val sb = new StringBuilder
     adds.foreach { p =>
       requireEncodable("path", p)
-      sb ++= s"""{"add":{"path":"$p"}}""" += '\n'
+      sb ++= s"""{"add":{"path":"$p"${statsField(stats.get(p))}}}""" += '\n'
     }
     removes.foreach { p =>
       requireEncodable("path", p)
@@ -193,10 +212,11 @@ object TxLog {
     * replaced via ATOMIC_MOVE — it is a monotone optimization hint, and
     * the newest pointer must win (the Delta `_last_checkpoint` rule). */
   def checkpoint(dir: String, version: Long): Unit = {
-    val (state, schema) = replayState(dir, version)
+    val (state, stats, schema) = replayState(dir, version)
     val active = state.collect { case (p, true) => p }.toSeq.sorted
     val sb = new StringBuilder
-    active.foreach { p => sb ++= s"""{"active":{"path":"$p"}}""" += '\n' }
+    active.foreach { p =>
+      sb ++= s"""{"active":{"path":"$p"${statsField(stats.get(p))}}}""" += '\n' }
     val schemaField = schema.map(d => s""","schema":"$d"""").getOrElse("")
     sb ++= s"""{"checkpoint":{"version":$version,"n_files":${active.size}$schemaField}}""" += '\n'
     val ld = logDir(dir)
@@ -213,10 +233,12 @@ object TxLog {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Parse a checkpoint file: (active paths, schema). Refuses torn or
-    * foreign content — the file is published atomically, so a mismatch
-    * is tampering, and serving a half state would silently drop data. */
-  private[graft] def parseCheckpoint(dir: String, v: Long): (Seq[String], Option[String]) = {
+  /** Parse a checkpoint file: (active paths, per-path stats, schema).
+    * Refuses torn or foreign content — the file is published
+    * atomically, so a mismatch is tampering, and serving a half state
+    * would silently drop data. */
+  private[graft] def parseCheckpoint(dir: String, v: Long)
+      : (Seq[String], Map[String, FileStats], Option[String]) = {
     val f = checkpointFile(dir, v)
     val lines = new String(
       java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
@@ -224,8 +246,11 @@ object TxLog {
     if (lines.isEmpty)
       throw new IllegalStateException(s"torn checkpoint $v: empty file")
     val active = Seq.newBuilder[String]
+    val stats = Map.newBuilder[String, FileStats]
     lines.init.foreach {
-      case ActiveRe(p) => active += p
+      case ActiveRe(p, c, lo, hi, rows) =>
+        active += p
+        if (c != null) stats += p -> FileStats(c, lo.toLong, hi.toLong, rows.toLong)
       case other => throw new IllegalStateException(
         s"torn checkpoint $v: unrecognized line ${other.take(80)}")
     }
@@ -238,7 +263,7 @@ object TxLog {
         if (n.toInt != a.size)
           throw new IllegalStateException(
             s"torn checkpoint $v: trailer declares $n files, file carries ${a.size}")
-        (a, Option(schema))
+        (a, stats.result(), Option(schema))
       case other => throw new IllegalStateException(
         s"torn checkpoint $v: missing trailer (last line: ${other.take(80)})")
     }
@@ -285,8 +310,11 @@ object TxLog {
       throw new IllegalStateException(s"torn commit $v: empty file")
     val adds = Seq.newBuilder[String]
     val removes = Seq.newBuilder[String]
+    val stats = Map.newBuilder[String, FileStats]
     lines.init.foreach {
-      case AddRe(p) => adds += p
+      case AddRe(p, c, lo, hi, rows) =>
+        adds += p
+        if (c != null) stats += p -> FileStats(c, lo.toLong, hi.toLong, rows.toLong)
       case RemoveRe(p) => removes += p
       case other => throw new IllegalStateException(
         s"torn commit $v: unrecognized action ${other.take(80)}")
@@ -300,7 +328,7 @@ object TxLog {
         if (n.toInt != a.size + r.size)
           throw new IllegalStateException(
             s"torn commit $v: trailer declares $n actions, file carries ${a.size + r.size}")
-        Commit(v, op, a, r, Option(schema))
+        Commit(v, op, a, r, Option(schema), stats.result())
       case other => throw new IllegalStateException(
         s"torn commit $v: missing trailer (last line: ${other.take(80)})")
     }
@@ -330,13 +358,16 @@ object TxLog {
     * re-added is simply absent, which replays identically to walking
     * the full log. */
   private def replayState(dir: String, asOf: Long)
-      : (scala.collection.mutable.LinkedHashMap[String, Boolean], Option[String]) = {
+      : (scala.collection.mutable.LinkedHashMap[String, Boolean],
+         Map[String, FileStats], Option[String]) = {
     val state = scala.collection.mutable.LinkedHashMap[String, Boolean]()
+    val stats = scala.collection.mutable.HashMap[String, FileStats]()
     var schema: Option[String] = None
     val from = latestCheckpointAtOrBefore(dir, asOf) match {
       case Some(cv) =>
-        val (active, s) = parseCheckpoint(dir, cv)
+        val (active, st, s) = parseCheckpoint(dir, cv)
         active.foreach(p => state(p) = true)
+        stats ++= st
         schema = s
         cv + 1
       case None => 0L
@@ -346,10 +377,18 @@ object TxLog {
       // Overwrite commits list their removes explicitly (the writer
       // computes them from the prior snapshot) — replay is uniform.
       c.removes.foreach(p => state(p) = false)
-      c.adds.foreach(p => state(p) = true)
+      c.adds.foreach { p =>
+        state(p) = true
+        // Stats travel with the add action: a stat-less re-add drops
+        // any older record (it may describe different bytes).
+        c.stats.get(p) match {
+          case Some(st) => stats(p) = st
+          case None => stats.remove(p): Unit
+        }
+      }
       c.schema.foreach(s => schema = Some(s))
     }
-    (state, schema)
+    (state, stats.toMap, schema)
   }
 
   /** The ACTIVE file set (table-relative, sorted) at `asOf` — replay of
@@ -363,8 +402,21 @@ object TxLog {
       throw new IllegalStateException(
         s"version $asOf not committed yet (log head is $head)")
     require(asOf >= 0, s"asOf=$asOf")
-    val (state, _) = replayState(dir, asOf)
+    val (state, _, _) = replayState(dir, asOf)
     state.collect { case (p, true) => p }.toSeq.sorted
+  }
+
+  /** The per-file stats of the active set at `asOf` (only paths whose
+    * add action carried stats) — the manifest a pruned read plans over. */
+  def activeStats(dir: String, asOf: Long): Map[String, FileStats] = {
+    val head = latestVersion(dir)
+    if (asOf > head)
+      throw new IllegalStateException(
+        s"version $asOf not committed yet (log head is $head)")
+    require(asOf >= 0, s"asOf=$asOf")
+    val (state, stats, _) = replayState(dir, asOf)
+    val active = state.collect { case (p, true) => p }.toSet
+    stats.filter { case (p, _) => active(p) }
   }
 
   /** The table schema (DDL) as of `asOf`: the latest commit trailer's
@@ -373,7 +425,7 @@ object TxLog {
   def schemaAsOf(dir: String, asOf: Long): Option[String] = {
     val head = latestVersion(dir)
     if (head < 0 || asOf < 0) return None
-    replayState(dir, math.min(asOf, head))._2
+    replayState(dir, math.min(asOf, head))._3
   }
 
   /** Snapshot-isolated read AS OF `version`: the active files' parquet,
@@ -387,15 +439,63 @@ object TxLog {
       throw new IllegalStateException(
         s"version $version not committed yet (log head is $head)")
     require(version >= 0, s"version=$version")
-    val (state, schema) = replayState(dir, version)
+    val (state, _, schema) = replayState(dir, version)
     val files = state.collect { case (p, true) => p }.toSeq.sorted
     if (files.isEmpty)
       throw new IllegalStateException(s"snapshot $version of $dir is empty")
+    readFiles(spark, dir, files, schema)
+  }
+
+  private def readFiles(spark: SparkSession, dir: String,
+                        files: Seq[String], schema: Option[String]): DataFrame = {
     val reader = schema match {
       case Some(ddl) => spark.read.schema(StructType.fromDDL(ddl))
       case None => spark.read
     }
     reader.parquet(files.map(p => s"$dir/$p"): _*)
+  }
+
+  /** STATS-PRUNED snapshot read: `readAsOf` restricted to
+    * `whereCol BETWEEN lo AND hi`, with files whose recorded [lo, hi]
+    * range is DISJOINT from the predicate dropped at the MANIFEST —
+    * before Spark ever lists them (the Delta/Iceberg data-skipping
+    * read; at 100 TB this is the difference between scanning 3 files
+    * and listing 10⁵). Files without recorded stats (or with stats on
+    * a different column) are conservatively kept; the predicate is
+    * STILL applied to whatever is read, so pruning is pure
+    * optimization, never a semantics change. Returns
+    * (frame, files pruned, files kept). */
+  def readAsOfWhere(spark: SparkSession, dir: String, version: Long,
+                    whereCol: String, lo: Long, hi: Long)
+      : (DataFrame, Int, Int) = {
+    require(lo <= hi, s"empty range [$lo, $hi]")
+    val head = latestVersion(dir)
+    if (version > head)
+      throw new IllegalStateException(
+        s"version $version not committed yet (log head is $head)")
+    require(version >= 0, s"version=$version")
+    val (state, stats, schema) = replayState(dir, version)
+    val files = state.collect { case (p, true) => p }.toSeq.sorted
+    if (files.isEmpty)
+      throw new IllegalStateException(s"snapshot $version of $dir is empty")
+    val kept = files.filter { p =>
+      stats.get(p) match {
+        case Some(st) if st.col == whereCol => st.hi >= lo && st.lo <= hi
+        case _ => true // no usable stats: must read it
+      }
+    }
+    val df =
+      if (kept.isEmpty) {
+        // Everything pruned: an empty frame with the pinned schema —
+        // reading zero parquet paths is not expressible, so filter a
+        // 1-file read down to nothing (the predicate is disjoint from
+        // that file's range by construction, so this scans ~0 rows).
+        readFiles(spark, dir, files.take(1), schema)
+          .filter(org.apache.spark.sql.functions.col(whereCol)
+            .between(lo, hi))
+      } else readFiles(spark, dir, kept, schema)
+        .filter(org.apache.spark.sql.functions.col(whereCol).between(lo, hi))
+    (df, files.size - kept.size, kept.size)
   }
 
   /** Read the log head (the latest snapshot). */
@@ -453,11 +553,36 @@ object TxLog {
     * writer-unique dir, then one atomic commit publishes it with the
     * DataFrame's schema recorded in the trailer. `removes` lists the
     * table-relative files this commit supersedes (the previous
-    * snapshot's files for an overwrite; empty for an append). */
+    * snapshot's files for an overwrite; empty for an append).
+    * `statsCol` (a long-typed column) opts into per-file min/max/rows
+    * stats on each add action — one extra distributed pass over the
+    * JUST-WRITTEN files grouped by file (manifest-sized result on the
+    * driver, the lakehouse-client shape), enabling [[readAsOfWhere]]'s
+    * manifest pruning. */
   def commitData(df: DataFrame, dir: String, version: Long,
                  operation: String = "append",
-                 removes: Seq[String] = Nil): Long = {
+                 removes: Seq[String] = Nil,
+                 statsCol: Option[String] = None): Long = {
     val files = writeData(df, dir, version)
-    commit(dir, version, operation, files, removes, Some(df.schema.toDDL))
+    val stats = statsCol match {
+      case None => Map.empty[String, FileStats]
+      case Some(c) =>
+        val spark = df.sparkSession
+        import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+        // files are all under one data/v<N>-<nonce>/ dir by construction.
+        val rel = files.head.substring(0, files.head.lastIndexOf('/'))
+        spark.read.parquet(s"$dir/$rel")
+          .groupBy(input_file_name().as("f"))
+          .agg(min(col(c)).cast("long").as("lo"),
+            max(col(c)).cast("long").as("hi"),
+            count(lit(1)).as("rows"))
+          .collect() // one row per file: manifest-sized, never data-sized
+          .map { r =>
+            val f = r.getString(0)
+            val name = f.substring(f.lastIndexOf('/') + 1)
+            s"$rel/$name" -> FileStats(c, r.getLong(1), r.getLong(2), r.getLong(3))
+          }.toMap
+    }
+    commit(dir, version, operation, files, removes, Some(df.schema.toDDL), stats)
   }
 }

@@ -245,6 +245,49 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.activeFiles(dir, 12) == byCkpt(12))
   }
 
+  test("file stats prune at the manifest; conservative without stats; survive checkpoints") {
+    val dir = freshDir()
+    import spark.implicits._
+    // 40 rows range-partitioned into 4 files with disjoint k ranges.
+    val df = (1L to 40L).map(k => (k, s"r$k")).toDF("k", "s")
+      .repartitionByRange(4, col("k"))
+    TxLog.commitData(df, dir, 0, statsCol = Some("k"))
+    val stats = TxLog.activeStats(dir, 0)
+    assert(stats.size == 4)
+    assert(stats.values.map(_.rows).sum == 40)
+    assert(stats.values.forall(st => st.col == "k" && st.lo <= st.hi))
+    // A range inside ONE file's span prunes the other three…
+    val oneFile = stats.values.toSeq.sortBy(_.lo).head
+    val (df1, pruned1, kept1) =
+      TxLog.readAsOfWhere(spark, dir, 0, "k", oneFile.lo, oneFile.hi)
+    assert(pruned1 == 3 && kept1 == 1)
+    // …and the pruned read's CONTENT equals the unpruned filter.
+    assert(df1.as[(Long, String)].collect().sorted.toSeq ==
+      TxLog.readAsOf(spark, dir, 0)
+        .filter(col("k").between(oneFile.lo, oneFile.hi))
+        .as[(Long, String)].collect().sorted.toSeq)
+    // A fully-disjoint range prunes EVERYTHING and reads zero rows.
+    val (df0, pruned0, _) = TxLog.readAsOfWhere(spark, dir, 0, "k", 1000, 2000)
+    assert(pruned0 == 4 && df0.count() == 0)
+    // A predicate on a column WITHOUT stats keeps every file
+    // (conservative — pruning is an optimization, never semantics).
+    val (_, prunedS, keptS) = TxLog.readAsOfWhere(spark, dir, 0, "s", 0, 0)
+    assert(prunedS == 0 && keptS == 4)
+    // Stats ride through a checkpoint: snapshot the state, then verify
+    // the checkpointed resolution still prunes identically.
+    TxLog.checkpoint(dir, 0)
+    val (_, prunedC, keptC) =
+      TxLog.readAsOfWhere(spark, dir, 0, "k", oneFile.lo, oneFile.hi)
+    assert(prunedC == 3 && keptC == 1)
+    // A legacy (stat-less) append over the same keys degrades pruning
+    // gracefully: its files are always kept.
+    val extra = Seq((5L, "x")).toDF("k", "s")
+    TxLog.commit(dir, 1, "append", TxLog.writeData(extra, dir, 1))
+    val (_, pruned2, kept2) =
+      TxLog.readAsOfWhere(spark, dir, 1, "k", oneFile.lo, oneFile.hi)
+    assert(pruned2 == 3 && kept2 == 2)
+  }
+
   test("vacuum deletes exactly the below-horizon files; time travel there fails loudly") {
     val d = sf("sf0.001")
     val dir = graft.operators.MaintenanceQueries.stageTxVacuum(spark, d)
