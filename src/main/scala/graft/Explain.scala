@@ -205,7 +205,16 @@ object Explain {
     "epub_extract",
     // the mixed front door: one binary scan -> typed dispatch map ->
     // codegen'd strip on the epub branch -> union -> one aggregate.
-    "pipeline_mixed_extract")
+    "pipeline_mixed_extract",
+    // round 20: the two new extractors (the docx plan family — whole-file
+    // scan → typed parse-as-filter map → aggregate), the stats-pruned
+    // transaction-log read (3 files scanned off an 8-file manifest,
+    // predicate still applied), and the script-gated shingle join (one
+    // staged scan → codegen'd segment transforms → distinct shingles →
+    // co-shingle pair join — the exact-jaccard family with two
+    // segmenters).
+    "odt_extract", "rtf_extract", "q_txlog_stats_prune",
+    "dedup_script_jaccard")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1418,17 +1418,26 @@ object DedupQueries extends QueryPack {
     // are co-shingle pairs, never corpus²; all segmentation is
     // codegen'd transforms, map-only until the pair join.
     "dedup_script_jaccard" -> ((s, d) => {
-      val docs = s.read.parquet(stageCjkCorpus(s, d))
-      val sh = scriptGatedTokens(docs)
-        .withColumn("sh",
-          explode(expr("""CASE WHEN size(toks) >= 3
-                          THEN transform(sequence(1, size(toks) - 2),
-                                         i -> array_join(slice(toks, i, 3), '|'))
-                          ELSE array() END""")))
-        .select("doc_id", "script", "sh")
-        .distinct()
-      val sized = sh.groupBy("doc_id", "script").agg(count(lit(1)).as("nsh"))
-      val withN = sh.join(sized, Seq("doc_id", "script"))
+      // The sized shingle frame is the reusable script-aware INDEX (the
+      // minhashPairs discipline): BOTH pair-join sides derive from it,
+      // so without the lazy checkpoint the segment+explode+distinct
+      // chain runs once per side per downstream stage.
+      Tables.evictDead(indexCache, Tables.sessionKey(s))
+      val withN = indexCache.computeIfAbsent(
+        (Tables.sessionKey(s), d, "scriptjac"), _ => {
+          val docs = s.read.parquet(stageCjkCorpus(s, d))
+          val sh = scriptGatedTokens(docs)
+            .withColumn("sh",
+              explode(expr("""CASE WHEN size(toks) >= 3
+                              THEN transform(sequence(1, size(toks) - 2),
+                                             i -> array_join(slice(toks, i, 3), '|'))
+                              ELSE array() END""")))
+            .select("doc_id", "script", "sh")
+            .distinct()
+          val sized = sh.groupBy("doc_id", "script").agg(count(lit(1)).as("nsh"))
+          sh.join(sized, Seq("doc_id", "script"))
+            .localCheckpoint(eager = false)
+        })
       val a = withN.select(col("doc_id").as("da"), col("script"),
         col("sh"), col("nsh").as("na"))
       val b = withN.select(col("doc_id").as("db2"), col("sh").as("sh_b"),
