@@ -911,6 +911,27 @@ object Graft {
   def txActiveFiles(dir: String, version: Long): Seq[String] =
     sources.TxLog.activeFiles(dir, version)
 
+  /** STATS-PRUNED snapshot read: `whereCol BETWEEN lo AND hi` with
+    * files whose recorded min/max range is disjoint dropped at the
+    * manifest, before Spark lists them (write the table through
+    * [[txCommitStats]] to record the stats). Negative version reads
+    * the latest snapshot. Returns just the frame; use
+    * sources.TxLog.readAsOfWhere directly for the prune counts. */
+  def txReadWhere(spark: SparkSession, dir: String, whereCol: String,
+                  lo: Long, hi: Long, version: Long = -1L): DataFrame = {
+    val v = if (version < 0) sources.TxLog.latestVersion(dir) else version
+    sources.TxLog.readAsOfWhere(spark, dir, v, whereCol, lo, hi)._1
+  }
+
+  /** [[txCommit]] with per-file min/max/rows stats recorded on
+    * `statsCol` (a long-typed column) — the write side of
+    * [[txReadWhere]]'s manifest pruning. */
+  def txCommitStats(df: DataFrame, dir: String, version: Long,
+                    statsCol: String, operation: String = "append",
+                    removes: Seq[String] = Nil): Long =
+    sources.TxLog.commitData(df, dir, version, operation, removes,
+      statsCol = Some(statsCol))
+
   /** VACUUM a transaction-log table: physically delete data files
     * unreferenced by any version ≥ `retainFrom`. Retained snapshots
     * stay readable; time travel below the horizon fails loudly at read

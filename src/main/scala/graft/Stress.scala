@@ -863,7 +863,67 @@ object Stress {
       s"kmv estimate $kmvEst vs exact $kmvExact: error ${kmvErrPpm}ppm past 4 RSE")
     println(f"[stress] kmv_10x: exact $kmvExact%,d in $kexSec%.2f s, sketch est $kmvEst%,d in $kskSec%.2f s, err ${kmvErrPpm / 10000.0}%.2f%%")
 
-    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"prefix_join_10x":{"docs":$pjDocs,"sec_1x":$pj1Sec,"pairs_1x":$pj1Pairs,"sec_10x":$pjSec,"pairs_10x":$pjPairs,"brute_pair_universe":$pjUniverse},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"embed_ivf_10x":{"vecs":$embDocs,"nlist16_sec":$iv,"nlist16_pairs":$niv,"nlist128_sec":$iv2,"nlist128_pairs":$niv2},"pq_adc_10x":{"vecs":$nPqCodes,"fit_sec":$pqFitSec,"encode_sec":$pqEncSec,"adc_scan_sec":$pqScanSec,"exact_scan_sec":$pqExactSec,"code_bytes_per_vec":8,"float_bytes_per_vec":256},"codebook_hot_vector":{"vecs":$nAdv,"clones":$hotClones,"fit_sec":$fitSec,"nonempty_cells":$nonEmptyCells,"max_cell_share":$maxCellShare,"neardup_sec":$advSec,"neardup_pairs":$nAdvPairs,"planted_pairs":$plantedPairs},"bloom_10x":{"orders":$nOrd,"smj_sec":$sj,"smj_rows":$nsj,"probe_sec":$bp,"probe_rows":$nbp,"verify_sec":$bv,"verify_rows":$nbv},"ingest_many_files":{"files":$ingestN,"hidden_frac":0.333,"sec":$ingestSec,"words":${ingested.size},"fold_match":true},"skew_join_hot":{"hot_rows":$hotRows,"buckets_hit":${buckets.size},"max_bucket_rows":$maxBucket,"salted_sec":$saltSec,"plain_sec":$plainSec,"match":true},"span_hot_gram":{"docs":$tenxDocs,"plain_sec":$spSec,"plain_rows":$spRows,"hot_sec":$shSec,"hot_rows":$shRows,"min_shared_windows":$minShared},"span_suffix_flood":{"docs":${tenxDocs + 22},"sec":$sfxSec,"rows":$sfxRows,"planted_recovered":true,"capped_missed":true},"incremental_ingest":{"batch_rows":$nBatch,"corpus_docs":$tenxDocs,"new_docs":$incNew,"expected_new":$expectedNew,"sec":$incSec,"match":true},"stream_state":[${ssRes.map(ssJson).mkString(",")}],"pixel_decode":{"bmp_1x":{"imgs":$npd1,"sec":$pd1},"bmp_10x":{"imgs":$npd10,"sec":$pd10},"png_1x":{"imgs":$npg1,"sec":$pg1},"png_10x":{"imgs":$npg10,"sec":$pg10,"staged_bytes":$pngBytes10},"gif_1x":{"imgs":$ngf1,"sec":$gf1},"gif_10x":{"imgs":$ngf10,"sec":$gf10,"staged_bytes":$gifBytes10}},"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2},"warc_parse":{"shards":200,"records":$warcRecs,"bytes":$warcBytes,"sec":$warcSec,"clean":true},"pdf_parse":{"docs":$nPdfDocs,"pages":$pdfPages,"bytes":$pdfBytesTotal,"sec":$pdfSec,"clean":true},"avro_10x":{"rows":$nAvroRows,"bytes":$avroBytes,"shards":16,"write_sec":$avWriteSec,"read_sec":$avReadSec,"match":true},"pagerank_hot_hub":{"edges":$nEdges,"nodes":$prNodes,"hub_degree":$starLeaves,"iters":3,"sec":$prSec,"hub_is_top":true,"leaf_rank_values":1,"ring_rank_values":1},"compaction_manifest":{"files":100000,"bins":$cpBins,"sec":$cpSec,"bytes_conserved":true,"fill_bound_holds":true},"maintenance_10x":{"orders_10x":$nOrd10,"merge_1x_sec":$mg1,"merge_10x_sec":$mg10,"checksum_1x_sec":$ck1Sec,"checksum_10x_sec":$ck10Sec,"accounting_match":true,"sums_move_under_key_shift":true},"merge_hot_batch":{"snapshot_rows":$mhSnapRows,"batch_rows":$mhBatchRows,"hot_rows":$mhHotRows,"uniform_sec":$mhuSec,"uniform_rows":$mhuRows,"raw_hot_sec":$mhhSec,"raw_hot_rows":$mhhRows,"aqe_fullouter_skew_split":false,"compacted_hot_sec":$mhcSec,"compacted_rows_out":$mhcRows,"compacted_batch_keys":$mhCompactRows,"lww_match":true},"bpe_learn_10x":{"merges":10,"sec_1x":$bl1,"sec_10x":$bl10,"table_identical":true,"counts_x10":true},"kmv_10x":{"distinct_keys":$kmvExact,"exact_sec":$kexSec,"sketch_sec":$kskSec,"estimate":$kmvEst,"err_ppm":$kmvErrPpm,"artifact_bytes":2056}}""")
+    // Transaction-log metadata at 1000 commits: the round-19 verdict's
+    // "linear driver walk" risk, measured. The log is METADATA-only
+    // here (commit() never touches data files), so this isolates
+    // exactly the driver cost a snapshot read pays: with the automatic
+    // every-10th-commit checkpoints, resolution reads ~10 files (the
+    // newest checkpoint + the tail); with checkpoints hidden, the SAME
+    // resolution replays all 1000 commit files. Both must produce the
+    // IDENTICAL active set — the checkpoint is an accelerator, never a
+    // semantics change.
+    val txDir = java.nio.file.Files.createTempDirectory("stress_txlog_").toFile
+    txDir.deleteOnExit()
+    val nCommits = 1000
+    val (txStageSec, _) = time(s"txlog stage $nCommits commits", {
+      (0 until nCommits).foreach { v =>
+        // Two adds + one remove per commit past v=0: a live table whose
+        // manifest churns, with per-file stats on the adds.
+        val adds = Seq(s"data/v$v-aaaa/part-0.parquet", s"data/v$v-aaaa/part-1.parquet")
+        val removes = if (v == 0) Nil else Seq(s"data/v${v - 1}-aaaa/part-0.parquet")
+        graft.sources.TxLog.commit(txDir.getPath, v, "append", adds, removes,
+          Some("`k` BIGINT,`s` STRING"),
+          adds.map(p => p -> graft.sources.TxLog.FileStats("k", v * 100L,
+            v * 100L + 99L, 100L)).toMap)
+      }
+      nCommits.toLong
+    })
+    var ckptActive: Seq[String] = Nil
+    val (txCkptSec, _) = time("txlog checkpointed read @999", {
+      ckptActive = graft.sources.TxLog.activeFiles(txDir.getPath, nCommits - 1L)
+      ckptActive.size.toLong
+    })
+    // Hide every checkpoint + the pointer → the same read must walk all
+    // 1000 commit files (the pre-round-20 shape).
+    val logDirF = new java.io.File(txDir, "_log")
+    val hidden = new java.io.File(txDir, "hidden_ckpts")
+    hidden.mkdirs()
+    val ckptFiles = logDirF.listFiles().filter(f =>
+      f.getName == "_last_checkpoint" || f.getName.endsWith(".checkpoint.json"))
+    val nCkpts = ckptFiles.length.toLong
+    ckptFiles.foreach(f => require(f.renameTo(new java.io.File(hidden, f.getName))))
+    var fullActive: Seq[String] = Nil
+    val (txFullSec, _) = time("txlog full-replay read @999", {
+      fullActive = graft.sources.TxLog.activeFiles(txDir.getPath, nCommits - 1L)
+      fullActive.size.toLong
+    })
+    hidden.listFiles().foreach(f => require(f.renameTo(new java.io.File(logDirF, f.getName))))
+    require(ckptActive == fullActive,
+      s"checkpointed read diverges from full replay: ${ckptActive.size} vs ${fullActive.size}")
+    // The stats manifest rides the same resolution: prune planning over
+    // the 1001-file active set is a driver map filter, no IO beyond it.
+    var pruneKept = 0
+    val (txPruneSec, _) = time("txlog stats-prune plan @999", {
+      val stats = graft.sources.TxLog.activeStats(txDir.getPath, nCommits - 1L)
+      pruneKept = ckptActive.count(p => stats.get(p).forall(st =>
+        st.hi >= 50000L && st.lo <= 50099L))
+      pruneKept.toLong
+    })
+    require(pruneKept <= 3,
+      s"stats prune kept $pruneKept of ${ckptActive.size} files for a 1-commit range")
+    println(f"[stress] txlog_1000: stage $txStageSec%.2f s, ckpt read $txCkptSec%.3f s ($nCkpts ckpt files on disk), full replay $txFullSec%.3f s, prune plan $txPruneSec%.3f s kept $pruneKept/${ckptActive.size}")
+
+    println(s"""{"stress":"lsh_cap","corpus_docs":$corpusDocs,"simhash":{"uncapped_sec":$su,"uncapped_pairs":$nu,"capped_sec":$sc,"capped_pairs":$nc},"minhash":{"uncapped_sec":$mu,"uncapped_pairs":$nmu,"capped_sec":$mc,"capped_pairs":$nmc},"prefix_join_10x":{"docs":$pjDocs,"sec_1x":$pj1Sec,"pairs_1x":$pj1Pairs,"sec_10x":$pjSec,"pairs_10x":$pjPairs,"brute_pair_universe":$pjUniverse},"sketch_vs_exact":{"sketch_sec":$ts1,"groups":$n1,"exact_sec":$ts2,"pairs":$n2},"embed_ivf_10x":{"vecs":$embDocs,"nlist16_sec":$iv,"nlist16_pairs":$niv,"nlist128_sec":$iv2,"nlist128_pairs":$niv2},"pq_adc_10x":{"vecs":$nPqCodes,"fit_sec":$pqFitSec,"encode_sec":$pqEncSec,"adc_scan_sec":$pqScanSec,"exact_scan_sec":$pqExactSec,"code_bytes_per_vec":8,"float_bytes_per_vec":256},"codebook_hot_vector":{"vecs":$nAdv,"clones":$hotClones,"fit_sec":$fitSec,"nonempty_cells":$nonEmptyCells,"max_cell_share":$maxCellShare,"neardup_sec":$advSec,"neardup_pairs":$nAdvPairs,"planted_pairs":$plantedPairs},"bloom_10x":{"orders":$nOrd,"smj_sec":$sj,"smj_rows":$nsj,"probe_sec":$bp,"probe_rows":$nbp,"verify_sec":$bv,"verify_rows":$nbv},"ingest_many_files":{"files":$ingestN,"hidden_frac":0.333,"sec":$ingestSec,"words":${ingested.size},"fold_match":true},"skew_join_hot":{"hot_rows":$hotRows,"buckets_hit":${buckets.size},"max_bucket_rows":$maxBucket,"salted_sec":$saltSec,"plain_sec":$plainSec,"match":true},"span_hot_gram":{"docs":$tenxDocs,"plain_sec":$spSec,"plain_rows":$spRows,"hot_sec":$shSec,"hot_rows":$shRows,"min_shared_windows":$minShared},"span_suffix_flood":{"docs":${tenxDocs + 22},"sec":$sfxSec,"rows":$sfxRows,"planted_recovered":true,"capped_missed":true},"incremental_ingest":{"batch_rows":$nBatch,"corpus_docs":$tenxDocs,"new_docs":$incNew,"expected_new":$expectedNew,"sec":$incSec,"match":true},"stream_state":[${ssRes.map(ssJson).mkString(",")}],"pixel_decode":{"bmp_1x":{"imgs":$npd1,"sec":$pd1},"bmp_10x":{"imgs":$npd10,"sec":$pd10},"png_1x":{"imgs":$npg1,"sec":$pg1},"png_10x":{"imgs":$npg10,"sec":$pg10,"staged_bytes":$pngBytes10},"gif_1x":{"imgs":$ngf1,"sec":$gf1},"gif_10x":{"imgs":$ngf10,"sec":$gf10,"staged_bytes":$gifBytes10}},"q3_broadcast_sensitivity":{"auto_sec":$b1,"smj_sec":$b2},"warc_parse":{"shards":200,"records":$warcRecs,"bytes":$warcBytes,"sec":$warcSec,"clean":true},"pdf_parse":{"docs":$nPdfDocs,"pages":$pdfPages,"bytes":$pdfBytesTotal,"sec":$pdfSec,"clean":true},"avro_10x":{"rows":$nAvroRows,"bytes":$avroBytes,"shards":16,"write_sec":$avWriteSec,"read_sec":$avReadSec,"match":true},"pagerank_hot_hub":{"edges":$nEdges,"nodes":$prNodes,"hub_degree":$starLeaves,"iters":3,"sec":$prSec,"hub_is_top":true,"leaf_rank_values":1,"ring_rank_values":1},"compaction_manifest":{"files":100000,"bins":$cpBins,"sec":$cpSec,"bytes_conserved":true,"fill_bound_holds":true},"maintenance_10x":{"orders_10x":$nOrd10,"merge_1x_sec":$mg1,"merge_10x_sec":$mg10,"checksum_1x_sec":$ck1Sec,"checksum_10x_sec":$ck10Sec,"accounting_match":true,"sums_move_under_key_shift":true},"merge_hot_batch":{"snapshot_rows":$mhSnapRows,"batch_rows":$mhBatchRows,"hot_rows":$mhHotRows,"uniform_sec":$mhuSec,"uniform_rows":$mhuRows,"raw_hot_sec":$mhhSec,"raw_hot_rows":$mhhRows,"aqe_fullouter_skew_split":false,"compacted_hot_sec":$mhcSec,"compacted_rows_out":$mhcRows,"compacted_batch_keys":$mhCompactRows,"lww_match":true},"bpe_learn_10x":{"merges":10,"sec_1x":$bl1,"sec_10x":$bl10,"table_identical":true,"counts_x10":true},"kmv_10x":{"distinct_keys":$kmvExact,"exact_sec":$kexSec,"sketch_sec":$kskSec,"estimate":$kmvEst,"err_ppm":$kmvErrPpm,"artifact_bytes":2056},"txlog_checkpoint_1000":{"commits":$nCommits,"stage_sec":$txStageSec,"ckpt_read_sec":$txCkptSec,"full_replay_sec":$txFullSec,"ckpt_files":$nCkpts,"active_files":${ckptActive.size},"identical":true,"prune_plan_sec":$txPruneSec,"prune_kept":$pruneKept}}""")
     spark.stop()
   }
 }

@@ -444,6 +444,27 @@ class GraftApiSpec extends SparkSpec {
     assert(got(0).getInt(3) == sources.DocxSource.ExpectedParas)
   }
 
+  test("odtExtract and rtfExtract facades round-trip the staged models, drop junk") {
+    import spark.implicits._
+    val odts = Seq(
+      (5L, "s0", sources.OdtSource.odtBytes(5L)),
+      (6L, "s0", Array[Byte](9, 9, 9))) // not a ZIP: parse-as-filter drops it
+      .toDF("doc_id", "source", "odt")
+    val oGot = Graft.odtExtract(spark, odts).collect()
+    assert(oGot.length == 1 && oGot(0).getLong(0) == 5L)
+    assert(oGot(0).getString(2) == sources.OdtSource.odtExpected(5L))
+    assert(oGot(0).getInt(3) == sources.OdtSource.ExpectedParas)
+    val rtfs = Seq(
+      (5L, "s0", sources.RtfSource.rtfDoc(5L)
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)),
+      (6L, "s0", "not rtf".getBytes("UTF-8"))) // no magic: drops
+      .toDF("doc_id", "source", "rtf")
+    val rGot = Graft.rtfExtract(spark, rtfs).collect()
+    assert(rGot.length == 1 && rGot(0).getLong(0) == 5L)
+    assert(rGot(0).getString(2) == sources.RtfSource.rtfExpected(5L))
+    assert(rGot(0).getInt(3) == sources.RtfSource.ExpectedParas)
+  }
+
   test("spanSuffixPairs facade equals the declared dedup_span_suffix gate") {
     val d = sf("sf0.001")
     val facade = Graft.spanSuffixPairs(spark, Tables.documents(spark, d))
@@ -470,6 +491,21 @@ class GraftApiSpec extends SparkSpec {
     assert(Graft.txRead(spark, dir).as[(Long, String)].collect().toSeq ==
       Seq((9L, "z")))
     intercept[Exception] { Graft.txRead(spark, dir, 0).count() }
+  }
+
+  test("txCommitStats/txReadWhere facade: stats recorded, disjoint range reads empty") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_txst_api_").toFile.getPath
+    Graft.txCommitStats((1L to 40L).map(k => (k, s"r$k")).toDF("k", "s")
+      .repartitionByRange(4, col("k")), dir, 0, statsCol = "k")
+    assert(Graft.txReadWhere(spark, dir, "k", 5, 8).count() == 4)
+    assert(Graft.txReadWhere(spark, dir, "k", 500, 600).count() == 0)
+    // The pruned frame equals the filtered full read, row for row.
+    assert(Graft.txReadWhere(spark, dir, "k", 11, 30).orderBy("k")
+      .as[(Long, String)].collect().toSeq ==
+      Graft.txRead(spark, dir).filter(col("k").between(11, 30))
+        .orderBy("k").as[(Long, String)].collect().toSeq)
   }
 
   test("pptxExtract and xlsxExtract facades round-trip the staged models") {

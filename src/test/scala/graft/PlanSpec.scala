@@ -310,6 +310,30 @@ class PlanSpec extends SparkSpec {
     assert(oneDayFiles < allFiles, "partitioned layout produced a single directory")
   }
 
+  test("txlog stats-pruned read: the scan's inputFiles are the kept manifest, not the table") {
+    import org.apache.spark.sql.functions._
+    // Manifest pruning happens BEFORE the DataFrame exists, so the plan's
+    // file index — not a runtime filter — is what shrinks: inputFiles on
+    // the pruned read must be exactly the kept files.
+    val dir = java.nio.file.Files.createTempDirectory("plan_txstats_").toFile.getPath
+    import spark.implicits._
+    val df = (1L to 80L).map(k => (k, s"r$k")).toDF("k", "s")
+      .repartitionByRange(8, col("k"))
+    graft.sources.TxLog.commitData(df, dir, 0, statsCol = Some("k"))
+    val all = graft.sources.TxLog.readAsOf(spark, dir, 0).inputFiles.length
+    val stats = graft.sources.TxLog.activeStats(dir, 0)
+    val one = stats.values.toSeq.sortBy(_.lo).head
+    val (pruned, nPruned, nKept) =
+      graft.sources.TxLog.readAsOfWhere(spark, dir, 0, "k", one.lo, one.hi)
+    assert(all == 8 && nKept == 1 && nPruned == 7)
+    assert(pruned.inputFiles.length == 1,
+      s"pruned read's file index carries ${pruned.inputFiles.length} files, expected 1 of $all")
+    // And the predicate still pushes into the one scanned file.
+    val ps = pruned.queryExecution.executedPlan.toString
+    assert(ps.contains("PushedFilters") && ps.contains("k"),
+      s"range predicate did not reach the scan:\n$ps")
+  }
+
   test("text_lm_buckets ranks distributed — no SinglePartition funnel on the doc frame") {
     // The round-15 weak plan: ntile(3) over an unpartitioned window put
     // an Exchange SinglePartition on the PER-DOCUMENT score frame. The
