@@ -812,9 +812,14 @@ object DedupQueries extends QueryPack {
       val mapped = base.map { case (id, text) =>
         (id, if (id % 4 == 0) cjkOf(text) else text)
       }
+      // drop(1) (never substring(1) — safe on "") plus the nonEmpty
+      // filter guard empty/whitespace-only source docs (round-20
+      // review finding). Twin ids live at +10⁷ — collision-free for
+      // any fixture SF (the documents table tops out ~10⁵ rows; a
+      // production corpus would key twins by a namespaced id).
       val twins = base.filter(_._1 % 16 == 0).map { case (id, text) =>
-        (id + 10000000L, cjkOf(text).substring(1))
-      }
+        (id + 10000000L, cjkOf(text).drop(1))
+      }.filter(_._2.nonEmpty)
       mapped.union(twins).toDF("doc_id", "text")
         .coalesce(4).write.mode("overwrite").parquet(out.getPath)
       marker.createNewFile(): Unit

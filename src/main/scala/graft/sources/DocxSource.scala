@@ -108,10 +108,25 @@ object DocxSource {
     * emit both; refusing the unparsable case keeps whitespace handling
     * fail-loud instead of silently trimming significant edges.
     * Shared with [[XlsxSource]] — one parser for the OPC family. */
-  private[sources] def spacePreserve(attrs: String): Option[Boolean] = {
-    val at = attrs.indexOf("xml:space")
-    if (at < 0) return Some(false)
-    var i = at + "xml:space".length
+  private[sources] def spacePreserve(attrs: String): Option[Boolean] =
+    attrValue(attrs, "xml:space") match {
+      case Some(None) => Some(false) // absent: the XML default, trim
+      case Some(Some("preserve")) => Some(true)
+      case Some(Some("default")) => Some(false)
+      case _ => None // unparsable or a value outside the spec's two
+    }
+
+  /** ONE attribute-value scanner for the OPC/ODF tag families
+    * (round-20 review: [[spacePreserve]] and OdtSource.spaceCount were
+    * drifting copies): locate `name` in an opening tag's attribute
+    * region, skip optional whitespace around '=', accept EITHER quote
+    * style. Some(None) = attribute absent; Some(Some(v)) = parsed
+    * value; None = present but UNPARSABLE (no '=', unterminated
+    * quote) — callers refuse rather than guess. */
+  private[sources] def attrValue(attrs: String, name: String): Option[Option[String]] = {
+    val at = attrs.indexOf(name)
+    if (at < 0) return Some(None)
+    var i = at + name.length
     val n = attrs.length
     while (i < n && Character.isWhitespace(attrs.charAt(i))) i += 1
     if (i >= n || attrs.charAt(i) != '=') return None
@@ -122,11 +137,7 @@ object DocxSource {
     if (q != '"' && q != '\'') return None
     val end = attrs.indexOf(q, i + 1)
     if (end < 0) return None
-    attrs.substring(i + 1, end) match {
-      case "preserve" => Some(true)
-      case "default" => Some(false)
-      case _ => None
-    }
+    Some(Some(attrs.substring(i + 1, end)))
   }
 
   /** Extract (prose text, n_paras) from WordprocessingML bytes, or

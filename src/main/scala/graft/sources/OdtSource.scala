@@ -58,26 +58,14 @@ object OdtSource {
     * Some(n) when absent (1) or a parsable positive integer in either
     * quote style; None REFUSES an unparsable count (fail loud — a
     * guessed space count garbles prose silently). */
-  private[sources] def spaceCount(attrs: String): Option[Int] = {
-    val at = attrs.indexOf("text:c")
-    if (at < 0) return Some(1)
-    var i = at + "text:c".length
-    val n = attrs.length
-    while (i < n && Character.isWhitespace(attrs.charAt(i))) i += 1
-    if (i >= n || attrs.charAt(i) != '=') return None
-    i += 1
-    while (i < n && Character.isWhitespace(attrs.charAt(i))) i += 1
-    if (i >= n) return None
-    val q = attrs.charAt(i)
-    if (q != '"' && q != '\'') return None
-    val end = attrs.indexOf(q, i + 1)
-    if (end < 0) return None
-    val v = attrs.substring(i + 1, end)
-    if (v.nonEmpty && v.forall(_.isDigit) && v.length <= 6) {
-      val c = v.toInt
-      if (c >= 1) Some(c) else None
-    } else None
-  }
+  private[sources] def spaceCount(attrs: String): Option[Int] =
+    DocxSource.attrValue(attrs, "text:c") match {
+      case Some(None) => Some(1) // absent: one space (§6.1.3)
+      case Some(Some(v))
+          if v.nonEmpty && v.forall(_.isDigit) && v.length <= 6 && v.toInt >= 1 =>
+        Some(v.toInt)
+      case _ => None // unparsable count: refuse, never guess spaces
+    }
 
   /** True when the tag starting at `i` (already matched on `prefix`)
     * ends its NAME there — the next char is '/', '>' or whitespace —
@@ -146,9 +134,17 @@ object OdtSource {
             lastWasSpace = false
             i = gt + 1
           }
-        } else if (xml.startsWith("</text:p", i) || xml.startsWith("</text:h", i)) {
-          // A paragraph close must match ITS open tag — </text:h>
-          // closing a <text:p> is malformed, not "close enough".
+        } else if ((xml.startsWith("</text:p", i) && i + 8 < xml.length &&
+                    xml.charAt(i + 8) == '>') ||
+                   (xml.startsWith("</text:h", i) && i + 8 < xml.length &&
+                    xml.charAt(i + 8) == '>')) {
+          // The boundary check ('>' right after the name) keeps valid
+          // ODF close tags that merely SHARE the prefix —
+          // </text:page-number>, </text:hidden-text>, … — in the
+          // generic skip below instead of refusing the whole document
+          // (round-20 review finding). A paragraph close must then
+          // match ITS open tag — </text:h> closing a <text:p> is
+          // malformed, not "close enough".
           if (!inPara || !xml.startsWith(closeTag, i)) return None
           val t = cur.result()
           if (t.nonEmpty) { paras += t; nParas += 1 }

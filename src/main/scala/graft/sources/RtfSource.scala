@@ -145,6 +145,14 @@ object RtfSource {
             emit(c1); i += 2
           } else if (c1 == '~') {
             emit(' '); i += 2
+          } else if (c1 == '\r' || c1 == '\n') {
+            // Spec rule: backslash followed by CR/LF is EQUIVALENT to
+            // \par (the form Word-era writers emit as their paragraph
+            // delimiter) — dropping it as an unknown symbol would merge
+            // paragraphs, garbling valid prose (round-20 review
+            // finding). \<CR><LF> is ONE \par.
+            parBreak()
+            i += (if (c1 == '\r' && i + 2 < n && s.charAt(i + 2) == '\n') 3 else 2)
           } else if (c1 == '*') {
             i += 2 // starred-destination marker (group already skipping)
           } else if (c1.isLetter) {

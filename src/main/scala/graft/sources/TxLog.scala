@@ -179,10 +179,18 @@ object TxLog {
     atomicPublish(ld, target, sb.result(),
       s"version $version already committed (lost the race)")
     // The Delta cadence: a state snapshot every interval-th commit.
-    // Runs AFTER the commit is durable; a failure here leaves a valid,
-    // slightly-slower-to-read log (the next interval commit retries).
+    // Runs AFTER the commit is durable, so a checkpoint failure MUST
+    // NOT escape: the commit succeeded, and propagating would mislead
+    // the caller into the retry protocol (re-writing the same data as
+    // the next version = duplicate rows). A failed checkpoint leaves a
+    // valid, slightly-slower-to-read log; the next interval commit
+    // retries it (round-20 review finding).
     if (version > 0 && version % checkpointInterval == 0)
-      checkpoint(dir, version)
+      try checkpoint(dir, version)
+      catch {
+        case t: Exception => System.err.println(
+          s"[txlog] checkpoint at $version failed (commit itself is durable): $t")
+      }
     version
   }
 
@@ -225,12 +233,28 @@ object TxLog {
       try atomicPublish(ld, target, sb.result(), "")
       catch { case _: IllegalStateException => () } // identical twin won
     val ptr = lastCheckpointFile(dir)
-    val tmp = java.nio.file.Files.createTempFile(ld.toPath, ".tmp-", ".ptr")
-    java.nio.file.Files.write(tmp,
-      s"""{"checkpoint":{"version":$version}}\n""".getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, ptr.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // MONOTONE repoint (round-20 review finding): a delayed writer
+    // finishing checkpoint(10) after a sibling published checkpoint(20)
+    // must not regress the pointer — readers short-circuit on it, so a
+    // regression costs every read an extra tail replay until the next
+    // interval. The check-then-move window is benign: the loser leaves
+    // the pointer at SOME valid checkpoint ≤ the newest, which is
+    // staleness the listing fallback already tolerates, never
+    // incorrectness.
+    val current: Long =
+      if (!ptr.exists()) -1L
+      else new String(java.nio.file.Files.readAllBytes(ptr.toPath), "UTF-8").trim match {
+        case LastCkptRe(v) => v.toLong
+        case _ => -1L // corrupt pointer: overwrite it with a valid one
+      }
+    if (version > current) {
+      val tmp = java.nio.file.Files.createTempFile(ld.toPath, ".tmp-", ".ptr")
+      java.nio.file.Files.write(tmp,
+        s"""{"checkpoint":{"version":$version}}\n""".getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, ptr.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** Parse a checkpoint file: (active paths, per-path stats, schema).
@@ -393,9 +417,13 @@ object TxLog {
 
   /** The ACTIVE file set (table-relative, sorted) at `asOf` — replay of
     * the newest checkpoint ≤ asOf plus the commit tail, latest action
-    * per path wins. Refuses version gaps, torn commits/checkpoints, and
-    * an `asOf` beyond the log's head (a reader must not silently serve
-    * an older snapshot than asked for). */
+    * per path wins. Refuses torn commits/checkpoints, version gaps IN
+    * THE REPLAYED TAIL (commits below the seeding checkpoint are not
+    * re-read — the atomically-published checkpoint asserts their net
+    * state, the Delta contract; a deep time-travel read below it still
+    * refuses on any missing commit it replays), and an `asOf` beyond
+    * the log's head (a reader must not silently serve an older
+    * snapshot than asked for). */
   def activeFiles(dir: String, asOf: Long): Seq[String] = {
     val head = latestVersion(dir)
     if (asOf > head)
@@ -577,10 +605,18 @@ object TxLog {
             max(col(c)).cast("long").as("hi"),
             count(lit(1)).as("rows"))
           .collect() // one row per file: manifest-sized, never data-sized
-          .map { r =>
-            val f = r.getString(0)
-            val name = f.substring(f.lastIndexOf('/') + 1)
-            s"$rel/$name" -> FileStats(c, r.getLong(1), r.getLong(2), r.getLong(3))
+          .flatMap { r =>
+            // A file whose stats column is entirely NULL aggregates
+            // min/max to NULL: record no stats for it (conservatively
+            // kept at read time) rather than NPE after the data files
+            // are already written (round-20 review finding).
+            if (r.isNullAt(1) || r.isNullAt(2)) None
+            else {
+              val f = r.getString(0)
+              val name = f.substring(f.lastIndexOf('/') + 1)
+              Some(s"$rel/$name" ->
+                FileStats(c, r.getLong(1), r.getLong(2), r.getLong(3)))
+            }
           }.toMap
     }
     commit(dir, version, operation, files, removes, Some(df.schema.toDDL), stats)

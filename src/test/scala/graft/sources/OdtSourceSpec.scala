@@ -59,6 +59,16 @@ class OdtSourceSpec extends AnyFunSuite {
     assert(x("<text:p>&nope;</text:p>").isEmpty)
   }
 
+  test("close tags sharing the text:p/text:h prefix are structural, not refusals") {
+    // </text:page-number> starts with "</text:p" — the boundary check
+    // keeps it in the generic skip; its character data is prose
+    // (round-20 review finding: the prefix match refused the document).
+    assert(t("<text:p>Page <text:page-number>3</text:page-number>.</text:p>")
+      == "Page 3.")
+    assert(t("<text:h outline-level=\"1\">Hi <text:hidden-text text:content=\"x\"/>" +
+             "there</text:h>") == "Hi there")
+  }
+
   test("annotations never reach prose, including their nested text:p") {
     assert(t("<text:p><office:annotation office:name=\"c\"><text:p>NOTE</text:p>" +
              "</office:annotation>kept</text:p>") == "kept")

@@ -61,6 +61,14 @@ class RtfSourceSpec extends AnyFunSuite {
     assert(t("{\\uc2 inner}\\u233?x\\par") == "inneréx")
   }
 
+  test("backslash-CR/LF is \\par (the Word-era paragraph delimiter)") {
+    // Dropping these as unknown symbols would merge paragraphs —
+    // garbled prose from a valid document (round-20 review finding).
+    assert(t("a\\\r\nb\\par") == "a\nb") // \<CR><LF> is ONE \par
+    assert(t("a\\\nb\\par") == "a\nb")
+    assert(t("a\\\rb\\par") == "a\nb")
+  }
+
   test("par/line/tab/literals map; empty paragraphs drop; raw newlines are not prose") {
     assert(t("a\\par b\\par") == "a\nb")
     assert(t("a\\line b\\tab c\\par") == "a\nb\tc")

@@ -243,6 +243,33 @@ class TxLogSpec extends SparkSpec {
     // An explicit checkpoint call is idempotent.
     TxLog.checkpoint(dir, 10)
     assert(TxLog.activeFiles(dir, 12) == byCkpt(12))
+    // The pointer is MONOTONE: a delayed checkpoint at an OLDER version
+    // writes its snapshot file but never regresses _last_checkpoint
+    // (round-20 review finding — readers short-circuit on the pointer).
+    TxLog.checkpoint(dir, 4)
+    assert(new java.io.File(dir, "_log/" + f"${4L}%020d" + ".checkpoint.json").exists())
+    assert(new String(java.nio.file.Files.readAllBytes(ptr.toPath), "UTF-8")
+      .contains("\"version\":10"))
+    assert(TxLog.activeFiles(dir, 12) == byCkpt(12))
+  }
+
+  test("commitData with an all-null stats file records no stats for it, never NPEs") {
+    val dir = freshDir()
+    import spark.implicits._
+    // Range-partition by s so one output file holds ONLY null-k rows.
+    val df = ((1L to 20L).map(k => (Some(k), "a")) ++
+      (1L to 20L).map(_ => (None: Option[Long], "b")))
+      .toDF("k", "s").repartitionByRange(2, col("s"))
+    TxLog.commitData(df, dir, 0, statsCol = Some("k"))
+    val stats = TxLog.activeStats(dir, 0)
+    // The null-only file has no stats entry; the other file does.
+    assert(stats.nonEmpty && stats.size < TxLog.activeFiles(dir, 0).size)
+    // Conservative read: the stat-less file is always kept, so the null
+    // rows never vanish from a range read (the predicate still drops
+    // them row-wise — NULL BETWEEN is not true — but the FILE is read).
+    assert(TxLog.readLatest(spark, dir).count() == 40)
+    val (pruned, nPruned, kept) = TxLog.readAsOfWhere(spark, dir, 0, "k", 1, 5)
+    assert(kept >= 1 && nPruned == 0 && pruned.count() == 5)
   }
 
   test("file stats prune at the manifest; conservative without stats; survive checkpoints") {
