@@ -49,6 +49,7 @@ object SourceQueries extends QueryPack {
   private def epubStage(d: String) = Stage.dir(d, "epub")
   private def odtStage(d: String) = Stage.dir(d, "odt")
   private def rtfStage(d: String) = Stage.dir(d, "rtf")
+  private def odsStage(d: String) = Stage.dir(d, "ods")
   private def mixedStage(d: String) = Stage.dir(d, "mixed")
 
   /** Stage the MIXED document directory: kept ids (≡ 0 mod 101) route
@@ -799,6 +800,35 @@ object SourceQueries extends QueryPack {
             col("doc_id"), md5(col("text"))))).as("text_checksum"))
         .orderBy("bucket")),
 
+    // ODS cell extraction — the OpenDocument spreadsheet, completing
+    // the ODF pair the way xlsx_extract completes the OPC one. The
+    // gate's teeth are the REPEAT attributes: number-columns-repeated
+    // advances grid positions (a reader ignoring it mis-addresses
+    // every later cell and the checksum breaks), number-rows-repeated
+    // materializes whole rows, a 16384-wide empty padding trailer must
+    // NOT materialize (phantom-cell flood), covered cells under merges
+    // advance but emit nothing — and typed values come from the
+    // canonical office:value attributes while the display text
+    // deliberately LIES in the fixture. Closed-form oracle.
+    "ods_extract" -> ((s, d) =>
+      graft.sources.OdsSource.extractedOds(s,
+          graft.sources.OdsSource.stageFixture(s, d, odsStage(d)))
+        .withColumn("bucket", col("doc_id") % 7)
+        .groupBy("bucket")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_cells"),
+          sum(when(col("kind") === "text", 1L).otherwise(0L)).as("n_text"),
+          sum(when(col("kind") === "num",
+            (col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .otherwise(0L)).as("num_cents"),
+          sum(when(col("kind") === "bool", col("value").cast("long"))
+            .otherwise(0L)).as("bool_sum"),
+          sum(when(col("kind") === "text" || col("kind") === "date",
+            graft.functions.PortableHash.h60p(concat_ws(":",
+              col("doc_id"), col("row"), col("col"), md5(col("value")))))
+            .otherwise(0L)).as("text_checksum"))
+        .orderBy("bucket")),
+
     // RTF text extraction — the legacy interchange format (Word/
     // Wordpad era) a real document corpus still carries: NOT a ZIP
     // container but a 7-bit control-word format, parsed by a hand
@@ -1403,6 +1433,37 @@ object SourceQueries extends QueryPack {
                  CAST(SUM(${graft.functions.PortableHash.h60pSql(
                    "id || ':' || md5(text)")}) AS BIGINT) AS text_checksum
           FROM t GROUP BY 1 ORDER BY bucket""",
+    // The cell truth rebuilt closed-form from doc_id arithmetic
+    // (OdsSource.odsExpected's exact cells — grid positions INCLUDE
+    // the repeat/covered-cell advances, so a repeat slip mis-addresses
+    // a cell and breaks the checksum) — the oracle never sees an ods
+    // byte.
+    "ods_extract" ->
+      s"""WITH d AS (SELECT doc_id AS id FROM documents WHERE doc_id % 101 = 0),
+            cells AS (
+              SELECT id, 1 AS r, 1 AS c, 'text' AS kind,
+                     'Name & ' || (id % 7) AS value FROM d
+              UNION ALL SELECT id, 1, 2, 'num', (id % 9) || '.25' FROM d
+              UNION ALL SELECT id, 1, 5, 'bool', CAST(1 - id % 2 AS VARCHAR) FROM d
+              UNION ALL SELECT id, 1, 6, 'date', '2026-01-0' || (1 + id % 9) FROM d
+              UNION ALL SELECT id, 2, 1, 'text', 'Dup ' || (id % 5) FROM d
+              UNION ALL SELECT id, 2, 3, 'num', (id % 4) || '.50' FROM d
+              UNION ALL SELECT id, 3, 1, 'text', 'Dup ' || (id % 5) FROM d
+              UNION ALL SELECT id, 3, 3, 'num', (id % 4) || '.50' FROM d
+              UNION ALL SELECT id, 4, 1, 'text', 'Merged ' || (id % 6) FROM d
+              UNION ALL SELECT id, 4, 4, 'num', (id % 8) || '.75' FROM d)
+          SELECT id % 7 AS bucket,
+                 CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs,
+                 CAST(COUNT(*) AS BIGINT) AS n_cells,
+                 CAST(SUM(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
+                 CAST(SUM(CASE WHEN kind = 'num'
+                   THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS num_cents,
+                 CAST(SUM(CASE WHEN kind = 'bool' THEN CAST(value AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS bool_sum,
+                 CAST(SUM(CASE WHEN kind IN ('text', 'date') THEN ${graft.functions.PortableHash.h60pSql(
+                   "id || ':' || r || ':' || c || ':' || md5(value)")} ELSE 0 END) AS BIGINT) AS text_checksum
+          FROM cells GROUP BY 1 ORDER BY bucket""",
     // The prose truth rebuilt closed-form from doc_id arithmetic
     // (RtfSource.rtfExpected's exact lines — including the delimiter-
     // space, cp1252, \uN-fallback and field-result rules) — the oracle

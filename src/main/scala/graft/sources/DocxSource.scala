@@ -124,20 +124,34 @@ object DocxSource {
     * value; None = present but UNPARSABLE (no '=', unterminated
     * quote) — callers refuse rather than guess. */
   private[sources] def attrValue(attrs: String, name: String): Option[Option[String]] = {
-    val at = attrs.indexOf(name)
-    if (at < 0) return Some(None)
-    var i = at + name.length
     val n = attrs.length
-    while (i < n && Character.isWhitespace(attrs.charAt(i))) i += 1
-    if (i >= n || attrs.charAt(i) != '=') return None
-    i += 1
-    while (i < n && Character.isWhitespace(attrs.charAt(i))) i += 1
-    if (i >= n) return None
-    val q = attrs.charAt(i)
-    if (q != '"' && q != '\'') return None
-    val end = attrs.indexOf(q, i + 1)
-    if (end < 0) return None
-    Some(Some(attrs.substring(i + 1, end)))
+    var from = 0
+    while (from < n) {
+      val at = attrs.indexOf(name, from)
+      if (at < 0) return Some(None)
+      // NAME-BOUNDARY checks: `office:value` must not match inside
+      // `office:value-type` (after) nor inside a longer prefixed name
+      // (before) — a prefix hit silently binds the WRONG attribute.
+      val beforeOk = at == 0 || Character.isWhitespace(attrs.charAt(at - 1))
+      val j = at + name.length
+      val afterOk = j >= n || attrs.charAt(j) == '=' ||
+        Character.isWhitespace(attrs.charAt(j))
+      if (beforeOk && afterOk) {
+        var i = j
+        while (i < n && Character.isWhitespace(attrs.charAt(i))) i += 1
+        if (i >= n || attrs.charAt(i) != '=') return None
+        i += 1
+        while (i < n && Character.isWhitespace(attrs.charAt(i))) i += 1
+        if (i >= n) return None
+        val q = attrs.charAt(i)
+        if (q != '"' && q != '\'') return None
+        val end = attrs.indexOf(q, i + 1)
+        if (end < 0) return None
+        return Some(Some(attrs.substring(i + 1, end)))
+      }
+      from = at + 1
+    }
+    Some(None)
   }
 
   /** Extract (prose text, n_paras) from WordprocessingML bytes, or

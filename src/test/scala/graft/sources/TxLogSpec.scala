@@ -253,6 +253,31 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.activeFiles(dir, 12) == byCkpt(12))
   }
 
+  test("range-clustered compaction preserves prunability through the overwrite") {
+    val dir = freshDir()
+    import spark.implicits._
+    // Streaming-ingest layout: 6 small stat'd appends with overlapping
+    // key ranges — stats exist but barely prune (every file spans keys).
+    (0L until 6L).foreach { v =>
+      TxLog.commitData((1L to 30L).map(k => (k, s"b$v-r$k")).toDF("k", "s")
+        .coalesce(1), dir, v, statsCol = Some("k"))
+    }
+    val (_, prunedBefore, _) = TxLog.readAsOfWhere(spark, dir, 5, "k", 1, 5)
+    assert(prunedBefore == 0, "overlapping appends should not prune")
+    // OPTIMIZE with CLUSTERING: the compaction rewrite range-partitions
+    // by the stats column, so the rewritten files carry disjoint ranges
+    // — the stats recorded on the overwrite commit prune again.
+    val compacted = TxLog.readAsOf(spark, dir, 5).repartitionByRange(3, col("k"))
+    TxLog.commitData(compacted, dir, 6, "overwrite",
+      removes = TxLog.activeFiles(dir, 5), statsCol = Some("k"))
+    val (df, prunedAfter, keptAfter) = TxLog.readAsOfWhere(spark, dir, 6, "k", 1, 5)
+    assert(prunedAfter >= 1 && keptAfter < prunedAfter + keptAfter,
+      s"clustered compaction did not restore pruning ($prunedAfter pruned)")
+    assert(df.count() == 30) // 6 ingests × keys 1..5, content preserved
+    // …and the pre-compaction snapshot still reads (time travel).
+    assert(TxLog.readAsOf(spark, dir, 5).count() == 180)
+  }
+
   test("commitData with an all-null stats file records no stats for it, never NPEs") {
     val dir = freshDir()
     import spark.implicits._
