@@ -213,7 +213,7 @@ object Explain {
     // staged scan → codegen'd segment transforms → distinct shingles →
     // co-shingle pair join — the exact-jaccard family with two
     // segmenters).
-    "odt_extract", "rtf_extract", "q_txlog_stats_prune",
+    "odt_extract", "rtf_extract", "ods_extract", "q_txlog_stats_prune",
     "dedup_script_jaccard")
 
   def main(args: Array[String]): Unit = {
