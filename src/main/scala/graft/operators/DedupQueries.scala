@@ -848,6 +848,43 @@ object DedupQueries extends QueryPack {
           .otherwise(split(col("text"), " ")))
       .select("doc_id", "script", "toks")
 
+  /** The script-aware shingle INDEX over a (doc_id, text) frame:
+    * distinct 3-token '|'-joined shingles per doc with the per-doc
+    * shingle count — tokens from [[scriptGatedTokens]]. Columns:
+    * (doc_id, script, sh, nsh). */
+  private[graft] def scriptShingleIndexOf(docs: DataFrame): DataFrame = {
+    val sh = scriptGatedTokens(docs)
+      .withColumn("sh",
+        explode(expr("""CASE WHEN size(toks) >= 3
+                        THEN transform(sequence(1, size(toks) - 2),
+                                       i -> array_join(slice(toks, i, 3), '|'))
+                        ELSE array() END""")))
+      .select("doc_id", "script", "sh")
+      .distinct()
+    val sized = sh.groupBy("doc_id", "script").agg(count(lit(1)).as("nsh"))
+    sh.join(sized, Seq("doc_id", "script"))
+  }
+
+  /** Near-dup pairs (Jaccard ≥ 0.5 in floor-cents) off a
+    * [[scriptShingleIndexOf]] frame — the co-shingle equi-join the
+    * exact-Jaccard family uses, shared by the gate and Stress. */
+  private[graft] def scriptJaccardPairsOf(withN: DataFrame): DataFrame = {
+    val a = withN.select(col("doc_id").as("da"), col("script"),
+      col("sh"), col("nsh").as("na"))
+    val b = withN.select(col("doc_id").as("db2"), col("sh").as("sh_b"),
+      col("nsh").as("nb"))
+    a.join(b, col("sh") === col("sh_b") && col("da") < col("db2"))
+      .groupBy(col("da"), col("db2").as("db"), col("script"),
+        col("na"), col("nb"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("jac_cents",
+        floor(lit(100.0) * col("n_shared") /
+          (col("na") + col("nb") - col("n_shared")) + 0.5).cast("long"))
+      .filter(col("jac_cents") >= 50)
+      .select("da", "db", "script", "n_shared", "jac_cents")
+      .orderBy("da", "db")
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: content-hash grouping, canonical = min doc_id.
     "dedup_exact" -> ((s, d) =>
@@ -1429,34 +1466,10 @@ object DedupQueries extends QueryPack {
       // chain runs once per side per downstream stage.
       Tables.evictDead(indexCache, Tables.sessionKey(s))
       val withN = indexCache.computeIfAbsent(
-        (Tables.sessionKey(s), d, "scriptjac"), _ => {
-          val docs = s.read.parquet(stageCjkCorpus(s, d))
-          val sh = scriptGatedTokens(docs)
-            .withColumn("sh",
-              explode(expr("""CASE WHEN size(toks) >= 3
-                              THEN transform(sequence(1, size(toks) - 2),
-                                             i -> array_join(slice(toks, i, 3), '|'))
-                              ELSE array() END""")))
-            .select("doc_id", "script", "sh")
-            .distinct()
-          val sized = sh.groupBy("doc_id", "script").agg(count(lit(1)).as("nsh"))
-          sh.join(sized, Seq("doc_id", "script"))
-            .localCheckpoint(eager = false)
-        })
-      val a = withN.select(col("doc_id").as("da"), col("script"),
-        col("sh"), col("nsh").as("na"))
-      val b = withN.select(col("doc_id").as("db2"), col("sh").as("sh_b"),
-        col("nsh").as("nb"))
-      a.join(b, col("sh") === col("sh_b") && col("da") < col("db2"))
-        .groupBy(col("da"), col("db2").as("db"), col("script"),
-          col("na"), col("nb"))
-        .agg(count(lit(1)).as("n_shared"))
-        .withColumn("jac_cents",
-          floor(lit(100.0) * col("n_shared") /
-            (col("na") + col("nb") - col("n_shared")) + 0.5).cast("long"))
-        .filter(col("jac_cents") >= 50)
-        .select("da", "db", "script", "n_shared", "jac_cents")
-        .orderBy("da", "db")
+        (Tables.sessionKey(s), d, "scriptjac"),
+        _ => scriptShingleIndexOf(s.read.parquet(stageCjkCorpus(s, d)))
+          .localCheckpoint(eager = false))
+      scriptJaccardPairsOf(withN)
     }),
 
     // EXACT similarity join via PREFIX FILTERING (the PPJoin/AllPairs
