@@ -80,31 +80,75 @@ object OdsSource {
 
   /** The string content of a cell body: its `<text:p>` paragraphs
     * joined with '\n', entities decoded; None on malformation. */
+  /** The string content of a cell body: its `<text:p>` paragraphs
+    * joined with '\n' — with a NAME-BOUNDARY check (so
+    * `<text:page-number>` never matches) and `<office:annotation>`
+    * blocks skipped wholesale (a reviewer comment's nested paragraphs
+    * are metadata: concatenating them into the cell value would garble,
+    * the round-20 review finding). */
   private def cellText(body: String): Option[String] = {
     val paras = Seq.newBuilder[String]
     var i = 0
     while (i < body.length) {
-      val lt = body.indexOf("<text:p", i)
-      if (lt < 0) return Some(paras.result().mkString("\n"))
-      val gt = body.indexOf('>', lt)
-      if (gt < 0) return None
-      if (body.charAt(gt - 1) == '/') { i = gt + 1 } // empty paragraph
-      else {
-        val end = body.indexOf("</text:p>", gt)
-        if (end < 0) return None
-        flatText(body.substring(gt + 1, end)) match {
-          case Some(t) => paras += t
-          case None => return None
+      val ann = body.indexOf("<office:annotation", i)
+      var lt = body.indexOf("<text:p", i)
+      // Skip annotations that precede the next paragraph candidate.
+      if (ann >= 0 && (lt < 0 || ann < lt)) {
+        val e = body.indexOf("</office:annotation>", ann)
+        if (e < 0) return None
+        i = e + "</office:annotation>".length
+      } else if (lt < 0) {
+        return Some(paras.result().mkString("\n"))
+      } else if (!OdtSource.tagBoundary(body, lt, "<text:p")) {
+        i = lt + "<text:p".length // <text:page-number> etc.: not a paragraph
+      } else {
+        val gt = body.indexOf('>', lt)
+        if (gt < 0) return None
+        if (body.charAt(gt - 1) == '/') { i = gt + 1 } // empty paragraph
+        else {
+          val end = body.indexOf("</text:p>", gt)
+          if (end < 0) return None
+          flatText(body.substring(gt + 1, end)) match {
+            case Some(t) => paras += t
+            case None => return None
+          }
+          i = end + "</text:p>".length
         }
-        i = end + "</text:p>".length
       }
     }
     Some(paras.result().mkString("\n"))
   }
 
+  /** XML comments removed (refusing an unterminated one) — done ONCE up
+    * front so extent searches (row/cell close tags) can never be fooled
+    * by a decoy close tag quoted inside a comment; merging character
+    * data across a removed comment is exactly XML's semantics. */
+  private def stripComments(xml: String): Option[String] = {
+    if (!xml.contains("<!--")) return Some(xml)
+    val sb = new StringBuilder(xml.length)
+    var i = 0
+    while (i < xml.length) {
+      val c = xml.indexOf("<!--", i)
+      if (c < 0) { sb ++= xml.substring(i); i = xml.length }
+      else {
+        sb ++= xml.substring(i, c)
+        val e = xml.indexOf("-->", c + 4)
+        if (e < 0) return None // unterminated comment
+        i = e + 3
+      }
+    }
+    Some(sb.result())
+  }
+
+  // The ODF column limit is 16384; anything driving a grid counter past
+  // this bound is corrupt/adversarial and REFUSES — it also makes Int
+  // overflow via stacked repeats unreachable (round-20 review finding).
+  private val MaxGrid = 10000000
+
   /** Extract all cells from ODF spreadsheet content.xml, or None on
     * malformation. See the object doc for the rules. */
-  private[graft] def extractSpreadsheetXml(xml: String): Option[Seq[Cell]] = {
+  private[graft] def extractSpreadsheetXml(rawXml: String): Option[Seq[Cell]] = {
+    val xml = stripComments(rawXml).getOrElse(return None)
     val sheetAt = xml.indexOf("<office:spreadsheet")
     if (sheetAt < 0) return None
     val out = Seq.newBuilder[Cell]
@@ -118,31 +162,35 @@ object OdsSource {
       val lt = xml.indexOf('<', i)
       if (lt < 0) return None
       i = lt
-      if (xml.startsWith("<!--", i)) {
-        val e = xml.indexOf("-->", i + 4); if (e < 0) return None; i = e + 3
-      } else if (xml.startsWith("</office:spreadsheet", i)) {
+      if (xml.startsWith("</office:spreadsheet", i)) {
         done = true
       } else if (xml.startsWith("<table:table-row", i)) {
         val gt = xml.indexOf('>', i)
         if (gt < 0) return None
         val rowRepeat = repeatOf(xml.substring(i, gt), "table:number-rows-repeated")
           .getOrElse(return None)
-        if (rowRepeat > 10000) return None // adversarial row flood
         if (xml.charAt(gt - 1) == '/') { row += rowRepeat; i = gt + 1 } // empty row(s)
         else {
           val rowEnd = xml.indexOf("</table:table-row>", gt)
           if (rowEnd < 0) return None
           val cells = parseRow(xml.substring(gt + 1, rowEnd)).getOrElse(return None)
-          // Materialize the row repeat: each copy is real data (the
-          // repeat is how Calc stores N identical rows).
-          var r = 0
-          while (r < rowRepeat) {
-            row += 1
-            cells.foreach(c => out += Cell(row, c.col, c.kind, c.value))
-            r += 1
+          // The repeat cap applies only to rows that MATERIALIZE cells:
+          // Calc pads sheets with million-fold EMPTY row repeats (the
+          // row analogue of the 16384-column trailer), which must
+          // advance the counter, not refuse (round-20 review finding).
+          if (cells.nonEmpty && rowRepeat > 10000) return None
+          if (cells.isEmpty) row += rowRepeat
+          else {
+            var r = 0
+            while (r < rowRepeat) {
+              row += 1
+              cells.foreach(c => out += Cell(row, c.col, c.kind, c.value))
+              r += 1
+            }
           }
           i = rowEnd + "</table:table-row>".length
         }
+        if (row > MaxGrid) return None // stacked-repeat overflow guard
       } else {
         // table:table open/close, columns decl, calculation settings…:
         // structural, skip the tag.
@@ -172,6 +220,7 @@ object OdsSource {
         val rep = repeatOf(body.substring(i, gt), "table:number-columns-repeated")
           .getOrElse(return None)
         col += rep
+        if (col > MaxGrid) return None // stacked-repeat overflow guard
         i = if (body.charAt(gt - 1) == '/') gt + 1
             else {
               val e = body.indexOf("</table:covered-table-cell>", gt)
@@ -185,13 +234,14 @@ object OdsSource {
         val rep = repeatOf(attrs, "table:number-columns-repeated")
           .getOrElse(return None)
         val selfClosed = body.charAt(gt - 1) == '/'
-        val cellBody =
-          if (selfClosed) ""
+        val cellEnd =
+          if (selfClosed) gt
           else {
             val e = body.indexOf("</table:table-cell>", gt)
             if (e < 0) return None
-            body.substring(gt + 1, e)
+            e
           }
+        val cellBody = if (selfClosed) "" else body.substring(gt + 1, cellEnd)
         val vt = DocxSource.attrValue(attrs, "office:value-type")
           .getOrElse(return None)
         val made: Option[Cell] = vt match {
@@ -228,8 +278,9 @@ object OdsSource {
           case None => ()
         }
         col += rep
+        if (col > MaxGrid) return None // stacked-repeat overflow guard
         i = if (selfClosed) gt + 1
-            else body.indexOf("</table:table-cell>", gt) + "</table:table-cell>".length
+            else cellEnd + "</table:table-cell>".length
       } else {
         val gt = body.indexOf('>', i)
         if (gt < 0) return None

@@ -70,7 +70,7 @@ object OdtSource {
   /** True when the tag starting at `i` (already matched on `prefix`)
     * ends its NAME there — the next char is '/', '>' or whitespace —
     * so `<text:s` does not swallow `<text:span`. */
-  private def tagBoundary(xml: String, i: Int, prefix: String): Boolean = {
+  private[sources] def tagBoundary(xml: String, i: Int, prefix: String): Boolean = {
     val j = i + prefix.length
     j < xml.length && {
       val c = xml.charAt(j)

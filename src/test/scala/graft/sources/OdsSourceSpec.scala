@@ -51,6 +51,28 @@ class OdsSourceSpec extends AnyFunSuite {
     assert(skipped == Seq(Cell(6, 1, "text", "f")))
   }
 
+  test("annotations, boundary-sharing tags, comment decoys, empty-row floods") {
+    // A reviewer comment's nested paragraphs are metadata, never the
+    // cell value (round-20 review finding: they concatenated in).
+    val ann = x("""<table:table-row><table:table-cell office:value-type="string"><office:annotation><text:p>NOTE</text:p></office:annotation><text:p>Real</text:p></table:table-cell></table:table-row>""").get
+    assert(ann == Seq(Cell(1, 1, "text", "Real")))
+    // <text:page-number> shares the <text:p prefix — not a paragraph.
+    val pg = x("""<table:table-row><table:table-cell office:value-type="string"><text:p>p<text:page-number>9</text:page-number>q</text:p></table:table-cell></table:table-row>""")
+    assert(pg.isEmpty) // nested markup inside a paragraph refuses (flatText)
+    // A comment QUOTING a close tag cannot truncate the row extent.
+    val dec = x("""<table:table-row><table:table-cell office:value-type="string"><text:p>a</text:p></table:table-cell><!-- decoy: </table:table-row> --><table:table-cell office:value-type="string"><text:p>b</text:p></table:table-cell></table:table-row>""").get
+    assert(dec == Seq(Cell(1, 1, "text", "a"), Cell(1, 2, "text", "b")))
+    // Million-fold EMPTY row repeats are padding — advance, never refuse…
+    val pad = x("""<table:table-row table:number-rows-repeated="1048574"><table:table-cell table:number-columns-repeated="16384"/></table:table-row>""").get
+    assert(pad.isEmpty)
+    // …but a MATERIALIZING row flood refuses, and stacked repeats can
+    // never overflow the grid counters into negative positions.
+    assert(x("""<table:table-row table:number-rows-repeated="99999"><table:table-cell office:value-type="string"><text:p>x</text:p></table:table-cell></table:table-row>""").isEmpty)
+    val wide = (1 to 300).map(_ =>
+      """<table:table-cell table:number-columns-repeated="9999999"/>""").mkString
+    assert(x(s"""<table:table-row>$wide<table:table-cell office:value-type="string"><text:p>y</text:p></table:table-cell></table:table-row>""").isEmpty)
+  }
+
   test("covered cells advance but emit nothing; entities decode; refusals") {
     val got = x("""<table:table-row><table:table-cell office:value-type="string"><text:p>a &amp; b</text:p></table:table-cell><table:covered-table-cell table:number-columns-repeated="2"/><table:table-cell office:value-type="boolean" office:boolean-value="true"/></table:table-row>""").get
     assert(got == Seq(Cell(1, 1, "text", "a & b"), Cell(1, 4, "bool", "1")))

@@ -271,8 +271,10 @@ class TxLogSpec extends SparkSpec {
     TxLog.commitData(compacted, dir, 6, "overwrite",
       removes = TxLog.activeFiles(dir, 5), statsCol = Some("k"))
     val (df, prunedAfter, keptAfter) = TxLog.readAsOfWhere(spark, dir, 6, "k", 1, 5)
-    assert(prunedAfter >= 1 && keptAfter < prunedAfter + keptAfter,
-      s"clustered compaction did not restore pruning ($prunedAfter pruned)")
+    // 3 range-clustered files; keys 1..5 live in ONE of them (allow 2 in
+    // case the range sampler puts a boundary inside the probe window).
+    assert(prunedAfter >= 1 && keptAfter <= 2,
+      s"clustered compaction did not restore pruning ($prunedAfter pruned, $keptAfter kept)")
     assert(df.count() == 30) // 6 ingests × keys 1..5, content preserved
     // …and the pre-compaction snapshot still reads (time travel).
     assert(TxLog.readAsOf(spark, dir, 5).count() == 180)
