@@ -824,7 +824,7 @@ object TextAnalysis extends QueryPack {
       (Seq[(Int, String, String, Long, Long, Long, Long)],
        org.apache.spark.sql.Dataset[(String, Long, Seq[String])]) = {
     import s.implicits._
-    var vocab = vocab0.localCheckpoint()
+    var vocab = vocab0.localCheckpoint(eager = false)
     val merges = Seq.newBuilder[(Int, String, String, Long, Long, Long, Long)]
     var step = 1
     var exhausted = false
@@ -852,7 +852,7 @@ object TextAnalysis extends QueryPack {
           r.getAs[Long]("cb"), r.getAs[Long]("skey")))
         val m = a + b.stripPrefix("##")
         vocab = vocab.map { case (w, f, syms) => (w, f, applyWpMerge(syms, a, b, m)) }
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         step += 1
       }
     }
@@ -868,7 +868,7 @@ object TextAnalysis extends QueryPack {
     val words = docs.select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")).between(2, 16))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .as[(String, Long)].localCheckpoint()
+      .as[(String, Long)].localCheckpoint(eager = false)
     val kept = words.toDF("word", "freq")
       .select(col("freq"), explode(expr(
         "flatten(transform(sequence(1, length(word)), i -> " +
@@ -876,7 +876,7 @@ object TextAnalysis extends QueryPack {
         "j -> substring(word, i, j - i + 1))))")).as("piece"))
       .groupBy("piece").agg(sum("freq").as("cnt"))
       .filter(length(col("piece")) === 1 || col("cnt") >= 5)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // The inventory is tokenizer-vocabulary-sized (substrings ≤4 chars
     // above a count floor) — a broadcast artifact at apply time, same
     // justification as wordpieceEncodeOf's piece set.
@@ -1012,7 +1012,7 @@ object TextAnalysis extends QueryPack {
       (Seq[(Int, String, String, Long)],
        org.apache.spark.sql.Dataset[(String, Long, Seq[String])]) = {
     import s.implicits._
-    var vocab = vocab0.localCheckpoint()
+    var vocab = vocab0.localCheckpoint(eager = false)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
@@ -1030,7 +1030,7 @@ object TextAnalysis extends QueryPack {
         val a = top(0).getString(0); val b = top(0).getString(1)
         merges += ((step, a, b, top(0).getLong(2)))
         vocab = vocab.map { case (w, f, syms) => (w, f, applyBpeMerge(syms, a, b)) }
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         step += 1
       }
     }
