@@ -877,7 +877,13 @@ object Stress {
         (id, if (id % 4 == 0) operators.DedupQueries.cjkOf(t) else t) }
       val twins = b.filter(_._1 % 16 == 0).map { case (id, t) =>
         (id + 100000000L, operators.DedupQueries.cjkOf(t).drop(1)) }
-        .filter(_._2.nonEmpty)
+        // Only twins long enough to PAIR count as planted: a ≤3-char
+        // projection yields ≤2 char-bigram shingles and cannot reach
+        // jac_cents ≥ 50, so one short source doc would hard-fail the
+        // whole run on a recall the algorithm never promises (round-21
+        // ADVICE). ≥4 post-drop chars ⇔ ≥3 twin bigrams, all shared
+        // with the source's ≥4 — Jaccard ≥ 3/4 by construction.
+        .filter(_._2.length >= 4)
       (mapped.union(twins).toDF("doc_id", "text"), twins.count())
     }
     val (scriptDocs, plantedTwins) = scriptCorpus

@@ -90,7 +90,13 @@ object OdsSource {
     val paras = Seq.newBuilder[String]
     var i = 0
     while (i < body.length) {
-      val ann = body.indexOf("<office:annotation", i)
+      // Boundary-checked like <text:p below: '<office:annotation-end/>'
+      // is a RANGE MARKER sharing the prefix, not an annotation open —
+      // treating it as one would skip real paragraphs up to an unrelated
+      // '</office:annotation>' (garbled value, not a refusal).
+      var ann = body.indexOf("<office:annotation", i)
+      while (ann >= 0 && !OdtSource.tagBoundary(body, ann, "<office:annotation"))
+        ann = body.indexOf("<office:annotation", ann + 1)
       var lt = body.indexOf("<text:p", i)
       // Skip annotations that precede the next paragraph candidate.
       if (ann >= 0 && (lt < 0 || ann < lt)) {

@@ -159,6 +159,19 @@ object TxLog {
         }
       }
     }
+    // The contract above only fires when the caller PASSES a schema; a
+    // legacy schema-less append onto a table whose schema is recorded
+    // would bypass it — and readAsOf then pins the recorded DDL onto the
+    // new files, silently null-filling any column they lack. Refuse the
+    // blind append instead (round-21 ADVICE): schema-less commits stay
+    // legal on schema-less tables only.
+    if (schemaDdl.isEmpty && operation == "append" && version > 0)
+      schemaAsOf(dir, version - 1).foreach { prior =>
+        throw new IllegalStateException(
+          s"schema-less append at version $version onto a table with a " +
+          s"recorded schema ($prior): pass schemaDdl (df.schema.toDDL) so " +
+          "the append/overwrite schema contract can be checked")
+      }
     val ld = logDir(dir)
     ld.mkdirs()
     val target = logFile(dir, version)

@@ -56,6 +56,11 @@ class OdsSourceSpec extends AnyFunSuite {
     // cell value (round-20 review finding: they concatenated in).
     val ann = x("""<table:table-row><table:table-cell office:value-type="string"><office:annotation><text:p>NOTE</text:p></office:annotation><text:p>Real</text:p></table:table-cell></table:table-row>""").get
     assert(ann == Seq(Cell(1, 1, "text", "Real")))
+    // '<office:annotation-end/>' shares the prefix but is a range
+    // MARKER: it must not swallow the real paragraph up to a later
+    // (unrelated) annotation close (round-21 ADVICE).
+    val annEnd = x("""<table:table-row><table:table-cell office:value-type="string"><office:annotation-end office:name="r1"/><text:p>Real</text:p><office:annotation><text:p>NOTE</text:p></office:annotation></table:table-cell></table:table-row>""").get
+    assert(annEnd == Seq(Cell(1, 1, "text", "Real")))
     // <text:page-number> shares the <text:p prefix — not a paragraph.
     val pg = x("""<table:table-row><table:table-cell office:value-type="string"><text:p>p<text:page-number>9</text:page-number>q</text:p></table:table-cell></table:table-row>""")
     assert(pg.isEmpty) // nested markup inside a paragraph refuses (flatText)

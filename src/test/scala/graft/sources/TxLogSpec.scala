@@ -333,10 +333,17 @@ class TxLogSpec extends SparkSpec {
     val (_, prunedC, keptC) =
       TxLog.readAsOfWhere(spark, dir, 0, "k", oneFile.lo, oneFile.hi)
     assert(prunedC == 3 && keptC == 1)
-    // A legacy (stat-less) append over the same keys degrades pruning
-    // gracefully: its files are always kept.
+    // A stat-less append over the same keys degrades pruning
+    // gracefully: its files are always kept. (The schema still rides
+    // along — a SCHEMA-less append onto a schema-recorded table refuses
+    // outright, pinned below.)
     val extra = Seq((5L, "x")).toDF("k", "s")
-    TxLog.commit(dir, 1, "append", TxLog.writeData(extra, dir, 1))
+    val extraFiles = TxLog.writeData(extra, dir, 1)
+    intercept[IllegalStateException] {
+      TxLog.commit(dir, 1, "append", extraFiles)
+    }
+    TxLog.commit(dir, 1, "append", extraFiles,
+      schemaDdl = Some(extra.schema.toDDL))
     val (_, pruned2, kept2) =
       TxLog.readAsOfWhere(spark, dir, 1, "k", oneFile.lo, oneFile.hi)
     assert(pruned2 == 3 && kept2 == 2)
