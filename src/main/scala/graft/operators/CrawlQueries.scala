@@ -359,22 +359,28 @@ object CrawlQueries extends QueryPack {
       val decided = evalRobots(robots,
           deduped.select("doc_id", "host", "path"))
         .join(deduped.select("doc_id", "canonical_url", "n_dups"), Seq("doc_id"))
-      val fetched = decided.filter(col("allowed"))
-        .withColumn("rk", row_number().over(Window.partitionBy("host")
-          .orderBy(PortableHash.h60(col("canonical_url")), col("canonical_url"))))
-        .filter(col("rk") <= 7)
-        .groupBy("host")
-        .agg(count(lit(1)).as("n_fetch"),
-          sum(PortableHash.h60p(col("canonical_url"))).as("fetch_checksum"))
-      decided.groupBy("host")
+      // One pass, not two: the politeness cut and the per-host funnel
+      // both group by host, so ranking allowed rows FIRST inside a
+      // single host-partitioned window (allowed is never null — see
+      // evalRobots' coalesce) makes an allowed row's rk equal its rank
+      // among the host's allowed rows, and the fetch columns become
+      // conditional aggregates of the same groupBy that computes the
+      // funnel. This halves the plan (the decided subtree used to be
+      // evaluated once per join side) and the window's host exchange is
+      // the aggregation's exchange.
+      val ranked = decided.withColumn("rk",
+        row_number().over(Window.partitionBy("host")
+          .orderBy(col("allowed").desc,
+            PortableHash.h60(col("canonical_url")), col("canonical_url"))))
+      val isFetch = col("allowed") && col("rk") <= 7
+      ranked.groupBy("host")
         .agg(
           sum("n_dups").as("n_raw"),
           count(lit(1)).as("n_canonical"),
-          sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"))
-        .join(fetched, Seq("host"), "left")
-        .select(col("host"), col("n_raw"), col("n_canonical"), col("n_allowed"),
-          coalesce(col("n_fetch"), lit(0L)).as("n_fetch"),
-          coalesce(col("fetch_checksum"), lit(0L)).as("fetch_checksum"))
+          sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
+          sum(when(isFetch, 1L).otherwise(0L)).as("n_fetch"),
+          sum(when(isFetch, PortableHash.h60p(col("canonical_url")))
+            .otherwise(0L)).as("fetch_checksum"))
         .orderBy("host")
     }),
 
