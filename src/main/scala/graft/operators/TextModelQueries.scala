@@ -259,11 +259,21 @@ object TextModelQueries extends QueryPack {
         explode(graft.Graft.zipNgrams(col("ch"), 3)).as("t"))
       .select(col("doc_id"), col("lang"),
         concat(col("t.c0"), col("t.c1"), col("t.c2")).as("g"))
-    val langProf = grams.groupBy("lang", "g").agg(count(lit(1)).as("c"))
+    // Both profiles fold the SAME exploded gram stream; computing the
+    // (doc_id, lang, g) counts once and deriving each profile from that
+    // frame replaces two full explode passes + two raw-gram exchanges
+    // with one of each (doc_id determines lang, so the doc-level count
+    // is unchanged by carrying lang in the key, and the lang-level
+    // count is exactly the sum of its docs' counts). The lazy
+    // localCheckpoint materializes the shared frame once.
+    val docGram = grams.groupBy("doc_id", "lang", "g")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    val langProf = docGram.groupBy("lang", "g").agg(sum("c").as("c"))
       .withColumn("rl", row_number().over(
         Window.partitionBy("lang").orderBy(col("c").desc, col("g"))))
       .filter(col("rl") <= K).select(col("lang").as("cand"), col("g"), col("rl"))
-    val docProf = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val docProf = docGram
       .withColumn("rd", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("c").desc, col("g"))))
       .filter(col("rd") <= K).select("doc_id", "g", "rd")
