@@ -31,6 +31,16 @@ object MarkdownSource {
   // these patterns inside the loop would rebuild them millions of times.
   private val CodeSpanRe = "`([^`]+)`".r
   private val MaskRe = "\u0000(\\d+)\u0000".r
+  // String.replaceAll compiles its Pattern per CALL; the inline rewrites
+  // below use pre-compiled Patterns instead — identical semantics
+  // (replaceAll(re, r) IS Pattern.compile(re).matcher(s).replaceAll(r))
+  // minus ~6 Pattern.compiles per line.
+  private val HeaderRe = java.util.regex.Pattern.compile("^#{1,6}\\s+")
+  private val ImageRe = java.util.regex.Pattern.compile("!\\[([^\\]]*)\\]\\([^)]*\\)")
+  private val LinkRe = java.util.regex.Pattern.compile("\\[([^\\]]*)\\]\\([^)]*\\)")
+  private val BoldRe = java.util.regex.Pattern.compile("\\*\\*([^*]+)\\*\\*")
+  private val EmphRe = java.util.regex.Pattern.compile("\\*([^*]+)\\*")
+  private val WsRe = java.util.regex.Pattern.compile("\\s+")
 
   /** (prose text, n_fences, code_chars) for one markdown document. */
   def extractMd(md: String): (String, Int, Long) = {
@@ -63,17 +73,24 @@ object MarkdownSource {
               "\u0000" + (codes.length - 1) + "\u0000"
             })
           else line
-        val rewritten = masked
-          .replaceAll("^#{1,6}\\s+", "")
-          .replaceAll("!\\[([^\\]]*)\\]\\([^)]*\\)", "$1") // images first
-          .replaceAll("\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
-          .replaceAll("\\*\\*([^*]+)\\*\\*", "$1")
-          .replaceAll("\\*([^*]+)\\*", "$1")
-        val t = (if (hasCode)
+        // Cheap char guards skip whole-line regex scans for rules whose
+        // trigger character is absent (most lines carry no [ or *).
+        var rewritten = masked
+        if (rewritten.length > 0 && rewritten.charAt(0) == '#')
+          rewritten = HeaderRe.matcher(rewritten).replaceAll("")
+        if (rewritten.indexOf('[') >= 0) {
+          rewritten = ImageRe.matcher(rewritten).replaceAll("$1") // images first
+          rewritten = LinkRe.matcher(rewritten).replaceAll("$1")
+        }
+        if (rewritten.indexOf('*') >= 0) {
+          rewritten = BoldRe.matcher(rewritten).replaceAll("$1")
+          rewritten = EmphRe.matcher(rewritten).replaceAll("$1")
+        }
+        val t0 = (if (hasCode)
             MaskRe.replaceAllIn(rewritten, m =>
               scala.util.matching.Regex.quoteReplacement(codes(m.group(1).toInt)))
           else rewritten)
-          .replaceAll("\\s+", " ").trim
+        val t = WsRe.matcher(t0).replaceAll(" ").trim
         if (t.nonEmpty) prose += t
       }
     }

@@ -37,6 +37,10 @@ import org.apache.spark.sql.functions.col
   * task per doc, no state, no shuffle (the pdf_extract family). */
 object TexSource {
 
+  // Hoisted: the whitespace collapse runs per LINE on a corpus-linear
+  // path, and String.replaceAll compiles its Pattern per call.
+  private val WsRe = java.util.regex.Pattern.compile("\\s+")
+
   private val DropEnvs = Set(
     "equation", "equation*", "align", "align*", "tabular", "figure", "verbatim")
   private val UnwrapCmds = Set(
@@ -180,7 +184,8 @@ object TexSource {
     }
     if (!ended) return None // no real \end{document} (quoted ones don't count)
     Some(out.toString.split("\n", -1)
-      .map(_.replaceAll("\\s+", " ").trim).filter(_.nonEmpty).mkString("\n"))
+      .map(l => WsRe.matcher(l).replaceAll(" ").trim)
+      .filter(_.nonEmpty).mkString("\n"))
   }
 
   // ───────────── deterministic fixture model (closed-form) ─────────────
