@@ -81,6 +81,74 @@ object EventStreams {
       r
     }
 
+  /** Jobless parquet staging for driver-local frames: when `df` optimizes
+    * to a LocalRelation (every watermark sentinel and doctored duplicate
+    * does — they are literal projections of one cached fixture row), its
+    * rows are already on the driver and a plain ParquetWriter can emit
+    * the staged file directly — no job submission, no task, no commit
+    * protocol. Returns false (caller runs the normal Spark write) for
+    * non-local frames or types outside the event-fixture surface. The
+    * logical annotations written (plain INT64/DOUBLE, UTF8 strings,
+    * TIMESTAMP MICROS with the NTZ/UTC flag from the Spark type) decode
+    * under the gate's declared read schema exactly as Spark's own writer
+    * output does — pinned by EventStreamsSpec's round-trip test. */
+  private[graft] def writeLocalParquet(df: DataFrame, dest: String): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.types._
+    import org.apache.parquet.schema.{LogicalTypeAnnotation => LTA, Type => PType, Types => PTypes}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    df.queryExecution.optimizedPlan match {
+      case rel: LocalRelation if rel.data.length <= 1024 =>
+        val fields = rel.schema.fields
+        val converted: Array[Option[PType]] = fields.map { f =>
+          f.dataType match {
+            case LongType    => Some(PTypes.optional(INT64).named(f.name))
+            case IntegerType => Some(PTypes.optional(INT32).named(f.name))
+            case DoubleType  => Some(PTypes.optional(DOUBLE).named(f.name))
+            case BooleanType => Some(PTypes.optional(BOOLEAN).named(f.name))
+            case StringType  =>
+              Some(PTypes.optional(BINARY).as(LTA.stringType()).named(f.name))
+            case TimestampNTZType => Some(PTypes.optional(INT64)
+              .as(LTA.timestampType(false, LTA.TimeUnit.MICROS)).named(f.name))
+            case TimestampType => Some(PTypes.optional(INT64)
+              .as(LTA.timestampType(true, LTA.TimeUnit.MICROS)).named(f.name))
+            case _ => None
+          }
+        }
+        if (converted.exists(_.isEmpty)) return false
+        val msg = converted.flatten
+          .foldLeft(PTypes.buildMessage(): PTypes.GroupBuilder[
+            org.apache.parquet.schema.MessageType])(_.addField(_))
+          .named("spark_schema")
+        val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+          .builder(new org.apache.hadoop.fs.Path(dest))
+          .withType(msg)
+          .withConf(df.sparkSession.sessionState.newHadoopConf())
+          .withCompressionCodec(
+            org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+          .build()
+        val fac = new org.apache.parquet.example.data.simple.SimpleGroupFactory(msg)
+        try rel.data.foreach { row =>
+          val g = fac.newGroup()
+          fields.zipWithIndex.foreach { case (f, i) =>
+            if (!row.isNullAt(i)) f.dataType match {
+              case LongType | TimestampNTZType | TimestampType =>
+                g.add(f.name, row.getLong(i)): Unit
+              case IntegerType => g.add(f.name, row.getInt(i)): Unit
+              case DoubleType  => g.add(f.name, row.getDouble(i)): Unit
+              case BooleanType => g.add(f.name, row.getBoolean(i)): Unit
+              case StringType  => g.add(f.name, org.apache.parquet.io.api.Binary
+                .fromString(row.getUTF8String(i).toString)): Unit
+              case _ => ()
+            }
+          }
+          writer.write(g)
+        } finally writer.close()
+        true
+      case _ => false
+    }
+  }
+
   private def rmTree(p: String): Unit = {
     val f = new java.io.File(p)
     if (f.isDirectory) f.listFiles().foreach(c => rmTree(c.getAbsolutePath))
@@ -217,8 +285,13 @@ object EventStreams {
     sessionConfs.foreach { case (k, v) => sess.conf.set(k, v) }
     val stage = ptime("LiveStage")(new LiveStage(sess, s"$dataDir/events.parquet"))
     /** Writes `df` as a single parquet file at `dest` (staged source files
-      * must be one file each so file↔micro-batch mapping is exact). */
+      * must be one file each so file↔micro-batch mapping is exact). The
+      * sentinel/doctored frames are 1-row driver-local relations, so the
+      * common case takes [[writeLocalParquet]]'s jobless path (~5 ms)
+      * instead of a full Spark write job + commit protocol (~0.12 s each,
+      * two per sentinel gate per run). */
     def stageOneFile(df: DataFrame, tmp: String, dest: String): Unit = {
+      if (writeLocalParquet(df, dest)) return
       df.coalesce(1).write.parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))

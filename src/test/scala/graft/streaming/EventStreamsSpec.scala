@@ -440,4 +440,39 @@ class EventStreamsSpec extends SparkSpec {
     assert(readBasenames.subsetOf(committed.toSet),
       s"gate read resolves uncommitted files: ${(readBasenames -- committed).take(3)}")
   }
+
+  test("writeLocalParquet round-trips a local sentinel frame exactly as a Spark write") {
+    import org.apache.spark.sql.types._
+    // The full event-fixture type surface the jobless staging path claims
+    // to support, including a null in every nullable slot.
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+      StructField("ts_utc", TimestampType), StructField("user_id", IntegerType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("flag", BooleanType)))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(7L,
+        java.time.LocalDateTime.parse("2024-03-01T12:34:56.789"),
+        java.sql.Timestamp.valueOf("2024-03-01 12:34:56.789"),
+        42, "click", 1.5, true),
+      org.apache.spark.sql.Row(null, null, null, null, null, null, null))
+    // withColumn arithmetic mirrors LiveStage.shifted: still a
+    // LocalRelation after optimization.
+    val df = spark.createDataFrame(rows, schema)
+      .withColumn("ts", col("ts") + expr("INTERVAL 7200 SECONDS"))
+    val base = java.nio.file.Files.createTempDirectory("graft_wlp_").toFile
+    val direct = s"${base.getAbsolutePath}/direct.parquet"
+    assert(EventStreams.writeLocalParquet(df, direct),
+      "sentinel frame did not take the jobless staging path")
+    val viaSpark = s"${base.getAbsolutePath}/spark"
+    df.coalesce(1).write.parquet(viaSpark)
+    val a = spark.read.schema(df.schema).parquet(direct)
+      .orderBy("event_id").collect().toSeq
+    val b = spark.read.schema(df.schema).parquet(viaSpark)
+      .orderBy("event_id").collect().toSeq
+    assert(a == b, s"direct=$a spark=$b")
+    // A non-local frame must refuse the fast path (caller falls back).
+    assert(!EventStreams.writeLocalParquet(
+      spark.range(5).toDF("event_id"), s"${base.getAbsolutePath}/nope.parquet"))
+  }
 }
