@@ -449,6 +449,12 @@ object DedupQueries extends QueryPack {
       s"near-dup threshold must be in (0, 1], got $threshold")
     require(maxBucket >= 2,
       s"maxBucket below 2 can never emit a pair, got $maxBucket")
+    // NOT checkpointed, reconfirmed r22: a lazy cut on cand here measured
+    // within noise and slightly worse (Lab medians 1.11 → 1.16 s on
+    // dedup_minhash_capped) — the scaladoc's re-evaluation-beats-caching
+    // claim holds for signature-derived candidates, unlike the
+    // incremental-neardup twins whose cand carries a corpus×batch join +
+    // distinct per evaluation.
     val cand = bucketPairs(minhashBandsOf(s, docs), Seq("band", "bkey"), maxBucket)
     jaccardOfDocs(s, docs, cand).filter(col("jac") >= threshold)
   }
@@ -518,12 +524,19 @@ object DedupQueries extends QueryPack {
     * corpus. */
   def spanMergedOf(s: SparkSession, docs: DataFrame,
                    maxDocsPerGram: Int = 16): DataFrame = {
-    val g = posGramsOf(s, docs, 8)
+    // Lazy checkpoints, the spanMergedSuffixOf/spanSharedWindowsOf
+    // discipline this variant was missing: without them the pair
+    // self-join diamond evaluates the corpus-linear posGrams flatMap
+    // FOUR times (each side of the join carries g + eligible(g)) and
+    // the eligibility aggregate twice. With g cut, eligible folds one
+    // checkpointed scan; with gg cut, the self-join reads one
+    // materialized filtered-gram frame from both sides.
+    val g = posGramsOf(s, docs, 8).localCheckpoint(eager = false)
     val eligible = g.groupBy("gram")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= 2 && col("nd") <= maxDocsPerGram)
       .select("gram")
-    val gg = g.join(eligible, "gram")
+    val gg = g.join(eligible, "gram").localCheckpoint(eager = false)
     val pairs = gg.select(col("gram"), col("doc_id").as("da"), col("pos").as("pa"))
       .join(gg.select(col("gram"), col("doc_id").as("db"), col("pos").as("pb")), "gram")
       .filter(col("da") < col("db"))
@@ -608,7 +621,10 @@ object DedupQueries extends QueryPack {
       .localCheckpoint(eager = false)
     val mild8 = nd8.filter(col("nd") >= 2 && col("nd") <= maxDocsPerGram).select("gram")
     val hot8 = nd8.filter(col("nd") > maxDocsPerGram).select("gram")
-    // Tier 1: mild 8-grams, exactly the spanMergedOf path.
+    // Tier 1: mild 8-grams, exactly the spanMergedOf path. (No gg cut
+    // here, unlike spanMergedOf: with g8/nd8 already checkpointed the
+    // twice-run gram×mild join measured within noise of the extra
+    // materialization barrier — r22 Lab, 1.85 vs 1.90 s medians.)
     val gg = g8.join(mild8, "gram")
     val p1 = gg.select(col("gram"), col("doc_id").as("da"), col("pos").as("pa"))
       .join(gg.select(col("gram"), col("doc_id").as("db"), col("pos").as("pb")), "gram")
@@ -1063,6 +1079,13 @@ object DedupQueries extends QueryPack {
         .join(minhashBandsOf(s, batch).as("b"), Seq("band", "bkey"))
         .select(col("c.doc_id").as("da"), col("b.doc_id").as("db"))
         .distinct()
+        // Lazy checkpoint: jaccardOfDocs reads `cand` three times (pairs
+        // + both semi-join id sets); unlike the LSH twins' cheap
+        // signature-map candidates, THIS candidate subtree carries a
+        // corpus-band compute/index read, a join and a distinct exchange
+        // per evaluation — materializing it once measured ~20% off the
+        // derived-frame twin, ~4% off the indexed one (OPTIMIZATION_r22.md).
+        .localCheckpoint(eager = false)
       jaccardOfDocs(s, docs.unionByName(batch), cand)
         .filter(col("jac") >= 0.7)
         .select(col("db").as("batch_id"), col("da").as("corpus_id"),
@@ -1088,6 +1111,13 @@ object DedupQueries extends QueryPack {
         .join(minhashBandsOf(s, batch).as("b"), Seq("band", "bkey"))
         .select(col("c.doc_id").as("da"), col("b.doc_id").as("db"))
         .distinct()
+        // Lazy checkpoint: jaccardOfDocs reads `cand` three times (pairs
+        // + both semi-join id sets); unlike the LSH twins' cheap
+        // signature-map candidates, THIS candidate subtree carries a
+        // corpus-band compute/index read, a join and a distinct exchange
+        // per evaluation — materializing it once measured ~20% off the
+        // derived-frame twin, ~4% off the indexed one (OPTIMIZATION_r22.md).
+        .localCheckpoint(eager = false)
       jaccardOfDocs(s, docs.unionByName(batch), cand)
         .filter(col("jac") >= 0.7)
         .select(col("db").as("batch_id"), col("da").as("corpus_id"),
@@ -1618,6 +1648,11 @@ object DedupQueries extends QueryPack {
         .withColumn("ccos",
           round6(dot(col("v"), col("w")) / (col("nrm") * col("wnrm"))))
         .select(col("vec_id"), col("cluster"), col("v"), col("nrm"), col("ccos"))
+        // Lazy checkpoint: withC feeds BOTH sides of the within-cluster
+        // pair join and the final grouping — without the cut the IVF
+        // scored assignment (a per-vector centroid argmin) is evaluated
+        // three times.
+        .localCheckpoint(eager = false)
       val a = withC.select(col("cluster"), col("vec_id").as("qa"),
         col("v").as("v_a"), col("nrm").as("nrm_a"))
       val b = withC.select(col("cluster"), col("vec_id").as("qb"),

@@ -330,6 +330,13 @@ object TextModelQueries extends QueryPack {
   }
 
   private[graft] def lmPerplexityAudit(s: SparkSession, docs: DataFrame): DataFrame = {
+    // ds feeds both the corpus total and the flag pass, so the plan
+    // carries the lmDocScores subtree twice — deliberately NOT
+    // checkpointed: the r22 Lab A/B (both run orders) measured the lazy
+    // cut ~10% SLOWER (0.91-1.00 s → 1.04-1.12 s medians) — the
+    // duplicated work is cheap codegen'd explodes over a column-pruned
+    // scan, cheaper than the materialization barrier (the r21 §2.1
+    // lesson, reconfirmed from a different cut point).
     val ds = lmDocScores(s, docs)
     val tot = ds.agg(sum("n_bi").as("nn"), sum("q_sum").as("qq"))
     // Overflow-safe threshold: the naive cross-multiplication
