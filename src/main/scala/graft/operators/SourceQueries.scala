@@ -1123,10 +1123,15 @@ object SourceQueries extends QueryPack {
     * and shardNN.tar.gz alike); n_samples exercises the WebDataset
     * re-pairing: bases with BOTH the .txt and .json member present. */
   private def tarAuditOf(e0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // Lazy checkpoint: e feeds the member-file funnel AND the dirs
+    // count (joined at the end) — without the cut the whole ustar
+    // block-walk parse (a typed mapPartitions decode of every shard)
+    // runs once per branch.
     val e = e0.withColumn("site",
       concat(lit("s"),
         (regexp_extract(col("file"), "shard(\\d+)\\.tar", 1)
           .cast("int") % 4).cast("string")))
+      .localCheckpoint(eager = false)
     val files = e.filter(col("typeflag") === "0")
       .withColumn("base", regexp_extract(col("name"), "^(.*)\\.(txt|json)$", 1))
       .withColumn("ext", regexp_extract(col("name"), "\\.(txt|json)$", 1))

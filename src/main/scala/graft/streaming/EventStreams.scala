@@ -570,7 +570,10 @@ object EventStreams {
     val srcDir = s"$base/src"
     new java.io.File(srcDir).mkdirs()
     val sess = spark.newSession()
-    sess.conf.set("spark.sql.shuffle.partitions", "4")
+    // 2 partitions, the runLive rationale: per-batch state-store/sink
+    // task count is the fixed cost, per-key state is tiny (r22 Lab:
+    // 4 -> 2 measured ~5% on each of the three 4-partition gates).
+    sess.conf.set("spark.sql.shuffle.partitions", "2")
     val docs = sess.read.parquet(s"$dataDir/documents.parquet").select("doc_id", "text")
     // Two deterministic slices → two micro-batches. Any split works —
     // the aggregate is order-independent — but >1 batch is the point: it
@@ -641,7 +644,7 @@ object EventStreams {
     val srcDir = s"$base/src"
     new java.io.File(srcDir).mkdirs()
     val sess = spark.newSession()
-    sess.conf.set("spark.sql.shuffle.partitions", "4")
+    sess.conf.set("spark.sql.shuffle.partitions", "2")
     GraftFunctions.ensureRegistered(sess)
     val ev = sess.read.parquet(s"$dataDir/events.parquet")
       .select("event_id", "user_id")
@@ -719,7 +722,7 @@ object EventStreams {
     val srcDir = s"$base/src"
     new java.io.File(srcDir).mkdirs()
     val sess = spark.newSession()
-    sess.conf.set("spark.sql.shuffle.partitions", "4")
+    sess.conf.set("spark.sql.shuffle.partitions", "2")
     GraftFunctions.ensureRegistered(sess)
     val ev = sess.read.parquet(s"$dataDir/events.parquet").select("event_id")
     val tmp = s"$base/staged"
@@ -1048,21 +1051,27 @@ object EventStreams {
     if (!sess.conf.getOption(nanosKey).contains("true")) sess.conf.set(nanosKey, "true")
     val ev = graft.Tables.events(sess, dataDir)
       .select(col("event_id"), col("user_id"), col("value"))
-    def stageOneFile(df: DataFrame, tmp: String, dest: String, mtime: Long): Unit = {
-      df.coalesce(1).write.parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file under $tmp"))
-      Files.move(part.toPath, Paths.get(dest)): Unit
+    // ONE pass stages both halves (the runWordCountLive/runCmsLive
+    // staging discipline): partitionBy writes the slice subdirs and the
+    // repartition by slice key makes each subdir a single part file —
+    // previously two coalesce(1) write jobs each re-scanned the fixture.
+    val tmp = s"$base/staged"
+    ev.withColumn("b", (col("event_id") % 2).cast("int"))
+      .repartition(2, col("b"))
+      .write.partitionBy("b").parquet(tmp)
+    for (k <- 0 until 2) {
+      val dir = new java.io.File(s"$tmp/b=$k")
+      val parts = if (dir.isDirectory) dir.listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        else Array.empty[java.io.File]
+      if (parts.length != 1)
+        sys.error(s"expected exactly one part file under $tmp/b=$k, found ${parts.length}")
+      Files.move(parts.head.toPath, Paths.get(s"$srcDir/batch$k.parquet")): Unit
       // Forced mtime order: FileStreamSource batches by timestamp, and
       // the gate's version-0 audit pins WHICH half landed first.
-      new java.io.File(dest).setLastModified(mtime): Unit
+      new java.io.File(s"$srcDir/batch$k.parquet").setLastModified((k + 1) * 1000000L): Unit
     }
-    stageOneFile(ev.filter(col("event_id") % 2 === 0), s"$base/b0",
-      s"$srcDir/batch0.parquet", 1000000L)
-    stageOneFile(ev.filter(col("event_id") % 2 =!= 0), s"$base/b1",
-      s"$srcDir/batch1.parquet", 2000000L)
-    rmTree(s"$base/b0"); rmTree(s"$base/b1")
+    rmTree(tmp)
     val tableDir = s"$base/table"
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id",
