@@ -259,21 +259,19 @@ object TextModelQueries extends QueryPack {
         explode(graft.Graft.zipNgrams(col("ch"), 3)).as("t"))
       .select(col("doc_id"), col("lang"),
         concat(col("t.c0"), col("t.c1"), col("t.c2")).as("g"))
-    // Both profiles fold the SAME exploded gram stream; computing the
-    // (doc_id, lang, g) counts once and deriving each profile from that
-    // frame replaces two full explode passes + two raw-gram exchanges
-    // with one of each (doc_id determines lang, so the doc-level count
-    // is unchanged by carrying lang in the key, and the lang-level
-    // count is exactly the sum of its docs' counts). The lazy
-    // localCheckpoint materializes the shared frame once.
-    val docGram = grams.groupBy("doc_id", "lang", "g")
-      .agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = false)
-    val langProf = docGram.groupBy("lang", "g").agg(sum("c").as("c"))
+    // Both profiles re-explode the gram stream — deliberately: the r22
+    // shared-(doc_id,lang,g)-pre-agg + lazy checkpoint variant (one
+    // explode feeding both profiles, lang counts folded from doc
+    // counts) measured SLOWER at power (9-draw Lab medians 1.39 s
+    // current vs 1.58 s shared; in-battery 1.41 vs 2.02) — the
+    // materialization barrier on the ~95%-distinct (doc,gram) frame
+    // costs more than the codegen'd second explode it saves, the same
+    // §2.2/§2.1 r21 outcome from a third cut point.
+    val langProf = grams.groupBy("lang", "g").agg(count(lit(1)).as("c"))
       .withColumn("rl", row_number().over(
         Window.partitionBy("lang").orderBy(col("c").desc, col("g"))))
       .filter(col("rl") <= K).select(col("lang").as("cand"), col("g"), col("rl"))
-    val docProf = docGram
+    val docProf = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       .withColumn("rd", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("c").desc, col("g"))))
       .filter(col("rd") <= K).select("doc_id", "g", "rd")
