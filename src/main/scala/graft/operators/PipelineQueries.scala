@@ -325,6 +325,13 @@ object PipelineQueries extends QueryPack {
       val rates = temperatureRates(uniq, "lang", budgetPct = 50)
       val mixed = temperatureKeptOf(
         uniq.select("crawl_id", "lang"), "crawl_id", "lang", rates)
+      // Six per-stage aggregates + five broadcast left-joins,
+      // deliberately NOT fused: the r22 tagged-union + one-conditional-
+      // aggregate rewrite (one exchange instead of six, bit-identical
+      // output) measured 2.27 -> 2.49 s (7-draw Lab medians) — the wide
+      // union barrier costs more than the AQE-coalesced tiny exchanges
+      // plus broadcast latency it removes, closing r21's "funnel fusion"
+      // open item with numbers.
       val f0 = fetched.groupBy("lang").agg(count(lit(1)).as("n_fetched"))
       val f0b = content.groupBy("lang").agg(count(lit(1)).as("n_boiler"))
       val f1 = kept1.groupBy("lang").agg(count(lit(1)).as("n_quality"))
