@@ -149,6 +149,15 @@ object DedupQueries extends QueryPack {
         Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
       .filter(col("rk") <= expr("n - (n + 1) DIV 2 + 1")) // index prefix, t = 0.5
       .select(col("sh"), col("doc_id"), col("n"), col("rk"))
+      // NOT repartition(sh)-before-the-cut (r22 §2.4 experiment): the
+      // prefix self-join below is a BroadcastHashJoin in the executed
+      // plan (the mid-prefix probe side is small), so pre-partitioning
+      // the checkpoint on sh only adds an exchange to its
+      // materialization — measured within noise (2.42 vs 2.27 s
+      // medians), plan shape unchanged. At a scale where the probe side
+      // outgrows broadcast, revisit: localCheckpoint preserves
+      // outputPartitioning, so this single line would then drop both
+      // SMJ exchanges.
       .localCheckpoint(eager = false)
     // probe side: the mid-prefix is a PREFIX of the index prefix (it is
     // shorter for every n), so it filters out of the same ranked frame.
